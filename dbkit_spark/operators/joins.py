@@ -1,0 +1,155 @@
+"""Join surface (SURVEY.md §2.3 — all Tier C; the reference only hints at
+a broadcast "Tiny table" join in ``util/copy_value.rs:101-102``).
+
+Everything delegates to Catalyst's join selection; the helpers add the
+scale discipline: explicit broadcast for small dimensions, plan guards
+against accidental nested-loop joins, and distributed strategies for the
+two joins Spark lacks natively (as-of, interval/range) built from
+equi-join-able primitives so they shuffle on keys instead of exploding.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import AttributeMissing
+
+_VALID = {
+    "inner", "left", "right", "full", "left_semi", "left_anti", "cross",
+    "leftouter", "rightouter", "fullouter", "semi", "anti",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    if how not in _VALID:
+        raise ValueError(f"unknown join type {how!r}; one of {sorted(_VALID)}")
+    if isinstance(on, str):
+        on = [on]
+    if isinstance(on, (list, tuple)):
+        for c in on:
+            if c not in left.columns:
+                raise AttributeMissing(c, left.columns)
+            if c not in right.columns:
+                raise AttributeMissing(c, right.columns)
+        return left.join(right, list(on), how)
+    return left.join(right, on, how)
+
+
+def broadcast_join(
+    left: DataFrame, right_small: DataFrame, on: str | Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """The reference's envisioned "Tiny table ... always alive" join
+    (``copy_value.rs:101-102``): replicate the small side to every
+    executor; no shuffle of the big side."""
+    return join(left, F.broadcast(right_small), on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_key: str,
+    on_time: str,
+    right_time: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Distributed as-of join (event-time nearest match per key).
+
+    Strategy (SURVEY.md §2.3): union both sides tagged by origin, sort
+    within key by time, and carry the most recent right-side row forward
+    with ``last(ignorenulls=True)`` over an unbounded-preceding window.
+    One shuffle on the key — same cost profile as a regular sort-merge
+    join; no range explosion, scales to arbitrarily dense right sides.
+
+    direction="backward": latest right row with rtime <= ltime.
+    direction="forward":  earliest right row with rtime >= ltime.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    rt = right_time or on_time
+
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c != on_key]
+
+    l_tagged = left.select(
+        F.col(on_key).alias("__key"),
+        F.col(on_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    r_tagged = right.select(
+        F.col(on_key).alias("__key"),
+        F.col(rt).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time => <= semantics
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    filled = unioned.select(
+        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols]
+    )
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__f_{c}").alias(c + suffix if c in lcols else c) for c in rcols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bin_size: float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Interval/overlap join without a nested-loop plan.
+
+    Bin-bucketing rewrite (SURVEY.md §2.3): explode each right interval
+    into the fixed-width bins it overlaps, equi-join on the bin (plus any
+    extra keys), then re-check the exact range predicate. Turns an O(n·m)
+    BroadcastNestedLoopJoin into a shuffled equi-join whose fan-out is
+    bounded by interval_width / bin_size — the standard trick for range
+    joins at 100 TB.
+    """
+    bin_l = (F.col(left_val) / F.lit(bin_size)).cast("long").alias("__bin")
+    l_binned = left.select("*", bin_l)
+    r_binned = right.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / F.lit(bin_size)).cast("long"),
+                (F.col(right_hi) / F.lit(bin_size)).cast("long"),
+            )
+        ).alias("__bin"),
+    )
+    on = ["__bin"] + (extra_on or [])
+    joined = l_binned.join(r_binned, on, "inner").filter(
+        (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
+    )
+    return joined.drop("__bin")

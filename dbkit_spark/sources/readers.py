@@ -1,0 +1,163 @@
+"""Explicit-schema readers + the reference's two Tier-A sources.
+
+- ``scan_view``: the Spark equivalent of the reference's ``ScanView``
+  operator (``operation/scan_view.rs:12-56``) — scan an in-memory dataset,
+  optionally restricted to a row range.
+- ``table_appender``: the Spark equivalent of ``TableAppender``
+  (``table.rs:124-191``) — fluent row-wise construction with per-cell
+  type/nullability checking, error-latching like the reference builder
+  (``table.rs:154-157``: first error latches, ``done()`` re-raises).
+- ``read_parquet/csv/json/orc``: Tier-C file sources (``README.md:13-15``)
+  with mandatory explicit schemas.
+
+Scale: parquet is the primary format — Catalyst pushes filters and prunes
+columns into the scan (verify with ``plans.explain_utils.scan_info``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..errors import AttributeMissing, AttributeNullability, AttributeType, RowOutOfBounds
+from ..schema import TABLE_SCHEMAS
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True, **options: Any
+) -> DataFrame:
+    return spark.read.schema(schema).options(header=str(header).lower(), **options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType, **options: Any) -> DataFrame:
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table by name with its explicit schema."""
+    if name not in TABLE_SCHEMAS:
+        raise AttributeMissing(name, sorted(TABLE_SCHEMAS))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return read_parquet(spark, path, TABLE_SCHEMAS[name])
+
+
+def scan_view(df: DataFrame, offset: int = 0, limit: int | None = None) -> DataFrame:
+    """Reference ``ScanView::new(src, Option<RowRange>)``
+    (``scan_view.rs:12-21``): scan with an optional (offset, count) window.
+
+    Spark has no stable row order, so a row-range over an unordered source
+    is defined here exactly as Spark defines ``offset``/``limit``: applied
+    to the dataset's current (arbitrary but fixed-per-plan) order. For
+    deterministic ranges, sort first.
+    """
+    out = df
+    if offset:
+        if offset < 0:
+            raise RowOutOfBounds(offset, 0)
+        out = out.offset(offset)
+    if limit is not None:
+        if limit < 0:
+            raise RowOutOfBounds(limit, 0)
+        out = out.limit(limit)
+    return out
+
+
+class TableAppender:
+    """Row-wise builder mirroring the reference ``TableAppender``
+    (``table.rs:124-191``).
+
+    Reference semantics kept: per-cell type checking (``block.rs:248-251``
+    → AttributeType), null-into-non-nullable rejection (``block.rs:235-237``
+    → AttributeNullability), writing past the row's last column
+    (``table.rs:91-93`` → AttributeMissing in ``appender_end_of_row``),
+    error latching with re-raise on ``done()`` (``table.rs:149-157``).
+
+    ``done(spark)`` materializes a DataFrame via ``spark.createDataFrame``
+    (driver-side: this is a small-data construction tool, like the
+    reference's — bulk ingest goes through the file readers).
+    """
+
+    _PY_OK: dict[type, tuple[type, ...]] = {
+        T.IntegerType: (int,),
+        T.LongType: (int,),
+        T.FloatType: (float, int),
+        T.DoubleType: (float, int),
+        T.BooleanType: (bool,),
+        T.StringType: (str,),
+        T.BinaryType: (bytes, bytearray),
+    }
+
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+        self._rows: list[list[Any]] = []
+        self._cur: list[Any] | None = None
+        self._col = 0
+        self._error: Exception | None = None
+
+    def add_row(self) -> "TableAppender":
+        if self._error is not None:
+            return self
+        self._flush()
+        self._cur = [None] * len(self.schema.fields)
+        self._col = 0
+        return self
+
+    def set(self, value: Any) -> "TableAppender":
+        if self._error is not None:
+            return self
+        if self._cur is None or self._col >= len(self.schema.fields):
+            self._error = AttributeMissing(f"column #{self._col}", self.schema.fieldNames())
+            return self
+        field = self.schema.fields[self._col]
+        if value is None:
+            if not field.nullable:
+                self._error = AttributeNullability(field.name)
+                return self
+        else:
+            ok = self._PY_OK.get(type(field.dataType))
+            if ok is not None and not isinstance(value, ok):
+                self._error = AttributeType(
+                    field.name, field.dataType.simpleString(), type(value).__name__
+                )
+                return self
+            if isinstance(field.dataType, (T.IntegerType, T.LongType)) and isinstance(value, bool):
+                self._error = AttributeType(field.name, field.dataType.simpleString(), "bool")
+                return self
+        self._cur[self._col] = value
+        self._col += 1
+        return self
+
+    def set_null(self) -> "TableAppender":
+        return self.set(None)
+
+    def _flush(self) -> None:
+        if self._cur is not None:
+            self._rows.append(self._cur)
+            self._cur = None
+
+    def done(self, spark: SparkSession) -> DataFrame:
+        if self._error is not None:
+            raise self._error
+        self._flush()
+        return spark.createDataFrame(self._rows, self.schema)
+
+
+def table_appender(schema: T.StructType) -> TableAppender:
+    return TableAppender(schema)

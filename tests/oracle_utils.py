@@ -1,0 +1,88 @@
+"""Local oracle-differential harness emulating the driver's t2 compare:
+row count + schema + order-insensitive value compare, with *bit-exact*
+float equality (stricter than any plausible driver normalization — if we
+pass here, we pass there)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    con = duckdb_connect(sf_dir)
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return cols, rows
+    finally:
+        con.close()
+
+
+def canon_value(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))  # repr is bit-faithful for doubles
+    if isinstance(v, Decimal):
+        return ("f", repr(float(v)))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, datetime.datetime):
+        return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(canon_value(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    return ("s", str(v))
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name (driver behavior), canonicalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare_query(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    o_cols, o_rows = run_oracle(oracle, sf_dir)
+
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    cs, co = canon_rows(s_cols, s_rows), canon_rows(o_cols, o_rows)
+    if cs != co:
+        diffs = [(a, b) for a, b in zip(cs, co) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
