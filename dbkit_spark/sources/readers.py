@@ -51,10 +51,28 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table by name with its explicit schema."""
+    """Load one fixture table by name with its explicit schema.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark cannot read
+    as a timestamp; with ``spark.sql.legacy.parquet.nanosAsLong`` (set by
+    ``session.build_session``) it surfaces as nanos-since-epoch LONG and is
+    converted here to a microsecond timestamp (truncation — matching how
+    DuckDB narrows ns → us).
+    """
     if name not in TABLE_SCHEMAS:
         raise AttributeMissing(name, sorted(TABLE_SCHEMAS))
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType(), f.nullable)
+                for f in TABLE_SCHEMAS["events"].fields
+            ]
+        )
+        raw = read_parquet(spark, path, raw_schema)
+        from pyspark.sql import functions as F
+
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return read_parquet(spark, path, TABLE_SCHEMAS[name])
 
 

@@ -40,7 +40,7 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
 
 def canon_value(v: Any) -> Any:
     if v is None:
-        return None
+        return ("0none",)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):

@@ -1,0 +1,176 @@
+"""Operator unit tests in the reference's style (SURVEY.md §5.1): build
+tiny data → run operator → assert exact cell-level output and exact error
+variants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbkit_spark import errors
+from dbkit_spark.operators.joins import asof_join, range_join
+from dbkit_spark.operators.project import Projector, prefix_all, project, rename
+from dbkit_spark.operators.setops import dedup_keep_first, union_all
+from dbkit_spark.operators.window import per_group_topk, require_partitioned
+from dbkit_spark.schema import attribute, make_schema
+from dbkit_spark.sources import scan_view, table_appender
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+
+
+# --- projection (mirrors reference test reorder_columns, project.rs:77-120)
+def test_project_reorder_rename(tiny):
+    out = Projector().add_name("s", "new_one").add_name("id").apply(tiny)
+    assert out.columns == ["new_one", "id"]
+    assert [tuple(r) for r in out.orderBy("id").collect()] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_project_by_position(tiny):
+    out = Projector().add_position(2).add_position(0, "key").apply(tiny)
+    assert out.columns == ["v", "key"]
+
+
+def test_project_missing_raises(tiny):
+    with pytest.raises(errors.AttributeMissing):
+        project(tiny, "nope")
+
+
+def test_project_duplicate_raises(tiny):
+    with pytest.raises(errors.AttributeDuplicate):
+        Projector().add_name("s", "x").add_name("id", "x").apply(tiny)
+
+
+def test_project_position_oob(tiny):
+    with pytest.raises(errors.RowOutOfBounds):
+        Projector().add_position(9).apply(tiny)
+
+
+def test_rename_and_prefix(tiny):
+    assert rename(tiny, {"id": "key"}).columns == ["key", "s", "v"]
+    assert prefix_all(tiny, "t_").columns == ["t_id", "t_s", "t_v"]
+    with pytest.raises(errors.AttributeDuplicate):
+        rename(tiny, {"id": "s"})
+
+
+# --- scan_view (reference ScanView row-range, scan_view.rs:12-21) ----------
+def test_scan_view_range(tiny):
+    ordered = tiny.orderBy("id")
+    out = scan_view(ordered, offset=1, limit=1)
+    assert [r.id for r in out.collect()] == [2]
+    with pytest.raises(errors.RowOutOfBounds):
+        scan_view(tiny, offset=-1)
+
+
+# --- appender (reference table.rs tests: appender_rows / varlen_columns) ---
+def test_appender_nullable_roundtrip(spark):
+    sch = make_schema([attribute("one", T.LongType(), nullable=True)])
+    df = table_appender(sch).add_row().set(None).add_row().set(15).done(spark)
+    vals = [r.one for r in df.collect()]
+    assert sorted(vals, key=lambda x: (x is None, x)) in ([15, None], [None, 15]) or set(
+        vals
+    ) == {None, 15}
+
+
+def test_appender_varlen_and_binary(spark):
+    sch = make_schema(
+        [attribute("blob", T.BinaryType()), attribute("text", T.StringType())]
+    )
+    df = (
+        table_appender(sch)
+        .add_row().set(b"\x01\x02").set("hello")
+        .add_row().set(b"").set("")
+        .done(spark)
+    )
+    rows = sorted([(bytes(r.blob), r.text) for r in df.collect()])
+    assert rows == [(b"", ""), (b"\x01\x02", "hello")]
+
+
+def test_appender_type_error_latches(spark):
+    sch = make_schema([attribute("n", T.LongType())])
+    app = table_appender(sch).add_row().set("not an int").add_row().set(2)
+    with pytest.raises(errors.AttributeType):
+        app.done(spark)
+
+
+# --- set ops ---------------------------------------------------------------
+def test_union_schema_mismatch(tiny, spark):
+    other = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(errors.AttributeMissing):
+        union_all(tiny, other)
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-02", "late"), (1, "2024-01-01", "early"), (2, "2024-01-05", "only")],
+        "k long, d string, tag string",
+    )
+    out = dedup_keep_first(df, ["k"], [F.col("d").asc()])
+    assert {(r.k, r.tag) for r in out.collect()} == {(1, "early"), (2, "only")}
+
+
+# --- window guard ----------------------------------------------------------
+def test_window_requires_partition():
+    with pytest.raises(ValueError):
+        require_partitioned([])
+
+
+def test_per_group_topk_exact(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i * 10)) for i in range(5)] + [("h", 9, 1.0)],
+        "grp string, id long, v double",
+    )
+    out = per_group_topk(df, ["grp"], [F.col("v").desc(), F.col("id")], k=2)
+    got = {(r.grp, r.id, r.rn) for r in out.collect()}
+    assert got == {("g", 4, 1), ("g", 3, 2), ("h", 9, 1)}
+
+
+# --- as-of join semantics --------------------------------------------------
+def test_asof_backward_exact(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 09:00:00")],
+        "k long, t string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 100.0), (1, "2024-01-01 11:00:00", 200.0)],
+        "k long, t string, val double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "val")
+    out = asof_join(left, right, on_key="k", on_time="t")
+    got = {(r.k, r.t.isoformat(), r.val) for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01T10:00:00", 100.0),   # matched 09:30
+        (1, "2024-01-01T12:00:00", 200.0),   # matched 11:00
+        (2, "2024-01-01T09:00:00", None),    # no right row for key 2
+    }
+
+
+def test_asof_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k long, t string").select(
+        "k", F.col("t").cast("timestamp").alias("t")
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7.0)], "k long, t string, val double"
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "val")
+    out = asof_join(left, right, on_key="k", on_time="t")
+    assert [r.val for r in out.collect()] == [7.0]
+
+
+# --- range join produces no duplicate/missing matches ----------------------
+def test_range_join_exact(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 12.0), (3, 27.0)], "id long, x double")
+    right = spark.createDataFrame(
+        [(0.0, 10.0, "lo"), (10.0, 20.0, "mid"), (25.0, 60.0, "hi"), (4.0, 30.0, "wide")],
+        "lo double, hi double, tier string",
+    )
+    out = range_join(left, right, "x", "lo", "hi", bin_size=7.0)
+    got = {(r.id, r.tier) for r in out.collect()}
+    assert got == {
+        (1, "lo"), (1, "wide"),
+        (2, "mid"), (2, "wide"),
+        (3, "hi"), (3, "wide"),
+    }
