@@ -1,0 +1,111 @@
+"""Text-analysis primitives for the LLM-data-pipeline surface
+(SURVEY.md §2.11): tokenization, shingles, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` compositions — they run inside
+whole-stage codegen and scale linearly with no Python crossings. Each has
+a documented ANSI-SQL equivalent used by the oracle queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately tiny, deterministic English stopword list (shared verbatim
+# with oracle SQL — keep sorted, lowercase).
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+    "is", "it", "of", "on", "or", "that", "the", "to", "with",
+]
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens; empty strings filtered out.
+    SQL equivalent: list_filter(string_split_regex(lower(x), re), t -> t <> '')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punct token count (BPE-ish proxy: alnum runs)."""
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles of the lowercased text (for MinHash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1))),
+        lambda i: F.substring(lowered, i, n),
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles joined with spaces (for MinHash/Jaccard).
+    Returns an empty array when the doc has < n tokens."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, "[a-zA-Z0-9\\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c)
+    )
+
+
+def avg_word_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram/stopword heuristic language ID: 'en' when the stopword ratio
+    clears a threshold and the text is mostly ASCII letters, else 'unk'.
+    Deliberately simple + fully portable to the oracle SQL."""
+    return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length band + low punctuation +
+    healthy stopword ratio + sane word length. Weights are arbitrary but
+    fixed; the score is deterministic and portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_ok = F.when(F.length(c).between(100, 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(c).between(0.02, 0.6), F.lit(0.25)).otherwise(F.lit(0.0))
+    wlen_ok = F.when(avg_word_len(c).between(2.0, 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok + wlen_ok
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set — invariant to word order and repetition (near-dup canonical key)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def normalized_hash(col: Column | str) -> Column:
+    """Exact-dedup key: sha256 of whitespace-collapsed lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.regexp_replace(F.trim(F.lower(c)), "\\s+", " "), 256)

@@ -1,1 +1,154 @@
-"""events queries (filled in as operators land)."""
+"""Event-time windowed queries over the events table (SURVEY.md §2.9).
+
+q34-q36 run the window builders in *batch* mode with exact DuckDB oracles
+(epoch arithmetic reproduces Spark's epoch-aligned windows, TZ-free).
+q37 replays the SAME tumbling aggregation through Structured Streaming
+(file source → availableNow → memory sink) and must match the same oracle —
+batch/stream parity is the correctness claim.
+q38 is a custom stateful streaming operator (applyInPandasWithState):
+rows-only for the driver; exact-value parity with batch is pytest-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.aggregate import stable_sum, stable_sum_sql
+from ..sources import read_table
+from ..streaming.runner import read_events_stream, run_available_now
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+_EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+def _bin_sql(sec: int, offset: int = 0) -> str:
+    """Spark-compatible epoch-aligned window start, TZ-free."""
+    expr = f"CAST(floor((epoch(ts) - {offset}) / {sec}) * {sec} + {offset} AS BIGINT)"
+    return f"{_EPOCH} + to_seconds({expr})"
+
+
+# --- B5: tumbling window aggregation (batch) -------------------------------
+@register(
+    "q34_tumbling_window",
+    oracle=f"""
+    SELECT {_bin_sql(300)} AS window_start,
+           {_bin_sql(300)} + to_seconds(300) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {stable_sum_sql("value")} AS total_value
+    FROM events
+    GROUP BY window_start, window_end, event_type
+    """,
+    notes="5-minute tumbling windows, epoch-aligned like F.window",
+)
+def q34_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return tumbling_agg(
+        events,
+        "ts",
+        "5 minutes",
+        ["event_type"],
+        {"n": F.count("*"), "total_value": stable_sum("value")},
+    )
+
+
+# --- sliding windows -------------------------------------------------------
+@register(
+    "q35_sliding_window",
+    oracle=f"""
+    WITH slid AS (
+      SELECT e.*, {_EPOCH} + to_seconds(
+               CAST((floor((epoch(ts) - o.off) / 600) * 600 + o.off) AS BIGINT)
+             ) AS window_start
+      FROM events e, (VALUES (0), (300)) AS o(off)
+      WHERE epoch(ts) >= CAST(floor((epoch(ts) - o.off) / 600) * 600 + o.off AS BIGINT)
+        AND epoch(ts) < CAST(floor((epoch(ts) - o.off) / 600) * 600 + o.off AS BIGINT) + 600
+    )
+    SELECT window_start, window_start + to_seconds(600) AS window_end,
+           event_type, COUNT(*) AS n
+    FROM slid
+    GROUP BY window_start, window_end, event_type
+    """,
+    notes="10-min windows sliding by 5 min: each event in exactly 2 windows",
+)
+def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return sliding_agg(
+        events, "ts", "10 minutes", "5 minutes", ["event_type"], {"n": F.count("*")}
+    )
+
+
+# --- session windows -------------------------------------------------------
+@register(
+    "q36_session_window",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    notes="session_window(gap=30m) == gaps-and-islands; new session at "
+    "inter-event gap >= 30m, end = last event + gap (Spark semantics)",
+)
+def q36_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return session_agg(
+        events, "ts", "30 minutes", ["user_id"], {"n_events": F.count("*")}
+    )
+
+
+# --- streaming replay of q34 (batch/stream parity) -------------------------
+@register(
+    "q37_stream_tumbling_replay",
+    oracle=f"""
+    SELECT {_bin_sql(300)} AS window_start,
+           {_bin_sql(300)} + to_seconds(300) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {stable_sum_sql("value")} AS total_value
+    FROM events
+    GROUP BY window_start, window_end, event_type
+    """,
+    notes="SAME oracle as q34, computed via readStream + availableNow + "
+    "memory sink: structured-streaming replay must equal batch",
+)
+def q37_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "5 minutes",
+        ["event_type"],
+        {"n": F.count("*"), "total_value": stable_sum("value")},
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+# --- custom stateful streaming operator (rows-only) ------------------------
+@register(
+    "q38_stateful_user_stats",
+    oracle=None,
+    notes="applyInPandasWithState custom operator; exact parity with batch "
+    "asserted in tests/test_streaming.py (non-SQL-expressible per driver "
+    "contract)",
+)
+def q38_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.state import user_running_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(user_running_stats(stream), output_mode="update")
