@@ -1,0 +1,219 @@
+"""Deduplication operators over document corpora (SURVEY.md §2.11).
+
+Four tiers, all pure DataFrame ops (JVM-side, shuffle-aware):
+
+- **exact**: sha256 of normalized text → groupBy → deterministic survivor.
+  One shuffle on the hash; at 100 TB this is the cheapest pass and runs
+  first to shrink the corpus.
+- **MinHash + LSH banding**: word-shingles → K portable min-hashes →
+  B bands of R rows → band-bucket equi-join for candidates → exact
+  Jaccard verify. Cost: candidates shuffle on band keys (tiny vs n²);
+  the verify join touches only candidate pairs. K/B/R tune the S-curve.
+- **SimHash**: per-token md5-derived ±1 votes over SIMHASH_BITS bit
+  positions → signature string; near-dups share signatures within small
+  Hamming distance (bucket by signature prefix at scale).
+- **n-gram Jaccard (exact)**: all-pairs via shingle-inverted-index join —
+  the O(candidate²) verify baseline; use only post-LSH or on small sets.
+
+Hashes are md5-based (not Spark's xxhash) so every step is bit-for-bit
+reproducible in ANSI SQL — the DuckDB oracles mirror these pipelines
+exactly. md5 costs more than xxhash64 but stays JVM-side and vectorized;
+swap `_portable_hash` for `F.xxhash64` when cross-engine replay is not
+required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_hash, tokens, word_shingles
+
+# LSH parameters: K = NUM_BANDS * BAND_ROWS minhashes.
+# P(candidate | jaccard=j) = 1 - (1 - j^BAND_ROWS)^NUM_BANDS:
+# j=0.5 -> 0.90, j=0.8 -> ~1.0, j=0.2 -> 0.27 (tuned for threshold 0.5).
+MINHASH_K = 16
+BAND_ROWS = 2
+NUM_BANDS = 8
+SHINGLE_WORDS = 3
+SIMHASH_BITS = 60
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: sha256(normalized text); survivor = min id per hash
+    (deterministic, unlike dropDuplicates)."""
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", normalized_hash(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def shingle_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_WORDS
+) -> DataFrame:
+    """(id, shingles) with the distinct word-n-gram set per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig): K-element minhash signature.
+
+    Portable hash h_i(s) = md5(i || ':' || s); the signature component is
+    the *minimum hex digest string* per seed — total order on hex strings
+    is byte-wise in both Spark and DuckDB.
+    Scale shape: explode(shingles) x K seeds -> partial min per partition
+    (map-side combine) -> final min per (doc, seed). One shuffle on doc_id.
+    """
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    seeded = exploded.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
+        "shingle",
+    )
+    mh = seeded.select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias(
+            "h"
+        ),
+    ).groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    return mh.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+        ).alias("sig")
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, band_rows: int = BAND_ROWS, num_bands: int = NUM_BANDS
+) -> DataFrame:
+    """(doc_id, band_key): one md5 key per band of the signature."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "#",
+                b.cast("string"),
+                *[
+                    F.element_at(F.col("sig"), (b * band_rows + i + 1).cast("int"))
+                    for i in range(band_rows)
+                ],
+            )
+        ),
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("band_key"))
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
+    The equi-join on band_key is the whole point of LSH: candidates
+    shuffle on bucket keys instead of forming the n² cross product."""
+    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs; emits (doc_a, doc_b, jaccard)."""
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
+    shingled = shingle_docs(docs, text_col, id_col)
+    sigs = minhash_signatures(shingled)
+    cands = lsh_candidate_pairs(lsh_band_keys(sigs))
+    return jaccard_verify(cands, shingled, threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash): portable bit-string SimHash over distinct tokens.
+
+    Bit j of token t comes from hex digit j//4 of md5(t): value v =
+    position in '0123456789abcdef' minus 1; bit = (v >> (3 - j%4)) % 2.
+    Per-position vote sum >= 0 -> '1'. All integer arithmetic — identical
+    in any engine. Shape: tokens x bits rows -> groupBy (doc, j) sum ->
+    groupBy doc assemble; two shuffles, both on doc-keyed data.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    ).distinct()
+    expl = tok.select(
+        "doc_id",
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    )
+    digit = F.expr("substring(md5(token), CAST(floor(j / 4) AS INT) + 1, 1)")
+    val = F.instr(F.lit("0123456789abcdef"), digit) - 1
+    votes = (
+        expl.withColumn("val", val)
+        .withColumn("contrib", F.expr("2 * (shiftright(val, 3 - (j % 4)) % 2) - 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "s"))),
+                lambda x: F.when(x["s"] >= 0, "1").otherwise("0"),
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via shingle inverted index: pairs
+    must share >= 1 shingle to be compared. The exact (non-LSH) baseline;
+    candidate count is bounded by shingle co-occurrence, not n²."""
+    shingled = shingle_docs(docs, text_col, id_col)
+    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, shingled, threshold)

@@ -1,0 +1,129 @@
+"""Embedding similarity search (SURVEY.md §2.11).
+
+- ``cosine_topk``: brute-force top-k — the exact baseline. Plan shape:
+  broadcast the (small) query set against the corpus, cosine via JVM
+  higher-order functions, per-query top-k via window. Corpus side never
+  shuffles except for the final per-query top-k (tiny).
+- ``ann_bucketed``: the scale path — random-hyperplane LSH. Each vector
+  gets a B-bit sign bucket; candidates are same-bucket pairs, then exact
+  cosine verifies. Hyperplane signs are md5-derived (portable to the SQL
+  oracle). At 100 TB: bucket count 2^B shards the n² problem; increase B
+  with corpus size, union multiple hash tables for recall.
+- ``embedding_near_dup``: all-pairs cosine >= threshold (exact verify
+  baseline over a self-join; use only post-bucketing at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators.window import per_group_topk
+
+ANN_BITS = 8
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self).
+    Queries are broadcast — corpus scans once, no corpus shuffle."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine("qv", "cv"), 6).alias("cos_sim"),
+        )
+    )
+    return per_group_topk(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("cand_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Append an LSH ``bucket`` string column: bit p = sign(v . h_p),
+    where hyperplane component h_p[d] = +1 if md5(p ":" d) first hex digit
+    is odd else -1. Fully portable, no stored hyperplane table."""
+    def plane_dot(p: int):
+        terms = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.element_at(F.col(vec_col), d.cast("int") + 1).cast("double")
+            * F.when(
+                (F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(p)), F.lit(":"), d.cast("string"))), 1, 1
+                    ),
+                ) - 1) % 2 == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.concat(
+        *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(bits)]
+    )
+    return df.withColumn("bucket", bucket)
+
+
+def ann_bucketed(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: same LSH bucket AND cosine >=
+    threshold. Bucket equi-join replaces the n² cross product."""
+    bucketed = hyperplane_bucket(df, vec_col, bits, dim)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (the verify baseline)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,1 +1,348 @@
-"""llm queries (filled in as operators land)."""
+"""LLM-data-pipeline queries (SURVEY.md §2.11, BASELINE.md B6/B7):
+dedup family, embedding similarity, text analysis, multimodal plumbing.
+
+Every pipeline here is mirrored in generated ANSI SQL with the SAME
+md5-based hash constructions and constants, so the DuckDB oracle
+reproduces signatures, buckets, candidates, and scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.text import (
+    STOPWORDS,
+    avg_word_len,
+    fingerprint,
+    lang_id,
+    normalized_hash,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ..llm.dedup import (
+    BAND_ROWS,
+    MINHASH_K,
+    NUM_BANDS,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..llm.multimodal import decode_features, with_binary_payload
+from ..llm.similarity import ANN_BITS, ann_bucketed, cosine_topk, embedding_near_dup
+from ..sources import read_table
+
+# Shared SQL fragments (constants interpolated so Spark and SQL can never
+# drift apart).
+_TOKS_SQL = """
+  SELECT doc_id, text, lang, source, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+"""
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM ({_TOKS_SQL}) WHERE len(t) >= 3
+"""
+
+_JACCARD_SQL = (
+    "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+    "(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))"
+)
+
+
+# --- B6: exact dedup -------------------------------------------------------
+@register(
+    "q39_dedup_exact",
+    oracle="""
+    SELECT doc_id, dedup_key FROM (
+      SELECT doc_id,
+             sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS dedup_key,
+             row_number() OVER (PARTITION BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    notes="exact dedup: sha256(normalized text), deterministic min-id survivor",
+)
+def q39_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(
+        "doc_id", normalized_hash("text").alias("dedup_key")
+    )
+
+
+# --- B6: MinHash-LSH near-dup ----------------------------------------------
+@register(
+    "q40_dedup_minhash",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    mh AS (
+      SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS mh
+      FROM shx, range({MINHASH_K}) r(seed) GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, unnest(list_transform(generate_series(0, {NUM_BANDS - 1}),
+             b -> md5(concat_ws('#', CAST(b AS VARCHAR),
+                      {", ".join(f"sig[{BAND_ROWS}*b+{i + 1}]" for i in range(BAND_ROWS))}))))
+             AS band_key
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, round({_JACCARD_SQL}, 6) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {_JACCARD_SQL} >= 0.5
+    """,
+    notes="MinHash(K=16) + LSH(8 bands x 2 rows) candidates + exact Jaccard "
+    "verify at 0.5; md5-portable so the oracle reproduces the bucketing",
+)
+def q40_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = minhash_near_dup_pairs(docs, threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --- B6: SimHash signatures ------------------------------------------------
+@register(
+    "q41_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(t) AS token FROM ({_TOKS_SQL})
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(2 * ((CAST(strpos('0123456789abcdef',
+                       substr(md5(token), CAST(floor(j / 4) AS INT) + 1, 1)) AS INT) - 1)
+                      >> (3 - (j % 4)) & 1) - 1) AS s
+      FROM tok, range({SIMHASH_BITS}) r(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    notes="60-bit portable SimHash from per-token md5 bit votes",
+)
+def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+# --- B6: exact n-gram Jaccard pairs ----------------------------------------
+@register(
+    "q42_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, round({_JACCARD_SQL}, 6) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {_JACCARD_SQL} >= 0.5
+    """,
+    notes="exact near-dup baseline: shingle inverted-index candidates",
+)
+def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --- B7: cosine top-k ------------------------------------------------------
+@register(
+    "q43_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 5
+    """,
+    notes="brute-force exact top-5 neighbors for 5 query vectors; "
+    "broadcast queries, corpus never shuffles",
+)
+def q43_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+# --- B7: embedding near-dup pairs ------------------------------------------
+@register(
+    "q44_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+    """,
+    notes="exact all-pairs cosine threshold (verify baseline)",
+)
+def q44_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.45)
+
+
+# --- B7: LSH-bucketed ANN (the scale path) ---------------------------------
+def _plane_dot_sql(p: int, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(0, {dim - 1}), d -> "
+        f"CAST(v[d + 1] AS DOUBLE) * "
+        f"CASE WHEN (strpos('0123456789abcdef', substr(md5(concat('{p}', ':', CAST(d AS VARCHAR))), 1, 1)) - 1) % 2 = 1 "
+        f"THEN 1.0 ELSE -1.0 END))"
+    )
+
+
+@register(
+    "q45_ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             concat({", ".join(f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN '1' ELSE '0' END" for p in range(ANN_BITS))})
+               AS bucket
+      FROM e
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """,
+    notes="random-hyperplane LSH (8 md5-derived sign bits) -> bucket "
+    "equi-join -> cosine verify; semantics are bucket-restricted by design",
+)
+def q45_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_bucketed(emb, threshold=0.3)
+
+
+# --- text analysis ---------------------------------------------------------
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "q46_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(t)
+           END AS stop_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+           END AS punct_ratio,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+           END AS avg_wlen
+    FROM ({_TOKS_SQL})
+    """,
+    notes="token counting + stopword/punct ratios + avg word length",
+)
+def q46_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        avg_word_len("text").alias("avg_wlen"),
+    )
+
+
+@register(
+    "q47_lang_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, lang,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(t)
+             END AS stop_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+             END AS punct_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+             END AS avg_wlen
+      FROM ({_TOKS_SQL})
+    )
+    SELECT doc_id, lang,
+           CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang,
+           CAST(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN stop_ratio BETWEEN 0.02 AND 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN avg_wlen BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+    FROM s
+    """,
+    notes="stopword-heuristic language ID + composite quality score",
+)
+def q47_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "q48_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+    FROM ({_TOKS_SQL})
+    """,
+    notes="order/repetition-invariant document fingerprint (sorted token set)",
+)
+def q48_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --- multimodal plumbing ---------------------------------------------------
+@register(
+    "q49_multimodal_features",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           octet_length(encode(text)) AS payload_len,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
+                      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE) / length(text)
+                 END, 6) AS feat_mean,
+           CAST(octet_length(encode(text)) AS INT) AS feat_dim
+    FROM documents
+    """,
+    notes="binary payload + mapInPandas feature extraction (decode stubbed "
+    "deterministically; oracle uses codepoints == bytes for ASCII corpus)",
+)
+def q49_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    feats = decode_features(with_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "payload_len",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        "feat_dim",
+    )

@@ -1,0 +1,90 @@
+"""LLM-pipeline operator semantics tests: LSH candidates vs exact pairs,
+dedup determinism, similarity ranking, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbkit_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from dbkit_spark.llm.multimodal import decode_features, with_binary_payload
+from dbkit_spark.llm.similarity import ann_bucketed, cosine_topk
+from dbkit_spark.sources import read_table
+
+
+def test_minhash_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert approx <= exact, "LSH surfaced a pair the exact scan did not"
+    assert len(exact) > 0
+    assert len(approx) / len(exact) >= 0.8, (
+        f"LSH recall too low: {len(approx)}/{len(exact)}"
+    )
+
+
+def test_exact_dedup_idempotent_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df)
+    assert {r.doc_id for r in out.collect()} == {1, 3}  # min-id survivor
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the ocean"),
+            (3, "completely unrelated words about spark columnar execution engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    ham12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
+    ham13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert len(sigs[1]) == 60
+    assert ham12 < ham13, f"near-dup hamming {ham12} !< unrelated {ham13}"
+
+
+def test_cosine_topk_self_excluded_ranked(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=4).collect()
+    by_q = {}
+    for r in out:
+        assert r.cand_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for qid, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), f"ranking broken for {qid}"
+        assert len(rows) == 4
+
+
+def test_ann_bucket_pairs_are_exact_cosine(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = ann_bucketed(emb, threshold=0.0).limit(5).collect()
+    # every emitted pair must carry a real cosine in [-1, 1]
+    for r in pairs:
+        assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_multimodal_plumbing_roundtrip(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    feats = {r.doc_id: r for r in decode_features(with_binary_payload(df)).collect()}
+    assert feats[1].payload_len == 3
+    assert feats[1].feat_mean == pytest.approx((97 + 98 + 99) / 3)
+    assert feats[2].feat_dim == 0 and feats[2].feat_mean == 0.0
+    assert feats[1].media_type == "text/plain"
