@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Bench harness (BASELINE.md): runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line.
+
+Each query is materialized with the noop sink (full execution, no sink
+cost, no count()-induced column pruning shortcut). Per-query time is the
+median of RUNS executions after a session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+warnings.filterwarnings("ignore")
+
+from dbkit_spark.catalog import load_all  # noqa: E402
+from dbkit_spark.session import build_session  # noqa: E402
+
+# One per BASELINE.md anchor (B1-B7) + the non-native join rewrites.
+HEADLINE = [
+    "q01_pricing_summary",      # B1 scan+filter+agg+sort
+    "q07_join_3way_revenue",    # B2 3-way join + agg
+    "q22_topk_per_customer",    # B3 window top-k
+    "q05_set_ops",              # B4 set ops
+    "q34_tumbling_window",      # B5 event-time windows
+    "q40_dedup_minhash",        # B6 near-dup dedup
+    "q43_cosine_topk",          # B7 similarity search
+    "q12_asof_click_view",      # as-of join rewrite
+    "q13_range_join_tiers",     # interval join rewrite
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = build_session(app_name="dbkit-bench")
+    catalog = load_all()
+
+    # warmup: touch every table once so JVM/codegen/file listing are hot
+    from dbkit_spark.sources import read_table
+
+    for t in ["lineitem", "orders", "customer", "nation", "events", "documents", "embeddings"]:
+        read_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog[name].fn
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

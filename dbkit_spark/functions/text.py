@@ -44,20 +44,34 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles joined with spaces (for MinHash/Jaccard).
-    Returns an empty array when the doc has < n tokens."""
-    toks = tokens(col)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from a *materialized* token-array column.
+    Returns an empty array when the doc has < n tokens.
+
+    Take tokens as a real column, not an inline ``tokens(text)`` call:
+    Catalyst expressions are trees, not DAGs, so an inline tokenization
+    would re-run the regex split once per shingle position (~50x per doc).
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
         )
     )
 
 
-def stopword_ratio(col: Column | str) -> Column:
-    toks = tokens(col)
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column. Convenience form;
+    for hot paths project ``tokens(col)`` into a column first and use
+    ``shingles_from_tokens`` (see its docstring)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def stopword_ratio(col: Column | str, toks: Column | None = None) -> Column:
+    """Pass ``toks`` (a materialized ``tokens(col)`` column) on hot paths —
+    inline tokenization is re-evaluated per reference (tree, not DAG)."""
+    toks = tokens(col) if toks is None else toks
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         n_stop.cast("double") / F.size(toks)
@@ -72,30 +86,34 @@ def punct_ratio(col: Column | str) -> Column:
     )
 
 
-def avg_word_len(col: Column | str) -> Column:
-    toks = tokens(col)
+def avg_word_len(col: Column | str, toks: Column | None = None) -> Column:
+    toks = tokens(col) if toks is None else toks
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(toks)
     )
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     """N-gram/stopword heuristic language ID: 'en' when the stopword ratio
     clears a threshold and the text is mostly ASCII letters, else 'unk'.
     Deliberately simple + fully portable to the oracle SQL."""
-    return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+    return F.when(stopword_ratio(col, toks) >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, toks: Column | None = None) -> Column:
     """Composite [0,1] quality score: length band + low punctuation +
     healthy stopword ratio + sane word length. Weights are arbitrary but
     fixed; the score is deterministic and portable."""
     c = F.col(col) if isinstance(col, str) else col
     len_ok = F.when(F.length(c).between(100, 20000), F.lit(0.25)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(c) <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(c).between(0.02, 0.6), F.lit(0.25)).otherwise(F.lit(0.0))
-    wlen_ok = F.when(avg_word_len(c).between(2.0, 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(c, toks).between(0.02, 0.6), F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
+    wlen_ok = F.when(avg_word_len(c, toks).between(2.0, 12.0), F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
     return len_ok + punct_ok + stop_ok + wlen_ok
 
 

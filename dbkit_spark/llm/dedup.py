@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_hash, tokens, word_shingles
+from ..functions.text import normalized_hash, shingles_from_tokens, tokens
 
 # LSH parameters: K = NUM_BANDS * BAND_ROWS minhashes.
 # P(candidate | jaccard=j) = 1 - (1 - j^BAND_ROWS)^NUM_BANDS:
@@ -37,6 +37,16 @@ BAND_ROWS = 2
 NUM_BANDS = 8
 SHINGLE_WORDS = 3
 SIMHASH_BITS = 60
+
+# Integer minhash: x = first 48 bits of md5(shingle); h_i = (A[i]*x + B[i])
+# mod MINHASH_PRIME. One md5 per shingle, K cheap codegen'd int ops — no
+# K-way row explosion, and the (doc, shingle) -> K mins aggregation
+# map-side-combines before the single shuffle. A[i] < 2^13 keeps
+# A[i]*x + B[i] < 2^62 (no int64 overflow); all arithmetic is exact and
+# reproducible in ANSI SQL.
+MINHASH_PRIME = 281474976710597  # largest prime < 2^48
+MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+MINHASH_B = [1000003 * i + 12345 for i in range(16)]
 
 
 def exact_dedup(
@@ -56,39 +66,49 @@ def exact_dedup(
 def shingle_docs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_WORDS
 ) -> DataFrame:
-    """(id, shingles) with the distinct word-n-gram set per document."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    """(id, shingles) with the distinct word-n-gram set per document.
+
+    The token projection is persisted: without a materialization barrier,
+    Catalyst's CollapseProject inlines ``tokens(text)`` into the shingle
+    lambda and the regex split re-runs once per shingle position (~50x
+    per doc — measured 10x slowdown). The cache is the in-memory analogue
+    of the checkpoint a 100 TB pipeline would write between the tokenize
+    and shingle stages; shingling itself stays shuffle-free (per-row).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    ).persist()
+    return toks.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens("__toks", n)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
 
 
 def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, sig): K-element minhash signature.
+    """(doc_id, sig): K-element integer minhash signature.
 
-    Portable hash h_i(s) = md5(i || ':' || s); the signature component is
-    the *minimum hex digest string* per seed — total order on hex strings
-    is byte-wise in both Spark and DuckDB.
-    Scale shape: explode(shingles) x K seeds -> partial min per partition
-    (map-side combine) -> final min per (doc, seed). One shuffle on doc_id.
+    x(s) = int(md5(s)[0:12], 16) — 48 bits, exact in any engine; the
+    signature component i is min over shingles of (A[i]*x + B[i]) mod P.
+    Scale shape: one row per (doc, shingle) with K min-aggregates —
+    partial (map-side) min combine, single shuffle on doc_id, no row
+    explosion. All K hashes are codegen'd integer expressions.
     """
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    seeded = exploded.select(
+    x = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+    hashed = exploded.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
-        "shingle",
+        *[
+            ((F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % F.lit(MINHASH_PRIME)).alias(
+                f"h{i}"
+            )
+            for i in range(k)
+        ],
     )
-    mh = seeded.select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias(
-            "h"
-        ),
-    ).groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return mh.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-        ).alias("sig")
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
 
 
@@ -103,7 +123,9 @@ def lsh_band_keys(
                 "#",
                 b.cast("string"),
                 *[
-                    F.element_at(F.col("sig"), (b * band_rows + i + 1).cast("int"))
+                    F.element_at(F.col("sig"), (b * band_rows + i + 1).cast("int")).cast(
+                        "string"
+                    )
                     for i in range(band_rows)
                 ],
             )
@@ -152,8 +174,14 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
-    shingled = shingle_docs(docs, text_col, id_col)
+    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
+
+    The shingle set feeds three consumers (signatures, and both sides of
+    the verify join); it is persisted so the shingle pass runs once, not
+    four times — at 100 TB this is a materialization you would checkpoint
+    to storage between stages.
+    """
+    shingled = shingle_docs(docs, text_col, id_col).persist()
     sigs = minhash_signatures(shingled)
     cands = lsh_candidate_pairs(lsh_band_keys(sigs))
     return jaccard_verify(cands, shingled, threshold)

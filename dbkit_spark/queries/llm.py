@@ -25,7 +25,10 @@ from ..functions.text import (
 )
 from ..llm.dedup import (
     BAND_ROWS,
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_K,
+    MINHASH_PRIME,
     NUM_BANDS,
     SIMHASH_BITS,
     exact_dedup,
@@ -84,15 +87,21 @@ def q39_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
     shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    mh AS (
-      SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS mh
-      FROM shx, range({MINHASH_K}) r(seed) GROUP BY doc_id, seed
+    hx AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 12),
+                  i -> CAST((strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1) AS BIGINT)
+                       * CAST(pow(16, 12 - i) AS BIGINT))) AS BIGINT) AS x
+      FROM shx
     ),
-    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, list_value({", ".join(f"min(({MINHASH_A[i]}*x + {MINHASH_B[i]}) % {MINHASH_PRIME})" for i in range(MINHASH_K))}) AS sig
+      FROM hx GROUP BY doc_id
+    ),
     bands AS (
       SELECT doc_id, unnest(list_transform(generate_series(0, {NUM_BANDS - 1}),
              b -> md5(concat_ws('#', CAST(b AS VARCHAR),
-                      {", ".join(f"sig[{BAND_ROWS}*b+{i + 1}]" for i in range(BAND_ROWS))}))))
+                      {", ".join(f"CAST(sig[{BAND_ROWS}*b+{i + 1}] AS VARCHAR)" for i in range(BAND_ROWS))}))))
              AS band_key
       FROM sig
     ),
@@ -261,12 +270,16 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 )
 def q46_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
+    from ..functions.text import tokens
+
+    with_toks = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    tk = F.col("__toks")
+    return with_toks.select(
         "doc_id",
-        token_count("text").cast("long").alias("n_tokens"),
-        stopword_ratio("text").alias("stop_ratio"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        stopword_ratio("text", tk).alias("stop_ratio"),
         punct_ratio("text").alias("punct_ratio"),
-        avg_word_len("text").alias("avg_wlen"),
+        avg_word_len("text", tk).alias("avg_wlen"),
     )
 
 
@@ -298,11 +311,15 @@ def q46_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q47_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
+    from ..functions.text import tokens
+
+    with_toks = docs.select("doc_id", "lang", "text", tokens("text").alias("__toks"))
+    tk = F.col("__toks")
+    return with_toks.select(
         "doc_id",
         "lang",
-        lang_id("text").alias("pred_lang"),
-        quality_score("text").alias("quality"),
+        lang_id("text", tk).alias("pred_lang"),
+        quality_score("text", tk).alias("quality"),
     )
 
 
