@@ -40,6 +40,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .queries import (  # noqa: F401
         aggregates,
         events,
+        extended,
         joins,
         llm,
         relational,
