@@ -41,6 +41,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         events,
         extended,
+        extended2,
         joins,
         llm,
         relational,

@@ -1,0 +1,188 @@
+"""Remaining §2 checklist rows: full/right outer joins (§2.3), LIKE/ILIKE
+predicates (§2.2), null-ordering sorts (§2.6), typed JSON parsing (§2.8),
+stream-static join (§2.9).
+
+The stream-static join (q63) is the one §2.9 row that was still uncovered:
+it replays the events fixture through a file-source stream, joins the
+static customer dimension (broadcast — the exact "join with Tiny table"
+case the reference anticipated in ``copy_value.rs:101-102``), and must
+match the plain batch-join oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import register
+from ..operators.aggregate import stable_sum, stable_sum_sql
+from ..operators.joins import join
+from ..sources import read_table
+from ..streaming.runner import read_events_stream, run_available_now
+
+
+@register(
+    "q58_join_full_outer",
+    oracle=f"""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           c.n_rich_cust, s.n_rich_supp,
+           COALESCE(c.cust_bal, 0.0) + COALESCE(s.supp_bal, 0.0) AS combined_bal
+    FROM (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust,
+             {stable_sum_sql("c_acctbal")} AS cust_bal
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ) c
+    FULL OUTER JOIN (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp,
+             {stable_sum_sql("s_acctbal")} AS supp_bal
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    ) s ON c.nk = s.nk
+    """,
+    notes="full outer join of two filtered aggregates; unmatched sides survive "
+    "with NULL marker columns",
+)
+def q58_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    c = (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_rich_cust"), stable_sum("c_acctbal").alias("cust_bal"))
+    )
+    s = (
+        supplier.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_rich_supp"), stable_sum("s_acctbal").alias("supp_bal"))
+    )
+    out = join(c, s.withColumnRenamed("nk", "s_nk"), c["nk"] == F.col("s_nk"), "full")
+    return out.select(
+        F.coalesce("nk", "s_nk").alias("nationkey"),
+        "n_rich_cust",
+        "n_rich_supp",
+        (
+            F.coalesce("cust_bal", F.lit(0.0)) + F.coalesce("supp_bal", F.lit(0.0))
+        ).alias("combined_bal"),
+    )
+
+
+@register(
+    "q59_join_right_outer",
+    oracle="""
+    SELECT n.n_name AS nation, s.s_suppkey, s.s_name
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 9500) s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    notes="right outer join: every nation survives even with no qualifying "
+    "supplier",
+)
+def q59_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9500)
+    nation = read_table(spark, sf_dir, "nation")
+    out = join(
+        supplier,
+        nation.withColumnRenamed("n_nationkey", "s_nationkey"),
+        "s_nationkey",
+        "right",
+    )
+    return out.select(F.col("n_name").alias("nation"), "s_suppkey", "s_name")
+
+
+@register(
+    "q60_like_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_brand
+    FROM part
+    WHERE p_type LIKE 'ECO%'
+      AND p_brand NOT LIKE 'Brand#1%'
+      AND p_name ILIKE '%G_%'
+    """,
+    notes="LIKE / NOT LIKE / case-insensitive ILIKE (§2.2 predicate algebra)",
+)
+def q60_like_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").like("ECO%")
+        & ~F.col("p_brand").like("Brand#1%")
+        & F.col("p_name").ilike("%G_%")
+    ).select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+@register(
+    "q61_sort_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null
+    FROM orders
+    ORDER BY prio_or_null ASC NULLS FIRST, o_orderkey
+    LIMIT 500
+    """,
+    notes="explicit NULLS FIRST ordering (§2.6); NULLIF manufactures nulls in "
+    "the sort key; unique o_orderkey tiebreak makes the LIMIT deterministic",
+)
+def q61_sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_or_null"),
+        )
+        .orderBy(F.col("prio_or_null").asc_nulls_first(), "o_orderkey")
+        .limit(500)
+    )
+
+
+@register(
+    "q62_from_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS INTEGER) AS k,
+           CAST(props->>'missing' AS INTEGER) AS absent,
+           (props->>'k') IS NOT NULL AS has_k
+    FROM events
+    """,
+    notes="typed JSON parsing: from_json with an explicit struct schema "
+    "(missing keys -> typed NULL), vs get_json_object string extraction in q30",
+)
+def q62_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("missing", T.IntegerType()),
+        ]
+    )
+    parsed = events.withColumn("j", F.from_json("props", schema))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j.missing").alias("absent"),
+        F.col("j.k").isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "q63_stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           {stable_sum_sql("e.value")} AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    notes="stream-static join (§2.9): file-source event stream joined to the "
+    "static customer dim (broadcast), windowless global agg, complete mode; "
+    "must equal the batch-join oracle",
+)
+def q63_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    static_dim = F.broadcast(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = stream.join(static_dim, stream["user_id"] == static_dim["c_custkey"])
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        stable_sum("value").alias("total_value"),
+    )
+    return run_available_now(agg, output_mode="complete")
