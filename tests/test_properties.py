@@ -1,0 +1,132 @@
+"""Property-based algebraic invariants (SURVEY.md §5.2 item 3): random
+data through operator pairs, asserting the relational-algebra laws the
+engine relies on. Hypothesis drives the data; every law is checked by
+exact multiset equality of collected rows.
+
+Laws covered:
+  - filter fusion:        σ_p1(σ_p2(R)) == σ_(p1 ∧ p2)(R)
+  - projection composition: π_b(π_a(R)) == π_b(R) for b ⊆ a
+  - union-all cardinality: |R ⊎ S| == |R| + |S|
+  - distinct idempotence:  δ(δ(R)) == δ(R)
+  - bag partition law:     |R ∩all S| + |R \\all S| == |R|
+  - top-k == sort-then-head (with a total order)
+  - as-of join backward semantics vs a per-row reference computation
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dbkit_spark.operators.joins import asof_join
+from dbkit_spark.operators.setops import except_all, intersect_all
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI determinism: same examples every run
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "a long, b long") if rows else (
+        spark.createDataFrame([], "a long, b long")
+    )
+
+
+def _bag(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_filter_fusion(spark, rows):
+    df = _df(spark, rows)
+    p1, p2 = F.col("a") > 0, F.col("b") < 2
+    assert _bag(df.filter(p1).filter(p2)) == _bag(df.filter(p1 & p2))
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_projection_composition(spark, rows):
+    df = _df(spark, rows).withColumn("c", F.col("a") + F.col("b"))
+    assert _bag(df.select("a", "c").select("c")) == _bag(df.select("c"))
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@SETTINGS
+def test_union_all_cardinality(spark, rows, rows2):
+    r, s = _df(spark, rows), _df(spark, rows2)
+    assert r.unionAll(s).count() == r.count() + s.count()
+    assert _bag(r.unionAll(s)) == _bag(r) + _bag(s)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_distinct_idempotent(spark, rows):
+    df = _df(spark, rows)
+    once = _bag(df.distinct())
+    assert _bag(df.distinct().distinct()) == once
+    assert all(v == 1 for v in once.values())
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@SETTINGS
+def test_bag_partition_law(spark, rows, rows2):
+    r, s = _df(spark, rows), _df(spark, rows2)
+    inter = intersect_all(r, s).count()
+    exc = except_all(r, s).count()
+    assert inter + exc == r.count()
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_topk_equals_sorted_head(spark, rows):
+    df = _df(spark, rows)
+    k = 5
+    got = [tuple(r) for r in df.orderBy("a", "b").limit(k).collect()]
+    want = sorted(tuple(r) for r in rows)[:k]
+    assert got == want
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
+    st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=15),
+)
+
+
+@given(times=asof_strategy)
+@SETTINGS
+def test_asof_backward_reference(spark, times):
+    """as-of(backward) == per-left-row max right time <= left time."""
+    ltimes, rtimes = times
+    left = spark.createDataFrame(
+        [(1, F.lit(None), t) for t in ltimes], "k long, pad string, sec long"
+    ).select("k", F.timestamp_seconds("sec").alias("t"))
+    right = spark.createDataFrame(
+        [(1, t, float(t)) for t in rtimes], "k long, sec long, v double"
+    ).select("k", F.timestamp_seconds("sec").alias("t"), "v")
+    out = asof_join(left, right, on_key="k", on_time="t")
+    got = {r.t.timestamp(): r.v for r in out.collect()}
+    for lt in set(ltimes):
+        cands = [rt for rt in rtimes if rt <= lt]
+        want = float(max(cands)) if cands else None
+        assert got.get(float(lt)) == want
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
