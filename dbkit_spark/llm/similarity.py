@@ -112,6 +112,85 @@ def ann_bucketed(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: KMeans (spark.ml, fixed seed) over the corpus.
+
+    Returns ``(assigned, centroids)`` — the corpus with a ``cluster``
+    column, and the tiny (n_clusters × dim) centroid table. At 100 TB the
+    model is fit on a sample, centroids broadcast everywhere, and
+    assignment is a map-only pass; the index shards the corpus so a query
+    touches only nprobe/n_clusters of it.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        id_col,
+        vec_col,
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cluster")
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: route each query to its ``nprobe`` nearest centroids
+    (broadcast — centroid table is tiny), then exact cosine only within the
+    probed clusters (equi-join on ``cluster`` replaces the full cross
+    product), per-query top-k. Approximate: recall < 1 when a true
+    neighbor lives in an unprobed cluster; raise nprobe to trade cost for
+    recall (tests measure recall vs the exact ``cosine_topk``)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cluster", cosine("qv", "centroid").alias("cdist"))
+    )
+    probed = per_group_topk(
+        probed,
+        partition_by=["query_id"],
+        order_by=[F.col("cdist").desc(), F.col("cluster").asc()],
+        k=nprobe,
+        rank_col="_probe_rank",
+    ).select("query_id", "qv", "cluster")
+    c = assigned.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cluster"
+    )
+    scored = (
+        c.join(F.broadcast(probed), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", F.round(cosine("qv", "cv"), 6).alias("cos_sim"))
+    )
+    return per_group_topk(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("cand_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float,

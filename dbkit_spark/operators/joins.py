@@ -153,3 +153,37 @@ def range_join(
         (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
     )
     return joined.drop("__bin")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-mitigating equi-join for a hot-keyed big left side.
+
+    The standard salting rewrite for the case AQE skew-split can't fix
+    (one key >> one partition even after splitting, right side too big to
+    broadcast): the left side gets a deterministic salt in
+    ``[0, salt_buckets)`` (xxhash64 of the whole row — reproducible, no
+    rand()), the right side is replicated ``salt_buckets`` times, and the
+    join key becomes (key, salt). The hot key's rows now spread over
+    ``salt_buckets`` partitions; the cost is a bounded right-side blowup.
+    Results are exactly the plain equi-join's (tests assert equality).
+    """
+    if how not in ("inner", "left", "leftouter"):
+        raise ValueError("salted_join supports inner/left joins only")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).alias("__salt")
+    l_salted = left.select("*", salt)
+    r_replicated = right.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")).alias(
+            "__salt"
+        ),
+    )
+    return join(l_salted, r_replicated, on_cols + ["__salt"], how).drop("__salt")

@@ -186,3 +186,50 @@ def q63_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_sum("value").alias("total_value"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "q64_salted_join_skew",
+    oracle=f"""
+    SELECT e.event_type, COUNT(*) AS n, {stable_sum_sql("e.value")} AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_acctbal > 0
+    GROUP BY e.event_type
+    """,
+    notes="salted skew join (operators/joins.salted_join): deterministic "
+    "left-side salt + bounded right replication; result identical to the "
+    "plain equi-join oracle",
+)
+def q64_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    events = read_table(spark, sf_dir, "events").withColumnRenamed(
+        "user_id", "c_custkey"
+    )
+    customer = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+    )
+    joined = salted_join(events, customer, "c_custkey", salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"), stable_sum("value").alias("total_value")
+    )
+
+
+@register(
+    "q65_ann_ivf",
+    oracle=None,
+    notes="IVF ANN (llm/similarity.ivf_index/ivf_topk): KMeans coarse "
+    "quantizer, nprobe-cluster search. Approximate + iterative (KMeans) -> "
+    "rows-only for the driver; recall vs exact cosine_topk is "
+    "pytest-asserted in tests/test_scale.py",
+)
+def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import ivf_index, ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, n_clusters=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(queries, assigned, centroids, k=5, nprobe=3)

@@ -34,15 +34,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, buckets: int, bucket_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    table_name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: later joins/aggs on ``bucket_cols`` are
-    shuffle-free (both sides pre-partitioned). The 100 TB path for repeated
-    joins on the same key."""
-    (
+    """Bucketed table: later joins/aggs on ``bucket_cols`` are shuffle-free
+    (both sides pre-partitioned). The 100 TB path for repeated joins on the
+    same key. ``path`` makes it an external table (data at ``path``,
+    metadata in the session catalog) — the warehouse dir is a static conf
+    and can't be retargeted per-write."""
+    w = (
         df.write.mode(mode)
         .bucketBy(buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
