@@ -127,3 +127,37 @@ def normalized_hash(col: Column | str) -> Column:
     """Exact-dedup key: sha256 of whitespace-collapsed lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sha2(F.regexp_replace(F.trim(F.lower(c)), "\\s+", " "), 256)
+
+
+ROLLING_B = 257
+ROLLING_M = 2147483647  # 2^31 - 1; acc*B + x stays < 2^40, exact in BIGINT
+
+
+def token_hash48(tok: Column) -> Column:
+    """24-bit md5-derived token value (first 6 hex digits) — portable: the
+    oracle rebuilds it digit-by-digit with strpos/pow."""
+    return F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long")
+
+
+def rolling_fingerprint(toks: Column | str) -> Column:
+    """Order-SENSITIVE Rabin-Karp rolling hash over the token sequence:
+    h = fold(h * B + md5_24(tok) mod M). Complements the order-invariant
+    sorted-set fingerprint (q48): reordered or repeated content changes
+    this hash. A left fold over an array column — JVM-side, no UDF."""
+    t = F.col(toks) if isinstance(toks, str) else toks
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * ROLLING_B + token_hash48(tok)) % ROLLING_M,
+    )
+
+
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token-count estimator: alpha runs, digit runs, and each
+    punctuation mark count separately (the shape of byte-pair tokenizer
+    output), vs the coarser whitespace/alnum count of ``token_count``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_RE), F.lit(0)))

@@ -233,3 +233,112 @@ def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = ivf_index(emb, n_clusters=16)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(queries, assigned, centroids, k=5, nprobe=3)
+
+
+@register(
+    "q66_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS c_id, v.event_id AS v_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts
+    """,
+    notes="stream-stream interval join (§2.9): both sides watermarked, "
+    "5-minute lookback; inner matches emit eagerly so availableNow replay "
+    "equals the batch interval-join oracle",
+)
+def q66_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_events_stream(spark, sf_dir)
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    views = df.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("interval 5 minutes"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+    )
+    joined = (
+        clicks.withWatermark("c_ts", "10 minutes")
+        .join(views.withWatermark("v_ts", "10 minutes"), cond)
+        .select("c_id", "v_id")
+    )
+    return run_available_now(joined, output_mode="append")
+
+
+_TOKS_SQL = """
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+"""
+
+# 24-bit md5 token value, digit-by-digit (DuckDB has no conv())
+_TOKHASH_SQL = (
+    "CAST(list_sum(list_transform(generate_series(1, 6), "
+    "i -> CAST((strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1) AS BIGINT) "
+    "* CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT)"
+)
+
+
+@register(
+    "q67_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(t, tok -> {_TOKHASH_SQL})),
+             (acc, x) -> (acc * 257 + x) % 2147483647) AS fp
+    FROM ({_TOKS_SQL})
+    """,
+    notes="order-sensitive Rabin-Karp rolling hash over token sequence "
+    "(functions/text.rolling_fingerprint); complements q48's order-invariant "
+    "set fingerprint; md5-portable fold, JVM-side",
+)
+def q67_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rolling_fingerprint, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").select(
+        "doc_id", rolling_fingerprint(tokens("text")).alias("fp")
+    )
+
+
+@register(
+    "q68_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_ws,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE round(CAST(length(text) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1), 6)
+           END AS chars_per_tok
+    FROM documents
+    """,
+    notes="token-counting estimators: BPE-ish regex (alpha runs / digit runs "
+    "/ punct marks) vs whitespace tokens; chars-per-token ratio",
+)
+def q68_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_token_count, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_bpe = bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        token_count("text").cast("long").alias("n_ws"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1)), 6
+            )
+        )
+        .alias("chars_per_tok"),
+    )

@@ -1,0 +1,107 @@
+"""Remaining §2.9 streaming semantics: stream-stream join, streaming
+dedup within watermark, exactly-once file sink via checkpoint recovery.
+All deterministic: file sources + availableNow, never wall-clock."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dbkit_spark.sources import read_table
+from dbkit_spark.sources.writers import write_orc
+from dbkit_spark.sources.readers import read_orc
+from dbkit_spark.streaming.runner import read_events_stream, run_available_now
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """clicks ⋈ views on user_id within a 5-minute lookback, both sides
+    streaming with watermarks. Inner stream-stream matches are emitted
+    eagerly (watermarks bound state, not output), so availableNow replay
+    must equal the batch interval join."""
+    def sides(df):
+        clicks = (
+            df.filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                    F.col("event_id").alias("c_id"))
+        )
+        views = (
+            df.filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+                    F.col("event_id").alias("v_id"))
+        )
+        return clicks, views
+
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("interval 5 minutes"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+    )
+
+    sc, sv = sides(read_events_stream(spark, sf_dir))
+    stream_joined = (
+        sc.withWatermark("c_ts", "10 minutes")
+        .join(sv.withWatermark("v_ts", "10 minutes"), cond)
+        .select("c_id", "v_id")
+    )
+    got = run_available_now(stream_joined, output_mode="append")
+
+    bc, bv = sides(read_table(spark, sf_dir, "events"))
+    want = bc.join(bv, cond).select("c_id", "v_id")
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(w) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicate events arriving in separate micro-batches are dropped by
+    dropDuplicatesWithinWatermark state (delay covers the whole replay)."""
+    events = read_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "dup_src")
+    # same rows twice -> two files -> two micro-batches (maxFilesPerTrigger=1)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = run_available_now(stream, output_mode="append")
+    assert got.count() == events.count()
+
+
+def test_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a file-sink query on the same checkpoint must not
+    re-emit processed data (exactly-once across restarts)."""
+    events = read_table(spark, sf_dir, "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("event_id", "ts", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # no new input: must be a no-op, not a duplicate write
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == events.count()
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / f"nation_orc_{uuid.uuid4().hex[:6]}")
+    write_orc(nation, path)
+    back = read_orc(spark, path, nation.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
