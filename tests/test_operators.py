@@ -174,3 +174,22 @@ def test_range_join_exact(spark):
         (2, "mid"), (2, "wide"),
         (3, "hi"), (3, "wide"),
     }
+
+
+def test_sort_within_partitions_no_shuffle(spark, sf_dir):
+    """sortWithinPartitions: every partition internally sorted, and the
+    sort adds no Exchange beyond the explicit repartition (the sorted-
+    parquet-write pattern)."""
+    from dbkit_spark.operators.sort import sort_within_partitions
+    from dbkit_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders").repartition(4, "o_custkey")
+    swp = sort_within_partitions(orders.select("o_custkey", "o_totalprice"), "o_totalprice")
+    parts = swp.rdd.glom().collect()
+    assert sum(len(p) for p in parts) == orders.count()
+    for p in parts:
+        vals = [r.o_totalprice for r in p]
+        assert vals == sorted(vals)
+    plan = swp._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final_plan.count("Exchange") == 1  # only the repartition's
