@@ -342,3 +342,30 @@ def q68_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("chars_per_tok"),
     )
+
+
+@register(
+    "q69_set_split_fused",
+    oracle="""
+    WITH a AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),
+         r AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'both' AS tag, l_orderkey FROM (SELECT l_orderkey FROM a INTERSECT SELECT l_orderkey FROM r)
+    UNION ALL
+    SELECT 'only_a' AS tag, l_orderkey FROM (SELECT l_orderkey FROM a EXCEPT SELECT l_orderkey FROM r)
+    UNION ALL
+    SELECT 'only_r' AS tag, l_orderkey FROM (SELECT l_orderkey FROM r EXCEPT SELECT l_orderkey FROM a)
+    """,
+    notes="fused single-shuffle rewrite of q05's 3-way set split "
+    "(operators/setops.set_split_tags): one scan + one groupBy replaces 2 "
+    "distincts + 3 set-op shuffles; same oracle as q05",
+)
+def q69_set_split_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import set_split_tags
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return set_split_tags(
+        li.select("l_orderkey", "l_returnflag"),
+        ["l_orderkey"],
+        F.col("l_returnflag") == "A",
+        F.col("l_returnflag") == "R",
+    )
