@@ -369,3 +369,35 @@ def q69_set_split_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "A",
         F.col("l_returnflag") == "R",
     )
+
+
+@register(
+    "q70_argminmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_min(o_orderkey, o_orderdate ORDER BY o_orderkey) AS first_order_key,
+           arg_max(o_orderkey, o_orderdate ORDER BY o_orderkey DESC) AS last_order_key,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    notes="deterministic first/last per group (§2.4): min_by/max_by == "
+    "DuckDB arg_min/arg_max; F.first/F.last are order-nondeterministic in a "
+    "distributed agg, so the engine's 'first' is value-ordered, not "
+    "arrival-ordered",
+)
+def q70_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    # tie-break on orderkey so min_by/max_by are total-order deterministic:
+    # pack (date, key) into a struct and take min/max of the struct
+    return orders.groupBy("o_custkey").agg(
+        F.min(F.struct("o_orderdate", "o_orderkey"))["o_orderkey"].alias(
+            "first_order_key"
+        ),
+        F.max(F.struct("o_orderdate", "o_orderkey"))["o_orderkey"].alias(
+            "last_order_key"
+        ),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
