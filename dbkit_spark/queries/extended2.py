@@ -401,3 +401,39 @@ def q70_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@register(
+    "q71_python_udtf",
+    oracle="""
+    SELECT o.o_orderkey, s.part AS installment, round(o.o_totalprice / 4, 6) AS amount
+    FROM orders o, (SELECT unnest(generate_series(1, 4)) AS part) s
+    WHERE o.o_totalprice > 400000
+    """,
+    notes="Python UDTF (§2.10, table function): one input row -> 4 "
+    "installment rows; lateral-join shape, mirrored by unnest in the oracle",
+)
+def q71_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment: long, amount: double")
+    class Installments:
+        """Arrow-evaluated table function: emits 4 equal installments per
+        order — the UDTF analogue of the reference's batch expression
+        cursor (one input batch -> many output rows)."""
+
+        def eval(self, total: float):
+            for i in range(1, 5):
+                yield i, round(total / 4, 6)
+
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    spark.udtf.register("installments", Installments)
+    orders.select("o_orderkey", "o_totalprice").createOrReplaceTempView("big_orders")
+    return spark.sql(
+        """
+        SELECT b.o_orderkey, t.installment, t.amount
+        FROM big_orders b, LATERAL installments(b.o_totalprice) t
+        """
+    )
