@@ -437,3 +437,21 @@ def q71_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM big_orders b, LATERAL installments(b.o_totalprice) t
         """
     )
+
+
+@register(
+    "q72_frame_sample",
+    oracle=None,
+    notes="multimodal frame sampling (llm/multimodal.sample_frames): one "
+    "binary payload row fans out to 4 frame rows via mapInPandas, no "
+    "shuffle; decode stubbed (no codec libs here), plumbing real. "
+    "Rows-only: DuckDB 1.0 lacks BLOB substring for a byte-exact oracle; "
+    "fan-out counts + partition alignment are pytest-asserted in test_llm.py",
+)
+def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import sample_frames, with_binary_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs), n_frames=4).select(
+        "doc_id", "frame_idx", "frame_len"
+    )

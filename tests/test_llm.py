@@ -88,3 +88,37 @@ def test_multimodal_plumbing_roundtrip(spark):
     assert feats[1].feat_mean == pytest.approx((97 + 98 + 99) / 3)
     assert feats[2].feat_dim == 0 and feats[2].feat_mean == 0.0
     assert feats[1].media_type == "text/plain"
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from dbkit_spark.llm.multimodal import resize_payloads, sample_frames
+    from dbkit_spark.sources import read_table
+
+    # filter, not limit: limit inserts a single-partition Exchange that
+    # would pollute the no-shuffle assertion below
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    payloads = with_binary_payload(docs)
+
+    resized = resize_payloads(payloads, target_bytes=64)
+    rows = resized.collect()
+    assert len(rows) == 50
+    assert all(r.payload_len == 64 and len(r.payload) == 64 for r in rows)
+
+    frames = sample_frames(payloads, n_frames=4)
+    assert frames.count() == 200  # 4 frames per doc, no drops
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    # frames partition-align with input: fan-out adds no shuffle
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_map_in_arrow_parity_with_pandas(spark, sf_dir):
+    from dbkit_spark.llm.multimodal import decode_features_arrow
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    payloads = with_binary_payload(docs)
+    via_pandas = {tuple(r) for r in decode_features(payloads).collect()}
+    via_arrow = {tuple(r) for r in decode_features_arrow(payloads).collect()}
+    assert via_pandas == via_arrow and len(via_arrow) == 100
