@@ -105,3 +105,42 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     write_orc(nation, path)
     back = read_orc(spark, path, nation.schema)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_update_output_mode(spark, sf_dir, tmp_path):
+    """update mode emits only keys changed in each micro-batch. Replaying
+    the events in 2 batches (2 files), the union of update emissions,
+    keeping each key's LAST emission, must equal the complete-mode result."""
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "upd_src")
+    half = events.count() // 2
+    e = events.orderBy("event_id")
+    e.limit(half).coalesce(1).write.mode("overwrite").parquet(src)
+    e.offset(half).coalesce(1).write.mode("append").parquet(src)
+
+    agg_of = lambda df: df.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    import uuid as _uuid
+
+    name = f"upd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg_of(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.table(name)
+    # last emission per key == final counts (memory sink appends updates
+    # in batch order; max(n) works because counts only grow)
+    final = updates.groupBy("event_type").agg(F.max("n").alias("n"))
+    want = {(r.event_type, r.n) for r in agg_of(events).collect()}
+    got = {(r.event_type, r.n) for r in final.collect()}
+    assert got == want
