@@ -455,3 +455,96 @@ def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_binary_payload(docs), n_frames=4).select(
         "doc_id", "frame_idx", "frame_len"
     )
+
+
+_EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+def _bin(sec: int) -> str:
+    return (
+        f"{_EPOCH} + to_seconds(CAST(floor(epoch(ts) / {sec}) * {sec} AS BIGINT))"
+    )
+
+
+def _rollup_level_sql(sec: int, label: str) -> str:
+    return f"""
+    SELECT {_bin(sec)} AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           MIN(value) AS vmin, MAX(value) AS vmax,
+           '{label}' AS resolution
+    FROM events GROUP BY bucket, event_type
+    """
+
+
+@register(
+    "q73_rollup_hierarchy",
+    oracle=" UNION ALL ".join(
+        [
+            _rollup_level_sql(300, "5 minutes"),
+            _rollup_level_sql(3600, "1 hour"),
+            _rollup_level_sql(86400, "1 day"),
+        ]
+    ),
+    notes="multi-resolution rollup (operators/rollup_hierarchy): 1h level "
+    "aggregates the 5m partials, 1d aggregates 1h — each coarser level "
+    "reads the previous level's output, not raw data (the continuous-"
+    "aggregate trick; at 100 TB raw is scanned once, not once per level). "
+    "Decimal-carried sums make hierarchical == direct, bit-exactly; the "
+    "oracle computes each level directly from raw",
+)
+def q73_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import dec
+    from ..operators.rollup_hierarchy import rollup_hierarchy
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "value", dec("value", 6)
+    )
+    out = rollup_hierarchy(
+        events, "ts", ["event_type"], "value",
+        resolutions=("5 minutes", "1 hour", "1 day"),
+    )
+    return out.withColumn("total", F.col("total").cast("double"))
+
+
+@register(
+    "q74_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+      FROM customer WHERE c_custkey < 50
+      UNION ALL
+      SELECT s_suppkey + 1000000 AS c_custkey, s_name AS c_name,
+             s_acctbal AS c_acctbal
+      FROM supplier
+    )
+    SELECT t.c_custkey, t.c_name, t.c_acctbal
+    FROM customer t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM updates)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM updates
+    """,
+    notes="MERGE/upsert as a DataFrame transform (operators/rollup_hierarchy"
+    ".merge_upsert): updated keys replaced, new keys inserted, others pass "
+    "through; key-uniqueness of updates enforced eagerly (multi-match MERGE "
+    "is nondeterministic)",
+)
+def q74_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup_hierarchy import merge_upsert
+
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    supplier = read_table(spark, sf_dir, "supplier")
+    updates = (
+        customer.filter(F.col("c_custkey") < 50)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .unionByName(
+            supplier.select(
+                (F.col("s_suppkey") + 1000000).alias("c_custkey"),
+                F.col("s_name").alias("c_name"),
+                F.col("s_acctbal").alias("c_acctbal"),
+            )
+        )
+    )
+    return merge_upsert(customer, updates, keys=["c_custkey"])
