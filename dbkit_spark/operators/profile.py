@@ -1,0 +1,51 @@
+"""Table profiler: per-column data-quality stats in ONE pass.
+
+Training-data pipelines gate ingest on profiles (null ratios, cardinality,
+ranges). The scale property: all columns' stats are computed in a single
+aggregation over a single scan — n columns never means n jobs. Output is
+long-format (one row per column) so profiles of any-width tables have a
+fixed schema.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One row per column: (column, n, n_null, n_distinct, min_str, max_str).
+
+    - exact distinct counts (use approx_count_distinct at 100 TB if the
+      profile itself gets heavy; exact here for oracle parity)
+    - min/max rendered as strings so numeric/temporal/text columns share
+      one schema
+    """
+    cols = list(columns) if columns else df.columns
+    agg_exprs = []
+    for c in cols:
+        agg_exprs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*agg_exprs)
+    # unpivot the single wide row via explode(array(structs)): ONE plan
+    # branch, so the aggregation runs once (a union of per-column
+    # projections would re-derive the agg per column — n scans)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

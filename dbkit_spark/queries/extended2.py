@@ -548,3 +548,34 @@ def q74_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(customer, updates, keys=["c_custkey"])
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS "column", COUNT(*) AS n,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders
+    """
+
+
+@register(
+    "q75_profile_table",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ),
+    notes="one-pass per-column data-quality profile (operators/profile): "
+    "all columns' n/null/distinct/min/max in a single aggregation + "
+    "explode-unpivot (a union-of-projections would re-run the agg per "
+    "column); ingest-gating tool for training pipelines",
+)
+def q75_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )

@@ -93,3 +93,18 @@ def test_ivf_self_hit(spark, sf001_emb):
     out = ivf_topk(queries, assigned, centroids, k=3, nprobe=2)
     counts = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_rollup_hierarchy_single_raw_scan(spark, sf_dir):
+    """Each coarser level must read the persisted finer level, not re-scan
+    raw data (the continuous-aggregate property; regression guard for the
+    persist barriers in operators/rollup_hierarchy.py)."""
+    from dbkit_spark.operators.aggregate import dec
+    from dbkit_spark.operators.rollup_hierarchy import rollup_hierarchy
+
+    events = read_table(spark, sf_dir, "events").withColumn("value", dec("value", 6))
+    out = rollup_hierarchy(events, "ts", ["event_type"], "value")
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
