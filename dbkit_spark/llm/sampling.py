@@ -1,0 +1,98 @@
+"""Dataset splitting / sampling / packing for training pipelines.
+
+All deterministic: splits and samples key off md5 of a stable id — the
+same row lands in the same split on every run, on any engine, at any
+parallelism (randomSplit/sample are seed+partitioning dependent and
+reshuffle rows between splits when the input partitioning changes; that
+silently leaks val into train across pipeline versions).
+
+Packing assigns documents to fixed token-budget batches with a window
+cumulative sum — the deterministic, shuffle-once version of greedy
+sequence packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column) -> Column:
+    """md5-derived bucket in [0, SPLIT_BUCKETS): first 6 hex digits mod N
+    (portable — any engine reproduces the assignment)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 6), 16, 10).cast("long")
+        % SPLIT_BUCKETS
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Append a ``split`` column ('train'/'val'/...) by hash bucket.
+
+    Fractions must sum to 1. Contiguous bucket ranges per split; a row's
+    split depends only on its id — stable under reruns, repartitioning,
+    and incremental appends (new rows never move old rows between splits).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _hash_bucket(F.col(id_col))
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * SPLIT_BUCKETS))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    # rounding remainder (at most a few buckets) goes to the last split
+    last = list(fractions)[-1]
+    return df.withColumn("split", expr.otherwise(last))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fraction_by_stratum: dict[str, float],
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash bucket
+    falls under the stratum's fraction. Unlisted strata are dropped
+    (explicit is safer than a silent 100% default at 100 TB)."""
+    bucket = _hash_bucket(F.col(id_col))
+    keep = None
+    for stratum, frac in fraction_by_stratum.items():
+        cond = (F.col(strata_col) == stratum) & (
+            bucket < int(round(frac * SPLIT_BUCKETS))
+        )
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign docs to fixed-budget batches: running token total in id
+    order; batch_id = how many full budgets precede this doc's cumsum.
+
+    The window is unpartitioned (single total order) — correct but
+    single-reducer for the cumsum at huge scale; shard first (e.g. by
+    split/date) and pack within shards, exactly as real pipelines do.
+    Docs longer than the budget get a batch to themselves (cumsum jumps
+    a full budget) rather than being dropped.
+    """
+    w = Window.orderBy(F.col(id_col))
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.select(
+        id_col,
+        token_col,
+        ((cum - F.col(token_col)) / F.lit(budget)).cast("long").alias("batch_id"),
+    )

@@ -579,3 +579,61 @@ def q75_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     )
+
+
+# md5-derived split bucket in [0, 10000): same formula as
+# llm/sampling._hash_bucket, rebuilt digit-by-digit for DuckDB
+_BUCKET_SQL = (
+    "(CAST(list_sum(list_transform(generate_series(1, 6), "
+    "i -> CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) AS BIGINT) "
+    "* CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 10000)"
+)
+
+
+@register(
+    "q76_split_and_sample",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    WHERE (lang = 'en' AND bucket < 5000)
+       OR (lang = 'de' AND bucket < 10000)
+    """,
+    notes="deterministic train/val/test split + stratified sampling "
+    "(llm/sampling): md5-bucket assignment is stable under reruns, "
+    "repartitioning, and appends — unlike randomSplit/sampleBy, whose "
+    "seeded sampling shifts with input partitioning",
+)
+def q76_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import split_assign, stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0}
+    )
+    return split_assign(
+        sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+@register(
+    "q77_token_packing",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(floor((SUM(n_chars) OVER (ORDER BY doc_id) - n_chars)
+                      / 50000.0) AS BIGINT) AS batch_id
+    FROM documents
+    """,
+    notes="sequence packing (llm/sampling.pack_by_token_budget): "
+    "concat-then-chunk by running-total start offset — each doc joins the "
+    "50k-char batch where its stream offset falls; window cumsum, "
+    "deterministic; shard before packing at 100 TB (single total order)",
+)
+def q77_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import pack_by_token_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_by_token_budget(docs, "doc_id", "n_chars", budget=50000)

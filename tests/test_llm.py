@@ -122,3 +122,38 @@ def test_map_in_arrow_parity_with_pandas(spark, sf_dir):
     via_pandas = {tuple(r) for r in decode_features(payloads).collect()}
     via_arrow = {tuple(r) for r in decode_features_arrow(payloads).collect()}
     assert via_pandas == via_arrow and len(via_arrow) == 100
+
+
+def test_split_assign_stable_and_proportional(spark):
+    from dbkit_spark.llm.sampling import split_assign
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(docs, "doc_id", fr)
+    counts = {r.split: r["count"] for r in a.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert 0.7 < counts["train"] / n < 0.9  # md5 buckets ~ uniform
+    # stability: identical assignment under a different partitioning
+    b = split_assign(docs.repartition(13), "doc_id", fr)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_pack_by_token_budget_properties(spark):
+    from dbkit_spark.llm.sampling import pack_by_token_budget
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    packed = pack_by_token_budget(docs, "doc_id", "n_chars", budget=50000)
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    # batch ids are monotone non-decreasing in stream order, start at 0
+    ids = [r.batch_id for r in rows]
+    assert ids[0] == 0 and all(x <= y for x, y in zip(ids, ids[1:]))
+    # each batch's docs start within one budget-width window of the stream
+    cum = 0
+    for r in rows:
+        assert r.batch_id == cum // 50000
+        cum += r.n_chars
