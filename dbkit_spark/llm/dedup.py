@@ -245,3 +245,34 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(cands, shingled, threshold)
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Append-batch dedup: near-dup pairs of new docs vs the existing
+    corpus, plus within the new batch — NEVER corpus × corpus.
+
+    The daily-ingest shape at 100 TB: the corpus band index is precomputed
+    once (in production: persisted to a bucketed table keyed by band_key)
+    and each day's batch only joins its own bands against it. Work scales
+    with the batch, not the corpus. Emits (doc_a=new id, doc_b=corpus id)
+    for cross pairs and (doc_a < doc_b, both new) for in-batch pairs.
+    """
+    sh_corpus = shingle_docs(corpus, text_col, id_col).persist()
+    sh_new = shingle_docs(new_docs, text_col, id_col).persist()
+    bands_c = lsh_band_keys(minhash_signatures(sh_corpus))
+    bands_n = lsh_band_keys(minhash_signatures(sh_new))
+
+    a = bands_n.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = bands_c.select(F.col("doc_id").alias("doc_b"), "band_key")
+    cross = a.join(b, "band_key").select("doc_a", "doc_b").distinct()
+    in_batch = lsh_candidate_pairs(bands_n)
+    cands = cross.unionByName(in_batch).distinct()
+
+    all_shingles = sh_corpus.unionByName(sh_new)
+    return jaccard_verify(cands, all_shingles, threshold)

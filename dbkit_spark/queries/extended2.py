@@ -637,3 +637,59 @@ def q77_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return pack_by_token_budget(docs, "doc_id", "n_chars", budget=50000)
+
+
+@register(
+    "q78_dedup_incremental",
+    oracle="""
+    WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM (
+  SELECT doc_id, text, lang, source, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+) WHERE len(t) >= 3
+),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hx AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 12),
+                  i -> CAST((strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1) AS BIGINT)
+                       * CAST(pow(16, 12 - i) AS BIGINT))) AS BIGINT) AS x
+      FROM shx
+    ),
+    sig AS (
+      SELECT doc_id, list_value(min((3*x + 12345) % 281474976710597), min((5*x + 1012348) % 281474976710597), min((7*x + 2012351) % 281474976710597), min((11*x + 3012354) % 281474976710597), min((13*x + 4012357) % 281474976710597), min((17*x + 5012360) % 281474976710597), min((19*x + 6012363) % 281474976710597), min((23*x + 7012366) % 281474976710597), min((29*x + 8012369) % 281474976710597), min((31*x + 9012372) % 281474976710597), min((37*x + 10012375) % 281474976710597), min((41*x + 11012378) % 281474976710597), min((43*x + 12012381) % 281474976710597), min((47*x + 13012384) % 281474976710597), min((53*x + 14012387) % 281474976710597), min((59*x + 15012390) % 281474976710597)) AS sig
+      FROM hx GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest(list_transform(generate_series(0, 7),
+             b -> md5(concat_ws('#', CAST(b AS VARCHAR), CAST(sig[2*b+1] AS VARCHAR), CAST(sig[2*b+2] AS VARCHAR)))))
+             AS band_key
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key
+      WHERE a.doc_id % 5 = 0
+        AND (b.doc_id % 5 <> 0 OR (b.doc_id % 5 = 0 AND a.doc_id < b.doc_id))
+        AND a.doc_id <> b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+    """,
+    notes="incremental append-batch dedup (llm/dedup.minhash_incremental_"
+    "pairs): new docs (doc_id % 5 == 0) band-join against the corpus index "
+    "+ in-batch pairs; corpus x corpus never computed — work scales with "
+    "the batch, not the 100 TB corpus",
+)
+def q78_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import minhash_incremental_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out = minhash_incremental_pairs(corpus, new_docs, threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
