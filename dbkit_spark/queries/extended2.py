@@ -693,3 +693,22 @@ def q78_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     out = minhash_incremental_pairs(corpus, new_docs, threshold=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q79_zorder_clustering",
+    oracle=None,
+    notes="z-order/Morton clustering (operators/zorder): equi-depth rank "
+    "buckets from approxQuantile boundaries (sampled pass + map-side bit "
+    "interleave, no global window) -> multi-dimensional data skipping. "
+    "Rows-only: approxQuantile boundaries have no SQL equivalent; the "
+    "pruning win (fewer files touched for a 2-D range predicate vs a "
+    "linear sort) is pytest-measured in tests/test_scale.py",
+)
+def q79_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import zorder_value
+
+    orders = read_table(spark, sf_dir, "orders")
+    return zorder_value(orders, ["o_totalprice", "o_custkey"]).select(
+        "o_orderkey", "__z"
+    )

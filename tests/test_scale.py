@@ -108,3 +108,41 @@ def test_rollup_hierarchy_single_raw_scan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1, final
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Files touched by a 2-D range predicate: z-ordered layout must beat
+    the single-column sort layout on the second dimension, and the data
+    must round-trip unchanged."""
+    from dbkit_spark.operators.zorder import write_zordered
+
+    orders = read_table(spark, "/root/testdata/sf0.01", "orders")
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    write_zordered(orders, zpath, ["o_totalprice", "o_custkey"], num_files=16)
+    (
+        orders.repartitionByRange(16, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    pred = (F.col("o_totalprice") < 50000) & (F.col("o_custkey") < 150)
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_files, l_files = files_touched(zpath), files_touched(lpath)
+    # same rows either way
+    assert (
+        spark.read.parquet(zpath).filter(pred).count()
+        == orders.filter(pred).count()
+    )
+    # the 2-D clustered layout localizes the predicate into fewer files
+    assert z_files < l_files, f"zorder {z_files} files vs linear {l_files}"
