@@ -712,3 +712,103 @@ def q79_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_value(orders, ["o_totalprice", "o_custkey"]).select(
         "o_orderkey", "__z"
     )
+
+
+@register(
+    "q80_tpch_q3_shipping",
+    oracle=f"""
+    SELECT l.l_orderkey, {stable_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    notes="TPC-H Q3-shaped (shipping priority): 3-way join, filtered both "
+    "sides before the join (pushdown), top-10 by revenue via "
+    "TakeOrderedAndProject; o_orderpriority stands in for the fixture's "
+    "missing o_shippriority",
+)
+def q80_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    joined = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q81_tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {stable_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+    notes="TPC-H Q5-shaped (local supplier volume): 6-table join; "
+    "nation+region broadcast, customer-supplier co-nationality predicate; "
+    "fact joins shuffle on keys with AQE",
+)
+def q81_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            supplier,
+            (li["l_suppkey"] == supplier["s_suppkey"])
+            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
