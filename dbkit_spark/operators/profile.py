@@ -15,21 +15,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
     """One row per column: (column, n, n_null, n_distinct, min_str, max_str).
 
-    - exact distinct counts (use approx_count_distinct at 100 TB if the
-      profile itself gets heavy; exact here for oracle parity)
+    - ``exact_distinct=True`` (default, oracle parity): each countDistinct
+      adds an Expand duplication of the input — n distinct columns cost
+      ~n x the scan. At 100 TB call with ``exact_distinct=False``:
+      approx_count_distinct (HLL++) keeps the whole profile a single
+      non-expanded aggregation pass.
     - min/max rendered as strings so numeric/temporal/text columns share
       one schema
     """
     cols = list(columns) if columns else df.columns
+    distinct_of = (
+        F.countDistinct if exact_distinct else F.approx_count_distinct
+    )
     agg_exprs = []
     for c in cols:
         agg_exprs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            distinct_of(c).alias(f"{c}__n_distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
