@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from collections import Counter
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -128,5 +127,30 @@ def test_asof_backward_reference(spark, times):
         assert got.get(float(lt)) == want
 
 
-if __name__ == "__main__":
-    pytest.main([__file__, "-q"])
+@given(rows=rows_strategy, rows2=rows_strategy)
+@SETTINGS
+def test_join_laws(spark, rows, rows2):
+    """left ⊇ inner; semi == distinct inner keys; anti = left-keys − semi."""
+    r = _df(spark, rows).withColumnRenamed("b", "v")
+    s = _df(spark, rows2).groupBy("a").count()  # key-unique right side
+    inner = r.join(s, "a")
+    left = r.join(s, "a", "left")
+    semi = r.join(s, "a", "left_semi")
+    anti = r.join(s, "a", "left_anti")
+    assert left.count() == r.count()  # key-unique right never duplicates
+    assert inner.count() <= left.count()
+    assert semi.count() + anti.count() == r.count()
+    semi_keys = {x.a for x in semi.select("a").distinct().collect()}
+    inner_keys = {x.a for x in inner.select("a").distinct().collect()}
+    assert semi_keys == inner_keys
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_broadcast_equals_plain(spark, rows):
+    """F.broadcast is a hint, never a semantics change."""
+    r = _df(spark, rows)
+    s = _df(spark, rows).groupBy("a").count()
+    plain = _bag(r.join(s, "a"))
+    hinted = _bag(r.join(F.broadcast(s), "a"))
+    assert plain == hinted
