@@ -59,10 +59,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-        # queries with persist barriers (q40, q73) create a fresh lineage
-        # per call; drop stale cache entries so they can't accumulate
-        # across the headline set and perturb later timings
-        spark.catalog.clearCache()
+            # queries with persist barriers (q40, q73) create a fresh
+            # lineage per call; drop each rep's cache so accumulated
+            # blocks can't perturb later reps or later queries
+            spark.catalog.clearCache()
         per_query[name] = round(statistics.median(times), 3)
 
     total = round(sum(per_query.values()), 3)

@@ -262,6 +262,13 @@ def minhash_incremental_pairs(
     and each day's batch only joins its own bands against it. Work scales
     with the batch, not the corpus. Emits (doc_a=new id, doc_b=corpus id)
     for cross pairs and (doc_a < doc_b, both new) for in-batch pairs.
+
+    Cache lifecycle: this convenience wrapper persists the shingle sets
+    for the duration of the returned DataFrame's evaluation and does not
+    unpersist (the caller owns the action). A long-running ingest driver
+    should instead materialize the corpus bands/shingles to storage once
+    (write_bucketed on band_key) and call spark.catalog.clearCache()
+    between batches — per-batch in-session caches otherwise accumulate.
     """
     sh_corpus = shingle_docs(corpus, text_col, id_col).persist()
     sh_new = shingle_docs(new_docs, text_col, id_col).persist()
@@ -270,7 +277,15 @@ def minhash_incremental_pairs(
 
     a = bands_n.select(F.col("doc_id").alias("doc_a"), "band_key")
     b = bands_c.select(F.col("doc_id").alias("doc_b"), "band_key")
-    cross = a.join(b, "band_key").select("doc_a", "doc_b").distinct()
+    # doc_a != doc_b: a re-ingested doc whose id already exists in the
+    # corpus must not pair with itself (it would "verify" at jaccard 1.0
+    # and get itself deleted as its own duplicate)
+    cross = (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     in_batch = lsh_candidate_pairs(bands_n)
     cands = cross.unionByName(in_batch).distinct()
 

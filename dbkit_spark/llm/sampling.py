@@ -19,13 +19,16 @@ from pyspark.sql import functions as F
 SPLIT_BUCKETS = 10_000
 
 
-def _hash_bucket(id_col: Column) -> Column:
+def _hash_bucket(id_col: Column, salt: str) -> Column:
     """md5-derived bucket in [0, SPLIT_BUCKETS): first 6 hex digits mod N
-    (portable — any engine reproduces the assignment)."""
-    return (
-        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 6), 16, 10).cast("long")
-        % SPLIT_BUCKETS
-    )
+    (portable — any engine reproduces the assignment).
+
+    ``salt`` is REQUIRED and must differ per purpose: sampling and
+    splitting off the same unsalted hash are fully correlated (e.g. every
+    row kept by a 50% sample would land in an 80% train split), which
+    silently destroys stratification when the two compose."""
+    keyed = F.concat(id_col.cast("string"), F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long") % SPLIT_BUCKETS
 
 
 def split_assign(
@@ -42,7 +45,7 @@ def split_assign(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = _hash_bucket(F.col(id_col))
+    bucket = _hash_bucket(F.col(id_col), "split")
     expr = None
     lo = 0
     for name, frac in fractions.items():
@@ -63,8 +66,12 @@ def stratified_sample(
 ) -> DataFrame:
     """Deterministic per-stratum subsample: keep a row iff its hash bucket
     falls under the stratum's fraction. Unlisted strata are dropped
-    (explicit is safer than a silent 100% default at 100 TB)."""
-    bucket = _hash_bucket(F.col(id_col))
+    (explicit is safer than a silent 100% default at 100 TB). Uses a
+    'sample'-salted bucket, independent of split_assign's 'split' bucket,
+    so sample-then-split composes without correlation."""
+    if not fraction_by_stratum:
+        raise ValueError("fraction_by_stratum must name at least one stratum")
+    bucket = _hash_bucket(F.col(id_col), "sample")
     keep = None
     for stratum, frac in fraction_by_stratum.items():
         cond = (F.col(strata_col) == stratum) & (
@@ -86,8 +93,11 @@ def pack_by_token_budget(
     The window is unpartitioned (single total order) — correct but
     single-reducer for the cumsum at huge scale; shard first (e.g. by
     split/date) and pack within shards, exactly as real pipelines do.
-    Docs longer than the budget get a batch to themselves (cumsum jumps
-    a full budget) rather than being dropped.
+    Concat-then-chunk semantics: a doc belongs to the batch where its
+    stream offset starts, so an oversized doc shares its batch with the
+    docs before it in the same chunk window and spills past the boundary
+    (it is never dropped); callers that must isolate or reject oversized
+    docs should filter on ``token_col > budget`` first.
     """
     w = Window.orderBy(F.col(id_col))
     cum = F.sum(F.col(token_col)).over(w)

@@ -62,14 +62,19 @@ def zorder_value(
     sf0.1). This mirrors Spark's own RangePartitioner: sample, don't scan.
     """
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    # RangePartitioner pattern: collect a BOUNDED sample to the driver and
-    # take numpy quantiles there — measured 4.5x faster than the JVM
-    # approxQuantile summary at the same fidelity (and the limit() caps
-    # driver memory regardless of table size)
+    # RangePartitioner pattern: collect a BOUNDED UNIFORM sample to the
+    # driver and take numpy quantiles there — measured 4.5x faster than
+    # the JVM approxQuantile summary at the same fidelity. takeSample (not
+    # limit) for the bound: limit() drains a PREFIX of the partitions, so
+    # a table clustered on one z-column would contribute only its leading
+    # value range and the boundaries would degenerate to 1-D. NULL rows
+    # are excluded from boundary estimation (the bucket expression sends
+    # NULL values to bucket 0).
     import numpy as np
 
     src = df.sample(sample_fraction, seed=7) if sample_fraction else df
-    sample_rows = src.select(*cols).limit(200_000).collect()
+    clean = src.select(*cols).na.drop()
+    sample_rows = clean.rdd.takeSample(False, 200_000, seed=7)
     if not sample_rows:
         all_boundaries = [[0.0] * len(probs) for _ in cols]
     else:

@@ -583,24 +583,31 @@ def q75_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # md5-derived split bucket in [0, 10000): same formula as
 # llm/sampling._hash_bucket, rebuilt digit-by-digit for DuckDB
-_BUCKET_SQL = (
-    "(CAST(list_sum(list_transform(generate_series(1, 6), "
-    "i -> CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) AS BIGINT) "
-    "* CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 10000)"
-)
+def _bucket_sql(salt: str) -> str:
+    """Salted md5 bucket in [0, 10000): mirrors llm/sampling._hash_bucket
+    (the salt decorrelates the sample bucket from the split bucket)."""
+    keyed = f"concat(CAST(doc_id AS VARCHAR), ':{salt}')"
+    return (
+        "(CAST(list_sum(list_transform(generate_series(1, 6), "
+        f"i -> CAST((strpos('0123456789abcdef', substr(md5({keyed}), i, 1)) - 1) AS BIGINT) "
+        "* CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 10000)"
+    )
 
 
 @register(
     "q76_split_and_sample",
     oracle=f"""
-    WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+    WITH b AS (SELECT doc_id, lang,
+                      {_bucket_sql("sample")} AS sample_bucket,
+                      {_bucket_sql("split")} AS split_bucket
+               FROM documents)
     SELECT doc_id, lang,
-           CASE WHEN bucket < 8000 THEN 'train'
-                WHEN bucket < 9000 THEN 'val'
+           CASE WHEN split_bucket < 8000 THEN 'train'
+                WHEN split_bucket < 9000 THEN 'val'
                 ELSE 'test' END AS split
     FROM b
-    WHERE (lang = 'en' AND bucket < 5000)
-       OR (lang = 'de' AND bucket < 10000)
+    WHERE (lang = 'en' AND sample_bucket < 5000)
+       OR (lang = 'de' AND sample_bucket < 10000)
     """,
     notes="deterministic train/val/test split + stratified sampling "
     "(llm/sampling): md5-bucket assignment is stable under reruns, "

@@ -157,3 +157,38 @@ def test_pack_by_token_budget_properties(spark):
     for r in rows:
         assert r.batch_id == cum // 50000
         cum += r.n_chars
+
+
+def test_sample_then_split_decorrelated(spark):
+    """Regression: sampling and splitting must use INDEPENDENT hash
+    buckets — with a shared bucket, every row kept by a 50% sample lands
+    in an 80% train split and val/test are empty."""
+    from dbkit_spark.llm.sampling import split_assign, stratified_sample
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang"
+    )
+    sampled = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
+    out = split_assign(sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}, splits
+
+
+def test_incremental_dedup_no_self_pairs_on_reingest(spark):
+    """Regression: re-ingesting a doc already in the corpus (same id, same
+    text) must not emit a (X, X) self-pair that would delete the doc as
+    its own duplicate."""
+    from dbkit_spark.llm.dedup import minhash_incremental_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river"),
+         (2, "completely different content about columnar engines")],
+        "doc_id long, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river")],
+        "doc_id long, text string",
+    )
+    out = minhash_incremental_pairs(corpus, new_batch, threshold=0.5).collect()
+    assert all(r.doc_a != r.doc_b for r in out), out
