@@ -133,9 +133,11 @@ ROLLING_B = 257
 ROLLING_M = 2147483647  # 2^31 - 1; acc*B + x stays < 2^40, exact in BIGINT
 
 
-def token_hash48(tok: Column) -> Column:
+def token_hash24(tok: Column) -> Column:
     """24-bit md5-derived token value (first 6 hex digits) — portable: the
-    oracle rebuilds it digit-by-digit with strpos/pow."""
+    oracle rebuilds it digit-by-digit with strpos/pow. 24 bits keeps the
+    fold arithmetic exact in BIGINT on both engines; birthday bound ~2^12
+    tokens per doc, fine for fingerprinting (not for global dedup keys)."""
     return F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long")
 
 
@@ -148,7 +150,7 @@ def rolling_fingerprint(toks: Column | str) -> Column:
     return F.aggregate(
         t,
         F.lit(0).cast("long"),
-        lambda acc, tok: (acc * ROLLING_B + token_hash48(tok)) % ROLLING_M,
+        lambda acc, tok: (acc * ROLLING_B + token_hash24(tok)) % ROLLING_M,
     )
 
 

@@ -87,8 +87,8 @@ def pack_by_token_budget(
     token_col: str,
     budget: int,
 ) -> DataFrame:
-    """Assign docs to fixed-budget batches: running token total in id
-    order; batch_id = how many full budgets precede this doc's cumsum.
+    """Assign docs to chunk-offset batches: running token total in id
+    order; batch_id = how many full budgets precede this doc's start offset.
 
     The window is unpartitioned (single total order) — correct but
     single-reducer for the cumsum at huge scale; shard first (e.g. by

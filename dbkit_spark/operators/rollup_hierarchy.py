@@ -20,6 +20,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(d: str) -> int:
+    n, unit = d.split()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported duration unit in {d!r}")
+    return int(n) * _UNIT_SECONDS[unit]
+
+
+def _check_nesting(resolutions) -> None:
+    """Each coarser resolution must be an exact multiple of the previous
+    one: re-windowing level i-1 bucket STARTS only nests correctly when
+    every finer bucket lies wholly inside one coarser bucket. A 7-minute
+    level under a 1-hour level would silently assign a [06:56,07:03)
+    bucket's rows to the 06:00 hour — loud error instead."""
+    secs = [_duration_seconds(r) for r in resolutions]
+    for finer, coarser in zip(secs, secs[1:]):
+        if coarser % finer != 0:
+            raise ValueError(
+                f"resolutions must nest: {coarser}s is not a multiple of {finer}s"
+            )
+
+
 def rollup_hierarchy(
     df: DataFrame,
     ts_col: str,
@@ -32,7 +59,14 @@ def rollup_hierarchy(
     Each level carries (n, total, vmin, vmax): count/sum/min/max of
     ``value_col``. Level 0 aggregates raw rows; level i>0 aggregates level
     i-1's partials (n summed, total summed, min of mins, max of maxes).
+    Resolutions must nest (validated — see ``_check_nesting``).
+
+    Cache lifecycle: each level is persisted for the returned DataFrame's
+    evaluation and not unpersisted (the caller owns the action); repeated
+    in-session calls should clearCache between them, and production
+    continuous aggregates materialize each level to a table instead.
     """
+    _check_nesting(resolutions)
     levels: list[DataFrame] = []
     # level 0: raw -> finest resolution
     cur = (

@@ -74,7 +74,7 @@ def set_split_tags(
     key_cols: Sequence[str],
     pred_a: Column,
     pred_b: Column,
-    tags: tuple[str, str, str] = ("both", "only_a", "only_r"),
+    tags: tuple[str, str, str] = ("both", "only_a", "only_b"),
 ) -> DataFrame:
     """Fused 3-way set split: the single-shuffle rewrite of
     ``intersect(A,B) ∪ except(A,B) ∪ except(B,A)`` when A and B are

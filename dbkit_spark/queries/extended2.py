@@ -368,6 +368,7 @@ def q69_set_split_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey"],
         F.col("l_returnflag") == "A",
         F.col("l_returnflag") == "R",
+        tags=("both", "only_a", "only_r"),
     )
 
 
