@@ -820,3 +820,33 @@ def q81_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc())
     )
+
+
+@register(
+    "q82_map_advanced",
+    oracle="""
+    SELECT event_id,
+           cardinality(map_concat(MAP {'type': event_type},
+                                  MAP {'uid': CAST(user_id AS VARCHAR)})) AS n_keys,
+           (map_concat(MAP {'type': event_type},
+                       MAP {'uid': CAST(user_id AS VARCHAR)})['uid'])[1] AS uid_val,
+           len(list_filter(map_entries(map_concat(MAP {'type': event_type},
+                                                  MAP {'uid': CAST(user_id AS VARCHAR)})),
+               e -> e.key = 'type')) AS n_type_keys
+    FROM events
+    """,
+    notes="advanced map surface (§2.8): map_concat + size + element_at + "
+    "map_filter, scalar-projected for cross-engine compare (map VALUES "
+    "render differently per engine; scalars don't)",
+)
+def q82_map_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    m1 = F.create_map(F.lit("type"), F.col("event_type"))
+    m2 = F.create_map(F.lit("uid"), F.col("user_id").cast("string"))
+    merged = F.map_concat(m1, m2)
+    return events.select(
+        "event_id",
+        F.size(merged).alias("n_keys"),
+        F.element_at(merged, "uid").alias("uid_val"),
+        F.size(F.map_filter(merged, lambda k, v: k == "type")).alias("n_type_keys"),
+    )
