@@ -49,4 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    return CATALOG
+    # Deterministic q-number order: a driver sweep that truncates still
+    # covers the flagship and the core-operator prefix first (all names
+    # are zero-padded qNN_*, so lexicographic == numeric order).
+    return dict(sorted(CATALOG.items()))

@@ -193,19 +193,25 @@ def q56_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q57_map_funcs",
     oracle="""
     SELECT event_id,
-           CAST(map_keys(MAP {'type': event_type}) AS VARCHAR[]) AS ks,
-           CAST(map_values(MAP {'type': event_type}) AS VARCHAR[]) AS vs,
+           array_to_string(
+             CAST(map_keys(MAP {'type': event_type}) AS VARCHAR[]), ','
+           ) AS ks,
+           array_to_string(
+             CAST(map_values(MAP {'type': event_type}) AS VARCHAR[]), ','
+           ) AS vs,
            (MAP {'type': event_type}['type'])[1] AS type_val
     FROM events
     """,
-    notes="map construction + key/value extraction",
+    notes="map construction + key/value extraction; array outputs are "
+    "projected to joined scalars (like q82) — pandas-side canonicalization "
+    "can't sort on list-valued columns",
 )
 def q57_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     m = F.create_map(F.lit("type"), F.col("event_type"))
     return events.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+        F.array_join(F.map_values(m), ",").alias("vs"),
         F.element_at(m, "type").alias("type_val"),
     )

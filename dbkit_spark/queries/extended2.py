@@ -505,7 +505,13 @@ def q73_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "ts", ["event_type"], "value",
         resolutions=("5 minutes", "1 hour", "1 day"),
     )
-    return out.withColumn("total", F.col("total").cast("double"))
+    # min/max of the decimal-cast input stays decimal(25,6) in Spark while
+    # the oracle's MIN/MAX(value) is DOUBLE — cast all three value columns.
+    return (
+        out.withColumn("total", F.col("total").cast("double"))
+        .withColumn("vmin", F.col("vmin").cast("double"))
+        .withColumn("vmax", F.col("vmax").cast("double"))
+    )
 
 
 @register(
@@ -554,7 +560,8 @@ def q74_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile_col_sql(c: str) -> str:
     return f"""
     SELECT '{c}' AS "column", COUNT(*) AS n,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
            COUNT(DISTINCT {c}) AS n_distinct,
            CAST(MIN({c}) AS VARCHAR) AS min_str,
            CAST(MAX({c}) AS VARCHAR) AS max_str

@@ -103,7 +103,7 @@ def q27_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate + INTERVAL 5 DAY AS plus5,
            datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
            CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
-           CAST(o_orderdate AS DATE) AS odate
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate
     FROM orders
     """,
     notes="temporal surface (a full gap in the reference: no temporal types "
@@ -122,7 +122,9 @@ def q28_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
-        F.col("o_orderdate").cast("date").alias("odate"),
+        # ISO string, not DATE: pandas renders Spark DATE as object-of-date
+        # but DuckDB DATE as datetime64 — scalar strings compare cleanly.
+        F.col("o_orderdate").cast("date").cast("string").alias("odate"),
     )
 
 

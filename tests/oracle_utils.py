@@ -47,8 +47,12 @@ def canon_value(v: Any) -> Any:
         if math.isnan(v):
             return ("f", "nan")
         return ("f", repr(v))  # repr is bit-faithful for doubles
+    # Decimal is deliberately NOT coerced to float: the driver's pandas
+    # hash sees Spark decimal as object-Decimal vs DuckDB DOUBLE as
+    # float64 and fails. Keeping the tag distinct makes that drift fail
+    # locally too (root cause of the round-1 q73 red row).
     if isinstance(v, Decimal):
-        return ("f", repr(float(v)))
+        return ("d", str(v))
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, datetime.datetime):
@@ -68,6 +72,57 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     out = [tuple(canon_value(r[i]) for i in order) for r in rows]
     out.sort()
     return out
+
+
+def _pandas_kind(k: str) -> str:
+    """Collapse pandas dtype kinds into the families the driver's hash
+    actually distinguishes (int64 vs float64 diverge; int32 vs int64
+    do not after canonicalization)."""
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "ts"
+    if k == "b":
+        return "bool"
+    return "obj"
+
+
+def check_dtype_parity(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
+    """Driver emulation: both result sets are materialized as pandas frames
+    (exactly what the driver hashes) and per-column dtype *families* must
+    match. This is what catches DuckDB HUGEINT→float64 vs Spark int64
+    (round-1 q75) and decimal-vs-double (q73) drift that tuple-level
+    compares coerce away."""
+    sdf = fn(spark, sf_dir)
+    s_pdf = sdf.toPandas()
+    con = duckdb_connect(sf_dir)
+    try:
+        o_pdf = con.execute(oracle).df()
+    finally:
+        con.close()
+    s_kinds = {c: _pandas_kind(s_pdf[c].dtype.kind) for c in s_pdf.columns}
+    o_kinds = {c: _pandas_kind(o_pdf[c].dtype.kind) for c in o_pdf.columns}
+    assert set(s_kinds) == set(o_kinds), (
+        f"{name}: column mismatch spark={sorted(s_kinds)} oracle={sorted(o_kinds)}"
+    )
+    mismatched = {
+        c: (s_kinds[c], o_kinds[c])
+        for c in s_kinds
+        if s_kinds[c] != o_kinds[c]
+        # int-with-NULLs becomes float64 on either side; the driver sees
+        # the same coercion on both frames only when both have nulls, so
+        # only forgive int/float when the float side actually holds NaN.
+        and not (
+            {s_kinds[c], o_kinds[c]} == {"int", "float"}
+            and (
+                (s_kinds[c] == "float" and s_pdf[c].isna().any())
+                or (o_kinds[c] == "float" and o_pdf[c].isna().any())
+            )
+        )
+    }
+    assert not mismatched, f"{name}: pandas dtype drift {mismatched}"
 
 
 def compare_query(spark, name: str, fn, oracle: str, sf_dir: str) -> None:

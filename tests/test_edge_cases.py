@@ -88,3 +88,42 @@ def test_sampling_on_empty_and_empty_text(spark):
         rolling_fingerprint(tokens("text")).alias("fp"),
     ).collect()[0]
     assert row.nt == 0 and row.nb == 0 and row.fp == 0
+
+
+def test_harness_catches_decimal_vs_double_drift(spark, sf_dir):
+    """The local harness must fail when Spark emits decimal where the
+    oracle emits DOUBLE (round-1 q73 escaped because Decimal was coerced
+    to float before comparing). Both value- and dtype-level checks must
+    reject it."""
+    import pytest
+
+    from tests.oracle_utils import check_dtype_parity, compare_query
+
+    def bad_query(spark_, sf):
+        df = spark_.read.parquet(f"{sf}/region.parquet")
+        return df.select(
+            "r_regionkey",
+            F.lit("1.5").cast("decimal(10,6)").alias("x"),
+        )
+
+    oracle = "SELECT r_regionkey, CAST(1.5 AS DOUBLE) AS x FROM region"
+    with pytest.raises(AssertionError):
+        compare_query(spark, "drift_probe", bad_query, oracle, sf_dir)
+    with pytest.raises(AssertionError):
+        check_dtype_parity(spark, "drift_probe", bad_query, oracle, sf_dir)
+
+
+def test_harness_catches_int_vs_float_dtype_drift(spark, sf_dir):
+    """Round-1 q75 class: value-identical results whose pandas dtypes
+    diverge (int64 vs float64) must fail the dtype check."""
+    import pytest
+
+    from tests.oracle_utils import check_dtype_parity
+
+    def int_query(spark_, sf):
+        df = spark_.read.parquet(f"{sf}/region.parquet")
+        return df.select("r_regionkey", F.lit(0).cast("long").alias("z"))
+
+    oracle = "SELECT r_regionkey, CAST(0.0 AS DOUBLE) AS z FROM region"
+    with pytest.raises(AssertionError):
+        check_dtype_parity(spark, "drift_probe2", int_query, oracle, sf_dir)

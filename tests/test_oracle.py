@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from dbkit_spark.catalog import load_all
-from tests.oracle_utils import compare_query
+from tests.oracle_utils import check_dtype_parity, compare_query
 
 CATALOG = load_all()
 WITH_ORACLE = sorted(name for name, spec in CATALOG.items() if spec.oracle)
@@ -17,6 +17,14 @@ ROWS_ONLY = sorted(name for name, spec in CATALOG.items() if not spec.oracle)
 def test_oracle_match(spark, sf_dir, name):
     spec = CATALOG[name]
     compare_query(spark, name, spec.fn, spec.oracle, sf_dir)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_dtype_parity(spark, sf_dir, name):
+    """Pandas-dtype emulation of the driver's hash: catches int-vs-float
+    and decimal-vs-double drift that tuple compares coerce away."""
+    spec = CATALOG[name]
+    check_dtype_parity(spark, name, spec.fn, spec.oracle, sf_dir)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
