@@ -289,5 +289,11 @@ def minhash_incremental_pairs(
     in_batch = lsh_candidate_pairs(bands_n)
     cands = cross.unionByName(in_batch).distinct()
 
-    all_shingles = sh_corpus.unionByName(sh_new)
+    # New batch wins on id collision: a re-ingested doc_id present in both
+    # sides would otherwise contribute two shingle rows, and jaccard_verify's
+    # joins would emit duplicate (doc_a, doc_b) pairs — with conflicting
+    # jaccard values if the text changed.
+    all_shingles = sh_new.unionByName(
+        sh_corpus.join(sh_new.select("doc_id"), "doc_id", "left_anti")
+    )
     return jaccard_verify(cands, all_shingles, threshold)

@@ -71,6 +71,12 @@ def asof_join(
 
     direction="backward": latest right row with rtime <= ltime.
     direction="forward":  earliest right row with rtime >= ltime.
+
+    Ties (multiple right rows sharing key + timestamp) are broken
+    deterministically by the greatest right-side payload tuple — the
+    window orderBy includes the payload columns, so the survivor does not
+    depend on partition layout. Map-typed right columns are excluded from
+    the tiebreak (not orderable in Spark).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -95,26 +101,45 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    from pyspark.sql.types import MapType
+
+    tiebreak = [
+        F.col(f"__r_{c}").asc_nulls_first()
+        for c in rcols
+        if not isinstance(right.schema[c].dataType, MapType)
+    ]
     if direction == "backward":
-        # right rows sort before left rows at equal time => <= semantics
+        # right rows sort before left rows at equal time => <= semantics;
+        # payload tiebreak makes the equal-time survivor deterministic
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc(), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
 
+    if not rcols:
+        return unioned.filter(F.col("__is_left") == 1).select(
+            *[F.col(c) for c in lcols]
+        )
+    # Carry the matched right row as ONE struct: per-column last(ignorenulls)
+    # would mix values from different right rows whenever payloads contain
+    # nulls (column-wise LOCF, not row-wise as-of semantics).
+    r_struct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(*[F.col(f"__r_{c}").alias(c) for c in rcols]),
+    )
     filled = unioned.select(
-        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols]
+        "*", F.last(r_struct, ignorenulls=True).over(w).alias("__r")
     )
     out = filled.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__f_{c}").alias(c + suffix if c in lcols else c) for c in rcols],
+        *[F.col("__r")[c].alias(c + suffix if c in lcols else c) for c in rcols],
     )
     return out
 

@@ -56,7 +56,13 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # Returning the memory sink here would silently truncate the
+            # result to whatever batches completed before the deadline.
+            raise TimeoutError(
+                f"streaming query {name} did not finish within {timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -192,3 +192,24 @@ def test_incremental_dedup_no_self_pairs_on_reingest(spark):
     )
     out = minhash_incremental_pairs(corpus, new_batch, threshold=0.5).collect()
     assert all(r.doc_a != r.doc_b for r in out), out
+
+
+def test_incremental_dedup_reingest_single_shingle_row(spark):
+    """Regression: a doc_id present in BOTH corpus and new batch (text
+    changed) must contribute exactly one shingle row to verification —
+    new batch wins — so each candidate pair appears once, with jaccard
+    computed against the new text."""
+    from dbkit_spark.llm.dedup import minhash_incremental_pairs
+
+    base = "the quick brown fox jumps over the lazy dog by the river bank"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " today")], "doc_id long, text string"
+    )
+    # doc 1 re-ingested with slightly changed text
+    new_batch = spark.createDataFrame(
+        [(1, base + " again")], "doc_id long, text string"
+    )
+    rows = minhash_incremental_pairs(corpus, new_batch, threshold=0.3).collect()
+    pairs = [(r.doc_a, r.doc_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), f"duplicate pair rows: {rows}"
+    assert all(a != b for a, b in pairs)

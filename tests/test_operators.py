@@ -160,6 +160,32 @@ def test_asof_equal_ts_inclusive(spark):
     assert [r.val for r in out.collect()] == [7.0]
 
 
+def test_asof_tie_deterministic_and_row_atomic(spark):
+    """Two right rows share key+timestamp: the survivor must be (a) the same
+    across repartitionings (greatest payload tuple wins) and (b) one
+    coherent ROW — per-column carry-forward must not mix val from one tied
+    row with tag from another when payloads contain nulls."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, t string"
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", None, "a"),
+            (1, "2024-01-01 09:00:00", 5.0, None),
+        ],
+        "k long, t string, val double, tag string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "val", "tag")
+    for nparts in (1, 7):
+        out = asof_join(
+            left, right.repartition(nparts), on_key="k", on_time="t"
+        )
+        rows = out.collect()
+        assert len(rows) == 1
+        # greatest payload tuple: (5.0, None) > (None, 'a') with
+        # nulls-first ascending ordering => last row in frame wins whole
+        assert (rows[0].val, rows[0].tag) == (5.0, None)
+
+
 # --- range join produces no duplicate/missing matches ----------------------
 def test_range_join_exact(spark):
     left = spark.createDataFrame([(1, 5.0), (2, 12.0), (3, 27.0)], "id long, x double")
