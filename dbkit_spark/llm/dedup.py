@@ -225,6 +225,72 @@ def simhash_signatures(
     )
 
 
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    max_distance: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-dup pairs within
+    ``max_distance`` differing bits, from ``simhash_signatures`` output.
+
+    Pigeonhole banding: the signature is split into ``max_distance + 1``
+    contiguous blocks; any pair with <= d differing bits agrees *exactly*
+    on at least one block, so an equi-join on (block_idx, block_value)
+    finds every qualifying pair while never comparing all n² — same scale
+    shape as MinHash LSH banding (one shuffle on the band key, bucket
+    sizes bounded by block-collision rates). Popcount verification runs
+    only on bucket collisions, via 30-bit chunk XOR (integer ops, exact
+    in any engine — the DuckDB oracle uses BITSTRING xor + bit_count).
+
+    Completes the SimHash family: ``simhash_signatures`` emits signatures
+    (reference has no near-dup operator at all; dedup family per
+    SURVEY.md §2.11).
+    """
+    if not 0 <= max_distance < bits:
+        raise ValueError("max_distance must be in [0, bits)")
+    nb = max_distance + 1
+    width = bits // nb
+    bands = []
+    for b in range(nb):
+        start = b * width + 1
+        w = width if b < nb - 1 else bits - width * (nb - 1)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                F.substring("simhash", start, w).alias("v"),
+            )
+        )
+    band_rows = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
+    )
+    a = band_rows.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "bk"
+    )
+    b_ = band_rows.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "bk"
+    )
+    cands = (
+        a.join(b_, "bk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sig_a", "doc_b", "sig_b")
+        .distinct()
+    )
+    # exact Hamming distance: XOR 30-bit integer chunks and popcount
+    # (conv(bitstr, 2, 10) of <= 30 chars fits a long with headroom)
+    chunk_w = 30
+    hamming = F.lit(0)
+    for start in range(1, bits + 1, chunk_w):
+        w = min(chunk_w, bits - start + 1)
+        ca = F.conv(F.substring("sig_a", start, w), 2, 10).cast("long")
+        cb = F.conv(F.substring("sig_b", start, w), 2, 10).cast("long")
+        hamming = hamming + F.bit_count(ca.bitwiseXOR(cb))
+    return (
+        cands.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

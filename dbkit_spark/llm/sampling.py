@@ -86,22 +86,35 @@ def pack_by_token_budget(
     id_col: str,
     token_col: str,
     budget: int,
+    shard_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Assign docs to chunk-offset batches: running token total in id
     order; batch_id = how many full budgets precede this doc's start offset.
 
-    The window is unpartitioned (single total order) — correct but
-    single-reducer for the cumsum at huge scale; shard first (e.g. by
-    split/date) and pack within shards, exactly as real pipelines do.
+    ``shard_by`` (column name(s)) packs independently *within each shard* —
+    the window partitions on the shard key, so the cumsum distributes
+    across reducers instead of collapsing to one. This is the 100 TB path:
+    shard by split/date/source exactly as real pipelines do, and batch
+    ids are (shard, batch_id) pairs. With ``shard_by=None`` the window is
+    unpartitioned (single total order) — correct, deterministic, but
+    single-reducer; only for small/medium inputs.
+
     Concat-then-chunk semantics: a doc belongs to the batch where its
     stream offset starts, so an oversized doc shares its batch with the
     docs before it in the same chunk window and spills past the boundary
     (it is never dropped); callers that must isolate or reject oversized
     docs should filter on ``token_col > budget`` first.
     """
-    w = Window.orderBy(F.col(id_col))
+    if shard_by is None:
+        w = Window.orderBy(F.col(id_col))
+        extra: list[str] = []
+    else:
+        shards = [shard_by] if isinstance(shard_by, str) else list(shard_by)
+        w = Window.partitionBy(*shards).orderBy(F.col(id_col))
+        extra = shards
     cum = F.sum(F.col(token_col)).over(w)
     return df.select(
+        *extra,
         id_col,
         token_col,
         ((cum - F.col(token_col)) / F.lit(budget)).cast("long").alias("batch_id"),

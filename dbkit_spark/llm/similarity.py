@@ -118,14 +118,22 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_fraction: float | None = None,
+    min_fit_rows: int = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: KMeans (spark.ml, fixed seed) over the corpus.
+    """IVF coarse quantizer: KMeans (spark.ml, fixed seed), fit on a
+    bounded sample, assignment map-side over the full corpus.
 
     Returns ``(assigned, centroids)`` — the corpus with a ``cluster``
-    column, and the tiny (n_clusters × dim) centroid table. At 100 TB the
-    model is fit on a sample, centroids broadcast everywhere, and
-    assignment is a map-only pass; the index shards the corpus so a query
-    touches only nprobe/n_clusters of it.
+    column, and the tiny (n_clusters × dim) centroid table. The iterative
+    KMeans job only ever sees ``fit_sample_fraction`` of the corpus
+    (deterministic Bernoulli sample, seeded); ``model.transform`` is a
+    broadcast-centroids map-only pass over everything, so at 100 TB the
+    expensive multi-pass fit scales with the sample, not the data. The
+    sample floor (``min_fit_rows``) keeps tiny-SF fits from starving:
+    if the fraction would undershoot it, the fraction is raised to target
+    the floor (capped at 1.0). ``fit_sample_fraction=None`` fits on
+    everything (exact legacy behavior for small corpora).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -135,9 +143,19 @@ def ivf_index(
         vec_col,
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
     )
+    fit_input = feat
+    if fit_sample_fraction is not None:
+        if not 0.0 < fit_sample_fraction <= 1.0:
+            raise ValueError("fit_sample_fraction must be in (0, 1]")
+        frac = fit_sample_fraction
+        n = corpus.count()
+        if n * frac < min_fit_rows:
+            frac = min(1.0, min_fit_rows / max(n, 1))
+        if frac < 1.0:
+            fit_input = feat.sample(fraction=frac, seed=seed)
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster"
-    ).fit(feat)
+    ).fit(fit_input)
     assigned = model.transform(feat).select(id_col, vec_col, "cluster")
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(

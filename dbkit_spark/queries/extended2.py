@@ -222,7 +222,9 @@ def q64_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q65_ann_ivf",
     oracle=None,
     notes="IVF ANN (llm/similarity.ivf_index/ivf_topk): KMeans coarse "
-    "quantizer, nprobe-cluster search. Approximate + iterative (KMeans) -> "
+    "quantizer fit on a bounded sample (the 100 TB path — the iterative "
+    "fit scales with the sample; assignment is map-only over the corpus), "
+    "nprobe-cluster search. Approximate + iterative (KMeans) -> "
     "rows-only for the driver; recall vs exact cosine_topk is "
     "pytest-asserted in tests/test_scale.py",
 )
@@ -230,7 +232,11 @@ def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import ivf_index, ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_index(emb, n_clusters=16)
+    # min_fit_rows floor makes this fit on everything at tiny SF (results
+    # unchanged) while capping the KMeans input at scale
+    assigned, centroids = ivf_index(
+        emb, n_clusters=16, fit_sample_fraction=0.25
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(queries, assigned, centroids, k=5, nprobe=3)
 
@@ -652,6 +658,28 @@ def q77_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return pack_by_token_budget(docs, "doc_id", "n_chars", budget=50000)
+
+
+@register(
+    "q84_token_packing_sharded",
+    oracle="""
+    SELECT lang, doc_id, n_chars,
+           CAST(floor((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_chars) / 20000.0) AS BIGINT) AS batch_id
+    FROM documents
+    """,
+    notes="sharded sequence packing (llm/sampling.pack_by_token_budget "
+    "shard_by): the cumsum window partitions on the shard key, so packing "
+    "distributes across reducers — no single-partition Exchange (plan-"
+    "asserted in tests/test_plans.py); the 100 TB form of q77",
+)
+def q84_token_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import pack_by_token_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_by_token_budget(
+        docs, "doc_id", "n_chars", budget=20000, shard_by="lang"
+    )
 
 
 @register(

@@ -34,6 +34,7 @@ from ..llm.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    simhash_candidate_pairs,
     simhash_signatures,
 )
 from ..llm.multimodal import decode_features, with_binary_payload
@@ -123,29 +124,69 @@ def q40_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- B6: SimHash signatures ------------------------------------------------
-@register(
-    "q41_simhash",
-    oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(t) AS token FROM ({_TOKS_SQL})
-    ),
-    votes AS (
+# (doc_id, simhash) as a reusable fragment: q41 emits it, q83 pairs on it.
+_SIMHASH_SIG_SQL = f"""
+    SELECT doc_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM (
       SELECT doc_id, j,
              SUM(2 * ((CAST(strpos('0123456789abcdef',
                        substr(md5(token), CAST(floor(j / 4) AS INT) + 1, 1)) AS INT) - 1)
                       >> (3 - (j % 4)) & 1) - 1) AS s
-      FROM tok, range({SIMHASH_BITS}) r(j)
+      FROM (SELECT DISTINCT doc_id, unnest(t) AS token FROM ({_TOKS_SQL})) tok,
+           range({SIMHASH_BITS}) r(j)
       GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+    ) votes
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "q41_simhash",
+    oracle=_SIMHASH_SIG_SQL,
     notes="60-bit portable SimHash from per-token md5 bit votes",
 )
 def q41_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return simhash_signatures(docs)
+
+
+_SIMHASH_D = 3  # max Hamming distance for q83
+_SIMHASH_BAND_W = SIMHASH_BITS // (_SIMHASH_D + 1)
+
+
+@register(
+    "q83_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, b,
+             substr(simhash, 1 + b * {_SIMHASH_BAND_W}, {_SIMHASH_BAND_W}) AS v
+      FROM sig, range({_SIMHASH_D + 1}) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                      b.doc_id AS doc_b, b.simhash AS sig_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v
+                                AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT)))
+                  AS BIGINT) AS hamming
+      FROM cand
+    ) t WHERE hamming <= {_SIMHASH_D}
+    """,
+    notes="SimHash near-dup pairing: pigeonhole banding (d+1 blocks; a pair "
+    "within Hamming d agrees exactly on >= 1 block) replaces n² compare with "
+    "a band-key equi-join; popcount verify on bucket collisions only — the "
+    "oracle uses DuckDB BITSTRING xor+bit_count, Spark uses 30-bit chunk "
+    "conv+bitwiseXOR+bit_count",
+)
+def q83_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_candidate_pairs(sigs, max_distance=_SIMHASH_D)
 
 
 # --- B6: exact n-gram Jaccard pairs ----------------------------------------

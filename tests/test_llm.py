@@ -59,6 +59,29 @@ def test_simhash_similar_docs_close(spark):
     assert ham12 < ham13, f"near-dup hamming {ham12} !< unrelated {ham13}"
 
 
+def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole banding must find EVERY pair within max Hamming distance
+    (it's exact, not approximate): compare against the n² brute force on a
+    small corpus slice."""
+    from dbkit_spark.llm.dedup import simhash_candidate_pairs, simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    sigs = simhash_signatures(docs)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_candidate_pairs(sigs, max_distance=8).collect()
+    }
+    local = {r.doc_id: r.simhash for r in sigs.collect()}
+    ids = sorted(local)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(local[a], local[b]))
+            if h <= 8:
+                expect.add((a, b, h))
+    assert got == expect
+
+
 def test_cosine_topk_self_excluded_ranked(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     out = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=4).collect()

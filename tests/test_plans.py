@@ -63,6 +63,17 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_sharded_packing_no_single_partition_exchange(spark, sf_dir):
+    """q84: the shard_by window must distribute — no Exchange
+    SinglePartition anywhere in the final plan (q77's unsharded form has
+    exactly that, by design and documented)."""
+    df = CATALOG["q84_token_packing_sharded"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in final, final
+    assert "hashpartitioning(lang" in final, final
+
+
 # Streaming-replay queries execute on construction (availableNow run);
 # building their DataFrame is not a pure plan inspection — exclude them.
 _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
