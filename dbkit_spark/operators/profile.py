@@ -18,15 +18,16 @@ from pyspark.sql import functions as F
 def profile_table(
     df: DataFrame,
     columns: Sequence[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """One row per column: (column, n, n_null, n_distinct, min_str, max_str).
 
-    - ``exact_distinct=True`` (default, oracle parity): each countDistinct
-      adds an Expand duplication of the input — n distinct columns cost
-      ~n x the scan. At 100 TB call with ``exact_distinct=False``:
+    - ``exact_distinct=False`` (default — the 100 TB behavior):
       approx_count_distinct (HLL++) keeps the whole profile a single
-      non-expanded aggregation pass.
+      non-expanded aggregation pass. Opt in to ``exact_distinct=True``
+      for oracle-parity exact counts: each countDistinct adds an Expand
+      duplication of the input — n distinct columns cost ~n x the scan
+      (measured 3.4x at sf0.1; BASELINE.md secondary table).
     - min/max rendered as strings so numeric/temporal/text columns share
       one schema
     """

@@ -450,16 +450,17 @@ def q71_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_frame_sample",
     oracle=None,
     notes="multimodal frame sampling (llm/multimodal.sample_frames): one "
-    "binary payload row fans out to 4 frame rows via mapInPandas, no "
-    "shuffle; decode stubbed (no codec libs here), plumbing real. "
-    "Rows-only: DuckDB 1.0 lacks BLOB substring for a byte-exact oracle; "
-    "fan-out counts + partition alignment are pytest-asserted in test_llm.py",
+    "binary payload row (REAL BMP/PPM bytes, see q85) fans out to 4 frame "
+    "rows via mapInPandas, no shuffle; frame slicing is content-agnostic, "
+    "plumbing real. Rows-only: DuckDB 1.0 lacks BLOB substring for a "
+    "byte-exact oracle; fan-out counts + partition alignment are "
+    "pytest-asserted in test_llm.py",
 )
 def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llm.multimodal import sample_frames, with_binary_payload
+    from ..llm.multimodal import sample_frames, with_image_payload
 
     docs = read_table(spark, sf_dir, "documents")
-    return sample_frames(with_binary_payload(docs), n_frames=4).select(
+    return sample_frames(with_image_payload(docs), n_frames=4).select(
         "doc_id", "frame_idx", "frame_len"
     )
 
@@ -590,8 +591,12 @@ def q75_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
     orders = read_table(spark, sf_dir, "orders")
+    # exact_distinct opt-in: the API default is approx (the 100 TB path);
+    # the oracle computes exact COUNT(DISTINCT), so this query pins exact.
     return profile_table(
-        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        exact_distinct=True,
     )
 
 

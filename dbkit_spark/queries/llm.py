@@ -404,3 +404,49 @@ def q49_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("feat_mean", 6).alias("feat_mean"),
         "feat_dim",
     )
+
+
+@register(
+    "q85_image_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS img_format,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           round(CAST(4 + doc_id % 13 AS DOUBLE) / (3 + doc_id % 7), 6)
+             AS aspect,
+           CAST(CASE WHEN doc_id % 2 = 0
+             THEN 54 + (3 * (4 + doc_id % 13)
+                        + (4 - (3 * (4 + doc_id % 13)) % 4) % 4)
+                       * (3 + doc_id % 7)
+             ELSE length('P6' || chr(10) || CAST(4 + doc_id % 13 AS VARCHAR)
+                         || ' ' || CAST(3 + doc_id % 7 AS VARCHAR)
+                         || chr(10) || '255' || chr(10))
+                  + 3 * (4 + doc_id % 13) * (3 + doc_id % 7)
+           END AS BIGINT) AS payload_len
+    FROM documents
+    """,
+    notes="REAL image decode (llm/multimodal.parse_image_meta): BMP/PPM "
+    "payloads are synthesized per row (dims derived from doc_id), then "
+    "width/height/bpp are parsed back from the actual bytes in mapInPandas "
+    "— the oracle derives the expected metadata independently from the "
+    "same id formula, so a writer OR parser bug mismatches; the stub "
+    "remains only for codec formats needing external libs",
+)
+def q85_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import decode_image_meta, with_image_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    meta = decode_image_meta(with_image_payload(docs))
+    return meta.select(
+        "doc_id",
+        "img_format",
+        "width",
+        "height",
+        "bpp",
+        # JVM-side rounding of the parsed dims (engine-parity with the
+        # oracle's round); the operator's python-side aspect is equivalent
+        F.round(F.col("width") / F.col("height"), 6).alias("aspect"),
+        "payload_len",
+    )

@@ -257,3 +257,56 @@ def q33_vector_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "id_a")
         .select("id_a", "id_b", F.round(cosine("ea", "eb"), 6).alias("cos_sim"))
     )
+
+
+@register(
+    "q86_cast_matrix",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS INT) AS d2i,
+           CAST(trunc(-o_totalprice) AS INT) AS d2i_neg,
+           CAST(trunc(o_totalprice) AS BIGINT) AS d2l,
+           CAST(o_orderkey AS VARCHAR) AS i2s,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INT) AS s2i_ok,
+           TRY_CAST('x' || CAST(o_orderkey AS VARCHAR) AS INT) AS s2i_bad,
+           TRY_CAST(o_orderkey * 3000000000 AS INT) AS l2i_over,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS d2dec_s,
+           CAST(trunc(o_totalprice) AS INT) AS dec2i,
+           CAST('1.5e' || CAST(o_orderkey % 3 AS VARCHAR) AS DOUBLE) AS s2d_sci,
+           TRY_CAST(CAST(o_totalprice AS VARCHAR) || 'junk' AS DOUBLE) AS s2d_bad,
+           CAST(CAST(o_orderkey % 2 AS INT) AS BOOLEAN) AS i2b,
+           CAST(CAST(o_orderkey % 256 AS FLOAT) AS DOUBLE) AS i2f2d
+    FROM orders
+    """,
+    notes="cast-matrix (reference CastExpr stub, expression/convert.rs:13-34): "
+    "int/long/float/double/decimal/string/bool casts incl. overflow (try_cast "
+    "-> NULL, both engines), bad-string parses, scientific notation, and the "
+    "documented semantic divergence: Spark ANSI truncates double/decimal->int "
+    "toward zero while DuckDB rounds — the oracle encodes Spark's semantics "
+    "via trunc(), making the intended behavior explicit and testable",
+)
+def q86_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    dec = price.cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey",
+        price.cast("int").alias("d2i"),
+        (-price).cast("int").alias("d2i_neg"),
+        price.cast("long").alias("d2l"),
+        okey.cast("string").alias("i2s"),
+        okey.cast("string").try_cast("int").alias("s2i_ok"),
+        F.concat(F.lit("x"), okey.cast("string")).try_cast("int").alias("s2i_bad"),
+        (okey * F.lit(3000000000).cast("long")).try_cast("int").alias("l2i_over"),
+        dec.cast("string").alias("d2dec_s"),
+        dec.cast("int").alias("dec2i"),
+        F.concat(F.lit("1.5e"), (okey % 3).cast("string"))
+        .cast("double")
+        .alias("s2d_sci"),
+        F.concat(price.cast("string"), F.lit("junk"))
+        .try_cast("double")
+        .alias("s2d_bad"),
+        (okey % 2).cast("int").cast("boolean").alias("i2b"),
+        (okey % 256).cast("float").cast("double").alias("i2f2d"),
+    )

@@ -104,6 +104,44 @@ def test_ann_bucket_pairs_are_exact_cosine(spark, sf_dir):
         assert -1.0 <= r.cos_sim <= 1.0
 
 
+def test_bmp_ppm_encode_parse_byte_exact():
+    """Pure-Python codec round-trip: parse must recover exactly what the
+    writer encoded, and the writer's bytes must match the BMP/PPM specs on
+    a hand-checked golden example."""
+    from dbkit_spark.llm.multimodal import encode_bmp, encode_ppm, parse_image_meta
+
+    for w, h, seed in [(1, 1, 0), (2, 3, 7), (13, 5, 250), (16, 9, 42)]:
+        assert parse_image_meta(encode_bmp(w, h, seed)) == ("bmp", w, h, 24)
+        assert parse_image_meta(encode_ppm(w, h, seed)) == ("ppm", w, h, 24)
+
+    # golden 2x2 BMP: 54-byte header + 2 rows of (2*3 bytes + 2 pad)
+    b = encode_bmp(2, 2, seed=0)
+    assert len(b) == 54 + 2 * (6 + 2)
+    assert b[:2] == b"BM"
+    assert int.from_bytes(b[2:6], "little") == len(b)
+    assert int.from_bytes(b[10:14], "little") == 54  # pixel data offset
+    assert int.from_bytes(b[14:18], "little") == 40  # BITMAPINFOHEADER
+    assert int.from_bytes(b[18:22], "little") == 2
+    assert int.from_bytes(b[22:26], "little") == 2
+    assert int.from_bytes(b[28:30], "little") == 24
+    # bottom row first: pixel (0,0) = seed 0 -> B,G,R = 0,0,0; (1,0) -> 31,217,147
+    assert b[54:60] == bytes((0, 0, 0, 31, (31 * 7) % 256, (31 * 13) % 256))
+    assert b[60:62] == b"\x00\x00"  # row padding
+
+    # golden PPM header + first pixel
+    p = encode_ppm(2, 2, seed=0)
+    assert p[: len(b"P6\n2 2\n255\n")] == b"P6\n2 2\n255\n"
+    assert len(p) == len(b"P6\n2 2\n255\n") + 12
+
+    # top-down BMP (negative height) and PPM comments parse correctly
+    neg = bytearray(encode_bmp(3, 2, 1))
+    neg[22:26] = (-2).to_bytes(4, "little", signed=True)
+    assert parse_image_meta(bytes(neg)) == ("bmp", 3, 2, 24)
+    commented = b"P6\n# a comment\n4 5\n255\n" + b"\x00" * 60
+    assert parse_image_meta(commented) == ("ppm", 4, 5, 24)
+    assert parse_image_meta(b"\x89PNG\r\n")[0] == "unknown"
+
+
 def test_multimodal_plumbing_roundtrip(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
     feats = {r.doc_id: r for r in decode_features(with_binary_payload(df)).collect()}
