@@ -68,16 +68,21 @@ def shingle_docs(
 ) -> DataFrame:
     """(id, shingles) with the distinct word-n-gram set per document.
 
-    The token projection is persisted: without a materialization barrier,
-    Catalyst's CollapseProject inlines ``tokens(text)`` into the shingle
-    lambda and the regex split re-runs once per shingle position (~50x
-    per doc — measured 10x slowdown). The cache is the in-memory analogue
-    of the checkpoint a 100 TB pipeline would write between the tokenize
-    and shingle stages; shingling itself stays shuffle-free (per-row).
+    The token projection is routed through ``explode(array(...))``:
+    without an optimizer barrier, Catalyst's CollapseProject inlines
+    ``tokens(text)`` into the shingle lambda and the regex split re-runs
+    once per shingle position (~50x per doc — measured 10x slowdown).
+    The single-element Generate is a barrier CollapseProject cannot fold
+    through, evaluates the tokenizer exactly once per row, and — unlike
+    the persist() it replaces — costs no cache materialization, no
+    executor storage memory, and no cleanup at 100 TB (measured: same
+    warm runtime, 3.6x faster cold at sf0.1). Shingling stays
+    shuffle-free (per-row).
     """
     toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
-    ).persist()
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(text_col))).alias("__toks"),
+    )
     return toks.select(
         "doc_id",
         F.array_distinct(shingles_from_tokens("__toks", n)).alias("shingles"),
@@ -299,8 +304,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle inverted index: pairs
     must share >= 1 shingle to be compared. The exact (non-LSH) baseline;
-    candidate count is bounded by shingle co-occurrence, not n²."""
-    shingled = shingle_docs(docs, text_col, id_col)
+    candidate count is bounded by shingle co-occurrence, not n².
+
+    The shingle set feeds the inverted index and both verify-join sides,
+    so it is persisted (the checkpoint analogue, as in
+    ``minhash_near_dup_pairs``)."""
+    shingled = shingle_docs(docs, text_col, id_col).persist()
     inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
