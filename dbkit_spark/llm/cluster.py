@@ -1,0 +1,122 @@
+"""Dedup clustering: near-dup pairs → connected components → survivors.
+
+Pair emission (``llm/dedup.py``) is only half a dedup pipeline: to
+actually drop documents you need the transitive closure of the pair
+graph (A~B, B~C ⇒ {A,B,C} is one duplicate cluster) and a deterministic
+survivor per cluster. The reference has no dedup surface at all
+(SURVEY.md §2.11); this is the standard production shape.
+
+Scale design
+------------
+``connected_components`` is iterative min-label propagation:
+``label(v) ← min(label(v), min label of neighbors)`` until fixpoint.
+Each round is one equi-join (messages along edges) + one groupBy (min
+per vertex) — two key-partitioned shuffles, no driver-side graph state,
+no collect. Rounds needed = graph diameter, and near-dup graphs are
+piles of tiny dense cliques (diameter 2–4), so the loop converges in a
+handful of rounds; ``max_iter`` guards against pathological chains, and
+convergence is detected with a decimal-summed label aggregate (labels
+only ever decrease; an unchanged sum ⇒ fixpoint) — an O(1)-result
+action per round, overflow-safe at any corpus size. For adversarial
+high-diameter graphs the literature's large-star/small-star contraction
+halves diameter per round; near-dup dedup does not need it and the
+simple loop keeps every round a plain AQE-optimized join.
+
+Intermediate labels are persisted per round and the previous round
+unpersisted — bounded storage (one label table), the in-memory analogue
+of the per-round table a 100 TB job would checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs``; cluster_id =
+    min id reachable through the pair graph. Raises ``RuntimeError`` if
+    ``max_iter`` rounds don't reach the fixpoint (diameter > max_iter)."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    # decimal(38,0) sum: monotone non-increasing, equality ⇒ converged
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    ).collect()[0][0]
+
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges["src"] == labels["id"], "inner"
+        ).select(F.col("dst").alias("id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            edges.unpersist()
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pair-graph diameter exceeds max_iter)"
+    )
+
+
+def assign_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``docs`` + a ``cluster_id`` column: component min-id for docs in
+    the pair graph, own id for singletons (left join + coalesce — the
+    component table is tiny next to the corpus and broadcasts)."""
+    comp = connected_components(pairs, a_col, b_col, max_iter).withColumnRenamed(
+        "id", "__cc_id"
+    )
+    return (
+        docs.join(comp, docs[id_col] == comp["__cc_id"], "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .drop("__cc_id")
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The deduplicated corpus: one deterministic survivor (min id) per
+    duplicate cluster, singletons kept. Equivalent to an anti-join of
+    ``docs`` against non-survivor ids — expressed as a filter on the
+    cluster assignment so both steps share one component computation."""
+    return (
+        assign_clusters(docs, pairs, id_col, a_col, b_col, max_iter)
+        .filter(F.col(id_col) == F.col("cluster_id"))
+        .drop("cluster_id")
+    )

@@ -82,11 +82,11 @@ def q39_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- B6: MinHash-LSH near-dup ----------------------------------------------
-@register(
-    "q40_dedup_minhash",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+# MinHash-LSH pipeline as a reusable CTE chain ending in `mh_pairs`
+# (doc_a < doc_b, jaccard >= 0.5) — shared by q40, q87, q88 so the
+# clustering oracles are built on the bit-identical pair set.
+_MINHASH_CTES = f"""
+    sh AS ({_SHINGLES_SQL}),
     shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     hx AS (
       SELECT doc_id,
@@ -109,10 +109,21 @@ def q39_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    mh_pairs AS (
+      SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {_JACCARD_SQL} >= 0.5
     )
-    SELECT c.doc_a, c.doc_b, round({_JACCARD_SQL}, 6) AS jaccard
-    FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE {_JACCARD_SQL} >= 0.5
+"""
+
+
+# --- B6: MinHash-LSH near-dup ----------------------------------------------
+@register(
+    "q40_dedup_minhash",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM mh_pairs
     """,
     notes="MinHash(K=16) + LSH(8 bands x 2 rows) candidates + exact Jaccard "
     "verify at 0.5; md5-portable so the oracle reproduces the bucketing",
@@ -449,4 +460,66 @@ def q85_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's round); the operator's python-side aspect is equivalent
         F.round(F.col("width") / F.col("height"), 6).alias("aspect"),
         "payload_len",
+    )
+
+
+# --- B6: dedup clustering (pairs → connected components → survivors) -------
+# The oracle closes the same pair graph with a recursive CTE: reach(id, r)
+# holds "r reaches id"; min(r) per id is the component min-id label —
+# independent of Spark's iteration order, so a propagation bug mismatches.
+_REACH_CTES = f"""
+    {_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+"""
+
+
+@register(
+    "q87_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_REACH_CTES}
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    notes="near-dup transitive closure (llm/cluster.connected_components): "
+    "min-label propagation over the q40 pair graph, one join + one min-agg "
+    "shuffle per round, rounds = graph diameter (2-4 for near-dup cliques), "
+    "decimal-summed convergence action; singletons keep their own id. The "
+    "oracle computes the same labels order-independently via recursive-CTE "
+    "reachability",
+)
+def q87_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.cluster import assign_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return assign_clusters(docs, pairs).select("doc_id", "cluster_id")
+
+
+@register(
+    "q88_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_REACH_CTES}
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
+    """,
+    notes="deduplicated corpus (llm/cluster.dedup_survivors): deterministic "
+    "min-id survivor per duplicate cluster, singletons kept — the step that "
+    "actually shrinks a training corpus; shares one component computation "
+    "with the cluster assignment",
+)
+def q88_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.cluster import dedup_survivors
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return dedup_survivors(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
     )

@@ -274,3 +274,43 @@ def test_incremental_dedup_reingest_single_shingle_row(spark):
     pairs = [(r.doc_a, r.doc_b) for r in rows]
     assert len(pairs) == len(set(pairs)), f"duplicate pair rows: {rows}"
     assert all(a != b for a, b in pairs)
+
+
+def test_connected_components_propagation_and_guards(spark):
+    from dbkit_spark.llm.cluster import (
+        assign_clusters,
+        connected_components,
+        dedup_survivors,
+    )
+
+    # two components: a 4-chain (diameter 3) and a pair; min-id labels
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21)], "doc_a long, doc_b long"
+    )
+    cc = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    # diameter exceeding max_iter must raise, not return partial labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1)
+
+    # singletons keep their own id; survivors = one min-id per cluster
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [10, 11, 12, 13, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    assigned = {
+        r.doc_id: r.cluster_id for r in assign_clusters(docs, pairs).collect()
+    }
+    assert assigned[99] == 99 and assigned[13] == 10
+    survivors = sorted(r.doc_id for r in dedup_survivors(docs, pairs).collect())
+    assert survivors == [10, 20, 99]
+
+    # empty pair set: everything is a singleton survivor
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_survivors(docs, empty).count() == docs.count()
