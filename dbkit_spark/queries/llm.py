@@ -523,3 +523,47 @@ def q88_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(docs, pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --- benchmark decontamination ---------------------------------------------
+def _shingles_sql_n(n: int) -> str:
+    """n-word shingle SQL, the parametric version of ``_SHINGLES_SQL``."""
+    terms = ", ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-{n - 1}),
+         i -> concat_ws(' ', {terms}))) AS shingles
+  FROM ({_TOKS_SQL}) WHERE len(t) >= {n}
+"""
+
+
+@register(
+    "q89_decontaminate",
+    oracle=f"""
+    WITH sh8 AS ({_shingles_sql_n(8)}),
+    bg AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh8
+           WHERE doc_id % 20 = 0),
+    cg AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh8
+           WHERE doc_id % 20 <> 0),
+    hits AS (SELECT cg.doc_id, COUNT(DISTINCT cg.shingle) AS n_hit_ngrams
+             FROM cg JOIN bg USING (shingle) GROUP BY cg.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+           COALESCE(h.n_hit_ngrams, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 20 <> 0
+    """,
+    notes="benchmark decontamination (llm/decontaminate): corpus docs "
+    "sharing >= 1 word-8-gram with the eval set (doc_id % 20 = 0 stands in "
+    "for a benchmark) are flagged; benchmark n-gram set broadcasts — the "
+    "corpus never shuffles for the probe, one agg shuffle total at any "
+    "corpus size",
+)
+def q89_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.decontaminate import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, benchmark, n=8).select(
+        "doc_id", "n_hit_ngrams", "contaminated"
+    )

@@ -314,3 +314,32 @@ def test_connected_components_propagation_and_guards(spark):
     # empty pair set: everything is a singleton survivor
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup_survivors(docs, empty).count() == docs.count()
+
+
+def test_decontaminate_flags_and_broadcast_plan(spark):
+    from dbkit_spark.llm.decontaminate import decontaminate
+    from dbkit_spark.plans.explain_utils import assert_broadcast_join
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the full benchmark 8-gram
+            (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            # 7-gram overlap only -> clean at n=8
+            (2, "alpha beta gamma delta epsilon zeta eta DIFFERENT"),
+            (3, "totally unrelated words here nothing shared at all"),
+            (4, "shorty"),  # < 8 tokens: no n-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, bench, n=8)
+    got = {r.doc_id: (r.n_hit_ngrams, r.contaminated) for r in out.collect()}
+    assert got == {1: (1, True), 2: (0, False), 3: (0, False), 4: (0, False)}
+    # the benchmark n-gram set must broadcast (corpus never shuffles to probe)
+    assert_broadcast_join(out)
+    # min_hits raises the bar
+    strict = decontaminate(corpus, bench, n=8, min_hits=2)
+    assert {r.doc_id: r.contaminated for r in strict.collect()}[1] is False
