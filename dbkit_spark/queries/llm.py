@@ -567,3 +567,41 @@ def q89_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark, n=8).select(
         "doc_id", "n_hit_ngrams", "contaminated"
     )
+
+
+# --- intra-doc repetition quality ------------------------------------------
+@register(
+    "q90_repetition_scores",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    perrow AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+               AS dup_token_frac,
+             round(1 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+               AS dup_ngram_frac
+      FROM (SELECT doc_id, t,
+                   list_transform(generate_series(1, len(t)-2),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS g
+            FROM toks WHERE len(t) >= 3)
+    )
+    SELECT p.doc_id, p.n_tokens, p.dup_token_frac, p.dup_ngram_frac,
+           t2.top_token_share
+    FROM perrow p
+    JOIN (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                   AS top_token_share
+          FROM (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                GROUP BY doc_id, tok)
+          GROUP BY doc_id) t2 ON t2.doc_id = p.doc_id
+    """,
+    notes="repetition quality filters (llm/quality.repetition_scores), the "
+    "C4/Gopher-style dup-ngram and top-token-share rules: dup fractions are "
+    "map-only array ops (no shuffle, whole-stage codegen); top-token share "
+    "is (doc,token)-count -> per-doc max, doc-keyed shuffles only",
+)
+def q90_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.quality import repetition_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_scores(docs, ngram=3)

@@ -343,3 +343,24 @@ def test_decontaminate_flags_and_broadcast_plan(spark):
     # min_hits raises the bar
     strict = decontaminate(corpus, bench, n=8, min_hits=2)
     assert {r.doc_id: r.contaminated for r in strict.collect()}[1] is False
+
+
+def test_repetition_scores_hand_computed(spark):
+    from dbkit_spark.llm.quality import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # dup tokens, unique 3-grams
+            (2, "x y z x y z x y"),  # repeated phrase
+            (3, "p q"),              # < 3 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_scores(docs, ngram=3).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.dup_token_frac, r1.dup_ngram_frac) == (4, 0.5, 0.0)
+    assert r1.top_token_share == 0.75
+    r2 = got[2]  # 8 tokens, 3 distinct; 6 3-grams, 3 distinct
+    assert (r2.n_tokens, r2.dup_token_frac, r2.dup_ngram_frac) == (8, 0.625, 0.5)
+    assert r2.top_token_share == 0.375
