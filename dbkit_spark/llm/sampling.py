@@ -81,6 +81,61 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def weighted_domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic down-sampling to a target domain mix.
+
+    ``weights`` are integer target proportions (e.g. ``{"en": 2, "de": 1}``
+    = 2:1). The operator keeps the maximum possible data subject to the
+    mix: the scarcest domain relative to its weight is kept at 100% and
+    every other domain is hash-down-sampled to match. Unlisted domains are
+    dropped (explicit, like ``stratified_sample``).
+
+    Keep-thresholds use exact integer arithmetic —
+    ``min_e (B * w_d * n_e) // (w_e * n_d)`` buckets for domain d (B =
+    SPLIT_BUCKETS) — so any engine reproduces the row set bit-for-bit
+    (a float fraction could round a bucket boundary differently).
+
+    Scale shape: one count aggregation (domain cardinality is
+    metadata-sized, so the collected count map is bounded), then a
+    map-only salted-bucket filter — rows never shuffle. Deterministic
+    under reruns, repartitioning, and appends within a fixed count
+    snapshot; at 100 TB, pin the count snapshot per ingest version so
+    appends don't move thresholds mid-pipeline.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    for d, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weight for {d!r} must be a positive int, got {w!r}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).count().collect()
+        if r[0] in weights
+    }
+    present = [d for d in weights if counts.get(d)]
+    if not present:
+        return df.filter(F.lit(False))
+    thresholds = {
+        d: min(
+            (SPLIT_BUCKETS * weights[d] * counts[e]) // (weights[e] * counts[d])
+            for e in present
+        )
+        for d in present
+    }
+    bucket = _hash_bucket(F.col(id_col), salt)
+    keep = None
+    for d, th in thresholds.items():
+        cond = (F.col(domain_col) == d) & (bucket < th)
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
+
+
 def pack_by_token_budget(
     df: DataFrame,
     id_col: str,

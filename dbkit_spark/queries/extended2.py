@@ -646,6 +646,36 @@ def q76_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q91_domain_mix",
+    oracle=f"""
+    WITH w(lang, wt) AS (VALUES ('en', 2), ('de', 1), ('es', 1),
+                                ('fr', 1), ('zh', 1)),
+    counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    cw AS (SELECT c.lang, c.n, w.wt FROM counts c JOIN w USING (lang)),
+    thresh AS (SELECT a.lang, min((10000 * a.wt * b.n) // (b.wt * a.n)) AS th
+               FROM cw a CROSS JOIN cw b GROUP BY a.lang)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN thresh t ON t.lang = d.lang
+    WHERE {_bucket_sql("mix")} < t.th
+    """,
+    notes="target domain-mix rebalancing (llm/sampling.weighted_domain_mix): "
+    "keeps the scarcest-relative-to-weight domain at 100% and "
+    "hash-down-samples the rest to a 2:1:1:1:1 lang mix; thresholds are "
+    "exact integer arithmetic (min_e (B*w_d*n_e) // (w_e*n_d)) so both "
+    "engines reproduce the row set bit-for-bit; map-only filter after a "
+    "metadata-sized count agg (the tiny cross join is domains x domains)",
+)
+def q91_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import weighted_domain_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    mixed = weighted_domain_mix(
+        docs, "doc_id", "lang", {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1}
+    )
+    return mixed.select("doc_id", "lang", "source")
+
+
+@register(
     "q77_token_packing",
     oracle="""
     SELECT doc_id, n_chars,

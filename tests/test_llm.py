@@ -364,3 +364,38 @@ def test_repetition_scores_hand_computed(spark):
     r2 = got[2]  # 8 tokens, 3 distinct; 6 3-grams, 3 distinct
     assert (r2.n_tokens, r2.dup_token_frac, r2.dup_ngram_frac) == (8, 0.625, 0.5)
     assert r2.top_token_share == 0.375
+
+
+def test_weighted_domain_mix_properties(spark):
+    import pytest as _pytest
+
+    from dbkit_spark.llm.sampling import weighted_domain_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = weighted_domain_mix(df, "doc_id", "domain", {"big": 1, "small": 1})
+    got = {r[0]: r[1] for r in out.groupBy("domain").count().collect()}
+    # binding domain kept in full; other downsampled to ~1:1
+    assert got["small"] == 50
+    # md5 buckets are uniform-ish, not exact: 400 draws at keep=0.125 has
+    # ~6.6 stddev; allow 3 sigma around the 50-row target
+    assert abs(got["big"] - 50) <= 20
+
+    # unlisted domains are dropped
+    only_big = weighted_domain_mix(df, "doc_id", "domain", {"big": 1})
+    assert only_big.filter("domain = 'small'").count() == 0
+
+    # deterministic under repartitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in weighted_domain_mix(
+            df.repartition(17), "doc_id", "domain", {"big": 1, "small": 1}
+        ).collect()
+    }
+    assert a == b
+
+    with _pytest.raises(ValueError, match="positive int"):
+        weighted_domain_mix(df, "doc_id", "domain", {"big": 0.5})
+    # absent weighted domains -> empty, not error
+    assert weighted_domain_mix(df, "doc_id", "domain", {"nope": 1}).count() == 0
