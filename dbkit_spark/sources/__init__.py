@@ -8,11 +8,13 @@ like the reference's construction-time checks.
 """
 
 from .readers import (
+    read_binary_files,
     read_csv,
     read_json,
     read_orc,
     read_parquet,
     read_table,
+    read_text,
     scan_view,
     table_appender,
 )
@@ -24,6 +26,8 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_orc",
+    "read_text",
+    "read_binary_files",
     "scan_view",
     "table_appender",
     "write_parquet",

@@ -50,6 +50,38 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     return reader.orc(path)
 
 
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False, line_sep: str | None = None
+) -> DataFrame:
+    """Raw-corpus ingestion: one row per line (default) or per file
+    (``whole=True``), column ``value: string`` — the entry point for
+    text corpora that aren't columnar yet. Distributed splitting applies
+    per-line only; whole-file rows are bounded by file size, so shard
+    large corpora into many files upstream."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    # NB: must be the reader kwarg — .option("wholetext", ...) is
+    # silently ignored by the text source (probed on Spark 4.1)
+    return reader.text(path, wholetext=whole)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Media ingestion for the multimodal surface (``llm/multimodal``):
+    Spark's ``binaryFile`` source — (path, modificationTime, length,
+    content: binary), one row per file, content loaded lazily per task.
+    Pair with ``pathGlobFilter`` to prune non-media files at listing
+    time; the decode stage (``decode_image_meta`` etc.) then runs
+    shuffle-free over these rows. Each file must fit in one row — chunk
+    video upstream."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table by name with its explicit schema.
 

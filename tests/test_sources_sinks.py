@@ -58,3 +58,45 @@ def test_engine_facade(spark, sf_dir):
     assert df.count() > 0
     assert eng.oracle("q01_pricing_summary") is not None
     assert eng.oracle("q38_stateful_user_stats") is None
+
+
+def test_text_source_line_and_whole(spark, tmp_path):
+    from dbkit_spark.sources import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = sorted(r.value for r in read_text(spark, str(d)).collect())
+    assert lines == ["line one", "line two", "solo"]
+    whole = sorted(r.value for r in read_text(spark, str(d), whole=True).collect())
+    assert whole == ["line one\nline two\n", "solo\n"]
+
+
+def test_binary_file_source_to_real_decode(spark, tmp_path):
+    """End-to-end media ingest: BMP/PPM files on disk -> binaryFile source
+    -> real header decode, with a glob pruning non-media files."""
+    from pyspark.sql import functions as F
+
+    from dbkit_spark.llm.multimodal import decode_image_meta, encode_bmp, encode_ppm
+    from dbkit_spark.sources import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "img1.bmp").write_bytes(encode_bmp(7, 5, seed=1))
+    (d / "img2.ppm").write_bytes(encode_ppm(3, 9, seed=2))
+    (d / "notes.txt").write_text("not an image")
+
+    files = read_binary_files(spark, str(d), glob="*.{bmp,ppm}")
+    assert files.count() == 2
+    payloads = files.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.col("length").alias("payload_len"),
+    )
+    metas = {
+        (r.img_format): (r.width, r.height, r.bpp)
+        for r in decode_image_meta(payloads).collect()
+    }
+    assert metas == {"bmp": (7, 5, 24), "ppm": (3, 9, 24)}
