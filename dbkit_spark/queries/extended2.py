@@ -920,3 +920,45 @@ def q82_map_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(merged, "uid").alias("uid_val"),
         F.size(F.map_filter(merged, lambda k, v: k == "type")).alias("n_type_keys"),
     )
+
+
+@register(
+    "q93_tpch_q17_small_qty",
+    oracle="""
+    SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND 5 * CAST(l.l_quantity AS DECIMAL(18,2))
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = p.p_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)
+    """,
+    notes="TPC-H Q17-shaped (small-quantity revenue): correlated scalar "
+    "subqueries over the probe side — exercises Catalyst decorrelation "
+    "(RewriteCorrelatedScalarSubquery -> aggregate + join, no per-row "
+    "re-execution). The quantity threshold l_quantity < 0.2*avg is "
+    "rewritten as 5*qty*cnt < sum in DECIMAL so the cutoff is exact "
+    "integer-ish arithmetic in both engines (a double avg could flip a "
+    "boundary row); revenue decimal-stabilized",
+)
+def q93_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # via spark.sql on temp views: the correlated-subquery surface is the
+    # point — the DataFrame rewrite (join against a groupBy) is what
+    # Catalyst decorrelates this into anyway
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q93_lineitem")
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("q93_part")
+    return spark.sql("""
+        SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / 7.0, 6) AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM q93_lineitem l JOIN q93_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND 5 * CAST(l.l_quantity AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM q93_lineitem l2
+                   WHERE l2.l_partkey = p.p_partkey)
+              < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                 FROM q93_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """)

@@ -605,3 +605,49 @@ def q90_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return repetition_scores(docs, ngram=3)
+
+
+# --- embedding int8 quantization -------------------------------------------
+@register(
+    "q92_quantize_embeddings",
+    oracle="""
+    SELECT vec_id,
+           round(m / 127.0, 6) AS scale,
+           CASE WHEN m = 0
+                THEN array_to_string(list_transform(embedding, x -> 0), ',')
+                ELSE array_to_string(list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INT)), ',')
+           END AS qvec_csv,
+           CASE WHEN m = 0 THEN 0
+                ELSE list_sum(list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)
+                          * CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)))
+           END AS qnorm2
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+          FROM embeddings)
+    """,
+    notes="symmetric int8 scalar quantization "
+    "(llm/similarity.quantize_embeddings): 4x-smaller vectors, all "
+    "map-side codegen'd array ops; rounding written as floor(x+0.5) so "
+    "both engines reproduce codes bit-for-bit (engine round() half-cases "
+    "differ); arrays projected as csv + squared-norm scalars because the "
+    "driver's pandas canonicalizer cannot sort list cells (q57 lesson)",
+)
+def q92_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    quant = quantize_embeddings(emb)
+    return quant.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.transform("qvec", lambda v: v.cast("string"))).alias(
+            "qvec_csv"
+        ),
+        F.aggregate(
+            "qvec",
+            F.lit(0).cast("long"),
+            lambda a, v: a + v.cast("long") * v.cast("long"),
+        ).alias("qnorm2"),
+    )

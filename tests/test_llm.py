@@ -399,3 +399,29 @@ def test_weighted_domain_mix_properties(spark):
         weighted_domain_mix(df, "doc_id", "domain", {"big": 0.5})
     # absent weighted domains -> empty, not error
     assert weighted_domain_mix(df, "doc_id", "domain", {"nope": 1}).count() == 0
+
+
+def test_quantize_dequantize_error_bound(spark, sf_dir):
+    from dbkit_spark.llm.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from dbkit_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    quant = quantize_embeddings(emb)
+    for r in quant.collect():
+        assert all(-127 <= v <= 127 for v in r.qvec)
+    back = {r.vec_id: r.embedding for r in dequantize_embeddings(quant).collect()}
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    scales = {r.vec_id: r.scale for r in quant.collect()}
+    for vid, vec in orig.items():
+        err = max(abs(a - b) for a, b in zip(vec, back[vid]))
+        assert err <= scales[vid] / 2 + 1e-12, (vid, err, scales[vid])
+
+    # zero vector: scale 0, all-zero codes, no div-by-zero
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rz = quantize_embeddings(z).collect()[0]
+    assert rz.scale == 0.0 and list(rz.qvec) == [0, 0, 0]
