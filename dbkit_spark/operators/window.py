@@ -65,3 +65,38 @@ def running(
     for name, col in aggs.items():
         out = out.withColumn(name, col.over(w))
     return out
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Gap-based batch sessionization: input columns + ``session_num``
+    (1-based per user). A session starts at a user's first event and at
+    every event more than ``gap_seconds`` after the previous one.
+
+    Two stacked windows on the SAME (user, ts, tiebreak) partitioning —
+    lag to flag session starts, running sum to number them — so Catalyst
+    plans ONE shuffle + one sort, not two (adjacent Window nodes with
+    identical specs share the exchange). ``tiebreak_col`` must make the
+    per-user order total, or lag survivors are partition-order dependent.
+    This is the batch twin of the streaming session window
+    (``streaming/windows.session_agg``): same gap semantics, verifiable
+    against plain SQL.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev_ts = F.lag(ts_col).over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_num",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

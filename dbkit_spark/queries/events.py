@@ -152,3 +152,77 @@ def q38_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(user_running_stats(stream), output_mode="update")
+
+
+# --- grouped-map pandas (§2.10) --------------------------------------------
+@register(
+    "q94_grouped_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round(CASE WHEN sd = 0 THEN 0.0 ELSE (value - m) / sd END, 6) AS z
+    FROM (SELECT event_id, event_type, value,
+                 avg(value) OVER (PARTITION BY event_type) AS m,
+                 stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+          FROM events)
+    """,
+    notes="grouped-map applyInPandas (operators/grouped.grouped_zscore): "
+    "per-group z-score where each whole group lands in one Python worker; "
+    "the oracle is the JVM-side window rewrite of the same statistic — "
+    "which is also the recommended plan when groups are huge or keys are "
+    "few (grouped-map caps parallelism at group count); round-6 "
+    "canonicalization per SURVEY §7.4",
+)
+def q94_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import grouped_zscore
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return grouped_zscore(events, ["event_type"], "value").select(
+        "event_id", "event_type", F.round("z", 6).alias("z")
+    )
+
+
+# --- batch sessionization --------------------------------------------------
+@register(
+    "q95_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 86400
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, value, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM flagged
+    )
+    SELECT user_id, session_num, COUNT(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+           {stable_sum_sql("value")} AS total_value
+    FROM sess GROUP BY user_id, session_num
+    """,
+    notes="gap-based batch sessionization (operators/window.sessionize), "
+    "the batch twin of q36's streaming session window: 24 h inactivity gap "
+    "splits each user's stream; lag-flag + running-sum share ONE shuffle "
+    "(identical window specs collapse to one exchange), then session-level "
+    "aggregates; second-resolution gap arithmetic mirrored exactly in SQL; "
+    "event_id tiebreak makes per-user order total",
+)
+def q95_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window import sessionize
+
+    events = read_table(spark, sf_dir, "events")
+    sess = sessionize(events, "user_id", "ts", 86400, "event_id")
+    return sess.groupBy("user_id", "session_num").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        F.unix_timestamp(F.max("ts")).alias("end_s"),
+        stable_sum("value").alias("total_value"),
+    )

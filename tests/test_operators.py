@@ -219,3 +219,44 @@ def test_sort_within_partitions_no_shuffle(spark, sf_dir):
     plan = swp._jdf.queryExecution().executedPlan().toString()
     final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert final_plan.count("Exchange") == 1  # only the repartition's
+
+
+def test_sessionize_gap_semantics_and_single_shuffle(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dbkit_spark.operators.window import sessionize
+
+    rows = [
+        # user 1: two sessions split by a 2h gap (threshold 1h)
+        (1, 100, "2024-01-01 00:00:00"),
+        (1, 101, "2024-01-01 00:30:00"),
+        (1, 102, "2024-01-01 02:31:00"),
+        # user 2: one session, boundary gap EXACTLY the threshold stays
+        (2, 200, "2024-01-01 00:00:00"),
+        (2, 201, "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_s string").select(
+        "user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = sessionize(df, "user_id", "ts", 3600, "event_id")
+    got = {r.event_id: r.session_num for r in out.collect()}
+    assert got == {100: 1, 101: 1, 102: 2, 200: 1, 201: 1}
+
+    # the two stacked windows must share one exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange", final)) == 1
+
+
+def test_grouped_zscore_zero_variance_and_values(spark):
+    from dbkit_spark.operators.grouped import grouped_zscore
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0), (4, "b", 5.0)],
+        "id long, g string, v double",
+    )
+    got = {r.id: r.z for r in grouped_zscore(df, ["g"], "v").collect()}
+    assert got[1] == -1.0 and got[2] == 1.0  # mean 2, std_pop 1
+    assert got[3] == 0.0 and got[4] == 0.0   # zero variance -> 0
