@@ -198,8 +198,9 @@ def q94_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, event_id, value, ts,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_num
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_num
       FROM flagged
     )
     SELECT user_id, session_num, COUNT(*) AS n_events,

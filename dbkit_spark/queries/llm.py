@@ -618,11 +618,11 @@ def q90_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE array_to_string(list_transform(embedding,
                      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INT)), ',')
            END AS qvec_csv,
-           CASE WHEN m = 0 THEN 0
+           CAST(CASE WHEN m = 0 THEN 0
                 ELSE list_sum(list_transform(embedding,
                      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)
                           * CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)))
-           END AS qnorm2
+           END AS BIGINT) AS qnorm2
     FROM (SELECT vec_id, embedding,
                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
           FROM embeddings)
