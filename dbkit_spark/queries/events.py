@@ -227,3 +227,41 @@ def q95_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.max("ts")).alias("end_s"),
         stable_sum("value").alias("total_value"),
     )
+
+
+# --- time-range rolling window ---------------------------------------------
+@register(
+    "q97_trailing_window_1h",
+    oracle=f"""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    notes="event-time RANGE frame (§2.5): per-user trailing-1h count/sum — "
+    "the time-windowed twin of q25's numeric RANGE frame. Both engines "
+    "order by the SAME integer epoch-seconds key so frame membership is "
+    "identical (an interval frame over raw ns-vs-us timestamps could "
+    "disagree at boundaries); same-second peers share frames by RANGE "
+    "semantics; decimal-stabilized window sum",
+)
+def q97_trailing_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.aggregate import dec
+
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(dec("value", 6)).over(w).cast("double").alias("sum_1h"),
+    )

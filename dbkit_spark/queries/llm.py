@@ -651,3 +651,35 @@ def q92_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, v: a + v.cast("long") * v.cast("long"),
         ).alias("qnorm2"),
     )
+
+
+# --- corpus heavy hitters ---------------------------------------------------
+@register(
+    "q96_heavy_hitters",
+    oracle=f"""
+    SELECT token, df, total_tf
+    FROM (
+      SELECT tok AS token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM ({_TOKS_SQL}))
+      GROUP BY tok
+    )
+    ORDER BY df DESC, token ASC
+    LIMIT 20
+    """,
+    notes="exact corpus heavy hitters: top-20 tokens by document frequency "
+    "with deterministic (df DESC, token) tiebreak — vocabulary/stopword "
+    "discovery over a corpus; one (token)-keyed agg then TakeOrderedAndProject "
+    "(top-k never materializes a global sort)",
+)
+def q96_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count("*").alias("total_tf"),
+    )
+    return counts.orderBy(F.col("df").desc(), F.col("token").asc()).limit(20)
