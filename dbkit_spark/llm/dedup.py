@@ -206,12 +206,16 @@ def simhash_signatures(
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
     ).distinct()
-    expl = tok.select(
+    # hash once per (doc, token) BEFORE the bits-way explode: computing
+    # md5 inside the exploded projection costs `bits`x the md5 calls
+    # (measured 2.6x on the whole signature pipeline at sf0.1)
+    hashed_tok = tok.select("doc_id", F.md5("token").alias("h"))
+    expl = hashed_tok.select(
         "doc_id",
-        "token",
+        "h",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
     )
-    digit = F.expr("substring(md5(token), CAST(floor(j / 4) AS INT) + 1, 1)")
+    digit = F.expr("substring(h, CAST(floor(j / 4) AS INT) + 1, 1)")
     val = F.instr(F.lit("0123456789abcdef"), digit) - 1
     votes = (
         expl.withColumn("val", val)
@@ -265,9 +269,15 @@ def simhash_candidate_pairs(
                 F.substring("simhash", start, w).alias("v"),
             )
         )
+    # persist: both self-join sides consume band_rows, and without a
+    # barrier each side re-runs the full signature pipeline upstream
+    # (Catalyst does not ReusedExchange across the differing aliases) —
+    # measured 2x the signature cost at sf0.1. Size is bounded:
+    # (d+1) short rows per doc. The 100 TB analogue is writing the
+    # signature table once, bucketed by band key.
     band_rows = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
-    )
+    ).persist()
     a = band_rows.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "bk"
     )
