@@ -163,3 +163,23 @@ def bpe_token_count(col: Column | str) -> Column:
     output), vs the coarser whitespace/alnum count of ``token_count``."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+# PII redaction patterns: kept to syntax valid AND equivalent in both
+# Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Email/phone/IPv4 redaction — the scrubbing pass a training corpus
+    runs before anything else. Chained ``regexp_replace`` stays inside
+    whole-stage codegen (map-only, no Python). Order matters: emails
+    first so their digits can't be half-eaten by the phone pattern.
+    SQL equivalent: the same three regexp_replace calls with the 'g'
+    flag (Spark replaces all occurrences by default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
+    return F.regexp_replace(out, IPV4_RE, "[IP]")

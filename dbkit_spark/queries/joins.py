@@ -187,3 +187,32 @@ def q13_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = range_join(li, tiers, "l_quantity", "lo", "hi", bin_size=5.0)
     return out.select("l_orderkey", "l_linenumber", "tier")
+
+
+@register(
+    "q99_null_safe_join",
+    oracle="""
+    SELECT o.o_orderkey, NULLIF(o.o_orderstatus, 'O') AS st, v.tag
+    FROM orders o
+    JOIN (VALUES ('F', 'final'), (NULL, 'open')) AS v(st, tag)
+      ON NULLIF(o.o_orderstatus, 'O') IS NOT DISTINCT FROM v.st
+    """,
+    notes="null-safe equality join (§2.3 edge semantics): <=> / IS NOT "
+    "DISTINCT FROM treats NULL as a joinable value — NULL keys match the "
+    "NULL row instead of silently dropping, the behavior batch dedup and "
+    "dimension joins need for unknown keys; EqualNullSafe keys still plan "
+    "as a hash join (broadcast, tiny dim), never a nested loop",
+)
+def q99_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+    )
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [("F", "final"), (None, "open")], "vst string, tag string"
+        )
+    )
+    return orders.join(dim, orders["st"].eqNullSafe(dim["vst"])).select(
+        "o_orderkey", "st", "tag"
+    )

@@ -683,3 +683,44 @@ def q96_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_tf"),
     )
     return counts.orderBy(F.col("df").desc(), F.col("token").asc()).limit(20)
+
+
+# --- PII redaction ----------------------------------------------------------
+@register(
+    "q98_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(synth,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               '\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+             '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g') AS redacted
+    FROM (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 tel +1 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+      FROM documents
+    )
+    """,
+    notes="PII redaction (functions/text.redact_pii): email/phone/IPv4 "
+    "scrubbing as chained regexp_replace — map-only, whole-stage codegen, "
+    "patterns restricted to the Java-regex/RE2 common subset; deterministic "
+    "PII is synthesized per doc_id so both engines redact identical text",
+)
+def q98_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 tel +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", redact_pii(synth).alias("redacted"))

@@ -425,3 +425,22 @@ def test_quantize_dequantize_error_bound(spark, sf_dir):
     )
     rz = quantize_embeddings(z).collect()[0]
     assert rz.scale == 0.0 and list(rz.qvec) == [0, 0, 0]
+
+
+def test_redact_pii_patterns(spark):
+    from dbkit_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co.uk now"),
+            (2, "call +1 555-0199 or +44 555-0100"),
+            (3, "host 192.168.1.254 up"),
+            (4, "clean text with no pii 1234"),
+        ],
+        "id long, t string",
+    )
+    got = {r.id: r.red for r in df.select("id", redact_pii("t").alias("red")).collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "call [PHONE] or [PHONE]"
+    assert got[3] == "host [IP] up"
+    assert got[4] == "clean text with no pii 1234"
