@@ -265,3 +265,32 @@ def q97_trailing_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum(dec("value", 6)).over(w).cast("double").alias("sum_1h"),
     )
+
+
+# --- streaming dedup within watermark --------------------------------------
+@register(
+    "q100_stream_dedup",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {stable_sum_sql("value")} AS total_value
+    FROM events GROUP BY event_type
+    """,
+    notes="dropDuplicatesWithinWatermark (§2.9): the event stream is "
+    "unioned with a second replay of itself — every row arrives twice, in "
+    "different micro-batches — and streaming dedup state must collapse the "
+    "duplicates so per-type counts equal the single-copy batch oracle; "
+    "dedup runs in the stream (append mode), the final rollup is batch "
+    "over the sink table",
+)
+def q100_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    sink = run_available_now(deduped, output_mode="append")
+    return sink.groupBy("event_type").agg(
+        F.count("*").alias("n"), stable_sum("value").alias("total_value")
+    )
