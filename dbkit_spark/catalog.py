@@ -50,6 +50,11 @@ def load_all() -> dict[str, QuerySpec]:
     )
 
     # Deterministic q-number order: a driver sweep that truncates still
-    # covers the flagship and the core-operator prefix first (all names
-    # are zero-padded qNN_*, so lexicographic == numeric order).
-    return dict(sorted(CATALOG.items()))
+    # covers the flagship and the core-operator prefix first. Parse the
+    # number — lexicographic order broke at q100 (sorted between q10 and
+    # q11).
+    def qnum(name: str) -> tuple[int, str]:
+        digits = "".join(c for c in name[1:] if c.isdigit() or c == "_").split("_")[0]
+        return (int(digits) if digits.isdigit() else 10**9, name)
+
+    return dict(sorted(CATALOG.items(), key=lambda kv: qnum(kv[0])))
