@@ -114,3 +114,31 @@ def test_catalog_wide_no_accidental_nlj(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"accidental NLJ/cartesian in: {offenders}"
+
+
+def test_round2_ops_shuffle_discipline(spark, sf_dir):
+    """Scale-shape gates for the round-2 operators: map-only ops plan
+    zero exchanges, single-agg ops plan the minimum, top-k never
+    materializes a global sort."""
+    import re
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange", plan.split("== Initial Plan ==")[0]))
+
+    # quantization is pure map-side array codegen: zero shuffles
+    assert exchanges(CATALOG["q92_quantize_embeddings"].fn(spark, sf_dir)) == 0
+    # PII redaction is a map-only regexp chain
+    assert exchanges(CATALOG["q98_redact_pii"].fn(spark, sf_dir)) == 0
+    # trailing time-range window: exactly one (user_id) exchange
+    assert exchanges(CATALOG["q97_trailing_window_1h"].fn(spark, sf_dir)) == 1
+    # heavy hitters: TakeOrderedAndProject, no global Sort node
+    plan = (
+        CATALOG["q96_heavy_hitters"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    # domain mix applies as a map-only filter (the count agg is collected
+    # up front; the returned frame itself must not shuffle)
+    assert exchanges(CATALOG["q91_domain_mix"].fn(spark, sf_dir)) == 0
