@@ -22,9 +22,12 @@ high-diameter graphs the literature's large-star/small-star contraction
 halves diameter per round; near-dup dedup does not need it and the
 simple loop keeps every round a plain AQE-optimized join.
 
-Intermediate labels are persisted per round and the previous round
-unpersisted — bounded storage (one label table), the in-memory analogue
-of the per-round table a 100 TB job would checkpoint.
+Intermediate labels are eagerly localCheckpoint-ed per round — this
+both bounds storage (one label table) and, critically, TRUNCATES
+LINEAGE: without it the per-round logical plan doubles (round N embeds
+round N-1 twice via the join and the union) and the driver OOMs
+building plan trees on higher-diameter graphs. A 100 TB job swaps in
+``.checkpoint()`` against durable storage for fault tolerance.
 """
 
 from __future__ import annotations
@@ -46,11 +49,19 @@ def connected_components(
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()
 
+    # Each round MUST truncate lineage (eager localCheckpoint), not just
+    # cache: round N's logical plan embeds round N-1's twice (join +
+    # union), so with persist() alone the plan tree doubles per round and
+    # the driver dies building it long before the data is large (caught
+    # by the partition-invariance property test on a diameter-~10 random
+    # graph). On a fault-tolerant cluster run, point
+    # spark.sparkContext.setCheckpointDir at durable storage and swap for
+    # .checkpoint() — same contract, replayable on executor loss.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # decimal(38,0) sum: monotone non-increasing, equality ⇒ converged
     prev_sum = labels.agg(
@@ -65,12 +76,11 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             edges.unpersist()

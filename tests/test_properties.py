@@ -154,3 +154,31 @@ def test_broadcast_equals_plain(spark, rows):
     plain = _bag(r.join(s, "a"))
     hinted = _bag(r.join(F.broadcast(s), "a"))
     assert plain == hinted
+
+
+def test_connected_components_partition_invariant(spark):
+    """Cluster labels must be a pure function of the edge SET — invariant
+    to partitioning and input row order (the 1000-executor determinism
+    property)."""
+    import random
+
+    from dbkit_spark.llm.cluster import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    base = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ref = {r.id: r.cluster_id for r in connected_components(base).collect()}
+
+    shuffled = spark.createDataFrame(
+        list(reversed(edges)), "doc_a long, doc_b long"
+    ).repartition(13)
+    got = {r.id: r.cluster_id for r in connected_components(shuffled).collect()}
+    assert got == ref
+
+    # every label is the true min of its component (fixpoint property)
+    comp = {}
+    for i, c in ref.items():
+        comp.setdefault(c, set()).add(i)
+    for c, members in comp.items():
+        assert c == min(members | {c})
