@@ -142,7 +142,14 @@ def lsh_band_keys(
 def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
     The equi-join on band_key is the whole point of LSH: candidates
-    shuffle on bucket keys instead of forming the n² cross product."""
+    shuffle on bucket keys instead of forming the n² cross product.
+
+    ``band_keys`` is persisted here: both self-join sides consume it and
+    Catalyst does not ReusedExchange across the differing aliases, so
+    without a barrier the signature pipeline upstream runs twice. Size
+    is bounded at NUM_BANDS short rows per doc — the in-memory analogue
+    of the bucketed band table a 100 TB pipeline materializes anyway."""
+    band_keys = band_keys.persist()
     a = band_keys.select(F.col("doc_id").alias("doc_a"), "band_key")
     b = band_keys.select(F.col("doc_id").alias("doc_b"), "band_key")
     return (
