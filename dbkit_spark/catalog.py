@@ -42,6 +42,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         extended,
         extended2,
+        extended3,
         joins,
         llm,
         relational,

@@ -1,0 +1,158 @@
+"""Time-series gap-fill and dimension-history operators.
+
+Two read-side patterns every timeseries/warehouse engine exposes that the
+reference's domain (dbkit targets OLAP over event streams; SURVEY §2.11)
+implies but its pre-alpha operator set does not yet reach:
+
+- ``gapfill_locf``: the ``time_bucket_gapfill`` + last-observation-carried-
+  forward pattern — bucket events to a fixed resolution, densify each
+  group's time axis to a complete spine, and fill the holes with the most
+  recent observed value. Complements ``operators/rollup_hierarchy.py``
+  (the write-side continuous aggregate).
+- ``scd2_history``: slowly-changing-dimension type-2 builder — collapse a
+  change feed into versioned validity intervals (``valid_from`` /
+  ``valid_to`` / ``version`` / ``is_current``) per key.
+
+100 TB design (see SCALE.md):
+
+- gapfill aggregates raw data ONCE down to (keys × buckets) — everything
+  after the first shuffle operates on bucket counts, which are smaller
+  than raw by the events-per-bucket factor. The spine is generated from
+  per-key min/max (a tiny agg), exploded as an integer ``sequence`` —
+  never a cross join against a global calendar table.
+- the LOCF window partitions by the series keys — parallelism is the
+  number of series, which is the natural sharding of any timeseries
+  workload; no global single-reducer window anywhere.
+- scd2 is two windows over the same (key × ts) partitioning; Catalyst
+  collapses them into one shuffle + one sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rollup_hierarchy import _duration_seconds
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    bucket: str = "1 hour",
+    locf_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Bucket ``df`` to ``bucket`` resolution per ``keys``, densify each
+    key's time axis between its own min and max bucket, and LOCF-fill
+    the ``locf_cols`` (default: all agg columns).
+
+    Output: keys..., ``bucket_ts`` (timestamp, epoch-aligned like
+    ``F.window``), ``n_events`` (0 for gap rows), ``is_gap`` (boolean),
+    and one ``<name>_locf`` per filled column.
+
+    Gap rows before a key's first observation cannot be back-filled by
+    definition; each key's spine starts at its own first bucket, so every
+    gap row has a predecessor and ``_locf`` columns are never NULL.
+    """
+    sec = _duration_seconds(bucket)
+    keys = list(keys)
+    locf_cols = list(locf_cols) if locf_cols is not None else list(aggs)
+
+    be = (F.floor(F.unix_timestamp(F.col(ts_col)) / sec) * sec).cast("long")
+    bucketed = (
+        df.withColumn("__be", be)
+        .groupBy(*keys, "__be")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             *[c.alias(n) for n, c in aggs.items()])
+    )
+
+    # Per-key spine: integer epoch sequence (exact, cheap) exploded from a
+    # two-row-per-key bound agg — output size is buckets, not raw rows.
+    spine = (
+        bucketed.groupBy(*keys)
+        .agg(F.min("__be").alias("__mn"), F.max("__be").alias("__mx"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("__mn"), F.col("__mx"), F.lit(sec))
+            ).alias("__be"),
+        )
+    )
+
+    joined = spine.join(bucketed, [*keys, "__be"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__be")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.withColumn("is_gap", F.col("n_events").isNull()).withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0))
+    )
+    for name in locf_cols:
+        out = out.withColumn(
+            f"{name}_locf", F.last(name, ignorenulls=True).over(w)
+        )
+    return out.select(
+        *keys,
+        F.timestamp_seconds(F.col("__be")).alias("bucket_ts"),
+        "n_events",
+        "is_gap",
+        *[f"{n}_locf" for n in locf_cols],
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str | Sequence[str],
+    state_cols: Sequence[str],
+    ts_col: str,
+    tiebreak: str | Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a per-key change feed to
+    versioned validity intervals.
+
+    Consecutive rows (ordered by ``ts_col`` then ``tiebreak``) whose
+    ``state_cols`` are unchanged collapse into one interval; each change
+    opens a new version. Output: key..., state_cols..., ``valid_from``,
+    ``valid_to`` (NULL for the open/current version), ``version`` (1-based
+    per key), ``is_current``.
+
+    Ties on ``ts_col`` without a ``tiebreak`` would make the survivor
+    partition-order-dependent (the asof_join lesson, ADVICE r1) — pass a
+    unique column when the feed can carry same-timestamp rows.
+
+    Null-safe: state transitions use ``eqNullSafe`` so NULL→'x' and
+    'x'→NULL both count as changes and NULL→NULL does not.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    state_cols = list(state_cols)
+
+    order = [F.col(ts_col).asc(), *[F.col(t).asc() for t in ties]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    state = F.struct(*[F.col(c) for c in state_cols])
+    prev = F.lag(state).over(w)
+    changed = prev.isNull() | ~state.eqNullSafe(prev)
+
+    changes = (
+        df.select(*keys, *state_cols, ts_col, *ties)
+        .withColumn("__chg", changed)
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+
+    # Same partitioning + ordering as the first window: one shuffle total.
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    out = (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    return out.select(
+        *keys, *state_cols, "valid_from", "valid_to", "version", "is_current"
+    )

@@ -1,0 +1,261 @@
+"""Round-2 extension queries III: time-series gap-fill / SCD2 dimension
+history (operators/timeseries.py), deeper TPC-H decision-support shapes
+(Q13/Q18/Q22 — left-outer distribution, having-subquery join, scalar-avg
+anti-join), and the regexp function surface (§2.8).
+
+Reference parity: dbkit's domain is OLAP over event streams (SURVEY §1,
+§2.11); its pre-alpha operator set (scan/project, operation/scan_view.rs,
+operation/project.rs) implies but never reaches these read-side patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.aggregate import stable_sum, stable_sum_sql
+from ..operators.timeseries import gapfill_locf, scd2_history
+from ..sources import read_table
+
+_EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+# --- time-series gap-fill + LOCF ------------------------------------------
+@register(
+    "q101_gapfill_locf",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS be,
+             COUNT(*) AS n_events,
+             {stable_sum_sql("value", 6)} AS total_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(be) AS mn, MAX(be) AS mx FROM agg GROUP BY 1
+    ), spine AS (
+      SELECT b.event_type, gs.be
+      FROM bounds b, UNNEST(generate_series(b.mn, b.mx, 3600)) AS gs(be)
+    )
+    SELECT s.event_type,
+           {_EPOCH} + to_seconds(s.be) AS bucket_ts,
+           COALESCE(a.n_events, 0) AS n_events,
+           a.n_events IS NULL AS is_gap,
+           last_value(a.total_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.be
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS total_value_locf
+    FROM spine s LEFT JOIN agg a USING (event_type, be)
+    """,
+    notes="time_bucket_gapfill + LOCF (operators/timeseries.gapfill_locf): "
+    "hourly buckets per event_type densified to a per-key spine "
+    "(integer sequence explode from a min/max agg — no calendar cross "
+    "join), gaps filled by last-observation-carried-forward window; "
+    "raw events aggregated exactly once",
+)
+def q101_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return gapfill_locf(
+        events,
+        "ts",
+        ["event_type"],
+        {"total_value": stable_sum("value", 6)},
+        bucket="1 hour",
+    )
+
+
+# --- SCD2 dimension history -----------------------------------------------
+@register(
+    "q102_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           row_number() OVER w AS version,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    notes="SCD type-2 builder (operators/timeseries.scd2_history): the "
+    "per-user event_type feed collapses into versioned validity "
+    "intervals (valid_from/valid_to/version/is_current); change "
+    "detection and interval assignment share one (user_id, ts) "
+    "shuffle+sort; event_id tiebreaks same-ts rows (ADVICE r1 asof "
+    "lesson)",
+)
+def q102_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return scd2_history(
+        events, "user_id", ["event_type"], "ts", tiebreak="event_id"
+    )
+
+
+# --- TPC-H Q13: customer order-count distribution --------------------------
+@register(
+    "q103_tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority NOT LIKE '%URGENT%'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    notes="TPC-H Q13 shape: left outer join with a filtered JOIN CONDITION "
+    "(not a WHERE — zero-order customers must survive), then a second "
+    "aggregation over the first's output; the histogram agg input is "
+    "|customer| rows, so the second shuffle is tiny",
+)
+def q103_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (~orders.o_orderpriority.like("%URGENT%")),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- TPC-H Q18: large-volume customers --------------------------------------
+@register(
+    "q104_tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+          )
+      AND c.c_custkey = o.o_custkey
+      AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+    notes="TPC-H Q18 shape: HAVING-subquery membership rewritten as a "
+    "semi-join against the pre-aggregated keys — lineitem is scanned "
+    "for the agg and for the detail join, but the IN-list never "
+    "materializes driver-side; quantity sums are integral doubles "
+    "(exact in FP) so no decimal carry is needed",
+)
+def q104_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+# --- TPC-H Q22: dormant high-balance customers ------------------------------
+@register(
+    "q105_tpch_q22_dormant",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = 'URGENT'
+          )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    notes="TPC-H Q22 shape: scalar-subquery threshold (computed once, "
+    "broadcast into the filter) + NOT EXISTS as a left anti join; "
+    "AVG threshold comparison is engine-exact because both engines "
+    "compute the same double and compare with > (no accumulation in "
+    "the output); output sums decimal-carried",
+)
+def q105_tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    # Scalar subquery: one tiny agg, cross-joined (broadcast, 1 row) as a
+    # threshold column — never collected to the driver.
+    thresh = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        customer.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            stable_sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- regexp surface (§2.8) ---------------------------------------------------
+@register(
+    "q106_regexp_funcs",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+           regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+           CAST(length(regexp_extract_all(props, '[0-9]')) AS BIGINT)
+             AS n_digits,
+           regexp_matches(props, '"k": [0-9][0-9]}') AS is_2digit
+    FROM events
+    """,
+    notes="regexp surface (§2.8): extract with capture group, global "
+    "replace (DuckDB needs the 'g' flag to match Spark's "
+    "replace-all), match counting via extract_all length, boolean "
+    "rlike; patterns restricted to the RE2/Java-regex common subset",
+)
+def q106_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_str"),
+        F.regexp_replace("props", "[0-9]", "#").alias("masked"),
+        F.size(F.expr(r"regexp_extract_all(props, '[0-9]', 0)"))
+        .cast("long")
+        .alias("n_digits"),
+        F.col("props").rlike('"k": [0-9][0-9]\\}').alias("is_2digit"),
+    )

@@ -85,11 +85,13 @@ _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
 #   q43 — corpus x broadcast(5 query vectors): the designed brute-force plan
 #   q44 — exact all-pairs cosine baseline (scale path is q45/q65)
 #   q65 — queries x broadcast(16 centroids) probe routing
+#   q105 — customer x broadcast(1-row scalar-subquery threshold)
 _INTENTIONAL_CROSS = {
     "q11_join_cross",
     "q43_cosine_topk",
     "q44_embedding_near_dup",
     "q65_ann_ivf",
+    "q105_tpch_q22_dormant",
 }
 
 
@@ -142,3 +144,27 @@ def test_round2_ops_shuffle_discipline(spark, sf_dir):
     # domain mix applies as a map-only filter (the count agg is collected
     # up front; the returned frame itself must not shuffle)
     assert exchanges(CATALOG["q91_domain_mix"].fn(spark, sf_dir)) == 0
+
+
+def test_extension3_shuffle_discipline(spark, sf_dir):
+    """Scale-shape gates for the extension-III operators."""
+    import re
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange", plan.split("== Initial Plan ==")[0]))
+
+    # scd2: change-detect window + interval windows share ONE (user_id)
+    # shuffle — Catalyst must not re-exchange between the two
+    assert exchanges(CATALOG["q102_scd2_user_state"].fn(spark, sf_dir)) == 1
+    # regexp surface is a pure map-only projection
+    assert exchanges(CATALOG["q106_regexp_funcs"].fn(spark, sf_dir)) == 0
+    # gapfill: bucket agg + bounds agg + spine join + LOCF window, no
+    # nested-loop anywhere (the spine is a per-key sequence explode, not
+    # a calendar cross join) and no single-partition bottleneck
+    df = CATALOG["q101_gapfill_locf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "SinglePartition" not in final
