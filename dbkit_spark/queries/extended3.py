@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..operators.aggregate import stable_sum, stable_sum_sql
+from ..operators.aggregate import dec, stable_sum, stable_sum_sql
 from ..operators.timeseries import gapfill_locf, scd2_history
 from ..sources import read_table
 
@@ -258,4 +258,77 @@ def q106_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_digits"),
         F.col("props").rlike('"k": [0-9][0-9]\\}').alias("is_2digit"),
+    )
+
+
+# --- foreachBatch incremental upsert (§2.9 output surface) -------------------
+@register(
+    "q107_stream_incremental_upsert",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           MAX(ts) AS last_ts,
+           arg_max(event_type,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type
+    FROM events GROUP BY user_id
+    """,
+    notes="foreachBatch incremental upsert "
+    "(streaming/foreach_batch.run_incremental_upsert): events split into "
+    "4 parquet files streamed one-file-per-trigger, each micro-batch "
+    "merged into a versioned parquet state table (union + re-agg, no "
+    "join); decimal-carried sums + key-carrying max_by make the final "
+    "state bit-equal to the batch aggregate of the whole history "
+    "regardless of batch boundaries; the 'latest' tiebreak is a "
+    "zero-padded (epoch_us, event_id) string key, total-ordered and "
+    "portable to the DuckDB oracle",
+)
+def q107_stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.foreach_batch import run_incremental_upsert
+
+    events = read_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dbkit_q107_")
+    in_dir = f"{work}/input"
+    events.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def sort_key(ts, event_id):
+        return F.concat(
+            F.lpad(F.unix_micros(ts).cast("string"), 20, "0"),
+            F.lpad(event_id.cast("string"), 12, "0"),
+        )
+
+    def partial(df: DataFrame) -> DataFrame:
+        k = sort_key(F.col("ts"), F.col("event_id"))
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 6)).cast("decimal(38,6)").alias("__total_dec"),
+            F.max("ts").alias("last_ts"),
+            F.max(k).alias("__last_key"),
+            F.max_by("event_type", k).alias("last_type"),
+        )
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__total_dec").cast("decimal(38,6)").alias("__total_dec"),
+            F.max("last_ts").alias("last_ts"),
+            F.max("__last_key").alias("__last_key"),
+            F.max_by("last_type", "__last_key").alias("last_type"),
+        )
+
+    state = run_incremental_upsert(stream, partial, merge, f"{work}/state")
+    return state.select(
+        "user_id",
+        "n_events",
+        F.col("__total_dec").cast("double").alias("total_value"),
+        "last_ts",
+        "last_type",
     )

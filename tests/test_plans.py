@@ -77,7 +77,8 @@ def test_sharded_packing_no_single_partition_exchange(spark, sf_dir):
 # Streaming-replay queries execute on construction (availableNow run);
 # building their DataFrame is not a pure plan inspection — exclude them.
 _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
-              "q63_stream_static_join", "q66_stream_stream_join"}
+              "q63_stream_static_join", "q66_stream_stream_join",
+              "q107_stream_incremental_upsert"}
 # Queries whose nested-loop/cross joins are INTENTIONAL and bounded by
 # construction (a broadcast side that is tiny by design, or an exact
 # all-pairs baseline documented as verify-only):

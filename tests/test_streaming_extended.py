@@ -144,3 +144,73 @@ def test_update_output_mode(spark, sf_dir, tmp_path):
     want = {(r.event_type, r.n) for r in agg_of(events).collect()}
     got = {(r.event_type, r.n) for r in final.collect()}
     assert got == want
+
+
+def test_incremental_upsert_batch_boundary_invariance(spark, sf_dir, tmp_path):
+    """foreach_batch.run_incremental_upsert: the final state must be
+    IDENTICAL whether the history arrives as 1 micro-batch or 4 — the
+    merge-invariant (partials re-aggregate exactly) is the whole contract.
+    Decimal carry makes even the float sums bit-equal."""
+    from dbkit_spark.operators.aggregate import dec
+    from dbkit_spark.streaming.foreach_batch import run_incremental_upsert
+
+    events = read_table(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 6)).cast("decimal(38,6)").alias("total"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    def merge(df):
+        return df.groupBy("user_id").agg(
+            F.sum("n").alias("n"),
+            F.sum("total").cast("decimal(38,6)").alias("total"),
+            F.max("last_ts").alias("last_ts"),
+        )
+
+    results = {}
+    for nfiles in (1, 4):
+        in_dir = str(tmp_path / f"in{nfiles}")
+        events.repartition(nfiles).write.parquet(in_dir)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        state = run_incremental_upsert(
+            stream, partial, merge, str(tmp_path / f"state{nfiles}")
+        )
+        results[nfiles] = sorted(tuple(r) for r in state.collect())
+
+    assert results[1] == results[4]
+    batch = sorted(tuple(r) for r in merge(partial(events)).collect())
+    assert results[4] == batch
+
+
+def test_incremental_upsert_prunes_stale_versions(spark, sf_dir, tmp_path):
+    """State directory must not grow with stream lifetime: only the last
+    keep_versions survive."""
+    import os
+
+    from dbkit_spark.streaming.foreach_batch import run_incremental_upsert
+
+    events = read_table(spark, sf_dir, "events").limit(200)
+    in_dir = str(tmp_path / "in")
+    events.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    state_dir = str(tmp_path / "state")
+    run_incremental_upsert(
+        stream,
+        lambda df: df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+        lambda df: df.groupBy("user_id").agg(F.sum("n").alias("n")),
+        state_dir,
+        keep_versions=2,
+    )
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) <= 2
