@@ -332,3 +332,72 @@ def q107_stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         "last_ts",
         "last_type",
     )
+
+
+# --- declarative data-quality audit ------------------------------------------
+@register(
+    "q108_quality_audit",
+    oracle="""
+    SELECT 'not_null:customer.c_name' AS constraint, 'not_null' AS kind,
+           COUNT(*) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE c_name IS NULL) AS BIGINT) AS n_violations,
+           COUNT(*) FILTER (WHERE c_name IS NULL) = 0 AS ok
+    FROM customer
+    UNION ALL
+    SELECT 'unique:orders.o_orderkey', 'unique',
+           COUNT(*), CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT),
+           COUNT(*) FILTER (WHERE n > 1) = 0
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1) g
+    UNION ALL
+    SELECT 'foreign_key:lineitem.l_orderkey->orders.o_orderkey', 'foreign_key',
+           COUNT(*),
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+           COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) = 0
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'foreign_key:orders.o_custkey->customer.c_custkey', 'foreign_key',
+           COUNT(*),
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'in_range:lineitem.l_discount[0.0,0.1]', 'in_range',
+           COUNT(l_discount),
+           CAST(COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                                   AND (l_discount < 0.0 OR l_discount > 0.1))
+                AS BIGINT),
+           COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                              AND (l_discount < 0.0 OR l_discount > 0.1)) = 0
+    FROM lineitem
+    """,
+    notes="declarative data-quality audit (operators/quality_audit): "
+    "not-null / key-uniqueness / referential-integrity / range "
+    "constraints reported as one O(constraints)-sized violations table "
+    "— each check is a single-pass aggregate (FK = left join with hit "
+    "marker, counted in the same pass), never a per-row failure dump",
+)
+def q108_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_audit import (
+        audit,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    tables = {
+        t: read_table(spark, sf_dir, t)
+        for t in ["customer", "orders", "lineitem"]
+    }
+    return audit(
+        tables,
+        [
+            not_null("customer", "c_name"),
+            unique("orders", "o_orderkey"),
+            foreign_key("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            foreign_key("orders", "o_custkey", "customer", "c_custkey"),
+            in_range("lineitem", "l_discount", 0.0, 0.1),
+        ],
+    )
