@@ -401,3 +401,45 @@ def q108_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             in_range("lineitem", "l_discount", 0.0, 0.1),
         ],
     )
+
+
+# --- BM25 lexical retrieval ---------------------------------------------------
+@register(
+    "q109_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+           ), 6) AS score
+    FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), corpus c
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 10
+    """,
+    notes="BM25 top-k lexical retrieval (llm/retrieval.bm25_topk): "
+    "query-term filter lands before the tf shuffle so scoring touches "
+    "only matching docs; df and corpus stats broadcast (|Q|-row and "
+    "1-row); TakeOrderedAndProject final ranking; scores rounded 6dp "
+    "(sum over <=|Q| doubles is order-sensitive) with doc_id tiebreak",
+)
+def q109_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", ["spark", "join", "window"], k=10)

@@ -87,12 +87,14 @@ _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
 #   q44 — exact all-pairs cosine baseline (scale path is q45/q65)
 #   q65 — queries x broadcast(16 centroids) probe routing
 #   q105 — customer x broadcast(1-row scalar-subquery threshold)
+#   q109 — scored docs x broadcast(1-row corpus stats N/avgdl)
 _INTENTIONAL_CROSS = {
     "q11_join_cross",
     "q43_cosine_topk",
     "q44_embedding_near_dup",
     "q65_ann_ivf",
     "q105_tpch_q22_dormant",
+    "q109_bm25_topk",
 }
 
 
@@ -169,3 +171,9 @@ def test_extension3_shuffle_discipline(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in final
     assert "CartesianProduct" not in final
     assert "SinglePartition" not in final
+    # bm25: final ranking is top-k, never a global sort
+    plan = (
+        CATALOG["q109_bm25_topk"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan.split("== Initial Plan ==")[0]
