@@ -174,3 +174,49 @@ def pack_by_token_budget(
         token_col,
         ((cum - F.col(token_col)) / F.lit(budget)).cast("long").alias("batch_id"),
     )
+
+
+def _hash_uniform(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform in (0,1): first 6 md5 hex digits as an
+    integer in [0, 16^6), midpoint-shifted — strictly inside (0,1) so
+    ln() is always finite. Portable digit-for-digit to other engines."""
+    keyed = F.concat(id_col.cast("string"), F.lit(":" + salt))
+    raw = F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
+    return (raw + F.lit(0.5)) / F.lit(float(16**6))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-ES, exponential-key form): each row draws
+    ``wkey = −ln(u)/w`` with a hash-derived uniform u, and the k SMALLEST
+    keys win — inclusion probability proportional to weight, one
+    TakeOrderedAndProject pass, no sequential reservoir.
+
+    Deterministic under reruns, repartitioning, and appends (a new row
+    can displace old ones only by its own key, never perturb theirs) —
+    the same property split_assign has, which seeded sample() lacks.
+
+    ``wkey`` is rounded to 9dp (ln differs in the last bit across
+    libm implementations — q27 rule) and ties break on row id, so the
+    selected SET is engine-exact, not just statistically equal.
+
+    Non-positive weights are excluded (they have zero inclusion mass;
+    −ln(u)/w would flip sign and always win).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    u = _hash_uniform(F.col(id_col), salt)
+    wkey = F.round(-F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("wkey", wkey)
+        .orderBy(F.col("wkey").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -443,3 +443,74 @@ def q109_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bm25_topk(docs, "text", "doc_id", ["spark", "join", "window"], k=10)
+
+
+# --- deterministic weighted sampling (A-ES) ----------------------------------
+@register(
+    "q110_weighted_sample",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(list_sum(list_transform(generate_series(1, 6),
+                i -> CAST((strpos('0123456789abcdef',
+                           substr(md5(concat(CAST(doc_id AS VARCHAR), ':wsample')),
+                                  i, 1)) - 1) AS BIGINT)
+                     * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) + 0.5)
+             / 16777216.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars,
+           ROUND(-ln(u) / CAST(n_chars AS DOUBLE), 9) AS wkey
+    FROM u
+    ORDER BY wkey, doc_id
+    LIMIT 100
+    """,
+    notes="deterministic weighted sample without replacement "
+    "(llm/sampling.weighted_sample_topk, Efraimidis-Spirakis A-ES "
+    "exponential-key form): md5-uniform u, wkey=-ln(u)/weight, k "
+    "smallest win via TakeOrderedAndProject — inclusion mass "
+    "proportional to n_chars; 9dp rounding + doc_id tiebreak makes the "
+    "selected SET engine-exact, and membership is stable under "
+    "repartitioning and appends (unlike seeded sample())",
+)
+def q110_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import weighted_sample_topk
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=100)
+
+
+# --- equi-width histogram ----------------------------------------------------
+@register(
+    "q111_histogram",
+    oracle="""
+    WITH binned AS (
+      SELECT o_orderstatus,
+             CAST(CASE WHEN o_totalprice < 0 THEN -1
+                       WHEN o_totalprice >= 500000 THEN 20
+                       ELSE floor(o_totalprice / 25000.0)
+                  END AS BIGINT) AS bin
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+    )
+    SELECT o_orderstatus, bin,
+           bin * 2.5e4 AS bin_lo,
+           (bin + 1) * 2.5e4 AS bin_hi,
+           COUNT(*) AS n
+    FROM binned
+    GROUP BY o_orderstatus, bin
+    """,
+    notes="equi-width histogram (operators/histogram.equi_width_histogram): "
+    "one map-side bucket expression + one hash agg; explicit "
+    "underflow/overflow sentinel bins (-1/nbins) instead of silent "
+    "clamping; 20 bins of 25k over o_totalprice per order status",
+)
+def q111_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import equi_width_histogram
+
+    orders = read_table(spark, sf_dir, "orders")
+    return equi_width_histogram(
+        orders, "o_totalprice", 0.0, 500_000.0, 20, keys=["o_orderstatus"]
+    )

@@ -444,3 +444,43 @@ def test_redact_pii_patterns(spark):
     assert got[2] == "call [PHONE] or [PHONE]"
     assert got[3] == "host [IP] up"
     assert got[4] == "clean text with no pii 1234"
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES weighted sampling: membership is repartition-stable, appends
+    never displace by perturbation, non-positive weights are excluded,
+    and heavy strata dominate the sample roughly in proportion."""
+    import pytest as _pytest
+
+    from dbkit_spark.llm.sampling import weighted_sample_topk
+
+    rows = [(i, 100.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    picked = weighted_sample_topk(df, "id", "w", k=200)
+    ids = sorted(r.id for r in picked.collect())
+    assert len(ids) == 200
+
+    # repartition invariance: identical SET
+    ids_rp = sorted(
+        r.id for r in weighted_sample_topk(df.repartition(13), "id", "w", k=200).collect()
+    )
+    assert ids_rp == ids
+
+    # heavy-weight rows (100x mass) must dominate
+    n_heavy = sum(1 for i in ids if i < 500)
+    assert n_heavy > 170
+
+    # appending rows never perturbs existing keys: old sample ⊇ survivors
+    extra = spark.createDataFrame([(2000 + i, 100.0) for i in range(50)], "id long, w double")
+    ids_app = sorted(
+        r.id for r in weighted_sample_topk(df.unionByName(extra), "id", "w", k=200).collect()
+    )
+    assert set(ids_app) - set(ids) <= {2000 + i for i in range(50)}
+
+    # zero/negative weights excluded even at tiny k
+    bad = spark.createDataFrame([(1, 0.0), (2, -5.0), (3, 1.0)], "id long, w double")
+    assert [r.id for r in weighted_sample_topk(bad, "id", "w", k=3).collect()] == [3]
+
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(df, "id", "w", k=0)
