@@ -410,3 +410,52 @@ def minhash_incremental_pairs(
         sh_corpus.join(sh_new.select("doc_id"), "doc_id", "left_anti")
     )
     return jaccard_verify(cands, all_shingles, threshold)
+
+
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/ppjoin family):
+    same results as ``ngram_jaccard_pairs``, far fewer candidates.
+
+    Prefix-filter lemma: J(x,y) >= t implies |x∩y| >= ceil(t·|x|), so a
+    matching pair must share a shingle within each side's first
+    |x| − ceil(t·|x|) + 1 shingles under any shared global total order.
+    Ordering by ascending document frequency (rarest first) puts the
+    most selective shingles in the prefix, so the inverted index shrinks
+    from every (doc, shingle) row to only prefix rows — and candidate
+    generation, the quadratic-risk stage, joins on the rarest shingles
+    instead of the stop-shingle buckets that dominate a full inverted
+    index at 100 TB. Completeness is oracle-checked (q112 shares q42's
+    brute-force oracle) and equality with the unfiltered operator is
+    pytest-asserted.
+    """
+    shingled = shingle_docs(docs, text_col, id_col).persist()
+    inv = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("__sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    prefix = (
+        inv.join(dfreq, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(
+            F.col("__pos")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, shingled, threshold)

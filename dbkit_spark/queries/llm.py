@@ -724,3 +724,33 @@ def q98_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
     return docs.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
+# --- prefix-filtered exact Jaccard (scale path for q42) ---------------------
+@register(
+    "q112_jaccard_prefix_filter",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, round({_JACCARD_SQL}, 6) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {_JACCARD_SQL} >= 0.5
+    """,
+    notes="prefix-filtered exact Jaccard (llm/dedup."
+    "jaccard_prefix_filter_pairs, AllPairs/ppjoin family): only each "
+    "doc's |x|-ceil(t|x|)+1 rarest shingles (global df order) enter the "
+    "inverted index, so candidate generation joins on selective "
+    "shingles instead of stop-shingle buckets; the oracle is q42's "
+    "BRUTE-FORCE exact join — a hash match proves the filter dropped "
+    "no true pair (completeness), not just that survivors verify",
+)
+def q112_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import jaccard_prefix_filter_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = jaccard_prefix_filter_pairs(docs, threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

@@ -484,3 +484,44 @@ def test_weighted_sample_properties(spark):
 
     with _pytest.raises(ValueError):
         weighted_sample_topk(df, "id", "w", k=0)
+
+
+def test_jaccard_prefix_filter_equal_results_fewer_candidates(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS (same pairs as the full
+    inverted index) while indexing strictly fewer (doc, shingle) rows —
+    the whole point of the optimization."""
+    from pyspark.sql import Window as W
+
+    from dbkit_spark.llm.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+        shingle_docs,
+    )
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    filtered = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in jaccard_prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    assert filtered == full and full  # lossless, and non-trivially so
+
+    # index-size reduction: prefix rows < all (doc, shingle) rows
+    shingled = shingle_docs(docs)
+    inv = shingled.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    n_all = inv.count()
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    n_prefix = (
+        inv.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1)
+        .count()
+    )
+    assert n_prefix < 0.6 * n_all, (n_prefix, n_all)
