@@ -514,3 +514,142 @@ def q111_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(
         orders, "o_totalprice", 0.0, 500_000.0, 20, keys=["o_orderstatus"]
     )
+
+
+# --- TPC-H Q21: suppliers who kept orders waiting ----------------------------
+@register(
+    "q113_tpch_q21_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+    notes="TPC-H Q21 shape (lateness = shipped >60d after order date — "
+    "the fixture has no commit/receipt dates): correlated EXISTS + "
+    "NOT EXISTS decorrelated into two per-order aggregates — "
+    "distinct-supplier count >= 2 replaces EXISTS(other supplier), "
+    "distinct-LATE-supplier count == 1 replaces NOT EXISTS(other late "
+    "supplier) given l1 itself is late; both aggs are order-keyed "
+    "single shuffles instead of per-row subquery probes",
+)
+def q113_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    late = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    nsupp = lineitem.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__nsupp")
+    )
+    nlate = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__nlate")
+    )
+    return (
+        late.join(nsupp, "l_orderkey")
+        .join(nlate, "l_orderkey")
+        .filter((F.col("__nsupp") >= 2) & (F.col("__nlate") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+# --- streaming replay of q36's session windows (batch/stream parity) --------
+@register(
+    "q115_stream_session_replay",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    notes="session_window in STREAMING mode (§2.9): q36's gaps-and-islands "
+    "oracle replayed via readStream + availableNow + complete-mode "
+    "memory sink — streaming session merging must produce the identical "
+    "session set as the batch operator",
+)
+def q115_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import read_events_stream, run_available_now
+    from ..streaming.windows import session_agg
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_agg(
+        stream, "ts", "30 minutes", ["user_id"], {"n_events": F.count("*")}
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+# --- higher-order array functions II (§2.8: filter/exists/forall) -----------
+@register(
+    "q114_hof_array_surface",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, generate_series(1, CAST(event_id % 5 AS INTEGER) + 2) AS arr
+      FROM events
+    )
+    SELECT event_id,
+           array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
+           CAST(length(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+           length(list_filter(arr, x -> x > 3)) > 0 AS has_gt3,
+           length(list_filter(arr, x -> NOT (x > 0))) = 0 AS all_pos,
+           CAST(list_sum(list_transform(arr, x -> x * 2)) AS BIGINT) AS doubled_sum
+    FROM a
+    """,
+    notes="higher-order array functions, part II of q31 (§2.8): "
+    "filter / exists / forall / transform-then-fold lambdas, all "
+    "JVM-side codegen; array outputs projected to joined strings (q57 "
+    "lesson: the driver's pandas canonicalization cannot sort "
+    "list-valued columns); integer folds so sums are exact",
+)
+def q114_hof_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    arr = F.sequence(F.lit(1), (F.col("event_id") % 5 + 2).cast("int"))
+    evens = F.filter(arr, lambda x: x % 2 == 0)
+    return events.select(
+        "event_id",
+        F.array_join(evens.cast("array<string>"), ",").alias("evens"),
+        F.size(evens).cast("long").alias("n_even"),
+        F.exists(arr, lambda x: x > 3).alias("has_gt3"),
+        F.forall(arr, lambda x: x > 0).alias("all_pos"),
+        F.aggregate(
+            F.transform(arr, lambda x: x * 2),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("doubled_sum"),
+    )

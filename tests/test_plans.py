@@ -78,7 +78,7 @@ def test_sharded_packing_no_single_partition_exchange(spark, sf_dir):
 # building their DataFrame is not a pure plan inspection — exclude them.
 _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
               "q63_stream_static_join", "q66_stream_stream_join",
-              "q107_stream_incremental_upsert"}
+              "q107_stream_incremental_upsert", "q115_stream_session_replay"}
 # Queries whose nested-loop/cross joins are INTENTIONAL and bounded by
 # construction (a broadcast side that is tiny by design, or an exact
 # all-pairs baseline documented as verify-only):
@@ -177,3 +177,5 @@ def test_extension3_shuffle_discipline(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan.split("== Initial Plan ==")[0]
+    # HOF array surface is a pure map-only projection
+    assert exchanges(CATALOG["q114_hof_array_surface"].fn(spark, sf_dir)) == 0
