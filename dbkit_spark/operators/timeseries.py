@@ -156,3 +156,45 @@ def scd2_history(
     return out.select(
         *keys, *state_cols, "valid_from", "valid_to", "version", "is_current"
     )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    alpha: float,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    ``y_t = α·x_t + (1−α)·y_{t−1}`` (adjust=False recursion).
+
+    The recursion is inherently sequential WITHIN a key, so this is the
+    declared Arrow/pandas boundary (SURVEY §2.10): grouped-map
+    ``applyInPandas``, one group = one series, parallelism = number of
+    series — the same sharding every stateful timeseries op here uses
+    (gapfill LOCF, scd2). No SQL oracle exists (the recursion is not
+    window-expressible without unstable pow() rescaling); parity against
+    a pure-Python reference is pytest-asserted instead, and the catalog
+    entry is rows-only by design.
+
+    ``tiebreak`` orders same-timestamp rows (the scd2/asof determinism
+    rule).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keys = list(keys)
+    sort_cols = [ts_col, *tiebreak]
+    out_fields = [*keys, ts_col, value_col]
+
+    def _fn(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[[*out_fields, "ewma"]]
+
+    schema_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in out_fields
+    )
+    return df.groupBy(*keys).applyInPandas(_fn, f"{schema_cols}, ewma double")

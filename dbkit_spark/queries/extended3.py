@@ -653,3 +653,139 @@ def q114_hof_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("doubled_sum"),
     )
+
+
+# --- robust statistics (MAD / IQR / trimmed mean) ----------------------------
+@register(
+    "q116_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(m.med), 6) AS median_value,
+           ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+           ROUND(ANY_VALUE(m.p75) - ANY_VALUE(m.p25), 6) AS iqr,
+           ROUND(CAST(SUM(CASE WHEN e.value BETWEEN m.p25 AND m.p75
+                               THEN CAST(e.value AS DECIMAL(25,6)) END)
+                      AS DOUBLE)
+                 / COUNT(CASE WHEN e.value BETWEEN m.p25 AND m.p75
+                              THEN 1 END), 6) AS trimmed_mean
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    notes="robust statistics: median absolute deviation, interquartile "
+    "range, IQR-trimmed mean — the outlier-resistant profile a data "
+    "pipeline wants before z-scores; two passes (per-group quantiles, "
+    "then deviation/trim agg over a broadcast-joined quantile row), "
+    "decimal-carried trimmed sum, 6dp rounding (interpolated "
+    "percentiles are order-sensitive in the last bits)",
+)
+def q116_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import dec, rounded
+
+    events = read_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("__med"),
+        F.percentile("value", 0.25).alias("__p25"),
+        F.percentile("value", 0.75).alias("__p75"),
+    )
+    in_iqr = F.col("value").between(F.col("__p25"), F.col("__p75"))
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            rounded(F.any_value("__med")).alias("median_value"),
+            rounded(
+                F.percentile(F.abs(F.col("value") - F.col("__med")), 0.5)
+            ).alias("mad"),
+            rounded(F.any_value("__p75") - F.any_value("__p25")).alias("iqr"),
+            rounded(
+                F.sum(F.when(in_iqr, dec("value", 6))).cast("double")
+                / F.count(F.when(in_iqr, F.lit(1)))
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+# --- TPC-H Q2: min-cost supplier per part ------------------------------------
+@register(
+    "q117_tpch_q2_min_cost",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), best AS (
+      SELECT l_partkey, MIN(cost) AS mincost FROM ps GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, ROUND(ps.cost, 6) AS cost
+    FROM ps
+    JOIN best ON ps.l_partkey = best.l_partkey AND ps.cost = best.mincost
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.p_size <= 10
+    ORDER BY cost, p.p_partkey, s.s_name
+    LIMIT 100
+    """,
+    notes="TPC-H Q2 shape (lineitem unit price stands in for partsupp "
+    "supplycost): correlated MIN subquery decorrelated into a per-part "
+    "min agg joined back on (part, cost) equality — ALL tied best "
+    "suppliers survive, matching Q2 semantics; the min-cost compare is "
+    "on raw doubles (MIN selects an element, no accumulation) with "
+    "rounding only at output; part/supplier dims broadcast",
+)
+def q117_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost")
+    )
+    # rename the agg's key: a self-derived join on same-named columns can
+    # resolve both sides to one attribute (trivially-true predicate)
+    best = ps.groupBy("l_partkey").agg(F.min("__cost").alias("__mincost")) \
+        .withColumnRenamed("l_partkey", "__bk")
+    return (
+        ps.join(
+            best,
+            (F.col("l_partkey") == F.col("__bk"))
+            & (F.col("__cost") == F.col("__mincost")),
+        )
+        .drop("__bk")
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("__cost", 6).alias("cost"),
+        )
+        .orderBy("cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# --- EWMA smoothing (grouped-map, rows-only) ---------------------------------
+@register(
+    "q118_ewma",
+    oracle=None,
+    notes="per-user EWMA smoothing (operators/timeseries.ewma, "
+    "alpha=0.2): the y_t = a*x_t + (1-a)*y_(t-1) recursion is "
+    "sequential within a key and not window-expressible without "
+    "unstable pow() rescaling -> grouped-map applyInPandas (the "
+    "declared Arrow boundary), rows-only for the driver; exact parity "
+    "with a pure-Python reference recursion is asserted in "
+    "tests/test_timeseries.py",
+)
+def q118_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma
+
+    events = read_table(spark, sf_dir, "events")
+    return ewma(events, "ts", ["user_id"], "value", 0.2, tiebreak=["event_id"])

@@ -123,3 +123,52 @@ def test_scd2_same_ts_tiebreak_deterministic(spark):
             scd2_history(df2, "user_id", ["state"], "ts", "event_id")
             .orderBy("version").collect()]
     assert out1 == out2 == [("b", 1), ("a", 2), ("c", 3)]
+
+
+def test_ewma_matches_reference_recursion(spark):
+    """applyInPandas EWMA must equal the textbook recursion
+    y_t = a*x_t + (1-a)*y_(t-1) exactly (same FP operation order as
+    pandas adjust=False), per key, with tiebreak determinism."""
+    from dbkit_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, _ts(0), 10.0, 1),
+        (1, _ts(1), 20.0, 2),
+        (1, _ts(2), 15.0, 3),
+        (2, _ts(0), 5.0, 4),
+        (2, _ts(0), 7.0, 5),   # same ts: event_id tiebreak decides order
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = {
+        (r.user_id, r.ts, r.value): r.ewma
+        for r in ewma(df, "ts", ["user_id"], "value", 0.25,
+                      tiebreak=["event_id"]).collect()
+    }
+
+    def ref(xs, a=0.25):
+        ys = [xs[0]]
+        for x in xs[1:]:
+            ys.append((1 - a) * ys[-1] + a * x)
+        return ys
+
+    y1 = ref([10.0, 20.0, 15.0])
+    y2 = ref([5.0, 7.0])
+    assert out[(1, _ts(0), 10.0)] == y1[0]
+    assert out[(1, _ts(1), 20.0)] == y1[1]
+    assert out[(1, _ts(2), 15.0)] == y1[2]
+    assert out[(2, _ts(0), 5.0)] == y2[0]
+    assert out[(2, _ts(0), 7.0)] == y2[1]
+
+
+def test_ewma_validates_alpha(spark):
+    from dbkit_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError):
+        ewma(df, "ts", ["user_id"], "value", 0.0)
+    with pytest.raises(ValueError):
+        ewma(df, "ts", ["user_id"], "value", 1.5)
