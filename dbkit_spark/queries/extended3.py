@@ -789,3 +789,211 @@ def q118_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     return ewma(events, "ts", ["user_id"], "value", 0.2, tiebreak=["event_id"])
+
+
+# --- three-valued logic semantics (§2.2/§2.8 correctness showcase) -----------
+@register(
+    "q119_three_valued_logic",
+    oracle="""
+    WITH t AS (SELECT NULLIF(o_orderstatus, 'O') AS s FROM orders)
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(COUNT(s) AS BIGINT) AS n_non_null,
+      CAST(COUNT(CASE WHEN s IN ('F', 'P') THEN 1 END) AS BIGINT) AS n_in,
+      CAST(COUNT(CASE WHEN s NOT IN ('F', NULL) THEN 1 END) AS BIGINT)
+        AS n_not_in_null_list,
+      CAST(COUNT(CASE WHEN (s = 'F') IS NULL THEN 1 END) AS BIGINT)
+        AS n_unknown_cmp,
+      CAST(COUNT(CASE WHEN (s = 'F' OR TRUE) THEN 1 END) AS BIGINT)
+        AS n_or_true,
+      CAST(COUNT(CASE WHEN NOT (s = 'F' AND FALSE) THEN 1 END) AS BIGINT)
+        AS n_and_false,
+      CAST(COUNT(CASE WHEN s IS DISTINCT FROM 'F' THEN 1 END) AS BIGINT)
+        AS n_distinct_from
+    FROM t
+    """,
+    notes="three-valued-logic semantics over data-manufactured NULLs "
+    "(NULLIF): COUNT skips NULL, x IN list is UNKNOWN for NULL x, "
+    "NOT IN against a list containing NULL matches NOTHING (the classic "
+    "silent-wrong-results trap), UNKNOWN OR TRUE = TRUE, UNKNOWN AND "
+    "FALSE = FALSE, IS DISTINCT FROM treats NULL as comparable — "
+    "engines that cut corners on 3VL diverge on every one of these "
+    "counts",
+)
+def q119_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    t = orders.select(s.alias("s"))
+
+    def cnt(cond):
+        return F.count(F.when(cond, F.lit(1))).cast("long")
+
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s").cast("long").alias("n_non_null"),
+        cnt(F.col("s").isin("F", "P")).alias("n_in"),
+        cnt(F.expr("s NOT IN ('F', NULL)")).alias("n_not_in_null_list"),
+        cnt((F.col("s") == "F").isNull()).alias("n_unknown_cmp"),
+        cnt((F.col("s") == "F") | F.lit(True)).alias("n_or_true"),
+        cnt(~((F.col("s") == "F") & F.lit(False))).alias("n_and_false"),
+        cnt(~F.col("s").eqNullSafe("F")).alias("n_distinct_from"),
+    )
+
+
+# --- generated date dimension + activity calendar ---------------------------
+@register(
+    "q120_date_dim_activity",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx FROM orders
+    ), spine AS (
+      SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS dt FROM b
+    ), act AS (
+      SELECT o_orderdate AS dt, COUNT(*) AS n_orders FROM orders GROUP BY 1
+    )
+    SELECT s.dt,
+           CAST(year(s.dt) AS BIGINT) AS y,
+           CAST(quarter(s.dt) AS BIGINT) AS q,
+           CAST(month(s.dt) AS BIGINT) AS m,
+           CAST(dayofweek(s.dt) + 1 AS BIGINT) AS dow,
+           dayofweek(s.dt) IN (0, 6) AS is_weekend,
+           COALESCE(a.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN act a USING (dt)
+    """,
+    notes="generated date dimension (warehouse dim_date): daily spine from "
+    "the fact table's own min/max (agg + sequence explode — NO 1-row "
+    "cross join, no static calendar table), calendar attributes "
+    "(year/quarter/month/day-of-week/weekend), zero-filled activity "
+    "counts; dow normalized to Spark's 1=Sunday convention (DuckDB "
+    "dayofweek is 0=Sunday)",
+)
+def q120_date_dim_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    spine = orders.agg(
+        F.min("o_orderdate").alias("__mn"), F.max("o_orderdate").alias("__mx")
+    ).select(
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr("INTERVAL 1 DAY"))
+        ).alias("dt")
+    )
+    act = orders.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return spine.join(act, "dt", "left").select(
+        "dt",
+        F.year("dt").cast("long").alias("y"),
+        F.quarter("dt").cast("long").alias("q"),
+        F.month("dt").cast("long").alias("m"),
+        F.dayofweek("dt").cast("long").alias("dow"),
+        F.dayofweek("dt").isin(1, 7).alias("is_weekend"),
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+    )
+
+
+# --- union by name with missing columns (§2.7) -------------------------------
+@register(
+    "q121_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'price' AS src
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderpriority, 'prio' AS src
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+    notes="unionByName(allowMissingColumns=True) (§2.7): heterogeneous "
+    "inputs align by COLUMN NAME, absent columns fill with typed NULL — "
+    "positional UNION would silently zip mismatched columns; mirrored "
+    "by DuckDB's UNION ALL BY NAME",
+)
+def q121_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    price = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("price").alias("src")
+    )
+    prio = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderpriority", F.lit("prio").alias("src")
+    )
+    return price.unionByName(prio, allowMissingColumns=True)
+
+
+# --- percent-of-total (ratio_to_report) window -------------------------------
+@register(
+    "q122_percent_of_total",
+    oracle="""
+    WITH n AS (
+      SELECT n.n_regionkey, n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               AS revenue
+      FROM nation n
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT n_regionkey, n_name, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY n_regionkey), 6)
+             AS region_share
+    FROM n
+    """,
+    notes="percent-of-total (ratio_to_report): per-nation revenue share "
+    "within its region via value / SUM() OVER (PARTITION BY region) — "
+    "the two-pass 'total then divide' anti-pattern collapsed into one "
+    "windowed pass; numerators decimal-carried, the share rounded 6dp "
+    "(window-sum order sensitivity)",
+)
+def q122_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    rev = (
+        F.broadcast(nation)
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(dec("o_totalprice", 2)).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return rev.select(
+        "n_regionkey",
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
+    )
+
+
+# --- first-seen cohorts: new + cumulative users per day ----------------------
+@register(
+    "q123_first_seen_cumulative",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT first_day, COUNT(*) AS n_new FROM f GROUP BY first_day
+    )
+    SELECT first_day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+    notes="first-seen cohort curve: per-day NEW users (min event day per "
+    "user) + cumulative running total — running COUNT DISTINCT over "
+    "time collapsed to first-touch attribution + cumsum, turning an "
+    "unbounded distinct-state window into two keyed aggs and a "
+    "days-sized window; integer sums, exact",
+)
+def q123_first_seen_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    days = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return days.select(
+        "first_day", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )
