@@ -23,6 +23,10 @@ def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
     pruned = back.filter(F.col("yr") == 1995)
     expected = orders.filter(F.year("o_orderdate") == 1995).count()
     assert pruned.count() == expected
+    # and the SCAN must prove it: the yr predicate appears as a partition
+    # filter (directory pruning), not a post-scan data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan or "PartitionFilters: [(yr" in plan, plan
 
 
 def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
