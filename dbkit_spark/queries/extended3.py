@@ -997,3 +997,133 @@ def q123_first_seen_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.select(
         "first_day", "n_new", F.sum("n_new").over(w).alias("cum_users")
     )
+
+
+# --- deterministic mode (most-frequent value, value-ordered ties) ------------
+@register(
+    "q124_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+    notes="deterministic MODE per group: engines' built-in mode() breaks "
+    "frequency ties arbitrarily (partition-order-dependent), so the "
+    "engine's mode is count-then-rank with a value tiebreak — one "
+    "(group, value) agg + one group-keyed window, both on the same "
+    "shuffle key",
+)
+def q124_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+# --- ordered event funnel ----------------------------------------------------
+@register(
+    "q125_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_view,
+      CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 END) AS BIGINT) AS n_view_click,
+      CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                      THEN 1 END) AS BIGINT) AS n_view_click_purchase
+    FROM f
+    """,
+    notes="ordered funnel (view -> click -> purchase): first-touch "
+    "timestamps per step via conditional MIN — ONE shuffle on user_id "
+    "for the whole funnel, step ordering checked on the tiny per-user "
+    "row (the sessionized-sequence alternative shuffles raw events per "
+    "step); NULL comparisons make missing steps drop out via 3VL "
+    "(q119's semantics, load-bearing here)",
+)
+def q125_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+
+    def first_ts(step):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    f = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+
+    def cnt(cond):
+        return F.count(F.when(cond, F.lit(1))).cast("long")
+
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & (F.col("t_click") > F.col("t_view"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(step1).alias("n_view"),
+        cnt(step2).alias("n_view_click"),
+        cnt(step3).alias("n_view_click_purchase"),
+    )
+
+
+# --- retention cohort matrix -------------------------------------------------
+@register(
+    "q126_retention_cohorts",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events GROUP BY user_id, wk
+    ), c AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM d GROUP BY user_id
+    )
+    SELECT c.cohort_wk, d.wk - c.cohort_wk AS offset_wk,
+           COUNT(*) AS n_active
+    FROM d JOIN c USING (user_id)
+    GROUP BY c.cohort_wk, offset_wk
+    """,
+    notes="retention cohort matrix: users bucketed by first-active week "
+    "(epoch-aligned integer weeks — portable, no engine week-start "
+    "convention), counted per (cohort, offset); raw events collapse to "
+    "distinct (user, week) FIRST so the cohort join and matrix agg "
+    "touch user-week rows, not events",
+)
+def q126_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp(F.col("ts")) / 604800).cast("long")
+    d = events.select("user_id", wk.alias("wk")).distinct()
+    c = d.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        d.join(c, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
