@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_hash, shingles_from_tokens, tokens
+from ._guards import DEFAULT_MAX_ROWS, require_small
 
 # LSH parameters: K = NUM_BANDS * BAND_ROWS minhashes.
 # P(candidate | jaccard=j) = 1 - (1 - j^BAND_ROWS)^NUM_BANDS:
@@ -339,14 +340,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_rows: int | None = DEFAULT_MAX_ROWS,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via shingle inverted index: pairs
-    must share >= 1 shingle to be compared. The exact (non-LSH) baseline;
-    candidate count is bounded by shingle co-occurrence, not n².
+    """Exact all-pairs n-gram Jaccard via FULL shingle inverted index:
+    pairs must share >= 1 shingle to be compared.
+
+    This is the brute-force verify baseline: candidate fanout on hot
+    (stop-word) shingles is quadratic in bucket size, so the default
+    ``max_rows`` guard refuses large corpora — the production default
+    for exact set-similarity is ``jaccard_prefix_filter_pairs`` (same
+    results, prefix-filtered candidates, measured 1.6x faster already
+    at sf0.1), and the approximate scale path is ``minhash_near_dup_
+    pairs``. Pass ``max_rows=None`` to force the quadratic plan.
 
     The shingle set feeds the inverted index and both verify-join sides,
     so it is persisted (the checkpoint analogue, as in
     ``minhash_near_dup_pairs``)."""
+    require_small(docs, max_rows, "ngram_jaccard_pairs", "jaccard_prefix_filter_pairs")
     shingled = shingle_docs(docs, text_col, id_col).persist()
     inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -444,9 +454,17 @@ def jaccard_prefix_filter_pairs(
     prefix = (
         inv.join(dfreq, "shingle")
         .withColumn("__pos", F.row_number().over(w))
+        # ceil over a 9dp-rounded product: binary FP can over-round the
+        # exact product upward (0.07*100 = 7.000000000000001 -> ceil 8),
+        # which would SHORTEN the prefix below what the lemma requires
+        # and silently drop true pairs. 9dp absorbs that last-ulp noise
+        # for any realistic threshold while never reaching the next
+        # integer for non-borderline products.
         .filter(
             F.col("__pos")
-            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+            <= F.col("__sz")
+            - F.ceil(F.round(F.lit(threshold) * F.col("__sz"), 9))
+            + 1
         )
         .select("doc_id", "shingle")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 from ..operators.window import per_group_topk
+from ._guards import DEFAULT_MAX_ROWS, require_small
 
 ANN_BITS = 8
 
@@ -214,8 +215,15 @@ def embedding_near_dup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = DEFAULT_MAX_ROWS,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold (the verify baseline)."""
+    """Exact all-pairs cosine >= threshold — the O(n²) crossJoin verify
+    baseline. Guarded: refuses inputs over ``max_rows`` rows, because
+    nothing about a crossJoin survives a large corpus; the scale path
+    for near-dup pairs is ``ann_bucketed`` (bucket equi-join) and for
+    top-k ``ivf_topk``. Pass ``max_rows=None`` to force the quadratic
+    plan on a larger input."""
+    require_small(df, max_rows, "embedding_near_dup", "ann_bucketed")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

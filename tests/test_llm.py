@@ -525,3 +525,59 @@ def test_jaccard_prefix_filter_equal_results_fewer_candidates(spark, sf_dir):
         .count()
     )
     assert n_prefix < 0.6 * n_all, (n_prefix, n_all)
+
+
+def test_quadratic_baselines_guarded(spark):
+    """The declared O(n²) verify-baselines must refuse over-limit inputs
+    (pointing at their scalable twins) rather than silently launching a
+    job that can never finish at corpus scale."""
+    import pytest as _pytest
+
+    from dbkit_spark.llm.dedup import ngram_jaccard_pairs as _ngram
+    from dbkit_spark.llm.similarity import embedding_near_dup as _near
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="jaccard_prefix_filter_pairs"):
+        _ngram(docs, max_rows=5).collect()
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="ann_bucketed"):
+        _near(emb, threshold=0.5, max_rows=5).collect()
+    # explicit opt-out still runs
+    assert _near(emb, threshold=0.99, max_rows=None).count() >= 0
+    assert _ngram(docs, threshold=0.9, max_rows=None).count() >= 0
+
+
+def test_prefix_filter_fp_safe_thresholds(spark, sf_dir):
+    """threshold * size computed in binary FP can over-round upward
+    (0.07*100 = 7.000000000000001 -> ceil 8, not 7), silently SHORTENING
+    the prefix below what the prefix-filter lemma requires. Pin the
+    rounded-ceil expression to the exact integer, and assert losslessness
+    at non-FP-exact thresholds (0.1, 0.3), not only the FP-exact 0.5."""
+    from dbkit_spark.llm.dedup import jaccard_prefix_filter_pairs, ngram_jaccard_pairs
+    from dbkit_spark.sources import read_table
+
+    # the raw product over-rounds; the guarded expression does not
+    row = spark.range(1).select(
+        F.ceil(F.lit(0.07) * F.lit(100)).alias("naive"),
+        F.ceil(F.round(F.lit(0.07) * F.lit(100), 9)).alias("guarded"),
+        F.ceil(F.round(F.lit(0.14) * F.lit(50), 9)).alias("guarded2"),
+    ).first()
+    assert row.naive == 8  # the latent bug this guards against
+    assert row.guarded == 7 and row.guarded2 == 7
+
+    docs = read_table(spark, sf_dir, "documents")
+    for t in (0.1, 0.3):
+        full = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_pairs(docs, threshold=t, max_rows=None).collect()
+        }
+        filtered = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in jaccard_prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert filtered == full and full, f"prefix filter lossy at t={t}"
