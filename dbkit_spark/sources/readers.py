@@ -82,19 +82,37 @@ def read_binary_files(
     return reader.load(path)
 
 
+_TS_UNIT_CACHE: dict[str, str | None] = {}
+
+
+def parquet_ts_unit(path: str, column: str = "ts") -> str | None:
+    """Physical timestamp unit ('ns'/'us'/'ms') of ``column`` in a parquet
+    file, read from the footer (driver-side, metadata-only). Returns None
+    when the column isn't a timestamp. Cached per path: fixture files are
+    immutable for a session and this runs on every read_table call."""
+    if path not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        typ = pq.read_schema(path).field(column).type
+        _TS_UNIT_CACHE[path] = getattr(typ, "unit", None)
+    return _TS_UNIT_CACHE[path]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table by name with its explicit schema.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark cannot read
-    as a timestamp; with ``spark.sql.legacy.parquet.nanosAsLong`` (set by
-    ``session.build_session``) it surfaces as nanos-since-epoch LONG and is
-    converted here to a microsecond timestamp (truncation — matching how
-    DuckDB narrows ns → us).
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: TIMESTAMP(NANOS) — which Spark cannot read as a timestamp
+    and (via ``spark.sql.legacy.parquet.nanosAsLong``, set by
+    ``session.build_session``) surfaces as nanos-since-epoch LONG, converted
+    here to a microsecond timestamp by truncation exactly as DuckDB narrows
+    ns → us — and plain TIMESTAMP(MICROS), which reads natively. The footer
+    is sniffed (metadata-only) so both encodings produce identical frames.
     """
     if name not in TABLE_SCHEMAS:
         raise AttributeMissing(name, sorted(TABLE_SCHEMAS))
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and parquet_ts_unit(path) == "ns":
         raw_schema = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType(), f.nullable)

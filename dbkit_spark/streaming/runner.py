@@ -21,23 +21,33 @@ from ..schema import TABLE_SCHEMAS
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events fixture (ns timestamps normalized
-    exactly like sources.read_table)."""
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType(), f.nullable)
-            for f in TABLE_SCHEMAS["events"].fields
-        ]
-    )
+    """Streaming source over the events fixture (ts physical-encoding
+    sniff + normalization exactly like sources.read_table)."""
+    import os
+
+    from ..sources.readers import parquet_ts_unit
+
+    legacy_ns = parquet_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns"
+    if legacy_ns:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType(), f.nullable)
+                for f in TABLE_SCHEMAS["events"].fields
+            ]
+        )
+    else:
+        schema = TABLE_SCHEMAS["events"]
     # the file stream source requires a directory: scan sf_dir but admit
     # only the events file
     raw = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if legacy_ns:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_available_now(
