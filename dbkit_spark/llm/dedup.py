@@ -142,21 +142,45 @@ def lsh_band_keys(
 
 def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
-    The equi-join on band_key is the whole point of LSH: candidates
-    shuffle on bucket keys instead of forming the n² cross product.
+    Bucketing is the whole point of LSH: candidates shuffle on bucket
+    keys instead of forming the n² cross product.
 
-    ``band_keys`` is persisted here: both self-join sides consume it and
-    Catalyst does not ReusedExchange across the differing aliases, so
-    without a barrier the signature pipeline upstream runs twice. Size
-    is bounded at NUM_BANDS short rows per doc — the in-memory analogue
-    of the bucketed band table a 100 TB pipeline materializes anyway."""
+    Plan shape: ONE aggregation on band_key (map-side-combined
+    collect_set) followed by an in-bucket pair expansion, instead of the
+    previous self-join — which either ran the whole signature pipeline
+    twice (Catalyst does not ReusedExchange across differing aliases) or
+    needed a persist() barrier with its cache materialization + storage
+    memory. Single upstream pass, single shuffle, no cache. Per-bucket
+    pair fanout is identical to the join's (an equi-join also lands each
+    hot key in one task); degenerate buckets (boilerplate corpora) need
+    upstream exact-dedup first either way.
+
+    ``band_keys`` is persisted — the in-memory analogue of the bucketed
+    band table a 100 TB pipeline materializes to storage and reuses
+    across repeated dedup invocations (incremental ingest, re-runs);
+    size is bounded at NUM_BANDS short rows per doc. The verify joins
+    downstream are left to AQE, which broadcast-converts the candidate
+    side from runtime stats (asserted in tests/test_plans.py) — an
+    unconditional broadcast hint would be unsafe for corpora whose
+    candidate set exceeds driver memory."""
     band_keys = band_keys.persist()
-    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band_key")
-    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band_key")
+    grouped = (
+        band_keys.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + F.lit(2), F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "band_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

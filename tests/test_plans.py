@@ -179,3 +179,22 @@ def test_extension3_shuffle_discipline(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan.split("== Initial Plan ==")[0]
     # HOF array surface is a pure map-only projection
     assert exchanges(CATALOG["q114_hof_array_surface"].fn(spark, sf_dir)) == 0
+
+
+def test_lsh_candidates_single_pass_and_aqe_broadcast_verify(spark, sf_dir):
+    """q40's candidate stage must be the single-pass bucket aggregation
+    (no band self-join -> the signature pipeline executes once), and
+    after execution AQE must have broadcast-converted the candidate side
+    of both verify joins (candidates are runtime-small; an unconditional
+    hint would be unsafe at corpus scale)."""
+    import re
+
+    df = CATALOG["q40_dedup_minhash"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    post = df._jdf.queryExecution().executedPlan().toString()
+    final = post.split("== Initial Plan ==")[0]
+    # exactly two join nodes in the whole plan (the verify joins) — a
+    # band-key self-join would make it three — and both broadcast the
+    # candidate side
+    assert len(re.findall(r"\w*Join", final)) == 2
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
