@@ -210,6 +210,93 @@ def ivf_topk(
     )
 
 
+def save_hyperplane_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+) -> None:
+    """Materialize the LSH bucket index to parquet, partitioned by an
+    integer bucket id so later reads prune to probed buckets.
+
+    A 100 TB corpus hashes ONCE and serves every subsequent query batch
+    from this index (``ann_query_index``) — re-deriving buckets per query
+    batch re-scans the corpus. The partition key is the bucket's integer
+    value (``conv(bucket, 2, 10)``), not the raw bit-string: Spark's
+    partition-column type inference parses an all-digit string like
+    '00010110' back as the integer 10110, silently corrupting bit-string
+    partition values on load. The exact bit-string rides along as a data
+    column."""
+    from ..sources.writers import write_parquet
+
+    bucketed = hyperplane_bucket(df, vec_col, bits, dim).select(
+        id_col,
+        vec_col,
+        "bucket",
+        F.conv("bucket", 2, 10).cast("int").alias("bucket_id"),
+    )
+    write_parquet(bucketed, path, partition_by=["bucket_id"])
+
+
+def load_hyperplane_index(spark, path: str) -> DataFrame:
+    """Load a ``save_hyperplane_index`` output: (id, vec, bucket,
+    bucket_id). No hashing happens — the plan is a pure parquet scan."""
+    return spark.read.parquet(path)
+
+
+def ann_query_index(
+    queries: DataFrame,
+    index: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Query a loaded LSH index: only the query batch is hashed (tiny,
+    map-side); the corpus side reads its precomputed ``bucket`` column.
+    Emits (query_id, cand_id, cos_sim >= threshold) for same-bucket
+    candidates, self-matches excluded. The query side is broadcast: the
+    corpus index never shuffles."""
+    qb = hyperplane_bucket(queries, vec_col, bits, dim).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = index.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    return (
+        c.join(F.broadcast(qb), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.round(cosine("qv", "cv"), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def save_ivf_index(
+    assigned: DataFrame, centroids: DataFrame, path: str
+) -> None:
+    """Persist a fitted IVF index (``ivf_index`` output): the tiny
+    centroid table plus cluster assignments partitioned by ``cluster``
+    for probe-time partition pruning. Fit once, serve every query batch —
+    the KMeans job never re-runs on load (plan-asserted in tests)."""
+    from ..sources.writers import write_parquet
+
+    write_parquet(centroids.coalesce(1), f"{path}/centroids")
+    write_parquet(assigned, f"{path}/assigned", partition_by=["cluster"])
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a ``save_ivf_index`` output as ``(assigned, centroids)``,
+    directly consumable by ``ivf_topk``. Pure parquet scans — no KMeans."""
+    assigned = spark.read.parquet(f"{path}/assigned")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return assigned, centroids
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float,

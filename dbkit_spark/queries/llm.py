@@ -754,3 +754,48 @@ def q112_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     out = jaccard_prefix_filter_pairs(docs, threshold=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --- B7: persisted ANN index round-trip ------------------------------------
+@register(
+    "q127_ann_index_query",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             concat({", ".join(f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN '1' ELSE '0' END" for p in range(ANN_BITS))})
+               AS bucket
+      FROM e
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+    FROM bucketed c JOIN bucketed q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 50
+      AND round(list_cosine_similarity(q.v, c.v), 6) >= 0.1
+    """,
+    notes="index PERSISTENCE round-trip (llm/similarity.save_hyperplane_"
+    "index -> load_hyperplane_index -> ann_query_index): the corpus is "
+    "hashed once and written to parquet partitioned by integer bucket "
+    "id; the query batch alone is hashed at query time and broadcast "
+    "against the loaded index. The oracle recomputes buckets from "
+    "scratch, so a hash match proves the save/load round-trip preserves "
+    "bucket assignments and vectors exactly. Fit-once/no-rehash is "
+    "plan-asserted in tests/test_llm.py",
+)
+def q127_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..llm.similarity import (
+        ann_query_index,
+        load_hyperplane_index,
+        save_hyperplane_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_ann_index_{sf_tag}")
+    save_hyperplane_index(emb, path)
+    index = load_hyperplane_index(spark, path)
+    return ann_query_index(emb.filter(F.col("vec_id") < 50), index, threshold=0.1)

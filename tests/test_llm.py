@@ -581,3 +581,55 @@ def test_prefix_filter_fp_safe_thresholds(spark, sf_dir):
             for r in jaccard_prefix_filter_pairs(docs, threshold=t).collect()
         }
         assert filtered == full and full, f"prefix filter lossy at t={t}"
+
+
+def test_ivf_index_save_load_roundtrip_no_refit(spark, sf_dir, tmp_path):
+    """Persisted IVF index: fit once, save, load, query — loaded results
+    equal fresh-index results, and the loaded query plan is pure parquet
+    scans (no re-fit, no in-memory LocalTableScan of centroids)."""
+    from dbkit_spark.llm.similarity import (
+        ivf_index,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    assigned, centroids = ivf_index(emb, n_clusters=4)
+    fresh = ivf_topk(queries, assigned, centroids, k=3, nprobe=2)
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+    l_assigned, l_centroids = load_ivf_index(spark, path)
+    loaded = ivf_topk(queries, l_assigned, l_centroids, k=3, nprobe=2)
+
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, loaded.collect()))
+    # fit-once proof: the loaded-side plan reads parquet; the fresh-side
+    # centroid table is a driver-local relation
+    plan = loaded._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") >= 2  # assigned + centroids
+    assert "LocalTableScan" not in plan
+
+
+def test_hyperplane_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted LSH index prunes to the probed bucket partition:
+    a single-bucket filter plans PartitionFilters on bucket_id, reading
+    a fraction of the files."""
+    from dbkit_spark.llm.similarity import (
+        load_hyperplane_index,
+        save_hyperplane_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh")
+    save_hyperplane_index(emb, path)
+    index = load_hyperplane_index(spark, path)
+    one = index.filter(F.col("bucket_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_id" in plan.split("PartitionFilters")[1][:120]
+    # round-trip preserves the exact bit-string for every row
+    from dbkit_spark.llm.similarity import hyperplane_bucket
+    orig = {r["vec_id"]: r["bucket"] for r in hyperplane_bucket(emb).select("vec_id", "bucket").collect()}
+    back = {r["vec_id"]: r["bucket"] for r in index.select("vec_id", "bucket").collect()}
+    assert orig == back
