@@ -41,13 +41,29 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``; cluster_id =
     min id reachable through the pair graph. Raises ``RuntimeError`` if
-    ``max_iter`` rounds don't reach the fixpoint (diameter > max_iter)."""
+    ``max_iter`` rounds don't reach the fixpoint (diameter > max_iter).
+
+    ``checkpoint_dir`` selects the durable per-round barrier: when set
+    (an HDFS/S3/local path), rounds cut lineage with ``checkpoint()``
+    into that directory — replayable after executor loss, the right mode
+    for a long-running cluster job. When None (default), rounds use
+    ``localCheckpoint()`` — executor-memory/disk only, fastest for
+    interactive/local runs, lost on executor failure."""
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def barrier(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     # Each round MUST truncate lineage (eager localCheckpoint), not just
     # cache: round N's logical plan embeds round N-1's twice (join +
@@ -57,11 +73,10 @@ def connected_components(
     # graph). On a fault-tolerant cluster run, point
     # spark.sparkContext.setCheckpointDir at durable storage and swap for
     # .checkpoint() — same contract, replayable on executor loss.
-    labels = (
+    labels = barrier(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     # decimal(38,0) sum: monotone non-increasing, equality ⇒ converged
     prev_sum = labels.agg(
@@ -72,11 +87,10 @@ def connected_components(
         msgs = edges.join(
             labels, edges["src"] == labels["id"], "inner"
         ).select(F.col("dst").alias("id"), "cluster_id")
-        new_labels = (
+        new_labels = barrier(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))

@@ -60,6 +60,7 @@ def asof_join(
     right_time: str | None = None,
     direction: str = "backward",
     suffix: str = "_r",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Distributed as-of join (event-time nearest match per key).
 
@@ -71,6 +72,12 @@ def asof_join(
 
     direction="backward": latest right row with rtime <= ltime.
     direction="forward":  earliest right row with rtime >= ltime.
+
+    ``tolerance`` (an interval literal body, e.g. ``"5 minutes"`` —
+    pandas ``merge_asof``'s parameter) caps the allowed time gap: a
+    carried match farther than the tolerance is nulled out instead of
+    joined. Applied as a map-side post-filter on the carried row's
+    timestamp — the plan (one key shuffle) is unchanged.
 
     Ties (multiple right rows sharing key + timestamp) are broken
     deterministically by the greatest right-side payload tuple — the
@@ -132,11 +139,23 @@ def asof_join(
     # nulls (column-wise LOCF, not row-wise as-of semantics).
     r_struct = F.when(
         F.col("__is_left") == 0,
-        F.struct(*[F.col(f"__r_{c}").alias(c) for c in rcols]),
+        F.struct(
+            F.col("__t").alias("__rt"),
+            *[F.col(f"__r_{c}").alias(c) for c in rcols],
+        ),
     )
     filled = unioned.select(
         "*", F.last(r_struct, ignorenulls=True).over(w).alias("__r")
     )
+    if tolerance is not None:
+        gap_ok = (
+            F.col("__r.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("__r.__rt") <= F.col("__t") + F.expr(f"INTERVAL {tolerance}")
+        )
+        filled = filled.withColumn(
+            "__r", F.when(gap_ok, F.col("__r")).otherwise(F.lit(None))
+        )
     out = filled.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in lcols],
         *[F.col("__r")[c].alias(c + suffix if c in lcols else c) for c in rcols],

@@ -164,6 +164,46 @@ def q12_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, views, on_key="user_id", on_time="ts", direction="backward")
 
 
+@register(
+    "q129_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts_r >= ts - INTERVAL 30 MINUTE THEN ts_r END AS ts_r,
+           CASE WHEN ts_r >= ts - INTERVAL 30 MINUTE THEN view_value END
+             AS view_value
+    FROM (
+      SELECT c.event_id, c.user_id, c.ts, v.ts AS ts_r, v.value AS view_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts >= v.ts
+    )
+    """,
+    notes="as-of join with TOLERANCE (pandas merge_asof's max-gap "
+    "parameter; operators/joins.asof_join): the nearest-preceding view "
+    "only joins when within 30 minutes of the click, else the right side "
+    "is nulled. Same one-key-shuffle plan as q12 — the gap cap is a "
+    "map-side post-filter on the carried row's timestamp, not a join "
+    "condition change; the oracle wraps DuckDB's ASOF JOIN in the "
+    "identical CASE filter",
+)
+def q129_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(
+        clicks,
+        views,
+        on_key="user_id",
+        on_time="ts",
+        direction="backward",
+        tolerance="30 minutes",
+    )
+
+
 # --- interval / range join -------------------------------------------------
 @register(
     "q13_range_join_tiers",

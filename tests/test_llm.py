@@ -633,3 +633,23 @@ def test_hyperplane_index_partition_pruning(spark, sf_dir, tmp_path):
     orig = {r["vec_id"]: r["bucket"] for r in hyperplane_bucket(emb).select("vec_id", "bucket").collect()}
     back = {r["vec_id"]: r["bucket"] for r in index.select("vec_id", "bucket").collect()}
     assert orig == back
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    """checkpoint_dir selects durable checkpoint() over localCheckpoint:
+    same labels, and the checkpoint directory actually receives RDD
+    state (proof the durable path ran)."""
+    import os
+
+    from dbkit_spark.llm.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    d = str(tmp_path / "cc_ckpt")
+    cc = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, checkpoint_dir=d).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert os.path.isdir(d) and any(os.scandir(d))
