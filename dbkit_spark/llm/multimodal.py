@@ -213,16 +213,134 @@ def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return header + bytes(px)
 
 
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Real, spec-conforming 8-bit RGB PNG (IHDR + zlib IDAT + IEND,
+    CRC-checked chunks, filter-type-0 scanlines) with deterministic
+    pixels — pure stdlib (zlib/struct/binascii), no codec libs."""
+    import binascii
+    import struct
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw += b"\x00"  # filter: None
+        for x in range(width):
+            v = (seed + 31 * x + 17 * y) % 256
+            raw += bytes((v, (v * 7) % 256, (v * 13) % 256))
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg_header(width: int, height: int, seed: int = 0) -> bytes:
+    """Structurally valid JFIF marker stream: SOI, APP0, SOF0 (baseline,
+    8-bit, 3 components) carrying the real dimensions, SOS, deterministic
+    filler entropy bytes, EOI. NOT a decodable image (no DQT/DHT/real
+    entropy coding — writing a true JPEG needs DCT+Huffman, i.e. a codec
+    lib); every header scanner, including ``parse_image_meta``, reads
+    dimensions from it exactly as from a camera JPEG."""
+    import struct
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    soi = b"\xff\xd8"
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * 3)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03"
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    entropy = bytes((seed + 7 * i) % 255 for i in range(32))  # never 0xFF
+    return soi + app0 + sof0 + sos + entropy + b"\xff\xd9"
+
+
+def _parse_png_meta(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """IHDR parse: width/height big-endian at offsets 16/20; bpp =
+    bit_depth x channels(color_type)."""
+    if len(payload) < 29:
+        return "unknown", None, None, None
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    bit_depth = payload[24]
+    color_type = payload[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        return "png", width, height, None
+    return "png", width, height, bit_depth * channels
+
+
+def _parse_jpeg_meta(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """Marker scan to the first SOF0/1/2/3 frame header (the rule every
+    image tool uses): skip variable-length segments via their big-endian
+    lengths; dimensions live at +5 (height) / +7 (width) past the marker,
+    bpp = precision x component count."""
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return "unknown", None, None, None
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
+            break
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            if i + 4 + 5 > n:
+                break
+            precision = payload[i + 4]
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            ncomp = payload[i + 9]
+            return "jpeg", width, height, precision * ncomp
+        i += 2 + seg_len
+    return "jpeg", None, None, None
+
+
 def parse_image_meta(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
     """Real header parse: (format, width, height, bits_per_pixel).
 
     BMP: magic 'BM', little-endian int32 dims at offsets 18/22 (negative
     height = top-down storage — reported as |height|), bpp at 28.
-    PPM: 'P6'/'P3' ASCII header with '#' comments. Anything else →
-    ('unknown', None, None, None); a real codec lib slots in there.
+    PPM: 'P6'/'P3' ASCII header with '#' comments.
+    PNG: magic + IHDR (big-endian dims, bit-depth x channels).
+    JPEG: magic FFD8 + marker scan to SOF0/1/2/3.
+    Anything else → ('unknown', None, None, None); a real codec lib
+    slots in there.
     """
     if payload is None:
         raise ValueError("null payload")
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png_meta(payload)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        return _parse_jpeg_meta(payload)
     if len(payload) >= 54 and payload[:2] == b"BM":
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = int.from_bytes(payload[22:26], "little", signed=True)
@@ -274,6 +392,46 @@ def with_image_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     p = encode_ppm(w, h, seed=did % 251)
                     mtypes.append("image/x-portable-pixmap")
                 payloads.append(p)
+                lens.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": mtypes,
+                    "payload_len": lens,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, PAYLOAD_SCHEMA
+    )
+
+
+def with_multiformat_image_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a payload per row across all four supported container
+    formats — doc_id % 4: BMP, PPM, PNG, JPEG — dims derived from the id
+    (same formula as ``with_image_payload``) so an oracle derives the
+    expected metadata independently of the writer AND the parser."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes, lens = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                fmt = did % 4
+                if fmt == 0:
+                    p, m = encode_bmp(w, h, seed=did % 251), "image/bmp"
+                elif fmt == 1:
+                    p, m = encode_ppm(w, h, seed=did % 251), "image/x-portable-pixmap"
+                elif fmt == 2:
+                    p, m = encode_png(w, h, seed=did % 251), "image/png"
+                else:
+                    p, m = encode_jpeg_header(w, h, seed=did % 251), "image/jpeg"
+                payloads.append(p)
+                mtypes.append(m)
                 lens.append(len(p))
             yield pd.DataFrame(
                 {

@@ -799,3 +799,41 @@ def q127_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_hyperplane_index(emb, path)
     index = load_hyperplane_index(spark, path)
     return ann_query_index(emb.filter(F.col("vec_id") < 50), index, threshold=0.1)
+
+
+# --- multimodal: four-format header decode ---------------------------------
+@register(
+    "q130_image_formats",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                           WHEN 2 THEN 'png' ELSE 'jpeg' END AS img_format,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           round(CAST(4 + doc_id % 13 AS DOUBLE) / (3 + doc_id % 7), 6)
+             AS aspect
+    FROM documents
+    """,
+    notes="four-container image header decode (llm/multimodal."
+    "parse_image_meta over mapInPandas): BMP + PPM (full real codecs), "
+    "PNG (real spec-conforming file: IHDR/zlib-IDAT/IEND with CRCs, "
+    "stdlib-only), JPEG (structurally valid JFIF/SOF0 marker stream — "
+    "real dimension scan path, entropy data stubbed since true JPEG "
+    "encoding needs DCT+Huffman). Dims derive from doc_id so the oracle "
+    "checks writer AND parser independently; all four report 24 bpp "
+    "(8-bit RGB / 3 components)",
+)
+def q130_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import decode_image_meta, with_multiformat_image_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    meta = decode_image_meta(with_multiformat_image_payload(docs))
+    return meta.select(
+        "doc_id",
+        "img_format",
+        "width",
+        "height",
+        "bpp",
+        F.round(F.col("width") / F.col("height"), 6).alias("aspect"),
+    )

@@ -653,3 +653,43 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
     }
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     assert os.path.isdir(d) and any(os.scandir(d))
+
+
+def test_png_jpeg_header_parse_edges():
+    """PNG/JPEG parsers handle the shapes real corpora contain: grayscale
+    and RGBA PNG color types, progressive (SOF2) JPEG, APPn segments
+    before the frame header, truncated streams."""
+    import struct
+    import zlib
+    import binascii
+
+    from dbkit_spark.llm.multimodal import parse_image_meta
+
+    def png(width, height, bit_depth, color_type):
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
+
+    assert parse_image_meta(png(640, 480, 8, 0)) == ("png", 640, 480, 8)    # gray
+    assert parse_image_meta(png(31, 17, 8, 6)) == ("png", 31, 17, 32)       # RGBA
+    assert parse_image_meta(png(9, 9, 16, 2)) == ("png", 9, 9, 48)          # 16-bit RGB
+
+    def jpeg(sof_marker, width, height, extra_app=b""):
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+                + struct.pack(">HH", 1, 1) + b"\x00\x00")
+        sof = (bytes([0xFF, sof_marker]) + struct.pack(">H", 8 + 9) + b"\x08"
+               + struct.pack(">HH", height, width) + b"\x03"
+               + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + extra_app + sof + b"\xff\xd9"
+
+    exif = b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\x00\x00\x00\x00"
+    assert parse_image_meta(jpeg(0xC0, 1920, 1080)) == ("jpeg", 1920, 1080, 24)
+    assert parse_image_meta(jpeg(0xC2, 64, 64)) == ("jpeg", 64, 64, 24)           # progressive
+    assert parse_image_meta(jpeg(0xC0, 33, 21, extra_app=exif)) == ("jpeg", 33, 21, 24)
+    # truncated / garbage streams degrade, never raise
+    assert parse_image_meta(b"\xff\xd8\xff\xe0")[1] is None
+    assert parse_image_meta(b"\x89PNG\r\n\x1a\nXX")[1] is None
+    assert parse_image_meta(b"GIF89a")[0] == "unknown"
