@@ -34,6 +34,7 @@ HEADLINE = [
     "q43_cosine_topk",          # B7 similarity search
     "q12_asof_click_view",      # as-of join rewrite
     "q13_range_join_tiers",     # interval join rewrite
+    "q112_jaccard_prefix_filter",  # heavy set-similarity pipeline (round-4 addition)
 ]
 
 RUNS = 3

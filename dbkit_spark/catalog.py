@@ -92,6 +92,7 @@ def load_all() -> dict[str, QuerySpec]:
         extended,
         extended2,
         extended3,
+        extended4,
         joins,
         llm,
         relational,

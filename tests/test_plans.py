@@ -181,20 +181,32 @@ def test_extension3_shuffle_discipline(spark, sf_dir):
     assert exchanges(CATALOG["q114_hof_array_surface"].fn(spark, sf_dir)) == 0
 
 
-def test_lsh_candidates_single_pass_and_aqe_broadcast_verify(spark, sf_dir):
-    """q40's candidate stage must be the single-pass bucket aggregation
-    (no band self-join -> the signature pipeline executes once), and
-    after execution AQE must have broadcast-converted the candidate side
-    of both verify joins (candidates are runtime-small; an unconditional
-    hint would be unsafe at corpus scale)."""
+def test_lsh_candidates_broadcast_verify_and_grouped_equivalence(spark, sf_dir):
+    """q40's verify joins must broadcast the candidate side (AQE
+    runtime conversion or static estimate — never a shuffle of the
+    shingle arrays), with no nested loop anywhere; and the cacheless
+    grouped candidate variant must produce the identical pair set."""
     import re
 
     df = CATALOG["q40_dedup_minhash"].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     post = df._jdf.queryExecution().executedPlan().toString()
     final = post.split("== Initial Plan ==")[0]
-    # exactly two join nodes in the whole plan (the verify joins) — a
-    # band-key self-join would make it three — and both broadcast the
-    # candidate side
-    assert len(re.findall(r"\w*Join", final)) == 2
-    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
+    assert len(re.findall(r"BroadcastHashJoin", final)) >= 2
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+
+    from dbkit_spark.llm.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_grouped,
+        minhash_signatures,
+        shingle_docs,
+    )
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bands = lsh_band_keys(minhash_signatures(shingle_docs(docs)))
+    joined = {tuple(r) for r in lsh_candidate_pairs(bands).collect()}
+    grouped = {tuple(r) for r in lsh_candidate_pairs_grouped(bands).collect()}
+    assert joined == grouped and len(joined) > 0
