@@ -436,3 +436,274 @@ def q140_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "event_type", "next_type")
         .limit(15)
     )
+
+
+_TOKS4_SQL = """
+  SELECT doc_id, text, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+"""
+
+_SHINGLE10_SQL = (
+    "list_distinct(list_transform(generate_series(1, len(t)-9), i -> "
+    "concat_ws(' ', t[i+0], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], "
+    "t[i+6], t[i+7], t[i+8], t[i+9])))"
+)
+
+
+# --- cross-document exact 10-gram contamination ----------------------------
+@register(
+    "q141_cross_doc_ngram10",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLE10_SQL} AS shingles
+                FROM ({_TOKS4_SQL}) WHERE len(t) >= 10),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_a AS doc_id, COUNT(*) AS n_partners
+    FROM pairs GROUP BY doc_a
+    """,
+    notes="cross-document EXACT 10-token-run detection (the substring-"
+    "level contamination check training pipelines run between corpus "
+    "shards, complementing q89's benchmark decontamination): docs "
+    "sharing a verbatim 10-gram are flagged with their partner count. "
+    "10-grams are far more selective than q42's 3-gram shingles, so the "
+    "inverted-index join's bucket fanout is tiny; same equi-join shape, "
+    "no quadratic risk at this n",
+)
+def q141_cross_doc_ngram10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles_from_tokens, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokens("text"))).alias("__toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens("__toks", 10)).alias("shingles"),
+    ).filter(F.size("__toks") >= 10)
+    shx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = shx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shx.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("n_partners")
+    )
+
+
+# --- end-to-end corpus curation --------------------------------------------
+@register(
+    "q142_corpus_curation",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                 ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> list_contains({['a', 'an', 'and', 'are', 'as', 'at', 'be', 'by', 'for', 'from', 'in', 'is', 'it', 'of', 'on', 'or', 'that', 'the', 'to', 'with']}, x))) AS DOUBLE) / len(t)
+             END AS stop_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+             END AS punct_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+             END AS avg_wlen,
+             length(text) AS n_chars
+      FROM ({_TOKS4_SQL})
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(CASE WHEN s.n_chars BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN s.punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN s.stop_ratio BETWEEN 0.02 AND 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN s.avg_wlen BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+             AS DOUBLE) AS quality
+    FROM stats s JOIN survivors USING (doc_id)
+    WHERE (CASE WHEN s.stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END) = 'en'
+      AND CASE WHEN s.n_chars BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN s.punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN s.stop_ratio BETWEEN 0.02 AND 0.6 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN s.avg_wlen BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END >= 0.75
+    """,
+    notes="END-TO-END corpus curation (the composed shape every training "
+    "pipeline ships): exact-dedup survivors ∧ heuristic lang-ID = 'en' "
+    "∧ composite quality >= 0.75, emitting the curated doc set with "
+    "token counts. Composes exact_dedup + lang_id + quality_score in "
+    "ONE plan: dedup window and stats projection share the documents "
+    "scan, the survivor semi-join is the only extra shuffle; at 100 TB "
+    "each stage is the already-verified scalable operator",
+)
+def q142_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import lang_id, quality_score, token_count, tokens
+    from ..llm.dedup import exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs).select("doc_id")
+    with_toks = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    tk = F.col("__toks")
+    stats = with_toks.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        lang_id("text", tk).alias("__lang"),
+        quality_score("text", tk).alias("quality"),
+    )
+    return (
+        stats.join(survivors, "doc_id", "left_semi")
+        .filter((F.col("__lang") == "en") & (F.col("quality") >= 0.75))
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+# --- vector math surface ---------------------------------------------------
+@register(
+    "q143_vector_norms",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2,
+           round(list_sum(v) / len(v), 6) AS mean_comp,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(v), 6) AS dot_ones
+    FROM e
+    """,
+    notes="vector math surface (functions/vectors over array<float>): "
+    "L2 norm, component mean, positive-component count, dot with the "
+    "all-ones vector — every fold is a JVM higher-order aggregate "
+    "(zero Python crossings, zero shuffles; the whole query is one "
+    "map-only projection)",
+)
+def q143_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(norm(v), 6).alias("l2"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6
+        ).alias("mean_comp"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("dot_ones"),
+    )
+
+
+# --- bucketed co-located join ----------------------------------------------
+@register(
+    "q144_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n,
+           {stable_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+    notes="bucketed CO-LOCATED join (sources/writers.write_bucketed, the "
+    "100 TB pattern for repeated fact-fact joins): orders and lineitem "
+    "are written bucketed+sorted by orderkey into the session catalog, "
+    "then joined from the bucketed tables — both sides arrive "
+    "pre-partitioned so the join plans ZERO exchanges (plan-asserted in "
+    "tests/test_plans.py); the oracle is the plain join on the raw "
+    "tables, proving bucketing changes layout, never results",
+)
+def q144_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.writers import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"dbkit_bucketed_{tag}")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    write_bucketed(o, f"b4_orders_{tag}", 8, ["o_orderkey"], path=f"{base}/orders")
+    write_bucketed(
+        li, f"b4_lineitem_{tag}", 8, ["l_orderkey"], path=f"{base}/lineitem"
+    )
+    ob = spark.table(f"b4_orders_{tag}")
+    lb = spark.table(f"b4_lineitem_{tag}")
+    return (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            stable_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- dynamic partition pruning ---------------------------------------------
+@register(
+    "q145_dynamic_partition_pruning",
+    oracle=f"""
+    SELECT e.user_id, COUNT(*) AS n, {stable_sum_sql("e.value")} AS total_value
+    FROM events e
+    JOIN (VALUES ('click'), ('purchase')) AS d(event_type)
+      ON e.event_type = d.event_type
+    GROUP BY e.user_id
+    """,
+    notes="DYNAMIC partition pruning (the partitioned-fact ⋈ filtered-dim "
+    "shape): events is written partitioned by event_type, then joined "
+    "with a 2-row dim — Spark injects a runtime partition filter from "
+    "the broadcast dim so only 2 of 5 partition directories are read "
+    "(dynamicpruning expression plan-asserted in tests/test_plans.py); "
+    "static pruning can't do this because the partition set comes from "
+    "the dim side at runtime. Oracle is the plain join on raw events",
+)
+def q145_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.aggregate import dec
+    from ..sources.writers import write_parquet
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_part_events_{tag}")
+    ev = read_table(spark, sf_dir, "events")
+    write_parquet(ev, path, partition_by=["event_type"])
+    fact = spark.read.parquet(path)
+    # DPP is injected only when the dim side carries a LIKELY-SELECTIVE
+    # filter over a real scan (Catalyst's hasSelectivePredicate →
+    # isLikelySelective gate). Two probed traps: a literal dim constant-
+    # folds to a LocalRelation, erasing the filter before the
+    # PartitionPruning rule runs; and a bare boolean attribute filter
+    # (billable) is NOT in isLikelySelective's pattern list — only
+    # literal comparisons/IN/LIKE qualify. So: dim persisted to parquet,
+    # filtered by string equality.
+    dim_path = os.path.join(tempfile.gettempdir(), f"dbkit_event_dim_{tag}")
+    spark.createDataFrame(
+        [("click", "paid"), ("purchase", "paid"), ("view", "free"),
+         ("error", "free"), ("login", "free")],
+        "event_type string, tier string",
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("tier") == "paid")
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", 2)).cast("double").alias("total_value"),
+        )
+    )

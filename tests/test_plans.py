@@ -210,3 +210,27 @@ def test_lsh_candidates_broadcast_verify_and_grouped_equivalence(spark, sf_dir):
     joined = {tuple(r) for r in lsh_candidate_pairs(bands).collect()}
     grouped = {tuple(r) for r in lsh_candidate_pairs_grouped(bands).collect()}
     assert joined == grouped and len(joined) > 0
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, sf_dir):
+    """q144's join from bucketed tables must plan ZERO exchanges — both
+    sides arrive pre-partitioned on the bucket key (the co-located join
+    the bucketed write exists for)."""
+    import re
+
+    df = CATALOG["q144_bucketed_colocated_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    join_seg = final.split("SortMergeJoin")[0] if "SortMergeJoin" in final else final
+    # no shuffle anywhere below the join inputs: the only allowed
+    # exchange is the final single-partition sort/agg above the join
+    scan_side = final[final.find("Join"):]
+    assert len(re.findall(r"Exchange hashpartitioning\(\w*_orderkey", final)) == 0
+
+
+def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
+    """q145's partitioned-fact scan must carry a runtime dynamicpruning
+    partition filter injected from the broadcast dim side."""
+    df = CATALOG["q145_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
