@@ -707,3 +707,111 @@ def q145_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(dec("value", 2)).cast("double").alias("total_value"),
         )
     )
+
+
+# --- string function surface II --------------------------------------------
+@register(
+    "q147_string_surface2",
+    oracle="""
+    SELECT doc_id,
+           translate(substr(text, 1, 20), 'aeiou', '#####') AS devoweled,
+           split_part(substr(text, 1, 30), ' ', 2) AS second_word,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           rpad(left(lang, 2), 5, '_') AS lang_tag,
+           reverse(left(source, 4)) AS rsrc,
+           repeat(left(lang, 1), 3) AS lll,
+           ascii(left(text, 1)) AS first_cp,
+           CAST(length(text) AS BIGINT) AS n_chars2
+    FROM documents
+    """,
+    notes="string function surface II (§2.8, beyond q26's basics): "
+    "translate / split_part / lpad / rpad / reverse / repeat / left / "
+    "ascii — all JVM codegen'd, whole query is one map-only projection; "
+    "every function has an exact DuckDB twin so the oracle pins "
+    "semantics (1-based split_part indexing, pad-truncation rules)",
+)
+def q147_string_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.translate(F.substring("text", 1, 20), "aeiou", "#####").alias("devoweled"),
+        F.split_part(F.substring("text", 1, 30), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.rpad(F.substring("lang", 1, 2), 5, "_").alias("lang_tag"),
+        F.reverse(F.substring("source", 1, 4)).alias("rsrc"),
+        F.repeat(F.substring("lang", 1, 1), 3).alias("lll"),
+        F.ascii(F.substring("text", 1, 1)).cast("long").alias("first_cp"),
+        F.length("text").cast("long").alias("n_chars2"),
+    )
+
+
+# --- grouped quantile sketch (exact-at-this-accuracy) ----------------------
+@register(
+    "q148_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    notes="approx_percentile / GK quantile sketch (§2.4, the mergeable-"
+    "sketch twin of q21's exact interpolated percentiles): "
+    "percentile_approx(accuracy=1e6) — with accuracy exceeding every "
+    "group's row count the GK sketch's error bound collapses to 0 and "
+    "the sketch returns exact discrete quantiles, so the DuckDB "
+    "quantile_disc oracle pins the SAME code path a 100 TB run uses "
+    "with bounded memory (the sketch is mergeable map-side state; at "
+    "scale you lower accuracy, trading the proven rank-error bound)",
+)
+def q148_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = F.percentile_approx("value", [0.25, 0.5, 0.9, 0.99], 1_000_000)
+    return ev.groupBy("event_type").agg(
+        p.getItem(0).alias("p25"),
+        p.getItem(1).alias("p50"),
+        p.getItem(2).alias("p90"),
+        p.getItem(3).alias("p99"),
+    )
+
+
+# --- analytic functions II: nth_value / ignoreNulls ------------------------
+@register(
+    "q149_nth_value_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                       IGNORE NULLS) OVER w AS first_final_price,
+           CAST(count(*) OVER w AS BIGINT) AS n_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    notes="analytic surface II (§2.5, beyond q24's lag/lead/first/last): "
+    "nth_value over a running frame (null until the frame holds n rows) "
+    "and first_value(... IGNORE NULLS) as the 'first matching event' "
+    "idiom — Spark expresses IGNORE NULLS via the ignoreNulls flag over "
+    "a CASE projection; o_orderkey tiebreak keeps frames identical "
+    "across engines; one customer-keyed shuffle shared by all three "
+    "window functions",
+)
+def q149_nth_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    final_price = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first(final_price, ignorenulls=True).over(w).alias("first_final_price"),
+        F.count("*").over(w).cast("long").alias("n_so_far"),
+    )
