@@ -815,3 +815,85 @@ def q149_nth_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(final_price, ignorenulls=True).over(w).alias("first_final_price"),
         F.count("*").over(w).cast("long").alias("n_so_far"),
     )
+
+
+# --- date/time surface II ---------------------------------------------------
+@register(
+    "q150_datetime_surface2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           date_add(o_orderdate, INTERVAL 1 MONTH) AS next_month,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS weekday0,
+           dayname(o_orderdate) AS dname,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since
+    FROM orders
+    """,
+    notes="date/time surface II (§2.8, beyond q28's basics): last_day / "
+    "add_months (month-end clamping: Jan 31 + 1 month = Feb 29) / "
+    "quarter / ISO week / weekday / day name / week truncation / day "
+    "diff. Engine alignment pinned by the oracle: Spark weekday() is "
+    "0=Monday = DuckDB isodow-1 (Spark dayofweek()'s 1=Sunday would "
+    "mismatch); both use ISO week numbering; map-only projection",
+)
+def q150_datetime_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 1).cast("timestamp").alias("next_month"),
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        F.weekday(d).alias("weekday0"),
+        F.date_format(d, "EEEE").alias("dname"),
+        F.date_trunc("week", d).alias("week_start"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since"),
+    )
+
+
+# --- explode variants: posexplode / explode_outer ---------------------------
+@register(
+    "q151_explode_variants",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       t -> t <> '')) >= 5
+                  THEN list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '')[1:3]
+                  ELSE [] END AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, tok FROM (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM d WHERE len(toks) > 0
+    )
+    UNION ALL
+    SELECT doc_id, NULL AS pos, NULL AS tok FROM d WHERE len(toks) = 0
+    """,
+    notes="explode variants (§2.8 lateral surface): posexplode (0-based "
+    "ordinal) and explode_outer's keep-empty semantics — rows whose "
+    "array is empty survive with NULL pos/token instead of vanishing "
+    "(the lateral twin of a left join; plain explode drops them). The "
+    "oracle emulates explode_outer with unnest + generate_subscripts "
+    "UNION the empty-array rows; both sides are per-row lateral "
+    "expansion, no shuffle",
+)
+def q151_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.when(F.size(toks) >= 5, F.slice(toks, 1, 3))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("toks"),
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    )
