@@ -394,6 +394,55 @@ def q146_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return run_available_now(joined, output_mode="append")
 
+
+@register(
+    "q152_stream_stream_right_outer",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type='click'),
+         v AS (SELECT * FROM events WHERE event_type='view'),
+         wm AS (SELECT make_timestamp(
+                  least((SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) FROM c),
+                        (SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) FROM v)) * 1000
+                  - 600000000) AS w)
+    SELECT c.event_id AS c_id, v.event_id AS v_id
+    FROM c JOIN v ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts
+    UNION ALL
+    SELECT NULL AS c_id, v.event_id AS v_id
+    FROM v, wm WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = v.user_id
+          AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts)
+      AND v.ts < wm.w
+    """,
+    notes="stream-stream RIGHT OUTER interval join (completing the "
+    "q66/q128/q146 outer family): matched pairs emit eagerly; unmatched "
+    "views emit null-extended under the same min-of-sides watermark "
+    "eviction rule (v_ts < watermark), clicks never null-extend",
+)
+def q152_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_events_stream(spark, sf_dir)
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    views = df.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("interval 5 minutes"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+    )
+    joined = (
+        clicks.withWatermark("c_ts", "10 minutes")
+        .join(views.withWatermark("v_ts", "10 minutes"), cond, "right_outer")
+        .select("c_id", "v_id")
+    )
+    return run_available_now(joined, output_mode="append")
+
 _TOKS_SQL = """
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t

@@ -260,3 +260,27 @@ def test_grouped_zscore_zero_variance_and_values(spark):
     got = {r.id: r.z for r in grouped_zscore(df, ["g"], "v").collect()}
     assert got[1] == -1.0 and got[2] == 1.0  # mean 2, std_pop 1
     assert got[3] == 0.0 and got[4] == 0.0   # zero variance -> 0
+
+
+def test_asof_join_forward_with_tolerance(spark):
+    """Forward as-of: earliest right row at/after the left time, nulled
+    when beyond the tolerance window."""
+    from dbkit_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b")],
+        "k long, ts string, tag string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 1.0), (1, "2024-01-01 15:00:00", 2.0)],
+        "k long, ts string, val double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "val")
+    out = {
+        r.tag: r.val
+        for r in asof_join(
+            left, right, on_key="k", on_time="ts",
+            direction="forward", tolerance="1 hour",
+        ).collect()
+    }
+    # a: 10:30 is 30min ahead -> joins; b: next right is 15:00, 3h ahead -> nulled
+    assert out == {"a": 1.0, "b": None}
