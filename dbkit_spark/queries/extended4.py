@@ -897,3 +897,172 @@ def q151_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     )
+
+
+# --- CDC apply: changelog onto base snapshot --------------------------------
+@register(
+    "q153_cdc_apply",
+    oracle=f"""
+    WITH changes AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events
+    ),
+    last_change AS (SELECT user_id, op, value FROM changes WHERE rn = 1)
+    SELECT c.c_custkey AS user_id,
+           CASE WHEN lc.user_id IS NULL THEN c.c_acctbal ELSE lc.value END
+             AS acctbal,
+           CASE WHEN lc.user_id IS NULL THEN 'base' ELSE 'updated' END AS src
+    FROM customer c LEFT JOIN last_change lc ON c.c_custkey = lc.user_id
+    WHERE lc.op IS NULL OR lc.op <> 'D'
+    """,
+    notes="CDC APPLY (the changelog-onto-snapshot merge every warehouse "
+    "ingest runs): events act as a per-user change stream (error = "
+    "delete, anything else = upsert of value), applied onto the "
+    "customer base snapshot — last-writer-wins by (ts, event_id), "
+    "deleted keys drop, untouched base rows survive. One window "
+    "shuffle to pick each key's final op + one left join; the same "
+    "plan shape as foreachBatch upsert (q107) but expressed as a "
+    "single batch merge with a full SQL oracle",
+)
+def q153_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_change = (
+        ev.select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "op", "value")
+    )
+    merged = cust.join(
+        last_change, cust["c_custkey"] == last_change["user_id"], "left"
+    )
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.when(F.col("op").isNull(), F.col("c_acctbal"))
+            .otherwise(F.col("value"))
+            .alias("acctbal"),
+            F.when(F.col("op").isNull(), "base").otherwise("updated").alias("src"),
+        )
+    )
+
+
+# --- bounded transitive closure --------------------------------------------
+@register(
+    "q154_transitive_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id AS src, (user_id * 7 + 3) % 150 AS dst
+      FROM events
+    ),
+    reach AS (
+      SELECT src AS start, dst AS node, 1 AS depth FROM edges WHERE src < 10
+      UNION
+      SELECT r.start, e.dst AS node, r.depth + 1 AS depth
+      FROM reach r JOIN edges e ON r.node = e.src
+      WHERE r.depth < 3
+    )
+    SELECT start, node, CAST(MIN(depth) AS INT) AS min_depth
+    FROM reach GROUP BY start, node
+    """,
+    notes="bounded TRANSITIVE CLOSURE / recursive reachability (the "
+    "iterative-join family next to connected components): 3-hop "
+    "reachability from seed nodes over a deterministic functional graph "
+    "derived from events. Spark expresses the recursion as an unrolled "
+    "frontier loop — each hop is one equi-join against the edge table, "
+    "min-depth dedup per round keeps the frontier from exploding (the "
+    "exact label-propagation discipline connected_components uses); "
+    "the oracle is DuckDB's native WITH RECURSIVE",
+)
+def q154_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 7 + 3) % 150).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    frontier = (
+        edges.filter(F.col("src") < 10)
+        .select(F.col("src").alias("start"), F.col("dst").alias("node"))
+        .withColumn("depth", F.lit(1))
+    )
+    all_reach = frontier
+    for hop in (2, 3):
+        nxt = (
+            all_reach.filter(F.col("depth") == hop - 1)
+            .join(edges, F.col("node") == edges["src"])
+            .select("start", F.col("dst").alias("node"), F.lit(hop).alias("depth"))
+        )
+        all_reach = all_reach.unionByName(nxt)
+    return all_reach.groupBy("start", "node").agg(
+        F.min("depth").cast("int").alias("min_depth")
+    )
+
+
+# --- multi-format sink/source round-trip ------------------------------------
+@register(
+    "q155_format_roundtrip",
+    oracle="""
+    SELECT fmt, event_type, n FROM (
+      SELECT 'csv' AS fmt, event_type, COUNT(*) AS n FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'json', event_type, COUNT(*) FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'orc', event_type, COUNT(*) FROM events GROUP BY event_type
+    )
+    """,
+    notes="Tier-C format round-trip as a driver-visible query (§2.1, "
+    "beyond the pytest round-trips): the events projection is written "
+    "to CSV, JSON, and ORC sinks and read back through the explicit-"
+    "schema readers; per-type counts from each re-read must equal the "
+    "parquet-sourced oracle — a writer or reader corrupting rows, "
+    "headers, or types under any format breaks the hash. Columns "
+    "restricted to int/string (CSV has no binary-exact double "
+    "round-trip contract)",
+)
+def q155_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.readers import read_csv, read_json, read_orc
+    from ..sources.writers import write_csv, write_json, write_orc
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"dbkit_fmt_{tag}")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    write_csv(ev, f"{base}/csv")
+    write_json(ev, f"{base}/json")
+    write_orc(ev, f"{base}/orc")
+    parts = [
+        read_csv(spark, f"{base}/csv", schema).withColumn("fmt", F.lit("csv")),
+        read_json(spark, f"{base}/json", schema).withColumn("fmt", F.lit("json")),
+        read_orc(spark, f"{base}/orc", schema).withColumn("fmt", F.lit("orc")),
+    ]
+    un = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return un.groupBy("fmt", "event_type").agg(F.count("*").alias("n"))
