@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import register
+from ..catalog import CATALOG, register
 from ..operators.aggregate import stable_sum, stable_sum_sql
 from ..sources import read_table
 
@@ -1066,3 +1066,99 @@ def q155_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     un = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return un.groupBy("fmt", "event_type").agg(F.count("*").alias("n"))
+
+
+# --- composed pipeline: curated AND decontaminated corpus -------------------
+def _q156_oracle() -> str:
+    from .llm import _shingles_sql_n
+
+    q142 = CATALOG["q142_corpus_curation"].oracle
+    return f"""
+    WITH curated AS ({q142}),
+    sh8 AS ({_shingles_sql_n(8)}),
+    bg AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh8
+           WHERE doc_id % 20 = 0),
+    cg AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh8
+           WHERE doc_id % 20 <> 0),
+    hits AS (SELECT cg.doc_id, COUNT(DISTINCT cg.shingle) AS n_hit_ngrams
+             FROM cg JOIN bg USING (shingle) GROUP BY cg.doc_id)
+    SELECT c.doc_id, c.n_tokens, c.quality
+    FROM curated c
+    WHERE c.doc_id % 20 <> 0
+      AND c.doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hit_ngrams >= 1)
+    """
+
+
+@register(
+    "q156_curated_decontaminated",
+    oracle=_q156_oracle(),
+    notes="FINAL-CORPUS composition (the last mile of every training "
+    "pipeline, composing q142 + q89): exact-dedup survivors ∧ lang 'en' "
+    "∧ quality >= 0.75 ∧ NOT sharing any 8-gram with the benchmark "
+    "split — expressed as the curated frame anti-joined against the "
+    "contaminated id set. Each stage is the already-verified scalable "
+    "operator; the anti-join adds one id-keyed shuffle over the "
+    "(tiny) contaminated set",
+)
+def q156_curated_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.decontaminate import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    curated = CATALOG["q142_corpus_curation"].fn(spark, sf_dir).filter(
+        F.col("doc_id") % 20 != 0
+    )
+    contaminated = (
+        decontaminate(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            n=8,
+        )
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    return curated.join(contaminated, "doc_id", "left_anti")
+
+
+# --- per-group IQR outlier detection ----------------------------------------
+@register(
+    "q157_iqr_outliers",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                      THEN 1 END) AS n_outliers,
+           ROUND(f.q3 + 1.5 * (f.q3 - f.q1), 6) AS upper_fence
+    FROM events e JOIN fences f USING (event_type)
+    GROUP BY e.event_type, f.q1, f.q3
+    """,
+    notes="per-group IQR outlier detection (Tukey fences, the join-back-"
+    "aggregate idiom): exact interpolated quartiles per event_type "
+    "(Spark percentile == DuckDB quantile_cont, as q21 pins), the tiny "
+    "fence table broadcast back onto the stream, upper-fence flagging "
+    "map-side. The fence expression q3 + 1.5*(q3 - q1) is written "
+    "IDENTICALLY on both engines so the boundary comparison sees the "
+    "same double; two shuffles total (quantile agg + final rollup)",
+)
+def q157_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    joined = ev.join(F.broadcast(fences), "event_type")
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return joined.groupBy("event_type", "q1", "q3").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("value") > fence, 1)).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n_total",
+        "n_outliers",
+        F.round(fence, 6).alias("upper_fence"),
+    )
