@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,35 +58,60 @@ def cosine_topk(
     )
 
 
+def _hyperplane_signs(bits: int, dim: int, table: int = 0) -> list[list[float]]:
+    """The bits x dim ±1 hyperplane matrix: component h_p[d] = +1 if the
+    first hex digit of md5(p ":" d) is odd else -1 (table 0); extra hash
+    tables (``table`` >= 1) prefix the key with "t{table}:" so each table
+    draws independent hyperplanes from the same portable md5 rule.
+
+    Computed ONCE in Python and embedded as literals — the signs depend
+    only on (table, p, d), never on row data, so evaluating md5 per row
+    inside the bucket expression (the pre-round-5 shape) burned bits*dim
+    hash calls per corpus row for a constant. The md5 derivation is
+    unchanged, so a SQL oracle reproduces identical buckets from the
+    hash rule alone, with no stored hyperplane table.
+    """
+    prefix = "" if table == 0 else f"t{table}:"
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{prefix}{p}:{d}".encode()).hexdigest()[0], 16) % 2
+            == 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(bits)
+    ]
+
+
 def hyperplane_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
     bits: int = ANN_BITS,
     dim: int = 64,
+    table: int = 0,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Append an LSH ``bucket`` string column: bit p = sign(v . h_p),
-    where hyperplane component h_p[d] = +1 if md5(p ":" d) first hex digit
-    is odd else -1. Fully portable, no stored hyperplane table."""
+    with the ±1 hyperplane matrix precomputed by ``_hyperplane_signs``
+    (md5-portable, no stored table). The per-plane dot product is a pure
+    zip_with multiply + aggregate fold over literal sign arrays — fully
+    codegen'd, zero hash calls on the corpus-scan hot path."""
+    signs = _hyperplane_signs(bits, dim, table)
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+
     def plane_dot(p: int):
-        terms = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: F.element_at(F.col(vec_col), d.cast("int") + 1).cast("double")
-            * F.when(
-                (F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(
-                        F.md5(F.concat(F.lit(str(p)), F.lit(":"), d.cast("string"))), 1, 1
-                    ),
-                ) - 1) % 2 == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+        sign_arr = F.array(*[F.lit(s) for s in signs[p]])
+        return F.aggregate(
+            F.zip_with(v, sign_arr, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
     bucket = F.concat(
         *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(bits)]
     )
-    return df.withColumn("bucket", bucket)
+    return df.withColumn(bucket_col, bucket)
 
 
 def ann_bucketed(
@@ -119,7 +146,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    fit_sample_fraction: float | None = None,
+    fit_sample_fraction: float | None = 0.05,
     min_fit_rows: int = 10_000,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: KMeans (spark.ml, fixed seed), fit on a
@@ -133,8 +160,13 @@ def ivf_index(
     expensive multi-pass fit scales with the sample, not the data. The
     sample floor (``min_fit_rows``) keeps tiny-SF fits from starving:
     if the fraction would undershoot it, the fraction is raised to target
-    the floor (capped at 1.0). ``fit_sample_fraction=None`` fits on
-    everything (exact legacy behavior for small corpora).
+    the floor (capped at 1.0) — so at test SFs the fit still sees the
+    whole corpus and centroids are unchanged, while a 100 TB corpus fits
+    on ~5%. Sampled fit is the DEFAULT because a full-corpus multi-pass
+    KMeans is a scale-killer: the fit re-scans the corpus per iteration,
+    whereas centroid quality converges on a bounded sample (IVF only
+    needs a coarse Voronoi partition). Pass ``fit_sample_fraction=None``
+    to force an exact full-corpus fit.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -228,14 +260,21 @@ def save_hyperplane_index(
     partition-column type inference parses an all-digit string like
     '00010110' back as the integer 10110, silently corrupting bit-string
     partition values on load. The exact bit-string rides along as a data
-    column."""
+    column. ``bits`` is capped at 63: the decimal bucket id is cast to
+    LongType, and a wider bucket would silently overflow to null and
+    corrupt the partition column."""
     from ..sources.writers import write_parquet
 
+    if bits > 63:
+        raise ValueError(
+            f"save_hyperplane_index supports at most 63 bits (got {bits}): "
+            "bucket_id is conv(bucket, 2, 10) cast to long"
+        )
     bucketed = hyperplane_bucket(df, vec_col, bits, dim).select(
         id_col,
         vec_col,
         "bucket",
-        F.conv("bucket", 2, 10).cast("int").alias("bucket_id"),
+        F.conv("bucket", 2, 10).cast("long").alias("bucket_id"),
     )
     write_parquet(bucketed, path, partition_by=["bucket_id"])
 

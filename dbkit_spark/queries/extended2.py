@@ -359,16 +359,20 @@ def q128_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM v, wm WHERE NOT EXISTS (
         SELECT 1 FROM c WHERE c.user_id = v.user_id
           AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts)
-      AND v.ts < wm.w
+      AND v.ts < wm.w - INTERVAL 5 MINUTE
     """,
     notes="stream-stream FULL OUTER interval join (section 2.9, completing "
-    "the q66/q128 family): matched pairs emit eagerly, and BOTH sides "
-    "emit null-extended once the min-of-sides watermark passes their "
-    "join window — empirically the view side evicts at v_ts < watermark "
-    "exactly like the click side (its window end in click-time is v_ts "
-    "+ 5 min, but Spark keys state eviction on the event time itself); "
-    "rows inside the final delay window are withheld in a bounded "
-    "replay, exactly as in production until more data arrives",
+    "the q66/q128 family): matched pairs emit eagerly, and each side "
+    "emits null-extended once the min-of-sides watermark passes its "
+    "FULL join window — clicks at c_ts < wm (their view-time window "
+    "ends at c_ts), but views only at v_ts < wm - 5 min, because a "
+    "view at v_ts can still match future clicks up to c_ts = v_ts + "
+    "5 min and Spark keeps it buffered until the watermark clears that "
+    "upper bound (probe-verified in tests/test_streaming_extended.py::"
+    "test_outer_eviction_rule_dense_fixture with unmatched views "
+    "placed inside [wm-5m, wm)); rows inside the final delay window "
+    "are withheld in a bounded replay, exactly as in production until "
+    "more data arrives",
 )
 def q146_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_events_stream(spark, sf_dir)
@@ -412,12 +416,15 @@ def q146_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM v, wm WHERE NOT EXISTS (
         SELECT 1 FROM c WHERE c.user_id = v.user_id
           AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts)
-      AND v.ts < wm.w
+      AND v.ts < wm.w - INTERVAL 5 MINUTE
     """,
     notes="stream-stream RIGHT OUTER interval join (completing the "
     "q66/q128/q146 outer family): matched pairs emit eagerly; unmatched "
-    "views emit null-extended under the same min-of-sides watermark "
-    "eviction rule (v_ts < watermark), clicks never null-extend",
+    "views emit null-extended only at v_ts < watermark - 5 min — the "
+    "buffered view side is held until the watermark clears its FULL "
+    "click-time window (upper bound v_ts + 5 min), probe-verified "
+    "against Spark with unmatched views inside [wm-5m, wm); clicks "
+    "never null-extend",
 )
 def q152_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_events_stream(spark, sf_dir)

@@ -603,6 +603,65 @@ def q143_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- bucketed co-located join ----------------------------------------------
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write-once-per-(session, sf_dir) bucketed orders/lineitem fixture.
+
+    Kept OUT of q144's query function so the measured query is the
+    co-located join, not the bucketed write: repeat invocations (bench
+    reps, plan asserts) skip the write when the catalog tables and their
+    external paths already exist. A fresh session re-registers by
+    rewriting once (cheap at test SFs; a real deployment writes its
+    bucketed tables once, ever)."""
+    import os
+    import tempfile
+
+    from ..sources.writers import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"dbkit_bucketed_{tag}")
+    names = (f"b4_orders_{tag}", f"b4_lineitem_{tag}")
+    specs = [
+        (names[0], "orders", "o_orderkey", f"{base}/orders"),
+        (names[1], "lineitem", "l_orderkey", f"{base}/lineitem"),
+    ]
+    for table, src, key, path in specs:
+        if spark.catalog.tableExists(table) and os.path.isdir(path):
+            continue
+        write_bucketed(read_table(spark, sf_dir, src), table, 8, [key], path=path)
+    return names
+
+
+def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write-once-per-(session, sf_dir) partitioned-events + dim fixture
+    for q145 (same rationale as ``_ensure_bucketed_tables``). Returns
+    (fact_path, dim_path)."""
+    import os
+    import tempfile
+
+    from ..sources.writers import write_parquet
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_part_events_{tag}")
+    dim_path = os.path.join(tempfile.gettempdir(), f"dbkit_event_dim_{tag}")
+    done = os.path.join(path, "_dbkit_fixture_done")
+    # the marker records the source file's mtime: a driver-regenerated
+    # /root/testdata (the known ts-encoding-drift scenario) invalidates
+    # the cached fixture instead of silently serving stale rows
+    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    fresh = os.path.exists(done) and open(done).read() == stamp
+    if not fresh:
+        write_parquet(read_table(spark, sf_dir, "events"), path,
+                      partition_by=["event_type"])
+        spark.createDataFrame(
+            [("click", "paid"), ("purchase", "paid"), ("view", "free"),
+             ("error", "free"), ("login", "free")],
+            "event_type string, tier string",
+        ).write.mode("overwrite").parquet(dim_path)
+        with open(done, "w") as fh:
+            fh.write(stamp)
+    return path, dim_path
+
+
 @register(
     "q144_bucketed_colocated_join",
     oracle=f"""
@@ -622,21 +681,9 @@ def q143_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tables, proving bucketing changes layout, never results",
 )
 def q144_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    from ..sources.writers import write_bucketed
-
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"dbkit_bucketed_{tag}")
-    o = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
-    write_bucketed(o, f"b4_orders_{tag}", 8, ["o_orderkey"], path=f"{base}/orders")
-    write_bucketed(
-        li, f"b4_lineitem_{tag}", 8, ["l_orderkey"], path=f"{base}/lineitem"
-    )
-    ob = spark.table(f"b4_orders_{tag}")
-    lb = spark.table(f"b4_lineitem_{tag}")
+    orders_t, lineitem_t = _ensure_bucketed_tables(spark, sf_dir)
+    ob = spark.table(orders_t)
+    lb = spark.table(lineitem_t)
     return (
         ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
         .groupBy("o_orderstatus")
@@ -669,16 +716,9 @@ def q144_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the dim side at runtime. Oracle is the plain join on raw events",
 )
 def q145_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from ..operators.aggregate import dec
-    from ..sources.writers import write_parquet
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"dbkit_part_events_{tag}")
-    ev = read_table(spark, sf_dir, "events")
-    write_parquet(ev, path, partition_by=["event_type"])
+    path, dim_path = _ensure_partitioned_events(spark, sf_dir)
     fact = spark.read.parquet(path)
     # DPP is injected only when the dim side carries a LIKELY-SELECTIVE
     # filter over a real scan (Catalyst's hasSelectivePredicate →
@@ -688,12 +728,6 @@ def q145_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     # (billable) is NOT in isLikelySelective's pattern list — only
     # literal comparisons/IN/LIKE qualify. So: dim persisted to parquet,
     # filtered by string equality.
-    dim_path = os.path.join(tempfile.gettempdir(), f"dbkit_event_dim_{tag}")
-    spark.createDataFrame(
-        [("click", "paid"), ("purchase", "paid"), ("view", "free"),
-         ("error", "free"), ("login", "free")],
-        "event_type string, tier string",
-    ).write.mode("overwrite").parquet(dim_path)
     dim = (
         spark.read.parquet(dim_path)
         .filter(F.col("tier") == "paid")

@@ -82,20 +82,23 @@ def read_binary_files(
     return reader.load(path)
 
 
-_TS_UNIT_CACHE: dict[str, str | None] = {}
+_TS_UNIT_CACHE: dict[tuple[str, float], str | None] = {}
 
 
 def parquet_ts_unit(path: str, column: str = "ts") -> str | None:
     """Physical timestamp unit ('ns'/'us'/'ms') of ``column`` in a parquet
     file, read from the footer (driver-side, metadata-only). Returns None
-    when the column isn't a timestamp. Cached per path: fixture files are
-    immutable for a session and this runs on every read_table call."""
-    if path not in _TS_UNIT_CACHE:
+    when the column isn't a timestamp. Cached per (path, mtime): this runs
+    on every read_table call, but the very scenario the sniff exists for —
+    a fixture regenerated in place with a different encoding — must not be
+    served a stale unit, so the file's mtime participates in the key."""
+    key = (path, os.path.getmtime(path))
+    if key not in _TS_UNIT_CACHE:
         import pyarrow.parquet as pq
 
         typ = pq.read_schema(path).field(column).type
-        _TS_UNIT_CACHE[path] = getattr(typ, "unit", None)
-    return _TS_UNIT_CACHE[path]
+        _TS_UNIT_CACHE[key] = getattr(typ, "unit", None)
+    return _TS_UNIT_CACHE[key]
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -218,14 +218,28 @@ def test_bucketed_join_plans_zero_exchanges(spark, sf_dir):
     the bucketed write exists for)."""
     import re
 
-    df = CATALOG["q144_bucketed_colocated_join"].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # disable broadcast: at test SFs AQE would broadcast one side and the
+    # co-location claim would go untested — at 100 TB neither fact side
+    # broadcasts, so the shuffle-based join path is the one that matters
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = CATALOG["q144_bucketed_colocated_join"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     final = plan.split("== Initial Plan ==")[0]
-    join_seg = final.split("SortMergeJoin")[0] if "SortMergeJoin" in final else final
-    # no shuffle anywhere below the join inputs: the only allowed
-    # exchange is the final single-partition sort/agg above the join
-    scan_side = final[final.find("Join"):]
+    # ZERO exchanges below the join: both sides arrive bucketed on the
+    # join key. Everything printed after the join node is its subtree
+    # (the scans); the only exchanges allowed in the whole plan are the
+    # post-join agg/sort ones, none hash-partitioned on the join key.
     assert len(re.findall(r"Exchange hashpartitioning\(\w*_orderkey", final)) == 0
+    join_pos = final.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = final.find("ShuffledHashJoin")
+    assert join_pos != -1, final
+    below_join = final[join_pos:]
+    assert "Exchange" not in below_join, below_join
 
 
 def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
@@ -234,3 +248,17 @@ def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
     df = CATALOG["q145_dynamic_partition_pruning"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_hyperplane_bucket_no_per_row_hashing(spark, sf_dir):
+    """The LSH bucket expression must contain NO hash calls: the ±1
+    hyperplane matrix depends only on (plane, dim) literals and is
+    precomputed in Python (_hyperplane_signs), so the corpus-scan pass
+    pays a multiply-add fold per plane — not bits*dim md5 evaluations
+    per row (the pre-round-5 shape, measured 7x slower at 256k rows)."""
+    from dbkit_spark.llm.similarity import hyperplane_bucket
+    from dbkit_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = hyperplane_bucket(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan.lower(), plan

@@ -214,3 +214,69 @@ def test_incremental_upsert_prunes_stale_versions(spark, sf_dir, tmp_path):
     )
     versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
     assert len(versions) <= 2
+
+
+def test_outer_eviction_rule_dense_fixture(spark, tmp_path):
+    """Pin Spark's asymmetric outer-join eviction rule on a fixture dense
+    enough to distinguish the two sides (the sf fixtures have ~0 unmatched
+    views inside the 5-minute band, so they can't).
+
+    Condition: v_ts BETWEEN c_ts - 5m AND c_ts, both watermarks 10m,
+    wm = min-of-sides max event time - 10m = t+90. A click's view-time
+    window ends at c_ts, so unmatched clicks null-extend at c_ts < wm.
+    A view can still match FUTURE clicks up to c_ts = v_ts + 5m, so Spark
+    buffers it until the watermark clears that upper bound: unmatched
+    views null-extend only at v_ts < wm - 5m. The q146/q152 oracles
+    encode exactly this rule; this fixture places an unmatched view at
+    t+87 — inside [wm-5m, wm) — which must be withheld."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # matched anchors pinning both sides' max event time to t+100
+        (1, 100, 1, "click"), (2, 98, 1, "view"),
+        (3, 100, 2, "view"), (4, 100, 2, "click"),
+        # unmatched views: below wm-5m / inside [wm-5m, wm) / above wm
+        (10, 80, 3, "view"), (11, 87, 4, "view"), (12, 95, 5, "view"),
+        # unmatched clicks: below wm / below wm / above wm
+        (20, 80, 6, "click"), (21, 87, 7, "click"), (22, 95, 8, "click"),
+    ]
+    df = pd.DataFrame(
+        [(eid, base + pd.Timedelta(minutes=m), uid, et, 0.0, "{}")
+         for eid, m, uid, et in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(pa.timestamp("us"))
+    )
+    fixture = tmp_path / "dense_events"
+    fixture.mkdir()
+    pq.write_table(tbl, str(fixture / "events.parquet"))
+
+    dfs = read_events_stream(spark, str(fixture))
+    clicks = dfs.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"))
+    views = dfs.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"))
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("interval 5 minutes"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+    )
+    joined = (
+        clicks.withWatermark("c_ts", "10 minutes")
+        .join(views.withWatermark("v_ts", "10 minutes"), cond, "full_outer")
+        .select("c_id", "v_id")
+    )
+    got = {(r.c_id, r.v_id) for r in run_available_now(joined, "append").collect()}
+    assert got == {
+        (1, 2), (4, 3),          # matches emit eagerly
+        (20, None), (21, None),  # clicks < wm null-extend (incl. t+87)
+        (None, 10),              # view t+80 < wm-5m null-extends
+        # view t+87 withheld (inside [wm-5m, wm)); t+95 clicks/views withheld
+    }
