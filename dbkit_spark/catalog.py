@@ -93,6 +93,7 @@ def load_all() -> dict[str, QuerySpec]:
         extended2,
         extended3,
         extended4,
+        extended5,
         joins,
         llm,
         relational,

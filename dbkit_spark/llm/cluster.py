@@ -53,57 +53,54 @@ def connected_components(
     for a long-running cluster job. When None (default), rounds use
     ``localCheckpoint()`` — executor-memory/disk only, fastest for
     interactive/local runs, lost on executor failure."""
+    from ..operators.iterate import iterate_until_fixpoint
+
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()
 
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def barrier(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    # Each round MUST truncate lineage (eager localCheckpoint), not just
-    # cache: round N's logical plan embeds round N-1's twice (join +
-    # union), so with persist() alone the plan tree doubles per round and
-    # the driver dies building it long before the data is large (caught
-    # by the partition-invariance property test on a diameter-~10 random
-    # graph). On a fault-tolerant cluster run, point
-    # spark.sparkContext.setCheckpointDir at durable storage and swap for
-    # .checkpoint() — same contract, replayable on executor loss.
-    labels = barrier(
+    initial = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    # decimal(38,0) sum: monotone non-increasing, equality ⇒ converged
-    prev_sum = labels.agg(
-        F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    ).collect()[0][0]
 
-    for _ in range(max_iter):
+    def step(labels: DataFrame) -> DataFrame:
         msgs = edges.join(
             labels, edges["src"] == labels["id"], "inner"
         ).select(F.col("dst").alias("id"), "cluster_id")
-        new_labels = barrier(
+        return (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
-        new_sum = new_labels.agg(
+
+    # decimal(38,0) label sum: monotone non-increasing (labels only ever
+    # shrink toward the component min), so scalar equality across rounds
+    # ⇒ fixpoint — the O(1)-result convergence action, overflow-safe at
+    # any corpus size. Loop discipline (eager checkpoint barriers per
+    # round, durable-vs-local mode, max_iter guard) lives in the generic
+    # operators.iterate.iterate_until_fixpoint.
+    def label_sum(labels: DataFrame):
+        return labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            edges.unpersist()
-            return labels
-        prev_sum = new_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(pair-graph diameter exceeds max_iter)"
-    )
+
+    try:
+        return iterate_until_fixpoint(
+            initial,
+            step,
+            measure=label_sum,
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+        )
+    except RuntimeError as exc:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pair-graph diameter exceeds max_iter)"
+        ) from exc
+    finally:
+        edges.unpersist()
 
 
 def assign_clusters(

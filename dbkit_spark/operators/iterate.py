@@ -1,0 +1,95 @@
+"""Generic iterate-to-fixpoint (SURVEY.md §2.13; reference trace: the
+relational-calculus intent of ``README.md:14`` — WITH-RECURSIVE-style
+iteration is the one recursion surface a relational engine needs).
+
+``iterate_until_fixpoint`` factors the loop machinery that previously
+lived only inside ``llm/cluster.connected_components``: per-round
+lineage truncation, durable-vs-local checkpointing, convergence
+detection, and a bounded iteration count. Users get org-chart /
+graph-reachability / label-propagation closure without rebuilding the
+(subtle) loop discipline:
+
+- **Lineage truncation per round is mandatory, not an optimization.**
+  Round N's logical plan embeds round N-1's once or twice (join/union),
+  so without an eager checkpoint barrier the plan tree grows
+  geometrically and the driver dies building plans long before data
+  size matters.
+- **Convergence must be an O(1)-result action.** The default check
+  (``measure=None``) is exact set-equality of consecutive states via a
+  two-sided ``exceptAll`` emptiness test — always correct, costs two
+  extra shuffles per round. When the step is MONOTONE (state only ever
+  grows, or a label aggregate only ever decreases), pass ``measure`` —
+  a function returning a small scalar (count, decimal sum) — and
+  convergence becomes scalar equality across rounds: one cheap action,
+  the 100 TB mode. ``connected_components`` uses a monotone decimal
+  label sum; reachability uses ``count``.
+- **Rounds needed = problem diameter**, so ``max_iter`` is a safety
+  rail: exhaustion raises ``RuntimeError`` rather than silently
+  returning a non-fixpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+
+def iterate_until_fixpoint(
+    initial: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    measure: Callable[[DataFrame], Any] | None = None,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Apply ``step`` repeatedly from ``initial`` until the state stops
+    changing; return the fixpoint DataFrame.
+
+    ``step`` maps state -> next state (same schema). Convergence:
+
+    - ``measure=None`` (default): exact — consecutive states are equal
+      as multisets (two-sided ``exceptAll`` emptiness). Correct for any
+      step function.
+    - ``measure=fn``: ``fn(state)`` returns a driver-side scalar;
+      convergence is ``fn(new) == fn(cur)``. ONLY sound when the step
+      is monotone w.r.t. the measure (strictly changing until the
+      fixpoint) — e.g. row count for a grow-only set, a min-label
+      decimal sum. This is the scale mode: one O(1)-result action per
+      round instead of two extra shuffles.
+
+    ``checkpoint_dir=None`` truncates lineage with eager
+    ``localCheckpoint()`` (executor-local, fastest, lost on executor
+    failure — right for interactive runs). Setting it to a durable path
+    switches to ``checkpoint()`` so a long cluster job replays after
+    executor loss.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge.
+    """
+    spark = initial.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def barrier(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    cur = barrier(initial)
+    cur_m = measure(cur) if measure is not None else None
+    for _ in range(max_iter):
+        new = barrier(step(cur))
+        if measure is not None:
+            new_m = measure(new)
+            done = new_m == cur_m
+            cur_m = new_m
+        else:
+            done = (
+                new.exceptAll(cur).unionByName(cur.exceptAll(new)).isEmpty()
+            )
+        cur = new
+        if done:
+            return cur
+    raise RuntimeError(
+        f"iterate_until_fixpoint did not converge in {max_iter} rounds "
+        "(problem diameter exceeds max_iter, or the step never stabilizes)"
+    )

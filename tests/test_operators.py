@@ -284,3 +284,68 @@ def test_asof_join_forward_with_tolerance(spark):
     }
     # a: 10:30 is 30min ahead -> joins; b: next right is 15:00, 3h ahead -> nulled
     assert out == {"a": 1.0, "b": None}
+
+
+# --- iterate_until_fixpoint -------------------------------------------------
+def test_fixpoint_default_set_equality_convergence(spark):
+    """The measure-free mode detects the fixpoint via exact multiset
+    equality of consecutive states: an idempotent-after-3-rounds step
+    (saturating increment capped at 3) converges without any user
+    measure."""
+    from dbkit_spark.operators.iterate import iterate_until_fixpoint
+
+    initial = spark.createDataFrame([(1, 0), (2, 1)], "id long, v long")
+    def step(df):
+        return df.select("id", F.least(F.col("v") + 1, F.lit(3)).alias("v"))
+    out = iterate_until_fixpoint(initial, step, max_iter=10)
+    assert {(r.id, r.v) for r in out.collect()} == {(1, 3), (2, 3)}
+
+
+def test_fixpoint_monotone_measure_convergence(spark):
+    """count() as the monotone measure: a grow-only closure step stops
+    exactly when no new rows appear."""
+    from dbkit_spark.operators.iterate import iterate_until_fixpoint
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    initial = spark.createDataFrame([(1,)], "node long")
+    def step(reach):
+        nxt = reach.join(edges, reach["node"] == edges["src"]).select(
+            F.col("dst").alias("node")
+        )
+        return reach.unionByName(nxt).distinct()
+    out = iterate_until_fixpoint(
+        initial, step, measure=lambda df: df.count(), max_iter=10
+    )
+    assert {r.node for r in out.collect()} == {1, 2, 3, 4, 5, 6}
+
+
+def test_fixpoint_max_iter_raises(spark):
+    """A never-stabilizing step must raise, not silently return a
+    non-fixpoint."""
+    import pytest
+
+    from dbkit_spark.operators.iterate import iterate_until_fixpoint
+
+    initial = spark.createDataFrame([(0,)], "v long")
+    def step(df):
+        return df.select((F.col("v") + 1).alias("v"))
+    with pytest.raises(RuntimeError, match="did not converge in 3"):
+        iterate_until_fixpoint(initial, step, max_iter=3)
+
+
+def test_fixpoint_durable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches rounds to durable checkpoint(): the
+    directory receives RDD state and the result is unchanged."""
+    import os
+
+    from dbkit_spark.operators.iterate import iterate_until_fixpoint
+
+    d = str(tmp_path / "fixpoint_ckpt")
+    initial = spark.createDataFrame([(1, 0)], "id long, v long")
+    def step(df):
+        return df.select("id", F.least(F.col("v") + 1, F.lit(2)).alias("v"))
+    out = iterate_until_fixpoint(initial, step, max_iter=10, checkpoint_dir=d)
+    assert [(r.id, r.v) for r in out.collect()] == [(1, 2)]
+    assert os.path.isdir(d) and any(os.scandir(d))
