@@ -140,6 +140,71 @@ def ann_bucketed(
     )
 
 
+def hyperplane_bucket_multi(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Append ``n_tables`` independent LSH bucket columns ``bucket_0`` …
+    ``bucket_{H-1}`` in ONE corpus pass (each table draws its own md5
+    hyperplanes via the ``table`` key prefix). Multi-table LSH is the
+    standard recall remedy: at fixed ``bits`` a single table caps recall
+    (near neighbors split by any one hyperplane never meet); H tables
+    re-draw the planes H times and a pair is a candidate if it collides
+    in ANY table, so miss probability decays geometrically with H while
+    bucket size (cost per table) stays fixed."""
+    out = df
+    for t in range(n_tables):
+        out = hyperplane_bucket(
+            out, vec_col, bits, dim, table=t, bucket_col=f"bucket_{t}"
+        )
+    return out
+
+
+def ann_bucketed_multi(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate near-neighbor pairs with multi-table recall: candidate
+    = same bucket in ANY of ``n_tables`` hash tables, then exact cosine
+    verify. One corpus scan computes all H bucket columns; each table
+    contributes one bucket equi-self-join (shuffled on its own bucket
+    key); union + DISTINCT dedups pairs found by several tables before
+    emission. At 100 TB: H× the join work of ``ann_bucketed`` for
+    geometrically better recall — the standard LSH cost/recall dial
+    alongside ``bits``."""
+    bucketed = hyperplane_bucket_multi(df, vec_col, bits, dim, n_tables)
+    cands = None
+    for t in range(n_tables):
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col(f"bucket_{t}").alias("bk"),
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col(f"bucket_{t}").alias("bk"),
+        )
+        c = (
+            a.join(b, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()
+
+
 def ivf_index(
     corpus: DataFrame,
     n_clusters: int = 16,
@@ -283,6 +348,84 @@ def load_hyperplane_index(spark, path: str) -> DataFrame:
     """Load a ``save_hyperplane_index`` output: (id, vec, bucket,
     bucket_id). No hashing happens — the plan is a pure parquet scan."""
     return spark.read.parquet(path)
+
+
+def save_hyperplane_index_multi(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+    n_tables: int = 2,
+) -> None:
+    """Persist ``n_tables`` independent LSH tables, each under
+    ``path/table_{t}`` partitioned by its own integer bucket id (same
+    layout + 63-bit cap as ``save_hyperplane_index``). All H bucket
+    columns are computed in ONE corpus pass (``hyperplane_bucket_multi``)
+    before the per-table writes — the corpus is scanned once, hashed
+    once, and every later query batch probes each table with partition
+    pruning. Storage is H× the single-table index: that is the
+    multi-table recall trade, paid in cheap parquet, not in re-hashing
+    a 100 TB corpus per query batch."""
+    from ..sources.writers import write_parquet
+
+    if bits > 63:
+        raise ValueError(
+            f"save_hyperplane_index_multi supports at most 63 bits (got {bits})"
+        )
+    bucketed = hyperplane_bucket_multi(df, vec_col, bits, dim, n_tables).persist()
+    try:
+        for t in range(n_tables):
+            one = bucketed.select(
+                id_col,
+                vec_col,
+                F.col(f"bucket_{t}").alias("bucket"),
+                F.conv(f"bucket_{t}", 2, 10).cast("long").alias("bucket_id"),
+            )
+            write_parquet(one, f"{path}/table_{t}", partition_by=["bucket_id"])
+    finally:
+        bucketed.unpersist()
+
+
+def load_hyperplane_index_multi(spark, path: str, n_tables: int = 2) -> list[DataFrame]:
+    """Load a ``save_hyperplane_index_multi`` output as one DataFrame per
+    table. Pure parquet scans — no hashing."""
+    return [spark.read.parquet(f"{path}/table_{t}") for t in range(n_tables)]
+
+
+def ann_query_index_multi(
+    queries: DataFrame,
+    tables: list[DataFrame],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Query a multi-table LSH index: the query batch is hashed once per
+    table (tiny, map-side, broadcast); each table contributes its
+    same-bucket candidates; union + DISTINCT dedups pairs found in
+    several tables. The corpus-side tables never shuffle and prune to
+    the probed bucket partitions."""
+    out = None
+    for t, index in enumerate(tables):
+        qb = hyperplane_bucket(queries, vec_col, bits, dim, table=t).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        )
+        c = index.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "bucket"
+        )
+        one = (
+            c.join(F.broadcast(qb), "bucket")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id", "cand_id", F.round(cosine("qv", "cv"), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.distinct()
 
 
 def ann_query_index(

@@ -88,3 +88,56 @@ def q158_reachability_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out.select("start", "node")
+
+
+# --- multi-table LSH ANN ----------------------------------------------------
+def _plane_dot_sql_t(p: int, table: int, dim: int = 64) -> str:
+    """DuckDB expression for sign-plane p of hash table ``table`` — the
+    exact md5 rule of llm/similarity._hyperplane_signs (table 0: key
+    "p:d"; table t>0: key "t{t}:p:d")."""
+    prefix = "" if table == 0 else f"t{table}:"
+    return (
+        f"list_sum(list_transform(generate_series(0, {dim - 1}), d -> "
+        f"CAST(v[d + 1] AS DOUBLE) * "
+        f"CASE WHEN (strpos('0123456789abcdef', substr(md5(concat('{prefix}{p}', "
+        f"':', CAST(d AS VARCHAR))), 1, 1)) - 1) % 2 = 1 "
+        f"THEN 1.0 ELSE -1.0 END))"
+    )
+
+
+def _bucket_sql_t(table: int, bits: int = 8) -> str:
+    return "concat(" + ", ".join(
+        f"CASE WHEN {_plane_dot_sql_t(p, table)} >= 0 THEN '1' ELSE '0' END"
+        for p in range(bits)
+    ) + ")"
+
+
+@register(
+    "q159_ann_multi_table_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v, {_bucket_sql_t(0)} AS b0, {_bucket_sql_t(1)} AS b1
+      FROM e
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    """,
+    notes="MULTI-TABLE LSH ANN (llm/similarity.ann_bucketed_multi, "
+    "closing the single-table recall cap): two independent md5-derived "
+    "hyperplane tables computed in one corpus pass; a pair is a "
+    "candidate if it collides in ANY table (union + DISTINCT before "
+    "the cosine verify), so miss probability decays geometrically with "
+    "table count while per-table bucket cost stays fixed — the "
+    "standard recall dial alongside bits. Recall lift vs single-table "
+    "at equal candidate budget is measured in tests/test_llm.py",
+)
+def q159_ann_multi_table_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import ann_bucketed_multi
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_bucketed_multi(emb, threshold=0.25, n_tables=2)

@@ -693,3 +693,107 @@ def test_png_jpeg_header_parse_edges():
     assert parse_image_meta(b"\xff\xd8\xff\xe0")[1] is None
     assert parse_image_meta(b"\x89PNG\r\n\x1a\nXX")[1] is None
     assert parse_image_meta(b"GIF89a")[0] == "unknown"
+
+
+def test_multi_table_lsh_recall_lift(spark, sf_dir):
+    """Multi-table LSH must lift recall over a single table at a
+    comparable candidate budget. Theory: a pair with hyperplane
+    collision probability p (> 0.5 for positively-similar vectors)
+    collides in one B-bit table w.p. p^B; in either of two independent
+    (B+1)-bit tables w.p. 1-(1-p^(B+1))^2 ~= 2p^(B+1) — and 2p > 1, so
+    the two-table design wins recall while its expected candidate count
+    (2 tables with half-size buckets) stays comparable. Also pinned:
+    same-bits multi-table candidates are a strict superset of the
+    single table's (table 0 is shared), so recall can only rise."""
+    from collections import defaultdict
+
+    from dbkit_spark.llm.similarity import (
+        embedding_near_dup,
+        hyperplane_bucket_multi,
+    )
+    from dbkit_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, 0.25).collect()}
+
+    def candidates(bits, n_tables):
+        rows = hyperplane_bucket_multi(emb, bits=bits, n_tables=n_tables).collect()
+        pairs = set()
+        for t in range(n_tables):
+            buckets = defaultdict(list)
+            for r in rows:
+                buckets[r[f"bucket_{t}"]].append(r["vec_id"])
+            for ids in buckets.values():
+                ids.sort()
+                pairs.update(
+                    (ids[i], ids[j])
+                    for i in range(len(ids))
+                    for j in range(i + 1, len(ids))
+                )
+        return pairs
+
+    single = candidates(8, 1)
+    multi_eq_budget = candidates(9, 2)   # ~same total candidates, re-drawn
+    multi_same_bits = candidates(8, 2)   # superset of `single` (table 0 shared)
+
+    def recall(c):
+        return len(c & exact) / len(exact)
+
+    # equal-budget comparison: within 1.5x the candidates, strictly
+    # better recall
+    assert len(multi_eq_budget) <= 1.5 * len(single), (
+        len(multi_eq_budget), len(single))
+    assert recall(multi_eq_budget) > recall(single), (
+        recall(multi_eq_budget), recall(single))
+    # same-bits: structural superset, recall monotone
+    assert single <= multi_same_bits
+    assert recall(multi_same_bits) >= recall(single)
+
+
+def test_multi_table_index_roundtrip(spark, sf_dir, tmp_path):
+    """save/load/query of the multi-table LSH index must equal the
+    directly-computed multi-table candidates for the same query set,
+    and each table's loaded plan must prune by bucket_id partitions."""
+    from dbkit_spark.llm.similarity import (
+        ann_query_index_multi,
+        hyperplane_bucket,
+        load_hyperplane_index_multi,
+        save_hyperplane_index_multi,
+    )
+    from dbkit_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_multi")
+    save_hyperplane_index_multi(emb, path, n_tables=2)
+    tables = load_hyperplane_index_multi(spark, path, n_tables=2)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = {
+        (r.query_id, r.cand_id, r.cos_sim)
+        for r in ann_query_index_multi(queries, tables, threshold=0.1).collect()
+    }
+
+    # reference: recompute both tables from scratch and union
+    want = set()
+    for t in range(2):
+        qb = hyperplane_bucket(queries, table=t).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+            "bucket")
+        cb = hyperplane_bucket(emb, table=t).select(
+            F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"),
+            "bucket")
+        from dbkit_spark.functions.vectors import cosine
+        one = (
+            cb.join(qb, "bucket")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id",
+                    F.round(cosine("qv", "cv"), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.1)
+        )
+        want |= {(r.query_id, r.cand_id, r.cos_sim) for r in one.collect()}
+    assert got == want and len(got) > 0
+
+    # loaded tables are pure scans: no md5/hash in their plans
+    for df in tables:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "md5" not in plan.lower()
