@@ -98,3 +98,62 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # dropped
     assert ("2024-01-01T10:00:00", 1.0) in totals
     assert all(t not in (100.0, 101.0) for _, t in totals)
+
+
+def test_tws_plan_construction(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 stateful surface): the
+    streaming plan builds with the declared output schema regardless of
+    whether the protobuf state-protocol runtime is present."""
+    from dbkit_spark.streaming.state import user_running_stats_tws
+
+    df = user_running_stats_tws(read_events_stream(spark, sf_dir))
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,"
+        "total_value:double,max_value:double>"
+    )
+
+
+def test_tws_matches_batch_and_legacy_api(spark, sf_dir):
+    """Parity gate mirroring q38's: the TWS operator must produce the
+    same per-user final rows as the batch aggregate AND as the legacy
+    applyInPandasWithState operator. Skips (honestly) where the
+    google.protobuf runtime TWS executes through is not installed."""
+    import pytest
+
+    from dbkit_spark.streaming.state import (
+        tws_runtime_available,
+        user_running_stats_tws,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip(
+            "transformWithStateInPandas state-protocol worker requires "
+            "google.protobuf, not installed in this container"
+        )
+    events = read_table(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.n_events, round(r.total_value, 6), r.max_value)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    got_df = run_available_now(
+        user_running_stats_tws(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    got = {
+        (r.user_id, r.n_events, r.total_value, r.max_value)
+        for r in got_df.collect()
+    }
+    exp_by_user = {u: (n, t, m) for (u, n, t, m) in expected}
+    assert {(u, n) for (u, n, *_r) in got} == {
+        (u, n) for (u, n, *_r) in expected
+    }
+    for u, n, t, m in got:
+        en, et, em = exp_by_user[u]
+        assert n == en and abs(t - et) < 1e-5 and m == em
