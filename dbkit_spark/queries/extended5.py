@@ -141,3 +141,88 @@ def q159_ann_multi_table_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return ann_bucketed_multi(emb, threshold=0.25, n_tables=2)
+
+
+# --- UINT64 fidelity --------------------------------------------------------
+_U64_OFFSET = "9223372036854775808"  # 2^63: every derived value overflows i64
+_U64_MAX = "18446744073709551615"    # 2^64 - 1: the full-range edge
+
+
+def _ensure_uint64_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once-per-(sf_dir) parquet file whose ``uval`` column is
+    PHYSICAL parquet uint64 (pyarrow) holding values > 2^63-1, derived
+    deterministically from events.user_id (2^63 + user_id, plus the
+    2^64-1 edge). mtime-stamped against driver testdata regeneration.
+    The driver-side materialization is metadata-sized (distinct user
+    ids), a fixture-construction step — bulk ingest goes through the
+    file readers."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"dbkit_u64_{tag}")
+    path = os.path.join(base, "u64.parquet")
+    done = os.path.join(base, "_dbkit_fixture_done")
+    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    if os.path.exists(done) and open(done).read() == stamp:
+        return path
+    users = sorted(
+        r.user_id
+        for r in read_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+    )
+    vals = [int(_U64_OFFSET) + u for u in users] + [int(_U64_MAX)]
+    os.makedirs(base, exist_ok=True)
+    pq.write_table(
+        pa.table({"uval": pa.array(vals, type=pa.uint64())}), path
+    )
+    with open(done, "w") as fh:
+        fh.write(stamp)
+    return path
+
+
+@register(
+    "q160_uint64_fidelity",
+    oracle=f"""
+    WITH u AS (
+      SELECT CAST(CAST('{_U64_OFFSET}' AS HUGEINT) + user_id AS DECIMAL(20,0)) AS uval
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT CAST('{_U64_MAX}' AS DECIMAL(20,0))
+    )
+    SELECT COUNT(*) AS n,
+           CAST(MIN(uval) AS VARCHAR) AS umin,
+           CAST(MAX(uval) AS VARCHAR) AS umax,
+           CAST(CAST(SUM(uval) AS DECIMAL(38,0)) AS VARCHAR) AS usum
+    FROM u
+    """,
+    notes="UINT64 fidelity (SURVEY §1.2: dbkit u64, types.rs:67-70, maps "
+    "to DecimalType(20,0) where values exceed 2^63-1): a PHYSICAL "
+    "parquet uint64 file (2^63 + user_id per distinct user, plus the "
+    "2^64-1 full-range edge) is read through the explicit "
+    "DecimalType(20,0) schema path and aggregated in decimal "
+    "arithmetic; the oracle recomputes the same values in HUGEINT from "
+    "the raw events table, so any reader truncation/i64-overflow "
+    "breaks min/max/sum. Aggregation runs in decimal; only the FINAL "
+    "scalars are emitted as strings because pandas narrows wide "
+    "decimals to float64 (which cannot represent 2^64-1) on the "
+    "compare path. The TableAppender accepts the same values as "
+    "Python ints (round-trip pytest in tests/test_sources_sinks.py)",
+)
+def q160_uint64_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.readers import read_parquet
+
+    path = _ensure_uint64_fixture(spark, sf_dir)
+    u = read_parquet(
+        spark, path, T.StructType([T.StructField("uval", T.DecimalType(20, 0))])
+    )
+    return u.agg(
+        F.count("*").alias("n"),
+        F.min("uval").cast("string").alias("umin"),
+        F.max("uval").cast("string").alias("umax"),
+        F.sum("uval").cast("decimal(38,0)").cast("string").alias("usum"),
+    )

@@ -17,6 +17,7 @@ columns into the scan (verify with ``plans.explain_utils.scan_info``).
 from __future__ import annotations
 
 import os
+from decimal import Decimal as _Decimal
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,6 +174,11 @@ class TableAppender:
         T.BooleanType: (bool,),
         T.StringType: (str,),
         T.BinaryType: (bytes, bytearray),
+        # UINT64 fidelity (SURVEY §1.2): dbkit's u64 maps to
+        # DecimalType(20,0) where values may exceed 2^63-1; the appender
+        # accepts Python int (auto-wrapped to Decimal at done()) or
+        # decimal.Decimal directly
+        T.DecimalType: (int, _Decimal),
     }
 
     def __init__(self, schema: T.StructType):
@@ -208,7 +214,9 @@ class TableAppender:
                     field.name, field.dataType.simpleString(), type(value).__name__
                 )
                 return self
-            if isinstance(field.dataType, (T.IntegerType, T.LongType)) and isinstance(value, bool):
+            if isinstance(
+                field.dataType, (T.IntegerType, T.LongType, T.DecimalType)
+            ) and isinstance(value, bool):
                 self._error = AttributeType(field.name, field.dataType.simpleString(), "bool")
                 return self
         self._cur[self._col] = value
@@ -227,7 +235,22 @@ class TableAppender:
         if self._error is not None:
             raise self._error
         self._flush()
-        return spark.createDataFrame(self._rows, self.schema)
+        dec_cols = [
+            i
+            for i, f in enumerate(self.schema.fields)
+            if isinstance(f.dataType, T.DecimalType)
+        ]
+        rows = self._rows
+        if dec_cols:
+            # createDataFrame requires decimal.Decimal objects for
+            # DecimalType fields; ints (incl. > 2^63-1, the UINT64 case)
+            # were type-checked at set() and are wrapped exactly here
+            rows = [list(r) for r in rows]
+            for r in rows:
+                for i in dec_cols:
+                    if isinstance(r[i], int):
+                        r[i] = _Decimal(r[i])
+        return spark.createDataFrame(rows, self.schema)
 
 
 def table_appender(schema: T.StructType) -> TableAppender:

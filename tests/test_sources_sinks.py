@@ -104,3 +104,32 @@ def test_binary_file_source_to_real_decode(spark, tmp_path):
         for r in decode_image_meta(payloads).collect()
     }
     assert metas == {"bmp": (7, 5, 24), "ppm": (3, 9, 24)}
+
+
+def test_appender_uint64_decimal_fidelity(spark):
+    """UINT64 path (SURVEY §1.2): a DecimalType(20,0) column accepts
+    Python ints beyond 2^63-1 (incl. 2^64-1) and round-trips them
+    exactly; bool is still rejected as a type error like the other
+    integer columns."""
+    from decimal import Decimal
+
+    from dbkit_spark import errors
+    from dbkit_spark.schema import attribute, make_schema
+    from dbkit_spark.sources import table_appender
+
+    schema = make_schema([attribute("u", "UINT64", nullable=False)])
+    app = table_appender(schema)
+    big = 2**64 - 1
+    for v in (0, 2**63, big, Decimal(123)):
+        app.add_row().set(v if not isinstance(v, Decimal) else v)
+    df = app.done(spark)
+    assert df.schema.simpleString() == "struct<u:decimal(20,0)>"
+    got = sorted(r.u for r in df.collect())
+    assert got == [Decimal(0), Decimal(123), Decimal(2**63), Decimal(big)]
+
+    bad = table_appender(schema)
+    bad.add_row().set(True)
+    import pytest
+
+    with pytest.raises(errors.AttributeType):
+        bad.done(spark)
