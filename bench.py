@@ -35,6 +35,7 @@ HEADLINE = [
     "q12_asof_click_view",      # as-of join rewrite
     "q13_range_join_tiers",     # interval join rewrite
     "q112_jaccard_prefix_filter",  # heavy set-similarity pipeline (round-4 addition)
+    "q87_dedup_clusters",       # iterative connected-components pipeline (round-5 addition)
 ]
 
 RUNS = 3
