@@ -226,3 +226,49 @@ def q160_uint64_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("uval").cast("string").alias("umax"),
         F.sum("uval").cast("decimal(38,0)").cast("string").alias("usum"),
     )
+
+
+@register(
+    "q161_ann_multi_index_query",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v, {_bucket_sql_t(0)} AS b0, {_bucket_sql_t(1)} AS b1
+      FROM e
+    )
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+    FROM bucketed c JOIN bucketed q
+      ON (c.b0 = q.b0 OR c.b1 = q.b1) AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 50
+      AND round(list_cosine_similarity(q.v, c.v), 6) >= 0.1
+    """,
+    notes="multi-table index PERSISTENCE round-trip (q127's shape for "
+    "the multi-table recall path): the corpus is hashed once into two "
+    "per-table parquet indexes (each partition-pruned by its own "
+    "bucket id); only the query batch is hashed at query time, once "
+    "per table, and broadcast; per-table candidates union + DISTINCT "
+    "before the cosine verify. The oracle recomputes both tables from "
+    "the md5 rule, so a hash match proves the save/load round-trip "
+    "preserves every table's bucket assignments and the vectors "
+    "exactly",
+)
+def q161_ann_multi_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..llm.similarity import (
+        ann_query_index_multi,
+        load_hyperplane_index_multi,
+        save_hyperplane_index_multi,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_ann_multi_{sf_tag}")
+    save_hyperplane_index_multi(emb, path, n_tables=2)
+    tables = load_hyperplane_index_multi(spark, path, n_tables=2)
+    return ann_query_index_multi(
+        emb.filter(F.col("vec_id") < 50), tables, threshold=0.1
+    )
