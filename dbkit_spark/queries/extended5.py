@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
+from ..operators.aggregate import stable_sum_sql
 from ..sources import read_table
 
 
@@ -272,3 +273,114 @@ def q161_ann_multi_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_query_index_multi(
         emb.filter(F.col("vec_id") < 50), tables, threshold=0.1
     )
+
+
+# --- embedding near-dup dedup (end-to-end composition) ----------------------
+@register(
+    "q162_embedding_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, {_bucket_sql_t(0)} AS bucket FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e2.dst, reach.r FROM reach JOIN edges e2 ON e2.src = reach.id
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id IN (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
+    """,
+    notes="EMBEDDING near-dup dedup end-to-end (the semantic twin of the "
+    "q40/q87/q88 lexical pipeline): LSH-bucketed cosine pairs "
+    "(llm/similarity.ann_bucketed, the q45 scale path) feed the "
+    "connected-components survivor selection (llm/cluster."
+    "dedup_survivors on operators/iterate) — one deterministic min-id "
+    "survivor per cosine-similarity cluster, singletons kept. The "
+    "oracle rebuilds the same pair graph from the md5 bucket rule and "
+    "labels components via recursive-CTE reachability; every stage "
+    "(bucketing, verify, closure) is bucketed/iterative, never "
+    "all-pairs",
+)
+def q162_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.cluster import dedup_survivors
+    from ..llm.similarity import ann_bucketed
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = ann_bucketed(emb, threshold=0.3).select("id_a", "id_b")
+    return dedup_survivors(
+        emb, pairs, id_col="vec_id", a_col="id_a", b_col="id_b"
+    ).select("vec_id", "label")
+
+
+# --- runtime bloom-filter join pruning --------------------------------------
+@register(
+    "q163_bloom_filter_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           {stable_sum_sql("l.l_extendedprice", 2)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+    notes="RUNTIME BLOOM-FILTER join pruning (Catalyst InjectRuntimeFilter, "
+    "the shuffle-join sibling of q145's DPP): the selective dim-side "
+    "predicate builds a bloom filter (bloom_filter_agg subquery) that "
+    "prunes fact rows BEFORE the join shuffle (might_contain on the "
+    "fact scan) — at 100 TB this drops most of the fact table's shuffle "
+    "traffic for selective joins on non-partition keys, where DPP "
+    "cannot help. Fixture-scale thresholds (applicationSideScanSize=0, "
+    "raised creation cap) are set ONLY during plan construction and "
+    "restored — at production scale the defaults trigger on their own; "
+    "plan-gated in tests/test_plans.py (might_contain + "
+    "bloom_filter_agg present). Broadcast disabled for this plan so the "
+    "shuffle-join path (the one bloom filters exist for) is exercised; "
+    "the filter is semantically transparent, so the oracle is the "
+    "plain join",
+)
+def q163_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import stable_sum
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                stable_sum(F.col("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        # force physical planning NOW so the runtime-filter injection
+        # happens under these confs; the restored session is untouched
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

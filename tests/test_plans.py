@@ -262,3 +262,21 @@ def test_hyperplane_bucket_no_per_row_hashing(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     plan = hyperplane_bucket(emb)._jdf.queryExecution().executedPlan().toString()
     assert "md5" not in plan.lower(), plan
+
+
+def test_bloom_filter_join_runtime_pruning(spark, sf_dir):
+    """q163's fact scan must carry the injected runtime bloom filter
+    (might_contain over a bloom_filter_agg subquery built from the
+    selective dim side) — the shuffle-join sibling of the q145 DPP gate.
+    Also pinned: building the plan restores the session confs."""
+    prev = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    df = CATALOG["q163_bloom_filter_join"].fn(spark, sf_dir)
+    after = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    assert after == prev, "q163 leaked session conf changes"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
