@@ -94,6 +94,7 @@ def load_all() -> dict[str, QuerySpec]:
         extended3,
         extended4,
         extended5,
+        extended6,
         joins,
         llm,
         relational,

@@ -1,0 +1,388 @@
+"""Round-5 extension queries, part 1: the remaining TPC-H decision-support
+shapes (Q7/Q8/Q9/Q11/Q15/Q16 adapted to the fixture schema — no partsupp,
+so lineitem unit economics stand in for supply cost / stock value, and the
+lineitem→supplier bridge stands in for partsupp's part↔supplier relation).
+
+Reference parity: dbkit (SURVEY §1) declares OLAP read-side intent
+(reference ``README.md:14``); its implemented surface (operation/
+scan_view.rs:12-56, operation/project.rs:14-64) never reaches these
+shapes — they are re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.aggregate import dec, stable_sum, stable_sum_sql
+from ..sources import read_table
+
+
+# --- TPC-H Q7: volume shipping between two nations --------------------------
+@register(
+    "q164_tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n2.n_name AS supp_nation,
+           n1.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {stable_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    notes="TPC-H Q7 shape (volume shipping between two trading nations): "
+    "the 6-table star with TWO independent nation lookups (customer side "
+    "and supplier side) and a symmetric nation-pair predicate. Both "
+    "nation dims and supplier broadcast (tiny), so the only shuffles are "
+    "the lineitem⋈orders⋈customer fact joins; the shipdate range is "
+    "pushed to the parquet scan. The nation-pair filter applies AFTER "
+    "the pair is assembled (it spans both branches) but Catalyst pushes "
+    "each nation's IN ('NATION_1','NATION_2') residual to the dim scans",
+)
+def q164_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("cust_nation") == "NATION_1")
+                & (F.col("supp_nation") == "NATION_2")
+            )
+            | (
+                (F.col("cust_nation") == "NATION_2")
+                & (F.col("supp_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- TPC-H Q8: national market share ----------------------------------------
+@register(
+    "q165_tpch_q8_market_share",
+    oracle="""
+    WITH all_sales AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(25,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+      JOIN region r    ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    notes="TPC-H Q8 shape (national market share): 8-table star — the "
+    "widest join in the suite — reduced to ONE fact-side pipeline: every "
+    "dim (nation x2, region, supplier, part after its p_type filter) "
+    "broadcasts, so the plan is lineitem⋈orders⋈customer shuffles plus "
+    "map-side hash lookups, then a single year-grouped agg computing "
+    "share = conditional-sum / total-sum in one pass (no second scan, "
+    "no self-join). Both sums decimal-carried; the final division is one "
+    "deterministic double op identical on both engines",
+)
+def q165_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select("n_nationkey", "n_regionkey")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            dec(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4
+            ).alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- TPC-H Q9: product-type profit ------------------------------------------
+@register(
+    "q166_tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           {stable_sum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.6 * p.p_retailprice * l.l_quantity", 4)} AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    notes="TPC-H Q9 shape (product-type profit; the fixture has no "
+    "partsupp, so supply cost = 0.6 x p_retailprice stands in for "
+    "ps_supplycost exactly as extended4's Q20 adaptation does): profit "
+    "per supplier-nation per year over parts matching a name substring. "
+    "part (filtered by LIKE before the join), supplier, and nation all "
+    "broadcast; lineitem⋈orders is the one real shuffle. The profit "
+    "expression is written token-identically on both engines so the "
+    "double arithmetic inside the decimal rounding matches bit-for-bit",
+)
+def q166_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(stable_sum(F.col("profit"), 4).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# --- TPC-H Q11: important stock (scalar-subquery threshold) ------------------
+@register(
+    "q167_tpch_q11_important_stock",
+    oracle="""
+    WITH part_value AS (
+      SELECT l.l_partkey AS p_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY l.l_partkey
+    )
+    SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM part_value
+    WHERE CAST(value_dec AS DOUBLE) >
+          0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM part_value)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    notes="TPC-H Q11 shape (important stock; lineitem revenue stands in "
+    "for ps_supplycost x ps_availqty since the fixture has no partsupp): "
+    "per-part value over two nations' suppliers, kept only when it "
+    "exceeds a fraction of the TOTAL value — the scalar-subquery-"
+    "threshold shape. Spark computes the per-part agg ONCE, derives the "
+    "global scalar by re-aggregating that (tiny) result, and broadcasts "
+    "the one-row total back via crossJoin — the fact table is scanned "
+    "and shuffled exactly once; the threshold compare happens on the "
+    "already-reduced per-part rows. Both sides carry the value in "
+    "decimal until the final compare so fraction-of-total is one "
+    "deterministic double multiply on each engine",
+)
+def q167_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    per_part = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(dec("l_extendedprice", 4)).alias("value_dec"))
+    )
+    total = per_part.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double") > F.lit(0.001) * F.col("total_value")
+        )
+        .select(
+            "p_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+# --- TPC-H Q15: top supplier -------------------------------------------------
+@register(
+    "q168_tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+               AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_dec AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_dec = (SELECT MAX(total_dec) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    notes="TPC-H Q15 shape (top supplier via a max-of-aggregate view): "
+    "quarterly revenue per supplier, keep the supplier(s) achieving the "
+    "maximum. The revenue 'view' is computed once; the scalar max is "
+    "derived from that reduced result and broadcast back (crossJoin of "
+    "a 1-row frame), so lineitem is scanned once and the equality "
+    "compare runs on DECIMAL — exact, so ties are real ties on both "
+    "engines, never float noise. Supplier dim broadcasts onto the "
+    "per-supplier rows",
+)
+def q168_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4)
+        ).alias("total_dec")
+    )
+    mx = revenue.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_dec") == F.col("max_dec"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("total_dec").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q16: supplier relationship count ----------------------------------
+@register(
+    "q169_tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (2, 5, 11, 28, 29, 37, 42, 50)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    notes="TPC-H Q16 shape (parts/supplier relationship; the "
+    "lineitem bridge stands in for partsupp): distinct suppliers per "
+    "(brand, type, size) over filtered parts, EXCLUDING suppliers on a "
+    "complaint list (negative acctbal stands in for the comment LIKE). "
+    "The NOT IN subquery becomes a broadcast LEFT ANTI join (s_suppkey "
+    "is never null, so NOT IN == anti-join is semantics-safe); all three "
+    "part predicates push to the dim scan which then broadcasts; the "
+    "COUNT(DISTINCT) is Spark's two-phase distinct-expand over the one "
+    "fact shuffle",
+)
+def q169_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(2, 5, 11, 28, 29, 37, 42, 50))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )

@@ -88,6 +88,9 @@ _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
 #   q65 — queries x broadcast(16 centroids) probe routing
 #   q105 — customer x broadcast(1-row scalar-subquery threshold)
 #   q109 — scored docs x broadcast(1-row corpus stats N/avgdl)
+#   q167 — per-part values x broadcast(1-row total for fraction threshold)
+#   (q168's scalar max crossJoin is NOT listed: its equality filter is
+#   rewritten by Catalyst into a BroadcastHashJoin, so the gate holds.)
 _INTENTIONAL_CROSS = {
     "q11_join_cross",
     "q43_cosine_topk",
@@ -95,6 +98,7 @@ _INTENTIONAL_CROSS = {
     "q65_ann_ivf",
     "q105_tpch_q22_dormant",
     "q109_bm25_topk",
+    "q167_tpch_q11_important_stock",
 }
 
 
