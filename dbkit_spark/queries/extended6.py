@@ -386,3 +386,110 @@ def q169_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
         )
     )
+
+
+# --- grouped least-squares regression ---------------------------------------
+@register(
+    "q170_grouped_regression",
+    oracle="""
+    SELECT event_type,
+           regr_count(value, hr) AS n,
+           ROUND(regr_slope(value, hr), 6) AS slope,
+           ROUND(regr_intercept(value, hr), 6) AS intercept,
+           ROUND(regr_r2(value, hr), 6) AS r2
+    FROM (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr, value
+      FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    notes="per-group ordinary-least-squares regression (§2.4 stats "
+    "surface extension): regr_slope / regr_intercept / regr_r2 / "
+    "regr_count of value against hour-of-day per event type — the "
+    "trend-per-segment analytics shape. Spark's regr_* are Tungsten "
+    "codegen'd single-pass moment aggregates with map-side partials "
+    "(never a per-group sort or UDF), identical definitionally to "
+    "DuckDB's; results rounded 6dp because moment accumulation order "
+    "differs across partitions (SURVEY §7.4 canonicalization, same "
+    "discipline as q15's stddev/corr)",
+)
+def q170_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from ..operators.aggregate import rounded
+
+    src = ev.select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return (
+        src.groupBy("event_type")
+        .agg(
+            F.regr_count("value", "hr").alias("n"),
+            rounded(F.regr_slope("value", "hr")).alias("slope"),
+            rounded(F.regr_intercept("value", "hr")).alias("intercept"),
+            rounded(F.regr_r2("value", "hr")).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- winsorized robust mean --------------------------------------------------
+@register(
+    "q171_winsorized_stats",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, f.p05), f.p95)
+                         AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean,
+           COUNT(CASE WHEN e.value < f.p05 OR e.value > f.p95 THEN 1 END)
+             AS n_clipped
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    notes="winsorized (percentile-clipped) robust mean per group (§2.4 "
+    "robust-stats family next to q116's MAD/IQR and q157's Tukey "
+    "fences): exact interpolated p05/p95 per event type (Spark "
+    "percentile == DuckDB quantile_cont, pinned by q21), the tiny "
+    "fence table broadcast back onto the stream, clipping via "
+    "LEAST/GREATEST map-side, then a decimal-stabilized mean so the "
+    "clipped sum is order-independent. Two shuffles total (quantile "
+    "agg + final agg) — the same join-back-aggregate idiom as q157, "
+    "which at 100 TB beats any sort-based winsorization because the "
+    "fences are O(groups) and the data never globally sorts",
+)
+def q171_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    fences = ev.groupBy(F.col("event_type").alias("f_type")).agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clipped = ev.join(
+        F.broadcast(fences), ev["event_type"] == F.col("f_type")
+    ).withColumn("w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")))
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(dec("w", 6)).cast("double") / F.count("*")).alias(
+                "winsorized_mean"
+            ),
+            F.count(
+                F.when(
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95")),
+                    1,
+                )
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
