@@ -1,0 +1,75 @@
+"""Document chunking for training-data pipelines: split each document
+into fixed-size overlapping token windows.
+
+The standard pre-tokenization step before packing (llm/sampling.pack
+works on whole docs; real pipelines chunk long docs first so no sequence
+exceeds the model context). Chunk rule, identical on Spark and any SQL
+oracle:
+
+    n        = token count of the doc
+    chunks   = k in [0, ceil(max(n - window, 0) / stride)]
+    chunk k  = tokens[k*stride : k*stride + window]
+
+Every token is covered, consecutive chunks overlap by ``window - stride``
+tokens, and the last chunk ends exactly at the document tail (it is the
+only one allowed to be shorter than ``window``). Map-only: tokenize →
+per-row sequence → explode → slice, no shuffle anywhere — at 100 TB this
+is a pure scan-side transform that scales with input bytes.
+
+Reference: dbkit has no chunking surface (its text handling stops at
+``expression/convert.rs:45-136`` ToStr); this is part of the declared
+LLM-pipeline extension (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode each document into overlapping token-window chunks.
+
+    Returns (id_col, chunk_id, n_tok, chunk_text). Documents with zero
+    tokens produce no chunks (same as SQL ``generate_series`` over an
+    empty range).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride must not exceed window (gaps would drop tokens)")
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    n_chunks = F.ceil(
+        F.greatest(F.col("_n") - window, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    return (
+        toks.filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                "_toks", F.col("chunk_id") * stride + 1, window
+            ).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").cast("long").alias("n_tok"),
+            F.concat_ws(" ", "_chunk").alias("chunk_text"),
+        )
+    )

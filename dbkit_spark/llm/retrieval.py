@@ -86,3 +86,53 @@ def bm25_topk(
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    score = tf * ln(N / df) — raw term frequency times log inverse
+    document frequency (natural log, so any SQL oracle reproduces it
+    with ln()). Output: (id_col, token, tf, df, score) with score
+    rounded 6dp and deterministic (score DESC, token ASC) ranking.
+
+    Plan shape: one (id, tok) explode feeding BOTH aggregations —
+    per-doc tf (grouped agg) and corpus df (token-keyed distinct agg);
+    the vocabulary-sized df table joins back onto tf rows by token, the
+    one-row corpus size broadcasts (same intentional scalar crossJoin as
+    bm25_topk), and the final per-doc top-k is a window row_number — no
+    global sort, no all-pairs anything. At 100 TB every stage is keyed
+    by token or doc id; the df side is vocabulary-sized, orders of
+    magnitude smaller than the corpus.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    toks = tokenize(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df_tbl = toks.groupBy("tok").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, F.col("tok").alias("token"), "tf", "df", "score")
+    )

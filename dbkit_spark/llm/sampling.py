@@ -220,3 +220,36 @@ def weighted_sample_topk(
         .orderBy(F.col("wkey").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Deterministic per-group quota cap: keep at most ``quota`` rows per
+    group, chosen by hash rank (md5 of the row id) with id tiebreak.
+
+    The domain-cap step of corpus curation (e.g. "at most N documents
+    per source/domain so no crawl host dominates the training mix").
+    Hash ranking makes the selection a uniform random sample per group
+    that is reproducible across engines, reruns, and repartitioning —
+    unlike ``sample()`` whose selection depends on partition layout.
+
+    One window shuffle on ``group_col``; groups under quota pass through
+    intact. At 100 TB the shuffle carries only (group, rank-key) order
+    state per partition — no global sort, no collect.
+    """
+    if quota <= 0:
+        raise ValueError("quota must be positive")
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= quota)
+        .drop("_qrank")
+    )

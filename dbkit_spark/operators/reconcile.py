@@ -1,0 +1,96 @@
+"""Table reconciliation: compare two huge tables by bucketed checksums.
+
+The data-migration / replica-validation primitive: after a backfill,
+CDC re-sync, or engine migration, prove two 100 TB tables are identical
+— or localize WHERE they differ — without ever joining them row-by-row.
+
+Design (the classic anti-entropy / Merkle-bucket scheme):
+
+1. Each row is fingerprinted: a canonical string of its columns is
+   md5-hashed and the first 12 hex digits become an integer (< 2^48 —
+   the md5→int rule every hash construction in this engine uses, so a
+   SQL oracle reproduces it digit-for-digit).
+2. Rows hash-partition into ``n_buckets`` by key.
+3. Per bucket each side reduces to (row_count, SUM(fingerprint)) — the
+   sum is carried in DECIMAL(38,0) because 2^48 × 10^12 rows overflows
+   a BIGINT, and Spark wraps while other engines widen (a silent
+   cross-engine divergence this engine never permits).
+4. The two bucket summaries FULL OUTER join on bucket id; any bucket
+   whose (count, checksum) disagrees — or that exists on one side only
+   — is emitted.
+
+Cost at scale: each side is one scan + one map-side-combined agg to
+``n_buckets`` rows; the join is metadata-sized. Commutative sums make
+the checksum partition-order independent. A mismatch report of K
+buckets bounds the affected keyspace to K/n_buckets of the table, so
+the expensive row-level diff (an anti-join restricted to those buckets)
+touches only the damaged slice.
+
+Reference: dbkit has no multi-table surface (SURVEY §0 — scan/project
+only); this is part of the declared large-scale pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def row_fingerprint(cols: list[Column]) -> Column:
+    """48-bit integer fingerprint of a canonical '|'-joined row string.
+
+    Callers must pre-coalesce nullable columns (concat_ws skips NULLs,
+    which would collide ('a', NULL, 'b') with ('a', 'b', NULL))."""
+    canon = F.concat_ws("|", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+
+
+def bucket_summary(
+    df: DataFrame, key: Column, fingerprint: Column, n_buckets: int = 256
+) -> DataFrame:
+    """(bucket, cnt, checksum) — one map-side-combined agg, n_buckets rows."""
+    return (
+        df.select(
+            F.pmod(key.cast("long"), F.lit(n_buckets)).alias("bucket"),
+            fingerprint.alias("_fp"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("_fp").cast("decimal(38,0)")).alias("checksum"),
+        )
+    )
+
+
+def reconcile_buckets(left: DataFrame, right: DataFrame) -> DataFrame:
+    """FULL OUTER compare of two bucket summaries; emits disagreeing
+    buckets as (bucket, left_cnt, right_cnt, counts_match, sums_match).
+
+    Missing buckets surface with 0-count (COALESCE), so a side that
+    dropped an entire bucket is reported, not skipped."""
+    l = left.select(
+        "bucket",
+        F.col("cnt").alias("left_cnt"),
+        F.col("checksum").alias("left_sum"),
+    )
+    r = right.select(
+        "bucket",
+        F.col("cnt").alias("right_cnt"),
+        F.col("checksum").alias("right_sum"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    joined = l.join(r, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("left_cnt", F.lit(0)).alias("left_cnt"),
+        F.coalesce("right_cnt", F.lit(0)).alias("right_cnt"),
+        F.coalesce("left_sum", zero).alias("left_sum"),
+        F.coalesce("right_sum", zero).alias("right_sum"),
+    )
+    return (
+        joined.withColumn(
+            "counts_match", F.col("left_cnt") == F.col("right_cnt")
+        )
+        .withColumn("sums_match", F.col("left_sum") == F.col("right_sum"))
+        .filter(~F.col("counts_match") | ~F.col("sums_match"))
+        .select("bucket", "left_cnt", "right_cnt", "counts_match", "sums_match")
+    )

@@ -493,3 +493,263 @@ def q171_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- document chunking -------------------------------------------------------
+@register(
+    "q172_document_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0)
+    SELECT b.doc_id,
+           u.k AS chunk_id,
+           len(b.t[u.k*24+1 : u.k*24+32]) AS n_tok,
+           array_to_string(b.t[u.k*24+1 : u.k*24+32], ' ') AS chunk_text
+    FROM base b,
+         UNNEST(generate_series(0,
+           CAST(ceil(greatest(b.n - 32, 0) / 24.0) AS BIGINT))) AS u(k)
+    ORDER BY doc_id, chunk_id
+    """,
+    notes="document CHUNKING into overlapping token windows (llm/"
+    "chunking.chunk_documents — the pre-tokenization step before "
+    "packing, so no training sequence exceeds the context): window 32, "
+    "stride 24, so consecutive chunks share 8 tokens and the last chunk "
+    "alone may run short. Map-only tokenize→sequence→explode→slice — "
+    "no shuffle anywhere, a pure scan-side transform that scales with "
+    "input bytes; the oracle reproduces the chunk rule with "
+    "generate_series + 1-based list slicing",
+)
+def q172_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.chunking import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+# --- TF-IDF characteristic terms ---------------------------------------------
+@register(
+    "q173_tfidf_topk_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                    t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfx AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok AS token, tf.tf, dfx.df,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 6) AS score
+      FROM tf JOIN dfx ON tf.tok = dfx.tok CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY doc_id, score DESC, token
+    """,
+    notes="TF-IDF top-5 characteristic terms per document (llm/"
+    "retrieval.tfidf_topk_terms, the per-document twin of q109's "
+    "corpus-level BM25): score = tf x ln(N/df), natural log so the "
+    "oracle is exact. One (id, tok) explode feeds BOTH aggregations "
+    "(per-doc tf and vocabulary-sized corpus df); df joins back by "
+    "token, the 1-row corpus size broadcasts (intentional scalar "
+    "crossJoin, q109's documented pattern), final per-doc top-5 is a "
+    "window row_number — keyed shuffles only, nothing all-pairs, no "
+    "global sort at any stage",
+)
+def q173_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.retrieval import tfidf_topk_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, "text", "doc_id", k=5).orderBy(
+        "doc_id", F.col("score").desc(), "token"
+    )
+
+
+# --- domain quota sampling ---------------------------------------------------
+@register(
+    "q174_domain_quota_sample",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':quota')) ASC,
+                 doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    ORDER BY source, doc_id
+    """,
+    notes="per-domain QUOTA sampling (llm/sampling.quota_sample — the "
+    "domain-cap step of corpus curation: at most N docs per source so "
+    "no crawl host dominates the training mix): deterministic md5 hash "
+    "rank per source with doc_id tiebreak, so the kept set is a "
+    "uniform per-group sample reproducible across engines, reruns, and "
+    "repartitioning — seeded sample() can't promise that (selection "
+    "depends on partition layout). One window shuffle on source; at "
+    "100 TB no global sort and no collect",
+)
+def q174_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import quota_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "doc_id")
+    return quota_sample(docs, "source", "doc_id", quota=10).orderBy(
+        "source", "doc_id"
+    )
+
+
+# --- bucketed table reconciliation -------------------------------------------
+_RECON_FP_SQL = (
+    "list_sum(list_transform(generate_series(1, 12), i -> "
+    "CAST((strpos('0123456789abcdef', substr(h, i, 1)) - 1) AS BIGINT)"
+    " * CAST(power(16, 12 - i) AS BIGINT)))"
+)
+
+
+@register(
+    "q175_table_reconciliation",
+    oracle=f"""
+    WITH canon AS (
+      SELECT event_id,
+             md5(concat_ws('|',
+               CAST(event_id AS VARCHAR),
+               CAST(user_id AS VARCHAR),
+               event_type,
+               CAST(COALESCE(CAST(ROUND(value * 1000000) AS BIGINT), -1)
+                    AS VARCHAR))) AS h
+      FROM events
+    ),
+    fp AS (
+      SELECT event_id, {_RECON_FP_SQL} AS f FROM canon
+    ),
+    left_sum AS (
+      SELECT event_id % 256 AS bucket, COUNT(*) AS cnt,
+             SUM(CAST(f AS DECIMAL(38,0))) AS checksum
+      FROM fp GROUP BY bucket
+    ),
+    rcanon AS (
+      SELECT event_id,
+             md5(concat_ws('|',
+               CAST(event_id AS VARCHAR),
+               CAST(user_id AS VARCHAR),
+               event_type,
+               CAST(COALESCE(CAST(ROUND(
+                 (CASE WHEN event_id % 997 = 0 THEN value + 1.0 ELSE value END)
+                 * 1000000) AS BIGINT), -1) AS VARCHAR))) AS h
+      FROM events WHERE event_id % 1009 <> 0
+    ),
+    rfp AS (
+      SELECT event_id, {_RECON_FP_SQL} AS f FROM rcanon
+    ),
+    right_sum AS (
+      SELECT event_id % 256 AS bucket, COUNT(*) AS cnt,
+             SUM(CAST(f AS DECIMAL(38,0))) AS checksum
+      FROM rfp GROUP BY bucket
+    )
+    SELECT COALESCE(l.bucket, r.bucket) AS bucket,
+           COALESCE(l.cnt, 0) AS left_cnt,
+           COALESCE(r.cnt, 0) AS right_cnt,
+           COALESCE(l.cnt, 0) = COALESCE(r.cnt, 0) AS counts_match,
+           COALESCE(l.checksum, CAST(0 AS DECIMAL(38,0)))
+             = COALESCE(r.checksum, CAST(0 AS DECIMAL(38,0))) AS sums_match
+    FROM left_sum l FULL OUTER JOIN right_sum r ON l.bucket = r.bucket
+    WHERE COALESCE(l.cnt, 0) <> COALESCE(r.cnt, 0)
+       OR COALESCE(l.checksum, CAST(0 AS DECIMAL(38,0)))
+          <> COALESCE(r.checksum, CAST(0 AS DECIMAL(38,0)))
+    ORDER BY bucket
+    """,
+    notes="bucketed TABLE RECONCILIATION (operators/reconcile — the "
+    "anti-entropy/Merkle-bucket primitive for validating a backfill, "
+    "CDC re-sync, or engine migration WITHOUT a row-level join): each "
+    "row md5-fingerprints to a 48-bit integer, rows hash into 256 "
+    "buckets by key, each side reduces to (count, DECIMAL(38,0) sum of "
+    "fingerprints) — decimal because 2^48 x 10^12 rows overflows "
+    "BIGINT and Spark wraps where other engines widen — and the two "
+    "metadata-sized summaries full-outer join to emit only damaged "
+    "buckets. The 'replica' here is events with a deterministic fault "
+    "injection (value perturbed on event_id%997=0, rows dropped on "
+    "event_id%1009=0) so exactly those buckets surface. At 100 TB: one "
+    "scan + map-side-combined agg per side, commutative order-"
+    "independent checksums, join cost O(buckets)",
+)
+def q175_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reconcile import (
+        bucket_summary,
+        reconcile_buckets,
+        row_fingerprint,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def canon_value(value_col):
+        return F.coalesce(
+            F.round(value_col * 1000000, 0).cast("long"), F.lit(-1)
+        )
+
+    left_fp = row_fingerprint(
+        [
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            canon_value(F.col("value")),
+        ]
+    )
+    left = bucket_summary(ev, F.col("event_id"), left_fp, 256)
+
+    replica = ev.filter(F.col("event_id") % 1009 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 997 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    right_fp = row_fingerprint(
+        [
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            canon_value(F.col("value")),
+        ]
+    )
+    right = bucket_summary(replica, F.col("event_id"), right_fp, 256)
+    return reconcile_buckets(left, right).orderBy("bucket")
+
+
+# --- mergeable HLL sketch rollup ---------------------------------------------
+@register(
+    "q176_hll_sketch_rollup",
+    oracle=None,
+    notes="rows-only (Datasketches HLL binary sketches have no DuckDB "
+    "twin): MERGEABLE distinct-count rollup — hll_sketch_agg(user_id) "
+    "per (event_type, day) produces one binary sketch per cell, then "
+    "hll_union_agg merges day sketches into per-event-type totals "
+    "WITHOUT rescanning the data — the 100 TB pattern for serving "
+    "distinct counts at multiple granularities from one pass (daily "
+    "sketches persist; any rollup is a metadata-sized union). Accuracy "
+    "pinned by tests/test_llm.py::test_hll_rollup_error_bound: the "
+    "merged estimate is within 5% of exact count_distinct at lgk=12 "
+    "(expected relative error ~1.6%); exactness itself is q16/q20's "
+    "territory",
+)
+def q176_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

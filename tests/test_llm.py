@@ -797,3 +797,140 @@ def test_multi_table_index_roundtrip(spark, sf_dir, tmp_path):
     for df in tables:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "md5" not in plan.lower()
+
+
+def test_hll_rollup_error_bound(spark):
+    """q176's merged HLL estimate must be within 5% of exact
+    count_distinct (lgk=12 gives ~1.6% expected relative error), and the
+    union-of-daily-sketches path must agree with a direct single-pass
+    sketch over the same rows — the mergeability contract."""
+    from dbkit_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = {
+        r.event_type: r.est
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert set(merged) == set(exact) and len(exact) > 0
+    for et, n in exact.items():
+        assert abs(merged[et] - n) / n < 0.05, (et, merged[et], n)
+        # union of partial sketches == one-pass sketch (mergeable agg)
+        assert merged[et] == direct[et], (et, merged[et], direct[et])
+
+
+def test_chunk_documents_properties(spark):
+    """Chunk rule invariants: full coverage (concatenating stride-sized
+    prefixes of each chunk plus the last chunk's tail reconstructs the
+    token stream), overlap = window - stride, only the last chunk short."""
+    from dbkit_spark.functions.text import tokens
+    from dbkit_spark.llm.chunking import chunk_documents
+    from dbkit_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").limit(50)
+    W, S = 32, 24
+    chunks = chunk_documents(docs, window=W, stride=S).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in toks.items() if t}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        t = toks[doc_id]
+        n = len(t)
+        import math
+
+        expect_chunks = math.ceil(max(n - W, 0) / S) + 1
+        assert len(rows) == expect_chunks, (doc_id, len(rows), expect_chunks)
+        for r in rows[:-1]:
+            assert r.n_tok == W  # only the last chunk may run short
+        for r in rows:
+            start = r.chunk_id * S
+            assert r.chunk_text.split(" ") == t[start : start + W]
+        # coverage: last chunk ends at the document tail
+        last = rows[-1]
+        assert last.chunk_id * S + last.n_tok == n or n <= W
+
+
+def test_quota_sample_properties(spark):
+    """<= quota rows per group, groups under quota intact, selection
+    deterministic across invocations."""
+    from dbkit_spark.llm.sampling import quota_sample
+    from dbkit_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("source", "doc_id")
+    sizes = {r.source: r.n for r in docs.groupBy("source").count()
+             .withColumnRenamed("count", "n").collect()}
+    out = quota_sample(docs, "source", "doc_id", quota=3)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + 1
+    for src, n in per.items():
+        assert n == min(3, sizes[src]), (src, n, sizes[src])
+    again = {(r.source, r.doc_id) for r in
+             quota_sample(docs, "source", "doc_id", quota=3).collect()}
+    assert again == {(r.source, r.doc_id) for r in got}
+
+
+def test_reconcile_identical_tables_clean(spark):
+    """Identical inputs reconcile to zero mismatched buckets; a single
+    perturbed row surfaces exactly its own bucket."""
+    from dbkit_spark.operators.reconcile import (
+        bucket_summary,
+        reconcile_buckets,
+        row_fingerprint,
+    )
+    from dbkit_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+    fp = row_fingerprint(
+        [F.col("event_id"), F.col("event_type"), F.col("user_id")]
+    )
+    left = bucket_summary(ev, F.col("event_id"), fp, 64)
+    right = bucket_summary(ev, F.col("event_id"), fp, 64)
+    assert reconcile_buckets(left, right).count() == 0
+
+    one_id = ev.select("event_id").orderBy("event_id").limit(1).collect()[0][0]
+    tampered = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") == one_id, F.lit("TAMPERED")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    fp2 = row_fingerprint(
+        [F.col("event_id"), F.col("event_type"), F.col("user_id")]
+    )
+    bad = reconcile_buckets(
+        left, bucket_summary(tampered, F.col("event_id"), fp2, 64)
+    ).collect()
+    assert len(bad) == 1 and bad[0].bucket == one_id % 64
+    assert bad[0].counts_match and not bad[0].sums_match

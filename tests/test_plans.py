@@ -89,6 +89,7 @@ _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
 #   q105 — customer x broadcast(1-row scalar-subquery threshold)
 #   q109 — scored docs x broadcast(1-row corpus stats N/avgdl)
 #   q167 — per-part values x broadcast(1-row total for fraction threshold)
+#   q173 — tf rows x broadcast(1-row corpus size), q109's documented shape
 #   (q168's scalar max crossJoin is NOT listed: its equality filter is
 #   rewritten by Catalyst into a BroadcastHashJoin, so the gate holds.)
 _INTENTIONAL_CROSS = {
@@ -99,6 +100,7 @@ _INTENTIONAL_CROSS = {
     "q105_tpch_q22_dormant",
     "q109_bm25_topk",
     "q167_tpch_q11_important_stock",
+    "q173_tfidf_topk_terms",
 }
 
 
