@@ -93,3 +93,37 @@ def iterate_until_fixpoint(
         f"iterate_until_fixpoint did not converge in {max_iter} rounds "
         "(problem diameter exceeds max_iter, or the step never stabilizes)"
     )
+
+
+def iterate_fixed(
+    initial: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    n_rounds: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Apply ``step`` exactly ``n_rounds`` times with the same per-round
+    lineage-truncation discipline as ``iterate_until_fixpoint``.
+
+    For iterative NUMERIC algorithms (PageRank, label smoothing, power
+    iteration) the state changes every round by construction, so
+    convergence detection is either wasted work or — for a count-style
+    measure over a fixed node set — a false immediate stop. Bounded
+    iteration count IS the spec for these (as in every production
+    PageRank); the barrier per round is still mandatory or the plan
+    tree grows geometrically.
+    """
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    spark = initial.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def barrier(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    cur = barrier(initial)
+    for _ in range(n_rounds):
+        cur = barrier(step(cur))
+    return cur

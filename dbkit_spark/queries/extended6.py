@@ -753,3 +753,124 @@ def q176_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- PageRank (fixed-iteration numeric recursion) ----------------------------
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Unrolled-CTE PageRank oracle: one CTE per iteration, every
+    floating-point op written token-identically to the Spark side so
+    ranks match bit-for-bit (contributions decimal-summed; see q177
+    notes)."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT user_id AS src, (user_id * 7 + 3) % 150 AS dst
+      FROM events
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+      FROM nodes CROSS JOIN nn
+    )"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT nd.node,
+             CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+               + CAST(0.85 AS DOUBLE)
+                 * CAST(COALESCE(s.csum, CAST(0 AS DECIMAL(25,18)))
+                        AS DOUBLE) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM(CAST(r.rank / d.deg AS DECIMAL(25,18))) AS csum
+        FROM r{i - 1} r
+        JOIN edges e ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, ROUND(rank, 12) AS rank FROM r{n_iter} ORDER BY node
+    """
+    )
+
+
+@register(
+    "q177_pagerank",
+    oracle=_pagerank_oracle(10),
+    notes="PAGERANK, 10 fixed iterations (operators/iterate.iterate_fixed "
+    "— the numeric-recursion sibling of q158's fixpoint closure; bounded "
+    "iteration count IS the spec for power-iteration algorithms, and "
+    "the per-round checkpoint barrier keeps the plan tree linear where "
+    "naive loop composition grows it geometrically): damping 0.85 over "
+    "the deterministic functional graph from events. Cross-engine "
+    "bit-parity engineering: per-edge contributions rank/out_deg are "
+    "rounded to DECIMAL(25,18) BEFORE the per-node sum, so the one "
+    "order-sensitive reduction becomes exact decimal addition; every "
+    "other op (divisions, 0.85 multiply, base add) is a deterministic "
+    "double op written token-identically in the unrolled-CTE oracle. "
+    "Per round: one ranks⋈edges shuffle + one dst-keyed agg + a "
+    "broadcast left join back onto the node set — O(edges) per round, "
+    "the exact cost profile of a production 100 TB PageRank; the "
+    "node-count scalar is computed once, never per round",
+)
+def q177_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.iterate import iterate_fixed
+
+    ev = read_table(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 7 + 3) % 150).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    base = F.lit(0.15).cast("double") / F.lit(n).cast("double")
+    init = nodes.withColumn(
+        "rank", F.lit(1.0).cast("double") / F.lit(n).cast("double")
+    )
+
+    def step(ranks: DataFrame) -> DataFrame:
+        contribs = (
+            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).cast("decimal(25,18)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        zero = F.lit(0).cast("decimal(25,18)")
+        return nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                base
+                + F.lit(0.85).cast("double")
+                * F.coalesce("csum", zero).cast("double")
+            ).alias("rank"),
+        )
+
+    out = iterate_fixed(init, step, 10)
+    for df in (edges, edges_deg, nodes):
+        df.unpersist()
+    return out.select("node", F.round("rank", 12).alias("rank")).orderBy("node")
