@@ -874,3 +874,118 @@ def q177_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in (edges, edges_deg, nodes):
         df.unpersist()
     return out.select("node", F.round("rank", 12).alias("rank")).orderBy("node")
+
+
+# --- native SQL recursive CTE ------------------------------------------------
+@register(
+    "q178_sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id AS src, (user_id * 7 + 3) % 150 AS dst
+      FROM events
+    ),
+    reach(start, node, depth) AS (
+      SELECT src AS start, dst AS node, 1 AS depth FROM edges WHERE src < 5
+      UNION ALL
+      SELECT r.start, e.dst AS node, r.depth + 1
+      FROM reach r JOIN edges e ON r.node = e.src
+      WHERE r.depth < 20
+    )
+    SELECT DISTINCT start, node FROM reach
+    ORDER BY start, node
+    """,
+    notes="NATIVE SQL recursion (Spark 4 WITH RECURSIVE — the "
+    "declarative twin of q158's iterate_until_fixpoint loop, closing "
+    "the reference's relational-calculus intent, README.md:14, at the "
+    "SQL surface): depth-bounded reachability from seed nodes over the "
+    "cyclic functional graph, UNION ALL + depth guard + outer DISTINCT "
+    "(the out-degree-1 graph keeps path count linear, and depth 20 "
+    "strictly covers the <=10-hop closure, so the bounded recursion "
+    "EQUALS the fixpoint (asserted against the iterate_until_fixpoint closure on the same graph in tests/test_operators.py). The SQL text is executed verbatim by "
+    "BOTH engines: Catalyst plans each recursive step as the same "
+    "frontier⋈edges equi-join the operator loop builds by hand",
+)
+def q178_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q178_events")
+    return spark.sql("""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id AS src, (user_id * 7 + 3) % 150 AS dst
+      FROM q178_events
+    ),
+    reach(start, node, depth) AS (
+      SELECT src AS start, dst AS node, 1 AS depth FROM edges WHERE src < 5
+      UNION ALL
+      SELECT r.start, e.dst AS node, r.depth + 1
+      FROM reach r JOIN edges e ON r.node = e.src
+      WHERE r.depth < 20
+    )
+    SELECT DISTINCT start, node FROM reach
+    ORDER BY start, node
+    """)
+
+
+# --- VARIANT semi-structured extraction --------------------------------------
+@register(
+    "q179_variant_extraction",
+    oracle="""
+    WITH payload AS (
+      SELECT event_id,
+             concat('{"user":{"id":', CAST(user_id AS VARCHAR),
+                    ',"type":"', event_type,
+                    '"},"k":', CAST(props->>'k' AS VARCHAR),
+                    ',"vals":[', CAST(event_id % 7 AS VARCHAR),
+                    ',', CAST(event_id % 11 AS VARCHAR), ']}') AS doc
+      FROM events
+    )
+    SELECT CAST(doc->'user'->>'type' AS VARCHAR) AS etype,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(doc->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(doc->'vals'->>1 AS BIGINT)) AS BIGINT) AS sum_val1
+    FROM payload
+    WHERE CAST(doc->'user'->>'id' AS BIGINT) % 2 = 0
+    GROUP BY etype
+    ORDER BY etype
+    """,
+    notes="VARIANT semi-structured extraction (Spark 4's binary "
+    "semi-structured type — parse ONCE into a shredded variant, then "
+    "N typed variant_get path extractions, vs q30's "
+    "get_json_object which re-parses the string per call): a nested "
+    "payload (object-in-object + array) is built deterministically "
+    "from events columns, parsed to VARIANT, and filtered/aggregated "
+    "through typed path extraction including an array index "
+    "($.vals[1]). The DuckDB oracle runs the same paths with JSON "
+    "operators on the identical document string — engine-independent "
+    "semantics for the training-metadata blobs every corpus pipeline "
+    "carries. Map-only until the one grouped agg; at 100 TB the "
+    "variant parse is the scan-side cost and each extra path is ~free, "
+    "which is exactly why the parse-once type exists",
+)
+def q179_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('"},"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit(',"vals":['),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 11).cast("string"),
+        F.lit("]}"),
+    )
+    v = ev.select(F.parse_json(doc).alias("v"))
+    return (
+        v.filter(
+            F.variant_get("v", "$.user.id", "bigint") % 2 == 0
+        )
+        .groupBy(F.variant_get("v", "$.user.type", "string").alias("etype"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
+            F.sum(F.variant_get("v", "$.vals[1]", "bigint")).alias("sum_val1"),
+        )
+        .orderBy("etype")
+    )

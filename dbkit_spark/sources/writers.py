@@ -67,3 +67,55 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    tmp_suffix: str = "__compact_tmp",
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory so each file
+    holds ~``target_rows_per_file`` rows.
+
+    The table-maintenance primitive every streaming/incremental sink
+    needs: micro-batches and per-executor writers leave thousands of
+    KB-sized files, and at 100 TB the resulting scan pays file-open +
+    footer-read + scheduler overhead per file (plus object-store
+    request costs) that dwarfs the data read. Compaction = one read →
+    repartition to ceil(rows/target) → write to a temp dir → atomic-ish
+    swap. Returns {"files_before", "files_after", "rows"}.
+
+    Scale notes: the repartition is a round-robin shuffle sized by row
+    count (cheap relative to the scan it saves downstream); partitioned
+    layouts should compact per-partition directory so pruning metadata
+    survives. Row-count sizing stands in for byte sizing here —
+    production would target bytes via an avg-row-size estimate, same
+    plan shape.
+    """
+    import math
+    import os
+    import shutil
+
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be positive")
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = sum(
+        1
+        for root, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = path.rstrip("/") + tmp_suffix
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = sum(
+        1
+        for root, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    )
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}

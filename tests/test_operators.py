@@ -349,3 +349,50 @@ def test_fixpoint_durable_checkpoint_dir(spark, tmp_path):
     out = iterate_until_fixpoint(initial, step, max_iter=10, checkpoint_dir=d)
     assert [(r.id, r.v) for r in out.collect()] == [(1, 2)]
     assert os.path.isdir(d) and any(os.scandir(d))
+
+
+def test_sql_recursion_equals_fixpoint_operator(spark):
+    """q178's depth-bounded native WITH RECURSIVE must compute exactly
+    the iterate_until_fixpoint closure on the SAME (functional-only)
+    graph — proof the depth guard (20) strictly covers the closure
+    diameter, i.e. the bounded recursion IS the fixpoint."""
+    from dbkit_spark.catalog import load_all
+    from dbkit_spark.operators.iterate import iterate_until_fixpoint
+    from dbkit_spark.sources import read_table
+
+    cat = load_all()
+    sf = "/root/testdata/sf0.001"
+    sql_side = {
+        (r.start, r.node)
+        for r in cat["q178_sql_recursive_cte"].fn(spark, sf).collect()
+    }
+
+    ev = read_table(spark, sf, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 150).alias("dst"),
+    ).distinct().persist()
+    seeds = (
+        edges.filter(F.col("src") < 5)
+        .select(F.col("src").alias("start"), F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("frontier", F.lit(True))
+    )
+
+    def step(state):
+        frontier = state.filter(F.col("frontier")).select("start", "node")
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("start", F.col("dst").alias("node"))
+            .distinct()
+            .join(state.select("start", "node"), ["start", "node"], "left_anti")
+            .withColumn("frontier", F.lit(True))
+        )
+        return state.withColumn("frontier", F.lit(False)).unionByName(nxt)
+
+    fix = iterate_until_fixpoint(
+        seeds, step, measure=lambda df: df.count(), max_iter=40
+    )
+    op_side = {(r.start, r.node) for r in fix.select("start", "node").collect()}
+    edges.unpersist()
+    assert sql_side == op_side and len(sql_side) > 0

@@ -133,3 +133,32 @@ def test_appender_uint64_decimal_fidelity(spark):
 
     with pytest.raises(errors.AttributeType):
         bad.done(spark)
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """A fragmented directory (64 tiny files) compacts to the row-target
+    file count with identical content; a second compaction is a no-op
+    at the same target."""
+    from dbkit_spark.sources import read_table
+    from dbkit_spark.sources.writers import compact_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "frag")
+    ev.repartition(64).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    stats = compact_parquet(spark, path, target_rows_per_file=1000)
+    assert stats["files_before"] == 64
+    import math
+
+    assert stats["files_after"] == max(1, math.ceil(stats["rows"] / 1000))
+    assert stats["files_after"] < 64
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    again = compact_parquet(spark, path, target_rows_per_file=1000)
+    assert again["files_before"] == stats["files_after"]
+    assert again["files_after"] == stats["files_after"]
