@@ -989,3 +989,116 @@ def q179_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("etype")
     )
+
+
+# --- bitwise surface ---------------------------------------------------------
+@register(
+    "q180_bitwise_surface",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS and_ids,
+           bit_or(user_id) AS or_ids,
+           bit_xor(user_id) AS xor_ids,
+           CAST(bit_count(CAST(bit_or(user_id) AS BIGINT)) AS BIGINT)
+             AS popcount_or,
+           CAST(SUM(CAST(xor(user_id << 2, event_id >> 3) & 1023
+                         AS BIGINT)) AS BIGINT) AS mixed_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    notes="bitwise surface (§2.8 + §2.4: scalar shifts/xor/and/popcount "
+    "AND the bit_and/bit_or/bit_xor aggregates — the flag-mask rollup "
+    "idiom for permission/feature-bit columns): all JVM codegen'd "
+    "integer ops with map-side-combinable aggregates (bitwise aggs are "
+    "commutative+associative, so partial aggregation applies exactly "
+    "like sum). Spark ^ == DuckDB xor(); both popcounts cast to BIGINT "
+    "(Spark bit_count returns INT, DuckDB BIGINT)",
+)
+def q180_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    mixed = F.shiftleft(F.col("user_id"), 2).bitwiseXOR(
+        F.shiftright(F.col("event_id"), 3)
+    ).bitwiseAND(F.lit(1023).cast("long"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("and_ids"),
+            F.bit_or("user_id").alias("or_ids"),
+            F.bit_xor("user_id").alias("xor_ids"),
+            F.bit_count(F.bit_or("user_id")).cast("long").alias("popcount_or"),
+            F.sum(mixed.cast("long")).cast("long").alias("mixed_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- dynamic-gap session windows ---------------------------------------------
+@register(
+    "q181_dynamic_session_gap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE event_type WHEN 'click' THEN 300000000
+                             WHEN 'view' THEN 600000000
+                             ELSE 900000000 END AS gap_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, gap_us,
+             CASE WHEN ts_us >= MAX(ts_us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(ts_us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    sessions AS (
+      SELECT user_id, ts_us, gap_us,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us + gap_us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+    notes="DYNAMIC-GAP session windows (§2.9: session_window with a "
+    "per-event gap expression — engagement-dependent timeouts, e.g. "
+    "clicks close fast, passive views linger; the generalization of "
+    "q36/q95/q115's fixed-gap sessions): Spark merges each event's "
+    "[ts, ts+gap) half-open window per user. The oracle derives the "
+    "IDENTICAL partition from first principles: an event opens a new "
+    "session iff its start >= the running max of all previous events' "
+    "window ends (a cumulative-max window, not just lag — an early "
+    "long-gap event can bridge past several short-gap ones), then a "
+    "cumulative boundary sum labels sessions. Everything in integer "
+    "microseconds, so the comparison is exact. One user-keyed shuffle "
+    "on each engine; Spark's session merge is the same state machine "
+    "a streaming run uses, so batch==stream semantics carry over",
+)
+def q181_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("300 seconds"))
+        .when(F.col("event_type") == "view", F.lit("600 seconds"))
+        .otherwise(F.lit("900 seconds"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
