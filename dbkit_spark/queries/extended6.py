@@ -1102,3 +1102,63 @@ def q181_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# --- URL parsing surface -----------------------------------------------------
+@register(
+    "q182_url_parsing",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/',
+                    CAST(doc_id AS VARCHAR), '?lang=', lang,
+                    '&n=', CAST(n_chars AS VARCHAR), '#sec',
+                    CAST(doc_id % 3 AS VARCHAR)) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '^[a-z]+://[^/?#]+[^?#]*\\?([^#]*)', 1)
+             AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM urls
+    ORDER BY doc_id
+    """,
+    notes="URL parsing surface (§2.8; the domain-extraction step of "
+    "crawl curation — source filtering, per-host caps, robots "
+    "bookkeeping all start at HOST): Spark's native parse_url "
+    "(HOST/PATH/QUERY/REF and keyed QUERY extraction, one java.net.URI "
+    "parse reused across parts) validated against ground truth — the "
+    "oracle re-derives every component with regexes over the SAME "
+    "deterministically-constructed URL string, so a parse_url quirk "
+    "(encoding, fragment handling) would break the hash. Map-only "
+    "projection, no shuffle",
+)
+def q182_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return (
+        u.select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+            F.parse_url("url", F.lit("REF")).alias("fragment"),
+        )
+        .orderBy("doc_id")
+    )
