@@ -280,3 +280,40 @@ def test_outer_eviction_rule_dense_fixture(spark, tmp_path):
         (None, 10),              # view t+80 < wm-5m null-extends
         # view t+87 withheld (inside [wm-5m, wm)); t+95 clicks/views withheld
     }
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark):
+    """q181's dynamic-gap session windows replayed through readStream +
+    availableNow (complete mode) must produce the identical session set
+    as the batch operator — the batch==stream contract for per-event
+    gap expressions (q115's discipline, generalized to dynamic gaps)."""
+    from dbkit_spark.catalog import load_all
+    from dbkit_spark.streaming.runner import read_events_stream, run_available_now
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in load_all()["q181_dynamic_session_gap"].fn(spark, sf).collect()
+    }
+
+    stream = read_events_stream(spark, sf)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("300 seconds"))
+        .when(F.col("event_type") == "view", F.lit("600 seconds"))
+        .otherwise(F.lit("900 seconds"))
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    streamed = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in run_available_now(agg, output_mode="complete").collect()
+    }
+    assert streamed == batch and len(batch) > 0
