@@ -1162,3 +1162,121 @@ def q182_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- time-weighted average ---------------------------------------------------
+@register(
+    "q183_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+      SELECT user_id, value, (next_us - ts_us) AS dur_us
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value * dur_us AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE), 6) AS twap,
+           CAST(SUM(dur_us) AS BIGINT) AS span_us,
+           COUNT(*) AS n_segments
+    FROM seg
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    notes="TIME-WEIGHTED average (§2.12 time-series: TWAP — the correct "
+    "mean for irregularly sampled state, where each observation holds "
+    "until the next one; an unweighted mean over-counts bursts): each "
+    "event's weight is its holding duration (lead(ts) - ts per user, "
+    "integer microseconds), the value x duration products are "
+    "decimal-carried so the weighted sum is order-independent, and the "
+    "final ratio is rounded 6dp (the q15 stats discipline: the summed "
+    "unscaled decimal exceeds 2^53, and DuckDB's decimal->double goes "
+    "through two roundings where Spark's BigDecimal rounds once). The last event per "
+    "user has no duration and is excluded on both engines. One "
+    "user-keyed window shuffle reused by the grouped agg — the "
+    "sort-once-aggregate-once shape that scales",
+)
+def q183_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    seg = seq.filter(F.col("next_us").isNotNull()).withColumn(
+        "dur_us", F.col("next_us") - F.col("ts_us")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("dur_us")).cast("decimal(30,6)")
+                ).cast("double")
+                / F.sum("dur_us").cast("double"),
+                6,
+            ).alias("twap"),
+            F.sum("dur_us").cast("long").alias("span_us"),
+            F.count("*").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- quantile binning (feature discretization) -------------------------------
+@register(
+    "q184_quantile_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(8) OVER (ORDER BY value, event_id) AS bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    notes="QUANTILE BINNING / equi-depth feature discretization (§2.4, "
+    "the ML-preprocessing twin of q111's equi-width histogram and the "
+    "exact small-N form of QuantileDiscretizer): ntile(8) over "
+    "(value, event_id) — the unique tiebreak makes the bin assignment "
+    "total-order deterministic, so bin populations match across engines "
+    "exactly, not just approximately. NOTE the deliberate scale "
+    "contrast documented here: a global ntile is a single-partition "
+    "sort (fine for fixture-exactness, the oracle-matched baseline); "
+    "the 100 TB path is operators/zorder._bucket-style sampled "
+    "boundaries + map-side bisection (q79), which trades exact "
+    "equi-depth for a full-parallel plan — same trade Spark's own "
+    "QuantileDiscretizer makes via approxQuantile",
+)
+def q184_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    binned = ev.select(
+        "event_type", "value", F.ntile(8).over(w).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        )
+        .orderBy("bin")
+    )
