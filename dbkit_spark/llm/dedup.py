@@ -529,3 +529,79 @@ def jaccard_prefix_filter_pairs(
         .distinct()
     )
     return jaccard_verify(cands, shingled, threshold)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed near-dup detection by shingle CONTAINMENT:
+    c(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+
+    Jaccard is symmetric, so a short doc fully quoted inside a long one
+    scores low (union is dominated by the container) and survives
+    symmetric dedup — the classic "boilerplate/quotation" leak in
+    training corpora. Containment normalizes by the CONTAINED side
+    alone, so doc-in-doc shows up near 1.0 regardless of size ratio.
+
+    Output: (contained, container, containment) — both directions of a
+    pair are evaluated independently against ``threshold``.
+
+    Scale shape: one inverted-index self-join on shingle with a
+    document-frequency cap (``max_df``, the q112 one-exchange COUNT
+    window) — dropping ultra-common shingles bounds per-shingle pair
+    fanout to max_df² and is the standard stop-shingle practice; the
+    overlap count is therefore conservative (never inflated), while the
+    denominator stays the FULL shingle-set size. Overlap counting is a
+    map-side-combinable pair agg; sizes join back by id (O(docs) rows).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    sh = shingle_docs(docs, text_col, id_col)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    capped = (
+        inv.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ov = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ov"))
+    )
+    sized = (
+        ov.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+    )
+    fwd = sized.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        (F.col("ov").cast("double") / F.col("n_a")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        (F.col("ov").cast("double") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -1280,3 +1280,112 @@ def q184_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- binary encodings / digests ----------------------------------------------
+@register(
+    "q185_binary_encodings",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(source)) AS b64,
+           decode(from_base64(to_base64(encode(source))))
+             AS b64_roundtrip,
+           lower(hex(encode(source))) AS hexed,
+           md5(source) AS md5_hex,
+           sha256(source) AS sha256_hex,
+           octet_length(encode(source)) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    notes="binary encodings & digests (§2.8: the content-addressing "
+    "surface every artifact store / cache key / shard router uses): "
+    "base64 encode + round-trip back through decode, hex, md5, sha-256, "
+    "byte length — all JVM codegen'd, map-only, validated to the RFC by "
+    "the DuckDB twins (Spark base64 vs to_base64, hex lowercased to "
+    "match, unbase64 round-trip proving decode inverts encode "
+    "byte-exactly). Digest parity here also underwrites every md5-based "
+    "hash construction in the dedup/LSH family — if these rows hash "
+    "equal, the engines' md5s agree byte-for-byte",
+)
+def q185_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    src_bin = F.encode("source", "UTF-8")
+    return (
+        docs.select(
+            "doc_id",
+            F.base64(src_bin).alias("b64"),
+            F.decode(F.unbase64(F.base64(src_bin)), "UTF-8").alias(
+                "b64_roundtrip"
+            ),
+            F.lower(F.hex(src_bin)).alias("hexed"),
+            F.md5(src_bin).alias("md5_hex"),
+            F.sha2(src_bin, 256).alias("sha256_hex"),
+            F.length(src_bin).cast("long").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- directed containment dedup ----------------------------------------------
+@register(
+    "q186_containment_pairs",
+    oracle="""
+    WITH toksq AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t)-2),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM toksq WHERE len(t) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM inv
+      ) WHERE df <= 50
+    ),
+    ov AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    both_dirs AS (
+      SELECT o.doc_a AS contained, o.doc_b AS container,
+             CAST(o.ov AS DOUBLE) / sa.n AS containment
+      FROM ov o JOIN sz sa ON sa.doc_id = o.doc_a
+      UNION ALL
+      SELECT o.doc_b AS contained, o.doc_a AS container,
+             CAST(o.ov AS DOUBLE) / sb.n AS containment
+      FROM ov o JOIN sz sb ON sb.doc_id = o.doc_b
+    )
+    SELECT contained, container, ROUND(containment, 6) AS containment
+    FROM both_dirs WHERE containment >= 0.6
+    ORDER BY contained, container
+    """,
+    notes="DIRECTED containment dedup (llm/dedup.containment_pairs — "
+    "the doc-in-doc detector symmetric Jaccard structurally misses: a "
+    "short doc fully quoted inside a long one has tiny Jaccard because "
+    "the union is container-dominated, but containment |A∩B|/|A| is "
+    "~1.0 regardless of size ratio — the boilerplate/quotation leak in "
+    "training corpora). One inverted-index self-join with a df<=50 "
+    "stop-shingle cap (bounds per-shingle pair fanout to df², the q112 "
+    "one-exchange COUNT window); overlap is conservative under the cap "
+    "while the denominator stays the full shingle-set size; both "
+    "directions of each undirected overlap evaluated independently",
+)
+def q186_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = containment_pairs(docs, threshold=0.6, max_df=50)
+    return out.select(
+        "contained", "container", F.round("containment", 6).alias("containment")
+    ).orderBy("contained", "container")
