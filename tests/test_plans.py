@@ -286,3 +286,20 @@ def test_bloom_filter_join_runtime_pruning(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan, plan[:2000]
     assert "bloom_filter_agg" in plan, plan[:2000]
+
+
+def test_reconcile_summary_is_partial_aggregated(spark):
+    """reconcile's bucket summary must plan as partial (map-side) + final
+    HashAggregate — the property that makes the checksum reduce to
+    n_buckets rows BEFORE the exchange, so a 100 TB side ships only its
+    summary. Also: exactly one exchange below the summary agg."""
+    from dbkit_spark.operators.reconcile import bucket_summary, row_fingerprint
+    from dbkit_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    fp = row_fingerprint([F.col("event_id"), F.col("event_type")])
+    summary = bucket_summary(ev, F.col("event_id"), fp, 64)
+    plan = summary._jdf.queryExecution().executedPlan().toString()
+    # partial (map-side) + final HashAggregate pair proves the combine
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan and "partial_count" in plan, plan
