@@ -127,3 +127,30 @@ def test_harness_catches_int_vs_float_dtype_drift(spark, sf_dir):
     oracle = "SELECT r_regionkey, CAST(0.0 AS DOUBLE) AS z FROM region"
     with pytest.raises(AssertionError):
         check_dtype_parity(spark, "drift_probe2", int_query, oracle, sf_dir)
+
+
+def test_round5_operator_guards(spark):
+    """Input-validation rails on the round-5 operators raise before any
+    job is launched."""
+    import pytest
+
+    from dbkit_spark.llm.chunking import chunk_documents
+    from dbkit_spark.llm.dedup import containment_pairs
+    from dbkit_spark.llm.sampling import quota_sample
+    from dbkit_spark.operators.iterate import iterate_fixed
+    from dbkit_spark.sources import read_table
+    from dbkit_spark.sources.writers import compact_parquet
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="stride must not exceed"):
+        chunk_documents(docs, window=8, stride=9)
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, window=0, stride=1)
+    with pytest.raises(ValueError, match="quota must be positive"):
+        quota_sample(docs, "source", "doc_id", quota=0)
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, threshold=0.0)
+    with pytest.raises(ValueError, match="n_rounds"):
+        iterate_fixed(docs, lambda df: df, n_rounds=-1)
+    with pytest.raises(ValueError, match="target_rows_per_file"):
+        compact_parquet(spark, "/tmp/nonexistent", target_rows_per_file=0)
