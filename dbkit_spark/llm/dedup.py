@@ -563,14 +563,21 @@ def containment_pairs(
     from pyspark.sql import Window
 
     sh = shingle_docs(docs, text_col, id_col)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    # O(docs) rows; persisted because it joins back TWICE (n_a and n_b)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh")).persist()
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # persist the capped index: it feeds BOTH sides of the self-join, and
+    # without the barrier each side re-runs shingling + the df window —
+    # 13 exchanges / 4 corpus scans collapse to one materialized index
+    # (the q112 persisted-prefix-index discipline; at 100 TB this is the
+    # difference between one corpus pass and four)
     capped = (
         inv.withColumn(
             "df", F.count("*").over(Window.partitionBy("shingle"))
         )
         .filter(F.col("df") <= max_df)
         .drop("df")
+        .persist()
     )
     a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -594,14 +601,27 @@ def containment_pairs(
             "doc_b",
         )
     )
-    fwd = sized.select(
-        F.col("doc_a").alias("contained"),
-        F.col("doc_b").alias("container"),
-        (F.col("ov").cast("double") / F.col("n_a")).alias("containment"),
-    )
-    rev = sized.select(
-        F.col("doc_b").alias("contained"),
-        F.col("doc_a").alias("container"),
-        (F.col("ov").cast("double") / F.col("n_b")).alias("containment"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    # both directions from ONE pass over the overlap pipeline: a union of
+    # two selects would re-execute the join+agg per branch; the 2-element
+    # array explode is per-row, so the pipeline runs once
+    both = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    (F.col("ov").cast("double") / F.col("n_a")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    (F.col("ov").cast("double") / F.col("n_b")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
+    ).select("d.contained", "d.container", "d.containment")
+    return both.filter(F.col("containment") >= threshold)
