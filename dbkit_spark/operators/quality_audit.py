@@ -128,3 +128,28 @@ def audit(tables: dict[str, DataFrame], checks: Sequence[Check]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.withColumn("ok", F.col("n_violations") == 0)
+
+
+def observe_metrics(
+    df: DataFrame, name: str, metrics: dict[str, F.Column]
+) -> tuple[DataFrame, "object"]:
+    """Attach zero-cost pipeline metrics to a DataFrame via Spark's
+    Observation API: the named aggregates are computed DURING whatever
+    action next consumes ``df`` — no second scan, no separate job.
+
+    The production-telemetry complement to the audit checks above: an
+    audit is its own (cheap) pass you schedule; an observation rides an
+    existing write/collect for free, which at 100 TB is the only
+    affordable way to track per-batch row counts, null rates, and value
+    bounds on every pipeline run. Returns ``(observed_df, observation)``
+    — read ``observation.get`` after an action has run.
+
+    Metrics must be aggregate expressions (count/sum/min/max/...): the
+    observation executes them as accumulator-style partial aggregates
+    merged on the driver, exactly one value per metric per action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return out, obs

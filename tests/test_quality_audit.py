@@ -5,6 +5,7 @@ the zero-violation path; detection itself is proven here."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbkit_spark.operators.quality_audit import (
     audit,
@@ -78,3 +79,32 @@ def test_audit_clean_table_all_ok(dirty):
 def test_audit_empty_checks_raises(dirty):
     with pytest.raises(ValueError):
         audit(dirty, [])
+
+
+def test_observe_metrics_rides_the_action(spark):
+    """Observation metrics must equal a direct aggregation of the same
+    expressions, and must be produced by the SAME action that consumed
+    the frame (no extra job: we only call one action)."""
+    from dbkit_spark.operators.quality_audit import observe_metrics
+    from dbkit_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    observed, obs = observe_metrics(
+        ev,
+        "batch_metrics",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_value": F.count(F.when(F.col("value").isNull(), 1)),
+            "max_user": F.max("user_id"),
+        },
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the one action
+    got = obs.get
+    expected = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.max("user_id").alias("max_user"),
+    ).collect()[0]
+    assert got["n_rows"] == expected["n_rows"] > 0
+    assert got["n_null_value"] == expected["n_null_value"]
+    assert got["max_user"] == expected["max_user"]
