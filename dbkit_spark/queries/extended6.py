@@ -1389,3 +1389,74 @@ def q186_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "contained", "container", F.round("containment", 6).alias("containment")
     ).orderBy("contained", "container")
+
+
+# --- chained stateful streaming: join then windowed agg ----------------------
+@register(
+    "q187_stream_join_then_window",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type='click'),
+         v AS (SELECT * FROM events WHERE event_type='view'),
+         wm AS (SELECT make_timestamp(
+                  least((SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) FROM c),
+                        (SELECT CAST(floor(epoch_ms(max(ts))) AS BIGINT) FROM v)) * 1000
+                  - 600000000) AS w),
+         matches AS (
+           SELECT c.ts AS c_ts
+           FROM c JOIN v ON c.user_id = v.user_id
+            AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts
+         ),
+         agg AS (
+           SELECT make_timestamp(
+                    CAST(floor(epoch(c_ts) / 3600) AS BIGINT) * 3600000000)
+                    AS window_start,
+                  COUNT(*) AS n_matches
+           FROM matches GROUP BY window_start
+         )
+    SELECT window_start, n_matches
+    FROM agg, wm
+    WHERE window_start + INTERVAL 1 HOUR <= wm.w
+    ORDER BY window_start
+    """,
+    notes="CHAINED STATEFUL streaming (the Spark-4 multiple-stateful-"
+    "operator capability, §2.9: stream-stream interval join FEEDING a "
+    "downstream tumbling window aggregate in ONE streaming query, "
+    "append mode — historically this required two jobs with an "
+    "intermediate sink): q66's click⋈view 5-minute-lookback join flows "
+    "into an hourly match-count window; the join's event-time column "
+    "carries its watermark through, and the window agg emits exactly "
+    "the windows whose end the min-of-sides watermark has passed. The "
+    "oracle replays both state machines: the interval join (matches "
+    "emit eagerly) and the append-mode emission rule window_end <= "
+    "final watermark (= min(max c_ts, max v_ts) - 10 min delay)",
+)
+def q187_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import read_events_stream, run_available_now
+
+    df = read_events_stream(spark, sf_dir)
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    views = df.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("interval 5 minutes"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+    )
+    joined = (
+        clicks.withWatermark("c_ts", "10 minutes")
+        .join(views.withWatermark("v_ts", "10 minutes"), cond)
+        .select("c_ts")
+    )
+    agg = (
+        joined.groupBy(F.window("c_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_matches"))
+        .select(F.col("w.start").alias("window_start"), "n_matches")
+    )
+    return run_available_now(agg, output_mode="append").orderBy("window_start")

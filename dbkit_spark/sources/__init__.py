@@ -13,6 +13,7 @@ from .readers import (
     read_json,
     read_orc,
     read_parquet,
+    read_parquet_evolved,
     read_table,
     read_text,
     scan_view,
@@ -23,6 +24,7 @@ from .writers import write_csv, write_json, write_parquet
 __all__ = [
     "read_table",
     "read_parquet",
+    "read_parquet_evolved",
     "read_csv",
     "read_json",
     "read_orc",

@@ -34,6 +34,23 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read a directory (or several) whose files were written under
+    EVOLVING schemas: the result schema is the union of every file's
+    footer schema, files missing a column surface NULLs for it.
+
+    The long-lived-table reality — columns get added over months of
+    appends and a reader must span the history. ``mergeSchema`` makes
+    Spark reconcile all footers instead of trusting the first file it
+    happens to list (the default, which silently DROPS later columns
+    when an old file wins the race). Scale note: footer reconciliation
+    reads O(files) metadata, not data — fine at 100 TB where the
+    alternative is rewriting history on every column add. Incompatible
+    type changes for the same column name still (correctly) raise.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True, **options: Any
 ) -> DataFrame:

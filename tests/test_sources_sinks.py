@@ -162,3 +162,25 @@ def test_compact_parquet_small_files(spark, tmp_path):
     again = compact_parquet(spark, path, target_rows_per_file=1000)
     assert again["files_before"] == stats["files_after"]
     assert again["files_after"] == stats["files_after"]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Files appended under an evolving schema read back as the union
+    schema with NULLs for missing columns; the default first-footer read
+    would drop the late-added column — the trap read_parquet_evolved
+    exists to close."""
+    from dbkit_spark.sources import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(path)
+    spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {(r.id, r.a, r.b) for r in df.collect()}
+    assert rows == {
+        (0, 0, None), (1, 2, None), (2, 4, None),
+        (3, 6, "3"), (4, 8, "4"), (5, 10, "5"),
+    }
