@@ -1460,3 +1460,140 @@ def q187_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_matches")
     )
     return run_available_now(agg, output_mode="append").orderBy("window_start")
+
+
+# --- array set operations ----------------------------------------------------
+@register(
+    "q188_array_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT event_id,
+             list_transform(generate_series(0, CAST(event_id % 4 AS BIGINT) + 2),
+                            i -> (event_id + i * 3) % 10) AS xs,
+             list_transform(generate_series(0, CAST(event_id % 3 AS BIGINT) + 2),
+                            i -> (event_id + i * 2) % 10) AS ys
+      FROM events
+    )
+    SELECT event_id,
+           array_to_string(list_sort(list_distinct(list_concat(xs, ys))), ',')
+             AS union_csv,
+           array_to_string(list_sort(list_intersect(xs, ys)), ',')
+             AS intersect_csv,
+           array_to_string(list_sort(list_filter(list_distinct(xs),
+                                                 x -> NOT list_contains(ys, x))), ',')
+             AS except_csv,
+           len(list_distinct(list_concat(xs, ys))) AS n_union
+    FROM a
+    ORDER BY event_id
+    """,
+    notes="array SET operations (§2.8 surface III: array_union / "
+    "array_intersect / array_except — per-row set algebra, the tag/"
+    "label-column idiom): derived integer arrays so contents are "
+    "deterministic; outputs canonicalized via sort_array + joined "
+    "strings (the q57/q114 lesson — the driver's pandas hash cannot "
+    "sort list-valued cells, and Spark's array_* preserve first-seen "
+    "order while DuckDB's sort, so ONLY the sorted-string projection "
+    "is engine-portable). Map-only, the single exchange is the "
+    "presentation orderBy",
+)
+def q188_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    xs = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 4 + 2)),
+        lambda i: (F.col("event_id") + i * 3) % 10,
+    )
+    ys = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 3 + 2)),
+        lambda i: (F.col("event_id") + i * 2) % 10,
+    )
+    a = ev.select("event_id", xs.alias("xs"), ys.alias("ys"))
+    return (
+        a.select(
+            "event_id",
+            F.array_join(
+                F.sort_array(F.array_union("xs", "ys")).cast("array<string>"), ","
+            ).alias("union_csv"),
+            F.array_join(
+                F.sort_array(F.array_intersect("xs", "ys")).cast("array<string>"),
+                ",",
+            ).alias("intersect_csv"),
+            F.array_join(
+                F.sort_array(F.array_except("xs", "ys")).cast("array<string>"), ","
+            ).alias("except_csv"),
+            F.size(F.array_union("xs", "ys")).cast("long").alias("n_union"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- last-touch attribution --------------------------------------------------
+@register(
+    "q189_last_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND ts - last_click_ts <= INTERVAL 1 HOUR
+                THEN last_click_id END AS attributed_click,
+           last_click_ts IS NOT NULL
+             AND ts - last_click_ts <= INTERVAL 1 HOUR AS attributed
+    FROM ordered
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, purchase_id
+    """,
+    notes="LAST-TOUCH ATTRIBUTION (the conversion-credit idiom: each "
+    "purchase credits the most recent click by the same user within a "
+    "1-hour lookback): last_value(... IGNORE NULLS) over a "
+    "1-PRECEDING-bounded frame carries the latest click forward "
+    "without a self-join — the window-carry formulation is one "
+    "user-keyed shuffle where the naive as-of self-join is two inputs "
+    "shuffled plus join state (the same rewrite argument as q12's "
+    "as-of union+window). The attribution window (<= 1 h) applies "
+    "map-side after the carry; unattributed purchases surface with "
+    "NULL credit rather than vanishing",
+)
+def q189_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    in_window = F.col("last_click_ts").isNotNull() & (
+        F.col("ts") - F.col("last_click_ts") <= F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.when(in_window, F.col("last_click_id")).alias("attributed_click"),
+            in_window.alias("attributed"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
