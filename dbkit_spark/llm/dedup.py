@@ -563,7 +563,10 @@ def containment_pairs(
     from pyspark.sql import Window
 
     sh = shingle_docs(docs, text_col, id_col)
-    # O(docs) rows; persisted because it joins back TWICE (n_a and n_b)
+    # O(docs) rows; persisted because it joins back TWICE (n_a and n_b).
+    # Both persists are released before return: the (pair-sized, small)
+    # result is eagerly localCheckpoint-ed so it survives the unpersist
+    # without recompute — no cached frames outlive the call.
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh")).persist()
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     # persist the capped index: it feeds BOTH sides of the self-join, and
@@ -624,4 +627,9 @@ def containment_pairs(
             )
         ).alias("d")
     ).select("d.contained", "d.container", "d.containment")
-    return both.filter(F.col("containment") >= threshold)
+    out = both.filter(F.col("containment") >= threshold).localCheckpoint(
+        eager=True
+    )
+    capped.unpersist()
+    sizes.unpersist()
+    return out

@@ -35,6 +35,21 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 
 
+def _barrier_fn(spark, checkpoint_dir):
+    """Per-round lineage-truncation barrier shared by both iterators:
+    durable ``checkpoint()`` when a directory is given (replayable after
+    executor loss), eager ``localCheckpoint()`` otherwise (fastest)."""
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def barrier(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    return barrier
+
+
 def iterate_until_fixpoint(
     initial: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -65,15 +80,7 @@ def iterate_until_fixpoint(
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't converge.
     """
-    spark = initial.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def barrier(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
+    barrier = _barrier_fn(initial.sparkSession, checkpoint_dir)
     cur = barrier(initial)
     cur_m = measure(cur) if measure is not None else None
     for _ in range(max_iter):
@@ -114,15 +121,7 @@ def iterate_fixed(
     """
     if n_rounds < 0:
         raise ValueError("n_rounds must be >= 0")
-    spark = initial.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def barrier(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
+    barrier = _barrier_fn(initial.sparkSession, checkpoint_dir)
     cur = barrier(initial)
     for _ in range(n_rounds):
         cur = barrier(step(cur))

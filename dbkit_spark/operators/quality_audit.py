@@ -148,6 +148,8 @@ def observe_metrics(
     observation executes them as accumulator-style partial aggregates
     merged on the driver, exactly one value per metric per action.
     """
+    if not metrics:
+        raise ValueError("metrics must contain at least one aggregate")
     from pyspark.sql import Observation
 
     obs = Observation(name)

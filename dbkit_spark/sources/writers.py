@@ -99,6 +99,16 @@ def compact_parquet(
 
     if target_rows_per_file <= 0:
         raise ValueError("target_rows_per_file must be positive")
+    # Local-filesystem contract: the swap uses os.rename, so the path must
+    # be a plain directory (no s3://, hdfs:// — object stores need a
+    # manifest-commit protocol, which is a table format's job, not this
+    # helper's). Validated up front so a bad URI fails BEFORE the rewrite.
+    if "://" in path:
+        raise ValueError(
+            f"compact_parquet requires a local filesystem path, got {path!r}"
+        )
+    if not os.path.isdir(path):
+        raise ValueError(f"compact_parquet: {path!r} is not a directory")
     df = spark.read.parquet(path)
     rows = df.count()
     files_before = sum(
@@ -109,9 +119,14 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(rows / target_rows_per_file))
     tmp = path.rstrip("/") + tmp_suffix
+    old = path.rstrip("/") + "__compact_old"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # rename-aside swap: the original survives (as __compact_old) until
+    # the new data is in place, so a crash mid-swap never leaves the
+    # dataset missing — worst case a stray suffixed directory to sweep.
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     files_after = sum(
         1
         for root, _, names in os.walk(path)

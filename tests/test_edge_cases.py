@@ -154,3 +154,12 @@ def test_round5_operator_guards(spark):
         iterate_fixed(docs, lambda df: df, n_rounds=-1)
     with pytest.raises(ValueError, match="target_rows_per_file"):
         compact_parquet(spark, "/tmp/nonexistent", target_rows_per_file=0)
+    with pytest.raises(ValueError, match="local filesystem"):
+        compact_parquet(spark, "s3://bucket/t", target_rows_per_file=10)
+    with pytest.raises(ValueError, match="not a directory"):
+        compact_parquet(spark, "/tmp/__no_such_dir__", target_rows_per_file=10)
+
+    from dbkit_spark.operators.quality_audit import observe_metrics
+
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        observe_metrics(docs, "m", {})
