@@ -182,3 +182,115 @@ def test_connected_components_partition_invariant(spark):
         comp.setdefault(c, set()).add(i)
     for c, members in comp.items():
         assert c == min(members | {c})
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abc xyz 019 "),
+        min_size=0,
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_chunking_reconstructs_token_stream(spark, texts):
+    """For ANY document, concatenating each chunk's first `stride` tokens
+    (whole last chunk) reconstructs the exact token stream — no token
+    lost or duplicated by the windowing (coverage law of chunk_documents)."""
+    from dbkit_spark.functions.text import tokens
+    from dbkit_spark.llm.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    W, S = 6, 4
+    chunks = chunk_documents(docs, window=W, stride=S).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, t in toks.items():
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if not t:
+            assert not rows
+            continue
+        rebuilt: list[str] = []
+        for r in rows[:-1]:
+            rebuilt.extend(r.chunk_text.split(" ")[:S])
+        rebuilt.extend(rows[-1].chunk_text.split(" "))
+        assert rebuilt == t, (doc_id, rebuilt, t)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    victim=st.integers(min_value=0, max_value=39),
+)
+@SETTINGS
+def test_reconcile_detects_any_single_perturbation(spark, rows, victim):
+    """For ANY table and ANY single-row value perturbation, reconcile
+    reports exactly the damaged bucket (completeness of the checksum:
+    a change never cancels out, because counts match but the md5
+    fingerprint sum moves)."""
+    from dbkit_spark.operators.reconcile import (
+        bucket_summary,
+        reconcile_buckets,
+        row_fingerprint,
+    )
+
+    vid = rows[victim % len(rows)][0]
+    left_df = spark.createDataFrame(rows, "id long, v long")
+    right_df = spark.createDataFrame(
+        [(i, v + 1 if i == vid else v) for i, v in rows], "id long, v long"
+    )
+    fp = row_fingerprint([F.col("id"), F.col("v")])
+    n_b = 8
+    bad = reconcile_buckets(
+        bucket_summary(left_df, F.col("id"), fp, n_b),
+        bucket_summary(right_df, F.col("id"), fp, n_b),
+    ).collect()
+    assert len(bad) == 1
+    assert bad[0].bucket == vid % n_b
+    assert bad[0].counts_match and not bad[0].sums_match
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+@SETTINGS
+def test_quota_sample_is_layout_invariant(spark, rows):
+    """quota_sample's kept set must be identical for ANY partition layout
+    of the same rows — the reproducibility contract seeded sample()
+    lacks."""
+    from dbkit_spark.llm.sampling import quota_sample
+
+    schema = "doc_id long, grp long"
+    a = spark.createDataFrame(rows, schema).repartition(1)
+    b = spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+    keep = lambda df: {
+        (r.grp, r.doc_id)
+        for r in quota_sample(df, "grp", "doc_id", quota=2).collect()
+    }
+    assert keep(a) == keep(b)
