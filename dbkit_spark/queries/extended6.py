@@ -1597,3 +1597,77 @@ def q189_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+# --- point-in-time feature-store join ----------------------------------------
+@register(
+    "q190_feature_store_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, MAX(value) AS feat_click
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+      GROUP BY user_id, ts
+    ),
+    v AS (
+      SELECT user_id, ts, MAX(event_id) AS last_view
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+           ROUND(c.feat_click, 6) AS feat_click,
+           v.last_view
+    FROM p
+    ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.user_id, purchase_id
+    """,
+    notes="POINT-IN-TIME feature-store join (the training-data "
+    "correctness primitive: every label row joins each feature table "
+    "AS OF the label timestamp — any later feature value is leakage): "
+    "purchases are the entity spine, two independent feature tables "
+    "(latest click value, latest view id) attach via CHAINED as-of "
+    "joins — operators/joins.asof_join twice, each one union+window "
+    "carry = one key shuffle, so N feature tables cost N keyed "
+    "shuffles and never a range explosion. Feature snapshots are "
+    "deduped to one row per (user, ts) first (max payload) so "
+    "equal-time ties are defined identically on both engines; the "
+    "oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent "
+    "implementation of the same semantics, the strongest cross-check "
+    "the as-of family has",
+)
+def q190_feature_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    c = (
+        ev.filter((F.col("event_type") == "click") & F.col("value").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("feat_click"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("last_view"))
+    )
+    step1 = asof_join(p, c, on_key="user_id", on_time="ts")
+    step2 = asof_join(
+        step1.select("user_id", "ts", "purchase_id", "feat_click"),
+        v,
+        on_key="user_id",
+        on_time="ts",
+    )
+    return (
+        step2.select(
+            "user_id",
+            "purchase_id",
+            F.round("feat_click", 6).alias("feat_click"),
+            "last_view",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
