@@ -1671,3 +1671,60 @@ def q190_feature_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+# --- distribution entropy / concentration ------------------------------------
+@register(
+    "q191_mix_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, SUM(n) AS tot FROM counts GROUP BY source
+    )
+    SELECT c.source,
+           CAST(t.tot AS BIGINT) AS n_docs,
+           COUNT(*) AS n_langs,
+           ROUND(SUM(-(CAST(c.n AS DOUBLE) / t.tot)
+                     * ln(CAST(c.n AS DOUBLE) / t.tot)), 6) AS entropy,
+           ROUND(SUM((CAST(c.n AS DOUBLE) / t.tot)
+                     * (CAST(c.n AS DOUBLE) / t.tot)), 6) AS hhi
+    FROM counts c JOIN tot t ON c.source = t.source
+    GROUP BY c.source, t.tot
+    ORDER BY c.source
+    """,
+    notes="corpus MIX health metrics (the §2.11 curation dashboard: "
+    "per-source Shannon entropy and Herfindahl concentration of the "
+    "language distribution — a source with entropy ~0 / HHI ~1 is "
+    "monolingual, and sudden shifts flag crawl drift): two-level "
+    "aggregation (cell counts, then per-group totals joined back — "
+    "the counts table is O(groups x categories), so the join-back is "
+    "metadata-sized) with the -p·ln(p) fold written token-identically "
+    "on both engines, 6dp-rounded (q27 rule: libm ln differs in the "
+    "last bit across implementations). Everything after the first "
+    "count agg is vocabulary-sized — scales as a pure post-aggregate",
+)
+def q191_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "tot")
+        .agg(
+            F.count("*").alias("n_langs"),
+            F.round(F.sum(-p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * p), 6).alias("hhi"),
+        )
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_docs"),
+            "n_langs",
+            "entropy",
+            "hhi",
+        )
+        .orderBy("source")
+    )
