@@ -1728,3 +1728,177 @@ def q191_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- balanced class downsampling ---------------------------------------------
+@register(
+    "q192_balanced_downsample",
+    oracle="""
+    WITH target AS (
+      SELECT MIN(n) AS floor_n FROM (
+        SELECT COUNT(*) AS n FROM events GROUP BY event_type
+      )
+    ),
+    ranked AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(concat(CAST(event_id AS VARCHAR), ':balance')),
+                        event_id) AS rk
+      FROM events
+    )
+    SELECT r.event_type, COUNT(*) AS n_kept,
+           CAST(SUM(r.event_id) AS BIGINT) AS id_checksum
+    FROM ranked r, target t
+    WHERE r.rk <= t.floor_n
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+    notes="BALANCED class downsampling (the class-rebalance step of "
+    "training-set construction: every class cut to the minority-class "
+    "count, selection by deterministic md5 rank so the kept set is a "
+    "uniform per-class sample reproducible across engines and "
+    "layouts): the target count is a 1-row scalar from the per-class "
+    "counts (broadcast), then one class-keyed window rank — the same "
+    "machinery as q174's quota cap but with a DATA-DERIVED quota. "
+    "Verified here by per-class counts + an id checksum so the exact "
+    "kept SET is pinned, not just its size",
+)
+def q192_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    floor_n = (
+        ev.groupBy("event_type")
+        .count()
+        .agg(F.min("count").alias("floor_n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":balance"))),
+            F.col("event_id"),
+        )
+    )
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rk", rk)
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("floor_n"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- group-wise min-max normalization ----------------------------------------
+@register(
+    "q193_minmax_normalize",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           ROUND(CASE WHEN b.hi = b.lo THEN 0.5
+                      ELSE (e.value - b.lo) / (b.hi - b.lo) END, 6) AS scaled
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL
+    ORDER BY e.event_id
+    """,
+    notes="group-wise MIN-MAX feature normalization (the classic "
+    "per-segment feature-scaling op; degenerate constant groups pin to "
+    "0.5 rather than dividing by zero): per-group bounds are O(groups) "
+    "rows broadcast back onto the stream, scaling is map-side — the "
+    "q157/q171 join-back-aggregate idiom again, one agg shuffle total. "
+    "The scaling expression is written token-identically on both "
+    "engines; 6dp rounding because (x-lo)/(hi-lo) hits the one "
+    "division whose double result is engine-identical but whose "
+    "pandas float64 repr the driver hashes",
+)
+def q193_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+        (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return (
+        ev.join(F.broadcast(bounds), ev["event_type"] == F.col("b_type"))
+        .select(
+            "event_id", "event_type", F.round(scaled, 6).alias("scaled")
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- weighted median ---------------------------------------------------------
+@register(
+    "q194_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value, CAST(1 + event_id % 5 AS BIGINT) AS wt
+      FROM events WHERE value IS NOT NULL
+    ),
+    cum AS (
+      SELECT event_type, value, wt,
+             SUM(wt) OVER (PARTITION BY event_type
+                           ORDER BY value, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY event_type) AS tw
+      FROM w
+    )
+    SELECT event_type,
+           ROUND(MIN(value), 6) AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    notes="WEIGHTED MEDIAN per group (lower weighted median: the "
+    "smallest value whose cumulative weight reaches half the total — "
+    "duplicate-aware corpus stats where each row carries a "
+    "multiplicity, e.g. dedup-cluster sizes): one group-keyed window "
+    "computes the running weight and the group total in the same "
+    "shuffle, the crossing point is a filter + MIN — no second scan, "
+    "no sort beyond the one per-group window order. Integer weights "
+    "and the *2 comparison keep the crossing test exact (no 0.5*tw "
+    "float). Deterministic (value, wt) tiebreak",
+)
+def q194_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = ev.select(
+        "event_type",
+        "value",
+        (F.lit(1) + F.col("event_id") % 5).cast("long").alias("wt"),
+    )
+    cum = w.select(
+        "event_type",
+        "value",
+        "wt",
+        F.sum("wt")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("value", "wt")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("event_type")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 6).alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )

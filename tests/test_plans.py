@@ -90,6 +90,7 @@ _STREAMING = {"q37_stream_tumbling_replay", "q38_stateful_user_stats",
 #   q109 — scored docs x broadcast(1-row corpus stats N/avgdl)
 #   q167 — per-part values x broadcast(1-row total for fraction threshold)
 #   q173 — tf rows x broadcast(1-row corpus size), q109's documented shape
+#   q192 — class-ranked rows x broadcast(1-row minority-class floor)
 #   (q168's scalar max crossJoin is NOT listed: its equality filter is
 #   rewritten by Catalyst into a BroadcastHashJoin, so the gate holds.)
 _INTENTIONAL_CROSS = {
@@ -101,6 +102,7 @@ _INTENTIONAL_CROSS = {
     "q109_bm25_topk",
     "q167_tpch_q11_important_stock",
     "q173_tfidf_topk_terms",
+    "q192_balanced_downsample",
 }
 
 
