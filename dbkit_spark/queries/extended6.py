@@ -1902,3 +1902,228 @@ def q194_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- interval union / coverage -----------------------------------------------
+@register(
+    "q195_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + (300 + (event_id % 10) * 60) * 1000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n_iv
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    notes="INTERVAL UNION / coverage (merge overlapping per-key "
+    "intervals, total covered time — billing/uptime/active-time "
+    "arithmetic where raw durations double-count overlaps): each event "
+    "opens a variable-length interval, islands form where an interval "
+    "starts after the running MAX of previous ends (cumulative max, "
+    "not lag — an early long interval can swallow several later ones: "
+    "the q181 merge discipline applied to explicit intervals), then "
+    "per-island min/max collapse. Strict inequality = touching "
+    "intervals merge. ONE user-keyed window shuffle reused by both "
+    "aggregations; integer microseconds end-to-end so coverage sums "
+    "are exact",
+)
+def q195_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.lit(300) + (F.col("event_id") % 10) * 60) * 1000000
+        ).alias("e"),
+    )
+    prev_max_e = F.max("e").over(
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            Window.partitionBy("user_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"), F.count("*").alias("n_iv")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- domain vocabulary overlap -----------------------------------------------
+@register(
+    "q196_domain_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                      t -> t <> '')) AS tok
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    ov AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      FROM vocab a JOIN vocab b
+        ON a.tok = b.tok AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT o.src_a, o.src_b,
+           ROUND(CAST(o.inter AS DOUBLE)
+                 / (sa.n + sb.n - o.inter), 6) AS vocab_jaccard
+    FROM ov o
+    JOIN sizes sa ON sa.source = o.src_a
+    JOIN sizes sb ON sb.source = o.src_b
+    WHERE CAST(o.inter AS DOUBLE) / (sa.n + sb.n - o.inter) >= 0.3
+    ORDER BY src_a, src_b
+    """,
+    notes="DOMAIN-level vocabulary overlap (which crawl sources speak "
+    "the same language — mirror detection and dedup PRIORITIZATION one "
+    "level above documents: near-identical vocab Jaccard between two "
+    "sources says to run the expensive doc-level dedup across that "
+    "pair first): per-source distinct-token vocabularies via one "
+    "explode+distinct, pairwise intersection through the token-keyed "
+    "inverted self-join (pairs bounded by sources-per-token², with "
+    "source count orders of magnitude below doc count — the group-"
+    "level problem is structurally smaller than q42's doc-level one), "
+    "Jaccard from the size table joined back twice",
+)
+def q196_domain_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from ..llm.retrieval import tokenize
+
+    vocab = (
+        tokenize(docs.select("source", "text"), "text", "source")
+        .select(F.col("source"), F.col("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    ov = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sized = (
+        ov.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+            ),
+            "src_b",
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        sized.filter(jac >= 0.3)
+        .select(
+            "src_a", "src_b", F.round(jac, 6).alias("vocab_jaccard")
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --- k-anonymity audit -------------------------------------------------------
+@register(
+    "q197_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source,
+             CAST(floor(n_chars / 500.0) AS BIGINT) AS size_bucket,
+             COUNT(*) AS n
+      FROM documents
+      GROUP BY lang, source, size_bucket
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST(COUNT(CASE WHEN n < 5 THEN 1 END) AS BIGINT) AS cells_below_k,
+      CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        AS rows_at_risk,
+      CAST(MIN(n) AS BIGINT) AS min_cell
+    FROM cells
+    """,
+    notes="K-ANONYMITY audit (the privacy gate before releasing or "
+    "training on quasi-identifier combinations: any (lang, source, "
+    "size-bucket) cell with fewer than k=5 members re-identifies its "
+    "rows): one grouped count over the quasi-identifier tuple, then an "
+    "O(cells) summary — cells below k, total rows at risk, the "
+    "minimum cell size (the dataset's actual k). Bucketing goes "
+    "through an explicit floor() on both engines: DuckDB CASTs double "
+    "to BIGINT by ROUNDING where Spark truncates, so a bare cast "
+    "silently shifts every odd half-bucket. Map-side-combinable count, summary is "
+    "metadata-sized — the audit costs one scan at any corpus size",
+)
+def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 500.0).cast("long").alias("size_bucket"),
+    ).agg(F.count("*").alias("n"))
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.count(F.when(F.col("n") < 5, 1)).cast("long").alias("cells_below_k"),
+        F.coalesce(F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("n").cast("long").alias("min_cell"),
+    )
