@@ -141,3 +141,36 @@ def dedup_survivors(
         .filter(F.col(id_col) == F.col("cluster_id"))
         .drop("cluster_id")
     )
+
+
+def dedup_survivors_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep-BEST survivor policy: one doc per duplicate cluster chosen by
+    (quality DESC, id ASC) instead of min-id.
+
+    Production dedup rarely wants the arbitrary min-id row — it wants
+    the longest / highest-quality / most-recent member of each cluster
+    (the others are truncations, boilerplate-wrapped copies, or earlier
+    crawls of the same page). Same component computation as
+    ``dedup_survivors``; the policy is one extra cluster-keyed window
+    rank (deterministic tiebreak on id), so the added cost at 100 TB is
+    a single shuffle on cluster_id over the already-clustered frame.
+    """
+    from pyspark.sql import Window
+
+    clustered = assign_clusters(docs, pairs, id_col, a_col, b_col, max_iter)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

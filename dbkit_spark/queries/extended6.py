@@ -2127,3 +2127,88 @@ def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("n").cast("long").alias("min_cell"),
     )
+
+
+# --- top-k WITH TIES ---------------------------------------------------------
+@register(
+    "q199_topk_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    notes="per-group top-k WITH TIES (§2.6, the FETCH FIRST k WITH TIES "
+    "semantics q22's row_number cut cannot express: rank() keeps every "
+    "row tied with the k-th, so equal-value rows never drop "
+    "arbitrarily — result size is data-dependent, correctness is "
+    "order-independent): same single group-keyed window shuffle as "
+    "q22; the two queries together pin the rank/row_number cut "
+    "distinction on both engines",
+)
+def q199_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+# --- per-key volatility ------------------------------------------------------
+@register(
+    "q200_value_volatility",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events WHERE value IS NOT NULL
+    ),
+    diffs AS (
+      SELECT user_id,
+             CAST(abs(value - prev) AS DECIMAL(25,6)) AS d
+      FROM seq WHERE prev IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_steps,
+           CAST(SUM(d) AS DOUBLE) / COUNT(*) AS mean_abs_step,
+           CAST(MAX(d) AS DOUBLE) AS max_abs_step
+    FROM diffs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    notes="per-key VOLATILITY (mean/max absolute consecutive change — "
+    "the signal-stability stat for irregularly sampled series, the "
+    "lag-based sibling of q118's EWMA and q183's TWAP): one user-keyed "
+    "window order shared by lag and the grouped agg, consecutive "
+    "diffs decimal-carried so the mean is order-independent, first "
+    "observation per key excluded identically on both engines (lag "
+    "IS NULL)",
+)
+def q200_value_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    d = F.abs(F.col("value") - F.col("prev")).cast("decimal(25,6)")
+    return (
+        seq.select("user_id", d.alias("d"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_steps"),
+            (F.sum("d").cast("double") / F.count("*")).alias("mean_abs_step"),
+            F.max("d").cast("double").alias("max_abs_step"),
+        )
+        .orderBy("user_id")
+    )

@@ -837,3 +837,39 @@ def q130_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpp",
         F.round(F.col("width") / F.col("height"), 6).alias("aspect"),
     )
+
+
+@register(
+    "q198_dedup_survivors_best",
+    oracle=f"""
+    WITH RECURSIVE {_REACH_CTES},
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.n_chars, c.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+      FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, n_chars
+    FROM ranked WHERE rk = 1
+    ORDER BY cluster_id
+    """,
+    notes="KEEP-BEST dedup survivors (llm/cluster.dedup_survivors_best "
+    "— the policy production dedup actually wants: per duplicate "
+    "cluster keep the LONGEST member, by (n_chars DESC, id ASC), "
+    "because the min-id row of a near-dup cluster is often the "
+    "truncated or boilerplate-wrapped copy; q88's min-id policy is "
+    "the deterministic baseline): same connected-component labels as "
+    "q87/q88, plus ONE cluster-keyed window rank — the policy swap "
+    "costs a single extra shuffle over the already-clustered frame",
+)
+def q198_dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.cluster import dedup_survivors_best
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return dedup_survivors_best(docs, pairs, "n_chars").select(
+        "doc_id", "cluster_id", "n_chars"
+    ).orderBy("cluster_id")
