@@ -305,3 +305,34 @@ def test_reconcile_summary_is_partial_aggregated(spark):
     # partial (map-side) + final HashAggregate pair proves the combine
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_sum" in plan and "partial_count" in plan, plan
+
+
+def test_extension6_shuffle_discipline(spark, sf_dir):
+    """Scale-shape gates for the round-5 window-family operators: each
+    plans exactly its one key shuffle plus the presentation sort — no
+    extra exchange, no single-partition funnel anywhere. (q181's session
+    merge, q183's TWAP, q189's attribution carry, q194's weighted
+    median, q195's interval union, q200's volatility all share the
+    sort-once-aggregate-once shape.)"""
+    import re
+
+    def audit(name):
+        df = CATALOG[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        return len(re.findall(r"Exchange", final)), "SinglePartition" in final
+
+    for name in [
+        "q181_dynamic_session_gap",
+        "q183_time_weighted_avg",
+        "q189_last_touch_attribution",
+        "q194_weighted_median",
+        "q195_interval_union",
+        "q200_value_volatility",
+    ]:
+        n_ex, single = audit(name)
+        assert n_ex == 2, (name, n_ex)
+        assert not single, name
+    # chunking stays map-only apart from the presentation sort
+    n_ex, single = audit("q172_document_chunking")
+    assert n_ex <= 1 and not single
