@@ -934,3 +934,33 @@ def test_reconcile_identical_tables_clean(spark):
     ).collect()
     assert len(bad) == 1 and bad[0].bucket == one_id % 64
     assert bad[0].counts_match and not bad[0].sums_match
+
+
+def test_containment_finds_doc_in_doc(spark):
+    """Semantic claim of containment_pairs: a short doc fully embedded in
+    a long one scores containment ~1.0 in the contained→container
+    direction even though symmetric Jaccard is far below any dedup
+    threshold — the boilerplate/quotation case."""
+    from dbkit_spark.llm.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"tail{i} extra{i}" for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "completely unrelated text here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.contained, r.container): r.containment
+        for r in containment_pairs(docs, threshold=0.9, max_df=100).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.99, got
+    assert (2, 1) not in got  # the long doc is NOT contained in the short
+    # and symmetric Jaccard misses the pair entirely at the same bar
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
