@@ -203,3 +203,56 @@ def test_pagerank_uniform_on_cycle(spark):
     edges.unpersist()
     for node, rank in out.items():
         assert abs(rank - 1.0 / n) < 1e-12, (node, rank)
+
+
+def test_balanced_downsample_keeps_minority_intact(spark):
+    """The minority class is never subsampled — it IS the target count;
+    every other class lands exactly at that count."""
+    from pyspark.sql import Window
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    floor_n = df.groupBy("event_type").count().agg(
+        F.min("count").alias("floor_n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":balance"))),
+            F.col("event_id"),
+        )
+    )
+    kept = (
+        df.withColumn("rk", rk)
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("floor_n"))
+    )
+    got = {r.event_type: r.n for r in kept.groupBy("event_type")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got == {"big": 3, "small": 3}
+    small_ids = {r.event_id for r in kept.filter(F.col("event_type") == "small")
+                 .collect()}
+    assert small_ids == {100, 101, 102}  # minority rows ALL kept
+
+
+def test_entropy_hhi_extremes(spark):
+    """Uniform 2-way split -> entropy ln(2), HHI 0.5; monolingual ->
+    entropy 0, HHI 1 — the analytic extremes of the q191 metrics."""
+    import math
+
+    rows = [("u", "en"), ("u", "de"), ("m", "en"), ("m", "en")]
+    docs = spark.createDataFrame(rows, "source string, lang string")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    got = {
+        r.source: (r.entropy, r.hhi)
+        for r in counts.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(-p * F.log(p)), 9).alias("entropy"),
+            F.round(F.sum(p * p), 9).alias("hhi"),
+        )
+        .collect()
+    }
+    assert abs(got["u"][0] - math.log(2)) < 1e-9 and got["u"][1] == 0.5
+    assert got["m"] == (-0.0, 1.0) or got["m"] == (0.0, 1.0)
