@@ -256,3 +256,46 @@ def test_entropy_hhi_extremes(spark):
     }
     assert abs(got["u"][0] - math.log(2)) < 1e-9 and got["u"][1] == 0.5
     assert got["m"] == (-0.0, 1.0) or got["m"] == (0.0, 1.0)
+
+
+def test_vocab_overlap_identical_sources(spark):
+    """Two sources with identical vocabularies score Jaccard 1.0; a
+    disjoint third source pairs with neither above threshold."""
+    from dbkit_spark.llm.retrieval import tokenize
+
+    rows = [
+        ("a", "alpha beta gamma"),
+        ("b", "gamma alpha beta beta"),   # same vocab, different tf/order
+        ("c", "delta epsilon zeta"),      # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    vocab = tokenize(docs, "text", "source").distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.select(F.col("source").alias("sa"), "tok")
+    b = vocab.select(F.col("source").alias("sb"), "tok")
+    ov = (
+        a.join(b, "tok").filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb").agg(F.count("*").alias("inter"))
+    )
+    sized = (
+        ov.join(sizes.select(F.col("source").alias("sa"), F.col("n").alias("na")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb")), "sb")
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    got = {(r.sa, r.sb): r.j for r in sized.select("sa", "sb", jac.alias("j")).collect()}
+    assert got == {("a", "b"): 1.0}  # c never pairs (zero intersection)
+
+
+def test_k_anonymity_counts_cells_below_k(spark):
+    """Constructed cells: one of size 2 (below k=5, its 2 rows at risk),
+    one of size 6 (safe) — the audit reports exactly that."""
+    rows = [("en", "s1")] * 2 + [("en", "s2")] * 6
+    docs = spark.createDataFrame(rows, "lang string, source string")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    got = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.count(F.when(F.col("n") < 5, 1)).alias("below"),
+        F.coalesce(F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0)).alias("risk"),
+        F.min("n").alias("min_cell"),
+    ).collect()[0]
+    assert (got.n_cells, got.below, got.risk, got.min_cell) == (2, 1, 2, 2)
