@@ -294,3 +294,79 @@ def test_quota_sample_is_layout_invariant(spark, rows):
         for r in quota_sample(df, "grp", "doc_id", quota=2).collect()
     }
     assert keep(a) == keep(b)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=0, max_value=9),    # value (ties likely)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_topk_with_ties_laws(spark, rows):
+    """WITH TIES laws for any data: the rank() cut is a superset of the
+    row_number cut; every kept value >= every dropped value per group;
+    all rows tying the k-th value are kept together."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g long, v long"
+    )
+    k = 2
+    wt = Window.partitionBy("g").orderBy(F.col("v").desc())
+    wr = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    ties = {(r.g, r.id) for r in df.withColumn("rk", F.rank().over(wt))
+            .filter(F.col("rk") <= k).collect()}
+    rn = {(r.g, r.id) for r in df.withColumn("rk", F.row_number().over(wr))
+          .filter(F.col("rk") <= k).collect()}
+    assert rn <= ties
+    vals = {(r.g, r.id): r.v for r in df.collect()}
+    by_group: dict[int, list] = {}
+    for (g, i), v in vals.items():
+        by_group.setdefault(g, []).append((i, v))
+    for g, members in by_group.items():
+        kept = {i for (gg, i) in ties if gg == g}
+        kept_vals = [v for i, v in members if i in kept]
+        dropped_vals = [v for i, v in members if i not in kept]
+        if kept_vals and dropped_vals:
+            assert min(kept_vals) > max(dropped_vals)  # ties never split
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_minmax_normalize_bounds(spark, rows):
+    """Min-max scaling lands in [0,1] for any input; each non-degenerate
+    group's min maps to 0 and max to 1; constant groups pin to 0.5."""
+    df = spark.createDataFrame(rows, "g long, v double")
+    bounds = df.groupBy(F.col("g").alias("bg")).agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    scaled_col = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+        (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    out = df.join(F.broadcast(bounds), df["g"] == F.col("bg")).select(
+        "g", "v", scaled_col.alias("s"), "lo", "hi"
+    ).collect()
+    for r in out:
+        assert -1e-12 <= r.s <= 1 + 1e-12
+        if r.hi != r.lo:
+            if r.v == r.lo:
+                assert r.s == 0.0
+            if r.v == r.hi:
+                assert r.s == 1.0
+        else:
+            assert r.s == 0.5
