@@ -135,11 +135,14 @@ def dedup_survivors(
     """The deduplicated corpus: one deterministic survivor (min id) per
     duplicate cluster, singletons kept. Equivalent to an anti-join of
     ``docs`` against non-survivor ids — expressed as a filter on the
-    cluster assignment so both steps share one component computation."""
-    return (
-        assign_clusters(docs, pairs, id_col, a_col, b_col, max_iter)
-        .filter(F.col(id_col) == F.col("cluster_id"))
-        .drop("cluster_id")
+    cluster assignment so both steps share one component computation.
+
+    Output schema = ``docs`` + ``cluster_id`` — the same shape as
+    ``dedup_survivors_best``, so the two survivor policies are drop-in
+    swappable (under min-id policy ``cluster_id`` == ``id_col`` on every
+    surviving row, by construction)."""
+    return assign_clusters(docs, pairs, id_col, a_col, b_col, max_iter).filter(
+        F.col(id_col) == F.col("cluster_id")
     )
 
 
@@ -162,6 +165,9 @@ def dedup_survivors_best(
     ``dedup_survivors``; the policy is one extra cluster-keyed window
     rank (deterministic tiebreak on id), so the added cost at 100 TB is
     a single shuffle on cluster_id over the already-clustered frame.
+
+    Output schema = ``docs`` + ``cluster_id``, identical to
+    ``dedup_survivors`` — the policies are drop-in swappable.
     """
     from pyspark.sql import Window
 

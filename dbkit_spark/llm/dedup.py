@@ -537,6 +537,7 @@ def containment_pairs(
     max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Directed near-dup detection by shingle CONTAINMENT:
     c(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
@@ -557,17 +558,34 @@ def containment_pairs(
     overlap count is therefore conservative (never inflated), while the
     denominator stays the FULL shingle-set size. Overlap counting is a
     map-side-combinable pair agg; sizes join back by id (O(docs) rows).
+
+    ``max_df_frac``: optional CORPUS-RELATIVE cap — the effective cap
+    becomes ``max(max_df, ceil(max_df_frac * n_docs))``. A fixed
+    absolute cap tuned on a small corpus is too aggressive at 100 TB
+    (a shingle shared by 51 of 10^10 docs is not boilerplate); the
+    relative form keeps the stop-shingle semantics proportional while
+    the absolute floor still bounds fanout on tiny corpora. Costs one
+    metadata-sized count when set; default ``None`` preserves the
+    fixed-cap behavior exactly.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     from pyspark.sql import Window
 
-    sh = shingle_docs(docs, text_col, id_col)
-    # O(docs) rows; persisted because it joins back TWICE (n_a and n_b).
-    # Both persists are released before return: the (pair-sized, small)
-    # result is eagerly localCheckpoint-ed so it survives the unpersist
-    # without recompute — no cached frames outlive the call.
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh")).persist()
+    # persisted ONCE: sizes and the inverted index both derive from the
+    # shingling pass (tokenize + n-gram + distinct), so without this
+    # barrier that pass executes twice. All persists are released before
+    # return: the (pair-sized, small) result is eagerly
+    # localCheckpoint-ed so it survives the unpersist without recompute
+    # — no cached frames outlive the call.
+    sh = shingle_docs(docs, text_col, id_col).persist()
+    if max_df_frac is not None:
+        if not 0.0 < max_df_frac <= 1.0:
+            raise ValueError("max_df_frac must be in (0, 1]")
+        import math
+
+        max_df = max(max_df, math.ceil(max_df_frac * sh.count()))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     # persist the capped index: it feeds BOTH sides of the self-join, and
     # without the barrier each side re-runs shingling + the df window —
@@ -631,5 +649,5 @@ def containment_pairs(
         eager=True
     )
     capped.unpersist()
-    sizes.unpersist()
+    sh.unpersist()
     return out

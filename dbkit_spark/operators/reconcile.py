@@ -36,12 +36,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+NULL_SENTINEL = "␀"  # ␀ SYMBOL FOR NULL — vanishingly unlikely in data
+
+
 def row_fingerprint(cols: list[Column]) -> Column:
     """48-bit integer fingerprint of a canonical '|'-joined row string.
 
-    Callers must pre-coalesce nullable columns (concat_ws skips NULLs,
-    which would collide ('a', NULL, 'b') with ('a', 'b', NULL))."""
-    canon = F.concat_ws("|", *[c.cast("string") for c in cols])
+    Every column is coalesced to ``NULL_SENTINEL`` INSIDE the
+    fingerprint (concat_ws silently skips NULLs, which would collide
+    ('a', NULL, 'b') with ('a', 'b', NULL)) — the NULL contract is
+    enforced here rather than left to each call site. SQL oracles must
+    mirror with COALESCE(CAST(col AS VARCHAR), '␀') per column."""
+    canon = F.concat_ws(
+        "|", *[F.coalesce(c.cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
+    )
     return F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
 
 

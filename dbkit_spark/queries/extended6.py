@@ -622,11 +622,11 @@ _RECON_FP_SQL = (
     WITH canon AS (
       SELECT event_id,
              md5(concat_ws('|',
-               CAST(event_id AS VARCHAR),
-               CAST(user_id AS VARCHAR),
-               event_type,
-               CAST(COALESCE(CAST(ROUND(value * 1000000) AS BIGINT), -1)
-                    AS VARCHAR))) AS h
+               COALESCE(CAST(event_id AS VARCHAR), '␀'),
+               COALESCE(CAST(user_id AS VARCHAR), '␀'),
+               COALESCE(event_type, '␀'),
+               COALESCE(CAST(COALESCE(CAST(ROUND(value * 1000000) AS BIGINT),
+                                      -1) AS VARCHAR), '␀'))) AS h
       FROM events
     ),
     fp AS (
@@ -640,12 +640,12 @@ _RECON_FP_SQL = (
     rcanon AS (
       SELECT event_id,
              md5(concat_ws('|',
-               CAST(event_id AS VARCHAR),
-               CAST(user_id AS VARCHAR),
-               event_type,
-               CAST(COALESCE(CAST(ROUND(
+               COALESCE(CAST(event_id AS VARCHAR), '␀'),
+               COALESCE(CAST(user_id AS VARCHAR), '␀'),
+               COALESCE(event_type, '␀'),
+               COALESCE(CAST(COALESCE(CAST(ROUND(
                  (CASE WHEN event_id % 997 = 0 THEN value + 1.0 ELSE value END)
-                 * 1000000) AS BIGINT), -1) AS VARCHAR))) AS h
+                 * 1000000) AS BIGINT), -1) AS VARCHAR), '␀'))) AS h
       FROM events WHERE event_id % 1009 <> 0
     ),
     rfp AS (

@@ -109,6 +109,19 @@ def compact_parquet(
         )
     if not os.path.isdir(path):
         raise ValueError(f"compact_parquet: {path!r} is not a directory")
+    tmp = path.rstrip("/") + tmp_suffix
+    old = path.rstrip("/") + "__compact_old"
+    # Fail fast on debris from a previously crashed run BEFORE doing any
+    # work: a leftover __compact_old would make os.rename(path, old) fail
+    # with ENOTEMPTY after the full rewrite, and a stale tmp would be
+    # silently clobbered. Recovery is a human decision (the leftover dir
+    # may hold the only good copy), so refuse rather than guess.
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"compact_parquet: leftover {leftover!r} from a previous "
+                "run exists; inspect and remove it before compacting"
+            )
     df = spark.read.parquet(path)
     rows = df.count()
     files_before = sum(
@@ -118,12 +131,13 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(rows / target_rows_per_file))
-    tmp = path.rstrip("/") + tmp_suffix
-    old = path.rstrip("/") + "__compact_old"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    # rename-aside swap: the original survives (as __compact_old) until
-    # the new data is in place, so a crash mid-swap never leaves the
-    # dataset missing — worst case a stray suffixed directory to sweep.
+    # rename-aside swap: the DATA always survives (as __compact_old
+    # and/or the tmp dir), but a crash in the instant between the two
+    # renames leaves nothing at `path` until the suffixed dir is
+    # manually renamed back — rename-pairs aren't atomic. True
+    # atomicity needs a table format's manifest commit; this helper's
+    # guarantee is no-data-loss + fail-fast on leftover debris above.
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

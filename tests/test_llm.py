@@ -964,3 +964,68 @@ def test_containment_finds_doc_in_doc(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_containment_corpus_relative_df_cap(spark):
+    """max_df_frac raises the effective cap with corpus size: with an
+    absolute cap of 1 every shared shingle is a stop-shingle and the
+    doc-in-doc pair vanishes; the relative form (frac=1.0 → cap >= n_docs)
+    restores it. Default (frac=None) stays bit-identical to fixed-cap."""
+    from dbkit_spark.llm.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short)],
+        "doc_id long, text string",
+    )
+    # absolute cap 1: every shingle shared by the pair exceeds df=1
+    assert containment_pairs(docs, threshold=0.9, max_df=1).count() == 0
+    # relative: max(1, ceil(1.0 * 2 docs)) = 2 → shared shingles survive
+    rel = containment_pairs(
+        docs, threshold=0.9, max_df=1, max_df_frac=1.0
+    ).collect()
+    assert {(r.contained, r.container) for r in rel} == {(1, 2)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_df_frac"):
+        containment_pairs(docs, max_df_frac=1.5)
+
+
+def test_row_fingerprint_null_sentinel(spark):
+    """NULL handling is enforced INSIDE row_fingerprint: NULL-position
+    shifts and NULL-vs-empty-string must produce distinct fingerprints
+    (bare concat_ws would silently skip NULLs and collide both)."""
+    from dbkit_spark.operators.reconcile import row_fingerprint
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None), ("a", "", "b")],
+        "x string, y string, z string",
+    )
+    fps = [
+        r.fp
+        for r in df.select(
+            row_fingerprint([F.col("x"), F.col("y"), F.col("z")]).alias("fp")
+        ).collect()
+    ]
+    assert len(set(fps)) == 3, fps
+
+
+def test_survivor_policies_share_schema(spark):
+    """dedup_survivors and dedup_survivors_best are drop-in swappable:
+    identical output schema (docs + cluster_id), and under min-id policy
+    every survivor's cluster_id equals its own id."""
+    from dbkit_spark.llm.cluster import dedup_survivors, dedup_survivors_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (9, 7)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    min_id = dedup_survivors(docs, pairs)
+    best = dedup_survivors_best(docs, pairs, "n_chars")
+    assert min_id.columns == best.columns == ["doc_id", "n_chars", "cluster_id"]
+    assert all(r.doc_id == r.cluster_id for r in min_id.collect())
+    # keep-best picks the longest member (doc 2, n_chars=99) of cluster {1,2,3}
+    assert {(r.doc_id, r.cluster_id) for r in best.collect()} == {
+        (2, 1), (9, 9)
+    }
