@@ -141,7 +141,8 @@ def pack_by_token_budget(
     id_col: str,
     token_col: str,
     budget: int,
-    shard_by: str | list[str] | None = None,
+    shard_by: str | list[str] | None = "auto",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Assign docs to chunk-offset batches: running token total in id
     order; batch_id = how many full budgets precede this doc's start offset.
@@ -150,9 +151,19 @@ def pack_by_token_budget(
     the window partitions on the shard key, so the cumsum distributes
     across reducers instead of collapsing to one. This is the 100 TB path:
     shard by split/date/source exactly as real pipelines do, and batch
-    ids are (shard, batch_id) pairs. With ``shard_by=None`` the window is
-    unpartitioned (single total order) — correct, deterministic, but
-    single-reducer; only for small/medium inputs.
+    ids are (shard, batch_id) pairs.
+
+    The DEFAULT is ``shard_by="auto"``: a deterministic hash shard
+    (``pmod(xxhash64(id), n_shards)``, emitted as a ``shard`` output
+    column) so the scalable plan is what users get by accident — the
+    accidental form of this operator used to be a corpus-wide
+    single-reducer cumsum, the classic 100 TB scale-killer. Packing
+    quality is unaffected: batches only ever group docs within one
+    budget window, and which window a doc shares is already arbitrary
+    (id-order is not semantic adjacency). Pass ``shard_by=None``
+    EXPLICITLY for the single-total-order exactness baseline — correct,
+    deterministic, but single-reducer; only for small/medium inputs
+    (q77's oracle form).
 
     Concat-then-chunk semantics: a doc belongs to the batch where its
     stream offset starts, so an oversized doc shares its batch with the
@@ -160,6 +171,11 @@ def pack_by_token_budget(
     (it is never dropped); callers that must isolate or reject oversized
     docs should filter on ``token_col > budget`` first.
     """
+    if shard_by == "auto":
+        df = df.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        )
+        shard_by = "shard"
     if shard_by is None:
         w = Window.orderBy(F.col(id_col))
         extra: list[str] = []

@@ -53,3 +53,52 @@ def equi_width_histogram(
         .withColumn("bin_hi", F.lit(lo) + (F.col("bin") + 1) * F.lit(width))
         .select(*keys, "bin", "bin_lo", "bin_hi", "n")
     )
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    k: int,
+    exact: bool = False,
+    rel_err: float = 0.001,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: append ``bin`` in 1..k.
+
+    The DEFAULT is the 100 TB path: boundaries from ``approxQuantile``
+    (Greenwald–Khanna summary — one distributed pass with map-side
+    partial summaries, error ``rel_err``) broadcast as literals, then a
+    pure map-side comparison chain assigns bins — no global sort, no
+    single-partition window anywhere in the plan. This is the same
+    trade Spark's own QuantileDiscretizer makes: bin populations are
+    equal to within ``rel_err``·n rather than exactly, which is what
+    feature discretization actually needs.
+
+    ``exact=True`` is the opt-in fixture/oracle mode: a global
+    ``ntile(k)`` ordered by (col, tiebreak_col) — bit-exact equi-depth
+    populations, total-order deterministic, but the window serializes
+    the data through ONE reducer. Only for small inputs and
+    cross-engine exactness baselines (q184).
+
+    Ties-at-boundary semantics (sampled path): a value v lands in the
+    lowest bin whose upper boundary is >= v, so duplicated mass at a
+    boundary goes entirely to one bin (equi-depth is undefined under
+    heavy ties anyway; exact ntile splits such ties arbitrarily by the
+    tiebreak column instead).
+
+    NULLs are excluded, matching equi_width_histogram.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    c = F.col(col)
+    clean = df.filter(c.isNotNull())
+    if exact:
+        from pyspark.sql import Window
+
+        order = [c] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+        return clean.withColumn("bin", F.ntile(k).over(Window.orderBy(*order)))
+    probs = [i / k for i in range(1, k)]
+    boundaries = clean.stat.approxQuantile(col, probs, rel_err)
+    bin_ = F.lit(1).cast("int")
+    for b in boundaries:
+        bin_ = bin_ + F.when(c > F.lit(float(b)), 1).otherwise(0)
+    return clean.withColumn("bin", bin_)

@@ -857,13 +857,18 @@ def q91_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="sequence packing (llm/sampling.pack_by_token_budget): "
     "concat-then-chunk by running-total start offset — each doc joins the "
     "50k-char batch where its stream offset falls; window cumsum, "
-    "deterministic; shard before packing at 100 TB (single total order)",
+    "deterministic. This is the EXACTNESS BASELINE (explicit "
+    "shard_by=None, single total order); the operator DEFAULT is the "
+    "auto hash shard — q84's distributed plan — so the 100 TB form is "
+    "what callers get by accident",
 )
 def q77_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.sampling import pack_by_token_budget
 
     docs = read_table(spark, sf_dir, "documents")
-    return pack_by_token_budget(docs, "doc_id", "n_chars", budget=50000)
+    return pack_by_token_budget(
+        docs, "doc_id", "n_chars", budget=50000, shard_by=None
+    )
 
 
 @register(

@@ -1254,22 +1254,22 @@ def q183_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact small-N form of QuantileDiscretizer): ntile(8) over "
     "(value, event_id) — the unique tiebreak makes the bin assignment "
     "total-order deterministic, so bin populations match across engines "
-    "exactly, not just approximately. NOTE the deliberate scale "
-    "contrast documented here: a global ntile is a single-partition "
-    "sort (fine for fixture-exactness, the oracle-matched baseline); "
-    "the 100 TB path is operators/zorder._bucket-style sampled "
-    "boundaries + map-side bisection (q79), which trades exact "
-    "equi-depth for a full-parallel plan — same trade Spark's own "
-    "QuantileDiscretizer makes via approxQuantile",
+    "exactly, not just approximately. This query is the opt-in "
+    "EXACT-NTILE BASELINE (operators/histogram.quantile_bin "
+    "exact=True — a single-partition sort, fixture-scale only); the "
+    "operator DEFAULT is the 100 TB path: approxQuantile boundaries "
+    "broadcast as literals + map-side comparison assignment, no "
+    "single-partition window (plan-gated + sampled-vs-exact agreement "
+    "pinned in tests/test_histogram.py) — same trade Spark's own "
+    "QuantileDiscretizer makes",
 )
 def q184_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.histogram import quantile_bin
 
-    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.orderBy("value", "event_id")
-    binned = ev.select(
-        "event_type", "value", F.ntile(8).over(w).alias("bin")
-    )
+    ev = read_table(spark, sf_dir, "events")
+    binned = quantile_bin(
+        ev, "value", 8, exact=True, tiebreak_col="event_id"
+    ).select("event_type", "value", "bin")
     return (
         binned.groupBy("bin")
         .agg(

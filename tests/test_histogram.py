@@ -49,3 +49,53 @@ def test_histogram_validates_args(vals):
         equi_width_histogram(vals, "v", 0.0, 100.0, 0)
     with pytest.raises(ValueError):
         equi_width_histogram(vals, "v", 10.0, 10.0, 5)
+
+
+def test_quantile_bin_sampled_default(spark):
+    """The DEFAULT quantile_bin path: no single-partition window in the
+    plan, bins are monotone in value, populations are near-equal, and
+    the assignment agrees with exact ntile on ~all rows (boundary rows
+    may differ by one bin — that's the documented approxQuantile trade)."""
+    from dbkit_spark.operators.histogram import quantile_bin
+    from dbkit_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events")
+    k = 8
+    sampled = quantile_bin(ev, "value", k)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in final, final
+    assert "Window" not in final, final
+
+    rows = sampled.select("event_id", "value", "bin").collect()
+    n = len(rows)
+    # bins span 1..k, monotone in value
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r.value)
+    assert set(by_bin) == set(range(1, k + 1))
+    for b in range(1, k):
+        assert max(by_bin[b]) <= min(by_bin[b + 1])
+    # near-equal populations (rel_err=0.001 → well under 5% drift)
+    for b, vs in by_bin.items():
+        assert abs(len(vs) - n / k) < 0.05 * n, (b, len(vs), n)
+
+    # agreement with the exact ntile baseline
+    exact = {
+        r.event_id: r.bin
+        for r in quantile_bin(
+            ev, "value", k, exact=True, tiebreak_col="event_id"
+        )
+        .select("event_id", "bin")
+        .collect()
+    }
+    agree = sum(1 for r in rows if exact[r.event_id] == r.bin)
+    assert agree / n > 0.95, agree / n
+
+
+def test_quantile_bin_validates_args(spark):
+    from dbkit_spark.operators.histogram import quantile_bin
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        quantile_bin(df, "v", 0)

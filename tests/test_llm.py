@@ -208,7 +208,9 @@ def test_pack_by_token_budget_properties(spark):
     from dbkit_spark.sources import read_table
 
     docs = read_table(spark, "/root/testdata/sf0.01", "documents")
-    packed = pack_by_token_budget(docs, "doc_id", "n_chars", budget=50000)
+    packed = pack_by_token_budget(
+        docs, "doc_id", "n_chars", budget=50000, shard_by=None
+    )
     rows = sorted(packed.collect(), key=lambda r: r.doc_id)
     # batch ids are monotone non-decreasing in stream order, start at 0
     ids = [r.batch_id for r in rows]
@@ -218,6 +220,42 @@ def test_pack_by_token_budget_properties(spark):
     for r in rows:
         assert r.batch_id == cum // 50000
         cum += r.n_chars
+
+
+def test_pack_by_token_budget_auto_shard_default(spark):
+    """The DEFAULT call form auto hash-shards: the packing law holds
+    independently within every shard, every row keeps its shard
+    deterministically, and the plan has no single-partition Exchange
+    (the unsharded form is opt-in via explicit shard_by=None)."""
+    from collections import defaultdict
+
+    from dbkit_spark.llm.sampling import pack_by_token_budget
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    packed = pack_by_token_budget(docs, "doc_id", "n_chars", budget=50000)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in final, final
+    assert packed.columns == ["shard", "doc_id", "n_chars", "batch_id"]
+    by_shard = defaultdict(list)
+    for r in packed.collect():
+        by_shard[r.shard].append(r)
+    assert len(by_shard) > 1  # actually distributed
+    for rows in by_shard.values():
+        cum = 0
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            assert r.batch_id == cum // 50000
+            cum += r.n_chars
+    # determinism: a different input partitioning yields identical output
+    again = pack_by_token_budget(
+        docs.repartition(13), "doc_id", "n_chars", budget=50000
+    )
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r)
+        for rows in by_shard.values()
+        for r in rows
+    }
 
 
 def test_sample_then_split_decorrelated(spark):
