@@ -183,3 +183,65 @@ def redact_pii(col: Column | str) -> Column:
     out = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
     out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
     return F.regexp_replace(out, IPV4_RE, "[IP]")
+
+# --- pluggable real-tokenizer boundary ---------------------------------------
+# The regex estimators above are the zero-dependency default and back every
+# oracle query. A production packing/chunking pipeline budgets in MODEL
+# tokens; these wrappers route a user-supplied tokenizer callable (e.g.
+# tiktoken's encode, a sentencepiece processor, an HF fast tokenizer)
+# through Arrow-batched pandas UDFs — the only sanctioned Python crossing,
+# dependency-gated exactly like the protobuf-gated streaming surface: the
+# default path never imports anything, and the real-tokenizer path fails
+# (or pytest-skips) cleanly when the library is absent.
+
+
+def make_tokenizer_udfs(tokenizer):
+    """Wrap ``tokenizer`` (a picklable ``str -> list`` callable; elements
+    may be subword strings or integer BPE ids) into a pair of
+    Arrow-batched pandas UDFs:
+
+        (tokenize_udf, count_udf)
+
+    ``tokenize_udf(col) -> array<string>`` (ids stringified) and
+    ``count_udf(col) -> long``. Use ``count_udf`` to feed model-real
+    token budgets into ``pack_by_token_budget`` and ``tokenize_udf`` for
+    ``chunk_documents(tokenizer=...)``. NULL text tokenizes as empty.
+
+    Scale shape: both UDFs are vectorized (one Arrow batch per
+    invocation, ~10-100x a row-at-a-time UDF) and map-only — the
+    tokenizer ships to executors by closure serialization, so it must be
+    picklable (tiktoken encodings and sentencepiece processors are)."""
+    # module-level pandas import would contradict this file's all-JVM
+    # contract; imported here and injected into the annotations' resolution
+    # namespace (PEP 563 type hints resolve against module globals)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("array<string>")
+    def tokenize_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: [str(x) for x in tokenizer(t)] if t else [])
+
+    @pandas_udf("long")
+    def count_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: len(tokenizer(t)) if t else 0)
+
+    return tokenize_udf, count_udf
+
+
+def model_tokenizer(encoding: str = "cl100k_base"):
+    """A real BPE tokenizer callable for ``make_tokenizer_udfs``, backed
+    by tiktoken — DEPENDENCY-GATED: raises ImportError with guidance when
+    tiktoken is absent (this container ships without it; tests skip
+    cleanly, the regex default is unaffected)."""
+    try:
+        import tiktoken
+    except ImportError as exc:  # pragma: no cover - container lacks tiktoken
+        raise ImportError(
+            "model_tokenizer requires the optional 'tiktoken' package; "
+            "install it or pass your own str -> list callable to "
+            "make_tokenizer_udfs"
+        ) from exc
+    enc = tiktoken.get_encoding(encoding)
+    return lambda s: enc.encode(s or "")

@@ -35,19 +35,37 @@ def chunk_documents(
     stride: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """Explode each document into overlapping token-window chunks.
 
     Returns (id_col, chunk_id, n_tok, chunk_text). Documents with zero
     tokens produce no chunks (same as SQL ``generate_series`` over an
     empty range).
+
+    ``tokenizer``: optional ``str -> list`` callable (a real model
+    tokenizer — see ``functions.text.make_tokenizer_udfs``) routed
+    through an Arrow-batched pandas UDF, so chunk windows are budgeted
+    in MODEL tokens. Default ``None`` keeps the zero-dependency regex
+    tokenizer and the all-JVM plan (the oracle-matched form). With a
+    subword tokenizer, ``chunk_text`` space-joins the pieces — a display
+    form; exact detokenization is the tokenizer's own job. The chunk
+    law, coverage invariants, and map-only no-shuffle plan shape are
+    identical on both paths.
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
     if stride > window:
         raise ValueError("stride must not exceed window (gaps would drop tokens)")
+    if tokenizer is None:
+        tok_col = tokens(text_col)
+    else:
+        from ..functions.text import make_tokenizer_udfs
+
+        tokenize_udf, _ = make_tokenizer_udfs(tokenizer)
+        tok_col = tokenize_udf(F.col(text_col))
     toks = docs.select(
-        F.col(id_col), tokens(text_col).alias("_toks")
+        F.col(id_col), tok_col.alias("_toks")
     ).withColumn("_n", F.size("_toks"))
     n_chunks = F.ceil(
         F.greatest(F.col("_n") - window, F.lit(0)) / F.lit(stride)

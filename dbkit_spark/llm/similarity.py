@@ -548,3 +548,90 @@ def dequantize_embeddings(
             "embedding"
         ),
     )
+
+def ann_incremental_pairs(
+    new_batch: DataFrame,
+    tables: list[DataFrame],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+    materialize: bool = True,
+) -> DataFrame:
+    """Append-batch EMBEDDING dedup: near-dup pairs of new vectors vs a
+    PERSISTED multi-table LSH index (``save_hyperplane_index_multi``
+    output loaded by ``load_hyperplane_index_multi``), plus pairs within
+    the new batch — never corpus × corpus, and the corpus is never
+    re-hashed (its side of every join is a pure parquet scan of the
+    precomputed ``bucket`` column).
+
+    The embedding twin of ``dedup.minhash_incremental_pairs`` (the
+    daily-ingest shape): a 100 TB corpus hashes once at index-build
+    time; each day's batch is hashed once per table (tiny, map-side,
+    broadcast), probes each table's same-bucket partitions, and adds
+    its own in-batch multi-table candidates. Work scales with the
+    batch, not the corpus.
+
+    Emits (id_a=new id, id_b=corpus id) for cross pairs — a re-ingested
+    id present in both sides never pairs with itself — and
+    (id_a < id_b, both new) for in-batch pairs; union + DISTINCT dedups
+    candidates found by several tables. Exact cosine verifies every
+    candidate, so precision is exact; recall follows the multi-table
+    dial (geometric in ``len(tables)``).
+
+    The batch is hashed ONCE for all tables (``hyperplane_bucket_multi``)
+    and persisted — it feeds len(tables) cross joins plus the in-batch
+    self-joins; without the barrier each join re-runs the hash pass.
+    The persist is released before return (the pair-sized result is
+    eagerly localCheckpoint-ed, the containment_pairs discipline).
+    ``materialize=False`` skips the checkpoint/unpersist lifecycle and
+    returns the lazy plan — for plan inspection/tests only (the caller
+    then owns the persisted batch's lifetime).
+    """
+    hashed = hyperplane_bucket_multi(
+        new_batch, vec_col, bits, dim, n_tables=len(tables)
+    ).persist()
+    out = None
+    for t, index in enumerate(tables):
+        qb = hashed.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col(f"bucket_{t}").alias("bucket"),
+        )
+        c = index.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        )
+        cross = (
+            c.join(F.broadcast(qb), "bucket")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+        a = hashed.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col(f"bucket_{t}").alias("bk"),
+        )
+        b = hashed.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col(f"bucket_{t}").alias("bk"),
+        )
+        in_batch = (
+            a.join(b, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+        both = cross.unionByName(in_batch)
+        out = both if out is None else out.unionByName(both)
+    if not materialize:
+        return out.distinct()
+    result = out.distinct().localCheckpoint(eager=True)
+    hashed.unpersist()
+    return result

@@ -1067,3 +1067,146 @@ def test_survivor_policies_share_schema(spark):
     assert {(r.doc_id, r.cluster_id) for r in best.collect()} == {
         (2, 1), (9, 9)
     }
+
+
+def test_ann_incremental_pairs_batch_vs_index(spark, tmp_path):
+    """Incremental embedding dedup (the embedding twin of
+    minhash_incremental_pairs): a new batch probed against the PERSISTED
+    multi-table LSH index must equal the from-scratch reference (cross
+    pairs vs corpus in every table + in-batch pairs), the corpus side of
+    the plan must be pure parquet scans of the precomputed bucket column
+    (no re-hash), and a re-ingested id never pairs with itself."""
+    from dbkit_spark.functions.vectors import cosine
+    from dbkit_spark.llm.similarity import (
+        ann_incremental_pairs,
+        hyperplane_bucket,
+        load_hyperplane_index_multi,
+        save_hyperplane_index_multi,
+    )
+    from dbkit_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    # batch: 10 genuinely-new vectors + 1 re-ingest of a corpus id
+    batch = emb.filter(F.col("vec_id") < 10).unionByName(
+        emb.filter(F.col("vec_id") == 60)
+    )
+    path = str(tmp_path / "inc_idx")
+    save_hyperplane_index_multi(corpus, path, n_tables=2)
+    tables = load_hyperplane_index_multi(spark, path, n_tables=2)
+
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in ann_incremental_pairs(batch, tables, threshold=0.2).collect()
+    }
+
+    # from-scratch reference
+    want = set()
+    for t in range(2):
+        qb = hyperplane_bucket(batch, table=t).select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            "bucket",
+        )
+        cb = hyperplane_bucket(corpus, table=t).select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            "bucket",
+        )
+        cross = (
+            cb.join(qb, "bucket")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.2)
+        )
+        bb = qb.select(
+            F.col("id_a").alias("id_b"),
+            F.col("va").alias("vb"),
+            "bucket",
+        )
+        in_batch = (
+            qb.join(bb, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.2)
+        )
+        want |= {tuple(r) for r in cross.collect()}
+        want |= {tuple(r) for r in in_batch.collect()}
+    assert got == want and got  # non-trivial
+    assert all(a != b for a, b, _ in got)  # re-ingested 60 never self-pairs
+
+    # no-re-hash plan gate (q127 style): the corpus side is exactly two
+    # parquet scans whose ReadSchema carries the PRECOMPUTED bucket column
+    plan = ann_incremental_pairs(
+        batch, tables, threshold=0.2, materialize=False
+    )._jdf.queryExecution().executedPlan().toString()
+    # index scans are the ones whose ReadSchema carries the PRECOMPUTED
+    # bucket_id partition column (the batch side has no such column)
+    idx_scans = [
+        s for s in plan.split("FileScan parquet")[1:] if "bucket_id" in s[:200]
+    ]
+    assert len(idx_scans) == 2, len(idx_scans)  # one per table, no more
+    # the batch is hashed once and served from cache to all six join sides
+    assert "InMemoryTableScan" in plan
+
+
+def test_pluggable_tokenizer_udfs(spark):
+    """make_tokenizer_udfs routes a user tokenizer through Arrow-batched
+    pandas UDFs: counts equal the driver-side truth, chunking under the
+    custom tokenizer obeys the same coverage law as the regex default,
+    and the dependency-gated model_tokenizer fails with guidance when
+    tiktoken is absent (skips if present)."""
+    from dbkit_spark.functions.text import make_tokenizer_udfs
+    from dbkit_spark.llm.chunking import chunk_documents
+    from dbkit_spark.sources import read_table
+
+    def _fake_bpe(s):
+        # deterministic stand-in for a model tokenizer: integer "ids" —
+        # exercises the ids-not-strings path; a closure (not module-level)
+        # so cloudpickle ships it by value to executors
+        return [ord(s[i]) * 7 + i % 5 for i in range(0, len(s), 3)]
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    tokenize_udf, count_udf = make_tokenizer_udfs(_fake_bpe)
+    got = {
+        r.doc_id: (r.n, r.toks)
+        for r in docs.select(
+            "doc_id",
+            count_udf(F.col("text")).alias("n"),
+            tokenize_udf(F.col("text")).alias("toks"),
+        ).collect()
+    }
+    truth = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, text in truth.items():
+        want = [str(x) for x in _fake_bpe(text)] if text else []
+        assert got[doc_id] == (len(want), want), doc_id
+
+    # chunk law under the custom tokenizer: stride prefixes + last tail
+    # reconstruct the model-token stream
+    W, S = 16, 12
+    chunks = chunk_documents(docs, window=W, stride=S, tokenizer=_fake_bpe)
+    by_doc: dict[int, list] = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        stream: list[str] = []
+        for r in rows[:-1]:
+            assert r.n_tok == W
+            stream.extend(r.chunk_text.split(" ")[:S])
+        stream.extend(rows[-1].chunk_text.split(" "))
+        assert stream == [str(x) for x in _fake_bpe(truth[doc_id])], doc_id
+
+    # dependency gate
+    try:
+        import tiktoken  # noqa: F401
+
+        pytest.skip("tiktoken installed; gate n/a in this environment")
+    except ImportError:
+        pass
+    from dbkit_spark.functions.text import model_tokenizer
+
+    with pytest.raises(ImportError, match="tiktoken"):
+        model_tokenizer()
