@@ -317,3 +317,106 @@ def test_dynamic_gap_session_stream_equals_batch(spark):
         for r in run_available_now(agg, output_mode="complete").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_heavy_hitters_kernel_bound_accounting():
+    """The shared Misra–Gries merge+trim kernel on hand-checked values:
+    trim subtracts the (capacity+1)-th largest count from everyone,
+    keeps positives, and reports the subtraction as the error increment."""
+    from dbkit_spark.streaming.heavy_hitters import mg_merge_trim
+
+    s, err = mg_merge_trim({}, {"a": 5, "b": 3, "c": 1, "d": 1}, capacity=2)
+    assert s == {"a": 4, "b": 2} and err == 1
+    # merging an existing summary accumulates before trimming
+    s2, err2 = mg_merge_trim({"a": 4, "b": 2}, {"c": 7, "b": 1}, capacity=2)
+    # merged {a:4,b:3,c:7}; 3rd largest = 3 -> {c:4, a:1}, err inc 3
+    assert s2 == {"c": 4, "a": 1} and err2 == 3
+    # under capacity: no trim, no error
+    s3, err3 = mg_merge_trim({}, {"x": 2}, capacity=2)
+    assert s3 == {"x": 2} and err3 == 0
+
+
+def test_heavy_hitters_stream_bounds_and_parity(spark, sf_dir, tmp_path):
+    """Streaming sharded MG heavy hitters: (1) single-batch availableNow
+    replay is bit-identical to the batch twin (order-independent kernel);
+    (2) against exact ground truth (q96's territory) every estimate
+    satisfies est <= true <= est + err and every key with true count
+    > n_shard/capacity is present; (3) a two-file (two micro-batch)
+    replay keeps state bounded at capacity per shard and still honors
+    the bounds."""
+    from dbkit_spark.streaming.heavy_hitters import (
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+        topk_from_summaries,
+    )
+
+    CAP, SHARDS = 16, 4
+    ev = read_table(spark, sf_dir, "events")
+    batch = heavy_hitters_batch(ev, "user_id", capacity=CAP, n_shards=SHARDS)
+    batch_rows = {tuple(r) for r in batch.collect()}
+
+    # (1) parity: events.parquet is one file -> one micro-batch
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        heavy_hitters_stream(stream, "user_id", capacity=CAP, n_shards=SHARDS),
+        output_mode="update",
+    )
+    assert {tuple(r) for r in got.collect()} == batch_rows
+
+    # (2) bounds vs exact truth
+    true = {
+        str(r.user_id): r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    shard_of = {
+        str(r.user_id): r.shard
+        for r in ev.select(
+            "user_id",
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(SHARDS)).alias("shard"),
+        ).distinct().collect()
+    }
+    per_shard_n: dict[int, int] = {}
+    for k, n in true.items():
+        per_shard_n[shard_of[k]] = per_shard_n.get(shard_of[k], 0) + n
+    summary = {r.key: r for r in batch.collect()}
+    for key, r in summary.items():
+        assert r.est <= true[key] <= r.est + r.err, key
+        assert r.err <= per_shard_n[r.shard] / CAP, key
+        assert r.n_shard == per_shard_n[r.shard]
+    for key, n in true.items():
+        if n > per_shard_n[shard_of[key]] / CAP:
+            assert key in summary, (key, n)
+    # top-k cut is metadata-sized and ordered by est
+    top = topk_from_summaries(batch, 5).collect()
+    assert len(top) == 5
+    assert [r.est for r in top] == sorted((r.est for r in top), reverse=True)
+
+    # (3) two micro-batches: state stays bounded, bounds still hold
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "s" / "f1.parquet")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "s" / "f2.parquet")
+    )
+    two = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "s" / "*"))
+    )
+    emitted = run_available_now(
+        heavy_hitters_stream(two, "user_id", capacity=CAP, n_shards=SHARDS),
+        output_mode="update",
+    ).collect()
+    # keep the LAST emission per shard (n_shard is monotone per shard)
+    latest_n = {}
+    for r in emitted:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.n_shard)
+    final = [r for r in emitted if r.n_shard == latest_n[r.shard]]
+    per_shard_keys: dict[int, int] = {}
+    for r in final:
+        per_shard_keys[r.shard] = per_shard_keys.get(r.shard, 0) + 1
+        assert r.est <= true[r.key] <= r.est + r.err, r.key
+    assert all(c <= CAP for c in per_shard_keys.values())
+    assert {r.shard for r in final} == set(per_shard_n)
+    for s, n in latest_n.items():
+        assert n == per_shard_n[s]
