@@ -154,8 +154,11 @@ def pack_by_token_budget(
     ids are (shard, batch_id) pairs.
 
     The DEFAULT is ``shard_by="auto"``: a deterministic hash shard
-    (``pmod(xxhash64(id), n_shards)``, emitted as a ``shard`` output
-    column) so the scalable plan is what users get by accident — the
+    (md5 rule, portable — ``conv(substr(md5(id || ':pack'), 1, 6), 16,
+    10) % n_shards``, emitted as a ``shard`` output column, reproducible
+    digit-for-digit by any SQL engine like every other hash
+    construction here) so the scalable plan is what users get by
+    accident — the
     accidental form of this operator used to be a corpus-wide
     single-reducer cumsum, the classic 100 TB scale-killer. Packing
     quality is unaffected: batches only ever group docs within one
@@ -172,8 +175,11 @@ def pack_by_token_budget(
     docs should filter on ``token_col > budget`` first.
     """
     if shard_by == "auto":
+        keyed = F.concat(F.col(id_col).cast("string"), F.lit(":pack"))
         df = df.withColumn(
-            "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+            "shard",
+            F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
+            % n_shards,
         )
         shard_by = "shard"
     if shard_by is None:

@@ -24,8 +24,10 @@ value-threshold trim), unlike item-at-a-time MG — so batch and stream
 replays of the same micro-batches produce bit-identical summaries, and
 different micro-batchings agree within the error bound.
 
-Scale design: the stream is hash-SHARDED on the key
-(``pmod(xxhash64(key), n_shards)``) and each shard keeps one summary —
+Scale design: the stream is hash-SHARDED on the key (md5 rule, portable
+— ``conv(substr(md5(key || ':hh'), 1, 6), 16, 10) % n_shards``, so a
+SQL oracle reproduces shard assignment digit-for-digit like every other
+hash construction in this engine) and each shard keeps one summary —
 state is O(n_shards * capacity) TOTAL regardless of stream length or key
 cardinality, and the state store distributes shards across executors
 (never a single global sketch funneling through one task). A key lives
@@ -126,8 +128,12 @@ def _make_update(capacity: int):
 
 
 def _sharded(events: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    keyed = F.concat(F.col(key_col).cast("string"), F.lit(":hh"))
     return events.select(
-        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).alias("shard"),
+        (
+            F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
+            % n_shards
+        ).alias("shard"),
         F.col(key_col).cast("string").alias("key"),
     )
 

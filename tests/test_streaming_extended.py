@@ -368,11 +368,16 @@ def test_heavy_hitters_stream_bounds_and_parity(spark, sf_dir, tmp_path):
         str(r.user_id): r.n
         for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
+    # recompute shard assignment by the documented portable md5 rule
+    keyed = F.concat(F.col("user_id").cast("string"), F.lit(":hh"))
     shard_of = {
         str(r.user_id): r.shard
         for r in ev.select(
             "user_id",
-            F.pmod(F.xxhash64(F.col("user_id")), F.lit(SHARDS)).alias("shard"),
+            (
+                F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
+                % SHARDS
+            ).alias("shard"),
         ).distinct().collect()
     }
     per_shard_n: dict[int, int] = {}
