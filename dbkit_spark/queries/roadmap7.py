@@ -1,0 +1,253 @@
+"""Round-7 catalog queue — WRITTEN AND PRE-VERIFIED in round 6, but NOT
+registered: the round-5 verdict froze the catalog at 200 until the
+driver's r06 sweep re-greens the stale q01–q41/q72–q82 window (new
+queries jump to the front of the never-checked-first rotation and would
+displace those slots again).
+
+To land in round 7: move each ``ROADMAP7`` entry to a ``@register``
+call (the dict already holds the exact name/oracle/notes triple) in a
+module imported by ``catalog.load_all`` — after confirming the r07
+window still leads with the remaining stale q42–q50.
+
+``tests/test_catalog.py::test_roadmap7_queue_preverified`` runs every
+entry through the same row/schema/hash/dtype compare the driver uses,
+so these are green before they ever reach the rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .extended5 import _bucket_sql_t
+
+# md5-rule shard expression shared by the oracles below (the engine-wide
+# portable hash construction: first 6 hex digits of md5(key || salt)).
+def _shard_sql(key_sql: str, salt: str, n: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, 6), i -> "
+        f"CAST((strpos('0123456789abcdef', substr(md5(concat({key_sql}, "
+        f"'{salt}')), i, 1)) - 1) AS BIGINT) "
+        f"* CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT) % {n}"
+    )
+
+
+def q201_ann_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..llm.similarity import (
+        ann_incremental_pairs,
+        load_hyperplane_index_multi,
+        save_hyperplane_index_multi,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter(F.col("vec_id") < 100)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_ann_inc_{sf_tag}")
+    save_hyperplane_index_multi(corpus, path, n_tables=2)
+    tables = load_hyperplane_index_multi(spark, path, n_tables=2)
+    return ann_incremental_pairs(batch, tables, threshold=0.2)
+
+
+_Q201_ORACLE = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v, {_bucket_sql_t(0)} AS b0, {_bucket_sql_t(1)} AS b1
+      FROM e
+    ),
+    cross_pairs AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM bucketed q JOIN bucketed c
+        ON (q.b0 = c.b0 OR q.b1 = c.b1)
+      WHERE q.vec_id < 100 AND c.vec_id >= 100
+    ),
+    in_batch AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+      WHERE a.vec_id < 100 AND b.vec_id < 100
+    )
+    SELECT DISTINCT id_a, id_b, cos_sim
+    FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM in_batch)
+    WHERE cos_sim >= 0.2
+"""
+
+_Q201_NOTES = (
+    "INCREMENTAL embedding dedup (llm/similarity.ann_incremental_pairs "
+    "— the embedding twin of q78's append-batch lexical dedup): the new "
+    "batch is hashed once for all tables and probed against the "
+    "PERSISTED multi-table LSH index (q161's save/load round-trip); the "
+    "corpus side is pure parquet scans of the precomputed bucket column "
+    "— never re-hashed, never corpus x corpus (no-re-hash plan gate in "
+    "tests/test_llm.py), so daily-ingest work scales with the batch. "
+    "The oracle rebuilds both tables from the md5 rule and unions "
+    "batch-vs-corpus with in-batch candidates before the cosine verify"
+)
+
+
+def q202_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.heavy_hitters import heavy_hitters_batch
+
+    ev = read_table(spark, sf_dir, "events")
+    return heavy_hitters_batch(ev, "user_id", capacity=16, n_shards=4).orderBy(
+        "shard", "key"
+    )
+
+
+_Q202_ORACLE = f"""
+    WITH sharded AS (
+      SELECT {_shard_sql("CAST(user_id AS VARCHAR)", ":hh", 4)} AS shard,
+             CAST(user_id AS VARCHAR) AS key
+      FROM events
+    ),
+    counts AS (
+      SELECT shard, key, COUNT(*) AS cnt FROM sharded GROUP BY shard, key
+    ),
+    ranked AS (
+      SELECT shard, key, cnt,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY cnt DESC, key) AS rn,
+             CAST(SUM(cnt) OVER (PARTITION BY shard) AS BIGINT) AS n_shard
+      FROM counts
+    ),
+    subs AS (
+      SELECT shard, COALESCE(MAX(CASE WHEN rn = 17 THEN cnt END), 0) AS sub
+      FROM ranked GROUP BY shard
+    )
+    SELECT r.shard, r.key, CAST(r.cnt - s.sub AS BIGINT) AS est,
+           CAST(s.sub AS BIGINT) AS err, r.n_shard
+    FROM ranked r JOIN subs s ON r.shard = s.shard
+    WHERE r.cnt - s.sub > 0
+    ORDER BY r.shard, r.key
+"""
+
+_Q202_NOTES = (
+    "approximate HEAVY HITTERS, batch twin of the bounded-state stream "
+    "(streaming/heavy_hitters — sharded mergeable Misra-Gries: state "
+    "O(n_shards x capacity) forever, est <= true <= est + err, "
+    "err <= n_shard/capacity): the order-independent merge-then-trim "
+    "kernel makes the one-batch summary fully SQL-expressible — the "
+    "oracle reproduces shard assignment by the engine-wide md5 rule, "
+    "subtracts the (capacity+1)-th largest count per shard, and keeps "
+    "the positive remainders. Single-batch streaming replay is "
+    "bit-identical (pinned in tests/test_streaming_extended.py); "
+    "multi-batch replays agree within err"
+)
+
+
+def q203_token_packing_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import pack_by_token_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_by_token_budget(docs, "doc_id", "n_chars", budget=20000)
+
+
+_Q203_ORACLE = f"""
+    WITH sharded AS (
+      SELECT {_shard_sql("CAST(doc_id AS VARCHAR)", ":pack", 64)} AS shard,
+             doc_id, n_chars
+      FROM documents
+    )
+    SELECT shard, doc_id, n_chars,
+           CAST(floor((SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id)
+                       - n_chars) / 20000.0) AS BIGINT) AS batch_id
+    FROM sharded
+"""
+
+_Q203_NOTES = (
+    "token packing under the OPERATOR DEFAULT (auto md5 hash shard — "
+    "the round-6 scale-default fix: the accidental call form used to "
+    "be a corpus-wide single-reducer cumsum): the cumsum window "
+    "partitions on the deterministic shard, no SinglePartition "
+    "anywhere (plan-gated in tests/test_llm.py); q77 remains the "
+    "explicit shard_by=None exactness baseline and q84 the "
+    "semantic-shard form. The oracle reproduces the shard digit-for-"
+    "digit from the md5 rule"
+)
+
+
+def q204_quantile_bin_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import quantile_bin
+
+    ev = read_table(spark, sf_dir, "events")
+    binned = quantile_bin(ev, "value", 8)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+_Q204_NOTES = (
+    "rows-only (approxQuantile's Greenwald-Khanna boundaries are "
+    "deterministic but not reproducible in DuckDB): quantile binning "
+    "under the OPERATOR DEFAULT — sampled boundaries broadcast as "
+    "literals + map-side comparison assignment, no global sort or "
+    "single-partition window (plan-gated in tests/test_histogram.py). "
+    "q184 keeps the exact-ntile oracle baseline; the >=95% sampled-vs-"
+    "exact bin agreement and near-equal populations are pytest-pinned"
+)
+
+
+def q205_chunk_custom_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.chunking import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def blocks4(s):
+        return [s[i : i + 4] for i in range(0, len(s), 4)]
+
+    return chunk_documents(
+        docs, window=6, stride=4, tokenizer=blocks4
+    ).orderBy("doc_id", "chunk_id")
+
+
+_Q205_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(text), 4),
+                            i -> substr(text, i, 4)) AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0)
+    SELECT b.doc_id,
+           u.k AS chunk_id,
+           len(b.t[u.k*4+1 : u.k*4+6]) AS n_tok,
+           array_to_string(b.t[u.k*4+1 : u.k*4+6], ' ') AS chunk_text
+    FROM base b,
+         UNNEST(generate_series(0,
+           CAST(ceil(greatest(b.n - 6, 0) / 4.0) AS BIGINT))) AS u(k)
+    ORDER BY doc_id, chunk_id
+"""
+
+_Q205_NOTES = (
+    "chunking through the PLUGGABLE TOKENIZER boundary (functions/"
+    "text.make_tokenizer_udfs routing a custom str->list callable "
+    "through an Arrow-batched pandas UDF — the same boundary a real "
+    "tiktoken/sentencepiece tokenizer rides): the fixture tokenizer "
+    "(4-char blocks) is deliberately SQL-expressible so the DuckDB "
+    "oracle validates the UDF crossing itself byte-for-byte, q172's "
+    "chunk rule unchanged. The dependency-gated model_tokenizer path "
+    "is pytest-covered; regex-default chunking stays all-JVM (q172)"
+)
+
+
+# name -> (fn, oracle_sql_or_None, notes) — exactly the @register triple.
+ROADMAP7 = {
+    "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
+    "q202_heavy_hitters_mg": (q202_heavy_hitters_mg, _Q202_ORACLE, _Q202_NOTES),
+    "q203_token_packing_auto": (q203_token_packing_auto, _Q203_ORACLE, _Q203_NOTES),
+    "q204_quantile_bin_sampled": (q204_quantile_bin_sampled, None, _Q204_NOTES),
+    "q205_chunk_custom_tokenizer": (q205_chunk_custom_tokenizer, _Q205_ORACLE, _Q205_NOTES),
+}

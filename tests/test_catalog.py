@@ -70,3 +70,25 @@ def test_readme_count_matches_catalog():
     m = re.search(r"`queries\(\)` \((\d+) declared queries\)", text)
     assert m, "README missing declared-query count"
     assert int(m.group(1)) == len(catalog)
+
+
+def test_roadmap7_queue_preverified(spark):
+    """The round-7 queue (queries written during the round-6 catalog
+    freeze) must ALREADY pass the driver's compare at the driver's scale
+    — landing them in r07 is then a pure registration move — and
+    importing the queue must not register anything (the freeze is the
+    point)."""
+    from oracle_utils import check_dtype_parity, compare_query
+
+    from dbkit_spark.catalog import load_all
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+
+    assert len(load_all()) == 200  # frozen; roadmap7 import registers nothing
+    sf = "/root/testdata/sf0.01"
+    for name, (fn, oracle, notes) in ROADMAP7.items():
+        assert notes
+        if oracle is None:
+            assert fn(spark, sf).count() > 0, name
+        else:
+            compare_query(spark, name, fn, oracle, sf)
+            check_dtype_parity(spark, name, fn, oracle, sf)
