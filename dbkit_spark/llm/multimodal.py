@@ -518,3 +518,239 @@ def decode_features_arrow(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInArrow(do, FEATURE_SCHEMA)
+
+# --- full-pixel decoders (PNG/BMP/PPM, pure stdlib) --------------------------
+# Round-5 left full-pixel decode behind honest NotImplementedError stubs
+# "unless the environment gains codec libs" — but PNG needs only stdlib
+# zlib (inflate + per-scanline unfilter), and BMP/PPM are raw bytes, so
+# three of the four supported containers decode to real pixels with no
+# dependency at all. JPEG remains the honest stub: baseline JPEG needs
+# Huffman + IDCT, i.e. a real codec lib.
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit non-interlaced PNG to (width, height, channels,
+    raw pixel bytes, row-major, no padding). Supports color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) — every filter type
+    (None/Sub/Up/Average/Paeth), CRC-verified chunks.
+
+    The unfilter loop is sequential per scanline byte (each recon byte
+    depends on the left/up recon) — fine for the Arrow-batch sizes this
+    rides in; a production pipeline swaps in a vectorized codec at the
+    same mapInPandas boundary."""
+    import binascii
+    import struct
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if binascii.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={interlace} needs a codec lib; "
+            "this stdlib decoder covers 8-bit non-interlaced"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} (palette) unsupported")
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = bytearray(h * stride)
+    prev_off = -1
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        off = y * stride
+        if ftype == 0:  # None
+            out[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[off + i - channels] if i >= channels else 0
+                out[off + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[prev_off + i] if y else 0
+                out[off + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[off + i - channels] if i >= channels else 0
+                up = out[prev_off + i] if y else 0
+                out[off + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[off + i - channels] if i >= channels else 0
+                b = out[prev_off + i] if y else 0
+                c = out[prev_off + i - channels] if (y and i >= channels) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[off + i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        prev_off = off
+    return w, h, channels, bytes(out)
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a 24bpp uncompressed BMP to (width, height, 3, RGB bytes,
+    row-major top-down) — handles bottom-up (positive height) and
+    top-down (negative height) layouts and 4-byte row padding; converts
+    the stored BGR to RGB."""
+    if payload is None or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_signed = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp}/compression={compression}: only 24bpp "
+            "uncompressed is supported here"
+        )
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    out = bytearray(h * row_raw)
+    for row in range(h):
+        src = data_off + row * (row_raw + pad)
+        y = (h - 1 - row) if bottom_up else row
+        line = payload[src : src + row_raw]
+        if len(line) < row_raw:
+            raise ValueError("BMP truncated")
+        o = y * row_raw
+        for x in range(w):
+            b_, g_, r_ = line[3 * x], line[3 * x + 1], line[3 * x + 2]
+            out[o + 3 * x : o + 3 * x + 3] = bytes((r_, g_, b_))
+    return w, h, 3, bytes(out)
+
+
+def decode_ppm_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a binary PPM (P6, maxval 255) to (width, height, 3, RGB
+    bytes) — tolerates comment lines in the header like any netpbm
+    reader."""
+    if payload is None or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(payload):
+        ch = payload[pos : pos + 1]
+        if ch == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    if len(fields) != 3:
+        raise ValueError("PPM truncated header")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 (16-bit) unsupported")
+    pos += 1  # the single whitespace after maxval
+    px = payload[pos : pos + w * h * 3]
+    if len(px) < w * h * 3:
+        raise ValueError("PPM truncated pixels")
+    return w, h, 3, bytes(px)
+
+
+def decode_image_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Dispatch on magic bytes to a full-pixel decode: (format, width,
+    height, channels, raw bytes). JPEG raises NotImplementedError — the
+    one honest stub left (baseline JPEG needs Huffman+IDCT, a codec
+    lib's job); headers still parse via ``parse_image_meta``."""
+    if payload is None:
+        raise ValueError("no payload")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return ("png", *decode_png_pixels(payload))
+    if payload[:2] == b"BM":
+        return ("bmp", *decode_bmp_pixels(payload))
+    if payload[:2] == b"P6":
+        return ("ppm", *decode_ppm_pixels(payload))
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG pixel decode needs a codec lib (Huffman+IDCT); header "
+            "metadata parses via parse_image_meta"
+        )
+    raise ValueError("unknown image container")
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("img_format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def image_pixel_stats(payloads: DataFrame) -> DataFrame:
+    """REAL pixel feature extraction over mapInPandas: full decode
+    (PNG inflate+unfilter / BMP / PPM) then per-channel means. Rows whose
+    container can't be pixel-decoded here (JPEG) emit decoded=false with
+    NULL stats instead of failing the batch — a corpus pipeline keeps
+    moving and the undecodable subset is queryable. Arrow-batched,
+    map-only, shuffle-free; partition count controls decode parallelism
+    exactly as with the stub decoder."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in PIXEL_STATS_SCHEMA}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fmt, w, h, ch, px = decode_image_pixels(payload)
+                    n = w * h
+                    sums = [0, 0, 0]
+                    if ch >= 3:
+                        for i in range(0, len(px), ch):
+                            sums[0] += px[i]
+                            sums[1] += px[i + 1]
+                            sums[2] += px[i + 2]
+                    else:  # gray / gray+alpha: replicate luma across RGB
+                        for i in range(0, len(px), ch):
+                            sums[0] += px[i]
+                        sums[1] = sums[2] = sums[0]
+                    vals = (did, fmt, w, h, ch, sums[0] / n, sums[1] / n,
+                            sums[2] / n, True)
+                except NotImplementedError:
+                    meta = parse_image_meta(payload)
+                    vals = (did, meta[0], meta[1], meta[2], None, None, None,
+                            None, False)
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(do, PIXEL_STATS_SCHEMA)

@@ -1210,3 +1210,162 @@ def test_pluggable_tokenizer_udfs(spark):
 
     with pytest.raises(ImportError, match="tiktoken"):
         model_tokenizer()
+
+
+def test_png_decode_all_filter_types():
+    """The stdlib PNG decoder must invert every scanline filter
+    (None/Sub/Up/Average/Paeth): forward-filter known pixels per the
+    spec in the test, decode, and require exact recovery."""
+    import binascii
+    import struct
+    import zlib
+
+    from dbkit_spark.llm.multimodal import decode_png_pixels
+
+    w, h, ch = 5, 5, 3
+    raw = bytes(
+        (13 * x + 7 * y + c * 3) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    filtered = bytearray()
+    for y in range(h):
+        ftype = y % 5  # one row per filter type
+        filtered.append(ftype)
+        for i in range(stride):
+            cur = raw[y * stride + i]
+            left = raw[y * stride + i - ch] if i >= ch else 0
+            up = raw[(y - 1) * stride + i] if y else 0
+            ul = raw[(y - 1) * stride + i - ch] if (y and i >= ch) else 0
+            if ftype == 0:
+                out = cur
+            elif ftype == 1:
+                out = cur - left
+            elif ftype == 2:
+                out = cur - up
+            elif ftype == 3:
+                out = cur - (left + up) // 2
+            else:
+                out = cur - paeth(left, up, ul)
+            filtered.append(out & 0xFF)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+    W, H, C, px = decode_png_pixels(png)
+    assert (W, H, C) == (w, h, ch) and px == raw
+
+    # corrupted CRC must be rejected, not silently decoded
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # IEND CRC byte
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(bad))
+
+
+def test_pixel_decode_roundtrip_and_edges():
+    """Every container's encoder→decoder round-trip recovers the exact
+    deterministic pixels (incl. BMP bottom-up row flip + BGR→RGB and
+    padded widths); top-down BMP and commented PPM parse; JPEG pixel
+    decode is the honest NotImplementedError."""
+    import pytest as _pytest
+
+    from dbkit_spark.llm.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        encode_jpeg_header,
+        encode_png,
+        encode_ppm,
+    )
+
+    for w, h, seed in [(4, 3, 0), (13, 5, 7), (1, 1, 250), (16, 9, 42)]:
+        rgb = bytes(
+            b
+            for y in range(h)
+            for x in range(w)
+            for v in [(seed + 31 * x + 17 * y) % 256]
+            for b in (v, (v * 7) % 256, (v * 13) % 256)
+        )
+        assert decode_image_pixels(encode_png(w, h, seed)) == ("png", w, h, 3, rgb)
+        assert decode_image_pixels(encode_ppm(w, h, seed)) == ("ppm", w, h, 3, rgb)
+        # BMP: stored bottom-up in BGR; decoded top-down RGB = row-reversed,
+        # channel-swapped deterministic pixels
+        bmp_rgb = bytes(
+            b
+            for y in reversed(range(h))
+            for x in range(w)
+            for v in [(seed + 31 * x + 17 * y) % 256]
+            for b in ((v * 13) % 256, (v * 7) % 256, v)
+        )
+        assert decode_image_pixels(encode_bmp(w, h, seed)) == ("bmp", w, h, 3, bmp_rgb)
+
+    # top-down BMP (negative height): no row flip
+    neg = bytearray(encode_bmp(3, 2, 1))
+    neg[22:26] = (-2).to_bytes(4, "little", signed=True)
+    f, W, H, C, px = decode_image_pixels(bytes(neg))
+    assert (f, W, H, C) == ("bmp", 3, 2, 3)
+    v00 = 1  # seed=1, x=0, row 0 as stored
+    assert px[:3] == bytes(((v00 * 13) % 256, (v00 * 7) % 256, v00))
+
+    # commented PPM header parses like any netpbm reader
+    from dbkit_spark.llm.multimodal import decode_ppm_pixels
+
+    body = bytes(range(2 * 2 * 3))
+    commented = b"P6\n# comment line\n2 2\n255\n" + body
+    assert decode_ppm_pixels(commented) == (2, 2, 3, body)
+
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image_pixels(encode_jpeg_header(4, 3, 0))
+
+
+def test_image_pixel_stats_operator(spark):
+    """image_pixel_stats decodes real pixels through mapInPandas: BMP/PPM/
+    PNG rows carry exact per-channel means (verified against a direct
+    driver-side decode), JPEG rows emit decoded=false with header dims
+    instead of failing the batch, and the fan-out adds no shuffle."""
+    from dbkit_spark.llm.multimodal import (
+        decode_image_pixels,
+        image_pixel_stats,
+        with_multiformat_image_payload,
+    )
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 40
+    )
+    payloads = with_multiformat_image_payload(docs)
+    stats = image_pixel_stats(payloads)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    rows = {r.doc_id: r for r in stats.collect()}
+    assert len(rows) == 40
+    local = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    for did, r in rows.items():
+        w, h = 4 + did % 13, 3 + did % 7
+        assert (r.width, r.height) == (w, h), did
+        if did % 4 == 3:  # JPEG
+            assert not r.decoded and r.mean_r is None
+            continue
+        fmt, W, H, C, px = decode_image_pixels(local[did])
+        assert r.decoded and r.img_format == fmt and C == r.channels
+        n = W * H
+        want = [sum(px[i + c] for i in range(0, len(px), 3)) / n for c in range(3)]
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(want), did
