@@ -96,6 +96,8 @@ def quantile_bin(
 
         order = [c] + ([F.col(tiebreak_col)] if tiebreak_col else [])
         return clean.withColumn("bin", F.ntile(k).over(Window.orderBy(*order)))
+    if k == 1:  # degenerate: everything is bin 1; approxQuantile([]) NPEs
+        return clean.withColumn("bin", F.lit(1).cast("int"))
     probs = [i / k for i in range(1, k)]
     boundaries = clean.stat.approxQuantile(col, probs, rel_err)
     bin_ = F.lit(1).cast("int")

@@ -370,3 +370,99 @@ def test_minmax_normalize_bounds(spark, rows):
                 assert r.s == 1.0
         else:
             assert r.s == 0.5
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.sampled_from([f"k{i}" for i in range(12)]),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    capacity=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_mg_kernel_laws(batches, capacity):
+    """Misra–Gries kernel laws under arbitrary batch splits (pure-Python
+    kernel, no Spark needed): summary never exceeds capacity; for EVERY
+    key est <= true <= est + err; every key with true count > err is
+    present; and the total error never exceeds n/capacity... the bound
+    the streaming operator's docstring promises."""
+    from collections import Counter
+
+    from dbkit_spark.streaming.heavy_hitters import mg_merge_trim
+
+    summary: dict[str, int] = {}
+    err = 0
+    true: Counter = Counter()
+    n = 0
+    for batch in batches:
+        true.update(batch)
+        n += len(batch)
+        summary, sub = mg_merge_trim(summary, Counter(batch), capacity)
+        err += sub
+        assert len(summary) <= capacity
+    for k, c in true.items():
+        est = summary.get(k, 0)
+        assert est <= c <= est + err, (k, est, c, err)
+    for k, c in true.items():
+        if c > err:
+            assert k in summary, (k, c, err)
+    if n:
+        assert err <= n / capacity, (err, n, capacity)
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_quantile_bin_laws(spark, vals, k):
+    """Sampled quantile binning laws on arbitrary floats: output covers
+    every non-null input row exactly once, bins fall in 1..k, and bin
+    assignment is monotone in value (a higher value never gets a lower
+    bin)."""
+    from dbkit_spark.operators.histogram import quantile_bin
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = quantile_bin(df, "v", k).collect()
+    assert len(out) == len(vals)
+    assert all(1 <= r.bin <= k for r in out)
+    by_val = sorted(out, key=lambda r: (r.v, r.id))
+    bins = [r.bin for r in by_val]
+    assert bins == sorted(bins), bins
+
+
+@given(
+    dims=st.tuples(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SETTINGS
+def test_png_roundtrip_random(dims, seed):
+    """PNG encode→decode is the identity on pixels for arbitrary
+    dimensions and seeds (pure-Python, no Spark)."""
+    from dbkit_spark.llm.multimodal import decode_png_pixels, encode_png
+
+    w, h = dims
+    W, H, C, px = decode_png_pixels(encode_png(w, h, seed % 256))
+    want = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for v in [(seed % 256 + 31 * x + 17 * y) % 256]
+        for b in (v, (v * 7) % 256, (v * 13) % 256)
+    )
+    assert (W, H, C) == (w, h, 3) and px == want
