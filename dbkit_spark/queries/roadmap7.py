@@ -243,6 +243,67 @@ _Q205_NOTES = (
 )
 
 
+def q206_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import image_pixel_stats, with_multiformat_image_payload
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_pixel_stats(with_multiformat_image_payload(docs)).orderBy(
+        "doc_id"
+    )
+
+
+_Q206_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             doc_id % 251 AS seed, doc_id % 4 AS fmt
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT i.doc_id, i.w, i.h,
+             ((i.seed + 31 * x.x + 17 * y.y) % 256) AS v
+      FROM ids i,
+           UNNEST(generate_series(0, i.w - 1)) AS x(x),
+           UNNEST(generate_series(0, i.h - 1)) AS y(y)
+    ),
+    means AS (
+      SELECT doc_id,
+             CAST(SUM(v) AS DOUBLE) / (w * h) AS m_v,
+             CAST(SUM((v * 7) % 256) AS DOUBLE) / (w * h) AS m_7v,
+             CAST(SUM((v * 13) % 256) AS DOUBLE) / (w * h) AS m_13v
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT i.doc_id,
+           CASE i.fmt WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                      WHEN 2 THEN 'png' ELSE 'jpeg' END AS img_format,
+           CAST(i.w AS INTEGER) AS width,
+           CAST(i.h AS INTEGER) AS height,
+           CAST(CASE WHEN i.fmt = 3 THEN NULL ELSE 3 END AS INTEGER)
+             AS channels,
+           CASE i.fmt WHEN 0 THEN m.m_13v WHEN 3 THEN NULL ELSE m.m_v END
+             AS mean_r,
+           CASE WHEN i.fmt = 3 THEN NULL ELSE m.m_7v END AS mean_g,
+           CASE i.fmt WHEN 0 THEN m.m_v WHEN 3 THEN NULL ELSE m.m_13v END
+             AS mean_b,
+           i.fmt <> 3 AS decoded
+    FROM ids i JOIN means m ON i.doc_id = m.doc_id
+    ORDER BY i.doc_id
+"""
+
+_Q206_NOTES = (
+    "FULL-PIXEL image decode through the multimodal boundary (llm/"
+    "multimodal.image_pixel_stats over mapInPandas): BMP/PPM/PNG "
+    "payloads decode to real pixels with pure stdlib (PNG = zlib "
+    "inflate + all-five-filter unfilter, CRC-verified; BMP = bottom-up "
+    "BGR→RGB; PPM = P6) and emit exact per-channel means; JPEG rows "
+    "emit decoded=false with header dims (Huffman+IDCT needs a codec "
+    "lib — the one honest stub). The oracle NEVER touches the bytes: "
+    "it recomputes the means analytically from the deterministic pixel "
+    "formula (integer sums divided once, so the IEEE result matches "
+    "bit-for-bit), independently validating encoder AND decoder; "
+    "BMP's channel swap shows up as swapped mean_r/mean_b"
+)
+
+
 # name -> (fn, oracle_sql_or_None, notes) — exactly the @register triple.
 ROADMAP7 = {
     "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
@@ -250,4 +311,5 @@ ROADMAP7 = {
     "q203_token_packing_auto": (q203_token_packing_auto, _Q203_ORACLE, _Q203_NOTES),
     "q204_quantile_bin_sampled": (q204_quantile_bin_sampled, None, _Q204_NOTES),
     "q205_chunk_custom_tokenizer": (q205_chunk_custom_tokenizer, _Q205_ORACLE, _Q205_NOTES),
+    "q206_image_pixel_stats": (q206_image_pixel_stats, _Q206_ORACLE, _Q206_NOTES),
 }
