@@ -304,6 +304,86 @@ _Q206_NOTES = (
 )
 
 
+def q207_heavy_hitters_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.heavy_hitters import heavy_hitters_stream
+    from ..streaming.runner import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        heavy_hitters_stream(stream, "user_id", capacity=16, n_shards=4),
+        output_mode="update",
+    ).orderBy("shard", "key")
+
+
+_Q207_NOTES = (
+    "STREAMING heavy hitters replay (streaming/heavy_hitters."
+    "heavy_hitters_stream over applyInPandasWithState, availableNow "
+    "file replay — the q37 determinism discipline): the events fixture "
+    "is one file, so the replay is one micro-batch, and the "
+    "order-independent merge-then-trim kernel makes the streaming "
+    "summary BIT-IDENTICAL to q202's batch twin — hence a full SQL "
+    "oracle for a stateful streaming operator (same oracle as q202). "
+    "Multi-batch replays stay within the est/err bound "
+    "(tests/test_streaming_extended.py); state is O(n_shards x "
+    "capacity) regardless of stream length"
+)
+
+
+def q208_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.chunking import chunk_documents
+    from ..llm.sampling import pack_by_token_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=32, stride=24).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "n_tok",
+    )
+    return pack_by_token_budget(
+        chunks, "chunk_key", "n_tok", budget=512, n_shards=16
+    )
+
+
+_Q208_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT b.doc_id * 1000 + u.k AS chunk_key,
+             len(b.t[u.k*24+1 : u.k*24+32]) AS n_tok
+      FROM base b,
+           UNNEST(generate_series(0,
+             CAST(ceil(greatest(b.n - 32, 0) / 24.0) AS BIGINT))) AS u(k)
+    ),
+    sharded AS (
+      SELECT {_shard_sql("CAST(chunk_key AS VARCHAR)", ":pack", 16)} AS shard,
+             chunk_key, n_tok
+      FROM chunks
+    )
+    SELECT shard, chunk_key, n_tok,
+           CAST(floor((SUM(n_tok) OVER (PARTITION BY shard ORDER BY chunk_key)
+                       - n_tok) / 512.0) AS BIGINT) AS batch_id
+    FROM sharded
+"""
+
+_Q208_NOTES = (
+    "the COMPOSED pre-training pipeline: chunk long docs into "
+    "32-token/24-stride windows (q172's map-only rule), then pack the "
+    "chunks into 512-token training batches under the auto-shard "
+    "default (q203's distributed cumsum) — the chunk→pack composition "
+    "every sequence-packing pipeline runs, here as two operators whose "
+    "fusion stays one scan + one keyed window (no intermediate "
+    "materialization). The oracle composes the two SQL rules verbatim; "
+    "chunk_key = doc_id*1000 + chunk_id keeps the packing order "
+    "deterministic and portable"
+)
+
+
 # name -> (fn, oracle_sql_or_None, notes) — exactly the @register triple.
 ROADMAP7 = {
     "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
@@ -312,4 +392,10 @@ ROADMAP7 = {
     "q204_quantile_bin_sampled": (q204_quantile_bin_sampled, None, _Q204_NOTES),
     "q205_chunk_custom_tokenizer": (q205_chunk_custom_tokenizer, _Q205_ORACLE, _Q205_NOTES),
     "q206_image_pixel_stats": (q206_image_pixel_stats, _Q206_ORACLE, _Q206_NOTES),
+    "q207_heavy_hitters_stream_replay": (
+        q207_heavy_hitters_stream_replay,
+        _Q202_ORACLE,
+        _Q207_NOTES,
+    ),
+    "q208_chunk_then_pack": (q208_chunk_then_pack, _Q208_ORACLE, _Q208_NOTES),
 }
