@@ -336,3 +336,24 @@ def test_extension6_shuffle_discipline(spark, sf_dir):
     # chunking stays map-only apart from the presentation sort
     n_ex, single = audit("q172_document_chunking")
     assert n_ex <= 1 and not single
+
+
+def test_chunk_then_pack_composes_to_one_exchange(spark, sf_dir):
+    """The chunk→pack pipeline (roadmap q208) must FUSE: one pruned scan
+    (doc_id, text only), exactly one Exchange (the shard-keyed packing
+    window), no SinglePartition — composition adds no materialization
+    barrier between the two operators."""
+    import re
+
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+
+    df = ROADMAP7["q208_chunk_then_pack"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange", final)) == 1, final
+    assert "SinglePartition" not in final
+    assert final.count("FileScan parquet") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", final)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"
+    }, m.group(1) if m else final
