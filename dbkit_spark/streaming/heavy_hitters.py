@@ -128,8 +128,12 @@ def _make_update(capacity: int):
 
 
 def _sharded(events: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    # NULL keys are excluded up front: they have no frequency identity,
+    # and letting them through would inflate n_shard (the error-bound
+    # denominator) while pandas value_counts silently drops them from
+    # the counts — a silent bound violation.
     keyed = F.concat(F.col(key_col).cast("string"), F.lit(":hh"))
-    return events.select(
+    return events.filter(F.col(key_col).isNotNull()).select(
         (
             F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
             % n_shards

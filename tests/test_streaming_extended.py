@@ -425,3 +425,17 @@ def test_heavy_hitters_stream_bounds_and_parity(spark, sf_dir, tmp_path):
     assert {r.shard for r in final} == set(per_shard_n)
     for s, n in latest_n.items():
         assert n == per_shard_n[s]
+
+
+def test_heavy_hitters_null_keys_excluded(spark):
+    """NULL keys must not leak into summaries OR the n_shard error-bound
+    denominator (pandas value_counts drops them from counts, so counting
+    them in n would silently loosen the bound)."""
+    from dbkit_spark.streaming.heavy_hitters import heavy_hitters_batch
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",), (None,)], "k string"
+    )
+    rows = heavy_hitters_batch(df, "k", capacity=8, n_shards=2).collect()
+    assert {r.key for r in rows} == {"a", "b"}
+    assert sum(r.n_shard for r in {r.shard: r for r in rows}.values()) == 3
