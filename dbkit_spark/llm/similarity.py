@@ -589,6 +589,8 @@ def ann_incremental_pairs(
     returns the lazy plan — for plan inspection/tests only (the caller
     then owns the persisted batch's lifetime).
     """
+    if not tables:
+        raise ValueError("tables must be a non-empty list of loaded LSH tables")
     hashed = hyperplane_bucket_multi(
         new_batch, vec_col, bits, dim, n_tables=len(tables)
     ).persist()

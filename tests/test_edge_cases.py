@@ -163,3 +163,32 @@ def test_round5_operator_guards(spark):
 
     with pytest.raises(ValueError, match="at least one aggregate"):
         observe_metrics(docs, "m", {})
+
+
+def test_round6_operator_guards(spark):
+    """Input-validation rails on the round-6 operators raise before any
+    job is launched."""
+    import pytest
+
+    from dbkit_spark.llm.dedup import containment_pairs
+    from dbkit_spark.llm.similarity import ann_incremental_pairs
+    from dbkit_spark.operators.histogram import quantile_bin
+    from dbkit_spark.sources import read_table
+    from dbkit_spark.streaming.heavy_hitters import (
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="non-empty"):
+        ann_incremental_pairs(emb, [], threshold=0.5)
+    with pytest.raises(ValueError, match="k must be positive"):
+        quantile_bin(ev, "value", 0)
+    with pytest.raises(ValueError, match="positive"):
+        heavy_hitters_batch(ev, "user_id", capacity=0)
+    with pytest.raises(ValueError, match="positive"):
+        heavy_hitters_stream(ev, "user_id", n_shards=0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        containment_pairs(docs, max_df_frac=0.0)
