@@ -1369,3 +1369,60 @@ def test_image_pixel_stats_operator(spark):
         n = W * H
         want = [sum(px[i + c] for i in range(0, len(px), 3)) / n for c in range(3)]
         assert (r.mean_r, r.mean_g, r.mean_b) == tuple(want), did
+
+
+def test_ann_incremental_precision_and_recall_monotone(spark, tmp_path):
+    """Incremental embedding dedup quality pins: (a) PRECISION 1.0 —
+    every emitted pair really clears the cosine threshold (exact verify,
+    checked against brute force over pairs involving the batch);
+    (b) recall is MONOTONE in table count — the 2-table probe's pairs
+    are a superset of the 1-table probe's (table 0 is shared, unions
+    only add candidates). Absolute recall is the LSH design's dial and
+    is characterized separately (test_multi_table_lsh_recall_lift);
+    exact equality with the from-scratch reference is pinned in
+    test_ann_incremental_pairs_batch_vs_index."""
+    from dbkit_spark.functions.vectors import cosine
+    from dbkit_spark.llm.similarity import (
+        ann_incremental_pairs,
+        load_hyperplane_index_multi,
+        save_hyperplane_index_multi,
+    )
+    from dbkit_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 300)
+    batch = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "rec_idx")
+    save_hyperplane_index_multi(corpus, path, n_tables=2)
+    tables = load_hyperplane_index_multi(spark, path, n_tables=2)
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in ann_incremental_pairs(batch, tables, threshold=0.25).collect()
+    }
+    got1 = {
+        (r.id_a, r.id_b)
+        for r in ann_incremental_pairs(
+            batch, tables[:1], threshold=0.25
+        ).collect()
+    }
+
+    # exact ground truth restricted to pairs involving the batch
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.lit(True))
+        .filter(
+            (F.col("id_a") < 300)
+            & (F.col("id_a") != F.col("id_b"))
+            & (
+                (F.col("id_b") >= 300) | (F.col("id_a") < F.col("id_b"))
+            )
+        )
+        .filter(F.round(cosine("va", "vb"), 6) >= 0.25)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got2 <= exact, got2 - exact  # precision 1.0: no false positives
+    assert got1 <= got2  # recall monotone in table count
+    assert len(got2) > len(got1) > 0  # and strictly lifted here
