@@ -651,3 +651,118 @@ def containment_pairs(
     capped.unpersist()
     sh.unpersist()
     return out
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring detection, the distributed re-expression
+    of suffix-array training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span whose every length-``n`` window occurs >= ``min_count`` times
+    CORPUS-WIDE (same-doc repeats count).
+
+    Output: (id_col, span_start, span_end) in token offsets, end
+    exclusive — overlapping/adjacent duplicated windows are merged into
+    maximal spans, so a 50-token passage shared by two docs emits ONE
+    span of ~50+ tokens per doc, not 40 window hits.
+
+    Plan shape at 100 TB: positioned n-gram windows are a map-side
+    array transform + explode (rows ∝ corpus tokens, the same class as
+    the q112/q186 inverted indexes); the corpus-wide window count is
+    ONE exchange on the n-gram (the q112 COUNT-window discipline, no
+    self-join); span merge is one doc-keyed window (running-max
+    islands, the q195 interval-union rule). Nothing is quadratic and
+    nothing funnels through one partition.
+    """
+    if n <= 0 or min_count < 2:
+        raise ValueError("need n > 0 and min_count >= 2")
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).filter(F.size("_t") >= n)
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(
+                        " ", F.slice("_t", i + 1, n)
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.start", "g.gram")
+    dup = (
+        grams.withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("cnt") >= min_count)
+        .select(id_col, "start", (F.col("start") + n).alias("end"))
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    run = Window.partitionBy(id_col).orderBy("start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(
+            F.col("start") > F.coalesce(F.max("end").over(run), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w)
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every duplicated span (``duplicated_spans``) out of every doc:
+    (id_col, clean_text, n_tokens, n_removed). ALL occurrences are
+    removed — the deterministic boilerplate-scrub mode; a keep-one-copy
+    policy is whole-doc cluster logic (``dedup_survivors``), not a span
+    operation. Docs with no duplicated spans pass through unchanged.
+
+    The cut is a per-doc higher-order filter over the token array
+    against the doc's (few, merged) spans — the span list joins back
+    doc-keyed and the token filter is JVM codegen'd; no Python, no
+    extra shuffle beyond the doc-keyed join.
+    """
+    spans = duplicated_spans(docs, n, min_count, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    joined = toks.join(per_doc, id_col, "left")
+    no_spans = F.array().cast("array<struct<span_start:int,span_end:int>>")
+    kept = F.filter(
+        "_t",
+        lambda tok, i: ~F.exists(
+            F.coalesce("_spans", no_spans),
+            lambda s: (s.span_start <= i) & (i < s.span_end),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -384,6 +384,123 @@ _Q208_NOTES = (
 )
 
 
+_SPANS_CTES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t) AS m FROM toks WHERE len(t) >= 10),
+    grams AS (
+      SELECT b.doc_id, u.k AS start,
+             array_to_string(b.t[u.k+1 : u.k+10], ' ') AS gram
+      FROM base b, UNNEST(generate_series(0, b.m - 10)) AS u(k)
+    ),
+    dup AS (
+      SELECT doc_id, start, start + 10 AS e
+      FROM (SELECT doc_id, start,
+                   COUNT(*) OVER (PARTITION BY gram) AS cnt FROM grams)
+      WHERE cnt >= 2
+    ),
+    flagged AS (
+      SELECT doc_id, start, e,
+             CASE WHEN start > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, start, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start,
+             CAST(MAX(e) AS BIGINT) AS span_end
+      FROM islands GROUP BY doc_id, island
+    )
+"""
+
+
+def q209_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=10).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    ).orderBy("doc_id", "span_start")
+
+
+_Q209_ORACLE = f"""
+    WITH {_SPANS_CTES}
+    SELECT doc_id, span_start, span_end FROM spans
+    ORDER BY doc_id, span_start
+"""
+
+_Q209_NOTES = (
+    "DUPLICATED-SPAN detection (llm/dedup.duplicated_spans — the "
+    "distributed re-expression of suffix-array training-data dedup, "
+    "Lee et al.: maximal token spans whose every 10-gram window occurs "
+    ">= 2 times corpus-wide, same-doc repeats included): positioned "
+    "n-gram windows are a map-side transform+explode, the corpus-wide "
+    "count is ONE exchange on the gram (q112's COUNT-window "
+    "discipline), and overlapping hits merge to maximal spans via the "
+    "q195 running-max island rule — nothing quadratic, nothing "
+    "single-partition. Fixpoint + exact-offset semantics pinned in "
+    "tests/test_llm.py"
+)
+
+
+def q210_span_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import remove_duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=10).orderBy("doc_id")
+
+
+_Q210_ORACLE = f"""
+    WITH {_SPANS_CTES},
+    per_doc AS (
+      SELECT doc_id,
+             array_agg(struct_pack(span_start := span_start,
+                                   span_end := span_end)) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    alltoks AS (SELECT doc_id, t, len(t) AS m FROM toks)
+    SELECT a.doc_id,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(
+                 CASE WHEN a.m = 0 THEN [] ELSE generate_series(0, a.m - 1) END,
+                 i -> len(list_filter(COALESCE(p.sp, []),
+                          s -> s.span_start <= i AND i < s.span_end)) = 0),
+               i -> a.t[i + 1]),
+             ' '), '') AS clean_text,
+           CAST(a.m AS BIGINT) AS n_tokens,
+           CAST(a.m - len(list_filter(
+                 CASE WHEN a.m = 0 THEN [] ELSE generate_series(0, a.m - 1) END,
+                 i -> len(list_filter(COALESCE(p.sp, []),
+                          s -> s.span_start <= i AND i < s.span_end)) = 0))
+                AS BIGINT) AS n_removed
+    FROM alltoks a LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY a.doc_id
+"""
+
+_Q210_NOTES = (
+    "span-SCRUBBED corpus (llm/dedup.remove_duplicated_spans): every "
+    "duplicated span cut from every occurrence — the deterministic "
+    "boilerplate-scrub mode (keep-one-copy is whole-doc cluster "
+    "logic, dedup_survivors' job). The cut is a JVM higher-order "
+    "index-filter over the token array against the doc's few merged "
+    "spans (doc-keyed join-back, no Python, no extra shuffle); "
+    "re-running on the output finds zero spans (fixpoint pytest)"
+)
+
+
 # name -> (fn, oracle_sql_or_None, notes) — exactly the @register triple.
 ROADMAP7 = {
     "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
@@ -398,4 +515,10 @@ ROADMAP7 = {
         _Q207_NOTES,
     ),
     "q208_chunk_then_pack": (q208_chunk_then_pack, _Q208_ORACLE, _Q208_NOTES),
+    "q209_duplicated_spans": (q209_duplicated_spans, _Q209_ORACLE, _Q209_NOTES),
+    "q210_span_scrubbed_corpus": (
+        q210_span_scrubbed_corpus,
+        _Q210_ORACLE,
+        _Q210_NOTES,
+    ),
 }

@@ -1426,3 +1426,59 @@ def test_ann_incremental_precision_and_recall_monotone(spark, tmp_path):
     assert got2 <= exact, got2 - exact  # precision 1.0: no false positives
     assert got1 <= got2  # recall monotone in table count
     assert len(got2) > len(got1) > 0  # and strictly lifted here
+
+
+def test_duplicated_spans_detection_and_removal(spark):
+    """Suffix-array-style span dedup semantics on a hand fixture: a
+    12-token passage shared by two docs merges its 10-gram window hits
+    into ONE maximal span per doc at the exact token offsets; removal
+    cuts exactly those tokens from all occurrences; re-running on the
+    cleaned corpus finds nothing (fixpoint); same-doc internal
+    repetition also counts toward min_count."""
+    import pytest as _pytest
+
+    from dbkit_spark.llm.dedup import duplicated_spans, remove_duplicated_spans
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta " + shared + " outro gamma"),
+            (2, "different lead " + shared + " different tail words here"),
+            (3, "totally unrelated filler text with plenty of tokens here ok"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id): (r.span_start, r.span_end)
+        for r in duplicated_spans(docs, n=10).collect()
+    }
+    # doc 1: 3 lead tokens, doc 2: 2 lead tokens; span covers the 12 shared
+    assert spans == {1: (3, 15), 2: (2, 14)}
+
+    cleaned = remove_duplicated_spans(docs, n=10)
+    got = {r.doc_id: r for r in cleaned.collect()}
+    assert got[1].clean_text == "intro alpha beta outro gamma"
+    assert got[2].clean_text == "different lead different tail words here"
+    assert got[1].n_removed == got[2].n_removed == 12
+    assert got[3].n_removed == 0 and got[4].clean_text == ""
+    # fixpoint: the cleaned corpus has no duplicated spans left
+    re_docs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    assert duplicated_spans(re_docs, n=10).count() == 0
+
+    # same-doc repetition: one doc repeating the passage twice -> two
+    # merged spans (non-adjacent), both from min_count=2 within ONE doc
+    solo = spark.createDataFrame(
+        [(7, shared + " mid break tokens " + shared)],
+        "doc_id long, text string",
+    )
+    twice = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicated_spans(solo, n=10).collect()
+    )
+    assert twice == [(0, 12), (15, 27)], twice  # 12 + 3 filler tokens
+
+    with _pytest.raises(ValueError, match="min_count"):
+        duplicated_spans(docs, n=10, min_count=1)
+    with _pytest.raises(ValueError, match="n > 0"):
+        duplicated_spans(docs, n=0)
