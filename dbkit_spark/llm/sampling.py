@@ -275,3 +275,37 @@ def quota_sample(
         .filter(F.col("_qrank") <= quota)
         .drop("_qrank")
     )
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Train/val/test assignment with NEAR-DUP LEAKAGE CONTROL: the hash
+    split keys on the document's dedup CLUSTER id, not its own id, so
+    every member of a near-duplicate cluster lands in the SAME split.
+
+    The eval-contamination failure mode this closes: a plain
+    ``split_assign`` on doc_id puts two near-identical docs (a crawl
+    dup, a boilerplate-wrapped copy) on opposite sides of the
+    train/test fence, and the model is scored on data it effectively
+    saw. Splitting by cluster id makes that structurally impossible —
+    whatever pair generator produced ``pairs`` (MinHash LSH, embedding
+    ANN, containment) defines the leakage relation.
+
+    Output: ``docs`` + ``cluster_id`` + ``split``. Same determinism
+    contract as ``split_assign`` (stable under reruns, repartitioning,
+    and appends — as long as the cluster assignment itself is stable;
+    appending a doc that BRIDGES two clusters re-labels one side, which
+    is inherent to the relation, not this operator). Cost on top of the
+    split: one connected-components fixpoint over the pair graph
+    (O(edges) per round, label shuffles only — `assign_clusters`).
+    """
+    from .cluster import assign_clusters
+
+    clustered = assign_clusters(docs, pairs, id_col, a_col, b_col, max_iter)
+    return split_assign(clustered, "cluster_id", fractions)

@@ -501,6 +501,55 @@ _Q210_NOTES = (
 )
 
 
+def q211_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import minhash_near_dup_pairs
+    from ..llm.sampling import leakage_safe_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
+def _q211_oracle() -> str:
+    from .llm import _REACH_CTES
+
+    return f"""
+    WITH RECURSIVE {_REACH_CTES},
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    bucketed AS (
+      SELECT doc_id, cluster_id,
+             CAST(list_sum(list_transform(generate_series(1, 6), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(concat(
+                 CAST(cluster_id AS VARCHAR), ':split')), i, 1)) - 1)
+                 AS BIGINT)
+               * CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT) % 10000 AS b
+      FROM clusters
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    ORDER BY doc_id
+"""
+
+
+_Q211_NOTES = (
+    "LEAKAGE-SAFE train/val/test split (llm/sampling.leakage_safe_split "
+    "— the eval-contamination control every training pipeline needs): "
+    "the md5 hash split keys on the doc's DEDUP CLUSTER id (same "
+    "connected components as q87), so near-duplicate docs can never "
+    "straddle the train/test fence — structurally, not statistically. "
+    "A pytest demonstrates the naive doc_id split leaking clusters on "
+    "the same fixture. Cost over split_assign: the CC fixpoint, "
+    "O(edges)/round"
+)
+
+
 # name -> (fn, oracle_sql_or_None, notes) — exactly the @register triple.
 ROADMAP7 = {
     "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
@@ -520,5 +569,10 @@ ROADMAP7 = {
         q210_span_scrubbed_corpus,
         _Q210_ORACLE,
         _Q210_NOTES,
+    ),
+    "q211_leakage_safe_split": (
+        q211_leakage_safe_split,
+        _q211_oracle(),
+        _Q211_NOTES,
     ),
 }

@@ -1482,3 +1482,40 @@ def test_duplicated_spans_detection_and_removal(spark):
         duplicated_spans(docs, n=10, min_count=1)
     with _pytest.raises(ValueError, match="n > 0"):
         duplicated_spans(docs, n=0)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster must land wholly in ONE split (the
+    eval-contamination guarantee), while singleton docs still spread
+    across splits; plain split_assign on doc_id demonstrably violates
+    the cluster guarantee on the same fixture."""
+    from dbkit_spark.llm.sampling import leakage_safe_split, split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+    )
+    # 50 clusters of 4 consecutive ids each
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 4) for i in (i, i + 1, i + 2)],
+        "doc_a long, doc_b long",
+    )
+    fr = {"train": 0.7, "val": 0.15, "test": 0.15}
+    out = leakage_safe_split(docs, pairs, fr).collect()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len({r.split for r in out}) == 3  # all splits populated
+    # determinism under repartitioning
+    again = leakage_safe_split(docs.repartition(13), pairs, fr).collect()
+    assert {(r.doc_id, r.split) for r in again} == {
+        (r.doc_id, r.split) for r in out
+    }
+    # the naive split leaks on this fixture
+    naive = split_assign(docs, "doc_id", fr).collect()
+    naive_split = {r.doc_id: r.split for r in naive}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    leaked = {}
+    for did, sp in naive_split.items():
+        leaked.setdefault(cluster_of[did], set()).add(sp)
+    assert any(len(s) > 1 for s in leaked.values())
