@@ -357,3 +357,32 @@ def test_chunk_then_pack_composes_to_one_exchange(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "doc_id", "text"
     }, m.group(1) if m else final
+
+
+def test_duplicated_spans_plan_shape(spark, sf_dir):
+    """Span dedup plan rails: detection = one corpus scan + exactly two
+    exchanges (gram-keyed COUNT window, doc-keyed island merge — the
+    groupBy(doc, island) reuses the doc partitioning); scrub adds one
+    doc-keyed join-back (3 exchanges, 2 scans). Never a SinglePartition,
+    never a quadratic join."""
+    import re
+
+    from dbkit_spark.llm.dedup import duplicated_spans, remove_duplicated_spans
+    from dbkit_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, n=10)
+    p1 = spans._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert len(re.findall(r"Exchange", p1)) == 2, p1
+    assert "SinglePartition" not in p1 and p1.count("FileScan parquet") == 1
+
+    scrub = remove_duplicated_spans(docs, n=10)
+    p2 = scrub._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert len(re.findall(r"Exchange", p2)) == 3, p2
+    assert "SinglePartition" not in p2
+    for p in (p1, p2):
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
