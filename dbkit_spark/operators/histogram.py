@@ -104,3 +104,47 @@ def quantile_bin(
     for b in boundaries:
         bin_ = bin_ + F.when(c > F.lit(float(b)), 1).otherwise(0)
     return clean.withColumn("bin", bin_)
+
+def quantile_bin_grouped(
+    df: DataFrame,
+    col: str,
+    k: int,
+    keys: Sequence[str],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """PER-GROUP equi-depth binning: append ``bin`` in 1..k computed
+    against each group's OWN quantile boundaries — the form feature
+    discretization actually takes (per event type, per language, per
+    tenant), where one global set of boundaries would wash out
+    per-group distributions.
+
+    Scale shape: boundaries come from ``percentile_approx`` (the GK
+    sketch as a real aggregate — map-side partial summaries, one
+    exchange on the group keys, never a driver collect), the boundary
+    table is group-count-sized and broadcasts back, and bin assignment
+    is a map-side higher-order count of boundaries below the value.
+    No window anywhere; adding a group multiplies nothing.
+
+    Ties-at-boundary go to the lower bin, matching ``quantile_bin``'s
+    sampled path. NULL values are excluded. Groups smaller than ``k``
+    still emit valid (degenerate, tie-heavy) bins — equi-depth is
+    undefined under that few rows, same caveat as everywhere.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not keys:
+        raise ValueError("keys must be non-empty (use quantile_bin)")
+    c = F.col(col)
+    clean = df.filter(c.isNotNull())
+    if k == 1:
+        return clean.withColumn("bin", F.lit(1).cast("int"))
+    probs = F.array(*[F.lit(i / k) for i in range(1, k)])
+    bnd = clean.groupBy(*keys).agg(
+        F.percentile_approx(col, probs, F.lit(accuracy)).alias("_bnds")
+    )
+    joined = clean.join(F.broadcast(bnd), list(keys))
+    bin_ = (
+        F.lit(1)
+        + F.size(F.filter("_bnds", lambda b: c > b))
+    ).cast("int")
+    return joined.withColumn("bin", bin_).drop("_bnds")

@@ -538,6 +538,36 @@ def _q211_oracle() -> str:
 """
 
 
+def q212_quantile_bin_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import quantile_bin_grouped
+
+    ev = read_table(spark, sf_dir, "events")
+    binned = quantile_bin_grouped(ev, "value", 4, ["event_type"])
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+_Q212_NOTES = (
+    "rows-only (percentile_approx's GK boundaries are deterministic "
+    "but not reproducible in DuckDB — same contract as q204): "
+    "PER-GROUP equi-depth binning (operators/histogram."
+    "quantile_bin_grouped — per-event-type boundaries from "
+    "percentile_approx as a real map-side-combined AGGREGATE, "
+    "group-count-sized boundary table broadcast back, map-side "
+    "higher-order bin assignment; no window, no driver collect, no "
+    "single partition). Per-group bin laws (own boundaries per group, "
+    "near-equal populations, monotone bins, broadcast plan) pinned in "
+    "tests/test_histogram.py"
+)
+
+
 _Q211_NOTES = (
     "LEAKAGE-SAFE train/val/test split (llm/sampling.leakage_safe_split "
     "— the eval-contamination control every training pipeline needs): "
@@ -574,5 +604,10 @@ ROADMAP7 = {
         q211_leakage_safe_split,
         _q211_oracle(),
         _Q211_NOTES,
+    ),
+    "q212_quantile_bin_grouped": (
+        q212_quantile_bin_grouped,
+        None,
+        _Q212_NOTES,
     ),
 }

@@ -99,3 +99,49 @@ def test_quantile_bin_validates_args(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         quantile_bin(df, "v", 0)
+
+
+def test_quantile_bin_grouped(spark):
+    """Per-group binning laws: boundaries are each group's own (a group
+    with shifted values still spreads over all k bins), populations are
+    near-equal within each group, bins monotone in value within a
+    group, and the plan has no window and broadcasts the boundary
+    table."""
+    from dbkit_spark.operators.histogram import quantile_bin_grouped
+    from dbkit_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events")
+    # two synthetic groups with disjoint ranges: global boundaries would
+    # put all of group 'lo' in bin 1 and all of 'hi' in bin k
+    df = ev.selectExpr(
+        "CASE WHEN event_id % 2 = 0 THEN 'lo' ELSE 'hi' END AS g",
+        "CASE WHEN event_id % 2 = 0 THEN value ELSE value + 10000 END AS v",
+    )
+    k = 4
+    out = quantile_bin_grouped(df, "v", k, ["g"])
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Window" not in plan and "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+    rows = out.collect()
+    by_g: dict[str, list] = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+    assert set(by_g) == {"lo", "hi"}
+    for g, rs in by_g.items():
+        n = len(rs)
+        by_bin: dict[int, list] = {}
+        for r in rs:
+            by_bin.setdefault(r.bin, []).append(r.v)
+        assert set(by_bin) == set(range(1, k + 1)), (g, set(by_bin))
+        for b in range(1, k):
+            assert max(by_bin[b]) <= min(by_bin[b + 1])
+        for b, vs in by_bin.items():
+            assert abs(len(vs) - n / k) < 0.1 * n, (g, b, len(vs), n)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keys"):
+        quantile_bin_grouped(df, "v", 4, [])
