@@ -538,6 +538,100 @@ def _q211_oracle() -> str:
 """
 
 
+def q213_reconcile_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reconcile import (
+        bucket_summary,
+        reconcile_buckets,
+        reconcile_rows,
+        row_fingerprint,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    fp_cols = [F.col("event_id"), F.col("user_id"), F.col("event_type")]
+    replica = ev.filter(F.col("event_id") % 1009 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 997 == 0, F.lit("TAMPERED")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    left = bucket_summary(ev, F.col("event_id"), row_fingerprint(fp_cols), 256)
+    right = bucket_summary(
+        replica, F.col("event_id"), row_fingerprint(fp_cols), 256
+    )
+    damaged = reconcile_buckets(left, right)
+    return reconcile_rows(
+        ev, replica, F.col("event_id"), row_fingerprint(fp_cols), damaged, 256
+    ).orderBy("bucket", "key")
+
+
+def _q213_oracle() -> str:
+    from .extended6 import _RECON_FP_SQL
+
+    canon = (
+        "md5(concat_ws('|', COALESCE(CAST(event_id AS VARCHAR), '␀'), "
+        "COALESCE(CAST(user_id AS VARCHAR), '␀'), "
+        "COALESCE(event_type, '␀')))"
+    )
+    rcanon = (
+        "md5(concat_ws('|', COALESCE(CAST(event_id AS VARCHAR), '␀'), "
+        "COALESCE(CAST(user_id AS VARCHAR), '␀'), "
+        "COALESCE(CASE WHEN event_id % 997 = 0 THEN 'TAMPERED' "
+        "ELSE event_type END, '␀')))"
+    )
+    return f"""
+    WITH lfp AS (
+      SELECT event_id % 256 AS bucket, event_id AS key, {_RECON_FP_SQL} AS fp
+      FROM (SELECT event_id, {canon} AS h FROM events)
+    ),
+    rfp AS (
+      SELECT event_id % 256 AS bucket, event_id AS key, {_RECON_FP_SQL} AS fp
+      FROM (SELECT event_id, {rcanon} AS h FROM events
+            WHERE event_id % 1009 <> 0)
+    ),
+    lsum AS (
+      SELECT bucket, COUNT(*) AS cnt,
+             SUM(CAST(fp AS DECIMAL(38,0))) AS checksum
+      FROM lfp GROUP BY bucket
+    ),
+    rsum AS (
+      SELECT bucket, COUNT(*) AS cnt,
+             SUM(CAST(fp AS DECIMAL(38,0))) AS checksum
+      FROM rfp GROUP BY bucket
+    ),
+    damaged AS (
+      SELECT COALESCE(l.bucket, r.bucket) AS bucket
+      FROM lsum l FULL OUTER JOIN rsum r ON l.bucket = r.bucket
+      WHERE COALESCE(l.cnt, 0) <> COALESCE(r.cnt, 0)
+         OR COALESCE(l.checksum, CAST(0 AS DECIMAL(38,0)))
+            <> COALESCE(r.checksum, CAST(0 AS DECIMAL(38,0)))
+    )
+    SELECT COALESCE(l.bucket, r.bucket) AS bucket,
+           COALESCE(l.key, r.key) AS key,
+           CASE WHEN r.fp IS NULL THEN 'missing_right'
+                WHEN l.fp IS NULL THEN 'missing_left'
+                ELSE 'changed' END AS status
+    FROM (SELECT * FROM lfp WHERE bucket IN (SELECT bucket FROM damaged)) l
+    FULL OUTER JOIN
+         (SELECT * FROM rfp WHERE bucket IN (SELECT bucket FROM damaged)) r
+      ON l.bucket = r.bucket AND l.key = r.key
+    WHERE r.fp IS NULL OR l.fp IS NULL OR l.fp <> r.fp
+    ORDER BY bucket, key
+"""
+
+
+_Q213_NOTES = (
+    "STAGE-2 row-level reconciliation (operators/reconcile."
+    "reconcile_rows — completing q175's anti-entropy story: stage 1 "
+    "localizes damage to K of 256 buckets by (count, DECIMAL checksum); "
+    "stage 2 row-diffs ONLY those buckets via a broadcast semi-join "
+    "filter that rides the scan, then a keyed full-outer within the "
+    "damaged slice — at 100 TB the expensive row join touches "
+    "~K/n_buckets of the table instead of all of it). Emits "
+    "(bucket, key, missing_left/missing_right/changed); the oracle "
+    "reproduces BOTH stages from the portable md5 fingerprint rule"
+)
+
+
 def q212_quantile_bin_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.histogram import quantile_bin_grouped
 
@@ -609,5 +703,10 @@ ROADMAP7 = {
         q212_quantile_bin_grouped,
         None,
         _Q212_NOTES,
+    ),
+    "q213_reconcile_row_diff": (
+        q213_reconcile_row_diff,
+        _q213_oracle(),
+        _Q213_NOTES,
     ),
 }

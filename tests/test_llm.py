@@ -1519,3 +1519,52 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for did, sp in naive_split.items():
         leaked.setdefault(cluster_of[did], set()).add(sp)
     assert any(len(s) > 1 for s in leaked.values())
+
+
+def test_reconcile_rows_localizes_damage(spark):
+    """Stage-2 row-level reconciliation: given stage 1's damaged-bucket
+    report, the row diff finds exactly the perturbed/dropped/added keys
+    with the right statuses, touches only damaged buckets (semi-join
+    plan), and finds nothing on clean tables."""
+    from dbkit_spark.operators.reconcile import (
+        bucket_summary,
+        reconcile_buckets,
+        reconcile_rows,
+        row_fingerprint,
+    )
+    from dbkit_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    fp = row_fingerprint([F.col("event_id"), F.col("event_type"),
+                          F.col("user_id")])
+    replica = (
+        ev.filter(F.col("event_id") % 101 != 0)  # dropped rows
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 97 == 0, F.lit("TAMPERED")).otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    left = bucket_summary(ev, F.col("event_id"), fp, 64)
+    fp2 = row_fingerprint([F.col("event_id"), F.col("event_type"),
+                           F.col("user_id")])
+    right = bucket_summary(replica, F.col("event_id"), fp2, 64)
+    damaged = reconcile_buckets(left, right)
+
+    diff = reconcile_rows(ev, replica, F.col("event_id"), fp, damaged, 64)
+    got = {(r.key, r.status) for r in diff.collect()}
+    ids = [r.event_id for r in ev.select("event_id").collect()]
+    want = {(i, "missing_right") for i in ids if i % 101 == 0} | {
+        (i, "changed") for i in ids if i % 97 == 0 and i % 101 != 0
+    }
+    assert got == want and got
+    # reversed direction reports the drops as missing_left
+    rev = reconcile_rows(replica, ev, F.col("event_id"), fp2, damaged, 64)
+    assert {(r.key, r.status) for r in rev.collect()} == {
+        (k, {"missing_right": "missing_left", "changed": "changed"}[s])
+        for k, s in want
+    }
+    # clean tables: stage 1 reports nothing, stage 2 diffs nothing
+    clean = reconcile_buckets(left, bucket_summary(ev, F.col("event_id"), fp, 64))
+    assert reconcile_rows(ev, ev, F.col("event_id"), fp, clean, 64).count() == 0
