@@ -60,3 +60,56 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top: int = 10,
+) -> DataFrame:
+    """Join/agg-key SKEW diagnosis: the top-``top`` heaviest keys with
+    their share of the table and the key distribution's skew factor —
+    the operational question ("should this join be salted, and by how
+    much?") answered before the expensive join, from ONE count
+    aggregation.
+
+    Output per heavy key (ordered heaviest-first by (n DESC, keys)):
+    (key columns..., n, share, skew_factor, n_keys, n_rows) where
+    ``skew_factor`` =
+    max-key-count / mean-key-count. A factor near 1 means uniform keys
+    (hash joins balance); a factor of S means the hottest reducer does
+    ~S× the average work — the salting factor the q64 salted join
+    should use is ~ceil(S / executors-per-key-target).
+
+    Scale shape: one map-side-combined count per key (the same
+    aggregate any groupBy pays), one global agg to a 1-row summary
+    (broadcast back), and a top-k rank over the per-key counts cut
+    with TakeOrdered semantics — no full sort, no collect. At 100 TB
+    this costs one shuffle of (key, count) partials.
+    """
+    if not key_cols or top <= 0:
+        raise ValueError("need key_cols and top > 0")
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    summary = F.broadcast(
+        counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+        )
+    )
+    joined = counts.crossJoin(summary)
+    # orderBy().limit() plans as TakeOrderedAndProject — a per-partition
+    # top-k merge, never a full sort (plan-gated); heaviest-first order
+    # is carried by the take itself, no rank window needed
+    ranked = joined.orderBy(
+        F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
+    ).limit(top)
+    return ranked.select(
+        *key_cols,
+        "n",
+        F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+        F.round(
+            F.col("max_n") / (F.col("n_rows") / F.col("n_keys")), 6
+        ).alias("skew_factor"),
+        "n_keys",
+        "n_rows",
+    )

@@ -674,6 +674,44 @@ _Q211_NOTES = (
 )
 
 
+def q214_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import skew_profile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return skew_profile(li, ["l_suppkey"], top=20)
+
+
+_Q214_ORACLE = """
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    summary AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_n
+      FROM counts
+    )
+    SELECT c.l_suppkey, c.n,
+           round(CAST(c.n AS DOUBLE) / s.n_rows, 6) AS share,
+           round(CAST(s.max_n AS DOUBLE)
+                 / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 6) AS skew_factor,
+           s.n_keys, s.n_rows
+    FROM counts c, summary s
+    ORDER BY c.n DESC, c.l_suppkey ASC
+    LIMIT 20
+"""
+
+_Q214_NOTES = (
+    "JOIN-KEY SKEW PROFILE (operators/profile.skew_profile — the "
+    "diagnosis that tells a pipeline when the q64 salted join is "
+    "needed and what salt factor to use): top-k heaviest keys with "
+    "share and skew_factor = max/mean key count, from ONE count "
+    "aggregation + a broadcast 1-row summary + a TakeOrderedAndProject "
+    "cut (plan-gated: no full sort, no collect). At 100 TB this costs "
+    "one shuffle of (key, count) partials — the same partial-combine "
+    "any groupBy pays"
+)
+
+
 # name -> (fn, oracle_sql_or_None, notes) — exactly the @register triple.
 ROADMAP7 = {
     "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
@@ -708,5 +746,10 @@ ROADMAP7 = {
         q213_reconcile_row_diff,
         _q213_oracle(),
         _Q213_NOTES,
+    ),
+    "q214_join_key_skew_profile": (
+        q214_join_key_skew_profile,
+        _Q214_ORACLE,
+        _Q214_NOTES,
     ),
 }

@@ -396,3 +396,35 @@ def test_sql_recursion_equals_fixpoint_operator(spark):
     op_side = {(r.start, r.node) for r in fix.select("start", "node").collect()}
     edges.unpersist()
     assert sql_side == op_side and len(sql_side) > 0
+
+
+def test_skew_profile_diagnoses_hot_keys(spark):
+    """skew_profile on a deliberately skewed key: the hot key leads with
+    the right share, skew_factor = max/mean exactly, top-k is cut by
+    TakeOrderedAndProject (no full sort), and the uniform case reads
+    ~1.0."""
+    from dbkit_spark.operators.profile import skew_profile
+
+    # 1000 rows of key 'hot', 10 each of 50 cold keys -> 1500 rows, 51 keys
+    rows = [("hot",)] * 1000 + [(f"k{i}",) for i in range(50) for _ in range(10)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    out = skew_profile(df, ["k"], top=3).collect()
+    assert out[0].k == "hot" and out[0].n == 1000
+    assert out[0].n_rows == 1500 and out[0].n_keys == 51
+    assert out[0].share == round(1000 / 1500, 6)
+    assert out[0].skew_factor == round(1000 / (1500 / 51), 6)  # = 34.0
+    assert [r.n for r in out] == sorted([r.n for r in out], reverse=True)
+
+    plan = (
+        skew_profile(df, ["k"], top=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_cols"):
+        skew_profile(df, [], top=3)
