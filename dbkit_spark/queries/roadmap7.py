@@ -674,6 +674,51 @@ _Q211_NOTES = (
 )
 
 
+def q215_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..schema import TABLE_SCHEMAS
+    from ..streaming.ingest_dedup import run_dedup_ingest
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    state = tempfile.mkdtemp(prefix="dbkit_ingest_")
+    corpus = run_dedup_ingest(stream, state, threshold=0.5)
+    return corpus.select("doc_id").orderBy("doc_id")
+
+
+def _q215_oracle() -> str:
+    from .llm import _REACH_CTES
+
+    return f"""
+    WITH RECURSIVE {_REACH_CTES}
+    SELECT doc_id FROM documents
+    WHERE doc_id IN (SELECT id FROM reach GROUP BY id HAVING MIN(r) = id)
+    ORDER BY doc_id
+"""
+
+
+_Q215_NOTES = (
+    "STREAMING DEDUP INGEST end-to-end (streaming/ingest_dedup."
+    "run_dedup_ingest — the production corpus-building loop: each "
+    "micro-batch is admitted only where it near-dups nothing already "
+    "admitted; first-arrival wins across batches, min-id within one; "
+    "state = append-only docs/shingles/bands parquet tables, work per "
+    "batch ∝ batch via the persisted band index). The documents "
+    "fixture replays as ONE micro-batch, where the admitted set "
+    "provably equals batch dedup_survivors — hence the q88-style "
+    "recursive-reachability oracle; multi-batch first-arrival parity, "
+    "index integrity, and content-idempotence are pinned in "
+    "tests/test_streaming_extended.py"
+)
+
+
 def q214_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import skew_profile
 
@@ -751,5 +796,10 @@ ROADMAP7 = {
         q214_join_key_skew_profile,
         _Q214_ORACLE,
         _Q214_NOTES,
+    ),
+    "q215_streaming_dedup_ingest": (
+        q215_streaming_dedup_ingest,
+        _q215_oracle(),
+        _Q215_NOTES,
     ),
 }

@@ -439,3 +439,92 @@ def test_heavy_hitters_null_keys_excluded(spark):
     rows = heavy_hitters_batch(df, "k", capacity=8, n_shards=2).collect()
     assert {r.key for r in rows} == {"a", "b"}
     assert sum(r.n_shard for r in {r.shard: r for r in rows}.values()) == 3
+
+
+def test_dedup_ingest_stream_parity_and_consistency(spark, sf_dir, tmp_path):
+    """Streaming dedup ingest: (1) the streamed corpus (2 micro-batches)
+    equals a driver-sequential replay of ingest_batch over the same
+    files in the same order; (2) first-arrival-wins across batches — an
+    earlier-arriving doc survives its later near-dup even when the
+    later one has the smaller id; (3) the final corpus contains no
+    near-dup pair at the ingest threshold; (4) re-running the whole
+    stream over the built corpus admits nothing."""
+    from dbkit_spark.llm.dedup import minhash_near_dup_pairs
+    from dbkit_spark.sources import read_table
+    from dbkit_spark.streaming.ingest_dedup import (
+        ingest_batch,
+        run_dedup_ingest,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    half = docs.count() // 2
+    d = docs.orderBy("doc_id")
+    d.limit(half).coalesce(1).write.mode("overwrite").parquet(src)
+    d.offset(half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streamed = run_dedup_ingest(
+        stream, str(tmp_path / "state_stream"), threshold=0.5
+    )
+    got = sorted(r.doc_id for r in streamed.collect())
+
+    # reference: sequential driver replay over the same two files in
+    # file order (the same order the file source delivers them)
+    import os
+
+    # the file source delivers oldest-first (modification time), not by name
+    files = sorted(
+        (f"{src}/{f}" for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    ref_state = str(tmp_path / "state_ref")
+    for i, f in enumerate(files):
+        ingest_batch(
+            spark, spark.read.parquet(f), ref_state, 0.5, first_batch=(i == 0)
+        )
+    want = sorted(
+        r.doc_id
+        for r in spark.read.parquet(ref_state + "/docs").collect()
+    )
+    assert got == want and got
+
+    # (3) no direct near-dup pair survives in the corpus
+    assert minhash_near_dup_pairs(streamed, threshold=0.5).count() == 0
+
+    # (4) idempotence on the ADMITTED corpus: same ids are a no-op, and
+    # the same CONTENT under fresh ids is rejected as near-dup. (Note
+    # "re-ingest every original doc → 0" is NOT an invariant: a doc
+    # rejected as a transitive in-batch cluster member may genuinely
+    # near-dup nothing that was admitted.)
+    n_same = ingest_batch(spark, streamed, str(tmp_path / "state_stream"), 0.5)
+    assert n_same == 0
+    shifted = streamed.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    n_shift = ingest_batch(spark, shifted, str(tmp_path / "state_stream"), 0.5)
+    assert n_shift == 0
+
+    # (2) first-arrival beats min-id across batches
+    first_state = str(tmp_path / "state_order")
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(100, shared)], "doc_id long, text string"),
+        first_state,
+        0.5,
+        first_batch=True,
+    )
+    n = ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(5, shared + " nu")], "doc_id long, text string"
+        ),
+        first_state,
+        0.5,
+    )
+    assert n == 0  # id 5 < 100, but 100 arrived first and wins
