@@ -198,3 +198,59 @@ def ewma(
         if f.name in out_fields
     )
     return df.groupBy(*keys).applyInPandas(_fn, f"{schema_cols}, ewma double")
+
+def enrich_with_scd2(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str = "ts",
+    state_prefix: str = "",
+) -> DataFrame:
+    """POINT-IN-TIME enrichment against an SCD2 dimension
+    (``scd2_history`` output): each event left-joins the dim version
+    valid at its event time — ``valid_from <= ts AND (valid_to IS NULL
+    OR ts < valid_to)``. An event exactly at a change timestamp gets
+    the NEW version (its interval starts there); events before the
+    key's first version enrich as NULLs.
+
+    Output = events columns + the dim's state columns (optionally
+    ``state_prefix``-renamed) + ``version``. Name collisions between
+    event columns and (prefixed) state columns raise up front rather
+    than producing ambiguous references mid-plan.
+
+    Plan shape: equi-join on the key with the interval predicate as a
+    join residual — a hash join (broadcast for typical dim sizes),
+    never a nested loop; per (key, event) at most ONE version matches
+    (SCD2 intervals partition time), so the join never fans out.
+    The events side may be a STREAMING DataFrame unchanged — this is
+    the stream-static enrichment shape (§2.9), and availableNow replay
+    equals the batch join (pinned in tests)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    reserved = {*keys, "valid_from", "valid_to", "version", "is_current"}
+    state_cols = [c for c in dim.columns if c not in reserved]
+    out_names = {state_prefix + c for c in state_cols}
+    clash = out_names & set(events.columns)
+    if clash:
+        raise ValueError(
+            f"state columns {sorted(clash)} collide with event columns; "
+            "pass state_prefix to rename them"
+        )
+    d = dim.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(state_prefix + c) for c in state_cols],
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    ts = F.col(ts_col)
+    cond = (
+        cond
+        & (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
+    )
+    return events.join(d, cond, "left").drop(
+        *[f"__k_{k}" for k in keys], "valid_from", "valid_to"
+    )

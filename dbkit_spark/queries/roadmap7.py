@@ -674,6 +674,65 @@ _Q211_NOTES = (
 )
 
 
+def q216_scd2_point_in_time_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.timeseries import enrich_with_scd2, scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = scd2_history(ev, "user_id", ["event_type"], "ts", tiebreak="event_id")
+    return enrich_with_scd2(
+        ev.select("event_id", "user_id", "ts"),
+        dim,
+        "user_id",
+        "ts",
+        state_prefix="state_",
+    ).select("event_id", "user_id", "state_event_type", "version").orderBy(
+        "event_id"
+    )
+
+
+_Q216_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    ), dim AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             row_number() OVER w AS version
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.user_id,
+           d.event_type AS state_event_type,
+           CAST(d.version AS BIGINT) AS version
+    FROM events e LEFT JOIN dim d
+      ON e.user_id = d.user_id
+     AND d.valid_from <= e.ts
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    ORDER BY e.event_id
+"""
+
+_Q216_NOTES = (
+    "SCD2 POINT-IN-TIME enrichment (operators/timeseries."
+    "enrich_with_scd2 over the q102 scd2_history dim): each event "
+    "left-joins the dimension version valid AT its event time "
+    "(valid_from <= ts < valid_to; boundary events take the NEW "
+    "version; SCD2 intervals partition time so the join never fans "
+    "out — row count preserved). Equi-join on the key with the "
+    "interval as a residual — hash join, never NLJ; the events side "
+    "runs unchanged as a STREAM (stream-static enrichment, parity "
+    "pinned in tests/test_timeseries.py)"
+)
+
+
 def q215_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -801,5 +860,10 @@ ROADMAP7 = {
         q215_streaming_dedup_ingest,
         _q215_oracle(),
         _Q215_NOTES,
+    ),
+    "q216_scd2_point_in_time_enrich": (
+        q216_scd2_point_in_time_enrich,
+        _Q216_ORACLE,
+        _Q216_NOTES,
     ),
 }

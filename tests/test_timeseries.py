@@ -172,3 +172,57 @@ def test_ewma_validates_alpha(spark):
         ewma(df, "ts", ["user_id"], "value", 0.0)
     with pytest.raises(ValueError):
         ewma(df, "ts", ["user_id"], "value", 1.5)
+
+
+def test_enrich_with_scd2_point_in_time(spark):
+    """Each event gets the dim version valid AT its timestamp: boundary
+    events take the new version, pre-history events enrich as NULLs, no
+    fan-out (row count preserved), collisions raise, and the
+    availableNow streaming replay equals the batch join."""
+    import pytest as _pytest
+
+    from dbkit_spark.operators.timeseries import enrich_with_scd2, scd2_history
+
+    feed = spark.createDataFrame(
+        [(1, "bronze", 10, 100), (1, "silver", 20, 101), (1, "gold", 30, 102),
+         (2, "bronze", 15, 103)],
+        "user_id long, tier string, ts long, change_id long",
+    )
+    dim = scd2_history(feed, "user_id", ["tier"], "ts", tiebreak="change_id")
+    events = spark.createDataFrame(
+        [(1, 5, 1000), (1, 10, 1001), (1, 25, 1002), (1, 30, 1003),
+         (1, 99, 1004), (2, 16, 1005), (3, 50, 1006)],
+        "user_id long, ts long, event_id long",
+    )
+    out = enrich_with_scd2(events, dim, "user_id", "ts")
+    got = {r.event_id: (r.tier, r.version) for r in out.collect()}
+    assert got == {
+        1000: (None, None),      # before user 1's first version
+        1001: ("bronze", 1),     # boundary -> the version starting at ts
+        1002: ("silver", 2),
+        1003: ("gold", 3),       # boundary of the change -> NEW version
+        1004: ("gold", 3),       # open current version
+        1005: ("bronze", 1),
+        1006: (None, None),      # key with no dim history
+    }
+    assert out.count() == events.count()  # intervals partition time: no fan-out
+
+    with _pytest.raises(ValueError, match="collide"):
+        enrich_with_scd2(
+            events.withColumn("tier", F.lit("x")), dim, "user_id", "ts"
+        )
+
+    # streaming parity: the same events through a file stream
+    import tempfile
+
+    src = tempfile.mkdtemp() + "/ev"
+    events.coalesce(1).write.parquet(src)
+    from dbkit_spark.streaming.runner import run_available_now
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    streamed = run_available_now(
+        enrich_with_scd2(stream, dim, "user_id", "ts"), output_mode="append"
+    )
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in out.collect()
+    }
