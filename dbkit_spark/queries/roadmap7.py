@@ -739,7 +739,6 @@ def q215_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schema import TABLE_SCHEMAS
     from ..streaming.ingest_dedup import run_dedup_ingest
 
-    schema = "doc_id long, text string"
     stream = (
         spark.readStream.schema(TABLE_SCHEMAS["documents"])
         .option("maxFilesPerTrigger", "1")

@@ -54,18 +54,29 @@ def ingest_batch(
     batch: DataFrame,
     state_dir: str,
     threshold: float = 0.5,
-    first_batch: bool = False,
+    first_batch: bool | None = None,
 ) -> int:
     """Admit one batch of (doc_id, text) into the corpus state; returns
     the number of admitted docs. Driver-sequential (call from
-    foreachBatch or a backfill loop)."""
+    foreachBatch or a backfill loop).
+
+    ``first_batch`` defaults to state-existence detection — IMPORTANT
+    for restart safety: foreachBatch is at-least-once, and a replayed
+    batch 0 that skipped the corpus checks would double-append its
+    docs. With detection, a replayed batch re-checks against the
+    already-written state and its ids anti-join away (the id no-op
+    rule), so replays append nothing. Exactly-once across a crash
+    INSIDE the three appends still needs a transactional table format
+    (same caveat as every plain-parquet foreachBatch sink here)."""
     import os
 
     p = _paths(state_dir)
     sh_new = shingle_docs(batch, "text", "doc_id").persist()
     bands_new = lsh_band_keys(minhash_signatures(sh_new)).persist()
 
-    if first_batch or not os.path.isdir(p["bands"]):
+    if first_batch is None:
+        first_batch = not os.path.isdir(p["bands"])
+    if first_batch:
         survivors = _in_batch_survivors(batch, sh_new, bands_new, threshold)
     else:
         bands_c = spark.read.parquet(p["bands"])
@@ -142,13 +153,9 @@ def run_dedup_ingest(
     first-arrival-wins order is the micro-batch order."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(
-            batch_df.sparkSession,
-            batch_df,
-            state_dir,
-            threshold,
-            first_batch=(batch_id == 0),
-        )
+        # first_batch by state detection, NOT batch_id == 0: a replayed
+        # batch 0 after a checkpoint restart must re-check the corpus
+        ingest_batch(batch_df.sparkSession, batch_df, state_dir, threshold)
 
     q = (
         stream_df.writeStream.foreachBatch(_ingest)

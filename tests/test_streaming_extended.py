@@ -509,6 +509,13 @@ def test_dedup_ingest_stream_parity_and_consistency(spark, sf_dir, tmp_path):
     n_shift = ingest_batch(spark, shifted, str(tmp_path / "state_stream"), 0.5)
     assert n_shift == 0
 
+    # restart safety: a REPLAYED first batch (at-least-once foreachBatch)
+    # re-checks the existing state and appends nothing
+    n_replay = ingest_batch(
+        spark, spark.read.parquet(files[0]), str(tmp_path / "state_ref"), 0.5
+    )
+    assert n_replay == 0
+
     # (2) first-arrival beats min-id across batches
     first_state = str(tmp_path / "state_order")
     shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
