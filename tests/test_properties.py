@@ -466,3 +466,56 @@ def test_png_roundtrip_random(dims, seed):
         for b in (v, (v * 7) % 256, (v * 13) % 256)
     )
     assert (W, H, C) == (w, h, 3) and px == want
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.integers(min_value=0, max_value=30),  # ts
+            st.sampled_from(["a", "b", "c"]),        # state
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=35),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@SETTINGS
+def test_scd2_enrich_laws(spark, changes, probes):
+    """SCD2 point-in-time laws on random change feeds: every probe event
+    gets exactly the state of the LATEST change at-or-before its ts for
+    its key (NULL if none), and enrichment never fans out or drops
+    rows."""
+    from dbkit_spark.operators.timeseries import enrich_with_scd2, scd2_history
+
+    feed = spark.createDataFrame(
+        [(k, s, t, i) for i, (k, t, s) in enumerate(changes)],
+        "k long, s string, ts long, cid long",
+    )
+    dim = scd2_history(feed, "k", ["s"], "ts", tiebreak="cid")
+    events = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probes)],
+        "k long, ts long, eid long",
+    )
+    out = enrich_with_scd2(events, dim, "k", "ts").collect()
+    assert len(out) == len(probes)
+
+    # reference: per-key latest change at-or-before each probe ts
+    def ref(k, ts):
+        cands = [
+            (t, i, s)
+            for i, (ck, t, s) in enumerate(changes)
+            if ck == k and t <= ts
+        ]
+        return max(cands)[2] if cands else None
+
+    for r in out:
+        assert r.s == ref(r.k, r.ts), (r.k, r.ts, r.s, ref(r.k, r.ts))
