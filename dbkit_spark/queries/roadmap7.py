@@ -815,6 +815,81 @@ _Q214_NOTES = (
 )
 
 
+def q217_containment_relative_cap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..llm.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(
+        docs, threshold=0.5, max_df=10, max_df_frac=0.05
+    )
+    return pairs.select(
+        "contained",
+        "container",
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("contained", "container")
+
+
+_Q217_ORACLE = """
+    WITH toksq AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t)-2),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM toksq WHERE len(t) >= 3
+    ),
+    cap AS (
+      SELECT GREATEST(10, CAST(ceil(0.05 * COUNT(*)) AS BIGINT)) AS c
+      FROM sh
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM inv
+      ) WHERE df <= (SELECT c FROM cap)
+    ),
+    ov AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    both_dirs AS (
+      SELECT o.doc_a AS contained, o.doc_b AS container,
+             CAST(o.ov AS DOUBLE) / sa.n AS containment
+      FROM ov o JOIN sz sa ON sa.doc_id = o.doc_a
+      UNION ALL
+      SELECT o.doc_b AS contained, o.doc_a AS container,
+             CAST(o.ov AS DOUBLE) / sb.n AS containment
+      FROM ov o JOIN sz sb ON sb.doc_id = o.doc_b
+    )
+    SELECT contained, container, ROUND(containment, 6) AS containment
+    FROM both_dirs WHERE containment >= 0.5
+    ORDER BY contained, container
+"""
+
+_Q217_NOTES = (
+    "containment dedup under the CORPUS-RELATIVE df cap (llm/dedup."
+    "containment_pairs max_df_frac, the round-6 fix for the verdict's "
+    "observation that a fixed absolute stop-shingle cap tuned at "
+    "fixture scale is too aggressive at 10^10 docs): effective cap = "
+    "max(absolute, ceil(frac x n_docs)) for one metadata-sized count, "
+    "so the stop-shingle semantics stay proportional as the corpus "
+    "grows — the oracle computes the identical cap from its own "
+    "COUNT(*) scalar subquery, making the query scale-covariant "
+    "(different caps at sf0.01 vs sf0.1, same rule)"
+)
+
+
 # name -> (fn, oracle_sql_or_None, notes) — exactly the @register triple.
 ROADMAP7 = {
     "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
@@ -864,5 +939,10 @@ ROADMAP7 = {
         q216_scd2_point_in_time_enrich,
         _Q216_ORACLE,
         _Q216_NOTES,
+    ),
+    "q217_containment_relative_cap": (
+        q217_containment_relative_cap,
+        _Q217_ORACLE,
+        _Q217_NOTES,
     ),
 }
