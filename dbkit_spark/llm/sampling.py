@@ -309,3 +309,75 @@ def leakage_safe_split(
 
     clustered = assign_clusters(docs, pairs, id_col, a_col, b_col, max_iter)
     return split_assign(clustered, "cluster_id", fractions)
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    total_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled domain mixing: sample so domain d's share of
+    the output follows n_d^alpha (normalized) — the standard
+    multilingual/multi-source LM recipe (alpha<1 flattens the mix,
+    upweighting rare domains relative to their corpus share; alpha=1 is
+    proportional; alpha=0 is uniform-over-domains).
+
+    Differs from ``weighted_domain_mix`` (explicit target shares): here
+    the targets are DERIVED from the observed counts, so one dial
+    re-mixes as the corpus evolves.
+
+    Take counts are computed in pure INTEGER arithmetic so the selection
+    is engine-exact: w_d = round(n_d^alpha · 10^6) as BIGINT, then
+    t_d = (T · w_d) div (Σ w) with T = floor(total_frac · N). For
+    alpha=0.5 the power is ``sqrt`` — IEEE-correctly-rounded and thus
+    identical across engines; other alphas go through ``pow``, which
+    libms round differently in the last ulp, so cross-engine exactness
+    is only guaranteed at 0.5 (documented, asserted nowhere — the
+    engine-side result is deterministic for any alpha).
+
+    Within a domain the t_d winners are chosen by md5 rank with id
+    tiebreak (the ``quota_sample`` rule — reproducible across engines,
+    reruns, repartitioning, appends only displace by their own key).
+
+    Plan: one metadata-sized count agg (~domains rows) → broadcast join
+    of take counts → one window shuffle on domain for the rank. No
+    collect, no global sort.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    if not 0.0 < total_frac <= 1.0:
+        raise ValueError("total_frac must be in (0, 1]")
+    from pyspark.sql import Window
+
+    n = F.col("_n").cast("double")
+    w_num = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    weighted = counts.withColumn(
+        "_w", F.round(w_num * F.lit(1_000_000.0)).cast("long")
+    )
+    # note: Spark SQL identifiers are case-insensitive, so the scalar
+    # aliases must not collide with "_w"/"_n" by case alone
+    tot = weighted.agg(
+        F.sum("_w").alias("_wsum"),
+        F.floor(F.sum("_n") * F.lit(total_frac)).cast("long").alias("_ttake"),
+    )
+    takes = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            F.expr("CAST((_ttake * _w) DIV _wsum AS BIGINT)").alias("_take"),
+        )
+    )
+    rank_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    wnd = Window.partitionBy(domain_col).orderBy(
+        rank_key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(takes), domain_col)
+        .withColumn("_trank", F.row_number().over(wnd))
+        .filter(F.col("_trank") <= F.col("_take"))
+        .drop("_trank", "_take")
+    )

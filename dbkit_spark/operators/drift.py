@@ -1,0 +1,148 @@
+"""Distribution-drift monitoring between two datasets.
+
+The ingest-loop question "did this week's crawl shift under me?" is a
+distribution comparison, not an eyeball job: bucket a reference period
+into equal-mass quantile bins, measure where the current period's mass
+lands, and reduce to the Population Stability Index
+PSI = Σ_i (p_i − q_i)·ln(p_i/q_i) — the standard drift gate
+(rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted).
+
+Scale design: the reference-side quantile edges are k−1 VALUES — a
+metadata-sized result — extracted with one sort-based window pass over
+the reference (exact; for corpora where even one sort is too much, feed
+edges from ``approxQuantile`` instead — same downstream plan). The
+k−1 edges then drive a map-only literal bisection on BOTH datasets
+(the q79 sampled-boundaries discipline: tiny boundary set → inline
+CASE chain, whole-stage codegen, zero joins), and each side reduces
+with one map-side-combinable aggregation of k rows.
+
+Cross-engine exactness: edges are rank-selected actual values (no
+interpolation — portable), bucket membership is strict `value > edge`
+counting, and only the final ln-weighted contributions are rounded
+(6dp; ln differs in the last ulp across libms — the q27 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_edges_exact(
+    df: DataFrame, value_col: str, k: int, tiebreak_col: str
+) -> list[float]:
+    """The k−1 exact quantile edges of ``value_col``: the value at sorted
+    position ceil(i·n/k) for i = 1..k−1 (rank-selected, no
+    interpolation, deterministic ties via ``tiebreak_col``).
+
+    Returns a driver-side list — edges are metadata-sized (k−1 floats,
+    the same bounded-scalar class as a convergence check), which is what
+    lets bucketing stay map-only.
+
+    FIXTURE/ORACLE MODE: the global row_number window serializes the
+    reference through one reducer (the q184 caveat) — use it where a
+    DuckDB oracle must reproduce the grid digit-for-digit; production
+    drift monitoring takes ``psi_report``'s default approxQuantile grid.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    w = Window.orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc())
+    ranked = df.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    n = df.count()
+    targets = sorted({-(-i * n // k) for i in range(1, k)})  # ceil(i*n/k)
+    rows = (
+        ranked.filter(F.col("_rn").isin([int(t) for t in targets]))
+        .orderBy("_rn")
+        .collect()
+    )
+    return [float(r["_v"]) for r in rows]
+
+
+def bucket_by_edges(value: Column, edges: list[float]) -> Column:
+    """Map-only bisection: bucket id = number of edges strictly below
+    the value — an inline literal comparison chain (codegen'd), no join.
+    NULLs map to bucket NULL (caller filters)."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(value > F.lit(e), 1).otherwise(0)
+    return b.cast("int")
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    k: int = 10,
+    edges: list[float] | None = None,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """Per-bucket PSI decomposition between ``ref`` and ``cur``.
+
+    Output: (bucket, n_ref, n_cur, p_ref, p_cur, contrib, psi) — one row
+    per bucket (k rows), proportions and ln-contributions rounded to
+    6dp, ``psi`` the total repeated on every row so a single-row
+    consumer can take any. Empty-side buckets are floored at ``floor``
+    before the ratio so ln stays finite (standard PSI practice).
+
+    ``edges``: pass precomputed bin edges to control the reference
+    grid. Default (None) derives them with ``approxQuantile`` — a
+    single bounded-memory GK pass, NO global sort (the q184→q204
+    default-routing rule: the path a user gets by accident must be the
+    one that survives 100 TB). For a cross-engine-reproducible grid use
+    ``quantile_edges_exact`` and pass the result in — that is the
+    oracle/fixture mode.
+
+    Cost beyond edge derivation: one map-only literal bisection + k-row
+    aggregation per side + an O(k) join.
+    """
+    if edges is None:
+        probs = [i / k for i in range(1, k)]
+        edges = [
+            float(e)
+            for e in ref.filter(F.col(value_col).isNotNull()).approxQuantile(
+                value_col, probs, 0.001
+            )
+        ]
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bucket_by_edges(F.col(value_col), edges).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    rc = side_counts(ref, "n_ref")
+    cc = side_counts(cur, "n_cur")
+    # k buckets: full outer so a bucket absent on one side still reports
+    joined = rc.join(cc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    with_p = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(floor)).alias("_pr"),
+        F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(floor)).alias("_pc"),
+    )
+    contrib = F.round(
+        (F.col("_pr") - F.col("_pc")) * F.log(F.col("_pr") / F.col("_pc")), 6
+    )
+    per_bucket = with_p.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round("_pr", 6).alias("p_ref"),
+        F.round("_pc", 6).alias("p_cur"),
+        contrib.alias("contrib"),
+    )
+    total = per_bucket.agg(F.round(F.sum("contrib"), 6).alias("psi"))
+    return per_bucket.crossJoin(F.broadcast(total))

@@ -1,0 +1,115 @@
+"""Distributed graph analytics beyond the iterate family.
+
+`operators/iterate.py` covers the fixpoint algorithms (connected
+components, PageRank, reachability). This module holds the one-shot
+join-shaped graph kernels — starting with triangle counting, the
+building block of clustering-coefficient / community-density profiling
+(e.g. grading a link graph's spamminess before using it for crawl
+prioritization). North-star surface: the reference implements no graph
+operators (its `operation/mod.rs` roadmap stops at relational ops).
+
+Scale design: triangles are counted on a DEGREE-ORIENTED graph — every
+undirected edge points from its lower-(degree, id) endpoint to the
+higher one. The orientation is acyclic, so each triangle is counted
+exactly once (at its unique two-out-edge apex), and the per-node
+out-degree is bounded by O(√m) on any graph, which bounds the wedge
+join to O(m^{3/2}) — the classic node-iterator++ bound — instead of
+Σ deg² blowup on hub nodes. All joins are equi-joins (no NLJ); the
+wedge→edge verification is a join on the (lo, hi) edge key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_edges(
+    df: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Distinct undirected edge set as (a, b) with a < b; self-loops
+    dropped. One distinct-shuffle on the canonical pair."""
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    return (
+        df.filter(F.col(src_col) != F.col(dst_col))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected simple graph.
+
+    Input: canonical edges (a, b), a < b, distinct (see
+    ``canonical_edges``). Output: one row —
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    clustering = 3·triangles / wedges (the global/transitivity
+    coefficient, rounded to 6dp — the one division of exact integers).
+
+    Plan: degree agg (one exchange) → broadcast-or-shuffle join of
+    degrees onto edges → wedge self-join on the oriented source →
+    closing-edge equi-join on the canonical pair → count. Wedges
+    (open+closed triads) come from the degree table alone:
+    Σ deg·(deg−1)/2, exact BIGINT.
+    """
+    und = edges.persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    # orient: lower (deg, node) -> higher (deg, node); total order, so
+    # the oriented graph is acyclic and out-degree is O(sqrt(m))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_degb"))
+    keyed = und.join(da, "a").join(db, "b")
+    a_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).persist()
+    # wedges at the apex: pairs of out-neighbors; closing edge looked up
+    # by canonical (lo, hi) key in the undirected set
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    apex_pairs = e1.join(e2, "src").filter(F.col("v") < F.col("w"))
+    closing = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri_cnt = (
+        apex_pairs.join(closing, ["v", "w"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    edge_cnt = und.agg(F.count("*").cast("long").alias("n_edges"))
+    # per-node wedge count is computed with integer DIV so the sum stays
+    # exact BIGINT at any scale (a double sum loses exactness past 2^53)
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)"))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    # single job: the three 1-row aggregates meet in broadcast cross
+    # joins (the q168 scalar-subquery pattern — no driver collect)
+    out = (
+        stats.crossJoin(F.broadcast(edge_cnt))
+        .crossJoin(F.broadcast(tri_cnt))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )
+    # the output is one metadata-sized row; eager localCheckpoint
+    # materializes it so the persisted inputs can be released
+    out = out.localCheckpoint(eager=True)
+    for d in (und, deg, oriented):
+        d.unpersist()
+    return out

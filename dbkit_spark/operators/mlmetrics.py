@@ -1,0 +1,152 @@
+"""Distributed model-evaluation metrics.
+
+A training-data pipeline ends in a model, and the pipeline engine is
+where its evaluation happens at scale (scoring a 10^10-row holdout is a
+data job, not an ML-library job). The reference stops at scan/project
+(`operation/mod.rs` roadmap), so this is north-star surface: exact
+grouped ROC-AUC via the Mann-Whitney rank-sum identity, plus a
+histogram-binned approximation for corpora where even a per-group sort
+is too much.
+
+Cross-engine exactness: average ranks are multiples of 0.5, carried as
+DECIMAL(25,1) so the rank-sum is order-independent and bit-exact at any
+parallelism; the final AUC is a single IEEE division of exact operands,
+so no rounding is needed for the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC per group: P(score_pos > score_neg) + ½·P(tie).
+
+    Mann-Whitney identity: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺
+    is the sum of the positives' AVERAGE ranks by ascending score (ties
+    share the mean of their rank range — the textbook tie correction,
+    without which AUC of an all-tied group ≠ 0.5).
+
+    Plan: ONE window (partition by group, sort by score) computes both
+    rank() and the tie count — the tie count uses a RANGE CURRENT ROW
+    frame over the same sort, so Catalyst evaluates both in a single
+    Window operator over a single exchange — then one hash aggregation.
+    Two exchanges total; the per-group sort is the unavoidable cost of
+    exact AUC (see ``auc_by_group_binned`` for the sort-free variant).
+
+    Groups with only one class are dropped (AUC undefined). NULL scores
+    and labels are excluded.
+
+    Output: group cols + (n_pos, n_neg, auc).
+    """
+    w_rank = Window.partitionBy(*group_cols).orderBy(F.col(score_col).asc())
+    w_tie = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(score_col).asc())
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    # average rank of a tie group = min-rank + (tie_size - 1)/2; always a
+    # multiple of 0.5, so DECIMAL(25,1) carries it exactly
+    avg_rank = (
+        F.rank().over(w_rank) + (F.count("*").over(w_tie) - F.lit(1)) / F.lit(2.0)
+    ).cast("decimal(25,1)")
+    y = F.col(label_col).cast("int")
+    scored = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(*group_cols, y.alias("_y"), F.col(score_col))
+        .withColumn("_ar", avg_rank)
+    )
+    agg = scored.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_ar"))).cast("double").alias("_rpos"),
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    )
+    # n⁺(n⁺+1)/2 is an exact integer (< 2^53 for any real group); the
+    # division is one IEEE op on exact operands — deterministic across
+    # engines, no rounding needed
+    auc = (
+        F.col("_rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .withColumn("auc", auc)
+        .drop("_rpos")
+    )
+
+
+def auc_by_group_binned(
+    df: DataFrame,
+    group_cols: list[str],
+    label_col: str,
+    score_col: str,
+    n_bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Approximate grouped AUC from a fixed-width score histogram —
+    the 100 TB path: NO per-group sort, just two hash aggregations
+    (map-side combinable) whose intermediate is O(groups × n_bins).
+
+    Every (pos, neg) pair in different bins is ordered by its bins;
+    pairs sharing a bin count ½ (the within-bin tie approximation) —
+    error is bounded by the fraction of cross-class pairs that collide
+    in a bin, which shrinks as 1/n_bins for continuous scores.
+
+    ``lo``/``hi`` default to the global min/max (one extra metadata-
+    sized aggregation; pass explicit bounds to skip it — scores from a
+    sigmoid are [0,1] and need no pass).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+        ).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    width = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    y = F.col(label_col).cast("int")
+    hist = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*group_cols, bin_id.alias("_bin"))
+        .agg(
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("_p"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("_n"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_bin")
+    neg_below = F.coalesce(
+        F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    # concordant pairs: pos in this bin × negs in strictly lower bins;
+    # tied-bin pairs count half
+    contrib = (
+        F.col("_p") * neg_below + F.col("_p") * F.col("_n") / F.lit(2.0)
+    )
+    agg = hist.select(*group_cols, "_p", "_n", contrib.alias("_c")).groupBy(
+        *group_cols
+    ).agg(
+        F.sum("_c").alias("_cs"),
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_n").cast("long").alias("n_neg"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .withColumn("auc", F.col("_cs") / (F.col("n_pos") * F.col("n_neg")))
+        .drop("_cs")
+    )

@@ -946,3 +946,462 @@ ROADMAP7 = {
         _Q217_NOTES,
     ),
 }
+
+
+# --- round-7 additions (written during the continued freeze) -----------------
+
+
+def q218_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlmetrics import auc_by_group
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 8).alias("cohort"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("label"),
+        F.col("value"),
+    )
+    return auc_by_group(base, ["cohort"], "label", "value").orderBy("cohort")
+
+
+_Q218_ORACLE = """
+    WITH base AS (
+      SELECT user_id % 8 AS cohort,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT cohort, y,
+             RANK() OVER (PARTITION BY cohort ORDER BY value)
+               + (COUNT(*) OVER (PARTITION BY cohort, value) - 1) / 2.0 AS ar
+      FROM base
+    ),
+    agg AS (
+      SELECT cohort,
+             CAST(SUM(CASE WHEN y = 1 THEN CAST(ar AS DECIMAL(25,1)) END)
+                  AS DOUBLE) AS rpos,
+             CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n_pos,
+             CAST(COUNT(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS n_neg
+      FROM ranked GROUP BY cohort
+    )
+    SELECT cohort, n_pos, n_neg,
+           (rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    ORDER BY cohort
+"""
+
+_Q218_NOTES = (
+    "exact grouped ROC-AUC (operators/mlmetrics.auc_by_group — "
+    "distributed model evaluation as a data job): Mann-Whitney rank-sum "
+    "identity with the textbook average-rank tie correction, computed "
+    "in ONE window (rank + tie count share a single sort via a RANGE "
+    "CURRENT ROW frame) and the grouped agg reuses its partitioning — "
+    "ONE exchange total, plan-gated. Average ranks "
+    "are multiples of 0.5 carried as DECIMAL(25,1), so the rank-sum is "
+    "order-independent and the final AUC is one IEEE division of exact "
+    "operands — engine-exact WITHOUT rounding. The sort-free 100 TB "
+    "path (auc_by_group_binned, histogram concordance) is pinned to "
+    "this exact result within 1/n_bins by tests/test_round7.py"
+)
+
+
+def q219_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import canonical_edges, triangle_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    )
+    return triangle_stats(canonical_edges(pairs, "src", "dst"))
+
+
+_Q219_ORACLE = """
+    WITH base AS (
+      SELECT DISTINCT LEAST(user_id % 997, event_id % 997) AS a,
+                      GREATEST(user_id % 997, event_id % 997) AS b
+      FROM events
+      WHERE user_id % 997 <> event_id % 997
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM base UNION ALL SELECT b AS node FROM base
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS c
+      FROM base e1
+      JOIN base e2 ON e2.a = e1.b
+      JOIN base e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles,
+           round(3.0 * (SELECT c FROM tri)
+                 / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6)
+             AS clustering
+"""
+
+_Q219_NOTES = (
+    "TRIANGLE CENSUS + global clustering coefficient (operators/graph."
+    "triangle_stats — the join-shaped graph kernel complementing the "
+    "iterate family's PageRank/CC): edges are DEGREE-ORIENTED (lower "
+    "(deg,id) -> higher), an acyclic orientation that counts each "
+    "triangle exactly once at its apex and bounds the wedge self-join "
+    "to O(m^1.5) — the node-iterator++ bound — where id-ordering alone "
+    "blows up on hub nodes. Wedges are an exact-BIGINT degree-table "
+    "reduction; the three 1-row stats meet in broadcast cross joins "
+    "(no driver collect). The oracle counts the same triangles by the "
+    "naive canonical 3-way self-join — orientation invariance is the "
+    "cross-check, plus a K4/K5 closed-form pytest"
+)
+
+
+def q220_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cardinality import join_size_estimate
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    est = join_size_estimate(orders, li, "o_orderkey", "l_orderkey", hex_zeros=1)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count("*").cast("long").alias("exact_pairs"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "sampled_pairs",
+        "est_pairs",
+        "exact_pairs",
+        F.round(
+            (F.col("est_pairs") - F.col("exact_pairs")) / F.col("exact_pairs"), 4
+        ).alias("rel_err"),
+    )
+
+
+_Q220_ORACLE = """
+    WITH ls AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':jcard')), 1, 1)
+            = '0'
+    ),
+    rs AS (
+      SELECT l_orderkey AS k FROM lineitem
+      WHERE substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':jcard')), 1, 1)
+            = '0'
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS sampled_pairs
+          FROM ls JOIN rs USING (k)),
+    x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT sampled_pairs,
+           CAST(sampled_pairs * 16 AS BIGINT) AS est_pairs,
+           exact_pairs,
+           round((sampled_pairs * 16 - exact_pairs) / exact_pairs, 4) AS rel_err
+    FROM s CROSS JOIN x
+"""
+
+_Q220_NOTES = (
+    "sketch-based JOIN-SIZE ESTIMATION (operators/cardinality."
+    "join_size_estimate — the optimizer primitive that answers 'how "
+    "big is this join' before paying for it): KEY-HASH Bernoulli(1/16) "
+    "sampling by the engine-wide md5 rule keeps a key's FULL "
+    "contribution or none — unbiased for sum_k l(k)*o(k), unlike "
+    "row-sampling whose p^2 pair survival has huge variance on heavy "
+    "keys. Cost: two map-side filters + a sample-sized join; the "
+    "16x-scaled count is the estimate. The full join here exists only "
+    "to expose rel_err for the oracle — at 100 TB it is exactly the "
+    "thing the estimate avoids; accuracy is additionally pinned by a "
+    "pytest tolerance band"
+)
+
+
+def q221_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import temperature_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        temperature_sample(docs, "source", "doc_id", alpha=0.5, total_frac=0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_Q221_ORACLE = """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS big_w,
+             CAST(floor(SUM(n) * 0.5) AS BIGINT) AS t_total
+      FROM w
+    ),
+    takes AS (
+      SELECT source, (tot.t_total * w.w) // tot.big_w AS take
+      FROM w CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':temp')), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN takes t ON r.source = t.source
+    WHERE r.rn <= t.take
+    ORDER BY r.doc_id
+"""
+
+_Q221_NOTES = (
+    "TEMPERATURE-scaled domain mixing (llm/sampling.temperature_sample "
+    "— the n^alpha multilingual/multi-source LM mixing recipe, "
+    "alpha=0.5: rare domains upweighted relative to corpus share, one "
+    "dial instead of q91's explicit target shares): take counts are "
+    "pure INTEGER arithmetic — w_d = round(sqrt(n_d)*1e6) BIGINT "
+    "(sqrt is IEEE-correctly-rounded, hence engine-identical; pow is "
+    "not, so cross-engine exactness is pinned to alpha=0.5), "
+    "t_d = (T*w_d) DIV sum(w) — and winners are md5-rank selected per "
+    "domain (the q174 quota rule). One metadata-sized count agg + "
+    "broadcast takes + one window shuffle; membership is engine-exact, "
+    "reproducible under repartitioning and appends"
+)
+
+
+def q222_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(500.0)).cast("long").alias("size_bucket"),
+    ).agg(
+        F.countDistinct("source").alias("diversity"),
+        F.count("*").alias("n"),
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("diversity") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("cells_below_l"),
+        F.coalesce(F.sum(F.when(F.col("diversity") < 3, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("diversity").cast("long").alias("min_diversity"),
+    )
+
+
+_Q222_ORACLE = """
+    WITH cells AS (
+      SELECT lang, CAST(floor(n_chars / 500.0) AS BIGINT) AS size_bucket,
+             COUNT(DISTINCT source) AS diversity, COUNT(*) AS n
+      FROM documents GROUP BY lang, size_bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(CASE WHEN diversity < 3 THEN 1 END) AS BIGINT)
+             AS cells_below_l,
+           CAST(COALESCE(SUM(CASE WHEN diversity < 3 THEN n END), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(diversity) AS BIGINT) AS min_diversity
+    FROM cells
+"""
+
+_Q222_NOTES = (
+    "L-DIVERSITY audit — q197 k-anonymity's companion (k-anonymity "
+    "bounds cell SIZE; a large cell whose members all share one "
+    "sensitive value still leaks it — l-diversity requires >= l "
+    "DISTINCT sensitive values per quasi-identifier cell): distinct "
+    "sources per (lang, size-bucket) cell, reduced to the O(cells) "
+    "summary (cells below l=3, rows at risk, the dataset's actual l). "
+    "COUNT DISTINCT inside a grouped agg = Spark's two-phase "
+    "partial-distinct expansion, map-side combinable; floor() is "
+    "explicit on both engines (the q197 DuckDB-rounds-Spark-truncates "
+    "cast trap)"
+)
+
+
+def q223_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_report, quantile_edges_exact
+
+    ev = read_table(spark, sf_dir, "events")
+    ref = ev.filter(
+        F.col("event_type").isin("view", "click") & F.col("value").isNotNull()
+    ).select("event_id", "value")
+    cur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "value")
+    edges = quantile_edges_exact(ref, "value", 10, "event_id")
+    return psi_report(ref, cur, "value", k=10, edges=edges).orderBy("bucket")
+
+
+_Q223_ORACLE = """
+    WITH ref AS (
+      SELECT event_id, value FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ),
+    cur AS (
+      SELECT event_id, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    nref AS (SELECT COUNT(*) AS n FROM ref),
+    ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn FROM ref
+    ),
+    edges AS (
+      SELECT value AS edge FROM ranked
+      WHERE rn IN (SELECT (i * n + 9) // 10
+                   FROM generate_series(1, 9) t(i) CROSS JOIN nref)
+    ),
+    rb AS (
+      SELECT r.event_id,
+             COUNT(CASE WHEN e.edge < r.value THEN 1 END) AS bucket
+      FROM ref r CROSS JOIN edges e GROUP BY r.event_id
+    ),
+    cb AS (
+      SELECT c.event_id,
+             COUNT(CASE WHEN e.edge < c.value THEN 1 END) AS bucket
+      FROM cur c CROSS JOIN edges e GROUP BY c.event_id
+    ),
+    rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref FROM rb GROUP BY bucket),
+    cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cb GROUP BY bucket),
+    j AS (
+      SELECT COALESCE(rc.bucket, cc.bucket) AS bucket,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM rc FULL OUTER JOIN cc ON rc.bucket = cc.bucket
+    ),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j),
+    p AS (
+      SELECT bucket, n_ref, n_cur,
+             GREATEST(n_ref / tr, 0.000001) AS pr,
+             GREATEST(n_cur / tc, 0.000001) AS pc
+      FROM j CROSS JOIN tot
+    ),
+    pb AS (
+      SELECT CAST(bucket AS INTEGER) AS bucket, n_ref, n_cur,
+             round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+             round((pr - pc) * ln(pr / pc), 6) AS contrib
+      FROM p
+    )
+    SELECT bucket, n_ref, n_cur, p_ref, p_cur, contrib,
+           (SELECT round(SUM(contrib), 6) FROM pb) AS psi
+    FROM pb ORDER BY bucket
+"""
+
+_Q223_NOTES = (
+    "PSI DISTRIBUTION-DRIFT monitor (operators/drift.psi_report — the "
+    "'did this week's crawl shift?' gate: reference period bucketed "
+    "into equal-mass quantile bins, current period's mass measured "
+    "against them, reduced to sum((p-q)*ln(p/q)) with the standard "
+    "<0.1/0.25 bands): the k-1 edges are metadata-sized, so bucketing "
+    "is a MAP-ONLY literal bisection chain (q79 sampled-boundaries "
+    "discipline — no join, codegen'd) + one k-row agg per side. "
+    "psi_report's DEFAULT edge grid is approxQuantile (bounded-memory "
+    "GK, no global sort — the q184->q204 default-routing rule); this "
+    "query passes exact rank-selected edges so the DuckDB oracle "
+    "reproduces the grid digit-for-digit. Here ref=view/click spend vs "
+    "cur=purchase spend — a real shift, PSI lands well above the 0.25 "
+    "alarm band"
+)
+
+
+def q224_returns_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.aggregate import dec
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rets = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("ret_dec")
+        )
+    )
+    withnat = (
+        rets.join(cust, rets["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select("c_custkey", "n_name", "ret_dec")
+    )
+    w = Window.partitionBy("n_name")
+    out = withnat.select(
+        "c_custkey",
+        "n_name",
+        F.col("ret_dec").cast("double").alias("return_total"),
+        (
+            F.sum("ret_dec").over(w).cast("double") / F.count("*").over(w)
+        ).alias("nation_avg"),
+    )
+    return out.filter(
+        F.col("return_total") > F.lit(1.2) * F.col("nation_avg")
+    ).orderBy("c_custkey")
+
+
+_Q224_ORACLE = """
+    WITH rets AS (
+      SELECT o.o_custkey AS custkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,4))) AS ret_dec
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY o.o_custkey
+    ),
+    withnat AS (
+      SELECT c.c_custkey, n.n_name, r.ret_dec
+      FROM rets r
+      JOIN customer c ON r.custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    winavg AS (
+      SELECT c_custkey, n_name, CAST(ret_dec AS DOUBLE) AS return_total,
+             CAST(SUM(ret_dec) OVER (PARTITION BY n_name) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY n_name) AS nation_avg
+      FROM withnat
+    )
+    SELECT c_custkey, n_name, return_total, nation_avg
+    FROM winavg WHERE return_total > 1.2 * nation_avg
+    ORDER BY c_custkey
+"""
+
+_Q224_NOTES = (
+    "TPC-DS Q1 SHAPE (customers whose return total exceeds 1.2x their "
+    "nation's average — the correlated-subquery-against-group-average "
+    "pattern, decorrelated into a window average so the returns "
+    "aggregate is computed ONCE): returned lineitems -> per-customer "
+    "decimal-exact sum -> broadcast nation join -> per-nation window "
+    "avg (exact decimal window sum / count, one IEEE division — "
+    "engine-identical without rounding) -> threshold filter. "
+    "Complements the 22 covered TPC-H shapes with the TPC-DS "
+    "flagship's plan shape; per-nation window partitions are "
+    "customer-sized, shuffled once on n_name"
+)
+
+
+ROADMAP7.update(
+    {
+        "q218_grouped_auc": (q218_grouped_auc, _Q218_ORACLE, _Q218_NOTES),
+        "q219_triangle_count": (q219_triangle_count, _Q219_ORACLE, _Q219_NOTES),
+        "q220_join_size_estimate": (
+            q220_join_size_estimate,
+            _Q220_ORACLE,
+            _Q220_NOTES,
+        ),
+        "q221_temperature_mix": (q221_temperature_mix, _Q221_ORACLE, _Q221_NOTES),
+        "q222_l_diversity": (q222_l_diversity, _Q222_ORACLE, _Q222_NOTES),
+        "q223_psi_drift": (q223_psi_drift, _Q223_ORACLE, _Q223_NOTES),
+        "q224_returns_above_nation_avg": (
+            q224_returns_above_nation_avg,
+            _Q224_ORACLE,
+            _Q224_NOTES,
+        ),
+    }
+)
