@@ -36,9 +36,11 @@ def auc_by_group(
     Plan: ONE window (partition by group, sort by score) computes both
     rank() and the tie count — the tie count uses a RANGE CURRENT ROW
     frame over the same sort, so Catalyst evaluates both in a single
-    Window operator over a single exchange — then one hash aggregation.
-    Two exchanges total; the per-group sort is the unavoidable cost of
-    exact AUC (see ``auc_by_group_binned`` for the sort-free variant).
+    Window operator over a single exchange — then one hash aggregation
+    that REUSES the window's partitioning (group key == partition key):
+    one exchange total, plan-gated. The per-group sort is the
+    unavoidable cost of exact AUC (see ``auc_by_group_binned`` for the
+    sort-free variant).
 
     Groups with only one class are dropped (AUC undefined). NULL scores
     and labels are excluded.
@@ -149,4 +151,70 @@ def auc_by_group_binned(
         agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .withColumn("auc", F.col("_cs") / (F.col("n_pos") * F.col("n_neg")))
         .drop("_cs")
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + Brier score for a probabilistic
+    classifier scored over a holdout: per probability-decile bin,
+    (bin, n, mean_prob, frac_pos, gap) with the overall ``brier``
+    (mean squared error of the probability) repeated on every row.
+
+    A well-calibrated model has frac_pos ≈ mean_prob per bin (gap ≈ 0);
+    Brier decomposes into calibration + refinement, so the two views
+    together are the standard post-training audit.
+
+    Cross-engine exactness contract: callers pass a probability ROUNDED
+    to 9dp (the q27/wkey rule — if the probability came through libm
+    functions like exp, the 9dp round collapses last-ulp differences to
+    one shared double). Downstream, per-row terms are rounded to 9dp
+    and carried as DECIMAL(25,9) so every sum is order-independent;
+    each emitted ratio is a single IEEE division of exact operands.
+
+    Plan: one map-side bucket + one hash agg to n_bins rows; the Brier
+    total is the same agg's global twin broadcast back — two passes over
+    nothing bigger than the score column.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("int")
+    bin_id = F.least(
+        F.lit(n_bins - 1), F.floor(p * F.lit(n_bins)).cast("int")
+    )
+    sq_err = F.round((p - y) * (p - y), 9).cast("decimal(25,9)")
+    scored = df.filter(p.isNotNull() & y.isNotNull()).select(
+        bin_id.alias("bin"),
+        y.alias("_y"),
+        F.round(p, 9).cast("decimal(25,9)").alias("_p9"),
+        sq_err.alias("_se"),
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("_p9").cast("double") / F.count("*")).alias("_mp"),
+        (F.sum("_y").cast("double") / F.count("*")).alias("_fp"),
+        F.sum("_se").alias("_se_sum"),
+    )
+    tot = per_bin.agg(
+        (F.sum("_se_sum").cast("double") / F.sum("n")).alias("_br")
+    )
+    # emitted stats are rounded to 6dp (the q27 rule): the 9dp per-row
+    # round of a libm-derived double can disagree across engines by one
+    # decimal ulp on boundary rows, leaving ~1e-13 aggregate noise that
+    # a raw hash compare would flag
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round("_mp", 6).alias("mean_prob"),
+            F.round("_fp", 6).alias("frac_pos"),
+            F.round(F.col("_fp") - F.col("_mp"), 6).alias("gap"),
+            F.round("_br", 6).alias("brier"),
+        )
     )

@@ -1405,3 +1405,190 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q225_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.assoc import association_rules
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rules = association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, max_basket_size=20
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(50)
+
+
+_Q225_ORACLE = """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    kept AS (
+      SELECT b, i FROM bi
+      WHERE b IN (SELECT b FROM bi GROUP BY b HAVING COUNT(*) <= 20)
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM kept),
+    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM kept GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, c.i AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.pair_cnt,
+           ia.ni AS n_a, ib.ni AS n_b,
+           p.pair_cnt / nb.n AS support,
+           p.pair_cnt / ia.ni AS confidence_a_b,
+           p.pair_cnt / ib.ni AS confidence_b_a,
+           (p.pair_cnt * nb.n) / (ia.ni * ib.ni) AS lift
+    FROM pairs p
+    JOIN ic ia ON p.item_a = ia.i
+    JOIN ic ib ON p.item_b = ib.i
+    CROSS JOIN nb
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 50
+"""
+
+_Q225_NOTES = (
+    "MARKET-BASKET association rules at the 2-itemset level (operators/"
+    "assoc.association_rules — co-purchased parts per order, the "
+    "join-shaped half of recommendation): support / confidence(both "
+    "directions) / lift over item pairs, each a single IEEE division "
+    "of exact integer counts (engine-exact, no rounding). The "
+    "quadratic danger is per-basket C(s,2) fanout — baskets over "
+    "max_basket_size=20 distinct items are dropped BEFORE pairing "
+    "(the containment_pairs df-cap discipline: bot carts out, counts "
+    "conservative never inflated). One distinct pass persisted to feed "
+    "basket counts, item counts and the pair self-join; top-50 by "
+    "(lift, pair) is fully tie-broken"
+)
+
+
+def q226_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import radius_join_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 1000).alias("x"),
+        ((F.col("c_custkey") * 91) % 1000).alias("y"),
+    )
+    return radius_join_pairs(pts, "id", "x", "y", radius=15.0).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_Q226_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 37) % 1000 AS x,
+             (c_custkey * 91) % 1000 AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT id, x, y,
+             CAST(floor(x / 15.0) AS BIGINT) AS cx,
+             CAST(floor(y / 15.0) AS BIGINT) AS cy
+      FROM pts
+    ),
+    probe AS (
+      SELECT c.id, c.x, c.y, c.cx + dx.i AS cx, c.cy + dy.i AS cy
+      FROM cells c
+      CROSS JOIN generate_series(-1, 1) dx(i)
+      CROSS JOIN generate_series(-1, 1) dy(i)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM probe a
+    JOIN cells b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225
+    ORDER BY id_a, id_b
+"""
+
+_Q226_NOTES = (
+    "GRID-BUCKETED spatial radius self-join (operators/spatial."
+    "radius_join_pairs — all point pairs within r without a cross "
+    "join, the PostGIS-bucketing/Sedona-grid plan shape): cell size "
+    ">= r means a match can only live in the 3x3 neighborhood, so ONE "
+    "side replicates x9 and the join is a plain equi-join on cell id "
+    "with an exact distance filter behind it. Coordinates here are "
+    "integers synthesized from c_custkey, so dist_sq stays in exact "
+    "BIGINT arithmetic end-to-end — no trig, no epsilon, engine-exact. "
+    "Dense-area skew is an AQE skew-join case, not a plan rewrite"
+)
+
+
+def q227_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlmetrics import calibration_report
+
+    ev = read_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("label"),
+        # pseudo-probability through a logistic link; rounded to 9dp so
+        # the libm exp's last-ulp spread collapses to one shared double
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("value") - F.lit(50.0)) / F.lit(20.0))),
+            9,
+        ).alias("prob"),
+    )
+    return calibration_report(scored, "label", "prob", n_bins=10).orderBy("bin")
+
+
+_Q227_ORACLE = """
+    WITH scored AS (
+      SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END
+               AS y,
+             round(1.0 / (1.0 + exp(-(value - 50.0) / 20.0)), 9) AS p
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT LEAST(9, CAST(floor(p * 10) AS INTEGER)) AS bin, y,
+             CAST(round(p, 9) AS DECIMAL(25,9)) AS p9,
+             CAST(round((p - y) * (p - y), 9) AS DECIMAL(25,9)) AS se
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p9) AS DOUBLE) / COUNT(*) AS mean_prob,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos,
+             SUM(se) AS se_sum
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(se_sum) AS DOUBLE) / SUM(n) AS br FROM per_bin
+    )
+    SELECT bin, n, round(mean_prob, 6) AS mean_prob,
+           round(frac_pos, 6) AS frac_pos,
+           round(frac_pos - mean_prob, 6) AS gap,
+           round(br, 6) AS brier
+    FROM per_bin CROSS JOIN tot
+    ORDER BY bin
+"""
+
+_Q227_NOTES = (
+    "CALIBRATION reliability bins + BRIER score (operators/mlmetrics."
+    "calibration_report — the post-training audit pairing q218's "
+    "discrimination AUC with calibration): per probability-decile "
+    "(n, mean_prob, frac_pos, gap) plus the overall Brier repeated per "
+    "row. Probabilities go through a libm logistic, so the engine "
+    "contract rounds them to 9dp FIRST (the q27/wkey rule), then every "
+    "sum rides DECIMAL(25,9) — order-independent at any parallelism — "
+    "and every ratio is one IEEE division of exact operands. One "
+    "map-side bucket + one n_bins-row agg + a broadcast 1-row total"
+)
+
+
+ROADMAP7.update(
+    {
+        "q225_copurchase_lift": (q225_copurchase_lift, _Q225_ORACLE, _Q225_NOTES),
+        "q226_radius_join": (q226_radius_join, _Q226_ORACLE, _Q226_NOTES),
+        "q227_calibration_brier": (
+            q227_calibration_brier,
+            _Q227_ORACLE,
+            _Q227_NOTES,
+        ),
+    }
+)

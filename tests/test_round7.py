@@ -350,3 +350,162 @@ def test_returns_query_threshold_law(spark, sf_dir):
     assert rows, "fixture should produce above-average returners"
     for r in rows:
         assert r["return_total"] > 1.2 * r["nation_avg"]
+
+
+# --- association rules -------------------------------------------------------
+
+
+def test_assoc_hand_computed(spark):
+    from dbkit_spark.operators.assoc import association_rules
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(
+            df, "basket", "item", min_pair_count=1
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["pair_cnt"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["support"] == pytest.approx(2 / 3)
+    assert ab["confidence_a_b"] == pytest.approx(2 / 3)
+    assert ab["confidence_b_a"] == 1.0
+    assert ab["lift"] == pytest.approx(2 * 3 / (3 * 2))
+    assert out[("a", "c")]["pair_cnt"] == 1
+    assert ("b", "c") in out
+
+
+def test_assoc_basket_cap_drops_giant_baskets(spark):
+    from dbkit_spark.operators.assoc import association_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = association_rules(
+        df, "basket", "item", min_pair_count=1, max_basket_size=2
+    ).collect()
+    # basket 2 (3 items) is excluded; only basket 1 remains
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("a", "b") and r["pair_cnt"] == 1
+    assert r["support"] == 1.0  # 1 pair over 1 surviving basket
+
+
+def test_assoc_duplicate_rows_collapse(spark):
+    from dbkit_spark.operators.assoc import item_pairs
+
+    rows = [(1, "a"), (1, "a"), (1, "b")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = item_pairs(df, "basket", "item").collect()
+    assert len(out) == 1 and out[0]["pair_cnt"] == 1
+
+
+def test_assoc_validates(spark):
+    from dbkit_spark.operators.assoc import association_rules, item_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["basket", "item"])
+    with pytest.raises(ValueError):
+        item_pairs(df, "basket", "item", max_basket_size=1)
+    with pytest.raises(ValueError):
+        association_rules(df, "basket", "item", min_pair_count=0)
+
+
+# --- spatial radius join -----------------------------------------------------
+
+
+def test_radius_join_hand_case_and_boundary(spark):
+    from dbkit_spark.operators.spatial import radius_join_pairs
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 10, 0), (3, 30, 0), (4, 15, 0)], ["id", "x", "y"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in radius_join_pairs(pts, "id", "x", "y", 15.0).collect()
+    }
+    assert out[(1, 2)] == 100
+    assert out[(1, 4)] == 225  # boundary dist == r is included
+    assert out[(2, 4)] == 25
+    assert (1, 3) not in out  # 30 > 15
+    assert (3, 4) in out  # cross-cell neighbors (cells 1 and 2)
+
+
+def test_radius_join_matches_brute_force(spark, sf_dir):
+    from dbkit_spark.operators.spatial import radius_join_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 1000).alias("x"),
+        ((F.col("c_custkey") * 91) % 1000).alias("y"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join_pairs(pts, "id", "x", "y", 20.0).collect()
+    }
+    rows = pts.collect()
+    brute = {
+        (min(a["id"], b["id"]), max(a["id"], b["id"]))
+        for i, a in enumerate(rows)
+        for b in rows[i + 1 :]
+        if (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2 <= 400
+    }
+    assert got == brute
+
+
+def test_radius_join_validates(spark):
+    from dbkit_spark.operators.spatial import radius_join_pairs
+
+    pts = spark.createDataFrame([(1, 0, 0)], ["id", "x", "y"])
+    with pytest.raises(ValueError):
+        radius_join_pairs(pts, "id", "x", "y", radius=0)
+    with pytest.raises(ValueError):
+        radius_join_pairs(pts, "id", "x", "y", radius=10, cell_size=5)
+
+
+def test_radius_join_plan_is_equijoin(spark, sf_dir):
+    from dbkit_spark.operators.spatial import radius_join_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 1000).alias("x"),
+        ((F.col("c_custkey") * 91) % 1000).alias("y"),
+    )
+    final = simple_plan(radius_join_pairs(pts, "id", "x", "y", 15.0))
+    assert "Cartesian" not in final and "BroadcastNestedLoop" not in final
+
+
+# --- calibration / Brier -----------------------------------------------------
+
+
+def test_calibration_perfect_probabilities(spark):
+    from dbkit_spark.operators.mlmetrics import calibration_report
+
+    rows = [(1, 1.0)] * 5 + [(0, 0.0)] * 5
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = calibration_report(df, "y", "p", n_bins=10).collect()
+    for r in out:
+        assert r["brier"] == 0.0 and r["gap"] == 0.0
+
+
+def test_calibration_hand_computed_brier(spark):
+    from dbkit_spark.operators.mlmetrics import calibration_report
+
+    # one bin [0.4, 0.5): p=0.45, labels 1 and 0 -> brier = mean(.3025,.2025)
+    df = spark.createDataFrame([(1, 0.45), (0, 0.45)], ["y", "p"])
+    out = calibration_report(df, "y", "p", n_bins=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 4 and r["n"] == 2
+    assert r["mean_prob"] == pytest.approx(0.45, abs=1e-9)
+    assert r["frac_pos"] == pytest.approx(0.5, abs=1e-9)
+    assert r["brier"] == pytest.approx((0.3025 + 0.2025) / 2, abs=1e-6)
+
+
+def test_calibration_validates(spark):
+    from dbkit_spark.operators.mlmetrics import calibration_report
+
+    df = spark.createDataFrame([(1, 0.5)], ["y", "p"])
+    with pytest.raises(ValueError):
+        calibration_report(df, "y", "p", n_bins=1)
