@@ -5,12 +5,13 @@ Images/audio/video are opaque ``binary`` payloads (the reference's BLOB,
 plumbing — schema, Arrow batch shape, mapInPandas signature, partition
 discipline — is real and tested.
 
-Decode status: BMP and PPM (P6/P3) are decoded for REAL — pure-Python
-header parse in ``parse_image_meta`` (no codec libs needed), with
-matching writers (``encode_bmp``/``encode_ppm``) for round-trip tests
-and synthetic corpora. Codec formats that need external libs (JPEG/PNG/
-video) remain STUBBED via ``_fake_decode``; swap in PIL/torchaudio/...
-without touching any Spark plumbing.
+Decode status: all four image containers decode to REAL pixels with no
+codec dependency — BMP/PPM as raw bytes, PNG via stdlib zlib
+(inflate + unfilter), and baseline sequential JPEG via the pure-numpy
+codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables). Unsupported
+JPEG variants (progressive, subsampled) degrade to header metadata.
+Video/audio remain STUBBED via ``_fake_decode``; swap in
+PIL/torchaudio/... without touching any Spark plumbing.
 """
 
 from __future__ import annotations
@@ -522,10 +523,11 @@ def decode_features_arrow(payloads: DataFrame) -> DataFrame:
 # --- full-pixel decoders (PNG/BMP/PPM, pure stdlib) --------------------------
 # Round-5 left full-pixel decode behind honest NotImplementedError stubs
 # "unless the environment gains codec libs" — but PNG needs only stdlib
-# zlib (inflate + per-scanline unfilter), and BMP/PPM are raw bytes, so
-# three of the four supported containers decode to real pixels with no
-# dependency at all. JPEG remains the honest stub: baseline JPEG needs
-# Huffman + IDCT, i.e. a real codec lib.
+# zlib (inflate + per-scanline unfilter), BMP/PPM are raw bytes, and
+# round 7 closed the last gap: baseline sequential JPEG is pure math
+# (Huffman + IDCT + Annex-K tables, implemented in llm/jpeg.py on bare
+# numpy), so all four containers decode to real pixels with no codec
+# dependency. Progressive/subsampled JPEG stays honestly unsupported.
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -683,9 +685,13 @@ def decode_ppm_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_image_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Dispatch on magic bytes to a full-pixel decode: (format, width,
-    height, channels, raw bytes). JPEG raises NotImplementedError — the
-    one honest stub left (baseline JPEG needs Huffman+IDCT, a codec
-    lib's job); headers still parse via ``parse_image_meta``."""
+    height, channels, raw bytes). All four supported containers decode
+    to real pixels with no codec dependency — PNG via stdlib zlib,
+    BMP/PPM as raw bytes, and baseline sequential JPEG via the pure
+    numpy codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables).
+    Progressive/subsampled JPEG raises NotImplementedError (a genuinely
+    unsupported variant); header-only or corrupt streams raise
+    ValueError — ``image_pixel_stats`` degrades both to metadata."""
     if payload is None:
         raise ValueError("no payload")
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -695,10 +701,10 @@ def decode_image_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
     if payload[:2] == b"P6":
         return ("ppm", *decode_ppm_pixels(payload))
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG pixel decode needs a codec lib (Huffman+IDCT); header "
-            "metadata parses via parse_image_meta"
-        )
+        from .jpeg import decode_jpeg_pixels
+
+        w, h, ch, raw = decode_jpeg_pixels(payload)
+        return ("jpeg", w, h, ch, raw)
     raise ValueError("unknown image container")
 
 
@@ -719,12 +725,13 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(payloads: DataFrame) -> DataFrame:
     """REAL pixel feature extraction over mapInPandas: full decode
-    (PNG inflate+unfilter / BMP / PPM) then per-channel means. Rows whose
-    container can't be pixel-decoded here (JPEG) emit decoded=false with
-    NULL stats instead of failing the batch — a corpus pipeline keeps
-    moving and the undecodable subset is queryable. Arrow-batched,
-    map-only, shuffle-free; partition count controls decode parallelism
-    exactly as with the stub decoder."""
+    (PNG inflate+unfilter / BMP / PPM / baseline JPEG) then per-channel
+    means. Rows whose payload can't be pixel-decoded — an unsupported
+    JPEG variant (progressive, subsampled) or a header-only/corrupt
+    stream — emit decoded=false with header metadata instead of failing
+    the batch: a corpus pipeline keeps moving and the undecodable
+    subset is queryable. Arrow-batched, map-only, shuffle-free;
+    partition count controls decode parallelism."""
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -745,7 +752,7 @@ def image_pixel_stats(payloads: DataFrame) -> DataFrame:
                         sums[1] = sums[2] = sums[0]
                     vals = (did, fmt, w, h, ch, sums[0] / n, sums[1] / n,
                             sums[2] / n, True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     meta = parse_image_meta(payload)
                     vals = (did, meta[0], meta[1], meta[2], None, None, None,
                             None, False)
@@ -754,3 +761,36 @@ def image_pixel_stats(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(do, PIXEL_STATS_SCHEMA)
+
+
+def with_real_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL, decodable baseline JPEG per row (the
+    ``llm/jpeg.py`` pure-numpy encoder, smooth-gradient pixels, dims
+    16+id%17 × 16+id%13 so every image spans multiple MCU blocks).
+    Complements ``with_multiformat_image_payload`` — whose JPEG arm
+    stays header-only, preserving the decoded=false degradation path —
+    by exercising the full Huffman+IDCT decode."""
+    from .jpeg import synth_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes, lens = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 17, 16 + did % 13
+                p = synth_jpeg(w, h, seed=did % 251)
+                payloads.append(p)
+                mtypes.append("image/jpeg")
+                lens.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": mtypes,
+                    "payload_len": lens,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, PAYLOAD_SCHEMA
+    )

@@ -294,9 +294,10 @@ _Q206_NOTES = (
     "multimodal.image_pixel_stats over mapInPandas): BMP/PPM/PNG "
     "payloads decode to real pixels with pure stdlib (PNG = zlib "
     "inflate + all-five-filter unfilter, CRC-verified; BMP = bottom-up "
-    "BGR→RGB; PPM = P6) and emit exact per-channel means; JPEG rows "
-    "emit decoded=false with header dims (Huffman+IDCT needs a codec "
-    "lib — the one honest stub). The oracle NEVER touches the bytes: "
+    "BGR→RGB; PPM = P6) and emit exact per-channel means; the JPEG "
+    "rows here are HEADER-ONLY payloads, so they exercise the "
+    "decoded=false degradation path (real baseline-JPEG decode is "
+    "q228's job via llm/jpeg.py). The oracle NEVER touches the bytes: "
     "it recomputes the means analytically from the deterministic pixel "
     "formula (integer sums divided once, so the IEEE result matches "
     "bit-for-bit), independently validating encoder AND decoder; "
@@ -1590,5 +1591,49 @@ ROADMAP7.update(
             _Q227_ORACLE,
             _Q227_NOTES,
         ),
+    }
+)
+
+
+def q228_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import image_pixel_stats, with_real_jpeg_payload
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    stats = image_pixel_stats(with_real_jpeg_payload(docs))
+    return stats.select(
+        "doc_id", "img_format", "width", "height", "channels", "decoded"
+    ).orderBy("doc_id")
+
+
+_Q228_ORACLE = """
+    SELECT doc_id,
+           'jpeg' AS img_format,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + doc_id % 13 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           TRUE AS decoded
+    FROM documents WHERE doc_id < 150
+    ORDER BY doc_id
+"""
+
+_Q228_NOTES = (
+    "REAL baseline-JPEG pixel decode through the multimodal boundary "
+    "(llm/jpeg.py — pure numpy Huffman + dequant + IDCT + YCbCr, "
+    "Annex-K tables, restart-marker aware; no codec library), closing "
+    "the last honest codec stub: with_real_jpeg_payload synthesizes "
+    "deterministic multi-MCU gradient JPEGs and image_pixel_stats "
+    "Huffman-decodes every one (decoded=true with true dims/channels, "
+    "which is what the oracle pins — JPEG is lossy, so channel MEANS "
+    "have no exact SQL twin; pixel fidelity is pinned by the "
+    "round-trip tolerance pytests in tests/test_round7.py, and "
+    "unsupported variants/header-only streams still degrade to "
+    "decoded=false, preserved by q206). Arrow-batched map-only plan; "
+    "partition parallelism is the decode scale lever"
+)
+
+
+ROADMAP7.update(
+    {
+        "q228_jpeg_decode": (q228_jpeg_decode, _Q228_ORACLE, _Q228_NOTES),
     }
 )

@@ -1284,8 +1284,9 @@ def test_png_decode_all_filter_types():
 def test_pixel_decode_roundtrip_and_edges():
     """Every container's encoder→decoder round-trip recovers the exact
     deterministic pixels (incl. BMP bottom-up row flip + BGR→RGB and
-    padded widths); top-down BMP and commented PPM parse; JPEG pixel
-    decode is the honest NotImplementedError."""
+    padded widths); top-down BMP and commented PPM parse; JPEG decodes
+    for real via the baseline codec, and header-only JPEG is rejected
+    as malformed."""
     import pytest as _pytest
 
     from dbkit_spark.llm.multimodal import (
@@ -1332,8 +1333,16 @@ def test_pixel_decode_roundtrip_and_edges():
     commented = b"P6\n# comment line\n2 2\n255\n" + body
     assert decode_ppm_pixels(commented) == (2, 2, 3, body)
 
-    with _pytest.raises(NotImplementedError, match="JPEG"):
+    # header-only JPEG (no tables, no scan) is malformed data, not an
+    # unsupported variant — the real baseline decoder (llm/jpeg.py)
+    # rejects it as ValueError; real payloads round-trip in
+    # tests/test_round7.py's jpeg section
+    with _pytest.raises(ValueError):
         decode_image_pixels(encode_jpeg_header(4, 3, 0))
+    from dbkit_spark.llm.jpeg import synth_jpeg
+
+    f, W, H, C, px = decode_image_pixels(synth_jpeg(20, 18, seed=5))
+    assert (f, W, H, C) == ("jpeg", 20, 18, 3) and len(px) == 20 * 18 * 3
 
 
 def test_image_pixel_stats_operator(spark):

@@ -509,3 +509,119 @@ def test_calibration_validates(spark):
     df = spark.createDataFrame([(1, 0.5)], ["y", "p"])
     with pytest.raises(ValueError):
         calibration_report(df, "y", "p", n_bins=1)
+
+
+# --- baseline JPEG codec -----------------------------------------------------
+
+
+def test_jpeg_round_trip_color_tolerance():
+    import numpy as np
+
+    from dbkit_spark.llm.jpeg import decode_jpeg_pixels, encode_jpeg_pixels
+
+    ys, xs = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(xs * 4).clip(0, 255), (ys * 4).clip(0, 255), ((xs + ys) * 2).clip(0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    w, h, ch, raw = decode_jpeg_pixels(encode_jpeg_pixels(img))
+    assert (w, h, ch) == (48, 32, 3)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
+    err = np.abs(got - img.astype(np.int32))
+    assert err.max() <= 12  # smooth content under Annex-K tables
+    assert err.mean() < 3
+
+
+def test_jpeg_round_trip_grayscale():
+    import numpy as np
+
+    from dbkit_spark.llm.jpeg import decode_jpeg_pixels, encode_jpeg_pixels
+
+    gray = (np.outer(np.arange(16), np.ones(24)) * 15).astype(np.uint8)
+    w, h, ch, raw = decode_jpeg_pixels(encode_jpeg_pixels(gray))
+    assert (w, h, ch) == (24, 16, 1)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(np.int32)
+    assert np.abs(got - gray.astype(np.int32)).max() <= 4
+
+
+def test_jpeg_odd_dimensions_pad_and_crop():
+    import numpy as np
+
+    from dbkit_spark.llm.jpeg import decode_jpeg_pixels, encode_jpeg_pixels
+
+    ys, xs = np.mgrid[0:29, 0:43]
+    img = np.stack([(xs * 5).clip(0, 255)] * 3, axis=-1).astype(np.uint8)
+    w, h, ch, raw = decode_jpeg_pixels(encode_jpeg_pixels(img))
+    assert (w, h) == (43, 29)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
+    assert np.abs(got - img.astype(np.int32)).max() <= 12
+
+
+def test_jpeg_flat_quant_near_lossless():
+    """With Q=1 tables the only loss is DCT rounding + color transform:
+    even random noise must round-trip within 2 levels — this pins the
+    transform/entropy machinery independent of quantization."""
+    import numpy as np
+
+    from dbkit_spark.llm import jpeg as J
+
+    ones = np.ones((8, 8), dtype=np.int32)
+    saved = (J.QUANT_LUMA, J.QUANT_CHROMA)
+    J.QUANT_LUMA, J.QUANT_CHROMA = ones, ones
+    try:
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, size=(24, 40, 3)).astype(np.uint8)
+        w, h, ch, raw = J.decode_jpeg_pixels(J.encode_jpeg_pixels(img))
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
+        assert np.abs(got - img.astype(np.int32)).max() <= 2
+    finally:
+        J.QUANT_LUMA, J.QUANT_CHROMA = saved
+
+
+def test_jpeg_rejects_progressive_and_header_only():
+    import struct
+
+    import pytest as _pytest
+
+    from dbkit_spark.llm.jpeg import decode_jpeg_pixels
+    from dbkit_spark.llm.multimodal import encode_jpeg_header
+
+    # header-only stream (SOF but no tables/scan data) -> malformed
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(encode_jpeg_header(16, 16))
+    # progressive SOF2 -> honestly unsupported
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    payload = (
+        b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(payload)
+
+
+def test_jpeg_decoded_means_match_source(spark, sf_dir):
+    """The decoded per-channel means must track the analytic means of
+    the synthesized source pixels within JPEG quantization tolerance —
+    the lossy analogue of q206's exact analytical oracle."""
+    import numpy as np
+
+    from dbkit_spark.llm.multimodal import (
+        image_pixel_stats,
+        with_real_jpeg_payload,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    rows = image_pixel_stats(with_real_jpeg_payload(docs)).collect()
+    assert rows and all(r["decoded"] for r in rows)
+    for r in rows:
+        did = r["doc_id"]
+        w, h, seed = 16 + did % 17, 16 + did % 13, did % 251
+        ys, xs = np.mgrid[0:h, 0:w]
+        src = [
+            np.clip(xs * 4 + (seed % 64), 0, 255),
+            np.clip(ys * 4 + (seed % 32), 0, 255),
+            np.clip((xs + ys) * 2 + (seed % 16), 0, 255),
+        ]
+        for mean_got, plane in zip(
+            (r["mean_r"], r["mean_g"], r["mean_b"]), src
+        ):
+            assert abs(mean_got - plane.mean()) < 2.0, did
