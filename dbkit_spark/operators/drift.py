@@ -146,3 +146,66 @@ def psi_report(
     )
     total = per_bucket.agg(F.round(F.sum("contrib"), 6).alias("psi"))
     return per_bucket.crossJoin(F.broadcast(total))
+
+
+def windowed_psi(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    edges: list[float],
+    ref_probs: list[float],
+    window: str = "10 minutes",
+    floor: float = 1e-6,
+) -> DataFrame:
+    """PSI per event-time tumbling window against a FIXED reference
+    grid — the continuous form of ``psi_report``: "which hour of the
+    feed drifted?".
+
+    Output per window: (window_start, window_end, n) + one count column
+    per bucket (c0..c{k-1}) + ``psi`` (6dp).
+
+    Designed as ONE stateful aggregation so the identical plan runs as
+    a structured stream (Spark allows a single streaming agg in append
+    mode with a watermark): the bucket id is computed map-side
+    (``bucket_by_edges`` literal bisection), the per-window bucket
+    counts are k conditional sums inside one ``groupBy(window(ts))``,
+    and PSI folds over those k columns as a stateless post-agg
+    projection with the reference proportions inlined as literals
+    (metadata-sized, exactly the broadcast-scalar discipline).
+
+    ``ref_probs`` are the reference-period bucket proportions —
+    driver-side floats, one per bucket (k = len(edges)+1). Both engines
+    fold the same literals, so determinism reduces to the q27 ln rule
+    (psi rounded 6dp).
+    """
+    k = len(edges) + 1
+    if len(ref_probs) != k:
+        raise ValueError("ref_probs must have len(edges) + 1 entries")
+    if any(not 0.0 <= p <= 1.0 for p in ref_probs):
+        raise ValueError("ref_probs must be proportions in [0, 1]")
+    b = bucket_by_edges(F.col(value_col), edges)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(ts_col).alias("_ts"), b.alias("_b")
+    )
+    counts = [
+        F.sum(F.when(F.col("_b") == i, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i in range(k)
+    ]
+    agg = base.groupBy(F.window("_ts", window).alias("_w")).agg(
+        F.count("*").cast("long").alias("n"), *counts
+    )
+    psi = None
+    for i in range(k):
+        pr = F.lit(max(float(ref_probs[i]), floor))
+        pc = F.greatest(F.col(f"c{i}") / F.col("n"), F.lit(floor))
+        term = (pr - pc) * F.log(pr / pc)
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "n",
+        *[f"c{i}" for i in range(k)],
+        F.round(psi, 6).alias("psi"),
+    )

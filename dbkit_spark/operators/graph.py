@@ -113,3 +113,56 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     for d in (und, deg, oriented):
         d.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) with a
+    DETERMINISTIC tie-break: each round every node adopts the most
+    frequent label among its neighbors, ties resolved to the smallest
+    label. Raw LPA is order-dependent and can oscillate; fixing the
+    tie-break and the round count (the ``iterate_fixed`` PageRank
+    discipline — bounded iterations ARE the spec) makes the result a
+    pure function of the graph, reproducible across engines, which is
+    what lets an unrolled-CTE oracle pin it bit-for-bit.
+
+    Input: canonical undirected edges (a, b) from ``canonical_edges``.
+    Output: (node, label) — nodes sharing a label form a community.
+
+    Per round: one labels⋈edges shuffle + one (node, label) count agg +
+    one node-keyed window rank — O(edges) work, lineage truncated per
+    round. Initial labels are the node ids themselves.
+    """
+    from pyspark.sql import Window
+
+    from .iterate import iterate_fixed
+
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    labels0 = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+
+    def step(labels: DataFrame) -> DataFrame:
+        nbr = und.join(labels, und["dst"] == labels["node"]).select(
+            und["src"].alias("node"), labels["label"]
+        )
+        cnt = nbr.groupBy("node", "label").agg(F.count("*").alias("_c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("_c").desc(), F.col("label").asc()
+        )
+        return (
+            cnt.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", "label")
+        )
+
+    out = iterate_fixed(labels0, step, n_rounds, checkpoint_dir)
+    und.unpersist()
+    return out

@@ -1637,3 +1637,189 @@ ROADMAP7.update(
         "q228_jpeg_decode": (q228_jpeg_decode, _Q228_ORACLE, _Q228_NOTES),
     }
 )
+
+
+def q229_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import (
+        bucket_by_edges,
+        quantile_edges_exact,
+        windowed_psi,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "event_id", "ts", "value"
+    )
+    edges = quantile_edges_exact(vals, "value", 8, "event_id")
+    # corpus-wide reference proportions — metadata-sized (8 counts)
+    rows = (
+        vals.select(bucket_by_edges(F.col("value"), edges).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    counts = {r["b"]: r["c"] for r in rows}
+    n = sum(counts.values())
+    ref_probs = [counts.get(i, 0) / n for i in range(8)]
+    return windowed_psi(
+        ev, "ts", "value", edges, ref_probs, window="10 minutes"
+    ).orderBy("window_start")
+
+
+def _q229_oracle() -> str:
+    """k=8 windowed-PSI oracle: edges and reference proportions are
+    recomputed in SQL exactly as the Spark side derives them (rank-
+    selected edges; corpus bucket counts / n — the same IEEE division
+    the driver-side Python performs), then per-window conditional
+    counts fold into the identical PSI chain."""
+    epoch = "TIMESTAMP '1970-01-01 00:00:00'"
+    win = f"{epoch} + to_seconds(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT))"
+    cs = ",\n         ".join(
+        f"CAST(COUNT(CASE WHEN b = {i} THEN 1 END) AS BIGINT) AS c{i}"
+        for i in range(8)
+    )
+    prs = ",\n         ".join(
+        f"CAST(COUNT(CASE WHEN b = {i} THEN 1 END) AS DOUBLE)"
+        f" / COUNT(*) AS pr{i}"
+        for i in range(8)
+    )
+    terms = " + ".join(
+        f"(GREATEST(pr{i}, 0.000001) - GREATEST(c{i} / n, 0.000001))"
+        f" * ln(GREATEST(pr{i}, 0.000001) / GREATEST(c{i} / n, 0.000001))"
+        for i in range(8)
+    )
+    return f"""
+    WITH vals AS (
+      SELECT event_id, ts, value FROM events WHERE value IS NOT NULL
+    ),
+    nref AS (SELECT COUNT(*) AS n FROM vals),
+    ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+      FROM vals
+    ),
+    edges AS (
+      SELECT value AS edge FROM ranked
+      WHERE rn IN (SELECT (i * n + 7) // 8
+                   FROM generate_series(1, 7) t(i) CROSS JOIN nref)
+    ),
+    bucketed AS (
+      SELECT v.event_id, v.ts, v.value,
+             COUNT(CASE WHEN e.edge < v.value THEN 1 END) AS b
+      FROM vals v CROSS JOIN edges e
+      GROUP BY v.event_id, v.ts, v.value
+    ),
+    refp AS (
+      SELECT {prs}
+      FROM bucketed
+    ),
+    win AS (
+      SELECT {win} AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n,
+         {cs}
+      FROM bucketed GROUP BY window_start
+    )
+    SELECT w.window_start,
+           w.window_start + to_seconds(600) AS window_end,
+           w.n, {", ".join(f"w.c{i}" for i in range(8))},
+           round({terms}, 6) AS psi
+    FROM win w CROSS JOIN refp
+    ORDER BY w.window_start
+    """
+
+
+_Q229_NOTES = (
+    "WINDOWED PSI drift monitor (operators/drift.windowed_psi — the "
+    "continuous form of q223: which 10-minute window of the feed "
+    "drifted from the corpus-wide reference distribution): bucket id "
+    "is a map-side literal-bisection, per-window bucket counts are k=8 "
+    "conditional sums inside ONE groupBy(window(ts)) aggregation, and "
+    "PSI folds over the count columns as a stateless post-agg "
+    "projection with the reference proportions inlined as literals — "
+    "deliberately a SINGLE stateful agg so the identical plan replays "
+    "as a structured stream (batch==stream parity pinned in "
+    "tests/test_round7.py the q37 way). The oracle recomputes edges, "
+    "reference proportions, and the PSI chain in SQL; determinism "
+    "reduces to the q27 ln rule (6dp)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q229_windowed_psi": (q229_windowed_psi, _q229_oracle(), _Q229_NOTES),
+    }
+)
+
+
+def q230_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import canonical_edges, label_propagation
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 97).alias("src"),
+        (F.col("event_id") % 89).alias("dst"),
+    )
+    edges = canonical_edges(pairs, "src", "dst")
+    return label_propagation(edges, n_rounds=5).orderBy("node")
+
+
+def _q230_oracle(n_rounds: int = 5) -> str:
+    """Unrolled-CTE LPA oracle (the q177 PageRank discipline): one CTE
+    per round, every rule written token-identically to the Spark side —
+    most-frequent neighbor label, ties to the smallest label — so the
+    5-round assignment matches bit-for-bit."""
+    head = """
+    WITH base AS (
+      SELECT DISTINCT LEAST(user_id % 97, event_id % 89) AS a,
+                      GREATEST(user_id % 97, event_id % 89) AS b
+      FROM events
+      WHERE user_id % 97 <> event_id % 89
+    ),
+    und AS (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)"""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f""",
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT u.src AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY u.src
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+        FROM und u JOIN l{i - 1} l ON u.dst = l.node
+        GROUP BY u.src, l.label
+      ) WHERE rk = 1
+    )""")
+    return (
+        head
+        + "".join(rounds)
+        + f"\n    SELECT node, label FROM l{n_rounds} ORDER BY node\n    "
+    )
+
+
+_Q230_NOTES = (
+    "LABEL-PROPAGATION community detection (operators/graph."
+    "label_propagation — the clustering complement to the iterate "
+    "family's CC/PageRank): synchronous LPA with the DETERMINISTIC "
+    "rule 'most frequent neighbor label, ties to the smallest', run "
+    "for a fixed 5 rounds on iterate_fixed (bounded rounds ARE the "
+    "spec — raw LPA is order-dependent and oscillation-prone; the "
+    "fixed rule makes the result a pure function of the graph). Per "
+    "round one labels-by-edges shuffle + one (node,label) count + one "
+    "node-keyed rank, lineage truncated per round. The oracle unrolls "
+    "the five rounds as CTEs written token-identically (q177 "
+    "discipline) and matches bit-for-bit"
+)
+
+
+ROADMAP7.update(
+    {
+        "q230_label_propagation": (
+            q230_label_propagation,
+            _q230_oracle(),
+            _Q230_NOTES,
+        ),
+    }
+)

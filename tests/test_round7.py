@@ -625,3 +625,111 @@ def test_jpeg_decoded_means_match_source(spark, sf_dir):
             (r["mean_r"], r["mean_g"], r["mean_b"]), src
         ):
             assert abs(mean_got - plane.mean()) < 2.0, did
+
+
+# --- windowed PSI ------------------------------------------------------------
+
+
+def test_windowed_psi_uniform_reference_near_zero(spark, sf_dir):
+    """Windows drawn from the same distribution as the reference grid
+    score in the stable band (<0.1) for all but tiny windows."""
+    from dbkit_spark.operators.drift import (
+        bucket_by_edges,
+        quantile_edges_exact,
+        windowed_psi,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value").isNotNull()).select("event_id", "ts", "value")
+    edges = quantile_edges_exact(vals, "value", 8, "event_id")
+    rows = (
+        vals.select(bucket_by_edges(F.col("value"), edges).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("c")).collect()
+    )
+    counts = {r["b"]: r["c"] for r in rows}
+    n = sum(counts.values())
+    ref = [counts.get(i, 0) / n for i in range(8)]
+    out = windowed_psi(ev, "ts", "value", edges, ref, window="7 days").collect()
+    big = [r for r in out if r["n"] >= 100]
+    assert big, "fixture should have populated windows"
+    # same-distribution windows sit in the stable band; small-sample
+    # windows get a looser bound (PSI variance ~ k/n)
+    assert all(r["psi"] < 0.25 for r in big)
+    assert min(r["psi"] for r in big) < 0.1
+    for r in out:  # bucket counts partition each window
+        assert sum(r[f"c{i}"] for i in range(8)) == r["n"]
+
+
+def test_windowed_psi_stream_replay_equals_batch(spark, sf_dir):
+    """The single-aggregation design is the point: the identical
+    windowed-PSI plan replays as a structured stream (availableNow,
+    memory sink) bit-equal to the batch result — the q37 parity law."""
+    from dbkit_spark.operators.drift import (
+        bucket_by_edges,
+        quantile_edges_exact,
+        windowed_psi,
+    )
+    from dbkit_spark.streaming.runner import read_events_stream, run_available_now
+
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value").isNotNull()).select("event_id", "ts", "value")
+    edges = quantile_edges_exact(vals, "value", 8, "event_id")
+    rows = (
+        vals.select(bucket_by_edges(F.col("value"), edges).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("c")).collect()
+    )
+    counts = {r["b"]: r["c"] for r in rows}
+    n = sum(counts.values())
+    ref = [counts.get(i, 0) / n for i in range(8)]
+
+    batch = windowed_psi(ev, "ts", "value", edges, ref, window="10 minutes")
+    stream = windowed_psi(
+        read_events_stream(spark, sf_dir), "ts", "value", edges, ref,
+        window="10 minutes",
+    )
+    replay = run_available_now(stream, output_mode="complete")
+    key = lambda r: r["window_start"]  # noqa: E731
+    assert sorted(map(tuple, batch.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, replay.collect()), key=lambda t: t[0]
+    )
+
+
+def test_windowed_psi_validates(spark, sf_dir):
+    from dbkit_spark.operators.drift import windowed_psi
+
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        windowed_psi(ev, "ts", "value", [1.0, 2.0], [0.5, 0.5])  # k mismatch
+    with pytest.raises(ValueError):
+        windowed_psi(ev, "ts", "value", [1.0], [0.5, 1.5])  # not a proportion
+
+
+# --- label propagation -------------------------------------------------------
+
+
+def test_lpa_clique_converges_to_min_id(spark):
+    from dbkit_spark.operators.graph import canonical_edges, label_propagation
+
+    nodes_a, nodes_b = [1, 2, 3, 4], [10, 11, 12, 13]
+    pairs = [(x, y) for ns in (nodes_a, nodes_b) for x in ns for y in ns if x < y]
+    edges = canonical_edges(
+        spark.createDataFrame(pairs, ["src", "dst"]), "src", "dst"
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, 5).collect()}
+    # two disjoint cliques: each collapses to ONE community label and
+    # the communities stay separate
+    assert len({out[n] for n in nodes_a}) == 1
+    assert len({out[n] for n in nodes_b}) == 1
+    assert out[1] != out[10]
+
+
+def test_lpa_deterministic_under_repartition(spark):
+    from dbkit_spark.operators.graph import canonical_edges, label_propagation
+
+    pairs = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    a = sorted(map(tuple, label_propagation(
+        canonical_edges(df, "src", "dst"), 4).collect()))
+    b = sorted(map(tuple, label_propagation(
+        canonical_edges(df.repartition(7), "src", "dst"), 4).collect()))
+    assert a == b
