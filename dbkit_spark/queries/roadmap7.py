@@ -1823,3 +1823,104 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def _ensure_range_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once-per-(session, sf_dir) range-file fixture for q231:
+    events re-written as 16 range-partitioned files on event_id so each
+    file carries a tight footer min/max — the layout a time/id-ordered
+    ingest produces naturally. Same mtime-stamped guard as q145's
+    fixture (a regenerated testdata invalidates the cache)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_range_events_{tag}")
+    done = os.path.join(path, "_dbkit_fixture_done")
+    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    fresh = os.path.exists(done) and open(done).read() == stamp
+    if not fresh:
+        (
+            read_table(spark, sf_dir, "events")
+            .repartitionByRange(16, F.col("event_id"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(done, "w") as fh:
+            fh.write(stamp)
+    return path
+
+
+def q231_file_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import stable_sum
+    from ..sources.fileindex import (
+        build_file_stats_index,
+        list_parquet_files,
+        prune_files,
+        read_pruned,
+    )
+
+    path = _ensure_range_files(spark, sf_dir)
+    index = build_file_stats_index(spark, path, ["event_id", "value"])
+    index = index.localCheckpoint(eager=True)  # harvested once, probed twice
+    mx = read_table(spark, sf_dir, "events").agg(
+        F.max("event_id").alias("m")
+    ).collect()[0]["m"]
+    lo, hi = (mx * 25) // 100, (mx * 35) // 100
+    pruned = read_pruned(spark, index, "event_id", float(lo), float(hi))
+    n_total = len(list_parquet_files(path))
+    n_scanned = len(prune_files(index, "event_id", float(lo), float(hi)))
+    return pruned.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+        stable_sum("value").alias("total_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).select(
+        "*",
+        F.lit(n_scanned < n_total).alias("files_were_pruned"),
+    )
+
+
+_Q231_ORACLE = """
+    WITH bounds AS (
+      SELECT (MAX(event_id) * 25) // 100 AS lo,
+             (MAX(event_id) * 35) // 100 AS hi
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS files_were_pruned
+    FROM events CROSS JOIN bounds
+    WHERE event_id >= lo AND event_id <= hi
+"""
+
+_Q231_NOTES = (
+    "PARQUET FOOTER-STATS data skipping (sources/fileindex — the "
+    "Iceberg/Delta manifest primitive rebuilt for raw parquet "
+    "directories): a DISTRIBUTED map-only harvest reads ONLY footers "
+    "(never data pages) into an O(files x columns) min/max/null index, "
+    "and a range predicate becomes a pruned file list before the scan "
+    "— at 100 TB this is the difference between opening a million "
+    "files and opening the dozens whose range intersects. Files with "
+    "unknown stats are conservatively kept (pruning only ever skips "
+    "provably-empty files), the residual predicate still applies, and "
+    "the oracle is the plain full-table filter — layout changes "
+    "results never. files_were_pruned asserts the index actually "
+    "skipped files on the 16-file range layout; the scale-covariant "
+    "bounds derive from MAX(event_id) by integer arithmetic"
+)
+
+
+ROADMAP7.update(
+    {
+        "q231_file_stats_pruning": (
+            q231_file_stats_pruning,
+            _Q231_ORACLE,
+            _Q231_NOTES,
+        ),
+    }
+)

@@ -1,0 +1,153 @@
+"""Parquet footer-statistics index: manifest-style data skipping on raw
+parquet directories.
+
+Table formats (Iceberg, Delta, Hudi) all converge on the same 100 TB
+primitive: a small MANIFEST of per-file column min/max stats, consulted
+before the scan so a selective predicate touches only the files whose
+range intersects it. Engines on raw parquet directories get row-group
+skipping inside each file from the reader, but still pay the file-open
++ footer-read + task-schedule cost for every file in the directory.
+This module builds that manifest from the parquet footers themselves —
+metadata-only reads, no data pages — and turns a predicate into a
+pruned file list.
+
+Scale design: the footer harvest is DISTRIBUTED — the file listing
+(metadata-sized) parallelizes across executors and each task reads only
+its files' footers via pyarrow, so indexing a million-file dataset is a
+map-only job whose output is O(files × indexed columns) rows: tiny, and
+itself a DataFrame to persist next to the data. Pruning intersects the
+predicate's [lo, hi] with each file's [min, max] — files with NULL
+stats (no footer stats for the column) are conservatively KEPT, so
+pruning can only skip files that provably contain no match (never
+drops rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_row_groups", T.IntegerType()),
+        T.StructField("min_val", T.DoubleType()),
+        T.StructField("max_val", T.DoubleType()),
+        T.StructField("null_count", T.LongType()),
+    ]
+)
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """Recursive listing of data files (metadata-sized; a real lake
+    would read this from the table format's manifest)."""
+    out = []
+    for root, _, names in os.walk(path):
+        for f in names:
+            if f.endswith(".parquet") and not f.startswith("_"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def build_file_stats_index(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """Harvest per-file min/max/null-count stats for ``columns`` from
+    parquet footers. One row per (file, column); numeric stats are
+    widened to double (the index answers range questions, not equality
+    on exact decimals).
+
+    The harvest is a map-only distributed job over the FILE LIST —
+    footers only, never data pages.
+    """
+    files = list_parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    import pandas as pd
+
+    cols = list(columns)
+
+    def harvest(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in FILE_STATS_SCHEMA}
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                # column-chunk stats per (row group, column path)
+                chunks: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        chunks.setdefault(c.path_in_schema, []).append(
+                            c.statistics
+                        )
+                for col in cols:
+                    if col not in chunks:
+                        continue
+                    stats = chunks[col]
+                    have = all(s is not None and s.has_min_max for s in stats)
+                    mn = min(float(s.min) for s in stats) if have else None
+                    mx = max(float(s.max) for s in stats) if have else None
+                    nulls = (
+                        sum(int(s.null_count or 0) for s in stats)
+                        if have
+                        else None
+                    )
+                    rows["file"].append(fname)
+                    rows["column"].append(col)
+                    rows["n_rows"].append(int(md.num_rows))
+                    rows["n_row_groups"].append(int(md.num_row_groups))
+                    rows["min_val"].append(mn)
+                    rows["max_val"].append(mx)
+                    rows["null_count"].append(nulls)
+            yield pd.DataFrame(rows)
+
+    file_df = spark.createDataFrame(
+        [(f,) for f in files], T.StructType([T.StructField("file", T.StringType())])
+    ).repartition(min(len(files), 32))
+    return file_df.mapInPandas(harvest, FILE_STATS_SCHEMA)
+
+
+def prune_files(
+    index: DataFrame, column: str, lo: float, hi: float
+) -> list[str]:
+    """Files whose [min, max] for ``column`` intersects [lo, hi] —
+    plus files with unknown stats (conservative: skipping is only legal
+    when provably empty). Returns a driver-side file list
+    (metadata-sized — this IS the planner input)."""
+    rows = (
+        index.filter(F.col("column") == column)
+        .filter(
+            F.col("min_val").isNull()
+            | ((F.col("min_val") <= F.lit(hi)) & (F.col("max_val") >= F.lit(lo)))
+        )
+        .select("file")
+        .collect()
+    )
+    return sorted(r["file"] for r in rows)
+
+
+def read_pruned(
+    spark: SparkSession,
+    index: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Scan ONLY the files the index can't rule out for
+    ``column BETWEEN lo AND hi``, with the residual predicate applied
+    (pruning is a superset guarantee, not an exact answer). The result
+    equals the full-directory filtered scan by construction."""
+    files = prune_files(index, column, lo, hi)
+    if not files:
+        raise ValueError("predicate prunes every file; nothing to scan")
+    return spark.read.parquet(*files).filter(
+        (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    )

@@ -733,3 +733,88 @@ def test_lpa_deterministic_under_repartition(spark):
     b = sorted(map(tuple, label_propagation(
         canonical_edges(df.repartition(7), "src", "dst"), 4).collect()))
     assert a == b
+
+
+# --- engine facade: queued queries -------------------------------------------
+
+
+def test_engine_resolves_queued_queries(spark):
+    from dbkit_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = eng.run("q222_l_diversity", "/root/testdata/sf0.001")
+    assert df.collect()[0]["n_cells"] > 0
+    assert "l_diversity" not in eng.catalog  # still frozen out of the catalog
+    assert eng.oracle("q222_l_diversity") is not None
+    # registered queries keep working through the same entry point
+    assert eng.run("q01_pricing_summary", "/root/testdata/sf0.001").count() > 0
+
+
+# --- parquet footer-stats pruning --------------------------------------------
+
+
+def test_file_index_harvest_and_prune(spark, sf_dir, tmp_path):
+    from dbkit_spark.sources.fileindex import (
+        build_file_stats_index,
+        list_parquet_files,
+        prune_files,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "ranged")
+    ev = read_table(spark, sf_dir, "events")
+    ev.repartitionByRange(8, F.col("event_id")).write.parquet(path)
+    files = list_parquet_files(path)
+    assert len(files) == 8
+    idx = build_file_stats_index(spark, path, ["event_id", "value"]).collect()
+    by_file = {(r["file"], r["column"]): r for r in idx}
+    assert len(by_file) == 16  # 8 files x 2 columns
+    total_rows = sum(
+        r["n_rows"] for r in idx if r["column"] == "event_id"
+    )
+    assert total_rows == ev.count()
+    # range layout -> disjoint-ish event_id ranges -> narrow predicate
+    # prunes most files
+    index_df = build_file_stats_index(spark, path, ["event_id"])
+    kept = prune_files(index_df, "event_id", 10.0, 50.0)
+    assert 0 < len(kept) < len(files)
+    got = sorted(
+        r["event_id"]
+        for r in read_pruned(spark, index_df, "event_id", 10.0, 50.0).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("event_id") >= 10) & (F.col("event_id") <= 50)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_file_index_unknown_stats_conservative(spark):
+    from dbkit_spark.sources.fileindex import FILE_STATS_SCHEMA, prune_files
+
+    idx = spark.createDataFrame(
+        [
+            ("f_known", "x", 10, 1, 0.0, 5.0, 0),
+            ("f_unknown", "x", 10, 1, None, None, None),
+            ("f_out", "x", 10, 1, 100.0, 200.0, 0),
+        ],
+        FILE_STATS_SCHEMA,
+    )
+    kept = prune_files(idx, "x", 0.0, 10.0)
+    # intersecting file kept, unknown-stats file kept, disjoint dropped
+    assert kept == ["f_known", "f_unknown"]
+
+
+def test_file_index_empty_prune_raises(spark, sf_dir, tmp_path):
+    from dbkit_spark.sources.fileindex import (
+        build_file_stats_index,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "r2")
+    read_table(spark, sf_dir, "events").limit(100).write.parquet(path)
+    idx = build_file_stats_index(spark, path, ["event_id"])
+    with pytest.raises(ValueError):
+        read_pruned(spark, idx, "event_id", 1e12, 2e12)
