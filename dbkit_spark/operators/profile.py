@@ -113,3 +113,69 @@ def skew_profile(
         "n_keys",
         "n_rows",
     )
+
+
+def fd_discovery(
+    df: DataFrame, columns: Sequence[str], exact: bool = True
+) -> DataFrame:
+    """Functional-dependency and candidate-key discovery over a declared
+    column set — the metadata-profiling step behind schema inference,
+    join-key validation, and normalization advice.
+
+    A → B holds iff countDistinct(A, B) == countDistinct(A); column A
+    is a candidate key iff countDistinct(A) == COUNT(*). Output is one
+    row per ordered pair (determinant, dependent, n_det, n_pair,
+    violations = n_pair − n_det, holds) plus one row per column with
+    dependent='*' marking key status (violations = n − n_det).
+
+    Scale: ALL distinct counts for every column and pair are expressions
+    of ONE global aggregation over ONE scan (no per-pair jobs). With
+    ``exact=True`` each countDistinct adds an Expand duplication (the
+    profile_table trade, measured there); ``exact=False`` swaps in
+    approx_count_distinct (HLL++) for a single non-expanded pass — at
+    100 TB approximate FDs are the screening pass and exact runs only
+    on the survivors. NULLs: countDistinct skips all-NULL tuples, so
+    fully-NULL rows don't witness violations (documented, matches the
+    SQL twin).
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    cd = F.countDistinct if exact else (
+        lambda *cs: F.approx_count_distinct(F.struct(*cs))
+        if len(cs) > 1
+        else F.approx_count_distinct(cs[0])
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(cd(F.col(c)).cast("long").alias(f"_d_{c}"))
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    for a, b in pairs:
+        aggs.append(cd(F.col(a), F.col(b)).cast("long").alias(f"_p_{a}_{b}"))
+    stats = df.agg(*aggs)
+    out_rows = []
+    for a, b in pairs:
+        out_rows.append(
+            F.struct(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                F.col(f"_d_{a}").alias("n_det"),
+                F.col(f"_p_{a}_{b}").alias("n_pair"),
+                (F.col(f"_p_{a}_{b}") - F.col(f"_d_{a}")).alias("violations"),
+                (F.col(f"_p_{a}_{b}") == F.col(f"_d_{a}")).alias("holds"),
+            )
+        )
+    for c in cols:
+        out_rows.append(
+            F.struct(
+                F.lit(c).alias("determinant"),
+                F.lit("*").alias("dependent"),
+                F.col(f"_d_{c}").alias("n_det"),
+                F.col("_n").alias("n_pair"),
+                (F.col("_n") - F.col(f"_d_{c}")).alias("violations"),
+                (F.col(f"_d_{c}") == F.col("_n")).alias("holds"),
+            )
+        )
+    return stats.select(
+        F.explode(F.array(*out_rows)).alias("_r")
+    ).select("_r.*")

@@ -2079,3 +2079,64 @@ ROADMAP7.update(
         "q233_chi_square": (q233_chi_square, _Q233_ORACLE, _Q233_NOTES),
     }
 )
+
+
+def q234_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import fd_discovery
+
+    ev = read_table(spark, sf_dir, "events")
+    return fd_discovery(
+        ev, ["event_id", "user_id", "event_type"], exact=True
+    ).orderBy("determinant", "dependent")
+
+
+def _q234_oracle() -> str:
+    cols = ["event_id", "user_id", "event_type"]
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(f"""
+    SELECT '{a}' AS determinant, '{b}' AS dependent,
+           CAST(COUNT(DISTINCT {a}) AS BIGINT) AS n_det,
+           CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT) AS n_pair,
+           CAST(COUNT(DISTINCT ({a}, {b})) - COUNT(DISTINCT {a}) AS BIGINT)
+             AS violations,
+           COUNT(DISTINCT ({a}, {b})) = COUNT(DISTINCT {a}) AS holds
+    FROM events""")
+    for c in cols:
+        parts.append(f"""
+    SELECT '{c}' AS determinant, '*' AS dependent,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_det,
+           CAST(COUNT(*) AS BIGINT) AS n_pair,
+           CAST(COUNT(*) - COUNT(DISTINCT {c}) AS BIGINT) AS violations,
+           COUNT(DISTINCT {c}) = COUNT(*) AS holds
+    FROM events""")
+    return (
+        "\n    UNION ALL\n".join(parts)
+        + "\n    ORDER BY determinant, dependent\n    "
+    )
+
+
+_Q234_NOTES = (
+    "FUNCTIONAL-DEPENDENCY + candidate-key discovery (operators/"
+    "profile.fd_discovery — the metadata-profiling step behind schema "
+    "inference and join-key validation): A->B holds iff "
+    "countDistinct(A,B) == countDistinct(A); key status iff "
+    "countDistinct(A) == n. EVERY distinct count for every column and "
+    "ordered pair is an expression of ONE aggregation over ONE scan — "
+    "n columns never means n jobs — and exact=False swaps in HLL++ "
+    "for the non-expanded screening pass at 100 TB (approximate FDs "
+    "screen, exact verifies survivors — pinned agreeing on the "
+    "fixture by pytest). On events the differential shows event_id "
+    "is a key (and so determines everything) while user_id -> "
+    "event_type fails with its violation count"
+)
+
+
+ROADMAP7.update(
+    {
+        "q234_fd_discovery": (q234_fd_discovery, _q234_oracle(), _Q234_NOTES),
+    }
+)
