@@ -2140,3 +2140,90 @@ ROADMAP7.update(
         "q234_fd_discovery": (q234_fd_discovery, _q234_oracle(), _Q234_NOTES),
     }
 )
+
+
+def q235_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    # decimal-carried rolling sums: mean and variance derive from exact
+    # per-frame sums, so the only FP ops are two divisions + one sqrt
+    # (both IEEE-exact on identical operands)
+    s1 = F.sum(F.col("value").cast("decimal(25,2)")).over(w).cast("double")
+    s2 = (
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(25,4)")
+        ).over(w).cast("double")
+    )
+    cnt = F.count("value").over(w)
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    out = (
+        ev.withColumn("_n_prev", cnt)
+        .withColumn("_z", z)
+        .filter((F.col("_n_prev") >= 10) & (F.abs(F.col("_z")) > F.lit(3.0)))
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round("_z", 6).alias("zscore"),
+        F.col("_n_prev").cast("long").alias("n_prev"),
+    ).orderBy("event_id")
+
+
+_Q235_ORACLE = """
+    WITH base AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE value IS NOT NULL
+    ),
+    rolled AS (
+      SELECT event_id, user_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(25,4))) OVER w AS DOUBLE)
+               AS s2,
+             COUNT(value) OVER w AS cnt
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           round((value - s1 / cnt)
+                 / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6) AS zscore,
+           CAST(cnt AS BIGINT) AS n_prev
+    FROM rolled
+    WHERE cnt >= 10
+      AND abs((value - s1 / cnt)
+              / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))) > 3.0
+    ORDER BY event_id
+"""
+
+_Q235_NOTES = (
+    "PER-KEY ROLLING ANOMALY detection (each event scored against its "
+    "own user's trailing-20 window: z = (x - mean)/std over ROWS "
+    "BETWEEN 20 PRECEDING AND 1 PRECEDING — the leave-current-out "
+    "frame, so an outlier can't mask itself; flagged at |z|>3 with a "
+    "10-observation warm-up): ONE window shuffle on user_id computes "
+    "both rolling moments from decimal-carried exact frame sums, so "
+    "the only floating ops are divisions and sqrt on engine-identical "
+    "operands (zscore at 6dp for the boundary). The streaming-era "
+    "cousin of q157's batch IQR outliers and q200's per-key "
+    "volatility; at 100 TB the state is one frame per user — Spark's "
+    "bounded ROWS frame, no unbounded history"
+)
+
+
+ROADMAP7.update(
+    {
+        "q235_rolling_anomaly": (
+            q235_rolling_anomaly,
+            _Q235_ORACLE,
+            _Q235_NOTES,
+        ),
+    }
+)

@@ -955,3 +955,35 @@ def test_fd_discovery_validates(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         fd_discovery(ev, ["event_id"])
+
+
+# --- rolling anomaly ---------------------------------------------------------
+
+
+def test_rolling_anomaly_flags_injected_spike(spark):
+    from dbkit_spark.queries.roadmap7 import q235_rolling_anomaly  # noqa: F401
+    from pyspark.sql import Window
+
+    # 30 calm points then one spike for a single user
+    rows = [(i, 1, f"2024-01-01 00:{i:02d}:00", 10.0 + (i % 3)) for i in range(30)]
+    rows.append((30, 1, "2024-01-01 00:59:00", 500.0))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "value"]
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    s1 = F.sum(F.col("value").cast("decimal(25,2)")).over(w).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(25,4)")).over(w).cast("double")
+    cnt = F.count("value").over(w)
+    z = (F.col("value") - s1 / cnt) / F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))
+    flagged = (
+        df.withColumn("z", z)
+        .withColumn("np", cnt)
+        .filter((F.col("np") >= 10) & (F.abs(F.col("z")) > 3.0))
+        .collect()
+    )
+    assert [r["event_id"] for r in flagged] == [30]
+    assert abs(flagged[0]["z"]) > 100  # a 50x spike is unmissable
