@@ -2227,3 +2227,44 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q236_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.fileindex import build_storage_profile
+
+    prof = build_storage_profile(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    agg = prof.groupBy("column").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("compressed_bytes").cast("long").alias("compressed"),
+        F.sum("uncompressed_bytes").cast("long").alias("uncompressed"),
+        F.round(
+            F.sum("compressed_bytes") / F.sum("uncompressed_bytes"), 6
+        ).alias("ratio"),
+    )
+    return agg.orderBy("column")
+
+
+_Q236_NOTES = (
+    "PER-COLUMN STORAGE PROFILE from parquet footers (sources/"
+    "fileindex.build_storage_profile — 'which column dominates my "
+    "100 TB and how well does it compress', answered without reading "
+    "one data page): the same distributed footer harvest as q231's "
+    "stats index, emitting compressed/uncompressed bytes + value "
+    "counts per column chunk. Rows-only BY HARNESS DESIGN: the oracle "
+    "harness exposes tables, not file paths, and byte accounting has "
+    "no tabular twin — instead tests/test_round7.py cross-validates "
+    "the pyarrow harvest BYTE-EXACT against DuckDB's independent "
+    "parquet_metadata() reader over the same files (two engines, one "
+    "footer), which is a stronger check than a recomputed-SQL oracle"
+)
+
+
+ROADMAP7.update(
+    {
+        "q236_storage_profile": (q236_storage_profile, None, _Q236_NOTES),
+    }
+)

@@ -151,3 +151,63 @@ def read_pruned(
     return spark.read.parquet(*files).filter(
         (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
     )
+
+
+STORAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("compressed_bytes", T.LongType()),
+        T.StructField("uncompressed_bytes", T.LongType()),
+        T.StructField("n_values", T.LongType()),
+    ]
+)
+
+
+def build_storage_profile(spark: SparkSession, path: str) -> DataFrame:
+    """Per-(file, column) storage accounting from parquet footers:
+    compressed/uncompressed byte totals and value counts for EVERY
+    column chunk — the "which column dominates my 100 TB" lake-ops
+    question, answered without reading a single data page.
+
+    Same distributed footer-harvest shape as ``build_file_stats_index``;
+    cross-validated against DuckDB's independent ``parquet_metadata()``
+    reader in tests (two engines, one footer — byte-exact agreement)."""
+    files = (
+        list_parquet_files(path)
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    import pandas as pd
+
+    def harvest(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in STORAGE_SCHEMA}
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                acc: dict[str, list[int]] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        a = acc.setdefault(c.path_in_schema, [0, 0, 0])
+                        a[0] += int(c.total_compressed_size)
+                        a[1] += int(c.total_uncompressed_size)
+                        a[2] += int(c.num_values)
+                for col, (comp, uncomp, nv) in sorted(acc.items()):
+                    rows["file"].append(fname)
+                    rows["column"].append(col)
+                    rows["compressed_bytes"].append(comp)
+                    rows["uncompressed_bytes"].append(uncomp)
+                    rows["n_values"].append(nv)
+            yield pd.DataFrame(rows)
+
+    file_df = spark.createDataFrame(
+        [(f,) for f in files],
+        T.StructType([T.StructField("file", T.StringType())]),
+    ).repartition(min(len(files), 32))
+    return file_df.mapInPandas(harvest, STORAGE_SCHEMA)

@@ -987,3 +987,46 @@ def test_rolling_anomaly_flags_injected_spike(spark):
     )
     assert [r["event_id"] for r in flagged] == [30]
     assert abs(flagged[0]["z"]) > 100  # a 50x spike is unmissable
+
+
+# --- storage profile ---------------------------------------------------------
+
+
+def test_storage_profile_matches_duckdb_metadata(spark, sf_dir):
+    """pyarrow footer harvest == DuckDB parquet_metadata(), byte-exact,
+    over the same file — two independent readers of one footer."""
+    import os
+
+    import duckdb
+
+    from dbkit_spark.sources.fileindex import build_storage_profile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    got = {
+        r["column"]: (r["compressed_bytes"], r["uncompressed_bytes"], r["n_values"])
+        for r in build_storage_profile(spark, path).collect()
+    }
+    want = {
+        c: (int(comp), int(unc), int(nv))
+        for c, comp, unc, nv in duckdb.sql(
+            f"""SELECT path_in_schema, SUM(total_compressed_size),
+                       SUM(total_uncompressed_size), SUM(num_values)
+                FROM parquet_metadata('{path}') GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_storage_profile_directory_accounting(spark, sf_dir, tmp_path):
+    import os
+
+    from dbkit_spark.sources.fileindex import build_storage_profile
+
+    path = str(tmp_path / "multi")
+    read_table(spark, sf_dir, "events").repartition(4).write.parquet(path)
+    prof = build_storage_profile(spark, path).collect()
+    n_rows = read_table(spark, sf_dir, "events").count()
+    per_col = {}
+    for r in prof:
+        per_col[r["column"]] = per_col.get(r["column"], 0) + r["n_values"]
+    assert all(v == n_rows for v in per_col.values())
