@@ -218,3 +218,109 @@ def calibration_report(
             F.round("_br", 6).alias("brier"),
         )
     )
+
+
+def _poisson1_thresholds(max_k: int = 6) -> list[float]:
+    """Cumulative Poisson(1) CDF values F(0..max_k-1) — the inverse-CDF
+    ladder for hash-derived bootstrap weights. Python-evaluated floats;
+    oracle SQL embeds the identical literals (repr round-trips)."""
+    import math
+
+    out, acc, fact = [], 0.0, 1.0
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(acc)
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 50,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean —
+    distributed and DETERMINISTIC via the POISSON bootstrap: instead of
+    resampling n rows with replacement (which needs global coordination),
+    each row independently receives a Poisson(1) weight per replicate —
+    the classic single-pass approximation whose replicate sizes
+    concentrate at n. Weights come from an inverse-CDF ladder over the
+    engine-wide md5 uniform, so every engine draws the same resamples.
+
+    Output: one row — (n, point_mean, ci_lo, ci_hi, n_replicates).
+
+    Plan: the replicate fan-out is a map-side explode (×B on the
+    projected value column only), the per-replicate weighted means are
+    one hash agg with decimal-carried exact sums (division is the only
+    FP op), and the CI is a rank-select over the B replicate means —
+    B is metadata-sized, so the quantile step is trivially cheap. At
+    100 TB the ×B blowup is the honest cost; B=50 on a projected
+    (value, weight) pair is map-side-combinable and shuffle-light
+    (B groups total).
+    """
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    thresholds = _poisson1_thresholds()
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(value_col).alias("_v")
+    )
+    rep = base.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("_rep"),
+    )
+    keyed = F.concat(
+        F.col("_id").cast("string"),
+        F.lit(":"),
+        F.col("_rep").cast("string"),
+        F.lit(":" + salt),
+    )
+    raw = F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
+    u = (raw + F.lit(0.5)) / F.lit(float(16**6))
+    w = F.lit(len(thresholds))
+    for k in reversed(range(len(thresholds))):
+        w = F.when(u < F.lit(thresholds[k]), k).otherwise(w)
+    weighted = rep.select(
+        "_rep",
+        w.alias("_w"),
+        (F.col("_v").cast("decimal(25,2)") * F.col("_w")).alias("_wv"),
+    )
+    means = weighted.groupBy("_rep").agg(
+        (F.sum("_wv").cast("double") / F.sum("_w")).alias("_m")
+    )
+    import math
+
+    b = n_replicates
+    lo_rank = max(1, math.ceil(alpha / 2 * b))
+    hi_rank = min(b, math.ceil((1 - alpha / 2) * b))
+    from pyspark.sql import Window
+
+    ranked = means.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("_m").asc(), F.col("_rep").asc())
+        ),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("_rk") == lo_rank, F.col("_m"))).alias("ci_lo"),
+        F.max(F.when(F.col("_rk") == hi_rank, F.col("_m"))).alias("ci_hi"),
+    )
+    point = base.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(F.col("_v").cast("decimal(25,2)")).cast("double") / F.count("*")).alias(
+            "point_mean"
+        ),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n",
+        "point_mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+    )

@@ -2268,3 +2268,86 @@ ROADMAP7.update(
         "q236_storage_profile": (q236_storage_profile, None, _Q236_NOTES),
     }
 )
+
+
+def q237_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlmetrics import bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "value", "event_id", n_replicates=50, alpha=0.05
+    )
+
+
+def _q237_oracle() -> str:
+    from ..operators.mlmetrics import _poisson1_thresholds
+
+    th = _poisson1_thresholds()
+    hex6 = (
+        "CAST(list_sum(list_transform(generate_series(1, 6), i -> "
+        "CAST((strpos('0123456789abcdef', substr(md5(concat("
+        "CAST(event_id AS VARCHAR), ':', CAST(rep AS VARCHAR), ':boot'"
+        ")), i, 1)) - 1) AS BIGINT) "
+        "* CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT)"
+    )
+    ladder = f"CAST({len(th)} AS BIGINT)"
+    for k in reversed(range(len(th))):
+        ladder = f"CASE WHEN u < {th[k]!r} THEN {k} ELSE {ladder} END"
+    return f"""
+    WITH base AS (
+      SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    rep AS (
+      SELECT b.event_id, b.value, r.rep,
+             ({hex6} + 0.5) / 16777216.0 AS u
+      FROM base b CROSS JOIN generate_series(1, 50) r(rep)
+    ),
+    weighted AS (
+      SELECT rep, CAST({ladder} AS BIGINT) AS w,
+             CAST(value AS DECIMAL(25,2)) AS v
+      FROM rep
+    ),
+    means AS (
+      SELECT rep, CAST(SUM(v * w) AS DOUBLE) / SUM(w) AS m
+      FROM weighted GROUP BY rep
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rk FROM means
+    ),
+    ci AS (
+      SELECT MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+             MAX(CASE WHEN rk = 49 THEN m END) AS ci_hi
+      FROM ranked
+    ),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+               AS point_mean
+      FROM base
+    )
+    SELECT n, point_mean, ci_lo, ci_hi, CAST(50 AS BIGINT) AS n_replicates
+    FROM point CROSS JOIN ci
+"""
+
+
+_Q237_NOTES = (
+    "DISTRIBUTED BOOTSTRAP confidence interval (operators/mlmetrics."
+    "bootstrap_mean_ci — percentile CI for the mean via the POISSON "
+    "bootstrap, the single-pass resampling scheme that needs no global "
+    "coordination: each row draws a Poisson(1) weight per replicate "
+    "from an inverse-CDF ladder over the engine-wide md5 uniform, so "
+    "both engines draw the SAME 50 resamples). Replicate means ride "
+    "decimal-exact weighted sums (division is the only FP op), the CI "
+    "is a rank-select over the 50-row metadata-sized mean set, and the "
+    "x50 fan-out is a map-side explode of the projected value column — "
+    "shuffle carries 50 groups. The CDF thresholds are Python-evaluated "
+    "literals embedded in both plans (repr round-trips), so the weight "
+    "draw is bit-identical"
+)
+
+
+ROADMAP7.update(
+    {
+        "q237_bootstrap_ci": (q237_bootstrap_ci, _q237_oracle(), _Q237_NOTES),
+    }
+)

@@ -1030,3 +1030,45 @@ def test_storage_profile_directory_accounting(spark, sf_dir, tmp_path):
     for r in prof:
         per_col[r["column"]] = per_col.get(r["column"], 0) + r["n_values"]
     assert all(v == n_rows for v in per_col.values())
+
+
+# --- bootstrap CI ------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
+    from dbkit_spark.operators.mlmetrics import bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    a = bootstrap_mean_ci(ev, "value", "event_id", n_replicates=50).collect()[0]
+    assert a["ci_lo"] < a["point_mean"] < a["ci_hi"]
+    # a 95% CI for the mean of ~1000 samples is narrow relative to sd
+    assert (a["ci_hi"] - a["ci_lo"]) < 0.5 * a["point_mean"]
+    b = bootstrap_mean_ci(
+        ev.repartition(13), "value", "event_id", n_replicates=50
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_bootstrap_ci_validates(spark, sf_dir):
+    from dbkit_spark.operators.mlmetrics import bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(ev, "value", "event_id", n_replicates=1)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(ev, "value", "event_id", alpha=1.5)
+
+
+def test_poisson_weights_distribution(spark, sf_dir):
+    """Hash-derived Poisson(1) weights must average ~1 (replicate sizes
+    concentrate at n — the bootstrap's validity condition)."""
+    from dbkit_spark.operators.mlmetrics import _poisson1_thresholds
+
+    th = _poisson1_thresholds()
+    assert abs(th[0] - 0.3678794411714423) < 1e-15
+    import math
+
+    # ladder expectation: sum k * P(k) for k = 0..5 ~ 1 (truncation loss tiny)
+    probs = [th[0]] + [th[i] - th[i - 1] for i in range(1, len(th))]
+    exp_w = sum(k * p for k, p in enumerate(probs)) + len(th) * (1 - th[-1])
+    assert abs(exp_w - 1.0) < 0.01
