@@ -2351,3 +2351,103 @@ ROADMAP7.update(
         "q237_bootstrap_ci": (q237_bootstrap_ci, _q237_oracle(), _Q237_NOTES),
     }
 )
+
+
+def q238_retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import kaplan_meier
+
+    ev = read_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    subj = spans.select(
+        F.floor(
+            (
+                F.unix_timestamp(
+                    F.coalesce("first_purchase", "last_ts")
+                )
+                - F.unix_timestamp("first_ts")
+            )
+            / F.lit(3600)
+        ).alias("duration_h"),
+        F.col("first_purchase").isNotNull().cast("int").alias("converted"),
+    )
+    return kaplan_meier(subj, "duration_h", "converted").orderBy("duration")
+
+
+_Q238_ORACLE = """
+    WITH spans AS (
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT CAST(floor((floor(epoch(COALESCE(first_purchase, last_ts)))
+                         - floor(epoch(first_ts))) / 3600) AS BIGINT) AS t,
+             CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM spans
+    ),
+    per_t AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave_cnt
+      FROM subj GROUP BY t
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+    risk AS (
+      SELECT t, d,
+             n - COALESCE(SUM(leave_cnt) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM per_t CROSS JOIN tot
+    ),
+    curve AS (
+      SELECT t, d, n_at_risk,
+             1.0 - CAST(d AS DOUBLE) / n_at_risk AS f,
+             MAX(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_at_risk <= 0
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS dead,
+             SUM(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_at_risk > 0
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS lnsum
+      FROM risk
+    )
+    SELECT t AS duration, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
+             AS survival
+    FROM curve WHERE d > 0
+    ORDER BY duration
+"""
+
+_Q238_NOTES = (
+    "KAPLAN-MEIER TIME-TO-CONVERSION CURVE (operators/survival."
+    "kaplan_meier — conversion funnels ARE survival analysis, with the "
+    "honest right-censoring treatment: a user who never purchased has "
+    "a conversion time EXCEEDING their observed span, and dropping "
+    "them biases the curve optimistic): per-user hours from first "
+    "activity to first purchase (censored at last activity when none), "
+    "then the product-limit estimator "
+    "S(t) = prod(1 - d/n) over the distinct-duration RISK TABLE — the "
+    "cumulative windows run on O(distinct durations) rows, metadata-"
+    "sized next to the subject table, never on subjects. Exact-integer "
+    "d/n per step; the running product rides exp(sum ln) rounded 6dp "
+    "(q27 rule) with an explicit depleted-risk-set zero flag because "
+    "Spark's log(0) is NULL where DuckDB's is -inf"
+)
+
+
+ROADMAP7.update(
+    {
+        "q238_retention_survival": (
+            q238_retention_survival,
+            _Q238_ORACLE,
+            _Q238_NOTES,
+        ),
+    }
+)

@@ -1072,3 +1072,43 @@ def test_poisson_weights_distribution(spark, sf_dir):
     probs = [th[0]] + [th[i] - th[i - 1] for i in range(1, len(th))]
     exp_w = sum(k * p for k, p in enumerate(probs)) + len(th) * (1 - th[-1])
     assert abs(exp_w - 1.0) < 0.01
+
+
+# --- Kaplan-Meier ------------------------------------------------------------
+
+
+def test_km_textbook_case(spark):
+    """Classic small example: times 1,2,3 observed + censored at 2.5
+    (here: duration 2 censored). S steps only at observed times and
+    censored subjects leave the risk set without a drop."""
+    from dbkit_spark.operators.survival import kaplan_meier
+
+    rows = [(1.0, 1), (2.0, 1), (2.0, 0), (3.0, 1)]
+    df = spark.createDataFrame(rows, ["t", "e"])
+    out = {r["duration"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    # t=1: d=1, n=4 -> S = 3/4
+    assert out[1.0]["n_at_risk"] == 4
+    assert out[1.0]["survival"] == pytest.approx(0.75, abs=1e-6)
+    # t=2: d=1 (plus 1 censored leaves), n=3 -> S = 3/4 * 2/3 = 1/2
+    assert out[2.0]["n_at_risk"] == 3
+    assert out[2.0]["survival"] == pytest.approx(0.5, abs=1e-6)
+    # t=3: d=1, n=1 -> S = 0 (risk set depleted, exact zero)
+    assert out[3.0]["n_at_risk"] == 1
+    assert out[3.0]["survival"] == 0.0
+
+
+def test_km_all_censored_yields_no_steps(spark):
+    from dbkit_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame([(1.0, 0), (2.0, 0)], ["t", "e"])
+    assert kaplan_meier(df, "t", "e").count() == 0
+
+
+def test_km_monotone_nonincreasing(spark, sf_dir):
+    from dbkit_spark.queries.roadmap7 import q238_retention_survival
+
+    rows = q238_retention_survival(spark, sf_dir).collect()
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in surv)
