@@ -45,17 +45,24 @@ def item_pairs(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
     sizes = bi.groupBy("_b").agg(F.count("*").alias("_sz"))
+    # the distinct pass feeds the size filter AND both self-join sides —
+    # persist collapses three recomputations to one (the
+    # association_rules discipline); the pair-sized result is eagerly
+    # checkpointed so the cache releases without recompute
     kept = bi.join(
         sizes.filter(F.col("_sz") <= max_basket_size).select("_b"), "_b"
-    )
+    ).persist()
     a = kept.select("_b", F.col("_i").alias("item_a"))
     b = kept.select("_b", F.col("_i").alias("item_b"))
-    return (
+    out = (
         a.join(b, "_b")
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("long").alias("pair_cnt"))
     )
+    out = out.localCheckpoint(eager=True)
+    kept.unpersist()
+    return out
 
 
 def association_rules(
