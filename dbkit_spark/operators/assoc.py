@@ -143,3 +143,86 @@ def association_rules(
     out = out.localCheckpoint(eager=True)
     kept.unpersist()
     return out
+
+
+def item_similarity_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 10,
+    min_pair_count: int = 2,
+    max_basket_size: int = 100,
+) -> DataFrame:
+    """Item-item collaborative similarity: cosine over binary basket
+    incidence — sim(a,b) = pair_cnt / sqrt(n_a·n_b) — with the top-k
+    most similar neighbors kept per item. The classic item-based
+    recommender precompute ("customers who bought a also bought b"),
+    built directly on ``item_pairs``'s capped pair table.
+
+    Output: (item, neighbor, pair_cnt, sim) — both directions of every
+    pair are ranked, so each item sees its full neighbor list.
+
+    Scale: the pair table is the expensive part and is already fanout-
+    bounded; the symmetrization is a map-side array-explode of each
+    pair into its two directions (one pass, no union re-execution — the
+    containment_pairs both-directions discipline), and top-k per item
+    is one window shuffle on the pair table. sim is a single IEEE
+    sqrt+division of exact integers, deterministic without rounding.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = item_pairs(baskets, basket_col, item_col, max_basket_size).filter(
+        F.col("pair_cnt") >= min_pair_count
+    )
+    # item frequencies over the SAME capped basket population the pairs
+    # were counted in — mixing capped pairs with uncapped frequencies
+    # would skew every cosine that touches a giant-basket item
+    bi = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    sizes = bi.groupBy("_b").agg(F.count("*").alias("_sz"))
+    capped = bi.join(
+        sizes.filter(F.col("_sz") <= max_basket_size).select("_b"), "_b"
+    )
+    item_cnt = capped.groupBy("_i").agg(
+        F.count("*").cast("long").alias("_ni")
+    )
+    enriched = pairs.join(
+        item_cnt.select(F.col("_i").alias("item_a"), F.col("_ni").alias("n_a")),
+        "item_a",
+    ).join(
+        item_cnt.select(F.col("_i").alias("item_b"), F.col("_ni").alias("n_b")),
+        "item_b",
+    )
+    both = enriched.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item"),
+                    F.col("item_b").alias("neighbor"),
+                    F.col("pair_cnt"),
+                    F.col("n_a").alias("n_self"),
+                    F.col("n_b").alias("n_other"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item"),
+                    F.col("item_a").alias("neighbor"),
+                    F.col("pair_cnt"),
+                    F.col("n_b").alias("n_self"),
+                    F.col("n_a").alias("n_other"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    sim = F.col("pair_cnt") / F.sqrt(F.col("n_self") * F.col("n_other"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        sim.desc(), F.col("neighbor").asc()
+    )
+    return (
+        both.withColumn("sim", sim)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("item", "neighbor", "pair_cnt", "sim")
+    )

@@ -2451,3 +2451,164 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q239_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.assoc import item_similarity_topk
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return item_similarity_topk(
+        li, "l_orderkey", "l_partkey", k=5, min_pair_count=2,
+        max_basket_size=20,
+    ).orderBy("item", F.col("sim").desc(), "neighbor")
+
+
+_Q239_ORACLE = """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    kept AS (
+      SELECT b, i FROM bi
+      WHERE b IN (SELECT b FROM bi GROUP BY b HAVING COUNT(*) <= 20)
+    ),
+    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM kept GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, c.i AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+      GROUP BY a.i, c.i HAVING COUNT(*) >= 2
+    ),
+    both_dir AS (
+      SELECT p.item_a AS item, p.item_b AS neighbor, p.pair_cnt,
+             ia.ni AS n_self, ib.ni AS n_other
+      FROM pairs p JOIN ic ia ON p.item_a = ia.i JOIN ic ib ON p.item_b = ib.i
+      UNION ALL
+      SELECT p.item_b AS item, p.item_a AS neighbor, p.pair_cnt,
+             ib.ni AS n_self, ia.ni AS n_other
+      FROM pairs p JOIN ic ia ON p.item_a = ia.i JOIN ic ib ON p.item_b = ib.i
+    ),
+    ranked AS (
+      SELECT item, neighbor, pair_cnt,
+             pair_cnt / sqrt(n_self * n_other) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY pair_cnt / sqrt(n_self * n_other)
+                                         DESC, neighbor) AS rk
+      FROM both_dir
+    )
+    SELECT item, neighbor, pair_cnt, sim FROM ranked WHERE rk <= 5
+    ORDER BY item, sim DESC, neighbor
+"""
+
+_Q239_NOTES = (
+    "ITEM-ITEM RECOMMENDER precompute (operators/assoc."
+    "item_similarity_topk — 'customers who bought a also bought b': "
+    "cosine over binary basket incidence, pair_cnt/sqrt(n_a*n_b), "
+    "top-5 neighbors per item): builds on the fanout-capped pair "
+    "table; both directions materialize from ONE pass via array-"
+    "explode (no union re-execution), item frequencies come from the "
+    "SAME capped population as the pair counts (mixing capped pairs "
+    "with uncapped frequencies would skew giant-basket items), and "
+    "per-item top-k is one window shuffle. sim is one IEEE "
+    "sqrt+division of exact integers — engine-exact unrounded"
+)
+
+
+def q240_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("cw")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> "
+                "struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cab")
+    )
+    tot = uni.agg(F.sum("cw").alias("nu")).crossJoin(
+        big.agg(F.sum("cab").alias("nb"))
+    )
+    j = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cab") >= 5)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cab") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("ca") * F.col("cb"))
+        ),
+        6,
+    )
+    return (
+        j.select("w1", "w2", "cab", "ca", "cb", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(25)
+    )
+
+
+_Q240_ORACLE = """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> struct_pack(w1 := t[i], w2 := t[i + 1])),
+               recursive := true)
+        FROM toks
+      ) GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT SUM(cw) FROM uni) AS nu,
+             (SELECT SUM(cab) FROM big) AS nb
+    )
+    SELECT b.w1, b.w2, b.cab, ua.cw AS ca, ub.cw AS cb,
+           round(ln((b.cab * tot.nu * tot.nu)
+                    / (tot.nb * ua.cw * ub.cw)), 6) AS pmi
+    FROM big b
+    JOIN uni ua ON b.w1 = ua.w
+    JOIN uni ub ON b.w2 = ub.w
+    CROSS JOIN tot
+    WHERE b.cab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 25
+"""
+
+_Q240_NOTES = (
+    "PMI COLLOCATION mining (which word pairs co-occur adjacently far "
+    "beyond chance — the classic phrase-detection signal feeding "
+    "tokenizer-vocabulary and boilerplate analysis): bigram counts "
+    "from a map-side transform over the token array (no self-join), "
+    "unigram margins joined back, pmi = ln(c_ab*N_u^2 / (N_b*c_a*c_b)) "
+    "over exact-integer products (bounded: counts x corpus-size "
+    "squared stays under 2^63 at fixture scales; production would "
+    "carry log-counts), min-count 5 against PMI's rare-pair bias, "
+    "6dp rounding for the libm ln. Top-25 fully tie-broken"
+)
+
+
+ROADMAP7.update(
+    {
+        "q239_item_similarity": (
+            q239_item_similarity,
+            _Q239_ORACLE,
+            _Q239_NOTES,
+        ),
+        "q240_pmi_collocations": (
+            q240_pmi_collocations,
+            _Q240_ORACLE,
+            _Q240_NOTES,
+        ),
+    }
+)

@@ -1112,3 +1112,65 @@ def test_km_monotone_nonincreasing(spark, sf_dir):
     surv = [r["survival"] for r in rows]
     assert all(a >= b for a, b in zip(surv, surv[1:]))
     assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+# --- item similarity / PMI ---------------------------------------------------
+
+
+def test_item_similarity_hand_case(spark):
+    from dbkit_spark.operators.assoc import item_similarity_topk
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+            (4, "a"), (4, "b")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["item"], r["neighbor"]): r["sim"]
+        for r in item_similarity_topk(
+            df, "basket", "item", k=5, min_pair_count=1
+        ).collect()
+    }
+    # a appears 4x, b 3x, pair(a,b)=3 -> sim = 3/sqrt(12)
+    import math
+
+    assert out[("a", "b")] == pytest.approx(3 / math.sqrt(12))
+    assert out[("b", "a")] == out[("a", "b")]  # symmetric directions
+    assert out[("a", "c")] == pytest.approx(1 / math.sqrt(4))
+
+
+def test_item_similarity_bounds_and_topk(spark, sf_dir):
+    from dbkit_spark.operators.assoc import item_similarity_topk
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = item_similarity_topk(
+        li, "l_orderkey", "l_partkey", k=3, min_pair_count=1
+    ).collect()
+    assert out
+    assert all(0.0 < r["sim"] <= 1.0 for r in out)
+    per_item = {}
+    for r in out:
+        per_item[r["item"]] = per_item.get(r["item"], 0) + 1
+    assert max(per_item.values()) <= 3
+
+
+def test_pmi_identifies_forced_collocation(spark):
+    """A pair that ALWAYS co-occurs adjacently gets a higher PMI than a
+    pair that co-occurs at chance."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("x y" if i % 2 else "x z")) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    toks = docs.select(F.split(F.col("text"), " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").count()
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> "
+                "struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cnt = {(r["w1"], r["w2"]): r["count"] for r in
+           bigrams.groupBy("w1", "w2").count().collect()}
+    # alpha->beta always adjacent; beta->x always adjacent; x->y half
+    assert cnt[("alpha", "beta")] == 40
+    assert cnt[("x", "y")] == 20
