@@ -2612,3 +2612,144 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q241_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("nu"))
+    # per-token surprisal -ln(cw/N) rounded 9dp, decimal-carried so the
+    # per-doc mean is order-independent; every token is in-vocab by
+    # construction (the LM is fit on the same corpus)
+    scored = (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("cw") / F.col("nu")), 9)
+            .cast("decimal(25,9)")
+            .alias("_s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            (F.sum("_s").cast("double") / F.count("*")), 6
+        ).alias("cross_entropy"),
+    )
+    return per_doc.orderBy(F.col("cross_entropy").desc(), "doc_id").limit(50)
+
+
+_Q241_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY w),
+    tot AS (SELECT SUM(cw) AS nu FROM uni),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(-ln(u.cw / tot.nu), 9) AS DECIMAL(25,9)) AS s
+      FROM toks t JOIN uni u ON t.w = u.w CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+    FROM scored GROUP BY doc_id
+    ORDER BY cross_entropy DESC, doc_id
+    LIMIT 50
+"""
+
+_Q241_NOTES = (
+    "UNIGRAM CROSS-ENTROPY quality scoring (the perplexity-proxy "
+    "filter: docs whose tokens are surprising under the corpus's own "
+    "unigram LM are outliers — gibberish, wrong language, encoding "
+    "damage; the cheap stand-in for a KenLM pass, same plan shape): "
+    "token surprisals -ln(c_w/N) join in from the broadcast-scaled "
+    "vocabulary table, ride 9dp decimals so per-doc means are "
+    "order-independent (q27 ln rule at both the per-token round and "
+    "the 6dp emit), and the top-50 most-surprising docs emerge from "
+    "one TakeOrderedAndProject. Vocabulary and corpus are the same "
+    "pass, so every token is in-vocab by construction"
+)
+
+
+def q242_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cw"))
+    )
+    tot = uni.agg(F.sum("cw").alias("nu"))
+    w = Window.orderBy(F.col("cw").desc(), F.col("w").asc())
+    ranked = (
+        uni.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_cov",
+            F.sum("cw").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.col("nu"),
+        )
+    )
+    targets = [0.5, 0.8, 0.9, 0.95, 0.99]
+    out = None
+    for t in targets:
+        vsize = ranked.filter(F.col("cum_cov") >= F.lit(t)).agg(
+            F.min("rank").cast("long").alias("vocab_size")
+        ).select(F.lit(t).alias("coverage"), "vocab_size")
+        out = vsize if out is None else out.unionAll(vsize)
+    return out.orderBy("coverage")
+
+
+_Q242_ORACLE = """
+    WITH uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    tot AS (SELECT SUM(cw) AS nu FROM uni),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cw DESC, w) AS rank,
+             SUM(cw) OVER (ORDER BY cw DESC, w
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / tot.nu AS cum_cov
+      FROM uni CROSS JOIN tot
+    )
+    SELECT CAST(t.coverage AS DOUBLE) AS coverage,
+           CAST(MIN(rank) AS BIGINT) AS vocab_size
+    FROM (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) t(coverage)
+    JOIN ranked r ON r.cum_cov >= CAST(t.coverage AS DOUBLE)
+    GROUP BY t.coverage
+    ORDER BY coverage
+"""
+
+_Q242_NOTES = (
+    "VOCABULARY COVERAGE CURVE (how many types cover 50/80/90/95/99% "
+    "of tokens — the tokenizer-budget question behind every vocab-size "
+    "decision, and the Zipf-shape fingerprint of a corpus): the "
+    "frequency-ordered cumulative-coverage window runs over the "
+    "VOCABULARY table (types, not tokens — metadata-sized next to the "
+    "corpus; the single-partition window is over that small table, "
+    "the q238 risk-table discipline), and each coverage threshold is "
+    "a min-rank lookup. cum_cov is exact-integer running sum / total "
+    "— one IEEE division per row, engine-exact; thresholds compare "
+    "against exact literals"
+)
+
+
+ROADMAP7.update(
+    {
+        "q241_unigram_cross_entropy": (
+            q241_unigram_cross_entropy,
+            _Q241_ORACLE,
+            _Q241_NOTES,
+        ),
+        "q242_vocab_coverage": (
+            q242_vocab_coverage,
+            _Q242_ORACLE,
+            _Q242_NOTES,
+        ),
+    }
+)

@@ -1174,3 +1174,39 @@ def test_pmi_identifies_forced_collocation(spark):
     # alpha->beta always adjacent; beta->x always adjacent; x->y half
     assert cnt[("alpha", "beta")] == 40
     assert cnt[("x", "y")] == 20
+
+
+# --- unigram cross-entropy / vocab coverage ----------------------------------
+
+
+def test_cross_entropy_flags_rare_token_docs(spark):
+    """A doc made of rare tokens must out-score docs of common tokens."""
+    rows = [(i, "common common common") for i in range(20)]
+    rows.append((99, "zzyzx qwfp common"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("nu"))
+    scored = (
+        toks.join(uni, "w").crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg((F.sum(-F.log(F.col("cw") / F.col("nu"))) / F.count("*")).alias("ce"))
+        .collect()
+    )
+    by_doc = {r["doc_id"]: r["ce"] for r in scored}
+    assert by_doc[99] > max(v for k, v in by_doc.items() if k != 99)
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    from dbkit_spark.queries.roadmap7 import q242_vocab_coverage
+
+    rows = q242_vocab_coverage(spark, sf_dir).collect()
+    assert [r["coverage"] for r in rows] == [0.5, 0.8, 0.9, 0.95, 0.99]
+    sizes = [r["vocab_size"] for r in rows]
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))  # monotone
+    docs = read_table(spark, sf_dir, "documents")
+    n_types = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select("w").distinct().count()
+    )
+    assert sizes[-1] <= n_types
