@@ -68,51 +68,7 @@ def build_file_stats_index(
     files = list_parquet_files(path)
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
-    import pandas as pd
-
-    cols = list(columns)
-
-    def harvest(batches):
-        import pyarrow.parquet as pq
-
-        for pdf in batches:
-            rows: dict[str, list] = {f.name: [] for f in FILE_STATS_SCHEMA}
-            for fname in pdf["file"]:
-                md = pq.ParquetFile(fname).metadata
-                # column-chunk stats per (row group, column path)
-                chunks: dict[str, list] = {}
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci in range(g.num_columns):
-                        c = g.column(ci)
-                        chunks.setdefault(c.path_in_schema, []).append(
-                            c.statistics
-                        )
-                for col in cols:
-                    if col not in chunks:
-                        continue
-                    stats = chunks[col]
-                    have = all(s is not None and s.has_min_max for s in stats)
-                    mn = min(float(s.min) for s in stats) if have else None
-                    mx = max(float(s.max) for s in stats) if have else None
-                    nulls = (
-                        sum(int(s.null_count or 0) for s in stats)
-                        if have
-                        else None
-                    )
-                    rows["file"].append(fname)
-                    rows["column"].append(col)
-                    rows["n_rows"].append(int(md.num_rows))
-                    rows["n_row_groups"].append(int(md.num_row_groups))
-                    rows["min_val"].append(mn)
-                    rows["max_val"].append(mx)
-                    rows["null_count"].append(nulls)
-            yield pd.DataFrame(rows)
-
-    file_df = spark.createDataFrame(
-        [(f,) for f in files], T.StructType([T.StructField("file", T.StringType())])
-    ).repartition(min(len(files), 32))
-    return file_df.mapInPandas(harvest, FILE_STATS_SCHEMA)
+    return _harvest_stats(spark, files, list(columns))
 
 
 def prune_files(
@@ -211,3 +167,115 @@ def build_storage_profile(spark: SparkSession, path: str) -> DataFrame:
         T.StructType([T.StructField("file", T.StringType())]),
     ).repartition(min(len(files), 32))
     return file_df.mapInPandas(harvest, STORAGE_SCHEMA)
+
+
+def update_file_stats_index(
+    spark: SparkSession,
+    path: str,
+    existing: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Incremental index maintenance: harvest footers ONLY for files not
+    yet in ``existing`` and union them in — the manifest-append pattern
+    (a daily ingest adds files; re-harvesting a million unchanged
+    footers to index ten new ones is the anti-pattern). Work ∝ new
+    files; deleted files' rows are dropped so the index never directs
+    the planner at missing data.
+
+    ``existing`` must be MATERIALIZED (a read-back manifest table or a
+    checkpointed frame, as in production): a lazy index would re-run
+    its harvest — including over since-deleted files — every time the
+    updated index is used."""
+    current = set(list_parquet_files(path))
+    known = {
+        r["file"] for r in existing.select("file").distinct().collect()
+    }
+    new_files = sorted(current - known)
+    kept = existing.filter(F.col("file").isin(list(current)))
+    if not new_files:
+        return kept
+    import pandas as pd  # noqa: F401  (harvest dependency)
+
+    tmp_index = _harvest_stats(spark, new_files, columns)
+    return kept.unionByName(tmp_index)
+
+
+def _harvest_stats(
+    spark: SparkSession, files: list[str], columns: list[str]
+) -> DataFrame:
+    """Footer harvest over an explicit file list (shared by full build
+    and incremental update)."""
+    import pandas as pd
+
+    cols = list(columns)
+
+    def harvest(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in FILE_STATS_SCHEMA}
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                chunks: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        chunks.setdefault(c.path_in_schema, []).append(
+                            c.statistics
+                        )
+                for col in cols:
+                    if col not in chunks:
+                        continue
+                    stats = chunks[col]
+                    have = all(s is not None and s.has_min_max for s in stats)
+                    rows["file"].append(fname)
+                    rows["column"].append(col)
+                    rows["n_rows"].append(int(md.num_rows))
+                    rows["n_row_groups"].append(int(md.num_row_groups))
+                    rows["min_val"].append(
+                        min(float(s.min) for s in stats) if have else None
+                    )
+                    rows["max_val"].append(
+                        max(float(s.max) for s in stats) if have else None
+                    )
+                    rows["null_count"].append(
+                        sum(int(s.null_count or 0) for s in stats)
+                        if have
+                        else None
+                    )
+            yield pd.DataFrame(rows)
+
+    file_df = spark.createDataFrame(
+        [(f,) for f in files],
+        T.StructType([T.StructField("file", T.StringType())]),
+    ).repartition(min(len(files), 32))
+    return file_df.mapInPandas(harvest, FILE_STATS_SCHEMA)
+
+
+def schema_diff(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
+    """Schema drift between two parquet datasets (yesterday's snapshot
+    vs today's ingest): one row per differing column —
+    (column, status ∈ {added, removed, type_changed}, type_a, type_b).
+    Footer-only; the upstream-broke-the-contract alarm that should fire
+    BEFORE a 100 TB job discovers it mid-shuffle."""
+    sa = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path_a).schema}
+    sb = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path_b).schema}
+    rows = []
+    for c in sorted(set(sa) | set(sb)):
+        ta, tb = sa.get(c), sb.get(c)
+        if ta is None:
+            rows.append((c, "added", None, tb))
+        elif tb is None:
+            rows.append((c, "removed", ta, None))
+        elif ta != tb:
+            rows.append((c, "type_changed", ta, tb))
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("type_a", T.StringType()),
+            T.StructField("type_b", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

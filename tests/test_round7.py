@@ -1210,3 +1210,66 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
         .select("w").distinct().count()
     )
     assert sizes[-1] <= n_types
+
+
+# --- incremental index maintenance / schema drift ----------------------------
+
+
+def test_file_index_incremental_update(spark, sf_dir, tmp_path):
+    """Appending files re-harvests ONLY the new footers; removing files
+    drops their index rows; the refreshed index equals a from-scratch
+    rebuild."""
+    import os
+    import shutil
+
+    from dbkit_spark.sources.fileindex import (
+        build_file_stats_index,
+        list_parquet_files,
+        update_file_stats_index,
+    )
+
+    path = str(tmp_path / "inc")
+    ev = read_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") < 500).repartition(2).write.parquet(path)
+    idx0 = build_file_stats_index(spark, path, ["event_id"]).localCheckpoint()
+    # append a new batch of files
+    ev.filter(F.col("event_id") >= 500).repartition(2).write.mode(
+        "append"
+    ).parquet(path)
+    # materialize, as a persisted manifest would be — a lazy index would
+    # re-harvest (and re-read deleted files) on every downstream use
+    idx1 = update_file_stats_index(spark, path, idx0, ["event_id"]).localCheckpoint()
+    rebuilt = build_file_stats_index(spark, path, ["event_id"])
+    key = lambda r: (r["file"], r["column"])  # noqa: E731
+    assert sorted(map(tuple, idx1.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # delete one file -> its rows vanish without a re-harvest of the rest
+    victim = list_parquet_files(path)[0]
+    os.remove(victim)
+    idx2 = update_file_stats_index(spark, path, idx1, ["event_id"])
+    assert victim not in {r["file"] for r in idx2.collect()}
+    assert sorted(map(tuple, idx2.collect())) == sorted(
+        map(tuple, build_file_stats_index(spark, path, ["event_id"]).collect())
+    )
+
+
+def test_schema_diff_detects_drift(spark, sf_dir, tmp_path):
+    from dbkit_spark.sources.fileindex import schema_diff
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ev = read_table(spark, sf_dir, "events")
+    ev.select("event_id", "user_id", "value").write.parquet(a)
+    ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("user_id"),
+        "event_type",
+    ).write.parquet(b)
+    out = {r["column"]: r for r in schema_diff(spark, a, b).collect()}
+    assert out["value"]["status"] == "removed"
+    assert out["event_type"]["status"] == "added"
+    assert out["user_id"]["status"] == "type_changed"
+    assert out["user_id"]["type_a"] == "bigint"
+    assert out["user_id"]["type_b"] == "string"
+    assert "event_id" not in out  # unchanged columns emit nothing
