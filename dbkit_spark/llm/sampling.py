@@ -381,3 +381,75 @@ def temperature_sample(
         .filter(F.col("_trank") <= F.col("_take"))
         .drop("_trank", "_take")
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 2,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recommender
+    training: for each positive (user, item) pair, draw ``k`` candidate
+    items by portable hash and drop any candidate that is itself a
+    positive for that user. Returns ``(user, neg_item, draw)``.
+
+    Draw j for a positive is ``md5(user || '_' || item || '_' || j ||
+    ':salt')`` first-6-hex-digits mod ``n_items`` — the engine-wide
+    portable hash rule, so any engine (and the DuckDB oracle)
+    reproduces the exact sample. Items are assumed keyed 0..n_items-1
+    (the fixture's contiguous surrogate keys); for sparse key spaces
+    join the draw against an indexed item dimension first.
+
+    Collision policy is DROP, not re-draw: re-drawing until miss makes
+    the draw count data-dependent (unbounded rounds, and the retry loop
+    is a driver-side iteration at scale). Dropping keeps everything
+    one-pass — draws are MAP-SIDE (a k-element inline array explode),
+    and the single shuffle is the left-anti join against the positives
+    on (user, item), exactly the join any correctness-checking trainer
+    needs anyway. Expected loss is density·k draws — negligible when
+    positives are sparse in user x item (the recommender regime).
+
+    At 100 TB: k-fold map-side expansion, one hash anti-join — no
+    window, no per-user collect, no cross join. Duplicate draws within
+    a user are KEPT (with-replacement semantics, ``draw`` disambiguates)
+    so the output size is exactly predictable: k·|positives| minus
+    collisions.
+    """
+    draws = positives.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("draw"),
+    ).select(
+        "user",
+        "draw",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user").cast("string"),
+                            F.lit("_"),
+                            F.col("item").cast("string"),
+                            F.lit("_"),
+                            F.col("draw").cast("string"),
+                            F.lit(":" + salt),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n_items)
+        ).alias("neg_item"),
+    )
+    pos_keys = positives.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("neg_item")
+    ).distinct()
+    return draws.join(pos_keys, ["user", "neg_item"], "left_anti").select(
+        "user", "neg_item", "draw"
+    )

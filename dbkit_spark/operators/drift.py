@@ -209,3 +209,82 @@ def windowed_psi(
         *[f"c{i}" for i in range(k)],
         F.round(psi, 6).alias("psi"),
     )
+
+
+def ks_grid(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic evaluated on a fixed
+    equal-width grid: per-edge ECDF gaps ``(bin_idx, edge, f_a, f_b,
+    ecdf_gap, ks)`` with ``ks = max_i ecdf_gap_i``.
+
+    The EXACT KS statistic needs both samples globally sorted — the
+    single-partition scale-killer this repo routes around (q184 rule).
+    The grid form replaces the sort with ONE aggregation per side: k
+    conditional sums (``value <= edge_i``) that whole-stage-codegen
+    folds map-side, so the shuffle carries k partials per task and the
+    plan has no Sort at all. Grid KS lower-bounds exact KS and
+    converges as the grid refines (the ECDF can move at most the mass
+    of one bin between edges); k=64 puts the gap under max-bin-mass,
+    fine for the <0.1 / >0.25 style drift gates this feeds.
+
+    Cross-engine exactness: edges are ``mn + i*(mx-mn)/k`` with the
+    global min/max from an exact agg — /k is a power-of-two division
+    for the default k=64, and both engines evaluate the identical IEEE
+    expression tree, so edge placement and the <= comparisons are
+    bit-identical; counts are exact integers and only the final
+    fractions round (6dp).
+    """
+    mm = (
+        a.select(F.col(value_col).cast("double").alias("_v"))
+        .unionAll(b.select(F.col(value_col).cast("double").alias("_v")))
+        .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
+    )
+
+    def side_counts(df: DataFrame, tag: str) -> DataFrame:
+        base = df.select(F.col(value_col).cast("double").alias("_v")).crossJoin(
+            F.broadcast(mm)
+        )
+        sums = [
+            F.sum(
+                (
+                    F.col("_v")
+                    <= F.col("mn")
+                    + F.lit(float(i)) * (F.col("mx") - F.col("mn")) / F.lit(float(k))
+                ).cast("long")
+            ).alias(f"c{i}")
+            for i in range(1, k + 1)
+        ]
+        agg = base.agg(F.count("*").cast("long").alias("n"), *sums)
+        return agg.select(
+            F.col("n").alias(f"n_{tag}"),
+            F.posexplode(F.array(*[F.col(f"c{i}") for i in range(1, k + 1)])).alias(
+                "bin0", f"c_{tag}"
+            ),
+        )
+
+    ca, cb = side_counts(a, "a"), side_counts(b, "b")
+    joined = (
+        ca.join(cb, "bin0")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (F.col("bin0") + 1).alias("bin_idx"),
+            F.round(
+                F.col("mn")
+                + (F.col("bin0") + 1).cast("double")
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(k)),
+                6,
+            ).alias("edge"),
+            F.round(F.col("c_a") / F.col("n_a"), 6).alias("f_a"),
+            F.round(F.col("c_b") / F.col("n_b"), 6).alias("f_b"),
+            F.round(F.abs(F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b")), 6).alias(
+                "ecdf_gap"
+            ),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    return joined.withColumn("ks", F.max("ecdf_gap").over(w)).orderBy("bin_idx")

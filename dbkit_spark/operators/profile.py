@@ -179,3 +179,66 @@ def fd_discovery(
     return stats.select(
         F.explode(F.array(*out_rows)).alias("_r")
     ).select("_r.*")
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-data smell test for positive,
+    scale-spanning quantities (amounts, populations, file sizes).
+
+    Returns one row per digit 1..9: observed count, observed share,
+    Benford's expected share log10(1 + 1/d), deviation, and the
+    chi-square contribution n·(p_obs − p_exp)²/p_exp — the summable
+    per-digit pieces of the usual goodness-of-fit statistic.
+
+    One pass, one 9-group aggregation (map-side combined): the first
+    significant digit is string-extracted from the integer part
+    (values are pre-filtered to > 0; sub-1 magnitudes would need the
+    regex-on-scientific-notation form — out of scope for the fixture's
+    price-like columns). At 100 TB this is a scan + 9-row shuffle.
+
+    Cross-engine: digit extraction is substring-on-CAST(BIGINT) —
+    exact; shares and chi-square terms round at 6dp (the one ln/float
+    rule); expected shares are double literals both engines compute
+    from the identical log10 expression.
+    """
+    import math
+
+    digit = F.substring(
+        F.floor(F.col(value_col).cast("double")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    base = (
+        df.filter(F.col(value_col).cast("double") >= 1.0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = base.agg(F.sum("cnt").alias("n"))
+    expected = None
+    for d in range(1, 10):
+        e = float(math.log10(1.0 + 1.0 / d))
+        expected = (
+            F.when(F.col("digit") == d, F.lit(e))
+            if expected is None
+            else expected.when(F.col("digit") == d, F.lit(e))
+        )
+    p_obs = F.col("cnt") / F.col("n")
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn("p_expected", expected)
+        .select(
+            "digit",
+            "cnt",
+            F.round(p_obs, 6).alias("p_observed"),
+            F.round(F.col("p_expected"), 6).alias("p_expected"),
+            F.round(p_obs - F.col("p_expected"), 6).alias("deviation"),
+            F.round(
+                F.col("n")
+                * (p_obs - F.col("p_expected"))
+                * (p_obs - F.col("p_expected"))
+                / F.col("p_expected"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

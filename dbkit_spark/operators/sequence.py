@@ -1,0 +1,92 @@
+"""Ordered event-pattern detection — the MATCH_RECOGNIZE shapes
+(A then B within t, with no C between) as plain window algebra.
+
+Funnnels (q125) answer "did A precede B"; attribution (q189) answers
+"which A gets credit". This operator answers the stricter sequencing
+question real conversion / incident / fraud analyses ask: for every B,
+find the MOST RECENT prior A in the same partition, require it within a
+time bound, and require that no disqualifying event C occurred strictly
+between them. SQL engines with MATCH_RECOGNIZE compile simple patterns
+to exactly this: conditional running-last-value windows.
+
+Plan: ONE window over (partition key, event time) carrying two
+``last(when(...), ignorenulls=True)`` columns (last-A-time,
+last-C-time) with a ROWS UNBOUNDED PRECEDING .. 1 PRECEDING frame —
+running conditional state, no self-join, no per-key collect_list. At
+100 TB that is a single hash-partitioned sort per key group — the same
+cost class as any sessionization — and everything after is a map-side
+filter. Skewed users salt the same way q64 does.
+
+Cross-engine: the window ordering ties on (ts, event id) — total, so
+last() is deterministic; the time bound compares exact integer
+microseconds (unix_micros / epoch_us), no float time arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pattern_conversions(
+    events: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    type_col: str,
+    start_type: str,
+    end_type: str,
+    within_seconds: int,
+    blocker_type: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Rows of ``events`` that COMPLETE the pattern: every ``end_type``
+    event with a ``start_type`` event at most ``within_seconds`` earlier
+    in the same partition and (optionally) no ``blocker_type`` event
+    strictly between the two. Adds ``start_ts`` and ``latency_s``.
+
+    The pattern window is strict: blockers AT the start event's
+    timestamp do not disqualify (they are not *between*); ties resolve
+    by ``tiebreak_col`` so replays are exact.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us: Column = F.unix_micros(F.col(ts_col))
+    last_start = F.last(
+        F.when(F.col(type_col) == start_type, us), ignorenulls=True
+    ).over(w)
+    cols = [
+        F.col("*"),
+        last_start.alias("_start_us"),
+    ]
+    if blocker_type is not None:
+        last_block = F.last(
+            F.when(F.col(type_col) == blocker_type, us), ignorenulls=True
+        ).over(w)
+        cols.append(last_block.alias("_block_us"))
+    staged = events.select(*cols)
+    cond = (
+        (F.col(type_col) == end_type)
+        & F.col("_start_us").isNotNull()
+        & (F.unix_micros(F.col(ts_col)) - F.col("_start_us") <= within_seconds * 1_000_000)
+    )
+    if blocker_type is not None:
+        cond = cond & (
+            F.col("_block_us").isNull() | (F.col("_block_us") <= F.col("_start_us"))
+        )
+    out = staged.filter(cond).withColumn(
+        "start_ts", F.timestamp_micros(F.col("_start_us"))
+    )
+    out = out.withColumn(
+        "latency_s",
+        F.round(
+            (F.unix_micros(F.col(ts_col)) - F.col("_start_us")) / F.lit(1_000_000.0), 6
+        ),
+    )
+    drop = ["_start_us"] + (["_block_us"] if blocker_type is not None else [])
+    return out.drop(*drop)

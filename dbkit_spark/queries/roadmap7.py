@@ -2753,3 +2753,364 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-7 continuation batch 4 (q243-q249): second-moment embedding
+# statistics, the stable-global-row-number primitive, grid KS drift,
+# deterministic negative sampling, Benford auditing, and event-pattern
+# (MATCH_RECOGNIZE-shape) detection.
+# --------------------------------------------------------------------------
+
+
+def q243_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.pca import embedding_covariance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", d=64).orderBy("i", "j")
+
+
+_Q243_ORACLE = """
+    WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    prods AS (
+      SELECT i, j, CAST(round(v[i+1]*v[j+1], 9) AS DECIMAL(38,9)) xy
+      FROM e, generate_series(0,63) g1(i), generate_series(0,63) g2(j)
+      WHERE i <= j
+    ),
+    sxy AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) n, SUM(xy) sxy
+            FROM prods GROUP BY i, j),
+    sx AS (
+      SELECT k, SUM(CAST(round(v[k+1],9) AS DECIMAL(38,9))) sx
+      FROM e, generate_series(0,63) g(k) GROUP BY k
+    )
+    SELECT s.i, s.j, s.n,
+      round((CAST(s.sxy AS DOUBLE)
+             - CAST(a.sx AS DOUBLE)*CAST(b.sx AS DOUBLE)/s.n)/s.n, 6) + 0.0 AS cov
+    FROM sxy s JOIN sx a ON s.i = a.k JOIN sx b ON s.j = b.k
+    ORDER BY s.i, s.j
+"""
+
+_Q243_NOTES = (
+    "EMBEDDING COVARIANCE (llm/pca.embedding_covariance — the d x d "
+    "second-moment matrix behind PCA, whitening, and collapsed-dimension "
+    "audits): each row expands its 64-vector into the 2,080 "
+    "upper-triangle products MAP-SIDE via one nested codegen transform "
+    "(no joins, no Python, no d^2 shuffle blowup — the exchange carries "
+    "O(d^2) partials per task, not per row), and products ride 9dp "
+    "decimals so the single hash agg is order-independent and the "
+    "DuckDB oracle replays it digit-for-digit. The O(N*d^2) multiply "
+    "work is covariance's irreducible cost and stays data-parallel; "
+    "the result is metadata-sized at ANY corpus scale"
+)
+
+
+def q244_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.pca import pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, "embedding", "vec_id", k=4, d=64).orderBy("vec_id")
+
+
+_Q244_NOTES = (
+    "PCA PROJECTION (llm/pca.pca_project — top-4 principal components "
+    "per vector): covariance in one corpus pass (q243), "
+    "eigendecomposition DRIVER-SIDE on the collected d x d matrix (the "
+    "bounded-scalar collect class — 2,080 doubles, never rows), then a "
+    "map-only JVM aggregate fold of every vector against the broadcast "
+    "eigenvector literals; the corpus is never shuffled. Eigenvector "
+    "signs canonicalized (largest-|coord| positive) so results are "
+    "deterministic across LAPACK builds. rows-only BY DESIGN: no SQL "
+    "engine eigendecomposes — the projection laws (component variance "
+    "== eigenvalue, cross-component covariance == 0, corpus mean maps "
+    "to origin) are pytest-pinned in tests/test_round7.py"
+)
+
+
+def q245_ks_drift_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import ks_grid
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return ks_grid(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut), "value", k=64
+    )
+
+
+_Q245_ORACLE = """
+    WITH mm AS (SELECT min(CAST(value AS DOUBLE)) mn, max(CAST(value AS DOUBLE)) mx
+                FROM events),
+    grid AS (SELECT i FROM generate_series(1, 64) g(i)),
+    a AS (SELECT CAST(value AS DOUBLE) v FROM events
+          WHERE ts < TIMESTAMP '2024-01-16'),
+    b AS (SELECT CAST(value AS DOUBLE) v FROM events
+          WHERE ts >= TIMESTAMP '2024-01-16'),
+    ca AS (SELECT i,
+             SUM(CASE WHEN v <= mn + i*(mx-mn)/64.0 THEN 1 ELSE 0 END) c,
+             COUNT(*) n
+           FROM a, grid, mm GROUP BY i),
+    cb AS (SELECT i,
+             SUM(CASE WHEN v <= mn + i*(mx-mn)/64.0 THEN 1 ELSE 0 END) c,
+             COUNT(*) n
+           FROM b, grid, mm GROUP BY i),
+    rows_ AS (
+      SELECT CAST(ca.i AS INTEGER) AS bin_idx,
+             round(mm.mn + ca.i*(mm.mx-mm.mn)/64.0, 6) AS edge,
+             round(ca.c / ca.n, 6) AS f_a,
+             round(cb.c / cb.n, 6) AS f_b,
+             round(abs(ca.c / ca.n - cb.c / cb.n), 6) AS ecdf_gap
+      FROM ca JOIN cb ON ca.i = cb.i CROSS JOIN mm
+    )
+    SELECT bin_idx, edge, f_a, f_b, ecdf_gap,
+           MAX(ecdf_gap) OVER () AS ks
+    FROM rows_
+    ORDER BY bin_idx
+"""
+
+_Q245_NOTES = (
+    "TWO-SAMPLE KS DRIFT ON A GRID (operators/drift.ks_grid — the "
+    "distribution-shift gate that complements PSI q223 and chi-square "
+    "q233 with the sup-norm ECDF view): exact KS needs both samples "
+    "globally SORTED (the q184 single-partition killer); the grid form "
+    "replaces the sort with ONE aggregation per side — 64 conditional "
+    "sums folded map-side in whole-stage codegen, shuffle = 64 partials "
+    "per task, NO Sort operator in the plan (plan-gated). Grid KS "
+    "lower-bounds exact KS and converges as the grid refines. Edges "
+    "mn + i*(mx-mn)/64 are the identical IEEE expression tree both "
+    "engines (and /64 is a power-of-two division — exact), so bucket "
+    "membership is bit-identical; counts are exact integers"
+)
+
+
+def q246_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import negative_sample
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    pos = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_custkey") % 100 == 7)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+    )
+    n_items = part.count()  # metadata-sized scalar (contiguous 0..P-1 keys)
+    out = negative_sample(pos, "user_id", "item", n_items, k=2, salt="neg")
+    return out.select(
+        F.col("user").alias("user_id"), "neg_item", "draw"
+    ).orderBy("user_id", "draw", "neg_item")
+
+
+_Q246_ORACLE = f"""
+    WITH pos AS (
+      SELECT o.o_custkey AS user_id, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 100 = 7
+    ),
+    draws AS (
+      SELECT user_id, draw,
+        {_shard_sql("concat(user_id, '_', item, '_', draw)", ":neg",
+                    "(SELECT COUNT(*) FROM part)")} AS neg_item
+      FROM pos, (VALUES (1), (2)) d(draw)
+    )
+    SELECT user_id, neg_item, CAST(draw AS INTEGER) AS draw
+    FROM draws
+    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.user_id = draws.user_id
+                        AND p.item = draws.neg_item)
+    ORDER BY user_id, draw, neg_item
+"""
+
+_Q246_NOTES = (
+    "DETERMINISTIC NEGATIVE SAMPLING (llm/sampling.negative_sample — "
+    "the contrastive/recommender training-pair generator): k=2 "
+    "candidate items per positive drawn by the engine-wide portable "
+    "md5 rule (any engine reproduces the exact sample — the oracle "
+    "does), then a left-anti join drops accidental positives. "
+    "Collision policy is DROP, not re-draw: re-drawing makes the "
+    "round count data-dependent; dropping keeps the whole operator "
+    "one-pass — draws are a map-side k-element explode and the ONLY "
+    "shuffle is the anti-join on (user, item). Expected loss is "
+    "density*k — negligible in the sparse recommender regime. "
+    "Duplicate (user,item) positives yield duplicate draws by design "
+    "(with-replacement semantics, draw index disambiguates)"
+)
+
+
+def q247_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import benford_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
+def _benford_values_sql() -> str:
+    import math
+
+    rows = ", ".join(
+        f"({d}, {float(math.log10(1.0 + 1.0 / d))!r})" for d in range(1, 10)
+    )
+    return f"(VALUES {rows})"
+
+
+_Q247_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(substr(CAST(CAST(floor(CAST(l_extendedprice AS DOUBLE)) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) >= 1.0
+    ),
+    counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) cnt FROM base GROUP BY digit),
+    tot AS (SELECT SUM(cnt) n FROM counts),
+    expected AS (SELECT digit, CAST(p_exp AS DOUBLE) AS p_exp
+                 FROM {_benford_values_sql()} e(digit, p_exp))
+    SELECT c.digit, c.cnt,
+           round(c.cnt / t.n, 6) AS p_observed,
+           round(e.p_exp, 6) AS p_expected,
+           round(c.cnt / t.n - e.p_exp, 6) AS deviation,
+           round(t.n * (c.cnt / t.n - e.p_exp) * (c.cnt / t.n - e.p_exp)
+                 / e.p_exp, 6) AS chi2_term
+    FROM counts c JOIN expected e ON c.digit = e.digit CROSS JOIN tot t
+    ORDER BY c.digit
+"""
+
+_Q247_NOTES = (
+    "BENFORD FIRST-DIGIT AUDIT (operators/profile.benford_audit — the "
+    "fabricated-/synthetic-data smell test for scale-spanning positive "
+    "quantities, data-quality family next to q108/q197): one scan, one "
+    "9-group map-side-combined aggregation; digit extraction is "
+    "substring-on-CAST(BIGINT) (exact, no float formatting), expected "
+    "shares log10(1+1/d) are full-precision literals generated from "
+    "the same repr both engines parse to the identical double (the "
+    "oracle VALUES are built by the same Python expression the Spark "
+    "literals use), per-digit chi-square contributions summable "
+    "downstream. At 100 TB: scan + 9-row shuffle"
+)
+
+
+def q248_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import pattern_conversions
+
+    ev = read_table(spark, sf_dir, "events")
+    out = pattern_conversions(
+        ev,
+        partition_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        start_type="view",
+        end_type="purchase",
+        within_seconds=1800,
+        blocker_type="error",
+        tiebreak_col="event_id",
+    )
+    return out.select("user_id", "event_id", "ts", "start_ts", "latency_s").orderBy(
+        "user_id", "event_id"
+    )
+
+
+_Q248_ORACLE = """
+    WITH staged AS (
+      SELECT user_id, event_id, ts, event_type,
+        LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS start_us,
+        LAST_VALUE(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS block_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           make_timestamp(start_us) AS start_ts,
+           round((epoch_us(ts) - start_us) / 1000000.0, 6) AS latency_s
+    FROM staged
+    WHERE event_type = 'purchase'
+      AND start_us IS NOT NULL
+      AND epoch_us(ts) - start_us <= 1800 * 1000000
+      AND (block_us IS NULL OR block_us <= start_us)
+    ORDER BY user_id, event_id
+"""
+
+_Q248_NOTES = (
+    "EVENT-PATTERN DETECTION (operators/sequence.pattern_conversions — "
+    "the MATCH_RECOGNIZE shape 'view then purchase within 30min with "
+    "no error between', strictly stronger than funnel q125 which only "
+    "orders stages): ONE window over (user, ts, event_id) carrying two "
+    "conditional running-last-value columns (last view time, last "
+    "error time) with an UNBOUNDED PRECEDING..1 PRECEDING frame — no "
+    "self-join, no collect_list, everything after is a map-side "
+    "filter. At 100 TB: a single hash-partitioned per-key sort, the "
+    "sessionization cost class (skewed users salt the q64 way). Time "
+    "bound compares exact integer MICROSECONDS (unix_micros/epoch_us) "
+    "— no float time arithmetic; ties total-ordered by event_id"
+)
+
+
+def q249_stable_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rownumber import stable_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+    out = stable_row_number(li, key, out_col="row_num")
+    return (
+        out.filter((F.col("row_num") % 997) == 1)
+        .select("l_orderkey", "l_linenumber", "row_num")
+        .orderBy("row_num")
+    )
+
+
+_Q249_ORACLE = """
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+                                         l_partkey, l_suppkey,
+                                         l_extendedprice) AS row_num
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, CAST(row_num AS BIGINT) AS row_num
+    FROM r WHERE row_num % 997 = 1 ORDER BY row_num
+"""
+
+_Q249_NOTES = (
+    "STABLE GLOBAL ROW NUMBER (operators/rownumber.stable_row_number — "
+    "the PRIMITIVE that retires the single-partition-window class the "
+    "q184/q77 weak marks came from): range-exchange on the order key "
+    "(disjoint ordered partitions, the distributed-ORDER-BY machinery), "
+    "per-partition row_number windows that run in PARALLEL, and a "
+    "#partitions-row count aggregation turned into broadcast prefix "
+    "offsets. Where range boundaries fall never changes the answer "
+    "under a total order key (rank = rows strictly before, boundary- "
+    "invariant); the shuffled result is persisted so the offset map "
+    "and the windowed pass see identical boundaries. Plan-gated: NO "
+    "SinglePartition exchange anywhere (tests/test_round7.py). The "
+    "5-column key makes the fixture order total (the synthetic "
+    "lineitem duplicates (orderkey,linenumber))"
+)
+
+
+ROADMAP7.update(
+    {
+        "q243_embedding_covariance": (
+            q243_embedding_covariance,
+            _Q243_ORACLE,
+            _Q243_NOTES,
+        ),
+        "q244_pca_projection": (q244_pca_projection, None, _Q244_NOTES),
+        "q245_ks_drift_grid": (q245_ks_drift_grid, _Q245_ORACLE, _Q245_NOTES),
+        "q246_negative_sampling": (
+            q246_negative_sampling,
+            _Q246_ORACLE,
+            _Q246_NOTES,
+        ),
+        "q247_benford_audit": (q247_benford_audit, _Q247_ORACLE, _Q247_NOTES),
+        "q248_pattern_conversions": (
+            q248_pattern_conversions,
+            _Q248_ORACLE,
+            _Q248_NOTES,
+        ),
+        "q249_stable_row_number": (
+            q249_stable_row_number,
+            _Q249_ORACLE,
+            _Q249_NOTES,
+        ),
+    }
+)

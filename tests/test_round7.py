@@ -1273,3 +1273,273 @@ def test_schema_diff_detects_drift(spark, sf_dir, tmp_path):
     assert out["user_id"]["type_a"] == "bigint"
     assert out["user_id"]["type_b"] == "string"
     assert "event_id" not in out  # unchanged columns emit nothing
+
+
+# --- batch 4: PCA / stable row number / KS grid / negative sampling /
+# --- Benford / pattern detection ----------------------------------------------
+
+
+def test_covariance_diagonal_is_variance(spark, sf_dir):
+    """cov(i,i) must equal the population variance of dimension i —
+    cross-checked against Spark's own var_pop on the exploded column."""
+    from dbkit_spark.llm.pca import embedding_covariance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cov = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(emb, "embedding", d=64).collect()
+    }
+    ref = (
+        emb.select(F.posexplode("embedding").alias("k", "x"))
+        .filter(F.col("k") < 5)
+        .groupBy("k")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .collect()
+    )
+    for r in ref:
+        assert cov[(r["k"], r["k"])] == pytest.approx(r["v"], abs=2e-6)
+
+
+def test_covariance_plan_no_join_on_corpus(spark, sf_dir):
+    """The d^2 expansion is map-side: the corpus-side plan up to the first
+    aggregation contains no Join and no Window — joins appear only on the
+    metadata-sized (d^2-row) moment tables."""
+    from dbkit_spark.llm.pca import embedding_covariance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = simple_plan(embedding_covariance(emb, "embedding", d=64))
+    assert "Window" not in plan
+    # both joins must be broadcasts of the tiny moment tables
+    assert "SortMergeJoin" not in plan
+
+
+def test_pca_component_variance_equals_eigenvalue(spark, sf_dir):
+    from dbkit_spark.llm.pca import (
+        _canonical_eigh,
+        embedding_covariance,
+        pca_project,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = embedding_covariance(emb, "embedding", d=64).collect()
+    vals, _ = _canonical_eigh(rows, 64, 3)
+    assert vals == sorted(vals, reverse=True)
+    pdf = pca_project(emb, "embedding", "vec_id", k=3, d=64).toPandas()
+    for c in range(3):
+        v = pdf[f"pc{c+1}"].to_numpy()
+        # component variance == eigenvalue, corpus mean projects to origin
+        assert v.var() == pytest.approx(vals[c], rel=1e-3)
+        assert abs(v.mean()) < 1e-5
+    # cross-component covariance ~ 0 (orthogonal directions)
+    import numpy as np
+
+    p = pdf[["pc1", "pc2", "pc3"]].to_numpy()
+    c = np.cov(p.T, ddof=0)
+    assert np.abs(c - np.diag(np.diag(c))).max() < 1e-5
+
+
+def test_pca_sign_canonicalization_deterministic():
+    """Flipping an eigenvector's sign in the input decomposition must not
+    change the canonical output (largest-|coord| entry forced positive)."""
+    import numpy as np
+
+    from dbkit_spark.llm.pca import _canonical_eigh
+
+    rows = []
+    rng = np.random.RandomState(7)
+    a = rng.randn(6, 6)
+    m = a @ a.T
+    for i in range(6):
+        for j in range(i, 6):
+            rows.append({"i": i, "j": j, "cov": m[i, j]})
+    vals1, vecs1 = _canonical_eigh(rows, 6, 3)
+    vals2, vecs2 = _canonical_eigh(rows, 6, 3)
+    assert vals1 == vals2 and vecs1 == vecs2
+    for v in vecs1:
+        pivot = int(np.argmax(np.abs(v)))
+        assert v[pivot] > 0
+
+
+def test_stable_row_number_matches_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from dbkit_spark.operators.rownumber import stable_row_number
+
+    ev = read_table(spark, sf_dir, "events").limit(2000)
+    got = {
+        r["event_id"]: r["rn"]
+        for r in stable_row_number(ev, ["ts", "event_id"], out_col="rn").collect()
+    }
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    want = {
+        r["event_id"]: r["rn"]
+        for r in ev.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_stable_row_number_no_single_partition(spark, sf_dir):
+    """The whole point: no SinglePartition exchange anywhere in the plan."""
+    from dbkit_spark.operators.rownumber import stable_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = stable_row_number(
+        li,
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    plan = formatted_plan(out)
+    assert "SinglePartition" not in plan, plan
+    out.unpersist = getattr(out, "unpersist", None)  # no-op; persist owned inside
+
+
+def test_stable_row_number_is_dense_total(spark, sf_dir):
+    from dbkit_spark.operators.rownumber import stable_row_number
+
+    ev = read_table(spark, sf_dir, "events").limit(999)
+    rns = sorted(
+        r["rn"]
+        for r in stable_row_number(ev, ["event_id"], out_col="rn").collect()
+    )
+    assert rns == list(range(1, 1000))
+
+
+def test_ks_grid_identical_distributions_is_zero(spark, sf_dir):
+    from dbkit_spark.operators.drift import ks_grid
+
+    ev = read_table(spark, sf_dir, "events")
+    out = ks_grid(ev, ev, "value", k=16).collect()
+    assert len(out) == 16
+    assert all(r["ecdf_gap"] == 0.0 for r in out)
+    assert all(r["ks"] == 0.0 for r in out)
+
+
+def test_ks_grid_detects_shift(spark):
+    rows_a = [(float(i % 100),) for i in range(2000)]
+    rows_b = [(float(i % 100) + 50.0,) for i in range(2000)]
+    a = spark.createDataFrame(rows_a, ["v"])
+    b = spark.createDataFrame(rows_b, ["v"])
+    out = ks_grid_rows = None
+    from dbkit_spark.operators.drift import ks_grid
+
+    out = ks_grid(a, b, "v", k=32).collect()
+    ks = out[0]["ks"]
+    # half-range shift of a uniform -> true KS = 0.5; grid form is within
+    # one bin's mass of exact
+    assert ks == pytest.approx(0.5, abs=0.05)
+    # last edge covers everything on both sides
+    assert out[-1]["f_a"] == 1.0 and out[-1]["f_b"] == 1.0
+
+
+def test_ks_grid_plan_has_no_sort(spark, sf_dir):
+    """The scale claim: the SAMPLES are never sorted — the per-side
+    reductions are pure aggregations. The only Sort allowed is the
+    64-row presentation orderBy(bin_idx)."""
+    from dbkit_spark.operators.drift import ks_grid
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    out = ks_grid(ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut), "value")
+    plan = simple_plan(out.drop("ks"))  # final tiny window excluded by design
+    for line in plan.splitlines():
+        if "Sort [" in line and "SortAggregate" not in line:
+            assert "bin_idx" in line, line
+
+
+def test_negative_sample_excludes_positives_and_is_deterministic(spark):
+    from dbkit_spark.llm.sampling import negative_sample
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(20) for i in range(u % 5)], ["u", "it"]
+    )
+    out1 = negative_sample(pos, "u", "it", n_items=7, k=3).collect()
+    out2 = negative_sample(pos, "u", "it", n_items=7, k=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    positives = {(r["u"], r["it"]) for r in pos.collect()}
+    for r in out1:
+        assert (r["user"], r["neg_item"]) not in positives
+        assert 0 <= r["neg_item"] < 7
+
+
+def test_negative_sample_draw_count_bounded(spark):
+    from dbkit_spark.llm.sampling import negative_sample
+
+    pos = spark.createDataFrame([(1, 2), (1, 3), (2, 0)], ["u", "it"])
+    out = negative_sample(pos, "u", "it", n_items=100, k=4).collect()
+    # at most k per positive; with sparse positives nearly all survive
+    assert len(out) <= 3 * 4
+    assert len(out) >= 3 * 4 - 3  # generous collision allowance at n=100
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    from dbkit_spark.operators.profile import benford_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rows = benford_audit(li, "l_extendedprice").collect()
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
+    assert sum(r["p_observed"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["cnt"] for r in rows) == li.filter(
+        F.col("l_extendedprice") >= 1.0
+    ).count()
+
+
+def test_benford_perfect_fit_has_zero_chi2(spark):
+    """A synthetic corpus drawn exactly at Benford proportions scores ~0."""
+    import math
+
+    from dbkit_spark.operators.profile import benford_audit
+
+    rows = []
+    n = 100_000
+    for d in range(1, 10):
+        cnt = round(n * math.log10(1 + 1 / d))
+        rows += [(float(d * 10 + 1),)] * cnt
+    df = spark.createDataFrame(rows, ["v"])
+    out = benford_audit(df, "v").collect()
+    assert sum(r["chi2_term"] for r in out) < 0.1
+
+
+def test_pattern_conversions_hand_case(spark):
+    from dbkit_spark.operators.sequence import pattern_conversions
+
+    rows = [
+        # u1: view -> purchase within bound, no error between: MATCH
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (1, 2, "2024-01-01 10:10:00", "purchase"),
+        # u2: error strictly between view and purchase: NO match
+        (2, 3, "2024-01-01 10:00:00", "view"),
+        (2, 4, "2024-01-01 10:05:00", "error"),
+        (2, 5, "2024-01-01 10:10:00", "purchase"),
+        # u3: view too old (2h): NO match
+        (3, 6, "2024-01-01 08:00:00", "view"),
+        (3, 7, "2024-01-01 10:00:00", "purchase"),
+        # u4: error BEFORE the view does not disqualify: MATCH
+        (4, 8, "2024-01-01 09:50:00", "error"),
+        (4, 9, "2024-01-01 10:00:00", "view"),
+        (4, 10, "2024-01-01 10:20:00", "purchase"),
+        # u5: purchase with no prior view: NO match
+        (5, 11, "2024-01-01 10:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_s", "event_type"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = pattern_conversions(
+        df, "user_id", "ts", "event_type", "view", "purchase", 1800, "error",
+        tiebreak_col="event_id",
+    ).collect()
+    got = sorted((r["user_id"], r["event_id"], r["latency_s"]) for r in out)
+    assert got == [(1, 2, 600.0), (4, 10, 1200.0)]
+
+
+def test_pattern_conversions_single_window_plan(spark, sf_dir):
+    """Both conditional last() columns share ONE Window operator (one
+    per-key sort), and there is no Join in the plan."""
+    from dbkit_spark.operators.sequence import pattern_conversions
+
+    ev = read_table(spark, sf_dir, "events")
+    out = pattern_conversions(
+        ev, "user_id", "ts", "event_type", "view", "purchase", 1800, "error",
+        tiebreak_col="event_id",
+    )
+    plan = simple_plan(out)
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
