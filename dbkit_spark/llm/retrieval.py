@@ -136,3 +136,58 @@ def tfidf_topk_terms(
         .filter(F.col("_rk") <= k)
         .select(id_col, F.col("tok").alias("token"), "tf", "df", "score")
     )
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    rrf_k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — the standard
+    hybrid-search combiner (lexical BM25 + semantic ANN) that needs no
+    score normalization: fused(d) = sum over lists of 1/(rrf_k + rank_d),
+    missing-from-a-list contributes 0.
+
+    CONTRACT: inputs are already TOP-K lists (the output of
+    ``bm25_topk`` / cosine top-k) — metadata-sized by construction —
+    so the global rank windows and the final sort here run over tens
+    of rows (the q238 risk-table discipline), never over a corpus.
+    The corpus-scale work lives in the retrievers themselves, which
+    keep their own scale paths (term-filtered BM25, bucketed ANN).
+
+    Determinism: ranks order by (round(score,6) DESC, id ASC) so
+    last-ulp float noise cannot flip a rank cross-engine; the fused
+    score is a sum of exact reciprocals rounded at 9dp.
+    """
+    from pyspark.sql import Window
+
+    ranked = []
+    for li, df in enumerate(lists):
+        w = Window.orderBy(
+            F.round(F.col(score_col), 6).desc(), F.col(id_col).asc()
+        )
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias(f"_r{li}"),
+            )
+        )
+    fused = ranked[0]
+    for nxt in ranked[1:]:
+        fused = fused.join(nxt, id_col, "full_outer")
+    contrib = None
+    for li in range(len(lists)):
+        c = F.when(
+            F.col(f"_r{li}").isNotNull(),
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"_r{li}")),
+        ).otherwise(F.lit(0.0))
+        contrib = c if contrib is None else contrib + c
+    return (
+        fused.withColumn("rrf_score", F.round(contrib, 9))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(id_col, *[f"_r{li}" for li in range(len(lists))], "rrf_score")
+        .toDF(id_col, *[f"rank_{li+1}" for li in range(len(lists))], "rrf_score")
+    )

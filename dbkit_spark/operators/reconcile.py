@@ -154,3 +154,70 @@ def reconcile_rows(
         .when(F.col("fp_l") != F.col("fp_r"), F.lit("changed"))
         .alias("status"),
     ).filter(F.col("status").isNotNull())
+
+
+def column_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Column-level change attribution between two keyed snapshots:
+    one row per compared column with the count of key-matched rows
+    whose value changed, plus ``__added__`` / ``__removed__`` rows for
+    key-level churn. The drill-down that follows a ``reconcile_buckets``
+    mismatch: WHICH columns drifted, and how much.
+
+    Plan: one full outer join on the key (the only shuffle — both
+    sides hash-partition once) feeding a single aggregation whose
+    per-column counters are null-safe-inequality sums folded map-side.
+    n columns never means n jobs, n joins, or n scans (the
+    profile_table discipline). Output is long-format and
+    metadata-sized: |compare_cols| + 2 rows at any scale.
+
+    Change predicate is IS DISTINCT FROM (null-safe): NULL -> value
+    and value -> NULL count as changes; NULL -> NULL does not.
+    """
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    matched = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    aggs = [
+        F.sum(
+            F.when(
+                matched & ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"chg_{c}")
+        for c in compare_cols
+    ]
+    aggs.append(
+        F.sum(F.when(F.col("_in_old").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_added")
+    )
+    aggs.append(
+        F.sum(F.when(F.col("_in_new").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_removed")
+    )
+    wide = j.agg(*aggs)
+    stack_args = []
+    for c in compare_cols:
+        stack_args += [f"'{c}'", f"chg_{c}"]
+    stack_args += ["'__added__'", "_added", "'__removed__'", "_removed"]
+    n_rows = len(compare_cols) + 2
+    return wide.select(
+        F.expr(
+            f"stack({n_rows}, {', '.join(stack_args)}) AS (column_name, n_rows)"
+        )
+    ).orderBy("column_name")

@@ -254,3 +254,64 @@ def enrich_with_scd2(
     return events.join(d, cond, "left").drop(
         *[f"__k_{k}" for k in keys], "valid_from", "valid_to"
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    out_col: str = "filled_value",
+) -> DataFrame:
+    """Linear interpolation of NULL ``value_col`` entries between the
+    nearest non-null neighbors within each key — the sensor-dropout /
+    sparse-metric repair that LOCF (``gapfill_locf``) only
+    staircase-approximates.
+
+    filled = prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+    for interior gaps; leading gaps backfill from the next value,
+    trailing gaps carry the previous forward (nearest-neighbor at the
+    boundaries). Non-null rows pass through unchanged.
+
+    Plan: two conditional running-value window passes over the SAME
+    (key, ts) sort — last non-null (value, time) before, first after —
+    then a map-side arithmetic fill. One hash-partitioned per-key sort,
+    the sessionization cost class; no joins, no grid explosion. Time
+    fractions use exact integer microseconds so the only float ops are
+    the final two multiplies (6dp-rounded, oracle-portable).
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    base = Window.partitionBy(key_col).orderBy(*order)
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    us = F.unix_micros(F.col(ts_col))
+    nn = F.col(value_col).isNotNull()
+    prev_v = F.last(F.when(nn, F.col(value_col)), ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(nn, us), ignorenulls=True).over(w_prev)
+    next_v = F.first(F.when(nn, F.col(value_col)), ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(nn, us), ignorenulls=True).over(w_next)
+    staged = df.select(
+        F.col("*"),
+        prev_v.alias("_pv"),
+        prev_t.alias("_pt"),
+        next_v.alias("_nv"),
+        next_t.alias("_nt"),
+    )
+    interior = (
+        F.col("_pv").isNotNull()
+        & F.col("_nv").isNotNull()
+        & (F.col("_nt") != F.col("_pt"))
+    )
+    linear = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+        (us - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
+    )
+    filled = (
+        F.when(nn, F.col(value_col))
+        .when(interior, F.round(linear, 6))
+        .when(F.col("_pv").isNotNull(), F.col("_pv"))
+        .otherwise(F.col("_nv"))
+    )
+    return staged.withColumn(out_col, filled).drop("_pv", "_pt", "_nv", "_nt")

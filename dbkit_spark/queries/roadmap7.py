@@ -3114,3 +3114,402 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-7 continuation batch 5 (q250-q253): interpolated-bigram LM
+# scoring, linear gap interpolation, reciprocal-rank hybrid retrieval
+# fusion, and column-level snapshot diff attribution.
+# --------------------------------------------------------------------------
+
+
+def q250_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    doc_bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> "
+                "struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cw"))
+    )
+    big = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cab")
+    )
+    tot = uni.agg(F.sum("cw").alias("nu"))
+    # p(w2|w1) = 0.7*c12/c1 + 0.3*c2/N  (interpolated backoff; every
+    # term in-vocab by construction - the LM is fit on the same corpus)
+    scored = (
+        doc_bigrams.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.lit(0.7) * F.col("cab") / F.col("ca")
+                    + F.lit(0.3) * F.col("cb") / F.col("nu")
+                ),
+                9,
+            )
+            .cast("decimal(25,9)")
+            .alias("_s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum("_s").cast("double") / F.count("*"), 6).alias(
+            "bigram_cross_entropy"
+        ),
+    )
+    return per_doc.orderBy(F.col("bigram_cross_entropy").desc(), "doc_id").limit(50)
+
+
+_Q250_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    doc_big AS (
+      SELECT doc_id, w1, w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> struct_pack(w1 := t[i], w2 := t[i + 1])),
+               recursive := true)
+        FROM toks
+      )
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM doc_big GROUP BY w1, w2
+    ),
+    tot AS (SELECT SUM(cw) AS nu FROM uni),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(round(-ln(CAST(0.7 AS DOUBLE) * b.cab / ua.cw
+                            + CAST(0.3 AS DOUBLE) * ub.cw / tot.nu), 9)
+                  AS DECIMAL(25,9)) AS s
+      FROM doc_big d
+      JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+      JOIN uni ua ON d.w1 = ua.w
+      JOIN uni ub ON d.w2 = ub.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS bigram_cross_entropy
+    FROM scored GROUP BY doc_id
+    ORDER BY bigram_cross_entropy DESC, doc_id
+    LIMIT 50
+"""
+
+_Q250_NOTES = (
+    "INTERPOLATED BIGRAM LM SCORING (the order-2 upgrade of q241's "
+    "unigram perplexity proxy — the filter that catches word-salad "
+    "docs whose unigrams are individually common but whose transitions "
+    "are improbable): p(w2|w1) = 0.7*c12/c1 + 0.3*c2/N with both count "
+    "tables from ONE tokenization pass (bigrams are a map-side "
+    "transform over the token array, q240's zero-self-join shape); "
+    "per-bigram surprisals ride 9dp decimals so per-doc means are "
+    "order-independent (q241 rule); the count joins are plain hash "
+    "joins on (w1,w2)/w — shuffle-partitioned, no broadcast assumption "
+    "on the bigram vocabulary, which at 100 TB is large. Top-50 via "
+    "TakeOrderedAndProject"
+)
+
+
+def q251_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interpolate_linear
+
+    ev = read_table(spark, sf_dir, "events")
+    # sensor-dropout fixture: 'click' rows lose their reading
+    holed = ev.withColumn(
+        "reading",
+        F.when(F.col("event_type") != "click", F.col("value")),
+    )
+    out = interpolate_linear(
+        holed, "user_id", "ts", "reading", tiebreak_col="event_id"
+    )
+    return (
+        out.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts", "filled_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+_Q251_ORACLE = """
+    WITH holed AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type <> 'click' THEN value END AS reading
+      FROM events
+    ),
+    staged AS (
+      SELECT user_id, event_id, ts, event_type, reading,
+        LAST_VALUE(CASE WHEN reading IS NOT NULL THEN reading END IGNORE NULLS)
+          OVER w_prev AS pv,
+        LAST_VALUE(CASE WHEN reading IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+          OVER w_prev AS pt,
+        FIRST_VALUE(CASE WHEN reading IS NOT NULL THEN reading END IGNORE NULLS)
+          OVER w_next AS nv,
+        FIRST_VALUE(CASE WHEN reading IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+          OVER w_next AS nt
+      FROM holed
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts,
+      CASE
+        WHEN reading IS NOT NULL THEN reading
+        WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN
+          round(pv + (nv - pv) * ((epoch_us(ts) - pt) / (nt - pt)), 6)
+        WHEN pv IS NOT NULL THEN pv
+        ELSE nv
+      END AS filled_value
+    FROM staged
+    WHERE event_type = 'click'
+    ORDER BY user_id, event_id
+"""
+
+_Q251_NOTES = (
+    "LINEAR GAP INTERPOLATION (operators/timeseries.interpolate_linear "
+    "— the sensor-dropout repair LOCF q101/q102 only staircase-"
+    "approximates): two conditional running-value window passes over "
+    "ONE (user, ts, event_id) sort give the nearest non-null neighbor "
+    "on each side with its timestamp; the fill is map-side arithmetic "
+    "on exact integer microseconds (boundary gaps fall back to "
+    "nearest-neighbor). One hash-partitioned per-key sort, no joins, "
+    "no grid explosion — the sessionization cost class. 6dp rounding "
+    "on the two float multiplies keeps it oracle-portable"
+)
+
+
+def q252_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine
+    from ..llm.retrieval import bm25_topk, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "text", "doc_id", ["spark", "join", "window"], k=20)
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return rrf_fuse([lex, sem], "doc_id", "score", rrf_k=60, topk=10)
+
+
+_Q252_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    ), lex AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+             ), 6) AS score
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), corpus c
+      GROUP BY tf.doc_id
+      ORDER BY score DESC, tf.doc_id
+      LIMIT 20
+    ), lex_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r0
+      FROM lex
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sem AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_cosine_similarity(c.v, q.v), 6) AS score
+      FROM e c, (SELECT v FROM e WHERE vec_id = 0) q
+      WHERE c.vec_id <> 0
+      ORDER BY score DESC, doc_id
+      LIMIT 20
+    ), sem_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r1
+      FROM sem
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.r0, s.r1,
+             round(
+               (CASE WHEN l.r0 IS NOT NULL
+                     THEN 1.0 / (60 + l.r0) ELSE 0.0 END)
+               + (CASE WHEN s.r1 IS NOT NULL
+                       THEN 1.0 / (60 + s.r1) ELSE 0.0 END), 9) AS rrf_score
+      FROM lex_ranked l FULL OUTER JOIN sem_ranked s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(r0 AS INTEGER) AS rank_1, CAST(r1 AS INTEGER) AS rank_2,
+           rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+"""
+
+_Q252_NOTES = (
+    "HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION (llm/retrieval."
+    "rrf_fuse — the standard BM25+ANN combiner that needs no score "
+    "normalization): fused(d) = sum 1/(60+rank_d) over both lists, "
+    "absent-from-a-list contributes 0. The CORPUS-scale work stays in "
+    "the retrievers (term-filtered BM25 q109, broadcast-query cosine "
+    "q43 — both keep their scale paths); the fusion itself runs over "
+    "the already-top-k METADATA-SIZED lists (20+20 rows), so its "
+    "global rank windows and full-outer join are the q238 risk-table "
+    "discipline, never a corpus operation. Ranks order by "
+    "(round(score,6) DESC, id) so last-ulp float noise cannot flip a "
+    "rank cross-engine"
+)
+
+
+def q253_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reconcile import column_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    # deterministic synthetic drift: price bump, status flip, deletions,
+    # and a block of inserted keys - all derived map-side so the oracle
+    # replays the identical snapshot pair
+    new = (
+        orders.filter((F.col("o_orderkey") % 997) != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_custkey") % 37 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_custkey") % 41 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    inserted = (
+        orders.filter(F.col("o_orderkey") % 991 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+    return column_diff(
+        orders,
+        new.unionByName(inserted),
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
+_Q253_ORACLE = """
+    WITH new_mod AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 41 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_custkey % 37 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 997 <> 0
+    ),
+    new_ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 991 = 0
+    ),
+    new_t AS (SELECT * FROM new_mod UNION ALL SELECT * FROM new_ins),
+    j AS (
+      SELECT o.o_orderkey AS ok_old, n.o_orderkey AS ok_new,
+             o.o_custkey AS oc, n.o_custkey AS nc,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns,
+             o.o_totalprice AS op, n.o_totalprice AS np,
+             o.o_orderdate AS od, n.o_orderdate AS nd
+      FROM orders o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+    ),
+    wide AS (
+      SELECT
+        CAST(SUM(CASE WHEN ok_old IS NOT NULL AND ok_new IS NOT NULL
+                       AND oc IS DISTINCT FROM nc THEN 1 ELSE 0 END) AS BIGINT)
+          AS chg_custkey,
+        CAST(SUM(CASE WHEN ok_old IS NOT NULL AND ok_new IS NOT NULL
+                       AND os IS DISTINCT FROM ns THEN 1 ELSE 0 END) AS BIGINT)
+          AS chg_status,
+        CAST(SUM(CASE WHEN ok_old IS NOT NULL AND ok_new IS NOT NULL
+                       AND op IS DISTINCT FROM np THEN 1 ELSE 0 END) AS BIGINT)
+          AS chg_price,
+        CAST(SUM(CASE WHEN ok_old IS NOT NULL AND ok_new IS NOT NULL
+                       AND od IS DISTINCT FROM nd THEN 1 ELSE 0 END) AS BIGINT)
+          AS chg_date,
+        CAST(SUM(CASE WHEN ok_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS added,
+        CAST(SUM(CASE WHEN ok_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS removed
+      FROM j
+    )
+    SELECT column_name, n_rows FROM (
+      SELECT '__added__' AS column_name, added AS n_rows FROM wide
+      UNION ALL SELECT '__removed__', removed FROM wide
+      UNION ALL SELECT 'o_custkey', chg_custkey FROM wide
+      UNION ALL SELECT 'o_orderstatus', chg_status FROM wide
+      UNION ALL SELECT 'o_totalprice', chg_price FROM wide
+      UNION ALL SELECT 'o_orderdate', chg_date FROM wide
+    )
+    ORDER BY column_name
+"""
+
+_Q253_NOTES = (
+    "COLUMN-LEVEL SNAPSHOT DIFF (operators/reconcile.column_diff — the "
+    "drill-down after reconcile_buckets q175 / reconcile_rows q213 "
+    "flags a mismatch: WHICH columns drifted and how much): one full "
+    "outer join on the key (the only shuffle) feeds a single "
+    "aggregation whose per-column counters are null-safe IS DISTINCT "
+    "FROM sums folded map-side — n columns never means n jobs/joins/"
+    "scans (the profile_table discipline). Output long-format, "
+    "|cols|+2 rows at any scale; __added__/__removed__ carry key "
+    "churn. Fixture drift (price bump, status flip, deletes, key-"
+    "shifted inserts) is derived map-side so both engines replay the "
+    "identical snapshot pair"
+)
+
+
+ROADMAP7.update(
+    {
+        "q250_bigram_lm_score": (q250_bigram_lm_score, _Q250_ORACLE, _Q250_NOTES),
+        "q251_interpolate_gaps": (
+            q251_interpolate_gaps,
+            _Q251_ORACLE,
+            _Q251_NOTES,
+        ),
+        "q252_hybrid_retrieval_rrf": (
+            q252_hybrid_retrieval_rrf,
+            _Q252_ORACLE,
+            _Q252_NOTES,
+        ),
+        "q253_column_diff": (q253_column_diff, _Q253_ORACLE, _Q253_NOTES),
+    }
+)

@@ -1543,3 +1543,134 @@ def test_pattern_conversions_single_window_plan(spark, sf_dir):
     plan = simple_plan(out)
     assert plan.count("Window") == 1, plan
     assert "Join" not in plan, plan
+
+
+# --- batch 5: interpolation / RRF fusion / column diff / bigram LM ------------
+
+
+def test_interpolate_linear_hand_case(spark):
+    from dbkit_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        # key, id, ts, value: gap between 10.0@t0 and 20.0@t4 with two
+        # interior nulls at t1 (25%) and t3 (75%)
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (1, 2, "2024-01-01 00:00:30", None),
+        (1, 3, "2024-01-01 00:01:30", None),
+        (1, 4, "2024-01-01 00:02:00", 20.0),
+        # leading null backfills, trailing null carries forward
+        (2, 5, "2024-01-01 00:00:00", None),
+        (2, 6, "2024-01-01 00:01:00", 7.0),
+        (2, 7, "2024-01-01 00:02:00", None),
+        # all-null key stays null
+        (3, 8, "2024-01-01 00:00:00", None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "ts_s", "v"]).withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    from dbkit_spark.operators.timeseries import interpolate_linear
+
+    out = {
+        r["id"]: r["filled_value"]
+        for r in interpolate_linear(df, "k", "ts", "v", "id").collect()
+    }
+    assert out[1] == 10.0 and out[4] == 20.0  # pass-through
+    assert out[2] == pytest.approx(12.5)
+    assert out[3] == pytest.approx(17.5)
+    assert out[5] == 7.0 and out[7] == 7.0
+    assert out[8] is None
+
+
+def test_interpolate_linear_plan_one_sort_no_join(spark, sf_dir):
+    from dbkit_spark.operators.timeseries import interpolate_linear
+
+    ev = read_table(spark, sf_dir, "events")
+    holed = ev.withColumn(
+        "reading", F.when(F.col("event_type") != "click", F.col("value"))
+    )
+    plan = simple_plan(
+        interpolate_linear(holed, "user_id", "ts", "reading", "event_id")
+    )
+    assert "Join" not in plan, plan
+    # both frames ride the same (user, ts, id) sort: at most one Sort
+    assert plan.count("Sort [") <= 1, plan
+
+
+def test_rrf_fuse_hand_case(spark):
+    from dbkit_spark.llm.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 8.0), (3, 7.0)], ["id", "score"])
+    b = spark.createDataFrame([(3, 0.9), (4, 0.8)], ["id", "score"])
+    out = {r["id"]: r for r in rrf_fuse([a, b], "id", topk=4).collect()}
+    # doc 3: rank 3 in a, rank 1 in b
+    assert out[3]["rank_1"] == 3 and out[3]["rank_2"] == 1
+    assert out[3]["rrf_score"] == pytest.approx(1 / 63 + 1 / 61, abs=1e-9)
+    # doc 1 only in a
+    assert out[1]["rank_2"] is None
+    assert out[1]["rrf_score"] == pytest.approx(1 / 61, abs=1e-9)
+    # both-list doc fuses above single-list docs of comparable rank
+    order = [
+        r["id"]
+        for r in rrf_fuse([a, b], "id", topk=4)
+        .orderBy(F.col("rrf_score").desc(), "id")
+        .collect()
+    ]
+    assert order[0] == 3
+
+
+def test_column_diff_hand_case(spark):
+    from dbkit_spark.operators.reconcile import column_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    out = {r["column_name"]: r["n_rows"] for r in column_diff(
+        old, new, ["k"], ["s", "v"]
+    ).collect()}
+    assert out == {"s": 1, "v": 0, "__added__": 1, "__removed__": 1}
+
+
+def test_column_diff_null_semantics(spark):
+    """NULL->value and value->NULL count as changes; NULL->NULL does not."""
+    from dbkit_spark.operators.reconcile import column_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x"), (3, None)], ["k", "s"])
+    new = spark.createDataFrame([(1, "y"), (2, None), (3, None)], ["k", "s"])
+    out = {r["column_name"]: r["n_rows"] for r in column_diff(
+        old, new, ["k"], ["s"]
+    ).collect()}
+    assert out["s"] == 2
+
+
+def test_column_diff_single_aggregation_plan(spark, sf_dir):
+    """One join, one aggregate — n columns never multiplies scans."""
+    from dbkit_spark.operators.reconcile import column_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = column_diff(
+        orders, orders, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+    plan = simple_plan(out)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_bigram_lm_flags_shuffled_doc(spark):
+    """A doc made of common words in a NEVER-SEEN order must score worse
+    (higher cross-entropy) than the repeated natural phrase it permutes."""
+    from dbkit_spark.queries.roadmap7 import q250_bigram_lm_score
+    import os, tempfile
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, natural, "en", "t", len(natural)) for i in range(20)]
+    rows.append((99, "dog the over quick lazy fox brown jumps the", "en", "t", 44))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = q250_bigram_lm_score(spark, tmp).collect()
+    assert out[0]["doc_id"] == 99  # most surprising doc leads the top-50
