@@ -47,6 +47,7 @@ def embedding_covariance(
     vec_col: str = "embedding",
     d: int | None = None,
     scale: int = 9,
+    with_moments: bool = False,
 ) -> DataFrame:
     """Upper-triangle covariance entries ``(i, j, n, cov)`` for i <= j,
     cov_ij = (S_xy - S_x*S_y/n) / n (population covariance).
@@ -56,6 +57,12 @@ def embedding_covariance(
     first-moment terms, all map-side; one hash agg (map-side combined)
     reduces. Per-product rounding to ``scale`` dp + decimal sums keep
     the reduction order-independent (the q241 decimal-carry rule).
+
+    ``with_moments=True`` appends the decimal first-moment sum ``sx_i``
+    to each row, so a caller that also needs the corpus mean (PCA
+    centering) derives mu_i = sx_i/n from the SAME collected result
+    instead of a second corpus scan — the round-7 advice fix. Default
+    off to keep the q243 oracle schema unchanged.
     """
     if d is None:
         d = len(df.select(vec_col).first()[0])
@@ -97,28 +104,23 @@ def embedding_covariance(
     )
     mi = sx.select(F.col("k").alias("i"), F.col("sx").alias("sx_i"))
     mj = sx.select(F.col("k").alias("j"), F.col("sx").alias("sx_j"))
-    return (
-        sxy.join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .select(
-            "i",
-            "j",
-            "n",
+    cov = (
+        F.round(
             (
-                F.round(
-                    (
-                        F.col("sxy").cast("double")
-                        - F.col("sx_i").cast("double")
-                        * F.col("sx_j").cast("double")
-                        / F.col("n")
-                    )
-                    / F.col("n"),
-                    6,
-                )
-                + F.lit(0.0)  # -0.0 -> 0.0 (cross-engine canonical zero)
-            ).alias("cov"),
+                F.col("sxy").cast("double")
+                - F.col("sx_i").cast("double")
+                * F.col("sx_j").cast("double")
+                / F.col("n")
+            )
+            / F.col("n"),
+            6,
         )
-    )
+        + F.lit(0.0)  # -0.0 -> 0.0 (cross-engine canonical zero)
+    ).alias("cov")
+    joined = sxy.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+    if with_moments:
+        return joined.select("i", "j", "n", cov, "sx_i")
+    return joined.select("i", "j", "n", cov)
 
 
 def _canonical_eigh(cov_rows, d: int, k: int):
@@ -157,28 +159,26 @@ def pca_project(
     """(id, pc1..pck) — corpus projected onto its top-k principal
     components.
 
-    Plan: covariance (one pass, see above) -> driver eigh on the d x d
-    matrix (bounded collect: d(d+1)/2 rows) -> map-only projection, a
-    JVM ``aggregate`` fold per component against eigenvector literals.
-    Also centers with the corpus mean (from the same covariance pass's
-    first moments). The corpus is never shuffled.
+    Plan: covariance (one pass, see above, with first moments riding
+    along) -> driver eigh on the d x d matrix (bounded collect:
+    d(d+1)/2 rows) -> map-only projection, a JVM ``aggregate`` fold per
+    component against eigenvector literals. Centering means derive from
+    the SAME collected covariance rows (mu_i = decimal sx_i / n —
+    order-independent, no second corpus aggregation): exactly two
+    corpus passes total, covariance + projection. The corpus is never
+    shuffled.
     """
     if d is None:
         d = len(df.select(vec_col).first()[0])
-    cov = embedding_covariance(df, vec_col, d=d)
+    cov = embedding_covariance(df, vec_col, d=d, with_moments=True)
     rows = cov.collect()  # d(d+1)/2 — metadata-sized
     n = rows[0]["n"]
     _, vecs = _canonical_eigh(rows, d, k)
-    # corpus mean per dim, for centering (exact from one tiny agg)
-    mean_rows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("kk", "x"))
-        .groupBy("kk")
-        .agg((F.sum(F.col("x").cast("double")) / F.lit(n)).alias("mu"))
-        .collect()
-    )
+    # corpus mean per dim from the diagonal rows' decimal first moments
     mu = [0.0] * d
-    for r in mean_rows:
-        mu[r["kk"]] = float(r["mu"])
+    for r in rows:
+        if r["i"] == r["j"]:
+            mu[r["i"]] = float(r["sx_i"]) / n
     out = df.select(F.col(id_col), F.col(vec_col))
     for c, vec in enumerate(vecs, start=1):
         centered_dot = F.aggregate(

@@ -236,7 +236,12 @@ def ks_grid(
     for the default k=64, and both engines evaluate the identical IEEE
     expression tree, so edge placement and the <= comparisons are
     bit-identical; counts are exact integers and only the final
-    fractions round (6dp).
+    fractions round (6dp). The ``edge`` column is emitted as the RAW
+    unrounded double: 6dp rounding of a double is NOT cross-engine
+    stable (Spark rounds the exact decimal expansion HALF_UP, DuckDB
+    rounds via scaled float arithmetic — near-tie values like
+    261.0065625 diverge in the last digit), while the raw double is
+    bit-identical by the expression-tree argument above.
     """
     mm = (
         a.select(F.col(value_col).cast("double").alias("_v"))
@@ -272,12 +277,11 @@ def ks_grid(
         .crossJoin(F.broadcast(mm))
         .select(
             (F.col("bin0") + 1).alias("bin_idx"),
-            F.round(
+            (
                 F.col("mn")
                 + (F.col("bin0") + 1).cast("double")
                 * (F.col("mx") - F.col("mn"))
-                / F.lit(float(k)),
-                6,
+                / F.lit(float(k))
             ).alias("edge"),
             F.round(F.col("c_a") / F.col("n_a"), 6).alias("f_a"),
             F.round(F.col("c_b") / F.col("n_b"), 6).alias("f_b"),

@@ -192,23 +192,33 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     per-digit pieces of the usual goodness-of-fit statistic.
 
     One pass, one 9-group aggregation (map-side combined): the first
-    significant digit is string-extracted from the integer part
-    (values are pre-filtered to > 0; sub-1 magnitudes would need the
-    regex-on-scientific-notation form — out of scope for the fixture's
-    price-like columns). At 100 TB this is a scan + 9-row shuffle.
+    significant digit is string-extracted from the integer part.
+    Values are pre-filtered to [1.0, 9.2e18): sub-1 magnitudes would
+    need the regex-on-scientific-notation form (out of scope for the
+    fixture's price-like columns), and the explicit upper bound keeps
+    the BIGINT cast inside the int64 range — without it Spark
+    (non-ANSI) silently NULLs values >= 2^63 while DuckDB errors, a
+    cross-engine divergence (round-7 advice). At 100 TB this is a
+    scan + 9-row shuffle.
 
     Cross-engine: digit extraction is substring-on-CAST(BIGINT) —
-    exact; shares and chi-square terms round at 6dp (the one ln/float
-    rule); expected shares are double literals both engines compute
-    from the identical log10 expression.
+    exact within the filtered range; shares and chi-square terms round
+    at 6dp (the one ln/float rule); expected shares are double literals
+    both engines compute from the identical log10 expression.
+
+    The digit-by-powers alternative (floor(v / 10^floor(log10 v))) was
+    rejected: log10 near exact powers of ten differs by 1 ulp across
+    libm builds, which misclassifies boundary values differently per
+    engine — the substring form has no such edge.
     """
     import math
 
     digit = F.substring(
         F.floor(F.col(value_col).cast("double")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
+    v = F.col(value_col).cast("double")
     base = (
-        df.filter(F.col(value_col).cast("double") >= 1.0)
+        df.filter((v >= 1.0) & (v < 9.2e18))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").cast("long").alias("cnt"))

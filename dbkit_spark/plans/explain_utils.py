@@ -54,6 +54,85 @@ def join_strategies(df: DataFrame) -> list[str]:
     )
 
 
+def _plan_children(node):
+    """Children of a physical-plan node, descending through AQE wrappers.
+
+    QueryStageExec wraps its subtree behind ``.plan()`` (children() is
+    empty), and AdaptiveSparkPlanExec hides the current plan behind
+    ``.executedPlan()`` — both must be traversed or the walk stops at the
+    wrapper and misses the aggregate underneath.
+    """
+    kids = []
+    try:
+        seq = node.children()
+        kids = [seq.apply(i) for i in range(seq.size())]
+    except Exception:
+        pass
+    if not kids:
+        for accessor in ("plan", "executedPlan", "child"):
+            try:
+                inner = getattr(node, accessor)()
+                if inner is not None:
+                    kids = [inner]
+                    break
+            except Exception:
+                continue
+    return kids
+
+
+def _walk_plan(node):
+    yield node
+    for child in _plan_children(node):
+        yield from _walk_plan(child)
+
+
+def _subtree_is_scalar(node) -> bool:
+    """True if this physical subtree provably produces at most one row:
+    it contains an aggregate with zero grouping expressions (a global
+    scalar aggregate) on the path to every leaf, or it is a literal
+    one-row relation."""
+    for n in _walk_plan(node):
+        cls = n.getClass().getSimpleName()
+        if cls in (
+            "HashAggregateExec",
+            "ObjectHashAggregateExec",
+            "SortAggregateExec",
+        ):
+            try:
+                if n.groupingExpressions().size() == 0:
+                    return True
+            except Exception:
+                continue
+        if cls in ("LocalTableScanExec", "RDDScanExec") and "OneRowRelation" in n.toString():
+            return True
+    return False
+
+
+def nlj_offenders(df: DataFrame) -> list[str]:
+    """Structural NLJ gate (VERDICT r7 item 1): walk the physical plan and
+    return a description of every BroadcastNestedLoopJoin whose broadcast
+    side is NOT a scalar (no-grouping-key aggregate / one-row relation),
+    plus every CartesianProduct. Intentional broadcast-scalar cross joins
+    (1-row totals, thresholds, grids derived from a global agg) pass
+    automatically, so adding one never goes stale against an allowlist."""
+    root = df._jdf.queryExecution().executedPlan()
+    out: list[str] = []
+    for node in _walk_plan(root):
+        cls = node.getClass().getSimpleName()
+        if cls == "CartesianProductExec":
+            out.append("CartesianProduct")
+        elif cls == "BroadcastNestedLoopJoinExec":
+            build = str(node.buildSide().toString())
+            kids = _plan_children(node)
+            if len(kids) != 2:
+                out.append("BroadcastNestedLoopJoin(unreadable)")
+                continue
+            side = kids[0] if build == "BuildLeft" else kids[1]
+            if not _subtree_is_scalar(side):
+                out.append(f"BroadcastNestedLoopJoin(non-scalar {build})")
+    return out
+
+
 def assert_broadcast_join(df: DataFrame) -> None:
     strategies = join_strategies(df)
     assert any(s == "BroadcastHashJoin" for s in strategies), (

@@ -2855,7 +2855,7 @@ _Q245_ORACLE = """
            FROM b, grid, mm GROUP BY i),
     rows_ AS (
       SELECT CAST(ca.i AS INTEGER) AS bin_idx,
-             round(mm.mn + ca.i*(mm.mx-mm.mn)/64.0, 6) AS edge,
+             mm.mn + ca.i*(mm.mx-mm.mn)/64.0 AS edge,
              round(ca.c / ca.n, 6) AS f_a,
              round(cb.c / cb.n, 6) AS f_b,
              round(abs(ca.c / ca.n - cb.c / cb.n), 6) AS ecdf_gap
@@ -2878,7 +2878,10 @@ _Q245_NOTES = (
     "lower-bounds exact KS and converges as the grid refines. Edges "
     "mn + i*(mx-mn)/64 are the identical IEEE expression tree both "
     "engines (and /64 is a power-of-two division — exact), so bucket "
-    "membership is bit-identical; counts are exact integers"
+    "membership is bit-identical; counts are exact integers. The edge "
+    "column is the RAW double (6dp rounding of near-tie doubles is not "
+    "cross-engine stable; the raw double is, by the expression-tree "
+    "argument)"
 )
 
 
@@ -2957,6 +2960,7 @@ _Q247_ORACLE = f"""
       SELECT CAST(substr(CAST(CAST(floor(CAST(l_extendedprice AS DOUBLE)) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
       FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) >= 1.0
+        AND CAST(l_extendedprice AS DOUBLE) < 9.2e18
     ),
     counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) cnt FROM base GROUP BY digit),
     tot AS (SELECT SUM(cnt) n FROM counts),
@@ -2977,7 +2981,10 @@ _Q247_NOTES = (
     "fabricated-/synthetic-data smell test for scale-spanning positive "
     "quantities, data-quality family next to q108/q197): one scan, one "
     "9-group map-side-combined aggregation; digit extraction is "
-    "substring-on-CAST(BIGINT) (exact, no float formatting), expected "
+    "substring-on-CAST(BIGINT) with the input filtered to [1, 9.2e18) "
+    "so the cast never leaves int64 (Spark non-ANSI NULLs >= 2^63 "
+    "silently, DuckDB errors — the explicit bound removes the "
+    "divergence), expected "
     "shares log10(1+1/d) are full-precision literals generated from "
     "the same repr both engines parse to the identical double (the "
     "oracle VALUES are built by the same Python expression the Spark "
@@ -3302,9 +3309,10 @@ def q252_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
     lex = bm25_topk(docs, "text", "doc_id", ["spark", "join", "window"], k=20)
-    qvec = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
-    )
+    # Global-agg form: min over the single vec_id=0 row is that row, and it
+    # makes the broadcast side a no-grouping-key aggregate — provably one
+    # row, so the structural NLJ gate accepts it without an allowlist.
+    qvec = emb.filter(F.col("vec_id") == 0).agg(F.min("embedding").alias("qv"))
     sem = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qvec))

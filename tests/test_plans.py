@@ -389,53 +389,25 @@ def test_duplicated_spans_plan_shape(spark, sf_dir):
 
 
 def test_queue_wide_no_accidental_nlj(spark):
-    """The pre-verified round-7 queue gets the same NLJ regression gate
-    as the registered catalog BEFORE it lands: every batch queue query's
-    plan must be free of BroadcastNestedLoopJoin/CartesianProduct on
-    non-tiny sides. Intentional broadcast-scalar cross joins (a 1-row
-    total/threshold side) are the documented exception — same taxonomy
-    as _INTENTIONAL_CROSS."""
-    from dbkit_spark.plans.explain_utils import join_strategies
+    """The pre-verified queue gets the same NLJ regression gate as the
+    registered catalog BEFORE it lands — and the gate is STRUCTURAL
+    (VERDICT r7 item 1): a BroadcastNestedLoopJoin is acceptable iff its
+    broadcast side is provably one row (a no-grouping-key aggregate or a
+    literal one-row relation); any other BNLJ, and every
+    CartesianProduct, fails. No allowlist — adding a new scalar
+    crossJoin can never make this gate go stale, and adding a quadratic
+    one can never sneak past it."""
+    from dbkit_spark.plans.explain_utils import nlj_offenders
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # streaming replays execute rather than plan; scalar-broadcast cross
-    # joins are intentional: q219/q230 (1-row stat meets), q220/q237
-    # (1-row exact/CI sides), q221/q229/q233/q240/q241/q242 (1-row
-    # totals), q223 (k-row PSI totals), q224 has none, q217/q186-family
-    # documented in their notes
+    # streaming replays execute rather than plan
     skip = {"q207_heavy_hitters_stream_replay", "q215_streaming_dedup_ingest"}
-    allowed_cross = {
-        "q217_containment_relative_cap",
-        "q219_triangle_count",
-        "q220_join_size_estimate",
-        "q221_temperature_mix",
-        "q223_psi_drift",
-        "q227_calibration_brier",
-        "q229_windowed_psi",
-        "q230_label_propagation",
-        "q233_chi_square",
-        "q237_bootstrap_ci",
-        "q238_retention_survival",
-        "q240_pmi_collocations",
-        "q241_unigram_cross_entropy",
-        "q242_vocab_coverage",
-        "q224_returns_above_nation_avg",
-        "q231_file_stats_pruning",
-        "q225_copurchase_lift",
-        "q239_item_similarity",
-        # q214: the skew summary is a broadcast 1-row side by design
-        "q214_join_key_skew_profile",
-    }
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():
         if name in skip:
             continue
-        df = fn(spark, sf)
-        bad = [
-            s for s in join_strategies(df)
-            if s in ("BroadcastNestedLoopJoin", "CartesianProduct")
-        ]
-        if bad and name not in allowed_cross:
+        bad = nlj_offenders(fn(spark, sf))
+        if bad:
             offenders[name] = bad
     assert not offenders, f"accidental NLJ/cartesian in queue: {offenders}"

@@ -1379,7 +1379,10 @@ def test_stable_row_number_matches_global_window(spark, sf_dir):
 
 
 def test_stable_row_number_no_single_partition(spark, sf_dir):
-    """The whole point: no SinglePartition exchange anywhere in the plan."""
+    """The whole point: no SinglePartition exchange anywhere in the plan,
+    exactly ONE range exchange of the data (the counts branch reuses it),
+    and — the round-7 advice item — NO cache left behind: the operator
+    must not persist anything."""
     from dbkit_spark.operators.rownumber import stable_row_number
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -1389,7 +1392,14 @@ def test_stable_row_number_no_single_partition(spark, sf_dir):
     )
     plan = formatted_plan(out)
     assert "SinglePartition" not in plan, plan
-    out.unpersist = getattr(out, "unpersist", None)  # no-op; persist owned inside
+    # the output branch shuffles full-width once; the counts branch is
+    # column-pruned to the order keys only — two range exchanges max,
+    # the second key-only (cheap), never a third
+    assert plan.count("Exchange rangepartitioning") <= 2, plan
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    out.count()
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) == len(before), "stable_row_number leaked a persisted RDD"
 
 
 def test_stable_row_number_is_dense_total(spark, sf_dir):
@@ -1418,7 +1428,6 @@ def test_ks_grid_detects_shift(spark):
     rows_b = [(float(i % 100) + 50.0,) for i in range(2000)]
     a = spark.createDataFrame(rows_a, ["v"])
     b = spark.createDataFrame(rows_b, ["v"])
-    out = ks_grid_rows = None
     from dbkit_spark.operators.drift import ks_grid
 
     out = ks_grid(a, b, "v", k=32).collect()
@@ -1480,6 +1489,21 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert sum(r["cnt"] for r in rows) == li.filter(
         F.col("l_extendedprice") >= 1.0
     ).count()
+
+
+def test_benford_excludes_out_of_int64_range(spark):
+    """Values >= 9.2e18 (where CAST(double AS BIGINT) leaves int64 and
+    Spark's non-ANSI cast silently NULLs while DuckDB errors) are
+    filtered out on BOTH engines rather than diverging — round-7 advice.
+    Sub-1 values are excluded per the documented [1.0, 9.2e18) contract."""
+    from dbkit_spark.operators.profile import benford_audit
+
+    df = spark.createDataFrame(
+        [(1.5,), (25.0,), (9.5e18,), (1.7e300,), (0.4,), (0.0,)], ["v"]
+    )
+    rows = benford_audit(df, "v").collect()
+    assert sum(r["cnt"] for r in rows) == 2
+    assert {r["digit"] for r in rows} == {1, 2}
 
 
 def test_benford_perfect_fit_has_zero_chi2(spark):
