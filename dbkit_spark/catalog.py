@@ -98,6 +98,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         llm,
         relational,
+        roadmap7_landed,
         scalars,
         windows,
     )

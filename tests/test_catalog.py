@@ -73,22 +73,40 @@ def test_readme_count_matches_catalog():
 
 
 def test_roadmap7_queue_preverified(spark):
-    """The round-7 queue (queries written during the round-6 catalog
-    freeze) must ALREADY pass the driver's compare at the driver's scale
-    — landing them in r07 is then a pure registration move — and
-    importing the queue must not register anything (the freeze is the
-    point)."""
+    """Whatever remains QUEUED (q242–q253 after the round-8 staged
+    landing of q201–q241) must ALREADY pass the driver's compare at the
+    driver's scale — landing is then a pure registration move. load_all()
+    runs first so the landed entries are moved out of the queue dict
+    before the sweep."""
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
+    assert len(load_all()) == 241  # 200 + the 41 landed q201–q241
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    assert len(load_all()) == 200  # frozen; roadmap7 import registers nothing
-    sf = "/root/testdata/sf0.01"
-    for name, (fn, oracle, notes) in ROADMAP7.items():
-        assert notes
-        if oracle is None:
-            assert fn(spark, sf).count() > 0, name
-        else:
-            compare_query(spark, name, fn, oracle, sf)
-            check_dtype_parity(spark, name, fn, oracle, sf)
+    assert len(ROADMAP7) == 12  # q242–q253 still queued for round 9
+    # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
+    # diverged at sf0.001 only) showed sf0.01-only pre-verification is
+    # not enough.
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name, (fn, oracle, notes) in ROADMAP7.items():
+            assert notes
+            if oracle is None:
+                assert fn(spark, sf).count() > 0, name
+            else:
+                compare_query(spark, name, fn, oracle, sf)
+                check_dtype_parity(spark, name, fn, oracle, sf)
+
+
+def test_r08_window_covers_landed_plus_stale(spark):
+    """VERDICT r7 item 6 guard: the 50-slot r08 rotation window must be
+    exactly the 41 newly landed q201–q241 (never driver-checked) plus the
+    nine remaining r01-evidence queries q42–q50 — the whole point of the
+    staged landing. If a future registration or CORRECTNESS file breaks
+    this arithmetic, fail HERE instead of silently stranding q42–q50
+    for another round."""
+    window = list(load_all())[:50]
+    landed = {n for n in window if 201 <= qnum(n)[0] <= 241}
+    stale = {n for n in window if 42 <= qnum(n)[0] <= 50}
+    assert len(landed) == 41, sorted(landed)
+    assert len(stale) == 9, sorted(stale)
