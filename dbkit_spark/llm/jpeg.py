@@ -12,10 +12,15 @@ scale lever is partition parallelism (the same posture as the PNG
 inflate path).
 
 Supported: baseline sequential (SOF0) and extended sequential (SOF1),
-grayscale and 3-component 4:4:4 (no chroma subsampling), 8-bit
-precision, optional restart intervals. Progressive (SOF2), arithmetic
-coding, and subsampled layouts raise NotImplementedError — callers
-(e.g. ``image_pixel_stats``) degrade to header metadata.
+grayscale and 3-component with ANY Hi×Vi sampling grid up to 4×4 —
+which covers 4:4:4, 4:2:2, 4:2:0 (the overwhelming majority of
+real-world JPEGs) and 4:1:1 — 8-bit precision, optional restart
+intervals. Subsampled chroma is upsampled by sample replication
+(nearest neighbor), the T.81-sanctioned reconstruction; decoders only
+differ in optional smoothing, which is presentation, not semantics.
+Progressive (SOF2), arithmetic coding, and non-interleaved multi-scan
+baseline raise NotImplementedError — callers (e.g.
+``image_pixel_stats``) degrade to header metadata.
 
 The encoder exists to synthesize REAL decodable fixtures (fixture
 discipline: everything deterministic from a seed) and to pin the
@@ -296,10 +301,30 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_pixels(pixels: np.ndarray) -> bytes:
+_SAMPLING_GRIDS = {
+    "4:4:4": (1, 1),  # chroma at full resolution
+    "4:2:2": (2, 1),  # chroma halved horizontally
+    "4:2:0": (2, 2),  # chroma halved both ways — the web default
+}
+
+
+def _box_downsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """fx x fy box-average downsample (pad to multiples by edge first)."""
+    if fx == 1 and fy == 1:
+        return p
+    h, w = p.shape
+    ph = (h + fy - 1) // fy * fy
+    pw = (w + fx - 1) // fx * fx
+    p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def encode_jpeg_pixels(pixels: np.ndarray, sampling: str = "4:4:4") -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
-    baseline sequential JPEG (4:4:4, Annex-K tables). Fixture-synthesis
-    and round-trip-test utility."""
+    baseline sequential JPEG (Annex-K tables). ``sampling`` is one of
+    4:4:4 / 4:2:2 / 4:2:0 (ignored for grayscale); chroma is
+    box-averaged before encoding. Fixture-synthesis and round-trip-test
+    utility — 4:2:0 fixtures pin the subsampled decode path."""
     arr = np.asarray(pixels, dtype=np.float64)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -312,11 +337,31 @@ def encode_jpeg_pixels(pixels: np.ndarray) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
+    if sampling not in _SAMPLING_GRIDS:
+        raise ValueError(f"unknown sampling {sampling!r}")
+    hy, vy = (1, 1) if gray else _SAMPLING_GRIDS[sampling]
+    ncomp = 1 if gray else 3
+    # (hi, vi) per component: luma at (hy, vy), chroma at (1, 1)
+    factors = [(hy, vy)] + [(1, 1)] * (ncomp - 1)
+    if not gray:
+        planes = [planes[0]] + [
+            _box_downsample(p, hy, vy) for p in planes[1:]
+        ]
+    # pad each plane to a whole number of MCUs (8*hi x 8*vi tiles for
+    # luma, 8x8 for chroma — both cover the same mcus_x x mcus_y grid)
+    mcus_x = (w + 8 * hy - 1) // (8 * hy)
+    mcus_y = (h + 8 * vy - 1) // (8 * vy)
+    padded = []
+    for p, (hi, vi) in zip(planes, factors):
+        th, tw = mcus_y * vi * 8, mcus_x * hi * 8
+        padded.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
+    planes = padded
     quants = [QUANT_LUMA] + ([] if gray else [QUANT_CHROMA, QUANT_CHROMA])
 
     _, dc_l_enc = _build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
@@ -331,10 +376,10 @@ def encode_jpeg_pixels(pixels: np.ndarray) -> bytes:
     out += _dqt_segment(0, QUANT_LUMA)
     if not gray:
         out += _dqt_segment(1, QUANT_CHROMA)
-    ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
@@ -349,30 +394,39 @@ def encode_jpeg_pixels(pixels: np.ndarray) -> bytes:
 
     writer = _BitWriter()
     preds = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for by in range(mcus_y):
+        for bx in range(mcus_x):
             for ci in range(ncomp):
-                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(
-                    block, quants[ci], preds[ci], *encs[ci], writer
-                )
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        y0 = (by * vi + v) * 8
+                        x0 = (bx * hi + u) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            block, quants[ci], preds[ci], *encs[ci], writer
+                        )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def synth_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+def synth_jpeg(
+    width: int, height: int, seed: int = 0, sampling: str = "4:4:4"
+) -> bytes:
     """Deterministic smooth-gradient RGB fixture encoded as a real,
-    decodable baseline JPEG. Gradients are CLIPPED, not wrapped — a
-    modulo wrap is a hard edge, and hard edges ring under the coarse
-    Annex-K chroma table; smooth ramps keep the round-trip error in a
-    tight band (pinned by tests)."""
+    decodable baseline JPEG (optionally chroma-subsampled). Gradients
+    are CLIPPED, not wrapped — a modulo wrap is a hard edge, and hard
+    edges ring under the coarse Annex-K chroma table; smooth ramps keep
+    the round-trip error in a tight band (pinned by tests)."""
     ys, xs = np.mgrid[0:height, 0:width]
     r = np.clip(xs * 4 + (seed % 64), 0, 255)
     g = np.clip(ys * 4 + (seed % 32), 0, 255)
     b = np.clip((xs + ys) * 2 + (seed % 16), 0, 255)
-    return encode_jpeg_pixels(np.stack([r, g, b], axis=-1).astype(np.uint8))
+    return encode_jpeg_pixels(
+        np.stack([r, g, b], axis=-1).astype(np.uint8), sampling=sampling
+    )
 
 
 # --- decoder -----------------------------------------------------------------
@@ -380,11 +434,13 @@ def synth_jpeg(width: int, height: int, seed: int = 0) -> bytes:
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """Baseline sequential JPEG → (width, height, channels, raw bytes)
-    with channels interleaved RGB (3) or luma (1).
+    with channels interleaved RGB (3) or luma (1). Handles any
+    divisible Hi×Vi sampling grid (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1);
+    subsampled chroma is upsampled by sample replication.
 
-    Raises NotImplementedError for progressive/arithmetic/subsampled
-    streams (callers degrade to header metadata) and ValueError for
-    malformed data.
+    Raises NotImplementedError for progressive/arithmetic/
+    non-interleaved streams (callers degrade to header metadata) and
+    ValueError for malformed data.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -438,11 +494,10 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -487,9 +542,13 @@ def _decode_scan(
     ncomp = len(comps)
     if ncomp not in (1, 3):
         raise NotImplementedError("1 or 3 components only")
+    if len(scan_tables) != ncomp:
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline not supported"
+        )
     # header-only / truncated streams reference tables that were never
     # defined — fail as malformed data, not as a KeyError
-    for cid, tq in comps:
+    for cid, _hi, _vi, tq in comps:
         if cid not in scan_tables:
             raise ValueError(f"scan references undefined component {cid}")
         dc_id, ac_id = scan_tables[cid]
@@ -497,54 +556,83 @@ def _decode_scan(
             raise ValueError("scan references undefined Huffman table")
         if tq not in quant:
             raise ValueError("frame references undefined quant table")
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    for _cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            # legal per T.81 but unseen in practice; integer replication
+            # upsampling below requires divisible factors
+            raise NotImplementedError(
+                f"non-divisible sampling factors {hi}x{vi} vs max "
+                f"{hmax}x{vmax}"
+            )
+    # interleaved MCU grid (T.81 A.2.3): each MCU covers 8*hmax x 8*vmax
+    # image pixels; component ci contributes hi x vi blocks per MCU into
+    # its own (subsampled) plane, allocated at the MCU-padded size
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        for _, hi, vi, _ in comps
+    ]
     reader = _BitReader(data, pos)
     preds = [0] * ncomp
     mcu = 0
-    n_mcus = (ph // 8) * (pw // 8)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for by in range(mcus_y):
+        for bx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 marker = reader.align_past_marker()
                 if not 0xFFD0 <= marker <= 0xFFD7:
                     raise ValueError("expected restart marker")
                 preds = [0] * ncomp
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 dc_id, ac_id = scan_tables[cid]
-                coeff = np.zeros(64, dtype=np.int64)
-                try:
-                    size = _decode_huff(reader, huff_dc[dc_id])
-                    diff = _extend(reader.read_bits(size), size)
-                    preds[ci] += diff
-                    coeff[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_huff(reader, huff_ac[ac_id])
-                        run, size = rs >> 4, rs & 0x0F
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        coeff[k] = _extend(reader.read_bits(size), size)
-                        k += 1
-                except _MarkerReached as m:
-                    raise ValueError(
-                        f"unexpected marker {m.marker:#x} inside MCU {mcu}"
-                    ) from None
-                blk = np.zeros(64, dtype=np.float64)
-                blk[ZIGZAG] = coeff * quant[tq].reshape(64)[ZIGZAG]
-                f = blk.reshape(8, 8)
-                px = _DCT_M.T @ f @ _DCT_M + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                for v in range(vi):
+                    for u in range(hi):
+                        coeff = np.zeros(64, dtype=np.int64)
+                        try:
+                            size = _decode_huff(reader, huff_dc[dc_id])
+                            diff = _extend(reader.read_bits(size), size)
+                            preds[ci] += diff
+                            coeff[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huff(reader, huff_ac[ac_id])
+                                run, size = rs >> 4, rs & 0x0F
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                coeff[k] = _extend(
+                                    reader.read_bits(size), size
+                                )
+                                k += 1
+                        except _MarkerReached as m:
+                            raise ValueError(
+                                f"unexpected marker {m.marker:#x} "
+                                f"inside MCU {mcu}"
+                            ) from None
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = coeff * quant[tq].reshape(64)[ZIGZAG]
+                        f = blk.reshape(8, 8)
+                        px = _DCT_M.T @ f @ _DCT_M + 128.0
+                        y0 = (by * vi + v) * 8
+                        x0 = (bx * hi + u) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu += 1
-    assert mcu == n_mcus
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled components by sample replication and crop
+    planes = [
+        np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)[
+            :h, :w
+        ]
+        if (hi, vi) != (hmax, vmax)
+        else p[:h, :w]
+        for p, (_, hi, vi, _) in zip(planes, comps)
+    ]
     if ncomp == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()

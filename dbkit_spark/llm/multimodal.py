@@ -9,7 +9,8 @@ Decode status: all four image containers decode to REAL pixels with no
 codec dependency — BMP/PPM as raw bytes, PNG via stdlib zlib
 (inflate + unfilter), and baseline sequential JPEG via the pure-numpy
 codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables). Unsupported
-JPEG variants (progressive, subsampled) degrade to header metadata.
+JPEG variants (progressive, arithmetic) degrade to header metadata;
+baseline 4:2:0/4:2:2 chroma subsampling decodes to real pixels.
 Video/audio remain STUBBED via ``_fake_decode``; swap in
 PIL/torchaudio/... without touching any Spark plumbing.
 """
@@ -247,6 +248,83 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    width: int,
+    height: int,
+    seed: int = 0,
+    depth: int = 8,
+    with_trns: bool = False,
+    filtered: bool = False,
+) -> bytes:
+    """Real, spec-conforming PALETTE PNG (color type 3) fixture at bit
+    depth 1/2/4/8 — deterministic indices packed MSB-first, a
+    deterministic PLTE (and optional tRNS for per-entry alpha), and
+    optionally Sub/Up filtered scanlines to exercise the byte-wise
+    unfilter on index data. Pure stdlib; round-trip partner of
+    ``decode_png_pixels``'s palette path."""
+    import binascii
+    import struct
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ncolors = 1 << depth
+    plte = bytearray()
+    for i in range(ncolors):
+        plte += bytes(
+            (
+                (seed + i * 37) % 256,
+                (seed + i * 73) % 256,
+                (seed + i * 11) % 256,
+            )
+        )
+    stride = (width * depth + 7) // 8
+    rows = []
+    for y in range(height):
+        bits = bytearray(stride)
+        for x in range(width):
+            v = (seed + 3 * x + 5 * y) % ncolors
+            bitpos = x * depth
+            bits[bitpos // 8] |= v << (8 - depth - bitpos % 8)
+        rows.append(bytes(bits))
+    raw = bytearray()
+    for y, row in enumerate(rows):
+        if not filtered or y == 0:
+            raw += b"\x00" + row  # None
+        elif y % 2:  # Sub (fbpp=1 on index bytes)
+            raw += b"\x01"
+            prev = 0
+            for b in row:
+                raw.append((b - prev) & 0xFF)
+                prev = b
+        else:  # Up
+            raw += b"\x02" + bytes(
+                (b - u) & 0xFF for b, u in zip(row, rows[y - 1])
+            )
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", bytes(plte))
+    if with_trns:
+        # alpha for the first half of the palette only — the tail must
+        # default to opaque per spec
+        out += chunk(
+            b"tRNS",
+            bytes((seed + 19 * i) % 256 for i in range(ncolors // 2 or 1)),
+        )
+    out += chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
+    return out
 
 
 def encode_jpeg_header(width: int, height: int, seed: int = 0) -> bytes:
@@ -527,13 +605,17 @@ def decode_features_arrow(payloads: DataFrame) -> DataFrame:
 # round 7 closed the last gap: baseline sequential JPEG is pure math
 # (Huffman + IDCT + Annex-K tables, implemented in llm/jpeg.py on bare
 # numpy), so all four containers decode to real pixels with no codec
-# dependency. Progressive/subsampled JPEG stays honestly unsupported.
+# dependency, incl. 4:2:0/4:2:2 subsampling (round 8). Progressive
+# JPEG stays honestly unsupported.
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit non-interlaced PNG to (width, height, channels,
-    raw pixel bytes, row-major, no padding). Supports color types
-    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) — every filter type
+    """Decode a non-interlaced PNG to (width, height, channels, raw
+    pixel bytes, row-major, no padding). Supports 8-bit color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) AND palette type 3 at
+    bit depths 1/2/4/8 (round 8 — palette PNGs are common in web
+    scrapes): indices expand through PLTE to RGB, or to RGBA when a
+    tRNS chunk carries per-entry alpha. Every filter type
     (None/Sub/Up/Average/Paeth), CRC-verified chunks.
 
     The unfilter loop is sequential per scanline byte (each recon byte
@@ -546,7 +628,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
     if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte, trns = 8, None, bytearray(), None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
@@ -560,6 +642,10 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             ihdr = data
         elif typ == b"IDAT":
             idat += data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IEND":
             break
         pos += 12 + length
@@ -568,15 +654,32 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace != 0:
         raise NotImplementedError(
-            f"PNG depth={depth}/interlace={interlace} needs a codec lib; "
-            "this stdlib decoder covers 8-bit non-interlaced"
+            f"PNG interlace={interlace} needs a codec lib; "
+            "this stdlib decoder covers non-interlaced"
         )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {color} (palette) unsupported")
-    stride = w * channels
+    paletted = color == 3
+    if paletted:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"PNG palette bit depth {depth} illegal")
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        channels = 1  # one index per pixel in the coded stream
+    else:
+        if depth != 8:
+            raise NotImplementedError(
+                f"PNG depth={depth} for color type {color} unsupported "
+                "(8-bit only outside palette images)"
+            )
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if channels is None:
+            raise ValueError(f"PNG color type {color} illegal")
+    # stride in BYTES; fbpp is the filter's left-neighbor distance
+    # (spec: ceil(depth*channels/8), min 1 — sub-byte depths filter on
+    # whole bytes)
+    stride = (w * depth * channels + 7) // 8
+    fbpp = max(1, (depth * channels) // 8)
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
@@ -590,7 +693,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             out[off : off + stride] = line
         elif ftype == 1:  # Sub
             for i in range(stride):
-                left = out[off + i - channels] if i >= channels else 0
+                left = out[off + i - fbpp] if i >= fbpp else 0
                 out[off + i] = (line[i] + left) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
@@ -598,14 +701,14 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 out[off + i] = (line[i] + up) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = out[off + i - channels] if i >= channels else 0
+                left = out[off + i - fbpp] if i >= fbpp else 0
                 up = out[prev_off + i] if y else 0
                 out[off + i] = (line[i] + (left + up) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = out[off + i - channels] if i >= channels else 0
+                a = out[off + i - fbpp] if i >= fbpp else 0
                 b = out[prev_off + i] if y else 0
-                c = out[prev_off + i - channels] if (y and i >= channels) else 0
+                c = out[prev_off + i - fbpp] if (y and i >= fbpp) else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -613,7 +716,47 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"PNG filter type {ftype}")
         prev_off = off
-    return w, h, channels, bytes(out)
+    if not paletted:
+        return w, h, channels, bytes(out)
+    return _expand_palette(bytes(out), w, h, depth, stride, plte, trns)
+
+
+def _expand_palette(
+    idx_bytes: bytes,
+    w: int,
+    h: int,
+    depth: int,
+    stride: int,
+    plte: bytes,
+    trns: bytes | None,
+) -> tuple[int, int, int, bytes]:
+    """Palette expansion: unpack MSB-first sub-byte indices per row
+    (vectorized — shift table per depth), bounds-check against PLTE,
+    gather RGB; a tRNS chunk upgrades output to RGBA (entries beyond
+    its length are opaque, per spec)."""
+    import numpy as np
+
+    rows = np.frombuffer(idx_bytes, dtype=np.uint8).reshape(h, stride)
+    if depth == 8:
+        idx = rows[:, :w]
+    else:
+        shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint8)
+        mask = (1 << depth) - 1
+        idx = (
+            (rows[:, :, None] >> shifts[None, None, :]) & mask
+        ).reshape(h, -1)[:, :w]
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    rgb = pal[idx]  # h x w x 3
+    if trns is None:
+        return w, h, 3, rgb.tobytes()
+    alpha = np.full(len(pal), 255, dtype=np.uint8)
+    alpha[: min(len(trns), len(pal))] = np.frombuffer(
+        trns[: len(pal)], dtype=np.uint8
+    )
+    rgba = np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
+    return w, h, 4, rgba.tobytes()
 
 
 def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -689,7 +832,7 @@ def decode_image_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
     to real pixels with no codec dependency — PNG via stdlib zlib,
     BMP/PPM as raw bytes, and baseline sequential JPEG via the pure
     numpy codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables).
-    Progressive/subsampled JPEG raises NotImplementedError (a genuinely
+    Progressive JPEG raises NotImplementedError (a genuinely
     unsupported variant); header-only or corrupt streams raise
     ValueError — ``image_pixel_stats`` degrades both to metadata."""
     if payload is None:
@@ -727,7 +870,7 @@ def image_pixel_stats(payloads: DataFrame) -> DataFrame:
     """REAL pixel feature extraction over mapInPandas: full decode
     (PNG inflate+unfilter / BMP / PPM / baseline JPEG) then per-channel
     means. Rows whose payload can't be pixel-decoded — an unsupported
-    JPEG variant (progressive, subsampled) or a header-only/corrupt
+    JPEG variant (progressive, arithmetic) or a header-only/corrupt
     stream — emit decoded=false with header metadata instead of failing
     the batch: a corpus pipeline keeps moving and the undecodable
     subset is queryable. Arrow-batched, map-only, shuffle-free;
@@ -781,6 +924,54 @@ def with_real_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 p = synth_jpeg(w, h, seed=did % 251)
                 payloads.append(p)
                 mtypes.append("image/jpeg")
+                lens.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": mtypes,
+                    "payload_len": lens,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, PAYLOAD_SCHEMA
+    )
+
+
+def with_mixed_codec_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the round-8 REAL-decode corpus: per row, doc_id % 4
+    rotates through the codec shapes that used to degrade to
+    header-only — 4:2:0 JPEG (the web default), 4:2:2 JPEG, a 4-bit
+    palette PNG, and an 8-bit palette PNG with tRNS alpha (decodes to
+    RGBA). Every payload is a real, spec-conforming stream from the
+    in-repo encoders; dims follow the q228 rule (16+id%17 x 16+id%13,
+    multi-MCU / multi-scanline)."""
+    from .jpeg import synth_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes, lens = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 17, 16 + did % 13
+                arm = did % 4
+                if arm == 0:
+                    p = synth_jpeg(w, h, seed=did % 251, sampling="4:2:0")
+                    mt = "image/jpeg"
+                elif arm == 1:
+                    p = synth_jpeg(w, h, seed=did % 251, sampling="4:2:2")
+                    mt = "image/jpeg"
+                elif arm == 2:
+                    p = encode_png_palette(w, h, seed=did % 251, depth=4)
+                    mt = "image/png"
+                else:
+                    p = encode_png_palette(
+                        w, h, seed=did % 251, depth=8, with_trns=True
+                    )
+                    mt = "image/png"
+                payloads.append(p)
+                mtypes.append(mt)
                 lens.append(len(p))
             yield pd.DataFrame(
                 {

@@ -3521,3 +3521,53 @@ ROADMAP7.update(
         "q253_column_diff": (q253_column_diff, _Q253_ORACLE, _Q253_NOTES),
     }
 )
+
+
+def q254_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import image_pixel_stats, with_mixed_codec_payload
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    stats = image_pixel_stats(with_mixed_codec_payload(docs))
+    return stats.select(
+        "doc_id", "img_format", "width", "height", "channels", "decoded"
+    ).orderBy("doc_id")
+
+
+_Q254_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'jpeg' ELSE 'png' END
+             AS img_format,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + doc_id % 13 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 3 END AS INTEGER)
+             AS channels,
+           TRUE AS decoded
+    FROM documents WHERE doc_id < 200
+    ORDER BY doc_id
+"""
+
+_Q254_NOTES = (
+    "MIXED-CODEC REAL DECODE (round 8 — the two shapes the r7 verdict "
+    "ranked top of Missing): 4:2:0 / 4:2:2 chroma-subsampled baseline "
+    "JPEG (llm/jpeg.py: general HixVi MCU layout + replication "
+    "upsample, T.81 A.2.3) and palette PNG (llm/multimodal.py: PLTE "
+    "expansion at bit depth 1/2/4/8, tRNS alpha -> RGBA, sub-byte "
+    "MSB-first index unpack, fbpp=1 filters). Every payload is a real "
+    "spec-conforming stream from the in-repo encoders; the oracle pins "
+    "decoded=true with true dims/channels per the doc_id % 4 rotation "
+    "(channel means are pinned by round-trip tolerance pytests in "
+    "tests/test_round8.py — lossy JPEG has no exact SQL twin). "
+    "Arrow-batched map-only plan, no shuffle; partition parallelism is "
+    "the decode scale lever"
+)
+
+
+ROADMAP7.update(
+    {
+        "q254_mixed_codec_decode": (
+            q254_mixed_codec_decode,
+            _Q254_ORACLE,
+            _Q254_NOTES,
+        ),
+    }
+)

@@ -84,7 +84,9 @@ def test_roadmap7_queue_preverified(spark):
     assert len(load_all()) == 241  # 200 + the 41 landed q201–q241
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    assert len(ROADMAP7) == 12  # q242–q253 still queued for round 9
+    # q242–q253 still queued for round 9, plus round-8 additions (q254+)
+    assert len(ROADMAP7) >= 12
+    assert all(qnum(n)[0] >= 242 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.

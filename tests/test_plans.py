@@ -348,9 +348,7 @@ def test_chunk_then_pack_composes_to_one_exchange(spark, sf_dir):
     barrier between the two operators."""
     import re
 
-    from dbkit_spark.queries.roadmap7 import ROADMAP7
-
-    df = ROADMAP7["q208_chunk_then_pack"][0](spark, sf_dir)
+    df = CATALOG["q208_chunk_then_pack"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange", final)) == 1, final
