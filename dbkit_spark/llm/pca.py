@@ -123,6 +123,95 @@ def embedding_covariance(
     return joined.select("i", "j", "n", cov)
 
 
+def embedding_covariance_fast(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    d: int | None = None,
+    with_moments: bool = False,
+) -> DataFrame:
+    """Performance twin of :func:`embedding_covariance` for large d —
+    same output schema ``(i, j, n, cov[, sx_i])``, different physical
+    strategy: a ``mapInArrow`` pass accumulates ONE numpy Gram partial
+    per partition (``X.T @ X`` — BLAS, so the O(N*d^2) multiply work
+    runs at native matrix-multiply speed instead of d(d+1)/2 codegen'd
+    expressions per row) and emits d(d+1)/2 partial rows per PARTITION
+    (not per input row or per Arrow batch); one hash agg reduces the
+    partials. Shuffle volume: d(d+1)/2 x num_partitions rows — still
+    metadata-sized at 100 TB.
+
+    Trade-off (why the exploded-struct form stays the default): partials
+    accumulate in float64, so the final sums are partitioning-dependent
+    in the last bits — no DuckDB oracle can replay them digit-for-digit.
+    The decimal path is the oracle-portable correctness baseline; this
+    is the opt-in throughput path for d >= ~64, pinned against the
+    baseline by tolerance parity tests (SCALE.md records the A/B).
+    ``sx_i`` (with_moments) is likewise a double here, not a decimal.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if d is None:
+        d = len(df.select(vec_col).first()[0])
+    dd = d
+    iu0, iu1 = np.triu_indices(dd)
+
+    def gram_partials(batches):
+        g = np.zeros((dd, dd), dtype=np.float64)
+        sx = np.zeros(dd, dtype=np.float64)
+        n = 0
+        for batch in batches:
+            la = batch.column(0)
+            off = la.offsets.to_numpy()
+            if len(off) < 2:
+                continue
+            flat = la.values.to_numpy(zero_copy_only=False)
+            X = np.asarray(
+                flat[off[0] : off[-1]], dtype=np.float64
+            ).reshape(-1, dd)
+            g += X.T @ X
+            sx += X.sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        yield pa.RecordBatch.from_pydict(
+            {
+                "i": pa.array(iu0, type=pa.int32()),
+                "j": pa.array(iu1, type=pa.int32()),
+                "pn": pa.array(np.full(len(iu0), n), type=pa.int64()),
+                "pxy": pa.array(g[iu0, iu1], type=pa.float64()),
+                "px_i": pa.array(sx[iu0], type=pa.float64()),
+                "px_j": pa.array(sx[iu1], type=pa.float64()),
+            }
+        )
+
+    partials = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInArrow(
+        gram_partials,
+        "i int, j int, pn long, pxy double, px_i double, px_j double",
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pxy").alias("sxy"),
+        F.sum("px_i").alias("sx_i"),
+        F.sum("px_j").alias("sx_j"),
+    )
+    cov = (
+        F.round(
+            (
+                F.col("sxy")
+                - F.col("sx_i") * F.col("sx_j") / F.col("n")
+            )
+            / F.col("n"),
+            6,
+        )
+        + F.lit(0.0)
+    ).alias("cov")
+    if with_moments:
+        return agg.select("i", "j", "n", cov, "sx_i")
+    return agg.select("i", "j", "n", cov)
+
+
 def _canonical_eigh(cov_rows, d: int, k: int):
     """Driver-side eigendecomposition of the collected upper triangle.
 
@@ -155,6 +244,7 @@ def pca_project(
     id_col: str = "vec_id",
     k: int = 4,
     d: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """(id, pc1..pck) — corpus projected onto its top-k principal
     components.
@@ -167,10 +257,16 @@ def pca_project(
     order-independent, no second corpus aggregation): exactly two
     corpus passes total, covariance + projection. The corpus is never
     shuffled.
+
+    ``fast=True`` swaps in :func:`embedding_covariance_fast` (numpy
+    Gram partials over mapInArrow — the d >= ~64 throughput path;
+    float64 last-bit nondeterminism is absorbed by the 6dp rounding of
+    both cov and the pc outputs in all but adversarial spectra).
     """
     if d is None:
         d = len(df.select(vec_col).first()[0])
-    cov = embedding_covariance(df, vec_col, d=d, with_moments=True)
+    cov_fn = embedding_covariance_fast if fast else embedding_covariance
+    cov = cov_fn(df, vec_col, d=d, with_moments=True)
     rows = cov.collect()  # d(d+1)/2 — metadata-sized
     n = rows[0]["n"]
     _, vecs = _canonical_eigh(rows, d, k)

@@ -242,3 +242,80 @@ def test_image_pixel_stats_decodes_palette_png(spark):
         px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
         want = px.mean(axis=0)
         assert (r.mean_r, r.mean_g, r.mean_b) == tuple(want), i
+
+
+# --- Arrow Gram-partial covariance fast path (verdict next-round #8) ------
+
+
+def test_covariance_fast_parity_with_decimal_path(spark, sf_dir):
+    """The mapInArrow numpy Gram path must reproduce the decimal
+    oracle-portable path entry-for-entry at the 6dp output rounding
+    (float64 partial accumulation differs only in bits the rounding
+    absorbs on non-adversarial data)."""
+    from dbkit_spark.llm.pca import (
+        embedding_covariance,
+        embedding_covariance_fast,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    slow = {
+        (r["i"], r["j"]): (r["n"], r["cov"])
+        for r in embedding_covariance(emb).collect()
+    }
+    fast = {
+        (r["i"], r["j"]): (r["n"], r["cov"])
+        for r in embedding_covariance_fast(emb).collect()
+    }
+    assert set(slow) == set(fast)
+    for k, (n_s, cov_s) in slow.items():
+        n_f, cov_f = fast[k]
+        assert n_s == n_f
+        assert abs(cov_s - cov_f) <= 2e-6, (k, cov_s, cov_f)
+
+
+def test_covariance_fast_partition_invariant(spark, sf_dir):
+    """Per-partition Gram partials reduce to the same 6dp result no
+    matter how the corpus is split (1 vs 16 partitions)."""
+    from dbkit_spark.llm.pca import embedding_covariance_fast
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance_fast(emb.coalesce(1)).collect()
+    }
+    many = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance_fast(emb.repartition(16)).collect()
+    }
+    assert set(one) == set(many)
+    for k in one:
+        assert abs(one[k] - many[k]) <= 2e-6, k
+
+
+def test_covariance_fast_single_exchange(spark, sf_dir):
+    """Plan shape: mapInArrow partials -> ONE hash-agg exchange over
+    d(d+1)/2 keys; the corpus itself is never shuffled."""
+    from dbkit_spark.llm.pca import embedding_covariance_fast
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_covariance_fast(emb)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    assert len(re.findall(r"Exchange", final)) == 1, final
+
+
+def test_pca_project_fast_matches_default(spark, sf_dir):
+    """pca_project(fast=True) must agree with the decimal-path default
+    at the shared 6dp output rounding (within a last-digit flip)."""
+    from dbkit_spark.llm.pca import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = {r["vec_id"]: r for r in pca_project(emb, k=3).collect()}
+    fast = {r["vec_id"]: r for r in pca_project(emb, k=3, fast=True).collect()}
+    assert set(base) == set(fast)
+    for vid in base:
+        for c in ("pc1", "pc2", "pc3"):
+            assert abs(base[vid][c] - fast[vid][c]) <= 2e-6, (vid, c)
