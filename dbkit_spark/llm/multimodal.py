@@ -8,9 +8,10 @@ discipline — is real and tested.
 Decode status: all four image containers decode to REAL pixels with no
 codec dependency — BMP/PPM as raw bytes, PNG via stdlib zlib
 (inflate + unfilter), and baseline sequential JPEG via the pure-numpy
-codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables). Unsupported
-JPEG variants (progressive, arithmetic) degrade to header metadata;
-baseline 4:2:0/4:2:2 chroma subsampling decodes to real pixels.
+codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables) — including
+progressive (SOF2) multi-scan streams and 4:2:0/4:2:2 chroma
+subsampling (round 8). Arithmetic-coded/hierarchical/12-bit JPEG
+degrades to header metadata.
 Video/audio remain STUBBED via ``_fake_decode``; swap in
 PIL/torchaudio/... without touching any Spark plumbing.
 """
@@ -605,8 +606,9 @@ def decode_features_arrow(payloads: DataFrame) -> DataFrame:
 # round 7 closed the last gap: baseline sequential JPEG is pure math
 # (Huffman + IDCT + Annex-K tables, implemented in llm/jpeg.py on bare
 # numpy), so all four containers decode to real pixels with no codec
-# dependency, incl. 4:2:0/4:2:2 subsampling (round 8). Progressive
-# JPEG stays honestly unsupported.
+# dependency, incl. 4:2:0/4:2:2 subsampling AND progressive SOF2
+# multi-scan streams (round 8). Arithmetic coding stays honestly
+# unsupported.
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -832,7 +834,7 @@ def decode_image_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
     to real pixels with no codec dependency — PNG via stdlib zlib,
     BMP/PPM as raw bytes, and baseline sequential JPEG via the pure
     numpy codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables).
-    Progressive JPEG raises NotImplementedError (a genuinely
+    Arithmetic-coded JPEG raises NotImplementedError (a genuinely
     unsupported variant); header-only or corrupt streams raise
     ValueError — ``image_pixel_stats`` degrades both to metadata."""
     if payload is None:
@@ -870,8 +872,8 @@ def image_pixel_stats(payloads: DataFrame) -> DataFrame:
     """REAL pixel feature extraction over mapInPandas: full decode
     (PNG inflate+unfilter / BMP / PPM / baseline JPEG) then per-channel
     means. Rows whose payload can't be pixel-decoded — an unsupported
-    JPEG variant (progressive, arithmetic) or a header-only/corrupt
-    stream — emit decoded=false with header metadata instead of failing
+    JPEG variant (arithmetic-coded, hierarchical) or a header-only/
+    corrupt stream — emit decoded=false with header metadata instead of failing
     the batch: a corpus pipeline keeps moving and the undecodable
     subset is queryable. Arrow-batched, map-only, shuffle-free;
     partition count controls decode parallelism."""
@@ -940,14 +942,15 @@ def with_real_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
 
 
 def with_mixed_codec_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Synthesize the round-8 REAL-decode corpus: per row, doc_id % 4
+    """Synthesize the round-8 REAL-decode corpus: per row, doc_id % 5
     rotates through the codec shapes that used to degrade to
     header-only — 4:2:0 JPEG (the web default), 4:2:2 JPEG, a 4-bit
-    palette PNG, and an 8-bit palette PNG with tRNS alpha (decodes to
-    RGBA). Every payload is a real, spec-conforming stream from the
-    in-repo encoders; dims follow the q228 rule (16+id%17 x 16+id%13,
-    multi-MCU / multi-scanline)."""
-    from .jpeg import synth_jpeg
+    palette PNG, an 8-bit palette PNG with tRNS alpha (decodes to
+    RGBA), and a PROGRESSIVE (SOF2) 4:2:0 JPEG (the web's other
+    default shape). Every payload is a real, spec-conforming stream
+    from the in-repo encoders; dims follow the q228 rule
+    (16+id%17 x 16+id%13, multi-MCU / multi-scanline)."""
+    from .jpeg import synth_jpeg, synth_jpeg_progressive
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -955,7 +958,7 @@ def with_mixed_codec_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFra
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 16 + did % 17, 16 + did % 13
-                arm = did % 4
+                arm = did % 5
                 if arm == 0:
                     p = synth_jpeg(w, h, seed=did % 251, sampling="4:2:0")
                     mt = "image/jpeg"
@@ -965,11 +968,16 @@ def with_mixed_codec_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFra
                 elif arm == 2:
                     p = encode_png_palette(w, h, seed=did % 251, depth=4)
                     mt = "image/png"
-                else:
+                elif arm == 3:
                     p = encode_png_palette(
                         w, h, seed=did % 251, depth=8, with_trns=True
                     )
                     mt = "image/png"
+                else:
+                    p = synth_jpeg_progressive(
+                        w, h, seed=did % 251, sampling="4:2:0"
+                    )
+                    mt = "image/jpeg"
                 payloads.append(p)
                 mtypes.append(mt)
                 lens.append(len(p))

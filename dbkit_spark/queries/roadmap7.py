@@ -3535,11 +3535,11 @@ def q254_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q254_ORACLE = """
     SELECT doc_id,
-           CASE WHEN doc_id % 4 IN (0, 1) THEN 'jpeg' ELSE 'png' END
+           CASE WHEN doc_id % 5 IN (2, 3) THEN 'png' ELSE 'jpeg' END
              AS img_format,
            CAST(16 + doc_id % 17 AS INTEGER) AS width,
            CAST(16 + doc_id % 13 AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 3 END AS INTEGER)
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 4 ELSE 3 END AS INTEGER)
              AS channels,
            TRUE AS decoded
     FROM documents WHERE doc_id < 200
@@ -3547,18 +3547,21 @@ _Q254_ORACLE = """
 """
 
 _Q254_NOTES = (
-    "MIXED-CODEC REAL DECODE (round 8 — the two shapes the r7 verdict "
+    "MIXED-CODEC REAL DECODE (round 8 — the shapes the r7 verdict "
     "ranked top of Missing): 4:2:0 / 4:2:2 chroma-subsampled baseline "
     "JPEG (llm/jpeg.py: general HixVi MCU layout + replication "
-    "upsample, T.81 A.2.3) and palette PNG (llm/multimodal.py: PLTE "
-    "expansion at bit depth 1/2/4/8, tRNS alpha -> RGBA, sub-byte "
-    "MSB-first index unpack, fbpp=1 filters). Every payload is a real "
-    "spec-conforming stream from the in-repo encoders; the oracle pins "
-    "decoded=true with true dims/channels per the doc_id % 4 rotation "
-    "(channel means are pinned by round-trip tolerance pytests in "
-    "tests/test_round8.py — lossy JPEG has no exact SQL twin). "
-    "Arrow-batched map-only plan, no shuffle; partition parallelism is "
-    "the decode scale lever"
+    "upsample, T.81 A.2.3), PROGRESSIVE SOF2 JPEG (Annex G multi-scan "
+    "decode: DC first/refine, AC spectral-selection with EOB runs, AC "
+    "successive-approximation refinement — bit-identical to the "
+    "sequential decode by construction, pinned in tests), and palette "
+    "PNG (llm/multimodal.py: PLTE expansion at bit depth 1/2/4/8, "
+    "tRNS alpha -> RGBA, sub-byte MSB-first index unpack, fbpp=1 "
+    "filters). Every payload is a real spec-conforming stream from "
+    "the in-repo encoders; the oracle pins decoded=true with true "
+    "dims/channels per the doc_id % 5 rotation (channel means are "
+    "pinned by round-trip tolerance pytests in tests/test_round8.py — "
+    "lossy JPEG has no exact SQL twin). Arrow-batched map-only plan, "
+    "no shuffle; partition parallelism is the decode scale lever"
 )
 
 

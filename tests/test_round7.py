@@ -589,10 +589,18 @@ def test_jpeg_rejects_progressive_and_header_only():
     # header-only stream (SOF but no tables/scan data) -> malformed
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(encode_jpeg_header(16, 16))
-    # progressive SOF2 -> honestly unsupported
+    # scanless progressive SOF2 (supported since round 8) is likewise
+    # malformed, NOT a flat reconstruction of zero coefficients
     sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     payload = (
         b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+    )
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(payload)
+    # arithmetic-coded SOF9 -> honestly unsupported
+    sof9 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    payload = (
+        b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", len(sof9) + 2) + sof9
     )
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(payload)
