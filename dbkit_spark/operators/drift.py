@@ -292,3 +292,101 @@ def ks_grid(
     )
     w = Window.partitionBy(F.lit(1))
     return joined.withColumn("ks", F.max("ecdf_gap").over(w)).orderBy("bin_idx")
+
+
+def cusum_scores(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided tabular CUSUM per key (Page 1954): the SEQUENTIAL
+    drift detector that complements the distributional ones above —
+    PSI/KS ask "do two snapshots differ?", CUSUM asks "at which point
+    in this ordered series did the level shift?".
+
+    s+_t = max(0, s+_{t-1} + z_t - k), s-_t = max(0, s-_{t-1} - z_t - k);
+    ``alarm`` when either exceeds h. z is the per-key standardized
+    value whose mean/std come from DECIMAL-stabilized sums (9dp,
+    order-independent), then every derived quantity — mu, sigma, z,
+    and each recursion step — is RAW IEEE double arithmetic on those
+    identical inputs, never re-rounded (the q245 lesson: rounding a
+    near-tie double diverges between engines; identical IEEE ops do
+    not). That is what makes this inherently sequential operator still
+    hash-green bit-for-bit against a DuckDB WITH RECURSIVE oracle.
+
+    Scale: the recursion is per key, so a grouped Arrow batch
+    (applyInPandas, numpy-accumulated) handles each key sequentially
+    while keys parallelize across the cluster — one shuffle on the
+    key, the same cost class as any per-key sort. A key's history must
+    fit one task (the same contract as every per-key window here).
+
+    Output: (key, order, z, s_pos, s_neg, alarm) per row — raw
+    doubles (bit-identical across engines by construction).
+    """
+    import pandas as pd
+
+    dec = "decimal(38,9)"
+    xd = F.round(F.col(value_col).cast("double"), 9)
+    stats = (
+        df.select(
+            F.col(key_col),
+            xd.cast(dec).alias("x"),
+            # product in double, rounded 9dp, THEN decimal — the q243
+            # covariance rule (dodges engine-specific decimal-multiply
+            # scale inference while keeping the sum order-independent)
+            F.round(xd * xd, 9).cast(dec).alias("xx"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("xx").alias("sxx"),
+        )
+        .select(
+            key_col,
+            (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n")
+            ).alias("sigma"),
+        )
+    )
+    zed = df.join(F.broadcast(stats), key_col).select(
+        F.col(key_col),
+        F.col(order_col),
+        (
+            (F.col(value_col).cast("double") - F.col("mu"))
+            / F.col("sigma")
+        ).alias("z"),
+    )
+    out_schema = (
+        f"{key_col} {dict(df.dtypes)[key_col]}, "
+        f"{order_col} {dict(df.dtypes)[order_col]}, "
+        "z double, s_pos double, s_neg double, alarm boolean"
+    )
+    kk, hh = float(k), float(h)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        sp = sn = 0.0
+        sps, sns, alarms = [], [], []
+        for z in pdf["z"]:
+            sp = max(0.0, sp + z - kk)
+            sn = max(0.0, sn - z - kk)
+            sps.append(sp)
+            sns.append(sn)
+            alarms.append(sp > hh or sn > hh)
+        pdf["s_pos"] = sps
+        pdf["s_neg"] = sns
+        pdf["alarm"] = alarms
+        return pdf[[key_col, order_col, "z", "s_pos", "s_neg", "alarm"]]
+
+    return zed.groupBy(key_col).applyInPandas(run, out_schema)

@@ -324,3 +324,81 @@ def bootstrap_mean_ci(
         "ci_hi",
         F.lit(n_replicates).cast("long").alias("n_replicates"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    segment_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Per-segment Welch two-sample t-test (unequal variances) between
+    ``group_a`` and ``group_b`` — the A/B experiment readout next to
+    the calibration/AUC metrics above: one row per segment with
+    (n_a, n_b, mean_a, mean_b, t_stat, df_welch).
+
+    Scale: ONE decimal-stabilized hash aggregation over
+    (segment, group) — map-side combined, metadata-sized output — then
+    a segments-sized pivot join. All moments ride 9dp decimals
+    (order-independent at any parallelism); t and the
+    Welch–Satterthwaite df are raw IEEE doubles of those identical
+    inputs, so a DuckDB oracle matches bit-for-bit. The p-value lookup
+    (t CDF) is a client-side table concern, not an engine one — the
+    engine's contract ends at (t, df).
+    """
+    dec = "decimal(38,9)"
+    xd = F.round(F.col(value_col).cast("double"), 9)
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(segment_col),
+            F.col(group_col),
+            xd.cast(dec).alias("x"),
+            F.round(xd * xd, 9).cast(dec).alias("xx"),
+        )
+        .groupBy(segment_col, group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("xx").alias("sxx"),
+        )
+    )
+
+    def side(tag: str, grp: str) -> DataFrame:
+        return per.filter(F.col(group_col) == grp).select(
+            F.col(segment_col),
+            F.col("n").alias(f"n_{tag}"),
+            (F.col("sx").cast("double") / F.col("n")).alias(f"mean_{tag}"),
+            (
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias(f"var_{tag}"),
+        )
+
+    j = side("a", group_a).join(side("b", group_b), segment_col)
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return j.select(
+        segment_col,
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)).alias(
+            "t_stat"
+        ),
+        (
+            (se_a + se_b) * (se_a + se_b)
+            / (
+                se_a * se_a / (F.col("n_a") - 1)
+                + se_b * se_b / (F.col("n_b") - 1)
+            )
+        ).alias("df_welch"),
+    )

@@ -252,3 +252,73 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    marginal entropies and the normalized MI — the feature-selection /
+    redundancy readout next to the FD discovery above (an FD X→Y is
+    the MI(X;Y) = H(Y) limit; this quantifies the in-between).
+
+    I(X;Y) = Σ_xy p_xy ln(p_xy / (p_x p_y)),  NMI = I / sqrt(H_x H_y).
+
+    Scale: one hash agg over (x, y) cells — map-side combined,
+    cells-sized output — then the marginals derive from the SAME cell
+    counts (no second corpus scan; two metadata-sized re-aggs). Each
+    cell's nats term is one IEEE expression of exact integer counts,
+    rounded at 9dp and decimal-summed so the reduction is
+    order-independent and a DuckDB oracle replays it digit-for-digit
+    (the engine float contract). Output: ONE row
+    (cells, n, mi, h_x, h_y, nmi), 6dp.
+    """
+    dec = "decimal(38,9)"
+    cells = (
+        df.select(
+            F.col(col_x).cast("string").alias("x"),
+            F.col(col_y).cast("string").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("nxy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    joined = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    nxy = F.col("nxy").cast("double")
+    n = F.col("n").cast("double")
+    mi_term = F.round(
+        nxy / n * F.log(nxy * n / (F.col("nx") * F.col("ny"))), 9
+    ).cast(dec)
+    agg = joined.agg(
+        F.count("*").alias("cells"),
+        F.max("n").alias("n"),
+        F.sum(mi_term).alias("mi_d"),
+    )
+    # marginal entropies from the (metadata-sized) marginal frames —
+    # each term summed exactly once, same 9dp-decimal reduction
+    def marg_entropy(m: DataFrame, cnt: str, alias: str) -> DataFrame:
+        p_ = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return m.crossJoin(F.broadcast(tot)).agg(
+            F.sum(F.round(-p_ * F.log(p_), 9).cast(dec)).alias(alias)
+        )
+
+    one = (
+        agg.crossJoin(F.broadcast(marg_entropy(mx, "nx", "hx_d")))
+        .crossJoin(F.broadcast(marg_entropy(my, "ny", "hy_d")))
+    )
+    mi = F.col("mi_d").cast("double")
+    hx = F.col("hx_d").cast("double")
+    hy = F.col("hy_d").cast("double")
+    return one.select(
+        "cells",
+        F.col("n").cast("long").alias("n"),
+        F.round(mi, 6).alias("mi"),
+        F.round(hx, 6).alias("h_x"),
+        F.round(hy, 6).alias("h_y"),
+        (F.round(mi / F.sqrt(hx * hy), 6) + F.lit(0.0)).alias("nmi"),
+    )

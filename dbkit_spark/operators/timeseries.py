@@ -315,3 +315,85 @@ def interpolate_linear(
         .otherwise(F.col("_nv"))
     )
     return staged.withColumn(out_col, filled).drop("_pv", "_pt", "_nv", "_nt")
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-key lag-k autocorrelation — the seasonality/persistence
+    readout next to the interpolation/SCD2 operators here: for each
+    key and each requested lag, r_k = Σ z_t·z_{t-k} / Σ z_t² with
+    z = x − mean_key(x).
+
+    Scale: ONE per-key window sort shared by every lag (the lag
+    columns ride the same (key, order) frame), one map-side product
+    expansion (array-of-structs explode — rows × |lags|, no join), one
+    hash agg. Means come from decimal-stabilized sums; products are
+    9dp-rounded decimals so the reduction is order-independent and a
+    DuckDB oracle replays it digit-for-digit. Output:
+    (key, lag, n_pairs, acf) at 6dp.
+    """
+    dec = "decimal(38,9)"
+    xd = F.round(F.col(value_col).cast("double"), 9)
+    stats = (
+        df.select(F.col(key_col), xd.cast(dec).alias("x"))
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+        .select(
+            key_col,
+            (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+        )
+    )
+    zdf = df.join(F.broadcast(stats), key_col).select(
+        F.col(key_col),
+        F.col(order_col),
+        (xd - F.col("mu")).alias("z"),
+    )
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    # materialize the lag columns first (window exprs can't live inside
+    # a generator) — every lag shares the ONE (key, order) sort
+    lagged = zdf
+    for k in lags:
+        lagged = lagged.withColumn(f"_z{k}", F.lag("z", k).over(w))
+    terms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.round(F.col("z") * F.col(f"_z{k}"), 9)
+                .cast(dec)
+                .alias("prod"),
+            )
+            for k in lags
+        ]
+    )
+    num = (
+        lagged.select(F.col(key_col), F.explode(terms).alias("t"))
+        .select(key_col, "t.lag", "t.prod")
+        .filter(F.col("prod").isNotNull())
+        .groupBy(key_col, "lag")
+        .agg(F.count("*").alias("n_pairs"), F.sum("prod").alias("num"))
+    )
+    den = (
+        zdf.select(
+            F.col(key_col),
+            F.round(F.col("z") * F.col("z"), 9).cast(dec).alias("zz"),
+        )
+        .groupBy(key_col)
+        .agg(F.sum("zz").alias("szz"))
+    )
+    return num.join(den, key_col).select(
+        key_col,
+        "lag",
+        "n_pairs",
+        (
+            F.round(
+                F.col("num").cast("double") / F.col("szz").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("acf"),
+    )

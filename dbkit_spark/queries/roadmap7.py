@@ -3574,3 +3574,370 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q255_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cm_estimate, cm_sketch
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sk = cm_sketch(li, "l_suppkey", depth=4, width=64)
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_cnt"))
+    est = cm_estimate(
+        sk, exact.select("l_suppkey"), "l_suppkey", depth=4, width=64
+    )
+    return (
+        exact.join(est, "l_suppkey")
+        .select("l_suppkey", "exact_cnt", "cm_est")
+        .orderBy("l_suppkey")
+    )
+
+
+def _q255_oracle() -> str:
+    from ..operators.sketch import cm_sketch_sql
+
+    cells = cm_sketch_sql("lineitem", "CAST(l_suppkey AS VARCHAR)", 4, 64)
+    probe_hash = (
+        "CAST(list_sum(list_transform(generate_series(1, 6), i -> "
+        "CAST((strpos('0123456789abcdef', substr(md5(concat("
+        "CAST(l_suppkey AS VARCHAR), ':cm:', CAST(r AS VARCHAR))), i, 1))"
+        " - 1) AS BIGINT) * CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT)"
+        " % 64"
+    )
+    return f"""
+    WITH cells AS ({cells}),
+    exact AS (
+      SELECT l_suppkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1
+    ),
+    pb AS (
+      SELECT l_suppkey, exact_cnt, r, CAST({probe_hash} AS INTEGER) AS b
+      FROM exact
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+    )
+    SELECT pb.l_suppkey, pb.exact_cnt,
+           MIN(COALESCE(cells.cnt, 0)) AS cm_est
+    FROM pb LEFT JOIN cells
+      ON cells.row = pb.r AND cells.bucket = pb.b
+    GROUP BY 1, 2
+    ORDER BY pb.l_suppkey
+    """
+
+
+_Q255_NOTES = (
+    "COUNT-MIN SKETCH frequency estimation (operators/sketch.py — the "
+    "point-frequency member of the sketch family next to HLL/KMV/"
+    "Misra-Gries/GK): depth x width counter table built by a map-side "
+    "depth-way transform + ONE hash agg (shuffle carries cells per "
+    "task, never per input row; the table is metadata-sized at any "
+    "corpus size), estimates = MIN over a key's depth cells via a "
+    "broadcast join of the sketch. Hashing is the engine-wide md5 rule "
+    "(first 6 hex of md5(key:salt:row) mod width) so DuckDB replays "
+    "the ENTIRE table and every estimate digit-for-digit — a fully "
+    "deterministic, oracle-checkable sketch. The query pins "
+    "est >= exact per key structurally (hash compare of both columns)"
+)
+
+
+def q256_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.drift import cusum_scores
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 60)
+        .select("user_id", "event_id", "value")
+    )
+    out = cusum_scores(
+        capped, "user_id", "event_id", "value", k=0.25, h=2.0
+    )
+    return out.orderBy("user_id", "event_id")
+
+
+_Q256_ORACLE = """
+    WITH RECURSIVE capped AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events WHERE value IS NOT NULL
+      QUALIFY rn <= 60
+    ),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(round(value, 9) AS DECIMAL(38,9))) AS sx,
+             SUM(CAST(round(round(value, 9) * round(value, 9), 9)
+                 AS DECIMAL(38,9))) AS sxx
+      FROM capped GROUP BY 1
+    ),
+    mus AS (
+      SELECT user_id, CAST(sx AS DOUBLE) / n AS mu,
+             sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+               AS sigma
+      FROM stats
+    ),
+    zs AS (
+      SELECT c.user_id, c.event_id, c.rn, (c.value - m.mu) / m.sigma AS z
+      FROM capped c JOIN mus m USING (user_id)
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn, z,
+             GREATEST(0, z - 0.25) AS sp,
+             GREATEST(0, -z - 0.25) AS sn
+      FROM zs WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, s.z,
+             GREATEST(0, r.sp + s.z - 0.25),
+             GREATEST(0, r.sn - s.z - 0.25)
+      FROM zs s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, z, sp AS s_pos, sn AS s_neg,
+           (sp > 2.0 OR sn > 2.0) AS alarm
+    FROM rec ORDER BY user_id, event_id
+"""
+
+_Q256_NOTES = (
+    "TWO-SIDED TABULAR CUSUM changepoint detection per key (operators/"
+    "drift.cusum_scores — the SEQUENTIAL drift detector next to the "
+    "distributional PSI/KS: at which point did this series' level "
+    "shift?). Inherently sequential recursion runs per key inside a "
+    "grouped Arrow batch (keys parallelize, one key-shuffle — the same "
+    "cost class as any per-key window); standardization means/stds "
+    "come from 9dp-decimal sums and every derived double (mu, sigma, "
+    "z, each max(0, .) recursion step) is RAW IEEE arithmetic on "
+    "identical inputs — never re-rounded — so the DuckDB WITH "
+    "RECURSIVE oracle matches BIT-FOR-BIT (repr-faithful hash), rare "
+    "for a sequential operator. Series capped at 60 rows/key to bound "
+    "the oracle's recursion depth; the operator itself has no cap"
+)
+
+
+def q257_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlmetrics import welch_ttest
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "variant",
+            F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"),
+        )
+    )
+    return welch_ttest(
+        ev, "event_type", "variant", "value", "a", "b"
+    ).orderBy("event_type")
+
+
+_Q257_ORACLE = """
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+      SELECT event_type, variant, COUNT(*) AS n,
+             SUM(CAST(round(value, 9) AS DECIMAL(38,9))) AS sx,
+             SUM(CAST(round(round(value, 9) * round(value, 9), 9)
+                 AS DECIMAL(38,9))) AS sxx
+      FROM tagged GROUP BY 1, 2
+    ),
+    sides AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             CAST(a.sx AS DOUBLE) / a.n AS mean_a,
+             CAST(b.sx AS DOUBLE) / b.n AS mean_b,
+             (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE)
+              * CAST(a.sx AS DOUBLE) / a.n) / (a.n - 1) AS var_a,
+             (CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE)
+              * CAST(b.sx AS DOUBLE) / b.n) / (b.n - 1) AS var_b
+      FROM (SELECT * FROM per WHERE variant = 'a') a
+      JOIN (SELECT * FROM per WHERE variant = 'b') b USING (event_type)
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+           (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df_welch
+    FROM sides ORDER BY event_type
+"""
+
+_Q257_NOTES = (
+    "WELCH TWO-SAMPLE T-TEST per segment (operators/mlmetrics."
+    "welch_ttest — the A/B experiment readout: unequal-variance t and "
+    "Welch-Satterthwaite df per event_type between deterministic "
+    "user-parity variants): ONE decimal-stabilized hash agg over "
+    "(segment, variant) — map-side combined, metadata-sized — then a "
+    "segments-sized self-join. t and df are raw IEEE doubles of the "
+    "identical decimal moments, bit-matched by the oracle; the p-value "
+    "lookup (t CDF) is a client-side table, the engine contract ends "
+    "at (t, df)"
+)
+
+
+def q258_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import mutual_information
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    return mutual_information(ev, "event_type", "cohort")
+
+
+_Q258_ORACLE = """
+    WITH cells AS (
+      SELECT CAST(event_type AS VARCHAR) AS x,
+             CAST(user_id % 5 AS VARCHAR) AS y, COUNT(*) AS nxy
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY 1),
+    my AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(nxy) AS n FROM cells),
+    mi AS (
+      SELECT COUNT(*) AS cells, MAX(CAST(t.n AS DOUBLE)) AS n,
+             SUM(CAST(round(CAST(c.nxy AS DOUBLE) / t.n
+                 * ln(CAST(c.nxy AS DOUBLE) * t.n
+                      / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE))),
+                 9) AS DECIMAL(38,9))) AS mi_d
+      FROM cells c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y
+      CROSS JOIN tot t
+    ),
+    hx AS (
+      SELECT SUM(CAST(round(
+               -(CAST(nx AS DOUBLE) / t.n) * ln(CAST(nx AS DOUBLE) / t.n),
+               9) AS DECIMAL(38,9))) AS hx_d
+      FROM mx CROSS JOIN tot t
+    ),
+    hy AS (
+      SELECT SUM(CAST(round(
+               -(CAST(ny AS DOUBLE) / t.n) * ln(CAST(ny AS DOUBLE) / t.n),
+               9) AS DECIMAL(38,9))) AS hy_d
+      FROM my CROSS JOIN tot t
+    )
+    SELECT mi.cells, CAST(mi.n AS BIGINT) AS n,
+           round(CAST(mi_d AS DOUBLE), 6) AS mi,
+           round(CAST(hx_d AS DOUBLE), 6) AS h_x,
+           round(CAST(hy_d AS DOUBLE), 6) AS h_y,
+           round(CAST(mi_d AS DOUBLE)
+                 / sqrt(CAST(hx_d AS DOUBLE) * CAST(hy_d AS DOUBLE)), 6)
+             + 0.0 AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+_Q258_NOTES = (
+    "MUTUAL INFORMATION + marginal entropies + NMI between two "
+    "categorical columns (operators/profile.mutual_information — the "
+    "feature-selection/redundancy readout next to FD discovery, which "
+    "is its MI(X;Y)=H(Y) limit): one hash agg over (x,y) cells, "
+    "marginals derived from the SAME cells (no second corpus scan), "
+    "per-cell nats terms 9dp-rounded and decimal-summed so the "
+    "reduction is order-independent and the oracle replays it "
+    "digit-for-digit. Output one row at 6dp"
+)
+
+
+def q259_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import acf_by_key
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return acf_by_key(ev, "user_id", "event_id", "value").orderBy(
+        "user_id", "lag"
+    )
+
+
+_Q259_ORACLE = """
+    WITH base AS (
+      SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(round(value, 9) AS DECIMAL(38,9))) AS sx
+      FROM base GROUP BY 1
+    ),
+    zs AS (
+      SELECT b.user_id, b.event_id,
+             round(b.value, 9) - CAST(s.sx AS DOUBLE) / s.n AS z
+      FROM base b JOIN stats s USING (user_id)
+    ),
+    lagged AS (
+      SELECT user_id, event_id, z,
+             lag(z, 1) OVER w AS z1,
+             lag(z, 2) OVER w AS z2,
+             lag(z, 3) OVER w AS z3
+      FROM zs
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    num AS (
+      SELECT user_id, u.lag,
+             COUNT(*) AS n_pairs,
+             SUM(CAST(round(z * CASE u.lag WHEN 1 THEN z1
+                                          WHEN 2 THEN z2
+                                          ELSE z3 END, 9)
+                 AS DECIMAL(38,9))) AS num
+      FROM lagged
+      CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) u
+      WHERE CASE u.lag WHEN 1 THEN z1 WHEN 2 THEN z2 ELSE z3 END
+            IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    den AS (
+      SELECT user_id,
+             SUM(CAST(round(z * z, 9) AS DECIMAL(38,9))) AS szz
+      FROM zs GROUP BY 1
+    )
+    SELECT n.user_id, CAST(n.lag AS INTEGER) AS lag, n.n_pairs,
+           round(CAST(n.num AS DOUBLE) / CAST(d.szz AS DOUBLE), 6)
+             + 0.0 AS acf
+    FROM num n JOIN den d USING (user_id)
+    ORDER BY n.user_id, n.lag
+"""
+
+_Q259_NOTES = (
+    "PER-KEY LAG-k AUTOCORRELATION (operators/timeseries.acf_by_key — "
+    "the seasonality/persistence readout next to interpolation/SCD2): "
+    "one (key, order) window sort shared by ALL lags (lag columns ride "
+    "the same frame), one map-side array-of-structs explode (rows x "
+    "|lags|, no self-join), one hash agg. Means from decimal sums; "
+    "z-products 9dp-rounded decimals (order-independent reduction); "
+    "the oracle replays the identical window + sums digit-for-digit. "
+    "At 100 TB this is the sort-once multi-statistic pattern: adding a "
+    "lag adds zero shuffles"
+)
+
+
+ROADMAP7.update(
+    {
+        "q255_count_min_sketch": (
+            q255_count_min_sketch,
+            _q255_oracle(),
+            _Q255_NOTES,
+        ),
+        "q256_cusum_changepoints": (
+            q256_cusum_changepoints,
+            _Q256_ORACLE,
+            _Q256_NOTES,
+        ),
+        "q257_welch_ab_test": (
+            q257_welch_ab_test,
+            _Q257_ORACLE,
+            _Q257_NOTES,
+        ),
+        "q258_mutual_information": (
+            q258_mutual_information,
+            _Q258_ORACLE,
+            _Q258_NOTES,
+        ),
+        "q259_autocorrelation": (
+            q259_autocorrelation,
+            _Q259_ORACLE,
+            _Q259_NOTES,
+        ),
+    }
+)

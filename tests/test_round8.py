@@ -401,3 +401,155 @@ def test_image_pixel_stats_decodes_progressive(spark):
         px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
         want = px.mean(axis=0)
         assert (r.mean_r, r.mean_g, r.mean_b) == tuple(want), i
+
+
+# --- round-8 analytics operators (q255-q259) ------------------------------
+
+
+def test_cm_sketch_estimate_upper_bounds_exact(spark, sf_dir):
+    """CM estimates never undercount (the sketch's one-sided error
+    guarantee) and a width >> distinct-keys sketch is exact."""
+    from dbkit_spark.operators.sketch import cm_estimate, cm_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_suppkey"]: r["cnt"]
+        for r in li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for width in (8, 1024):  # heavy-collision and collision-free
+        sk = cm_sketch(li, "l_suppkey", depth=4, width=width)
+        probes = li.select("l_suppkey").distinct()
+        est = {
+            r["l_suppkey"]: r["cm_est"]
+            for r in cm_estimate(
+                sk, probes, "l_suppkey", depth=4, width=width
+            ).collect()
+        }
+        assert all(est[k] >= exact[k] for k in exact), width
+        if width == 1024:
+            assert est == exact
+
+
+def test_cm_sketch_is_metadata_sized(spark, sf_dir):
+    """The sketch has at most depth*width cells regardless of input
+    rows — the fixed-size contract that makes it a sketch."""
+    from dbkit_spark.operators.sketch import cm_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = cm_sketch(li, "l_orderkey", depth=3, width=32).count()
+    assert cells <= 3 * 32
+
+
+def test_cusum_flags_injected_level_shift(spark):
+    """A series with a mid-stream +4σ level shift must alarm after the
+    shift and not before; a stationary series must not alarm."""
+    from dbkit_spark.operators.drift import cusum_scores
+
+    rows = []
+    for key, shift in (("s", 0.0), ("j", 6.0)):
+        for t in range(40):
+            base = [0.5, -0.5, 0.25, -0.25][t % 4]
+            rows.append((key, t, base + (shift if key == "j" and t >= 20 else 0.0)))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = cusum_scores(df, "k", "t", "v", k=0.5, h=4.0).collect()
+    stat = [r for r in out if r["k"] == "s"]
+    jump = sorted((r for r in out if r["k"] == "j"), key=lambda r: r["t"])
+    assert not any(r["alarm"] for r in stat)
+    # global standardization puts the pre-shift segment persistently
+    # below the series mean and the post-shift segment above it, so
+    # BOTH sides accumulate — the changepoint shows as s_neg growing
+    # before t=20 and s_pos growing after, each crossing h
+    assert any(r["alarm"] and r["s_neg"] > 4.0 for r in jump if r["t"] < 20)
+    assert any(r["alarm"] and r["s_pos"] > 4.0 for r in jump if r["t"] >= 20)
+    assert max(r["s_pos"] for r in jump) == jump[-1]["s_pos"]
+
+
+def test_cusum_partition_invariant(spark, sf_dir):
+    """Decimal-stabilized standardization + per-key recursion: the
+    output is identical at 1 and 16 input partitions."""
+    from dbkit_spark.operators.drift import cusum_scores
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    one = sorted(
+        map(tuple, cusum_scores(ev.coalesce(1), "user_id", "event_id", "value").collect())
+    )
+    many = sorted(
+        map(tuple, cusum_scores(ev.repartition(16), "user_id", "event_id", "value").collect())
+    )
+    assert one == many
+
+
+def test_welch_identical_groups_t_zero(spark):
+    """Mirrored samples across variants give t == 0 and the pooled df;
+    a shifted variant gives the hand-computed Welch t."""
+    import math
+
+    from dbkit_spark.operators.mlmetrics import welch_ttest
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [("seg", "a", v) for v in vals] + [("seg", "b", v) for v in vals]
+    rows += [("shift", "a", v + 2.0) for v in vals] + [
+        ("shift", "b", v) for v in vals
+    ]
+    df = spark.createDataFrame(rows, "seg string, g string, v double")
+    got = {r["seg"]: r for r in welch_ttest(df, "seg", "g", "v", "a", "b").collect()}
+    assert got["seg"]["t_stat"] == 0.0
+    # hand Welch: equal vars var=2.5, n=5 -> se = 1, t = 2 / 1 = 2, df = 8
+    r = got["shift"]
+    assert abs(r["t_stat"] - 2.0) < 1e-9
+    assert abs(r["df_welch"] - 8.0) < 1e-9
+    assert math.isclose(r["mean_a"] - r["mean_b"], 2.0)
+
+
+def test_mutual_information_limits(spark):
+    """MI(X;X) == H(X); MI of independent uniform columns == 0 (exact
+    cell counts make independence exact, not approximate)."""
+    from dbkit_spark.operators.profile import mutual_information
+
+    rows = [(str(i % 3), str((i // 3) % 4)) for i in range(120)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    indep = mutual_information(df, "x", "y").collect()[0]
+    assert indep["mi"] == 0.0
+    assert indep["nmi"] == 0.0
+    same = mutual_information(
+        df.select("x", F.col("x").alias("y")), "x", "y"
+    ).collect()[0]
+    assert abs(same["mi"] - same["h_x"]) <= 2e-6
+    assert abs(same["nmi"] - 1.0) <= 2e-6
+
+
+def test_acf_detects_alternation_and_persistence(spark):
+    """A strictly alternating series has acf(1) ~ -1 and acf(2) ~ +1;
+    lag pairs count n-k."""
+    from dbkit_spark.operators.timeseries import acf_by_key
+
+    rows = [("k", t, float(1 if t % 2 == 0 else -1)) for t in range(50)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["lag"]: r for r in acf_by_key(df, "k", "t", "v").collect()}
+    assert got[1]["n_pairs"] == 49 and got[2]["n_pairs"] == 48
+    assert got[1]["acf"] < -0.9
+    assert got[2]["acf"] > 0.9
+
+
+def test_acf_single_sort_plan(spark, sf_dir):
+    """All lags share one (key, order) sort — adding lags must not add
+    shuffles or sorts over the input."""
+    import re
+
+    from dbkit_spark.operators.timeseries import acf_by_key
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+    )
+    df = acf_by_key(ev, "user_id", "event_id", "value", lags=(1, 2, 3, 4, 5))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bSort\b", final)) <= 1, final
