@@ -36,6 +36,7 @@ HEADLINE = [
     "q13_range_join_tiers",     # interval join rewrite
     "q112_jaccard_prefix_filter",  # heavy set-similarity pipeline (round-4 addition)
     "q87_dedup_clusters",       # iterative connected-components pipeline (round-5 addition)
+    "q209_duplicated_spans",    # suffix-array-style span dedup (round-8 addition, landed with q201-q241)
 ]
 
 RUNS = 3

@@ -453,3 +453,46 @@ def negative_sample(
     return draws.join(pos_keys, ["user", "neg_item"], "left_anti").select(
         "user", "neg_item", "draw"
     )
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    train_frac: float = 0.8,
+    embargo_seconds: int = 3600,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split per key: the per-key
+    cutoff is the discrete ``train_frac`` quantile of the key's own
+    timestamps; rows inside the ``embargo`` interval before the cutoff
+    are DROPPED (labeled 'embargo') so features computed on train
+    cannot see information adjacent in time to the test boundary — the
+    time-series sibling of ``leakage_safe_split``'s cluster embargo.
+
+    One per-key exact-quantile agg (percentile over the ts micros —
+    discrete, so both engines pick an actual observed timestamp, no
+    interpolation ambiguity) broadcast back; assignment is a map-side
+    CASE. Output: input rows + ``split`` in {'train','embargo','test'}.
+    """
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cuts = (
+        df.select(F.col(key_col), micros.alias("_us"))
+        .groupBy(key_col)
+        .agg(
+            F.expr(
+                f"percentile_disc({float(train_frac)}) "
+                "WITHIN GROUP (ORDER BY _us)"
+            ).alias("_cut_us")
+        )
+    )
+    emb_us = F.lit(int(embargo_seconds) * 1_000_000)
+    return (
+        df.join(F.broadcast(cuts), key_col)
+        .withColumn(
+            "split",
+            F.when(F.col("_cut_us") - micros > emb_us, "train")
+            .when(micros > F.col("_cut_us"), "test")
+            .otherwise("embargo"),
+        )
+        .drop("_cut_us")
+    )

@@ -3941,3 +3941,214 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q260_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import target_encode
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return (
+        target_encode(li, "l_returnflag", "l_quantity", m=10.0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "te")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_Q260_ORACLE = """
+    WITH per AS (
+      SELECT l_returnflag, COUNT(*) AS n_cat,
+             SUM(CAST(round(CAST(l_quantity AS DOUBLE), 9)
+                 AS DECIMAL(38,9))) AS sy
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_all,
+             SUM(CAST(round(CAST(l_quantity AS DOUBLE), 9)
+                 AS DECIMAL(38,9))) AS sy_all
+      FROM lineitem
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           (CAST(p.sy AS DOUBLE) - CAST(l.l_quantity AS DOUBLE)
+            + 10.0 * (CAST(g.sy_all AS DOUBLE) / g.n_all))
+             / (p.n_cat - 1 + 10.0) AS te
+    FROM lineitem l JOIN per p USING (l_returnflag) CROSS JOIN g
+    ORDER BY l.l_orderkey, l.l_linenumber
+"""
+
+_Q260_NOTES = (
+    "LEAVE-ONE-OUT SMOOTHED TARGET ENCODING (operators/features."
+    "target_encode — the leak-free categorical encoder: te_i = "
+    "(sum_cat(y) - y_i + m*prior)/(n_cat - 1 + m), so a row can never "
+    "see its own label and singleton categories shrink to the prior): "
+    "one (cat) hash agg + one 1-row global agg, both broadcast back; "
+    "the per-row encoding is a map-side expression over the original "
+    "partitioning — zero row shuffles at any scale. Decimal label "
+    "sums; te is the raw IEEE double of identical inputs, bit-matched "
+    "by the oracle"
+)
+
+
+def q261_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import feature_hash
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return feature_hash(docs, "doc_id", "text", dim=32).orderBy(
+        "doc_id", "dim_idx"
+    )
+
+
+def _q261_oracle() -> str:
+    bucket = _shard_sql("tok", ":fh", 32)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST({bucket} AS INTEGER) AS dim_idx,
+             CASE WHEN (strpos('0123456789abcdef',
+                        substr(md5(concat(tok, ':fh')), 7, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id, dim_idx, CAST(SUM(s) AS BIGINT) AS val
+    FROM h GROUP BY 1, 2
+    HAVING SUM(s) <> 0
+    ORDER BY doc_id, dim_idx
+    """
+
+
+_Q261_NOTES = (
+    "FEATURE HASHING / hashing trick (operators/features.feature_hash "
+    "— unbounded token vocabularies into a fixed dimensionality, "
+    "Weinberger et al. 2009: bucket = md5(tok:salt) mod d, a second "
+    "md5 hex digit gives the +-1 sign so collisions cancel unbiased): "
+    "map-side split+explode, ONE (id, dim) hash agg, no joins, no "
+    "vocabulary state — the streaming-friendly encoder. Sparse "
+    "(id, dim_idx, val) output is the 100 TB-honest shape. md5 rule "
+    "makes every bucket and sign digit-replayable in the oracle"
+)
+
+
+def q262_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import woe_iv
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "bad", F.col("o_orderstatus") == "F"
+    )
+    out = woe_iv(orders, "o_orderpriority", "bad")
+    # ln() is not correctly-rounded — JVM vs libm differ in the last
+    # ulp — so the catalog surface rounds at 6dp (both engines round
+    # the same double, far from any tie at this magnitude)
+    return out.select(
+        "o_orderpriority",
+        "n_pos",
+        "n_neg",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+    ).orderBy("o_orderpriority")
+
+
+_Q262_ORACLE = """
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_neg
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS p_all,
+             CAST(SUM(n_neg) AS BIGINT) AS n_all
+      FROM per
+    )
+    SELECT o_orderpriority, n_pos, n_neg,
+           round(ln(((n_pos + 0.5) / (p_all + 1.0))
+              / ((n_neg + 0.5) / (n_all + 1.0))), 6) AS woe,
+           round((CAST(n_pos AS DOUBLE) / p_all
+                  - CAST(n_neg AS DOUBLE) / n_all)
+             * ln(((n_pos + 0.5) / (p_all + 1.0))
+                  / ((n_neg + 0.5) / (n_all + 1.0))), 6) AS iv_term
+    FROM per CROSS JOIN t
+    ORDER BY o_orderpriority
+"""
+
+_Q262_NOTES = (
+    "WEIGHT OF EVIDENCE + INFORMATION VALUE per category (operators/"
+    "features.woe_iv — the monotone-risk categorical encoding and its "
+    "feature-strength summary, Laplace-smoothed so empty cells stay "
+    "finite): one (cat) hash agg with conditional counts; P/N totals "
+    "derive from the SAME aggregate rows (broadcast 1-row — no second "
+    "scan). woe/iv are raw IEEE doubles of exact integer counts, "
+    "bit-matched by the oracle; SUM(iv_term) is the feature's IV"
+)
+
+
+def q263_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sampling import temporal_split_embargo
+
+    ev = read_table(spark, sf_dir, "events")
+    return temporal_split_embargo(
+        ev, "user_id", "ts", 0.8, 3600
+    ).select("event_id", "user_id", "split").orderBy("event_id")
+
+
+_Q263_ORACLE = """
+    WITH cuts AS (
+      SELECT user_id,
+             quantile_disc(CAST(epoch_us(ts) AS DOUBLE), 0.8) AS cut_us
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN c.cut_us - epoch_us(e.ts) > 3600000000 THEN 'train'
+                WHEN epoch_us(e.ts) > c.cut_us THEN 'test'
+                ELSE 'embargo' END AS split
+    FROM events e JOIN cuts c USING (user_id)
+    ORDER BY e.event_id
+"""
+
+_Q263_NOTES = (
+    "TEMPORAL TRAIN/TEST SPLIT WITH EMBARGO (llm/sampling."
+    "temporal_split_embargo — the time-series sibling of the "
+    "cluster-embargo leakage_safe_split: per-key cutoff at the "
+    "DISCRETE 0.8 quantile of the key's own timestamps — an actual "
+    "observed value, no interpolation ambiguity — and rows within the "
+    "embargo interval before the cutoff are dropped so train features "
+    "cannot see test-adjacent time): one per-key exact-quantile agg "
+    "broadcast back, assignment map-side. Spark percentile_disc and "
+    "DuckDB quantile_disc agree on the smallest-cume_dist>=p element "
+    "(verified empirically)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q260_target_encoding": (
+            q260_target_encoding,
+            _Q260_ORACLE,
+            _Q260_NOTES,
+        ),
+        "q261_feature_hashing": (
+            q261_feature_hashing,
+            _q261_oracle(),
+            _Q261_NOTES,
+        ),
+        "q262_woe_information_value": (
+            q262_woe_information_value,
+            _Q262_ORACLE,
+            _Q262_NOTES,
+        ),
+        "q263_temporal_embargo_split": (
+            q263_temporal_embargo_split,
+            _Q263_ORACLE,
+            _Q263_NOTES,
+        ),
+    }
+)

@@ -553,3 +553,94 @@ def test_acf_single_sort_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"\bSort\b", final)) <= 1, final
+
+
+# --- feature-engineering operators (q260-q263) ----------------------------
+
+
+def test_target_encode_no_self_leakage(spark):
+    """A category whose rows all share one label except a single outlier
+    row: the outlier's encoding must EXCLUDE its own label (LOO), so it
+    stays near the category's other-rows mean, and a singleton category
+    shrinks toward the global prior."""
+    from dbkit_spark.operators.features import target_encode
+
+    rows = [("c", float(1)) for _ in range(9)] + [("c", 100.0), ("solo", 50.0)]
+    df = spark.createDataFrame(
+        [(i, c, v) for i, (c, v) in enumerate(rows)], "id int, cat string, y double"
+    )
+    out = {r["id"]: r["te"] for r in target_encode(df, "cat", "y", m=2.0).collect()}
+    prior = (9 * 1 + 100 + 50) / 11
+    # outlier row: (sum_c - 100 + 2*prior)/(10 - 1 + 2)
+    want_outlier = (109 - 100 + 2 * prior) / 11
+    assert abs(out[9] - want_outlier) < 1e-9
+    # singleton: (50 - 50 + 2*prior)/(1 - 1 + 2) == prior
+    assert abs(out[10] - prior) < 1e-9
+
+
+def test_feature_hash_deterministic_and_bounded(spark, sf_dir):
+    """Same text → same sparse vector; dims stay in [0, dim); repeated
+    tokens accumulate signed counts."""
+    from dbkit_spark.operators.features import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha"), (3, "")],
+        "doc_id int, text string",
+    )
+    rows = feature_hash(df, "doc_id", "text", dim=16).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["dim_idx"] < 16
+        by_doc.setdefault(r["doc_id"], set()).add((r["dim_idx"], r["val"]))
+    assert by_doc[1] == by_doc[2]
+    assert 3 not in by_doc  # empty text -> no features
+    # 'alpha' occurs twice: some dim carries magnitude 2 (or cancels
+    # only if alpha and beta collide with opposite signs)
+    mags = {abs(v) for _, v in by_doc[1]}
+    assert 2 in mags or len(by_doc[1]) == 1
+
+
+def test_woe_iv_balanced_category_is_zero(spark):
+    """A category with pos/neg in the global ratio carries ~zero WoE
+    and ~zero IV; a pure-positive category has strongly positive WoE."""
+    from dbkit_spark.operators.features import woe_iv
+
+    rows = (
+        [("bal", True)] * 50 + [("bal", False)] * 50
+        + [("pos", True)] * 50 + [("neg", False)] * 50
+    )
+    df = spark.createDataFrame(
+        [(i, c, y) for i, (c, y) in enumerate(rows)], "id int, cat string, y boolean"
+    )
+    got = {r["cat"]: r for r in woe_iv(df, "cat", "y").collect()}
+    assert abs(got["bal"]["woe"]) < 0.01
+    assert got["pos"]["woe"] > 2.0
+    assert got["neg"]["woe"] < -2.0
+    assert got["pos"]["iv_term"] > 0 and got["neg"]["iv_term"] > 0
+
+
+def test_temporal_embargo_split_laws(spark, sf_dir):
+    """Every train row precedes every test row per key (by > embargo);
+    embargo rows sit strictly between; ~train_frac of rows land at or
+    before the cutoff."""
+    from dbkit_spark.llm.sampling import temporal_split_embargo
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = temporal_split_embargo(ev, "user_id", "ts", 0.8, 3600).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["user_id"], []).append(r)
+    assert {r["split"] for r in out} <= {"train", "embargo", "test"}
+    import datetime
+
+    emb = datetime.timedelta(seconds=3600)
+    for key, rows in per_key.items():
+        trains = [r["ts"] for r in rows if r["split"] == "train"]
+        tests = [r["ts"] for r in rows if r["split"] == "test"]
+        embargos = [r["ts"] for r in rows if r["split"] == "embargo"]
+        if trains and tests:
+            assert max(trains) < min(tests)
+            assert min(tests) - max(trains) > emb - datetime.timedelta(seconds=1)
+        for e in embargos:
+            if trains:
+                assert e > max(trains)
