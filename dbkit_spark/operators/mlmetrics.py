@@ -402,3 +402,187 @@ def welch_ttest(
             )
         ).alias("df_welch"),
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with proper tie handling
+    (average ranks) — the monotone-association companion to the
+    Pearson/regr_ family: rank both columns inside each group, then
+    Pearson over the ranks.
+
+    avg_rank = min_rank + (n_ties - 1)/2 from one rank window + one
+    tie-count window per column (both share the group partitioning —
+    ONE exchange total); the Pearson moments ride 9dp decimals. Ranks
+    are exact halves and every downstream op (+,−,×,÷,sqrt) is
+    correctly-rounded IEEE, so the output doubles are bit-identical
+    across engines with NO rounding (unlike ln()-based metrics).
+    Output: (group, n, rho).
+    """
+    dec = "decimal(38,9)"
+
+    def avg_rank(col: str, out: str):
+        wr = Window.partitionBy(group_col).orderBy(col)
+        wt = Window.partitionBy(group_col, col)
+        return (
+            F.rank().over(wr).cast("double")
+            + (F.count("*").over(wt) - 1) / 2.0
+        ).alias(out)
+
+    ranked = df.select(
+        F.col(group_col),
+        avg_rank(x_col, "rx"),
+        avg_rank(y_col, "ry"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
+        F.sum(F.round(F.col("rx") * F.col("ry"), 9).cast(dec)).alias("sxy"),
+        F.sum(F.round(F.col("rx") * F.col("rx"), 9).cast(dec)).alias("sxx"),
+        F.sum(F.round(F.col("ry") * F.col("ry"), 9).cast(dec)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    return agg.select(
+        group_col, "n", (F.round(num / den, 6) + F.lit(0.0)).alias("rho")
+    )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    segment_col: str,
+    id_col: str,
+    label_col: str,
+    alpha: float = 0.9,
+    salt: str = "conf",
+) -> DataFrame:
+    """Split-conformal prediction intervals per segment: a
+    deterministic md5 half-split separates FIT rows (the segment mean
+    becomes the point prediction) from CALIBRATION rows (the
+    ``alpha``-quantile of |y − pred| becomes the interval radius); the
+    output covers the calibration rows with (pred, lo, hi) whose
+    finite-sample coverage ≥ alpha is the conformal guarantee.
+
+    Two metadata-sized per-segment aggs (decimal mean; discrete
+    quantile — an observed residual, no interpolation) broadcast back;
+    everything else is map-side. md5 split + discrete quantile +
+    correctly-rounded arithmetic → bit-portable without rounding."""
+    dec = "decimal(38,9)"
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    is_fit = (
+        F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long") % 2
+        == 0
+    )
+    tagged = df.withColumn("_fit", is_fit)
+    pred = (
+        tagged.filter(F.col("_fit"))
+        .select(
+            F.col(segment_col),
+            F.round(F.col(label_col).cast("double"), 9).cast(dec).alias("y"),
+        )
+        .groupBy(segment_col)
+        .agg(
+            (F.sum("y").cast("double") / F.count("*")).alias("pred")
+        )
+    )
+    calib = tagged.filter(~F.col("_fit")).join(
+        F.broadcast(pred), segment_col
+    )
+    radius = (
+        calib.select(
+            F.col(segment_col),
+            F.abs(F.col(label_col).cast("double") - F.col("pred")).alias(
+                "_r"
+            ),
+        )
+        .groupBy(segment_col)
+        .agg(
+            F.expr(
+                f"percentile_disc({float(alpha)}) "
+                "WITHIN GROUP (ORDER BY _r)"
+            ).alias("q")
+        )
+    )
+    return (
+        calib.join(F.broadcast(radius), segment_col)
+        .select(
+            F.col(id_col),
+            F.col(segment_col),
+            F.col(label_col).cast("double").alias("y"),
+            "pred",
+            (F.col("pred") - F.col("q")).alias("lo"),
+            (F.col("pred") + F.col("q")).alias("hi"),
+        )
+    )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group isotonic regression (pool-adjacent-violators) of the
+    label on the score — the non-parametric calibration map that
+    complements ``calibration_report``'s fixed bins: the fitted curve
+    is the best monotone fit, with no bin-width choice.
+
+    PAV is inherently sequential per group (each pooling step depends
+    on the previous), so it runs in a grouped Arrow batch over numpy —
+    keys parallelize, one key shuffle, the per-key history must fit a
+    task (the CUSUM contract). No SQL engine expresses PAV, so this is
+    a rows-only catalog entry; the laws (monotone output, mean
+    preservation, MSE ≤ any constant fit) are pytest-pinned.
+    Output: (group, score, y, calibrated) per input row."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} {dict(df.dtypes)[group_col]}, "
+        f"{score_col} double, y double, calibrated double"
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([score_col, label_col]).reset_index(drop=True)
+        y = pdf[label_col].astype(float).to_numpy()
+        # classic PAV: maintain blocks of (sum, count); merge while the
+        # last block mean exceeds the new one
+        sums: list[float] = []
+        cnts: list[int] = []
+        for v in y:
+            sums.append(float(v))
+            cnts.append(1)
+            while (
+                len(sums) > 1
+                and sums[-2] * cnts[-1] > sums[-1] * cnts[-2]
+            ):
+                sums[-2] += sums[-1]
+                cnts[-2] += cnts[-1]
+                sums.pop()
+                cnts.pop()
+        fitted = np.concatenate(
+            [np.full(c, s / c) for s, c in zip(sums, cnts)]
+        )
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                score_col: pdf[score_col].astype(float),
+                "y": y,
+                "calibrated": np.round(fitted, 9),
+            }
+        )
+
+    return df.select(group_col, score_col, label_col).groupBy(
+        group_col
+    ).applyInPandas(pav, out_schema)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -321,4 +321,56 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         F.round(hx, 6).alias("h_x"),
         F.round(hy, 6).alias("h_y"),
         (F.round(mi / F.sqrt(hx * hy), 6) + F.lit(0.0)).alias("nmi"),
+    )
+
+
+def gini_lorenz(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative quantity — the
+    concentration readout for curation questions like "how unevenly
+    are tokens spread across domains?" (Gini 0 = uniform, →1 = one
+    member holds everything).
+
+    Exact rank formula over the ascending sort (ties broken by
+    ``order_col`` for determinism — Gini is tie-order-invariant but
+    the bit-identical cross-engine contract wants ONE order):
+
+        G = 2·Σ i·x_i / (n·Σ x) − (n+1)/n
+
+    One per-group window sort (rank i), one decimal agg of i·x — the
+    same sort-once pattern as the percentile family. Output:
+    (group, n, total, gini) at 6dp (the i·x decimal sum exceeds 2^53
+    at scale, where decimal→double casts are last-ulp
+    engine-dependent)."""
+    dec = "decimal(38,9)"
+    w = Window.partitionBy(group_col).orderBy(value_col, order_col)
+    xd = F.round(F.col(value_col).cast("double"), 9)
+    ranked = df.select(
+        F.col(group_col),
+        xd.alias("x"),
+        F.row_number().over(w).cast("double").alias("i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.round(F.col("i") * F.col("x"), 9).cast(dec)).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        group_col,
+        "n",
+        F.col("sx").cast("double").alias("total"),
+        (
+            F.round(
+                2.0 * F.col("six").cast("double")
+                / (n * F.col("sx").cast("double"))
+                - (n + 1.0) / n,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
     )

@@ -4152,3 +4152,215 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q264_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlmetrics import spearman_by_group
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return spearman_by_group(ev, "event_type", "user_id", "value").orderBy(
+        "event_type"
+    )
+
+
+_Q264_ORACLE = """
+    WITH base AS (
+      SELECT event_type, user_id, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type,
+             CAST(rank() OVER (PARTITION BY event_type ORDER BY user_id)
+                  AS DOUBLE)
+               + (COUNT(*) OVER (PARTITION BY event_type, user_id) - 1)
+                 / 2.0 AS rx,
+             CAST(rank() OVER (PARTITION BY event_type ORDER BY value)
+                  AS DOUBLE)
+               + (COUNT(*) OVER (PARTITION BY event_type, value) - 1)
+                 / 2.0 AS ry
+      FROM base
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(rx AS DECIMAL(38,9))) AS sx,
+             SUM(CAST(ry AS DECIMAL(38,9))) AS sy,
+             SUM(CAST(round(rx * ry, 9) AS DECIMAL(38,9))) AS sxy,
+             SUM(CAST(round(rx * rx, 9) AS DECIMAL(38,9))) AS sxx,
+             SUM(CAST(round(ry * ry, 9) AS DECIMAL(38,9))) AS syy
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             + 0.0 AS rho
+    FROM agg ORDER BY event_type
+"""
+
+_Q264_NOTES = (
+    "SPEARMAN RANK CORRELATION per group with average-rank tie "
+    "handling (operators/mlmetrics.spearman_by_group — the monotone-"
+    "association companion to Pearson/regr_: rank() + per-value tie "
+    "count windows sharing ONE group exchange, then decimal Pearson "
+    "moments over the ranks). Ranks are exact halves and every "
+    "downstream op is correctly-rounded IEEE, rho rounds at 6dp: the rank-product "
+    "decimal sums exceed 2^53 at scale, where decimal->double casts "
+    "are last-ulp engine-dependent (the q264/q266 lesson — raw-double "
+    "bit portability holds only for sub-2^53 decimal pipelines)"
+)
+
+
+def q265_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlmetrics import conformal_intervals
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return conformal_intervals(
+        ev, "event_type", "event_id", "value", alpha=0.9
+    ).orderBy("event_id")
+
+
+_Q265_ORACLE = """
+    WITH tagged AS (
+      SELECT event_type, event_id, value,
+             CAST(list_sum(list_transform(generate_series(1, 6), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(concat(
+                 CAST(event_id AS VARCHAR), ':conf')), i, 1)) - 1)
+                 AS BIGINT)
+               * CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT) % 2 = 0
+               AS fit
+      FROM events WHERE value IS NOT NULL
+    ),
+    pred AS (
+      SELECT event_type,
+             CAST(SUM(CAST(round(value, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) / COUNT(*) AS pred
+      FROM tagged WHERE fit GROUP BY 1
+    ),
+    calib AS (
+      SELECT t.event_type, t.event_id, t.value, p.pred
+      FROM tagged t JOIN pred p USING (event_type)
+      WHERE NOT t.fit
+    ),
+    radius AS (
+      SELECT event_type, quantile_disc(abs(value - pred), 0.9) AS q
+      FROM calib GROUP BY 1
+    )
+    SELECT c.event_id, c.event_type, c.value AS y, c.pred,
+           c.pred - r.q AS lo, c.pred + r.q AS hi
+    FROM calib c JOIN radius r USING (event_type)
+    ORDER BY c.event_id
+"""
+
+_Q265_NOTES = (
+    "SPLIT-CONFORMAL PREDICTION INTERVALS per segment (operators/"
+    "mlmetrics.conformal_intervals — distribution-free coverage: the "
+    "alpha-quantile of calibration |residuals| around a fit-half mean "
+    "prediction gives finite-sample coverage >= alpha): deterministic "
+    "md5 half-split, two metadata-sized per-segment aggs (decimal "
+    "mean; DISCRETE quantile — an observed residual) broadcast back, "
+    "everything else map-side. Bit-portable with zero rounding "
+    "(md5 split + quantile_disc + correctly-rounded arithmetic); "
+    "coverage law pinned in pytest"
+)
+
+
+def q266_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import gini_lorenz
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return gini_lorenz(
+        li, "l_returnflag", "l_extendedprice", "l_orderkey"
+    ).orderBy("l_returnflag")
+
+
+_Q266_ORACLE = """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             round(CAST(l_extendedprice AS DOUBLE), 9) AS x,
+             CAST(row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey) AS DOUBLE) AS i
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,9))) AS sx,
+             SUM(CAST(round(i * x, 9) AS DECIMAL(38,9))) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT l_returnflag, n, CAST(sx AS DOUBLE) AS total,
+           round(2.0 * CAST(six AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             + 0.0 AS gini
+    FROM agg ORDER BY l_returnflag
+"""
+
+_Q266_NOTES = (
+    "GINI CONCENTRATION coefficient per group (operators/profile."
+    "gini_lorenz — how unevenly a quantity is spread across members; "
+    "the curation readout for token/domain imbalance): exact rank "
+    "formula 2*Sum(i*x_i)/(n*Sum x) - (n+1)/n over ONE per-group "
+    "window sort with deterministic tie order, one decimal agg — the "
+    "sort-once pattern. 6dp output (the i*x decimal sum exceeds 2^53 "
+    "at scale); row_number tie order pinned by the (value, id) sort "
+    "in both engines"
+)
+
+
+def q267_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mlmetrics import isotonic_calibrate
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("lab", (F.col("value") > 40).cast("double"))
+    )
+    return isotonic_calibrate(ev, "event_type", "value", "lab").orderBy(
+        "event_type", "value", "y"
+    )
+
+
+_Q267_NOTES = (
+    "ISOTONIC (PAV) CALIBRATION per group (operators/mlmetrics."
+    "isotonic_calibrate — the non-parametric monotone calibration map, "
+    "no bin-width choice, next to q227's fixed-bin report): pool-"
+    "adjacent-violators is inherently sequential per group, so it runs "
+    "in a grouped Arrow batch over numpy (keys parallelize, one key "
+    "shuffle — the CUSUM contract). No SQL engine expresses PAV: "
+    "rows-only catalog entry; monotonicity / mean-preservation / "
+    "block-mean laws are pytest-pinned"
+)
+
+
+ROADMAP7.update(
+    {
+        "q264_spearman_correlation": (
+            q264_spearman_correlation,
+            _Q264_ORACLE,
+            _Q264_NOTES,
+        ),
+        "q265_conformal_intervals": (
+            q265_conformal_intervals,
+            _Q265_ORACLE,
+            _Q265_NOTES,
+        ),
+        "q266_gini_concentration": (
+            q266_gini_concentration,
+            _Q266_ORACLE,
+            _Q266_NOTES,
+        ),
+        "q267_isotonic_calibration": (
+            q267_isotonic_calibration,
+            None,
+            _Q267_NOTES,
+        ),
+    }
+)

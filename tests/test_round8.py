@@ -644,3 +644,68 @@ def test_temporal_embargo_split_laws(spark, sf_dir):
         for e in embargos:
             if trains:
                 assert e > max(trains)
+
+
+# --- statistical operators (q264-q267) ------------------------------------
+
+
+def test_spearman_perfect_monotone(spark):
+    """A strictly increasing mapping gives rho == 1 regardless of the
+    (nonlinear) shape; reversing gives -1; ties get average ranks."""
+    from dbkit_spark.operators.mlmetrics import spearman_by_group
+
+    rows = [("m", float(i), float(i**3)) for i in range(1, 30)]
+    rows += [("r", float(i), float(-(i**3))) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r["rho"] for r in spearman_by_group(df, "g", "x", "y").collect()}
+    assert got["m"] == 1.0
+    assert got["r"] == -1.0
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """Split-conformal law: at least ~alpha of calibration rows fall
+    inside [lo, hi] (discrete quantile gives >= alpha exactly)."""
+    from dbkit_spark.operators.mlmetrics import conformal_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    out = conformal_intervals(ev, "event_type", "event_id", "value", alpha=0.9)
+    rows = out.collect()
+    inside = sum(1 for r in rows if r["lo"] <= r["y"] <= r["hi"])
+    assert inside / len(rows) >= 0.9
+
+
+def test_gini_extremes(spark):
+    """Uniform values -> Gini 0; a single holder of everything ->
+    Gini -> (n-1)/n."""
+    from dbkit_spark.operators.profile import gini_lorenz
+
+    rows = [("u", i, 5.0) for i in range(10)]
+    rows += [("c", i, 0.0) for i in range(9)] + [("c", 9, 100.0)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = {r["g"]: r for r in gini_lorenz(df, "g", "v", "id").collect()}
+    assert got["u"]["gini"] == 0.0
+    assert abs(got["c"]["gini"] - 0.9) < 1e-9
+
+
+def test_isotonic_laws(spark):
+    """PAV output is monotone non-decreasing in score, preserves the
+    group mean, and equals the exact pooled solution on the textbook
+    violator case."""
+    from dbkit_spark.operators.mlmetrics import isotonic_calibrate
+
+    rows = [(1, 1.0, 1.0), (2, 2.0, 3.0), (3, 3.0, 2.0), (4, 4.0, 4.0)]
+    df = spark.createDataFrame(
+        [("g", s, y, i) for i, s, y in [(i, s, y) for i, s, y in rows]],
+        "g string, score double, y double, id int",
+    )
+    out = sorted(
+        isotonic_calibrate(df, "g", "score", "y").collect(),
+        key=lambda r: r["score"],
+    )
+    cal = [r["calibrated"] for r in out]
+    assert all(a <= b + 1e-12 for a, b in zip(cal, cal[1:]))
+    assert abs(sum(cal) - sum(y for _, _, y in rows)) < 1e-9
+    # scores 2,3 pool to mean 2.5
+    assert cal == [1.0, 2.5, 2.5, 4.0]
