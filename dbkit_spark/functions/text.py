@@ -245,3 +245,65 @@ def model_tokenizer(encoding: str = "cl100k_base"):
         ) from exc
     enc = tiktoken.get_encoding(encoding)
     return lambda s: enc.encode(s or "")
+
+
+def rake_keywords(
+    df,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+):
+    """RAKE-style keyword scoring (Rose et al. 2010) over a document
+    corpus: candidate phrases are maximal runs of non-stopword tokens;
+    each word scores degree/frequency where degree sums the lengths of
+    the phrases it appears in — multi-word-phrase members outrank
+    equally-frequent isolated words.
+
+    Phrase segmentation is GAPS-AND-ISLANDS, not regex surgery: one
+    posexplode of the whitespace tokens, a stopword/punctuation flag,
+    and a running-sum island id per document — every step has an
+    identical SQL twin in any engine (no regex-dialect risk), and the
+    whole pipeline is one per-doc window + two corpus-keyed aggs.
+    Output: (word, freq, degree, score) per corpus keyword — score is
+    a small-int division, raw-double bit-portable.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    stop = stopwords if stopwords is not None else STOPWORDS
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("_pos", "_raw"),
+    ).select(
+        "_doc",
+        "_pos",
+        F.regexp_replace(F.col("_raw"), "[^a-z0-9]", "").alias("_tok"),
+    )
+    is_stop = F.col("_tok").isin(stop) | (F.col("_tok") == "")
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    islands = toks.select(
+        "_doc",
+        "_pos",
+        "_tok",
+        is_stop.alias("_stop"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(w).alias("_isl"),
+    ).filter(~F.col("_stop"))
+    phrases = islands.groupBy("_doc", "_isl").agg(
+        F.count("*").alias("_plen")
+    )
+    member = islands.join(phrases, ["_doc", "_isl"])
+    return (
+        member.groupBy(F.col("_tok").alias("word"))
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("_plen").alias("degree"),
+        )
+        .select(
+            "word",
+            "freq",
+            "degree",
+            (F.col("degree").cast("double") / F.col("freq")).alias("score"),
+        )
+    )

@@ -166,3 +166,55 @@ def label_propagation(
     out = iterate_fixed(labels0, step, n_rounds, checkpoint_dir)
     und.unpersist()
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-CORE of an undirected graph: the maximal subgraph where
+    every node has degree ≥ k — the standard "dense backbone" filter
+    before community/triangle analysis (peeling spam tendrils off a
+    link graph, inactive users off an interaction graph).
+
+    Algorithm: iterative peeling. Each round drops nodes whose degree
+    in the CURRENT subgraph is < k, then drops edges touching them;
+    fixpoint when no node is dropped. Each round is one degree
+    aggregation + one semi-join on each edge endpoint — two keyed
+    shuffles, no NLJ — and the edge set only shrinks. Lineage is
+    truncated per round (eager localCheckpoint, the iterate-family
+    rule) so round N's plan does not replay rounds 1..N-1; rounds are
+    bounded by ``max_rounds`` as a runaway stop (real graphs peel in
+    a handful of rounds — the fixture converges in ≤ 5).
+
+    Input: canonical (a, b) edges (see :func:`canonical_edges`).
+    Output: the surviving node set with its core degree
+    (node, degree) — degree ≥ k by construction.
+    """
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        nxt = (
+            cur.join(
+                keep.withColumnRenamed("node", "a"), "a", "left_semi"
+            ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        ).select("a", "b")
+        nxt = nxt.localCheckpoint(eager=True)
+        # O(1) convergence probe on the checkpointed frame
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )

@@ -4364,3 +4364,243 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q268_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangular cohort-retention matrix: users cohorted by their
+    first-activity month; each later month's retention is the distinct
+    active share of the cohort. The analytics classic the KM survival
+    curve (q238) summarizes — this is the full matrix form.
+
+    Plan: one distinct (user, month) projection feeds BOTH the cohort
+    assignment (min month per user) and the activity matrix — the
+    cohort frame is user-sized and broadcasts; ratios are small-int
+    divisions (sub-2^53 → raw doubles bit-portable)."""
+    ev = read_table(spark, sf_dir, "events")
+    um = (
+        ev.select(
+            "user_id",
+            F.date_trunc("month", F.col("ts").cast("timestamp")).alias("m"),
+        )
+        .distinct()
+    )
+    cohorts = um.groupBy("user_id").agg(F.min("m").alias("cohort_month"))
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_size")
+    )
+    mat = (
+        um.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_month",
+            F.months_between(F.col("m"), F.col("cohort_month"))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+_Q268_ORACLE = """
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS m
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(m) AS cohort_month FROM um GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_month, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+    ),
+    mat AS (
+      SELECT c.cohort_month,
+             CAST(date_diff('month', c.cohort_month, u.m) AS INTEGER)
+               AS month_offset,
+             COUNT(*) AS n_active
+      FROM um u JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT m.cohort_month, m.month_offset, m.n_active, s.cohort_size,
+           CAST(m.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM mat m JOIN sizes s USING (cohort_month)
+    ORDER BY m.cohort_month, m.month_offset
+"""
+
+_Q268_NOTES = (
+    "COHORT RETENTION MATRIX (first-activity-month cohorts x month "
+    "offset, distinct-active share — the full-matrix form of q238's "
+    "survival summary): ONE distinct (user, month) projection feeds "
+    "both cohort assignment and the activity matrix; the cohort frame "
+    "is user-sized and broadcasts, so the event corpus is scanned "
+    "once and never re-shuffled. Month arithmetic is exact on "
+    "truncated dates in both engines; retention ratios are small-int "
+    "divisions — raw-double bit-portable per the SCALE.md taxonomy"
+)
+
+
+ROADMAP7.update(
+    {
+        "q268_cohort_retention": (
+            q268_cohort_retention,
+            _Q268_ORACLE,
+            _Q268_NOTES,
+        ),
+    }
+)
+
+
+def q269_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import canonical_edges, k_core
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 397).alias("src"),
+        (F.col("event_id") % 389).alias("dst"),
+    )
+    edges = canonical_edges(pairs, "src", "dst")
+    return k_core(edges, k=4).orderBy("node")
+
+
+def _q269_oracle(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled peeling oracle (the q230 LPA discipline): one
+    degree+filter+join CTE chain per round. The Spark side iterates to
+    the TRUE fixpoint; the unroll is safe because the fixture reaches
+    it in ≤ 4 rounds at both driver scales (measured) and extra rounds
+    are no-ops on a converged edge set."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(user_id % 397, event_id % 389) AS a,
+                      GREATEST(user_id % 397, event_id % 389) AS b
+      FROM events
+      WHERE user_id % 397 <> event_id % 389
+    )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p}
+      ) GROUP BY 1
+    ),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b
+      FROM e{p} e
+      JOIN k{r} ka ON e.a = ka.node
+      JOIN k{r} kb ON e.b = kb.node
+    )""")
+    parts.append(f"""
+    SELECT node, COUNT(*) AS degree FROM (
+      SELECT a AS node FROM e{rounds}
+      UNION ALL SELECT b AS node FROM e{rounds}
+    ) GROUP BY 1 ORDER BY node""")
+    return "".join(parts)
+
+
+_Q269_NOTES = (
+    "K-CORE DECOMPOSITION (operators/graph.k_core — the dense-backbone "
+    "filter: iterative peeling of nodes with degree < k until "
+    "fixpoint, next to triangles/LPA in the graph family): each round "
+    "is one degree agg + two semi-joins (keyed shuffles only, no "
+    "NLJ), the edge set only shrinks, lineage truncated per round "
+    "(eager localCheckpoint) with an O(1) convergence count. Oracle "
+    "is the q230-style unrolled-CTE peel (6 rounds > the measured "
+    "fixpoint at both driver scales; extra rounds are no-ops)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q269_kcore_decomposition": (
+            q269_kcore_decomposition,
+            _q269_oracle(),
+            _Q269_NOTES,
+        ),
+    }
+)
+
+
+def q270_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rake_keywords
+
+    docs = read_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text").orderBy("word")
+
+
+def _q270_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT _doc, u['i'] - 1 AS _pos,
+             regexp_replace(u['t'], '[^a-z0-9]', '', 'g') AS _tok
+      FROM (
+        SELECT doc_id AS _doc,
+               unnest(list_transform(
+                 string_split_regex(lower(trim(text)), '\\s+'),
+                 (x, i) -> {{'t': x, 'i': i}})) AS u
+        FROM documents
+      )
+    ),
+    flagged AS MATERIALIZED (
+      SELECT _doc, _pos, _tok,
+             (_tok IN ({stop_list}) OR _tok = '') AS _stop,
+             SUM(CASE WHEN (_tok IN ({stop_list}) OR _tok = '')
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY _doc ORDER BY _pos) AS _isl
+      FROM toks
+    ),
+    islands AS MATERIALIZED (
+      SELECT _doc, _pos, _tok, _isl FROM flagged WHERE NOT _stop
+    ),
+    phrases AS MATERIALIZED (
+      SELECT _doc, _isl, COUNT(*) AS _plen FROM islands GROUP BY 1, 2
+    )
+    SELECT i._tok AS word, COUNT(*) AS freq,
+           CAST(SUM(p._plen) AS BIGINT) AS degree,
+           CAST(SUM(p._plen) AS DOUBLE) / COUNT(*) AS score
+    FROM islands i JOIN phrases p USING (_doc, _isl)
+    GROUP BY 1 ORDER BY word
+    """
+
+
+_Q270_NOTES = (
+    "RAKE KEYWORD EXTRACTION (functions/text.rake_keywords, Rose et "
+    "al. 2010 — corpus keyword scores degree/freq where degree sums "
+    "the lengths of the stopword-delimited phrases a word appears in): "
+    "phrase segmentation is GAPS-AND-ISLANDS (posexplode + stopword "
+    "flag + running-sum island id per doc — one per-doc window, no "
+    "regex-dialect surgery), then two corpus-keyed aggs. Score is a "
+    "small-int division — raw-double bit-portable. DuckDB twin "
+    "replays the identical island construction (regexp_replace with "
+    "the 'g' flag — DuckDB replaces first-only by default, the one "
+    "dialect trap here)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q270_rake_keywords": (
+            q270_rake_keywords,
+            _q270_oracle(),
+            _Q270_NOTES,
+        ),
+    }
+)

@@ -709,3 +709,70 @@ def test_isotonic_laws(spark):
     assert abs(sum(cal) - sum(y for _, _, y in rows)) < 1e-9
     # scores 2,3 pool to mean 2.5
     assert cal == [1.0, 2.5, 2.5, 4.0]
+
+
+# --- analytics batch (q268-q270) ------------------------------------------
+
+
+def test_cohort_retention_laws(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0 for every cohort; retention
+    never exceeds 1; n_active <= cohort_size."""
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+
+    fn = ROADMAP7["q268_cohort_retention"][0]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["n_active"] <= r["cohort_size"]
+        if r["month_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_kcore_hand_graph(spark):
+    """4-clique + tendril: the 3-core is exactly the clique; the 2-core
+    peels the tendril (two rounds — end nodes first, then the stub)."""
+    from dbkit_spark.operators.graph import canonical_edges, k_core
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)]
+    ce = canonical_edges(
+        spark.createDataFrame(edges, "s int, d int"), "s", "d"
+    )
+    three = {r["node"]: r["degree"] for r in k_core(ce, 3).collect()}
+    assert three == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert {r["node"] for r in k_core(ce, 2).collect()} == {1, 2, 3, 4}
+    # k above the max degree empties the graph
+    assert k_core(ce, 10).count() == 0
+
+
+def test_kcore_is_subgraph_closed(spark, sf_dir):
+    """Every surviving node's degree within the core is >= k (the
+    defining property), and the core is a subset of the input nodes."""
+    from dbkit_spark.operators.graph import canonical_edges, k_core
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select(
+        (F.col("user_id") % 397).alias("src"),
+        (F.col("event_id") % 389).alias("dst"),
+    )
+    ce = canonical_edges(pairs, "src", "dst")
+    core = k_core(ce, 4).collect()
+    assert all(r["degree"] >= 4 for r in core)
+
+
+def test_rake_prefers_phrase_members(spark):
+    """A word appearing only inside a 3-word phrase outscores an
+    equally frequent isolated word (degree counts phrase length)."""
+    from dbkit_spark.functions.text import rake_keywords
+
+    docs = [
+        (1, "deep neural network is good"),
+        (2, "deep neural network and cats"),
+        (3, "cats are cats for cats"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["word"]: r for r in rake_keywords(df, "doc_id", "text").collect()}
+    # 'deep' freq 2, each in a 3-phrase -> score 3; 'cats' isolated -> 1
+    assert got["deep"]["score"] == 3.0
+    assert got["cats"]["score"] == 1.0
+    assert "is" not in got and "and" not in got  # stopwords never score
