@@ -4604,3 +4604,39 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q271_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges, _state = bpe_train(docs, "text", n_merges=12)
+    return spark.createDataFrame(
+        [
+            (rank, left, right, merged, cnt)
+            for rank, (left, right, merged, cnt) in enumerate(merges, 1)
+        ],
+        "rank int, left string, right string, merged string, pair_count long",
+    ).orderBy("rank")
+
+
+_Q271_NOTES = (
+    "DISTRIBUTED BPE TOKENIZER TRAINING (llm/bpe.bpe_train, Sennrich "
+    "et al. 2016 — learns the merge table behind GPT-2-style "
+    "vocabularies; completes the round-6 pluggable-tokenizer boundary "
+    "with an in-engine trainer): ONE corpus scan builds the "
+    "distinct-word frequency table, which stays a DataFrame (at 100 "
+    "TB the type table itself exceeds driver memory); each merge "
+    "round is a map-side adjacent-pair explode + one hash agg + an "
+    "O(1) argmax collect (count desc, pair asc tie rule) + a map-side "
+    "Arrow rewrite, lineage truncated per round. Inherently iterative "
+    "(PageRank class): rows-only entry; EXACT merge-sequence parity "
+    "with a pure-python reference BPE is pytest-pinned"
+)
+
+
+ROADMAP7.update(
+    {
+        "q271_bpe_vocabulary": (q271_bpe_vocabulary, None, _Q271_NOTES),
+    }
+)

@@ -776,3 +776,80 @@ def test_rake_prefers_phrase_members(spark):
     assert got["deep"]["score"] == 3.0
     assert got["cats"]["score"] == 1.0
     assert "is" not in got and "and" not in got  # stopwords never score
+
+
+# --- distributed BPE training (q271) --------------------------------------
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer must reproduce the EXACT merge sequence
+    of the textbook single-machine BPE on the same corpus (same
+    count-desc/pair-asc tie rule)."""
+    import re
+    from collections import Counter
+
+    from dbkit_spark.llm.bpe import bpe_train
+
+    texts = [
+        "the lower the newer",
+        "lowest lower newest",
+        "wider wide widest lower",
+        "new newer newest low lower lowest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges, state = bpe_train(df, "text", n_merges=8)
+
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            w = re.sub(r"[^a-z0-9]", "", w)
+            if w:
+                wf[w] += 1
+    st = {w: tuple(list(w) + ["▁"]) for w in wf}
+    ref = []
+    for _ in range(8):
+        pc = Counter()
+        for w, syms in st.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        ref.append((l, r, l + r, c))
+        st = {
+            w: tuple(
+                _apply_merge(list(syms), l, r)
+            )
+            for w, syms in st.items()
+        }
+    assert [tuple(m) for m in merges] == ref
+
+
+def _apply_merge(syms, l, r):
+    res, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            res.append(l + r)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def test_bpe_segment_roundtrip(spark):
+    """Segmenting with the learned merges reconstructs the word when
+    the pieces are joined (minus the end marker)."""
+    from dbkit_spark.llm.bpe import bpe_segment, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "banana bandana banner banana")], "doc_id int, text string"
+    )
+    merges, _ = bpe_train(df, "text", n_merges=6)
+    for w in ("banana", "bandana", "banner"):
+        pieces = bpe_segment(w, merges)
+        assert "".join(pieces).rstrip("▁") == w
