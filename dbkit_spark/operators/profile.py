@@ -374,3 +374,48 @@ def gini_lorenz(
             + F.lit(0.0)
         ).alias("gini"),
     )
+
+
+def fd_repair(
+    df: DataFrame,
+    det_cols: list[str],
+    dep_col: str,
+) -> DataFrame:
+    """Majority-value repair suggestions for near-FD violations — the
+    action step after :func:`fd_discovery` flags X→Y as *almost*
+    holding: for every determinant group with more than one distinct
+    dependent value, propose the MODAL value (ties to the smallest,
+    deterministic) with its support.
+
+    One (X, Y) hash agg; the per-group argmax is a metadata-shaped
+    window over the aggregated (X, Y, cnt) rows — group cardinality,
+    not row cardinality, so at 100 TB the window input is the distinct
+    pair table. Output: one row per VIOLATING group —
+    (det..., suggested, n_rows, n_distinct, support) with support =
+    modal_count / n_rows (small-int division, raw-portable)."""
+    pair = (
+        df.select(*det_cols, F.col(dep_col).alias("_y"))
+        .filter(F.col("_y").isNotNull())
+        .groupBy(*det_cols, "_y")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.partitionBy(*det_cols).orderBy(
+        F.col("_c").desc(), F.col("_y").asc()
+    )
+    ranked = pair.select(
+        *det_cols,
+        "_y",
+        "_c",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_c").over(Window.partitionBy(*det_cols)).alias("_n"),
+        F.count("*").over(Window.partitionBy(*det_cols)).alias("_nd"),
+    )
+    return ranked.filter(
+        (F.col("_rk") == 1) & (F.col("_nd") > 1)
+    ).select(
+        *det_cols,
+        F.col("_y").alias("suggested"),
+        F.col("_n").alias("n_rows"),
+        F.col("_nd").alias("n_distinct"),
+        (F.col("_c").cast("double") / F.col("_n")).alias("support"),
+    )

@@ -4640,3 +4640,68 @@ ROADMAP7.update(
         "q271_bpe_vocabulary": (q271_bpe_vocabulary, None, _Q271_NOTES),
     }
 )
+
+
+def q272_fd_violation_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import fd_repair
+
+    # near-FD fixture: y = user_id % 7 corrupted on event_id % 97 == 0
+    # rows (deterministic, replayed identically by the oracle) — the
+    # repair must recover the majority (clean) value per user
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_id") % 97 == 0, (F.col("user_id") + 1) % 7)
+        .otherwise(F.col("user_id") % 7)
+        .alias("segment"),
+    )
+    return fd_repair(ev, ["user_id"], "segment").orderBy("user_id")
+
+
+_Q272_ORACLE = """
+    WITH fx AS (
+      SELECT user_id,
+             CASE WHEN event_id % 97 = 0 THEN (user_id + 1) % 7
+                  ELSE user_id % 7 END AS segment
+      FROM events
+    ),
+    pair AS (
+      SELECT user_id, segment AS _y, COUNT(*) AS _c
+      FROM fx WHERE segment IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, _y, _c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY _c DESC, _y ASC) AS _rk,
+             SUM(_c) OVER (PARTITION BY user_id) AS _n,
+             COUNT(*) OVER (PARTITION BY user_id) AS _nd
+      FROM pair
+    )
+    SELECT user_id, _y AS suggested, CAST(_n AS BIGINT) AS n_rows,
+           CAST(_nd AS BIGINT) AS n_distinct,
+           CAST(_c AS DOUBLE) / _n AS support
+    FROM ranked WHERE _rk = 1 AND _nd > 1
+    ORDER BY user_id
+"""
+
+_Q272_NOTES = (
+    "FD VIOLATION REPAIR (operators/profile.fd_repair — the action "
+    "step after q234's FD discovery flags X->Y as ALMOST holding: "
+    "modal-value suggestions per violating determinant group, ties to "
+    "the smallest value for determinism): one (X,Y) hash agg, then "
+    "argmax/total windows over the DISTINCT-PAIR table (group "
+    "cardinality, not row cardinality — metadata-shaped at 100 TB). "
+    "Fixture corruption is a deterministic map-side CASE both engines "
+    "replay identically; support ratios are small-int divisions"
+)
+
+
+ROADMAP7.update(
+    {
+        "q272_fd_violation_repair": (
+            q272_fd_violation_repair,
+            _Q272_ORACLE,
+            _Q272_NOTES,
+        ),
+    }
+)

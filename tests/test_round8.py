@@ -853,3 +853,22 @@ def test_bpe_segment_roundtrip(spark):
     for w in ("banana", "bandana", "banner"):
         pieces = bpe_segment(w, merges)
         assert "".join(pieces).rstrip("▁") == w
+
+
+def test_fd_repair_majority_and_ties(spark):
+    """The suggestion is the modal dependent value; ties break to the
+    smallest; clean groups (single value) never appear."""
+    from dbkit_spark.operators.profile import fd_repair
+
+    rows = (
+        [("a", 1)] * 5 + [("a", 2)] * 2          # majority 1
+        + [("b", 3)] * 3 + [("b", 4)] * 3        # tie -> 3
+        + [("c", 9)] * 4                          # clean
+    )
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rows)], "id int, x string, y int"
+    )
+    got = {r["x"]: r for r in fd_repair(df, ["x"], "y").collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["suggested"] == 1 and abs(got["a"]["support"] - 5 / 7) < 1e-12
+    assert got["b"]["suggested"] == 3 and got["b"]["support"] == 0.5
