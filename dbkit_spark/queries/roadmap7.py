@@ -4705,3 +4705,107 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q273_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q256's exact CUSUM configuration driven through the STREAMING
+    runtime: the capped per-key series is standardized batch-side (the
+    reference yardstick), split into two ORDERED parquet chunks, and
+    replayed file-by-file through the stateful stream — so the oracle
+    is the SAME recursive SQL as q256, now pinning cross-micro-batch
+    state carry under the driver's hash compare."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.cusum import streaming_cusum
+    from ..streaming.runner import run_available_now
+
+    dec = "decimal(38,9)"
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 60)
+        .select("user_id", "event_id", "value")
+    )
+    xd = F.round(F.col("value").cast("double"), 9)
+    stats = (
+        capped.select(
+            "user_id",
+            xd.cast(dec).alias("x"),
+            F.round(xd * xd, 9).cast(dec).alias("xx"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("xx").alias("sxx"),
+        )
+        .select(
+            "user_id",
+            (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n")
+            ).alias("sigma"),
+        )
+    )
+    z = capped.join(F.broadcast(stats), "user_id").select(
+        "user_id",
+        "event_id",
+        (
+            (F.col("value").cast("double") - F.col("mu")) / F.col("sigma")
+        ).alias("z"),
+    )
+    zpdf = z.toPandas()
+    cut = zpdf["event_id"].median()
+    d = tempfile.mkdtemp(prefix="q273_zstream_")
+    zpdf[zpdf["event_id"] <= cut].to_parquet(
+        os.path.join(d, "part0.parquet"), index=False
+    )
+    zpdf[zpdf["event_id"] > cut].to_parquet(
+        os.path.join(d, "part1.parquet"), index=False
+    )
+    zstream = (
+        spark.readStream.schema("user_id long, event_id long, z double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_available_now(
+        streaming_cusum(zstream, "user_id", "event_id", k=0.25, h=2.0),
+        output_mode="update",
+    )
+    return out.orderBy("user_id", "event_id")
+
+
+_Q273_NOTES = (
+    "STREAMING CUSUM (streaming/cusum.streaming_cusum — the stateful-"
+    "stream twin of q256, SURVEY 2.9 batch/stream parity family): "
+    "per-key (s+, s-) state in applyInPandasWithState carried across "
+    "micro-batches (two-file ordered availableNow replay, "
+    "maxFilesPerTrigger=1 so the state REALLY crosses a batch "
+    "boundary); standardization is a batch-side reference yardstick "
+    "joined stream-static. The oracle is q256's WITH RECURSIVE SQL "
+    "verbatim — a hash-green streaming query, possible because every "
+    "recursion step is raw IEEE arithmetic on identical inputs"
+)
+
+
+ROADMAP7.update(
+    {
+        "q273_streaming_cusum": (
+            q273_streaming_cusum,
+            _Q256_ORACLE,
+            _Q273_NOTES,
+        ),
+    }
+)

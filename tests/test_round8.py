@@ -872,3 +872,81 @@ def test_fd_repair_majority_and_ties(spark):
     assert set(got) == {"a", "b"}
     assert got["a"]["suggested"] == 1 and abs(got["a"]["support"] - 5 / 7) < 1e-12
     assert got["b"]["suggested"] == 3 and got["b"]["support"] == 0.5
+
+
+# --- streaming CUSUM (batch/stream parity) ---------------------------------
+
+
+def _cusum_z_frame(spark, sf_dir):
+    """Standardized z per event from the batch stats — the reference
+    yardstick a monitoring stream joins against (stream-static)."""
+    from pyspark.sql import functions as F
+
+    dec = "decimal(38,9)"
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    xd = F.round(F.col("value").cast("double"), 9)
+    stats = (
+        ev.select(F.col("user_id"), xd.cast(dec).alias("x"),
+                  F.round(xd * xd, 9).cast(dec).alias("xx"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+             F.sum("xx").alias("sxx"))
+        .select(
+            "user_id",
+            (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt((F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    / F.col("n")) / F.col("n")).alias("sigma"),
+        )
+    )
+    return ev, stats
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path):
+    """Two-file ordered replay: the stateful stream must reproduce the
+    batch cusum_scores BIT-FOR-BIT, including rows whose recursion
+    state crosses the micro-batch boundary."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dbkit_spark.operators.drift import cusum_scores
+    from dbkit_spark.streaming.cusum import streaming_cusum
+    from dbkit_spark.streaming.runner import run_available_now
+
+    ev, stats = _cusum_z_frame(spark, sf_dir)
+    batch = {
+        (r["user_id"], r["event_id"]): (r["z"], r["s_pos"], r["s_neg"], r["alarm"])
+        for r in cusum_scores(ev, "user_id", "event_id", "value").collect()
+    }
+
+    zbatch = ev.join(F.broadcast(stats), "user_id").select(
+        "user_id",
+        "event_id",
+        ((F.col("value").cast("double") - F.col("mu")) / F.col("sigma")).alias("z"),
+    )
+    zpdf = zbatch.toPandas()
+    cut = zpdf["event_id"].median()
+    d = tmp_path / "zstream"
+    d.mkdir()
+    # two ordered chunks: per key, every event in file 0 precedes file 1
+    zpdf[zpdf["event_id"] <= cut].to_parquet(d / "part0.parquet", index=False)
+    zpdf[zpdf["event_id"] > cut].to_parquet(d / "part1.parquet", index=False)
+
+    zstream = (
+        spark.readStream.schema("user_id long, event_id long, z double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got_df = run_available_now(
+        streaming_cusum(zstream, "user_id", "event_id"), output_mode="update"
+    )
+    got = {
+        (r["user_id"], r["event_id"]): (r["z"], r["s_pos"], r["s_neg"], r["alarm"])
+        for r in got_df.collect()
+    }
+    assert set(got) == set(batch)
+    assert got == batch  # bit-for-bit, state carried across batches
