@@ -67,3 +67,67 @@ def repetition_scores(
         )
     )
     return per_row.join(top, "doc_id")
+
+
+def compression_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low: float = 0.35,
+    high: float = 1.05,
+) -> DataFrame:
+    """zlib compression-ratio quality signal — the cheap catch-all the
+    n-gram repetition scores above miss: boilerplate, template spam,
+    and character-level junk all compress far below natural prose
+    (ratio = deflate_len / utf8_len; Gopher-style corpus rules flag
+    both tails — too compressible = repetitive, incompressible =
+    already-compressed binary/base64 noise).
+
+    Arrow-batched mapInPandas (stdlib zlib, level 6 pinned for
+    determinism), map-only, shuffle-free; partition parallelism is the
+    scale lever. No SQL engine exposes deflate, so catalog use is
+    rows-only; the monotone laws are pytest-pinned. Output:
+    (id, text_len, compressed_len, ratio, flag) with flag in
+    {'repetitive', 'ok', 'incompressible'} ('empty' for zero-length).
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} {dict(df.dtypes)[id_col]}, text_len long, "
+        "compressed_len long, ratio double, flag string"
+    )
+    lo, hi = float(low), float(high)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tl, cl, ratio, flag = [], [], [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                n = len(raw)
+                c = len(zlib.compress(raw, 6)) if n else 0
+                tl.append(n)
+                cl.append(c)
+                if n == 0:
+                    ratio.append(None)
+                    flag.append("empty")
+                    continue
+                r = c / n
+                ratio.append(round(r, 6))
+                flag.append(
+                    "repetitive" if r < lo
+                    else ("incompressible" if r > hi else "ok")
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text_len": tl,
+                    "compressed_len": cl,
+                    "ratio": ratio,
+                    "flag": flag,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

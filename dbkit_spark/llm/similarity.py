@@ -637,3 +637,90 @@ def ann_incremental_pairs(
     result = out.distinct().localCheckpoint(eager=True)
     hashed.unpersist()
     return result
+
+
+def truncation_recall(
+    emb: DataFrame,
+    dims: tuple[int, ...] = (4, 8, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = 5000,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: for each prefix
+    dimensionality d, what fraction of vectors keep their FULL-dim
+    exact top-1 neighbor when cosine runs on only the first d
+    components? The go/no-go measurement before storing truncated
+    embeddings (MRL-trained models hold recall at small d; ordinary
+    embeddings collapse — this quantifies which you have).
+
+    One guarded pairwise scoring (the q43/q44 exact-baseline class —
+    ``require_small``; at corpus scale run this on a sampled probe
+    set), with ALL dims' cosines computed per pair map-side (struct
+    explode — one crossJoin, not |dims|+1), one (query, dim) rank
+    window, then a self-join of truncated top-1s against the full-dim
+    top-1. Output: (dim, n_queries, n_matched, recall) — recall is a
+    small-int division, raw-double portable."""
+    from ._guards import require_small
+
+    require_small(
+        emb,
+        max_rows,
+        "truncation_recall",
+        "evaluate on a hash-sampled probe subset at corpus scale",
+    )
+    from ..functions.vectors import cosine
+
+    full_d = len(emb.select(vec_col).first()[0])
+    all_dims = sorted(set(list(dims) + [full_d]))
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = e.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    c = e.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"))
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.round(
+                    cosine(F.slice("qv", 1, d), F.slice("cv", 1, d)), 6
+                ).alias("cos"),
+            )
+            for d in all_dims
+        ]
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", F.explode(per_dim).alias("t"))
+        .select("query_id", "cand_id", "t.dim", "t.cos")
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    top1 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "dim", "cand_id")
+    )
+    full_top = top1.filter(F.col("dim") == full_d).select(
+        "query_id", F.col("cand_id").alias("full_cand")
+    )
+    return (
+        top1.join(F.broadcast(full_top), "query_id")
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("cand_id") == F.col("full_cand"), 1).otherwise(0)
+            ).alias("n_matched"),
+        )
+        .select(
+            "dim",
+            "n_queries",
+            "n_matched",
+            (
+                F.col("n_matched").cast("double") / F.col("n_queries")
+            ).alias("recall"),
+        )
+        .orderBy("dim")
+    )

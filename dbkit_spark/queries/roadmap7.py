@@ -4809,3 +4809,104 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q274_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import truncation_recall
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400
+    )
+    return truncation_recall(emb, dims=(4, 8, 16))
+
+
+_Q274_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 400
+    ),
+    pairs AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, u.dim,
+             round(list_cosine_similarity(q.v[1:u.dim], c.v[1:u.dim]), 6)
+               AS cos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      CROSS JOIN (SELECT unnest([4, 8, 16, 64]) AS dim) u
+    ),
+    top1 AS (
+      SELECT query_id, dim, cand_id FROM (
+        SELECT query_id, dim, cand_id,
+               row_number() OVER (PARTITION BY query_id, dim
+                                  ORDER BY cos DESC, cand_id) AS rk
+        FROM pairs
+      ) WHERE rk = 1
+    ),
+    full_top AS (
+      SELECT query_id, cand_id AS full_cand FROM top1 WHERE dim = 64
+    )
+    SELECT t.dim, COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN t.cand_id = f.full_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN t.cand_id = f.full_cand THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall
+    FROM top1 t JOIN full_top f USING (query_id)
+    GROUP BY t.dim ORDER BY t.dim
+"""
+
+_Q274_NOTES = (
+    "MATRYOSHKA TRUNCATION RECALL (llm/similarity.truncation_recall — "
+    "the go/no-go measurement before storing truncated embeddings: "
+    "fraction of vectors keeping their FULL-dim exact top-1 neighbor "
+    "when cosine runs on only the first d components; MRL-trained "
+    "models hold recall at small d, ordinary embeddings collapse): "
+    "ONE require_small-guarded pairwise scoring with ALL dims' "
+    "cosines per pair map-side (struct explode — one crossJoin, not "
+    "|dims|+1), one (query, dim) rank window, a broadcast self-join "
+    "vs the full-dim top-1. At corpus scale the contract is a "
+    "hash-sampled probe subset (the q43 exact-baseline class). "
+    "Full-dim recall == 1.0 is a structural invariant the hash "
+    "compare pins"
+)
+
+
+ROADMAP7.update(
+    {
+        "q274_truncation_recall": (
+            q274_truncation_recall,
+            _Q274_ORACLE,
+            _Q274_NOTES,
+        ),
+    }
+)
+
+
+def q275_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.quality import compression_quality
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 500
+    )
+    return compression_quality(docs).orderBy("doc_id")
+
+
+_Q275_NOTES = (
+    "COMPRESSION-RATIO QUALITY SIGNAL (llm/quality.compression_quality "
+    "— the Gopher-rule catch-all next to the n-gram repetition scores: "
+    "deflate_len/utf8_len flags both tails, over-compressible "
+    "boilerplate and incompressible binary/base64 noise): stdlib zlib "
+    "at pinned level 6 inside Arrow-batched mapInPandas — map-only, "
+    "shuffle-free, partition parallelism is the scale lever. No SQL "
+    "engine exposes deflate: rows-only entry; the monotone laws "
+    "(repetitive text compresses far below prose; random noise above) "
+    "are pytest-pinned"
+)
+
+
+ROADMAP7.update(
+    {
+        "q275_compression_quality": (
+            q275_compression_quality,
+            None,
+            _Q275_NOTES,
+        ),
+    }
+)

@@ -950,3 +950,43 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path):
     }
     assert set(got) == set(batch)
     assert got == batch  # bit-for-bit, state carried across batches
+
+
+def test_compression_quality_monotone_laws(spark):
+    """Repetitive text compresses far below prose; random hex noise
+    sits above it; empty text is flagged not crashed; ratios are
+    deterministic (pinned zlib level)."""
+    import random
+
+    from dbkit_spark.llm.quality import compression_quality
+
+    random.seed(7)
+    noise = "".join(random.choice("0123456789abcdef") for _ in range(2000))
+    import string
+
+    random.seed(11)
+    vocab = [
+        "".join(
+            random.choice(string.ascii_lowercase)
+            for _ in range(random.randint(4, 9))
+        )
+        for _ in range(600)
+    ]
+    # prose-entropy stand-in (~0.53 ratio): a broad vocabulary with no
+    # template scaffold — templated English compresses below 0.2 and
+    # would (correctly) flag repetitive
+    prose = " ".join(random.choice(vocab) for _ in range(400))
+    docs = [
+        (1, "spam ham " * 300),
+        (2, prose),
+        (3, noise),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in compression_quality(df).collect()}
+    assert got[1]["flag"] == "repetitive"
+    assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
+    assert got[2]["flag"] == "ok"
+    assert got[4]["flag"] == "empty" and got[4]["ratio"] is None
+    again = {r["doc_id"]: r["ratio"] for r in compression_quality(df).collect()}
+    assert {k: v["ratio"] for k, v in got.items()} == again
