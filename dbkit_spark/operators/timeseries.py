@@ -359,7 +359,13 @@ def acf_by_key(
     lagged = zdf
     for k in lags:
         lagged = lagged.withColumn(f"_z{k}", F.lag("z", k).over(w))
+    # lag 0 is the DENOMINATOR (Σ z²) riding the same explode+agg as
+    # the numerators — one corpus pass, not two
     terms = F.array(
+        F.struct(
+            F.lit(0).alias("lag"),
+            F.round(F.col("z") * F.col("z"), 9).cast(dec).alias("prod"),
+        ),
         *[
             F.struct(
                 F.lit(k).alias("lag"),
@@ -368,32 +374,49 @@ def acf_by_key(
                 .alias("prod"),
             )
             for k in lags
-        ]
+        ],
     )
-    num = (
+    exploded = (
         lagged.select(F.col(key_col), F.explode(terms).alias("t"))
         .select(key_col, "t.lag", "t.prod")
         .filter(F.col("prod").isNotNull())
-        .groupBy(key_col, "lag")
-        .agg(F.count("*").alias("n_pairs"), F.sum("prod").alias("num"))
     )
-    den = (
-        zdf.select(
-            F.col(key_col),
-            F.round(F.col("z") * F.col("z"), 9).cast(dec).alias("zz"),
-        )
-        .groupBy(key_col)
-        .agg(F.sum("zz").alias("szz"))
+    # ONE per-key conditional aggregation carries every lag's moments
+    # AND the denominator — a single exchange, and the corpus window
+    # pipeline executes exactly once (a per-(key,lag) agg + self-join
+    # would re-run the whole sort subtree for the lag-0 branch)
+    per_key = exploded.groupBy(key_col).agg(
+        F.sum(F.when(F.col("lag") == 0, F.col("prod"))).alias("_szz"),
+        *[
+            F.sum(
+                F.when(F.col("lag") == k, F.col("prod"))
+            ).alias(f"_num_{k}")
+            for k in lags
+        ],
+        *[
+            F.sum(
+                F.when(F.col("lag") == k, 1).otherwise(0)
+            ).alias(f"_np_{k}")
+            for k in lags
+        ],
     )
-    return num.join(den, key_col).select(
-        key_col,
-        "lag",
-        "n_pairs",
-        (
-            F.round(
-                F.col("num").cast("double") / F.col("szz").cast("double"),
-                6,
+    out_terms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"_np_{k}").alias("n_pairs"),
+                (
+                    F.round(
+                        F.col(f"_num_{k}").cast("double")
+                        / F.col("_szz").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("acf"),
             )
-            + F.lit(0.0)
-        ).alias("acf"),
+            for k in lags
+        ]
     )
+    return per_key.select(
+        F.col(key_col), F.explode(out_terms).alias("o")
+    ).select(key_col, "o.lag", "o.n_pairs", "o.acf")
