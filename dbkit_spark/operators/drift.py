@@ -390,3 +390,80 @@ def cusum_scores(
         return pdf[[key_col, order_col, "z", "s_pos", "s_neg", "alarm"]]
 
     return zed.groupBy(key_col).applyInPandas(run, out_schema)
+
+
+def corpus_kl(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Unigram-distribution divergence between two corpora — the TEXT
+    drift detector next to the numeric PSI/KS: KL(A‖B), KL(B‖A), and
+    the symmetric Jensen–Shannon divergence over Laplace-smoothed token
+    distributions on the UNION vocabulary.
+
+    Each side is one tokenize+count agg; the vocab join is token-keyed
+    (full outer, fill 0 — no broadcast assumption on the vocabulary);
+    per-token nats terms are 9dp-rounded decimals so the reductions are
+    order-independent. Output: ONE row (vocab, n_a, n_b, kl_ab, kl_ba,
+    js) at 6dp (ln is last-ulp engine-dependent — SCALE.md taxonomy)."""
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        tok = F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("t")
+        return (
+            df.select(tok)
+            .select(
+                F.regexp_replace(F.col("t"), "[^a-z0-9]", "").alias("t")
+            )
+            .filter(F.col("t") != "")
+            .groupBy("t")
+            .agg(F.count("*").alias(name))
+        )
+
+    dec = "decimal(38,9)"
+    s = float(smooth)
+    joined = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), "t", "full_outer")
+        .select(
+            "t",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = joined.agg(
+        F.count("*").alias("v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("ca") + s) / (F.col("na") + s * F.col("v"))
+    q = (F.col("cb") + s) / (F.col("nb") + s * F.col("v"))
+    m = (p + q) / 2.0
+    agg = j.agg(
+        F.max("v").alias("vocab"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(F.round(p * F.log(p / q), 9).cast(dec)).alias("kl_ab_d"),
+        F.sum(F.round(q * F.log(q / p), 9).cast(dec)).alias("kl_ba_d"),
+        F.sum(
+            F.round(
+                (p * F.log(p / m) + q * F.log(q / m)) / 2.0, 9
+            ).cast(dec)
+        ).alias("js_d"),
+    )
+    return agg.select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.round(F.col("kl_ab_d").cast("double"), 6) + F.lit(0.0)).alias(
+            "kl_ab"
+        ),
+        (F.round(F.col("kl_ba_d").cast("double"), 6) + F.lit(0.0)).alias(
+            "kl_ba"
+        ),
+        (F.round(F.col("js_d").cast("double"), 6) + F.lit(0.0)).alias("js"),
+    )

@@ -420,3 +420,48 @@ def acf_by_key(
     return per_key.select(
         F.col(key_col), F.explode(out_terms).alias("o")
     ).select(key_col, "o.lag", "o.n_pairs", "o.acf")
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecast (ŷ_t = y_{t−season}) —
+    the baseline every real forecasting model must beat, and the
+    honest first deliverable of a forecasting surface: per key,
+    evaluate the naive forecast on every row that has a season-lagged
+    ancestor and report (n_eval, mae, rmse, bias).
+
+    One per-key window lag (shares the family's single (key, order)
+    sort), decimal error sums (order-independent), raw-IEEE outputs
+    where sums stay sub-2^53. Output: one row per key."""
+    dec = "decimal(38,9)"
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    yd = F.col(value_col).cast("double")
+    errs = (
+        df.withColumn("_f", F.lag(yd, season).over(w))
+        .filter(F.col("_f").isNotNull())
+        .select(
+            F.col(key_col),
+            F.round(yd - F.col("_f"), 9).alias("_e"),
+        )
+    )
+    agg = errs.groupBy(key_col).agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.round(F.abs(F.col("_e")), 9).cast(dec)).alias("sae"),
+        F.sum(
+            F.round(F.col("_e") * F.col("_e"), 9).cast(dec)
+        ).alias("sse"),
+        F.sum(F.col("_e").cast(dec)).alias("se"),
+    )
+    n = F.col("n_eval").cast("double")
+    return agg.select(
+        key_col,
+        "n_eval",
+        (F.col("sae").cast("double") / n).alias("mae"),
+        F.sqrt(F.col("sse").cast("double") / n).alias("rmse"),
+        (F.col("se").cast("double") / n).alias("bias"),
+    )

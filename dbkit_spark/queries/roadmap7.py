@@ -4910,3 +4910,126 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q276_corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import corpus_kl
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_kl(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+_Q276_ORACLE = """
+    WITH ta AS (
+      SELECT regexp_replace(u, '[^a-z0-9]', '', 'g') AS t
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+              AS u
+            FROM documents WHERE doc_id % 2 = 0)
+    ),
+    tb AS (
+      SELECT regexp_replace(u, '[^a-z0-9]', '', 'g') AS t
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+              AS u
+            FROM documents WHERE doc_id % 2 = 1)
+    ),
+    ca AS (SELECT t, COUNT(*) AS ca FROM ta WHERE t <> '' GROUP BY 1),
+    cb AS (SELECT t, COUNT(*) AS cb FROM tb WHERE t <> '' GROUP BY 1),
+    j AS (
+      SELECT COALESCE(ca.t, cb.t) AS t,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.t = cb.t
+    ),
+    tot AS (
+      SELECT COUNT(*) AS v, CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb
+      FROM j
+    ),
+    terms AS (
+      SELECT v, na, nb,
+             (ca + 0.5) / (na + 0.5 * v) AS p,
+             (cb + 0.5) / (nb + 0.5 * v) AS q
+      FROM j CROSS JOIN tot
+    )
+    SELECT CAST(MAX(v) AS BIGINT) AS vocab,
+           MAX(na) AS n_a, MAX(nb) AS n_b,
+           round(CAST(SUM(CAST(round(p * ln(p / q), 9)
+                 AS DECIMAL(38,9))) AS DOUBLE), 6) + 0.0 AS kl_ab,
+           round(CAST(SUM(CAST(round(q * ln(q / p), 9)
+                 AS DECIMAL(38,9))) AS DOUBLE), 6) + 0.0 AS kl_ba,
+           round(CAST(SUM(CAST(round(
+                 (p * ln(p / ((p + q) / 2.0))
+                  + q * ln(q / ((p + q) / 2.0))) / 2.0, 9)
+                 AS DECIMAL(38,9))) AS DOUBLE), 6) + 0.0 AS js
+    FROM terms
+"""
+
+_Q276_NOTES = (
+    "CORPUS KL / JENSEN-SHANNON DIVERGENCE (operators/drift.corpus_kl "
+    "— the TEXT drift detector next to the numeric PSI/KS: smoothed "
+    "unigram distributions of two corpora on the union vocabulary, "
+    "KL both directions + symmetric JS): one tokenize+count agg per "
+    "side, a token-keyed full-outer vocab join (no broadcast "
+    "assumption on the vocabulary — the q250 rule), 9dp-decimal nats "
+    "sums, 6dp output (ln). Fixture split is doc parity so both "
+    "engines build identical corpora"
+)
+
+
+def q277_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import seasonal_naive_backtest
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return seasonal_naive_backtest(
+        ev, "user_id", "event_id", "value", season=7
+    ).orderBy("user_id")
+
+
+_Q277_ORACLE = """
+    WITH lagged AS (
+      SELECT user_id,
+             round(value - lag(value, 7) OVER (PARTITION BY user_id
+                                               ORDER BY event_id), 9)
+               AS e
+      FROM events WHERE value IS NOT NULL
+    ),
+    errs AS (SELECT user_id, e FROM lagged WHERE e IS NOT NULL)
+    SELECT user_id, COUNT(*) AS n_eval,
+           CAST(SUM(CAST(round(abs(e), 9) AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*) AS mae,
+           sqrt(CAST(SUM(CAST(round(e * e, 9) AS DECIMAL(38,9)))
+                AS DOUBLE) / COUNT(*)) AS rmse,
+           CAST(SUM(CAST(e AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+             AS bias
+    FROM errs GROUP BY 1 ORDER BY user_id
+"""
+
+_Q277_NOTES = (
+    "SEASONAL-NAIVE FORECAST BACKTEST (operators/timeseries."
+    "seasonal_naive_backtest — the baseline every forecasting model "
+    "must beat: y_hat_t = y_(t-season), per-key MAE/RMSE/bias over "
+    "rows with a season-lagged ancestor): ONE per-key window lag on "
+    "the family's shared (key, order) sort, decimal error sums, "
+    "raw-IEEE outputs (sums sub-2^53, ops correctly rounded). "
+    "Opens the forecast-eval family next to drift/eval"
+)
+
+
+ROADMAP7.update(
+    {
+        "q276_corpus_kl_divergence": (
+            q276_corpus_kl_divergence,
+            _Q276_ORACLE,
+            _Q276_NOTES,
+        ),
+        "q277_seasonal_naive_backtest": (
+            q277_seasonal_naive_backtest,
+            _Q277_ORACLE,
+            _Q277_NOTES,
+        ),
+    }
+)

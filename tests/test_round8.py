@@ -990,3 +990,38 @@ def test_compression_quality_monotone_laws(spark):
     assert got[4]["flag"] == "empty" and got[4]["ratio"] is None
     again = {r["doc_id"]: r["ratio"] for r in compression_quality(df).collect()}
     assert {k: v["ratio"] for k, v in got.items()} == again
+
+
+def test_corpus_kl_identity_and_separation(spark):
+    """KL and JS are ~0 for an identical corpus pair and strictly
+    positive for disjoint vocabularies; JS is symmetric."""
+    from dbkit_spark.operators.drift import corpus_kl
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id int, text string",
+    )
+    same = corpus_kl(a, a).collect()[0]
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["js"] == 0.0
+    b = spark.createDataFrame(
+        [(1, "epsilon zeta eta"), (2, "zeta eta theta")],
+        "doc_id int, text string",
+    )
+    diff = corpus_kl(a, b).collect()[0]
+    rev = corpus_kl(b, a).collect()[0]
+    assert diff["kl_ab"] > 0.5 and diff["js"] > 0.1
+    assert diff["js"] == rev["js"]  # symmetric by construction
+
+
+def test_seasonal_naive_periodic_is_perfect(spark):
+    """A perfectly period-7 series backtests to MAE == RMSE == 0; a
+    drifting series shows the known constant bias."""
+    from dbkit_spark.operators.timeseries import seasonal_naive_backtest
+
+    rows = [("p", t, float([3, 1, 4, 1, 5, 9, 2][t % 7])) for t in range(35)]
+    rows += [("d", t, float(t)) for t in range(20)]  # y_t - y_{t-7} = 7
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["k"]: r for r in seasonal_naive_backtest(df, "k", "t", "v").collect()}
+    assert got["p"]["mae"] == 0.0 and got["p"]["rmse"] == 0.0
+    assert got["p"]["n_eval"] == 28
+    assert got["d"]["mae"] == 7.0 and got["d"]["bias"] == 7.0
