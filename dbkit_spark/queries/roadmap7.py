@@ -5033,3 +5033,97 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q278_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import expectation_report
+
+    orders = read_table(spark, sf_dir, "orders")
+    rules = [
+        ("orderkey_not_null", "not_null", "o_orderkey", {}),
+        ("orderkey_unique", "unique", "o_orderkey", {}),
+        ("status_in_set", "in_set", "o_orderstatus",
+         {"values": ["F", "O", "P"]}),
+        ("price_in_range", "in_range", "o_totalprice",
+         {"lo": 0, "hi": 1000000}),
+        ("priority_format", "matches", "o_orderpriority",
+         {"pattern": "^[1-5]-[A-Z ]+$"}),
+        ("custkey_nonneg", "in_range", "o_custkey",
+         {"lo": 0, "hi": 9223372036854775807}),
+    ]
+    return expectation_report(orders, rules).orderBy("rule")
+
+
+_Q278_ORACLE = """
+    WITH wide AS (
+      SELECT COUNT(*) AS n_all,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null,
+             COUNT(o_orderkey) AS n_ok,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uni,
+             COUNT(o_orderstatus) AS n_st,
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+             COUNT(o_totalprice) AS n_pr,
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                           AND NOT (o_totalprice BETWEEN 0 AND 1000000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_pr,
+             COUNT(o_orderpriority) AS n_fmt,
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                           AND NOT regexp_matches(o_orderpriority,
+                                                  '^[1-5]-[A-Z ]+$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_fmt,
+             COUNT(o_custkey) AS n_ck,
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+                           AND NOT (o_custkey BETWEEN 0
+                                    AND 9223372036854775807)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_ck
+      FROM orders
+    )
+    SELECT rule, "column", n_checked, n_violations,
+           CASE WHEN n_checked = 0 THEN 1.0
+                ELSE 1.0 - CAST(n_violations AS DOUBLE) / n_checked
+           END AS pass_rate,
+           CASE WHEN n_checked = 0 THEN TRUE
+                ELSE CAST(n_violations AS DOUBLE) / n_checked <= 0.0
+           END AS passed
+    FROM (
+      SELECT 'custkey_nonneg' AS rule, 'o_custkey' AS "column",
+             n_ck AS n_checked, v_ck AS n_violations FROM wide
+      UNION ALL
+      SELECT 'orderkey_not_null', 'o_orderkey', n_all, v_null FROM wide
+      UNION ALL
+      SELECT 'orderkey_unique', 'o_orderkey', n_ok, v_uni FROM wide
+      UNION ALL
+      SELECT 'price_in_range', 'o_totalprice', n_pr, v_pr FROM wide
+      UNION ALL
+      SELECT 'priority_format', 'o_orderpriority', n_fmt, v_fmt FROM wide
+      UNION ALL
+      SELECT 'status_in_set', 'o_orderstatus', n_st, v_st FROM wide
+    )
+    ORDER BY rule
+"""
+
+_Q278_NOTES = (
+    "EXPECTATION-SUITE RUNNER / data contract gate (operators/"
+    "expectations.expectation_report — the Great-Expectations-shaped "
+    "ingest gate next to profiling: declarative not_null/unique/"
+    "in_range/matches/in_set/min_length rules): ALL rules fold into "
+    "ONE aggregation pass (conditional sums map-side; uniqueness as "
+    "count - countDistinct in the SAME agg) — N rules never means N "
+    "jobs or scans. Long-format one-row-per-rule output; pass_rate is "
+    "a small-int division (raw-portable). NULL semantics: non-null "
+    "rules skip NULLs (compose with not_null to forbid)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q278_expectation_report": (
+            q278_expectation_report,
+            _Q278_ORACLE,
+            _Q278_NOTES,
+        ),
+    }
+)

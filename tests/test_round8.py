@@ -1025,3 +1025,39 @@ def test_seasonal_naive_periodic_is_perfect(spark):
     assert got["p"]["mae"] == 0.0 and got["p"]["rmse"] == 0.0
     assert got["p"]["n_eval"] == 28
     assert got["d"]["mae"] == 7.0 and got["d"]["bias"] == 7.0
+
+
+def test_expectation_report_one_job_and_semantics(spark):
+    """All rules fold into one aggregation (single Exchange to a 1-row
+    agg); violation semantics: NULLs skip non-null rules; uniqueness
+    counts duplicates exactly; thresholds gate `passed`."""
+    import re
+
+    from dbkit_spark.operators.expectations import expectation_report
+
+    rows = [
+        (1, "a", 10.0), (2, "b", 20.0), (2, "c", -5.0),
+        (None, "zz", 30.0), (4, None, 1e9),
+    ]
+    df = spark.createDataFrame(rows, "id long, code string, amt double")
+    rules = [
+        ("id_not_null", "not_null", "id", {}),
+        ("id_unique", "unique", "id", {}),
+        ("code_len", "min_length", "code", {"n": 2}),
+        ("amt_range", "in_range", "amt", {"lo": 0, "hi": 100,
+                                          "max_violation_rate": 0.5}),
+    ]
+    rep = expectation_report(df, rules)
+    got = {r["rule"]: r for r in rep.collect()}
+    assert got["id_not_null"]["n_violations"] == 1  # the None id
+    assert got["id_unique"]["n_violations"] == 1    # duplicate 2
+    assert got["code_len"]["n_violations"] == 3     # a, b, c; None skipped
+    assert got["amt_range"]["n_violations"] == 2    # -5 and 1e9
+    assert not got["id_not_null"]["passed"]
+    assert got["amt_range"]["passed"]  # 2/5 = 0.4 <= 0.5 threshold
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # ONE scan for all rules; countDistinct adds the standard second
+    # (distinct-stage) exchange over 1-row partials — still one pass
+    assert len(re.findall(r"Scan ExistingRDD|FileScan", final)) == 1, final
+    assert len(re.findall(r"Exchange", final)) <= 2, final
