@@ -404,13 +404,25 @@ def test_queue_wide_no_accidental_nlj(spark):
     load_all()  # move landed entries out of the queue first
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # streaming replays execute rather than plan (none currently queued,
-    # kept for future queue batches)
-    skip = {"q207_heavy_hitters_stream_replay", "q215_streaming_dedup_ingest"}
+    # streaming replays execute rather than plan (q273 runs its
+    # availableNow replay inside the query fn — plan it would hang on
+    # the unstarted stream)
+    skip = {
+        "q207_heavy_hitters_stream_replay",
+        "q215_streaming_dedup_ingest",
+        "q273_streaming_cusum",
+    }
+    # the q43/q44 class: require_small-guarded exact all-pairs
+    # baselines whose crossJoin is the DESIGNED plan (probe-subset
+    # contract at scale) — same documented set as the catalog gate's
+    # _INTENTIONAL_CROSS, kept tiny and justified per entry:
+    #   q274 — truncation recall's pairwise scoring (guard at 5k rows;
+    #          full-dim recall==1.0 invariant needs the exact pairs)
+    intentional = {"q274_truncation_recall"}
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():
-        if name in skip:
+        if name in skip or name in intentional:
             continue
         bad = nlj_offenders(fn(spark, sf))
         if bad:
