@@ -23,7 +23,7 @@ this is north-star training-data surface (BASELINE.json family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,9)"
@@ -147,4 +147,65 @@ def woe_iv(
             )
             * F.log(pr / nr)
         ).alias("iv_term"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group quantile normalization: replace each value with the
+    GLOBAL value at the same within-group quantile position, so every
+    group ends up with (a subsample of) the identical distribution —
+    the cross-instrument/cross-domain harmonization step (microarray
+    heritage) that z-scoring can't deliver when shapes differ, not
+    just moments.
+
+    Mechanics: within-group rank r (ties broken by id — one
+    deterministic order both engines replay), quantile position
+    p = (r − 0.5)/n_g, target = the global sorted value at index
+    ⌈p·N⌉ (1-based; an OBSERVED value, no interpolation). The global
+    index comes from ``stable_row_number`` (range exchange + local
+    offsets — NO SinglePartition window, the retired failure class)
+    and the mapping is an equi-join on the integer index —
+    corpus-sized but keyed, no NLJ, no collect.
+
+    Output: (id, group, value, normalized)."""
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.row_number().over(wg).alias("_r"),
+        F.count("*")
+        .over(Window.partitionBy(group_col))
+        .alias("_ng"),
+    )
+    from .rownumber import stable_row_number
+
+    global_sorted = stable_row_number(
+        df.select(
+            F.col(id_col), F.col(value_col).cast("double").alias("_v")
+        ),
+        ["_v", id_col],
+        out_col="_idx",
+    ).select(F.col("_v").alias("_gv"), F.col("_idx"))
+    n_all = df.count()
+    target_idx = F.least(
+        F.lit(int(n_all)),
+        F.ceil(
+            (F.col("_r") - 0.5) / F.col("_ng") * F.lit(int(n_all))
+        ).cast("long"),
+    )
+    return (
+        ranked.withColumn("_idx", target_idx)
+        .join(global_sorted, "_idx")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("_v").alias(value_col),
+            F.col("_gv").alias("normalized"),
+        )
     )

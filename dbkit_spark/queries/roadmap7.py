@@ -5127,3 +5127,66 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q279_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import quantile_normalize
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return quantile_normalize(ev, "event_type", "value", "event_id").orderBy(
+        "event_id"
+    )
+
+
+_Q279_ORACLE = """
+    WITH base AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_id, event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS ng
+      FROM base
+    ),
+    gsorted AS (
+      SELECT v AS gv,
+             row_number() OVER (ORDER BY v, event_id) AS idx
+      FROM base
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM base)
+    SELECT r.event_id, r.event_type, r.v AS value, g.gv AS normalized
+    FROM ranked r
+    CROSS JOIN tot
+    JOIN gsorted g
+      ON g.idx = LEAST(tot.n,
+                       CAST(ceil((r.r - 0.5) / r.ng * tot.n) AS BIGINT))
+    ORDER BY r.event_id
+"""
+
+_Q279_NOTES = (
+    "PER-GROUP QUANTILE NORMALIZATION (operators/features."
+    "quantile_normalize — cross-domain distribution harmonization, "
+    "microarray heritage: each value maps to the GLOBAL observed value "
+    "at its within-group quantile position, so every group ends up "
+    "with the identical distribution — z-scoring can't do this when "
+    "SHAPES differ, not just moments): within-group rank windows + a "
+    "global index from stable_row_number (range exchange + local "
+    "offsets — NO SinglePartition window) + one integer-keyed "
+    "equi-join. Deterministic (value, id) tie order replayed by the "
+    "oracle's row_number"
+)
+
+
+ROADMAP7.update(
+    {
+        "q279_quantile_normalize": (
+            q279_quantile_normalize,
+            _Q279_ORACLE,
+            _Q279_NOTES,
+        ),
+    }
+)

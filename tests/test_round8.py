@@ -1061,3 +1061,31 @@ def test_expectation_report_one_job_and_semantics(spark):
     # (distinct-stage) exchange over 1-row partials — still one pass
     assert len(re.findall(r"Scan ExistingRDD|FileScan", final)) == 1, final
     assert len(re.findall(r"Exchange", final)) <= 2, final
+
+
+def test_quantile_normalize_harmonizes_distributions(spark, sf_dir):
+    """After normalization every group's quantiles coincide with the
+    global distribution's (to within one observed-value step), and the
+    output is a permutation-with-repeats of observed global values."""
+    from dbkit_spark.operators.features import quantile_normalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    out = quantile_normalize(ev, "event_type", "value", "event_id")
+    rows = out.collect()
+    observed = {round(r["value"], 9) for r in rows}
+    assert all(round(r["normalized"], 9) in observed for r in rows)
+    meds = (
+        out.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY normalized)"
+            ).alias("m")
+        )
+        .collect()
+    )
+    vals = [r["m"] for r in meds]
+    assert max(vals) - min(vals) < 0.1 * (max(observed) - min(observed))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
