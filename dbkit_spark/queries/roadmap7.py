@@ -5190,3 +5190,151 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+# --- distributed prefix scan (round 8, batch 6) ------------------------------
+def q280_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import prefix_agg
+
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(28,2)").alias("_p"),
+    )
+    return (
+        prefix_agg(
+            src,
+            ["o_orderdate", "o_orderkey"],
+            "_p",
+            agg="sum",
+            out_col="_run",
+        )
+        # exact decimal accumulation, double on the wire (the engine-wide
+        # decimal-carry rule): cast-of-exact-decimal is the same nearest
+        # double in both engines
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_p").cast("double").alias("total_price"),
+            F.col("_run").cast("double").alias("running_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_Q280_ORACLE = """
+    SELECT o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(28,2)) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    ORDER BY o_orderkey
+"""
+
+_Q280_NOTES = (
+    "DISTRIBUTED PREFIX SCAN (operators/prefix.prefix_agg — cumulative "
+    "SUM OVER a global ORDER BY with NO SinglePartition window, the "
+    "two-phase Blelloch scan in DataFrame ops): approxQuantile edges "
+    "bucket the lead key map-side (monotone literal chain, the q79 "
+    "sampled-boundaries discipline), ONE balanced hash exchange computes "
+    "bucket-local prefixes, a k-row totals agg prefix-combines through "
+    "the bounded pmod(bucket,1) window and broadcasts back. Decimal "
+    "accumulator so local+offset regrouping is exact (associative) — "
+    "bit-identical to the oracle's sequential window"
+)
+
+
+def q281_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import prefix_agg
+
+    pts = (
+        read_table(spark, sf_dir, "part")
+        .groupBy("p_retailprice", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    scanned = prefix_agg(
+        pts,
+        [("p_retailprice", "asc"), ("p_size", "desc")],
+        "p_size",
+        agg="max",
+        inclusive=False,
+        out_col="cm",
+    )
+    return (
+        scanned.filter(F.col("cm").isNull() | (F.col("cm") < F.col("p_size")))
+        .select("p_retailprice", "p_size", "n_parts")
+        .orderBy("p_retailprice", "p_size")
+    )
+
+
+_Q281_ORACLE = """
+    WITH pts AS (
+      SELECT p_retailprice, p_size, COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    scan AS (
+      SELECT p_retailprice, p_size, n_parts,
+             MAX(p_size) OVER (
+               ORDER BY p_retailprice ASC, p_size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS cm
+      FROM pts
+    )
+    SELECT p_retailprice, p_size, n_parts
+    FROM scan WHERE cm IS NULL OR cm < p_size
+    ORDER BY p_retailprice, p_size
+"""
+
+_Q281_NOTES = (
+    "SKYLINE / PARETO FRONTIER (minimize price, maximize size) via the "
+    "classic sort-scan reduction: dedupe to distinct points (one hash "
+    "agg), then a point is dominated iff the EXCLUSIVE running max of "
+    "size over (price asc, size desc) reaches its size — equal-price "
+    "ties are handled because distinct points at the same price sort "
+    "larger-size-first. The running max is prefix_agg, so the whole "
+    "skyline is two exchanges and never all-pairs; the oracle replays "
+    "the identical scan with a window"
+)
+
+
+def q282_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import plan_shards
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return plan_shards(
+        docs, "n_chars", 100_000, order_by=["doc_id"]
+    ).orderBy("doc_id")
+
+
+_Q282_ORACLE = """
+    SELECT doc_id, n_chars,
+           CAST(COALESCE(SUM(n_chars) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // 100000 AS BIGINT) AS shard
+    FROM documents
+    ORDER BY doc_id
+"""
+
+_Q282_NOTES = (
+    "EXPORT SHARD / COMPACTION PLANNING (operators/prefix.plan_shards): "
+    "assign corpus items to ~target-byte output shards by cutting on the "
+    "exclusive running size — the greedy writer loop made distributed "
+    "and RERUNNABLE (pure function of order+sizes, identical plan on "
+    "re-run or cross-engine, unlike stateful first-fit packing). "
+    "Integer DIV on the exact long prefix (no double floor: 100 TB "
+    "prefixes exceed 2^53). Same planner applies to small-file "
+    "compaction over the footer index (sources/fileindex.py) — pytest "
+    "covers that path; here the oracle replays the document-export form"
+)
+
+
+ROADMAP7.update(
+    {
+        "q280_running_revenue": (q280_running_revenue, _Q280_ORACLE, _Q280_NOTES),
+        "q281_skyline_frontier": (q281_skyline_frontier, _Q281_ORACLE, _Q281_NOTES),
+        "q282_export_shards": (q282_export_shards, _Q282_ORACLE, _Q282_NOTES),
+    }
+)

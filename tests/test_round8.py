@@ -1089,3 +1089,157 @@ def test_quantile_normalize_harmonizes_distributions(spark, sf_dir):
     assert max(vals) - min(vals) < 0.1 * (max(observed) - min(observed))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
+# --- distributed prefix scan (batch 6) --------------------------------------
+def test_prefix_agg_matches_single_partition_window(spark, sf_dir):
+    """Bit-exactness of the two-phase scan against the naive global
+    window, all four aggs, inclusive and exclusive frames."""
+    from pyspark.sql import Window
+
+    from dbkit_spark.operators.prefix import prefix_agg
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        # decimal accumulator for sum: double addition is order-sensitive
+        # so regrouped partials differ in the last ulp — exactly the
+        # contract prefix_agg's docstring states (decimal is associative)
+        .select("event_id", F.col("value").cast("decimal(28,6)").alias("value"))
+        .limit(4000)
+    )
+    for agg, fn in (("sum", F.sum), ("max", F.max), ("min", F.min), ("count", F.count)):
+        for inclusive in (True, False):
+            upper = 0 if inclusive else -1
+            w = Window.orderBy("event_id").rowsBetween(
+                Window.unboundedPreceding, upper
+            )
+            ref_col = fn("value").over(w)
+            if agg == "count":
+                ref_col = F.coalesce(ref_col, F.lit(0)).cast("long")
+            ref = {
+                r["event_id"]: r["x"]
+                for r in ev.withColumn("x", ref_col).collect()
+            }
+            got = {
+                r["event_id"]: r["x"]
+                for r in prefix_agg(
+                    ev, ["event_id"], "value", agg=agg,
+                    inclusive=inclusive, out_col="x",
+                ).collect()
+            }
+            assert got == ref, (agg, inclusive)
+
+
+def test_prefix_agg_plan_no_single_partition(spark, sf_dir):
+    from dbkit_spark.operators.prefix import prefix_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    out = prefix_agg(ev, ["event_id"], "value", agg="sum", out_col="x")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_agg_null_semantics(spark):
+    """ANSI window parity: all-null prefix is NULL (not 0) for
+    sum/max/min; count skips nulls and is 0, never NULL."""
+    from dbkit_spark.operators.prefix import prefix_agg
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5.0), (4, None), (5, 2.0)],
+        "k int, v double",
+    )
+    rows = {
+        r["k"]: (r["s"], r["m"], r["c"])
+        for r in prefix_agg(
+            prefix_agg(
+                prefix_agg(df, ["k"], "v", agg="sum", out_col="s"),
+                ["k"], "v", agg="max", out_col="m",
+            ),
+            ["k"], "v", agg="count", out_col="c",
+        ).collect()
+    }
+    assert rows[1] == (None, None, 0)
+    assert rows[2] == (None, None, 0)
+    assert rows[3] == (5.0, 5.0, 1)
+    assert rows[4] == (5.0, 5.0, 1)
+    assert rows[5] == (7.0, 5.0, 2)
+
+
+def test_prefix_agg_temporal_lead_key(spark, sf_dir):
+    """Date/timestamp lead keys bucket via their monotone numeric image."""
+    from pyspark.sql import Window
+
+    from dbkit_spark.operators.prefix import prefix_agg
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", F.col("value").cast("decimal(28,6)").alias("v"))
+        .limit(3000)
+    )
+    ref = {
+        r["event_id"]: r["x"]
+        for r in ev.withColumn(
+            "x",
+            F.sum("v").over(
+                Window.orderBy("ts", "event_id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    got = {
+        r["event_id"]: r["x"]
+        for r in prefix_agg(
+            ev, ["ts", "event_id"], "v", agg="sum", out_col="x"
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_prefix_agg_rejects_bad_args(spark):
+    from dbkit_spark.operators.prefix import prefix_agg
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    import pytest
+
+    with pytest.raises(ValueError, match="agg must be"):
+        prefix_agg(df, ["k"], "v", agg="median")
+    with pytest.raises(ValueError, match="non-empty"):
+        prefix_agg(df, [], "v")
+    with pytest.raises(ValueError, match="ascending"):
+        prefix_agg(df, [("k", "desc")], "v")
+    with pytest.raises(ValueError, match="pre-map strings"):
+        prefix_agg(df, ["s"], "v")
+
+
+def test_plan_shards_fill_properties(spark, sf_dir):
+    """Every shard's fill < target + its own largest item (greedy cut
+    bound); shards are contiguous in walk order; oversize items get
+    their own shard; the plan is deterministic across re-runs."""
+    from dbkit_spark.operators.prefix import plan_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    target = 50_000
+    out = plan_shards(docs, "n_chars", target, order_by=["doc_id"])
+    stats = (
+        out.groupBy("shard")
+        .agg(F.sum("n_chars").alias("fill"), F.max("n_chars").alias("mx"))
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert r["fill"] < target + r["mx"]
+    # contiguity: walk order maps to non-decreasing shard ids
+    rows = out.orderBy("doc_id").collect()
+    shards = [r["shard"] for r in rows]
+    assert shards == sorted(shards)
+    again = {
+        (r["doc_id"], r["shard"])
+        for r in plan_shards(docs, "n_chars", target, order_by=["doc_id"]).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"]) for r in rows}
