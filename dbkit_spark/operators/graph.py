@@ -218,3 +218,54 @@ def k_core(
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node —
+    level-synchronous frontier expansion, the building block behind
+    "within-N-hops-of-a-bad-actor" fraud sweeps and link-graph crawl
+    frontiers.
+
+    Input: canonical undirected (a, b) edges (``canonical_edges``) and
+    a ``sources`` frame with a ``node`` column (distance 0 seeds).
+    Output: (node, hops) for every node within ``max_hops`` of a seed —
+    unreachable nodes are absent, matching the recursive-SQL shape.
+
+    Per round: the FRONTIER (nodes first reached last round — not the
+    whole visited set) joins the edge list once, minus already-visited
+    via left_anti — two keyed shuffles on frontier-sized inputs. Work
+    per round is O(edges incident to the frontier), total O(E) across
+    the sweep, never O(E × rounds): the classic frontier optimization
+    that makes level-synchronous BFS viable at graph scale. Lineage is
+    truncated per round (eager localCheckpoint, the iterate-family
+    rule); an O(1) empty-frontier probe stops early.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    visited = (
+        sources.select("node").distinct().withColumn("hops", F.lit(0))
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier, und["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    und.unpersist()
+    return visited

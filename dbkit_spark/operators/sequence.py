@@ -90,3 +90,91 @@ def pattern_conversions(
     )
     drop = ["_start_us"] + (["_block_us"] if blocker_type is not None else [])
     return out.drop(*drop)
+
+
+def window_funnel(
+    events: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Multi-step FIRST-TOUCH window funnel (the windowFunnel shape):
+    per partition key, the funnel anchors at the EARLIEST ``steps[0]``
+    event; each later step must be the earliest matching event STRICTLY
+    after the previous step and within ``window_seconds`` of the anchor.
+    Output: one row per key with ``funnel_level`` (0..len(steps)) and
+    ``anchor_ts`` (the step-1 timestamp, NULL at level 0).
+
+    First-touch greedy semantics are deliberately chosen over
+    max-over-all-anchors: they are deterministic, replayable as plain
+    nested MIN() SQL (the oracle), and what product funnels report.
+
+    Plan: filter to the step types (funnel-relevant events only — the
+    list a key carries is bounded by its own funnel activity, not its
+    raw event volume), ONE groupBy(key) with a sorted collect_list of
+    (ts_micros, type_idx) structs, then a JVM higher-order ``aggregate``
+    fold walks the sorted list once — one exchange total, no window, no
+    self-joins, no Python. Time compares exact integer microseconds
+    (unix_micros ≡ DuckDB epoch_us), never float time arithmetic.
+
+    Skew caveat: a key whose step-type event count alone is huge still
+    collects that list; salt upstream if funnel events themselves skew
+    (the q64 rule).
+    """
+    if len(steps) < 2:
+        raise ValueError("steps must have at least 2 entries")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct")
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    win_us = int(window_seconds) * 1_000_000
+    idx = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps))):
+        idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(idx)
+    evs = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(partition_col).alias("key"),
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                idx.alias("step"),
+            ).alias("e"),
+        )
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+
+    zero = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("tprev"),
+    )
+
+    def fold(acc: Column, x: Column) -> Column:
+        start = (acc["level"] == 0) & (x["step"] == 0)
+        advance = (
+            (acc["level"] > 0)
+            & (acc["level"] < len(steps))
+            & (x["step"] == acc["level"])
+            & (x["us"] > acc["tprev"])
+            & (x["us"] <= acc["t1"] + F.lit(win_us))
+        )
+        return F.struct(
+            F.when(start, F.lit(1))
+            .when(advance, acc["level"] + 1)
+            .otherwise(acc["level"])
+            .alias("level"),
+            F.when(start, x["us"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(start | advance, x["us"])
+            .otherwise(acc["tprev"])
+            .alias("tprev"),
+        )
+
+    done = F.aggregate(F.col("evs"), zero, fold)
+    return evs.select(
+        F.col("key").alias(partition_col),
+        done["level"].alias("funnel_level"),
+        F.timestamp_micros(done["t1"]).alias("anchor_ts"),
+    )

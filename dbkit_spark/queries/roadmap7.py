@@ -5338,3 +5338,130 @@ ROADMAP7.update(
         "q282_export_shards": (q282_export_shards, _Q282_ORACLE, _Q282_NOTES),
     }
 )
+
+
+def q283_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import window_funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    return window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        window_seconds=7200,
+    ).orderBy("user_id")
+
+
+_Q283_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    keys AS (SELECT DISTINCT user_id FROM ev),
+    s1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.us) AS t2
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.us > s1.t1 AND e.us <= s1.t1 + 7200000000
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.us) AS t3
+      FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.us > s2.t2 AND e.us <= s1.t1 + 7200000000
+      GROUP BY 1
+    )
+    SELECT k.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level,
+           make_timestamp(t1) AS anchor_ts
+    FROM keys k
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY k.user_id
+"""
+
+_Q283_NOTES = (
+    "MULTI-STEP WINDOW FUNNEL (operators/sequence.window_funnel — the "
+    "windowFunnel shape: first-touch anchor at the earliest step-1 "
+    "event, each later step the earliest strictly-after match within "
+    "the anchor window): funnel-relevant events only into ONE "
+    "groupBy(key) sorted collect_list, then a JVM higher-order "
+    "aggregate fold walks each list once — one exchange, no window, no "
+    "self-joins, no Python. Exact integer-microsecond time compares "
+    "(unix_micros ≡ epoch_us); the oracle replays first-touch greedy "
+    "as nested MIN() CTEs"
+)
+
+
+def q284_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops, canonical_edges
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 97).alias("src"),
+        (F.col("event_id") % 89).alias("dst"),
+    )
+    edges = canonical_edges(pairs, "src", "dst")
+    seeds = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .filter(F.col("node") < 5)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+
+
+_Q284_ORACLE = """
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT LEAST(user_id % 97, event_id % 89) AS a,
+                      GREATEST(user_id % 97, event_id % 89) AS b
+      FROM events
+      WHERE user_id % 97 <> event_id % 89
+    ),
+    und AS (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS node FROM und WHERE src < 5
+    ),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT u.dst, w.hops + 1
+      FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, MIN(hops) AS hops FROM walk GROUP BY node ORDER BY node
+"""
+
+_Q284_NOTES = (
+    "MULTI-SOURCE BFS HOP DISTANCE (operators/graph.bfs_hops — "
+    "min hops from any seed, the within-N-hops fraud/crawl sweep): "
+    "level-synchronous FRONTIER expansion — each round the newly "
+    "reached set (not the whole visited set) joins the edges once, "
+    "left_anti vs visited, per-round localCheckpoint + O(1) "
+    "empty-frontier stop — total work O(E), never O(E x rounds). "
+    "Oracle = bounded WITH RECURSIVE walk + MIN(hops) rollup"
+)
+
+
+ROADMAP7.update(
+    {
+        "q283_window_funnel": (q283_window_funnel, _Q283_ORACLE, _Q283_NOTES),
+        "q284_bfs_hops": (q284_bfs_hops, _Q284_ORACLE, _Q284_NOTES),
+    }
+)

@@ -1243,3 +1243,64 @@ def test_plan_shards_fill_properties(spark, sf_dir):
         for r in plan_shards(docs, "n_chars", target, order_by=["doc_id"]).collect()
     }
     assert again == {(r["doc_id"], r["shard"]) for r in rows}
+
+
+def test_window_funnel_semantics(spark):
+    """First-touch anchor; strict ordering; anchor-window cutoff; keys
+    with only later-step events stay at level 0."""
+    from datetime import datetime
+
+    from dbkit_spark.operators.sequence import window_funnel
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: clean 3-step conversion inside the window
+        (1, T(0), "view"), (1, T(5), "click"), (1, T(10), "purchase"),
+        # u2: purchase outside the 15-min anchor window -> level 2
+        (2, T(0), "view"), (2, T(5), "click"), (2, T(20), "purchase"),
+        # u3: purchase BEFORE click -> level 2 (strictly-after rule)
+        (3, T(0), "view"), (3, T(4), "purchase"), (3, T(8), "click"),
+        # u4: only clicks/purchases, never a view -> level 0
+        (4, T(0), "click"), (4, T(1), "purchase"),
+        # u5: SECOND view would convert, but first-touch anchors at the
+        # first view -> click at +20 is outside its window -> level 1
+        (5, T(0), "view"), (5, T(18), "view"), (5, T(20), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: (r["funnel_level"], r["anchor_ts"])
+        for r in window_funnel(
+            ev, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], window_seconds=900,
+        ).collect()
+    }
+    assert out[1][0] == 3 and out[1][1] == T(0)
+    assert out[2][0] == 2
+    assert out[3][0] == 2
+    assert out[4] == (0, None)
+    assert out[5][0] == 1 and out[5][1] == T(0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 2"):
+        window_funnel(ev, "user_id", "ts", "event_type", ["view"], 10)
+    with pytest.raises(ValueError, match="distinct"):
+        window_funnel(ev, "user_id", "ts", "event_type", ["a", "a"], 10)
+
+
+def test_bfs_hops_semantics(spark):
+    """Chain distances, multi-source MIN, hop bound, unreachable absent,
+    isolated seed still emitted at 0."""
+    from dbkit_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "a int, b int"
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], "node int")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3}
+    # two seeds: distance is MIN over seeds; undirected expansion
+    both = {r["node"]: r["hops"] for r in bfs_hops(
+        edges, spark.createDataFrame([(0,), (5,)], "node int"), 10
+    ).collect()}
+    assert both == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
