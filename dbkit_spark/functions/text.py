@@ -307,3 +307,90 @@ def rake_keywords(
             (F.col("degree").cast("double") / F.col("freq")).alias("score"),
         )
     )
+
+
+# --- web-corpus preprocessing: HTML strip + URL canonicalization ------------
+# Same dialect discipline as the PII patterns: every regex is valid AND
+# equivalent in Java regex (Spark) and RE2 (DuckDB) — inline (?is) flags,
+# lazy quantifiers, no lookarounds, no backreferences in patterns, and no
+# $1/\1 replacement backrefs (the one place the dialects spell things
+# differently).
+
+_TRACKING_PARAMS = "(utm_[a-zA-Z]+|fbclid|gclid|msclkid)"
+
+
+def strip_html(col: Column | str) -> Column:
+    """Boilerplate HTML → text: drop <script>/<style>/comments WITH their
+    contents, replace remaining tags with a space (so ``a</p><p>b`` never
+    fuses into ``ab``), decode the six entities that dominate real web
+    text, collapse whitespace. Chained ``regexp_replace`` — map-only,
+    whole-stage codegen, no parser dependency. (A conformant DOM parse is
+    out of scope by design: at corpus scale the lexical strip is the
+    standard first pass — trafilatura-class extraction plugs in behind
+    the same column contract via mapInPandas when available.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, "(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, "(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, "<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last: &amp;lt; must NOT become <
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, "\\s+", " "))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of an absolute URL: authority minus userinfo and
+    port. NULL-propagating; relative URLs yield ''."""
+    c = F.col(col) if isinstance(col, str) else col
+    auth = F.regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    return F.lower(
+        F.regexp_replace(F.regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", "")
+    )
+
+
+_CC_SLD_RE = "[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[a-z]{2}$"
+
+
+def url_registered_domain(col: Column | str) -> Column:
+    """Registered (pay-level) domain of a URL's host — the per-site
+    grouping key for crawl quotas and domain mixing. HEURISTIC, not the
+    Public Suffix List (no data dependency): last two labels, or last
+    THREE when the second-level label is a registry-like ccTLD second
+    level (co.uk, com.au, ac.jp, ...). Covers the dominant shapes; a PSL
+    lookup table can broadcast-join behind the same contract."""
+    host = url_host(col)
+    return F.when(
+        host.rlike(_CC_SLD_RE), F.regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    ).otherwise(F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+
+
+def url_normalize(col: Column | str) -> Column:
+    """Canonical URL for dedup/grouping: lowercase scheme+authority, drop
+    the fragment, drop default ports (:80 http / :443 https), strip
+    tracking parameters (utm_*, fbclid, gclid, msclkid) with separator
+    repair, drop a bare trailing '?'. Pure chained regexp_replace in the
+    Java/RE2 common subset — no replacement backrefs, so the identical
+    rewrite chain runs in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    auth = F.when(
+        (scheme == "http"), F.regexp_replace(auth, ":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    rest = F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    rest = F.regexp_replace(rest, "#.*$", "")  # fragment first
+    rest = F.regexp_replace(rest, "&" + _TRACKING_PARAMS + "=[^&#]*", "")
+    rest = F.regexp_replace(rest, "\\?" + _TRACKING_PARAMS + "=[^&#]*&", "?")
+    rest = F.regexp_replace(rest, "\\?" + _TRACKING_PARAMS + "=[^&#]*$", "")
+    return F.when(
+        scheme == "", c  # relative / schemeless: pass through untouched
+    ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))

@@ -5465,3 +5465,178 @@ ROADMAP7.update(
         "q284_bfs_hops": (q284_bfs_hops, _Q284_ORACLE, _Q284_NOTES),
     }
 )
+
+
+def q285_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import strip_html
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("<html><head><style>body{color:red}</style><script>var a="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 200),
+        F.lit(" &amp; more</p><!-- id "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><div>tail&nbsp;"),
+        F.col("lang"),
+        F.lit("&#39;s &lt;end&gt;</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id", strip_html(synth).alias("clean")
+    ).orderBy("doc_id")
+
+
+_Q285_ORACLE = """
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '\\s+', ' ', 'g')) AS clean
+    FROM (
+      SELECT doc_id,
+             '<html><head><style>body{color:red}</style><script>var a='
+             || CAST(doc_id AS VARCHAR)
+             || ';</script></head><body><h1>' || source || '</h1><p>'
+             || substr(text, 1, 200) || ' &amp; more</p><!-- id '
+             || CAST(doc_id AS VARCHAR) || ' --><div>tail&nbsp;' || lang
+             || '&#39;s &lt;end&gt;</div></body></html>' AS synth
+      FROM documents
+    )
+    ORDER BY doc_id
+"""
+
+_Q285_NOTES = (
+    "HTML BOILERPLATE STRIP (functions/text.strip_html — the lexical "
+    "web-corpus cleaning pass: script/style/comment blocks dropped WITH "
+    "contents, tags to spaces so adjacent blocks never fuse, the six "
+    "dominant entities decoded with &amp; LAST so &amp;lt; stays "
+    "literal, whitespace collapsed): chained regexp_replace/replace in "
+    "the Java-regex/RE2 common subset — map-only, whole-stage codegen, "
+    "zero parser dependency; deterministic HTML synthesized per doc so "
+    "both engines strip identical markup"
+)
+
+
+def q286_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import url_host, url_normalize, url_registered_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example"), (d % 7).cast("string"),
+                F.lit(".COM:80/p/"), d.cast("string"),
+                F.lit("?utm_source=a&x="), d.cast("string"), F.lit("#frag"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://news.site"), (d % 5).cast("string"),
+                F.lit(".co.uk:443/a/"), d.cast("string"), F.lit("?fbclid=zz"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("https://cdn.host"), (d % 3).cast("string"),
+                F.lit(".org/img.png?gclid=1&v=2&utm_medium=m"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://plain.example.net/page"), d.cast("string"))
+        )
+    )
+    return docs.select(
+        "doc_id",
+        url_normalize(synth).alias("canonical"),
+        url_host(synth).alias("host"),
+        url_registered_domain(synth).alias("domain"),
+    ).orderBy("doc_id")
+
+
+_Q286_ORACLE = """
+    WITH synth AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 4 = 0 THEN
+            'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+            || '.COM:80/p/' || CAST(doc_id AS VARCHAR)
+            || '?utm_source=a&x=' || CAST(doc_id AS VARCHAR) || '#frag'
+          WHEN doc_id % 4 = 1 THEN
+            'https://news.site' || CAST(doc_id % 5 AS VARCHAR)
+            || '.co.uk:443/a/' || CAST(doc_id AS VARCHAR) || '?fbclid=zz'
+          WHEN doc_id % 4 = 2 THEN
+            'https://cdn.host' || CAST(doc_id % 3 AS VARCHAR)
+            || '.org/img.png?gclid=1&v=2&utm_medium=m'
+          ELSE 'http://plain.example.net/page' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth_raw,
+        regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                       '#.*$', '') AS rest0
+      FROM synth
+    ),
+    cleaned AS (
+      SELECT doc_id, url, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(auth_raw, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(auth_raw, ':443$', '')
+             ELSE auth_raw END AS auth,
+        lower(regexp_replace(regexp_replace(
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+          '^[^@]*@', ''), ':[0-9]+$', '')) AS host,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest0,
+              '&(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+            '\\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=[^&#]*&', '?', 'g'),
+          '\\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=[^&#]*$', '', 'g') AS rest
+      FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || auth || rest AS canonical,
+           host,
+           CASE WHEN regexp_matches(host,
+                  '[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[a-z]{2}$')
+                THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+    FROM cleaned
+    ORDER BY doc_id
+"""
+
+_Q286_NOTES = (
+    "URL CANONICALIZATION (functions/text.url_normalize / url_host / "
+    "url_registered_domain — the crawl-dedup and per-site-quota key): "
+    "lowercase scheme+authority, fragment dropped, default ports "
+    "stripped per scheme, tracking params (utm_*, fbclid, gclid, "
+    "msclkid) removed with separator repair, registered domain by the "
+    "ccTLD-second-level heuristic (PSL table can broadcast-join behind "
+    "the same contract). Pure regexp chains in the Java/RE2 common "
+    "subset, NO replacement backrefs (the one divergent dialect "
+    "feature); map-only whole-stage codegen"
+)
+
+
+ROADMAP7.update(
+    {
+        "q285_html_strip": (q285_html_strip, _Q285_ORACLE, _Q285_NOTES),
+        "q286_url_canonical": (q286_url_canonical, _Q286_ORACLE, _Q286_NOTES),
+    }
+)

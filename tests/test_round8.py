@@ -1304,3 +1304,66 @@ def test_bfs_hops_semantics(spark):
         edges, spark.createDataFrame([(0,), (5,)], "node int"), 10
     ).collect()}
     assert both == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_strip_html_laws(spark):
+    """Script/style contents vanish; tags become separators (no word
+    fusing); &amp;lt; decodes to literal '&lt;' (amp last); whitespace
+    collapses; plain text passes through."""
+    from dbkit_spark.functions.text import strip_html
+
+    rows = [
+        (1, "<p>a</p><p>b</p>"),
+        (2, "x<script>die()</script>y"),
+        (3, "x<style>.c{}</style>y"),
+        (4, "&amp;lt;kept&amp;gt;"),
+        (5, "no markup at all"),
+        (6, "a  \n\t b<!-- hidden -->c"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r.id: r.s for r in df.select("id", strip_html("t").alias("s")).collect()}
+    assert got[1] == "a b"
+    assert got[2] == "x y"
+    assert got[3] == "x y"
+    assert got[4] == "&lt;kept&gt;"
+    assert got[5] == "no markup at all"
+    assert got[6] == "a b c"
+    assert got[7] is None
+
+
+def test_url_functions_laws(spark):
+    """Host drops userinfo+port and lowercases; registered domain
+    handles ccTLD second levels; normalize strips default ports,
+    fragments, and tracking params with separator repair; relative
+    URLs pass through untouched."""
+    from dbkit_spark.functions.text import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    rows = [
+        (1, "HTTP://User@WWW.Shop.CO.UK:80/A?utm_source=s&q=2#f"),
+        (2, "https://api.example.com:8443/v1?utm_a=1&utm_b=2"),
+        (3, "/relative?x=1"),
+        (4, "https://example.com/?utm_campaign=z&gclid=g"),
+    ]
+    df = spark.createDataFrame(rows, "id int, u string")
+    got = {
+        r.id: (r.h, r.d, r.n)
+        for r in df.select(
+            "id",
+            url_host("u").alias("h"),
+            url_registered_domain("u").alias("d"),
+            url_normalize("u").alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("www.shop.co.uk", "shop.co.uk", "http://user@www.shop.co.uk/A?q=2")
+    assert got[2] == (
+        "api.example.com",
+        "example.com",
+        "https://api.example.com:8443/v1",
+    )
+    assert got[3] == ("", "", "/relative?x=1")
+    assert got[4] == ("example.com", "example.com", "https://example.com/")
