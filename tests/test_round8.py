@@ -1367,3 +1367,58 @@ def test_url_functions_laws(spark):
     )
     assert got[3] == ("", "", "/relative?x=1")
     assert got[4] == ("example.com", "example.com", "https://example.com/")
+
+
+def test_jaro_winkler_duckdb_parity():
+    """The Python scorer must be BIT-identical to DuckDB's
+    jaro_winkler_similarity — including the empty-string edge (DuckDB:
+    0.0 even for empty-vs-empty) and the 0.7 boost threshold."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from dbkit_spark.llm.entity import _jaro_winkler_py
+
+    con = duckdb.connect()
+    words = [
+        "martha", "marhta", "dixon", "dicksonx", "jellyfish", "smellyfish",
+        "", "a", "ab", "Supplier#000000001", "Supplier#0000X0001",
+    ]
+    pairs = list(itertools.product(words, words))
+    rng = random.Random(11)
+    for _ in range(200):
+        pairs.append(
+            tuple(
+                "".join(rng.choice("abXY#01 ") for _ in range(rng.randint(0, 15)))
+                for _ in range(2)
+            )
+        )
+    for a, b in pairs:
+        d = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler_py(a, b) == d, (a, b)
+
+
+def test_blocked_link_jw_semantics(spark):
+    """High-JW pairs inside a block link; low-JW pairs inside a block
+    are rejected; pairs sharing no block key never score."""
+    from dbkit_spark.llm.entity import blocked_link_jw
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "rebecca jones"), (3, "zzz")],
+        "lid int, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathon smith"), (20, "completely other"), (30, "zzz")],
+        "rid int, rname string",
+    )
+    blocks = [(F.substring(F.col("lname"), 1, 1), F.substring(F.col("rname"), 1, 1))]
+    out = blocked_link_jw(
+        left, right, "lid", "rid", "lname", "rname", blocks, threshold=0.9
+    ).collect()
+    got = {(r["lid"], r["rid"]): r["jw"] for r in out}
+    assert (1, 10) in got and got[(1, 10)] >= 0.9
+    assert (3, 30) in got and got[(3, 30)] == 1.0
+    assert all(k in {(1, 10), (3, 30)} for k in got)
