@@ -203,16 +203,27 @@ def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + b"".join(rows)
 
 
-def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
-    """Minimal binary PPM (P6, maxval 255) with deterministic pixels."""
+def encode_ppm(
+    width: int, height: int, seed: int = 0, maxval: int = 255
+) -> bytes:
+    """Minimal binary PPM (P6) with deterministic pixels. ``maxval`` >
+    255 emits 2-byte big-endian samples (16-bit PPM) per the netpbm
+    spec."""
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
-    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    if not 1 <= maxval <= 65535:
+        raise ValueError("maxval out of spec")
+    header = f"P6\n{width} {height}\n{maxval}\n".encode("ascii")
     px = bytearray()
     for y in range(height):
         for x in range(width):
             v = (seed + 31 * x + 17 * y) % 256
-            px += bytes((v, (v * 7) % 256, (v * 13) % 256))
+            for c in (v, (v * 7) % 256, (v * 13) % 256):
+                sample = c * maxval // 255
+                if maxval > 255:
+                    px += bytes(((sample >> 8) & 0xFF, sample & 0xFF))
+                else:
+                    px += bytes((sample,))
     return header + bytes(px)
 
 
@@ -819,13 +830,33 @@ def decode_ppm_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(fields) != 3:
         raise ValueError("PPM truncated header")
     w, h, maxval = fields
-    if maxval != 255:
-        raise NotImplementedError("PPM maxval != 255 (16-bit) unsupported")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"PPM maxval out of spec: {maxval}")
     pos += 1  # the single whitespace after maxval
-    px = payload[pos : pos + w * h * 3]
-    if len(px) < w * h * 3:
-        raise ValueError("PPM truncated pixels")
-    return w, h, 3, bytes(px)
+    if maxval == 255:
+        px = payload[pos : pos + w * h * 3]
+        if len(px) < w * h * 3:
+            raise ValueError("PPM truncated pixels")
+        return w, h, 3, bytes(px)
+    # non-255 maxval: 2-byte big-endian samples when maxval > 255 (the
+    # netpbm rule), 1-byte otherwise; rescale to 8-bit with round-half-up
+    # integer arithmetic — deterministic, no float
+    import numpy as np
+
+    if maxval > 255:
+        need = w * h * 3 * 2
+        raw = payload[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("PPM truncated pixels")
+        samples = np.frombuffer(raw, dtype=">u2").astype(np.uint32)
+    else:
+        need = w * h * 3
+        raw = payload[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("PPM truncated pixels")
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.uint32)
+    scaled = (samples * 255 + maxval // 2) // maxval
+    return w, h, 3, scaled.astype(np.uint8).tobytes()
 
 
 def decode_image_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:

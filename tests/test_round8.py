@@ -1422,3 +1422,34 @@ def test_blocked_link_jw_semantics(spark):
     assert (1, 10) in got and got[(1, 10)] >= 0.9
     assert (3, 30) in got and got[(3, 30)] == 1.0
     assert all(k in {(1, 10), (3, 30)} for k in got)
+
+
+def test_ppm_16bit_decode():
+    """16-bit (and odd-maxval) PPMs decode with exact integer
+    round-half-up rescaling to 8-bit; the 255 fast path is untouched."""
+    import numpy as np
+
+    from dbkit_spark.llm.multimodal import decode_ppm_pixels, encode_ppm
+
+    for maxval in (255, 65535, 1023, 100):
+        payload = encode_ppm(9, 5, seed=maxval % 7, maxval=maxval)
+        w, h, c, raw = decode_ppm_pixels(payload)
+        assert (w, h, c) == (9, 5, 3)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(5, 9, 3)
+        seed = maxval % 7
+        for y in range(5):
+            for x in range(9):
+                v = (seed + 31 * x + 17 * y) % 256
+                for ch, val in enumerate((v, (v * 7) % 256, (v * 13) % 256)):
+                    sample = val * maxval // 255
+                    want = (sample * 255 + maxval // 2) // maxval
+                    assert got[y, x, ch] == want, (maxval, x, y, ch)
+    import pytest
+
+    with pytest.raises(ValueError, match="maxval out of spec"):
+        encode_ppm(2, 2, maxval=0)
+    bad = b"P6\n2 2\n70000\n" + bytes(24)
+    with pytest.raises(ValueError, match="out of spec"):
+        decode_ppm_pixels(bad)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm_pixels(encode_ppm(4, 4, maxval=65535)[:-5])
