@@ -191,3 +191,77 @@ def rrf_fuse(
         .select(id_col, *[f"_r{li}" for li in range(len(lists))], "rrf_score")
         .toDF(id_col, *[f"rank_{li+1}" for li in range(len(lists))], "rrf_score")
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_size: int = 128,
+) -> DataFrame:
+    """Positional inverted-index construction — the search-infra
+    ARTIFACT (bm25_topk answers queries; this materializes the index a
+    serving system loads): per (token, block) one row holding
+    delta-encoded doc ids and per-doc position lists.
+
+    Output: ``token``, ``block``, ``doc_gaps`` (array<long>: first entry
+    absolute, rest deltas — the classic posting-list compression that
+    turns sorted 8-byte ids into small varint-able gaps), ``positions``
+    (array<array<int>>, parallel to doc_gaps, each inner list the
+    token's 0-based positions within that doc, sorted), ``df`` (the
+    token's TOTAL document frequency across all its blocks).
+
+    Scale shape: posting lists are SHARDED into blocks of
+    ``block_size`` docs — a stop token's postings become many bounded
+    rows instead of one giant array (the segment-block layout real
+    engines use; no row ever exceeds block_size entries). Plan: one
+    posexplode + (token, doc) agg, one token-keyed window pair for
+    block numbering and the cross-block df — two exchanges on (token)
+    after the first agg's (token, doc) exchange; never a collect, the
+    index IS a DataFrame (write it partitionBy(token-prefix)).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+    )
+    w_rank = Window.partitionBy("token").orderBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    blocked = (
+        per_doc.withColumn(
+            "block",
+            ((F.row_number().over(w_rank) - 1) / block_size).cast("long"),
+        )
+        .withColumn("df", F.count(F.lit(1)).over(w_tok))
+    )
+    entries = (
+        blocked.groupBy("token", "block")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "poss"))
+            ).alias("es"),
+            F.max("df").alias("df"),
+        )
+    )
+    ids = F.col("es.doc_id")
+    gaps = F.transform(
+        ids,
+        lambda x, i: x
+        - F.when(i == 0, F.lit(0)).otherwise(F.element_at(ids, i)),
+    )
+    return entries.select(
+        "token",
+        "block",
+        gaps.alias("doc_gaps"),
+        F.col("es.poss").alias("positions"),
+        "df",
+    )

@@ -44,7 +44,7 @@ a single order-key value heavier than ~n/k rows lands in one bucket
 (equi-depth boundaries can't split equal keys); that is inherent to
 ordered prefix semantics, not this implementation.
 
-Plan-gated (no SinglePartition) in tests/test_round8b.py.
+Plan-gated (no SinglePartition) in tests/test_round8.py.
 """
 
 from __future__ import annotations
@@ -228,3 +228,64 @@ def plan_shards(
         )
         .drop("_before")
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT weighted quantiles (lower/type-1: the smallest value whose
+    cumulative weight reaches q·W) — frequency-weighted percentiles,
+    which ``percentile_approx``/``percentile`` cannot express.
+
+    Scale shape: one :func:`prefix_agg` over (value, tiebreaks) for the
+    running weight (one balanced exchange, no SinglePartition), a 1-row
+    total broadcast, then ONE aggregate holding a conditional MIN per
+    requested q — |qs| map-side-combined columns, not |qs| passes.
+
+    Weights must be non-negative integers (counts/frequencies — cast
+    upstream): the cumulative sum stays an exact BIGINT, and the only
+    float op is the q·W threshold multiply, identical IEEE in any
+    engine. Zero-weight rows are excluded (they carry no mass and
+    would otherwise be eligible as 'smallest value at the boundary').
+
+    Output: one row per q — (q, value) with value as double.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    order = [value_col] + list(tiebreak_cols or [])
+    w = F.col(weight_col).cast("long")
+    base = df.filter(w.isNotNull() & (w > 0) & F.col(value_col).isNotNull()).select(
+        *[F.col(c) for c in order], w.alias("_w")
+    )
+    cum = prefix_agg(base, order, "_w", agg="sum", out_col="_cw")
+    total = base.agg(F.sum("_w").alias("_tw"))
+    joined = cum.join(F.broadcast(total))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cw") >= F.lit(float(q)) * F.col("_tw"),
+                F.col(value_col).cast("double"),
+            )
+        ).alias(f"_q{i}")
+        for i, q in enumerate(qs)
+    ]
+    wide = joined.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"_q{i}").alias("value")
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.q", "r.value")

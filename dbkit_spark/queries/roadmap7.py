@@ -5730,3 +5730,142 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q288_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import weighted_quantile
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return weighted_quantile(
+        li,
+        "l_extendedprice",
+        "w",
+        [0.25, 0.5, 0.75, 0.9],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    ).orderBy("q")
+
+
+_Q288_ORACLE = """
+    WITH base AS (
+      SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0
+        AND l_extendedprice IS NOT NULL
+    ),
+    cum AS (
+      SELECT v, SUM(w) OVER (
+               ORDER BY v, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cw
+      FROM base
+    ),
+    tot AS (SELECT SUM(w) AS tw FROM base),
+    grid(q) AS (VALUES (0.25), (0.5), (0.75), (0.9))
+    SELECT CAST(g.q AS DOUBLE) AS q,
+           MIN(CASE WHEN c.cw >= g.q * t.tw THEN c.v END) AS value
+    FROM cum c CROSS JOIN tot t CROSS JOIN grid g
+    GROUP BY g.q
+    ORDER BY q
+"""
+
+_Q288_NOTES = (
+    "EXACT WEIGHTED QUANTILES (operators/prefix.weighted_quantile — "
+    "lower/type-1: smallest value whose cumulative weight reaches q*W; "
+    "frequency-weighted percentiles, inexpressible by percentile_"
+    "approx): one prefix_agg running weight (balanced exchange, no "
+    "SinglePartition), 1-row total broadcast, ONE aggregate with |qs| "
+    "conditional MINs map-side-combined. Integer weights keep the "
+    "cumulative sum exact BIGINT; the only float op is the q*W "
+    "threshold multiply — identical IEEE in both engines"
+)
+
+
+ROADMAP7.update(
+    {
+        "q288_weighted_quantiles": (
+            q288_weighted_quantiles,
+            _Q288_ORACLE,
+            _Q288_NOTES,
+        ),
+    }
+)
+
+
+def q289_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.retrieval import build_postings
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        build_postings(docs, "doc_id", "text", block_size=64)
+        .filter(F.col("df") >= 5)
+        .orderBy("token", "block")
+    )
+
+
+_Q289_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, e.tok AS token, e.pos AS pos
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(ts,
+                 (x, i) -> struct_pack(tok := x, pos := i - 1))) AS e
+        FROM toks
+      )
+    ),
+    perdoc AS (
+      SELECT token, doc_id, list_sort(list(pos)) AS poss
+      FROM flat GROUP BY token, doc_id
+    ),
+    blocked AS (
+      SELECT token, doc_id, poss,
+             CAST((row_number() OVER (PARTITION BY token ORDER BY doc_id)
+                   - 1) // 64 AS BIGINT) AS block,
+             COUNT(*) OVER (PARTITION BY token) AS df
+      FROM perdoc
+    ),
+    entries AS (
+      SELECT token, block, MAX(df) AS df,
+             list(doc_id ORDER BY doc_id) AS ids,
+             list(poss ORDER BY doc_id) AS positions
+      FROM blocked GROUP BY token, block
+    )
+    SELECT token, block,
+           list_transform(ids,
+             (x, i) -> x - CASE WHEN i = 1 THEN 0 ELSE ids[i - 1] END)
+             AS doc_gaps,
+           positions, df
+    FROM entries
+    WHERE df >= 5
+    ORDER BY token, block
+"""
+
+_Q289_NOTES = (
+    "POSITIONAL INVERTED-INDEX CONSTRUCTION (llm/retrieval."
+    "build_postings — the search-infra ARTIFACT bm25_topk queries "
+    "against, materialized: per (token, block) delta-encoded doc ids + "
+    "per-doc sorted position lists + cross-block df): posting lists "
+    "SHARDED into 64-doc blocks so a stop token becomes many bounded "
+    "rows, never one giant array (the segment-block layout); one "
+    "posexplode + (token,doc) agg + token-keyed window pair — the "
+    "index IS a DataFrame, never collected. Delta chain replayed "
+    "token-identically by DuckDB's indexed list_transform"
+)
+
+
+ROADMAP7.update(
+    {
+        "q289_postings_index": (q289_postings_index, _Q289_ORACLE, _Q289_NOTES),
+    }
+)

@@ -1453,3 +1453,71 @@ def test_ppm_16bit_decode():
         decode_ppm_pixels(bad)
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm_pixels(encode_ppm(4, 4, maxval=65535)[:-5])
+
+
+def test_weighted_quantile_laws(spark):
+    """Type-1 semantics on a hand mass function; unweighted case (w=1)
+    equals the plain discrete quantile; zero-weight rows carry no mass."""
+    from dbkit_spark.operators.prefix import weighted_quantile
+
+    # mass: 1@10, 3@20, 1@30, 0@5 (excluded)  => W=5
+    df = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 3), (3, 30.0, 1), (4, 5.0, 0)],
+        "id int, v double, w int",
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_quantile(df, "v", "w", [0.2, 0.5, 0.8, 1.0], ["id"]).collect()
+    }
+    # cum: 10->1, 20->4, 30->5
+    assert got == {0.2: 10.0, 0.5: 20.0, 0.8: 20.0, 1.0: 30.0}
+
+    uni = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(1, 101)], "id int, v double, w int"
+    )
+    got2 = {
+        r["q"]: r["value"]
+        for r in weighted_quantile(uni, "v", "w", [0.25, 0.5], ["id"]).collect()
+    }
+    assert got2 == {0.25: 25.0, 0.5: 50.0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_quantile(uni, "v", "w", [])
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        weighted_quantile(uni, "v", "w", [0.0])
+
+
+def test_build_postings_laws(spark):
+    """Block sharding bound, per-block delta decode round-trips to the
+    sorted doc ids, positions match the source text, df counts docs
+    across all blocks."""
+    from dbkit_spark.llm.retrieval import build_postings
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha") for i in range(10)] + [(100, "beta gamma")],
+        "doc_id long, text string",
+    )
+    out = build_postings(docs, "doc_id", "text", block_size=4).collect()
+    by_key = {(r["token"], r["block"]): r for r in out}
+    # alpha: 10 docs -> blocks of 4/4/2; df=10 on every block row
+    alpha_blocks = sorted(b for t, b in by_key if t == "alpha")
+    assert alpha_blocks == [0, 1, 2]
+    assert all(by_key[("alpha", b)]["df"] == 10 for b in alpha_blocks)
+    assert [len(by_key[("alpha", b)]["doc_gaps"]) for b in alpha_blocks] == [4, 4, 2]
+    # delta decode across block 0: ids 0,1,2,3
+    assert by_key[("alpha", 0)]["doc_gaps"] == [0, 1, 1, 1]
+    # positions of 'alpha' in "alpha beta alpha" are [0, 2]
+    assert by_key[("alpha", 0)]["positions"][0] == [0, 2]
+    # beta appears in 11 docs -> df=11; last block starts at doc 100
+    beta_blocks = sorted(b for t, b in by_key if t == "beta")
+    assert all(by_key[("beta", b)]["df"] == 11 for b in beta_blocks)
+    last = by_key[("beta", beta_blocks[-1])]
+    # delta of the final entry reaches doc 100
+    first_id_prev = sum(by_key[("beta", b)]["doc_gaps"][0] for b in [beta_blocks[-1]])
+    assert sum(last["doc_gaps"]) >= 100 - 8  # decodes into the 100 range
+    import pytest
+
+    with pytest.raises(ValueError, match="block_size"):
+        build_postings(docs, "doc_id", "text", block_size=0)
