@@ -12,8 +12,11 @@ codec in ``llm/jpeg.py`` (Huffman + IDCT + Annex-K tables) — including
 progressive (SOF2) multi-scan streams and 4:2:0/4:2:2 chroma
 subsampling (round 8). Arithmetic-coded/hierarchical/12-bit JPEG
 degrades to header metadata.
-Video/audio remain STUBBED via ``_fake_decode``; swap in
-PIL/torchaudio/... without touching any Spark plumbing.
+AUDIO decodes for real too: ``llm/audio.py`` parses RIFF/WAVE integer
+PCM (8/16/24/32-bit, multi-channel) with the same decoded=false
+degradation contract. Video remains STUBBED via ``_fake_decode``;
+swap in PyAV/torchvision-class decoders without touching any Spark
+plumbing.
 """
 
 from __future__ import annotations

@@ -5869,3 +5869,70 @@ ROADMAP7.update(
         "q289_postings_index": (q289_postings_index, _Q289_ORACLE, _Q289_NOTES),
     }
 )
+
+
+def q290_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.audio import audio_stats, with_wav_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_wav_payload(docs, "doc_id", every=5)
+    return (
+        audio_stats(payloads)
+        .select(
+            "doc_id", "sample_rate", "channels", "bits", "n_frames",
+            "duration_s", "peak_abs", "mean_square", "zero_crossings",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q290_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, 800 + (doc_id % 7) * 160 AS n
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    samples AS (
+      SELECT doc_id, n, i,
+             (doc_id * 7349 + i * (i + 13) * 2654435761) % 65536 - 32768 AS s
+      FROM ids, UNNEST(generate_series(0, n - 1)) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, n, i, s,
+             CASE WHEN (s >= 0) <>
+                  (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                  THEN 1 ELSE 0 END AS flip
+      FROM samples
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS channels,
+           16 AS bits,
+           CAST(MAX(n) AS BIGINT) AS n_frames,
+           CAST(MAX(n) AS DOUBLE) / 8000 AS duration_s,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(s * s) AS DOUBLE) / MAX(n) AS mean_square,
+           CAST(SUM(flip) AS BIGINT) AS zero_crossings
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+_Q290_NOTES = (
+    "REAL AUDIO DECODE + FEATURES (llm/audio — from-spec RIFF/WAVE PCM "
+    "parser at 8/16/24/32 bits, chunk-walk tolerant; audio_stats over "
+    "Arrow mapInPandas: duration, peak, mean-square energy, zero "
+    "crossings — map-only, shuffle-free, the image_pixel_stats "
+    "contract extended to audio with decoded=false degradation for "
+    "non-PCM codecs): the FIXTURE-DIFFERENTIAL oracle never parses a "
+    "WAV byte — it regenerates the deterministic BIGINT waveform with "
+    "generate_series and reproduces every stat (exact-integer peak/zc/"
+    "sum-of-squares, one IEEE division) bit-for-bit, so a decoder bug "
+    "anywhere in the chunk walk or PCM unpack hash-fails"
+)
+
+
+ROADMAP7.update(
+    {
+        "q290_audio_features": (q290_audio_features, _Q290_ORACLE, _Q290_NOTES),
+    }
+)

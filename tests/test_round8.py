@@ -1521,3 +1521,76 @@ def test_build_postings_laws(spark):
 
     with pytest.raises(ValueError, match="block_size"):
         build_postings(docs, "doc_id", "text", block_size=0)
+
+
+# --- real WAV audio decode (round 8) ----------------------------------------
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_round_trip(bits, channels):
+    """Every PCM bit depth and channel layout decodes back to the
+    synthesized samples at the source scale."""
+    from dbkit_spark.llm.audio import decode_wav, encode_wav, synth_samples
+
+    p = encode_wav(300, 8000, channels, seed=bits + channels, bits=bits)
+    rate, ch, b, s = decode_wav(p)
+    assert (rate, ch, b) == (8000, channels, bits)
+    want = synth_samples(bits + channels, 300 * channels).astype(np.int64)
+    want = want.reshape(-1, channels)
+    scale = {8: want >> 8, 16: want, 24: want << 8, 32: want << 16}[bits]
+    assert (s == scale).all()
+
+
+def test_wav_chunk_walk_and_rejection():
+    """Extra odd-sized chunks before data are skipped per spec; non-PCM
+    raises NotImplementedError; truncated/garbage raises ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from dbkit_spark.llm.audio import decode_wav, encode_wav
+
+    p = encode_wav(64, 8000, 1, seed=1)
+    head, rest = p[:12], p[12:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = b"RIFF" + struct.pack("<I", len(head + extra + rest) - 8) + (
+        head + extra + rest
+    )[8:]
+    _, _, _, s = decode_wav(spliced)
+    assert s.shape == (64, 1)
+    float_fmt = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    with _pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav(float_fmt)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nonsense")
+    with _pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_audio_stats_boundary(spark):
+    """The Spark boundary: real WAV payloads flow through audio_stats
+    map-only (no Exchange); a corrupted payload degrades to
+    decoded=false instead of failing the batch."""
+    from dbkit_spark.llm.audio import audio_stats, decode_wav, encode_wav
+
+    rows = [(i, bytearray(encode_wav(200 + i, 8000, 1 + i % 2, seed=i)))
+            for i in range(4)]
+    rows.append((99, bytearray(b"RIFFgarbage_not_a_wave_stream___")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = audio_stats(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 5
+    assert not got[99].decoded and got[99].mean_square is None
+    for i, payload in rows[:4]:
+        r = got[i]
+        assert r.decoded and r.channels == 1 + i % 2
+        _, _, _, s = decode_wav(bytes(payload))
+        flat = s.ravel().astype("int64")
+        assert r.peak_abs == int(abs(flat).max())
+        assert r.mean_square == int((flat * flat).sum()) / flat.size
