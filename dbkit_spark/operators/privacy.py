@@ -1,0 +1,96 @@
+"""Privacy auditing + release primitives for the curation surface.
+
+Sits beside the l-diversity audit (q222) and PII redaction
+(`functions/text.redact_pii`): k-anonymity is the group-size half of
+the re-identification story (l-diversity bounds the SENSITIVE value
+spread inside a group; k-anonymity bounds how small a quasi-identifier
+group may get at all), and `dp_counts` is the release half — counts
+published with Laplace noise.
+
+The Laplace draw is DETERMINISTIC: u ∈ (0,1) from the engine-wide md5
+hash rule on the group key, then the inverse-CDF transform
+``−(1/ε)·sign(u−½)·ln(1−2|u−½|)``. Same rationale as every hash-rank
+sample in `llm/sampling.py` — reruns and engines agree, audits can
+replay the exact release. (A cryptographic RNG seeded per release is
+the production hardening; the TRANSFORM and the sensitivity-1 count
+contract are what this operator pins. Deterministic noise keyed on the
+group is NOT differential privacy against an adversary who knows the
+salt — treat the salt as the release's secret.)
+
+Noisy outputs round at 6dp: ln() is not correctly-rounded across libm
+implementations (the q262 WoE lesson), so the last bits of the
+transform may differ per engine while 6dp is stable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Per quasi-identifier combination: its group size and whether it
+    violates k-anonymity (size < k — fewer than k records share the
+    combination, so any of them narrows to a small candidate set).
+    One hash aggregation; NULL quasi values form their own group
+    (groupBy semantics), which is the conservative choice — a NULL
+    pattern can re-identify too.
+
+    Output: quasi_cols..., ``group_size``, ``violates``.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k <= 1:
+        raise ValueError("k must be > 1")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size")
+    ).withColumn("violates", F.col("group_size") < k)
+
+
+def _hash_u01(key: Column, salt: str) -> Column:
+    """Deterministic uniform in (0,1): first 6 md5 hex digits (the
+    engine-wide portable hash rule), offset by 0.5 so u is never 0 or
+    1 and ln(1−2|u−½|) stays finite."""
+    keyed = F.concat(key.cast("string"), F.lit(":" + salt))
+    raw = F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
+    return (raw.cast("double") + 0.5) / F.lit(float(1 << 24))
+
+
+def dp_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    epsilon: float,
+    salt: str = "dp",
+) -> DataFrame:
+    """Per-group counts released with Laplace(1/ε) noise — the textbook
+    ε-DP mechanism for a sensitivity-1 counting query, with the noise
+    drawn via the deterministic inverse-CDF transform described in the
+    module docstring. One hash aggregation + map-side noise.
+
+    Output: keys..., ``true_count`` (keep it out of real releases —
+    it is here because the oracle differential pins both columns),
+    ``noisy_count`` (6dp).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("true_count"))
+    gk = F.concat_ws("", *[F.col(c).cast("string") for c in keys])
+    u = _hash_u01(gk, salt)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / float(epsilon))
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.withColumn(
+        "noisy_count",
+        F.round(F.col("true_count").cast("double") + noise, 6),
+    )

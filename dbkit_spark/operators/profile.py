@@ -419,3 +419,57 @@ def fd_repair(
         F.col("_nd").alias("n_distinct"),
         (F.col("_c").cast("double") / F.col("_n")).alias("support"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags via MEDIAN ABSOLUTE DEVIATION —
+    the outlier detector that doesn't let outliers move its own
+    yardstick (mean/std z-scores famously do: one 1e9 spike inflates σ
+    until nothing is anomalous). Flags rows with
+    |x − med| > k · 1.4826 · MAD (1.4826 = 1/Φ⁻¹(3/4), the consistency
+    constant making MAD estimate σ under normality).
+
+    Two group aggregations (median, then median of |x − med|), each one
+    exchange on the keys with the group-count-sized result broadcast
+    back; flagging is map-side. percentile_disc keeps the medians
+    OBSERVED values (Spark percentile_disc ≡ DuckDB quantile_disc, the
+    q263 parity), so every comparison is exact IEEE on both engines —
+    no interpolation ambiguity.
+
+    Degenerate groups (MAD = 0: over half the mass on one value) flag
+    only rows strictly off the median when k·1.4826·0 = 0 — the
+    standard MAD caveat, documented rather than papered over.
+
+    Output: input columns + ``med``, ``mad``, ``is_outlier``.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    c = F.col(value_col)
+    clean = df.filter(c.isNotNull())
+    med = clean.groupBy(*keys).agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("med")
+    )
+    with_med = clean.join(F.broadcast(med), list(keys))
+    mad = (
+        with_med.withColumn("_ad", F.abs(c - F.col("med")))
+        .groupBy(*keys)
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _ad)").alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        with_med.join(F.broadcast(mad), list(keys))
+        .withColumn(
+            "is_outlier",
+            F.abs(c - F.col("med")) > F.lit(float(k) * 1.4826) * F.col("mad"),
+        )
+    )

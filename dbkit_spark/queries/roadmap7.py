@@ -5936,3 +5936,126 @@ ROADMAP7.update(
         "q290_audio_features": (q290_audio_features, _Q290_ORACLE, _Q290_NOTES),
     }
 )
+
+
+def q291_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return mad_outliers(ev, ["event_type"], "value", k=3.0).orderBy("event_id")
+
+
+_Q291_ORACLE = """
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM base GROUP BY event_type
+    ),
+    mad AS (
+      SELECT b.event_type,
+             quantile_disc(abs(b.value - m.med), 0.5) AS mad
+      FROM base b JOIN med m USING (event_type)
+      GROUP BY b.event_type
+    )
+    SELECT b.event_id, b.event_type, b.value, m.med, d.mad,
+           abs(b.value - m.med) > (3.0 * 1.4826) * d.mad AS is_outlier
+    FROM base b
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    ORDER BY b.event_id
+"""
+
+_Q291_NOTES = (
+    "ROBUST MAD OUTLIER FLAGS (operators/profile.mad_outliers — "
+    "|x-med| > k*1.4826*MAD, the detector whose yardstick outliers "
+    "can't inflate, unlike mean/std z-scores): two group aggregations "
+    "with group-count-sized results broadcast back, flagging map-side. "
+    "percentile_disc keeps medians OBSERVED values (Spark "
+    "percentile_disc == DuckDB quantile_disc, the q263 parity) so "
+    "every comparison is exact IEEE — no interpolation ambiguity, no "
+    "rounding slack"
+)
+
+
+def q292_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = read_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_Q292_ORACLE = """
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size,
+           COUNT(*) < 10 AS violates
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+"""
+
+_Q292_NOTES = (
+    "K-ANONYMITY AUDIT (operators/privacy.k_anonymity_audit — the "
+    "group-size half of the re-identification story beside q222's "
+    "l-diversity: a quasi-identifier combination shared by fewer than "
+    "k records narrows any of them to a small candidate set): ONE hash "
+    "aggregation, NULL quasi patterns audited as their own group (the "
+    "conservative choice)"
+)
+
+
+def q293_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import dp_counts
+
+    orders = read_table(spark, sf_dir, "orders")
+    return dp_counts(orders, ["o_orderpriority"], epsilon=0.5).orderBy(
+        "o_orderpriority"
+    )
+
+
+_Q293_ORACLE = """
+    WITH counts AS (
+      SELECT o_orderpriority, COUNT(*) AS true_count
+      FROM orders GROUP BY o_orderpriority
+    ),
+    noise AS (
+      SELECT o_orderpriority, true_count,
+        (CAST(list_sum(list_transform(generate_series(1, 6), i ->
+           CAST((strpos('0123456789abcdef',
+                 substr(md5(o_orderpriority || ':dp'), i, 1)) - 1) AS BIGINT)
+           * CAST(power(16, 6 - i) AS BIGINT))) AS DOUBLE) + 0.5)
+        / 16777216.0 AS u
+      FROM counts
+    )
+    SELECT o_orderpriority, true_count,
+           round(CAST(true_count AS DOUBLE)
+                 + (-(1.0 / 0.5) * sign(u - 0.5)
+                    * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_count
+    FROM noise
+    ORDER BY o_orderpriority
+"""
+
+_Q293_NOTES = (
+    "DP NOISY COUNTS (operators/privacy.dp_counts — the epsilon-DP "
+    "Laplace mechanism for sensitivity-1 counts, noise via the "
+    "DETERMINISTIC inverse-CDF transform -(1/eps)*sign(u-1/2)*"
+    "ln(1-2|u-1/2|) with u from the engine-wide md5 hash rule, so "
+    "audits replay the exact release; salt is the release secret): "
+    "one hash agg + map-side noise; 6dp because ln() is not "
+    "correctly-rounded across libm implementations (the q262 lesson). "
+    "The oracle re-derives u digit-by-digit from the same md5 hex"
+)
+
+
+ROADMAP7.update(
+    {
+        "q291_mad_outliers": (q291_mad_outliers, _Q291_ORACLE, _Q291_NOTES),
+        "q292_k_anonymity": (q292_k_anonymity, _Q292_ORACLE, _Q292_NOTES),
+        "q293_dp_counts": (q293_dp_counts, _Q293_ORACLE, _Q293_NOTES),
+    }
+)

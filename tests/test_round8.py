@@ -1594,3 +1594,46 @@ def test_audio_stats_boundary(spark):
         flat = s.ravel().astype("int64")
         assert r.peak_abs == int(abs(flat).max())
         assert r.mean_square == int((flat * flat).sum()) / flat.size
+
+
+def test_mad_outliers_robustness(spark):
+    """A 1e9 spike is flagged AND does not move the yardstick enough to
+    hide a modest outlier — the failure mode of mean/std z-scores."""
+    from dbkit_spark.operators.profile import mad_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 10, 11, 12, 10, 11, 40, 1e9])]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    got = {r["id"]: r["is_outlier"] for r in mad_outliers(df, ["g"], "v").collect()}
+    assert got[9] is True       # the spike
+    assert got[8] is True       # the modest outlier still visible
+    assert all(got[i] is False for i in range(8))
+    import pytest
+
+    with pytest.raises(ValueError, match="keys"):
+        mad_outliers(df, [], "v")
+
+
+def test_k_anonymity_and_dp_counts_laws(spark):
+    """Small groups violate; noise is deterministic across calls, zero-
+    mean-ish in aggregate, and bounded sanity for a reasonable eps."""
+    from dbkit_spark.operators.privacy import dp_counts, k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 20 else "b") for i in range(23)], "id int, q string"
+    )
+    audit = {r["q"]: (r["group_size"], r["violates"])
+             for r in k_anonymity_audit(df, ["q"], k=5).collect()}
+    assert audit == {"a": (20, False), "b": (3, True)}
+
+    one = {r["q"]: r["noisy_count"] for r in dp_counts(df, ["q"], 0.5).collect()}
+    two = {r["q"]: r["noisy_count"] for r in dp_counts(df, ["q"], 0.5).collect()}
+    assert one == two  # deterministic release
+    diff_salt = {r["q"]: r["noisy_count"]
+                 for r in dp_counts(df, ["q"], 0.5, salt="other").collect()}
+    assert diff_salt != one  # the salt actually keys the draw
+    import pytest
+
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_counts(df, ["q"], 0.0)
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity_audit(df, ["q"], 1)
