@@ -138,7 +138,9 @@ def window_funnel(
         .select(
             F.col(partition_col).alias("key"),
             F.struct(
-                F.unix_micros(F.col(ts_col)).alias("us"),
+                # ntz sources cast through the session zone first (UTC in
+                # build_session) — unix_micros requires TIMESTAMP
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
                 idx.alias("step"),
             ).alias("e"),
         )

@@ -6059,3 +6059,113 @@ ROADMAP7.update(
         "q293_dp_counts": (q293_dp_counts, _Q293_ORACLE, _Q293_NOTES),
     }
 )
+
+
+def q294_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q283's exact funnel configuration driven through the STREAMING
+    runtime: funnel-step events split into two per-key-ordered parquet
+    chunks (each user's first event in chunk 0) and replayed
+    file-by-file through the stateful stream; the final state per key
+    (max n_seen) must reproduce the batch fold — the oracle is q283's
+    nested-MIN SQL with the anchor kept in epoch micros."""
+    import os
+    import tempfile
+
+    from ..streaming.funnel import streaming_funnel
+    from ..streaming.runner import run_available_now
+
+    steps = ["view", "click", "purchase"]
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(steps)
+    )
+    pdf = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "event_type",
+    ).toPandas()
+    d = tempfile.mkdtemp(prefix="q294_funnel_")
+    first_ts = pdf.groupby("user_id")["ts"].transform("min")
+    head = pdf[pdf["ts"] == first_ts].drop_duplicates(subset=["user_id"])
+    rest = pdf.drop(head.index)
+    head.to_parquet(os.path.join(d, "part0.parquet"), index=False)
+    rest.to_parquet(os.path.join(d, "part1.parquet"), index=False)
+    stream = (
+        spark.readStream.schema("user_id long, ts long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_available_now(
+        streaming_funnel(stream, "user_id", "ts", "event_type", steps, 7200),
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "funnel_level", "anchor_us")
+        .orderBy("user_id")
+    )
+
+
+_Q294_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    keys AS (SELECT DISTINCT user_id FROM ev),
+    s1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.us) AS t2
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.us > s1.t1 AND e.us <= s1.t1 + 7200000000
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.us) AS t3
+      FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.us > s2.t2 AND e.us <= s1.t1 + 7200000000
+      GROUP BY 1
+    )
+    SELECT k.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level,
+           t1 AS anchor_us
+    FROM keys k
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY k.user_id
+"""
+
+_Q294_NOTES = (
+    "STREAMING WINDOW FUNNEL (streaming/funnel.streaming_funnel — the "
+    "stateful-stream twin of q283, SURVEY 2.9 batch/stream parity "
+    "family): per-key (level, anchor, last-step, n_seen) state in "
+    "applyInPandasWithState carried across micro-batches; the per-key "
+    "replay split puts each user's FIRST event alone in chunk 0 so "
+    "every multi-step conversion MUST advance across a batch boundary "
+    "(the strongest possible state-carry exercise). Oracle = q283's "
+    "nested-MIN first-touch SQL with the anchor in epoch micros — a "
+    "hash-green streaming query"
+)
+
+
+ROADMAP7.update(
+    {
+        "q294_streaming_funnel": (
+            q294_streaming_funnel,
+            _Q294_ORACLE,
+            _Q294_NOTES,
+        ),
+    }
+)

@@ -411,6 +411,7 @@ def test_queue_wide_no_accidental_nlj(spark):
         "q207_heavy_hitters_stream_replay",
         "q215_streaming_dedup_ingest",
         "q273_streaming_cusum",
+        "q294_streaming_funnel",
     }
     # the q43/q44 class: require_small-guarded exact all-pairs
     # baselines whose crossJoin is the DESIGNED plan (probe-subset

@@ -1637,3 +1637,84 @@ def test_k_anonymity_and_dp_counts_laws(spark):
         dp_counts(df, ["q"], 0.0)
     with pytest.raises(ValueError, match="k must"):
         k_anonymity_audit(df, ["q"], 1)
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Two-file ordered replay: the final streamed state per key must
+    equal the batch window_funnel over all events — including keys whose
+    funnel ADVANCES across the micro-batch boundary — and late
+    (pre-anchor) events in a later batch cannot rewind state."""
+    import pandas as pd
+
+    from dbkit_spark.operators.sequence import window_funnel
+    from dbkit_spark.streaming.funnel import streaming_funnel
+    from dbkit_spark.streaming.runner import run_available_now
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    steps = ["view", "click", "purchase"]
+    batch = {
+        r["user_id"]: (r["funnel_level"], r["anchor_ts"])
+        for r in window_funnel(ev, "user_id", "ts", "event_type", steps, 7200).collect()
+    }
+
+    pdf = (
+        ev.filter(F.col("event_type").isin(steps))
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"), "event_type")
+        .toPandas()
+    )
+    d = tmp_path / "evstream"
+    d.mkdir()
+    # per-key split: each user's FIRST funnel event lands in file 0, the
+    # rest in file 1 — so any user reaching level >= 2 must advance
+    # across the batch boundary (guaranteeing the cross-batch assertion)
+    first_ts = pdf.groupby("user_id")["ts"].transform("min")
+    head = pdf[pdf["ts"] == first_ts].drop_duplicates(subset=["user_id"])
+    rest = pdf.drop(head.index)
+    head.to_parquet(d / "part0.parquet", index=False)
+    rest.to_parquet(d / "part1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got_df = run_available_now(
+        streaming_funnel(stream, "user_id", "ts", "event_type", steps, 7200),
+        output_mode="update",
+    )
+    rows = got_df.collect()
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["n_seen"] > latest[r["user_id"]]["n_seen"]:
+            latest[r["user_id"]] = r
+    got = {
+        u: (r["funnel_level"], r["anchor_us"]) for u, r in latest.items()
+    }
+    import datetime
+
+    want = {
+        u: (
+            lvl,
+            None
+            if ts is None
+            else int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000),
+        )
+        for u, (lvl, ts) in batch.items()
+    }
+    assert got == want
+    # at least one key must have advanced across the file boundary,
+    # otherwise this test isn't exercising cross-batch state
+    mid = {
+        r["user_id"]: r["funnel_level"] for r in rows if r["n_seen"] == latest[r["user_id"]]["n_seen"]
+    }
+    first_batch = {
+        r["user_id"]: r["funnel_level"]
+        for r in rows
+        if r["n_seen"] < latest[r["user_id"]]["n_seen"]
+    }
+    advanced = [
+        u for u, lvl in first_batch.items() if latest[u]["funnel_level"] > lvl
+    ]
+    assert advanced, "replay split produced no cross-batch funnel advance"
