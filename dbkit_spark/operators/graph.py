@@ -269,3 +269,79 @@ def bfs_hops(
         frontier = nxt.select("node")
     und.unpersist()
     return visited
+
+
+def link_prediction_features(
+    edges: DataFrame,
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Neighborhood-overlap features for NON-edges — the classic link
+    prediction / recommendation candidate scorer: for every pair (a, b)
+    sharing at least one neighbor and not already connected, emit
+    common-neighbor count, Jaccard overlap of neighborhoods, and
+    Adamic–Adar (Σ 1/ln(deg(w)) over common neighbors w — rare shared
+    neighbors count more; w touches both endpoints so deg(w) ≥ 2 and
+    ln never hits zero).
+
+    Scale shape: candidate pairs come from ONE wedge self-join on the
+    shared endpoint (the triangle-census join pattern), degrees from
+    one aggregation broadcast-sized per distinct node, existing edges
+    removed with a left_anti. Wedge volume is Σ deg(w)² — hub nodes
+    explode it, so ``max_degree`` drops hubs from the WEDGE CENTER role
+    first (the standard link-prediction mitigation; a celebrity
+    connecting two users is weak evidence anyway, which is exactly what
+    Adamic–Adar's 1/ln(deg) encodes). Adamic–Adar rounds at 6dp: ln()
+    is not correctly-rounded across libm implementations (q262 rule);
+    the terms are decimal-summed so the reduction is order-free.
+
+    Input: canonical (a, b) edges. Output: (a, b, common_neighbors,
+    jaccard, adamic_adar) for candidate pairs with a < b.
+    """
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg if max_degree is None else deg.filter(
+        F.col("deg") <= max_degree
+    )
+    # wedges through each (degree-capped) center w: (u, w, v), u < v
+    e1 = und.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    e2 = und.select(F.col("dst").alias("w2"), F.col("src").alias("v"))
+    wedges = (
+        e1.join(centers.select(F.col("src").alias("w"), "deg"), "w")
+        .join(e2, F.col("w") == F.col("w2"))
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v", "w", F.col("deg").alias("deg_w"))
+    )
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("deg_w").cast("double")), 9
+    ).cast("decimal(25,9)")
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(term).alias("_aa"),
+    )
+    cand = scored.join(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors")
+                ).cast("double"),
+                9,
+            ).alias("jaccard"),
+            F.round(F.col("_aa").cast("double"), 6).alias("adamic_adar"),
+        )
+    )

@@ -6169,3 +6169,74 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q295_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import canonical_edges, link_prediction_features
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 97).alias("src"),
+        (F.col("event_id") % 89).alias("dst"),
+    )
+    edges = canonical_edges(pairs, "src", "dst")
+    return link_prediction_features(edges, max_degree=1000).orderBy("a", "b")
+
+
+_Q295_ORACLE = """
+    WITH base AS (
+      SELECT DISTINCT LEAST(user_id % 97, event_id % 89) AS a,
+                      GREATEST(user_id % 97, event_id % 89) AS b
+      FROM events
+      WHERE user_id % 97 <> event_id % 89
+    ),
+    und AS (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+    wedges AS (
+      SELECT e1.src AS u, e2.src AS v, d.deg AS deg_w
+      FROM und e1
+      JOIN deg d ON d.src = e1.dst AND d.deg <= 1000
+      JOIN und e2 ON e2.dst = e1.dst
+      WHERE e1.src < e2.src
+    ),
+    scored AS (
+      SELECT u, v, COUNT(*) AS cn,
+             SUM(CAST(round(1.0 / ln(deg_w), 9) AS DECIMAL(25,9))) AS aa
+      FROM wedges GROUP BY u, v
+    ),
+    cand AS (
+      SELECT s.* FROM scored s
+      ANTI JOIN base b ON b.a = s.u AND b.b = s.v
+    )
+    SELECT c.u AS a, c.v AS b, c.cn AS common_neighbors,
+           round(CAST(c.cn AS DOUBLE)
+                 / CAST(du.deg + dv.deg - c.cn AS DOUBLE), 9) AS jaccard,
+           round(CAST(c.aa AS DOUBLE), 6) AS adamic_adar
+    FROM cand c
+    JOIN deg du ON du.src = c.u
+    JOIN deg dv ON dv.src = c.v
+    ORDER BY a, b
+"""
+
+_Q295_NOTES = (
+    "LINK PREDICTION FEATURES (operators/graph.link_prediction_features "
+    "— common neighbors, neighborhood Jaccard, Adamic-Adar for "
+    "NON-edges sharing a neighbor): one wedge self-join through "
+    "degree-capped centers (hub mitigation: Sum deg(w)^2 wedge volume, "
+    "and a celebrity shared neighbor is weak evidence anyway — exactly "
+    "what 1/ln(deg) encodes), one degree agg, left_anti vs existing "
+    "edges. Adamic-Adar terms 9dp-decimal-summed (order-free "
+    "reduction), output 6dp per the libm-ln rule; common neighbor w "
+    "always has deg>=2 so ln never hits zero"
+)
+
+
+ROADMAP7.update(
+    {
+        "q295_link_prediction": (q295_link_prediction, _Q295_ORACLE, _Q295_NOTES),
+    }
+)

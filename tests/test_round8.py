@@ -1718,3 +1718,25 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         u for u, lvl in first_batch.items() if latest[u]["funnel_level"] > lvl
     ]
     assert advanced, "replay split produced no cross-batch funnel advance"
+
+
+def test_link_prediction_hand_graph(spark):
+    """Path graph 1-2-3 plus 2-4: pair (1,3) shares neighbor 2 (deg 3),
+    (3,4) and (1,4) share 2 as well; existing edges never appear; the
+    hub cap drops wedges through high-degree centers."""
+    import math
+
+    from dbkit_spark.operators.graph import link_prediction_features
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "a int, b int"
+    )
+    rows = {(r["a"], r["b"]): r for r in link_prediction_features(edges).collect()}
+    assert set(rows) == {(1, 3), (1, 4), (3, 4)}
+    r = rows[(1, 3)]
+    assert r["common_neighbors"] == 1
+    # deg(1)=1, deg(3)=1, cn=1 -> jaccard = 1/(1+1-1) = 1.0
+    assert r["jaccard"] == 1.0
+    assert r["adamic_adar"] == round(round(1 / math.log(3), 9), 6)
+    # cap at 2: center 2 (deg 3) is dropped -> no candidates at all
+    assert link_prediction_features(edges, max_degree=2).count() == 0
