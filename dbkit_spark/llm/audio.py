@@ -223,3 +223,95 @@ def with_wav_payload(
         ]
     )
     return docs.select(F.col(id_col)).mapInPandas(gen, schema)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("bandwidth_hz", T.DoubleType()),
+        T.StructField("rolloff_hz", T.DoubleType()),
+        T.StructField("flatness", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_spectral(payloads: DataFrame, n_fft: int = 256) -> DataFrame:
+    """Spectral shape features per payload — the audio-curation signals
+    (speech/music/noise triage, corrupted-capture detection) that
+    amplitude stats can't see: spectral CENTROID (center of mass, Hz),
+    BANDWIDTH (spread around it), ROLLOFF (85% energy frequency), and
+    FLATNESS (geometric/arithmetic power-mean ratio: → 1 for white
+    noise, → 0 for tonal content).
+
+    Method pinned for determinism: the first channel framed into
+    non-overlapping ``n_fft`` frames (rectangular window — no window
+    function to disagree about), per-frame rfft magnitude spectra
+    averaged (Welch without overlap), DC bin excluded from flatness.
+    numpy's fft is the only dependency; no SQL twin exists, so the
+    catalog anchor is rows-only and correctness is pinned by
+    construction laws (a pure tone's centroid IS its frequency) in
+    pytest — the isotonic-PAV precedent.
+
+    Arrow-batched mapInPandas, map-only, shuffle-free; undecodable or
+    shorter-than-one-frame payloads degrade to decoded=false."""
+    if n_fft < 8 or n_fft & (n_fft - 1):
+        raise ValueError("n_fft must be a power of two >= 8")
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in SPECTRAL_SCHEMA}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, ch, bits, samples = decode_wav(bytes(payload))
+                    x = samples[:, 0].astype(np.float64)
+                    n_frames = x.size // n_fft
+                    if n_frames == 0:
+                        raise ValueError("shorter than one frame")
+                    frames = x[: n_frames * n_fft].reshape(n_frames, n_fft)
+                    mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+                    tot = mag.sum()
+                    if tot == 0.0:
+                        raise ValueError("silent payload")
+                    centroid = float((freqs * mag).sum() / tot)
+                    bandwidth = float(
+                        np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot)
+                    )
+                    cum = np.cumsum(mag)
+                    roll_idx = int(np.searchsorted(cum, 0.85 * tot))
+                    rolloff = float(freqs[min(roll_idx, freqs.size - 1)])
+                    power = mag[1:] ** 2  # DC excluded
+                    nz = power[power > 0]
+                    flat = float(
+                        np.exp(np.log(nz).mean()) / nz.mean()
+                    ) if nz.size else 0.0
+                    vals = (did, centroid, bandwidth, rolloff, flat, True)
+                except (NotImplementedError, ValueError):
+                    vals = (did, None, None, None, None, False)
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(do, SPECTRAL_SCHEMA)
+
+
+def encode_wav_tone(
+    n_samples: int,
+    freq_hz: float,
+    sample_rate: int = 8000,
+    amplitude: int = 12000,
+) -> bytes:
+    """A pure-tone 16-bit mono WAV fixture (for spectral-law tests)."""
+    i = np.arange(n_samples, dtype=np.float64)
+    s = (amplitude * np.sin(2 * np.pi * freq_hz * i / sample_rate)).astype(
+        "<i2"
+    )
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -64,3 +64,61 @@ def join_size_estimate(
         F.count("*").cast("long").alias("sampled_pairs"),
         (F.count("*") * F.lit(scale)).cast("long").alias("est_pairs"),
     )
+
+
+def set_cardinality_estimates(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    hex_zeros: int = 1,
+    salt: str = "scard",
+) -> DataFrame:
+    """Distinct-set overlap estimates between two key columns — the
+    planning numbers behind dedup joins and incremental merges
+    (|A|, |B|, |A∩B|, |A∪B|, Jaccard) — from the SAME deterministic
+    key-hash sample as :func:`join_size_estimate`.
+
+    Why the shared-hash trick works: both sides keep exactly the keys
+    whose salted md5 clears the prefix test, so a key surviving on one
+    side survives on the other — sampled-set intersection IS a
+    16^-hex_zeros Bernoulli sample of the true intersection (unbiased
+    after scaling), which independent per-side samples would get
+    quadratically wrong. Jaccard needs no scaling at all: it is a
+    ratio of same-scale estimates.
+
+    Cost: two map-side filters + two sample-sized distincts + one
+    sample-sized join; one row out.
+    """
+    if hex_zeros < 1:
+        raise ValueError("hex_zeros must be >= 1")
+    ls = (
+        left.filter(_key_sampled(F.col(left_key), hex_zeros, salt))
+        .select(F.col(left_key).alias("_k"))
+        .distinct()
+    )
+    rs = (
+        right.filter(_key_sampled(F.col(right_key), hex_zeros, salt))
+        .select(F.col(right_key).alias("_k"))
+        .distinct()
+    )
+    scale = 16**hex_zeros
+    both = ls.join(rs, "_k")
+    counts = (
+        ls.agg(F.count("*").alias("na"))
+        .crossJoin(rs.agg(F.count("*").alias("nb")))
+        .crossJoin(both.agg(F.count("*").alias("ni")))
+    )
+    return counts.select(
+        (F.col("na") * scale).cast("long").alias("est_left"),
+        (F.col("nb") * scale).cast("long").alias("est_right"),
+        (F.col("ni") * scale).cast("long").alias("est_intersection"),
+        ((F.col("na") + F.col("nb") - F.col("ni")) * scale)
+        .cast("long")
+        .alias("est_union"),
+        F.round(
+            F.col("ni").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"),
+            9,
+        ).alias("jaccard"),
+    )

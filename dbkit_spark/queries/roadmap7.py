@@ -6240,3 +6240,88 @@ ROADMAP7.update(
         "q295_link_prediction": (q295_link_prediction, _Q295_ORACLE, _Q295_NOTES),
     }
 )
+
+
+def q296_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cardinality import set_cardinality_estimates
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return set_cardinality_estimates(
+        orders, li, "o_custkey", "l_partkey", hex_zeros=1
+    )
+
+
+_Q296_ORACLE = """
+    WITH ls AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE substr(md5(CAST(o_custkey AS VARCHAR) || ':scard'), 1, 1) = '0'
+    ),
+    rs AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR) || ':scard'), 1, 1) = '0'
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM ls) AS na,
+             (SELECT COUNT(*) FROM rs) AS nb,
+             (SELECT COUNT(*) FROM ls JOIN rs USING (k)) AS ni
+    )
+    SELECT CAST(na * 16 AS BIGINT) AS est_left,
+           CAST(nb * 16 AS BIGINT) AS est_right,
+           CAST(ni * 16 AS BIGINT) AS est_intersection,
+           CAST((na + nb - ni) * 16 AS BIGINT) AS est_union,
+           round(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE), 9)
+             AS jaccard
+    FROM c
+"""
+
+_Q296_NOTES = (
+    "KMV SET-OPERATION CARDINALITIES (operators/cardinality."
+    "set_cardinality_estimates — |A|, |B|, intersection, union, "
+    "Jaccard between two key columns from ONE shared deterministic "
+    "key-hash sample): the shared salt means a key survives on both "
+    "sides or neither, so sampled-set intersection IS a Bernoulli "
+    "sample of the true intersection (independent per-side samples "
+    "would be quadratically wrong); Jaccard is a same-scale ratio, "
+    "no scaling needed. Two map-side filters + sample-sized "
+    "distincts/join; md5 rule replayed digit-for-digit by the oracle"
+)
+
+
+ROADMAP7.update(
+    {
+        "q296_set_cardinality": (q296_set_cardinality, _Q296_ORACLE, _Q296_NOTES),
+    }
+)
+
+
+def q297_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.audio import audio_spectral, with_wav_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_wav_payload(docs, "doc_id", every=10)
+    return (
+        audio_spectral(payloads, n_fft=256)
+        .filter(F.col("decoded"))
+        .select("doc_id", "centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness")
+        .orderBy("doc_id")
+    )
+
+
+_Q297_NOTES = (
+    "AUDIO SPECTRAL FEATURES (llm/audio.audio_spectral — centroid/"
+    "bandwidth/85%-rolloff/flatness from non-overlapping rectangular-"
+    "window rfft frames averaged Welch-style, DC excluded from "
+    "flatness): the speech/music/noise triage signals amplitude stats "
+    "can't see. ROWS-ONLY by design — no SQL FFT exists; correctness "
+    "pinned by construction laws in pytest (a pure tone's centroid IS "
+    "its frequency, noise is flatter and wider — the isotonic-PAV "
+    "precedent). Arrow mapInPandas, map-only, shuffle-free"
+)
+
+
+ROADMAP7.update(
+    {
+        "q297_audio_spectral": (q297_audio_spectral, None, _Q297_NOTES),
+    }
+)

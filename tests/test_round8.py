@@ -1740,3 +1740,40 @@ def test_link_prediction_hand_graph(spark):
     assert r["adamic_adar"] == round(round(1 / math.log(3), 9), 6)
     # cap at 2: center 2 (deg 3) is dropped -> no candidates at all
     assert link_prediction_features(edges, max_degree=2).count() == 0
+
+
+def test_audio_spectral_laws(spark):
+    """A pure tone's centroid sits at its frequency (within a bin) with
+    near-zero flatness; the hash-noise fixture is far flatter and
+    wider; short/garbage payloads degrade; results are deterministic."""
+    from dbkit_spark.llm.audio import (
+        audio_spectral,
+        encode_wav,
+        encode_wav_tone,
+    )
+
+    rows = [
+        (1, bytearray(encode_wav_tone(4096, 1000.0))),   # 1 kHz tone
+        (2, bytearray(encode_wav(4096, 8000, 1, seed=5))),  # hash noise
+        (3, bytearray(encode_wav_tone(16, 1000.0))),     # < one frame
+        (4, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = audio_spectral(df, n_fft=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    got = {r.doc_id: r for r in out.collect()}
+    tone, noise = got[1], got[2]
+    assert tone.decoded and noise.decoded
+    bin_hz = 8000 / 256
+    assert abs(tone.centroid_hz - 1000.0) < 2 * bin_hz
+    assert tone.rolloff_hz >= tone.centroid_hz - bin_hz
+    assert tone.flatness < 0.2 < noise.flatness
+    assert noise.bandwidth_hz > tone.bandwidth_hz
+    assert not got[3].decoded and not got[4].decoded
+    again = {r.doc_id: r for r in audio_spectral(df, n_fft=256).collect()}
+    assert again[1] == tone and again[2] == noise
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        audio_spectral(df, n_fft=100)
