@@ -6325,3 +6325,162 @@ ROADMAP7.update(
         "q297_audio_spectral": (q297_audio_spectral, None, _Q297_NOTES),
     }
 )
+
+
+def q298_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel in ONE scan: every stage of the
+    standard pipeline (lang-ID -> quality gate -> exact near-dup
+    canonicalization -> hash-rank sampling) computed as FLAGS over the
+    same pass, one fingerprint-keyed window for first-wins dedup, one
+    aggregate of cumulative-conjunction conditional sums — the report a
+    curation run ships with (how much survived each gate, in docs and
+    chars), never five scans."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint, lang_id, quality_score, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        (lang_id("text", tk) == "en").alias("s_lang"),
+        (quality_score("text", tk) >= 0.75).alias("s_qual"),
+        fingerprint("text").alias("fp"),
+    ).withColumn("s_filt", F.col("s_lang") & F.col("s_qual"))
+    w = Window.partitionBy("fp", "s_filt").orderBy("doc_id")
+    flagged = base.withColumn(
+        "s_canon", F.col("s_filt") & (F.row_number().over(w) == 1)
+    ).withColumn(
+        "s_samp",
+        F.col("s_canon")
+        & (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 50
+        ),
+    )
+
+    def stage(flag, name):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(flag, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("n_chars_total"),
+        )
+
+    wide = flagged.agg(
+        stage(F.lit(True), "1_raw").alias("a"),
+        stage(F.col("s_lang"), "2_lang").alias("b"),
+        stage(F.col("s_filt"), "3_quality").alias("c"),
+        stage(F.col("s_canon"), "4_dedup").alias("d"),
+        stage(F.col("s_samp"), "5_sample").alias("e"),
+    )
+    return (
+        wide.select(
+            F.explode(
+                F.array(F.col("a"), F.col("b"), F.col("c"), F.col("d"), F.col("e"))
+            ).alias("r")
+        )
+        .select("r.stage", "r.n_docs", "r.n_chars_total")
+        .orderBy("stage")
+    )
+
+
+from ..functions.text import STOPWORDS as _CUR_STOPWORDS
+
+_CUR_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _CUR_STOPWORDS) + "]"
+
+_Q298_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, text, n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> list_contains(
+                    {_CUR_STOP_SQL}, x))) AS DOUBLE)
+                    / len(t) END AS stop_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
+                    'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+                    AS DOUBLE) / len(t) END AS avg_wlen,
+             length(text) AS n_len,
+             md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+      FROM toks
+    ),
+    flags AS (
+      SELECT doc_id, n_chars, fp,
+             stop_ratio >= 0.05 AS s_lang,
+             (stop_ratio >= 0.05) AND
+             ((CASE WHEN n_len BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN stop_ratio BETWEEN 0.02 AND 0.6 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN avg_wlen BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+              >= 0.75) AS s_filt
+      FROM feats
+    ),
+    canon AS (
+      SELECT doc_id, n_chars, s_lang, s_filt,
+             s_filt AND (row_number() OVER (
+               PARTITION BY fp, s_filt ORDER BY doc_id) = 1) AS s_canon
+      FROM flags
+    ),
+    samp AS (
+      SELECT *, s_canon AND (
+        CAST(list_sum(list_transform(generate_series(1, 6), i ->
+          CAST((strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), i, 1)) - 1)
+            AS BIGINT) * CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT)
+        % 100 < 50) AS s_samp
+      FROM canon
+    )
+    SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total FROM samp
+    UNION ALL
+    SELECT '2_lang', CAST(SUM(CASE WHEN s_lang THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN s_lang THEN n_chars ELSE 0 END) AS BIGINT) FROM samp
+    UNION ALL
+    SELECT '3_quality', CAST(SUM(CASE WHEN s_filt THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN s_filt THEN n_chars ELSE 0 END) AS BIGINT) FROM samp
+    UNION ALL
+    SELECT '4_dedup', CAST(SUM(CASE WHEN s_canon THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN s_canon THEN n_chars ELSE 0 END) AS BIGINT) FROM samp
+    UNION ALL
+    SELECT '5_sample', CAST(SUM(CASE WHEN s_samp THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN s_samp THEN n_chars ELSE 0 END) AS BIGINT) FROM samp
+    ORDER BY stage
+"""
+
+_Q298_NOTES = (
+    "END-TO-END CURATION FUNNEL (the pipeline showcase: lang-ID -> "
+    "quality gate -> exact near-dup canonicalization -> hash-rank "
+    "sample, composed from the engine's own primitives lang_id/"
+    "quality_score/fingerprint/md5-rule): ONE scan computing every "
+    "stage as cumulative-conjunction FLAGS, one fingerprint-keyed "
+    "window for first-wins dedup AMONG survivors (partition by "
+    "(fp, s_filt) so filtered-out rows can't steal canonical slots), "
+    "one aggregate of conditional sums — the survival report in docs "
+    "and chars, never five scans. Quality threshold 0.75, sample 50%"
+)
+
+
+ROADMAP7.update(
+    {
+        "q298_curation_funnel": (q298_curation_funnel, _Q298_ORACLE, _Q298_NOTES),
+    }
+)
