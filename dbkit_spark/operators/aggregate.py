@@ -72,3 +72,67 @@ def group_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column]) -> DataFr
     if keys:
         return df.groupBy(*keys).agg(*exprs)
     return df.agg(*exprs)
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+MERGEABLE = {"count", "sum", "min", "max"}
+
+
+def aggregate_table(
+    df: DataFrame, keys: list[str], specs: dict[str, tuple[str, str | None]]
+) -> DataFrame:
+    """Build a MERGEABLE aggregate table: ``specs`` maps output column →
+    (agg, input column), agg ∈ {count, sum, min, max} — the
+    self-decomposable aggregates (avg/stddev derive from sum+count at
+    read time; non-decomposable aggs like exact percentiles need the
+    sketch family instead). ``count`` with input None counts rows."""
+    aggs = []
+    for out, (agg, col) in specs.items():
+        if agg not in MERGEABLE:
+            raise ValueError(
+                f"{out}: agg {agg!r} is not mergeable; store decomposable "
+                "parts (sum+count) or use a sketch"
+            )
+        fn = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}[agg]
+        src = F.lit(1) if agg == "count" and col is None else F.col(col)
+        aggs.append(fn(src).alias(out))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregates(
+    base: DataFrame,
+    delta_raw: DataFrame,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a raw
+    ``delta_raw`` batch into an existing ``base`` aggregate table and
+    return the refreshed table — cost ∝ |delta| + |aggregate table|,
+    NEVER a rescan of history (the point of keeping the base at 100 TB:
+    the day's 100 GB delta refreshes a view over years of data).
+
+    Exactness: counts/sums merge by SUM (use decimal inputs for the
+    engine-wide order-free guarantee), min/max by MIN/MAX — each agg is
+    a commutative monoid, so merge(agg(A), agg(B)) == agg(A ∪ B)
+    identically, which the q299 differential pins against a full
+    recompute. Plan: one aggregation of the delta, one unionByName with
+    the base, one merge aggregation on the keys.
+
+    Deletions/updates are out of contract (append-only deltas) — pair
+    with `operators/reconcile` for correction flows.
+    """
+    delta_agg = aggregate_table(delta_raw, keys, specs)
+    merged_aggs = []
+    for out, (agg, _col) in specs.items():
+        fn = F.sum if agg in ("count", "sum") else (
+            F.min if agg == "min" else F.max
+        )
+        merged = fn(F.col(out)).alias(out)
+        merged_aggs.append(merged)
+    both = base.unionByName(delta_agg)
+    out_df = both.groupBy(*keys).agg(*merged_aggs)
+    # counts stay BIGINT through the SUM merge
+    for out, (agg, _col) in specs.items():
+        if agg == "count":
+            out_df = out_df.withColumn(out, F.col(out).cast("long"))
+    return out_df

@@ -6484,3 +6484,66 @@ ROADMAP7.update(
         "q298_curation_funnel": (q298_curation_funnel, _Q298_ORACLE, _Q298_NOTES),
     }
 )
+
+
+def q299_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view maintenance differential: history (first
+    ~80% of orders by key hash) is aggregated ONCE into a base table;
+    the remaining delta folds in via merge_aggregates; the refreshed
+    table must equal the oracle's full recompute over ALL orders —
+    merge(agg(A), agg(B)) == agg(A ∪ B), pinned cross-engine."""
+    from ..operators.aggregate import aggregate_table, merge_aggregates
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "_p", F.col("o_totalprice").cast("decimal(28,2)")
+    )
+    specs = {
+        "n_orders": ("count", None),
+        "revenue": ("sum", "_p"),
+        "first_date": ("min", "o_orderdate"),
+        "last_date": ("max", "o_orderdate"),
+    }
+    hist = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    base = aggregate_table(hist, ["o_orderpriority"], specs)
+    merged = merge_aggregates(base, delta, ["o_orderpriority"], specs)
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        "first_date",
+        "last_date",
+    ).orderBy("o_orderpriority")
+
+
+_Q299_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS revenue,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_Q299_NOTES = (
+    "INCREMENTAL AGGREGATE MAINTENANCE (operators/aggregate."
+    "merge_aggregates — fold an append-only delta into a materialized "
+    "aggregate table, cost |delta| + |table|, never a history rescan: "
+    "the day's 100 GB refreshes a view over years): mergeable monoid "
+    "aggs only (count/sum by SUM, min/max by themselves; avg derives "
+    "from sum+count at read time, non-decomposable aggs routed to the "
+    "sketch family by a ValueError). The DIFFERENTIAL is the whole "
+    "point: the oracle recomputes from ALL raw rows while Spark merges "
+    "base+delta — hash equality proves merge(agg(A), agg(B)) == "
+    "agg(A UNION B) down to the decimal sums"
+)
+
+
+ROADMAP7.update(
+    {
+        "q299_incremental_agg": (q299_incremental_agg, _Q299_ORACLE, _Q299_NOTES),
+    }
+)

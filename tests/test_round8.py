@@ -1777,3 +1777,37 @@ def test_audio_spectral_laws(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         audio_spectral(df, n_fft=100)
+
+
+def test_merge_aggregates_laws(spark):
+    """merge(agg(A), agg(B)) == agg(A∪B) for every mergeable agg; a
+    delta introducing a NEW group appears; non-mergeable aggs are
+    refused with guidance; repeated merges stay associative."""
+    from dbkit_spark.operators.aggregate import (
+        aggregate_table,
+        merge_aggregates,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(30)]
+    rows += [(100, "brand_new", 7.0)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    specs = {
+        "n": ("count", None),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    full = {tuple(r)[0]: tuple(r)[1:] for r in aggregate_table(df, ["g"], specs).collect()}
+    a = df.filter(F.col("id") < 10)
+    b = df.filter((F.col("id") >= 10) & (F.col("id") < 20))
+    c = df.filter(F.col("id") >= 20)
+    base = aggregate_table(a, ["g"], specs)
+    step1 = merge_aggregates(base, b, ["g"], specs)
+    step2 = merge_aggregates(step1, c, ["g"], specs)
+    got = {tuple(r)[0]: tuple(r)[1:] for r in step2.collect()}
+    assert got == full
+    assert "brand_new" in got
+    import pytest
+
+    with pytest.raises(ValueError, match="not mergeable"):
+        aggregate_table(df, ["g"], {"p50": ("median", "v")})
