@@ -85,3 +85,101 @@ def radius_join_pairs(
         .select("id_a", "id_b", dist_sq.alias("dist_sq"))
         .filter(F.col("dist_sq") <= F.lit(radius) * F.lit(radius))
     )
+
+
+_EARTH_R_M = 6371000.0
+_M_PER_DEG_LAT = 111194.92664455873  # pi * R / 180 for R = 6371 km
+
+
+def geo_radius_join_pairs(
+    pts: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_m: float,
+    max_abs_lat: float = 75.0,
+) -> DataFrame:
+    """All unordered point pairs within ``radius_m`` meters of GREAT-
+    CIRCLE (haversine) distance — the lat/lon twin of
+    :func:`radius_join_pairs` for geo workloads (store catchments,
+    sensor neighborhoods, GPS dedup).
+
+    Grid design: latitude cells are ``radius_m`` meters tall
+    (constant); longitude cells are ``radius_m`` meters wide AT THE
+    WORST-CASE latitude ``max_abs_lat`` (cos shrinks meters-per-degree
+    toward the poles, so sizing at the cap keeps every cell >= radius
+    wide everywhere in range — points beyond the cap are EXCLUDED
+    (filtered) rather than silently mis-bucketed; polar workloads need
+    a polar-cap partition, documented out of scope). Replicate one side 3×3, equi-join on cell, exact
+    haversine behind it — identical cost shape to the planar form.
+
+    The haversine itself is raw IEEE trig (sin/cos/asin are not
+    correctly rounded across libm implementations), so ``dist_m``
+    rounds at 6dp and the fixture-verified contract is the q257/q262
+    convention: pre-verified at every driver scale rather than
+    slack-compared.
+
+    Output: (id_a, id_b, dist_m) with id_a < id_b, dist_m <= radius_m.
+    """
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+    if not 0 < max_abs_lat < 89.0:
+        raise ValueError("max_abs_lat must be in (0, 89)")
+    import math
+
+    cell_lat_deg = radius_m / _M_PER_DEG_LAT
+    m_per_deg_lon_min = _M_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
+    cell_lon_deg = radius_m / m_per_deg_lon_min
+
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    base = pts.filter(F.abs(lat) <= F.lit(float(max_abs_lat))).select(
+        F.col(id_col).alias("_id"),
+        lat.alias("_lat"),
+        lon.alias("_lon"),
+        F.floor(lat / F.lit(cell_lat_deg)).cast("long").alias("_cy"),
+        F.floor(lon / F.lit(cell_lon_deg)).cast("long").alias("_cx"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    replicated = base.select(
+        "_id", "_lat", "_lon",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("_cx") + dx).alias("cx"),
+                        (F.col("_cy") + dy).alias("cy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_lat", "_lon", "_c.cx", "_c.cy")
+    right = base.select(
+        F.col("_id").alias("_id2"),
+        F.col("_lat").alias("_lat2"),
+        F.col("_lon").alias("_lon2"),
+        F.col("_cx").alias("cx"),
+        F.col("_cy").alias("cy"),
+    )
+    rad = F.lit(math.pi / 180.0)
+    dphi = (F.col("_lat2") - F.col("_lat")) * rad / 2
+    dlmb = (F.col("_lon2") - F.col("_lon")) * rad / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.col("_lat") * rad)
+        * F.cos(F.col("_lat2") * rad)
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    dist = F.lit(2.0 * _EARTH_R_M) * F.asin(F.sqrt(a))
+    return (
+        replicated.join(right, ["cx", "cy"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.round(F.col("dist_m"), 6).alias("dist_m"),
+        )
+    )

@@ -6547,3 +6547,84 @@ ROADMAP7.update(
         "q299_incremental_agg": (q299_incremental_agg, _Q299_ORACLE, _Q299_NOTES),
     }
 )
+
+
+def q300_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import geo_radius_join_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    # deterministic lat/lon: mid-latitude band, sub-degree jitter from
+    # the key so distances vary smoothly
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (
+            (F.col("c_custkey") % 100).cast("double") / 10.0
+            - 5.0
+            + (F.col("c_custkey") % 977).cast("double") / 97700.0
+        ).alias("lat"),
+        (
+            (F.col("c_custkey") % 73).cast("double") / 7.0
+            + (F.col("c_custkey") % 353).cast("double") / 35300.0
+        ).alias("lon"),
+    )
+    return geo_radius_join_pairs(
+        pts, "pid", "lat", "lon", radius_m=25000.0
+    ).orderBy("id_a", "id_b")
+
+
+_Q300_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey AS pid,
+             CAST(c_custkey % 100 AS DOUBLE) / 10.0 - 5.0
+               + CAST(c_custkey % 977 AS DOUBLE) / 97700.0 AS lat,
+             CAST(c_custkey % 73 AS DOUBLE) / 7.0
+               + CAST(c_custkey % 353 AS DOUBLE) / 35300.0 AS lon
+      FROM customer
+    ),
+    grid AS (
+      SELECT pid, lat, lon,
+             CAST(floor(lat / (25000.0 / 111194.92664455873)) AS BIGINT)
+               AS cy,
+             CAST(floor(lon / (25000.0 / (111194.92664455873
+               * cos(radians(75.0))))) AS BIGINT) AS cx
+      FROM pts WHERE abs(lat) <= 75.0
+    ),
+    rep AS (
+      SELECT g.pid, g.lat, g.lon, g.cx + dx.d AS cx, g.cy + dy.d AS cy
+      FROM grid g,
+           (VALUES (-1), (0), (1)) dx(d),
+           (VALUES (-1), (0), (1)) dy(d)
+    ),
+    cand AS (
+      SELECT r.pid AS id_a, s.pid AS id_b,
+             2.0 * 6371000.0 * asin(sqrt(
+               sin(radians(s.lat - r.lat) / 2) * sin(radians(s.lat - r.lat) / 2)
+               + cos(radians(r.lat)) * cos(radians(s.lat))
+               * sin(radians(s.lon - r.lon) / 2)
+               * sin(radians(s.lon - r.lon) / 2))) AS dist_m
+      FROM rep r JOIN grid s ON s.cx = r.cx AND s.cy = r.cy
+      WHERE r.pid < s.pid
+    )
+    SELECT id_a, id_b, round(dist_m, 6) AS dist_m
+    FROM cand WHERE dist_m <= 25000.0
+    ORDER BY id_a, id_b
+"""
+
+_Q300_NOTES = (
+    "GEODESIC RADIUS SELF-JOIN (operators/spatial.geo_radius_join_pairs "
+    "— the lat/lon twin of q226's planar grid join: latitude cells "
+    "radius-tall, longitude cells radius-wide AT the worst-case "
+    "latitude cap so every in-range cell stays >= radius wide; 3x3 "
+    "replication on one side, equi-join on cell, exact haversine "
+    "behind it — never a cross join, dense-city skew is an AQE "
+    "skew-join concern not a plan concern). Haversine is raw IEEE "
+    "trig in identical order both engines, 6dp output; pre-verified "
+    "at every driver scale per the q257/q262 trig/libm convention"
+)
+
+
+ROADMAP7.update(
+    {
+        "q300_geo_radius_join": (q300_geo_radius_join, _Q300_ORACLE, _Q300_NOTES),
+    }
+)

@@ -1811,3 +1811,39 @@ def test_merge_aggregates_laws(spark):
 
     with pytest.raises(ValueError, match="not mergeable"):
         aggregate_table(df, ["g"], {"p50": ("median", "v")})
+
+
+def test_geo_radius_join_laws(spark):
+    """Known city pairs: points ~19.9 km apart pair at r=25 km and
+    don't at r=15 km; a cross-cell pair is still found (grid
+    correctness); antipodal-ish far points never pair; out-of-cap
+    latitudes are excluded."""
+    import math
+
+    from dbkit_spark.operators.spatial import geo_radius_join_pairs
+
+    # 0.1 deg latitude ~ 11.12 km; 0.18 deg ~ 20 km
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (2, 0.179, 0.0),     # ~19.9 km north of p1
+            (3, 50.0, 10.0),
+            (4, 50.0, 10.28),    # ~20.0 km east at lat 50
+            (5, -40.0, 170.0),   # far from everything
+            (6, 80.0, 0.0),      # beyond the 75-degree cap
+            (7, 80.0, 0.001),
+        ],
+        "pid int, lat double, lon double",
+    )
+    got25 = {
+        (r["id_a"], r["id_b"]): r["dist_m"]
+        for r in geo_radius_join_pairs(pts, "pid", "lat", "lon", 25000.0).collect()
+    }
+    assert set(got25) == {(1, 2), (3, 4)}
+    assert abs(got25[(1, 2)] - 0.179 * math.pi / 180 * 6371000) < 50
+    got15 = geo_radius_join_pairs(pts, "pid", "lat", "lon", 15000.0).count()
+    assert got15 == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="radius_m"):
+        geo_radius_join_pairs(pts, "pid", "lat", "lon", 0)
