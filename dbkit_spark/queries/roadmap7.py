@@ -6628,3 +6628,70 @@ ROADMAP7.update(
         "q300_geo_radius_join": (q300_geo_radius_join, _Q300_ORACLE, _Q300_NOTES),
     }
 )
+
+
+def q301_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-to-date curve WITHOUT a running COUNT(DISTINCT)
+    (which no engine can window at scale): each user contributes at
+    their FIRST event day (one user-keyed agg), days roll up new-user
+    counts (one day-keyed agg, day-count-sized), and the cumulative
+    curve is a prefix_agg sum — the audience-growth / vocabulary-growth
+    shape on event data."""
+    from ..operators.prefix import prefix_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.col("ts").cast("timestamp"))).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    return (
+        prefix_agg(daily, ["day"], "new_users", agg="sum",
+                   out_col="cumulative_users")
+        .select(
+            # date -> timestamp on the wire: pandas sees datetime64 on
+            # both engines (Spark DATE collects as object-date)
+            F.col("day").cast("timestamp").alias("day"),
+            "new_users",
+            F.col("cumulative_users").cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
+
+
+_Q301_ORACLE = """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily
+    ORDER BY day
+"""
+
+_Q301_NOTES = (
+    "CUMULATIVE DISTINCT CURVE (distinct-users-to-date, the audience/"
+    "vocabulary growth shape): a running COUNT(DISTINCT) is "
+    "unwindowable at scale in ANY engine — decomposed as first-"
+    "occurrence attribution (one user-keyed agg) -> per-day new-user "
+    "counts (day-count-sized) -> prefix_agg cumulative sum (no "
+    "SinglePartition). Exact BIGINT throughout"
+)
+
+
+ROADMAP7.update(
+    {
+        "q301_cumulative_distinct": (
+            q301_cumulative_distinct,
+            _Q301_ORACLE,
+            _Q301_NOTES,
+        ),
+    }
+)
