@@ -6695,3 +6695,35 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q302_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.advisor import advise_join
+
+    return advise_join(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/lineitem.parquet",
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+_Q302_NOTES = (
+    "JOIN-STRATEGY ADVISOR (operators/advisor.advise_join — composes "
+    "the engine's own probes into the pre-shuffle decision: footer "
+    "storage profile for compressed bytes (metadata-only), key-hash "
+    "sampled OUTPUT-size estimate (the failure mode size-based "
+    "planners miss), one-agg skew factor on the bigger side; emits "
+    "broadcast_left/right, shuffle_salted, or shuffle_hash_or_merge). "
+    "ROWS-ONLY: the byte probe reads THIS run's parquet footers, "
+    "which a static SQL twin cannot path-parameterize; strategy laws "
+    "pinned in pytest on known fixtures"
+)
+
+
+ROADMAP7.update(
+    {
+        "q302_join_advisor": (q302_join_advisor, None, _Q302_NOTES),
+    }
+)

@@ -1847,3 +1847,43 @@ def test_geo_radius_join_laws(spark):
 
     with pytest.raises(ValueError, match="radius_m"):
         geo_radius_join_pairs(pts, "pid", "lat", "lon", 0)
+
+
+def test_advise_join_strategies(spark, sf_dir):
+    """Small side under the threshold -> broadcast toward it; tiny
+    threshold + low skew -> shuffle; tiny threshold + manufactured
+    hot key -> salted."""
+    import os
+
+    from dbkit_spark.operators.advisor import advise_join
+
+    orders = f"{sf_dir}/orders.parquet"
+    cust = f"{sf_dir}/customer.parquet"
+    r = advise_join(spark, orders, cust, "o_custkey", "c_custkey").collect()[0]
+    assert r["strategy"] == "broadcast_right" and r["right_bytes"] < r["left_bytes"]
+    assert r["est_pairs"] >= 0
+
+    r2 = advise_join(
+        spark, orders, f"{sf_dir}/lineitem.parquet", "o_orderkey",
+        "l_orderkey", broadcast_bytes=1000,
+    ).collect()[0]
+    assert r2["strategy"] == "shuffle_hash_or_merge"
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="advisor_skew_")
+    skewed = spark.createDataFrame(
+        [(1 if i < 5000 else i, i) for i in range(6000)], "k long, v long"
+    )
+    skewed.write.mode("overwrite").parquet(os.path.join(d, "big"))
+    skewed.write.mode("overwrite").parquet(os.path.join(d, "other"))
+    r3 = advise_join(
+        spark, os.path.join(d, "big"), os.path.join(d, "other"),
+        "k", "k", broadcast_bytes=1,
+    ).collect()[0]
+    assert r3["strategy"] == "shuffle_salted"
+    assert r3["probe_skew_factor"] > 8.0
+    import pytest
+
+    with pytest.raises(ValueError, match="broadcast_bytes"):
+        advise_join(spark, orders, cust, "o_custkey", "c_custkey", broadcast_bytes=0)
