@@ -6727,3 +6727,109 @@ ROADMAP7.update(
         "q302_join_advisor": (q302_join_advisor, None, _Q302_NOTES),
     }
 )
+
+
+def q303_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG/MRR/P@10 over a deterministic ranking fixture: 5 queries,
+    per-query ranking by the md5 rule (so both engines produce the
+    identical 'retrieval run'), graded qrels from a doc_id residue —
+    the metric operator is what's under test, with hits, misses,
+    graded gains and no-relevant queries all present."""
+    from pyspark.sql import Window
+
+    from ..llm.retrieval import ranking_metrics
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.withColumn("query_id", (F.col("doc_id") % 5).cast("long"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rank"))),
+        F.col("doc_id"),
+    )
+    results = (
+        base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = docs.select(
+        (F.col("doc_id") % 5).cast("long").alias("query_id"),
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, 2)
+        .when(F.col("doc_id") % 7 == 1, 1)
+        .otherwise(0)
+        .alias("rel"),
+    ).filter(F.col("rel") > 0)
+    return ranking_metrics(results, qrels, k=10).orderBy("query_id")
+
+
+_Q303_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS query_id FROM documents
+    ),
+    results AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rank'), doc_id
+             ) AS rank
+      FROM base
+      QUALIFY rank <= 10
+    ),
+    qrels AS (
+      SELECT CAST(doc_id % 5 AS BIGINT) AS query_id, doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 2
+                  WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END AS rel
+      FROM documents
+      WHERE doc_id % 7 IN (0, 1)
+    ),
+    hits AS (
+      SELECT r.query_id, r.rank,
+             CAST(COALESCE(q.rel, 0) AS DOUBLE) AS rel
+      FROM results r
+      LEFT JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+    ),
+    per_query AS (
+      SELECT query_id,
+             round(SUM(rel / log2(CAST(rank AS DOUBLE) + 1.0)), 9) AS dcg,
+             MAX(CASE WHEN rel > 0 THEN 1.0 / rank END) AS rr,
+             SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 10.0 AS prec
+      FROM hits GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             round(SUM(CAST(rel AS DOUBLE)
+                       / log2(CAST(irank AS DOUBLE) + 1.0)), 9) AS idcg
+      FROM (
+        SELECT query_id, rel,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+               ) AS irank
+        FROM qrels
+      )
+      WHERE irank <= 10
+      GROUP BY query_id
+    )
+    SELECT p.query_id,
+           round(p.dcg / i.idcg, 6) AS ndcg,
+           round(COALESCE(p.rr, 0.0), 6) AS mrr,
+           round(p.prec, 6) AS precision
+    FROM per_query p JOIN ideal i USING (query_id)
+    ORDER BY p.query_id
+"""
+
+_Q303_NOTES = (
+    "RANKING-QUALITY METRICS (llm/retrieval.ranking_metrics — NDCG@k / "
+    "MRR@k / Precision@k per query, the feedback loop that makes the "
+    "bm25/tfidf/rrf family TUNABLE): graded DCG rel/log2(rank+1), "
+    "deterministic IDCG tie order (rel DESC, doc ASC), trec_eval's "
+    "drop-no-relevant-queries convention; one (query,doc) left join + "
+    "one query-keyed ideal window + one agg. log2 raw IEEE in "
+    "identical order, 6dp per the libm rule; fixture ranking by the "
+    "md5 rule so both engines score the identical run"
+)
+
+
+ROADMAP7.update(
+    {
+        "q303_ranking_metrics": (q303_ranking_metrics, _Q303_ORACLE, _Q303_NOTES),
+    }
+)

@@ -1887,3 +1887,35 @@ def test_advise_join_strategies(spark, sf_dir):
 
     with pytest.raises(ValueError, match="broadcast_bytes"):
         advise_join(spark, orders, cust, "o_custkey", "c_custkey", broadcast_bytes=0)
+
+
+def test_ranking_metrics_laws(spark):
+    """Perfect ranking -> ndcg=1, mrr=1; reversed ranking scores lower
+    ndcg but equal precision; queries with no relevant docs are
+    dropped; missing results for a relevant doc hurt ndcg."""
+    from dbkit_spark.llm.retrieval import ranking_metrics
+
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (2, 20, 1), (3, 30, 1)],
+        "query_id int, doc_id int, rel int",
+    )
+    perfect = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3), (2, 20, 1)],
+        "query_id int, doc_id int, rank int",
+    )
+    got = {r["query_id"]: r for r in ranking_metrics(perfect, qrels, k=3).collect()}
+    assert set(got) == {1, 2}  # query 3 has no results -> inner join drops
+    assert got[1]["ndcg"] == 1.0 and got[1]["mrr"] == 1.0
+    assert got[2]["ndcg"] == 1.0
+
+    reversed_ = spark.createDataFrame(
+        [(1, 99, 1), (1, 11, 2), (1, 10, 3)],
+        "query_id int, doc_id int, rank int",
+    )
+    r1 = ranking_metrics(reversed_, qrels, k=3).collect()[0]
+    assert r1["ndcg"] < 1.0 and r1["mrr"] == round(1 / 2, 6)
+    assert r1["precision"] == got[1]["precision"]
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        ranking_metrics(perfect, qrels, k=0)
