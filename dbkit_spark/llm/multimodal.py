@@ -13,10 +13,14 @@ progressive (SOF2) multi-scan streams and 4:2:0/4:2:2 chroma
 subsampling (round 8). Arithmetic-coded/hierarchical/12-bit JPEG
 degrades to header metadata.
 AUDIO decodes for real too: ``llm/audio.py`` parses RIFF/WAVE integer
-PCM (8/16/24/32-bit, multi-channel) with the same decoded=false
-degradation contract. Video remains STUBBED via ``_fake_decode``;
-swap in PyAV/torchvision-class decoders without touching any Spark
-plumbing.
+PCM (8/16/24/32-bit, multi-channel), and VIDEO decodes for real in the
+Motion-JPEG class: ``llm/video.py`` demuxes AVI with the same RIFF
+walker and decodes frames through the pure-numpy JPEG codec — both
+with the decoded=false degradation contract. Inter-frame codecs
+(H.264-class) remain the honest boundary; swap in PyAV behind the
+same column contract without touching any Spark plumbing.
+``_fake_decode`` below survives only as the generic-binary fallback
+feature for payloads that are not a supported container.
 """
 
 from __future__ import annotations

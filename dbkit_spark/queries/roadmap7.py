@@ -6833,3 +6833,40 @@ ROADMAP7.update(
         "q303_ranking_metrics": (q303_ranking_metrics, _Q303_ORACLE, _Q303_NOTES),
     }
 )
+
+
+def q304_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.video import video_frame_stats, with_mjpeg_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_mjpeg_payload(docs, "doc_id", every=25)
+    return (
+        video_frame_stats(payloads, every=2)
+        .filter(F.col("decoded"))
+        .select(
+            "doc_id", "fps", "width", "height", "n_frames", "duration_s",
+            "frames_sampled", "motion",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q304_NOTES = (
+    "REAL VIDEO DECODE + FEATURES (llm/video — Motion-JPEG AVI: the "
+    "RIFF chunk walker from the audio work demuxes the container, the "
+    "in-repo pure-numpy JPEG codec decodes every sampled frame; "
+    "per-video means + a MOTION score (mean inter-frame pixel delta) "
+    "over every-k-th-frame sampling so per-row cost is independent of "
+    "clip length; inter-frame codecs degrade to decoded=false — the "
+    "image/audio contract; retires the LAST _fake_decode stub class). "
+    "ROWS-ONLY: the JPEG DCT round-trip has no SQL twin; container "
+    "fields and motion laws pinned in pytest (still clip == 0, "
+    "shifting gradient > 0, frame decode within quantization error)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q304_video_features": (q304_video_features, None, _Q304_NOTES),
+    }
+)

@@ -1919,3 +1919,73 @@ def test_ranking_metrics_laws(spark):
 
     with pytest.raises(ValueError, match="k must"):
         ranking_metrics(perfect, qrels, k=0)
+
+
+# --- real MJPEG AVI video decode (round 8) -----------------------------------
+def test_mjpeg_avi_round_trip():
+    """Container round-trip: header fields survive, every frame decodes
+    through the real JPEG path within quantization error."""
+    from dbkit_spark.llm.jpeg import decode_jpeg_pixels
+    from dbkit_spark.llm.video import decode_mjpeg_avi, encode_mjpeg_avi
+
+    frames = []
+    for t in range(5):
+        ys, xs = np.mgrid[0:12, 0:16]
+        frames.append(
+            np.stack(
+                [(xs * 4 + 7 * t) % 256, (ys * 4) % 256, (xs + ys + 3 * t) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+        )
+    avi = encode_mjpeg_avi(frames, fps=10)
+    fps, w, h, n, payloads = decode_mjpeg_avi(avi)
+    assert (fps, w, h, n, len(payloads)) == (10.0, 16, 12, 5, 5)
+    for t, p in enumerate(payloads):
+        fw, fh, fc, raw = decode_jpeg_pixels(p)
+        assert (fw, fh, fc) == (16, 12, 3)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(12, 16, 3).astype(int)
+        assert np.abs(got - frames[t].astype(int)).max() <= 14
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not AVI"):
+        decode_mjpeg_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # non-JPEG frames: honest inter-frame-codec boundary
+    import struct
+
+    fake = avi.replace(b"\xff\xd8", b"\x00\x00", 1)
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_mjpeg_avi(fake)
+
+
+def test_video_frame_stats_boundary(spark):
+    """The Spark boundary: real MJPEG payloads flow map-only through
+    video_frame_stats; shifting gradients give motion > 0 while a
+    still clip gives motion == 0; garbage degrades."""
+    import numpy as np
+
+    from dbkit_spark.llm.video import encode_mjpeg_avi, video_frame_stats
+
+    ys, xs = np.mgrid[0:12, 0:16]
+    still = np.stack([(xs * 4) % 256, (ys * 4) % 256, (xs + ys) % 256],
+                     axis=-1).astype(np.uint8)
+    moving = [
+        np.stack([(xs * 4 + 9 * t) % 256, (ys * 4) % 256, (xs + ys) % 256],
+                 axis=-1).astype(np.uint8)
+        for t in range(4)
+    ]
+    rows = [
+        (1, bytearray(encode_mjpeg_avi([still] * 4, fps=8))),
+        (2, bytearray(encode_mjpeg_avi(moving, fps=8))),
+        (3, bytearray(b"definitely not a video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = video_frame_stats(df, every=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].decoded and got[1].n_frames == 4 and got[1].fps == 8.0
+    assert got[1].duration_s == 0.5 and got[1].frames_sampled == 4
+    assert got[1].motion == 0.0
+    assert got[2].decoded and got[2].motion > 1.0
+    assert not got[3].decoded
