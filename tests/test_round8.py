@@ -1989,3 +1989,41 @@ def test_video_frame_stats_boundary(spark):
     assert got[1].motion == 0.0
     assert got[2].decoded and got[2].motion > 1.0
     assert not got[3].decoded
+
+
+def test_prefix_family_exchange_budgets(spark, sf_dir):
+    """Plan budgets for the prefix-scan family: the whole point is ONE
+    full-data exchange (window hash) + metadata-sized side traffic —
+    assert exchange counts stay in budget and no SinglePartition
+    appears anywhere in the final plans."""
+    import re
+
+    from dbkit_spark.catalog import load_all
+
+    load_all()
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+
+    budgets = {
+        "q280_running_revenue": 5,
+        "q281_skyline_frontier": 6,
+        "q282_export_shards": 5,
+        "q288_weighted_quantiles": 7,
+        "q301_cumulative_distinct": 9,
+    }
+    for name, budget in budgets.items():
+        fn = ROADMAP7[name][0]
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # structural SinglePartition rule (the NLJ-gate discipline): an
+        # Exchange SinglePartition is benign iff it merges map-side
+        # PARTIAL no-grouping aggregates (one row per upstream
+        # partition); any other — a global window/sort funnel — fails
+        lines = [x.strip() for x in final.split("\n")]
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                below = lines[i + 1] if i + 1 < len(lines) else ""
+                assert re.search(r"HashAggregate\(keys=\[\], functions=\[partial_", below), (
+                    name, line, below,
+                )
+        n_ex = len(re.findall(r"Exchange", final))
+        assert n_ex <= budget, (name, n_ex, budget)
