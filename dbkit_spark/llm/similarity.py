@@ -724,3 +724,149 @@ def truncation_recall(
         )
         .orderBy("dim")
     )
+
+
+def int8_quantize_stats(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 (0..255 affine) quantization accounting — the
+    serving-infra question before shipping an embedding index at 1/4
+    the bytes: scale/zero-point per vector plus the reconstruction
+    error actually incurred.
+
+    q_i = floor((x_i − min)/scale + 0.5) (explicit floor(+0.5), never
+    round(): HALF_UP vs banker's differs across engines), dequant
+    x̂_i = min + q_i·scale, and MAE = mean |x − x̂|. Constant vectors
+    (scale 0) quantize losslessly to zero error. Map-only HOF
+    arithmetic — every step is IEEE-identical cross-engine; per-element
+    error terms round at 9dp before the fold (the q43 convention),
+    outputs at 6dp.
+
+    Output: (id, scale, zero_point, mae)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    deq_err = F.transform(
+        v,
+        lambda x: F.round(
+            F.abs(
+                x
+                - (
+                    mn
+                    + F.floor((x - mn) / scale + F.lit(0.5)) * scale
+                )
+            ),
+            9,
+        ),
+    )
+    d = F.size(v)
+    mae = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.aggregate(deq_err, F.lit(0.0), lambda a, x: a + x) / d
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.round(mn, 6).alias("zero_point"),
+        F.round(mae, 9).alias("mae"),
+    )
+
+
+def pack_sign_bits(vec_col) -> tuple:
+    """Sign-bit packing for binary embeddings: 64 dims → two BIGINTs of
+    32 bits each (never bit 63 — engines disagree on signed shift
+    overflow). Returns (lo, hi) Columns; bit j of lo = dim j+1 > 0."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+
+    def half(start: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(v, start + 1, 32),
+                pow2,
+                lambda x, p: F.when(
+                    x.cast("double") > 0, p
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return half(0), half(32)
+
+
+def hamming_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary retrieval — the classic memory/accuracy trade
+    at serving scale: stage 1 shortlists by HAMMING distance on
+    sign-bit-packed embeddings (16 bytes/vector instead of 256; XOR +
+    bit_count, pure integer), stage 2 reranks the shortlist by exact
+    cosine. 64-dim contract (the fixture dim); wider vectors pack more
+    longs behind the same API.
+
+    Scale shape: queries broadcast against the packed corpus (the q43
+    discipline — the corpus never shuffles), ONE per-query window ranks
+    hamming (integer, deterministic ties by id), cosine runs only on
+    queries × shortlist. Output: (query_id, cand_id, hamming, cos_sim
+    6dp, rank 1..k by cosine desc)."""
+    from pyspark.sql import Window
+
+    if k <= 0 or shortlist < k:
+        raise ValueError("need shortlist >= k > 0")
+    qlo, qhi = pack_sign_bits(vec_col)
+    clo, chi = pack_sign_bits(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        qlo.alias("_qlo"),
+        qhi.alias("_qhi"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        clo.alias("_clo"),
+        chi.alias("_chi"),
+    )
+    ham = (
+        F.bit_count(F.col("_qlo").bitwiseXOR(F.col("_clo")))
+        + F.bit_count(F.col("_qhi").bitwiseXOR(F.col("_chi")))
+    ).cast("int")
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("hamming", ham)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("cand_id").asc()
+    )
+    short = cand.withColumn("_hrank", F.row_number().over(w1)).filter(
+        F.col("_hrank") <= shortlist
+    )
+    qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
+    cv = F.transform(F.col("_cv"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(qv, cv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = short.withColumn(
+        "cos_sim", F.round(dot / (norm(qv) * norm(cv)), 6)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "hamming", "cos_sim", "rank")
+    )

@@ -6870,3 +6870,119 @@ ROADMAP7.update(
         "q304_video_features": (q304_video_features, None, _Q304_NOTES),
     }
 )
+
+
+def q305_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import int8_quantize_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return int8_quantize_stats(emb).orderBy("vec_id")
+
+
+_Q305_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    st AS (
+      SELECT vec_id, v, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM e
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           round(mn, 6) AS zero_point,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             round(list_sum(list_transform(v, x ->
+               round(abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)),
+                     9))) / len(v), 9)
+           END AS mae
+    FROM st
+    ORDER BY vec_id
+"""
+
+_Q305_NOTES = (
+    "INT8 EMBEDDING QUANTIZATION ACCOUNTING (llm/similarity."
+    "int8_quantize_stats — per-vector affine scale/zero-point plus the "
+    "reconstruction MAE actually incurred, the question before "
+    "shipping an index at 1/4 the bytes): explicit floor(x+0.5) "
+    "rounding (never round(): HALF_UP vs banker's differs across "
+    "engines), map-only HOF arithmetic, per-element error terms 9dp "
+    "before the fold (the q43 convention)"
+)
+
+
+def q306_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import hamming_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hamming_rerank(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, shortlist=20
+    ).orderBy("query_id", "rank")
+
+
+_Q306_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    packed AS (
+      SELECT vec_id, v,
+        CAST(list_sum(list_transform(generate_series(1, 32), i ->
+          CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+               ELSE 0 END)) AS BIGINT) AS lo,
+        CAST(list_sum(list_transform(generate_series(33, 64), i ->
+          CASE WHEN v[i] > 0 THEN CAST(1 AS BIGINT) << (i - 33)
+               ELSE 0 END)) AS BIGINT) AS hi
+      FROM e
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS qv, c.v AS cv,
+             CAST(bit_count(xor(q.lo, c.lo))
+                  + bit_count(xor(q.hi, c.hi)) AS INTEGER) AS hamming
+      FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    short AS (
+      SELECT query_id, cand_id, hamming, qv, cv,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY hamming, cand_id) AS hrank
+      FROM cand
+      QUALIFY hrank <= 20
+    ),
+    scored AS (
+      SELECT query_id, cand_id, hamming,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM short
+    )
+    SELECT query_id, cand_id, hamming, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+_Q306_NOTES = (
+    "BINARY HAMMING TWO-STAGE RETRIEVAL (llm/similarity.hamming_rerank "
+    "— sign-bit embeddings at 16 bytes/vector shortlist by XOR + "
+    "bit_count, exact cosine reranks only the shortlist: the classic "
+    "serving memory/accuracy trade): bits packed 32-per-BIGINT (never "
+    "bit 63 — engines disagree on signed shift overflow), queries "
+    "broadcast against the packed corpus (the q43 discipline, corpus "
+    "never shuffles), integer hamming with deterministic id ties. "
+    "Oracle replays the packing digit-for-digit and reranks with "
+    "list_cosine_similarity"
+)
+
+
+ROADMAP7.update(
+    {
+        "q305_int8_quantization": (
+            q305_int8_quantization,
+            _Q305_ORACLE,
+            _Q305_NOTES,
+        ),
+        "q306_hamming_rerank": (q306_hamming_rerank, _Q306_ORACLE, _Q306_NOTES),
+    }
+)

@@ -2027,3 +2027,35 @@ def test_prefix_family_exchange_budgets(spark, sf_dir):
                 )
         n_ex = len(re.findall(r"Exchange", final))
         assert n_ex <= budget, (name, n_ex, budget)
+
+
+def test_int8_quantize_and_hamming_laws(spark):
+    """Quantization: a constant vector has zero error; MAE is bounded by
+    scale/2. Hamming: identical-sign vectors are at distance 0 and rank
+    by cosine; an antipodal vector sits at distance 64."""
+    from dbkit_spark.llm.similarity import hamming_rerank, int8_quantize_stats
+
+    base = [float(i % 13) / 13 - 0.5 for i in range(64)]
+    rows = [
+        (1, base),
+        (2, [x + 0.001 for x in base]),            # same signs as 1
+        (3, [-x if x != 0 else -0.01 for x in base]),  # antipodal
+        (4, [0.5] * 64),                            # constant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = {r["vec_id"]: r for r in int8_quantize_stats(df).collect()}
+    assert stats[4]["scale"] == 0.0 and stats[4]["mae"] == 0.0
+    for vid in (1, 2, 3):
+        assert stats[vid]["mae"] <= stats[vid]["scale"] / 2 + 1e-12
+
+    out = hamming_rerank(
+        df.filter(F.col("vec_id") == 1), df, k=3, shortlist=3
+    ).collect()
+    got = {r["cand_id"]: r for r in out}
+    assert got[2]["hamming"] == 0          # same sign pattern
+    assert got[3]["hamming"] == 64         # antipodal flips every bit
+    assert got[2]["rank"] == 1 and got[2]["cos_sim"] > 0.99
+    import pytest
+
+    with pytest.raises(ValueError, match="shortlist"):
+        hamming_rerank(df, df, k=5, shortlist=3)
