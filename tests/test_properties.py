@@ -519,3 +519,65 @@ def test_scd2_enrich_laws(spark, changes, probes):
 
     for r in out:
         assert r.s == ref(r.k, r.ts), (r.k, r.ts, r.s, ref(r.k, r.ts))
+
+
+# --- prefix scan law: two-phase scan == single-reducer window ---------------
+prefix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),   # order key (dups allowed)
+        st.integers(min_value=0, max_value=10**6),  # unique-ified below
+        st.one_of(st.none(), st.integers(min_value=-999, max_value=999)),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(prefix_rows)
+@SETTINGS
+def test_prefix_agg_equals_global_window(spark, rows):
+    """For every agg and frame, prefix_agg over a total order equals the
+    naive single-reducer window — including NULL values, duplicate
+    order keys (tiebroken), and tiny/empty inputs."""
+    from pyspark.sql import Window
+
+    from dbkit_spark.operators.prefix import prefix_agg
+
+    data = [
+        (k, i, None if v is None else float(v))
+        for i, (k, _junk, v) in enumerate(rows)
+    ]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k int, tie int, v double")
+    for agg, fn in (("sum", F.sum), ("max", F.max), ("count", F.count)):
+        for inclusive in (True, False):
+            upper = 0 if inclusive else -1
+            w = Window.orderBy("k", "tie").rowsBetween(
+                Window.unboundedPreceding, upper
+            )
+            ref_col = fn("v").over(w)
+            if agg == "count":
+                ref_col = F.coalesce(ref_col, F.lit(0)).cast("long")
+            ref = {
+                r["tie"]: r["x"] for r in df.withColumn("x", ref_col).collect()
+            }
+            got = {
+                r["tie"]: r["x"]
+                for r in prefix_agg(
+                    df, ["k", "tie"], "v", agg=agg,
+                    inclusive=inclusive, out_col="x", n_buckets=4,
+                ).collect()
+            }
+            if agg == "sum":
+                # double addition is order-sensitive across regrouping:
+                # compare with an ulp-scale tolerance (decimal inputs get
+                # exactness; the law here is the FRAME, not float assoc)
+                assert set(got) == set(ref)
+                for t in got:
+                    a, b = got[t], ref[t]
+                    assert (a is None) == (b is None)
+                    if a is not None:
+                        assert abs(a - b) <= 1e-9 * max(1.0, abs(b))
+            else:
+                assert got == ref, (agg, inclusive)
