@@ -6986,3 +6986,259 @@ ROADMAP7.update(
         "q306_hamming_rerank": (q306_hamming_rerank, _Q306_ORACLE, _Q306_NOTES),
     }
 )
+
+
+def q307_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection as a composition: per
+    (event_type, hour-of-day) MEDIAN baseline (the seasonal profile)
+    subtracts out the daily cycle, then the robust MAD flag
+    (mad_outliers) runs on the RESIDUAL — a spike at 3am is judged
+    against 3am's norm, not the whole day's. Two metadata-sized
+    baseline broadcasts + the MAD pass; flagged rows only."""
+    from ..operators.profile import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hod"),
+        "value",
+    )
+    baseline = keyed.groupBy("event_type", "hod").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "season_med"
+        )
+    )
+    resid = keyed.join(F.broadcast(baseline), ["event_type", "hod"]).withColumn(
+        "residual", F.col("value") - F.col("season_med")
+    )
+    flagged = mad_outliers(resid, ["event_type"], "residual", k=3.0)
+    return (
+        flagged.filter(F.col("is_outlier"))
+        .select("event_id", "event_type", "hod", "value", "season_med",
+                "residual")
+        .orderBy("event_id")
+    )
+
+
+_Q307_ORACLE = """
+    WITH keyed AS (
+      SELECT event_id, event_type,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hod, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    baseline AS (
+      SELECT event_type, hod,
+             quantile_disc(value, 0.5) AS season_med
+      FROM keyed GROUP BY event_type, hod
+    ),
+    resid AS (
+      SELECT k.event_id, k.event_type, k.hod, k.value, b.season_med,
+             k.value - b.season_med AS residual
+      FROM keyed k JOIN baseline b USING (event_type, hod)
+    ),
+    med AS (
+      SELECT event_type, quantile_disc(residual, 0.5) AS med
+      FROM resid GROUP BY event_type
+    ),
+    mad AS (
+      SELECT r.event_type,
+             quantile_disc(abs(r.residual - m.med), 0.5) AS mad
+      FROM resid r JOIN med m USING (event_type)
+      GROUP BY r.event_type
+    )
+    SELECT r.event_id, r.event_type, r.hod, r.value, r.season_med,
+           r.residual
+    FROM resid r
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs(r.residual - m.med) > (3.0 * 1.4826) * d.mad
+    ORDER BY r.event_id
+"""
+
+_Q307_NOTES = (
+    "SEASONALITY-ADJUSTED ANOMALIES (composition showcase: per-(type, "
+    "hour-of-day) MEDIAN baseline subtracts the daily cycle, robust "
+    "MAD flags run on the RESIDUAL — a 3am spike judged against 3am's "
+    "norm): two metadata-sized percentile_disc baselines broadcast "
+    "back, flagging map-side; every comparison exact IEEE via the "
+    "percentile_disc==quantile_disc parity — no rounding slack"
+)
+
+
+def q308_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on FUNNEL CONVERSION between hash-split
+    variants: window_funnel levels per user, md5-rule A/B assignment,
+    pooled-proportion z per step transition — the product-analytics
+    readout (did the variant move view->click and click->purchase?)."""
+    from ..operators.sequence import window_funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    funnel = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], window_seconds=7200,
+    )
+    assigned = funnel.withColumn(
+        "variant",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                    1, 6,
+                ), 16, 10,
+            ).cast("long") % 2 == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    per_variant = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("funnel_level") >= 1, 1).otherwise(0)).alias("l1"),
+        F.sum(F.when(F.col("funnel_level") >= 2, 1).otherwise(0)).alias("l2"),
+        F.sum(F.when(F.col("funnel_level") >= 3, 1).otherwise(0)).alias("l3"),
+    )
+    a = per_variant.filter(F.col("variant") == "A").drop("variant")
+    b = per_variant.filter(F.col("variant") == "B").drop("variant")
+    j = a.select(
+        F.col("n").alias("na"), F.col("l1").alias("a1"),
+        F.col("l2").alias("a2"), F.col("l3").alias("a3"),
+    ).crossJoin(
+        F.broadcast(
+            b.select(
+                F.col("n").alias("nb"), F.col("l1").alias("b1"),
+                F.col("l2").alias("b2"), F.col("l3").alias("b3"),
+            )
+        )
+    )
+
+    def ztest(sa, base_a, sb, base_b, step):
+        # nullif guards: an empty step base (tiny fixtures) yields NULL
+        # rates/z rather than a division error — mirrored in the oracle
+        na = F.nullif(F.col(base_a).cast("double"), F.lit(0.0))
+        nb = F.nullif(F.col(base_b).cast("double"), F.lit(0.0))
+        pa = F.col(sa).cast("double") / na
+        pb = F.col(sb).cast("double") / nb
+        pool = (F.col(sa) + F.col(sb)).cast("double") / (
+            F.col(base_a) + F.col(base_b)
+        ).cast("double")
+        se = F.nullif(
+            F.sqrt(
+                pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            ),
+            F.lit(0.0),
+        )
+        return F.struct(
+            F.lit(step).alias("step"),
+            F.col(base_a).cast("long").alias("n_a"),
+            F.col(sa).cast("long").alias("conv_a"),
+            F.col(base_b).cast("long").alias("n_b"),
+            F.col(sb).cast("long").alias("conv_b"),
+            F.round(pa, 9).alias("rate_a"),
+            F.round(pb, 9).alias("rate_b"),
+            F.round((pa - pb) / se, 6).alias("z"),
+        )
+
+    wide = j.select(
+        F.explode(
+            F.array(
+                ztest("a2", "a1", "b2", "b1", "view_to_click"),
+                ztest("a3", "a2", "b3", "b2", "click_to_purchase"),
+            )
+        ).alias("r")
+    )
+    return wide.select("r.*").orderBy("step")
+
+
+_Q308_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    keys AS (SELECT DISTINCT user_id FROM ev),
+    s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.us > s1.t1
+             AND e.us <= s1.t1 + 7200000000 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS t3
+           FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             AND e.us <= s1.t1 + 7200000000 GROUP BY 1),
+    lv AS (
+      SELECT k.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+             CASE WHEN CAST(list_sum(list_transform(generate_series(1, 6),
+               i -> CAST((strpos('0123456789abcdef', substr(md5(
+                 CAST(k.user_id AS VARCHAR) || ':ab'), i, 1)) - 1) AS BIGINT)
+                 * CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT) % 2 = 0
+               THEN 'A' ELSE 'B' END AS variant
+      FROM keys k
+      LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    ),
+    pv AS (
+      SELECT variant,
+             SUM(CASE WHEN lvl >= 1 THEN 1 ELSE 0 END) AS l1,
+             SUM(CASE WHEN lvl >= 2 THEN 1 ELSE 0 END) AS l2,
+             SUM(CASE WHEN lvl >= 3 THEN 1 ELSE 0 END) AS l3
+      FROM lv GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        (SELECT l1 FROM pv WHERE variant = 'A') AS a1,
+        (SELECT l2 FROM pv WHERE variant = 'A') AS a2,
+        (SELECT l3 FROM pv WHERE variant = 'A') AS a3,
+        (SELECT l1 FROM pv WHERE variant = 'B') AS b1,
+        (SELECT l2 FROM pv WHERE variant = 'B') AS b2,
+        (SELECT l3 FROM pv WHERE variant = 'B') AS b3
+    ),
+    steps AS (
+      SELECT 'view_to_click' AS step, a1 AS base_a, a2 AS conv_a,
+             b1 AS base_b, b2 AS conv_b FROM wide
+      UNION ALL
+      SELECT 'click_to_purchase', a2, a3, b2, b3 FROM wide
+    )
+    SELECT step,
+           CAST(base_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(base_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           round(CAST(conv_a AS DOUBLE) / nullif(base_a, 0), 9) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / nullif(base_b, 0), 9) AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / nullif(base_a, 0)
+                  - CAST(conv_b AS DOUBLE) / nullif(base_b, 0))
+                 / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                                / (base_a + base_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / (base_a + base_b))
+                        * (1.0 / nullif(base_a, 0)
+                           + 1.0 / nullif(base_b, 0))), 0.0), 6) AS z
+    FROM steps
+    ORDER BY step
+"""
+
+_Q308_NOTES = (
+    "FUNNEL CONVERSION A/B Z-TEST (composition: window_funnel levels "
+    "per user + md5-rule variant assignment + pooled two-proportion z "
+    "per step transition — the product-analytics readout): funnel is "
+    "one fold exchange, variant counts are a 2-row aggregate, the z "
+    "arithmetic is identical-order IEEE on exact integer counts (6dp "
+    "for the sqrt). Column names step/n/conv per variant so the "
+    "readout doubles as the sample-size report"
+)
+
+
+ROADMAP7.update(
+    {
+        "q307_seasonal_anomaly": (
+            q307_seasonal_anomaly,
+            _Q307_ORACLE,
+            _Q307_NOTES,
+        ),
+        "q308_conversion_ab_test": (
+            q308_conversion_ab_test,
+            _Q308_ORACLE,
+            _Q308_NOTES,
+        ),
+    }
+)
