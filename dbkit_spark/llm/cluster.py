@@ -180,3 +180,106 @@ def dedup_survivors_best(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid vectors: posexplode to (label, dim, value),
+    DECIMAL-summed means per (label, dim) (the engine-wide order-free
+    reduction rule — double avg would drift across partitionings), then
+    dim-sorted reassembly into one array row per label. The centroid
+    table is (labels × d) exploded rows reduced to labels rows —
+    metadata-sized, broadcastable."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("x"), 9).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+
+
+def silhouette_simplified(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SIMPLIFIED silhouette (Hruschka et al.) — the clustering-quality
+    readout at corpus scale: the classic silhouette needs all-pairs
+    distances (O(n²), impossible); the simplified form scores each
+    vector against CENTROIDS only — a = distance to its own label's
+    centroid, b = min distance to any other label's, s = (b−a)/max(a,b)
+    — and correlates strongly with the exact form while costing one
+    centroid build + one labels-sized broadcast per vector.
+
+    Per-element distance terms round at 9dp before the fold (the q43
+    convention); per-vector s rounds at 6dp; the per-label mean
+    decimal-sums the rounded s values so the reduction is order-free.
+
+    Output: (label, n, mean_silhouette). Single-label inputs yield no
+    rows (b is undefined), matching the metric's domain.
+    """
+    cents = label_centroids(emb, vec_col, label_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            v.alias("_v"),
+        )
+        .join(F.broadcast(cents.select(F.col("label").alias("_clabel"), "centroid")))
+        .withColumn(
+            "_dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.col("centroid"),
+                        lambda x, c: F.round((x - c) * (x - c), 9),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+    )
+    per_vec = scored.groupBy("_id", "label").agg(
+        F.max(
+            F.when(F.col("label") == F.col("_clabel"), F.col("_dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("label") != F.col("_clabel"), F.col("_dist"))
+        ).alias("b"),
+    )
+    denom = F.greatest(F.col("a"), F.col("b"))
+    s = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("b") - F.col("a")) / denom, 6)
+    )
+    return (
+        per_vec.filter(F.col("b").isNotNull())
+        .withColumn("_s", s)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("_s").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )

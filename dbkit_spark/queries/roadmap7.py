@@ -7242,3 +7242,76 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q309_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.cluster import silhouette_simplified
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return silhouette_simplified(emb).orderBy("label")
+
+
+_Q309_ORACLE = """
+    WITH exploded AS (
+      SELECT label, e.dim, e.x
+      FROM (
+        SELECT label,
+               unnest(list_transform(embedding, (v, i) ->
+                 struct_pack(dim := i - 1, x := CAST(v AS DOUBLE)))) AS e
+        FROM embeddings
+      )
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM exploded GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT label AS clabel, list(c ORDER BY dim) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, c.clabel,
+             sqrt(list_sum(list_transform(generate_series(1, len(c.centroid)),
+               i -> round((CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+                          * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]),
+                          9)))) AS dist
+      FROM embeddings v CROSS JOIN cents c
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN label = clabel THEN dist END) AS a,
+             MIN(CASE WHEN label <> clabel THEN dist END) AS b
+      FROM scored GROUP BY vec_id, label
+    ),
+    svals AS (
+      SELECT label,
+             CASE WHEN greatest(a, b) = 0 THEN 0.0
+                  ELSE round((b - a) / greatest(a, b), 6) END AS s
+      FROM per_vec WHERE b IS NOT NULL
+    )
+    SELECT label, COUNT(*) AS n,
+           round(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_silhouette
+    FROM svals GROUP BY label
+    ORDER BY label
+"""
+
+_Q309_NOTES = (
+    "SIMPLIFIED SILHOUETTE (llm/cluster.silhouette_simplified — the "
+    "clustering-quality readout at corpus scale: exact silhouette is "
+    "all-pairs O(n^2); the simplified form scores vectors against "
+    "CENTROIDS only, one decimal-summed centroid build + one labels-"
+    "sized broadcast per vector): per-element distance terms 9dp "
+    "before the fold (q43 convention), per-vector s 6dp, per-label "
+    "mean decimal-summed so the reduction is order-free; "
+    "zero-denominator vectors score 0 by convention"
+)
+
+
+ROADMAP7.update(
+    {
+        "q309_silhouette": (q309_silhouette, _Q309_ORACLE, _Q309_NOTES),
+    }
+)

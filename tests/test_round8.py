@@ -2059,3 +2059,26 @@ def test_int8_quantize_and_hamming_laws(spark):
 
     with pytest.raises(ValueError, match="shortlist"):
         hamming_rerank(df, df, k=5, shortlist=3)
+
+
+def test_silhouette_laws(spark):
+    """Well-separated clusters score near +1; a point sitting on the
+    wrong side scores negative; single-label input yields no rows."""
+    from dbkit_spark.llm.cluster import silhouette_simplified
+
+    tight_a = [(i, [10.0 + 0.01 * i, 0.0], "a") for i in range(5)]
+    tight_b = [(10 + i, [-10.0 - 0.01 * i, 0.0], "b") for i in range(5)]
+    stray = [(99, [-10.0, 0.1], "a")]  # labeled a, sits in b's cluster
+    df = spark.createDataFrame(
+        tight_a + tight_b + stray,
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {r["label"]: r for r in silhouette_simplified(df).collect()}
+    assert got["b"]["mean_silhouette"] > 0.9
+    assert got["a"]["n"] == 6
+    assert got["a"]["mean_silhouette"] < got["b"]["mean_silhouette"]
+
+    solo = spark.createDataFrame(
+        tight_a, "vec_id long, embedding array<double>, label string"
+    )
+    assert silhouette_simplified(solo).count() == 0
