@@ -356,3 +356,87 @@ def ranking_metrics(
             F.round(F.col("_prec"), 6).alias("precision"),
         )
     )
+
+
+def mmr_diversify(
+    scored: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversification pass
+    between retrieval and the context window: from each query's scored
+    candidate list, greedily pick argmax λ·rel − (1−λ)·max_sim_to_
+    already_selected, so near-duplicate passages stop crowding out the
+    second topic. Ties break on doc id; cosine over the candidate
+    vectors.
+
+    Scale contract (the rrf_fuse rule): candidates per query are an
+    ALREADY-TOP-N list (tens to hundreds), so the per-query O(k·n)
+    greedy loop runs in a grouped Arrow batch — keys parallelize, one
+    query-keyed exchange, numpy inside. Inherently sequential per query
+    (each pick changes the next argmax), so ROWS-ONLY like PAV/BPE.
+
+    Output: (query, doc, mmr_rank 1..k, mmr_score 6dp).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+
+    fields = [f for f in scored.schema.fields if f.name in (query_col, doc_col)]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(doc_col).reset_index(drop=True)
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        n = len(pdf)
+        selected: list[int] = []
+        max_sim = np.zeros(n)
+        out_rows = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - (0.0 if not selected else (1 - lam) * max_sim)
+            score = np.where(
+                np.isin(np.arange(n), selected), -np.inf, score
+            )
+            best = int(np.argmax(score))  # argmax takes first -> doc-id tie order
+            out_rows.append(
+                {
+                    query_col: pdf[query_col].iloc[best],
+                    doc_col: pdf[doc_col].iloc[best],
+                    "mmr_rank": rank,
+                    "mmr_score": round(float(score[best]), 6),
+                }
+            )
+            selected.append(best)
+            max_sim = np.maximum(max_sim, unit @ unit[best])
+        return pd.DataFrame(out_rows)
+
+    return (
+        scored.select(query_col, doc_col, vec_col, rel_col)
+        .groupBy(query_col)
+        .applyInPandas(pick, out_schema)
+    )

@@ -7315,3 +7315,48 @@ ROADMAP7.update(
         "q309_silhouette": (q309_silhouette, _Q309_ORACLE, _Q309_NOTES),
     }
 )
+
+
+def q310_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over a deterministic candidate set: 5 queries x 40 hash-
+    scored candidates from the embeddings table."""
+    from ..llm.retrieval import mmr_diversify
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cands = (
+        emb.select(
+            (F.col("vec_id") % 5).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":rel"))),
+                        1, 6,
+                    ), 16, 10,
+                ).cast("double")
+                / F.lit(float(1 << 24))
+            ).alias("rel"),
+        )
+        .filter(F.col("doc_id") < 200)
+    )
+    return mmr_diversify(cands, k=5, lam=0.7).orderBy("query_id", "mmr_rank")
+
+
+_Q310_NOTES = (
+    "MMR DIVERSIFICATION (llm/retrieval.mmr_diversify — maximal "
+    "marginal relevance between retrieval and the context window: "
+    "greedy argmax of lam*rel - (1-lam)*max-sim-to-selected so near-"
+    "duplicate passages stop crowding the second topic): per-query "
+    "grouped Arrow batch over ALREADY-TOP-N candidates (the rrf_fuse "
+    "contract), keys parallelize. ROWS-ONLY — the greedy loop is "
+    "inherently sequential per query, the PAV/BPE class; lam=1-"
+    "reduction and near-dup-demotion laws pinned in pytest"
+)
+
+
+ROADMAP7.update(
+    {
+        "q310_mmr_diversify": (q310_mmr_diversify, None, _Q310_NOTES),
+    }
+)

@@ -2082,3 +2082,35 @@ def test_silhouette_laws(spark):
         tight_a, "vec_id long, embedding array<double>, label string"
     )
     assert silhouette_simplified(solo).count() == 0
+
+
+def test_mmr_diversify_laws(spark):
+    """lam=1 reduces to pure relevance order; at lam<1 a near-duplicate
+    of the top pick is demoted below a less-relevant but novel doc;
+    ranks are 1..k; bad args rejected."""
+    from dbkit_spark.llm.retrieval import mmr_diversify
+
+    rows = [
+        (1, 10, [1.0, 0.0], 1.0),    # top
+        (1, 11, [1.0, 0.001], 0.95), # near-dup of top
+        (1, 12, [0.0, 1.0], 0.5),    # novel topic
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, doc_id int, embedding array<double>, rel double"
+    )
+    pure = [
+        r["doc_id"]
+        for r in mmr_diversify(df, k=3, lam=1.0).orderBy("mmr_rank").collect()
+    ]
+    assert pure == [10, 11, 12]
+    div = [
+        r["doc_id"]
+        for r in mmr_diversify(df, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    ]
+    assert div == [10, 12, 11]  # novelty beats the near-dup
+    import pytest
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_diversify(df, k=2, lam=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        mmr_diversify(df, k=0)
