@@ -467,3 +467,128 @@ def corpus_kl(
         ),
         (F.round(F.col("js_d").cast("double"), 6) + F.lit(0.0)).alias("js"),
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-SPACE drift between a reference corpus and the current
+    batch — the semantic member of the drift family (PSI/KS watch
+    scalar columns; KL/JS watches token text; this watches the vector
+    space a retrieval/dedup index lives in): centroid SHIFT (L2 between
+    decimal-summed mean vectors — the first moment moving means the
+    upstream encoder or content mix moved), mean-NORM ratio (encoder
+    rescale signature), and mean dispersion about each centroid
+    (spread change without a d×d covariance pass).
+
+    One posexplode + (dim) aggregate per side (d-row results), one
+    broadcast recombination — never a corpus shuffle; all reductions
+    decimal-summed per the engine rule, outputs 6dp.
+
+    Output: one row (n_ref, n_cur, centroid_shift, norm_ratio,
+    dispersion_ref, dispersion_cur).
+    """
+
+    def moments(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        exploded = df.select(F.posexplode(v).alias("dim", "x"))
+        per_dim = exploded.groupBy("dim").agg(
+            (
+                F.sum(F.round(F.col("x"), 9).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias(f"mu_{tag}")
+        )
+        norms = df.select(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(v, lambda x: F.round(x * x, 9)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("nrm")
+        ).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            (
+                F.sum(F.round(F.col("nrm"), 9).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias(f"mean_norm_{tag}"),
+        )
+        return per_dim, norms
+
+    mu_r, n_r = moments(ref, "ref")
+    mu_c, n_c = moments(cur, "cur")
+    shift = (
+        mu_r.join(mu_c, "dim")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("mu_ref") - F.col("mu_cur"))
+                        * (F.col("mu_ref") - F.col("mu_cur")),
+                        12,
+                    ).cast("decimal(38,14)")
+                ).cast("double")
+            ).alias("centroid_shift")
+        )
+    )
+
+    def dispersion(df: DataFrame, mu: DataFrame, mu_col: str, tag: str):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # the row id MUST materialize before the generate: a
+        # nondeterministic expression in the same select as posexplode
+        # is evaluated per OUTPUT row, silently making every exploded
+        # element its own group (caught by the q311 oracle differential)
+        with_id = df.select(
+            F.monotonically_increasing_id().alias("_rid"), v.alias("_v")
+        )
+        exploded = with_id.select(
+            "_rid", F.posexplode(F.col("_v")).alias("dim", "x")
+        )
+        per_row = (
+            exploded.join(F.broadcast(mu), "dim")
+            .groupBy("_rid")
+            .agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("x") - F.col(mu_col))
+                            * (F.col("x") - F.col(mu_col)),
+                            9,
+                        ).cast("decimal(38,12)")
+                    ).cast("double")
+                ).alias("d")
+            )
+        )
+        return per_row.agg(
+            (
+                F.sum(F.round(F.col("d"), 9).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias(f"dispersion_{tag}")
+        )
+
+    disp_r = dispersion(ref, mu_r, "mu_ref", "ref")
+    disp_c = dispersion(cur, mu_c, "mu_cur", "cur")
+    return (
+        n_r.crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(shift))
+        .crossJoin(F.broadcast(disp_r))
+        .crossJoin(F.broadcast(disp_c))
+        .select(
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round(F.col("centroid_shift"), 6).alias("centroid_shift"),
+            F.round(
+                F.col("mean_norm_cur") / F.col("mean_norm_ref"), 6
+            ).alias("norm_ratio"),
+            F.round(F.col("dispersion_ref"), 6).alias("dispersion_ref"),
+            F.round(F.col("dispersion_cur"), 6).alias("dispersion_cur"),
+        )
+    )

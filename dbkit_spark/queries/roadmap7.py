@@ -7360,3 +7360,96 @@ ROADMAP7.update(
         "q310_mmr_diversify": (q310_mmr_diversify, None, _Q310_NOTES),
     }
 )
+
+
+def q311_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import embedding_drift
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(ref, cur)
+
+
+_Q311_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, vec_id % 2 AS side,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    exploded AS (
+      SELECT side, vec_id, u.dim, u.x
+      FROM (
+        SELECT side, vec_id,
+               unnest(list_transform(v, (x, i) ->
+                 struct_pack(dim := i - 1, x := x))) AS u
+        FROM e
+      )
+    ),
+    mu AS (
+      SELECT side, dim,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM exploded GROUP BY side, dim
+    ),
+    shift AS (
+      SELECT sqrt(CAST(SUM(CAST(round((a.m - b.m) * (a.m - b.m), 12)
+                   AS DECIMAL(38,14))) AS DOUBLE)) AS centroid_shift
+      FROM mu a JOIN mu b ON a.dim = b.dim AND a.side = 0 AND b.side = 1
+    ),
+    norms AS (
+      SELECT side, COUNT(*) AS n,
+             CAST(SUM(CAST(round(nrm, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mean_norm
+      FROM (
+        SELECT side,
+               sqrt(list_sum(list_transform(v, x -> round(x * x, 9)))) AS nrm
+        FROM e
+      ) GROUP BY side
+    ),
+    dist AS (
+      SELECT x.side, x.vec_id,
+             sqrt(CAST(SUM(CAST(round((x.x - m.m) * (x.x - m.m), 9)
+                  AS DECIMAL(38,12))) AS DOUBLE)) AS d
+      FROM exploded x JOIN mu m ON m.side = x.side AND m.dim = x.dim
+      GROUP BY x.side, x.vec_id
+    ),
+    disp AS (
+      SELECT side,
+             CAST(SUM(CAST(round(d, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS dispersion
+      FROM dist GROUP BY side
+    )
+    SELECT CAST((SELECT n FROM norms WHERE side = 0) AS BIGINT) AS n_ref,
+           CAST((SELECT n FROM norms WHERE side = 1) AS BIGINT) AS n_cur,
+           round((SELECT centroid_shift FROM shift), 6) AS centroid_shift,
+           round((SELECT mean_norm FROM norms WHERE side = 1)
+                 / (SELECT mean_norm FROM norms WHERE side = 0), 6)
+             AS norm_ratio,
+           round((SELECT dispersion FROM disp WHERE side = 0), 6)
+             AS dispersion_ref,
+           round((SELECT dispersion FROM disp WHERE side = 1), 6)
+             AS dispersion_cur
+"""
+
+_Q311_NOTES = (
+    "EMBEDDING-SPACE DRIFT (operators/drift.embedding_drift — the "
+    "semantic member of the drift family: PSI/KS watch scalar columns, "
+    "KL/JS watches token text, this watches the vector space an index "
+    "lives in): centroid L2 shift (content mix / encoder moved), mean-"
+    "norm ratio (encoder rescale signature), per-side mean dispersion "
+    "about the centroid (spread change without a d^2 covariance pass). "
+    "One posexplode + d-row agg per side + broadcast recombination — "
+    "never a corpus shuffle; every reduction decimal-summed"
+)
+
+
+ROADMAP7.update(
+    {
+        "q311_embedding_drift": (
+            q311_embedding_drift,
+            _Q311_ORACLE,
+            _Q311_NOTES,
+        ),
+    }
+)

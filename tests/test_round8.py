@@ -2114,3 +2114,26 @@ def test_mmr_diversify_laws(spark):
         mmr_diversify(df, k=2, lam=1.5)
     with pytest.raises(ValueError, match="k must"):
         mmr_diversify(df, k=0)
+
+
+def test_embedding_drift_laws(spark):
+    """Identical corpora: zero shift, ratio 1; a shifted+scaled batch
+    moves every signal in the right direction."""
+    from dbkit_spark.operators.drift import embedding_drift
+
+    base = [(i, [((i * 7 + j) % 13) / 13.0 - 0.5 for j in range(8)])
+            for i in range(40)]
+    ref = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    same = embedding_drift(ref, ref).collect()[0]
+    assert same["centroid_shift"] == 0.0
+    assert same["norm_ratio"] == 1.0
+    assert same["dispersion_ref"] == same["dispersion_cur"]
+
+    shifted = spark.createDataFrame(
+        [(i, [2.0 * (x + 0.3) for x in v]) for i, v in base],
+        "vec_id long, embedding array<double>",
+    )
+    moved = embedding_drift(ref, shifted).collect()[0]
+    assert moved["centroid_shift"] > 0.5
+    assert moved["norm_ratio"] > 1.5
+    assert moved["dispersion_cur"] > moved["dispersion_ref"]
