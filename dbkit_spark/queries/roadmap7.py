@@ -7092,24 +7092,21 @@ def q308_conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("A"),
         ).otherwise(F.lit("B")),
     )
-    per_variant = assigned.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("funnel_level") >= 1, 1).otherwise(0)).alias("l1"),
-        F.sum(F.when(F.col("funnel_level") >= 2, 1).otherwise(0)).alias("l2"),
-        F.sum(F.when(F.col("funnel_level") >= 3, 1).otherwise(0)).alias("l3"),
-    )
-    a = per_variant.filter(F.col("variant") == "A").drop("variant")
-    b = per_variant.filter(F.col("variant") == "B").drop("variant")
-    j = a.select(
-        F.col("n").alias("na"), F.col("l1").alias("a1"),
-        F.col("l2").alias("a2"), F.col("l3").alias("a3"),
-    ).crossJoin(
-        F.broadcast(
-            b.select(
-                F.col("n").alias("nb"), F.col("l1").alias("b1"),
-                F.col("l2").alias("b2"), F.col("l3").alias("b3"),
-            )
+    # ONE no-grouping aggregate with per-variant conditional sums — no
+    # per-variant frames, no join at all (a groupBy(variant) + self-join
+    # would plan a non-scalar BNLJ the queue gate rightly flags)
+    is_a = F.col("variant") == "A"
+
+    def lv(cond, level):
+        return F.sum(
+            F.when(cond & (F.col("funnel_level") >= level), 1).otherwise(0)
         )
+
+    j = assigned.agg(
+        lv(is_a, 1).alias("a1"), lv(is_a, 2).alias("a2"),
+        lv(is_a, 3).alias("a3"),
+        lv(~is_a, 1).alias("b1"), lv(~is_a, 2).alias("b2"),
+        lv(~is_a, 3).alias("b3"),
     )
 
     def ztest(sa, base_a, sb, base_b, step):

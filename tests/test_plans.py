@@ -419,7 +419,17 @@ def test_queue_wide_no_accidental_nlj(spark):
     # _INTENTIONAL_CROSS, kept tiny and justified per entry:
     #   q274 — truncation recall's pairwise scoring (guard at 5k rows;
     #          full-dim recall==1.0 invariant needs the exact pairs)
-    intentional = {"q274_truncation_recall"}
+    #   q306 — hamming rerank broadcasts the QUERY SET (bounded by
+    #          contract, the q43 discipline) against the packed corpus;
+    #          the shortlist needs every query x corpus hamming
+    #   q309 — silhouette scores every vector against every LABEL
+    #          centroid (labels-count-sized broadcast; the metric's
+    #          definition requires all centroids per vector)
+    intentional = {
+        "q274_truncation_recall",
+        "q306_hamming_rerank",
+        "q309_silhouette",
+    }
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():
