@@ -592,3 +592,69 @@ def embedding_drift(
             F.round(F.col("dispersion_cur"), 6).alias("dispersion_cur"),
         )
     )
+
+
+def wasserstein_1d(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance between two
+    samples — the drift metric that, unlike KS (max CDF gap) or binned
+    PSI, weighs HOW FAR mass moved: W1 = ∫|F_a − F_b| dv over the
+    union's distinct values.
+
+    Distributed exactness via the prefix family: one per-value count
+    aggregate (distinct-value-sized from then on), prefix_agg running
+    counts for each side's CDF, and the NEXT distinct value as an
+    EXCLUSIVE PREFIX MIN over the DESCENDING order (the suffix trick:
+    min over strictly-greater values IS the successor — no global
+    lead() window, no SinglePartition anywhere). Segment terms
+    |F_a−F_b|·gap round at 9dp and decimal-sum, output 6dp.
+
+    Output: one row (n_a, n_b, wasserstein).
+    """
+    from ..operators.prefix import prefix_agg
+
+    va = a.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    vb = b.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    counts = (
+        va.withColumn("_ca", F.lit(1)).withColumn("_cb", F.lit(0))
+        .unionByName(
+            vb.withColumn("_ca", F.lit(0)).withColumn("_cb", F.lit(1))
+        )
+        .groupBy("v")
+        .agg(F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb"))
+        .withColumn("negv", -F.col("v"))
+    )
+    cum_a = prefix_agg(counts, ["v"], "ca", agg="sum", out_col="cum_a")
+    cum_ab = prefix_agg(cum_a, ["v"], "cb", agg="sum", out_col="cum_b")
+    with_next = prefix_agg(
+        cum_ab, ["negv"], "v", agg="min", inclusive=False, out_col="next_v"
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    term = F.round(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a")
+            - F.col("cum_b").cast("double") / F.col("n_b")
+        )
+        * (F.col("next_v") - F.col("v")),
+        9,
+    )
+    return (
+        with_next.join(F.broadcast(totals))
+        .filter(F.col("next_v").isNotNull())  # the max value closes no segment
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.sum(term.cast("decimal(38,12)")).cast("double"), 6
+            ).alias("wasserstein"),
+        )
+    )

@@ -473,3 +473,65 @@ def mad_outliers(
             F.abs(c - F.col("med")) > F.lit(float(k) * 1.4826) * F.col("mad"),
         )
     )
+
+
+def bot_signature(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_events: int = 20,
+    cv_threshold: float = 0.1,
+) -> DataFrame:
+    """Automation-signature detection from INTER-EVENT TIMING — the
+    crawl/abuse triage heuristic behind every traffic-quality pipeline:
+    humans emit bursty gaps (coefficient of variation ≈ 1 for
+    Poisson-ish arrivals), schedulers and naive bots emit metronomic
+    ones (CV → 0). Flags keys with ≥ ``min_events`` events whose gap
+    CV falls below ``cv_threshold``.
+
+    One per-key sort (lag window on the key exchange), decimal-summed
+    gap moments (the engine-wide order-free rule), raw-IEEE mean/CV of
+    identical sums. Emits every qualifying key with its gap stats so
+    the threshold is tunable downstream; keys with constant timestamps
+    (zero mean gap) flag as bots outright.
+
+    Output: (key, n_events, mean_gap_s, cv_gap, is_bot).
+    """
+    if min_events < 3:
+        raise ValueError("min_events must be >= 3 (CV needs gaps)")
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(key_col, F.col(ts_col))
+        .withColumn("_gap", (us - F.lag(us).over(w)).cast("double") / 1e6)
+        .filter(F.col("_gap").isNotNull())
+    )
+    gd = F.round(F.col("_gap"), 9)
+    stats = gaps.groupBy(key_col).agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.sum(gd.cast("decimal(38,9)")).alias("_sg"),
+        F.sum(F.round(gd * gd, 9).cast("decimal(38,9)")).alias("_sgg"),
+    )
+    n = (F.col("n_events") - 1).cast("double")
+    mean = F.col("_sg").cast("double") / n
+    var = F.col("_sgg").cast("double") / n - mean * mean
+    cv = F.when(mean <= 0, F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): round()'s HALF_UP
+    # walks the double's exact decimal expansion in Spark but rounds the
+    # float directly in DuckDB, diverging at 6dp boundaries (the q245
+    # lesson); floor arithmetic is the identical IEEE op chain in both
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        stats.filter(F.col("n_events") >= min_events)
+        .select(
+            key_col,
+            F.col("n_events").cast("long").alias("n_events"),
+            r6(mean).alias("mean_gap_s"),
+            r6(cv).alias("cv_gap"),
+            (r6(cv) < cv_threshold).alias("is_bot"),
+        )
+    )

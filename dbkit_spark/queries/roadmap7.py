@@ -7450,3 +7450,122 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q312_bot_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import bot_signature
+
+    ev = read_table(spark, sf_dir, "events")
+    return bot_signature(
+        ev, "user_id", "ts", min_events=20, cv_threshold=0.1
+    ).orderBy("user_id")
+
+
+_Q312_ORACLE = """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(epoch_us(ts)
+                  - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts) AS DOUBLE)
+               / 1e6 AS gap
+      FROM events
+    ),
+    g AS (SELECT user_id, round(gap, 9) AS gd FROM gaps WHERE gap IS NOT NULL),
+    stats AS (
+      SELECT user_id, COUNT(*) + 1 AS n_events,
+             SUM(CAST(gd AS DECIMAL(38,9))) AS sg,
+             SUM(CAST(round(gd * gd, 9) AS DECIMAL(38,9))) AS sgg
+      FROM g GROUP BY user_id
+    ),
+    calc AS (
+      SELECT user_id, n_events,
+             CAST(sg AS DOUBLE) / (n_events - 1) AS mean,
+             CAST(sgg AS DOUBLE) / (n_events - 1)
+               - (CAST(sg AS DOUBLE) / (n_events - 1))
+               * (CAST(sg AS DOUBLE) / (n_events - 1)) AS var
+      FROM stats WHERE n_events >= 20
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           floor(mean * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+           floor(CASE WHEN mean <= 0 THEN 0.0
+                      ELSE sqrt(greatest(var, 0.0)) / mean END
+                 * 1e6 + 0.5) / 1e6 AS cv_gap,
+           floor(CASE WHEN mean <= 0 THEN 0.0
+                      ELSE sqrt(greatest(var, 0.0)) / mean END
+                 * 1e6 + 0.5) / 1e6 < 0.1 AS is_bot
+    FROM calc
+    ORDER BY user_id
+"""
+
+_Q312_NOTES = (
+    "AUTOMATION-SIGNATURE DETECTION (operators/profile.bot_signature — "
+    "inter-event-gap coefficient of variation: Poisson-ish humans sit "
+    "near CV 1, metronomic schedulers near 0 — the traffic-quality "
+    "triage heuristic): one per-key lag window, decimal-summed gap "
+    "moments, raw-IEEE mean/CV of identical sums; emits stats so the "
+    "threshold tunes downstream"
+)
+
+
+def q313_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import wasserstein_1d
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    return wasserstein_1d(a, b, "value")
+
+
+_Q313_ORACLE = """
+    WITH tagged AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ca,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS cb
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+      SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM tagged GROUP BY v
+    ),
+    ordered AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             LEAD(v) OVER (ORDER BY v) AS next_v
+      FROM counts
+    ),
+    tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM counts)
+    SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           round(CAST(SUM(CAST(round(
+             abs(CAST(o.cum_a AS DOUBLE) / t.n_a
+                 - CAST(o.cum_b AS DOUBLE) / t.n_b)
+             * (o.next_v - o.v), 9) AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS wasserstein
+    FROM ordered o CROSS JOIN tot t
+    WHERE o.next_v IS NOT NULL
+    GROUP BY t.n_a, t.n_b
+"""
+
+_Q313_NOTES = (
+    "EXACT 1-D WASSERSTEIN DRIFT (operators/drift.wasserstein_1d — the "
+    "earth-mover member of the drift family: unlike KS's max CDF gap "
+    "or binned PSI, W1 weighs HOW FAR mass moved): per-value counts, "
+    "prefix_agg running CDFs for both sides, and the successor value "
+    "as an EXCLUSIVE PREFIX MIN over the descending order (the suffix "
+    "trick — no global lead() window, no SinglePartition); 9dp segment "
+    "terms decimal-summed. Shift law pinned in pytest: uniform+7 -> "
+    "W1 == 7 exactly"
+)
+
+
+ROADMAP7.update(
+    {
+        "q312_bot_signature": (q312_bot_signature, _Q312_ORACLE, _Q312_NOTES),
+        "q313_wasserstein_drift": (
+            q313_wasserstein_drift,
+            _Q313_ORACLE,
+            _Q313_NOTES,
+        ),
+    }
+)

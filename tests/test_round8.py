@@ -2137,3 +2137,53 @@ def test_embedding_drift_laws(spark):
     assert moved["centroid_shift"] > 0.5
     assert moved["norm_ratio"] > 1.5
     assert moved["dispersion_cur"] > moved["dispersion_ref"]
+
+
+def test_bot_signature_laws(spark):
+    """A metronomic key flags as a bot; a bursty key doesn't; keys
+    below min_events are absent; constant-timestamp keys flag."""
+    from datetime import datetime, timedelta
+
+    from dbkit_spark.operators.profile import bot_signature
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    rows += [(1, t0 + timedelta(seconds=10 * i)) for i in range(30)]  # metronome
+    bursty = [0, 1, 2, 40, 41, 90, 91, 92, 300, 301, 500, 800, 805, 900,
+              1400, 1450, 2000, 2100, 2105, 2500, 3000, 3100, 3105, 3500,
+              4000, 4100, 4105, 4500, 5000, 6000]
+    rows += [(2, t0 + timedelta(seconds=s)) for s in bursty]
+    rows += [(3, t0 + timedelta(seconds=i)) for i in range(5)]  # too few
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {r["user_id"]: r for r in bot_signature(df, "user_id", "ts").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["is_bot"] and got[1]["cv_gap"] == 0.0
+    assert not got[2]["is_bot"] and got[2]["cv_gap"] > 0.5
+    import pytest
+
+    with pytest.raises(ValueError, match="min_events"):
+        bot_signature(df, "user_id", "ts", min_events=2)
+
+
+def test_wasserstein_laws(spark):
+    """Shift law: uniform vs uniform+c has W1 == c exactly; identity is
+    zero; asymmetric sizes still integrate correctly; plan stays free
+    of SinglePartition windows."""
+    from dbkit_spark.operators.drift import wasserstein_1d
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    b = spark.range(500).select(((F.col("id") % 100) + 7).cast("double").alias("x"))
+    r = wasserstein_1d(a, b, "x").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1000, 500)
+    assert r["wasserstein"] == 7.0
+    same = wasserstein_1d(a, a, "x").collect()[0]
+    assert same["wasserstein"] == 0.0
+    out = wasserstein_1d(a, b, "x")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    for i, line in enumerate(final.split("\n")):
+        if "Exchange SinglePartition" in line:
+            below = final.split("\n")[i + 1]
+            assert re.search(r"partial_", below), line
