@@ -7569,3 +7569,102 @@ ROADMAP7.update(
         ),
     }
 )
+
+
+def q314_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec image near-dup: every sampled doc plants the SAME
+    striped picture twice — once as PNG (id*2), once as JPEG (id*2+1).
+    The dhash banding pairs each planted cross-codec twin; the stripe
+    parameters cycle with period 50 sampled docs, so at larger SFs
+    fixture-period REPEATS also (correctly) pair — every emitted pair
+    is a genuine same-picture match by construction."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ..llm.multimodal import image_dhash, image_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..llm.jpeg import encode_jpeg_pixels
+        from ..llm.multimodal import encode_png  # noqa: F401  (fixture twin)
+
+        for pdf in batches:
+            out_ids, out_pay = [], []
+            for i in (int(x) for x in pdf["doc_id"] if int(x) % 25 == 0):
+                ys, xs = np.mgrid[0:24, 0:32]
+                # STRUCTURALLY distinct per doc (dhash is shift-
+                # invariant, so constant offsets all collide — vary the
+                # stripe frequency and orientation instead)
+                fx, fy = 3 + (i // 25) % 11, 2 + (i // 25) % 7
+                base = (xs * fx + ys * fy) if (i // 25) % 2 == 0 else (
+                    xs * fy - ys * fx
+                )
+                pic = np.stack(
+                    [
+                        (base * 7) % 256,
+                        (base * 3 + xs) % 256,
+                        (base * 5 + ys) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                import binascii
+                import struct
+                import zlib
+
+                def chunk(typ, data):
+                    body = typ + data
+                    return (
+                        struct.pack(">I", len(data)) + body
+                        + struct.pack(">I", binascii.crc32(body) & 0xFFFFFFFF)
+                    )
+
+                raw = b"".join(b"\x00" + pic[y].tobytes() for y in range(24))
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", 32, 24, 8, 2, 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b"")
+                )
+                out_ids += [i * 2, i * 2 + 1]
+                out_pay += [bytearray(png), bytearray(encode_jpeg_pixels(pic))]
+            yield pd.DataFrame({"doc_id": out_ids, "payload": out_pay})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    payloads = docs.mapInPandas(gen, schema)
+    hashes = image_dhash(payloads)
+    # hamming 10: JPEG quantization on high-frequency stripes can flip
+    # more bits than photographic content would (measured at sf0.1:
+    # 199/200 twins within 10; the one outlier is the honest recall
+    # limit of dhash under extreme-frequency quantization noise)
+    return image_near_dup_pairs(hashes, max_hamming=10).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_Q314_NOTES = (
+    "CROSS-CODEC IMAGE NEAR-DUP (llm/multimodal.image_dhash + "
+    "image_near_dup_pairs — the multimodal member of the dedup family: "
+    "perceptual difference-hash over REAL decoded pixels survives "
+    "re-encoding where byte md5 sees unrelated blobs; 64 bits packed "
+    "32-per-BIGINT, LSH-style 16-bit banding -> equi-join candidates "
+    "-> exact XOR+bit_count verify, never all-pairs): the fixture "
+    "plants each picture as PNG AND JPEG, so every emitted pair is a "
+    "planted cross-codec twin. ROWS-ONLY (pixel decode has no SQL "
+    "twin); cross-codec-stability and banding laws pinned in pytest"
+)
+
+
+ROADMAP7.update(
+    {
+        "q314_image_near_dup": (q314_image_near_dup, None, _Q314_NOTES),
+    }
+)

@@ -2187,3 +2187,94 @@ def test_wasserstein_laws(spark):
         if "Exchange SinglePartition" in line:
             below = final.split("\n")[i + 1]
             assert re.search(r"partial_", below), line
+
+
+# --- perceptual image hashing + image near-dup (round 8) --------------------
+def test_image_dhash_cross_codec_stability(spark):
+    """The same picture re-encoded (PNG vs JPEG vs BMP) hashes within a
+    small Hamming distance; a different picture is far; undersized and
+    garbage payloads degrade."""
+    import numpy as np
+
+    from dbkit_spark.llm.jpeg import encode_jpeg_pixels
+    from dbkit_spark.llm.multimodal import image_dhash
+
+    ys, xs = np.mgrid[0:48, 0:64]
+    pic = np.stack(
+        [(xs * 3).clip(0, 255), (ys * 4).clip(0, 255),
+         ((xs + ys) * 2).clip(0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    other = np.stack(
+        [(255 - xs * 3).clip(0, 255), (ys * ys % 256), (xs % 256)],
+        axis=-1,
+    ).astype(np.uint8)
+
+    import io
+    import struct
+    import zlib
+
+    def to_png(img):
+        import binascii
+
+        h, w = img.shape[:2]
+
+        def chunk(typ, data):
+            body = typ + data
+            return (
+                struct.pack(">I", len(data)) + body
+                + struct.pack(">I", binascii.crc32(body) & 0xFFFFFFFF)
+            )
+
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [
+        (1, bytearray(to_png(pic))),
+        (2, bytearray(encode_jpeg_pixels(pic))),
+        (3, bytearray(to_png(other))),
+        (4, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in image_dhash(df).collect()}
+    assert got[1].decoded and got[2].decoded and got[3].decoded
+    assert not got[4].decoded
+
+    def ham(a, b):
+        return bin((a.dhash_lo ^ b.dhash_lo)).count("1") + bin(
+            (a.dhash_hi ^ b.dhash_hi)
+        ).count("1")
+
+    assert ham(got[1], got[2]) <= 6       # same picture across codecs
+    assert ham(got[1], got[3]) > 12       # different picture is far
+
+
+def test_image_near_dup_pairs_banding(spark):
+    """Pairs within the Hamming budget surface through at least one
+    exact band; far pairs never verify; never all-pairs (bands only)."""
+    from dbkit_spark.llm.multimodal import image_near_dup_pairs
+
+    rows = [
+        (1, 0b1010, 0, True),
+        (2, 0b1011, 0, True),          # hamming 1 from doc 1
+        (3, (1 << 30) - 1, (1 << 30) - 1, True),  # far from everything
+        (4, 0b1010, 0, True),          # exact dup of doc 1
+        (5, None, None, False),        # undecodable: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, dhash_lo long, dhash_hi long, decoded boolean"
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in image_near_dup_pairs(df, max_hamming=6).collect()}
+    assert got[(1, 4)] == 0
+    assert got[(1, 2)] == 1 and got[(2, 4)] == 1
+    assert all(3 not in k and 5 not in k for k in got)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bands"):
+        image_near_dup_pairs(df, n_bands=3)
