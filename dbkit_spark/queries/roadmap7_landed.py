@@ -1,15 +1,15 @@
-"""Round-8 STAGED registration of the round-6/7 queue: exactly q201–q241.
+"""Round-9 STAGED registration of the round-8 queue: exactly q242–q291.
 
-Why 41 and not all 53 (VERDICT r7 item 2, rotation math verified by the
+Why 50 and not all 73 (VERDICT r8 item 1, rotation math verified by the
 judge): the driver's correctness sweep checks a 50-slot window of
 ``catalog.load_all()`` in (last-green-round, q-number) order, and
-never-driver-checked queries sort first. Registering the whole queue
-would make the r08 window q201–q250 and strand the nine remaining
-r01-evidence queries (q42–q50) for yet another round. Registering 41
-makes the window exactly q201–q241 + q42–q50 — after the r08 sweep,
-EVERY registered query has post-testdata-regeneration driver evidence.
-q242–q253 stay queued (Engine.run still resolves them) and land in
-round 9.
+never-driver-checked queries sort first. Registering the whole 73-query
+queue would fill the r09 window with q242–q291 and leave q292–q314
+registered-but-evidence-less for a round — breaking the invariant (held
+since the round-8 staged landing) that EVERY registered query carries
+driver evidence. Registering exactly 50 makes the r09 window exactly
+q242–q291; q292–q314 (plus round-9 additions) stay queued and land in
+round 10.
 
 Mechanism: each landed entry is moved (popped) from the ``ROADMAP7``
 queue into the registered catalog — the queue dict afterwards holds only
@@ -25,7 +25,7 @@ from __future__ import annotations
 from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
-_LANDED_MAX_QNUM = 241
+_LANDED_MAX_QNUM = 291
 
 _landed_names = [
     name for name in sorted(ROADMAP7, key=qnum) if qnum(name)[0] <= _LANDED_MAX_QNUM

@@ -73,20 +73,20 @@ def test_readme_count_matches_catalog():
 
 
 def test_roadmap7_queue_preverified(spark):
-    """Whatever remains QUEUED (q242–q253 after the round-8 staged
-    landing of q201–q241) must ALREADY pass the driver's compare at the
-    driver's scale — landing is then a pure registration move. load_all()
-    runs first so the landed entries are moved out of the queue dict
-    before the sweep."""
+    """Whatever remains QUEUED (q292–q314 after the round-9 staged
+    landing of q242–q291, plus round-9 additions) must ALREADY pass the
+    driver's compare at the driver's scale — landing is then a pure
+    registration move. load_all() runs first so the landed entries are
+    moved out of the queue dict before the sweep."""
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
-    assert len(load_all()) == 241  # 200 + the 41 landed q201–q241
+    assert len(load_all()) == 291  # 241 + the 50 landed q242–q291
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # q242–q253 still queued for round 9, plus round-8 additions (q254+)
-    assert len(ROADMAP7) >= 12
-    assert all(qnum(n)[0] >= 242 for n in ROADMAP7)
+    # q292–q314 still queued for round 10, plus round-9 additions (q315+)
+    assert len(ROADMAP7) >= 23
+    assert all(qnum(n)[0] >= 292 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.
@@ -100,15 +100,39 @@ def test_roadmap7_queue_preverified(spark):
                 check_dtype_parity(spark, name, fn, oracle, sf)
 
 
-def test_r08_window_covers_landed_plus_stale(spark):
-    """VERDICT r7 item 6 guard: the 50-slot r08 rotation window must be
-    exactly the 41 newly landed q201–q241 (never driver-checked) plus the
-    nine remaining r01-evidence queries q42–q50 — the whole point of the
-    staged landing. If a future registration or CORRECTNESS file breaks
-    this arithmetic, fail HERE instead of silently stranding q42–q50
-    for another round."""
+GUARD_ROUND = 9  # the driver round whose rotation window this guard pins
+
+
+def _latest_artifact_round() -> int:
+    rounds = [0]
+    for path in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds)
+
+
+def test_r09_window_is_exactly_the_landed_batch(spark):
+    """VERDICT r8 items 1–2 guard, artifact-aware: with driver artifacts
+    through r08 present, the 50-slot r09 rotation window must be exactly
+    the 50 newly landed q242–q291 (never driver-checked, so they sort
+    first) — the whole point of the staged 50-query landing. If a future
+    registration or CORRECTNESS file breaks this arithmetic, fail HERE.
+
+    Artifact-aware (the round-8 lesson: the r08 guard went red the moment
+    the driver deposited CORRECTNESS_r08.json): once an artifact NEWER
+    than GUARD_ROUND - 1 exists, the window has legitimately rotated past
+    this guard's arithmetic — the guard is spent, and the live invariant
+    it protected is re-checked in its artifact-independent form below."""
     window = list(load_all())[:50]
-    landed = {n for n in window if 201 <= qnum(n)[0] <= 241}
-    stale = {n for n in window if 42 <= qnum(n)[0] <= 50}
-    assert len(landed) == 41, sorted(landed)
-    assert len(stale) == 9, sorted(stale)
+    if _latest_artifact_round() >= GUARD_ROUND:
+        # Spent guard: the r09 (or later) sweep already landed. The
+        # durable invariant: nothing in the window is older than the
+        # minimum evidence round among registered queries (rotation
+        # always spends slots on least-evidenced queries first) — this
+        # is what test_rotation_never_green_first pins; just ensure the
+        # window is full-size and deterministic here.
+        assert len(window) == 50
+        return
+    landed = {n for n in window if 242 <= qnum(n)[0] <= 291}
+    assert len(landed) == 50, sorted(set(window) - landed)
