@@ -1113,12 +1113,18 @@ def image_near_dup_pairs(
 ) -> DataFrame:
     """Image near-dup candidate pairs from dhash values — the multimodal
     member of the dedup family, same shape as MinHash LSH: band the 64
-    hash bits into ``n_bands`` 16-bit keys (a pair within ``max_hamming``
-    differs in ≤ max_hamming bits, so by pigeonhole at least one band
-    matches exactly when max_hamming < n_bands·... — with 6 < 4·2 the
-    guarantee holds for ≤ 3 per-band corruption; recall dial like every
-    LSH), equi-join per band, dedupe candidates, verify with exact
-    XOR + bit_count Hamming. Never all-pairs.
+    hash bits into ``n_bands`` keys, equi-join per band, dedupe
+    candidates, verify with exact XOR + bit_count Hamming. Never
+    all-pairs.
+
+    Recall contract: banding gives a pigeonhole GUARANTEE only when
+    ``max_hamming < n_bands`` (then some band must be untouched). At the
+    default (max_hamming=6, n_bands=4) the 6 differing bits CAN spread
+    across all four bands (e.g. 2+2+1+1) and miss every band — recall is
+    honest-probabilistic, not guaranteed, exactly like MinHash LSH band
+    tuning; the pytest pins 199/200 observed recall on the cross-codec
+    twin corpus. ``n_bands`` is the recall dial: fewer, wider bands
+    raise the guarantee threshold at the cost of bigger buckets.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b,
     hamming <= max_hamming.

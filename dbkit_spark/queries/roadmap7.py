@@ -4766,15 +4766,32 @@ def q273_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value").cast("double") - F.col("mu")) / F.col("sigma")
         ).alias("z"),
     )
-    zpdf = z.toPandas()
-    cut = zpdf["event_id"].median()
+    # Replay-fixture synthesis stays DISTRIBUTED (VERDICT r8 item 4): the
+    # split point is a metadata-sized exact median from approxQuantile
+    # (relativeError=0 → deterministic), and each chunk is written by
+    # Spark — nothing data-sized ever lands on the driver. streaming_cusum
+    # sorts within each micro-batch, so only the file-level event_id split
+    # (all ≤ cut before all > cut) carries the ordering contract; the
+    # single-file-per-chunk layout IS the two-batch replay fixture.
+    import glob as _glob
+    import shutil
+
+    z = z.persist()
+    cut = z.stat.approxQuantile("event_id", [0.5], 0.0)[0]
     d = tempfile.mkdtemp(prefix="q273_zstream_")
-    zpdf[zpdf["event_id"] <= cut].to_parquet(
-        os.path.join(d, "part0.parquet"), index=False
+    chunks = (
+        z.filter(F.col("event_id") <= cut),
+        z.filter(F.col("event_id") > cut),
     )
-    zpdf[zpdf["event_id"] > cut].to_parquet(
-        os.path.join(d, "part1.parquet"), index=False
-    )
+    for i, chunk in enumerate(chunks):
+        stage = os.path.join(d, f"_stage{i}")
+        chunk.coalesce(1).write.parquet(stage)
+        shutil.move(
+            _glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(d, f"part{i}.parquet"),
+        )
+        shutil.rmtree(stage)
+    z.unpersist()
     zstream = (
         spark.readStream.schema("user_id long, event_id long, z double")
         .option("maxFilesPerTrigger", 1)
@@ -6078,17 +6095,41 @@ def q294_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(steps)
     )
-    pdf = ev.select(
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
-        "event_type",
-    ).toPandas()
+    # Replay-fixture synthesis stays DISTRIBUTED (VERDICT r8 item 4): the
+    # per-user first-event flag is a window function, the two chunks are
+    # Spark-written — nothing data-sized lands on the driver. The funnel
+    # fold is tie-insensitive (nested MINs over timestamps), so any
+    # deterministic tiebreak for the chunk-0 seed row is valid.
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    base = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+            "event_type",
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_type")
+            ),
+        )
+        .persist()
+    )
     d = tempfile.mkdtemp(prefix="q294_funnel_")
-    first_ts = pdf.groupby("user_id")["ts"].transform("min")
-    head = pdf[pdf["ts"] == first_ts].drop_duplicates(subset=["user_id"])
-    rest = pdf.drop(head.index)
-    head.to_parquet(os.path.join(d, "part0.parquet"), index=False)
-    rest.to_parquet(os.path.join(d, "part1.parquet"), index=False)
+    chunks = (base.filter(F.col("_rn") == 1), base.filter(F.col("_rn") > 1))
+    for i, chunk in enumerate(chunks):
+        stage = os.path.join(d, f"_stage{i}")
+        chunk.drop("_rn").coalesce(1).write.parquet(stage)
+        shutil.move(
+            _glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(d, f"part{i}.parquet"),
+        )
+        shutil.rmtree(stage)
+    base.unpersist()
     stream = (
         spark.readStream.schema("user_id long, ts long, event_type string")
         .option("maxFilesPerTrigger", 1)

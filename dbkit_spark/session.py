@@ -28,6 +28,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "dbkit-spark"
 
+# Repo root (the directory containing the dbkit_spark package). Worker
+# processes must be able to import `dbkit_spark` regardless of the
+# driver's cwd: mapInPandas closures that call in-package codecs
+# (jpeg/audio/video decode, tokenizers) unpickle on executors, and a
+# driver launched from outside the repo would otherwise fail with
+# ModuleNotFoundError on the worker side.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def default_parallelism() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -67,6 +75,16 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Location-independent worker imports: prepend the repo root to
+        # every executor's PYTHONPATH so `import dbkit_spark` inside a
+        # pandas-UDF closure resolves even when the driver cwd is
+        # elsewhere. On a real cluster the same line works when the repo
+        # is deployed to a shared path; for isolated executors, ship a
+        # zip via ``sc.addPyFile`` instead.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            _PKG_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
