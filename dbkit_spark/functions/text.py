@@ -360,11 +360,14 @@ _CC_SLD_RE = "[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[a-z]{2}$"
 
 def url_registered_domain(col: Column | str) -> Column:
     """Registered (pay-level) domain of a URL's host — the per-site
-    grouping key for crawl quotas and domain mixing. HEURISTIC, not the
-    Public Suffix List (no data dependency): last two labels, or last
-    THREE when the second-level label is a registry-like ccTLD second
-    level (co.uk, com.au, ac.jp, ...). Covers the dominant shapes; a PSL
-    lookup table can broadcast-join behind the same contract."""
+    grouping key for crawl quotas and domain mixing. HEURISTIC fallback
+    (pure column expression, no data dependency): last two labels, or
+    last THREE when the second-level label is a registry-like ccTLD
+    second level (co.uk, com.au, ac.jp, ...). For real corpora use
+    ``functions.psl.psl_registered_domain`` — the full Public-Suffix-List
+    algorithm (wildcards, exceptions, private section) as broadcast
+    joins; this heuristic mis-keys multi-label suffixes beyond its
+    hardcoded set (gob.mx, k12.tr, *.sch.uk, github.io, ...)."""
     host = url_host(col)
     return F.when(
         host.rlike(_CC_SLD_RE), F.regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)

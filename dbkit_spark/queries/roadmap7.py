@@ -7709,3 +7709,139 @@ ROADMAP7.update(
         "q314_image_near_dup": (q314_image_near_dup, None, _Q314_NOTES),
     }
 )
+
+
+def q315_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-Suffix-List registered domains over synthesized crawl URLs
+    (functions/psl.psl_registered_domain): the PSL algorithm — longest
+    match, wildcard rules, exception overrides, private-section
+    multi-tenant suffixes — as D broadcast left joins on computed
+    suffix keys. Shuffle-free map-side plan; the heuristic
+    url_registered_domain column stays alongside to expose exactly
+    where the PSL correction bites (agree=false rows)."""
+    from ..functions.psl import psl_registered_domain
+    from ..functions.text import url_registered_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 8 == 0, F.concat(F.lit("a"), (d % 5).cast("string"), F.lit(".b.ac.uk")))
+        .when(d % 8 == 1, F.concat(F.lit("shop"), (d % 7).cast("string"), F.lit(".com.au")))
+        .when(d % 8 == 2, F.concat(F.lit("tienda"), (d % 3).cast("string"), F.lit(".gob.mx")))
+        .when(d % 8 == 3, F.concat(F.lit("u"), (d % 11).cast("string"), F.lit(".github.io")))
+        .when(d % 8 == 4, F.concat(F.lit("x"), (d % 4).cast("string"), F.lit(".foo.ck")))
+        .when(d % 8 == 5, F.lit("sub.www.ck"))
+        .when(d % 8 == 6, F.concat(F.lit("w"), (d % 6).cast("string"), F.lit(".city.kawasaki.jp")))
+        .otherwise(F.concat(F.lit("www.example"), (d % 9).cast("string"), F.lit(".com")))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+    base = docs.select("doc_id", url.alias("url"))
+    out = psl_registered_domain(base, "url", out_col="psl_domain")
+    return (
+        out.withColumn("heuristic_domain", url_registered_domain("url"))
+        .withColumn(
+            "agree",
+            F.coalesce(F.col("psl_domain") == F.col("heuristic_domain"), F.lit(False)),
+        )
+        .select("doc_id", "psl_domain", "heuristic_domain", "agree")
+        .orderBy("doc_id")
+    )
+
+
+def _q315_oracle() -> str:
+    """DuckDB replay of the SAME snapshot + algorithm: rules CTE from
+    functions.psl constants (cannot drift), candidate suffixes by depth,
+    exception-beats-longest prevailing, implicit-* default."""
+    from ..functions.psl import oracle_rules_values
+
+    return f"""
+    WITH raw_rules(rule) AS (VALUES {oracle_rules_values()}),
+    r AS (
+      SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END AS key,
+             len(string_split(CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                              ELSE rule END, '.')) AS k,
+             rule LIKE '!%' AS exc,
+             rule LIKE '*.%' AS wild
+      FROM raw_rules
+    ),
+    synth AS (
+      SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.b.ac.uk'
+          WHEN 1 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+          WHEN 2 THEN 'tienda' || CAST(doc_id % 3 AS VARCHAR) || '.gob.mx'
+          WHEN 3 THEN 'u' || CAST(doc_id % 11 AS VARCHAR) || '.github.io'
+          WHEN 4 THEN 'x' || CAST(doc_id % 4 AS VARCHAR) || '.foo.ck'
+          WHEN 5 THEN 'sub.www.ck'
+          WHEN 6 THEN 'w' || CAST(doc_id % 6 AS VARCHAR) || '.city.kawasaki.jp'
+          ELSE 'www.example' || CAST(doc_id % 9 AS VARCHAR) || '.com'
+        END AS host
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, host, string_split(host, '.') AS labels,
+             len(string_split(host, '.')) AS n
+      FROM synth
+    ),
+    cand AS (
+      SELECT l.doc_id, d.k,
+             array_to_string(l.labels[l.n - d.k + 1 : l.n], '.') AS exact_k,
+             CASE WHEN d.k >= 2 THEN
+               '*.' || array_to_string(l.labels[l.n - d.k + 2 : l.n], '.')
+             END AS wild_k
+      FROM lab l CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) d
+      WHERE d.k <= l.n
+    ),
+    m AS (
+      SELECT c.doc_id, r.k, r.exc
+      FROM cand c JOIN r
+        ON (NOT r.wild AND r.key = c.exact_k)
+        OR (r.wild AND r.key = c.wild_k)
+    ),
+    agg AS (
+      SELECT doc_id,
+             MAX(CASE WHEN exc THEN k - 1 END) AS eps,
+             MAX(CASE WHEN NOT exc THEN k END) AS nps
+      FROM m GROUP BY doc_id
+    ),
+    fin AS (
+      SELECT l.doc_id, l.host, l.labels, l.n,
+             COALESCE(a.eps, a.nps, 1) AS ps
+      FROM lab l LEFT JOIN agg a USING (doc_id)
+    ),
+    dom AS (
+      SELECT doc_id, host,
+        CASE WHEN n > ps
+             THEN array_to_string(labels[n - ps : n], '.') END AS psl_domain,
+        CASE WHEN regexp_matches(host,
+               '[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[a-z]{{2}}$')
+             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+        END AS heuristic_domain
+      FROM fin
+    )
+    SELECT doc_id, psl_domain, heuristic_domain,
+           COALESCE(psl_domain = heuristic_domain, FALSE) AS agree
+    FROM dom ORDER BY doc_id
+"""
+
+
+_Q315_NOTES = (
+    "PSL REGISTERED DOMAIN (functions/psl.psl_registered_domain — the "
+    "real Public-Suffix-List algorithm replacing the ccTLD heuristic, "
+    "VERDICT r8 item 6: longest-match, wildcard *.ck, exception "
+    "!www.ck / !city.kawasaki.jp, private-section github.io; vendored "
+    "snapshot, full PSL drops into the same rules contract): D exact + "
+    "D-1 wildcard BROADCAST left joins on computed suffix keys — zero "
+    "shuffles, zero UDFs. Fixture covers every rule class; the oracle "
+    "rebuilds its rules CTE from the SAME Python constants and replays "
+    "prevailing-rule selection in SQL; agree=false rows pin exactly "
+    "where the heuristic mis-keys (x.gob.mx, u.github.io, *.ck)"
+)
+
+
+ROADMAP7.update(
+    {
+        "q315_psl_domain": (q315_psl_domain, _q315_oracle(), _Q315_NOTES),
+    }
+)

@@ -1,0 +1,171 @@
+"""Round-9 additions: PSL registered domain (VERDICT r8 item 6),
+de-drivered streaming replay fixtures (item 4), location-independent
+worker imports (item 5), float-WAV decode (item 7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbkit_spark.functions.psl import (
+    PSL_ICANN_SNAPSHOT,
+    PSL_PRIVATE_SNAPSHOT,
+    parse_rules,
+    psl_registered_domain,
+)
+from dbkit_spark.plans.explain_utils import formatted_plan, join_strategies
+
+# (host, expected registered domain) — one case per rule class:
+# multi-label ICANN suffixes, wildcard, exception, private section,
+# implicit-* default, bare-suffix hosts (NULL).
+PSL_CASES = [
+    ("a.b.ac.uk", "b.ac.uk"),
+    ("x.com.au", "x.com.au"),
+    ("deep.x.com.au", "x.com.au"),
+    ("x.gob.mx", "x.gob.mx"),
+    ("s.k12.tr", "s.k12.tr"),
+    ("foo.ck", None),  # wildcard *.ck: foo.ck IS a public suffix
+    ("x.foo.ck", "x.foo.ck"),
+    ("www.ck", "www.ck"),  # exception !www.ck
+    ("sub.www.ck", "www.ck"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),  # !city.kawasaki.jp
+    ("foo.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("bar.kawasaki.jp", None),  # *.kawasaki.jp
+    ("x.bar.kawasaki.jp", "x.bar.kawasaki.jp"),
+    ("alice.github.io", "alice.github.io"),  # private section
+    ("github.io", None),
+    ("b.s3.amazonaws.com", "b.s3.amazonaws.com"),
+    ("www.example.com", "example.com"),  # implicit * rule
+    ("localhost", None),
+    ("com", None),
+    ("school.x.sch.uk", "school.x.sch.uk"),  # *.sch.uk
+    ("x.sch.uk", None),
+]
+
+
+def _domains(spark, hosts, **kw):
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rows = psl_registered_domain(df, "host", is_host=True, **kw).collect()
+    return {r["host"]: r["domain"] for r in rows}
+
+
+def test_psl_rule_classes(spark):
+    got = _domains(spark, [h for h, _ in PSL_CASES])
+    for host, want in PSL_CASES:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_psl_private_section_toggle(spark):
+    # ICANN-only: github.io is just a .io site, not a suffix.
+    got = _domains(spark, ["alice.github.io", "github.io"], include_private=False)
+    assert got["alice.github.io"] == "github.io"
+    assert got["github.io"] == "github.io"
+
+
+def test_psl_url_input_and_empty_host(spark):
+    df = spark.createDataFrame(
+        [("https://u:p@News.Site.CO.UK:8443/a?b#c",), ("not-a-url",), (None,)],
+        "url string",
+    )
+    rows = psl_registered_domain(df, "url").collect()
+    got = {r["url"]: r["domain"] for r in rows}
+    assert got["https://u:p@News.Site.CO.UK:8443/a?b#c"] == "site.co.uk"
+    assert got["not-a-url"] is None  # relative URL -> '' host -> NULL
+    assert got[None] is None
+
+
+def test_psl_accepts_raw_psl_file_format(spark):
+    # The full public_suffix_list.dat drops in verbatim: comments and
+    # blanks skipped, all three rule syntaxes parsed.
+    raw = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "uk",
+        "co.uk",
+        "*.sch.uk",
+        "!open.sch.uk",
+        "// ===END===",
+    ]
+    parsed = {k: (n, e, w) for k, n, e, w in parse_rules(raw)}
+    assert parsed["co.uk"] == (2, False, False)
+    assert parsed["*.sch.uk"] == (3, False, True)
+    assert parsed["open.sch.uk"] == (3, True, False)
+    got = _domains(
+        spark, ["a.co.uk", "x.y.sch.uk", "open.sch.uk", "q.open.sch.uk"], rules=raw
+    )
+    assert got["a.co.uk"] == "a.co.uk"
+    assert got["x.y.sch.uk"] == "x.y.sch.uk"
+    assert got["open.sch.uk"] == "open.sch.uk"
+    assert got["q.open.sch.uk"] == "open.sch.uk"
+
+
+def test_psl_snapshot_well_formed():
+    rules = parse_rules(PSL_ICANN_SNAPSHOT + PSL_PRIVATE_SNAPSHOT)
+    keys = [k for k, _, _, _ in rules]
+    assert len(keys) == len(set(keys)), "duplicate rule keys"
+    # every wildcard family ships with its parent semantics intact and
+    # every exception has a matching wildcard to except from
+    wilds = {k for k, _, _, w in rules if w}
+    for k, _n, exc, _w in rules:
+        if exc:
+            parent = "*." + k.split(".", 1)[1]
+            assert parent in wilds, f"exception {k} without wildcard {parent}"
+
+
+def test_psl_plan_is_broadcast_only_no_shuffle(spark):
+    """The scale contract: D exact + D-1 wildcard BROADCAST joins and
+    zero exchanges — the lookup must stay a map-only pipeline."""
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".co.uk")).alias("host")
+    )
+    out = psl_registered_domain(df, "host", is_host=True)
+    strategies = join_strategies(out)
+    assert strategies, "expected broadcast joins in plan"
+    assert all("Broadcast" in s for s in strategies), strategies
+    plan = formatted_plan(out)
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+
+
+def test_q315_heuristic_disagreement_is_visible(spark):
+    """The anchor's agree column must actually expose heuristic
+    mis-keys (github.io, gob.mx tenants) — if the PSL and the heuristic
+    always agreed the operator would be dead weight."""
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+
+    fn, oracle, notes = ROADMAP7["q315_psl_domain"]
+    out = fn(spark, "/root/testdata/sf0.001")
+    counts = dict(out.groupBy("agree").count().collect())
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
+
+
+def test_streaming_replay_fixtures_have_no_topandas():
+    """VERDICT r8 item 4 stays closed: no data-sized driver
+    materialization in any query function — the only allowed toPandas
+    calls live outside the queries package (none today)."""
+    from pathlib import Path
+
+    qdir = Path(__file__).resolve().parent.parent / "dbkit_spark" / "queries"
+    offenders = [
+        p.name for p in qdir.glob("*.py") if "toPandas" in p.read_text()
+    ]
+    assert offenders == [], offenders
+
+
+def test_worker_imports_are_cwd_independent(spark):
+    """VERDICT r8 item 5: a mapInPandas closure importing the in-repo
+    package must resolve on workers via spark.executorEnv.PYTHONPATH,
+    not via the driver's cwd."""
+    import os
+
+    conf_val = spark.conf.get("spark.executorEnv.PYTHONPATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert conf_val is not None and repo in conf_val
+
+    def probe(batches):
+        import dbkit_spark.llm.jpeg  # the worker-side import that used to fail
+
+        for b in batches:
+            yield b.assign(ok=True)[["id", "ok"]]
+
+    out = spark.range(4).mapInPandas(probe, "id long, ok boolean").collect()
+    assert all(r["ok"] for r in out)
