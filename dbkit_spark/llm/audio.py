@@ -5,10 +5,13 @@ real decodes; this module does the same for AUDIO: a from-spec RIFF/WAVE
 parser (chunk walk, 'fmt ' + 'data') decoding integer PCM at 8/16/24/32
 bits, mono or multi-channel, with zero codec dependency — the payload
 format every recording pipeline can emit and the one torchaudio-class
-libraries would otherwise be needed for. Compressed codecs (MP3 inside
-RIFF, IEEE float, ADPCM, ...) raise NotImplementedError and degrade to
-header metadata in :func:`audio_stats` — the same
-decoded=false contract as ``image_pixel_stats``.
+libraries would otherwise be needed for. Format 3 (IEEE float WAV, the
+common ML-corpus export at float32/float64) decodes too, mapped to the
+16-bit integer domain via ``round(x * 2^15)`` so the exact-stats
+contract holds unchanged (documented below). Compressed codecs (MP3
+inside RIFF, ADPCM, ...) raise NotImplementedError and degrade to
+header metadata in :func:`audio_stats` — the same decoded=false
+contract as ``image_pixel_stats``.
 
 Feature extraction is EXACT-INTEGER where it matters: peak and
 zero-crossings are integers, the mean square is one IEEE division of an
@@ -88,11 +91,51 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_float(
+    n_samples: int,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    seed: int = 0,
+    bits: int = 32,
+) -> bytes:
+    """Format-3 (IEEE float) RIFF/WAVE from the SAME deterministic
+    waveform: samples are ``synth_samples / 2^15`` — every value is a
+    dyadic rational with |numerator| < 2^15, exactly representable in
+    float32 (24-bit mantissa) and float64, so the decode's
+    ``round(x * 2^15)`` inverse is bit-exact. ``bits`` ∈ {32, 64}. Emits
+    the 18-byte fmt chunk (cbSize=0) plus the spec-required ``fact``
+    chunk for non-PCM formats."""
+    if n_samples <= 0 or channels <= 0 or sample_rate <= 0:
+        raise ValueError("n_samples/channels/sample_rate must be positive")
+    if bits not in (32, 64):
+        raise ValueError("float WAV bits must be 32 or 64")
+    total = n_samples * channels
+    x = synth_samples(seed, total).astype(np.float64) / 32768.0
+    data = x.astype("<f4" if bits == 32 else "<f8").tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHHH", 3, channels, sample_rate,
+        sample_rate * block_align, block_align, bits, 0,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Parse RIFF/WAVE integer PCM: (sample_rate, channels, bits,
-    samples) with samples an int32 array of shape (n_frames, channels)
-    at the SOURCE bit depth's scale. Walks chunks per spec (tolerates
-    extra chunks like LIST/fact, word-aligned sizes); non-PCM formats
+    """Parse RIFF/WAVE integer PCM (format 1) or IEEE float (format 3):
+    (sample_rate, channels, bits, samples) with samples an int32 array
+    of shape (n_frames, channels). Integer PCM stays at the SOURCE bit
+    depth's scale; float samples are mapped to the 16-bit integer
+    domain via ``round(x * 2^15)`` (clipped to int32) — the documented
+    scale-to-int contract that keeps every downstream stat exact, and a
+    bit-exact inverse of :func:`encode_wav_float`. ``bits`` reports the
+    source width (32/64 for float). Walks chunks per spec (tolerates
+    extra chunks like LIST/fact, word-aligned sizes); other formats
     raise NotImplementedError, malformed streams ValueError."""
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
         raise ValueError("not a RIFF stream")
@@ -115,6 +158,18 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 3:
+        if bits not in (32, 64) or channels <= 0:
+            raise ValueError(f"unsupported float layout bits={bits} ch={channels}")
+        bytes_per = bits // 8
+        usable = len(data) - len(data) % (bytes_per * channels)
+        if usable <= 0:
+            raise ValueError("empty data chunk")
+        x = np.frombuffer(data[:usable], dtype="<f4" if bits == 32 else "<f8")
+        scaled = np.clip(
+            np.rint(x.astype(np.float64) * 32768.0), -(2**31), 2**31 - 1
+        ).astype(np.int32)
+        return sample_rate, channels, bits, scaled.reshape(-1, channels)
     if audio_format != 1:
         raise NotImplementedError(f"non-PCM WAV format {audio_format}")
     if bits not in (8, 16, 24, 32) or channels <= 0:
@@ -194,9 +249,21 @@ def audio_stats(payloads: DataFrame) -> DataFrame:
 def with_wav_payload(
     docs: DataFrame, id_col: str = "doc_id", every: int = 1
 ) -> DataFrame:
-    """Synthesize a REAL decodable mono 16-bit WAV per row (length
-    varying with the id so stats differ per doc); ``every`` keeps 1-in-N
-    rows for fixture-size control. Arrow-batched, map-only."""
+    """Synthesize a REAL decodable mono WAV per row (length varying
+    with the id so stats differ per doc), cycling the container through
+    all three fmt arms — integer PCM 16, IEEE float32, IEEE float64 —
+    over the SAME waveform, so every arm decodes to identical samples
+    and only the reported ``bits`` differs; ``every`` keeps 1-in-N rows
+    for fixture-size control. Arrow-batched, map-only."""
+
+    def one(i: int) -> bytes:
+        n = 800 + (i % 7) * 160
+        arm = i % 3
+        if arm == 0:
+            return encode_wav(n, sample_rate=8000, channels=1, seed=i, bits=16)
+        return encode_wav_float(
+            n, sample_rate=8000, channels=1, seed=i, bits=32 if arm == 1 else 64
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -204,15 +271,7 @@ def with_wav_payload(
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "payload": [
-                        bytearray(
-                            encode_wav(
-                                800 + (i % 7) * 160, sample_rate=8000,
-                                channels=1, seed=i, bits=16,
-                            )
-                        )
-                        for i in ids
-                    ],
+                    "payload": [bytearray(one(i)) for i in ids],
                 }
             )
 

@@ -5923,7 +5923,8 @@ _Q290_ORACLE = """
     SELECT doc_id,
            8000 AS sample_rate,
            1 AS channels,
-           16 AS bits,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END
+                AS INTEGER) AS bits,
            CAST(MAX(n) AS BIGINT) AS n_frames,
            CAST(MAX(n) AS DOUBLE) / 8000 AS duration_s,
            CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
@@ -5935,8 +5936,13 @@ _Q290_ORACLE = """
 """
 
 _Q290_NOTES = (
-    "REAL AUDIO DECODE + FEATURES (llm/audio — from-spec RIFF/WAVE PCM "
-    "parser at 8/16/24/32 bits, chunk-walk tolerant; audio_stats over "
+    "REAL AUDIO DECODE + FEATURES (llm/audio — from-spec RIFF/WAVE "
+    "parser: integer PCM at 8/16/24/32 bits AND IEEE-float format 3 at "
+    "32/64 bits (r8 verdict item 7; floats scale to the 16-bit integer "
+    "domain via round(x*2^15), bit-exact on the dyadic fixture), "
+    "chunk-walk tolerant; the fixture cycles all three fmt arms over "
+    "the SAME waveform so the float decode path is oracle-pinned, not "
+    "just pytest-pinned; audio_stats over "
     "Arrow mapInPandas: duration, peak, mean-square energy, zero "
     "crossings — map-only, shuffle-free, the image_pixel_stats "
     "contract extended to audio with decoded=false degradation for "

@@ -169,3 +169,70 @@ def test_worker_imports_are_cwd_independent(spark):
 
     out = spark.range(4).mapInPandas(probe, "id long, ok boolean").collect()
     assert all(r["ok"] for r in out)
+
+
+# --- IEEE-float WAV (format 3) decode -------------------------------------
+
+
+def test_float_wav_roundtrip_both_widths():
+    from dbkit_spark.llm.audio import decode_wav, encode_wav_float, synth_samples
+
+    for bits in (32, 64):
+        payload = encode_wav_float(600, sample_rate=8000, seed=42, bits=bits)
+        rate, ch, got_bits, samples = decode_wav(payload)
+        assert (rate, ch, got_bits) == (8000, 1, bits)
+        assert samples.shape == (600, 1)
+        import numpy as np
+
+        assert np.array_equal(samples.ravel(), synth_samples(42, 600))
+
+
+def test_float_wav_stereo_and_clipping():
+    import struct
+
+    import numpy as np
+
+    from dbkit_spark.llm.audio import decode_wav, encode_wav_float
+
+    rate, ch, bits, samples = decode_wav(
+        encode_wav_float(300, channels=2, seed=7, bits=32)
+    )
+    assert (ch, samples.shape) == (2, (300, 2))
+    # out-of-range float samples clip to int32, never wrap
+    x = np.array([4.0e5, -4.0e5], dtype="<f4")  # * 2^15 overflows int32
+    fmt = struct.pack("<HHIIHHH", 3, 1, 8000, 32000, 4, 32, 0)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 8) + x.tobytes()
+    )
+    _, _, _, s = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert s.ravel().tolist() == [2**31 - 1, -(2**31)]
+
+
+def test_non_float_non_pcm_still_degrades():
+    import struct
+
+    import pytest as _pytest
+
+    from dbkit_spark.llm.audio import decode_wav, encode_wav
+
+    payload = bytearray(encode_wav(100))
+    i = payload.index(b"fmt ") + 8
+    payload[i:i + 2] = struct.pack("<H", 2)  # ADPCM
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+
+
+def test_wav_payload_arms_decode_to_identical_waveform(spark):
+    """All three fmt arms carry the same waveform: grouping stats by
+    everything except bits must collapse to one row per doc."""
+    from dbkit_spark.llm.audio import audio_stats, with_wav_payload
+
+    docs = spark.range(0, 90, 5).select(F.col("id").alias("doc_id"))
+    out = audio_stats(with_wav_payload(docs, "doc_id", every=5))
+    rows = out.collect()
+    assert all(r["decoded"] for r in rows)
+    assert sorted({r["bits"] for r in rows}) == [16, 32, 64]
+    # doc_ids 0,15,30,... are PCM16; 5,50,35,... float32; 10,25,40 float64
+    for r in rows:
+        assert r["bits"] == {0: 16, 1: 32, 2: 64}[r["doc_id"] % 3]
