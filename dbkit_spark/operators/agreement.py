@@ -1,0 +1,136 @@
+"""Inter-annotator agreement — Cohen's κ (two raters) and Fleiss' κ
+(any raters).
+
+Labeling pipelines (RLHF preference data, eval rubric grading, content
+moderation) gate datasets on agreement before training on them; these
+are the two standard chance-corrected statistics. Reference scope: the
+reference engine has no statistics surface (its README roadmap stops at
+relational operators, ``README.md:32-38``); this extends the engine's
+eval-metrics family (``operators/mlmetrics.py``) the same way.
+
+Scale shape: both reduce to ONE hash aggregation over (item, label)
+pairs plus metadata-sized label-marginal aggregates joined back — no
+window functions, no per-item loops. Every statistic is an exact-integer
+count ratio with one IEEE division per term, so a SQL oracle replays
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cohen_kappa(
+    labels: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """κ between two named raters over items BOTH labeled.
+
+    po = observed agreement rate; pe = Σ_c pA(c)·pB(c) over each rater's
+    own label marginals (the asymmetric-marginals form, per Cohen 1960).
+    Output: one row (n_items, po, pe, kappa). Plan: one self-equi-join
+    of the two raters' label sets on item (shuffle by item), then a
+    single global aggregate; marginals come from the same joined frame
+    so the pair-universe is consistent."""
+    a = labels.filter(F.col(rater_col) == rater_a).select(
+        F.col(item_col).alias("_item"), F.col(label_col).alias("_la")
+    )
+    b = labels.filter(F.col(rater_col) == rater_b).select(
+        F.col(item_col).alias("_item"), F.col(label_col).alias("_lb")
+    )
+    pairs = a.join(b, "_item")
+    per_label = pairs.groupBy("_la", "_lb").agg(F.count("*").alias("_n"))
+    # metadata-sized from here on (|labels|² rows at most)
+    tot = per_label.agg(
+        F.sum("_n").alias("n_items"),
+        F.sum(F.when(F.col("_la") == F.col("_lb"), F.col("_n")).otherwise(0)).alias(
+            "_agree"
+        ),
+    )
+    ma = per_label.groupBy("_la").agg(F.sum("_n").alias("_na"))
+    mb = per_label.groupBy("_lb").agg(F.sum("_n").alias("_nb"))
+    pe_num = (
+        ma.join(mb, ma["_la"] == mb["_lb"])
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_pe_num"))
+    )
+    return (
+        tot.crossJoin(pe_num)  # 1 row × 1 row
+        .select(
+            "n_items",
+            (F.col("_agree").cast("double") / F.col("n_items")).alias("po"),
+            (
+                F.col("_pe_num").cast("double")
+                / (F.col("n_items").cast("double") * F.col("n_items"))
+            ).alias("pe"),
+        )
+        .select(
+            "n_items",
+            F.round("po", 9).alias("po"),
+            F.round("pe", 9).alias("pe"),
+            F.round((F.col("po") - F.col("pe")) / (1.0 - F.col("pe")), 9).alias(
+                "kappa"
+            ),
+        )
+    )
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    item_col: str,
+    label_col: str,
+    min_raters: int = 2,
+) -> DataFrame:
+    """Fleiss' κ over long-format (item, rater, label) rows, generalized
+    to unequal raters-per-item (Fleiss 1971 with per-item n_i): items
+    with fewer than ``min_raters`` ratings are excluded (P_i is
+    undefined at n_i < 2).
+
+    P_i = (Σ_c n_ic² − n_i) / (n_i·(n_i−1)); P̄ = mean over items;
+    p_c = Σ_i n_ic / Σ_i n_i; P_e = Σ_c p_c². Two hash aggregations
+    ((item,label) then item) plus a metadata-sized label marginal."""
+    cell = labels.groupBy(
+        F.col(item_col).alias("_item"), F.col(label_col).alias("_lab")
+    ).agg(F.count("*").alias("_nic"))
+    item = cell.groupBy("_item").agg(
+        F.sum("_nic").alias("_ni"),
+        F.sum(F.col("_nic") * F.col("_nic")).alias("_sq"),
+    ).filter(F.col("_ni") >= min_raters)
+    pbar = item.agg(
+        F.count("*").alias("n_items"),
+        F.sum("_ni").alias("_n_ratings"),
+        F.sum(
+            (F.col("_sq") - F.col("_ni")).cast("double")
+            / (F.col("_ni") * (F.col("_ni") - 1))
+        ).alias("_p_sum"),
+    )
+    # label marginals over the SAME retained items
+    marg = (
+        cell.join(item.select("_item"), "_item")
+        .groupBy("_lab")
+        .agg(F.sum("_nic").alias("_nc"))
+    )
+    pe = marg.crossJoin(pbar.select("_n_ratings")).agg(
+        F.sum(
+            (F.col("_nc").cast("double") / F.col("_n_ratings"))
+            * (F.col("_nc").cast("double") / F.col("_n_ratings"))
+        ).alias("_pe")
+    )
+    return (
+        pbar.crossJoin(pe)  # 1 row × 1 row
+        .select(
+            "n_items",
+            F.col("_n_ratings").alias("n_ratings"),
+            F.round(F.col("_p_sum") / F.col("n_items"), 9).alias("p_bar"),
+            F.round("_pe", 9).alias("p_e"),
+            F.round(
+                (F.col("_p_sum") / F.col("n_items") - F.col("_pe"))
+                / (1.0 - F.col("_pe")),
+                9,
+            ).alias("kappa"),
+        )
+    )

@@ -586,3 +586,92 @@ def isotonic_calibrate(
     return df.select(group_col, score_col, label_col).groupBy(
         group_col
     ).applyInPandas(pav, out_schema)
+
+
+def classification_report(
+    preds: DataFrame,
+    label_col: str,
+    pred_col: str,
+    ndigits: int = 9,
+) -> DataFrame:
+    """Multiclass confusion summary: one row per class with support /
+    tp / fp / fn and precision / recall / F1, plus ``__macro__`` and
+    ``__micro__`` summary rows — the standard eval report for
+    classifier-filtered corpora (toxicity tags, language routing,
+    quality gates).
+
+    Plan shape: ONE hash aggregation over (label, pred) — the confusion
+    matrix, at most |classes|² rows — then metadata-sized reshaping:
+    per-class marginals, two scalar summary rows, a union. Zero-division
+    classes (no predictions or no support) report 0.0, sklearn's
+    documented convention. All ratios are exact-integer counts with one
+    IEEE division each, rounded to ``ndigits`` for cross-engine replay.
+    """
+    cm = preds.groupBy(
+        F.col(label_col).alias("_y"), F.col(pred_col).alias("_p")
+    ).agg(F.count("*").alias("_n"))
+    classes = (
+        cm.select(F.col("_y").alias("_c"))
+        .union(cm.select(F.col("_p").alias("_c")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("_y") == F.col("_p")).select(
+        F.col("_y").alias("_c"), F.col("_n").alias("_tp")
+    )
+    by_label = cm.groupBy(F.col("_y").alias("_c")).agg(F.sum("_n").alias("_support"))
+    by_pred = cm.groupBy(F.col("_p").alias("_c")).agg(F.sum("_n").alias("_predicted"))
+    per = (
+        classes.join(tp, "_c", "left")
+        .join(by_label, "_c", "left")
+        .join(by_pred, "_c", "left")
+        .select(
+            F.col("_c").cast("string").alias("class"),
+            F.coalesce("_support", F.lit(0)).alias("support"),
+            F.coalesce("_tp", F.lit(0)).alias("tp"),
+            (F.coalesce("_predicted", F.lit(0)) - F.coalesce("_tp", F.lit(0))).alias("fp"),
+            (F.coalesce("_support", F.lit(0)) - F.coalesce("_tp", F.lit(0))).alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    ).otherwise(0.0)
+    per = per.withColumn("_prec", prec).withColumn("_rec", rec).withColumn(
+        "_f1",
+        F.when(
+            F.col("_prec") + F.col("_rec") > 0,
+            2.0 * F.col("_prec") * F.col("_rec") / (F.col("_prec") + F.col("_rec")),
+        ).otherwise(0.0),
+    )
+    macro = per.agg(
+        F.sum("support").alias("support"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.avg("_prec").alias("_prec"),
+        F.avg("_rec").alias("_rec"),
+        F.avg("_f1").alias("_f1"),
+    ).select(F.lit("__macro__").alias("class"), "*")
+    micro = per.agg(
+        F.sum("support").alias("support"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    ).select(
+        F.lit("__micro__").alias("class"),
+        "support", "tp", "fp", "fn",
+        # micro precision == recall == f1 == accuracy over the matrix
+        (F.col("tp").cast("double") / F.col("support")).alias("_prec"),
+        (F.col("tp").cast("double") / F.col("support")).alias("_rec"),
+        (F.col("tp").cast("double") / F.col("support")).alias("_f1"),
+    )
+    return per.unionByName(macro).unionByName(micro).select(
+        "class", "support", "tp", "fp", "fn",
+        F.round("_prec", ndigits).alias("precision"),
+        F.round("_rec", ndigits).alias("recall"),
+        F.round("_f1", ndigits).alias("f1"),
+    )

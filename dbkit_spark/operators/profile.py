@@ -535,3 +535,42 @@ def bot_signature(
             (r6(cv) < cv_threshold).alias("is_bot"),
         )
     )
+
+
+def null_pattern_audit(
+    df: DataFrame,
+    cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Missing-data co-occurrence profile: group rows by their NULL
+    *pattern* across ``cols`` (a '0'/'1' mask string, 1 = NULL) and
+    report the ``top_n`` patterns with count and fraction — the
+    diagnostic that distinguishes "5% of every column is null" from
+    "5% of rows are null in ALL columns" (joint missingness drives
+    imputation and filter policy; marginals hide it).
+
+    ONE hash aggregation on a computed mask column + a metadata-sized
+    scalar total; top-n by (count desc, pattern) with a deterministic
+    tiebreak. Exact integer counts, one IEEE division — SQL-replayable.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    mask = F.concat(
+        *[F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols]
+    )
+    pat = df.select(mask.alias("pattern")).groupBy("pattern").agg(
+        F.count("*").alias("n_rows")
+    )
+    total = pat.agg(F.sum("n_rows").alias("_total"))
+    return (
+        pat.crossJoin(total)  # scalar broadcast
+        .select(
+            "pattern",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("_total"), 9).alias(
+                "fraction"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "pattern")
+        .limit(top_n)
+    )

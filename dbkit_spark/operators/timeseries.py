@@ -465,3 +465,57 @@ def seasonal_naive_backtest(
         F.sqrt(F.col("sse").cast("double") / n).alias("rmse"),
         (F.col("se").cast("double") / n).alias("bias"),
     )
+
+
+def theil_sen_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_points: int = 40,
+) -> DataFrame:
+    """Per-key Theil–Sen trend: the MEDIAN of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i), x_i < x_j — the robust trend estimator whose
+    breakdown point (~29%) shrugs off the outliers that wreck OLS
+    slopes on telemetry.
+
+    Scale contract: pairwise slopes are quadratic in series length, so
+    each key's series is CAPPED at ``max_points`` (first points in
+    x-order, deterministic; ≤ max_points·(max_points−1)/2 pairs per
+    key — the q256/q273 bounded-series discipline). The pair generator
+    is a key-equi SELF-JOIN (shuffle on key only, never all-pairs
+    across keys); the median uses percentile_disc so both engines pick
+    an OBSERVED slope (no interpolation ambiguity). Ties in x are
+    dropped (undefined slope).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(x_col)
+    capped = (
+        df.select(*key_cols, x_col, y_col)
+        .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_points)
+    )
+    a = capped.select(
+        *key_cols,
+        F.col(x_col).alias("_xi"),
+        F.col(y_col).alias("_yi"),
+    )
+    b = capped.select(
+        *key_cols,
+        F.col(x_col).alias("_xj"),
+        F.col(y_col).alias("_yj"),
+    )
+    pairs = a.join(b, key_cols).filter(F.col("_xi") < F.col("_xj"))
+    slopes = pairs.select(
+        *key_cols,
+        (
+            (F.col("_yj").cast("double") - F.col("_yi").cast("double"))
+            / (F.col("_xj").cast("double") - F.col("_xi").cast("double"))
+        ).alias("_slope"),
+    )
+    return slopes.groupBy(*key_cols).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _slope)"), 9).alias(
+            "slope"
+        ),
+    )

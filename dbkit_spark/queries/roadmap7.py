@@ -7851,3 +7851,11 @@ ROADMAP7.update(
         "q315_psl_domain": (q315_psl_domain, _q315_oracle(), _Q315_NOTES),
     }
 )
+
+
+# Round-9 queue additions live in their own module (roadmap9.py imports
+# nothing from this one, so the merge is cycle-free); they share this
+# queue dict and the same pre-verification sweep / landing mechanism.
+from .roadmap9 import ROADMAP9 as _ROADMAP9  # noqa: E402
+
+ROADMAP7.update(_ROADMAP9)
