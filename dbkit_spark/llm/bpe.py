@@ -149,3 +149,84 @@ def bpe_segment(word: str, merges: list[tuple[str, str, str, int]]) -> list[str]
                 i += 1
         syms = res
     return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, str, int]],
+) -> DataFrame:
+    """Distributed BPE ENCODE — apply a learned merge table to the whole
+    corpus (the throughput half of the tokenizer: training happens once,
+    encoding happens on every pipeline run). Output per document:
+    ``n_words``, ``n_tokens`` (BPE symbols incl. end-of-word markers),
+    ``n_unique_tokens``, and ``compression`` = chars/tokens — the
+    fertility statistics packing and cost estimation run on.
+
+    Scale shape: the merge table is O(vocab) and ships inside the Arrow
+    closure (broadcast-by-capture); encoding is mapInPandas, map-only,
+    shuffle-free, with a per-batch WORD MEMO — Zipf's law means a batch
+    re-encodes the same frequent words constantly, so the memo turns the
+    per-word merge loop into a dict hit for the heavy head. Same
+    word-normalization rule as :func:`word_frequencies`, so
+    training and encoding agree on the token universe."""
+    import re
+
+    mlist = [(l, r, m) for (l, r, m, _) in merges]
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        def seg(word: str) -> list[str]:
+            hit = memo.get(word)
+            if hit is None:
+                syms = list(word) + [_END]
+                for left, right, merged in mlist:
+                    i, res = 0, []
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            res.append(merged)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                hit = memo[word] = syms
+            return hit
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_words": [], "n_tokens": [],
+                "n_unique_tokens": [], "compression": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                words = [
+                    re.sub(r"[^a-z0-9]", "", w)
+                    for w in re.split(r"\s+", str(text or "").lower().strip())
+                ]
+                words = [w for w in words if w]
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(seg(w))
+                n_chars = sum(len(w) for w in words)
+                rows["doc_id"].append(did)
+                rows["n_words"].append(len(words))
+                rows["n_tokens"].append(len(toks))
+                rows["n_unique_tokens"].append(len(set(toks)))
+                rows["compression"].append(
+                    n_chars / len(toks) if toks else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    ).mapInPandas(
+        lambda it: do(it),
+        "doc_id long, n_words long, n_tokens long, "
+        "n_unique_tokens long, compression double",
+    )

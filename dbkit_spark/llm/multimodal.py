@@ -121,9 +121,10 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _fake_resize(payload: bytes, target: int) -> bytes:
-    """Deterministic stand-in for an image resize: truncate or zero-pad to
-    ``target`` bytes. Replace with PIL thumbnail + re-encode; the Spark
-    plumbing (schema, Arrow batches, partitioning) stays identical."""
+    """Byte-budget truncate/pad — NOT an image resize (kept for the
+    generic binary-payload budget-capping plumbing and its test). The
+    REAL pixel resize is :func:`resize_image_payloads` below: decode →
+    box-downsample → lossless PPM re-encode."""
     if payload is None:
         raise NotImplementedError("no payload; real resizer would fail here")
     return payload[:target].ljust(target, b"\0")
@@ -1184,3 +1185,73 @@ def image_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- real image resize (box downsample + lossless re-encode) ---------------
+
+RESIZE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("src_format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, factor: int) -> tuple[str, int, int, bytes]:
+    """REAL integer-factor box downsample: decode any supported
+    container to pixels (``decode_image_pixels``), average each
+    factor×factor block per channel with FLOOR of the exact integer
+    block sum (portable arithmetic — a SQL oracle replays it
+    bit-for-bit), re-encode losslessly as binary PPM (P6). Input is
+    cropped to a multiple of ``factor``; grayscale replicates to RGB
+    for the P6 container. Returns (src_format, out_w, out_h, ppm
+    bytes). This retires the byte-truncation ``_fake_resize`` stand-in
+    now that all four containers decode to real pixels."""
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    fmt, w, h, ch, raw = decode_image_pixels(payload)
+    ow, oh = w // factor, h // factor
+    if ow < 1 or oh < 1:
+        raise ValueError("image smaller than resize factor")
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 2:  # gray+alpha: replicate luma, drop alpha
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ch == 4:  # drop alpha
+        px = px[:, :, :3]
+    crop = px[: oh * factor, : ow * factor, :].astype(np.int64)
+    blocks = crop.reshape(oh, factor, ow, factor, 3)
+    sums = blocks.sum(axis=(1, 3))
+    out = (sums // (factor * factor)).astype(np.uint8)
+    header = f"P6\n{ow} {oh}\n255\n".encode("ascii")
+    return fmt, ow, oh, header + out.tobytes()
+
+
+def resize_image_payloads(payloads: DataFrame, factor: int = 2) -> DataFrame:
+    """Distributed REAL image resize over mapInPandas: decode →
+    box-downsample → lossless PPM re-encode, Arrow-batched, map-only,
+    shuffle-free (the multimodal plumbing contract, now with real
+    pixels end-to-end). Undecodable payloads emit decoded=false with
+    NULL payload — the image_pixel_stats degradation contract."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in RESIZE_REAL_SCHEMA}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fmt, ow, oh, out = resize_image(bytes(payload), factor)
+                    vals = (did, bytearray(out), fmt, ow, oh, True)
+                except (NotImplementedError, ValueError):
+                    vals = (did, None, None, None, None, False)
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(do, RESIZE_REAL_SCHEMA)

@@ -529,3 +529,289 @@ _Q321_NOTES = (
 )
 
 ROADMAP9["q321_domain_quota"] = (q321_domain_quota, _q321_oracle(), _Q321_NOTES)
+
+
+# --- q322: real image resize ------------------------------------------------
+
+
+def q322_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → box-downsample(×2) → lossless PPM re-encode → decode
+    AGAIN → channel means: the full resize pipeline end-to-end over
+    real pixels (llm/multimodal.resize_image_payloads, retiring the
+    byte-truncation stand-in). Odd source widths exercise the crop
+    contract. The oracle regenerates the PPM pixel formula and replays
+    the floored block means in SQL — any bug in either decode pass,
+    the block sum, or the re-encode hash-fails."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..llm.multimodal import (
+        encode_ppm,
+        image_pixel_stats,
+        resize_image_payloads,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        bytearray(
+                            encode_ppm(
+                                11 + (i % 3) * 2, 10 + (i % 2) * 2, seed=i
+                            )
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    payloads = docs.mapInPandas(gen, schema)
+    resized = resize_image_payloads(payloads, factor=2)
+    stats = image_pixel_stats(resized.select("doc_id", "payload"))
+    return stats.select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    ).orderBy("doc_id")
+
+
+_Q322_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id,
+             (11 + (doc_id % 3) * 2) // 2 AS ow,
+             (10 + (doc_id % 2) * 2) // 2 AS oh
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    opix AS (
+      SELECT i.doc_id, i.ow, i.oh, ox.v AS ox, oy.v AS oy
+      FROM ids i,
+           UNNEST(generate_series(0, i.ow - 1)) AS ox(v),
+           UNNEST(generate_series(0, i.oh - 1)) AS oy(v)
+    ),
+    blocks AS (
+      SELECT p.doc_id, p.ow, p.oh, p.ox, p.oy,
+        SUM((p.doc_id + 31 * (2 * p.ox + dx.v) + 17 * (2 * p.oy + dy.v))
+            % 256) AS s0,
+        SUM(((p.doc_id + 31 * (2 * p.ox + dx.v) + 17 * (2 * p.oy + dy.v))
+             % 256 * 7) % 256) AS s1,
+        SUM(((p.doc_id + 31 * (2 * p.ox + dx.v) + 17 * (2 * p.oy + dy.v))
+             % 256 * 13) % 256) AS s2
+      FROM opix p,
+           UNNEST(generate_series(0, 1)) AS dx(v),
+           UNNEST(generate_series(0, 1)) AS dy(v)
+      GROUP BY p.doc_id, p.ow, p.oh, p.ox, p.oy
+    ),
+    resized AS (
+      SELECT doc_id, ow, oh, s0 // 4 AS r, s1 // 4 AS g, s2 // 4 AS b
+      FROM blocks
+    )
+    SELECT doc_id,
+           CAST(ow AS INTEGER) AS width,
+           CAST(oh AS INTEGER) AS height,
+           CAST(SUM(r) AS DOUBLE) / (ow * oh) AS mean_r,
+           CAST(SUM(g) AS DOUBLE) / (ow * oh) AS mean_g,
+           CAST(SUM(b) AS DOUBLE) / (ow * oh) AS mean_b
+    FROM resized
+    GROUP BY doc_id, ow, oh
+    ORDER BY doc_id
+"""
+
+_Q322_NOTES = (
+    "REAL IMAGE RESIZE (llm/multimodal.resize_image + "
+    "resize_image_payloads — integer-factor box downsample on REAL "
+    "decoded pixels with floor-of-exact-block-sum arithmetic, lossless "
+    "PPM re-encode; retires the _fake_resize byte-truncation stand-in "
+    "now that all four containers decode): the anchor runs decode -> "
+    "resize -> re-encode -> SECOND decode -> channel means, and the "
+    "fixture-differential oracle replays the pixel formula + floored "
+    "block means in SQL (q206 discipline). Odd widths pin the crop "
+    "rule. Map-only Arrow pipeline, shuffle-free"
+)
+
+ROADMAP9["q322_image_resize"] = (q322_image_resize, _Q322_ORACLE, _Q322_NOTES)
+
+
+# --- q323: audio resample ---------------------------------------------------
+
+
+def q323_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (any fmt arm) → ×4 block-mean decimate → PCM-16 re-encode
+    → decode AGAIN → exact stats (llm/audio.resample_payloads): the
+    audio twin of q322, with the three-arm fixture guaranteeing the
+    PCM16/float32/float64 decode paths all feed the same resample."""
+    from ..llm.audio import audio_stats, resample_payloads, with_wav_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_wav_payload(docs, "doc_id", every=10)
+    resampled = resample_payloads(payloads, factor=4)
+    return (
+        audio_stats(resampled.select("doc_id", "payload"))
+        .select(
+            "doc_id", "sample_rate", "n_frames", "peak_abs",
+            "mean_square", "zero_crossings",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q323_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, 800 + (doc_id % 7) * 160 AS n
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    samples AS (
+      SELECT doc_id, n, i,
+             (doc_id * 7349 + i * (i + 13) * 2654435761) % 65536 - 32768 AS s
+      FROM ids, UNNEST(generate_series(0, n - 1)) AS t(i)
+    ),
+    blocks AS (
+      SELECT doc_id, n, i // 4 AS bi,
+             CAST(floor(CAST(SUM(s) AS DOUBLE) / 4) AS BIGINT) AS d
+      FROM samples GROUP BY doc_id, n, i // 4
+    ),
+    flagged AS (
+      SELECT doc_id, n, bi, d,
+             CASE WHEN (d >= 0) <>
+                  (lag(d) OVER (PARTITION BY doc_id ORDER BY bi) >= 0)
+                  THEN 1 ELSE 0 END AS flip
+      FROM blocks
+    )
+    SELECT doc_id,
+           2000 AS sample_rate,
+           CAST(MAX(n) / 4 AS BIGINT) AS n_frames,
+           CAST(MAX(ABS(d)) AS BIGINT) AS peak_abs,
+           CAST(SUM(d * d) AS DOUBLE) / (MAX(n) / 4) AS mean_square,
+           CAST(SUM(flip) AS BIGINT) AS zero_crossings
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+_Q323_NOTES = (
+    "REAL AUDIO RESAMPLE (llm/audio.resample_wav + resample_payloads — "
+    "integer-factor decimation with a box anti-alias filter: "
+    "floor(block_sum/factor) on exact integer samples, PCM-16 "
+    "re-encode at rate//factor): anchor = decode -> decimate -> "
+    "re-encode -> second decode -> exact stats; the three-arm fixture "
+    "(PCM16/float32/float64) proves every decode path feeds the same "
+    "resample; the oracle regenerates the waveform and replays the "
+    "block means + stats in SQL. Map-only Arrow, shuffle-free"
+)
+
+ROADMAP9["q323_audio_resample"] = (q323_audio_resample, _Q323_ORACLE, _Q323_NOTES)
+
+
+# --- q324: distributed BPE encode -------------------------------------------
+
+
+def q324_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a small merge table on the corpus (q271's distributed
+    trainer), then ENCODE the whole corpus with it — per-doc token
+    fertility stats (llm/bpe.bpe_encode). The throughput half of the
+    tokenizer; training is once-per-vocab, encoding is every-run.
+    ROWS-ONLY: the merge loop has no SQL twin; exact encode parity vs
+    the pure-python segmenter is pytest-pinned (test_round9)."""
+    from ..llm.bpe import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges, _state = bpe_train(docs.filter(F.col("doc_id") % 3 == 0), "text", n_merges=20)
+    return (
+        bpe_encode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    )
+
+
+_Q324_NOTES = (
+    "DISTRIBUTED BPE ENCODE (llm/bpe.bpe_encode — the serving half of "
+    "the q271 trainer: learned merge table ships in the Arrow closure, "
+    "encoding is mapInPandas, map-only, shuffle-free, with a per-batch "
+    "word memo that exploits Zipf's law to turn the merge loop into a "
+    "dict hit for frequent words; same word-normalization rule as "
+    "training so the token universes agree): per-doc n_words/n_tokens/"
+    "unique/compression — the fertility stats packing and cost "
+    "estimation consume. rows-only (merge recursion has no SQL twin); "
+    "encode==bpe_segment parity pytest-pinned"
+)
+
+ROADMAP9["q324_bpe_encode"] = (q324_bpe_encode, None, _Q324_NOTES)
+
+
+# --- q325: XML source round-trip ---------------------------------------------
+
+
+def q325_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML corpus ingestion end-to-end (sources.read_xml — Spark 4's
+    built-in xml format, no external jar): write the documents table as
+    XML (the writer escapes markup-significant text), read it back with
+    an EXPLICIT schema per the §1.5 rule, and aggregate per (lang,
+    source). The oracle runs the same aggregate on the parquet table
+    directly — any loss/corruption in either XML pass (escaping,
+    schema coercion, nulls) breaks the hash."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources import read_xml
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="q325_xml_")
+    path = os.path.join(d, "docs")
+    docs.write.format("xml").option("rootTag", "corpus").option(
+        "rowTag", "doc"
+    ).save(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_xml(spark, path, row_tag="doc", schema=schema)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_Q325_ORACLE = """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""
+
+_Q325_NOTES = (
+    "XML SOURCE ROUND-TRIP (sources.read_xml — Spark 4 built-in xml "
+    "format, rowTag rows, explicit schema per the never-inferSchema "
+    "rule; the feed/dump formats — RSS, wiki exports, PubMed — text "
+    "ingestion still meets): write-then-read the documents table "
+    "through XML and aggregate; the oracle aggregates the parquet "
+    "directly, so any escaping/coercion loss in either XML pass "
+    "hash-fails. Avro probed NOT bundled (external module) — "
+    "documented boundary, not a stub"
+)
+
+ROADMAP9["q325_xml_source"] = (q325_xml_source, _Q325_ORACLE, _Q325_NOTES)

@@ -16,6 +16,7 @@ from .readers import (
     read_parquet_evolved,
     read_table,
     read_text,
+    read_xml,
     scan_view,
     table_appender,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_text",
+    "read_xml",
     "read_binary_files",
     "scan_view",
     "table_appender",

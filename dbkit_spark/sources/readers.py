@@ -84,6 +84,28 @@ def read_text(
     return reader.text(path, wholetext=whole)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+    **options: Any,
+) -> DataFrame:
+    """XML source (Spark 4 built-in ``xml`` format — no external jar):
+    one row per ``row_tag`` element, nested elements as struct columns.
+    The feed/sitemap/dump formats (RSS, Wikipedia exports, PubMed,
+    legal corpora) that text-corpus ingestion still meets constantly.
+    Explicit schema strongly preferred per the §1.5 rule; pass
+    schema=None only for exploratory reads (schema inference scans the
+    data once). NOTE: Avro is NOT bundled in this distribution (the
+    spark-avro module is external); this probe-verified boundary is
+    documented rather than stubbed."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:

@@ -236,3 +236,158 @@ def test_wav_payload_arms_decode_to_identical_waveform(spark):
     # doc_ids 0,15,30,... are PCM16; 5,50,35,... float32; 10,25,40 float64
     for r in rows:
         assert r["bits"] == {0: 16, 1: 32, 2: 64}[r["doc_id"] % 3]
+
+
+# --- real image resize ------------------------------------------------------
+
+
+def test_resize_image_box_means_and_crop():
+    import numpy as np
+
+    from dbkit_spark.llm.multimodal import (
+        decode_image_pixels,
+        encode_ppm,
+        resize_image,
+    )
+
+    # odd width: 11 -> out width 5, last column cropped
+    fmt, ow, oh, out = resize_image(encode_ppm(11, 10, seed=3), 2)
+    assert (fmt, ow, oh) == ("ppm", 5, 5)
+    _, w2, h2, ch2, raw = decode_image_pixels(out)
+    assert (w2, h2, ch2) == (5, 5, 3)
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(5, 5, 3)
+    # replay one block by hand: output pixel (0,0) = floor(mean of 2x2)
+    def src(x, y):
+        v = (3 + 31 * x + 17 * y) % 256
+        return (v, (v * 7) % 256, (v * 13) % 256)
+
+    for c in range(3):
+        s = sum(src(x, y)[c] for x in (0, 1) for y in (0, 1))
+        assert px[0, 0, c] == s // 4
+
+
+def test_resize_image_factor1_identity_and_degrade(spark):
+    import numpy as np
+
+    from dbkit_spark.llm.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        resize_image,
+        resize_image_payloads,
+    )
+
+    # factor 1 = lossless container transcode (BMP -> PPM, same pixels)
+    payload = encode_bmp(8, 6, seed=9)
+    _, w0, h0, ch0, raw0 = decode_image_pixels(payload)
+    fmt, ow, oh, out = resize_image(payload, 1)
+    _, w1, h1, ch1, raw1 = decode_image_pixels(out)
+    assert (fmt, ow, oh, w1, h1) == ("bmp", 8, 6, 8, 6)
+    a = np.frombuffer(raw0, dtype=np.uint8).reshape(h0, w0, ch0)
+    b = np.frombuffer(raw1, dtype=np.uint8).reshape(h1, w1, ch1)
+    assert np.array_equal(a[:, :, :3], b)
+    # undecodable payload degrades, never raises
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in resize_image_payloads(df, 2).collect()}
+    assert rows[1]["decoded"] and rows[1]["payload"] is not None
+    assert not rows[2]["decoded"] and rows[2]["payload"] is None
+
+
+# --- audio resample ---------------------------------------------------------
+
+
+def test_resample_wav_block_means_all_arms():
+    import numpy as np
+
+    from dbkit_spark.llm.audio import (
+        decode_wav,
+        encode_wav,
+        encode_wav_float,
+        resample_wav,
+        synth_samples,
+    )
+
+    want = synth_samples(5, 160).astype(np.int64)
+    expect = np.floor(want.reshape(40, 4).sum(axis=1) / 4).astype(np.int64)
+    for payload in (
+        encode_wav(160, seed=5, bits=16),
+        encode_wav(160, seed=5, bits=24),
+        encode_wav_float(160, seed=5, bits=32),
+        encode_wav_float(160, seed=5, bits=64),
+    ):
+        rate, ch, bits, samples = decode_wav(resample_wav(payload, 4))
+        assert (rate, ch, bits) == (2000, 1, 16)
+        got = samples.ravel().astype(np.int64)
+        assert np.array_equal(got, expect), bits
+
+
+def test_resample_wav_stereo_and_trailing_drop():
+    import numpy as np
+
+    from dbkit_spark.llm.audio import decode_wav, encode_wav, resample_wav
+
+    # 30 frames stereo, factor 4 -> 7 frames, 2 trailing frames dropped
+    payload = encode_wav(30, channels=2, seed=1, bits=16)
+    rate, ch, bits, s = decode_wav(resample_wav(payload, 4))
+    assert (ch, s.shape[0]) == (2, 7)
+    _, _, _, src = decode_wav(payload)
+    blocks = src[:28].astype(np.int64).reshape(7, 4, 2).sum(axis=1)
+    assert np.array_equal(
+        s.astype(np.int64), np.floor(blocks / 4).astype(np.int64)
+    )
+
+
+# --- distributed BPE encode -------------------------------------------------
+
+
+def test_bpe_encode_matches_pure_python_segmenter(spark):
+    import re
+
+    from dbkit_spark.llm.bpe import bpe_encode, bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the bat and the cat chat"),
+            (3, "mats and bats and cats"),
+            (4, "THE Mat! the mat?"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(docs, "text", n_merges=10)
+    assert merges  # fixture must actually learn something
+    out = {r["doc_id"]: r for r in bpe_encode(docs, "doc_id", "text", merges).collect()}
+    for did, text in [(1, "the cat sat on the mat"), (4, "THE Mat! the mat?")]:
+        words = [
+            re.sub(r"[^a-z0-9]", "", w) for w in re.split(r"\s+", text.lower())
+        ]
+        words = [w for w in words if w]
+        toks = [t for w in words for t in bpe_segment(w, merges)]
+        assert out[did]["n_tokens"] == len(toks)
+        assert out[did]["n_unique_tokens"] == len(set(toks))
+        assert out[did]["n_words"] == len(words)
+    assert out[5]["n_tokens"] == 0 and out[5]["compression"] == 0.0
+
+
+# --- XML source -------------------------------------------------------------
+
+
+def test_read_xml_roundtrip_with_escaping(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dbkit_spark.sources import read_xml
+
+    df = spark.createDataFrame(
+        [(1, "a <b> & 'c' \"d\""), (2, None), (3, "plain")],
+        "id long, txt string",
+    )
+    path = str(tmp_path / "xml_out")
+    df.write.format("xml").option("rootTag", "rows").option("rowTag", "r").save(path)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("txt", T.StringType())]
+    )
+    back = {r["id"]: r["txt"] for r in read_xml(spark, path, "r", schema).collect()}
+    assert back == {1: "a <b> & 'c' \"d\"", 2: None, 3: "plain"}
