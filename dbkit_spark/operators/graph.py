@@ -345,3 +345,90 @@ def link_prediction_features(
             F.round(F.col("_aa").cast("double"), 6).alias("adamic_adar"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame, communities: DataFrame, node_col: str, comm_col: str
+) -> DataFrame:
+    """Newman modularity Q of a GIVEN partition over an undirected
+    graph — the quality score for any community assignment (label
+    propagation output, registered-domain grouping, tenant sharding):
+    Q = Σ_c [ m_c/m − (d_c/(2m))² ] where m = |edges|, m_c =
+    intra-community edges of c, d_c = Σ degrees of c's nodes. Output:
+    one row per community (community, n_nodes, intra_edges, degree_sum,
+    q_contrib) — Q itself is ``sum(q_contrib)``, left per-community so
+    the score decomposes (which communities are cohesive, which are
+    noise).
+
+    Input: canonical edges (a, b) from :func:`canonical_edges`;
+    ``communities`` maps every node to exactly one community. Nodes
+    absent from the map contribute nothing (documented: filter-join
+    semantics, inner).
+
+    Scale: two broadcast-able joins tagging each edge endpoint with its
+    community (the community map is nodes-sized — small next to edges;
+    AQE broadcasts it), then two map-side-combined aggs (per-community
+    degree sums from edges directly — no separate degree table, each
+    canonical edge contributes 1 to both endpoints). No window, no
+    collect; output is communities-sized metadata.
+    """
+    # both the community map and the tagged edge set feed 2-3 downstream
+    # branches — persist so the corpus is scanned once per input, not
+    # once per branch (the triangle_stats discipline)
+    cmap = communities.select(
+        F.col(node_col).alias("_node"), F.col(comm_col).alias("_comm")
+    ).persist()
+    tagged = (
+        edges.join(
+            cmap.withColumnRenamed("_comm", "_ca"),
+            edges["a"] == F.col("_node"),
+        )
+        .drop("_node")
+        .join(
+            cmap.withColumnRenamed("_comm", "_cb"),
+            edges["b"] == F.col("_node"),
+        )
+        .drop("_node")
+        .persist()
+    )
+    m = tagged.agg(F.count("*").cast("long").alias("_m"))
+    # per-community degree sum: each edge adds 1 to each endpoint's side
+    deg = (
+        tagged.select(F.col("_ca").alias("community"))
+        .unionAll(tagged.select(F.col("_cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("degree_sum"))
+    )
+    intra = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    nodes = (
+        cmap.groupBy(F.col("_comm").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    out = (
+        nodes.join(deg, "community", "left")
+        .join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            F.coalesce("degree_sum", F.lit(0)).alias("degree_sum"),
+            F.col("_m").alias("_m"),
+        )
+    )
+    two_m = 2.0 * F.col("_m").cast("double")
+    return out.select(
+        "community",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        (
+            F.col("intra_edges").cast("double") / F.col("_m")
+            - (F.col("degree_sum").cast("double") / two_m)
+            * (F.col("degree_sum").cast("double") / two_m)
+        ).alias("q_contrib"),
+    )

@@ -675,3 +675,244 @@ def classification_report(
         F.round("_rec", ndigits).alias("recall"),
         F.round("_f1", ndigits).alias("f1"),
     )
+
+def mann_whitney_u(
+    df: DataFrame,
+    segment_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Per-segment Mann-Whitney U (Wilcoxon rank-sum) test between
+    ``group_a`` and ``group_b`` — the NONPARAMETRIC two-sample readout
+    next to :func:`welch_ttest`: no normality assumption, robust to the
+    heavy-tailed value distributions (latency, spend, token counts)
+    where the t-test misleads. Output per segment:
+    (n_a, n_b, u_stat, z) with U for group_a and the tie-corrected
+    normal approximation z = (U - n_a·n_b/2) / sigma,
+    sigma² = (n_a·n_b/12)·((n+1) - Σ(t³-t)/(n(n-1))).
+
+    Same engine contract as welch_ttest: the statistic, not the
+    p-value (the normal CDF lookup is a client-side table).
+
+    Scale + portability: ONE hash agg by (segment, value) first — the
+    rank window then runs over DISTINCT values per segment, not rows
+    (tied corpora compress massively; the window partitions by segment,
+    so segments rank in parallel). All rank arithmetic stays INTEGER:
+    average ranks are half-integers, so 2·R_a =
+    Σ n_a(v)·(2·cum_before(v) + c(v) + 1) is an exact long, and U, z
+    are IEEE doubles of exact integers — bit-identical across engines
+    with no decimal stabilization. One exchange total (agg and window
+    share the segment hash partitioning).
+    """
+    both = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per_v = both.groupBy(segment_col, value_col).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+    )
+    c = F.col("na_v") + F.col("nb_v")
+    w = (
+        Window.partitionBy(segment_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_v.select(
+        F.col(segment_col),
+        "na_v",
+        "nb_v",
+        c.alias("c"),
+        (F.sum(c).over(w) - c).alias("cum_before"),
+    )
+    agg = ranked.groupBy(segment_col).agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(
+            F.col("na_v") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u = (F.col("r2a").cast("double") - n_a * (n_a + 1)) / 2.0
+    sigma2 = (
+        n_a * n_b / 12.0
+        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
+    )
+    return agg.select(
+        segment_col,
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        ((u - n_a * n_b / 2.0) / F.sqrt(sigma2)).alias("z"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    segment_col: str,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_perms: int = 100,
+) -> DataFrame:
+    """Per-segment PERMUTATION test for the difference in means — the
+    assumption-free significance readout: how often does a random
+    relabeling of units produce a |mean_a - mean_b| at least as large
+    as observed? Output per segment:
+    (obs_diff, n_extreme, n_perms, p_value) with the add-one estimate
+    p = (1 + #extreme) / (n_perms + 1).
+
+    DETERMINISTIC relabeling (the engine's replayability contract —
+    same reason the DP/Laplace and sampling ops hash instead of rng):
+    permutation b assigns unit i to pseudo-group
+    md5(i ':' b) nibble parity — i.i.d. fair coins, independent across
+    b, reproducible on any engine (a DuckDB oracle replays every
+    permutation bit-for-bit). Units are relabeled by ``id_col`` (e.g.
+    user_id), not by row, so unit-level dependence is respected
+    (cluster permutation).
+
+    Scale: the B-fold expansion is a SEQUENCE EXPLODE feeding straight
+    into a map-side-combined hash agg on (segment, b, parity) — the
+    shuffle carries O(segments·B·2) partial rows, never B× the data;
+    the final per-segment reduction is metadata-sized. B is a bounded
+    constant (default 100). Sums ride 9dp decimals for
+    order-independent portability.
+    """
+    dec = "decimal(38,9)"
+    both = df.filter(F.col(group_col).isin([group_a, group_b]))
+    xd = F.round(F.col(value_col).cast("double"), 9)
+    base = both.select(
+        F.col(segment_col),
+        F.col(id_col).alias("_unit"),
+        F.col(group_col).alias("_grp"),
+        xd.cast(dec).alias("_x"),
+    )
+
+    # observed statistic: one agg (map-side combined, metadata-sized)
+    obs = (
+        base.groupBy(segment_col)
+        .agg(
+            F.sum(F.when(F.col("_grp") == group_a, F.col("_x"))).alias("sa"),
+            F.sum(F.when(F.col("_grp") == group_a, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("_grp") == group_b, F.col("_x"))).alias("sb"),
+            F.sum(F.when(F.col("_grp") == group_b, 1).otherwise(0)).alias("nb"),
+        )
+        .select(
+            F.col(segment_col),
+            F.abs(
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            ).alias("obs_diff"),
+        )
+    )
+
+    # B permutations: explode then IMMEDIATE partial agg per (segment, b)
+    perm_tag = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_unit").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long") % 2
+    perms = (
+        base.select(
+            segment_col,
+            "_unit",
+            "_x",
+            F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("b"),
+        )
+        .withColumn("_side", perm_tag)
+        .groupBy(segment_col, "b")
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, F.col("_x"))).alias("s0"),
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("_side") == 1, F.col("_x"))).alias("s1"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("n1"),
+        )
+        .select(
+            F.col(segment_col),
+            F.abs(
+                F.col("s0").cast("double") / F.col("n0")
+                - F.col("s1").cast("double") / F.col("n1")
+            ).alias("perm_diff"),
+        )
+    )
+
+    joined = perms.join(obs, segment_col)
+    return joined.groupBy(segment_col).agg(
+        F.first("obs_diff").alias("obs_diff"),
+        F.sum(
+            F.when(F.col("perm_diff") >= F.col("obs_diff"), 1).otherwise(0)
+        ).cast("long")
+        .alias("n_extreme"),
+        F.count("*").cast("long").alias("n_perms"),
+    ).select(
+        segment_col,
+        "obs_diff",
+        "n_extreme",
+        "n_perms",
+        (
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("n_perms") + 1)
+        ).alias("p_value"),
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    family_col: str,
+    test_col: str,
+    p_col: str,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment per family — the multiple-
+    comparisons gate over any batch of per-test p-values (one family =
+    one experiment sweep, e.g. a metric tested across many segments):
+    adj_p(i) = min_{j >= i} p(j)·m/j clipped to 1, ranks ascending by
+    p with a deterministic test-name tiebreak. Upstream p-values are an
+    input column (this engine's test ops end at the statistic; the CDF
+    lookup producing p is client-side — see welch_ttest).
+
+    Scale: two windows sharing ONE family exchange (rank ascending +
+    reversed running min); families adjust in parallel, no collect.
+    """
+    wr = Window.partitionBy(family_col).orderBy(p_col, test_col)
+    m = Window.partitionBy(family_col)
+    wmin = (
+        Window.partitionBy(family_col)
+        .orderBy(F.col(p_col).desc(), F.col(test_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        family_col,
+        test_col,
+        p_col,
+        (
+            F.col(p_col)
+            * F.count("*").over(m)
+            / F.row_number().over(wr)
+        ).alias("_raw"),
+    )
+    return staged.select(
+        family_col,
+        test_col,
+        p_col,
+        F.least(F.min("_raw").over(wmin), F.lit(1.0)).alias("adj_p"),
+    )

@@ -180,3 +180,58 @@ def window_funnel(
         done["level"].alias("funnel_level"),
         F.timestamp_micros(done["t1"]).alias("anchor_ts"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    alpha: float = 0.0,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences — the behavioral model next to the funnel ops above:
+    P(next state | current state) estimated from every adjacent pair
+    in each key's timeline, with optional Laplace smoothing ``alpha``
+    (p = (n + alpha) / (row_n + alpha·K), K = number of observed
+    states). Output: (state, next_state, n, p) for every observed
+    ordered pair (smoothed mass for never-seen pairs is implied by the
+    formula, not materialized — the matrix stays sparse).
+
+    ``order_cols`` must end in a unique tiebreaker (ts alone is not a
+    total order in event data; same rule as the top-k survivors).
+
+    Scale: one exchange on ``key_col`` for the lead() window (pairs
+    never leave their key's partition), then a map-side-combined hash
+    agg on (state, next_state) — output is O(K²) metadata, never
+    row-sized. K (distinct states) is computed with one tiny agg and
+    joined by broadcast-able constant, no collect.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.col(state_col).alias("state"),
+            F.lead(state_col).over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+    )
+    counts = pairs.groupBy("state", "next_state").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    k = df.select(state_col).agg(
+        F.countDistinct(state_col).cast("long").alias("_k")
+    )
+    wrow = Window.partitionBy("state")
+    return (
+        counts.crossJoin(F.broadcast(k))
+        .select(
+            "state",
+            "next_state",
+            "n",
+            (
+                (F.col("n") + F.lit(alpha))
+                / (F.sum("n").over(wrow) + F.lit(alpha) * F.col("_k"))
+            ).alias("p"),
+        )
+    )

@@ -815,3 +815,509 @@ _Q325_NOTES = (
 )
 
 ROADMAP9["q325_xml_source"] = (q325_xml_source, _Q325_ORACLE, _Q325_NOTES)
+
+
+# --- q326: Mann-Whitney U test ----------------------------------------------
+
+
+def q326_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric two-sample test per event_type between user-parity
+    variants, on DECILE-QUANTIZED values (floor(value·10) — forces
+    heavy ties, exercising the tie-corrected sigma and the average-rank
+    arithmetic)."""
+    from ..operators.mlmetrics import mann_whitney_u
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("g"),
+            F.floor(F.col("value") * 10).alias("v"),
+        )
+    )
+    return mann_whitney_u(ev, "event_type", "g", "v", "a", "b").orderBy(
+        "event_type"
+    )
+
+
+_Q326_ORACLE = """
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+             CAST(floor(value * 10) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v,
+             SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na_v,
+             SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb_v
+      FROM tagged GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, na_v, nb_v, na_v + nb_v AS c,
+             SUM(na_v + nb_v) OVER (
+               PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - (na_v + nb_v) AS cum_before
+      FROM per_v
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
+             SUM(na_v * (2 * cum_before + c + 1)) AS r2a,
+             SUM(c * c * c - c) AS tie_term
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b,
+           (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
+             AS u_stat,
+           ((CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+           / sqrt(
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                  - CAST(tie_term AS DOUBLE)
+                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1)))
+             ) AS z
+    FROM agg ORDER BY event_type
+"""
+
+_Q326_NOTES = (
+    "MANN-WHITNEY U / WILCOXON RANK-SUM per segment (operators/"
+    "mlmetrics.mann_whitney_u — the nonparametric two-sample readout "
+    "next to the Welch t: U for group a plus tie-corrected normal z; "
+    "the engine contract ends at the statistic, CDF lookup is "
+    "client-side): one hash agg by (segment, value) so the rank window "
+    "runs over DISTINCT values not rows, then all rank arithmetic "
+    "INTEGER (2R_a exact long) so U and z are IEEE doubles of exact "
+    "ints — bit-matched with no decimal stabilization. Decile-quantized "
+    "fixture forces heavy ties"
+)
+
+ROADMAP9["q326_mann_whitney"] = (q326_mann_whitney, _Q326_ORACLE, _Q326_NOTES)
+
+
+# --- q327: Markov transition matrix -----------------------------------------
+
+
+def q327_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix over per-user timelines with
+    Laplace smoothing 0.5 — (ts, event_id) total order per the unique-
+    tiebreaker rule."""
+    from ..operators.sequence import markov_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    return markov_transitions(
+        ev, "user_id", ["ts", "event_id"], "event_type", alpha=0.5
+    ).orderBy("state", "next_state")
+
+
+_Q327_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS state,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_state
+      FROM events
+    ),
+    counts AS (
+      SELECT state, next_state, COUNT(*) AS n
+      FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2
+    ),
+    k AS (SELECT COUNT(DISTINCT event_type) AS _k FROM events)
+    SELECT state, next_state, n,
+           (CAST(n AS DOUBLE) + 0.5)
+           / (CAST(SUM(n) OVER (PARTITION BY state) AS DOUBLE)
+              + 0.5 * CAST(_k AS DOUBLE)) AS p
+    FROM counts, k
+    ORDER BY state, next_state
+"""
+
+_Q327_NOTES = (
+    "FIRST-ORDER MARKOV TRANSITION MATRIX (operators/sequence."
+    "markov_transitions — P(next|cur) over per-key timelines with "
+    "Laplace smoothing, the behavioral model next to the funnels): one "
+    "exchange on the key for the lead() window, then a map-side-"
+    "combined agg on (state, next) — output O(K^2) metadata, smoothed "
+    "mass implied not materialized (matrix stays sparse). K from one "
+    "tiny broadcast agg, no collect"
+)
+
+ROADMAP9["q327_markov_transitions"] = (
+    q327_markov_transitions,
+    _Q327_ORACLE,
+    _Q327_NOTES,
+)
+
+
+# --- q328: CDC log apply ----------------------------------------------------
+
+
+def q328_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned CDC log onto the customer snapshot: superseded insert
+    (v1) → update (v2) on the %7 keys, delete (v3) on the %11 keys
+    (so %77 keys churn update-then-delete and vanish), fresh inserts on
+    shifted %13 keys. The oracle derives the expected table from the
+    SEMANTICS (CASE/UNION), not by mirroring the row_number plan — an
+    independent derivation, the strongest oracle form."""
+    from ..operators.cdc import cdc_apply
+
+    base = read_table(spark, sf_dir, "customer")
+    data = base.columns
+
+    upd_keys = base.filter(F.col("c_custkey") % 7 == 0)
+    superseded = upd_keys.select(
+        *[
+            F.lit(-1.0).alias("c_acctbal") if c == "c_acctbal" else F.col(c)
+            for c in data
+        ]
+    ).select(
+        *data, F.lit("I").alias("op"), F.lit(1).cast("long").alias("version")
+    )
+    updates = upd_keys.select(
+        *[
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+            if c == "c_acctbal"
+            else F.col(c)
+            for c in data
+        ]
+    ).select(
+        *data, F.lit("U").alias("op"), F.lit(2).cast("long").alias("version")
+    )
+    deletes = base.filter(F.col("c_custkey") % 11 == 0).select(
+        *data, F.lit("D").alias("op"), F.lit(3).cast("long").alias("version")
+    )
+    inserts = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+        (F.col("c_custkey").cast("double") / 2).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    log = superseded.unionByName(updates).unionByName(deletes).unionByName(
+        inserts
+    )
+    return cdc_apply(base, log, ["c_custkey"]).orderBy("c_custkey")
+
+
+_Q328_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 11 <> 0
+    UNION ALL
+    SELECT c_custkey + 100000,
+           'new_' || CAST(c_custkey AS VARCHAR),
+           CAST(c_custkey % 25 AS INTEGER),
+           CAST(c_custkey AS DOUBLE) / 2,
+           'NEW'
+    FROM customer WHERE c_custkey % 13 = 0
+    ORDER BY c_custkey
+"""
+
+_Q328_NOTES = (
+    "CDC LOG APPLY / MERGE INTO (operators/cdc.cdc_apply — versioned "
+    "I/U/D change log applied latest-wins per key onto a base "
+    "snapshot; completes the mutation story next to merge_upsert q74 "
+    "and SCD2 q221): the row_number window and latest-wins filter "
+    "exchange ONLY the delta log, the 100 TB base is touched by one "
+    "AQE-broadcastable left-anti join on the key — the plan MERGE INTO "
+    "compiles to. Fixture exercises superseded ops, update+delete "
+    "churn, and fresh inserts; the oracle derives the expected table "
+    "from semantics (CASE/UNION), independent of the plan"
+)
+
+ROADMAP9["q328_cdc_apply"] = (q328_cdc_apply, _Q328_ORACLE, _Q328_NOTES)
+
+
+# --- q329: unigram-LM tokenizer training ------------------------------------
+
+
+def q329_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SentencePiece-style unigram-LM vocabulary learned
+    from the documents corpus (Viterbi-EM, 3 prune rounds). Rows-only:
+    the EM loop is not SQL-expressible; exact merge parity vs the
+    pure-python reference is pytest-pinned (the q271/BPE discipline)."""
+    from ..llm.unigram import unigram_train
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    vocab = unigram_train(
+        docs,
+        "text",
+        target_vocab=80,
+        seed_size=400,
+        max_piece_len=6,
+        n_rounds=3,
+    )
+    return spark.createDataFrame(
+        [(p, c, round(lp, 6)) for p, c, lp in vocab],
+        "piece string, count long, logp double",
+    ).orderBy(F.col("count").desc(), "piece")
+
+
+_Q329_NOTES = (
+    "UNIGRAM-LM TOKENIZER TRAINING (llm/unigram.unigram_train — "
+    "SentencePiece-style seed-and-prune Viterbi-EM, the T5/ALBERT "
+    "vocabulary algorithm, completing the tokenizer family next to "
+    "distributed BPE q271): distinct-word table stays a DataFrame, "
+    "seed counting and every E-step are map-only Arrow passes + ONE "
+    "hash agg, the driver collects only the O(vocab) model table per "
+    "round. Deterministic tie rules (shortest-last-piece Viterbi, "
+    "count-desc/piece-asc pruning, char segmentability floor); "
+    "rows-only by design (EM loop not SQL-expressible), exact parity "
+    "vs the single-threaded reference pytest-pinned"
+)
+
+ROADMAP9["q329_unigram_tokenizer"] = (q329_unigram_tokenizer, None, _Q329_NOTES)
+
+
+# --- q330: permutation test -------------------------------------------------
+
+
+def q330_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster permutation test (units = users) for the value-mean
+    difference between user-parity variants, per event_type; B=60
+    md5-replayable relabelings (the md5-hex rule, not the Knuth rule —
+    (key·MULT) % 2 preserves parity, so linear hashing cannot make the
+    relabeling coins; md5 nibble parity can, and DuckDB replays it)."""
+    from ..operators.mlmetrics import permutation_test
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "variant",
+            F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"),
+        )
+    )
+    return permutation_test(
+        ev, "event_type", "user_id", "variant", "value", "a", "b", n_perms=60
+    ).orderBy("event_type")
+
+
+_Q330_ORACLE = """
+    WITH base AS (
+      SELECT event_type, user_id AS unit,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             CAST(round(value, 9) AS DECIMAL(38,9)) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    obs AS (
+      SELECT event_type,
+             abs(CAST(SUM(CASE WHEN grp = 'a' THEN x END) AS DOUBLE)
+                   / SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+                 - CAST(SUM(CASE WHEN grp = 'b' THEN x END) AS DOUBLE)
+                   / SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)) AS obs_diff
+      FROM base GROUP BY 1
+    ),
+    perms AS (
+      SELECT event_type, pb,
+             abs(CAST(SUM(CASE WHEN side = 0 THEN x END) AS DOUBLE)
+                   / SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                 - CAST(SUM(CASE WHEN side = 1 THEN x END) AS DOUBLE)
+                   / SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)) AS perm_diff
+      FROM (
+        SELECT base.event_type, base.x, g.b AS pb,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(unit AS VARCHAR) || ':'
+                              || CAST(g.b AS VARCHAR)), 1, 1)) - 1) % 2
+                 AS side
+        FROM base, (SELECT UNNEST(generate_series(0, 59)) AS b) g
+      )
+      GROUP BY 1, 2
+    )
+    SELECT o.event_type, o.obs_diff,
+           SUM(CASE WHEN p.perm_diff >= o.obs_diff THEN 1 ELSE 0 END)
+             AS n_extreme,
+           COUNT(*) AS n_perms,
+           CAST(SUM(CASE WHEN p.perm_diff >= o.obs_diff THEN 1 ELSE 0 END)
+                + 1 AS DOUBLE) / (COUNT(*) + 1) AS p_value
+    FROM perms p JOIN obs o USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1
+"""
+
+_Q330_NOTES = (
+    "CLUSTER PERMUTATION TEST (operators/mlmetrics.permutation_test — "
+    "assumption-free significance for a mean difference: B "
+    "deterministic md5-relabelings of UNITS (users, respecting "
+    "within-user dependence), add-one p = (1+#extreme)/(B+1); engine "
+    "replayability contract, DuckDB replays every coin): the B-fold "
+    "sequence explode feeds straight into a map-side-combined agg on "
+    "(segment, b) — the shuffle carries O(segments*B) partial rows, "
+    "never B x data; decimal-stabilized sums"
+)
+
+ROADMAP9["q330_permutation_test"] = (
+    q330_permutation_test,
+    _Q330_ORACLE,
+    _Q330_NOTES,
+)
+
+
+# --- q331: graph modularity -------------------------------------------------
+
+
+def q331_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the node%7 partition over the q284 event
+    graph (user_id%97 — event_id%89 canonical edges) — per-community
+    decomposition (which communities are cohesive)."""
+    from ..operators.graph import canonical_edges, modularity
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 97).alias("src"),
+        (F.col("event_id") % 89).alias("dst"),
+    )
+    edges = canonical_edges(pairs, "src", "dst")
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    comms = nodes.select("node", (F.col("node") % 7).alias("community"))
+    return modularity(edges, comms, "node", "community").orderBy("community")
+
+
+_Q331_ORACLE = """
+    WITH base AS (
+      SELECT DISTINCT LEAST(user_id % 97, event_id % 89) AS a,
+                      GREATEST(user_id % 97, event_id % 89) AS b
+      FROM events
+      WHERE user_id % 97 <> event_id % 89
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT a AS node FROM base UNION ALL SELECT b AS node FROM base
+      )
+    ),
+    cmap AS (SELECT node, node % 7 AS community FROM nodes),
+    m AS (SELECT COUNT(*) AS m FROM base),
+    tagged AS (
+      SELECT e.a, e.b, ca.community AS ca, cb.community AS cb
+      FROM base e
+      JOIN cmap ca ON ca.node = e.a
+      JOIN cmap cb ON cb.node = e.b
+    ),
+    deg AS (
+      SELECT community, COUNT(*) AS degree_sum FROM (
+        SELECT ca AS community FROM tagged
+        UNION ALL SELECT cb AS community FROM tagged
+      ) GROUP BY 1
+    ),
+    intra AS (
+      SELECT ca AS community, COUNT(*) AS intra_edges
+      FROM tagged WHERE ca = cb GROUP BY 1
+    ),
+    per AS (
+      SELECT c.community,
+             COUNT(*) AS n_nodes,
+             COALESCE(MAX(i.intra_edges), 0) AS intra_edges,
+             COALESCE(MAX(d.degree_sum), 0) AS degree_sum
+      FROM cmap c
+      LEFT JOIN deg d ON d.community = c.community
+      LEFT JOIN intra i ON i.community = c.community
+      GROUP BY 1
+    )
+    SELECT community, n_nodes, intra_edges, degree_sum,
+           CAST(intra_edges AS DOUBLE) / m.m
+           - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+             * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+             AS q_contrib
+    FROM per, m ORDER BY community
+"""
+
+_Q331_NOTES = (
+    "NEWMAN MODULARITY of a given partition (operators/graph."
+    "modularity — the quality score for any community assignment, "
+    "decomposed per community: Q = sum(q_contrib)): two AQE-"
+    "broadcastable node-map joins tag edge endpoints, then two "
+    "map-side-combined aggs (degrees derived from edges directly); no "
+    "window, no collect, output communities-sized"
+)
+
+ROADMAP9["q331_graph_modularity"] = (
+    q331_graph_modularity,
+    _Q331_ORACLE,
+    _Q331_NOTES,
+)
+
+
+# --- q332: Benjamini-Hochberg FDR -------------------------------------------
+
+
+def q332_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH adjustment over a deterministic per-(event_type, user-bucket)
+    p-value fixture (Knuth-hash uniforms — fine HERE because each p is
+    a modeled input value, not a relabeling coin): families adjust in
+    parallel, adj_p = reversed running min of p*m/rank."""
+    from ..operators.mlmetrics import bh_adjust
+
+    tests = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.col("user_id") % 25).alias("test_id"),
+            F.length("event_type").alias("_len"),
+        )
+        .distinct()
+        .select(
+            "event_type",
+            "test_id",
+            (
+                _hash_mod(F.col("test_id") + 31 * F.col("_len"), 7, 997)
+                / F.lit(996.0)
+            ).alias("p"),
+        )
+    )
+    return bh_adjust(tests, "event_type", "test_id", "p").orderBy(
+        "event_type", "test_id"
+    )
+
+
+_Q332_ORACLE = f"""
+    WITH tests AS (
+      SELECT DISTINCT event_type, user_id % 25 AS test_id,
+             length(event_type) AS _len
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, test_id,
+             CAST({_hash_mod_sql('(test_id + 31 * _len)', 7, 997)} AS DOUBLE)
+               / 996.0 AS p
+      FROM tests
+    ),
+    staged AS (
+      SELECT event_type, test_id, p,
+             p * COUNT(*) OVER (PARTITION BY event_type)
+               / ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY p, test_id
+                 ) AS raw
+      FROM pv
+    )
+    SELECT event_type, test_id, p,
+           least(
+             MIN(raw) OVER (
+               PARTITION BY event_type
+               ORDER BY p DESC, test_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ), 1.0) AS adj_p
+    FROM staged ORDER BY event_type, test_id
+"""
+
+_Q332_NOTES = (
+    "BENJAMINI-HOCHBERG FDR ADJUSTMENT per family (operators/"
+    "mlmetrics.bh_adjust — the multiple-comparisons gate over any "
+    "batch of per-test p-values; upstream p is an input column, the "
+    "engine's test ops end at the statistic): rank + reversed running "
+    "min share ONE family exchange, families adjust in parallel, "
+    "deterministic test-name tiebreak"
+)
+
+ROADMAP9["q332_fdr_bh"] = (q332_fdr_bh, _Q332_ORACLE, _Q332_NOTES)

@@ -391,3 +391,174 @@ def test_read_xml_roundtrip_with_escaping(spark, tmp_path):
     )
     back = {r["id"]: r["txt"] for r in read_xml(spark, path, "r", schema).collect()}
     assert back == {1: "a <b> & 'c' \"d\"", 2: None, 3: "plain"}
+
+
+# --- Mann-Whitney / permutation / BH / Markov / CDC / modularity ------------
+
+
+def test_mann_whitney_hand_computed(spark):
+    import math
+
+    from dbkit_spark.operators.mlmetrics import mann_whitney_u
+
+    # pooled: 1(a) 2 2 2(a a b) 3(b) -> avg rank of the 2s = 3
+    # R_a = 1 + 3 + 3 = 7, U = 7 - 6 = 1, tie term = 3^3-3 = 24
+    # sigma^2 = (3*2/12) * (6 - 24/20) = 2.4, z = -2/sqrt(2.4)
+    df = spark.createDataFrame(
+        [("s", "a", 1), ("s", "a", 2), ("s", "a", 2), ("s", "b", 2), ("s", "b", 3)],
+        "seg string, g string, v long",
+    )
+    r = mann_whitney_u(df, "seg", "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u_stat"] == 1.0
+    assert abs(r["z"] - (-2 / math.sqrt(2.4))) < 1e-12
+
+
+def test_markov_transitions_hand_computed(spark):
+    from dbkit_spark.operators.sequence import markov_transitions
+
+    df = spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (2, 1, "B"), (2, 2, "B")],
+        "k long, t long, s string",
+    )
+    rows = {
+        (r["state"], r["next_state"]): r
+        for r in markov_transitions(df, "k", ["t"], "s", alpha=0.5).collect()
+    }
+    assert set(rows) == {("A", "B"), ("B", "A"), ("B", "B")}
+    assert rows[("A", "B")]["n"] == 1 and rows[("A", "B")]["p"] == 1.5 / 2.0
+    assert rows[("B", "A")]["p"] == 1.5 / 3.0
+    assert rows[("B", "B")]["p"] == 1.5 / 3.0
+
+
+def test_cdc_apply_latest_wins_and_churn(spark):
+    from dbkit_spark.operators.cdc import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)],
+        "k long, val double",
+    )
+    log = spark.createDataFrame(
+        [
+            (2, -1.0, "I", 1),   # superseded by the v2 update
+            (2, 200.0, "U", 2),
+            (3, None, "D", 1),   # base delete
+            (4, 400.0, "U", 1),  # update-then-delete churn: gone
+            (4, None, "D", 2),
+            (6, 60.0, "I", 1),   # fresh insert
+        ],
+        "k long, val double, op string, version long",
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in cdc_apply(base, log, ["k"]).collect()
+    }
+    assert got == {1: 10.0, 2: 200.0, 5: 50.0, 6: 60.0}
+
+
+def test_unigram_train_matches_reference_exactly(spark):
+    import re
+
+    from dbkit_spark.llm.unigram import (
+        unigram_train,
+        unigram_train_reference,
+    )
+
+    texts = [
+        "the hopper hopped the hedge",
+        "the hedge hog hopped over",
+        "hedge hopping hoppers hop",
+        "over the hedge and over the top",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    kw = dict(target_vocab=30, seed_size=100, max_piece_len=5, n_rounds=3)
+    dist = unigram_train(df, "text", **kw)
+
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.lower().strip()):
+            w = re.sub(r"[^a-z0-9]", "", w)
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    ref = unigram_train_reference(wc, **kw)
+    assert dist == ref  # piece, count AND logp — bit-for-bit
+
+
+def test_unigram_segment_prefers_learned_pieces():
+    import math
+
+    from dbkit_spark.llm.unigram import unigram_segment
+
+    scores = {
+        "h": math.log(0.1), "o": math.log(0.1), "p": math.log(0.1),
+        "hop": math.log(0.3),
+    }
+    assert unigram_segment("hophop", scores, 5) == ["hop", "hop"]
+    # unknown chars fall back to per-char split via the char floor
+    assert unigram_segment("pho", scores, 5) == ["p", "h", "o"]
+
+
+def test_permutation_test_deterministic_and_bounded(spark):
+    from dbkit_spark.operators.mlmetrics import permutation_test
+
+    df = spark.createDataFrame(
+        [("s", i, "a" if i % 2 == 0 else "b", float(i % 7)) for i in range(40)],
+        "seg string, unit long, g string, x double",
+    )
+    a = permutation_test(df, "seg", "unit", "g", "x", "a", "b", n_perms=20)
+    r1 = sorted(tuple(r) for r in a.collect())
+    r2 = sorted(
+        tuple(r)
+        for r in permutation_test(
+            df, "seg", "unit", "g", "x", "a", "b", n_perms=20
+        ).collect()
+    )
+    assert r1 == r2  # md5 relabeling: replayable, no rng
+    row = dict(zip(a.columns, r1[0]))
+    assert row["n_perms"] == 20
+    assert 0.0 < row["p_value"] <= 1.0
+    assert row["n_extreme"] <= 20
+
+
+def test_bh_adjust_hand_computed(spark):
+    from dbkit_spark.operators.mlmetrics import bh_adjust
+
+    df = spark.createDataFrame(
+        [("f", "t1", 0.01), ("f", "t2", 0.04), ("f", "t3", 0.03),
+         ("f", "t4", 0.05), ("f", "t5", 0.20)],
+        "fam string, test string, p double",
+    )
+    got = {
+        r["test"]: round(r["adj_p"], 10)
+        for r in bh_adjust(df, "fam", "test", "p").collect()
+    }
+    assert got == {
+        "t1": 0.05,
+        "t2": 0.0625,
+        "t3": 0.0625,
+        "t4": 0.0625,
+        "t5": 0.2,
+    }
+
+
+def test_modularity_two_triangles(spark):
+    from dbkit_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "a long, b long",
+    )
+    comms = spark.createDataFrame(
+        [(n, "x" if n <= 3 else "y") for n in range(1, 7)],
+        "node long, community string",
+    )
+    rows = {
+        r["community"]: r
+        for r in modularity(edges, comms, "node", "community").collect()
+    }
+    for c in ("x", "y"):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["intra_edges"] == 3
+        assert rows[c]["degree_sum"] == 7
+        assert abs(rows[c]["q_contrib"] - (3 / 7 - 0.25)) < 1e-12
+    assert abs(sum(r["q_contrib"] for r in rows.values()) - 2 * (3 / 7 - 0.25)) < 1e-12
