@@ -37,6 +37,7 @@ HEADLINE = [
     "q112_jaccard_prefix_filter",  # heavy set-similarity pipeline (round-4 addition)
     "q87_dedup_clusters",       # iterative connected-components pipeline (round-5 addition)
     "q209_duplicated_spans",    # suffix-array-style span dedup (round-8 addition, landed with q201-q241)
+    "q280_running_revenue",     # distributed Blelloch prefix scan (round-9 addition: the primitive the cumulative/Wasserstein family rides)
 ]
 
 RUNS = 3
