@@ -496,3 +496,114 @@ def temporal_split_embargo(
         )
         .drop("_cut_us")
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-allocation stratified sample: exactly ``total_n`` rows,
+    with stratum h's quota ∝ N_h·σ_h — variance-proportional
+    allocation, the survey-statistics optimum for estimating the
+    population mean of ``value_col``. The principled upgrade over the
+    fixed-fraction :func:`stratified_sample` when strata differ wildly
+    in spread (domains with volatile vs flat quality scores get the
+    sampling budget where it buys variance reduction).
+
+    Deterministic end-to-end (the engine's replayability contract):
+
+    - σ_h from 9dp-decimal moments (order-independent), sd via the
+      exact IEEE chain sqrt((sxx - sx²/N)/(N-1));
+    - quotas integerized by FLOOR + LARGEST REMAINDER (sum is exactly
+      total_n; remainder ties break on stratum name ascending) — the
+      weight w_h = N_h·σ_h rides a 9dp decimal sum so the shared
+      denominator is order-independent too;
+    - within a stratum, rows are picked by 'neyman'-salted md5 rank
+      with ``id_col`` tiebreak (independent of the 'sample'/'split'
+      salts so the ops compose without correlation).
+
+    Single-value strata (σ=0, e.g. one-row strata) get weight 0 and
+    only ever receive remainder seats — degenerate strata cannot eat
+    the budget. Oversubscribed quotas (n_h > N_h) are clipped by the
+    rank filter naturally.
+
+    Scale: one decimal-moment agg (map-side combined) → a STRATA-sized
+    allocation table (metadata: the largest-remainder window sorts
+    strata, not rows) broadcast back onto the data → one per-stratum
+    rank window. Two row-sized exchanges total (agg + rank), both on
+    the stratum key.
+    """
+    dec = "decimal(38,9)"
+    xd = F.round(F.col(value_col).cast("double"), 9)
+    stats = (
+        df.select(
+            F.col(strata_col).alias("_s"),
+            xd.cast(dec).alias("_x"),
+            F.round(xd * xd, 9).cast(dec).alias("_xx"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_xx").alias("_sxx"),
+        )
+    )
+    sd = F.when(
+        F.col("_n") > 1,
+        F.sqrt(
+            (
+                F.col("_sxx").cast("double")
+                - F.col("_sx").cast("double")
+                * F.col("_sx").cast("double")
+                / F.col("_n")
+            )
+            / (F.col("_n") - 1)
+        ),
+    ).otherwise(F.lit(0.0))
+    weighted = stats.select(
+        "_s",
+        "_n",
+        F.round(F.col("_n") * sd, 9).cast(dec).alias("_w"),
+    )
+    tot = weighted.agg(F.sum("_w").alias("_sw"))
+    exact = (
+        F.lit(int(total_n)) * F.col("_w").cast("double")
+    ) / F.col("_sw").cast("double")
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        "_s",
+        "_n",
+        F.floor(exact).cast("long").alias("_base"),
+        (exact - F.floor(exact)).alias("_rem"),
+    )
+    leftover = base.agg(
+        (F.lit(int(total_n)) - F.sum("_base")).cast("long").alias("_left")
+    )
+    wrem = Window.orderBy(F.col("_rem").desc(), F.col("_s"))
+    alloc = (
+        base.crossJoin(F.broadcast(leftover))
+        .select(
+            "_s",
+            (
+                F.col("_base")
+                + F.when(
+                    F.row_number().over(wrem) <= F.col("_left"), 1
+                ).otherwise(0)
+            ).alias("_quota"),
+        )
+    )
+    pick = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":neyman"))
+    )
+    wpick = Window.partitionBy(strata_col).orderBy(pick, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(wpick))
+        .join(
+            F.broadcast(alloc),
+            F.col(strata_col) == F.col("_s"),
+        )
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_s", "_rn", "_quota")
+    )

@@ -1321,3 +1321,89 @@ _Q332_NOTES = (
 )
 
 ROADMAP9["q332_fdr_bh"] = (q332_fdr_bh, _Q332_ORACLE, _Q332_NOTES)
+
+
+# --- q333: Neyman-allocation stratified sample ------------------------------
+
+
+def q333_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-proportional sampling budget over document sources:
+    exactly 100 docs, quota_h ∝ N_h·σ(n_chars) with floor +
+    largest-remainder integerization and md5-rank picks — the DuckDB
+    oracle replays moments, allocation, and every pick bit-for-bit."""
+    from ..llm.sampling import neyman_sample
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return neyman_sample(
+        docs, "doc_id", "source", "n_chars", total_n=100
+    ).orderBy("doc_id")
+
+
+_Q333_ORACLE = """
+    WITH stats AS (
+      SELECT source AS s, COUNT(*) AS n,
+             SUM(CAST(round(CAST(n_chars AS DOUBLE), 9)
+                 AS DECIMAL(38,9))) AS sx,
+             SUM(CAST(round(round(CAST(n_chars AS DOUBLE), 9)
+                            * round(CAST(n_chars AS DOUBLE), 9), 9)
+                 AS DECIMAL(38,9))) AS sxx
+      FROM documents GROUP BY 1
+    ),
+    weighted AS (
+      SELECT s, n,
+             CAST(round(
+               n * (CASE WHEN n > 1 THEN
+                      sqrt((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                           / (n - 1))
+                    ELSE CAST(0 AS DOUBLE) END), 9)
+                  AS DECIMAL(38,9)) AS w
+      FROM stats
+    ),
+    tot AS (SELECT SUM(w) AS sw FROM weighted),
+    based AS (
+      SELECT s, n,
+             CAST(floor((100 * CAST(w AS DOUBLE)) / CAST(sw AS DOUBLE))
+                  AS BIGINT) AS base,
+             (100 * CAST(w AS DOUBLE)) / CAST(sw AS DOUBLE)
+               - floor((100 * CAST(w AS DOUBLE)) / CAST(sw AS DOUBLE))
+               AS rem
+      FROM weighted, tot
+    ),
+    lo AS (SELECT 100 - SUM(base) AS leftover FROM based),
+    alloc AS (
+      SELECT s,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, s)
+                              <= leftover
+                         THEN 1 ELSE 0 END AS quota
+      FROM based, lo
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':neyman'), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.n_chars
+    FROM ranked r JOIN alloc a ON a.s = r.source
+    WHERE r.rn <= a.quota
+    ORDER BY r.doc_id
+"""
+
+_Q333_NOTES = (
+    "NEYMAN-ALLOCATION STRATIFIED SAMPLE (llm/sampling.neyman_sample "
+    "— exactly-n sampling with per-stratum quotas proportional to "
+    "N_h*sigma_h, the survey-statistics optimum; the principled "
+    "upgrade over fixed fractions when strata differ in spread): "
+    "decimal-moment agg -> STRATA-sized allocation table (floor + "
+    "largest remainder, sum exactly n; the allocation window sorts "
+    "strata, not rows) -> salted-md5 rank picks, everything replayed "
+    "bit-for-bit by the oracle. Two row-sized exchanges total, both "
+    "on the stratum key"
+)
+
+ROADMAP9["q333_neyman_sample"] = (q333_neyman_sample, _Q333_ORACLE, _Q333_NOTES)

@@ -562,3 +562,27 @@ def test_modularity_two_triangles(spark):
         assert rows[c]["degree_sum"] == 7
         assert abs(rows[c]["q_contrib"] - (3 / 7 - 0.25)) < 1e-12
     assert abs(sum(r["q_contrib"] for r in rows.values()) - 2 * (3 / 7 - 0.25)) < 1e-12
+
+
+def test_neyman_sample_allocation_contracts(spark):
+    from dbkit_spark.llm.sampling import neyman_sample
+
+    rows = (
+        [(i, "A", float(10 * i)) for i in range(4)]        # sd > 0
+        + [(10 + i, "B", 5.0) for i in range(4)]           # sd == 0
+        + [(99, "C", 100.0)]                               # single row
+    )
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+
+    # all weight sits on A: zero-variance / single-row strata get no
+    # base seats (and no remainder seats while leftover is 0)
+    got = neyman_sample(df, "id", "s", "v", total_n=3).collect()
+    assert len(got) == 3 and all(r["s"] == "A" for r in got)
+
+    # determinism: same picks on a rerun (salted md5, no rng)
+    again = neyman_sample(df, "id", "s", "v", total_n=3).collect()
+    assert sorted(r["id"] for r in got) == sorted(r["id"] for r in again)
+
+    # oversubscription clips at the stratum population
+    clipped = neyman_sample(df, "id", "s", "v", total_n=6).collect()
+    assert len(clipped) == 4 and all(r["s"] == "A" for r in clipped)
