@@ -869,7 +869,8 @@ _Q326_ORACLE = """
              SUM(c * c * c - c) AS tie_term
       FROM ranked GROUP BY 1
     )
-    SELECT event_type, n_a, n_b,
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
              AS u_stat,
            ((CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
@@ -1134,8 +1135,8 @@ _Q330_ORACLE = """
       GROUP BY 1, 2
     )
     SELECT o.event_type, o.obs_diff,
-           SUM(CASE WHEN p.perm_diff >= o.obs_diff THEN 1 ELSE 0 END)
-             AS n_extreme,
+           CAST(SUM(CASE WHEN p.perm_diff >= o.obs_diff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
            COUNT(*) AS n_perms,
            CAST(SUM(CASE WHEN p.perm_diff >= o.obs_diff THEN 1 ELSE 0 END)
                 + 1 AS DOUBLE) / (COUNT(*) + 1) AS p_value

@@ -717,9 +717,11 @@ def test_isotonic_laws(spark):
 def test_cohort_retention_laws(spark, sf_dir):
     """Offset-0 retention is exactly 1.0 for every cohort; retention
     never exceeds 1; n_active <= cohort_size."""
-    from dbkit_spark.queries.roadmap7 import ROADMAP7
+    # q268 LANDED in the round-9 staged registration — look it up via
+    # the catalog (roadmap7_landed pops landed names out of ROADMAP7)
+    from dbkit_spark.catalog import load_all
 
-    fn = ROADMAP7["q268_cohort_retention"][0]
+    fn = load_all()["q268_cohort_retention"].fn
     rows = fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -1563,8 +1565,20 @@ def test_wav_chunk_walk_and_rejection():
         + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
         + b"data" + struct.pack("<I", 4) + bytes(4)
     )
+    # format 3 (IEEE float) DECODES since the round-9 float-WAV arm:
+    # one zero float32 frame, source width reported
+    r_rate, r_ch, r_bits, r_s = decode_wav(float_fmt)
+    assert (r_rate, r_ch, r_bits) == (8000, 1, 32)
+    assert r_s.shape == (1, 1) and r_s[0, 0] == 0
+    # other compressed formats (e.g. 2 = ADPCM) still reject honestly
+    adpcm_fmt = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
     with _pytest.raises(NotImplementedError, match="non-PCM"):
-        decode_wav(float_fmt)
+        decode_wav(adpcm_fmt)
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"nonsense")
     with _pytest.raises(ValueError, match="missing fmt"):
@@ -2000,7 +2014,7 @@ def test_prefix_family_exchange_budgets(spark, sf_dir):
 
     from dbkit_spark.catalog import load_all
 
-    load_all()
+    catalog = load_all()  # lands q242-q291; queue holds the remainder
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
     budgets = {
@@ -2011,7 +2025,7 @@ def test_prefix_family_exchange_budgets(spark, sf_dir):
         "q301_cumulative_distinct": 9,
     }
     for name, budget in budgets.items():
-        fn = ROADMAP7[name][0]
+        fn = catalog[name].fn if name in catalog else ROADMAP7[name][0]
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]
         # structural SinglePartition rule (the NLJ-gate discipline): an
