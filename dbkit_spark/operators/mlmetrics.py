@@ -916,3 +916,204 @@ def bh_adjust(
         p_col,
         F.least(F.min("_raw").over(wmin), F.lit(1.0)).alias("adj_p"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    segment_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-segment Kruskal-Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` (one-way ANOVA on ranks): are any of k
+    variants drawn from a shifted distribution? H =
+    12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1), tie-corrected H_c =
+    H / (1 − Σ(t³−t)/(N³−N)). Groups are discovered from the data (no
+    fixed-arm contract like the two-sample tests). Engine contract ends
+    at the statistic; the chi-square CDF lookup is client-side.
+
+    Scale + portability: one hash agg to (segment, value, group) grain,
+    then ONE window (partition by segment, RANGE frames over the value
+    sort) yields both the tie count c(v) (RANGE CURRENT..CURRENT) and
+    the cumulative rank offset (RANGE UNBOUNDED..CURRENT) without a
+    second exchange. All rank arithmetic INTEGER (2R_g =
+    Σ n_g(v)·(2·cum_before + c + 1) exact long); the only
+    order-sensitive float reduce is the k-term Σ R_g²/n_g, so H is
+    rounded to 6dp (k ≤ dozens — error << grid). Output per segment:
+    (k_groups, n_total, h_stat, h_tie_corrected).
+    """
+    gv = df.groupBy(segment_col, value_col, group_col).agg(
+        F.count("*").cast("long").alias("n_gv")
+    )
+    w_tie = (
+        Window.partitionBy(segment_col)
+        .orderBy(value_col)
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    w_cum = (
+        Window.partitionBy(segment_col)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    framed = gv.select(
+        F.col(segment_col),
+        F.col(group_col),
+        F.col(value_col),
+        "n_gv",
+        F.sum("n_gv").over(w_tie).alias("c"),
+        (F.sum("n_gv").over(w_cum) - F.sum("n_gv").over(w_tie)).alias(
+            "cum_before"
+        ),
+    )
+    per_g = framed.groupBy(segment_col, group_col).agg(
+        F.sum("n_gv").alias("n_g"),
+        F.sum(
+            F.col("n_gv") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("r2_g"),
+    )
+    # tie term needs (segment, value)-distinct c's: first row per value
+    # carries it (dedup via min(group) marker would re-window; instead
+    # reduce framed at value grain — map-side combine keeps it cheap)
+    ties = (
+        framed.groupBy(segment_col, value_col)
+        .agg(F.max("c").alias("c"))
+        .groupBy(segment_col)
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).alias("tie_term")
+        )
+    )
+    seg = per_g.groupBy(segment_col).agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n_g").alias("n_total"),
+        F.sum(
+            F.col("r2_g").cast("double")
+            * F.col("r2_g").cast("double")
+            / (4.0 * F.col("n_g").cast("double"))
+        ).alias("s_rank"),
+    )
+    n = F.col("n_total").cast("double")
+    h = 12.0 / (n * (n + 1)) * F.col("s_rank") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("tie_term").cast("double") / (n * n * n - n)
+    return (
+        seg.join(ties, segment_col)
+        .select(
+            segment_col,
+            "k_groups",
+            "n_total",
+            F.round(h, 6).alias("h_stat"),
+            F.round(h / corr, 6).alias("h_tie_corrected"),
+        )
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    segment_col: str,
+    a_correct_col: str,
+    b_correct_col: str,
+) -> DataFrame:
+    """Per-segment McNemar test for PAIRED classifiers — the right test
+    when two models score the SAME items (A/B z-tests assume
+    independent samples and overstate significance on paired holdouts):
+    only the discordant counts matter, b = #(A right, B wrong),
+    c = #(A wrong, B right), chi² = (b−c)²/(b+c) with the
+    continuity-corrected (|b−c|−1)²/(b+c) variant alongside.
+
+    Scale + portability: ONE map-side-combined hash agg per segment —
+    conditional sums, no join between the two prediction columns
+    because the pairing is the row itself. Exact integers into two IEEE
+    divisions; no rounding needed.
+    """
+    a = F.col(a_correct_col).cast("boolean")
+    b = F.col(b_correct_col).cast("boolean")
+    agg = df.groupBy(segment_col).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n_a_only"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n_b_only"),
+    )
+    bc = F.col("n_a_only") + F.col("n_b_only")
+    diff = (F.col("n_a_only") - F.col("n_b_only")).cast("double")
+    cc = F.abs(F.col("n_a_only") - F.col("n_b_only")).cast("double") - 1.0
+    return agg.select(
+        segment_col,
+        "n_items",
+        "n_a_only",
+        "n_b_only",
+        F.when(bc > 0, diff * diff / bc.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("chi2"),
+        F.when(
+            bc > 0,
+            F.greatest(cc, F.lit(0.0))
+            * F.greatest(cc, F.lit(0.0))
+            / bc.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chi2_cc"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    segment_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-segment precision-recall summary: average precision (AP =
+    Σ_t ΔR_t·P_t over distinct score thresholds descending — the area
+    under the PR curve, the metric of record when positives are rare
+    and ROC-AUC flatters) plus the best achievable F1 over all
+    thresholds. Complements :func:`auc_by_group` (ROC) and
+    :func:`classification_report` (fixed threshold).
+
+    Scale + portability: one hash agg to (segment, score) grain, ONE
+    window (RANGE frame, descending score) for cumulative TP/total —
+    ties collapse to a single threshold so the curve is
+    deterministic under any row order. AP terms are exact-int ratios
+    n_pos(s)·cumTP(s)/cumTot(s); their per-segment float sum is the
+    only order-sensitive reduce → rounded to 6dp. best_f1 uses the
+    identity F1_t = 2·TP_t/(cumTot_t + n_pos): a MAX of exact-operand
+    IEEE ratios, order-independent, so it ships unrounded.
+    """
+    sv = df.groupBy(segment_col, score_col).agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.sum(F.col(label_col).cast("long")).alias("pos_s"),
+    )
+    w = (
+        Window.partitionBy(segment_col)
+        .orderBy(F.col(score_col).desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wseg = Window.partitionBy(segment_col)
+    cum = sv.select(
+        F.col(segment_col),
+        "n_s",
+        "pos_s",
+        F.sum("n_s").over(w).alias("cum_tot"),
+        F.sum("pos_s").over(w).alias("cum_pos"),
+        F.sum("n_s").over(wseg).alias("n_total"),
+        F.sum("pos_s").over(wseg).alias("n_pos"),
+    )
+    term = (
+        F.col("pos_s").cast("double")
+        * F.col("cum_pos").cast("double")
+        / F.col("cum_tot").cast("double")
+    )
+    f1 = (
+        2.0
+        * F.col("cum_pos").cast("double")
+        / (F.col("cum_tot") + F.col("n_pos")).cast("double")
+    )
+    return (
+        cum.groupBy(segment_col)
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            (F.max("n_total") - F.max("n_pos")).alias("n_neg"),
+            F.round(
+                F.sum(term) / F.max("n_pos").cast("double"), 6
+            ).alias("avg_precision"),
+            F.max(f1).alias("best_f1"),
+        )
+    )

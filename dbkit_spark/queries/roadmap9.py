@@ -1408,3 +1408,234 @@ _Q333_NOTES = (
 )
 
 ROADMAP9["q333_neyman_sample"] = (q333_neyman_sample, _Q333_ORACLE, _Q333_NOTES)
+
+
+# --- q334: Kruskal-Wallis H -------------------------------------------------
+
+
+def q334_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-group nonparametric test per event_type across THREE
+    user-parity variants on decile-quantized values — the k>2
+    completion of q326's Mann-Whitney (heavy ties exercise the
+    tie-corrected denominator)."""
+    from ..operators.mlmetrics import kruskal_wallis
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias(
+                "g"
+            ),
+            F.floor(F.col("value") * 10).alias("v"),
+        )
+    )
+    return kruskal_wallis(ev, "event_type", "g", "v").orderBy("event_type")
+
+
+_Q334_ORACLE = """
+    WITH tagged AS (
+      SELECT event_type,
+             'g' || CAST(user_id % 3 AS VARCHAR) AS g,
+             CAST(floor(value * 10) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (
+      SELECT event_type, v, g, COUNT(*) AS n_gv FROM tagged GROUP BY 1, 2, 3
+    ),
+    framed AS (
+      SELECT event_type, g, v, n_gv,
+        SUM(n_gv) OVER (PARTITION BY event_type, v) AS c,
+        SUM(n_gv) OVER (PARTITION BY event_type ORDER BY v
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - SUM(n_gv) OVER (PARTITION BY event_type, v) AS cum_before
+      FROM gv
+    ),
+    per_g AS (
+      SELECT event_type, g, SUM(n_gv) AS n_g,
+             SUM(n_gv * (2 * cum_before + c + 1)) AS r2_g
+      FROM framed GROUP BY 1, 2
+    ),
+    ties AS (
+      SELECT event_type, SUM(c * c * c - c) AS tie_term FROM (
+        SELECT event_type, v, MAX(c) AS c FROM framed GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    seg AS (
+      SELECT event_type, COUNT(*) AS k_groups, SUM(n_g) AS n_total,
+             SUM(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                 / (4.0 * CAST(n_g AS DOUBLE))) AS s_rank
+      FROM per_g GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(s.k_groups AS BIGINT) AS k_groups,
+           CAST(s.n_total AS BIGINT) AS n_total,
+           round(12.0 / (CAST(s.n_total AS DOUBLE) * (s.n_total + 1))
+                 * s.s_rank - 3.0 * (s.n_total + 1), 6) AS h_stat,
+           round((12.0 / (CAST(s.n_total AS DOUBLE) * (s.n_total + 1))
+                  * s.s_rank - 3.0 * (s.n_total + 1))
+                 / (1.0 - CAST(t.tie_term AS DOUBLE)
+                    / (CAST(s.n_total AS DOUBLE) * s.n_total * s.n_total
+                       - s.n_total)), 6) AS h_tie_corrected
+    FROM seg s JOIN ties t ON t.event_type = s.event_type
+    ORDER BY s.event_type
+"""
+
+_Q334_NOTES = (
+    "KRUSKAL-WALLIS H per segment (operators/mlmetrics.kruskal_wallis "
+    "— the k-group rank ANOVA completing the nonparametric family: "
+    "Mann-Whitney answers a vs b, KW answers 'any of k variants "
+    "shifted?'; groups discovered from data): one (segment,value,"
+    "group) hash agg, ONE window whose two RANGE frames share the "
+    "value sort (tie count + cumulative rank offset, single exchange), "
+    "2R_g exact-integer; only the k-term rank-square sum is float so H "
+    "ships at 6dp. Statistic only; chi-square CDF is client-side"
+)
+
+ROADMAP9["q334_kruskal_wallis"] = (
+    q334_kruskal_wallis,
+    _Q334_ORACLE,
+    _Q334_NOTES,
+)
+
+
+# --- q335: McNemar paired test ----------------------------------------------
+
+
+def q335_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synthetic classifiers scored on the SAME events (model A
+    right on ~70% by hash draw, model B on ~60% by an independent
+    draw); McNemar's discordant-pair chi-square per event_type."""
+    from ..operators.mlmetrics import mcnemar_test
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (_hash_mod(F.col("event_id"), 1, 10) < 7).alias("a_ok"),
+        (_hash_mod(F.col("event_id"), 5, 10) < 6).alias("b_ok"),
+    )
+    return mcnemar_test(ev, "event_type", "a_ok", "b_ok").orderBy(
+        "event_type"
+    )
+
+
+_Q335_ORACLE = f"""
+    WITH tagged AS (
+      SELECT event_type,
+             {_hash_mod_sql('event_id', 1, 10)} < 7 AS a_ok,
+             {_hash_mod_sql('event_id', 5, 10)} < 6 AS b_ok
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_items,
+             SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS n_a_only,
+             SUM(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END) AS n_b_only
+      FROM tagged GROUP BY 1
+    )
+    SELECT event_type, n_items,
+           CAST(n_a_only AS BIGINT) AS n_a_only,
+           CAST(n_b_only AS BIGINT) AS n_b_only,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             CAST(n_a_only - n_b_only AS DOUBLE)
+             * CAST(n_a_only - n_b_only AS DOUBLE)
+             / CAST(n_a_only + n_b_only AS DOUBLE)
+           ELSE 0.0 END AS chi2,
+           CASE WHEN n_a_only + n_b_only > 0 THEN
+             GREATEST(CAST(ABS(n_a_only - n_b_only) AS DOUBLE) - 1.0, 0.0)
+             * GREATEST(CAST(ABS(n_a_only - n_b_only) AS DOUBLE) - 1.0, 0.0)
+             / CAST(n_a_only + n_b_only AS DOUBLE)
+           ELSE 0.0 END AS chi2_cc
+    FROM agg ORDER BY event_type
+"""
+
+_Q335_NOTES = (
+    "MCNEMAR PAIRED-CLASSIFIER TEST per segment (operators/mlmetrics."
+    "mcnemar_test — the correct significance test when two models "
+    "score the SAME holdout; q308's funnel z-test assumes independent "
+    "samples, this one conditions on the discordant pairs b/c only): "
+    "ONE map-side-combined conditional agg, the pairing is the row "
+    "itself so there is no self-join. Exact ints into two IEEE "
+    "divisions, bit-portable unrounded"
+)
+
+ROADMAP9["q335_mcnemar"] = (q335_mcnemar, _Q335_ORACLE, _Q335_NOTES)
+
+
+# --- q336: precision-recall AP ----------------------------------------------
+
+
+def q336_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-curve summary per event_type over a quantized model score
+    (floor(value*20), heavy ties) with hash-drawn labels whose positive
+    rate is score-dependent (so the curve is non-degenerate): AP +
+    best achievable F1."""
+    from ..operators.mlmetrics import average_precision
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 20).alias("s"),
+            (
+                _hash_mod(F.col("event_id"), 3, 100)
+                < F.when(F.col("value") > 0.5, 55).otherwise(25)
+            )
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    return average_precision(ev, "event_type", "label", "s").orderBy(
+        "event_type"
+    )
+
+
+_Q336_ORACLE = f"""
+    WITH tagged AS (
+      SELECT event_type, CAST(floor(value * 20) AS BIGINT) AS s,
+             CASE WHEN {_hash_mod_sql('event_id', 3, 100)}
+                       < CASE WHEN value > 0.5 THEN 55 ELSE 25 END
+                  THEN 1 ELSE 0 END AS label
+      FROM events WHERE value IS NOT NULL
+    ),
+    sv AS (
+      SELECT event_type, s, COUNT(*) AS n_s, SUM(label) AS pos_s
+      FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, n_s, pos_s,
+        SUM(n_s) OVER (PARTITION BY event_type ORDER BY s DESC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tot,
+        SUM(pos_s) OVER (PARTITION BY event_type ORDER BY s DESC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        SUM(n_s) OVER (PARTITION BY event_type) AS n_total,
+        SUM(pos_s) OVER (PARTITION BY event_type) AS n_pos
+      FROM sv
+    )
+    SELECT event_type,
+           CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+           CAST(MAX(n_total) - MAX(n_pos) AS BIGINT) AS n_neg,
+           round(SUM(CAST(pos_s AS DOUBLE) * CAST(cum_pos AS DOUBLE)
+                     / CAST(cum_tot AS DOUBLE))
+                 / CAST(MAX(n_pos) AS DOUBLE), 6) AS avg_precision,
+           MAX(2.0 * CAST(cum_pos AS DOUBLE)
+               / CAST(cum_tot + n_pos AS DOUBLE)) AS best_f1
+    FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+_Q336_NOTES = (
+    "AVERAGE PRECISION / PR CURVE per segment (operators/mlmetrics."
+    "average_precision — area under precision-recall, the metric of "
+    "record for rare-positive corpora where ROC-AUC flatters; plus "
+    "best-F1 over all thresholds via F1_t = 2TP/(cumTot+P), a MAX of "
+    "exact-int IEEE ratios that ships unrounded): one (segment,score) "
+    "hash agg then ONE descending RANGE window — ties collapse to one "
+    "threshold so the curve is row-order-deterministic. AP's "
+    "per-segment float sum is the only order-sensitive reduce -> 6dp"
+)
+
+ROADMAP9["q336_average_precision"] = (
+    q336_average_precision,
+    _Q336_ORACLE,
+    _Q336_NOTES,
+)

@@ -586,3 +586,62 @@ def test_neyman_sample_allocation_contracts(spark):
     # oversubscription clips at the stratum population
     clipped = neyman_sample(df, "id", "s", "v", total_n=6).collect()
     assert len(clipped) == 4 and all(r["s"] == "A" for r in clipped)
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    from dbkit_spark.operators.mlmetrics import kruskal_wallis
+
+    # pooled: 1(r1) 2 2(avg 2.5) 3 3 3(avg 5); R = 3.5 / 7.5 / 10
+    # H = 12/42 * (3.5^2/2 + 7.5^2/2 + 10^2/2) - 21 = 3.0714285714
+    # ties: (2^3-2) + (3^3-3) = 30; corr = 1 - 30/210 = 6/7
+    df = spark.createDataFrame(
+        [
+            ("s", "g1", 1), ("s", "g1", 2),
+            ("s", "g2", 2), ("s", "g2", 3),
+            ("s", "g3", 3), ("s", "g3", 3),
+        ],
+        "seg string, g string, v long",
+    )
+    r = kruskal_wallis(df, "seg", "g", "v").collect()[0]
+    assert (r["k_groups"], r["n_total"]) == (3, 6)
+    assert r["h_stat"] == 3.071429
+    assert r["h_tie_corrected"] == 3.583333
+
+
+def test_mcnemar_hand_computed(spark):
+    from dbkit_spark.operators.mlmetrics import mcnemar_test
+
+    df = spark.createDataFrame(
+        [
+            ("s", True, True), ("s", True, False), ("s", True, False),
+            ("s", False, True), ("s", False, False),
+            # all-concordant segment: both chi2 forms must be 0, not null
+            ("t", True, True), ("t", False, False),
+        ],
+        "seg string, a_ok boolean, b_ok boolean",
+    )
+    out = {r["seg"]: r for r in mcnemar_test(df, "seg", "a_ok", "b_ok").collect()}
+    s = out["s"]
+    assert (s["n_items"], s["n_a_only"], s["n_b_only"]) == (5, 2, 1)
+    assert s["chi2"] == 1 / 3  # (2-1)^2 / 3, exact IEEE
+    assert s["chi2_cc"] == 0.0  # (|1|-1)^2 / 3
+    t = out["t"]
+    assert (t["n_a_only"], t["n_b_only"], t["chi2"], t["chi2_cc"]) == (0, 0, 0.0, 0.0)
+
+
+def test_average_precision_hand_computed(spark):
+    from dbkit_spark.operators.mlmetrics import average_precision
+
+    # thresholds desc: s=3 (1 pos) -> P=1; s=2 (+1 pos,+1 neg) -> P=2/3;
+    # s=1 (+1 pos,+1 neg) -> P=3/5. AP = (1 + 2/3 + 3/5)/3 = 34/45
+    # best F1: max over t of 2*cumTP/(cumTot+3) = 6/8 = 0.75
+    df = spark.createDataFrame(
+        [
+            ("s", 1, 3), ("s", 1, 2), ("s", 0, 2), ("s", 0, 1), ("s", 1, 1),
+        ],
+        "seg string, label int, score long",
+    )
+    r = average_precision(df, "seg", "label", "score").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (3, 2)
+    assert r["avg_precision"] == round(34 / 45, 6)
+    assert r["best_f1"] == 0.75
