@@ -432,3 +432,68 @@ def modularity(
             * (F.col("degree_sum").cast("double") / two_m)
         ).alias("q_contrib"),
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity + degree summary of an undirected simple
+    graph — the one-number answer to "do hubs link to hubs?" (positive:
+    social graphs; negative: web/biology). Assortativity is the Pearson
+    correlation of endpoint degrees over all 2m DIRECTED edge stubs;
+    spam/bot link farms show up as strongly negative r before any
+    content signal does, which is why crawl-frontier scoring runs this
+    next to `triangle_stats`.
+
+    Input: canonical edges (a, b), a < b, distinct (see
+    ``canonical_edges``). Output: ONE row — (n_nodes, n_edges,
+    max_degree, assortativity).
+
+    Portability: by stub symmetry r = (4m·Sxy − S1²)/(2m·Sxx − S1²)
+    with S1 = Σ(dega+degb), Sxy = Σ dega·degb, Sxx = Σ(dega²+degb²)
+    over edges — ALL-INTEGER numerator and denominator, so r is ONE
+    IEEE division of exact longs, bit-portable unrounded (degree sums
+    fit a long through ~10^9-stub graphs; beyond that promote the two
+    products to DECIMAL(38,0)).
+
+    Plan: one degree agg (node-keyed exchange), two node-keyed joins to
+    tag endpoint degrees (the degree table is nodes-sized — AQE
+    broadcasts it for dim-sized graphs, shuffles on the node key
+    otherwise), one global agg. No windows, no collect.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tagged = (
+        edges.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed(
+                "deg", "db"
+            ),
+            "b",
+        )
+    )
+    agg = tagged.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.col("da") + F.col("db")).alias("s1"),
+        F.sum(F.col("da") * F.col("db")).alias("sxy"),
+        F.sum(
+            F.col("da") * F.col("da") + F.col("db") * F.col("db")
+        ).alias("sxx"),
+    )
+    nstats = deg.agg(
+        F.count("*").alias("n_nodes"), F.max("deg").alias("max_degree")
+    )
+    m = F.col("n_edges")
+    num = (4 * m * F.col("sxy") - F.col("s1") * F.col("s1")).cast("double")
+    den = (2 * m * F.col("sxx") - F.col("s1") * F.col("s1")).cast("double")
+    return nstats.crossJoin(agg).select(
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        F.when(den != 0, num / den).otherwise(F.lit(0.0)).alias(
+            "assortativity"
+        ),
+    )

@@ -574,3 +574,67 @@ def null_pattern_audit(
         .orderBy(F.col("n_rows").desc(), "pattern")
         .limit(top_n)
     )
+
+
+# Format-class priority chain for infer_formats: first match wins.
+# Patterns stay inside the Java-regex ∩ RE2 common subset (anchors,
+# classes, +, ?, {m,n}, alternation) so Spark rlike and DuckDB
+# regexp_matches agree literally.
+FORMAT_CLASSES: list[tuple[str, str]] = [
+    ("bool", "^(true|false|TRUE|FALSE|True|False)$"),
+    ("integer", "^[+-]?[0-9]+$"),
+    ("decimal", "^[+-]?[0-9]+[.][0-9]+$"),
+    ("date_iso", "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    (
+        "timestamp_iso",
+        "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}",
+    ),
+    (
+        "uuid",
+        "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    ),
+    ("email", "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}$"),
+    ("url", "^https?://"),
+    ("json_object", "^[{].*[}]$"),
+]
+
+
+def infer_formats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Schema-sniffing profiler: classify every value of the given
+    string columns into a format class (bool/integer/decimal/date/
+    timestamp/uuid/email/url/json_object, else null/empty/other) and
+    report per-(col_name, fmt) counts + coverage fraction. This is the
+    ingest gate that decides whether a landed VARCHAR column is really
+    a typed column — run it before writing casts, not after they fail.
+
+    Scale: ONE scan — the columns unpivot through ``stack`` (no
+    per-column jobs), classification is a JVM-side first-match regex
+    chain (whole-stage codegen, no UDF), then one map-side-combined
+    hash agg on (col_name, fmt). frac = n/total is an IEEE division
+    of exact longs, bit-portable unrounded.
+    """
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    long_df = df.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, value)"
+    )
+    fmt = F.when(F.col("value").isNull(), "null").when(
+        F.trim(F.col("value")) == "", "empty"
+    )
+    for name, pattern in FORMAT_CLASSES:
+        fmt = fmt.when(F.col("value").rlike(pattern), name)
+    fmt = fmt.otherwise("other")
+    counted = long_df.select("col_name", fmt.alias("fmt")).groupBy(
+        "col_name", "fmt"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("col_name")
+    return counted.select(
+        "col_name",
+        "fmt",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "frac"
+        ),
+    )

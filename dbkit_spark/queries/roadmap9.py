@@ -1639,3 +1639,208 @@ ROADMAP9["q336_average_precision"] = (
     _Q336_ORACLE,
     _Q336_NOTES,
 )
+
+
+# --- q337: degree assortativity ---------------------------------------------
+
+
+def q337_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortativity + degree summary of the q331 event graph
+    (user_id%97 — event_id%89 canonical edges): all-integer Pearson
+    numerator/denominator so r is one IEEE division."""
+    from ..operators.graph import canonical_edges, degree_assortativity
+
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") % 97).alias("src"),
+        (F.col("event_id") % 89).alias("dst"),
+    )
+    return degree_assortativity(canonical_edges(pairs, "src", "dst"))
+
+
+_Q337_ORACLE = """
+    WITH base AS (
+      SELECT DISTINCT LEAST(user_id % 97, event_id % 89) AS a,
+                      GREATEST(user_id % 97, event_id % 89) AS b
+      FROM events
+      WHERE user_id % 97 <> event_id % 89
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM base UNION ALL SELECT b AS node FROM base
+      ) GROUP BY 1
+    ),
+    tagged AS (
+      SELECT da.deg AS da, db.deg AS db
+      FROM base e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_edges,
+             SUM(da + db) AS s1,
+             SUM(da * db) AS sxy,
+             SUM(da * da + db * db) AS sxx
+      FROM tagged
+    ),
+    nstats AS (
+      SELECT COUNT(*) AS n_nodes, MAX(deg) AS max_degree FROM deg
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(max_degree AS BIGINT) AS max_degree,
+           CASE WHEN (2 * n_edges * sxx - s1 * s1) <> 0 THEN
+             CAST(4 * n_edges * sxy - s1 * s1 AS DOUBLE)
+             / CAST(2 * n_edges * sxx - s1 * s1 AS DOUBLE)
+           ELSE 0.0 END AS assortativity
+    FROM nstats, agg
+"""
+
+_Q337_NOTES = (
+    "DEGREE ASSORTATIVITY (operators/graph.degree_assortativity — "
+    "Pearson correlation of endpoint degrees over the 2m edge stubs, "
+    "Newman 2002: do hubs link to hubs? link-farm detection runs this "
+    "next to the q269/q271 triangle/k-core kernels): stub symmetry "
+    "reduces r to (4m*Sxy - S1^2)/(2m*Sxx - S1^2) with ALL-INTEGER "
+    "sums over edges, so r is ONE IEEE division of exact longs, "
+    "bit-portable unrounded. One degree agg + two node-keyed "
+    "AQE-broadcastable joins + one global agg; the scalar two-row "
+    "crossJoin is metadata-sized (q316 discipline)"
+)
+
+ROADMAP9["q337_degree_assortativity"] = (
+    q337_degree_assortativity,
+    _Q337_ORACLE,
+    _Q337_NOTES,
+)
+
+
+# --- q338: format inference profiler ----------------------------------------
+
+
+def q338_format_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema sniffing over a deterministically mixed-format column
+    (doc_id%10 rotates through int/decimal/date/uuid/email/url/json/
+    bool/empty/free-text) PLUS the real lang column — per-(column,
+    format) counts and coverage from ONE stacked scan."""
+    from ..operators.profile import infer_formats
+
+    d = F.col("doc_id").cast("string")
+    h = F.md5(d)
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    m = F.col("doc_id") % 10
+    v = (
+        F.when(m == 0, d)
+        .when(m == 1, F.concat(d, F.lit(".5")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .when(m == 3, uuid)
+        .when(m == 4, F.concat(F.lit("user"), d, F.lit("@example.com")))
+        .when(m == 5, F.concat(F.lit("https://example.com/"), d))
+        .when(m == 6, F.concat(F.lit('{"k": '), d, F.lit("}")))
+        .when(
+            m == 7,
+            F.when(F.col("doc_id") % 2 == 0, "true").otherwise("false"),
+        )
+        .when(m == 8, F.lit(""))
+        .otherwise(F.concat(F.lit("free text "), d))
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        v.alias("v"), "lang"
+    )
+    return infer_formats(docs, ["v", "lang"]).orderBy("col_name", "fmt")
+
+
+_Q338_ORACLE = """
+    WITH src AS (
+      SELECT doc_id, lang,
+        CASE doc_id % 10
+          WHEN 0 THEN CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN CAST(doc_id AS VARCHAR) || '.5'
+          WHEN 2 THEN '2024-01-'
+                      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          WHEN 3 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-'
+                      || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-'
+                      || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-'
+                      || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-'
+                      || substr(md5(CAST(doc_id AS VARCHAR)), 21, 12)
+          WHEN 4 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          WHEN 5 THEN 'https://example.com/' || CAST(doc_id AS VARCHAR)
+          WHEN 6 THEN '{"k": ' || CAST(doc_id AS VARCHAR) || '}'
+          WHEN 7 THEN CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+          WHEN 8 THEN ''
+          ELSE 'free text ' || CAST(doc_id AS VARCHAR)
+        END AS v
+      FROM documents
+    ),
+    stacked AS (
+      SELECT 'v' AS col_name, v AS value FROM src
+      UNION ALL
+      SELECT 'lang' AS col_name, lang AS value FROM src
+    ),
+    classed AS (
+      SELECT col_name,
+        CASE
+          WHEN value IS NULL THEN 'null'
+          WHEN trim(value) = '' THEN 'empty'
+          WHEN regexp_matches(value, '^(true|false|TRUE|FALSE|True|False)$')
+            THEN 'bool'
+          WHEN regexp_matches(value, '^[+-]?[0-9]+$') THEN 'integer'
+          WHEN regexp_matches(value, '^[+-]?[0-9]+[.][0-9]+$')
+            THEN 'decimal'
+          WHEN regexp_matches(value, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+            THEN 'date_iso'
+          WHEN regexp_matches(value,
+            '^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}')
+            THEN 'timestamp_iso'
+          WHEN regexp_matches(value,
+            '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+            THEN 'uuid'
+          WHEN regexp_matches(value,
+            '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}$')
+            THEN 'email'
+          WHEN regexp_matches(value, '^https?://') THEN 'url'
+          WHEN regexp_matches(value, '^[{].*[}]$') THEN 'json_object'
+          ELSE 'other'
+        END AS fmt
+      FROM stacked
+    ),
+    counted AS (
+      SELECT col_name, fmt, COUNT(*) AS n FROM classed GROUP BY 1, 2
+    )
+    SELECT col_name, fmt, n,
+           CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY col_name) AS DOUBLE) AS frac
+    FROM counted
+    ORDER BY col_name, fmt
+"""
+
+_Q338_NOTES = (
+    "FORMAT-INFERENCE PROFILER (operators/profile.infer_formats — "
+    "classify every value of the named string columns into bool/int/"
+    "decimal/date/timestamp/uuid/email/url/json/null/empty/other and "
+    "report per-(column,format) coverage; the ingest gate that decides "
+    "whether a landed VARCHAR is really a typed column): ONE scan (the "
+    "columns unpivot through stack, never n jobs), the classifier is a "
+    "JVM-side first-match regex chain (codegen, no UDF, patterns in "
+    "the Java-regex/RE2 common subset so both engines match "
+    "literally), one hash agg. frac = n/total exact-int IEEE division"
+)
+
+ROADMAP9["q338_format_inference"] = (
+    q338_format_inference,
+    _Q338_ORACLE,
+    _Q338_NOTES,
+)

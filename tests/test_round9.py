@@ -645,3 +645,46 @@ def test_average_precision_hand_computed(spark):
     assert (r["n_pos"], r["n_neg"]) == (3, 2)
     assert r["avg_precision"] == round(34 / 45, 6)
     assert r["best_f1"] == 0.75
+
+
+def test_degree_assortativity_star_and_cycle(spark):
+    from dbkit_spark.operators.graph import degree_assortativity
+
+    # star K_{1,3}: every edge pairs deg 3 with deg 1 -> r = -1 exactly
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a long, b long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["max_degree"]) == (4, 3, 3)
+    assert r["assortativity"] == -1.0
+    # cycle: all degrees equal -> Pearson denominator 0 -> 0.0 by contract
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "a long, b long"
+    )
+    r = degree_assortativity(cyc).collect()[0]
+    assert r["assortativity"] == 0.0
+
+
+def test_infer_formats_class_per_value(spark):
+    from dbkit_spark.operators.profile import infer_formats
+
+    vals = [
+        ("true", "bool"),
+        ("-42", "integer"),
+        ("3.14", "decimal"),
+        ("2024-01-31", "date_iso"),
+        ("2024-01-31T10:00:00", "timestamp_iso"),
+        ("123e4567-e89b-12d3-a456-426614174000", "uuid"),
+        ("a.b@ex.co", "email"),
+        ("https://x.io/p", "url"),
+        ('{"k": 1}', "json_object"),
+        ("", "empty"),
+        (None, "null"),
+        ("free text", "other"),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in vals], "c string")
+    out = infer_formats(df, ["c"]).collect()
+    got = {r["fmt"]: r["n"] for r in out}
+    assert got == {fmt: 1 for _, fmt in vals}
+    assert all(r["col_name"] == "c" for r in out)
+    assert abs(sum(r["frac"] for r in out) - 1.0) < 1e-12
