@@ -1844,3 +1844,97 @@ ROADMAP9["q338_format_inference"] = (
     _Q338_ORACLE,
     _Q338_NOTES,
 )
+
+
+# --- q339: CIDR enrichment join ---------------------------------------------
+
+
+def q339_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo/ASN-style IP enrichment: a 37-block CIDR table derived from
+    nation (mixed /12../22 prefixes PLUS more-specific overlapping
+    blocks on even keys, so longest-prefix selection is exercised, not
+    just matching) left-enriches hash-derived event IPs; aggregated to
+    per-(owner, plen) counts so the anchor stays verdict-sized."""
+    from ..functions.net import cidr_enrich
+
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    blocks = nat.select(
+        F.col("n_name").alias("owner"),
+        (F.col("n_nationkey") * 4194304).alias("net"),
+        (12 + (F.col("n_nationkey") % 6) * 2).alias("plen"),
+    ).unionByName(
+        nat.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.concat(F.col("n_name"), F.lit("-spec")).alias("owner"),
+            (F.col("n_nationkey") * 4194304).alias("net"),
+            (16 + (F.col("n_nationkey") % 6) * 2).alias("plen"),
+        )
+    )
+    ips = read_table(spark, sf_dir, "events").select(
+        "event_id", _hash_mod(F.col("event_id"), 11, 104857600).alias("ip")
+    )
+    enriched = cidr_enrich(ips, "ip", "event_id", blocks, "net", "plen")
+    return (
+        enriched.groupBy("owner", "matched_plen")
+        .agg(
+            F.count("*").cast("long").alias("n_ips"),
+            F.min("ip").alias("min_ip"),
+            F.max("ip").alias("max_ip"),
+        )
+        .orderBy("owner", "matched_plen")
+    )
+
+
+_Q339_ORACLE = f"""
+    WITH blocks AS (
+      SELECT n_name AS owner, n_nationkey * 4194304 AS net,
+             12 + (n_nationkey % 6) * 2 AS plen
+      FROM nation
+      UNION ALL
+      SELECT n_name || '-spec', n_nationkey * 4194304,
+             16 + (n_nationkey % 6) * 2
+      FROM nation WHERE n_nationkey % 2 = 0
+    ),
+    norm AS (
+      SELECT owner, plen,
+             net - net % CAST(power(2, 32 - plen) AS BIGINT) AS base,
+             CAST(power(2, 32 - plen) AS BIGINT) AS size
+      FROM blocks
+    ),
+    ips AS (
+      SELECT event_id, {_hash_mod_sql('event_id', 11, 104857600)} AS ip
+      FROM events
+    ),
+    cand AS (
+      SELECT i.event_id, i.ip, b.owner, b.plen,
+             ROW_NUMBER() OVER (PARTITION BY i.event_id
+                                ORDER BY b.plen DESC, b.base) AS rn
+      FROM ips i
+      JOIN norm b ON i.ip >= b.base AND i.ip < b.base + b.size
+    ),
+    best AS (SELECT event_id, owner, plen FROM cand WHERE rn = 1),
+    enr AS (
+      SELECT i.event_id, i.ip, m.owner, m.plen AS matched_plen
+      FROM ips i LEFT JOIN best m ON m.event_id = i.event_id
+    )
+    SELECT owner, matched_plen, COUNT(*) AS n_ips,
+           MIN(ip) AS min_ip, MAX(ip) AS max_ip
+    FROM enr GROUP BY 1, 2
+    ORDER BY owner, matched_plen
+"""
+
+_Q339_NOTES = (
+    "CIDR LONGEST-PREFIX ENRICHMENT (functions/net.cidr_enrich + "
+    "ipv4_to_long — geo/ASN/bot-block IP enrichment, the join every "
+    "web-corpus quota and abuse filter needs): the scale answer to the "
+    "BETWEEN theta-join is prefix-bucket expansion — every block "
+    "expands to its covering /16 buckets (fan-out 2^(16-plen), "
+    "min_plen-bounded), the join is an EQUI-join on the bucket "
+    "(routing-table-sized dim -> AQE broadcast, never NLJ) with an "
+    "integer range verify, longest prefix picked by ONE probe-key "
+    "window. Left semantics without a second join (null attrs "
+    "survive the rank). All-integer arithmetic, bit-portable"
+)
+
+ROADMAP9["q339_cidr_enrich"] = (q339_cidr_enrich, _Q339_ORACLE, _Q339_NOTES)

@@ -688,3 +688,47 @@ def test_infer_formats_class_per_value(spark):
     assert got == {fmt: 1 for _, fmt in vals}
     assert all(r["col_name"] == "c" for r in out)
     assert abs(sum(r["frac"] for r in out) - 1.0) < 1e-12
+
+
+def test_ipv4_long_roundtrip(spark):
+    from dbkit_spark.functions.net import ipv4_to_long, long_to_ipv4
+
+    ips = ["0.0.0.0", "10.1.2.3", "192.168.255.1", "255.255.255.255"]
+    df = spark.createDataFrame([(s,) for s in ips], "s string")
+    rows = df.select(
+        "s", long_to_ipv4(ipv4_to_long(F.col("s"))).alias("back")
+    ).collect()
+    assert all(r["s"] == r["back"] for r in rows)
+    v = df.select(ipv4_to_long(F.col("s")).alias("v")).collect()
+    assert [r["v"] for r in v] == [0, 167838211, 3232300801, 4294967295]
+
+
+def test_cidr_enrich_longest_prefix_left_and_alignment(spark):
+    from dbkit_spark.functions.net import cidr_enrich
+    from dbkit_spark.plans.explain_utils import assert_no_nested_loop_join
+
+    # /8 10.0.0.0 covering + /16 10.1.0.0 specific, base given UNALIGNED
+    # (10.1.2.3/16 must normalize to 10.1.0.0); 192.* probe unmatched.
+    blocks = spark.createDataFrame(
+        [
+            ("wide", 10 * 16777216, 8),
+            ("spec", 10 * 16777216 + 65536 + 2 * 256 + 3, 16),
+        ],
+        "owner string, net long, plen int",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, 10 * 16777216 + 65536 + 77),   # in /16 AND /8 -> spec
+            (2, 10 * 16777216 + 5),            # /8 only -> wide
+            (3, 192 * 16777216),               # no match -> nulls
+        ],
+        "id long, ip long",
+    )
+    out = cidr_enrich(probes, "ip", "id", blocks, "net", "plen")
+    assert_no_nested_loop_join(out)
+    got = {r["id"]: (r["owner"], r["matched_plen"]) for r in out.collect()}
+    assert got == {1: ("spec", 16), 2: ("wide", 8), 3: (None, None)}
+    assert out.count() == 3  # exactly one row per probe
+
+    with pytest.raises(ValueError, match="buckets per block"):
+        cidr_enrich(probes, "ip", "id", blocks, "net", "plen", min_plen=0)
