@@ -459,3 +459,75 @@ def resample_payloads(payloads: DataFrame, factor: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(do, schema)
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_run", T.LongType()),
+        T.StructField("first_active", T.LongType()),
+        T.StructField("active_ratio", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def vad_segments(
+    payloads: DataFrame,
+    frame: int = 160,
+    threshold: int = 358_000_000,
+) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL decoded
+    audio: frame the (mono-flattened) samples into ``frame``-sample
+    blocks (trailing partial frame dropped — the resample_wav
+    contract), mark a frame active when its EXACT integer energy
+    Σs² ≥ threshold·frame, and reduce the activity mask to segment
+    stats — the speech/silence split every ASR-corpus curation
+    pipeline runs before paying for transcription.
+
+    Per doc: (n_frames, n_active, n_segments, longest_run,
+    first_active [null when all-silent], active_ratio). Everything is
+    integer until the one ratio division, so a SQL engine replays the
+    whole readout bit-for-bit from the waveform (the q290/q323
+    oracle discipline). Undecodable payloads degrade to decoded=false
+    with null stats. Arrow-batched mapInPandas, map-only, shuffle-free;
+    per-row cost linear in duration.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in VAD_SCHEMA}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _rate, _ch, _bits, samples = decode_wav(bytes(payload))
+                    flat = samples.ravel().astype(np.int64)
+                    m = flat.size // frame
+                    fr = flat[: m * frame].reshape(m, frame)
+                    energy = (fr * fr).sum(axis=1)
+                    active = energy >= threshold * frame
+                    n_active = int(active.sum())
+                    prev = np.concatenate(([False], active[:-1]))
+                    starts = active & ~prev
+                    n_seg = int(starts.sum())
+                    longest = 0
+                    run = 0
+                    for a in active:
+                        run = run + 1 if a else 0
+                        longest = max(longest, run)
+                    first = (
+                        int(np.argmax(active)) if n_active else None
+                    )
+                    vals = (
+                        did, m, n_active, n_seg, longest, first,
+                        n_active / m if m else None, True,
+                    )
+                except (NotImplementedError, ValueError):
+                    vals = (did, None, None, None, None, None, None, False)
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(do, VAD_SCHEMA)

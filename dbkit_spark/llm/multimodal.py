@@ -1255,3 +1255,69 @@ def resize_image_payloads(payloads: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(do, RESIZE_REAL_SCHEMA)
+
+
+GRAY_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("min_gray", T.LongType()),
+        T.StructField("max_gray", T.LongType()),
+        T.StructField("n_bins_used", T.LongType()),
+        T.StructField("hist", T.ArrayType(T.LongType())),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def image_gray_histogram(payloads: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Grayscale luminance histogram over REAL decoded pixels — the
+    exposure/contrast quality gate of an image-corpus pipeline (blank,
+    clipped, or low-dynamic-range images show up as 1-2 occupied bins
+    before any model sees them). Grayscale is the integer mean
+    (r+g+b)//3 (single-channel images pass through), binned into
+    ``n_bins`` equal 256/n_bins-wide buckets.
+
+    Output per doc: (n_px, min_gray, max_gray, n_bins_used, hist) —
+    ALL exact integers (the histogram ships as an array so downstream
+    entropy/contrast scalars can be computed engine-side and stay
+    SQL-replayable; see q341). Undecodable payloads degrade to
+    decoded=false. Arrow-batched mapInPandas, map-only, shuffle-free.
+    """
+    if 256 % n_bins:
+        raise ValueError("n_bins must divide 256")
+    width = 256 // n_bins
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in GRAY_HIST_SCHEMA}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _fmt, w, h, ch, px = decode_image_pixels(payload)
+                    arr = np.frombuffer(bytes(px), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    if ch >= 3:
+                        pix = arr.reshape(-1, ch)
+                        gray = (pix[:, 0] + pix[:, 1] + pix[:, 2]) // 3
+                    else:
+                        gray = arr.reshape(-1, ch)[:, 0]
+                    counts = np.bincount(gray // width, minlength=n_bins)
+                    vals = (
+                        did,
+                        int(gray.size),
+                        int(gray.min()),
+                        int(gray.max()),
+                        int(np.count_nonzero(counts)),
+                        [int(c) for c in counts],
+                        True,
+                    )
+                except (NotImplementedError, ValueError):
+                    vals = (did, None, None, None, None, None, False)
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(do, GRAY_HIST_SCHEMA)

@@ -1938,3 +1938,219 @@ _Q339_NOTES = (
 )
 
 ROADMAP9["q339_cidr_enrich"] = (q339_cidr_enrich, _Q339_ORACLE, _Q339_NOTES)
+
+
+# --- q340: audio VAD segmentation -------------------------------------------
+
+
+def q340_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold VAD over the three-arm WAV fixture (PCM16 /
+    float32 / float64 all decode to the same waveform): per-doc frame
+    mask reduced to segment stats, every column integer-exact until the
+    one ratio, replayed bit-for-bit by the SQL oracle."""
+    from ..llm.audio import vad_segments, with_wav_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_wav_payload(docs, "doc_id", every=10)
+    return (
+        vad_segments(payloads, frame=160, threshold=358_000_000)
+        .select(
+            "doc_id", "n_frames", "n_active", "n_segments",
+            "longest_run", "first_active", "active_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q340_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, 800 + (doc_id % 7) * 160 AS n
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    samples AS (
+      SELECT doc_id, n, i,
+             (doc_id * 7349 + i * (i + 13) * 2654435761) % 65536 - 32768 AS s
+      FROM ids, UNNEST(generate_series(0, n - 1)) AS t(i)
+    ),
+    frames AS (
+      SELECT doc_id, i // 160 AS f, SUM(s * s) AS e
+      FROM samples GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, f,
+             CASE WHEN e >= 160 * CAST(358000000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS a
+      FROM frames
+    ),
+    isl AS (
+      SELECT doc_id, f, a,
+             CASE WHEN a = 1 AND COALESCE(
+                    lag(a) OVER (PARTITION BY doc_id ORDER BY f), 0) = 0
+                  THEN 1 ELSE 0 END AS st
+      FROM act
+    ),
+    grp AS (
+      SELECT doc_id, f, a,
+             SUM(st) OVER (PARTITION BY doc_id ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM isl
+    ),
+    seg AS (
+      SELECT doc_id, g, COUNT(*) AS len FROM grp WHERE a = 1 GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_frames, SUM(a) AS n_active,
+             MIN(CASE WHEN a = 1 THEN f END) AS first_active
+      FROM act GROUP BY 1
+    ),
+    seg_doc AS (
+      SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest_run
+      FROM seg GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(p.n_frames AS BIGINT) AS n_frames,
+           CAST(p.n_active AS BIGINT) AS n_active,
+           CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(s.longest_run, 0) AS BIGINT) AS longest_run,
+           CAST(p.first_active AS BIGINT) AS first_active,
+           CAST(p.n_active AS DOUBLE) / p.n_frames AS active_ratio
+    FROM per_doc p LEFT JOIN seg_doc s ON s.doc_id = p.doc_id
+    ORDER BY p.doc_id
+"""
+
+_Q340_NOTES = (
+    "AUDIO VAD / SILENCE SEGMENTATION (llm/audio.vad_segments — "
+    "energy-threshold voice-activity frames reduced to segment stats, "
+    "the speech/silence gate an ASR-corpus pipeline runs before "
+    "paying for transcription): REAL decode (all three WAV fmt arms) "
+    "-> exact integer frame energies (sum-of-squares vs "
+    "threshold*frame, no floats) -> gaps-and-islands reduction inside "
+    "the same Arrow batch; the oracle regenerates the waveform and "
+    "replays frames, mask, islands, and the one ratio division. "
+    "Map-only, shuffle-free, per-row cost linear in duration"
+)
+
+ROADMAP9["q340_audio_vad"] = (q340_audio_vad, _Q340_ORACLE, _Q340_NOTES)
+
+
+# --- q341: image gray histogram + entropy -----------------------------------
+
+
+def q341_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure/contrast gate over REAL decoded pixels: grayscale
+    16-bin histogram per image (exact integers from the UDF), then
+    range + Shannon entropy computed ENGINE-SIDE from the histogram
+    array — so the float arithmetic is SQL-replayable, not buried in
+    the decoder."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..llm.multimodal import encode_ppm, image_gray_histogram
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        bytearray(
+                            encode_ppm(
+                                11 + (i % 3) * 2, 10 + (i % 2) * 2, seed=i
+                            )
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    payloads = docs.mapInPandas(gen, schema)
+    hist = image_gray_histogram(payloads, n_bins=16)
+    ex = hist.select(
+        "doc_id", "n_px", "min_gray", "max_gray", "n_bins_used",
+        F.explode("hist").alias("c"),
+    ).filter(F.col("c") > 0)
+    return (
+        ex.groupBy("doc_id", "n_px", "min_gray", "max_gray", "n_bins_used")
+        .agg(F.sum(F.col("c") * F.log2("c")).alias("_clg"))
+        .select(
+            "doc_id", "n_px", "min_gray", "max_gray", "n_bins_used",
+            (F.col("max_gray") - F.col("min_gray")).alias("gray_range"),
+            F.round(
+                F.log2("n_px") - F.col("_clg") / F.col("n_px").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q341_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, 11 + (doc_id % 3) * 2 AS w, 10 + (doc_id % 2) * 2 AS h
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    pix AS (
+      SELECT i.doc_id,
+             ((i.doc_id + 31 * x.v + 17 * y.v) % 256
+              + ((i.doc_id + 31 * x.v + 17 * y.v) % 256 * 7) % 256
+              + ((i.doc_id + 31 * x.v + 17 * y.v) % 256 * 13) % 256) // 3
+               AS gray
+      FROM ids i,
+           UNNEST(generate_series(0, i.w - 1)) AS x(v),
+           UNNEST(generate_series(0, i.h - 1)) AS y(v)
+    ),
+    bins AS (
+      SELECT doc_id, gray // 16 AS b, COUNT(*) AS c
+      FROM pix GROUP BY 1, 2
+    ),
+    docstats AS (
+      SELECT doc_id, COUNT(*) AS n_px,
+             MIN(gray) AS min_gray, MAX(gray) AS max_gray
+      FROM pix GROUP BY 1
+    ),
+    ent AS (
+      SELECT doc_id, COUNT(*) AS n_bins_used,
+             SUM(c * log2(c)) AS clg
+      FROM bins GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(d.n_px AS BIGINT) AS n_px,
+           CAST(d.min_gray AS BIGINT) AS min_gray,
+           CAST(d.max_gray AS BIGINT) AS max_gray,
+           CAST(e.n_bins_used AS BIGINT) AS n_bins_used,
+           CAST(d.max_gray - d.min_gray AS BIGINT) AS gray_range,
+           round(log2(d.n_px) - e.clg / d.n_px, 6) AS entropy_bits
+    FROM docstats d JOIN ent e ON e.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+_Q341_NOTES = (
+    "IMAGE GRAY HISTOGRAM + ENTROPY (llm/multimodal."
+    "image_gray_histogram — the exposure/contrast quality gate of an "
+    "image corpus: blank, clipped, or low-dynamic-range images surface "
+    "as 1-2 occupied bins / near-zero entropy before any model sees "
+    "them): REAL decode -> integer (r+g+b)//3 luminance -> exact 16-bin "
+    "counts shipped as an ARRAY so range and Shannon entropy are "
+    "computed engine-side (explode + one agg) and the oracle replays "
+    "pixels, bins, and the log2 arithmetic. The only floats are "
+    "c*log2(c) terms of exact ints, 6dp-rounded for the k<=16-term "
+    "sum order. Map-only Arrow decode, one tiny agg exchange"
+)
+
+ROADMAP9["q341_image_histogram"] = (
+    q341_image_histogram,
+    _Q341_ORACLE,
+    _Q341_NOTES,
+)

@@ -732,3 +732,62 @@ def test_cidr_enrich_longest_prefix_left_and_alignment(spark):
 
     with pytest.raises(ValueError, match="buckets per block"):
         cidr_enrich(probes, "ip", "id", blocks, "net", "plen", min_plen=0)
+
+
+def _pcm16_wav(samples):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_vad_segments_hand_computed(spark):
+    from dbkit_spark.llm.audio import vad_segments
+
+    # frame=4: [silent, loud, loud, silent, loud] + 2 trailing samples
+    # (dropped) -> n_frames 5, active 3, segments 2, longest 2,
+    # first_active 1, ratio 0.6
+    samples = (
+        [0] * 4 + [30000] * 8 + [0] * 4 + [30000] * 4 + [7, 7]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(_pcm16_wav(samples))), (2, bytearray(b"junk")),
+         (3, bytearray(_pcm16_wav([0] * 8)))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in vad_segments(df, frame=4, threshold=358_000_000).collect()
+    }
+    r = out[1]
+    assert (r["n_frames"], r["n_active"], r["n_segments"]) == (5, 3, 2)
+    assert (r["longest_run"], r["first_active"]) == (2, 1)
+    assert r["active_ratio"] == 0.6 and r["decoded"]
+    assert not out[2]["decoded"] and out[2]["n_frames"] is None
+    allsilent = out[3]
+    assert (allsilent["n_active"], allsilent["n_segments"]) == (0, 0)
+    assert allsilent["first_active"] is None
+
+
+def test_image_gray_histogram_hand_computed(spark):
+    from dbkit_spark.llm.multimodal import image_gray_histogram
+
+    flat = b"P6\n2 2\n255\n" + bytes([10, 10, 10] * 4)
+    two = b"P6\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 255])
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(two)), (3, bytearray(b"x"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in image_gray_histogram(df).collect()}
+    r = out[1]
+    assert (r["n_px"], r["min_gray"], r["max_gray"]) == (4, 10, 10)
+    assert r["n_bins_used"] == 1 and r["hist"][0] == 4
+    r = out[2]
+    assert (r["min_gray"], r["max_gray"], r["n_bins_used"]) == (0, 255, 2)
+    assert r["hist"][0] == 1 and r["hist"][15] == 1
+    assert not out[3]["decoded"]
