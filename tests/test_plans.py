@@ -104,6 +104,12 @@ _INTENTIONAL_CROSS = {
     "q167_tpch_q11_important_stock",
     "q173_tfidf_topk_terms",
     "q192_balanced_downsample",
+    # landed with the round-9 staged q242-q291 registration: truncation
+    # recall's require_small-guarded exact all-pairs baseline (probe-
+    # subset contract; full-dim recall==1.0 invariant needs the exact
+    # pairs) — same justification it carried in the queue gate's
+    # intentional set while it was queued
+    "q274_truncation_recall",
 }
 
 
@@ -416,9 +422,8 @@ def test_queue_wide_no_accidental_nlj(spark):
     # the q43/q44 class: require_small-guarded exact all-pairs
     # baselines whose crossJoin is the DESIGNED plan (probe-subset
     # contract at scale) — same documented set as the catalog gate's
-    # _INTENTIONAL_CROSS, kept tiny and justified per entry:
-    #   q274 — truncation recall's pairwise scoring (guard at 5k rows;
-    #          full-dim recall==1.0 invariant needs the exact pairs)
+    # _INTENTIONAL_CROSS, kept tiny and justified per entry
+    # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing):
     #   q306 — hamming rerank broadcasts the QUERY SET (bounded by
     #          contract, the q43 discipline) against the packed corpus;
     #          the shortlist needs every query x corpus hamming
@@ -426,7 +431,6 @@ def test_queue_wide_no_accidental_nlj(spark):
     #          centroid (labels-count-sized broadcast; the metric's
     #          definition requires all centroids per vector)
     intentional = {
-        "q274_truncation_recall",
         "q306_hamming_rerank",
         "q309_silhouette",
     }
