@@ -457,13 +457,18 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     Plan: one degree agg (node-keyed exchange), two node-keyed joins to
     tag endpoint degrees (the degree table is nodes-sized — AQE
     broadcasts it for dim-sized graphs, shuffles on the node key
-    otherwise), one global agg. No windows, no collect.
+    otherwise), one global agg. No windows, no collect. Both the edge
+    set and the degree table feed multiple branches — persisted so the
+    edge corpus is scanned once, not once per branch (the
+    modularity/triangle_stats discipline).
     """
+    edges = edges.persist()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
+        .persist()
     )
     tagged = (
         edges.join(deg.withColumnRenamed("node", "a"), "a")
