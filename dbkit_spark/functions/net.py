@@ -53,7 +53,7 @@ def cidr_enrich(
     blocks: DataFrame,
     net_col: str,
     plen_col: str,
-    bucket_bits: int = 16,
+    bucket_bits: int | None = None,
     min_plen: int = 8,
 ) -> DataFrame:
     """Left-enrich each probe row (integer IP in ``ip_col``, unique
@@ -63,14 +63,38 @@ def cidr_enrich(
     ``10.1.2.3/16`` and ``10.1.0.0/16`` declare the same block.
 
     Plan: blocks expand to their covering /``bucket_bits`` buckets —
-    fan-out is 2^(bucket_bits−plen), bounded by ``min_plen`` (default
-    /8 → ≤256 buckets/block) — then ONE equi-join on the bucket (the
-    expanded dim is routing-table-sized: AQE broadcasts it; never a
-    NestedLoopJoin) with the integer range verify in the join filter,
-    and ONE window on the probe key picks the longest matching prefix
-    (matched-first, plen desc, base tiebreak). Unmatched probes keep
-    null attributes — left semantics without a second join.
+    fan-out is 2^(bucket_bits−plen), bounded by ``min_plen``
+    (expansion ≤ 2^12 per block) — then ONE equi-join on the bucket
+    (the expanded dim is routing-table-sized: AQE broadcasts it; never
+    a NestedLoopJoin) with the integer range verify in the join
+    filter, and ONE window on the probe key picks the longest matching
+    prefix (matched-first, plen desc, base tiebreak). Unmatched probes
+    keep null attributes — left semantics without a second join.
+
+    Bucket sizing is the asymmetry that makes this scale: too-wide
+    buckets multiply PROBE candidates (2^(plen−bucket_bits) blocks per
+    bucket → the fact-side window input explodes), too-narrow buckets
+    multiply DIM rows (bounded, broadcastable). So the default sizes
+    the bucket to the block table — max plen observed, capped at
+    min_plen_observed+12 (expansion bound) and /28 — via one
+    metadata-sized 1-row aggregate probe (the join-advisor
+    discipline): candidates per probe stay O(nesting depth), and the
+    expansion lands on the small side.
     """
+    if bucket_bits is None:
+        stats = blocks.agg(
+            F.min(plen_col).alias("lo"), F.max(plen_col).alias("hi")
+        ).first()
+        if stats["lo"] is None:
+            bucket_bits = 16
+        else:
+            bucket_bits = max(
+                1, min(int(stats["hi"]), max(int(stats["lo"]), min_plen) + 12, 28)
+            )
+            # the expansion bound is guaranteed by the OBSERVED minimum
+            # plen (no block below it exists), so the guard's effective
+            # floor rises with it — without filtering any real block
+            min_plen = max(min_plen, bucket_bits - 12)
     if not 0 < bucket_bits <= 32:
         raise ValueError("bucket_bits must be in (0, 32]")
     if min_plen < bucket_bits - 12:

@@ -1929,12 +1929,15 @@ _Q339_NOTES = (
     "ipv4_to_long — geo/ASN/bot-block IP enrichment, the join every "
     "web-corpus quota and abuse filter needs): the scale answer to the "
     "BETWEEN theta-join is prefix-bucket expansion — every block "
-    "expands to its covering /16 buckets (fan-out 2^(16-plen), "
-    "min_plen-bounded), the join is an EQUI-join on the bucket "
-    "(routing-table-sized dim -> AQE broadcast, never NLJ) with an "
-    "integer range verify, longest prefix picked by ONE probe-key "
-    "window. Left semantics without a second join (null attrs "
-    "survive the rank). All-integer arithmetic, bit-portable"
+    "expands to its covering fixed-width buckets (width AUTO-SIZED to "
+    "the block table's max plen, expansion-capped at 2^12, via one "
+    "1-row advisor probe: wide buckets would multiply PROBE "
+    "candidates, narrow ones only bounded DIM rows), the join is an "
+    "EQUI-join on the bucket (routing-table-sized dim -> AQE "
+    "broadcast, never NLJ) with an integer range verify, longest "
+    "prefix picked by ONE probe-key window. Left semantics without a "
+    "second join. A/B receipt SCALE.md: 28.9x vs the naive NLJ at 50k "
+    "blocks, flat in block count. All-integer, bit-portable"
 )
 
 ROADMAP9["q339_cidr_enrich"] = (q339_cidr_enrich, _Q339_ORACLE, _Q339_NOTES)

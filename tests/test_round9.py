@@ -730,8 +730,14 @@ def test_cidr_enrich_longest_prefix_left_and_alignment(spark):
     assert got == {1: ("spec", 16), 2: ("wide", 8), 3: (None, None)}
     assert out.count() == 3  # exactly one row per probe
 
+    # explicit bucket_bits with a permissive min_plen trips the
+    # expansion guard; auto-sizing (bucket_bits=None) is exempt because
+    # the observed minimum plen bounds the fan-out
     with pytest.raises(ValueError, match="buckets per block"):
-        cidr_enrich(probes, "ip", "id", blocks, "net", "plen", min_plen=0)
+        cidr_enrich(
+            probes, "ip", "id", blocks, "net", "plen",
+            bucket_bits=24, min_plen=0,
+        )
 
 
 def _pcm16_wav(samples):
