@@ -25,6 +25,12 @@ from __future__ import annotations
 from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
+# Round-10 landing move (pre-computed at round-9 close): the queue holds
+# exactly 50 entries (q292–q341), so setting _LANDED_MAX_QNUM = 341
+# lands them all and makes the r10 window exactly q292–q341 — the same
+# one-line move as this round, with zero registered-but-evidence-less
+# remainder. All 50 are pre-verified at sf0.001 + sf0.01 (and hash-green
+# at sf0.1) per tests/test_catalog.py::test_roadmap7_queue_preverified.
 _LANDED_MAX_QNUM = 291
 
 _landed_names = [
