@@ -932,3 +932,50 @@ def test_average_precision_matches_pure_python(spark):
         ap, best = ref(rows)
         assert abs(got["avg_precision"] - ap) < 2e-6, seed
         assert got["best_f1"] == best, seed
+
+
+def test_cidr_enrich_matches_brute_force(spark):
+    """Seeded randomized cross-check: longest-prefix enrichment over
+    random (possibly nested) blocks must match a brute-force python
+    scan of every (probe, block) pair."""
+    import random
+
+    from dbkit_spark.functions.net import cidr_enrich
+
+    for seed in (11, 12):
+        rnd = random.Random(seed)
+        blocks = []
+        for i in range(40):
+            plen = rnd.choice([10, 12, 16, 20, 24, 28])
+            size = 1 << (32 - plen)
+            net = rnd.randrange(0, 1 << 32)
+            base = net - net % size
+            blocks.append((f"b{i}", net, plen, base, size))
+        probes = [(i, rnd.randrange(0, 1 << 32)) for i in range(300)]
+        # force hits: aim half the probes inside random blocks
+        for i in range(0, 300, 2):
+            _, _, _, base, size = blocks[rnd.randrange(len(blocks))]
+            probes[i] = (probes[i][0], base + rnd.randrange(size))
+
+        def ref(ip):
+            best = None
+            for name, _net, plen, base, size in blocks:
+                if base <= ip < base + size:
+                    if best is None or plen > best[1] or (
+                        plen == best[1] and base < best[2]
+                    ):
+                        best = (name, plen, base)
+            return (best[0], best[1]) if best else (None, None)
+
+        bdf = spark.createDataFrame(
+            [(n, net, plen) for n, net, plen, _, _ in blocks],
+            "owner string, net long, plen int",
+        )
+        pdf = spark.createDataFrame(probes, "id long, ip long")
+        got = {
+            r["id"]: (r["owner"], r["matched_plen"])
+            for r in cidr_enrich(pdf, "ip", "id", bdf, "net", "plen").collect()
+        }
+        assert len(got) == 300, seed
+        for pid, ip in probes:
+            assert got[pid] == ref(ip), (seed, pid, ip, got[pid], ref(ip))
