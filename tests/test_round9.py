@@ -979,3 +979,140 @@ def test_cidr_enrich_matches_brute_force(spark):
         assert len(got) == 300, seed
         for pid, ip in probes:
             assert got[pid] == ref(ip), (seed, pid, ip, got[pid], ref(ip))
+
+
+def test_cdc_apply_matches_brute_force(spark):
+    """Seeded randomized cross-check: random I/U/D logs (multiple ops
+    per key, version ties) applied over a random base must match a
+    python dict replay of the documented semantics."""
+    import random
+
+    from dbkit_spark.operators.cdc import cdc_apply
+
+    for seed in (21, 22, 23):
+        rnd = random.Random(seed)
+        base = [(k, rnd.randrange(100)) for k in rnd.sample(range(40), 25)]
+        ops = []
+        for _ in range(60):
+            ops.append(
+                (
+                    rnd.randrange(40),
+                    rnd.randrange(100),
+                    rnd.choice("IUD"),
+                    rnd.randrange(8),  # few versions -> ties happen
+                )
+            )
+
+        # reference replay: latest version wins, ties break op desc
+        # ('U' > 'I' > 'D' lexicographically matches the operator rule)
+        best = {}
+        for k, v, op, ver in ops:
+            cur = best.get(k)
+            if cur is None or (ver, op) > (cur[0], cur[1]):
+                best[k] = (ver, op, v)
+        expect = {}
+        for k, v in base:
+            expect[k] = v
+        for k, (ver, op, v) in best.items():
+            if op == "D":
+                expect.pop(k, None)
+            else:
+                expect[k] = v
+
+        bdf = spark.createDataFrame(base, "k long, val long")
+        ldf = spark.createDataFrame(
+            ops, "k long, val long, op string, version long"
+        )
+        got = {
+            r["k"]: r["val"]
+            for r in cdc_apply(bdf, ldf, ["k"]).collect()
+        }
+        assert got == expect, (seed, got, expect)
+
+
+def test_markov_transitions_matches_brute_force(spark):
+    """Seeded randomized cross-check vs a python pair-count replay,
+    with and without Laplace smoothing."""
+    import random
+    from collections import Counter
+
+    from dbkit_spark.operators.sequence import markov_transitions
+
+    for seed, alpha in ((31, 0.0), (32, 0.5)):
+        rnd = random.Random(seed)
+        rows = []
+        for u in range(20):
+            for t in range(rnd.randrange(1, 12)):
+                rows.append((u, t, rnd.choice("abcd")))
+        pairs = Counter()
+        seqs = {}
+        for u, t, s in rows:
+            seqs.setdefault(u, []).append((t, s))
+        for u, seq in seqs.items():
+            seq.sort()
+            for (_, a), (_, b) in zip(seq, seq[1:]):
+                pairs[(a, b)] += 1
+        k = len({s for _, _, s in rows})
+        row_n = Counter()
+        for (a, _b), n in pairs.items():
+            row_n[a] += n
+        expect = {
+            (a, b): (n, (n + alpha) / (row_n[a] + alpha * k))
+            for (a, b), n in pairs.items()
+        }
+
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        got = {
+            (r["state"], r["next_state"]): (r["n"], r["p"])
+            for r in markov_transitions(
+                df, "u", ["t"], "s", alpha=alpha
+            ).collect()
+        }
+        assert set(got) == set(expect), seed
+        for key in expect:
+            assert got[key][0] == expect[key][0], (seed, key)
+            assert abs(got[key][1] - expect[key][1]) < 1e-12, (seed, key)
+
+
+def test_fleiss_kappa_matches_brute_force(spark):
+    """Seeded randomized cross-check vs a python Fleiss-1971 replay
+    with unequal raters per item and the min_raters exclusion."""
+    import random
+    from collections import Counter
+
+    from dbkit_spark.operators.agreement import fleiss_kappa
+
+    for seed in (41, 42):
+        rnd = random.Random(seed)
+        rows = []
+        for item in range(30):
+            for r in range(rnd.randrange(1, 6)):  # incl. 1-rater items
+                rows.append((item, f"r{r}", rnd.choice("xyz")))
+
+        per_item = Counter()
+        cells = Counter()
+        for item, _r, lab in rows:
+            per_item[item] += 1
+            cells[(item, lab)] += 1
+        kept = {i for i, n in per_item.items() if n >= 2}
+        n_items = len(kept)
+        n_ratings = sum(per_item[i] for i in kept)
+        p_sum = 0.0
+        for i in kept:
+            ni = per_item[i]
+            sq = sum(c * c for (it, _l), c in cells.items() if it == i)
+            p_sum += (sq - ni) / (ni * (ni - 1))
+        marg = Counter()
+        for (it, lab), c in cells.items():
+            if it in kept:
+                marg[lab] += c
+        pe = sum((c / n_ratings) ** 2 for c in marg.values())
+        p_bar = p_sum / n_items
+        kappa = (p_bar - pe) / (1 - pe)
+
+        df = spark.createDataFrame(rows, "item long, rater string, lab string")
+        got = fleiss_kappa(df, "item", "lab").collect()[0]
+        assert (got["n_items"], got["n_ratings"]) == (n_items, n_ratings), seed
+        assert abs(got["p_bar"] - p_bar) < 2e-9, seed
+        assert abs(got["p_e"] - pe) < 2e-9, seed
+        assert abs(got["kappa"] - kappa) < 2e-9, seed
