@@ -1116,3 +1116,66 @@ def test_fleiss_kappa_matches_brute_force(spark):
         assert abs(got["p_bar"] - p_bar) < 2e-9, seed
         assert abs(got["p_e"] - pe) < 2e-9, seed
         assert abs(got["kappa"] - kappa) < 2e-9, seed
+
+
+def test_cohen_kappa_matches_brute_force(spark):
+    """Seeded randomized cross-check vs a python Cohen-1960 replay
+    (asymmetric marginals; only co-labeled items count)."""
+    import random
+    from collections import Counter
+
+    from dbkit_spark.operators.agreement import cohen_kappa
+
+    for seed in (51, 52):
+        rnd = random.Random(seed)
+        rows = []
+        for item in range(60):
+            if rnd.random() < 0.9:
+                rows.append((item, "a", rnd.choice("pqr")))
+            if rnd.random() < 0.9:
+                rows.append((item, "b", rnd.choice("pqr")))
+        la = {i: lab for i, r, lab in rows if r == "a"}
+        lb = {i: lab for i, r, lab in rows if r == "b"}
+        both = sorted(set(la) & set(lb))
+        n = len(both)
+        po = sum(la[i] == lb[i] for i in both) / n
+        ma, mb = Counter(la[i] for i in both), Counter(lb[i] for i in both)
+        pe = sum(ma[c] * mb[c] for c in set(ma) | set(mb)) / (n * n)
+        kappa = (po - pe) / (1 - pe)
+
+        df = spark.createDataFrame(rows, "item long, rater string, lab string")
+        got = cohen_kappa(df, "item", "rater", "lab", "a", "b").collect()[0]
+        assert got["n_items"] == n, seed
+        assert abs(got["po"] - po) < 2e-9, seed
+        assert abs(got["pe"] - pe) < 2e-9, seed
+        assert abs(got["kappa"] - kappa) < 2e-9, seed
+
+
+def test_bh_adjust_matches_brute_force(spark):
+    """Seeded randomized cross-check vs a python reversed-running-min
+    Benjamini-Hochberg replay, duplicate p-values included."""
+    import random
+
+    from dbkit_spark.operators.mlmetrics import bh_adjust
+
+    for seed in (61, 62):
+        rnd = random.Random(seed)
+        ps = [round(rnd.random(), 2) for _ in range(25)]  # dup-heavy
+        rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+        m = len(rows)
+        order = sorted(range(m), key=lambda i: (rows[i][1], rows[i][0]))
+        raw = [rows[i][1] * m / (rank + 1) for rank, i in enumerate(order)]
+        adj = raw[:]
+        for j in range(m - 2, -1, -1):
+            adj[j] = min(adj[j], adj[j + 1])
+        expect = {rows[i][0]: min(a, 1.0) for i, a in zip(order, adj)}
+
+        df = spark.createDataFrame(
+            [("f", t, p) for t, p in rows], "fam string, test string, p double"
+        )
+        got = {
+            r["test"]: r["adj_p"]
+            for r in bh_adjust(df, "fam", "test", "p").collect()
+        }
+        for t in expect:
+            assert abs(got[t] - expect[t]) < 1e-12, (seed, t)
