@@ -1179,3 +1179,131 @@ def test_bh_adjust_matches_brute_force(spark):
         }
         for t in expect:
             assert abs(got[t] - expect[t]) < 1e-12, (seed, t)
+
+
+def test_mann_whitney_matches_brute_force(spark):
+    """Seeded randomized cross-check vs a python average-rank replay
+    (tie-corrected sigma)."""
+    import math
+    import random
+    from collections import Counter
+
+    from dbkit_spark.operators.mlmetrics import mann_whitney_u
+
+    for seed in (71, 72):
+        rnd = random.Random(seed)
+        rows = [
+            (rnd.choice("ab"), rnd.randrange(10)) for _ in range(150)
+        ]
+        counts = Counter(v for _, v in rows)
+        start, cum = {}, 0
+        for v in sorted(counts):
+            start[v] = cum
+            cum += counts[v]
+        avg_rank = {v: start[v] + (counts[v] + 1) / 2 for v in counts}
+        ra = sum(avg_rank[v] for g, v in rows if g == "a")
+        n_a = sum(1 for g, _ in rows if g == "a")
+        n_b = len(rows) - n_a
+        u = ra - n_a * (n_a + 1) / 2
+        n = n_a + n_b
+        tie = sum(c**3 - c for c in counts.values())
+        sigma2 = n_a * n_b / 12 * ((n + 1) - tie / (n * (n - 1)))
+        z = (u - n_a * n_b / 2) / math.sqrt(sigma2)
+
+        df = spark.createDataFrame(
+            [("s", g, v) for g, v in rows], "seg string, g string, v long"
+        )
+        got = mann_whitney_u(df, "seg", "g", "v", "a", "b").collect()[0]
+        assert (got["n_a"], got["n_b"]) == (n_a, n_b), seed
+        assert got["u_stat"] == u, seed
+        assert abs(got["z"] - z) < 1e-12, seed
+
+
+def test_modularity_matches_brute_force(spark):
+    """Seeded randomized cross-check: per-community q_contrib and total
+    Q vs a python replay over a random graph and random partition."""
+    import random
+    from collections import Counter
+
+    from dbkit_spark.operators.graph import canonical_edges, modularity
+
+    for seed in (81, 82):
+        rnd = random.Random(seed)
+        raw = {(a, b) for a, b in (
+            tuple(sorted((rnd.randrange(30), rnd.randrange(30))))
+            for _ in range(120)
+        ) if a != b}
+        comm = {n: n % 4 for n in {x for e in raw for x in e}}
+        m = len(raw)
+        intra = Counter()
+        dsum = Counter()
+        for a, b in raw:
+            dsum[comm[a]] += 1
+            dsum[comm[b]] += 1
+            if comm[a] == comm[b]:
+                intra[comm[a]] += 1
+        expect = {
+            c: intra[c] / m - (dsum[c] / (2 * m)) ** 2 for c in set(comm.values())
+        }
+
+        edges = canonical_edges(
+            spark.createDataFrame(sorted(raw), "x long, y long"), "x", "y"
+        )
+        cdf = spark.createDataFrame(
+            sorted(comm.items()), "node long, community long"
+        )
+        got = {
+            r["community"]: r["q_contrib"]
+            for r in modularity(edges, cdf, "node", "community").collect()
+        }
+        assert set(got) == set(expect), seed
+        for c in expect:
+            assert abs(got[c] - expect[c]) < 1e-12, (seed, c)
+
+
+def test_classification_report_matches_brute_force(spark):
+    """Seeded randomized cross-check of per-class P/R/F1 + macro/micro
+    vs a python confusion replay (sklearn zero-division convention)."""
+    import random
+    from collections import Counter
+
+    from dbkit_spark.operators.mlmetrics import classification_report
+
+    for seed in (91, 92):
+        rnd = random.Random(seed)
+        rows = [
+            (rnd.choice("pqrs"), rnd.choice("pqr"))  # 's' never predicted
+            for _ in range(200)
+        ]
+        tp, support, predicted = Counter(), Counter(), Counter()
+        for y, p in rows:
+            support[y] += 1
+            predicted[p] += 1
+            if y == p:
+                tp[y] += 1
+        classes = sorted(set(support) | set(predicted))
+
+        def prf(c):
+            pr = tp[c] / predicted[c] if predicted[c] else 0.0
+            rc = tp[c] / support[c] if support[c] else 0.0
+            f1 = 2 * pr * rc / (pr + rc) if pr + rc else 0.0
+            return round(pr, 9), round(rc, 9), round(f1, 9)
+
+        df = spark.createDataFrame(rows, "y string, p string")
+        got = {
+            r["class"]: r
+            for r in classification_report(df, "y", "p").collect()
+        }
+        for c in classes:
+            pr, rc, f1 = prf(c)
+            assert (
+                got[c]["precision"], got[c]["recall"], got[c]["f1"]
+            ) == (pr, rc, f1), (seed, c)
+        macro = got["__macro__"]
+        assert abs(
+            macro["precision"] - round(
+                sum(prf(c)[0] for c in classes) / len(classes), 9)
+        ) < 2e-9, seed
+        micro = got["__micro__"]
+        acc = round(sum(tp.values()) / len(rows), 9)
+        assert micro["precision"] == acc == micro["recall"], seed
