@@ -1307,3 +1307,44 @@ def test_classification_report_matches_brute_force(spark):
         micro = got["__micro__"]
         acc = round(sum(tp.values()) / len(rows), 9)
         assert micro["precision"] == acc == micro["recall"], seed
+
+
+def test_theil_sen_matches_brute_force(spark):
+    """Seeded randomized cross-check vs a python all-pairs slope median
+    (percentile_disc semantics: the lower observed middle slope)."""
+    import random
+
+    from dbkit_spark.operators.timeseries import theil_sen_by_key
+
+    for seed in (95, 96):
+        rnd = random.Random(seed)
+        rows = []
+        expect = {}
+        for k in range(6):
+            n = rnd.randrange(3, 12)
+            xs = rnd.sample(range(50), n)
+            pts = [(x, 2.0 * x + rnd.uniform(-3, 3)) for x in xs]
+            for x, y in pts:
+                rows.append((k, x, y))
+            slopes = sorted(
+                (yj - yi) / (xj - xi)
+                for i, (xi, yi) in enumerate(pts)
+                for xj, yj in pts[i + 1:]
+                if xi != xj
+                for xi2 in [min(xi, xj)]  # slope sign is pair-order-free
+            )
+            # percentile_disc(0.5): first slope with cume_dist >= 0.5
+            import math
+
+            idx = math.ceil(len(slopes) * 0.5) - 1
+            expect[k] = slopes[idx]
+
+        df = spark.createDataFrame(rows, "k long, x long, y double")
+        got = {
+            r["k"]: r["slope"]
+            for r in theil_sen_by_key(df, ["k"], "x", "y").collect()
+        }
+        assert set(got) == set(expect), seed
+        for k in expect:
+            # the operator ships slopes rounded to 9dp
+            assert got[k] == round(expect[k], 9), (seed, k)
