@@ -54,7 +54,6 @@ def cidr_enrich(
     net_col: str,
     plen_col: str,
     bucket_bits: int | None = None,
-    min_plen: int = 8,
 ) -> DataFrame:
     """Left-enrich each probe row (integer IP in ``ip_col``, unique
     ``id_col``) with the LONGEST-PREFIX matching CIDR block. ``blocks``
@@ -63,23 +62,26 @@ def cidr_enrich(
     ``10.1.2.3/16`` and ``10.1.0.0/16`` declare the same block.
 
     Plan: blocks expand to their covering /``bucket_bits`` buckets —
-    fan-out is 2^(bucket_bits−plen), bounded by ``min_plen``
-    (expansion ≤ 2^12 per block) — then ONE equi-join on the bucket
-    (the expanded dim is routing-table-sized: AQE broadcasts it; never
-    a NestedLoopJoin) with the integer range verify in the join
-    filter, and ONE window on the probe key picks the longest matching
-    prefix (matched-first, plen desc, base tiebreak). Unmatched probes
-    keep null attributes — left semantics without a second join.
+    fan-out is 2^(bucket_bits−plen), capped at 2^12 per block — then
+    ONE equi-join on the bucket (the expanded dim is
+    routing-table-sized: AQE broadcasts it; never a NestedLoopJoin)
+    with the integer range verify in the join filter, and ONE window
+    on the probe key picks the longest matching prefix (matched-first,
+    plen desc, base tiebreak). Unmatched probes keep null attributes —
+    left semantics without a second join.
 
     Bucket sizing is the asymmetry that makes this scale: too-wide
     buckets multiply PROBE candidates (2^(plen−bucket_bits) blocks per
     bucket → the fact-side window input explodes), too-narrow buckets
     multiply DIM rows (bounded, broadcastable). So the default sizes
     the bucket to the block table — max plen observed, capped at
-    min_plen_observed+12 (expansion bound) and /28 — via one
-    metadata-sized 1-row aggregate probe (the join-advisor
-    discipline): candidates per probe stay O(nesting depth), and the
-    expansion lands on the small side.
+    min_plen_observed+12 (the expansion bound, so a default route /0
+    next to /24 routes buckets at /12 and expands 4096-wide on the DIM
+    side rather than dropping) and /28 — via one metadata-sized 1-row
+    aggregate probe (the join-advisor discipline). Blocks are NEVER
+    silently dropped: an explicit ``bucket_bits`` that would need
+    >2^12 buckets for some block raises instead (silent null
+    enrichment for default-route-covered probes is a wrong answer).
     """
     if bucket_bits is None:
         stats = blocks.agg(
@@ -89,23 +91,23 @@ def cidr_enrich(
             bucket_bits = 16
         else:
             bucket_bits = max(
-                1, min(int(stats["hi"]), max(int(stats["lo"]), min_plen) + 12, 28)
+                1, min(int(stats["hi"]), int(stats["lo"]) + 12, 28)
             )
-            # the expansion bound is guaranteed by the OBSERVED minimum
-            # plen (no block below it exists), so the guard's effective
-            # floor rises with it — without filtering any real block
-            min_plen = max(min_plen, bucket_bits - 12)
     if not 0 < bucket_bits <= 32:
         raise ValueError("bucket_bits must be in (0, 32]")
-    if min_plen < bucket_bits - 12:
-        raise ValueError(
-            "min_plen allows >4096 buckets per block; raise min_plen or "
-            "lower bucket_bits"
-        )
+    floor = bucket_bits - 12
+    if floor > 0:
+        offender = blocks.filter(F.col(plen_col) < floor).first()
+        if offender is not None:
+            raise ValueError(
+                f"block {offender[net_col]}/{offender[plen_col]} needs "
+                f">4096 buckets per block at bucket_bits={bucket_bits}; "
+                "lower bucket_bits (or leave it auto-sized)"
+            )
     shift = 32 - bucket_bits
     size = F.pow(F.lit(2.0), 32 - F.col(plen_col)).cast("long")
     base = (F.col(net_col) - F.col(net_col) % size).alias("_base")
-    norm = blocks.filter(F.col(plen_col) >= min_plen).select(
+    norm = blocks.select(
         F.col(plen_col).alias("_plen"),
         base,
         size.alias("_size"),

@@ -224,7 +224,9 @@ def audio_stats(payloads: DataFrame) -> DataFrame:
             rows: dict[str, list] = {f.name: [] for f in AUDIO_STATS_SCHEMA}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    rate, ch, bits, samples = decode_wav(bytes(payload))
+                    rate, ch, bits, samples = decode_wav(
+                        None if payload is None else bytes(payload)
+                    )
                     flat = samples.ravel().astype(np.int64)
                     n = int(flat.size)
                     nonneg = flat >= 0
@@ -323,7 +325,9 @@ def audio_spectral(payloads: DataFrame, n_fft: int = 256) -> DataFrame:
             rows: dict[str, list] = {f.name: [] for f in SPECTRAL_SCHEMA}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    rate, ch, bits, samples = decode_wav(bytes(payload))
+                    rate, ch, bits, samples = decode_wav(
+                        None if payload is None else bytes(payload)
+                    )
                     x = samples[:, 0].astype(np.float64)
                     n_frames = x.size // n_fft
                     if n_frames == 0:
@@ -502,24 +506,23 @@ def vad_segments(
             rows: dict[str, list] = {f.name: [] for f in VAD_SCHEMA}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    _rate, _ch, _bits, samples = decode_wav(bytes(payload))
+                    _rate, _ch, _bits, samples = decode_wav(
+                        None if payload is None else bytes(payload)
+                    )
                     flat = samples.ravel().astype(np.int64)
                     m = flat.size // frame
                     fr = flat[: m * frame].reshape(m, frame)
                     energy = (fr * fr).sum(axis=1)
                     active = energy >= threshold * frame
                     n_active = int(active.sum())
-                    prev = np.concatenate(([False], active[:-1]))
-                    starts = active & ~prev
-                    n_seg = int(starts.sum())
-                    longest = 0
-                    run = 0
-                    for a in active:
-                        run = run + 1 if a else 0
-                        longest = max(longest, run)
-                    first = (
-                        int(np.argmax(active)) if n_active else None
-                    )
+                    # run-length stats stay vectorized — hour-long
+                    # recordings mean 10^5+ frames per row
+                    padded = np.concatenate(([False], active, [False]))
+                    edges = np.flatnonzero(padded[1:] != padded[:-1])
+                    starts, ends = edges[::2], edges[1::2]
+                    n_seg = int(starts.size)
+                    longest = int((ends - starts).max()) if n_seg else 0
+                    first = int(starts[0]) if n_seg else None
                     vals = (
                         did, m, n_active, n_seg, longest, first,
                         n_active / m if m else None, True,

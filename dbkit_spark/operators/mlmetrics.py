@@ -996,14 +996,24 @@ def kruskal_wallis(
     n = F.col("n_total").cast("double")
     h = 12.0 / (n * (n + 1)) * F.col("s_rank") - 3.0 * (n + 1)
     corr = 1.0 - F.col("tie_term").cast("double") / (n * n * n - n)
+    # degenerate segments are null, not NaN/Infinity: a 1-row segment
+    # has N³−N = 0, an all-tied segment has corr = 0 — H is undefined
+    # there and downstream aggregates must not be poisoned
+    defined = (F.col("n_total") > 1) & (
+        F.col("tie_term")
+        < F.col("n_total") * F.col("n_total") * F.col("n_total")
+        - F.col("n_total")
+    )
     return (
         seg.join(ties, segment_col)
         .select(
             segment_col,
             "k_groups",
             "n_total",
-            F.round(h, 6).alias("h_stat"),
-            F.round(h / corr, 6).alias("h_tie_corrected"),
+            F.round(F.when(F.col("n_total") > 1, h), 6).alias("h_stat"),
+            F.round(F.when(defined, h / corr), 6).alias(
+                "h_tie_corrected"
+            ),
         )
     )
 
@@ -1111,8 +1121,14 @@ def average_precision(
         .agg(
             F.max("n_pos").alias("n_pos"),
             (F.max("n_total") - F.max("n_pos")).alias("n_neg"),
+            # a segment with zero positives has no PR curve: null, not
+            # a 0/0 artifact
             F.round(
-                F.sum(term) / F.max("n_pos").cast("double"), 6
+                F.when(
+                    F.max("n_pos") > 0,
+                    F.sum(term) / F.max("n_pos").cast("double"),
+                ),
+                6,
             ).alias("avg_precision"),
             F.max(f1).alias("best_f1"),
         )

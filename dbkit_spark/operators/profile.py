@@ -614,6 +614,13 @@ def infer_formats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     hash agg on (col_name, fmt). frac = n/total is an IEEE division
     of exact longs, bit-portable unrounded.
     """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    bad = [c for c in cols if "`" in c or "'" in c]
+    if bad:
+        raise ValueError(
+            f"column names with quote/backtick are not supported: {bad}"
+        )
     stack_args = ", ".join(
         f"'{c}', CAST(`{c}` AS STRING)" for c in cols
     )

@@ -730,14 +730,77 @@ def test_cidr_enrich_longest_prefix_left_and_alignment(spark):
     assert got == {1: ("spec", 16), 2: ("wide", 8), 3: (None, None)}
     assert out.count() == 3  # exactly one row per probe
 
-    # explicit bucket_bits with a permissive min_plen trips the
-    # expansion guard; auto-sizing (bucket_bits=None) is exempt because
-    # the observed minimum plen bounds the fan-out
+    # an explicit bucket_bits that would need >4096 buckets for the /8
+    # block errors LOUDLY — blocks are never silently dropped
     with pytest.raises(ValueError, match="buckets per block"):
         cidr_enrich(
-            probes, "ip", "id", blocks, "net", "plen",
-            bucket_bits=24, min_plen=0,
+            probes, "ip", "id", blocks, "net", "plen", bucket_bits=24
         )
+
+
+def test_cidr_enrich_default_route_never_dropped(spark):
+    """A /0 default route next to fine routes must still enrich
+    (auto-sizing buckets coarsely enough to expand it, not drop it)."""
+    from dbkit_spark.functions.net import cidr_enrich
+
+    blocks = spark.createDataFrame(
+        [("default", 0, 0), ("spec", 10 * 16777216, 16)],
+        "owner string, net long, plen int",
+    )
+    probes = spark.createDataFrame(
+        [(1, 10 * 16777216 + 7), (2, 200 * 16777216)], "id long, ip long"
+    )
+    got = {
+        r["id"]: (r["owner"], r["matched_plen"])
+        for r in cidr_enrich(
+            probes, "ip", "id", blocks, "net", "plen"
+        ).collect()
+    }
+    assert got == {1: ("spec", 16), 2: ("default", 0)}
+
+
+def test_vad_null_payload_degrades(spark):
+    from dbkit_spark.llm.audio import audio_stats, vad_segments
+
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(_pcm16_wav([0] * 8)))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in vad_segments(df, frame=4).collect()}
+    assert not out[1]["decoded"] and out[2]["decoded"]
+    stats = {r["doc_id"]: r for r in audio_stats(df).collect()}
+    assert not stats[1]["decoded"] and stats[2]["decoded"]
+
+
+def test_kruskal_and_ap_degenerate_segments_are_null(spark):
+    from dbkit_spark.operators.mlmetrics import (
+        average_precision,
+        kruskal_wallis,
+    )
+
+    kw = spark.createDataFrame(
+        [("one_row", "a", 5), ("all_tied", "a", 7), ("all_tied", "b", 7)],
+        "seg string, g string, v long",
+    )
+    got = {r["seg"]: r for r in kruskal_wallis(kw, "seg", "g", "v").collect()}
+    assert got["one_row"]["h_stat"] is None
+    assert got["one_row"]["h_tie_corrected"] is None
+    assert got["all_tied"]["h_tie_corrected"] is None  # corr = 0
+    ap = spark.createDataFrame(
+        [("no_pos", 0, 3), ("no_pos", 0, 1)], "seg string, label int, score long"
+    )
+    r = average_precision(ap, "seg", "label", "score").collect()[0]
+    assert r["avg_precision"] is None and r["n_pos"] == 0
+
+
+def test_infer_formats_rejects_bad_inputs(spark):
+    from dbkit_spark.operators.profile import infer_formats
+
+    df = spark.createDataFrame([("x",)], "c string")
+    with pytest.raises(ValueError, match="non-empty"):
+        infer_formats(df, [])
+    with pytest.raises(ValueError, match="quote/backtick"):
+        infer_formats(df, ["it's"])
 
 
 def _pcm16_wav(samples):
