@@ -1411,3 +1411,95 @@ def test_theil_sen_matches_brute_force(spark):
         for k in expect:
             # the operator ships slopes rounded to 9dp
             assert got[k] == round(expect[k], 9), (seed, k)
+
+
+def test_prefix_agg_matches_brute_force(spark):
+    """Seeded randomized cross-check of the Blelloch prefix scan vs a
+    python running reduction, for sum/min/max and both frame modes,
+    with duplicate order keys broken by a tiebreaker."""
+    import random
+
+    from dbkit_spark.operators.prefix import prefix_agg
+
+    for seed in (101, 102):
+        rnd = random.Random(seed)
+        rows = [
+            (i, rnd.randrange(20), rnd.randrange(-50, 50))
+            for i in range(400)
+        ]
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        for agg, fn0 in (("sum", lambda a, b: a + b), ("min", min), ("max", max)):
+            for inclusive in (True, False):
+                expect = {}
+                acc = None
+                for rid, _k, v in order:
+                    if not inclusive:
+                        expect[rid] = acc
+                    acc = v if acc is None else fn0(acc, v)
+                    if inclusive:
+                        expect[rid] = acc
+                got = {
+                    r["id"]: r["out"]
+                    for r in prefix_agg(
+                        df, ["k", "id"], "v", agg=agg,
+                        out_col="out", inclusive=inclusive,
+                    ).collect()
+                }
+                assert got == expect, (seed, agg, inclusive)
+
+
+def test_window_funnel_matches_brute_force(spark):
+    """Seeded randomized cross-check of first-touch funnel levels vs a
+    python greedy replay over random event streams."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dbkit_spark.operators.sequence import window_funnel
+
+    steps = ["s1", "s2", "s3"]
+    base = datetime(2024, 1, 1)
+    for seed in (111, 112):
+        rnd = random.Random(seed)
+        rows = []
+        streams = {}
+        for u in range(40):
+            evs = sorted(
+                (rnd.randrange(0, 5000), rnd.choice(["s1", "s2", "s3", "x"]))
+                for _ in range(rnd.randrange(1, 15))
+            )
+            streams[u] = evs
+            for t, ty in evs:
+                rows.append((u, base + timedelta(seconds=t), ty))
+
+        def replay(evs, window=1000):
+            anchor = next((t for t, ty in evs if ty == "s1"), None)
+            if anchor is None:
+                return 0, None
+            level, cur = 1, anchor
+            for want in steps[1:]:
+                nxt = next(
+                    (t for t, ty in evs
+                     if ty == want and t > cur and t - anchor <= window),
+                    None,
+                )
+                if nxt is None:
+                    break
+                level += 1
+                cur = nxt
+            return level, anchor
+
+        df = spark.createDataFrame(rows, "u long, ts timestamp, ty string")
+        got = {
+            r["u"]: (r["funnel_level"], r["anchor_ts"])
+            for r in window_funnel(df, "u", "ts", "ty", steps, 1000).collect()
+        }
+        for u, evs in streams.items():
+            lvl, anchor = replay(evs)
+            want_ts = (
+                base + timedelta(seconds=anchor) if anchor is not None else None
+            )
+            if u not in got:
+                assert lvl == 0, (seed, u)  # keys with no step events drop
+            else:
+                assert got[u] == (lvl, want_ts), (seed, u, got[u], (lvl, want_ts))
