@@ -1503,3 +1503,38 @@ def test_window_funnel_matches_brute_force(spark):
                 assert lvl == 0, (seed, u)  # keys with no step events drop
             else:
                 assert got[u] == (lvl, want_ts), (seed, u, got[u], (lvl, want_ts))
+
+
+def test_weighted_quantile_matches_brute_force(spark):
+    """Seeded randomized cross-check of exact type-1 weighted quantiles
+    vs a python cumulative-weight scan, zero weights included."""
+    import random
+
+    from dbkit_spark.operators.prefix import weighted_quantile
+
+    qs = [0.1, 0.25, 0.5, 0.9, 1.0]
+    for seed in (121, 122):
+        rnd = random.Random(seed)
+        rows = [
+            (i, rnd.randrange(30), rnd.randrange(0, 5)) for i in range(300)
+        ]
+        keep = sorted(
+            ((v, i, w) for i, v, w in rows if w > 0), key=lambda t: (t[0], t[1])
+        )
+        total = sum(w for _, _, w in keep)
+
+        def ref(q):
+            cum = 0
+            for v, _i, w in keep:
+                cum += w
+                if cum >= q * total:
+                    return float(v)
+            return float(keep[-1][0])
+
+        df = spark.createDataFrame(rows, "id long, v long, w long")
+        got = {
+            r["q"]: r["value"]
+            for r in weighted_quantile(df, "v", "w", qs, ["id"]).collect()
+        }
+        for q in qs:
+            assert got[q] == ref(q), (seed, q, got[q], ref(q))
