@@ -1538,3 +1538,34 @@ def test_weighted_quantile_matches_brute_force(spark):
         }
         for q in qs:
             assert got[q] == ref(q), (seed, q, got[q], ref(q))
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    """Seeded accuracy check: the shared-hash KMV estimates must land
+    within 3 standard errors of exact python set arithmetic (Bernoulli
+    sample of rate 1/16 at hex_zeros=1)."""
+    import math
+    import random
+
+    from dbkit_spark.operators.cardinality import set_cardinality_estimates
+
+    for seed in (131, 132):
+        rnd = random.Random(seed)
+        universe = list(range(40000))
+        a = set(rnd.sample(universe, 12000))
+        b = set(rnd.sample(universe, 9000))
+        la = spark.createDataFrame([(x,) for x in a], "k long")
+        lb = spark.createDataFrame([(x,) for x in b], "k long")
+        r = set_cardinality_estimates(la, lb, "k", "k").collect()[0]
+        p = 1 / 16
+
+        def ok(est, true):
+            se = math.sqrt(true * p * (1 - p)) / p  # scaled binomial SE
+            return abs(est - true) <= 3 * se + 1
+
+        assert ok(r["est_left"], len(a)), (seed, r["est_left"], len(a))
+        assert ok(r["est_right"], len(b)), (seed, r["est_right"], len(b))
+        assert ok(r["est_intersection"], len(a & b)), seed
+        assert ok(r["est_union"], len(a | b)), seed
+        true_j = len(a & b) / len(a | b)
+        assert abs(r["jaccard"] - true_j) < 0.05, (seed, r["jaccard"], true_j)
