@@ -499,6 +499,15 @@ def vad_segments(
     oracle discipline). Undecodable payloads degrade to decoded=false
     with null stats. Arrow-batched mapInPandas, map-only, shuffle-free;
     per-row cost linear in duration.
+
+    The default ``threshold`` is calibrated for the 16-bit sample
+    domain, so every decode arm is normalized to it before the energy
+    computation, exactly as :func:`resample_wav` does (integer PCM
+    decodes at SOURCE scale: 8→<<8, 24→>>8, 32→>>16; float arms
+    already land in the 16-bit domain). Without this, 24/32-bit PCM
+    energies (|s| up to 2^31, s² up to 2^62 per term) would silently
+    wrap int64 across a 160-sample frame and the threshold would be
+    off by up to 2^32 — garbage stats with no error.
     """
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -506,10 +515,12 @@ def vad_segments(
             rows: dict[str, list] = {f.name: [] for f in VAD_SCHEMA}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    _rate, _ch, _bits, samples = decode_wav(
-                        None if payload is None else bytes(payload)
-                    )
+                    raw = None if payload is None else bytes(payload)
+                    _rate, _ch, bits, samples = decode_wav(raw)
                     flat = samples.ravel().astype(np.int64)
+                    if _wav_format_code(raw) == 1:
+                        shift = {8: -8, 16: 0, 24: 8, 32: 16}[bits]
+                        flat = flat << 8 if shift == -8 else flat >> shift
                     m = flat.size // frame
                     fr = flat[: m * frame].reshape(m, frame)
                     energy = (fr * fr).sum(axis=1)

@@ -5818,9 +5818,21 @@ def q289_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.retrieval import build_postings
 
     docs = read_table(spark, sf_dir, "documents")
+    # Driver-canon contract (catalog.py:5-9): scalar output columns only.
+    # The operator's API keeps real arrays; THIS catalog anchor serializes
+    # them with to_json (bracketed, no whitespace — bit-identical to
+    # DuckDB's to_json VARCHAR cast) so the driver's pandas sort/hash
+    # canonicalizer never sees an unhashable list (the r09 failure).
     return (
         build_postings(docs, "doc_id", "text", block_size=64)
         .filter(F.col("df") >= 5)
+        .select(
+            "token",
+            "block",
+            F.to_json("doc_gaps").alias("doc_gaps"),
+            F.to_json("positions").alias("positions"),
+            "df",
+        )
         .orderBy("token", "block")
     )
 
@@ -5859,10 +5871,10 @@ _Q289_ORACLE = """
       FROM blocked GROUP BY token, block
     )
     SELECT token, block,
-           list_transform(ids,
-             (x, i) -> x - CASE WHEN i = 1 THEN 0 ELSE ids[i - 1] END)
-             AS doc_gaps,
-           positions, df
+           CAST(to_json(list_transform(ids,
+             (x, i) -> x - CASE WHEN i = 1 THEN 0 ELSE ids[i - 1] END))
+             AS VARCHAR) AS doc_gaps,
+           CAST(to_json(positions) AS VARCHAR) AS positions, df
     FROM entries
     WHERE df >= 5
     ORDER BY token, block

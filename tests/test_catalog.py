@@ -73,20 +73,21 @@ def test_readme_count_matches_catalog():
 
 
 def test_roadmap7_queue_preverified(spark):
-    """Whatever remains QUEUED (q292–q314 after the round-9 staged
-    landing of q242–q291, plus round-9 additions) must ALREADY pass the
+    """Whatever remains QUEUED (q341 after the round-10 staged landing
+    of q292–q340, plus round-10 additions) must ALREADY pass the
     driver's compare at the driver's scale — landing is then a pure
     registration move. load_all() runs first so the landed entries are
     moved out of the queue dict before the sweep."""
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
-    assert len(load_all()) == 291  # 241 + the 50 landed q242–q291
+    assert len(load_all()) == 340  # 291 + the 49 landed q292–q340
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # q292–q314 still queued for round 10, plus round-9 additions (q315+)
-    assert len(ROADMAP7) >= 23
-    assert all(qnum(n)[0] >= 292 for n in ROADMAP7)
+    # q341 still queued (leads the round-11 landing), plus round-10
+    # additions (q342+); the queue is capped at one driver window.
+    assert 1 <= len(ROADMAP7) <= 50
+    assert all(qnum(n)[0] >= 341 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.
@@ -100,7 +101,7 @@ def test_roadmap7_queue_preverified(spark):
                 check_dtype_parity(spark, name, fn, oracle, sf)
 
 
-GUARD_ROUND = 9  # the driver round whose rotation window this guard pins
+GUARD_ROUND = 10  # the driver round whose rotation window this guard pins
 
 
 def _latest_artifact_round() -> int:
@@ -112,27 +113,59 @@ def _latest_artifact_round() -> int:
     return max(rounds)
 
 
-def test_r09_window_is_exactly_the_landed_batch(spark):
-    """VERDICT r8 items 1–2 guard, artifact-aware: with driver artifacts
-    through r08 present, the 50-slot r09 rotation window must be exactly
-    the 50 newly landed q242–q291 (never driver-checked, so they sort
-    first) — the whole point of the staged 50-query landing. If a future
-    registration or CORRECTNESS file breaks this arithmetic, fail HERE.
+def test_r10_window_is_exactly_the_landed_batch(spark):
+    """VERDICT r9 items 1–2 guard, artifact-aware: with driver artifacts
+    through r09 present, the 50-slot r10 rotation window must be exactly
+    q289 (driver-FAILED in r09, so last-green 0 sorts it first) plus the
+    49 newly landed q292–q340 — the deliberate 49-query landing that
+    keeps every registered query evidenced (q341 stays queued and leads
+    the round-11 landing). If a future registration or CORRECTNESS file
+    breaks this arithmetic, fail HERE.
 
-    Artifact-aware (the round-8 lesson: the r08 guard went red the moment
-    the driver deposited CORRECTNESS_r08.json): once an artifact NEWER
-    than GUARD_ROUND - 1 exists, the window has legitimately rotated past
-    this guard's arithmetic — the guard is spent, and the live invariant
-    it protected is re-checked in its artifact-independent form below."""
+    Artifact-aware (the round-8 lesson: a window guard goes red the
+    moment the driver deposits the round's CORRECTNESS file): once an
+    artifact at/after GUARD_ROUND exists, the window has legitimately
+    rotated past this guard's arithmetic — the guard is spent, and the
+    live invariant it protected is re-checked in its artifact-independent
+    form (test_rotation_never_green_first)."""
     window = list(load_all())[:50]
     if _latest_artifact_round() >= GUARD_ROUND:
-        # Spent guard: the r09 (or later) sweep already landed. The
-        # durable invariant: nothing in the window is older than the
-        # minimum evidence round among registered queries (rotation
-        # always spends slots on least-evidenced queries first) — this
-        # is what test_rotation_never_green_first pins; just ensure the
-        # window is full-size and deterministic here.
+        # Spent guard: the r10 (or later) sweep already landed. The
+        # durable invariant — rotation always spends slots on the
+        # least-evidenced queries first — is pinned artifact-
+        # independently by test_rotation_never_green_first; just ensure
+        # the window is full-size and deterministic here.
         assert len(window) == 50
         return
-    landed = {n for n in window if 242 <= qnum(n)[0] <= 291}
-    assert len(landed) == 50, sorted(set(window) - landed)
+    expected = {"q289_postings_index"} | {
+        n for n in window if 292 <= qnum(n)[0] <= 340
+    }
+    assert set(window) == expected and len(window) == 50, sorted(
+        set(window) ^ expected
+    )
+
+
+def test_no_nested_output_columns_anywhere(spark):
+    """Driver-canon structural gate (VERDICT r9 items 1 & 5): no
+    registered or queued query may emit an Array/Map/Struct column.
+
+    The driver's canonicalizer pandas-sorts and hashes every output
+    column; a nested value is unhashable and fails the whole query (the
+    q289 r09 failure — the ONLY nested-output query in a full schema
+    scan of all 341). The repo convention (catalog.py:5-9) is to
+    serialize collections to strings (sorted concat or to_json) at the
+    catalog boundary while operators keep real arrays for API users.
+    This gate pins the class shut: lazy analysis only, no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+
+    sf = "/root/testdata/sf0.001"
+    everything = {name: spec.fn for name, spec in load_all().items()}
+    everything.update({name: fn for name, (fn, _o, _n) in ROADMAP7.items()})
+    offenders = []
+    for name, fn in sorted(everything.items()):
+        for field in fn(spark, sf).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, offenders

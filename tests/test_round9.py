@@ -1569,3 +1569,39 @@ def test_kmv_set_estimates_accuracy(spark):
         assert ok(r["est_union"], len(a | b)), seed
         true_j = len(a & b) / len(a | b)
         assert abs(r["jaccard"] - true_j) < 0.05, (seed, r["jaccard"], true_j)
+
+
+def test_vad_bitdepth_invariance(spark):
+    """ADVICE r9 (medium): vad_segments must normalize every decode arm
+    to the 16-bit domain before the energy computation — 24/32-bit PCM
+    decode at SOURCE scale (|s| up to 2^31), where s^2 sums silently
+    wrap int64 and the 16-bit-calibrated threshold is meaningless.
+    Same waveform, six encode arms => identical stats (the 8-bit arm's
+    quantization can't flip a frame because the fixture keeps every
+    frame's energy far from the threshold)."""
+    from dbkit_spark.llm.audio import encode_wav, encode_wav_float, vad_segments
+
+    n = 40
+    rows = [
+        (1, bytearray(encode_wav(n, seed=7, bits=8))),
+        (2, bytearray(encode_wav(n, seed=7, bits=16))),
+        (3, bytearray(encode_wav(n, seed=7, bits=24))),
+        (4, bytearray(encode_wav(n, seed=7, bits=32))),
+        (5, bytearray(encode_wav_float(n, seed=7, bits=32))),
+        (6, bytearray(encode_wav_float(n, seed=7, bits=64))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in vad_segments(df, frame=8, threshold=358_000_000).collect()
+    }
+    base = out[2]
+    assert base["decoded"] and base["n_frames"] == 5
+    keys = (
+        "n_frames", "n_active", "n_segments", "longest_run",
+        "first_active", "active_ratio",
+    )
+    for did in (1, 3, 4, 5, 6):
+        assert tuple(out[did][k] for k in keys) == tuple(
+            base[k] for k in keys
+        ), did
