@@ -146,10 +146,17 @@ def cidr_enrich(
             for c in attr_cols
         ],
     )
+    # Final tiebreak on the attribute columns themselves (ADVICE r9):
+    # two blocks can normalize to the same (_base, _plen) but carry
+    # different attribute values (duplicate/conflicting routes are
+    # plausible in real feeds) — without this, row_number picks a
+    # nondeterministic winner across runs. With it, the lexicographic-
+    # smallest attribute tuple wins, deterministically on any engine.
     w = Window.partitionBy(id_col).orderBy(
         F.col("_m").desc_nulls_last(),
         F.col("_plen").desc_nulls_last(),
         F.col("_base").asc_nulls_last(),
+        *[F.col(c).asc_nulls_last() for c in attr_cols],
     )
     ranked = staged.withColumn("_rn", F.row_number().over(w))
     return ranked.filter(F.col("_rn") == 1).select(

@@ -527,8 +527,11 @@ def neyman_sample(
 
     Single-value strata (σ=0, e.g. one-row strata) get weight 0 and
     only ever receive remainder seats — degenerate strata cannot eat
-    the budget. Oversubscribed quotas (n_h > N_h) are clipped by the
-    rank filter naturally.
+    the budget. When EVERY stratum is degenerate (all σ=0, weight
+    total 0) the allocation falls back to proportional (w_h = N_h) —
+    the textbook limit of Neyman allocation as variances equalize —
+    instead of silently returning 0 rows (ADVICE r9). Oversubscribed
+    quotas (n_h > N_h) are clipped by the rank filter naturally.
 
     Scale: one decimal-moment agg (map-side combined) → a STRATA-sized
     allocation table (metadata: the largest-remainder window sorts
@@ -568,10 +571,17 @@ def neyman_sample(
         "_n",
         F.round(F.col("_n") * sd, 9).cast(dec).alias("_w"),
     )
-    tot = weighted.agg(F.sum("_w").alias("_sw"))
-    exact = (
-        F.lit(int(total_n)) * F.col("_w").cast("double")
-    ) / F.col("_sw").cast("double")
+    tot = weighted.agg(F.sum("_w").alias("_sw"), F.sum("_n").alias("_tn"))
+    # Degenerate-variance guard (ADVICE r9): when every stratum is
+    # constant (all sigma=0) the Neyman weight total _sw is 0 and the
+    # quota division would NULL out every stratum, silently returning 0
+    # rows. Fall back to proportional allocation (w_h = N_h) — the
+    # textbook limit of Neyman allocation as variances equalize.
+    w_eff = F.when(
+        F.col("_sw") > 0,
+        F.col("_w").cast("double") / F.col("_sw").cast("double"),
+    ).otherwise(F.col("_n").cast("double") / F.col("_tn").cast("double"))
+    exact = F.lit(int(total_n)) * w_eff
     base = weighted.crossJoin(F.broadcast(tot)).select(
         "_s",
         "_n",

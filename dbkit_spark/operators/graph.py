@@ -421,7 +421,7 @@ def modularity(
         )
     )
     two_m = 2.0 * F.col("_m").cast("double")
-    return out.select(
+    out = out.select(
         "community",
         "n_nodes",
         "intra_edges",
@@ -432,6 +432,13 @@ def modularity(
             * (F.col("degree_sum").cast("double") / two_m)
         ).alias("q_contrib"),
     )
+    # communities-sized output: eager localCheckpoint materializes it so
+    # the persisted inputs can be released instead of pinning executor
+    # memory for the session (the triangle_stats discipline, ADVICE r9)
+    out = out.localCheckpoint(eager=True)
+    for d in (cmap, tagged):
+        d.unpersist()
+    return out
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:
@@ -494,7 +501,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     m = F.col("n_edges")
     num = (4 * m * F.col("sxy") - F.col("s1") * F.col("s1")).cast("double")
     den = (2 * m * F.col("sxx") - F.col("s1") * F.col("s1")).cast("double")
-    return nstats.crossJoin(agg).select(
+    out = nstats.crossJoin(agg).select(
         "n_nodes",
         "n_edges",
         "max_degree",
@@ -502,3 +509,10 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             "assortativity"
         ),
     )
+    # one metadata-sized row: eager localCheckpoint, then release the
+    # persisted edge corpus and degree table (the triangle_stats
+    # discipline, ADVICE r9)
+    out = out.localCheckpoint(eager=True)
+    for d in (edges, deg):
+        d.unpersist()
+    return out

@@ -774,12 +774,19 @@ def permutation_test(
 
     DETERMINISTIC relabeling (the engine's replayability contract —
     same reason the DP/Laplace and sampling ops hash instead of rng):
-    permutation b assigns unit i to pseudo-group
-    md5(i ':' b) nibble parity — i.i.d. fair coins, independent across
-    b, reproducible on any engine (a DuckDB oracle replays every
-    permutation bit-for-bit). Units are relabeled by ``id_col`` (e.g.
-    user_id), not by row, so unit-level dependence is respected
-    (cluster permutation).
+    permutation b assigns unit i to pseudo-group A iff
+    u32(md5(i ':' b)) · n_units < n_units_a · 2^32, where u32 is the
+    first 8 hex digits as an integer — an ALLOCATION-PRESERVING coin
+    (P[A] = observed unit share of group A per segment, exact-integer
+    compare, no float), i.i.d. across units and b, reproducible on any
+    engine (a DuckDB oracle replays every permutation bit-for-bit). A
+    fair coin would draw ~50/50 pseudo-groups regardless of the
+    observed n_a/n_b split, inflating the null distribution of
+    |mean diff| for unbalanced groups (conservatively biased p); the
+    weighted coin matches the observed unit allocation in expectation
+    (ADVICE r9). Units are relabeled by ``id_col`` (e.g. user_id), not
+    by row, so unit-level dependence is respected (cluster
+    permutation).
 
     Scale: the B-fold expansion is a SEQUENCE EXPLODE feeding straight
     into a map-side-combined hash agg on (segment, b, parity) — the
@@ -816,8 +823,21 @@ def permutation_test(
         )
     )
 
-    # B permutations: explode then IMMEDIATE partial agg per (segment, b)
-    perm_tag = F.conv(
+    # Observed per-segment UNIT allocation (metadata-sized agg,
+    # broadcast back): the coin weight for the permuted pseudo-split.
+    unit_alloc = base.groupBy(segment_col).agg(
+        F.countDistinct(
+            F.when(F.col("_grp") == group_a, F.col("_unit"))
+        ).alias("_ua"),
+        F.countDistinct("_unit").alias("_ut"),
+    )
+
+    # B permutations: explode then IMMEDIATE partial agg per (segment, b).
+    # Coin: first 8 md5 hex digits as u32; pseudo-A iff
+    # u32 · n_units < n_units_a · 2^32 — exact decimal(20,0) integer
+    # compare (u32 < 2^32 and unit counts up to ~10^18 keep the products
+    # inside 38 digits), bit-replayable by CAST('0x'||hex AS BIGINT).
+    u32 = F.conv(
         F.substring(
             F.md5(
                 F.concat(
@@ -827,16 +847,25 @@ def permutation_test(
                 )
             ),
             1,
-            1,
+            8,
         ),
         16,
         10,
-    ).cast("long") % 2
+    ).cast("long")
+    perm_tag = F.when(
+        u32.cast("decimal(20,0)") * F.col("_ut").cast("decimal(20,0)")
+        < F.lit(4294967296).cast("decimal(20,0)")
+        * F.col("_ua").cast("decimal(20,0)"),
+        0,
+    ).otherwise(1)
     perms = (
-        base.select(
+        base.join(F.broadcast(unit_alloc), segment_col)
+        .select(
             segment_col,
             "_unit",
             "_x",
+            "_ua",
+            "_ut",
             F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("b"),
         )
         .withColumn("_side", perm_tag)

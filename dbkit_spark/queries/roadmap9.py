@@ -1118,6 +1118,12 @@ _Q330_ORACLE = """
                    / SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)) AS obs_diff
       FROM base GROUP BY 1
     ),
+    alloc AS (
+      SELECT event_type,
+             COUNT(DISTINCT CASE WHEN grp = 'a' THEN unit END) AS ua,
+             COUNT(DISTINCT unit) AS ut
+      FROM base GROUP BY 1
+    ),
     perms AS (
       SELECT event_type, pb,
              abs(CAST(SUM(CASE WHEN side = 0 THEN x END) AS DOUBLE)
@@ -1126,11 +1132,15 @@ _Q330_ORACLE = """
                    / SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)) AS perm_diff
       FROM (
         SELECT base.event_type, base.x, g.b AS pb,
-               (strpos('0123456789abcdef',
-                       substr(md5(CAST(unit AS VARCHAR) || ':'
-                              || CAST(g.b AS VARCHAR)), 1, 1)) - 1) % 2
-                 AS side
-        FROM base, (SELECT UNNEST(generate_series(0, 59)) AS b) g
+               CASE WHEN CAST(CAST(('0x' ||
+                        substr(md5(CAST(unit AS VARCHAR) || ':'
+                               || CAST(g.b AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS HUGEINT) * a.ut
+                    < CAST(4294967296 AS HUGEINT) * a.ua
+                    THEN 0 ELSE 1 END AS side
+        FROM base
+        JOIN alloc a USING (event_type),
+             (SELECT UNNEST(generate_series(0, 59)) AS b) g
       )
       GROUP BY 1, 2
     )
@@ -1149,10 +1159,13 @@ _Q330_NOTES = (
     "assumption-free significance for a mean difference: B "
     "deterministic md5-relabelings of UNITS (users, respecting "
     "within-user dependence), add-one p = (1+#extreme)/(B+1); engine "
-    "replayability contract, DuckDB replays every coin): the B-fold "
-    "sequence explode feeds straight into a map-side-combined agg on "
-    "(segment, b) — the shuffle carries O(segments*B) partial rows, "
-    "never B x data; decimal-stabilized sums"
+    "replayability contract, DuckDB replays every coin): the coin is "
+    "ALLOCATION-PRESERVING (P[A] = observed unit share, u32(md5) vs "
+    "exact-integer threshold — a fair coin would bias p conservative "
+    "for unbalanced groups); the B-fold sequence explode feeds "
+    "straight into a map-side-combined agg on (segment, b) — the "
+    "shuffle carries O(segments*B) partial rows, never B x data; "
+    "decimal-stabilized sums"
 )
 
 ROADMAP9["q330_permutation_test"] = (

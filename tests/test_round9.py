@@ -1605,3 +1605,98 @@ def test_vad_bitdepth_invariance(spark):
         assert tuple(out[did][k] for k in keys) == tuple(
             base[k] for k in keys
         ), did
+
+
+def test_permutation_test_weighted_coin_bruteforce(spark):
+    """ADVICE r9: the relabeling coin must be allocation-preserving —
+    P[pseudo-A] = observed unit share of group A — not a fair coin
+    (which inflates the null for unbalanced groups). Pure-python replay
+    of every coin and every permuted mean difference on a deliberately
+    unbalanced 5/15 split."""
+    import hashlib
+
+    from dbkit_spark.operators.mlmetrics import permutation_test
+
+    units = list(range(20))
+    grp = {i: ("a" if i < 5 else "b") for i in units}
+    val = {i: float((i * 3) % 11) for i in units}
+    df = spark.createDataFrame(
+        [("s", i, grp[i], val[i]) for i in units],
+        "seg string, unit long, g string, x double",
+    )
+    B = 25
+    got = permutation_test(df, "seg", "unit", "g", "x", "a", "b", n_perms=B)
+    row = got.collect()[0].asDict()
+
+    ua, ut = 5, 20
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    obs = abs(
+        mean([val[i] for i in units if grp[i] == "a"])
+        - mean([val[i] for i in units if grp[i] == "b"])
+    )
+    n_extreme = 0
+    for b in range(B):
+        side = {
+            i: 0
+            if int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:8], 16) * ut
+            < ua * (1 << 32)
+            else 1
+            for i in units
+        }
+        s0 = [val[i] for i in units if side[i] == 0]
+        s1 = [val[i] for i in units if side[i] == 1]
+        if s0 and s1 and abs(mean(s0) - mean(s1)) >= obs:
+            n_extreme += 1
+    assert row["obs_diff"] == obs
+    assert row["n_extreme"] == n_extreme
+    assert row["p_value"] == (n_extreme + 1) / (B + 1)
+
+
+def test_cidr_enrich_conflicting_routes_deterministic(spark):
+    """ADVICE r9: two blocks normalizing to the same (base, plen) but
+    carrying different attribute values (duplicate/conflicting routes —
+    plausible in real feeds) must resolve to a DETERMINISTIC winner:
+    the lexicographically smallest attribute tuple, stable across
+    runs/partitionings."""
+    from dbkit_spark.functions.net import cidr_enrich
+
+    blocks = spark.createDataFrame(
+        [
+            ("zeta", 10 * 16777216 + 65536, 16),
+            # same /16 after alignment normalization, different owner
+            ("alpha", 10 * 16777216 + 65536 + 999, 16),
+        ],
+        "owner string, net long, plen int",
+    )
+    probes = spark.createDataFrame(
+        [(1, 10 * 16777216 + 65536 + 77)], "id long, ip long"
+    )
+    for _ in range(3):
+        got = cidr_enrich(
+            probes.repartition(7), "ip", "id", blocks, "net", "plen"
+        ).collect()
+        assert len(got) == 1
+        assert (got[0]["owner"], got[0]["matched_plen"]) == ("alpha", 16)
+
+
+def test_neyman_sample_all_degenerate_falls_back_proportional(spark):
+    """ADVICE r9: when every stratum is constant (all sigma=0) the
+    Neyman weight total is 0; the allocation must fall back to
+    proportional (w_h = N_h) and still return exactly total_n rows,
+    never silently 0."""
+    from dbkit_spark.llm.sampling import neyman_sample
+
+    rows = [(i, "big" if i < 30 else "small", 5.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = neyman_sample(df, "id", "s", "v", total_n=8).collect()
+    assert len(got) == 8
+    by_s = {}
+    for r in got:
+        by_s[r["s"]] = by_s.get(r["s"], 0) + 1
+    # proportional: 30/40*8 = 6 and 10/40*8 = 2, exactly integral
+    assert by_s == {"big": 6, "small": 2}
+    # determinism: same pick on a different partitioning
+    again = neyman_sample(
+        df.repartition(5), "id", "s", "v", total_n=8
+    ).collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in got)
