@@ -233,11 +233,22 @@ def minhash_near_dup_pairs(
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
     The shingle set feeds three consumers (signatures, and both sides of
-    the verify join); it is persisted so the shingle pass runs once, not
-    four times — at 100 TB this is a materialization you would checkpoint
-    to storage between stages.
+    the verify join) and is deliberately NOT persisted: each consumer
+    recomputes tokenize+shingle fused into its own whole-stage-codegen
+    pipeline (3 column-pruned corpus scans), which measured 1.60 s vs
+    2.28 s median for persist at sf0.1 (cache dropped between reps —
+    the materialization of per-doc string arrays costs more than the
+    regex pass it saves; the same finding as shingle_docs' explode
+    barrier replacing its persist). At 100 TB the trade holds harder:
+    a full-corpus shingle cache cannot fit executor memory, so persist
+    degrades to a disk write+read of the widest intermediate in the
+    pipeline, while recompute stays 3 pruned parquet scans. The one
+    barrier that DOES pay is inside ``lsh_candidate_pairs``: band_keys
+    is narrow (doc_id, band_key) and both self-join sides consume it —
+    without it the whole minhash agg re-runs per side (A/B receipt in
+    BASELINE.md round-8 notes).
     """
-    shingled = shingle_docs(docs, text_col, id_col).persist()
+    shingled = shingle_docs(docs, text_col, id_col)
     sigs = minhash_signatures(shingled)
     cands = lsh_candidate_pairs(lsh_band_keys(sigs))
     return jaccard_verify(cands, shingled, threshold)
