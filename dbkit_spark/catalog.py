@@ -5,7 +5,11 @@ The driver runs both sides at sf0.01 and hash-compares (order-insensitive,
 column-name-sorted). Engine rule: every computed column is aliased
 identically on both sides; order-sensitive floating aggregation is decimal-
 stabilized (see ``operators.aggregate``); order-sensitive survivors (top-k,
-dedup) always carry a unique tiebreaker.
+dedup) always carry a unique tiebreaker; output columns are SCALAR only —
+serialize arrays/maps/structs to strings (to_json / sorted concat) at the
+catalog boundary. The full driver-canon contract every query author must
+read is SURVEY.md §5.3; tests/test_catalog.py enforces the structural
+parts (no nested outputs, dtype parity).
 """
 
 from __future__ import annotations

@@ -111,3 +111,75 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_value_replayable(
+    df: DataFrame,
+    cols: Sequence[str],
+    key_col: str,
+    bits: int = ZBITS,
+    fraction: float = 0.3,
+) -> DataFrame:
+    """``zorder_value`` with a fully ENGINE-REPLAYABLE boundary rule, so
+    a SQL oracle can pin the exact ``__z`` of every row (VERDICT r9
+    item 6 — the q237/q293 md5-sampling technique applied to z-order):
+
+    - the boundary sample is md5-deterministic: a row participates iff
+      u32(md5(key ':zorder')) < floor(fraction·2^32) — no engine RNG;
+    - boundaries are ORDER STATISTICS of the sample (type-1 quantiles):
+      b_i = value at rank ceil(i·n/2^bits), i = 1..2^bits−1. Picking an
+      element instead of interpolating keeps every boundary bit-exact
+      in any engine (i·n is exact in a double and /2^bits is a
+      power-of-two division, so even the rank arithmetic is
+      IEEE-identical);
+    - bucket = count of boundaries ≤ v (the same bisect as
+      ``zorder_value``), then the Morton interleave.
+
+    The default ``zorder_value`` (RangePartitioner-style bounded random
+    sample) remains the throughput path for table rewrites; this
+    variant costs one narrow global sort OF THE SAMPLE per dimension
+    (the sample is fraction-bounded; the collect is 2^bits−1 rows per
+    dimension, metadata-sized) and exists so clustering output can sit
+    behind a differential oracle. Empty sample ⇒ every row buckets to
+    0 on both engines (unpadded bisect never advances; SQL count of
+    NULL boundaries is 0).
+    """
+    from pyspark.sql import Window
+
+    thresh = int(fraction * (1 << 32))
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":zorder"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    samp = df.filter(u32 < F.lit(thresh))
+    n = samp.count()
+    want = (1 << bits) - 1
+    ranks = [-(-i * n // (1 << bits)) for i in range(1, want + 1)]  # ceil
+    all_boundaries: list[list[float]] = []
+    for c in cols:
+        if n == 0:
+            all_boundaries.append([])
+            continue
+        ranked = (
+            samp.select(F.col(c).cast("double").alias("v"))
+            .withColumn("rn", F.row_number().over(Window.orderBy(F.col("v"))))
+            .filter(F.col("rn").isin(sorted(set(ranks))))
+        )
+        by_rank = {r["rn"]: r["v"] for r in ranked.collect()}
+        all_boundaries.append([by_rank[r] for r in ranks])
+    bucket_cols = [
+        _bucket(c, bnds, bits).alias(f"__b_{c}")
+        for c, bnds in zip(cols, all_boundaries)
+    ]
+    with_buckets = df.select("*", *bucket_cols)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"__b_{c}"), j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * len(cols) + d))
+    return with_buckets.withColumn("__z", z).drop(*[f"__b_{c}" for c in cols])

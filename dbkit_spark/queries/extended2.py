@@ -619,13 +619,39 @@ def q71_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q72_frame_sample",
-    oracle=None,
+    # Oracle (r10, VERDICT item 6 — formerly rows-only): the query's
+    # output is (doc_id, frame_idx, frame_len) — no bytes cross the
+    # compare boundary, and the payload LENGTH is a closed-form function
+    # of doc_id (BMP: 54-byte headers + 4-padded rows; PPM: "P6\n{w}
+    # {h}\n255\n" header + 3wh pixels), so DuckDB derives every frame
+    # length independently: step = L // 4, and since 4*step <= L every
+    # one of the 4 contiguous slices has exactly step bytes. Byte-exact
+    # frame CONTENT stays pytest-asserted in test_llm.py (DuckDB 1.0
+    # lacks BLOB substring).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents
+    ),
+    lens AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h
+               ELSE 9 + length(CAST(w AS VARCHAR))
+                      + length(CAST(h AS VARCHAR)) + 3 * w * h
+             END AS L
+      FROM dims
+    )
+    SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+           CAST(L // 4 AS BIGINT) AS frame_len
+    FROM lens, UNNEST(generate_series(0, 3)) AS t(i)
+    """,
     notes="multimodal frame sampling (llm/multimodal.sample_frames): one "
     "binary payload row (REAL BMP/PPM bytes, see q85) fans out to 4 frame "
     "rows via mapInPandas, no shuffle; frame slicing is content-agnostic, "
-    "plumbing real. Rows-only: DuckDB 1.0 lacks BLOB substring for a "
-    "byte-exact oracle; fan-out counts + partition alignment are "
-    "pytest-asserted in test_llm.py",
+    "plumbing real. Oracle replays the closed-form payload-length rule "
+    "(BMP row padding / PPM header arithmetic) and the step slicing; "
+    "byte-exact frame content is pytest-asserted in test_llm.py",
 )
 def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.multimodal import sample_frames, with_image_payload
@@ -951,21 +977,79 @@ def q78_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q79_zorder_clustering",
-    oracle=None,
-    notes="z-order/Morton clustering (operators/zorder): equi-depth rank "
-    "buckets from approxQuantile boundaries (sampled pass + map-side bit "
-    "interleave, no global window) -> multi-dimensional data skipping. "
-    "Rows-only: approxQuantile boundaries have no SQL equivalent; the "
-    "pruning win (fewer files touched for a 2-D range predicate vs a "
-    "linear sort) is pytest-measured in tests/test_scale.py",
+    # Oracle (r10, VERDICT item 6 — formerly rows-only): the replayable
+    # z-order variant derives boundaries from an md5-deterministic
+    # sample (u32(md5(key ':zorder')) < floor(0.3*2^32) = 1288490188)
+    # and type-1 quantile ORDER STATISTICS (rank ceil(i*n/256) — exact:
+    # i*n fits a double and /256 is a power-of-two division), so DuckDB
+    # replays sample, boundaries, bisect count, and Morton interleave
+    # bit-for-bit. The default zorder_value (random bounded sample)
+    # stays the rewrite throughput path; its pruning win is
+    # pytest-measured in tests/test_scale.py.
+    oracle="""
+    WITH samp AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v1,
+             CAST(o_custkey AS DOUBLE) AS v2
+      FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                     || ':zorder'), 1, 8)) AS BIGINT)
+            < 1288490188
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM samp),
+    idx AS (SELECT UNNEST(generate_series(1, 255)) AS i),
+    r1 AS (SELECT v1 AS v, row_number() OVER (ORDER BY v1) AS rn FROM samp),
+    r2 AS (SELECT v2 AS v, row_number() OVER (ORDER BY v2) AS rn FROM samp),
+    b1 AS (
+      SELECT i, (SELECT MIN(v) FROM r1
+                 WHERE rn = CAST(ceil(i * nn.n / 256.0) AS BIGINT)) AS b
+      FROM idx, nn
+    ),
+    b2 AS (
+      SELECT i, (SELECT MIN(v) FROM r2
+                 WHERE rn = CAST(ceil(i * nn.n / 256.0) AS BIGINT)) AS b
+      FROM idx, nn
+    ),
+    bk AS (
+      SELECT o.o_orderkey,
+             LEAST((SELECT COUNT(*) FROM b1
+                    WHERE b1.b <= CAST(o.o_totalprice AS DOUBLE)),
+                   255) AS k1,
+             LEAST((SELECT COUNT(*) FROM b2
+                    WHERE b2.b <= CAST(o.o_custkey AS DOUBLE)),
+                   255) AS k2
+      FROM orders o
+    )
+    SELECT o_orderkey,
+           CAST((
+             (((k1 >> 0) & 1) << 0)  + (((k2 >> 0) & 1) << 1)  +
+             (((k1 >> 1) & 1) << 2)  + (((k2 >> 1) & 1) << 3)  +
+             (((k1 >> 2) & 1) << 4)  + (((k2 >> 2) & 1) << 5)  +
+             (((k1 >> 3) & 1) << 6)  + (((k2 >> 3) & 1) << 7)  +
+             (((k1 >> 4) & 1) << 8)  + (((k2 >> 4) & 1) << 9)  +
+             (((k1 >> 5) & 1) << 10) + (((k2 >> 5) & 1) << 11) +
+             (((k1 >> 6) & 1) << 12) + (((k2 >> 6) & 1) << 13) +
+             (((k1 >> 7) & 1) << 14) + (((k2 >> 7) & 1) << 15)
+           ) AS BIGINT) AS __z
+    FROM bk
+    """,
+    notes="z-order/Morton clustering (operators/zorder."
+    "zorder_value_replayable): equi-depth rank buckets from "
+    "md5-deterministic-sample ORDER-STATISTIC boundaries (type-1 "
+    "quantiles at rank ceil(i*n/256) — element picks, never "
+    "interpolation, so every boundary is bit-exact cross-engine) + "
+    "map-side 8-bit bisect + Morton interleave -> multi-dimensional "
+    "data skipping; the oracle replays sample, boundaries, bucket "
+    "counts and the interleave exactly. The random-sample "
+    "zorder_value stays the table-rewrite throughput path "
+    "(tests/test_scale.py measures its pruning win)",
 )
 def q79_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.zorder import zorder_value
+    from ..operators.zorder import zorder_value_replayable
 
     orders = read_table(spark, sf_dir, "orders")
-    return zorder_value(orders, ["o_totalprice", "o_custkey"]).select(
-        "o_orderkey", "__z"
-    )
+    return zorder_value_replayable(
+        orders, ["o_totalprice", "o_custkey"], key_col="o_orderkey"
+    ).select("o_orderkey", "__z")
 
 
 @register(
