@@ -283,3 +283,79 @@ def silhouette_simplified(
             ).alias("mean_silhouette"),
         )
     )
+
+
+def density_clusters(
+    pairs: DataFrame,
+    min_pts: int = 2,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """DBSCAN-style density clustering over a similarity PAIR GRAPH
+    (VERDICT r9 next-round candidate — the density-reachability upgrade
+    of plain transitive closure): an LSH/minhash edge means "within eps";
+    a node is CORE when it has ≥ ``min_pts`` neighbors; clusters are the
+    connected components of the core-core subgraph; a non-core node
+    adjacent to ≥ 1 core is a BORDER member of its smallest-labeled core
+    neighbor's cluster; nodes that are neither are noise and absent from
+    the output. Returns (id, cluster_id, role ∈ {'core','border'}).
+
+    Why this beats ``connected_components`` for corpus curation: plain
+    closure chains A~B~C~… through accidental single-edge bridges
+    (template boilerplate, short docs), welding unrelated near-dup
+    cliques into one mega-cluster; requiring density (min_pts) breaks
+    those bridges exactly the way DBSCAN separates touching blobs.
+
+    Scale: degree count = one map-side-combined agg on the edge list;
+    the core filter and both semi/anti joins are key equi-joins; the
+    component loop runs on the CORE subgraph only (smaller than the
+    pair graph); border attachment is one join + min-agg. Deterministic:
+    labels are min-ids, border ties take the smallest cluster label.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    cores = deg.filter(F.col("_deg") >= min_pts).select(F.col("src").alias("_c"))
+
+    core_edges = (
+        edges.join(cores, edges["src"] == cores["_c"], "left_semi")
+        .join(
+            cores.withColumnRenamed("_c", "_c2"),
+            edges["dst"] == F.col("_c2"),
+            "left_semi",
+        )
+    )
+    linked = connected_components(
+        core_edges.select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        ),
+        max_iter=max_iter,
+    )
+    # cores with no core neighbor form singleton clusters of their own id
+    core_labels = (
+        cores.join(linked, cores["_c"] == linked["id"], "left")
+        .select(
+            F.col("_c").alias("id"),
+            F.coalesce("cluster_id", F.col("_c")).alias("cluster_id"),
+        )
+    )
+    border = (
+        edges.join(cores, edges["src"] == cores["_c"], "left_anti")
+        .join(
+            core_labels.withColumnRenamed("id", "_dst"),
+            F.col("dst") == F.col("_dst"),
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out = core_labels.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    # metadata-sized next to the corpus; materialize and release the
+    # persisted edge list (the triangle_stats discipline)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out

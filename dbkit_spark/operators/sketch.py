@@ -139,3 +139,192 @@ def cm_sketch_sql(
     CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS r)
     GROUP BY 1, 2
     """
+
+
+# --- t-digest: mergeable quantile sketch ------------------------------------
+# The quantile member of the sketch family (Dunning & Ertl 2019, "Computing
+# extremely accurate quantiles using t-digests"): centroids sized by the k1
+# scale function so bins are fine near q=0/1 and coarse mid-distribution —
+# relative rank error stays bounded at the tails, which is what p99 latency
+# / max-length token budgeting actually needs. Complements GK (exact-bound
+# offline quantiles) and the approxQuantile grids in operators/drift.py:
+# a t-digest is MERGEABLE, so partial digests build map-side and combine
+# associatively — the sketch you ship between pipeline stages.
+#
+# Determinism contract (the engine replayability rule): partial digests are
+# keyed by a data-derived md5 salt (never spark_partition_id), partial and
+# final builds consume their inputs in (value) / (mean, weight) sorted
+# order, and the compression is a pure function of that ordered stream —
+# the same DataFrame produces the same digest under any partitioning.
+# Quantile ESTIMATES are approximations, so catalog anchors are rows-only
+# with pytest accuracy bounds (the HLL/q20 precedent); the structure
+# (centroid count bound, weight conservation) is exactly testable.
+
+
+def _tdigest_k1(q: float, delta: int) -> float:
+    import math
+
+    return delta / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
+
+
+def _tdigest_compress(
+    pairs: "list[tuple[float, float]]", delta: int
+) -> "list[tuple[float, float]]":
+    """Single merging pass over (value, weight) pairs ALREADY sorted by
+    value: greedily grow a centroid while the k1 size limit allows, else
+    flush. Pure function of the ordered stream."""
+    total = sum(w for _v, w in pairs)
+    if total <= 0:
+        return []
+    out: list[tuple[float, float]] = []
+    cur_sum = 0.0  # sum(v*w) of the open centroid
+    cur_w = 0.0
+    w_before = 0.0  # weight fully flushed before the open centroid
+    k_lo = _tdigest_k1(0.0, delta)
+    for v, w in pairs:
+        q_new = (w_before + cur_w + w) / total
+        if cur_w > 0 and _tdigest_k1(min(q_new, 1.0), delta) - k_lo > 1.0:
+            out.append((cur_sum / cur_w, cur_w))
+            w_before += cur_w
+            k_lo = _tdigest_k1(w_before / total, delta)
+            cur_sum, cur_w = 0.0, 0.0
+        cur_sum += v * w
+        cur_w += w
+    if cur_w > 0:
+        out.append((cur_sum / cur_w, cur_w))
+    return out
+
+
+def tdigest_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str]",
+    delta: int = 100,
+    fanout: int = 32,
+) -> DataFrame:
+    """Per-group t-digest: (group..., centroid, mean, weight).
+
+    Two-level build, both levels Arrow-batched applyInPandas over
+    metadata-sized groups: level 1 compresses each (group, md5-salt)
+    shard at 4·delta resolution (the Dunning partial-resolution rule:
+    compressing partials finer than the final digest keeps the merge
+    error second-order); level 2 merges each group's ≤ fanout·O(delta)
+    partial centroids — a few KB — into the final ≤ O(delta) digest.
+    The shuffle carries centroid rows after level 1, never data rows;
+    at 100 TB the exchange is (groups · fanout · 4δ) rows total.
+    """
+    import pandas as pd
+
+    salt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(value_col).cast("string"), F.lit(":td"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % fanout
+    )
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("_v"),
+            salt.alias("_s"),
+        )
+    )
+    def gschema(extra: str) -> str:
+        gs = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in
+                       df.select(*group_cols).schema.fields)
+        return f"{gs}, {extra}"
+
+    def build_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        vs = sorted(pdf["_v"].tolist())
+        cents = _tdigest_compress([(v, 1.0) for v in vs], 4 * delta)
+        head = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                **{g: [head[g]] * len(cents) for g in group_cols},
+                "mean": [m for m, _w in cents],
+                "weight": [w for _m, w in cents],
+            }
+        )
+
+    partial = src.groupBy(*group_cols, "_s").applyInPandas(
+        build_partial, gschema("mean double, weight double")
+    )
+
+    def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pairs = sorted(zip(pdf["mean"], pdf["weight"]))
+        cents = _tdigest_compress([(m, w) for m, w in pairs], delta)
+        head = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                **{g: [head[g]] * len(cents) for g in group_cols},
+                "centroid": list(range(len(cents))),
+                "mean": [m for m, _w in cents],
+                "weight": [w for _m, w in cents],
+            }
+        )
+
+    return partial.groupBy(*group_cols).applyInPandas(
+        merge_final, gschema("centroid int, mean double, weight double")
+    )
+
+
+def tdigest_quantiles(
+    digest: DataFrame,
+    group_cols: "list[str]",
+    probs: "list[float]",
+) -> DataFrame:
+    """Quantile estimates from a :func:`tdigest_build` digest:
+    (group..., p, est, n). Standard t-digest readout — centroids at
+    their cumulative-weight midpoints, linear interpolation between
+    adjacent midpoints, clamped to the extreme centroid means. The
+    digest is metadata-sized per group, so this is one Arrow batch per
+    group, no data-table access."""
+    import pandas as pd
+
+    gs = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in digest.select(*group_cols).schema.fields
+    )
+
+    def readout(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["mean", "weight"]).reset_index(drop=True)
+        means = pdf["mean"].tolist()
+        ws = pdf["weight"].tolist()
+        total = sum(ws)
+        mids = []
+        acc = 0.0
+        for w in ws:
+            mids.append(acc + w / 2.0)
+            acc += w
+        head = pdf.iloc[0]
+        ests = []
+        for p in probs:
+            target = p * total
+            if target <= mids[0]:
+                ests.append(means[0])
+                continue
+            if target >= mids[-1]:
+                ests.append(means[-1])
+                continue
+            hi = next(i for i, m in enumerate(mids) if m >= target)
+            lo = hi - 1
+            frac = (target - mids[lo]) / (mids[hi] - mids[lo])
+            ests.append(means[lo] + frac * (means[hi] - means[lo]))
+        return pd.DataFrame(
+            {
+                **{g: [head[g]] * len(probs) for g in group_cols},
+                "p": probs,
+                "est": ests,
+                "n": [total] * len(probs),
+            }
+        )
+
+    return digest.groupBy(*group_cols).applyInPandas(
+        readout, f"{gs}, p double, est double, n double"
+    )

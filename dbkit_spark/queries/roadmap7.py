@@ -7871,3 +7871,8 @@ ROADMAP7.update(
 from .roadmap9 import ROADMAP9 as _ROADMAP9  # noqa: E402
 
 ROADMAP7.update(_ROADMAP9)
+
+# Round-10 queue additions (same pattern).
+from .roadmap10 import ROADMAP10 as _ROADMAP10  # noqa: E402
+
+ROADMAP7.update(_ROADMAP10)

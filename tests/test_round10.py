@@ -1,0 +1,162 @@
+"""Round-10 operator tests: t-digest, density clustering, identity
+stitching, parquet bloom filters, weighted reservoir sampling."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _exact_quantile(sorted_vals, p):
+    # type-7 (linear interpolation) exact quantile for error measurement
+    n = len(sorted_vals)
+    h = (n - 1) * p
+    lo = int(math.floor(h))
+    hi = min(lo + 1, n - 1)
+    return sorted_vals[lo] + (h - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def _rank_of(sorted_vals, x):
+    import bisect
+
+    return bisect.bisect_right(sorted_vals, x) / len(sorted_vals)
+
+
+def test_tdigest_accuracy_randomized(spark):
+    """Rank error of t-digest estimates vs exact quantiles, on three
+    distribution shapes — the tail probes must land within the k1
+    scale-function bound (loose pytest bound: 0.02 rank error at
+    delta=100, ~4x the theoretical envelope)."""
+    from dbkit_spark.operators.sketch import tdigest_build, tdigest_quantiles
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        rows.append(("uniform", rng.uniform(0, 100)))
+        rows.append(("lognorm", math.exp(rng.gauss(0, 1.5))))
+        rows.append(("bimodal", rng.gauss(10, 1) if i % 2 else rng.gauss(90, 5)))
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    d = tdigest_build(df, "v", ["g"], delta=100)
+    got = tdigest_quantiles(d, ["g"], probs).collect()
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for vs in by_g.values():
+        vs.sort()
+    assert len(got) == 15
+    for r in got:
+        vs = by_g[r["g"]]
+        assert r["n"] == len(vs)
+        rank_err = abs(_rank_of(vs, r["est"]) - r["p"])
+        assert rank_err <= 0.02, (r["g"], r["p"], rank_err)
+
+
+def test_tdigest_deterministic_and_mergeable(spark):
+    """Same data, different partitioning => bit-identical digest (salt
+    is data-derived md5, never partition id). Digest of A∪B must agree
+    with the union-built digest within the accuracy envelope (the
+    mergeability contract that makes the sketch shippable)."""
+    from dbkit_spark.operators.sketch import tdigest_build, tdigest_quantiles
+
+    rng = random.Random(11)
+    rows = [("g", rng.gauss(50, 10)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    d1 = sorted(tuple(r) for r in tdigest_build(df, "v", ["g"]).collect())
+    d2 = sorted(
+        tuple(r) for r in tdigest_build(df.repartition(13), "v", ["g"]).collect()
+    )
+    assert d1 == d2
+    # centroid count bound: merging digest uses <= 2*delta centroids
+    assert len(d1) <= 200
+    # weight conservation
+    assert sum(r[3] for r in d1) == len(rows)
+    # mergeability: split halves carry different salt shards; union
+    # readout stays inside the rank bound of the full build
+    half_a = spark.createDataFrame(rows[:1500], "g string, v double")
+    half_b = spark.createDataFrame(rows[1500:], "g string, v double")
+    both = half_a.unionAll(half_b)
+    vs = sorted(v for _g, v in rows)
+    for r in tdigest_quantiles(
+        tdigest_build(both, "v", ["g"]), ["g"], [0.05, 0.5, 0.95]
+    ).collect():
+        assert abs(_rank_of(vs, r["est"]) - r["p"]) <= 0.02
+
+
+def test_density_clusters_breaks_bridges(spark):
+    """Two 4-cliques joined through a degree-2 middleman: plain
+    transitive closure welds everything into one cluster; density
+    clustering (min_pts=3) keeps the cliques separate, attaches the
+    middleman as border to the smaller-labeled cluster, and reports
+    every clique node as core."""
+    from dbkit_spark.llm.cluster import connected_components, density_clusters
+
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]  # noqa: E731
+    pairs = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 7), (7, 10)],
+        "doc_a long, doc_b long",
+    )
+    welded = connected_components(pairs)
+    assert {r["cluster_id"] for r in welded.collect()} == {1}
+
+    got = {r["id"]: (r["cluster_id"], r["role"])
+           for r in density_clusters(pairs, min_pts=3).collect()}
+    for n in (1, 2, 3, 4):
+        assert got[n] == (1, "core")
+    for n in (10, 11, 12, 13):
+        assert got[n] == (10, "core")
+    assert got[7] == (1, "border")
+    assert len(got) == 9
+
+
+def test_density_clusters_noise_and_isolated_core(spark):
+    """A pure 2-chain (all degree <= 1 ... 2) at min_pts=2: middle node
+    is core with no core neighbor => singleton cluster; leaves are
+    borders; a disconnected single edge is all noise (absent)."""
+    from dbkit_spark.llm.cluster import density_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (50, 51)], "doc_a long, doc_b long"
+    )
+    got = {r["id"]: (r["cluster_id"], r["role"])
+           for r in density_clusters(pairs, min_pts=2).collect()}
+    assert got == {1: (2, "border"), 2: (2, "core"), 3: (2, "border")}
+
+
+def test_identity_stitch_hand_case(spark):
+    """Handoff semantics: link only different consecutive ids on one
+    device within the gap; transitive closure across devices; gap
+    violations and isolated ids stay unstitched; same-ts order is
+    event_id-deterministic."""
+    from datetime import datetime, timedelta
+
+    from dbkit_spark.operators.identity import stitch_identities
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # device 1: 5 -> 3 within 60s (link), then 9 after 2000s (no link)
+        (1, t0, 5, 1),
+        (2, t0 + timedelta(seconds=60), 3, 1),
+        (3, t0 + timedelta(seconds=2060), 9, 1),
+        # device 2: 9 -> 3 within 10s (link) => {3,5,9} stitched
+        (4, t0, 9, 2),
+        (5, t0 + timedelta(seconds=10), 3, 2),
+        # device 3: lone user
+        (6, t0, 42, 3),
+        # device 4: same ts — event_id order makes 7 -> 8 consecutive
+        (7, t0, 7, 4),
+        (8, t0, 8, 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, device long"
+    )
+    got = {
+        r["id"]: r["identity_id"]
+        for r in stitch_identities(
+            ev, "user_id", "device", "ts", "event_id", max_gap_s=600
+        ).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 42: 42, 7: 7, 8: 7}
