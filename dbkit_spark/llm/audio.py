@@ -545,3 +545,102 @@ def vad_segments(
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(do, VAD_SCHEMA)
+
+
+def with_wav_payload_grouped(
+    docs: DataFrame, id_col: str = "doc_id", group_mod: int = 25, every: int = 1
+) -> DataFrame:
+    """Duplicate-bearing WAV fixture: the waveform seed is
+    ``doc_id % group_mod``, so docs sharing a seed carry the IDENTICAL
+    waveform — while the container still cycles through the three fmt
+    arms by doc_id (PCM16 / float32 / float64). That is exactly the
+    re-encoded-duplicate case a byte-hash dedup misses and a content
+    fingerprint must catch."""
+
+    def one(i: int) -> bytes:
+        seed = i % group_mod
+        n = 800 + (seed % 7) * 160
+        arm = i % 3
+        if arm == 0:
+            return encode_wav(n, sample_rate=8000, channels=1, seed=seed, bits=16)
+        return encode_wav_float(
+            n, sample_rate=8000, channels=1, seed=seed,
+            bits=32 if arm == 1 else 64,
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col] if int(i) % every == 0]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [bytearray(one(i)) for i in ids],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select(F.col(id_col)).mapInPandas(gen, schema)
+
+
+FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    payloads: DataFrame, frame: int = 200, shift: int = 20
+) -> DataFrame:
+    """CONTENT fingerprint over REAL decoded audio — the audio member of
+    the modality dedup matrix (text shingles / image dhash / THIS): the
+    mono 16-bit-domain waveform is framed (trailing partial dropped, the
+    VAD contract), each frame's EXACT integer energy Σs² is coarsely
+    quantized (``energy >> shift`` — small amplitude noise moves a level
+    by at most one step), and the level CONTOUR is the fingerprint,
+    rendered as the md5 of the comma-joined levels. Containers and bit
+    depths vanish: a PCM16 file and its float64 re-encode fingerprint
+    identically (decode arms normalize to one domain), which is the
+    duplicate class byte-hashing structurally misses.
+
+    All integer until the md5, so a SQL oracle regenerates waveform,
+    energies, levels, and fingerprint digit-for-digit. Map-only
+    Arrow-batched mapInPandas; downstream dedup is one groupBy on fp —
+    the exact-dedup shape, never pairwise.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in FP_SCHEMA}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = None if payload is None else bytes(payload)
+                    _rate, _ch, bits, samples = decode_wav(raw)
+                    flat = samples.ravel().astype(np.int64)
+                    if _wav_format_code(raw) == 1:
+                        sh = {8: -8, 16: 0, 24: 8, 32: 16}[bits]
+                        flat = flat << 8 if sh == -8 else flat >> sh
+                    m = flat.size // frame
+                    fr = flat[: m * frame].reshape(m, frame)
+                    levels = ((fr * fr).sum(axis=1) >> shift).tolist()
+                    fp = hashlib.md5(
+                        ",".join(str(x) for x in levels).encode()
+                    ).hexdigest()
+                    vals = (did, fp, m, True)
+                except (NotImplementedError, ValueError):
+                    vals = (did, None, None, False)
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(do, FP_SCHEMA)

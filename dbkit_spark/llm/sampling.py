@@ -617,3 +617,55 @@ def neyman_sample(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_s", "_rn", "_quota")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: "list[str] | None" = None,
+    salt: str = "wres",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, P(selection) ∝ weight —
+    the A-ES / weighted-reservoir rule (Efraimidis & Spirakis 2006):
+    each row draws u ∈ (0,1] and gets key u^(1/w); the k largest keys
+    per group are the sample. Equivalent (and numerically safer) form
+    used here: key = ln(u)/w, largest-k. Classic LLM-pipeline use:
+    length-proportional document sampling for token-budget estimation,
+    importance-weighted eval subsets.
+
+    Deterministic (the engine replayability contract): u derives from
+    md5(id ':' salt) — u = (u32 + 1)/2^32, never 0 — so the sample is a
+    pure function of (data, salt), stable under repartitioning, and a
+    SQL oracle replays every draw. The key is 9dp-rounded before
+    ranking with an id tiebreak (the SURVEY §5.3 libm rule: ln may
+    differ by 1 ulp across engines; the rounding grain absorbs it).
+
+    Scale: one map-side key computation + one per-group top-k window —
+    the same single-exchange shape as stratified_sample; no collect, no
+    driver state. Rows with NULL or non-positive weight are excluded
+    (they have zero selection probability in the A-ES model).
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u32 + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("__wkey").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .withColumn("__wrn", F.row_number().over(w))
+        .filter(F.col("__wrn") <= k)
+        .drop("__wkey", "__wrn")
+    )

@@ -217,3 +217,292 @@ ROADMAP10["q344_identity_stitch"] = (
     _Q344_ORACLE,
     _Q344_NOTES,
 )
+
+
+# --- q345: parquet bloom-filter write/read path --------------------------------
+
+
+def _ensure_bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once bloom-indexed copy of documents (the q144 fixture
+    discipline: mtime-stamped marker invalidates on driver-regenerated
+    testdata)."""
+    import os
+    import tempfile
+
+    from ..sources.writers import write_parquet_bloom
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_bloom_docs_{tag}")
+    done = os.path.join(path, "_dbkit_fixture_done")
+    stamp = str(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    fresh = os.path.exists(done) and open(done).read() == stamp
+    if not fresh:
+        write_parquet_bloom(
+            read_table(spark, sf_dir, "documents"),
+            path,
+            bloom_cols=["doc_id", "source"],
+            expected_ndv=100_000,
+        )
+        with open(done, "w") as fh:
+            fh.write(stamp)
+    return path
+
+
+def q345_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective id-IN-list lookup against the bloom-indexed table —
+    the workload the filter exists for. The oracle is the same lookup
+    on the raw table: bloom filters change LAYOUT (row-group skips),
+    never results; the size/plan evidence lives in
+    tests/test_round10.py."""
+    path = _ensure_bloom_table(spark, sf_dir)
+    keys = [7, 113, 1009, 20011, 54321]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id").isin(keys))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_Q345_ORACLE = """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (7, 113, 1009, 20011, 54321)
+    ORDER BY doc_id
+"""
+
+_Q345_NOTES = (
+    "PARQUET SPLIT-BLOCK BLOOM FILTER write/read path (sources/writers."
+    "write_parquet_bloom — the footer-adjacent point-lookup index next "
+    "to the footer min/max index: stats prune ranges, blooms prune "
+    "needle-in-haystack key lookups on high-cardinality unsorted "
+    "columns where every row group spans the full key range): standard "
+    "parquet-mr options, spec-conforming files any reader prunes with; "
+    "the query round-trips a selective IN-list through the indexed "
+    "table and the oracle proves semantic transparency on the raw "
+    "table; pytest pins the filter bytes actually landing (footer size "
+    "delta) and the predicate reaching the scan"
+)
+
+ROADMAP10["q345_bloom_point_lookup"] = (
+    q345_bloom_point_lookup,
+    _Q345_ORACLE,
+    _Q345_NOTES,
+)
+
+
+# --- q346: weighted reservoir sample -------------------------------------------
+
+
+def q346_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional document sample (llm/sampling.weighted_sample
+    — A-ES weighted reservoir, P(selection) ∝ n_chars): top-10 per lang
+    by the deterministic md5 key. The token-budget estimation draw every
+    corpus-costing job runs."""
+    from ..llm.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "doc_id", "n_chars", k=10, group_cols=["lang"])
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_Q346_ORACLE = """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':wres'), 1, 8)) AS BIGINT) + 1)
+                  / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS k
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars FROM ranked
+    WHERE rn <= 10 ORDER BY lang, doc_id
+"""
+
+_Q346_NOTES = (
+    "WEIGHTED RESERVOIR SAMPLE (llm/sampling.weighted_sample — "
+    "Efraimidis-Spirakis A-ES: key = ln(u)/w, top-k per group, "
+    "P(selection) proportional to weight WITHOUT replacement; the "
+    "length-proportional document draw token-budget estimation runs, "
+    "and the probability-weighted sibling of the quota samplers "
+    "q174/q221/q333): u = (u32(md5(id:salt))+1)/2^32 is a pure "
+    "function of the data, so the sample is identical under any "
+    "partitioning and the oracle replays every draw; keys 9dp-rounded "
+    "with id tiebreak (the SURVEY 5.3 libm rule — absorbs ln ulp "
+    "drift). One map-side key + one per-group top-k window, the "
+    "stratified_sample exchange shape"
+)
+
+ROADMAP10["q346_weighted_sample"] = (
+    q346_weighted_sample,
+    _Q346_ORACLE,
+    _Q346_NOTES,
+)
+
+
+# --- q347: audio content dedup across container re-encodings -------------------
+
+
+def q347_audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content dedup (llm/audio.audio_fingerprint — the audio
+    member of the modality dedup matrix next to text shingles and image
+    dhash): the duplicate-bearing fixture carries the same waveform
+    re-encoded across PCM16/float32/float64 containers; the energy-
+    contour fingerprint groups them while any byte hash would not."""
+    from pyspark.sql import Window
+
+    from ..llm.audio import audio_fingerprint, with_wav_payload_grouped
+
+    docs = read_table(spark, sf_dir, "documents")
+    pay = with_wav_payload_grouped(docs, group_mod=25, every=3)
+    fp = audio_fingerprint(pay, frame=200, shift=20)
+    w = Window.partitionBy("fp")
+    return (
+        fp.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("dup_of"),
+            F.count("*").over(w).alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q347_ORACLE = """
+    WITH ids AS (
+      SELECT doc_id, doc_id % 25 AS seed,
+             800 + ((doc_id % 25) % 7) * 160 AS n
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    s AS (
+      SELECT doc_id, t.i,
+             (seed * 7349 + t.i * (t.i + 13) * 2654435761) % 65536 - 32768
+               AS v
+      FROM ids, UNNEST(generate_series(0, n - 1)) AS t(i)
+      WHERE t.i < (n // 200) * 200
+    ),
+    fr AS (
+      SELECT doc_id, i // 200 AS f, SUM(v * v) // 1048576 AS lev
+      FROM s GROUP BY 1, 2
+    ),
+    contour AS (
+      SELECT doc_id,
+             string_agg(CAST(lev AS VARCHAR), ',' ORDER BY f) AS c
+      FROM fr GROUP BY doc_id
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY c) AS dup_of,
+           COUNT(*) OVER (PARTITION BY c) AS group_size
+    FROM contour ORDER BY doc_id
+"""
+
+_Q347_NOTES = (
+    "AUDIO CONTENT DEDUP (llm/audio.audio_fingerprint — completes the "
+    "modality dedup matrix: text shingles q40 / image dhash / AUDIO "
+    "energy-contour): REAL decode normalized to one sample domain, "
+    "exact integer frame energies coarsely quantized (>> 20 — small "
+    "amplitude noise moves a level one step), contour md5 = the "
+    "fingerprint; a PCM16 file and its float64 re-encode fingerprint "
+    "identically, the duplicate class byte-hashing structurally "
+    "misses (fixture encodes the same waveform across all three fmt "
+    "arms). Map-only Arrow decode; dedup is ONE groupBy on fp (the "
+    "exact-dedup shape, never pairwise). Oracle regenerates waveform, "
+    "energies, levels, groups digit-for-digit"
+)
+
+ROADMAP10["q347_audio_content_dedup"] = (
+    q347_audio_content_dedup,
+    _Q347_ORACLE,
+    _Q347_NOTES,
+)
+
+
+# --- q348: schema-evolution merged read ----------------------------------------
+
+
+def _ensure_evolved_dirs(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once two-generation parquet history (q144 fixture
+    discipline): generation 1 (even event_ids) predates the event_type
+    column; generation 2 (odd) carries it."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"dbkit_evolved_events_{tag}")
+    done = os.path.join(path, "_dbkit_fixture_done")
+    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    fresh = os.path.exists(done) and open(done).read() == stamp
+    if not fresh:
+        ev = read_table(spark, sf_dir, "events")
+        (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", "value")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=1"))
+        )
+        (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "user_id", "value", "event_type")
+            .write.mode("append")
+            .parquet(os.path.join(path, "gen=2"))
+        )
+        with open(done, "w") as fh:
+            fh.write(stamp)
+    return path
+
+
+def q348_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-footer read over an evolving parquet history
+    (sources/readers.read_parquet_evolved): generation-1 files predate
+    the event_type column and must surface NULLs for it, not silently
+    drop the column when an old footer wins the listing race (the
+    default-reader trap)."""
+    import os
+
+    from ..sources.readers import read_parquet_evolved
+
+    path = _ensure_evolved_dirs(spark, sf_dir)
+    merged = read_parquet_evolved(
+        spark, os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return merged.select(
+        "event_id", "user_id", "value", "event_type"
+    ).orderBy("event_id")
+
+
+_Q348_ORACLE = """
+    SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_id % 2 = 1
+    ORDER BY event_id
+"""
+
+_Q348_NOTES = (
+    "SCHEMA-EVOLUTION MERGED READ (sources/readers.read_parquet_evolved "
+    "— the long-lived-table reality: columns appear over months of "
+    "appends and the reader must span the whole history): mergeSchema "
+    "reconciles EVERY file footer (O(files) metadata, never data) so "
+    "generation-1 files surface NULL for the late-added column instead "
+    "of the default reader's silent column drop when an old footer "
+    "wins the listing race. Fixture writes two generations write-once "
+    "(mtime-stamped); the oracle derives the merged table from the "
+    "generation rule, independent of the files"
+)
+
+ROADMAP10["q348_schema_evolution_read"] = (
+    q348_schema_evolution_read,
+    _Q348_ORACLE,
+    _Q348_NOTES,
+)

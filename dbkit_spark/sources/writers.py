@@ -148,3 +148,33 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: "list[str]",
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet with SPLIT-BLOCK BLOOM FILTERS on ``bloom_cols`` — the
+    footer-adjacent point-lookup index (parquet-format BloomFilter spec;
+    the needle-in-haystack sibling of min/max stats and the footer
+    index): min/max prunes RANGE predicates but is useless for sparse
+    point lookups on high-cardinality unsorted keys (every row group
+    spans nearly the full key range); a bloom filter answers "this row
+    group definitely lacks key k" in a few hashes, so selective
+    id-IN-list scans skip row groups that stats cannot. Written by the
+    standard parquet-mr options (``parquet.bloom.filter.enabled#col``);
+    any parquet reader that honors the spec (Spark, Trino, parquet-mr)
+    prunes with them at read time — the 100 TB win is row-group skips
+    on exactly the lookup workloads z-order cannot cover (single keys,
+    not ranges). ``expected_ndv`` sizes the filter (~1.1 bytes/ndv at
+    the default 1% FPP).
+    """
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(int(expected_ndv))
+        )
+    w.parquet(path)
