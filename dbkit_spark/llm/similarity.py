@@ -870,3 +870,119 @@ def hamming_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "hamming", "cos_sim", "rank")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample_fraction: float | None = 0.05,
+    min_fit_rows: int = 10_000,
+) -> list:
+    """PRODUCT-QUANTIZATION codebooks (Jégou, Douze & Schmid 2011 — the
+    memory side of ANN serving next to ``ivf_index``'s routing side and
+    the int8 scalar quantizer: split each d-dim vector into ``m``
+    subvectors and learn an independent ``k``-centroid codebook per
+    subspace; a vector then stores as m small codes — d·4 bytes →
+    m bytes at k ≤ 256 — while distances reconstruct per-subspace,
+    which is how billion-vector indexes fit in RAM).
+
+    Returns a driver-side list of m (k × d/m) codebooks — metadata
+    (m·k·d/m floats). Each subspace fit is a spark.ml KMeans on the
+    SAME bounded deterministic sample (the ivf_index fit discipline:
+    multi-pass fits scale with the sample, never the corpus;
+    min_fit_rows keeps tiny-SF fits exact)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if fit_sample_fraction is not None:
+        if not 0.0 < fit_sample_fraction <= 1.0:
+            raise ValueError("fit_sample_fraction must be in (0, 1]")
+        frac = fit_sample_fraction
+        n = corpus.count()
+        if n * frac < min_fit_rows:
+            frac = min(1.0, min_fit_rows / max(n, 1))
+        if frac < 1.0:
+            fit_input = fit_input.sample(fraction=frac, seed=seed)
+    fit_input = fit_input.persist()
+    books = []
+    try:
+        for j in range(m):
+            feat = fit_input.select(
+                array_to_vector(
+                    F.slice(F.col("_v"), j * sub + 1, sub)
+                ).alias("_features")
+            )
+            model = KMeans(
+                k=k, seed=seed + j, featuresCol="_features",
+                predictionCol="_c",
+            ).fit(feat)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    finally:
+        fit_input.unpersist()
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against :func:`pq_train` codebooks:
+    (id, code, recon_err) where ``code`` is the dash-joined nearest-
+    centroid index per subspace (a scalar string — the SURVEY §5.3
+    contract; parse with split('-')) and ``recon_err`` the squared
+    reconstruction error. Vectorized numpy argmin inside Arrow-batched
+    mapInPandas — the codebooks ship in the closure (m·k·d/m floats),
+    the pass is map-only and shuffle-free; ties take the smallest
+    centroid index (numpy argmin), deterministic given codebooks."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    m = len(books)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("code", T.StringType()),
+            T.StructField("recon_err", T.DoubleType()),
+        ]
+    )
+
+    def do(batches):
+        for pdf in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(vecs), m), dtype=np.int64)
+            err = np.zeros(len(vecs))
+            for j, book in enumerate(books):
+                sv = vecs[:, j * sub : (j + 1) * sub]
+                # (n, k) squared distances via the expansion trick
+                d2 = (
+                    (sv * sv).sum(axis=1, keepdims=True)
+                    - 2.0 * sv @ book.T
+                    + (book * book).sum(axis=1)
+                )
+                codes[:, j] = d2.argmin(axis=1)
+                err += ((sv - book[codes[:, j]]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "code": ["-".join(str(c) for c in row) for row in codes],
+                    "recon_err": err,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(do, schema)

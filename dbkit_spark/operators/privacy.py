@@ -94,3 +94,85 @@ def dp_counts(
         "noisy_count",
         F.round(F.col("true_count").cast("double") + noise, 6),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """t-closeness audit — the third of the release-audit trio
+    (k-anonymity bounds cell SIZE, l-diversity bounds sensitive-value
+    COUNT, t-closeness bounds the sensitive-value DISTRIBUTION: a large,
+    diverse cell whose distribution skews far from the corpus still
+    leaks — '95% of this zip code's rows say positive' is a disclosure
+    even with l distinct values). Distance is total variation
+    TVD = ½·Σ_s |p_cell(s) − p_global(s)| — the categorical EMD with
+    uniform ground distance, the standard form for nominal attributes
+    (Li, Li & Venkatasubramanian 2007).
+
+    Output per cell: quasi_cols..., ``n_rows``, ``tvd``, ``violates``
+    (tvd > t).
+
+    Scale: three map-side-combined aggs — (cell, sensitive) counts,
+    cell totals derived from them, global sensitive totals (a
+    values-sized broadcast) — one join, one final per-cell reduction.
+    Per-term |p_c − p_g| is two IEEE divisions + one subtraction
+    (engine-exact), 9dp-rounded onto decimals so the Σ over sensitive
+    values is order-independent; the final ÷2 is a power-of-two binary
+    division of the exact decimal's double conversion — no closing
+    round, so no half-boundary for engines to disagree on.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0 < t < 1:
+        raise ValueError("t must be in (0, 1)")
+    cell_val = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_cv")
+    )
+    cell_tot = cell_val.groupBy(*quasi_cols).agg(F.sum("_cv").alias("_ct"))
+    glob_val = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_gv"))
+    glob_tot = df.count()
+    # decimal(20,9), NOT (38,9): Spark's subtract widens precision by 1
+    # and a 38-precision input overflows the cap, silently REDUCING the
+    # result scale to 8 (allowPrecisionLoss) — every term would round at
+    # 8dp and drift off the oracle by 1e-8 per term. Probabilities are
+    # <= 1, so 20 digits is generous and the subtract stays exact.
+    term = F.round(
+        F.abs(
+            F.col("_cv").cast("double") / F.col("_ct")
+            - F.col("_gv").cast("double") / F.lit(float(glob_tot))
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    # values the CELL lacks still contribute |0 - p_global(s)|: Σ over
+    # present values of (term - p_g) plus the constant Σ_s p_g = 1
+    p_g = F.round(
+        F.col("_gv").cast("double") / F.lit(float(glob_tot)), 9
+    ).cast("decimal(20,9)")
+    per_cell = (
+        cell_val.join(F.broadcast(glob_val), sensitive_col)
+        .join(cell_tot, list(quasi_cols))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("_ct").cast("long").alias("n_rows"),
+            F.sum(term - p_g).alias("_present"),
+        )
+    )
+    # (present + 1) is an EXACT decimal; its double conversion is the
+    # correctly-rounded nearest double on both engines, and /2.0 is a
+    # power-of-two division (exact in binary) — so tvd needs NO final
+    # round, and there is no half-boundary for engines to disagree on
+    # (re-rounding the sum at 9dp sat exactly on ...0005 boundaries).
+    tvd = (
+        (F.col("_present") + F.lit(1).cast("decimal(20,9)"))
+        .cast("double")
+        / 2.0
+    )
+    return per_cell.select(
+        *quasi_cols,
+        "n_rows",
+        tvd.alias("tvd"),
+        (tvd > F.lit(float(t))).alias("violates"),
+    )

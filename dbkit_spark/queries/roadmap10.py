@@ -506,3 +506,512 @@ ROADMAP10["q348_schema_evolution_read"] = (
     _Q348_ORACLE,
     _Q348_NOTES,
 )
+
+
+# --- q349: last-touch marketing attribution -------------------------------------
+
+
+def q349_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution (the asof-join applied to the
+    question every growth team asks): each purchase attributes its value
+    to the user's most recent click/view within a 7-day lookback, or
+    'direct' when none — operators/joins.asof_join with tolerance does
+    the whole thing in one key-sorted pass, no per-purchase scan."""
+    from ..operators.aggregate import stable_sum
+    from ..operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin(["click", "view"])).select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tid"),
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        on_key="user_id",
+        on_time="ts",
+        direction="backward",
+        tolerance="7 days",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            stable_sum("value", 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+_Q349_ORACLE = """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type AS channel, event_id AS tid
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT p.event_id, p.value, t.channel,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.channel DESC, t.tid DESC
+             ) AS rn
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND t.ts <= p.ts
+        AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    attributed AS (
+      SELECT p.event_id, p.value, COALESCE(r.channel, 'direct') AS channel
+      FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+        ON r.event_id = p.event_id
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+    FROM attributed GROUP BY channel ORDER BY channel
+"""
+
+_Q349_NOTES = (
+    "LAST-TOUCH REVENUE ATTRIBUTION (operators/joins.asof_join applied "
+    "to marketing attribution — each purchase credits the user's most "
+    "recent click/view inside a 7-day lookback, else 'direct'): the "
+    "asof union-sort-carry pattern does every purchase in ONE "
+    "user-keyed sorted pass (no per-purchase probe, no range "
+    "explosion); tolerance nulls matches beyond the lookback map-side; "
+    "same-ts touch ties break on the greatest payload tuple (the asof "
+    "determinism contract), which the oracle's rank replays; revenue "
+    "rides 2dp decimals"
+)
+
+ROADMAP10["q349_last_touch_attribution"] = (
+    q349_last_touch_attribution,
+    _Q349_ORACLE,
+    _Q349_NOTES,
+)
+
+
+# --- q350: RFM customer segmentation --------------------------------------------
+
+
+def q350_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintile scores
+    + rule segments) — scored against BROADCAST exact-quantile
+    boundaries instead of a global ntile window: ntile needs one total
+    order (a SinglePartition sort over every customer); boundary
+    scoring is one metadata-sized percentile agg + a map-side
+    comparison, the q171 winsorize join-back shape, so customers never
+    globally sort. Ties at a boundary share a score (strictly-greater
+    counting), which is also more honest than ntile's arbitrary
+    position split."""
+    from ..operators.aggregate import stable_sum
+
+    o = read_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+            F.count("*").cast("long").alias("n_orders"),
+            stable_sum("o_totalprice", 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("_anchor", "_last").cast("long").alias("recency_days"),
+            "n_orders",
+            "monetary",
+        )
+    )
+    probs = "array(0.2, 0.4, 0.6, 0.8)"
+    bounds = cust.agg(
+        F.expr(f"percentile(recency_days, {probs})").alias("_rb"),
+        F.expr(f"percentile(n_orders, {probs})").alias("_fb"),
+        F.expr(f"percentile(monetary, {probs})").alias("_mb"),
+    )
+
+    def score(v, arr):
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(F.col(v) > F.element_at(F.col(arr), i + 1), 1).otherwise(0)
+        return s.cast("int")
+
+    scored = cust.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        (F.lit(6) - score("recency_days", "_rb")).cast("int").alias("r_score"),
+        score("n_orders", "_fb").alias("f_score"),
+        score("monetary", "_mb").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg).orderBy("o_custkey")
+
+
+_Q350_ORACLE = """
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(n_orders, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+      FROM cust
+    ),
+    scored AS (
+      SELECT c.o_custkey, c.recency_days, c.n_orders, c.monetary,
+             CAST(6 - (1 + (c.recency_days > b.rb[1])::INT
+                         + (c.recency_days > b.rb[2])::INT
+                         + (c.recency_days > b.rb[3])::INT
+                         + (c.recency_days > b.rb[4])::INT) AS INTEGER)
+               AS r_score,
+             CAST(1 + (c.n_orders > b.fb[1])::INT
+                    + (c.n_orders > b.fb[2])::INT
+                    + (c.n_orders > b.fb[3])::INT
+                    + (c.n_orders > b.fb[4])::INT AS INTEGER) AS f_score,
+             CAST(1 + (c.monetary > b.mb[1])::INT
+                    + (c.monetary > b.mb[2])::INT
+                    + (c.monetary > b.mb[3])::INT
+                    + (c.monetary > b.mb[4])::INT AS INTEGER) AS m_score
+      FROM cust c, b
+    )
+    SELECT *,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY o_custkey
+"""
+
+_Q350_NOTES = (
+    "RFM CUSTOMER SEGMENTATION (recency/frequency/monetary quintile "
+    "scores + rule segments — the standard marketing-analytics readout "
+    "next to q268 retention and q283 funnel): scored against BROADCAST "
+    "exact-percentile boundaries (one metadata-sized agg + map-side "
+    "comparisons, the q171 join-back-aggregate shape) instead of a "
+    "global ntile — no SinglePartition sort at any customer count; "
+    "Spark percentile == DuckDB quantile_cont (the q21/q171 parity "
+    "pin); monetary rides 2dp decimals; boundary ties share a score "
+    "(strictly-greater counting, engine-exact)"
+)
+
+ROADMAP10["q350_rfm_segments"] = (q350_rfm_segments, _Q350_ORACLE, _Q350_NOTES)
+
+
+# --- q351: t-closeness audit -----------------------------------------------------
+
+
+def q351_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the same quasi-identifier cells as the
+    k-anonymity (q292) and l-diversity (q222) audits — the third leg of
+    the release-audit trio: cells whose source distribution skews far
+    (TVD > 0.3) from the corpus distribution leak even when large and
+    diverse."""
+    from ..operators.privacy import t_closeness_audit
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars DIV 100").alias("bucket"), "source"
+    )
+    return (
+        t_closeness_audit(docs, ["lang", "bucket"], "source", t=0.3)
+        .orderBy("lang", "bucket")
+    )
+
+
+_Q351_ORACLE = """
+    WITH base AS (
+      SELECT lang, n_chars // 100 AS bucket, source FROM documents
+    ),
+    cv AS (
+      SELECT lang, bucket, source, COUNT(*) AS cv
+      FROM base GROUP BY 1, 2, 3
+    ),
+    ct AS (SELECT lang, bucket, SUM(cv) AS ct FROM cv GROUP BY 1, 2),
+    gv AS (SELECT source, COUNT(*) AS gv FROM base GROUP BY 1),
+    gt AS (SELECT COUNT(*) AS gt FROM base),
+    terms AS (
+      SELECT cv.lang, cv.bucket, ct.ct,
+             CAST(round(abs(CAST(cv.cv AS DOUBLE) / ct.ct
+                            - CAST(gv.gv AS DOUBLE) / gt.gt), 9)
+                  AS DECIMAL(38,9))
+             - CAST(round(CAST(gv.gv AS DOUBLE) / gt.gt, 9)
+                    AS DECIMAL(38,9)) AS term
+      FROM cv
+      JOIN ct USING (lang, bucket)
+      JOIN gv USING (source), gt
+    ),
+    cell AS (
+      SELECT lang, bucket, MAX(ct) AS n_rows, SUM(term) AS present
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT lang, bucket, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(present + CAST(1 AS DECIMAL(38,9)) AS DOUBLE) / 2.0 AS tvd,
+           CAST(present + CAST(1 AS DECIMAL(38,9)) AS DOUBLE) / 2.0 > 0.3
+             AS violates
+    FROM cell ORDER BY lang, bucket
+"""
+
+_Q351_NOTES = (
+    "T-CLOSENESS AUDIT (operators/privacy.t_closeness_audit — "
+    "completes the release-audit trio: k-anonymity q292 bounds cell "
+    "SIZE, l-diversity q222 bounds sensitive-value COUNT, t-closeness "
+    "bounds the sensitive DISTRIBUTION; Li-Li-Venkatasubramanian 2007, "
+    "TVD = categorical EMD): three map-side-combined aggs + one "
+    "broadcast join; absent sensitive values contribute via the "
+    "sum-to-one identity (present-term sum + 1)/2 so the cell never "
+    "enumerates the full value domain; per-term divisions are "
+    "engine-exact IEEE, 9dp-rounded onto decimals for an "
+    "order-independent sum"
+)
+
+ROADMAP10["q351_t_closeness"] = (q351_t_closeness, _Q351_ORACLE, _Q351_NOTES)
+
+
+# --- q352: lift / gains chart ------------------------------------------------
+
+
+def q352_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains table — the model-evaluation readout next to
+    q336 PR-AP and q299-family calibration: customers ranked by score
+    (acctbal as the stand-in model score), positives = placed an urgent
+    order; per decile the cumulative capture rate and lift. Deciles are
+    assigned against BROADCAST exact-percentile boundaries (the q350
+    discipline — no global ntile sort); the cumulative window runs over
+    the 10-row decile table (the q238 risk-table discipline)."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = c.join(
+        o.select("o_custkey").distinct().withColumn("_pos", F.lit(1)),
+        c["c_custkey"] == F.col("o_custkey"),
+        "left",
+    ).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("score"),
+        F.coalesce("_pos", F.lit(0)).alias("label"),
+    )
+    probs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+    bounds = cust.agg(F.expr(f"percentile(score, {probs})").alias("_b"))
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + F.when(
+            F.col("score") > F.element_at(F.col("_b"), i + 1), 1
+        ).otherwise(0)
+    per = (
+        cust.crossJoin(F.broadcast(bounds))
+        .select((F.lit(11) - bucket).cast("int").alias("decile"), "label")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("positives"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.select(
+            "decile",
+            "n",
+            "positives",
+            F.sum("n").over(w).alias("cum_n"),
+            F.sum("positives").over(w).alias("cum_pos"),
+            F.sum("n").over(tot).alias("_tn"),
+            F.sum("positives").over(tot).alias("_tp"),
+        )
+        .select(
+            "decile",
+            "n",
+            "positives",
+            "cum_n",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("_tp")).alias("gain"),
+            (
+                (F.col("cum_pos") * F.col("_tn")).cast("double")
+                / (F.col("cum_n") * F.col("_tp"))
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+_Q352_ORACLE = """
+    WITH pos AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    cust AS (
+      SELECT c.c_custkey, c.c_acctbal AS score,
+             CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+      FROM customer c LEFT JOIN pos p ON p.o_custkey = c.c_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(score,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qb
+      FROM cust
+    ),
+    bucketed AS (
+      SELECT CAST(11 - (1 + (score > qb[1])::INT + (score > qb[2])::INT
+               + (score > qb[3])::INT + (score > qb[4])::INT
+               + (score > qb[5])::INT + (score > qb[6])::INT
+               + (score > qb[7])::INT + (score > qb[8])::INT
+               + (score > qb[9])::INT) AS INTEGER) AS decile, label
+      FROM cust, b
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n, SUM(label) AS positives
+      FROM bucketed GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n, positives,
+             SUM(n) OVER (ORDER BY decile) AS cum_n,
+             SUM(positives) OVER (ORDER BY decile) AS cum_pos,
+             SUM(n) OVER () AS tn,
+             SUM(positives) OVER () AS tp
+      FROM per
+    )
+    SELECT decile, CAST(n AS BIGINT) AS n,
+           CAST(positives AS BIGINT) AS positives,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(cum_pos AS DOUBLE) / tp AS gain,
+           CAST(cum_pos * tn AS DOUBLE) / (cum_n * tp) AS lift
+    FROM cum ORDER BY decile
+"""
+
+_Q352_NOTES = (
+    "DECILE LIFT / GAINS TABLE (the campaign-targeting readout next to "
+    "q336 PR-AP and the calibration family: how much of the positive "
+    "class does the top-k%% scored population capture, and at what "
+    "multiple of random): deciles assigned against BROADCAST exact-"
+    "percentile boundaries — one metadata-sized agg + map-side "
+    "comparisons, never a global ntile sort (the q350 discipline; "
+    "boundary ties share a decile, engine-exact) — then the cumulative "
+    "window runs over the 10-row decile table (q238 risk-table "
+    "discipline). gain and lift are single IEEE divisions of exact "
+    "integer products"
+)
+
+ROADMAP10["q352_lift_gains"] = (q352_lift_gains, _Q352_ORACLE, _Q352_NOTES)
+
+
+# --- q353: streaming dedup within watermark -------------------------------------
+
+
+def q353_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark over the events replay —
+    the BOUNDED-STATE streaming dedup (plain dropDuplicates on a stream
+    keeps every key forever; the watermark variant evicts dedup state
+    once a key's event time passes the watermark, which is the only form
+    that survives an unbounded stream). Duplicate keys are synthesized
+    (event_id DIV 3 — three events per key); the projected payload is a
+    pure function of the key so ANY survivor yields identical output
+    rows and the batch oracle is a plain DISTINCT."""
+    from ..streaming.runner import read_events_stream, run_available_now
+
+    s = read_events_stream(spark, sf_dir)
+    keyed = (
+        s.select(
+            "ts",
+            F.expr("event_id DIV 3").alias("k"),
+            ((F.expr("event_id DIV 3") * F.lit(2654435761)) % 97).alias("v"),
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    dd = keyed.dropDuplicatesWithinWatermark(["k"])
+    out = run_available_now(dd, output_mode="append")
+    return out.select("k", "v").orderBy("k")
+
+
+_Q353_ORACLE = """
+    SELECT DISTINCT event_id // 3 AS k,
+           (event_id // 3 * 2654435761) % 97 AS v
+    FROM events ORDER BY k
+"""
+
+_Q353_NOTES = (
+    "STREAMING DEDUP WITHIN WATERMARK (dropDuplicatesWithinWatermark "
+    "over the deterministic file-replay harness — the bounded-state "
+    "form of streaming dedup: state for a key is EVICTED once event "
+    "time passes the watermark, the only dedup that survives an "
+    "unbounded stream; completes the streaming-state family next to "
+    "q38/q63/q107 and the custom ingest-dedup): duplicate keys "
+    "synthesized 3-per-key, payload a pure function of the key so any "
+    "survivor is identical and the batch oracle is plain DISTINCT — "
+    "the streaming/batch parity discipline of SURVEY 5.2"
+)
+
+ROADMAP10["q353_stream_dedup_watermark"] = (
+    q353_stream_dedup_watermark,
+    _Q353_ORACLE,
+    _Q353_NOTES,
+)
+
+
+# --- q354: product-quantization encode -------------------------------------------
+
+
+def q354_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook train + encode over the embeddings table
+    (llm/similarity.pq_train/pq_encode — the memory half of
+    billion-vector ANN serving: 64 floats -> 4 one-byte codes). Rows-only
+    by design (spark.ml KMeans centroids are float-sum order dependent,
+    the q65 IVF precedent); pytest pins reconstruction-error dominance
+    over the global-mean quantizer, code-range bounds, and encode
+    determinism given codebooks."""
+    from ..llm.similarity import pq_encode, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, k=16, seed=42)
+    return (
+        pq_encode(emb, books)
+        .select("vec_id", "code", F.round("recon_err", 4).alias("recon_err"))
+        .orderBy("vec_id")
+    )
+
+
+_Q354_NOTES = (
+    "PRODUCT QUANTIZATION train+encode (llm/similarity.pq_train / "
+    "pq_encode — Jegou-Douze-Schmid 2011, the memory side of ANN "
+    "serving next to q65 IVF routing and the int8/Hamming servers: "
+    "d-dim vectors become m subspace codes, 256 bytes -> 4, distances "
+    "reconstruct per subspace): per-subspace KMeans fits on the "
+    "bounded deterministic sample (the ivf fit discipline — multi-pass "
+    "fits scale with the sample), encode is vectorized-numpy argmin in "
+    "map-only Arrow batches with codebooks in the closure. Rows-only: "
+    "KMeans centroids are float-sum order dependent (q65 precedent); "
+    "pytest pins reconstruction dominance + determinism given books"
+)
+
+ROADMAP10["q354_pq_encode"] = (q354_pq_encode, None, _Q354_NOTES)

@@ -272,3 +272,72 @@ def test_audio_fingerprint_container_invariant(spark):
         assert got[did]["fp"] == base, did
     assert got[6]["fp"] != base
     assert not got[7]["decoded"] and got[7]["fp"] is None
+
+
+def test_t_closeness_hand_computed(spark):
+    """Two cells over a 60/40 global split: the skewed cell's TVD is
+    |0.9-0.6| = 0.3 exactly (both value terms agree: 0.3 and 0.3);
+    the balanced cell matches the global distribution with TVD 0."""
+    from dbkit_spark.operators.privacy import t_closeness_audit
+
+    rows = (
+        [("skew", "pos")] * 9 + [("skew", "neg")] * 1
+        + [("even", "pos")] * 51 + [("even", "neg")] * 39
+    )
+    df = spark.createDataFrame(rows, "cell string, s string")
+    got = {
+        r["cell"]: r
+        for r in t_closeness_audit(df, ["cell"], "s", t=0.25).collect()
+    }
+    assert got["skew"]["n_rows"] == 10
+    assert abs(got["skew"]["tvd"] - 0.3) < 1e-9 and got["skew"]["violates"]
+    # even cell: pos 51/90 vs global 0.6 -> TVD = 0.6 - 51/90
+    assert abs(got["even"]["tvd"] - (0.6 - 51 / 90)) < 1e-6
+    assert not got["even"]["violates"]
+    # absent-value arm: a cell holding only one sensitive value
+    df2 = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 10,
+        "cell string, s string",
+    )
+    got2 = {
+        r["cell"]: r
+        for r in t_closeness_audit(df2, ["cell"], "s", t=0.4).collect()
+    }
+    # global: x=0.5, y=0.5; cell a: x=1.0 -> TVD = 0.5*(0.5+0.5) = 0.5
+    assert abs(got2["a"]["tvd"] - 0.5) < 1e-9 and got2["a"]["violates"]
+    # cell b: x=1/3, y=2/3 -> TVD = 1/6
+    assert abs(got2["b"]["tvd"] - 1 / 6) < 1e-6 and not got2["b"]["violates"]
+
+
+def test_pq_encode_reconstruction_and_determinism(spark):
+    """PQ with per-subspace codebooks must reconstruct strictly better
+    than the single-global-mean quantizer (the degenerate k=1 baseline);
+    codes stay in [0, k); encode is deterministic given codebooks."""
+    import random
+
+    from dbkit_spark.llm.similarity import pq_encode, pq_train
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(j % 4, 1.0) for j in range(16)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(emb, m=4, k=8, seed=1, fit_sample_fraction=None)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    out = pq_encode(emb, books).collect()
+    assert len(out) == 400
+    for r in out:
+        assert all(0 <= int(c) < 8 for c in r["code"].split("-"))
+    pq_mse = sum(r["recon_err"] for r in out) / len(out)
+    # k=1 global-mean baseline per subspace
+    mean_books = [
+        [[sum(v[j * 4 + d] for _i, v in rows) / len(rows) for d in range(4)]]
+        for j in range(4)
+    ]
+    base = pq_encode(emb, mean_books).collect()
+    base_mse = sum(r["recon_err"] for r in base) / len(base)
+    assert pq_mse < base_mse * 0.8, (pq_mse, base_mse)
+    again = pq_encode(emb.repartition(7), books).collect()
+    assert sorted((r["vec_id"], r["code"]) for r in again) == sorted(
+        (r["vec_id"], r["code"]) for r in out
+    )
