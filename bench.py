@@ -70,9 +70,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-            # queries with persist barriers (q40, q73) create a fresh
-            # lineage per call; drop each rep's cache so accumulated
-            # blocks can't perturb later reps or later queries
+            # queries with persist barriers (q40's band_keys, q87's
+            # edges, q73) create a fresh lineage per call; drop each
+            # rep's cache so accumulated blocks can't perturb later
+            # reps or later queries
             spark.catalog.clearCache()
         per_query[name] = round(statistics.median(times), 3)
 

@@ -453,7 +453,7 @@ def _ensure_evolved_dirs(spark: SparkSession, sf_dir: str) -> str:
         (
             ev.filter(F.col("event_id") % 2 == 1)
             .select("event_id", "user_id", "value", "event_type")
-            .write.mode("append")
+            .write.mode("overwrite")
             .parquet(os.path.join(path, "gen=2"))
         )
         with open(done, "w") as fh:

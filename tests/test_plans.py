@@ -110,6 +110,17 @@ _INTENTIONAL_CROSS = {
     # pairs) — same justification it carried in the queue gate's
     # intentional set while it was queued
     "q274_truncation_recall",
+    # landed with the round-10 staged q292-q340 registration, carrying
+    # the same per-entry justification they held in the queue gate's
+    # intentional set while queued:
+    #   q306 — hamming rerank broadcasts the QUERY SET (bounded by
+    #          contract, the q43 discipline) against the packed corpus;
+    #          the shortlist needs every query x corpus hamming
+    #   q309 — silhouette scores every vector against every LABEL
+    #          centroid (labels-count-sized broadcast; the metric's
+    #          definition requires all centroids per vector)
+    "q306_hamming_rerank",
+    "q309_silhouette",
 }
 
 
@@ -423,17 +434,11 @@ def test_queue_wide_no_accidental_nlj(spark):
     # baselines whose crossJoin is the DESIGNED plan (probe-subset
     # contract at scale) — same documented set as the catalog gate's
     # _INTENTIONAL_CROSS, kept tiny and justified per entry
-    # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing):
-    #   q306 — hamming rerank broadcasts the QUERY SET (bounded by
-    #          contract, the q43 discipline) against the packed corpus;
-    #          the shortlist needs every query x corpus hamming
-    #   q309 — silhouette scores every vector against every LABEL
-    #          centroid (labels-count-sized broadcast; the metric's
-    #          definition requires all centroids per vector)
-    intentional = {
-        "q306_hamming_rerank",
-        "q309_silhouette",
-    }
+    # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing;
+    # q306/q309 moved there with the round-10 landing — the queue's
+    # intentional set is currently empty and stays declared so the
+    # next justified entry has a place to live):
+    intentional: set[str] = set()
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():
