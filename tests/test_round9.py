@@ -130,9 +130,15 @@ def test_q315_heuristic_disagreement_is_visible(spark):
     """The anchor's agree column must actually expose heuristic
     mis-keys (github.io, gob.mx tenants) — if the PSL and the heuristic
     always agreed the operator would be dead weight."""
+    # q315 landed with the round-10 registration: resolve from the
+    # catalog first, queue as fallback (the test_round8 lookup pattern —
+    # a bare queue lookup KeyErrors once another test triggers landing)
+    from dbkit_spark.catalog import load_all
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    fn, oracle, notes = ROADMAP7["q315_psl_domain"]
+    catalog = load_all()
+    name = "q315_psl_domain"
+    fn = catalog[name].fn if name in catalog else ROADMAP7[name][0]
     out = fn(spark, "/root/testdata/sf0.001")
     counts = dict(out.groupBy("agree").count().collect())
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
@@ -914,13 +920,34 @@ def test_round9_batch2_exchange_budgets(spark):
 
 def test_degree_assortativity_persists_shared_inputs(spark):
     """The edge set and degree table feed multiple branches; the
-    triangle_stats/modularity persistence discipline must hold so the
-    edge corpus is scanned once, not once per branch."""
+    full triangle_stats discipline (ADVICE r9) now applies: persist the
+    shared inputs, EAGERLY localCheckpoint the metadata-sized output,
+    then unpersist — so the edge corpus is scanned once per branch-set
+    AND no cached partitions outlive the call. The returned plan is the
+    checkpointed RDD scan; the storage-release half is asserted
+    directly."""
     edges = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
     from dbkit_spark.operators.graph import degree_assortativity
 
-    plan = _final_plan(degree_assortativity(edges))
-    assert "InMemoryTableScan" in plan
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached() -> int:
+        return len(
+            [i for i in jsc.getRDDStorageInfo() if i.numCachedPartitions() > 0]
+        )
+
+    out = degree_assortativity(edges)
+    plan = _final_plan(out)
+    # eager checkpoint: the result is materialized, not a live lineage
+    assert "ExistingRDD" in plan
+    assert out.collect()[0]["n_edges"] == 2
+    # leak check: repeated calls must not accumulate the edge/degree
+    # caches (the pre-fix behavior grew 2 cached RDDs per call); only
+    # the 1-row checkpoint RDD of each live result may remain.
+    base = cached()
+    for _ in range(3):
+        degree_assortativity(edges).collect()
+    assert cached() - base <= 3  # checkpoint RDDs only, never inputs
 
 
 def test_kruskal_wallis_matches_pure_python(spark):
