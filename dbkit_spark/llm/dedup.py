@@ -229,6 +229,7 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
@@ -247,8 +248,19 @@ def minhash_near_dup_pairs(
     is narrow (doc_id, band_key) and both self-join sides consume it —
     without it the whole minhash agg re-runs per side (A/B receipt in
     BASELINE.md round-8 notes).
+
+    ``persist_shingles=True`` restores the cache barrier for callers
+    that materialize the pair set exactly once into their OWN barrier
+    (q87/q88's component pipelines persist the edge list; the shingle
+    cache then trades 2 recompute scans for one in-memory write+read
+    during that single materialization — measured a ~0.4 s edge at
+    sf0.1, within the host band but consistently signed). Default stays
+    False: one-shot consumers (q40, bench semantics) pay the
+    materialization with no reuse to amortize it.
     """
     shingled = shingle_docs(docs, text_col, id_col)
+    if persist_shingles:
+        shingled = shingled.persist()
     sigs = minhash_signatures(shingled)
     cands = lsh_candidate_pairs(lsh_band_keys(sigs))
     return jaccard_verify(cands, shingled, threshold)

@@ -499,7 +499,10 @@ def q87_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.cluster import assign_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    # persist_shingles: the component pipeline materializes the pair
+    # set once into its own edge persist — the shingle cache pays here
+    # (see minhash_near_dup_pairs docstring), unlike the one-shot q40
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, persist_shingles=True)
     return assign_clusters(docs, pairs).select("doc_id", "cluster_id")
 
 
@@ -519,7 +522,7 @@ def q88_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.cluster import dedup_survivors
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, persist_shingles=True)
     return dedup_survivors(docs, pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )
