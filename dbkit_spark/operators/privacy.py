@@ -176,3 +176,43 @@ def t_closeness_audit(
         tvd.alias("tvd"),
         (tvd > F.lit(float(t))).alias("violates"),
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: Sequence[str],
+    salt: str,
+    token_hex: int = 16,
+) -> DataFrame:
+    """JOIN-CONSISTENT keyed pseudonymization — the release-side
+    companion of the audit trio and free-text ``redact_pii``: direct
+    identifiers are replaced by deterministic keyed tokens
+    (first ``token_hex`` hex digits of md5(salt ':' value)), so the
+    same identifier maps to the same token EVERYWHERE — joins, group
+    counts, sessionization and retention math all still work on the
+    released data, while the identifier itself never appears. NULLs
+    stay NULL (a token for NULL would invent a linkable cohort).
+
+    The md5 construction is this engine's portable stand-in for the
+    production primitive (HMAC-SHA256 with a managed key); exactly as
+    documented for ``dp_counts``, determinism keyed on a salt is only
+    pseudonymization against an adversary who lacks the salt — treat
+    the salt as the release's secret, rotate per release to prevent
+    cross-release linkage. Map-only, codegen'd, zero shuffles; at any
+    scale the cost is one hash per cell.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not 8 <= token_hex <= 32:
+        raise ValueError("token_hex must be in [8, 32]")
+    out = df
+    for c in cols:
+        token = F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(c).cast("string"))),
+            1,
+            token_hex,
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), token).otherwise(F.lit(None))
+        )
+    return out

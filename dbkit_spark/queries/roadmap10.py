@@ -1015,3 +1015,56 @@ _Q354_NOTES = (
 )
 
 ROADMAP10["q354_pq_encode"] = (q354_pq_encode, None, _Q354_NOTES)
+
+
+# --- q355: keyed pseudonymization -------------------------------------------------
+
+
+def q355_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-side pseudonymization (operators/privacy.pseudonymize):
+    user_id becomes a keyed token, and the per-user analytics the
+    release exists for (event counts, distinct types, revenue) still
+    compute — grouped on the token, never the identifier."""
+    from ..operators.aggregate import stable_sum
+    from ..operators.privacy import pseudonymize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    tok = pseudonymize(ev, ["user_id"], salt="r10-release")
+    return (
+        tok.groupBy(F.col("user_id").alias("user_token"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            stable_sum("value", 6).alias("total_value"),
+        )
+        .orderBy("user_token")
+    )
+
+
+_Q355_ORACLE = """
+    SELECT substr(md5('r10-release:' || CAST(user_id AS VARCHAR)), 1, 16)
+             AS user_token,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+"""
+
+_Q355_NOTES = (
+    "KEYED PSEUDONYMIZATION (operators/privacy.pseudonymize — the "
+    "release-side companion of the k-anonymity/l-diversity/t-closeness "
+    "audits and free-text redact_pii: direct identifiers become "
+    "deterministic keyed tokens, so joins/group-bys/retention math on "
+    "the released data still work while the identifier never appears; "
+    "NULLs stay NULL, salt is the release secret — md5 is the portable "
+    "stand-in for production HMAC, documented like dp_counts): "
+    "map-only codegen'd hash per cell, zero shuffles; the analytics "
+    "the release exists for compute on tokens and the oracle replays "
+    "token and aggregates digit-for-digit"
+)
+
+ROADMAP10["q355_pseudonymize"] = (q355_pseudonymize, _Q355_ORACLE, _Q355_NOTES)

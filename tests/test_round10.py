@@ -341,3 +341,24 @@ def test_pq_encode_reconstruction_and_determinism(spark):
     assert sorted((r["vec_id"], r["code"]) for r in again) == sorted(
         (r["vec_id"], r["code"]) for r in out
     )
+
+
+def test_pseudonymize_join_consistent_and_null_safe(spark):
+    """The token is a pure function of (salt, value): the same id
+    tokenizes identically across two tables (joins still work), NULLs
+    stay NULL, different salts unlink releases."""
+    from dbkit_spark.operators.privacy import pseudonymize
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (None, "z")],
+                              "uid long, pa string")
+    b = spark.createDataFrame([(1, "m"), (3, "n")], "uid long, pb string")
+    ta = pseudonymize(a, ["uid"], salt="s1")
+    tb = pseudonymize(b, ["uid"], salt="s1")
+    joined = ta.join(tb, "uid").collect()
+    assert len(joined) == 1 and joined[0]["pa"] == "x" and joined[0]["pb"] == "m"
+    toks = {r["pa"]: r["uid"] for r in ta.collect()}
+    assert toks["z"] is None
+    assert toks["x"] is not None and toks["x"] != "1"
+    # different salt => different token universe (no cross-release link)
+    other = {r["pa"]: r["uid"] for r in pseudonymize(a, ["uid"], "s2").collect()}
+    assert other["x"] != toks["x"]
