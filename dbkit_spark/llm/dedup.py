@@ -254,8 +254,14 @@ def minhash_near_dup_pairs(
     (q87/q88's component pipelines persist the edge list; the shingle
     cache then trades 2 recompute scans for one in-memory write+read
     during that single materialization — measured a ~0.4 s edge at
-    sf0.1, within the host band but consistently signed). Default stays
-    False: one-shot consumers (q40, bench semantics) pay the
+    sf0.1, within the host band but consistently signed). In this mode
+    the PAIR SET is eagerly localCheckpoint-ed so the shingle cache can
+    be released before returning — without that, no caller could ever
+    unpersist it and each invocation would pin the pipeline's widest
+    intermediate for the session (the graph.py ADVICE-r9 lesson); the
+    eager materialization is exactly the work the caller's own barrier
+    was about to do anyway. Default stays False (fully lazy):
+    one-shot consumers (q40, bench semantics) pay cache
     materialization with no reuse to amortize it.
     """
     shingled = shingle_docs(docs, text_col, id_col)
@@ -263,7 +269,11 @@ def minhash_near_dup_pairs(
         shingled = shingled.persist()
     sigs = minhash_signatures(shingled)
     cands = lsh_candidate_pairs(lsh_band_keys(sigs))
-    return jaccard_verify(cands, shingled, threshold)
+    pairs = jaccard_verify(cands, shingled, threshold)
+    if persist_shingles:
+        pairs = pairs.localCheckpoint(eager=True)
+        shingled.unpersist()
+    return pairs
 
 
 def simhash_signatures(

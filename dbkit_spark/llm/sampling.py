@@ -627,13 +627,13 @@ def weighted_sample(
     group_cols: "list[str] | None" = None,
     salt: str = "wres",
 ) -> DataFrame:
-    """Weighted sampling WITHOUT replacement, P(selection) ∝ weight —
-    the A-ES / weighted-reservoir rule (Efraimidis & Spirakis 2006):
-    each row draws u ∈ (0,1] and gets key u^(1/w); the k largest keys
-    per group are the sample. Equivalent (and numerically safer) form
-    used here: key = ln(u)/w, largest-k. Classic LLM-pipeline use:
-    length-proportional document sampling for token-budget estimation,
-    importance-weighted eval subsets.
+    """PER-GROUP weighted sampling WITHOUT replacement, P(selection) ∝
+    weight — the grouped generalization of :func:`weighted_sample_topk`
+    (same Efraimidis & Spirakis 2006 A-ES rule: each row draws
+    u ∈ (0,1] and gets key u^(1/w); the k best keys per group win —
+    here in the equivalent largest-ln(u)/w form). Classic LLM-pipeline
+    use: length-proportional document sampling per language/source for
+    token-budget estimation, importance-weighted eval subsets.
 
     Deterministic (the engine replayability contract): u derives from
     md5(id ':' salt) — u = (u32 + 1)/2^32, never 0 — so the sample is a
@@ -642,30 +642,35 @@ def weighted_sample(
     ranking with an id tiebreak (the SURVEY §5.3 libm rule: ln may
     differ by 1 ulp across engines; the rounding grain absorbs it).
 
-    Scale: one map-side key computation + one per-group top-k window —
-    the same single-exchange shape as stratified_sample; no collect, no
-    driver state. Rows with NULL or non-positive weight are excluded
-    (they have zero selection probability in the A-ES model).
+    Scale: one map-side key computation, then ONE per-group top-k
+    window (the stratified_sample exchange shape). With no
+    ``group_cols`` the plan is TakeOrderedAndProject — per-partition
+    partial top-k merged on the driver side — NEVER an unpartitioned
+    window (the single-reducer sort this repo bans; same shape
+    weighted_sample_topk uses). Rows with NULL or non-positive weight
+    are excluded (zero selection probability in the A-ES model).
     """
-    u32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (u32 + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    from ..functions.portable_hash import u32_md5
+
+    u = (u32_md5(F.col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 32)
+    )
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    clean = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__wkey", key)
     gcols = list(group_cols or [])
+    if not gcols:
+        return (
+            clean.orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+            .limit(int(k))
+            .drop("__wkey")
+        )
     w = Window.partitionBy(*gcols).orderBy(
         F.col("__wkey").desc(), F.col(id_col).asc()
     )
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__wkey", key)
-        .withColumn("__wrn", F.row_number().over(w))
+        clean.withColumn("__wrn", F.row_number().over(w))
         .filter(F.col("__wrn") <= k)
         .drop("__wkey", "__wrn")
     )

@@ -35,27 +35,41 @@ def handoff_links(
     max_gap_s: int = 600,
 ) -> DataFrame:
     """Distinct undirected id-link pairs (id_a < id_b): consecutive
-    events on the same device, different ids, gap ≤ ``max_gap_s``."""
+    events on the same device, different ids, gap ≤ ``max_gap_s``.
+
+    The gap compares EXACT INTEGER MICROSECONDS (unix_micros — the
+    repo-wide time-arithmetic rule): a second-truncating comparison
+    would link a 600.9 s gap that a fractional-second engine rejects,
+    a cross-engine divergence a round-boundary fixture would expose.
+    NULL devices are excluded BEFORE the window: an unknown device is
+    no evidence of identity, and without the guard every
+    missing-device event across all users would share one window
+    partition and mint spurious cross-user links.
+    """
     w = Window.partitionBy("_dev").orderBy(
         F.col("_ts").asc(), F.col("_ord").asc()
     )
-    seq = events.select(
-        F.col(id_col).alias("_id"),
-        F.col(device_col).alias("_dev"),
-        F.col(ts_col).alias("_ts"),
-        F.col(order_col).alias("_ord"),
-    ).select(
-        "_id",
-        "_ts",
-        F.lag("_id").over(w).alias("_prev_id"),
-        F.lag("_ts").over(w).alias("_prev_ts"),
+    seq = (
+        events.filter(F.col(device_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(device_col).alias("_dev"),
+            F.col(ts_col).alias("_ts"),
+            F.col(order_col).alias("_ord"),
+        )
+        .select(
+            "_id",
+            "_ts",
+            F.lag("_id").over(w).alias("_prev_id"),
+            F.lag("_ts").over(w).alias("_prev_ts"),
+        )
     )
     linked = seq.filter(
         F.col("_prev_id").isNotNull()
         & (F.col("_prev_id") != F.col("_id"))
         & (
-            F.unix_timestamp("_ts") - F.unix_timestamp("_prev_ts")
-            <= F.lit(int(max_gap_s))
+            F.unix_micros("_ts") - F.unix_micros("_prev_ts")
+            <= F.lit(int(max_gap_s) * 1_000_000)
         )
     )
     return linked.select(

@@ -852,6 +852,8 @@ def permutation_test(
         16,
         10,
     ).cast("long")
+    # (not u32_md5: the "salt" here is the permutation index b, a COLUMN —
+    # the literal-salt helper would change the hashed string)
     perm_tag = F.when(
         u32.cast("decimal(20,0)") * F.col("_ut").cast("decimal(20,0)")
         < F.lit(4294967296).cast("decimal(20,0)")

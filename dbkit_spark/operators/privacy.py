@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -132,8 +132,17 @@ def t_closeness_audit(
         F.count(F.lit(1)).alias("_cv")
     )
     cell_tot = cell_val.groupBy(*quasi_cols).agg(F.sum("_cv").alias("_ct"))
-    glob_val = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_gv"))
-    glob_tot = df.count()
+    # global totals stay LAZY: the value table carries its own total via
+    # a values-sized window, so constructing this DataFrame never runs a
+    # job (an eager df.count() here cost one full extra input scan per
+    # call, even for analysis-only consumers like the plan gates)
+    glob_val = (
+        df.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_gv"))
+        .withColumn(
+            "_gt", F.sum("_gv").over(Window.partitionBy(F.lit(1)))
+        )
+    )
     # decimal(20,9), NOT (38,9): Spark's subtract widens precision by 1
     # and a 38-precision input overflows the cap, silently REDUCING the
     # result scale to 8 (allowPrecisionLoss) — every term would round at
@@ -142,14 +151,14 @@ def t_closeness_audit(
     term = F.round(
         F.abs(
             F.col("_cv").cast("double") / F.col("_ct")
-            - F.col("_gv").cast("double") / F.lit(float(glob_tot))
+            - F.col("_gv").cast("double") / F.col("_gt")
         ),
         9,
     ).cast("decimal(20,9)")
     # values the CELL lacks still contribute |0 - p_global(s)|: Σ over
     # present values of (term - p_g) plus the constant Σ_s p_g = 1
     p_g = F.round(
-        F.col("_gv").cast("double") / F.lit(float(glob_tot)), 9
+        F.col("_gv").cast("double") / F.col("_gt"), 9
     ).cast("decimal(20,9)")
     per_cell = (
         cell_val.join(F.broadcast(glob_val), sensitive_col)

@@ -215,18 +215,9 @@ def tdigest_build(
     """
     import pandas as pd
 
-    salt = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(value_col).cast("string"), F.lit(":td"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % fanout
-    )
+    from ..functions.portable_hash import u32_md5
+
+    salt = u32_md5(F.col(value_col), "td") % fanout
     src = (
         df.filter(F.col(value_col).isNotNull())
         .select(

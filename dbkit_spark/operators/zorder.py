@@ -146,17 +146,10 @@ def zorder_value_replayable(
     """
     from pyspark.sql import Window
 
+    from ..functions.portable_hash import u32_md5
+
     thresh = int(fraction * (1 << 32))
-    u32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":zorder"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    samp = df.filter(u32 < F.lit(thresh))
+    samp = df.filter(u32_md5(F.col(key_col), "zorder") < F.lit(thresh))
     n = samp.count()
     want = (1 << bits) - 1
     ranks = [-(-i * n // (1 << bits)) for i in range(1, want + 1)]  # ceil

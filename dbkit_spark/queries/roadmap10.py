@@ -175,14 +175,15 @@ _Q344_ORACLE = """
       SELECT user_id, ts,
              lag(user_id) OVER w AS prev_id,
              lag(ts) OVER w AS prev_ts
-      FROM ev WINDOW w AS (PARTITION BY dev ORDER BY ts, event_id)
+      FROM ev WHERE dev IS NOT NULL
+      WINDOW w AS (PARTITION BY dev ORDER BY ts, event_id)
     ),
     links AS (
       SELECT DISTINCT LEAST(user_id, prev_id) AS a,
                       GREATEST(user_id, prev_id) AS b
       FROM seq
       WHERE prev_id IS NOT NULL AND prev_id <> user_id
-        AND epoch(ts) - epoch(prev_ts) <= 600
+        AND epoch_us(ts) - epoch_us(prev_ts) <= 600000000
     ),
     edges AS (
       SELECT a AS src, b AS dst FROM links

@@ -155,7 +155,13 @@ def test_no_nested_output_columns_anywhere(spark):
     scan of all 341). The repo convention (catalog.py:5-9) is to
     serialize collections to strings (sorted concat or to_json) at the
     catalog boundary while operators keep real arrays for API users.
-    This gate pins the class shut: lazy analysis only, no execution."""
+    This gate pins the class shut. Cost note: the check itself reads
+    only schemas, but BUILDING fn(spark, sf) is not free for every
+    entry — a handful of queries execute work at construction time
+    (q353's streaming replay, q354's KMeans fits, q345/q348 fixture
+    writes, eager-checkpoint component pipelines), so this is one of
+    the suite's slower tests; that cost is the price of a
+    catalog-wide guarantee and is paid at the smallest fixture."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from dbkit_spark.queries.roadmap7 import ROADMAP7

@@ -362,3 +362,45 @@ def test_pseudonymize_join_consistent_and_null_safe(spark):
     # different salt => different token universe (no cross-release link)
     other = {r["pa"]: r["uid"] for r in pseudonymize(a, ["uid"], "s2").collect()}
     assert other["x"] != toks["x"]
+
+
+def test_weighted_sample_ungrouped_is_take_ordered(spark):
+    """With no group_cols the plan must be TakeOrderedAndProject
+    (partial per-partition top-k), never an unpartitioned window's
+    SinglePartition sort — and it must pick exactly the global top-k
+    of the same keys the grouped path ranks."""
+    from dbkit_spark.llm.sampling import weighted_sample
+
+    big = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 17 + 1).cast("double").alias("w")
+    )
+    got = weighted_sample(big, "id", "w", k=25)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # equivalence with the grouped path on a constant group
+    grouped = weighted_sample(
+        big.withColumn("g", F.lit("all")), "id", "w", k=25, group_cols=["g"]
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in grouped.collect()
+    )
+
+
+def test_q353_single_batch_assumption():
+    """q353's plain-DISTINCT oracle is valid only while the events
+    fixture replays as ONE micro-batch (a single parquet file at
+    maxFilesPerTrigger=1): dropDuplicatesWithinWatermark evicts a key's
+    state once event time passes the watermark, so a duplicate arriving
+    in a LATER batch after eviction would legitimately re-emit and the
+    DISTINCT oracle would mismatch. Pin the assumption here so a
+    regenerated multi-file fixture flips THIS test with a readable
+    message instead of q353 silently going red in a driver sweep."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        assert os.path.isfile(p), (
+            f"{p} is no longer a single file: q353's one-micro-batch "
+            "assumption broke — re-derive its oracle for multi-batch "
+            "replay (state eviction re-emits across batches)"
+        )
