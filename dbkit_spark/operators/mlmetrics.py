@@ -1164,3 +1164,57 @@ def average_precision(
             F.max(f1).alias("best_f1"),
         )
     )
+
+
+def pair_quality(
+    predicted: DataFrame,
+    truth: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Precision/recall/F1 of a predicted PAIR SET against a ground-truth
+    pair set — the evaluation harness for the dedup/linkage family
+    itself (how much does LSH banding miss vs the exact baseline? what
+    does a blocking key cost in recall?). Pairs are canonicalized
+    (least/greatest, distinct) on both sides so orientation and
+    duplicates can't skew the counts.
+
+    Output: ONE row (n_pred, n_true, tp, precision, recall, f1) — every
+    ratio a single IEEE division of exact integers (f1 = 2·tp /
+    (n_pred + n_true), the set-F1 identity, no float intermediates).
+
+    Scale: two distinct aggregations + one pair-keyed equi-join (the
+    pair sets are outputs of already-bounded candidate generators, tiny
+    next to the corpus) + metadata-sized count aggregates.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("_a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("_b"),
+        ).distinct()
+
+    p = canon(predicted)
+    t = canon(truth)
+    np_ = p.groupBy().agg(F.count("*").cast("long").alias("n_pred"))
+    nt = t.groupBy().agg(F.count("*").cast("long").alias("n_true"))
+    tp = (
+        p.join(t, ["_a", "_b"])
+        .groupBy()
+        .agg(F.count("*").cast("long").alias("tp"))
+    )
+    return (
+        np_.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_pred",
+            "n_true",
+            "tp",
+            (F.col("tp").cast("double") / F.col("n_pred")).alias("precision"),
+            (F.col("tp").cast("double") / F.col("n_true")).alias("recall"),
+            (
+                (2 * F.col("tp")).cast("double")
+                / (F.col("n_pred") + F.col("n_true"))
+            ).alias("f1"),
+        )
+    )

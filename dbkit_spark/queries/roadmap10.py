@@ -1069,3 +1069,149 @@ _Q355_NOTES = (
 )
 
 ROADMAP10["q355_pseudonymize"] = (q355_pseudonymize, _Q355_ORACLE, _Q355_NOTES)
+
+
+# --- q356: PMI collocations ----------------------------------------------------
+
+
+def q356_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-2 PMI collocation mining over documents
+    (llm/collocations.pmi_collocations — the phrase-detection /
+    tokenizer-merge-seeding statistic): unordered token pairs
+    co-occurring >= 5 times, scored by pointwise mutual information
+    over the pair universe."""
+    from ..llm.collocations import pmi_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, window=2, min_count=5).orderBy(
+        "tok_a", "tok_b"
+    )
+
+
+_Q356_ORACLE = """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    ok AS (SELECT t FROM toks WHERE len(t) >= 2),
+    pairs AS (
+      SELECT LEAST(t[g1.i], t[g2.j]) AS tok_a,
+             GREATEST(t[g1.i], t[g2.j]) AS tok_b
+      FROM ok,
+           UNNEST(generate_series(1, len(t) - 1)) AS g1(i),
+           UNNEST(generate_series(g1.i + 1,
+                                  LEAST(g1.i + 2, len(t)))) AS g2(j)
+    ),
+    pc AS (
+      SELECT tok_a, tok_b, COUNT(*) AS n_pair
+      FROM pairs GROUP BY 1, 2
+    ),
+    slots AS (
+      SELECT tok_a AS tok FROM pairs
+      UNION ALL
+      SELECT tok_b FROM pairs
+    ),
+    marg AS (SELECT tok, COUNT(*) AS n_tok FROM slots GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n2 FROM pairs)
+    SELECT pc.tok_a, pc.tok_b, pc.n_pair,
+           ma.n_tok AS n_a, mb.n_tok AS n_b,
+           round(ln(CAST(pc.n_pair AS DOUBLE) * total.n2
+                    / (CAST(ma.n_tok AS DOUBLE) * mb.n_tok)), 6) AS pmi
+    FROM pc
+    JOIN marg ma ON ma.tok = pc.tok_a
+    JOIN marg mb ON mb.tok = pc.tok_b, total
+    WHERE pc.n_pair >= 5
+    ORDER BY tok_a, tok_b
+"""
+
+_Q356_NOTES = (
+    "PMI COLLOCATION MINING (llm/collocations.pmi_collocations — the "
+    "phrase-detection / tokenizer-merge-seeding corpus statistic next "
+    "to RAKE q270 and the bigram LM q250): WINDOW-based co-occurrence "
+    "is the load-bearing scale choice — same-document pair counting is "
+    "len^2 per doc (the banned accidental-quadratic class), a +-w "
+    "window emits <= w pairs per position, LINEAR in corpus size, and "
+    "generation is pure map-side codegen (flatten/transform over the "
+    "token array — no self-join). Unordered pairs via least/greatest; "
+    "marginals count pair slots so all probabilities share one sample "
+    "space; exact integer counts, one 6dp-rounded log. Oracle replays "
+    "windows, pairs, marginals, and the log via lateral generate_series"
+)
+
+ROADMAP10["q356_pmi_collocations"] = (
+    q356_pmi_collocations,
+    _Q356_ORACLE,
+    _Q356_NOTES,
+)
+
+
+# --- q357: dedup pipeline quality audit ------------------------------------------
+
+
+def q357_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the LSH dedup pipeline AGAINST its own exact baseline
+    (operators/mlmetrics.pair_quality): predicted = minhash-banded +
+    Jaccard-verified pairs (q40), truth = exact inverted-index Jaccard
+    pairs (q42). Verified candidates make precision structurally 1.0;
+    recall is the banding miss rate — the number a dedup owner actually
+    tunes bands/rows against."""
+    from ..llm.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
+    from ..operators.mlmetrics import pair_quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = minhash_near_dup_pairs(docs, threshold=0.5)
+    truth = ngram_jaccard_pairs(docs, threshold=0.5)
+    return pair_quality(pred, truth)
+
+
+def _q357_oracle() -> str:
+    from .llm import _JACCARD_SQL, _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    tr_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT c.doc_a, c.doc_b
+      FROM tr_cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {_JACCARD_SQL} >= 0.5
+    ),
+    pred AS (SELECT doc_a, doc_b FROM mh_pairs),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+             (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM pred JOIN truth USING (doc_a, doc_b))
+               AS tp
+    )
+    SELECT n_pred, n_true, tp,
+           CAST(tp AS DOUBLE) / n_pred AS precision,
+           CAST(tp AS DOUBLE) / n_true AS recall,
+           CAST(2 * tp AS DOUBLE) / (n_pred + n_true) AS f1
+    FROM counts
+    """
+
+
+_Q357_NOTES = (
+    "DEDUP PIPELINE QUALITY AUDIT (operators/mlmetrics.pair_quality — "
+    "the evaluation harness for the dedup/linkage family itself: "
+    "predicted LSH pairs q40 vs the exact inverted-index baseline q42; "
+    "verified candidates make precision structurally 1.0 and recall IS "
+    "the banding miss rate, the number bands/rows get tuned against): "
+    "pairs canonicalized least/greatest+distinct both sides, one "
+    "pair-keyed equi-join + metadata-sized counts; P/R/F1 are single "
+    "IEEE divisions of exact integers (set-F1 identity 2tp/(np+nt)). "
+    "Truth side rides the require_small-guarded exact baseline — the "
+    "audit is a fixture-scale diagnostic by design, like every exact "
+    "baseline in the q43/q44 class"
+)
+
+ROADMAP10["q357_dedup_quality"] = (
+    q357_dedup_quality,
+    _q357_oracle(),
+    _Q357_NOTES,
+)

@@ -404,3 +404,47 @@ def test_q353_single_batch_assumption():
             "assumption broke — re-derive its oracle for multi-batch "
             "replay (state eviction re-emits across batches)"
         )
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """'a b a b c' with window 2: pair universe has 7 slots-pairs —
+    a-b x3 (positions 12,23,34), a-a (13), b-b (24), a-c (35), b-c (45);
+    marginals a=6, b=6, c=2; with min_count=2 only a-b survives with
+    pmi = ln(3*7/36)."""
+    import math
+
+    from dbkit_spark.llm.collocations import pmi_collocations
+
+    df = spark.createDataFrame([("a b a b c",)], "text string")
+    got = pmi_collocations(df, window=2, min_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["tok_a"], r["tok_b"], r["n_pair"], r["n_a"], r["n_b"]) == (
+        "a", "b", 3, 6, 6,
+    )
+    assert abs(r["pmi"] - round(math.log(3 * 7 / 36), 6)) < 1e-9
+    # window=1 restricts to adjacent pairs only: a-b x4? no — adjacent
+    # pairs are (a,b),(b,a),(a,b),(b,c) -> a-b x3, b-c x1
+    got1 = {
+        (r["tok_a"], r["tok_b"]): r["n_pair"]
+        for r in pmi_collocations(df, window=1, min_count=1).collect()
+    }
+    assert got1 == {("a", "b"): 3, ("b", "c"): 1}
+
+
+def test_pair_quality_hand_computed(spark):
+    """Canonicalization (orientation + duplicates) must not skew
+    counts; P/R/F1 follow the set identities."""
+    from dbkit_spark.operators.mlmetrics import pair_quality
+
+    pred = spark.createDataFrame(
+        # (2,1) reversed + duplicated -> one canonical pair; (5,6) false
+        [(2, 1), (1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    r = pair_quality(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["tp"]) == (3, 3, 2)
+    assert r["precision"] == 2 / 3 and r["recall"] == 2 / 3
+    assert r["f1"] == 4 / 6
