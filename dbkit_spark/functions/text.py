@@ -397,3 +397,40 @@ def url_normalize(col: Column | str) -> Column:
     return F.when(
         scheme == "", c  # relative / schemeless: pass through untouched
     ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
+
+
+def blocklist_hits(
+    text_col: "Column | str",
+    terms: "list[str]",
+    phrases: "list[str] | None" = None,
+) -> "tuple[Column, Column, Column]":
+    """CONTENT-FILTER primitive (the blocklist gate every training
+    corpus runs before quality scoring — policy terms, spam markers,
+    boilerplate signatures): returns ``(n_hits, hit_terms, flagged)``
+    where single-word ``terms`` match on WHOLE TOKENS via
+    array_intersect against a broadcast literal list (no regex at all —
+    immune to the Java-vs-RE2 divergence class and to substring false
+    positives like 'class' in 'classic'), and multi-word ``phrases``
+    match by lowercase substring ``contains`` (a bounded codegen'd OR
+    chain). ``hit_terms`` is the sorted comma-join of matched entries —
+    a scalar per the SURVEY §5.3 contract.
+
+    Map-only, whole-stage codegen, zero shuffles; the blocklist ships
+    as plan literals (the PSL/broadcast-dim discipline applies past a
+    few thousand entries — join on the token instead)."""
+    if not terms and not phrases:
+        raise ValueError("need at least one term or phrase")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    word_hits = F.array_sort(
+        F.array_intersect(
+            tokens(c), F.array(*[F.lit(t.lower()) for t in (terms or [])])
+        )
+    )
+    low = F.lower(c)
+    phrase_hits = F.filter(
+        F.array(*[F.lit(p.lower()) for p in (phrases or [])]),
+        lambda p: F.contains(low, p),
+    )
+    all_hits = F.array_sort(F.concat(word_hits, phrase_hits))
+    n = F.size(all_hits).cast("long")
+    return n, F.array_join(all_hits, ","), n > 0

@@ -1215,3 +1215,65 @@ ROADMAP10["q357_dedup_quality"] = (
     _q357_oracle(),
     _Q357_NOTES,
 )
+
+
+# --- q358: blocklist content filter ----------------------------------------------
+
+
+def q358_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate over documents (functions/text.blocklist_hits):
+    whole-token terms + one substring phrase, per-doc hit count/list/
+    flag — the content-policy pre-filter that runs before quality
+    scoring in every corpus pipeline."""
+    from ..functions.text import blocklist_hits
+
+    docs = read_table(spark, sf_dir, "documents")
+    n, hits, flagged = blocklist_hits(
+        "text", terms=["dup", "slow", "leak"], phrases=["batch batch"]
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_hits"),
+        hits.alias("hit_terms"),
+        flagged.alias("flagged"),
+    ).orderBy("doc_id")
+
+
+_Q358_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_intersect(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''),
+               ['dup', 'slow', 'leak'])) AS word_hits,
+             CASE WHEN contains(lower(text), 'batch batch')
+                  THEN ['batch batch'] ELSE [] END AS phrase_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(word_hits) + len(phrase_hits) AS BIGINT) AS n_hits,
+           COALESCE(array_to_string(
+               list_sort(list_concat(word_hits, phrase_hits)), ','), '')
+             AS hit_terms,
+           len(word_hits) + len(phrase_hits) > 0 AS flagged
+    FROM t ORDER BY doc_id
+"""
+
+_Q358_NOTES = (
+    "BLOCKLIST CONTENT FILTER (functions/text.blocklist_hits — the "
+    "policy/spam/boilerplate gate that runs before quality scoring in "
+    "every corpus pipeline, next to redact_pii q98 and the quality "
+    "scores q45/q90): single-word terms match WHOLE TOKENS via "
+    "array_intersect against plan literals (no regex — immune to the "
+    "Java-vs-RE2 divergence class and substring false positives), "
+    "multi-word phrases via a bounded codegen'd contains chain; "
+    "hit_terms is the sorted comma-join (scalar contract). Map-only, "
+    "zero shuffles; blocklists beyond a few thousand entries join on "
+    "the token instead (documented)"
+)
+
+ROADMAP10["q358_blocklist_filter"] = (
+    q358_blocklist_filter,
+    _Q358_ORACLE,
+    _Q358_NOTES,
+)

@@ -448,3 +448,33 @@ def test_pair_quality_hand_computed(spark):
     assert (r["n_pred"], r["n_true"], r["tp"]) == (3, 3, 2)
     assert r["precision"] == 2 / 3 and r["recall"] == 2 / 3
     assert r["f1"] == 4 / 6
+
+
+def test_blocklist_hits_whole_token_and_phrase(spark):
+    """Whole-token semantics: 'class' must not hit inside 'classic';
+    phrases match by substring; hits come back sorted and the count
+    covers both arms."""
+    from dbkit_spark.functions.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "a classic Value here"),     # no whole-token 'class'
+            (2, "the class of VALUE things"),  # both terms hit
+            (3, "bad actor spotted"),        # phrase hit only
+            (4, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    n, hits, flagged = blocklist_hits(
+        "text", terms=["class", "value"], phrases=["bad actor"]
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["h"], r["f"])
+        for r in df.select(
+            "doc_id", n.alias("n"), hits.alias("h"), flagged.alias("f")
+        ).collect()
+    }
+    assert got[1] == (1, "value", True)  # 'classic' does NOT match 'class'
+    assert got[2] == (2, "class,value", True)
+    assert got[3] == (1, "bad actor", True)
+    assert got[4] == (0, "", False)
