@@ -478,3 +478,106 @@ def test_blocklist_hits_whole_token_and_phrase(spark):
     assert got[2] == (2, "class,value", True)
     assert got[3] == (1, "bad actor", True)
     assert got[4] == (0, "", False)
+
+
+def test_density_clusters_randomized_bruteforce(spark):
+    """Random pair graphs vs a pure-python replay of the exact
+    semantics (degree >= min_pts cores, BFS components over core-core
+    edges with min-id labels, border = min core-neighbor label)."""
+    from dbkit_spark.llm.cluster import density_clusters
+
+    for seed, min_pts in [(1, 2), (2, 3), (5, 2)]:
+        rng = random.Random(seed)
+        nodes = list(range(1, 41))
+        edges = set()
+        for _ in range(70):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        # python replay
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        cores = {n for n, nb in adj.items() if len(nb) >= min_pts}
+        labels = {}
+        for start in sorted(cores):
+            if start in labels:
+                continue
+            comp, stack = set(), [start]
+            while stack:
+                n = stack.pop()
+                if n in comp:
+                    continue
+                comp.add(n)
+                stack.extend(m for m in adj[n] if m in cores and m not in comp)
+            root = min(comp)
+            for n in comp:
+                labels[n] = root
+        expected = {n: (labels[n], "core") for n in cores}
+        for n, nb in adj.items():
+            if n in cores:
+                continue
+            core_nb = [labels[m] for m in nb if m in cores]
+            if core_nb:
+                expected[n] = (min(core_nb), "border")
+        df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        got = {
+            r["id"]: (r["cluster_id"], r["role"])
+            for r in density_clusters(df, min_pts=min_pts).collect()
+        }
+        assert got == expected, (seed, min_pts)
+
+
+def test_identity_stitch_randomized_bruteforce(spark):
+    """Random event streams vs a pure-python replay: per-device
+    (ts, event_id) order, link consecutive different ids within the
+    gap (exact microseconds), union-find closure, min-id identity."""
+    from datetime import datetime, timedelta
+
+    from dbkit_spark.operators.identity import stitch_identities
+
+    t0 = datetime(2026, 2, 1)
+    for seed in (3, 8):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(120):
+            rows.append(
+                (
+                    eid,
+                    t0 + timedelta(microseconds=rng.randrange(0, 3_000_000_000)),
+                    rng.randrange(1, 15),  # user
+                    rng.randrange(1, 8),   # device
+                )
+            )
+        # python replay
+        by_dev = {}
+        for eid, ts, uid, dev in rows:
+            by_dev.setdefault(dev, []).append((ts, eid, uid))
+        links = set()
+        gap = 600 * 1_000_000
+        for dev, evs in by_dev.items():
+            evs.sort()
+            for (pts, _pe, pu), (ts, _e, u) in zip(evs, evs[1:]):
+                if u != pu and int((ts - pts).total_seconds() * 1e6 + 0.5) <= gap:
+                    links.add((min(u, pu), max(u, pu)))
+        parent = {u: u for _e, _t, u, _d in rows}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in links:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {u: find(u) for u in parent}
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, device long"
+        )
+        got = {
+            r["id"]: r["identity_id"]
+            for r in stitch_identities(
+                df, "user_id", "device", "ts", "event_id", max_gap_s=600
+            ).collect()
+        }
+        assert got == expected, seed
