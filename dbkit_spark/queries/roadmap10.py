@@ -1277,3 +1277,83 @@ ROADMAP10["q358_blocklist_filter"] = (
     _Q358_ORACLE,
     _Q358_NOTES,
 )
+
+
+# --- q359: high-diameter components via star contraction --------------------------
+
+
+def q359_components_contracting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction components on a deliberately HIGH-DIAMETER link
+    graph (llm/cluster.connected_components_contracting — Kiveris
+    two-phase large-star/small-star): the user-id chain u—(u+1) with a
+    break before every multiple of 37 has diameter ~= segment length,
+    the shape where plain min-label propagation needs diameter-many
+    rounds and the contraction loop needs O(log n)."""
+    from pyspark.sql import Window
+
+    from ..llm.cluster import connected_components_contracting
+
+    ids = (
+        read_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    w = Window.orderBy("u")
+    edges = (
+        ids.withColumn("_next", F.lead("u").over(w))
+        .filter(
+            F.col("_next").isNotNull()
+            & (F.col("_next") == F.col("u") + 1)
+            & (F.col("_next") % 37 != 0)
+        )
+        .select(F.col("u").alias("doc_a"), F.col("_next").alias("doc_b"))
+    )
+    comp = connected_components_contracting(edges, max_iter=12)
+    return (
+        ids.join(comp, ids["u"] == comp["id"], "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.coalesce("cluster_id", F.col("u")).alias("component"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q359_ORACLE = """
+    WITH ids AS (SELECT DISTINCT user_id AS u FROM events),
+    marked AS (
+      SELECT u,
+             CASE WHEN u % 37 = 0
+                    OR lag(u) OVER (ORDER BY u) IS NULL
+                    OR lag(u) OVER (ORDER BY u) <> u - 1
+                  THEN u END AS seg_start
+      FROM ids
+    )
+    SELECT u AS user_id,
+           MAX(seg_start) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS component
+    FROM marked ORDER BY u
+"""
+
+_Q359_NOTES = (
+    "HIGH-DIAMETER CONNECTED COMPONENTS via alternating star "
+    "contraction (llm/cluster.connected_components_contracting — "
+    "Kiveris et al. SoCC 2014 large-star/small-star; closes the gap "
+    "the plain min-label loop documents: propagation needs "
+    "diameter-many rounds, contraction halves diameter per pass, "
+    "O(log n) on any shape): each phase is one min-agg + one edge "
+    "equi-join, edge set only shrinks toward the star forest of "
+    "component minima; exact multiset fixpoint probe. Anchor graph is "
+    "a user-id chain with breaks (diameter ~= segment length — plain "
+    "CC at the same round budget RuntimeErrors, pytest-pinned); the "
+    "oracle derives components as running-max segment starts. The "
+    "window in the anchor's edge SYNTHESIS is fixture-sized; the "
+    "operator itself never sorts globally"
+)
+
+ROADMAP10["q359_components_contracting"] = (
+    q359_components_contracting,
+    _Q359_ORACLE,
+    _Q359_NOTES,
+)

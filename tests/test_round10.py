@@ -581,3 +581,40 @@ def test_identity_stitch_randomized_bruteforce(spark):
             ).collect()
         }
         assert got == expected, seed
+
+
+def test_contracting_components_high_diameter_and_equivalence(spark):
+    """The documented high-diameter gap, closed: a 60-node path graph
+    (diameter 59) exceeds plain min-label propagation's round budget at
+    max_iter=10, while star contraction converges in O(log n) passes;
+    and on random graphs both algorithms produce identical components."""
+    from dbkit_spark.llm.cluster import (
+        connected_components,
+        connected_components_contracting,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_contracting(chain, max_iter=10).collect()
+    }
+    assert got == {i: 1 for i in range(1, 61)}
+
+    for seed in (4, 9):
+        rng = random.Random(seed)
+        edges = {
+            tuple(sorted(rng.sample(range(1, 31), 2))) for _ in range(25)
+        }
+        df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        a = sorted(
+            tuple(r) for r in connected_components(df, max_iter=25).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in connected_components_contracting(df, max_iter=20).collect()
+        )
+        assert a == b, seed
