@@ -25,6 +25,19 @@ from __future__ import annotations
 from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
+# Round-11 landing move (pre-computed at round-10 close): the queue
+# holds exactly 19 entries (q341 + q342–q359), all pre-verified at both
+# driver scales. Setting _LANDED_MAX_QNUM = 359 lands them all; the r11
+# window becomes those 19 never-driver-checked entries plus the 31
+# least-recently-verified greens (the rotation tops up with evidence
+# REFRESH, so no registered query is left evidence-less — landing fewer
+# than a full window cannot break the invariant the way over-landing
+# can). Nothing in this arithmetic depends on CORRECTNESS_r10's
+# contents unless a registered query FAILS that sweep; a failed query
+# re-enters the window ahead of the queue exactly as q289 did this
+# round, displacing the newest-numbered queued entries — re-check the
+# count then.
+#
 # Round-10 landing (VERDICT r9 item 2): land 49, NOT 50. q289 failed the
 # r09 driver sweep (nested-column canonicalization, fixed in roadmap7.py
 # this round), so its last-green round is 0 and it re-enters the r10
