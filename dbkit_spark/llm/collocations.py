@@ -1,10 +1,18 @@
-"""PMI collocation mining over a document corpus.
+"""Windowed (skip-gram) PMI collocation mining over a document corpus.
 
 The corpus-analysis primitive behind phrase detection, tokenizer-merge
 seeding, and vocabulary curation: which word pairs co-occur far more
 than chance? Pointwise mutual information over a bounded co-occurrence
 window, PMI(a,b) = log( P(a,b) / (P(a)·P(b)) ) with probabilities taken
 over the pair universe (the word2vec-style window counting).
+
+Relationship to the registered q240 (queries/roadmap7.py
+q240_pmi_collocations): q240 is the ADJACENT-BIGRAM special case —
+ordered pairs at distance exactly 1, the phrase-detection form. This
+operator generalizes to a ±``window`` neighborhood with UNORDERED
+accumulation, which is the association statistic embedding training and
+topic drift analysis use (non-adjacent co-occurrence like "sort …
+merge" is invisible to a bigram counter).
 
 Scale design — the load-bearing choice is WINDOW-based co-occurrence:
 counting pairs "anywhere in the same document" is Θ(len²) per document

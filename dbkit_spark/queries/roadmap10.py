@@ -1075,11 +1075,11 @@ ROADMAP10["q355_pseudonymize"] = (q355_pseudonymize, _Q355_ORACLE, _Q355_NOTES)
 
 
 def q356_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-2 PMI collocation mining over documents
-    (llm/collocations.pmi_collocations — the phrase-detection /
-    tokenizer-merge-seeding statistic): unordered token pairs
-    co-occurring >= 5 times, scored by pointwise mutual information
-    over the pair universe."""
+    """Window-2 skip-gram PMI over documents
+    (llm/collocations.pmi_collocations — the windowed, unordered
+    generalization of q240's adjacent-bigram PMI): token pairs
+    co-occurring within 2 positions >= 5 times, scored by pointwise
+    mutual information over the pair universe."""
     from ..llm.collocations import pmi_collocations
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1126,9 +1126,12 @@ _Q356_ORACLE = """
 """
 
 _Q356_NOTES = (
-    "PMI COLLOCATION MINING (llm/collocations.pmi_collocations — the "
-    "phrase-detection / tokenizer-merge-seeding corpus statistic next "
-    "to RAKE q270 and the bigram LM q250): WINDOW-based co-occurrence "
+    "WINDOWED (SKIP-GRAM) PMI (llm/collocations.pmi_collocations — the "
+    "window-w generalization of q240's ADJACENT-bigram PMI: q240 sees "
+    "only immediate neighbors; a +-w window catches the non-adjacent "
+    "associations word2vec-style co-occurrence is built on, with "
+    "unordered least/greatest accumulation where q240 keeps bigram "
+    "order): WINDOW-based co-occurrence "
     "is the load-bearing scale choice — same-document pair counting is "
     "len^2 per doc (the banned accidental-quadratic class), a +-w "
     "window emits <= w pairs per position, LINEAR in corpus size, and "
