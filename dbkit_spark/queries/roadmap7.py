@@ -48,7 +48,18 @@ def q201_ann_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") < 100)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"dbkit_ann_inc_{sf_tag}")
-    save_hyperplane_index_multi(corpus, path, n_tables=2)
+    # write-once, mtime-stamped (the q144 fixture discipline): the index
+    # content is a deterministic function of the corpus, so a fresh
+    # marker makes the rewrite a no-op — previously every call (and
+    # every catalog-wide gate scan) rewrote the index, and two parallel
+    # test sessions could race on the shared tmp path mid-rewrite
+    done = os.path.join(path, "_dbkit_fixture_done")
+    stamp = str(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    fresh = os.path.exists(done) and open(done).read() == stamp
+    if not fresh:
+        save_hyperplane_index_multi(corpus, path, n_tables=2)
+        with open(done, "w") as fh:
+            fh.write(stamp)
     tables = load_hyperplane_index_multi(spark, path, n_tables=2)
     return ann_incremental_pairs(batch, tables, threshold=0.2)
 
