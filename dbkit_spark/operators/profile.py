@@ -645,3 +645,100 @@ def infer_formats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             "frac"
         ),
     )
+
+
+def information_gain_ranking(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: "list[str]",
+) -> DataFrame:
+    """Rank MANY candidate features by information gain about a label
+    in ONE scan — the feature-selection sweep
+    (:func:`mutual_information` answers one pair; selection asks the
+    same question of every candidate column, and running it per column
+    re-scans the corpus per feature). Output per feature:
+    (feature, h_label, h_cond, info_gain, n_values) with
+    info_gain = H(label) − H(label|feature), in nats at 6dp.
+
+    Plan: the ``stack`` unpivot (the infer_formats one-scan discipline)
+    turns n feature columns into (feature, value, label) rows map-side,
+    then ONE hash agg to (feature, value, label) cells; conditional
+    entropy reduces from those cells, H(label) from the same pass's
+    label marginals — one corpus scan, two metadata-sized aggregations,
+    no per-feature jobs. Feature values are compared as strings (the
+    unpivot needs one type); NULL feature values form their own
+    category (missingness is informative — the null-pattern-audit
+    stance). Per-cell entropy terms are 9dp-rounded decimals so every
+    reduction is order-independent and an oracle replays it
+    digit-for-digit.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    from pyspark.sql import Window
+
+    stack_expr = "stack({}, {}) as (feature, value)".format(
+        len(feature_cols),
+        ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in feature_cols),
+    )
+    cells = (
+        df.select(F.col(label_col).alias("_y"), F.expr(stack_expr))
+        .groupBy("feature", "value", "_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # totals stay LAZY (the t_closeness rule: never an eager count() at
+    # construction time): the label table carries n via a labels-sized
+    # window; the cell side via a per-feature window over the
+    # values-sized vtot table
+    lbl = (
+        cells.filter(F.col("feature") == feature_cols[0])
+        .groupBy("_y")
+        .agg(F.sum("_c").alias("_cy"))
+        .withColumn("_n", F.sum("_cy").over(Window.partitionBy(F.lit(1))))
+    )
+    hy_term = F.round(
+        -(F.col("_cy").cast("double") / F.col("_n"))
+        * F.log(F.col("_cy").cast("double") / F.col("_n")),
+        9,
+    ).cast("decimal(20,9)")
+    h_label = lbl.agg(F.sum(hy_term).cast("double").alias("_hy"))
+    # H(label|feature) = Σ_v p(v) H(label|v) = Σ_{v,y} -p(v,y) log(c_vy/c_v)
+    vtot = cells.groupBy("feature", "value").agg(
+        F.sum("_c").alias("_cv")
+    ).withColumn("_n", F.sum("_cv").over(Window.partitionBy("feature")))
+    cond_term = F.round(
+        -(F.col("_c").cast("double") / F.col("_n"))
+        * F.log(F.col("_c").cast("double") / F.col("_cv")),
+        9,
+    ).cast("decimal(20,9)")
+    # n_values counts vtot ROWS (one per distinct value INCLUDING the
+    # NULL category — countDistinct would silently drop it while the
+    # entropy terms keep it)
+    nvals = vtot.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    # NULL-SAFE value join: a plain equality join drops the NULL
+    # category's cells (NULL != NULL), silently excluding exactly the
+    # category this operator promises to keep
+    vt = vtot.select(
+        F.col("feature").alias("_vf"),
+        F.col("value").alias("_vv"),
+        "_cv",
+        "_n",
+    )
+    h_cond = (
+        cells.join(
+            vt,
+            (F.col("feature") == F.col("_vf"))
+            & F.col("value").eqNullSafe(F.col("_vv")),
+        )
+        .groupBy("feature")
+        .agg(F.sum(cond_term).cast("double").alias("_hc"))
+        .join(nvals, "feature")
+    )
+    return h_cond.crossJoin(F.broadcast(h_label)).select(
+        "feature",
+        F.round("_hy", 6).alias("h_label"),
+        F.round("_hc", 6).alias("h_cond"),
+        F.round(F.col("_hy") - F.col("_hc"), 6).alias("info_gain"),
+        "n_values",
+    )

@@ -1360,3 +1360,93 @@ ROADMAP10["q359_components_contracting"] = (
     _Q359_ORACLE,
     _Q359_NOTES,
 )
+
+
+# --- q360: one-scan feature ranking by information gain ---------------------------
+
+
+def q360_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank three candidate features (source, size bucket, id parity)
+    by information gain about the language label in ONE scan
+    (operators/profile.information_gain_ranking — the feature-selection
+    sweep generalizing q258's single-pair mutual information)."""
+    from ..operators.profile import information_gain_ranking
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("n_chars DIV 100").alias("bucket"),
+        (F.col("doc_id") % 2).alias("parity"),
+    )
+    return information_gain_ranking(
+        docs, "lang", ["source", "bucket", "parity"]
+    ).orderBy("feature")
+
+
+_Q360_ORACLE = """
+    WITH base AS (
+      SELECT lang AS y, 'source' AS feature, source AS value
+      FROM documents
+      UNION ALL
+      SELECT lang, 'bucket', CAST(n_chars // 100 AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT lang, 'parity', CAST(doc_id % 2 AS VARCHAR) FROM documents
+    ),
+    cells AS (
+      SELECT feature, value, y, COUNT(*) AS c FROM base GROUP BY 1, 2, 3
+    ),
+    lbl AS (
+      SELECT y, SUM(c) AS cy FROM cells WHERE feature = 'source' GROUP BY y
+    ),
+    lbl2 AS (SELECT y, cy, SUM(cy) OVER () AS n FROM lbl),
+    hy AS (
+      SELECT CAST(SUM(CAST(round(
+               -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n), 9)
+             AS DECIMAL(20,9))) AS DOUBLE) AS hy
+      FROM lbl2
+    ),
+    vtot AS (
+      SELECT feature, value, SUM(c) AS cv FROM cells GROUP BY 1, 2
+    ),
+    vtot2 AS (
+      SELECT feature, value, cv,
+             SUM(cv) OVER (PARTITION BY feature) AS n
+      FROM vtot
+    ),
+    nv AS (SELECT feature, COUNT(*) AS n_values FROM vtot GROUP BY 1),
+    hc AS (
+      SELECT c.feature,
+             CAST(SUM(CAST(round(
+               -(CAST(c.c AS DOUBLE) / v.n)
+               * ln(CAST(c.c AS DOUBLE) / v.cv), 9)
+             AS DECIMAL(20,9))) AS DOUBLE) AS hc
+      FROM cells c JOIN vtot2 v
+        ON c.feature = v.feature
+       AND c.value IS NOT DISTINCT FROM v.value
+      GROUP BY 1
+    )
+    SELECT feature, round(hy, 6) AS h_label, round(hc, 6) AS h_cond,
+           round(hy - hc, 6) AS info_gain,
+           CAST(n_values AS BIGINT) AS n_values
+    FROM hc JOIN nv USING (feature), hy ORDER BY feature
+"""
+
+_Q360_NOTES = (
+    "ONE-SCAN FEATURE RANKING BY INFORMATION GAIN (operators/profile."
+    "information_gain_ranking — the feature-selection sweep: q258 "
+    "answers MI for ONE column pair, selection asks it of EVERY "
+    "candidate, and per-column calls re-scan the corpus per feature): "
+    "the stack unpivot (infer_formats discipline) turns n feature "
+    "columns into rows map-side, ONE hash agg to (feature,value,label) "
+    "cells, entropies reduce from those cells with lazy window-carried "
+    "totals (never an eager count) — one corpus scan for any feature "
+    "count. NULL feature values form their own category (missingness "
+    "is informative, the q319 stance); 9dp-rounded decimal entropy "
+    "terms, order-independent sums, 6dp outputs (the q258 rule)"
+)
+
+ROADMAP10["q360_feature_ranking"] = (
+    q360_feature_ranking,
+    _Q360_ORACLE,
+    _Q360_NOTES,
+)

@@ -618,3 +618,53 @@ def test_contracting_components_high_diameter_and_equivalence(spark):
             for r in connected_components_contracting(df, max_iter=20).collect()
         )
         assert a == b, seed
+
+
+def test_information_gain_ranking_hand_computed(spark):
+    """A perfect predictor gains the full label entropy; a constant
+    feature gains zero; a NULL-bearing feature treats NULL as its own
+    (here perfectly predictive) category."""
+    import math
+
+    from dbkit_spark.operators.profile import information_gain_ranking
+
+    rows = [
+        ("x", "p1", "c", None),
+        ("x", "p1", "c", None),
+        ("y", "p2", "c", "v"),
+        ("y", "p2", "c", "v"),
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, perfect string, const string, nullish string"
+    )
+    got = {
+        r["feature"]: r
+        for r in information_gain_ranking(
+            df, "label", ["perfect", "const", "nullish"]
+        ).collect()
+    }
+    h = round(math.log(2), 6)
+    assert got["perfect"]["h_label"] == h
+    assert got["perfect"]["info_gain"] == h and got["perfect"]["n_values"] == 2
+    assert got["const"]["info_gain"] == 0.0 and got["const"]["n_values"] == 1
+    # NULL is its own, perfectly predictive category here
+    assert got["nullish"]["info_gain"] == h and got["nullish"]["n_values"] == 2
+
+
+def test_information_gain_null_category_mixed_labels(spark):
+    """The NULL category with MIXED labels must contribute its
+    conditional-entropy terms (a plain equality join would drop them —
+    NULL != NULL — and silently inflate the gain)."""
+    import math
+
+    from dbkit_spark.operators.profile import information_gain_ranking
+
+    rows = [("x", None), ("y", None), ("x", "a"), ("x", "a")]
+    df = spark.createDataFrame(rows, "label string, f string")
+    r = information_gain_ranking(df, "label", ["f"]).collect()[0]
+    h_label = -(3 / 4) * math.log(3 / 4) - (1 / 4) * math.log(1 / 4)
+    h_cond = 0.5 * math.log(2)  # the NULL cell's two mixed-label terms
+    assert abs(r["h_label"] - h_label) < 1e-5
+    assert abs(r["h_cond"] - h_cond) < 1e-5
+    assert abs(r["info_gain"] - (h_label - h_cond)) < 1e-5
+    assert r["n_values"] == 2
