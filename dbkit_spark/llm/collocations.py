@@ -115,3 +115,69 @@ def pmi_collocations(
     return out.select(
         "tok_a", "tok_b", "n_pair", "n_a", "n_b", pmi.alias("pmi")
     )
+
+
+def fighting_words(
+    docs: DataFrame,
+    group_col: str,
+    group_a,
+    text_col: str = "text",
+    alpha0: float = 500.0,
+    min_total: int = 10,
+) -> DataFrame:
+    """Per-TERM corpus comparison: the log-odds ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words") — which words are overrepresented in corpus A vs
+    B, with a z-score that doesn't explode on rare terms the way raw
+    log-odds or PMI does. The distribution-level KL divergence (q276)
+    says THE corpora differ; this says WHICH terms carry the
+    difference — the readout behind domain-shift triage and
+    style/source attribution.
+
+    δ_w = ln((y_aw + α_w)/(n_a + α0 − y_aw − α_w))
+        − ln((y_bw + α_w)/(n_b + α0 − y_bw − α_w)),
+    σ²_w ≈ 1/(y_aw + α_w) + 1/(y_bw + α_w), z = δ/σ — with the prior
+    α_w = α0 · (y_aw + y_bw)/N taken from the COMBINED corpus (the
+    informative choice that shrinks rare-term estimates toward the
+    pooled distribution).
+
+    Output per term with combined count ≥ ``min_total``:
+    (token, n_a, n_b, delta, z), delta/z at 6dp (two ln and a sqrt are
+    the only libm ops, on engine-identical exact-count operands).
+
+    Scale: one tokenize+explode scan → ONE (token) hash agg with
+    conditional sums for the two sides (map-side combinable) → a
+    1-row totals broadcast → map-side arithmetic. No joins beyond the
+    scalar recombination, no windows.
+    """
+    side_a = F.col(group_col) == F.lit(group_a)
+    tok = docs.select(
+        side_a.alias("_a"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = counts.groupBy().agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    c = counts.filter(F.col("n_a") + F.col("n_b") >= min_total).crossJoin(
+        F.broadcast(tot)
+    )
+    big_n = (F.col("_ta") + F.col("_tb")).cast("double")
+    alpha_w = F.lit(float(alpha0)) * (
+        (F.col("n_a") + F.col("n_b")).cast("double") / big_n
+    )
+    ya = F.col("n_a").cast("double") + alpha_w
+    yb = F.col("n_b").cast("double") + alpha_w
+    ra = ya / (F.col("_ta").cast("double") + F.lit(float(alpha0)) - ya)
+    rb = yb / (F.col("_tb").cast("double") + F.lit(float(alpha0)) - yb)
+    delta = F.log(ra) - F.log(rb)
+    z = delta / F.sqrt(1.0 / ya + 1.0 / yb)
+    return c.select(
+        "tok",
+        "n_a",
+        "n_b",
+        F.round(delta, 6).alias("delta"),
+        F.round(z, 6).alias("z"),
+    )

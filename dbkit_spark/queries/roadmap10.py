@@ -1450,3 +1450,70 @@ ROADMAP10["q360_feature_ranking"] = (
     _Q360_ORACLE,
     _Q360_NOTES,
 )
+
+
+# --- q361: fighting-words log-odds term comparison ---------------------------------
+
+
+def q361_fighting_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which terms separate English documents from the rest of the
+    corpus (llm/collocations.fighting_words — Monroe et al. informative-
+    Dirichlet log-odds z-scores; q276's KL says the corpora differ,
+    this says WHICH words carry it)."""
+    from ..llm.collocations import fighting_words
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fighting_words(
+        docs, "lang", "en", alpha0=500.0, min_total=10
+    ).orderBy("tok")
+
+
+_Q361_ORACLE = """
+    WITH tok AS (
+      SELECT lang = 'en' AS a, t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN a THEN 0 ELSE 1 END) AS n_b
+      FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts),
+    calc AS (
+      SELECT c.tok, c.n_a, c.n_b,
+             500.0 * (CAST(c.n_a + c.n_b AS DOUBLE)
+                      / CAST(t.ta + t.tb AS DOUBLE)) AS aw,
+             CAST(t.ta AS DOUBLE) AS ta, CAST(t.tb AS DOUBLE) AS tb
+      FROM counts c, tot t
+      WHERE c.n_a + c.n_b >= 10
+    )
+    SELECT tok, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(ln((n_a + aw) / (ta + 500.0 - (n_a + aw)))
+                 - ln((n_b + aw) / (tb + 500.0 - (n_b + aw))), 6) AS delta,
+           round((ln((n_a + aw) / (ta + 500.0 - (n_a + aw)))
+                  - ln((n_b + aw) / (tb + 500.0 - (n_b + aw))))
+                 / sqrt(1.0 / (n_a + aw) + 1.0 / (n_b + aw)), 6) AS z
+    FROM calc ORDER BY tok
+"""
+
+_Q361_NOTES = (
+    "FIGHTING-WORDS TERM COMPARISON (llm/collocations.fighting_words — "
+    "Monroe-Colaresi-Quinn 2008 log-odds with an informative Dirichlet "
+    "prior from the pooled corpus: q276's corpus KL says the "
+    "distributions differ, THIS ranks the terms that carry the "
+    "difference, with z-scores that shrink rare-term noise instead of "
+    "exploding on it like raw log-odds/PMI): one tokenize scan -> ONE "
+    "token hash agg with conditional side sums -> 1-row totals "
+    "broadcast -> map-side arithmetic; no joins beyond the scalar "
+    "recombination, no windows. Exact integer counts; two ln and a "
+    "sqrt on engine-identical operands, 6dp outputs"
+)
+
+ROADMAP10["q361_fighting_words"] = (
+    q361_fighting_words,
+    _Q361_ORACLE,
+    _Q361_NOTES,
+)

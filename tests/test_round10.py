@@ -668,3 +668,30 @@ def test_information_gain_null_category_mixed_labels(spark):
     assert abs(r["h_cond"] - h_cond) < 1e-5
     assert abs(r["info_gain"] - (h_label - h_cond)) < 1e-5
     assert r["n_values"] == 2
+
+
+def test_fighting_words_direction_and_shrinkage(spark):
+    """Terms exclusive to side A get positive z, side B negative,
+    shared terms near zero; and the informative prior SHRINKS a
+    rare-term z below a common term's z at the same exclusivity (the
+    property raw log-odds lacks)."""
+    from dbkit_spark.llm.collocations import fighting_words
+
+    rows = (
+        [("a", "alpha common " * 10)] * 20
+        + [("b", "beta common " * 10)] * 20
+        + [("a", "rareword")] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = {
+        r["tok"]: r
+        for r in fighting_words(
+            df, "g", "a", alpha0=100.0, min_total=2
+        ).collect()
+    }
+    assert got["alpha"]["z"] > 3
+    assert got["beta"]["z"] < -3
+    assert abs(got["common"]["z"]) < 1
+    # rareword is 100% side-A like alpha, but with 3 occurrences vs
+    # 200 — the prior must shrink its |z| well below alpha's
+    assert 0 < got["rareword"]["z"] < got["alpha"]["z"] / 2
