@@ -1517,3 +1517,102 @@ ROADMAP10["q361_fighting_words"] = (
     _Q361_ORACLE,
     _Q361_NOTES,
 )
+
+
+# --- q362: ranking-stability RBO of int8 quantization -------------------------------
+
+
+def q362_rbo_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does int8 quantization perturb retrieval rankings?
+    (llm/retrieval.rbo_overlap over the exact cosine top-10 vs the
+    dequantized-int8 cosine top-10, probe queries = vec_id % 100 == 0 —
+    the q43 bounded probe-subset contract.) The serving A/B question
+    NDCG can't answer without labels."""
+    from ..llm.retrieval import rbo_overlap
+    from ..llm.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(queries, emb, k=10)
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    quant = cosine_topk(
+        deq.filter(F.col("vec_id") % 100 == 0), deq, k=10
+    )
+    return rbo_overlap(exact, quant, k=10, p=0.9).orderBy("query_id")
+
+
+def _q362_oracle() -> str:
+    k, p = 10, 0.9
+    consts = ", ".join(
+        f"({m}, CAST({round(sum(p ** (d - 1) / d for d in range(m, k + 1)), 9)} AS DECIMAL(20,9)))"
+        for m in range(1, k + 1)
+    )
+    rank_cte = """
+      SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, c.v), 6) DESC,
+                        c.vec_id) AS rnk
+      FROM {src} a JOIN {src} c ON c.vec_id <> a.vec_id
+      WHERE a.vec_id % 100 = 0
+    """
+    return f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    am AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS m
+      FROM q
+    ),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v,
+                         x -> floor(x * 127.0 / m + 0.5) * (m / 127.0))
+             END AS v
+      FROM am
+    ),
+    re AS ({rank_cte.format(src="q")}),
+    rq AS ({rank_cte.format(src="dq")}),
+    consts(m, c) AS (VALUES {consts}),
+    joined AS (
+      SELECT e.query_id, GREATEST(e.rnk, u.rnk) AS mx
+      FROM (SELECT * FROM re WHERE rnk <= 10) e
+      JOIN (SELECT * FROM rq WHERE rnk <= 10) u
+        ON u.query_id = e.query_id AND u.cand_id = e.cand_id
+    )
+    SELECT j.query_id,
+           COUNT(*) AS overlap_k,
+           round({1.0 - p!r} * CAST(SUM(k.c) AS DOUBLE), 6) AS rbo
+    FROM joined j JOIN consts k ON k.m = j.mx
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+_Q362_NOTES = (
+    "RANK-BIASED OVERLAP of int8-quantized vs exact retrieval "
+    "(llm/retrieval.rbo_overlap — Webber-Moffat-Zobel 2010, the "
+    "ranking-similarity member of the eval family: NDCG/MRR judge one "
+    "ranking against labels, RBO compares two rankings against each "
+    "other — the quantization/index/rerank A-B question): the "
+    "per-depth intersection telescopes into ONE constant per item, "
+    "C[max(r_a,r_b)] = sum_{d>=m} p^(d-1)/d, precomputed in Python "
+    "and embedded as identical 9dp decimal literals in BOTH engines "
+    "(including the 1-p factor as its exact double repr — 1-0.9 is "
+    "not 0.1 in binary); one (query,item) equi-join + one decimal "
+    "agg, no per-depth expansion. Probe queries bounded by the q43 "
+    "contract; the quantized side replays the exact floor(x*127/"
+    "absmax+0.5) int8 rule"
+)
+
+ROADMAP10["q362_rbo_quantization"] = (
+    q362_rbo_quantization,
+    _q362_oracle(),
+    _Q362_NOTES,
+)

@@ -26,9 +26,9 @@ from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
 # Round-11 landing move (pre-computed at round-10 close): the queue
-# holds exactly 21 entries (q341 + q342–q361), all pre-verified at both
-# driver scales. Setting _LANDED_MAX_QNUM = 361 lands them all; the r11
-# window becomes those 21 never-driver-checked entries plus the 29
+# holds exactly 22 entries (q341 + q342–q362), all pre-verified at both
+# driver scales. Setting _LANDED_MAX_QNUM = 362 lands them all; the r11
+# window becomes those 22 never-driver-checked entries plus the 28
 # least-recently-verified greens (the rotation tops up with evidence
 # REFRESH, so no registered query is left evidence-less — landing fewer
 # than a full window cannot break the invariant the way over-landing

@@ -695,3 +695,33 @@ def test_fighting_words_direction_and_shrinkage(spark):
     # rareword is 100% side-A like alpha, but with 3 occurrences vs
     # 200 — the prior must shrink its |z| well below alpha's
     assert 0 < got["rareword"]["z"] < got["alpha"]["z"] / 2
+
+
+def test_rbo_overlap_hand_computed(spark):
+    """Identical rankings score the truncated maximum 1 - p^k; a
+    one-item swap at the top costs more than the same swap at the
+    bottom (the geometric top-weighting that IS the point of RBO);
+    disjoint rankings emit no row."""
+    from dbkit_spark.llm.retrieval import rbo_overlap
+
+    def ranking(q, items):
+        return spark.createDataFrame(
+            [(q, it, r + 1) for r, it in enumerate(items)],
+            "query_id long, cand_id long, rank long",
+        )
+
+    base = list(range(1, 11))
+    a = ranking(1, base)
+    ident = rbo_overlap(a, ranking(1, base), k=10, p=0.9).collect()[0]
+    assert ident["overlap_k"] == 10
+    assert abs(ident["rbo"] - (1 - 0.9**10)) < 1e-5
+
+    top_swap = base.copy(); top_swap[0] = 99      # replace rank-1 item
+    bot_swap = base.copy(); bot_swap[9] = 99      # replace rank-10 item
+    r_top = rbo_overlap(a, ranking(1, top_swap), k=10, p=0.9).collect()[0]
+    r_bot = rbo_overlap(a, ranking(1, bot_swap), k=10, p=0.9).collect()[0]
+    assert r_top["overlap_k"] == 9 and r_bot["overlap_k"] == 9
+    assert r_top["rbo"] < r_bot["rbo"] < ident["rbo"]
+
+    disjoint = rbo_overlap(a, ranking(1, list(range(50, 60))), k=10, p=0.9)
+    assert disjoint.count() == 0
