@@ -435,10 +435,12 @@ def test_queue_wide_no_accidental_nlj(spark):
     # contract at scale) — same documented set as the catalog gate's
     # _INTENTIONAL_CROSS, kept tiny and justified per entry
     # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing;
-    # q306/q309 moved there with the round-10 landing — the queue's
-    # intentional set is currently empty and stays declared so the
-    # next justified entry has a place to live):
-    intentional: set[str] = set()
+    # q306/q309 moved there with the round-10 landing). Current
+    # justified entries:
+    #   q362 — RBO of int8-vs-exact retrieval runs BOTH rankings
+    #          through cosine_topk's broadcast probe-subset crossJoin
+    #          (vec_id % 100 queries — the q43 bounded-contract class)
+    intentional: set[str] = {"q362_rbo_quantization"}
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():
