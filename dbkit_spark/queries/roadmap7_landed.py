@@ -25,18 +25,16 @@ from __future__ import annotations
 from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
-# Round-11 landing move (pre-computed at round-10 close): the queue
-# holds exactly 22 entries (q341 + q342–q362), all pre-verified at both
-# driver scales. Setting _LANDED_MAX_QNUM = 362 lands them all; the r11
-# window becomes those 22 never-driver-checked entries plus the 28
-# least-recently-verified greens (the rotation tops up with evidence
-# REFRESH, so no registered query is left evidence-less — landing fewer
-# than a full window cannot break the invariant the way over-landing
-# can). Nothing in this arithmetic depends on CORRECTNESS_r10's
-# contents unless a registered query FAILS that sweep; a failed query
-# re-enters the window ahead of the queue exactly as q289 did this
-# round, displacing the newest-numbered queued entries — re-check the
-# count then.
+# Round-11 landing (executed; VERDICT r10 item 1, arithmetic
+# judge-verified at r10 close): the queue held exactly 22 entries
+# (q341 + q342–q362), all pre-verified at both driver scales, and
+# CORRECTNESS_r10 was a clean 50/50 — no failure re-enters the window.
+# _LANDED_MAX_QNUM = 362 lands all 22; the r11 window is those 22
+# never-driver-checked entries plus the 28 least-recently-verified
+# greens (the rotation tops up with evidence REFRESH, so no registered
+# query is left evidence-less — landing fewer than a full window cannot
+# break the invariant the way over-landing can). Round-11 additions
+# (q363+) stay queued and land in round 12.
 #
 # Round-10 landing (VERDICT r9 item 2): land 49, NOT 50. q289 failed the
 # r09 driver sweep (nested-column canonicalization, fixed in roadmap7.py
@@ -51,7 +49,7 @@ from .roadmap7 import ROADMAP7
 # together with whatever round 10 queues. All landed entries are
 # pre-verified at sf0.001 + sf0.01 per
 # tests/test_catalog.py::test_roadmap7_queue_preverified.
-_LANDED_MAX_QNUM = 340
+_LANDED_MAX_QNUM = 362
 
 _landed_names = [
     name for name in sorted(ROADMAP7, key=qnum) if qnum(name)[0] <= _LANDED_MAX_QNUM

@@ -73,21 +73,21 @@ def test_readme_count_matches_catalog():
 
 
 def test_roadmap7_queue_preverified(spark):
-    """Whatever remains QUEUED (q341 after the round-10 staged landing
-    of q292–q340, plus round-10 additions) must ALREADY pass the
-    driver's compare at the driver's scale — landing is then a pure
-    registration move. load_all() runs first so the landed entries are
-    moved out of the queue dict before the sweep."""
+    """Whatever remains QUEUED (round-11 additions q363+ after the
+    round-11 landing of q341–q362) must ALREADY pass the driver's
+    compare at the driver's scale — landing is then a pure registration
+    move. load_all() runs first so the landed entries are moved out of
+    the queue dict before the sweep."""
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
-    assert len(load_all()) == 340  # 291 + the 49 landed q292–q340
+    assert len(load_all()) == 362  # 340 + the 22 landed q341–q362
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # q341 still queued (leads the round-11 landing), plus round-10
-    # additions (q342+); the queue is capped at one driver window.
-    assert 1 <= len(ROADMAP7) <= 50
-    assert all(qnum(n)[0] >= 341 for n in ROADMAP7)
+    # Round-11 additions (q363+); the queue is capped at one driver
+    # window. An empty queue (between addition batches) is legal.
+    assert len(ROADMAP7) <= 50
+    assert all(qnum(n)[0] >= 363 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.
@@ -101,7 +101,25 @@ def test_roadmap7_queue_preverified(spark):
                 check_dtype_parity(spark, name, fn, oracle, sf)
 
 
-GUARD_ROUND = 10  # the driver round whose rotation window this guard pins
+GUARD_ROUND = 11  # the driver round whose rotation window this guard pins
+
+# The 28 least-recently-verified greens that top up the r11 window after
+# the q341–q362 landing: the entire remaining r3 cohort (last driver-green
+# CORRECTNESS_r03). Computed by load_all() rotation order at landing time
+# and pinned literally so a registration or artifact change that shifts
+# the window fails HERE, not in the driver sweep.
+R11_REFRESH = {
+    "q51_grouping_sets", "q52_pivot", "q53_unpivot", "q57_map_funcs",
+    "q75_profile_table", "q83_simhash_pairs", "q84_token_packing_sharded",
+    "q85_image_decode", "q86_cast_matrix", "q87_dedup_clusters",
+    "q88_dedup_survivors", "q89_decontaminate", "q90_repetition_scores",
+    "q91_domain_mix", "q92_quantize_embeddings", "q93_tpch_q17_small_qty",
+    "q94_grouped_zscore", "q96_heavy_hitters", "q98_redact_pii",
+    "q99_null_safe_join", "q100_stream_dedup", "q103_tpch_q13_custdist",
+    "q104_tpch_q18_large_orders", "q105_tpch_q22_dormant",
+    "q106_regexp_funcs", "q108_quality_audit", "q109_bm25_topk",
+    "q110_weighted_sample",
+}
 
 
 def _latest_artifact_round() -> int:
@@ -113,14 +131,14 @@ def _latest_artifact_round() -> int:
     return max(rounds)
 
 
-def test_r10_window_is_exactly_the_landed_batch(spark):
-    """VERDICT r9 items 1–2 guard, artifact-aware: with driver artifacts
-    through r09 present, the 50-slot r10 rotation window must be exactly
-    q289 (driver-FAILED in r09, so last-green 0 sorts it first) plus the
-    49 newly landed q292–q340 — the deliberate 49-query landing that
-    keeps every registered query evidenced (q341 stays queued and leads
-    the round-11 landing). If a future registration or CORRECTNESS file
-    breaks this arithmetic, fail HERE.
+def test_r11_window_is_exactly_the_landed_batch(spark):
+    """VERDICT r10 item 1 guard, artifact-aware: with driver artifacts
+    through r10 present (a clean 50/50, so no failure re-enters), the
+    50-slot r11 rotation window must be exactly the 22 newly landed
+    never-driver-checked queries q341–q362 plus the 28
+    least-recently-verified greens — the entire remaining r3 cohort,
+    pinned literally in R11_REFRESH. If a future registration or
+    CORRECTNESS file breaks this arithmetic, fail HERE.
 
     Artifact-aware (the round-8 lesson: a window guard goes red the
     moment the driver deposits the round's CORRECTNESS file): once an
@@ -130,16 +148,16 @@ def test_r10_window_is_exactly_the_landed_batch(spark):
     form (test_rotation_never_green_first)."""
     window = list(load_all())[:50]
     if _latest_artifact_round() >= GUARD_ROUND:
-        # Spent guard: the r10 (or later) sweep already landed. The
+        # Spent guard: the r11 (or later) sweep already landed. The
         # durable invariant — rotation always spends slots on the
         # least-evidenced queries first — is pinned artifact-
         # independently by test_rotation_never_green_first; just ensure
         # the window is full-size and deterministic here.
         assert len(window) == 50
         return
-    expected = {"q289_postings_index"} | {
-        n for n in window if 292 <= qnum(n)[0] <= 340
-    }
+    landed = {n for n in window if 341 <= qnum(n)[0] <= 362}
+    assert len(landed) == 22, sorted(landed)
+    expected = landed | R11_REFRESH
     assert set(window) == expected and len(window) == 50, sorted(
         set(window) ^ expected
     )
