@@ -5,7 +5,23 @@ ONE JSON line.
 
 Each query is materialized with the noop sink (full execution, no sink
 cost, no count()-induced column pruning shortcut). Per-query time is the
-median of RUNS executions after a session warmup.
+median of RUNS executions after a session warmup; the per-query MIN is
+also emitted (``queries_min`` / ``value_min``) — the min is the
+least-noise estimator of the code's actual cost on a contended VM.
+
+Self-defence against machine noise (BASELINE.md round-11 protocol, after
+the BENCH_r10 incident where the recording VM ran every byte-identical
+plan ~2.9x slower than 17 known runs of the same commit): the JSON also
+carries a ``calibration`` block — a fixed, Spark-free, purely CPU-bound
+probe (LCG-scramble + sort of a constant 2M-element uint64 array, 32
+reps, ~1.0 s nominal on the BASELINE.md reference machine, deterministic
+checksum 2785854242) timed immediately BEFORE and AFTER the query loop.
+A healthy machine reports pre/post near 1.0; a loaded or down-clocked VM
+inflates the probe by the same factor it inflates the queries, so the
+reader can divide the slowdown out: ``value / mean(pre, post)`` is the
+machine-normalized total. The probe has no knobs and no data dependence;
+its checksum is asserted so a wrong result can never masquerade as a
+timing.
 """
 
 from __future__ import annotations
@@ -40,7 +56,34 @@ HEADLINE = [
     "q280_running_revenue",     # distributed Blelloch prefix scan (round-9 addition: the primitive the cumulative/Wasserstein family rides)
 ]
 
-RUNS = 3
+RUNS = 5  # raised from 3 in round 11 (VERDICT r10 item 2)
+
+_CALIBRATION_CHECKSUM = 2785854242  # pinned; see module docstring
+
+
+def calibration_probe() -> float:
+    """Fixed CPU-bound workload, ~1.0 s nominal (BASELINE.md round-11).
+
+    Deterministic: LCG-scrambles a constant 2M-element uint64 array and
+    sorts it 32 times, folding a strided sum into a checksum that is
+    asserted against the pinned constant. numpy-only, single-threaded,
+    no allocation-size or data dependence on anything in the repo — the
+    measured time varies ONLY with the machine (CPU clock, contention,
+    thermal state), which is exactly what it is for.
+    """
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.uint64)
+    x = x * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+    acc = 0
+    t0 = time.perf_counter()
+    for _ in range(32):
+        y = np.sort(x)
+        acc ^= int(y[::97].sum()) & 0xFFFFFFFF
+        x = x * np.uint64(2862933555777941757) + np.uint64(3037000493)
+    elapsed = time.perf_counter() - t0
+    assert acc == _CALIBRATION_CHECKSUM, f"calibration checksum {acc}"
+    return round(elapsed, 3)
 
 
 def main() -> None:
@@ -55,7 +98,11 @@ def main() -> None:
     for t in ["lineitem", "orders", "customer", "nation", "events", "documents", "embeddings"]:
         read_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    calibration_probe()  # warm numpy/sort code paths before the timed probe
+    cal_pre = calibration_probe()
+
     per_query: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog[name].fn
         # one untimed warmup: the first execution of a fresh plan pays
@@ -76,8 +123,12 @@ def main() -> None:
             # reps or later queries
             spark.catalog.clearCache()
         per_query[name] = round(statistics.median(times), 3)
+        per_query_min[name] = round(min(times), 3)
+
+    cal_post = calibration_probe()
 
     total = round(sum(per_query.values()), 3)
+    total_min = round(sum(per_query_min.values()), 3)
     print(
         json.dumps(
             {
@@ -86,6 +137,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": RUNS,
+                "value_min": total_min,
+                "queries_min": per_query_min,
+                "calibration": {
+                    "pre": cal_pre,
+                    "post": cal_post,
+                    "nominal": 1.0,
+                    "workload": "sort2M-uint64-x32",
+                },
             }
         )
     )
