@@ -553,14 +553,22 @@ def with_wav_payload_grouped(
     """Duplicate-bearing WAV fixture: the waveform seed is
     ``doc_id % group_mod``, so docs sharing a seed carry the IDENTICAL
     waveform — while the container still cycles through the three fmt
-    arms by doc_id (PCM16 / float32 / float64). That is exactly the
-    re-encoded-duplicate case a byte-hash dedup misses and a content
-    fingerprint must catch."""
+    arms (PCM16 / float32 / float64). The arm index is ``(i // every)
+    % 3``, NOT ``i % 3``: the kept ids are the multiples of ``every``,
+    so an id-modulus arm would collapse to a single container whenever
+    ``every % 3 == 0`` (the round-10 q347 coverage flaw — every=3 made
+    every payload PCM16 and the anchor never exercised cross-container
+    dedup; ADVICE r10). Dividing by ``every`` first makes consecutive
+    kept ids cycle all three arms for ANY ``every``. That is exactly
+    the re-encoded-duplicate case a byte-hash dedup misses and a
+    content fingerprint must catch. Container choice never affects the
+    fingerprint (that invariance is the point), so oracles that
+    regenerate the waveform from (seed, n) are arm-independent."""
 
     def one(i: int) -> bytes:
         seed = i % group_mod
         n = 800 + (seed % 7) * 160
-        arm = i % 3
+        arm = (i // every) % 3
         if arm == 0:
             return encode_wav(n, sample_rate=8000, channels=1, seed=seed, bits=16)
         return encode_wav_float(

@@ -395,9 +395,14 @@ def connected_components_contracting(
     (diameter 2-4: fewer rounds, cheaper probe); use THIS for chain- or
     mesh-shaped link graphs — identity stitching across long handoff
     chains, citation/session paths — where diameter is unbounded. Same
-    output contract; a pytest pins equality of both algorithms on
-    random graphs and convergence here on a path graph whose diameter
-    exceeds the plain loop's max_iter.
+    output contract, INCLUDING self-pairs (ADVICE r10): an input edge
+    (a, a) contributes a singleton component (a, a) exactly as the
+    plain algorithm returns it — self-pairs are stripped before the
+    star phases (both filter src != dst, which silently dropped such
+    nodes) and their ids unioned back as singletons after readout. A
+    pytest pins equality of both algorithms on random graphs (now
+    seeded with self-pairs) and convergence here on a path graph whose
+    diameter exceeds the plain loop's max_iter.
     """
     from ..operators.iterate import iterate_until_fixpoint
 
@@ -427,9 +432,8 @@ def connected_components_contracting(
             .distinct()
         )
 
-    initial = sym(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    )
+    raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    initial = sym(raw.filter(F.col("src") != F.col("dst")))
 
     def step(e: DataFrame) -> DataFrame:
         return sym(star(sym(star(e, large=True)), large=False))
@@ -448,4 +452,14 @@ def connected_components_contracting(
         .subtract(stars.select("id"))
         .select("id", F.col("id").alias("cluster_id"))
     )
-    return stars.unionByName(centers)
+    linked = stars.unionByName(centers)
+    # nodes whose ONLY edges were self-pairs vanished with the filter
+    # above; re-emit them as singleton components (plain-CC contract)
+    selfies = (
+        raw.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .join(linked.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    return linked.unionByName(selfies)

@@ -204,27 +204,38 @@ def tdigest_build(
 ) -> DataFrame:
     """Per-group t-digest: (group..., centroid, mean, weight).
 
-    Two-level build, both levels Arrow-batched applyInPandas over
-    metadata-sized groups: level 1 compresses each (group, md5-salt)
-    shard at 4·delta resolution (the Dunning partial-resolution rule:
-    compressing partials finer than the final digest keeps the merge
-    error second-order); level 2 merges each group's ≤ fanout·O(delta)
-    partial centroids — a few KB — into the final ≤ O(delta) digest.
-    The shuffle carries centroid rows after level 1, never data rows;
-    at 100 TB the exchange is (groups · fanout · 4δ) rows total.
+    Two-level build: level 1 compresses each (group, md5-salt) shard at
+    4·delta resolution (the Dunning partial-resolution rule: compressing
+    partials finer than the final digest keeps the merge error
+    second-order); level 2 merges each group's ≤ fanout·O(delta) partial
+    centroids — a few KB — into the final ≤ O(delta) digest. After
+    level 1 every exchange carries centroid rows only: (groups · fanout
+    · 4δ) rows total at any input size.
+
+    Level-1 memory bound (ADVICE r10): duplicate values are
+    pre-aggregated to (value, count) with a map-side-combined hash agg
+    BEFORE sharding, so a level-1 pandas frame holds at most
+    ``distinct_values(group) / fanout`` rows — a dominant repeated
+    value is ONE weighted row, never a data-sized shard, and the
+    pre-agg shuffle ships per-partition-distinct rows rather than raw
+    data. The residual bound is real and the caller owns it: for a
+    continuous column (all values distinct) a shard is ~n/fanout rows,
+    so size ``fanout ≈ rows_per_group / 5e6`` to keep shards inside an
+    executor Arrow batch; the default 32 is sized for ~1e8 distinct
+    values per group. Salting is by VALUE hash (determinism requires
+    it), so identical values always co-locate — the pre-agg is what
+    makes that safe under skew.
     """
     import pandas as pd
 
     from ..functions.portable_hash import u32_md5
 
-    salt = u32_md5(F.col(value_col), "td") % fanout
     src = (
         df.filter(F.col(value_col).isNotNull())
-        .select(
-            *group_cols,
-            F.col(value_col).cast("double").alias("_v"),
-            salt.alias("_s"),
-        )
+        .select(*group_cols, F.col(value_col).cast("double").alias("_v"))
+        .groupBy(*group_cols, "_v")
+        .agg(F.count("*").cast("double").alias("_w"))
+        .withColumn("_s", u32_md5(F.col("_v"), "td") % fanout)
     )
     def gschema(extra: str) -> str:
         gs = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in
@@ -232,8 +243,8 @@ def tdigest_build(
         return f"{gs}, {extra}"
 
     def build_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        vs = sorted(pdf["_v"].tolist())
-        cents = _tdigest_compress([(v, 1.0) for v in vs], 4 * delta)
+        pairs = sorted(zip(pdf["_v"].tolist(), pdf["_w"].tolist()))
+        cents = _tdigest_compress(pairs, 4 * delta)
         head = pdf.iloc[0]
         return pd.DataFrame(
             {

@@ -640,16 +640,17 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> tuple[str, s
 
     from ..sources.writers import write_parquet
 
+    from ._fixtures import fixture_once, source_stamp
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"dbkit_part_events_{tag}")
     dim_path = os.path.join(tempfile.gettempdir(), f"dbkit_event_dim_{tag}")
-    done = os.path.join(path, "_dbkit_fixture_done")
+
     # the marker records the source file's mtime: a driver-regenerated
     # /root/testdata (the known ts-encoding-drift scenario) invalidates
-    # the cached fixture instead of silently serving stale rows
-    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    fresh = os.path.exists(done) and open(done).read() == stamp
-    if not fresh:
+    # the cached fixture instead of silently serving stale rows; the
+    # dim table rides the fact table's marker (written in one build)
+    def build() -> None:
         write_parquet(read_table(spark, sf_dir, "events"), path,
                       partition_by=["event_type"])
         spark.createDataFrame(
@@ -657,8 +658,8 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> tuple[str, s
              ("error", "free"), ("login", "free")],
             "event_type string, tier string",
         ).write.mode("overwrite").parquet(dim_path)
-        with open(done, "w") as fh:
-            fh.write(stamp)
+
+    fixture_once(path, source_stamp(sf_dir, "events"), build)
     return path, dim_path
 
 

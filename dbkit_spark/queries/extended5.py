@@ -163,24 +163,25 @@ def _ensure_uint64_fixture(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from ._fixtures import fixture_once, source_stamp
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"dbkit_u64_{tag}")
     path = os.path.join(base, "u64.parquet")
-    done = os.path.join(base, "_dbkit_fixture_done")
-    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    if os.path.exists(done) and open(done).read() == stamp:
-        return path
-    users = sorted(
-        r.user_id
-        for r in read_table(spark, sf_dir, "events").select("user_id").distinct().collect()
-    )
-    vals = [int(_U64_OFFSET) + u for u in users] + [int(_U64_MAX)]
-    os.makedirs(base, exist_ok=True)
-    pq.write_table(
-        pa.table({"uval": pa.array(vals, type=pa.uint64())}), path
-    )
-    with open(done, "w") as fh:
-        fh.write(stamp)
+
+    def build() -> None:
+        users = sorted(
+            r.user_id
+            for r in read_table(spark, sf_dir, "events")
+            .select("user_id").distinct().collect()
+        )
+        vals = [int(_U64_OFFSET) + u for u in users] + [int(_U64_MAX)]
+        os.makedirs(base, exist_ok=True)
+        pq.write_table(
+            pa.table({"uval": pa.array(vals, type=pa.uint64())}), path
+        )
+
+    fixture_once(base, source_stamp(sf_dir, "events"), build)
     return path
 
 

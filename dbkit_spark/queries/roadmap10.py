@@ -226,27 +226,25 @@ ROADMAP10["q344_identity_stitch"] = (
 def _ensure_bloom_table(spark: SparkSession, sf_dir: str) -> str:
     """Write-once bloom-indexed copy of documents (the q144 fixture
     discipline: mtime-stamped marker invalidates on driver-regenerated
-    testdata)."""
+    testdata; _fixtures.fixture_once serializes concurrent builders)."""
     import os
     import tempfile
 
     from ..sources.writers import write_parquet_bloom
+    from ._fixtures import fixture_once, source_stamp
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"dbkit_bloom_docs_{tag}")
-    done = os.path.join(path, "_dbkit_fixture_done")
-    stamp = str(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
-    fresh = os.path.exists(done) and open(done).read() == stamp
-    if not fresh:
-        write_parquet_bloom(
+    return fixture_once(
+        path,
+        source_stamp(sf_dir, "documents"),
+        lambda: write_parquet_bloom(
             read_table(spark, sf_dir, "documents"),
             path,
             bloom_cols=["doc_id", "source"],
             expected_ndv=100_000,
-        )
-        with open(done, "w") as fh:
-            fh.write(stamp)
-    return path
+        ),
+    )
 
 
 def q345_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,17 +431,18 @@ ROADMAP10["q347_audio_content_dedup"] = (
 
 def _ensure_evolved_dirs(spark: SparkSession, sf_dir: str) -> str:
     """Write-once two-generation parquet history (q144 fixture
-    discipline): generation 1 (even event_ids) predates the event_type
-    column; generation 2 (odd) carries it."""
+    discipline; _fixtures.fixture_once serializes concurrent builders):
+    generation 1 (even event_ids) predates the event_type column;
+    generation 2 (odd) carries it."""
     import os
     import tempfile
 
+    from ._fixtures import fixture_once, source_stamp
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"dbkit_evolved_events_{tag}")
-    done = os.path.join(path, "_dbkit_fixture_done")
-    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    fresh = os.path.exists(done) and open(done).read() == stamp
-    if not fresh:
+
+    def build() -> None:
         ev = read_table(spark, sf_dir, "events")
         (
             ev.filter(F.col("event_id") % 2 == 0)
@@ -457,9 +456,8 @@ def _ensure_evolved_dirs(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(path, "gen=2"))
         )
-        with open(done, "w") as fh:
-            fh.write(stamp)
-    return path
+
+    return fixture_once(path, source_stamp(sf_dir, "events"), build)
 
 
 def q348_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:

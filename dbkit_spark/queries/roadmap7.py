@@ -50,16 +50,15 @@ def q201_ann_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"dbkit_ann_inc_{sf_tag}")
     # write-once, mtime-stamped (the q144 fixture discipline): the index
     # content is a deterministic function of the corpus, so a fresh
-    # marker makes the rewrite a no-op — previously every call (and
-    # every catalog-wide gate scan) rewrote the index, and two parallel
-    # test sessions could race on the shared tmp path mid-rewrite
-    done = os.path.join(path, "_dbkit_fixture_done")
-    stamp = str(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
-    fresh = os.path.exists(done) and open(done).read() == stamp
-    if not fresh:
-        save_hyperplane_index_multi(corpus, path, n_tables=2)
-        with open(done, "w") as fh:
-            fh.write(stamp)
+    # marker makes the rewrite a no-op; fixture_once's O_EXCL lock
+    # serializes the two-parallel-sessions rewrite race (ADVICE r10)
+    from ._fixtures import fixture_once, source_stamp
+
+    fixture_once(
+        path,
+        source_stamp(sf_dir, "embeddings"),
+        lambda: save_hyperplane_index_multi(corpus, path, n_tables=2),
+    )
     tables = load_hyperplane_index_multi(spark, path, n_tables=2)
     return ann_incremental_pairs(batch, tables, threshold=0.2)
 
@@ -1845,21 +1844,20 @@ def _ensure_range_files(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    from ._fixtures import fixture_once, source_stamp
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"dbkit_range_events_{tag}")
-    done = os.path.join(path, "_dbkit_fixture_done")
-    stamp = str(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
-    fresh = os.path.exists(done) and open(done).read() == stamp
-    if not fresh:
-        (
+    return fixture_once(
+        path,
+        source_stamp(sf_dir, "events"),
+        lambda: (
             read_table(spark, sf_dir, "events")
             .repartitionByRange(16, F.col("event_id"))
             .write.mode("overwrite")
             .parquet(path)
-        )
-        with open(done, "w") as fh:
-            fh.write(stamp)
-    return path
+        ),
+    )
 
 
 def q231_file_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -438,6 +438,18 @@ def test_weighted_domain_mix_properties(spark):
     # absent weighted domains -> empty, not error
     assert weighted_domain_mix(df, "doc_id", "domain", {"nope": 1}).count() == 0
 
+    # VERDICT r10: the driver-side count map is weights-keyed, not
+    # domain-cardinality-sized — pointing the operator at a
+    # high-cardinality column (every row its own domain) must stay
+    # correct AND the collected aggregation must be pre-filtered to the
+    # weighted keys (the isin filter reaches the scan, so the count agg
+    # never materializes the full domain spectrum)
+    wide = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(5000)], "doc_id long, domain string"
+    )
+    picked = weighted_domain_mix(wide, "doc_id", "domain", {"d7": 1, "d42": 1})
+    assert {r.domain for r in picked.collect()} == {"d7", "d42"}
+
 
 def test_quantize_dequantize_error_bound(spark, sf_dir):
     from dbkit_spark.llm.similarity import (

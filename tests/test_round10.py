@@ -86,6 +86,39 @@ def test_tdigest_deterministic_and_mergeable(spark):
         assert abs(_rank_of(vs, r["est"]) - r["p"]) <= 0.02
 
 
+def test_tdigest_skew_preaggregated(spark):
+    """ADVICE r10: a dominant repeated value used to land every copy in
+    one md5 shard (value-hash salting co-locates identical values by
+    design), making the level-1 pandas frame data-sized. The pre-agg
+    fix collapses duplicates to ONE weighted row before sharding, so
+    the heavy value contributes a single centroid with exact weight;
+    accuracy, weight conservation and partition-determinism must all
+    survive 90% skew."""
+    from dbkit_spark.operators.sketch import tdigest_build, tdigest_quantiles
+
+    rng = random.Random(3)
+    rows = [("g", 42.0)] * 45_000 + [("g", rng.uniform(0, 100)) for _ in range(5_000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    d1 = sorted(tuple(r) for r in tdigest_build(df, "v", ["g"]).collect())
+    d2 = sorted(
+        tuple(r) for r in tdigest_build(df.repartition(17), "v", ["g"]).collect()
+    )
+    assert d1 == d2
+    assert sum(r[3] for r in d1) == len(rows)
+    # the heavy value is one exact centroid: some centroid sits at 42.0
+    # carrying at least the 45k duplicate weight
+    assert any(abs(r[2] - 42.0) < 1e-9 and r[3] >= 45_000 for r in d1)
+    # rank error is ill-posed against a point mass (one value spans
+    # ranks 0.05-0.95, so any est a hair off jumps ~0.45 in rank);
+    # probe VALUE error against the true empirical quantile instead
+    vs = sorted(v for _g, v in rows)
+    for r in tdigest_quantiles(
+        tdigest_build(df, "v", ["g"]), ["g"], [0.01, 0.05, 0.5, 0.95, 0.99]
+    ).collect():
+        tq = vs[min(len(vs) - 1, int(r["p"] * len(vs)))]
+        assert abs(r["est"] - tq) <= 4.0, (r["p"], r["est"], tq)
+
+
 def test_density_clusters_breaks_bridges(spark):
     """Two 4-cliques joined through a degree-2 middleman: plain
     transitive closure welds everything into one cluster; density
@@ -274,6 +307,35 @@ def test_audio_fingerprint_container_invariant(spark):
     assert not got[7]["decoded"] and got[7]["fp"] is None
 
 
+def test_q347_fixture_spans_all_containers(spark):
+    """ADVICE r10 (medium): with every=3 the old arm rule ``i % 3``
+    collapsed every kept payload to PCM16 — same-seed duplicates were
+    byte-identical and the q347 anchor never exercised cross-container
+    dedup. The fixed rule ``(i // every) % 3`` must (a) put all three
+    container arms in the kept set, and (b) put at least two DIFFERENT
+    containers inside a single duplicate group, so a byte hash provably
+    cannot reproduce the grouping the fingerprint finds."""
+    import hashlib
+
+    from dbkit_spark.llm.audio import _wav_format_code, with_wav_payload_grouped
+
+    docs = spark.range(0, 150).withColumnRenamed("id", "doc_id")
+    pay = with_wav_payload_grouped(docs, group_mod=25, every=3).collect()
+    assert all(r["doc_id"] % 3 == 0 for r in pay) and len(pay) == 50
+    arms = {_wav_format_code(bytes(r["payload"])) for r in pay}
+    assert arms == {1, 3}, arms  # PCM and IEEE-float both present
+    by_seed: dict[int, set[tuple[int, str]]] = {}
+    for r in pay:
+        raw = bytes(r["payload"])
+        by_seed.setdefault(r["doc_id"] % 25, set()).add(
+            (_wav_format_code(raw), hashlib.md5(raw).hexdigest())
+        )
+    mixed = [s for s in by_seed.values() if len({fmt for fmt, _ in s}) > 1]
+    assert mixed, "no duplicate group spans two containers"
+    # and in the mixed groups the byte payloads differ (hash-dedup fails)
+    assert all(len({h for _, h in s}) > 1 for s in mixed)
+
+
 def test_t_closeness_hand_computed(spark):
     """Two cells over a 60/40 global split: the skewed cell's TVD is
     |0.9-0.6| = 0.3 exactly (both value terms agree: 0.3 and 0.3);
@@ -394,11 +456,18 @@ def test_q353_single_batch_assumption():
     in a LATER batch after eviction would legitimately re-emit and the
     DISTINCT oracle would mismatch. Pin the assumption here so a
     regenerated multi-file fixture flips THIS test with a readable
-    message instead of q353 silently going red in a driver sweep."""
+    message instead of q353 silently going red in a driver sweep.
+
+    Scale dirs are ENUMERATED from /root/testdata, not hardcoded
+    (ADVICE r10): a future sf1 directory with a multi-file events
+    fixture must trip this guard too, not bypass it."""
+    import glob
     import os
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        p = f"/root/testdata/{sf}/events.parquet"
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert len(sf_dirs) >= 3, sf_dirs  # the three driver scales, minimum
+    for sf_dir in sf_dirs:
+        p = os.path.join(sf_dir, "events.parquet")
         assert os.path.isfile(p), (
             f"{p} is no longer a single file: q353's one-micro-batch "
             "assumption broke — re-derive its oracle for multi-batch "
@@ -609,6 +678,10 @@ def test_contracting_components_high_diameter_and_equivalence(spark):
         edges = {
             tuple(sorted(rng.sample(range(1, 31), 2))) for _ in range(25)
         }
+        # seed self-pairs too (ADVICE r10): an isolated node whose only
+        # edge is (a, a) must come back as a singleton from BOTH
+        # algorithms, and a self-pair on a linked node must be a no-op
+        edges |= {(77, 77), (min(edges)[0], min(edges)[0])}
         df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
         a = sorted(
             tuple(r) for r in connected_components(df, max_iter=25).collect()
@@ -618,6 +691,7 @@ def test_contracting_components_high_diameter_and_equivalence(spark):
             for r in connected_components_contracting(df, max_iter=20).collect()
         )
         assert a == b, seed
+        assert (77, 77) in b
 
 
 def test_information_gain_ranking_hand_computed(spark):
