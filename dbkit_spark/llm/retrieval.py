@@ -369,10 +369,12 @@ def mmr_diversify(
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking — the diversification pass
     between retrieval and the context window: from each query's scored
-    candidate list, greedily pick argmax λ·rel − (1−λ)·max_sim_to_
-    already_selected, so near-duplicate passages stop crowding out the
-    second topic. Ties break on doc id; cosine over the candidate
-    vectors.
+    candidate list, greedily pick argmax λ·rel − (1−λ)·max(0, max_sim_
+    to_already_selected), so near-duplicate passages stop crowding out
+    the second topic. The penalty clamps at zero (the running max
+    starts at 0): an anti-correlated candidate is "maximally diverse",
+    it never earns a bonus for pointing away from the selection. Ties
+    break on doc id; cosine over the candidate vectors.
 
     Scale contract (the rrf_fuse rule): candidates per query are an
     ALREADY-TOP-N list (tens to hundreds), so the per-query O(k·n)

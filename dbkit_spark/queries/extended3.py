@@ -772,23 +772,46 @@ def q117_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- EWMA smoothing (grouped-map, rows-only) ---------------------------------
+# --- EWMA smoothing (grouped-map) ---------------------------------------------
 @register(
     "q118_ewma",
-    oracle=None,
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, value, rn, CAST(value AS DOUBLE) AS e
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.value, s.rn, 0.2 * s.value + 0.8 * r.e
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts, value, round(e, 6) AS ewma FROM r
+    """,
     notes="per-user EWMA smoothing (operators/timeseries.ewma, "
     "alpha=0.2): the y_t = a*x_t + (1-a)*y_(t-1) recursion is "
     "sequential within a key and not window-expressible without "
     "unstable pow() rescaling -> grouped-map applyInPandas (the "
-    "declared Arrow boundary), rows-only for the driver; exact parity "
-    "with a pure-Python reference recursion is asserted in "
+    "declared Arrow boundary). Converted from rows-only in round 11 "
+    "(VERDICT r10 item 4): a recursive CTE replays the recurrence in "
+    "the identical (ts, event_id) order, one step per iteration across "
+    "all users at once — iteration depth = the deepest per-user "
+    "series, fixture-bounded; 6dp canonicalization on both legs "
+    "absorbs the pandas-vs-sequential float summation ulp (verified "
+    "hash-identical at all three fixture scales). Exact parity with a "
+    "pure-Python reference recursion stays asserted in "
     "tests/test_timeseries.py",
 )
 def q118_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import ewma
 
     events = read_table(spark, sf_dir, "events")
-    return ewma(events, "ts", ["user_id"], "value", 0.2, tiebreak=["event_id"])
+    return ewma(
+        events, "ts", ["user_id"], "value", 0.2, tiebreak=["event_id"]
+    ).withColumn("ewma", F.round("ewma", 6))
 
 
 # --- three-valued logic semantics (§2.2/§2.8 correctness showcase) -----------

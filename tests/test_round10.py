@@ -454,9 +454,12 @@ def test_q353_single_batch_assumption():
     maxFilesPerTrigger=1): dropDuplicatesWithinWatermark evicts a key's
     state once event time passes the watermark, so a duplicate arriving
     in a LATER batch after eviction would legitimately re-emit and the
-    DISTINCT oracle would mismatch. Pin the assumption here so a
-    regenerated multi-file fixture flips THIS test with a readable
-    message instead of q353 silently going red in a driver sweep.
+    DISTINCT oracle would mismatch. q38's round-11 GROUP-BY oracle
+    leans on the same single-batch replay (update mode emits one row
+    per user per batch that touches it — multi-batch would emit
+    intermediate rows too). Pin the assumption here so a regenerated
+    multi-file fixture flips THIS test with a readable message instead
+    of q353/q38 silently going red in a driver sweep.
 
     Scale dirs are ENUMERATED from /root/testdata, not hardcoded
     (ADVICE r10): a future sf1 directory with a multi-file events
