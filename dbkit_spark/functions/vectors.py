@@ -49,3 +49,21 @@ def l2_normalize(a: Column | str) -> Column:
     return F.when(n == 0, ca).otherwise(
         F.transform(ca, lambda x: (x.cast("double") / n).cast("float"))
     )
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance — the metric PQ's ADC tables
+    approximate (Jégou-Douze-Schmid use L2; keep the exact baseline on
+    the same metric when measuring PQ recall)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            ca,
+            cb,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -463,3 +463,82 @@ def connected_components_contracting(
         .select("id", F.col("id").alias("cluster_id"))
     )
     return linked.unionByName(selfies)
+
+
+def connected_components_delta(
+    prior: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """INCREMENTAL connected components: merge a batch of NEW edges
+    into a FROZEN prior labeling without re-clustering the corpus —
+    the daily-append twin of :func:`connected_components_contracting`
+    the way ``minhash_incremental_pairs`` is the append twin of the
+    full LSH sweep. Work scales with the delta (new edges + the labels
+    they touch), never the corpus.
+
+    Contract: ``prior`` is any labeling where ``cluster_col`` is the
+    MINIMUM member id of each component (the output contract of both
+    CC operators here). Then merging at the LABEL level is exact:
+    project each new edge endpoint to its prior label (endpoints never
+    seen before label as themselves), contract the delta-sized label
+    graph, and re-map. The result equals a full recompute over (prior
+    component edges ∪ new edges) — pinned by a randomized pytest and
+    the q365 oracle.
+
+    Plan shape: one left equi-join per edge side against the prior
+    labeling (broadcast the DELTA side in production — the prior table
+    is the big one), star contraction on the label graph (delta-sized),
+    one label→new-label map-back join. The prior table itself is
+    touched only by hash joins on its two columns; no window, no
+    global sort, nothing proportional to corpus size beyond the joins.
+
+    Output: (id, cluster_id) for every id in ``prior`` plus every
+    endpoint of ``new_pairs`` — same contract as the full algorithms,
+    self-pairs included as singletons."""
+    pid = F.col(id_col)
+    prior_lab = prior.select(pid.alias("_nid"), F.col(cluster_col).alias("_lab"))
+
+    edges = new_pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+
+    lab_a = edges.join(prior_lab, edges["_a"] == prior_lab["_nid"], "left").select(
+        F.coalesce("_lab", F.col("_a")).alias("_a_lab"), "_b"
+    )
+    lab_edges = (
+        lab_a.join(prior_lab, lab_a["_b"] == prior_lab["_nid"], "left")
+        .select(
+            F.col("_a_lab").alias("doc_a"),
+            F.coalesce("_lab", F.col("_b")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # contraction over the LABEL graph — delta-sized by construction
+    merged = connected_components_contracting(
+        lab_edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    ).select(F.col("id").alias("_old"), F.col("cluster_id").alias("_new"))
+
+    relabeled = (
+        prior_lab.join(merged, prior_lab["_lab"] == merged["_old"], "left")
+        .select(
+            F.col("_nid").alias(id_col),
+            F.coalesce("_new", F.col("_lab")).alias(cluster_col),
+        )
+    )
+    # endpoints never seen in prior: their label was their own id
+    fresh = (
+        edges.select(F.col("_a").alias("_nid"))
+        .unionByName(edges.select(F.col("_b").alias("_nid")))
+        .distinct()
+        .join(prior_lab.select("_nid"), "_nid", "left_anti")
+        .join(merged, F.col("_nid") == merged["_old"], "left")
+        .select(
+            F.col("_nid").alias(id_col),
+            F.coalesce("_new", F.col("_nid")).alias(cluster_col),
+        )
+    )
+    return relabeled.unionByName(fresh)

@@ -799,3 +799,91 @@ def remove_duplicated_spans(
         F.size("_t").cast("long").alias("n_tokens"),
         (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def minhash_tune(
+    sims: DataFrame,
+    sim_col: str = "jaccard",
+    n_hashes: int = MINHASH_K,
+    target: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH band/row AUTO-TUNER: for every factorization
+    ``n_hashes = b·r``, evaluate the banding S-curve
+    ``P(candidate | s) = 1 − (1 − s^r)^b`` (Leskovec–Rajaraman–Ullman,
+    Mining of Massive Datasets ch. 3) against an OBSERVED pair-
+    similarity distribution and rank configs by how close the curve's
+    analytic threshold ``s* = (1/b)^(1/r)`` lands to ``target``.
+
+    Output, one row per (b, r): ``b, r, s_star`` (6dp), ``exp_recall``
+    (mean P over pairs with s ≥ target — the banding miss rate
+    pair_quality measures empirically, predicted analytically),
+    ``exp_waste`` (mean P over pairs below target — candidate-
+    verification work wasted on non-duplicates), ``n_pos, n_neg``, and
+    ``pick_rank`` (1 = recommended: smallest |s* − target|, ties to
+    larger b = recall-leaning).
+
+    Input contract: ``sims`` is an AUDIT-SCALE pair table — the exact
+    baseline a ``pair_quality`` run already materializes (its truth
+    side is require_small-guarded by design), or any sampled/blocked
+    pair set; the tuner consumes one similarity column and never
+    touches documents. Plan shape at any input size: one map-side
+    explode of the ≤ d(n_hashes) config literals (never a join) + one
+    map-side-combined groupBy over ≤ d(n_hashes) keys. Probabilities
+    are 9dp-rounded before the decimal-stabilized mean (the SURVEY
+    §5.3 libm rule — pow() may drift an ulp across engines)."""
+    from ..operators.aggregate import stable_avg
+
+    if n_hashes < 2:
+        raise ValueError("n_hashes must be >= 2")
+    if not 0.0 < target < 1.0:
+        raise ValueError("target must be in (0, 1)")
+    configs = [
+        (b, n_hashes // b)
+        for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    ]
+    s = F.col(sim_col).cast("double")
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                for b, r in configs
+            ]
+        )
+    ).alias("_cfg")
+    scored = sims.select(s.alias("_s"), cfg).select(
+        "_s", F.col("_cfg.b").alias("b"), F.col("_cfg.r").alias("r")
+    )
+    p = F.round(
+        F.lit(1.0)
+        - F.pow(F.lit(1.0) - F.pow(F.col("_s"), F.col("r")), F.col("b")),
+        9,
+    )
+    pos = F.when(F.col("_s") >= F.lit(target), p)
+    neg = F.when(F.col("_s") < F.lit(target), p)
+    agg = (
+        scored.groupBy("b", "r")
+        .agg(
+            F.round(stable_avg(pos, scale=9), 6).alias("exp_recall"),
+            F.round(stable_avg(neg, scale=9), 6).alias("exp_waste"),
+            F.count(pos).cast("long").alias("n_pos"),
+            F.count(neg).cast("long").alias("n_neg"),
+        )
+    )
+    s_star = F.pow(F.lit(1.0) / F.col("b"), F.lit(1.0) / F.col("r"))
+    # ranking window runs over <= d(n_hashes) config rows (metadata-
+    # sized by construction), never data — the global-window caveat of
+    # SURVEY §5.3 does not bite here
+    w = Window.orderBy(
+        F.abs(F.round(s_star, 9) - F.lit(target)).asc(), F.col("b").desc()
+    )
+    return agg.select(
+        "b",
+        "r",
+        F.round(s_star, 6).alias("s_star"),
+        "exp_recall",
+        "exp_waste",
+        "n_pos",
+        "n_neg",
+        F.row_number().over(w).cast("int").alias("pick_rank"),
+    )

@@ -986,3 +986,146 @@ def pq_encode(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(do, schema)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ASYMMETRIC DISTANCE COMPUTATION top-k over PQ codes (Jégou,
+    Douze & Schmid 2011 §IV): per query, precompute the m × kc lookup
+    table of squared distances from each query subvector to each
+    codebook centroid; a candidate's approximate distance is then the
+    SUM of m table entries addressed by its code — the corpus side
+    never touches float vectors, which is the whole point of PQ
+    serving (codes are m bytes; the float corpus stays on disk).
+
+    Scale shape: queries are the bounded probe set (the q43 contract —
+    the LUTs, n_queries · m · kc doubles, ship in the closure like the
+    IVF/hyperplane constants); the codes table streams through ONE
+    map-only Arrow pass emitting (query_id, cand_id, adc_dist), and
+    per-query top-k is the standard window. No join touches the float
+    corpus. Ties break on cand_id ascending; distances 6dp-rounded.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    m = len(books)
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded probe set
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        lut = np.stack(
+            [
+                ((books[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )  # (m, kc)
+        luts.append((int(r[id_col]), lut))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def do(batches):
+        for pdf in batches:
+            cand = pdf["vec_id"].astype("int64").to_numpy()
+            code_mat = (
+                pdf["code"].str.split("-", expand=True).to_numpy(dtype=np.int64)
+            )  # (n, m)
+            for qid, lut in luts:
+                dist = np.zeros(len(cand))
+                for j in range(m):
+                    dist += lut[j][code_mat[:, j]]
+                keep = cand != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "cand_id": cand[keep],
+                        "adc_dist": np.round(dist[keep], 6),
+                    }
+                )
+
+    scored = codes.select("vec_id", "code").mapInPandas(do, schema)
+    return per_group_topk(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.col("adc_dist").asc(), F.col("cand_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
+def pq_recall_at_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """RECALL@k of PQ-ADC retrieval against exact same-metric (squared
+    L2) top-k — the eval that closes the PQ loop the way q362's RBO
+    closed int8's: how much of the true neighborhood does the
+    m-byte-per-vector index actually return? Output per query:
+    (query_id, n_hit, recall) with recall = |exact∩adc| / k.
+
+    Both arms share the bounded-probe contract: the exact arm is the
+    cosine_topk plan shape (broadcast queries × one corpus scan, the
+    documented BNLJ exception) on l2_sq; the ADC arm is
+    :func:`pq_adc_topk` (map-only over codes). The comparison is one
+    (query, cand) equi-join + one count agg per query. Pass ``codes``
+    to reuse a persisted :func:`pq_encode` table; otherwise codes are
+    derived here."""
+    from ..functions.vectors import l2_sq
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    exact_scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(l2_sq("qv", "cv"), 6).alias("l2"),
+        )
+    )
+    exact = per_group_topk(
+        exact_scored,
+        partition_by=["query_id"],
+        order_by=[F.col("l2").asc(), F.col("cand_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "cand_id")
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    adc = pq_adc_topk(
+        queries, codes, codebooks, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "cand_id")
+    hits = exact.join(adc, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -330,3 +330,55 @@ def tdigest_quantiles(
     return digest.groupBy(*group_cols).applyInPandas(
         readout, f"{gs}, p double, est double, n double"
     )
+
+
+def tdigest_merge(
+    digest: DataFrame,
+    group_cols: "list[str]",
+    delta: int = 100,
+) -> DataFrame:
+    """Merge t-digest centroid rows per group into a fresh ≤ O(delta)
+    digest — the MERGE-ONLY incremental-maintenance half of the sketch
+    (Dunning & Ertl: t-digests are a commutative monoid under merge):
+    union per-day / per-batch / per-partition digest tables and merge,
+    never re-touching data rows. With :func:`tdigest_build` run per
+    micro-batch this is streaming quantiles under the q353 watermark
+    discipline: state per group is centroid rows, not values.
+
+    Input: any union of digest outputs — (group..., mean, weight)
+    (a ``centroid`` index column is ignored if present). Output:
+    (group..., centroid, mean, weight), same contract as the final
+    level of ``tdigest_build``. Deterministic: centroid pairs are
+    consumed in (mean, weight) sorted order, so the same input rows
+    merge identically under any partitioning. The shuffle carries
+    centroid rows only; an Arrow batch per group holds the unioned
+    centroids (n_batches · O(delta) rows — metadata-sized for any
+    sane batch count; re-merge hierarchically if batches outnumber
+    ~10^4)."""
+    import pandas as pd
+
+    def gschema(extra: str) -> str:
+        gs = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in digest.select(*group_cols).schema.fields
+        )
+        return f"{gs}, {extra}"
+
+    def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pairs = sorted(zip(pdf["mean"], pdf["weight"]))
+        cents = _tdigest_compress([(m, w) for m, w in pairs], delta)
+        head = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                **{g: [head[g]] * len(cents) for g in group_cols},
+                "centroid": list(range(len(cents))),
+                "mean": [m for m, _w in cents],
+                "weight": [w for _m, w in cents],
+            }
+        )
+
+    return (
+        digest.select(*group_cols, "mean", "weight")
+        .groupBy(*group_cols)
+        .applyInPandas(merge_final, gschema("centroid int, mean double, weight double"))
+    )

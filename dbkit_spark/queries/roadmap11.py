@@ -1,0 +1,285 @@
+"""Round-11 catalog queue (q363+): written and pre-verified this round,
+NOT registered — merged into ``roadmap7.ROADMAP7`` (imported at the
+bottom of ``roadmap7.py``; must not import roadmap7 back) and landed by
+``roadmap7_landed`` when the rotation arithmetic allows (round 12 —
+the staged-window discipline of the r8 verdict, queue capped at one
+driver window).
+
+All four entries are the VERDICT r10 item-3 candidates, same template
+as the r9/r10 additions: operator + randomized/hand-case pytest
+(tests/test_round11.py) + oracle pre-verified at sf0.001 and sf0.01
+(tests/test_catalog.py::test_roadmap7_queue_preverified), and the
+driver-canon contract of SURVEY.md §5.3 (scalar outputs only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import stable_avg_sql
+from ..sources import read_table
+
+ROADMAP11: dict[str, tuple] = {}
+
+
+# --- q363: MinHash band/row auto-tuner -----------------------------------------
+
+
+def q363_minhash_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/row auto-tuner (llm/dedup.minhash_tune) over the exact
+    pair-Jaccard distribution of the documents shingle graph — the
+    harness that turns q357's pair-quality audit from a report into a
+    knob: for each factorization of the 16-hash budget, the predicted
+    recall/waste at threshold 0.5."""
+    from ..llm.dedup import minhash_tune, ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    sims = ngram_jaccard_pairs(docs, threshold=0.0)
+    return minhash_tune(sims, "jaccard", n_hashes=16, target=0.5).orderBy(
+        "pick_rank"
+    )
+
+
+def _q363_oracle() -> str:
+    from .llm import _JACCARD_SQL, _SHINGLES_SQL
+
+    avg_pos = stable_avg_sql("CASE WHEN s >= 0.5 THEN p END", scale=9)
+    avg_neg = stable_avg_sql("CASE WHEN s < 0.5 THEN p END", scale=9)
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sims AS (
+      SELECT CAST({_JACCARD_SQL} AS DOUBLE) AS s
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b
+    ),
+    cfg AS (SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+            t(b, r)),
+    scored AS (
+      SELECT b, r, s,
+             round(1.0 - pow(1.0 - pow(s, r), b), 9) AS p
+      FROM sims CROSS JOIN cfg
+    ),
+    agg AS (
+      SELECT b, r,
+             round({avg_pos}, 6) AS exp_recall,
+             round({avg_neg}, 6) AS exp_waste,
+             COUNT(CASE WHEN s >= 0.5 THEN 1 END) AS n_pos,
+             COUNT(CASE WHEN s < 0.5 THEN 1 END) AS n_neg
+      FROM scored GROUP BY b, r
+    )
+    SELECT CAST(b AS INTEGER) AS b, CAST(r AS INTEGER) AS r,
+           round(pow(1.0 / b, 1.0 / r), 6) AS s_star,
+           exp_recall, exp_waste, n_pos, n_neg,
+           CAST(row_number() OVER (
+             ORDER BY abs(round(pow(1.0 / b, 1.0 / r), 9) - 0.5) ASC,
+                      b DESC) AS INTEGER) AS pick_rank
+    FROM agg ORDER BY pick_rank
+    """
+
+
+_Q363_NOTES = (
+    "MINHASH BAND/ROW AUTO-TUNER (llm/dedup.minhash_tune — VERDICT r10 "
+    "candidate 1, pairs with q357's pair_quality: the audit measures "
+    "banding recall empirically, the tuner predicts it analytically "
+    "from the S-curve P(cand|s)=1-(1-s^r)^b [Leskovec-Rajaraman-Ullman "
+    "MMDS ch.3] and inverts it for a target threshold via "
+    "s*=(1/b)^(1/r)): evaluated against the OBSERVED exact-Jaccard "
+    "pair distribution (audit-scale by contract — the tuner itself "
+    "consumes one similarity column via a literal config explode + one "
+    "map-combined groupBy, never a join, never documents; its ranking "
+    "window runs over the <= d(16)=5 config rows). Probabilities "
+    "9dp-rounded before the decimal-stabilized mean (the libm pow "
+    "rule); pick_rank 1 lands on (b=8, r=2) = the shipped "
+    "NUM_BANDS/BAND_ROWS defaults, which is the point"
+)
+
+ROADMAP11["q363_minhash_autotune"] = (
+    q363_minhash_autotune,
+    _q363_oracle(),
+    _Q363_NOTES,
+)
+
+
+# --- q364: incremental (merge-only) t-digest ------------------------------------
+
+
+def q364_tdigest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-only t-digest maintenance (operators/sketch.tdigest_merge
+    — VERDICT r10 candidate 2): per-generation digests over the events
+    table (even/odd event_id halves standing in for daily batches) are
+    UNIONED AS CENTROID ROWS and merged without re-touching data; the
+    readout is per-event-type p50/p95/p99."""
+    from ..operators.sketch import tdigest_build, tdigest_merge, tdigest_quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    gen1 = tdigest_build(
+        ev.filter(F.col("event_id") % 2 == 0), "value", ["event_type"]
+    )
+    gen2 = tdigest_build(
+        ev.filter(F.col("event_id") % 2 == 1), "value", ["event_type"]
+    )
+    merged = tdigest_merge(gen1.unionByName(gen2), ["event_type"])
+    return (
+        tdigest_quantiles(merged, ["event_type"], [0.5, 0.95, 0.99])
+        .select(
+            "event_type",
+            "p",
+            F.round("est", 6).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("event_type", "p")
+    )
+
+
+_Q364_NOTES = (
+    "INCREMENTAL T-DIGEST over micro-batches (operators/sketch."
+    "tdigest_merge — the merge-only maintenance half of q342's sketch; "
+    "Dunning & Ertl: digests form a commutative monoid under merge, so "
+    "per-batch digests union as centroid ROWS and merge without "
+    "re-touching data — streaming quantiles under the q353 watermark "
+    "discipline, state = centroids per group): engine splits events "
+    "into two generations, builds a digest per generation, merges. "
+    "ROWS-ONLY (quantile estimates are sketch output, the q342/HLL "
+    "precedent); pytests pin merged-readout rank error vs exact on "
+    "randomized data, bit-determinism under repartitioning, exact "
+    "weight conservation, and merge-vs-monolithic agreement"
+)
+
+ROADMAP11["q364_tdigest_incremental"] = (
+    q364_tdigest_incremental,
+    None,
+    _Q364_NOTES,
+)
+
+
+# --- q365: delta-mode connected components --------------------------------------
+
+
+def q365_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC (llm/cluster.connected_components_delta — VERDICT
+    r10 candidate 3): q359's chain graph split into a frozen prior
+    labeling (edges except the u %% 11 == 3 holdouts) and a delta batch
+    (the holdouts, each re-welding two prior components); the merged
+    labeling must equal q359's full recompute — same closed-form
+    oracle."""
+    from pyspark.sql import Window
+
+    from ..llm.cluster import (
+        connected_components_contracting,
+        connected_components_delta,
+    )
+
+    ids = (
+        read_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    w = Window.orderBy("u")
+    edges = (
+        ids.withColumn("_next", F.lead("u").over(w))
+        .filter(
+            F.col("_next").isNotNull()
+            & (F.col("_next") == F.col("u") + 1)
+            & (F.col("_next") % 37 != 0)
+        )
+        .select(F.col("u").alias("doc_a"), F.col("_next").alias("doc_b"))
+    )
+    delta = edges.filter(F.col("doc_a") % 11 == 3)
+    base = edges.filter(F.col("doc_a") % 11 != 3)
+    prior_cc = connected_components_contracting(base, max_iter=12)
+    prior = ids.join(prior_cc, ids["u"] == prior_cc["id"], "left").select(
+        F.col("u").alias("id"),
+        F.coalesce("cluster_id", F.col("u")).alias("cluster_id"),
+    )
+    merged = connected_components_delta(prior, delta, max_iter=12)
+    return merged.select(
+        F.col("id").alias("user_id"), F.col("cluster_id").alias("component")
+    ).orderBy("user_id")
+
+
+_Q365_ORACLE = """
+    WITH ids AS (SELECT DISTINCT user_id AS u FROM events),
+    marked AS (
+      SELECT u,
+             CASE WHEN u % 37 = 0
+                    OR lag(u) OVER (ORDER BY u) IS NULL
+                    OR lag(u) OVER (ORDER BY u) <> u - 1
+                  THEN u END AS seg_start
+      FROM ids
+    )
+    SELECT u AS user_id,
+           MAX(seg_start) OVER (ORDER BY u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS component
+    FROM marked ORDER BY u
+"""
+
+_Q365_NOTES = (
+    "DELTA-MODE CONNECTED COMPONENTS (llm/cluster."
+    "connected_components_delta — VERDICT r10 candidate 3, the "
+    "incremental twin of q359 for daily corpus appends: new edges "
+    "merge into a FROZEN min-id labeling without re-clustering the "
+    "corpus): endpoints project to prior labels (one left equi-join "
+    "per side), star contraction runs on the DELTA-SIZED label graph, "
+    "one map-back join relabels — work scales with the append, never "
+    "the corpus. Exactness: with min-id labels, label-level merging "
+    "is lossless, so the result EQUALS the full recompute — the "
+    "anchor replays q359's chain graph with the u%11==3 edges held "
+    "out as the delta batch (each holdout re-welds two prior "
+    "components) and shares q359's closed-form segment oracle; a "
+    "randomized pytest pins delta == full on arbitrary graph splits "
+    "incl. never-seen nodes"
+)
+
+ROADMAP11["q365_components_delta"] = (
+    q365_components_delta,
+    _Q365_ORACLE,
+    _Q365_NOTES,
+)
+
+
+# --- q366: PQ recall@k eval ------------------------------------------------------
+
+
+def q366_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving-quality eval (llm/similarity.pq_recall_at_k — VERDICT
+    r10 candidate 4): recall@10 of ADC retrieval over q354's m=4/k=16
+    codebooks against exact squared-L2 top-10, for the 5 probe
+    queries of the q43 contract."""
+    from ..llm.similarity import pq_recall_at_k, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, k=16)
+    return pq_recall_at_k(
+        emb.filter(F.col("vec_id") < 5), emb, books, k=10
+    ).orderBy("query_id")
+
+
+_Q366_NOTES = (
+    "PQ RECALL@K EVAL (llm/similarity.pq_adc_topk + pq_recall_at_k — "
+    "VERDICT r10 candidate 4, closes the PQ loop the way q362's RBO "
+    "closed int8's: q354 proved the codes reconstruct, this measures "
+    "what the m-byte index RETRIEVES): per query an m x kc ADC lookup "
+    "table (Jegou-Douze-Schmid 2011 SIV) ships in the closure with "
+    "the codebooks; the codes table streams through ONE map-only "
+    "Arrow pass — the float corpus is never joined on the ADC arm; "
+    "the exact arm is the q43 bounded-probe broadcast contract on the "
+    "SAME metric (squared L2, what ADC approximates — not cosine); "
+    "recall = one (query,cand) equi-join + count. ROWS-ONLY (KMeans "
+    "codebooks have no SQL twin); pytests pin the identity ceiling "
+    "(ADC over exact-reconstruction codebooks = recall 1), "
+    "determinism under repartitioning, and the [0,1] range with "
+    "n_hit <= k"
+)
+
+ROADMAP11["q366_pq_recall"] = (
+    q366_pq_recall,
+    None,
+    _Q366_NOTES,
+)

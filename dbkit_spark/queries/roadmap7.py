@@ -7943,3 +7943,8 @@ ROADMAP7.update(_ROADMAP9)
 from .roadmap10 import ROADMAP10 as _ROADMAP10  # noqa: E402
 
 ROADMAP7.update(_ROADMAP10)
+
+# Round-11 queue additions (same pattern).
+from .roadmap11 import ROADMAP11 as _ROADMAP11  # noqa: E402
+
+ROADMAP7.update(_ROADMAP11)

@@ -121,6 +121,12 @@ _INTENTIONAL_CROSS = {
     #          definition requires all centroids per vector)
     "q306_hamming_rerank",
     "q309_silhouette",
+    # landed with the round-11 staged q341-q362 registration, same
+    # justification it held in the queue gate's intentional set:
+    #   q362 — RBO of int8-vs-exact retrieval runs BOTH rankings
+    #          through cosine_topk's broadcast probe-subset crossJoin
+    #          (vec_id % 100 queries — the q43 bounded-contract class)
+    "q362_rbo_quantization",
 }
 
 
@@ -435,12 +441,13 @@ def test_queue_wide_no_accidental_nlj(spark):
     # contract at scale) — same documented set as the catalog gate's
     # _INTENTIONAL_CROSS, kept tiny and justified per entry
     # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing;
-    # q306/q309 moved there with the round-10 landing). Current
-    # justified entries:
-    #   q362 — RBO of int8-vs-exact retrieval runs BOTH rankings
-    #          through cosine_topk's broadcast probe-subset crossJoin
-    #          (vec_id % 100 queries — the q43 bounded-contract class)
-    intentional: set[str] = {"q362_rbo_quantization"}
+    # q306/q309 moved there with the round-10 landing; q362 with the
+    # round-11 landing). Current justified entries:
+    #   q366 — PQ recall@k's EXACT arm is the q43 bounded-probe
+    #          broadcast crossJoin (5 query vectors vs corpus, the
+    #          designed same-metric baseline); the ADC arm under test
+    #          is map-only over codes and joins nothing
+    intentional: set[str] = {"q366_pq_recall"}
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():

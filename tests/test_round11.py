@@ -75,3 +75,180 @@ def test_fixture_once_crash_leaves_no_fresh_marker(tmp_path):
     fixture_once(path, "new", lambda: done.append(1), timeout=1.0)
     assert done == [1]
     assert not os.path.exists(path + ".lock")
+
+
+# --- round-11 operators (q363-q366 queue) -----------------------------------
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_minhash_tune_scurve_and_pick(spark):
+    """Hand-computed S-curve pins: P(cand|s) = 1-(1-s^r)^b, s* =
+    (1/b)^(1/r); at a 16-hash budget and target 0.5 the recommended
+    config must be (b=8, r=2) — the shipped NUM_BANDS/BAND_ROWS
+    defaults, whose s* = 0.354^... closest to 0.5 among divisors."""
+    import pytest as _pytest
+
+    from dbkit_spark.llm.dedup import minhash_tune
+
+    sims = spark.createDataFrame(
+        [(0.2,), (0.5,), (0.8,), (0.9,), (0.3,)], "jaccard double"
+    )
+    rows = {(r["b"], r["r"]): r for r in minhash_tune(sims, "jaccard", 16, 0.5).collect()}
+    assert set(rows) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    r82 = rows[(8, 2)]
+    # s* = (1/8)^(1/2)
+    assert abs(r82["s_star"] - (1 / 8) ** 0.5) < 1e-6
+    # exp_recall over {0.5, 0.8, 0.9}: mean of 1-(1-s^2)^8
+    exp = sum(1 - (1 - s * s) ** 8 for s in (0.5, 0.8, 0.9)) / 3
+    assert abs(r82["exp_recall"] - exp) < 1e-5
+    exp_w = sum(1 - (1 - s * s) ** 8 for s in (0.2, 0.3)) / 2
+    assert abs(r82["exp_waste"] - exp_w) < 1e-5
+    assert (r82["n_pos"], r82["n_neg"]) == (3, 2)
+    assert r82["pick_rank"] == 1  # the shipped defaults win at 0.5
+    with _pytest.raises(ValueError, match="target"):
+        minhash_tune(sims, "jaccard", 16, 1.5)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        minhash_tune(sims, "jaccard", 1, 0.5)
+
+
+def test_tdigest_merge_incremental_equals_monolithic(spark):
+    """Merge-only maintenance: per-batch digests unioned and merged
+    must (a) conserve weight exactly, (b) be bit-deterministic under
+    repartitioning, (c) read out within the monolithic build's rank
+    envelope, and (d) merge associatively (merging merged digests)."""
+    from dbkit_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantiles,
+    )
+
+    rng = random.Random(5)
+    rows = [("g", math.exp(rng.gauss(0, 1.2))) for _ in range(6000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    thirds = [
+        spark.createDataFrame(rows[i::3], "g string, v double") for i in range(3)
+    ]
+    digests = [tdigest_build(t, "v", ["g"]) for t in thirds]
+    u = digests[0].unionByName(digests[1]).unionByName(digests[2])
+    merged = tdigest_merge(u, ["g"])
+    got = sorted(tuple(r) for r in merged.collect())
+    again = sorted(tuple(r) for r in tdigest_merge(u.repartition(7), ["g"]).collect())
+    assert got == again
+    assert sum(r[3] for r in got) == len(rows)
+    assert len(got) <= 200
+    # associativity: merge(merge(d0, d1), d2) == merge(d0, d1, d2)
+    m01 = tdigest_merge(digests[0].unionByName(digests[1]), ["g"])
+    two_step = tdigest_merge(m01.unionByName(digests[2]), ["g"])
+    # both are valid digests of the same data: compare READOUTS, which
+    # must agree within the accuracy envelope (merge error second-order)
+    vs = sorted(v for _g, v in rows)
+
+    def _rank(x: float) -> float:
+        import bisect
+
+        return bisect.bisect_left(vs, x) / len(vs)
+
+    for d in (merged, two_step):
+        for r in tdigest_quantiles(d, ["g"], [0.05, 0.5, 0.95, 0.99]).collect():
+            assert abs(_rank(r["est"]) - r["p"]) <= 0.02, (r["p"], r["est"])
+
+
+def test_components_delta_equals_full_randomized(spark):
+    """Delta merge == full recompute on random graphs and random
+    splits, including delta edges that introduce never-seen nodes and
+    self-pairs (singletons)."""
+    from dbkit_spark.llm.cluster import (
+        connected_components,
+        connected_components_delta,
+    )
+
+    for seed in (3, 8):
+        rng = random.Random(seed)
+        all_edges = sorted(
+            {tuple(sorted(rng.sample(range(1, 25), 2))) for _ in range(22)}
+        )
+        # delta gets ~1/3 of edges, plus brand-new nodes and a self-pair
+        cut = max(1, len(all_edges) // 3)
+        rng.shuffle(all_edges)
+        prior_e, delta_e = all_edges[cut:], all_edges[:cut]
+        delta_e += [(2, 101), (101, 102), (200, 200)]
+        full = sorted(
+            tuple(r)
+            for r in connected_components(
+                spark.createDataFrame(
+                    sorted(prior_e + delta_e), "doc_a long, doc_b long"
+                ),
+                max_iter=25,
+            ).collect()
+        )
+        prior_df = spark.createDataFrame(sorted(prior_e), "doc_a long, doc_b long")
+        prior = connected_components(prior_df, max_iter=25)
+        got = sorted(
+            tuple(r)
+            for r in connected_components_delta(
+                prior,
+                spark.createDataFrame(sorted(delta_e), "doc_a long, doc_b long"),
+            ).collect()
+        )
+        # full CC only covers nodes in edges; delta covers prior ids +
+        # delta endpoints — identical node sets here by construction
+        assert got == full, seed
+        assert (200, 200) in got  # self-pair singleton survives
+
+
+def test_pq_adc_identity_ceiling_and_determinism(spark):
+    """ADC over codebooks that reconstruct the corpus EXACTLY (every
+    subvector is a centroid) must rank by true squared L2 — recall@k
+    = 1 for every query; and the whole eval is deterministic under
+    repartitioning."""
+    import numpy as np
+
+    from dbkit_spark.llm.similarity import pq_adc_topk, pq_encode, pq_recall_at_k
+
+    rng = random.Random(11)
+    dim, m, kc = 8, 4, 4
+    sub = dim // m
+    books = [
+        [[rng.uniform(-1, 1) for _ in range(sub)] for _ in range(kc)]
+        for _ in range(m)
+    ]
+    # corpus vectors assembled FROM the codebooks: exact reconstruction
+    rows = []
+    for i in range(40):
+        v = []
+        for j in range(m):
+            v.extend(books[j][rng.randrange(kc)])
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # float32 storage: retrain the "books" as the float32-rounded values
+    books32 = [
+        [[float(np.float32(x)) for x in c] for c in b] for b in books
+    ]
+    out = pq_recall_at_k(
+        emb.filter(F.col("vec_id") < 3), emb, books32, k=5
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["recall"] == 1.0 and r["n_hit"] == 5
+    codes = pq_encode(emb, books32)
+    a = sorted(
+        tuple(r)
+        for r in pq_adc_topk(
+            emb.filter(F.col("vec_id") < 3), codes, books32, k=5
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pq_adc_topk(
+            emb.filter(F.col("vec_id") < 3),
+            codes.repartition(9),
+            books32,
+            k=5,
+        ).collect()
+    )
+    assert a == b and len(a) == 15
+    assert all(0 <= r[2] for r in a)  # squared distances non-negative
