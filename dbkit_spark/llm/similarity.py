@@ -1117,8 +1117,11 @@ def pq_recall_at_k(
     hits = exact.join(adc, ["query_id", "cand_id"]).groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_hit")
     )
+    # the query list comes from `queries`, NOT from `exact` — reusing
+    # the exact frame here would splice its broadcast crossJoin subtree
+    # into the plan a second time
     return (
-        exact.select("query_id")
+        q.select("query_id")
         .distinct()
         .join(hits, "query_id", "left")
         .select(
