@@ -4337,15 +4337,52 @@ def q267_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q267_ORACLE = """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS score,
+             CAST(value > 40 AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    pos AS (
+      SELECT g, score, y,
+             row_number() OVER (PARTITION BY g ORDER BY score, y) AS i,
+             sum(y) OVER (PARTITION BY g ORDER BY score, y
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.g, a.i AS j, b.i AS k,
+             (b.s - a.s + a.y) / (b.i - a.i + 1) AS avg_jk
+      FROM pos a JOIN pos b ON a.g = b.g AND b.i >= a.i
+    ),
+    m AS (
+      SELECT g, j, k AS i,
+             min(avg_jk) OVER (PARTITION BY g, j ORDER BY k DESC
+                               ROWS UNBOUNDED PRECEDING) AS mn
+      FROM pairs
+    ),
+    fit AS (SELECT g, i, max(mn) AS cal FROM m WHERE j <= i GROUP BY g, i)
+    SELECT p.g AS event_type, p.score AS value, p.y AS y,
+           round(f.cal, 9) AS calibrated
+    FROM pos p JOIN fit f ON f.g = p.g AND f.i = p.i
+    ORDER BY event_type, value, y
+"""
+
 _Q267_NOTES = (
     "ISOTONIC (PAV) CALIBRATION per group (operators/mlmetrics."
     "isotonic_calibrate — the non-parametric monotone calibration map, "
     "no bin-width choice, next to q227's fixed-bin report): pool-"
     "adjacent-violators is inherently sequential per group, so it runs "
     "in a grouped Arrow batch over numpy (keys parallelize, one key "
-    "shuffle — the CUSUM contract). No SQL engine expresses PAV: "
-    "rows-only catalog entry; monotonicity / mean-preservation / "
-    "block-mean laws are pytest-pinned"
+    "shuffle — the CUSUM contract). Converted from rows-only in round "
+    "11 (VERDICT r10 item 4, fourth conversion): PAV's fit has the "
+    "minimax closed form fitted[i] = max_{j<=i} min_{k>=i} avg(y_j..k) "
+    "[Best & Chakravarti 1990], O(n^2)-pair-expressible in SQL at "
+    "oracle scale; with 0/1 labels every pool mean is an exact "
+    "small-int / small-int division, so both engines produce "
+    "bit-identical doubles (9dp-rounded on both legs as belt). "
+    "Monotonicity / mean-preservation / block-mean laws stay "
+    "pytest-pinned"
 )
 
 
@@ -4368,7 +4405,7 @@ ROADMAP7.update(
         ),
         "q267_isotonic_calibration": (
             q267_isotonic_calibration,
-            None,
+            _Q267_ORACLE,
             _Q267_NOTES,
         ),
     }
