@@ -61,7 +61,9 @@ def test_engine_facade(spark, sf_dir):
     df = eng.run("q01_pricing_summary", sf_dir)
     assert df.count() > 0
     assert eng.oracle("q01_pricing_summary") is not None
-    assert eng.oracle("q38_stateful_user_stats") is None
+    # a permanently rows-only entry (HLL++ sketch values have no DuckDB
+    # twin — q38/q118/q267/q310 all graduated to oracles in round 11)
+    assert eng.oracle("q20_approx_distinct") is None
 
 
 def test_text_source_line_and_whole(spark, tmp_path):
