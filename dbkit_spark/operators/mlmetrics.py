@@ -1218,3 +1218,87 @@ def pair_quality(
             ).alias("f1"),
         )
     )
+
+
+def cuped_lift(
+    units: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, "Improving the Sensitivity of Online Controlled Experiments
+    by Utilizing Pre-Experiment Data", WSDM 2013 — the standard
+    large-scale A/B variance-reduction): per unit,
+    ``Y' = Y − θ·(X − mean X)`` with ``θ = cov(X, Y) / var(X)`` POOLED
+    across arms (the pre-period covariate X is independent of
+    assignment, so the adjustment shifts both arms identically and the
+    lift estimate stays unbiased while its variance drops by the
+    squared X-Y correlation).
+
+    Output, one row per arm: (arm, n_units, mean_raw, mean_cuped,
+    var_raw, var_cuped, var_reduction, theta) — 9dp, with var_reduction
+    = 1 − var_cuped/var_raw (the realized sensitivity gain; equal in
+    expectation to corr(X,Y)²).
+
+    Plan shape: ONE no-grouping aggregate computes θ and mean X
+    (map-side-combined decimal-stabilized sums — products 6dp-rounded
+    before the decimal cast, the engine-wide exactness rule), its
+    1-row result broadcasts back through the structural-gate-exempt
+    scalar crossJoin, and ONE groupBy(arm) aggregate produces the
+    readout. Nothing scales with more than the unit table; at 10^9
+    units this is two exchanges.
+    """
+    from .aggregate import stable_avg, stable_sum
+
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = units.select(
+        F.col(arm_col).alias("_arm"), y.alias("_y"), x.alias("_x")
+    )
+    g = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        stable_sum(F.col("_x"), 6).alias("_sx"),
+        stable_sum(F.col("_y"), 6).alias("_sy"),
+        stable_sum(F.round(F.col("_x") * F.col("_x"), 6), 6).alias("_sxx"),
+        stable_sum(F.round(F.col("_x") * F.col("_y"), 6), 6).alias("_sxy"),
+    ).select(
+        (
+            (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n"))
+            / F.nullif(
+                F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n"),
+                F.lit(0.0),
+            )
+        ).alias("_theta"),
+        (F.col("_sx") / F.col("_n")).alias("_mx"),
+    )
+    adj = base.crossJoin(F.broadcast(g)).withColumn(
+        "_adj",
+        F.round(
+            F.col("_y")
+            - F.coalesce(F.col("_theta"), F.lit(0.0))
+            * (F.col("_x") - F.col("_mx")),
+            9,
+        ),
+    )
+    mean_y = stable_avg(F.col("_y"), 6)
+    mean_adj = stable_avg(F.col("_adj"), 9)
+    var_y = stable_avg(F.round(F.col("_y") * F.col("_y"), 6), 6) - mean_y * mean_y
+    var_adj = (
+        stable_avg(F.round(F.col("_adj") * F.col("_adj"), 6), 6)
+        - mean_adj * mean_adj
+    )
+    return (
+        adj.groupBy(F.col("_arm").alias(arm_col))
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.round(mean_y, 9).alias("mean_raw"),
+            F.round(mean_adj, 9).alias("mean_cuped"),
+            F.round(var_y, 9).alias("var_raw"),
+            F.round(var_adj, 9).alias("var_cuped"),
+            F.round(
+                F.lit(1.0) - var_adj / F.nullif(var_y, F.lit(0.0)), 9
+            ).alias("var_reduction"),
+            F.round(F.first("_theta"), 9).alias("theta"),
+        )
+    )

@@ -5,9 +5,10 @@ bottom of ``roadmap7.py``; must not import roadmap7 back) and landed by
 the staged-window discipline of the r8 verdict, queue capped at one
 driver window).
 
-All four entries are the VERDICT r10 item-3 candidates, same template
-as the r9/r10 additions: operator + randomized/hand-case pytest
-(tests/test_round11.py) + oracle pre-verified at sf0.001 and sf0.01
+q363–q366 are the VERDICT r10 item-3 candidates; q367+ extend the
+experimentation family. Same template as the r9/r10 additions:
+operator + randomized/hand-case pytest (tests/test_round11.py) +
+oracle pre-verified at sf0.001 and sf0.01
 (tests/test_catalog.py::test_roadmap7_queue_preverified), and the
 driver-canon contract of SURVEY.md §5.3 (scalar outputs only).
 """
@@ -282,4 +283,115 @@ ROADMAP11["q366_pq_recall"] = (
     q366_pq_recall,
     None,
     _Q366_NOTES,
+)
+
+
+# --- q367: CUPED variance-reduced A/B readout -----------------------------------
+
+
+def q367_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout (operators/mlmetrics.cuped_lift) over a synthetic
+    experiment on events: per-user pre-period covariate (sum of value
+    on even event_ids) vs experiment metric (odd event_ids), md5-rule
+    arm assignment — the variance-reduction companion of q308's
+    z-test."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.aggregate import stable_sum
+    from ..operators.mlmetrics import cuped_lift
+
+    ev = read_table(spark, sf_dir, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            stable_sum(
+                F.when(F.col("event_id") % 2 == 0, F.col("value")), 2
+            ).alias("pre"),
+            stable_sum(
+                F.when(F.col("event_id") % 2 == 1, F.col("value")), 2
+            ).alias("post"),
+        )
+        .select(
+            "user_id",
+            F.coalesce("pre", F.lit(0.0)).alias("pre"),
+            F.coalesce("post", F.lit(0.0)).alias("post"),
+            F.when(u32_md5(F.col("user_id"), "cuped") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    return cuped_lift(units, "variant", "post", "pre").orderBy("variant")
+
+
+def _q367_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+    from ..operators.aggregate import stable_avg_sql, stable_sum_sql
+
+    arm = u32_md5_sql("user_id", "cuped")
+    mean_y = stable_avg_sql("_y", 6)
+    mean_adj = stable_avg_sql("_adj", 9)
+    var_y = f"{stable_avg_sql('round(_y * _y, 6)', 6)} - ({mean_y}) * ({mean_y})"
+    var_adj = (
+        f"{stable_avg_sql('round(_adj * _adj, 6)', 6)} "
+        f"- ({mean_adj}) * ({mean_adj})"
+    )
+    return f"""
+    WITH units AS (
+      SELECT user_id,
+             COALESCE({stable_sum_sql(
+                 "CASE WHEN event_id % 2 = 0 THEN value END", 2)}, 0.0) AS _x,
+             COALESCE({stable_sum_sql(
+                 "CASE WHEN event_id % 2 = 1 THEN value END", 2)}, 0.0) AS _y,
+             CASE WHEN {arm} % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT ({stable_sum_sql("round(_x * _y, 6)", 6)}
+                - {stable_sum_sql("_x", 6)} * {stable_sum_sql("_y", 6)}
+                  / CAST(COUNT(*) AS DOUBLE))
+             / nullif({stable_sum_sql("round(_x * _x, 6)", 6)}
+                - {stable_sum_sql("_x", 6)} * {stable_sum_sql("_x", 6)}
+                  / CAST(COUNT(*) AS DOUBLE), 0.0) AS _theta,
+             {stable_sum_sql("_x", 6)} / CAST(COUNT(*) AS DOUBLE) AS _mx
+      FROM units
+    ),
+    adj AS (
+      SELECT u.variant, u._y,
+             round(u._y - COALESCE(g._theta, 0.0) * (u._x - g._mx), 9) AS _adj,
+             g._theta
+      FROM units u CROSS JOIN g
+    )
+    SELECT variant,
+           COUNT(*) AS n_units,
+           round({mean_y}, 9) AS mean_raw,
+           round({mean_adj}, 9) AS mean_cuped,
+           round({var_y}, 9) AS var_raw,
+           round({var_adj}, 9) AS var_cuped,
+           round(1.0 - ({var_adj}) / nullif({var_y}, 0.0), 9)
+             AS var_reduction,
+           round(any_value(_theta), 9) AS theta
+    FROM adj GROUP BY variant ORDER BY variant
+    """
+
+
+_Q367_NOTES = (
+    "CUPED VARIANCE-REDUCED A/B READOUT (operators/mlmetrics.cuped_lift "
+    "— Deng-Xu-Kohavi-Walker WSDM 2013, the standard large-scale "
+    "experimentation sensitivity lever next to q308's z-test and "
+    "q330's permutation test): Y' = Y - theta(X - mean X), theta = "
+    "cov(X,Y)/var(X) pooled across arms (pre-period covariate is "
+    "assignment-independent, so the lift stays unbiased while its "
+    "variance drops by corr^2). Plan: ONE map-combined no-grouping agg "
+    "for theta/meanX, a 1-row broadcast recombination (the structural "
+    "gate's scalar-crossJoin exemption), ONE groupBy(arm) agg — two "
+    "exchanges at any unit count. Exactness: all sums decimal-"
+    "stabilized with 6dp-rounded products, theta/means/variances pure "
+    "IEEE arithmetic on those exact sums — hash-identical in DuckDB; "
+    "variance-reduction law (var_cuped <= var_raw, reduction ~ corr^2 "
+    "on correlated synthetic data) pytest-pinned"
+)
+
+ROADMAP11["q367_cuped_lift"] = (
+    q367_cuped_lift,
+    _q367_oracle(),
+    _Q367_NOTES,
 )

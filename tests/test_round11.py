@@ -281,3 +281,39 @@ def test_minhash_tune_predicts_pair_quality_recall(spark, sf_dir):
     got = pair_quality(lsh, truth).collect()[0]
     assert got["n_true"] > 0
     assert abs(got["recall"] - p82) <= 0.2, (got["recall"], p82)
+
+
+def test_cuped_variance_reduction_law(spark):
+    """On synthetic units where Y = X + arm-lift + noise (X strongly
+    predictive), CUPED must (a) cut the within-arm variance by roughly
+    corr(X,Y)^2, (b) preserve the between-arm lift (the adjustment is
+    assignment-independent), and (c) with a useless covariate leave
+    means essentially untouched."""
+    from dbkit_spark.operators.mlmetrics import cuped_lift
+
+    rng = random.Random(13)
+    rows = []
+    for u in range(2000):
+        x = rng.gauss(100, 20)
+        arm = "A" if u % 2 == 0 else "B"
+        lift = 5.0 if arm == "B" else 0.0
+        rows.append((arm, round(x + lift + rng.gauss(0, 4), 6), round(x, 6)))
+    df = spark.createDataFrame(rows, "variant string, post double, pre double")
+    got = {r["variant"]: r for r in cuped_lift(df, "variant", "post", "pre").collect()}
+    a, b = got["A"], got["B"]
+    # (a) variance collapses: noise var ~16 vs raw var ~400+16
+    for r in (a, b):
+        assert r["var_cuped"] < 0.15 * r["var_raw"], (r["var_cuped"], r["var_raw"])
+        assert r["var_reduction"] > 0.85
+    # (b) lift preserved within noise-shrunk tolerance
+    raw_lift = b["mean_raw"] - a["mean_raw"]
+    adj_lift = b["mean_cuped"] - a["mean_cuped"]
+    assert abs(adj_lift - 5.0) < 0.5
+    assert abs(adj_lift - raw_lift) < 1.5
+    # theta ~ 1 (Y = X + ...)
+    assert abs(a["theta"] - 1.0) < 0.1 and a["theta"] == b["theta"]
+    # (c) useless covariate: theta ~ 0, means ~ unchanged
+    junk = df.withColumn("pre", F.lit(1.0))
+    g2 = {r["variant"]: r for r in cuped_lift(junk, "variant", "post", "pre").collect()}
+    for arm_k in ("A", "B"):
+        assert abs(g2[arm_k]["mean_cuped"] - g2[arm_k]["mean_raw"]) < 1e-6
