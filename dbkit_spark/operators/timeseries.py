@@ -519,3 +519,72 @@ def theil_sen_by_key(
             "slope"
         ),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key HOLT LINEAR (double-exponential) smoothing — the
+    trend-aware upgrade of :func:`ewma` (Holt 1957; the level-only EWMA
+    lags a trending series by a constant offset, Holt tracks it):
+
+    ``l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})``,
+    ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``,
+    initialized ``l_1 = y_1, b_1 = 0`` (the data-free init — a series
+    of length 1 forecasts flat). Output per row: level, trend, and the
+    one-step-ahead forecast ``l + b`` the anomaly family compares
+    against.
+
+    Same execution contract as ``ewma``: the recursion is sequential
+    WITHIN a key, so it runs as grouped-map ``applyInPandas`` (keys
+    parallelize, one key shuffle, per-key history fits a task — the
+    CUSUM contract). The recurrence is written as plain ordered float
+    arithmetic so a recursive-CTE oracle replays it bit-for-bit (the
+    q118 EWMA precedent); outputs 6dp-rounded at the catalog boundary.
+
+    ``tiebreak`` orders same-timestamp rows (the scd2/asof rule).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    keys = list(keys)
+    sort_cols = [ts_col, *tiebreak]
+    out_fields = [*keys, ts_col, value_col]
+
+    def _fn(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        ys = pdf[value_col].astype(float).tolist()
+        levels: list[float] = []
+        trends: list[float] = []
+        l_prev = 0.0
+        b_prev = 0.0
+        for i, y in enumerate(ys):
+            if i == 0:
+                l_cur, b_cur = y, 0.0
+            else:
+                l_cur = alpha * y + (1.0 - alpha) * (l_prev + b_prev)
+                b_cur = beta * (l_cur - l_prev) + (1.0 - beta) * b_prev
+            levels.append(l_cur)
+            trends.append(b_cur)
+            l_prev, b_prev = l_cur, b_cur
+        out = pdf[out_fields].copy()
+        out["level"] = levels
+        out["trend"] = trends
+        out["forecast"] = [lv + tr for lv, tr in zip(levels, trends)]
+        return out
+
+    schema_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in out_fields
+    )
+    return df.groupBy(*keys).applyInPandas(
+        _fn, f"{schema_cols}, level double, trend double, forecast double"
+    )

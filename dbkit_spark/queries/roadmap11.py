@@ -395,3 +395,169 @@ ROADMAP11["q367_cuped_lift"] = (
     _q367_oracle(),
     _Q367_NOTES,
 )
+
+
+# --- q368: Holt linear (double-exponential) smoothing ----------------------------
+
+
+def q368_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt level+trend smoothing of event values
+    (operators/timeseries.holt_smooth — the trend-aware sibling of
+    q118's EWMA), 6dp at the catalog boundary."""
+    from ..operators.timeseries import holt_smooth
+
+    events = read_table(spark, sf_dir, "events")
+    out = holt_smooth(
+        events, "ts", ["user_id"], "value", alpha=0.3, beta=0.2,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "value",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+_Q368_ORACLE = """
+    WITH RECURSIVE s AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, value, rn,
+             CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(value AS DOUBLE) AS l_prev
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.value, s.rn,
+             0.3 * s.value + (1.0 - 0.3) * (r.l + r.b),
+             0.2 * ((0.3 * s.value + (1.0 - 0.3) * (r.l + r.b)) - r.l)
+               + (1.0 - 0.2) * r.b,
+             r.l
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts, value,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast
+    FROM r
+"""
+
+_Q368_NOTES = (
+    "HOLT LINEAR (double-exponential) SMOOTHING per key (operators/"
+    "timeseries.holt_smooth — Holt 1957; the trend-aware upgrade of "
+    "q118's EWMA, whose level-only recursion lags a trending series by "
+    "a constant offset): l = a*y + (1-a)(l'+b'), b = B(l-l') + (1-B)b', "
+    "init l1=y1, b1=0, plus the one-step forecast l+b the anomaly "
+    "family compares against. Grouped-map applyInPandas (sequential "
+    "within key, keys parallelize — the EWMA/CUSUM contract); the "
+    "recurrence is plain ordered float arithmetic, so the recursive-"
+    "CTE oracle replays it bit-for-bit stepping level/trend/l_prev "
+    "state one row per iteration (the q118 conversion precedent), 6dp "
+    "on both legs; trend-tracking law (on a pure ramp the forecast "
+    "converges to the next point while EWMA lags) pytest-pinned"
+)
+
+ROADMAP11["q368_holt_smoothing"] = (
+    q368_holt_smoothing,
+    _Q368_ORACLE,
+    _Q368_NOTES,
+)
+
+
+# --- q369: multi-touch (linear) attribution ---------------------------------------
+
+
+def q369_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the fractional-credit
+    complement of q349's last-touch: each purchase splits its value
+    EQUALLY across every click/view in the 7-day lookback (winner-
+    take-all last-touch over-credits the final retargeting click; the
+    linear model is the standard first alternative). Purchases with no
+    touch credit 'direct' in full."""
+    from pyspark.sql import Window
+
+    from ..operators.aggregate import dec
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin(["click", "view"])).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("pid")
+    credited = joined.select(
+        F.coalesce("channel", F.lit("direct")).alias("channel"),
+        F.round(
+            F.col("value") / F.count("*").over(w).cast("double"), 6
+        ).alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.sum(dec("credit", 6)).cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+_Q369_ORACLE = """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id AS t_user, ts AS t_ts, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.pid, p.value, t.channel
+      FROM p LEFT JOIN t ON t.t_user = p.user_id
+        AND t.t_ts <= p.ts
+        AND t.t_ts >= p.ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT COALESCE(channel, 'direct') AS channel,
+             round(value / CAST(COUNT(*) OVER (PARTITION BY pid) AS DOUBLE),
+                   6) AS credit
+      FROM joined
+    )
+    SELECT channel, COUNT(*) AS n_credits,
+           CAST(SUM(CAST(credit AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM credited GROUP BY channel ORDER BY channel
+"""
+
+_Q369_NOTES = (
+    "MULTI-TOUCH LINEAR ATTRIBUTION (the fractional-credit complement "
+    "of q349's last-touch asof — winner-take-all over-credits the "
+    "final retargeting click; linear is the standard first multi-touch "
+    "model): ONE user-keyed equi-join with the 7-day lookback as a "
+    "residual range predicate (hash join, never NLJ — fanout bounded "
+    "by per-user touch activity inside the window), one purchase-keyed "
+    "count window for the equal split, one channel agg. Credit = "
+    "value/n is a pure IEEE division of exact inputs, 6dp-rounded "
+    "before the decimal-stabilized sum — hash-identical in DuckDB; "
+    "credit conservation (sum of credits == sum of purchase values) "
+    "pytest-pinned"
+)
+
+ROADMAP11["q369_linear_attribution"] = (
+    q369_linear_attribution,
+    _Q369_ORACLE,
+    _Q369_NOTES,
+)
