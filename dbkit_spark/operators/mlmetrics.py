@@ -1302,3 +1302,111 @@ def cuped_lift(
             F.round(F.first("_theta"), 9).alias("theta"),
         )
     )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    group_col: str,
+    period_col: str,
+    metric_col: str,
+    treated_value: str,
+    post_value: str,
+) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout (Card & Krueger 1994 made the
+    design canonical): when assignment is NOT randomized (a staged
+    rollout, a geo launch), the treatment effect estimate is the 2×2
+    interaction ``(T_post − T_pre) − (C_post − C_pre)`` — each group's
+    own pre-period differences out its level, the control's delta
+    differences out the common time trend; identification rides the
+    parallel-trends assumption, stated in the output contract rather
+    than hidden.
+
+    Output ONE row: per-cell n/mean (four cells), each group's delta,
+    and ``did`` = the interaction. One no-grouping aggregate with
+    conditional decimal-stabilized sums — no join, no window, one
+    exchange of four partial cells at any scale (the q308 conditional-
+    cell shape)."""
+    from .aggregate import dec
+
+    g = F.col(group_col) == F.lit(treated_value)
+    p = F.col(period_col) == F.lit(post_value)
+    m = F.col(metric_col).cast("double")
+
+    def cell(cond, name):
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        s = F.sum(F.when(cond, dec(m, 6))).cast("double")
+        return [
+            n.alias(f"n_{name}"),
+            F.round(s / F.nullif(n.cast("double"), F.lit(0.0)), 9).alias(
+                f"mean_{name}"
+            ),
+        ]
+
+    agg = units.agg(
+        *cell(g & ~p, "treat_pre"),
+        *cell(g & p, "treat_post"),
+        *cell(~g & ~p, "ctrl_pre"),
+        *cell(~g & p, "ctrl_post"),
+    )
+    d_t = F.col("mean_treat_post") - F.col("mean_treat_pre")
+    d_c = F.col("mean_ctrl_post") - F.col("mean_ctrl_pre")
+    return agg.select(
+        "*",
+        F.round(d_t, 9).alias("delta_treated"),
+        F.round(d_c, 9).alias("delta_control"),
+        F.round(d_t - d_c, 9).alias("did"),
+    )
+
+
+def winsorized_metrics(
+    units: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    cap_quantile: float = 0.99,
+) -> DataFrame:
+    """CAPPED (winsorized) metric readout — the heavy-tail defense
+    every revenue experiment runs: a single whale purchase can move a
+    raw mean more than the treatment does, so values above the POOLED
+    ``cap_quantile`` are clipped to it before comparison (pooled, not
+    per-arm — a per-arm cap would let the treatment shift its own
+    yardstick).
+
+    Output per arm: n, mean_raw, mean_capped, n_capped (how many rows
+    hit the cap — the transparency number reviewers ask for), cap.
+    Plan: one exact pooled percentile aggregate (fixture/oracle
+    exactness; swap ``percentile`` for ``percentile_approx`` at 100 TB
+    — the q204 GK trade), its 1-row result broadcast through the
+    scalar crossJoin, one per-arm aggregate. Means decimal-stabilized,
+    9dp."""
+    from .aggregate import dec
+
+    if not 0.0 < cap_quantile < 1.0:
+        raise ValueError("cap_quantile must be in (0, 1)")
+    m = F.col(metric_col).cast("double")
+    capped_src = units.select(F.col(arm_col).alias("_arm"), m.alias("_y"))
+    cap = capped_src.agg(
+        F.round(
+            F.expr(f"percentile(_y, {cap_quantile!r})"), 6
+        ).alias("_cap")
+    )
+    w = capped_src.crossJoin(F.broadcast(cap)).withColumn(
+        "_yc", F.least(F.col("_y"), F.col("_cap"))
+    )
+    return (
+        w.groupBy(F.col("_arm").alias(arm_col))
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.round(
+                F.sum(dec(F.col("_y"), 6)).cast("double") / F.count("*"),
+                9,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(dec(F.col("_yc"), 6)).cast("double") / F.count("*"),
+                9,
+            ).alias("mean_capped"),
+            F.sum(F.when(F.col("_y") > F.col("_cap"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped"),
+            F.first(F.col("_cap")).alias("cap"),
+        )
+    )

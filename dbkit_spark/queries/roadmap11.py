@@ -561,3 +561,149 @@ ROADMAP11["q369_linear_attribution"] = (
     _Q369_ORACLE,
     _Q369_NOTES,
 )
+
+
+# --- q370: difference-in-differences --------------------------------------------
+
+
+def q370_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD readout (operators/mlmetrics.diff_in_diff) on a synthetic
+    staged rollout over events: md5-rule geo split (treated/control),
+    event_id-parity period (pre/post) — the non-randomized-assignment
+    companion of q308 (z-test) and q367 (CUPED)."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.mlmetrics import diff_in_diff
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(u32_md5(F.col("user_id"), "did") % 2 == 0, "treated")
+        .otherwise("control")
+        .alias("grp"),
+        F.when(F.col("event_id") % 2 == 1, "post")
+        .otherwise("pre")
+        .alias("period"),
+        "value",
+    )
+    return diff_in_diff(ev, "grp", "period", "value", "treated", "post")
+
+
+def _q370_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+
+    arm = u32_md5_sql("user_id", "did")
+
+    def cell(cond, name):
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_{name}, "
+            f"round(CAST(SUM(CASE WHEN {cond} THEN "
+            f"CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) "
+            f"/ nullif(CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) "
+            f"AS DOUBLE), 0.0), 9) AS mean_{name}"
+        )
+
+    g = f"({arm}) % 2 = 0"
+    p = "event_id % 2 = 1"
+    return f"""
+    WITH agg AS (
+      SELECT
+        {cell(f"({g}) AND NOT ({p})", "treat_pre")},
+        {cell(f"({g}) AND ({p})", "treat_post")},
+        {cell(f"NOT ({g}) AND NOT ({p})", "ctrl_pre")},
+        {cell(f"NOT ({g}) AND ({p})", "ctrl_post")}
+      FROM events
+    )
+    SELECT *,
+           round(mean_treat_post - mean_treat_pre, 9) AS delta_treated,
+           round(mean_ctrl_post - mean_ctrl_pre, 9) AS delta_control,
+           round((mean_treat_post - mean_treat_pre)
+                 - (mean_ctrl_post - mean_ctrl_pre), 9) AS did
+    FROM agg
+    """
+
+
+_Q370_NOTES = (
+    "DIFFERENCE-IN-DIFFERENCES (operators/mlmetrics.diff_in_diff — "
+    "Card-Krueger 1994 canonical design; the readout for NON-randomized "
+    "rollouts where q308/q367 don't apply: each group's pre-period "
+    "differences out its level, the control's delta differences out the "
+    "common time trend, identification = parallel trends, stated not "
+    "hidden): ONE no-grouping aggregate of four conditional decimal-"
+    "stabilized cells — no join, no window, one four-cell exchange at "
+    "any scale; every mean/delta a single IEEE op on exact sums, "
+    "9dp-rounded on both legs; hand-computed 2x2 pytest pins the "
+    "interaction sign and the trend-cancellation law"
+)
+
+ROADMAP11["q370_diff_in_diff"] = (
+    q370_diff_in_diff,
+    _q370_oracle(),
+    _Q370_NOTES,
+)
+
+
+# --- q371: winsorized (capped) metric readout -------------------------------------
+
+
+def q371_winsorized_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-metric A/B readout (operators/mlmetrics."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.mlmetrics import winsorized_metrics
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(u32_md5(F.col("user_id"), "cap") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "value",
+    )
+    return winsorized_metrics(ev, "variant", "value", cap_quantile=0.95).orderBy(
+        "variant"
+    )
+
+
+def _q371_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+
+    arm = u32_md5_sql("user_id", "cap")
+    return f"""
+    WITH src AS (
+      SELECT CASE WHEN ({arm}) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(value AS DOUBLE) AS _y
+      FROM events
+    ),
+    cap AS (SELECT round(quantile_cont(_y, 0.95), 6) AS _cap FROM src),
+    w AS (
+      SELECT variant, _y, least(_y, _cap) AS _yc, _cap
+      FROM src CROSS JOIN cap
+    )
+    SELECT variant,
+           COUNT(*) AS n_units,
+           round(CAST(SUM(CAST(_y AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_raw,
+           round(CAST(SUM(CAST(_yc AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_capped,
+           CAST(SUM(CASE WHEN _y > _cap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+           any_value(_cap) AS cap
+    FROM w GROUP BY variant ORDER BY variant
+    """
+
+
+_Q371_NOTES = (
+    "WINSORIZED (capped) METRIC READOUT (operators/mlmetrics."
+    "winsorized_metrics — the heavy-tail defense every revenue "
+    "experiment runs: one whale purchase moves a raw mean more than "
+    "the treatment; values clip at the POOLED quantile so the "
+    "treatment cannot shift its own yardstick, and n_capped is the "
+    "transparency count): one exact pooled percentile agg (swap in "
+    "percentile_approx at 100 TB — the documented q204 GK trade), "
+    "1-row broadcast through the scalar crossJoin, one per-arm "
+    "decimal-stabilized agg; Spark exact percentile and DuckDB "
+    "quantile_cont share the linear-interpolation definition, "
+    "6dp-rounded; cap-behavior pytest pins clipping, n_capped, and "
+    "the pooled-not-per-arm law"
+)
+
+ROADMAP11["q371_winsorized_metrics"] = (
+    q371_winsorized_metrics,
+    _q371_oracle(),
+    _Q371_NOTES,
+)

@@ -412,3 +412,52 @@ def test_linear_attribution_hand_case(spark):
     assert got["click"] == (2, 60.0)   # 2 x 30
     assert got["view"] == (1, 30.0)
     assert got["direct"] == (1, 50.0)
+
+
+def test_diff_in_diff_hand_case_and_trend_cancellation(spark):
+    """2x2 hand case: treated 10->18 (+8), control 5->11 (+6) => DiD
+    = +2; and a pure common trend (both groups shift by the same
+    amount) yields DiD = 0 regardless of level differences."""
+    from dbkit_spark.operators.mlmetrics import diff_in_diff
+
+    rows = (
+        [("t", "pre", 10.0)] * 4 + [("t", "post", 18.0)] * 4
+        + [("c", "pre", 5.0)] * 6 + [("c", "post", 11.0)] * 6
+    )
+    df = spark.createDataFrame(rows, "grp string, period string, m double")
+    r = diff_in_diff(df, "grp", "period", "m", "t", "post").collect()[0]
+    assert (r["n_treat_pre"], r["n_treat_post"]) == (4, 4)
+    assert r["delta_treated"] == 8.0 and r["delta_control"] == 6.0
+    assert r["did"] == 2.0
+    trend = spark.createDataFrame(
+        [("t", "pre", 100.0), ("t", "post", 107.0),
+         ("c", "pre", 1.0), ("c", "post", 8.0)],
+        "grp string, period string, m double",
+    )
+    r2 = diff_in_diff(trend, "grp", "period", "m", "t", "post").collect()[0]
+    assert r2["did"] == 0.0
+
+
+def test_winsorized_metrics_cap_behavior(spark):
+    """Clipping laws: mean_capped <= mean_raw, n_capped counts only
+    rows strictly above the POOLED cap, and the pooled cap means a
+    whale in arm B lowers B's capped mean without touching A's values
+    below the cap."""
+    import pytest as _pytest
+
+    from dbkit_spark.operators.mlmetrics import winsorized_metrics
+
+    rows = [("A", float(v)) for v in range(1, 100)] + [
+        ("B", float(v)) for v in range(1, 100)
+    ] + [("B", 10_000.0)]  # the whale
+    df = spark.createDataFrame(rows, "variant string, y double")
+    got = {r["variant"]: r for r in winsorized_metrics(df, "variant", "y", 0.9).collect()}
+    a, b = got["A"], got["B"]
+    assert a["cap"] == b["cap"]  # pooled, not per-arm
+    assert b["n_capped"] >= 1 and b["mean_capped"] < b["mean_raw"]
+    assert a["mean_capped"] <= a["mean_raw"]
+    # every capped mean is <= cap
+    for r in (a, b):
+        assert r["mean_capped"] <= r["cap"]
+    with _pytest.raises(ValueError, match="cap_quantile"):
+        winsorized_metrics(df, "variant", "y", 1.0)
