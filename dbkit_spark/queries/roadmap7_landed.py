@@ -25,6 +25,19 @@ from __future__ import annotations
 from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
+# Round-12 landing move (pre-computed at round-11 close): the queue
+# holds exactly 9 entries (q363–q371), all pre-verified at both driver
+# scales AND at sf0.1. Setting _LANDED_MAX_QNUM = 371 lands them all;
+# the r12 window becomes those 9 never-driver-checked entries plus the
+# 41 least-recently-verified greens (refresh top-up — no registered
+# query left evidence-less; landing fewer than a full window cannot
+# break the invariant). A query that FAILS the r11 sweep re-enters the
+# window ahead of the queue (last-green 0) exactly as q289 did in r10 —
+# with 9 queued there is room for up to 41 such re-entries before the
+# count needs re-checking, so the move is safe under any plausible r11
+# outcome. Also update GUARD_ROUND/R11_REFRESH in tests/test_catalog.py
+# to the r12 values at landing time (the artifact-aware guard pattern).
+#
 # Round-11 landing (executed; VERDICT r10 item 1, arithmetic
 # judge-verified at r10 close): the queue held exactly 22 entries
 # (q341 + q342–q362), all pre-verified at both driver scales, and
