@@ -1410,3 +1410,142 @@ def winsorized_metrics(
             F.first(F.col("_cap")).alias("cap"),
         )
     )
+
+
+def msprt_always_valid(
+    units: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    treatment_value: str,
+    tau2: float = 1.0,
+) -> DataFrame:
+    """ALWAYS-VALID sequential test (mixture SPRT, Johari, Koomen,
+    Pekelis & Walsh, "Peeking at A/B Tests", KDD 2017): the fixed-n
+    z-test's p-value is invalid the moment anyone peeks mid-run; the
+    mSPRT's mixture likelihood ratio
+    ``Λ = sqrt(V/(V+τ²)) · exp(Δ̄²·τ² / (2V(V+τ²)))`` (normal
+    approximation, ``V = s²_t/n_t + s²_c/n_c``) gives
+    ``p = min(1, 1/Λ)`` that is valid at EVERY look — the number a
+    live experimentation dashboard may legally show while data still
+    arrives.
+
+    Output ONE row: n/mean per arm, delta, v, log_lambda,
+    p_always_valid (9dp). One no-grouping aggregate of conditional
+    decimal-stabilized cells (the q308/q370 shape) — no join, no
+    window; the transcendentals run on engine-identical exact operands
+    and their outputs are 9dp-rounded (the libm rule). ``tau2`` is the
+    analyst's prior scale on the effect; it tunes power, never
+    validity."""
+    from .aggregate import dec
+
+    if tau2 <= 0:
+        raise ValueError("tau2 must be positive")
+    is_t = F.col(arm_col) == F.lit(treatment_value)
+    m = F.col(metric_col).cast("double")
+
+    def cell(cond, name):
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+        s = F.sum(F.when(cond, dec(m, 6))).cast("double")
+        ss = F.sum(F.when(cond, dec(F.round(m * m, 6), 6))).cast("double")
+        return [n.alias(f"_n_{name}"), s.alias(f"_s_{name}"), ss.alias(f"_ss_{name}")]
+
+    agg = units.agg(*cell(is_t, "t"), *cell(~is_t, "c"))
+
+    def mean(name):
+        return F.col(f"_s_{name}") / F.col(f"_n_{name}")
+
+    def var(name):
+        return F.col(f"_ss_{name}") / F.col(f"_n_{name}") - mean(name) * mean(name)
+
+    delta = mean("t") - mean("c")
+    v = var("t") / F.col("_n_t") + var("c") / F.col("_n_c")
+    log_lam = F.round(
+        F.lit(0.5) * F.log(v / (v + F.lit(tau2)))
+        + delta * delta * F.lit(tau2) / (F.lit(2.0) * v * (v + F.lit(tau2))),
+        9,
+    )
+    return agg.select(
+        F.col("_n_t").cast("long").alias("n_treat"),
+        F.col("_n_c").cast("long").alias("n_ctrl"),
+        F.round(mean("t"), 9).alias("mean_treat"),
+        F.round(mean("c"), 9).alias("mean_ctrl"),
+        F.round(delta, 9).alias("delta"),
+        F.round(v, 9).alias("v"),
+        log_lam.alias("log_lambda"),
+        F.round(
+            F.least(F.lit(1.0), F.exp(-log_lam)), 9
+        ).alias("p_always_valid"),
+    )
+
+
+# chi-square 0.05 critical values, dof 1..10 (standard published table)
+_CHI2_CRIT_05 = [
+    3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+    12.591587, 14.067140, 15.507313, 16.918978, 18.307038,
+]
+
+
+def srm_check(
+    units: DataFrame,
+    arm_col: str,
+    expected: "dict[str, float]",
+) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail — the first check every
+    experimentation platform runs before reading ANY metric (Fabijan et
+    al., "Diagnosing Sample Ratio Mismatch", KDD 2019): if the realized
+    arm counts are not consistent with the designed split, assignment
+    is broken (bot filtering, redirect loss, logging skew) and every
+    downstream readout is garbage. Chi-square goodness-of-fit of the
+    observed arm counts against the expected ratios; ``srm`` flags
+    chi2 above the 0.05 critical value for the arms-1 dof.
+
+    Output ONE row per arm (arm, n, expected_n 6dp, term 9dp) plus the
+    shared chi2/dof/srm columns repeated — scalar-only, driver-canon.
+    One groupBy(arm) count (map-side combined; arms are metadata-sized
+    by definition) + literal expected ratios — no second pass over
+    data."""
+    if not expected:
+        raise ValueError("expected must name at least one arm")
+    total_w = float(sum(expected.values()))
+    if total_w <= 0:
+        raise ValueError("expected ratios must sum to a positive value")
+    counts = (
+        units.filter(F.col(arm_col).isin(list(expected)))
+        .groupBy(F.col(arm_col).alias("arm"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("_tot"))
+    ratio = F.create_map(
+        *[x for k, w in sorted(expected.items()) for x in (F.lit(k), F.lit(w / total_w))]
+    )
+    with_e = counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.round(F.col("_tot") * ratio[F.col("arm")], 6).alias("expected_n"),
+        F.round(
+            (F.col("n") - F.col("_tot") * ratio[F.col("arm")])
+            * (F.col("n") - F.col("_tot") * ratio[F.col("arm")])
+            / (F.col("_tot") * ratio[F.col("arm")]),
+            9,
+        ).alias("term"),
+    )
+    dof = max(1, len(expected) - 1)
+    crit = _CHI2_CRIT_05[min(dof, 10) - 1]
+    chi = with_e.agg(
+        F.round(F.sum(F.col("term").cast("decimal(25,9)")).cast("double"), 6).alias(
+            "chi2"
+        )
+    )
+    return (
+        with_e.crossJoin(F.broadcast(chi))
+        .select(
+            "arm",
+            "n",
+            "expected_n",
+            "term",
+            "chi2",
+            F.lit(dof).cast("long").alias("dof"),
+            (F.col("chi2") > F.lit(crit)).alias("srm"),
+        )
+        .orderBy("arm")
+    )

@@ -645,7 +645,9 @@ ROADMAP11["q370_diff_in_diff"] = (
 
 
 def q371_winsorized_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Capped-metric A/B readout (operators/mlmetrics."""
+    """Capped-metric A/B readout (operators/mlmetrics.winsorized_metrics)
+    on event values with an md5-rule split: clip at the pooled p95,
+    report raw vs capped means and the n_capped transparency count."""
     from ..functions.portable_hash import u32_md5
     from ..operators.mlmetrics import winsorized_metrics
 
@@ -706,4 +708,160 @@ ROADMAP11["q371_winsorized_metrics"] = (
     q371_winsorized_metrics,
     _q371_oracle(),
     _Q371_NOTES,
+)
+
+
+# --- q372: always-valid sequential test (mSPRT) ------------------------------------
+
+
+def q372_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT readout (operators/mlmetrics.msprt_always_valid)
+    on an md5-rule null split of event values (no true effect, so the
+    always-valid p should sit near 1 — the anti-peeking baseline)."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.mlmetrics import msprt_always_valid
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(u32_md5(F.col("user_id"), "seq") % 2 == 0, "treat")
+        .otherwise("ctrl")
+        .alias("variant"),
+        "value",
+    )
+    return msprt_always_valid(ev, "variant", "value", "treat", tau2=1.0)
+
+
+def _q372_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+
+    arm = u32_md5_sql("user_id", "seq")
+    g = f"({arm}) % 2 = 0"
+
+    def cell(cond, name):
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) "
+            f"AS _n_{name}, "
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(value AS DECIMAL(38,6)) "
+            f"END) AS DOUBLE) AS _s_{name}, "
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(round(value * value, 6) "
+            f"AS DECIMAL(38,6)) END) AS DOUBLE) AS _ss_{name}"
+        )
+
+    return f"""
+    WITH agg AS (
+      SELECT {cell(g, "t")}, {cell(f"NOT ({g})", "c")}
+      FROM events
+    ),
+    d AS (
+      SELECT _n_t, _n_c,
+             _s_t / _n_t AS mt, _s_c / _n_c AS mc,
+             (_ss_t / _n_t - (_s_t / _n_t) * (_s_t / _n_t)) / _n_t
+               + (_ss_c / _n_c - (_s_c / _n_c) * (_s_c / _n_c)) / _n_c AS v
+      FROM agg
+    ),
+    l AS (
+      SELECT *, round(0.5 * ln(v / (v + 1.0))
+               + (mt - mc) * (mt - mc) * 1.0 / (2.0 * v * (v + 1.0)), 9)
+               AS log_lambda
+      FROM d
+    )
+    SELECT CAST(_n_t AS BIGINT) AS n_treat,
+           CAST(_n_c AS BIGINT) AS n_ctrl,
+           round(mt, 9) AS mean_treat,
+           round(mc, 9) AS mean_ctrl,
+           round(mt - mc, 9) AS delta,
+           round(v, 9) AS v,
+           log_lambda,
+           round(least(1.0, exp(-log_lambda)), 9) AS p_always_valid
+    FROM l
+    """
+
+
+_Q372_NOTES = (
+    "ALWAYS-VALID SEQUENTIAL TEST (operators/mlmetrics."
+    "msprt_always_valid — mixture SPRT, Johari-Koomen-Pekelis-Walsh "
+    "KDD 2017: fixed-n p-values are invalid under peeking; the mixture "
+    "likelihood ratio L = sqrt(V/(V+tau2))*exp(delta^2 tau2/(2V(V+"
+    "tau2))) gives p = min(1, 1/L) valid at EVERY interim look — the "
+    "number a live dashboard may legally show): ONE no-grouping "
+    "conditional-cell aggregate (the q308/q370 shape), decimal-"
+    "stabilized sums, transcendentals on engine-identical operands "
+    "with 9dp-rounded outputs (the libm rule); null-vs-signal "
+    "behavior and the anti-peeking law (p never crosses under the "
+    "null as n grows along a prefix chain) pytest-pinned"
+)
+
+ROADMAP11["q372_msprt_sequential"] = (
+    q372_msprt_sequential,
+    _q372_oracle(),
+    _Q372_NOTES,
+)
+
+
+# --- q373: sample-ratio-mismatch guardrail ------------------------------------------
+
+
+def q373_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRM guardrail (operators/mlmetrics.srm_check) on a deliberately
+    UNBALANCED split: arms drawn 3-way by md5 but declared 50/50 over
+    two of them — the detector must flag it."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.mlmetrics import srm_check
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(u32_md5(F.col("user_id"), "srm") % 3 == 0, "A")
+        .otherwise("B")
+        .alias("variant")
+    )
+    return srm_check(ev, "variant", {"A": 1.0, "B": 1.0})
+
+
+def _q373_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+
+    arm = u32_md5_sql("user_id", "srm")
+    return f"""
+    WITH counts AS (
+      SELECT CASE WHEN ({arm}) % 3 = 0 THEN 'A' ELSE 'B' END AS arm,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS _tot FROM counts),
+    with_e AS (
+      SELECT arm, n,
+             round(_tot * 0.5, 6) AS expected_n,
+             round((n - _tot * 0.5) * (n - _tot * 0.5) / (_tot * 0.5), 9)
+               AS term
+      FROM counts CROSS JOIN tot
+    ),
+    chi AS (
+      SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,9))) AS DOUBLE), 6)
+               AS chi2
+      FROM with_e
+    )
+    SELECT arm, n, expected_n, term, chi2,
+           CAST(1 AS BIGINT) AS dof,
+           chi2 > 3.841459 AS srm
+    FROM with_e CROSS JOIN chi
+    ORDER BY arm
+    """
+
+
+_Q373_NOTES = (
+    "SAMPLE-RATIO-MISMATCH GUARDRAIL (operators/mlmetrics.srm_check — "
+    "Fabijan et al. KDD 2019: the first check every experimentation "
+    "platform runs; realized arm counts inconsistent with the designed "
+    "split mean assignment is broken and every metric readout is "
+    "garbage): chi-square GOF of arm counts vs declared ratios, "
+    "flagged against the published 0.05 critical value for arms-1 dof. "
+    "One groupBy(arm) count (arms are metadata-sized by definition) + "
+    "literal ratios + two 1-row broadcast recombinations — no second "
+    "data pass; the anchor declares 50/50 over a deliberate 1/3-2/3 "
+    "split so the flag fires TRUE at every fixture scale; balanced-"
+    "split-stays-quiet law pytest-pinned"
+)
+
+ROADMAP11["q373_srm_check"] = (
+    q373_srm_check,
+    _q373_oracle(),
+    _Q373_NOTES,
 )

@@ -461,3 +461,48 @@ def test_winsorized_metrics_cap_behavior(spark):
         assert r["mean_capped"] <= r["cap"]
     with _pytest.raises(ValueError, match="cap_quantile"):
         winsorized_metrics(df, "variant", "y", 1.0)
+
+
+def test_msprt_null_vs_signal_and_peeking_law(spark):
+    """Under the null the always-valid p stays high along EVERY prefix
+    (the anti-peeking property a fixed-n z-test lacks); under a real
+    effect the likelihood ratio grows and p collapses; validation
+    errors on tau2."""
+    import pytest as _pytest
+
+    from dbkit_spark.operators.mlmetrics import msprt_always_valid
+
+    rng = random.Random(21)
+    null_rows = [("treat" if i % 2 == 0 else "ctrl", rng.gauss(10, 2))
+                 for i in range(4000)]
+    for n in (500, 1000, 2000, 4000):  # peeking: p valid at every look
+        df = spark.createDataFrame(null_rows[:n], "variant string, y double")
+        r = msprt_always_valid(df, "variant", "y", "treat").collect()[0]
+        assert r["p_always_valid"] > 0.2, (n, r["p_always_valid"])
+    sig_rows = [("treat", rng.gauss(11, 2)) if i % 2 == 0
+                else ("ctrl", rng.gauss(10, 2)) for i in range(4000)]
+    df = spark.createDataFrame(sig_rows, "variant string, y double")
+    r = msprt_always_valid(df, "variant", "y", "treat").collect()[0]
+    assert r["p_always_valid"] < 0.001
+    assert abs(r["delta"] - 1.0) < 0.3
+    with _pytest.raises(ValueError, match="tau2"):
+        msprt_always_valid(df, "variant", "y", "treat", tau2=0.0)
+
+
+def test_srm_flags_broken_split_quiet_on_balanced(spark):
+    """A 2:1 split declared 50/50 must flag srm=True; a true 50/50
+    split must stay quiet; expected counts follow the declared ratio."""
+    from dbkit_spark.operators.mlmetrics import srm_check
+
+    broken = spark.createDataFrame(
+        [("A",)] * 2000 + [("B",)] * 1000, "variant string"
+    )
+    got = {r["arm"]: r for r in srm_check(broken, "variant", {"A": 1, "B": 1}).collect()}
+    assert got["A"]["srm"] and got["B"]["srm"]
+    assert got["A"]["expected_n"] == 1500.0
+    ok = spark.createDataFrame([("A",)] * 1500 + [("B",)] * 1500, "variant string")
+    got2 = {r["arm"]: r for r in srm_check(ok, "variant", {"A": 1, "B": 1}).collect()}
+    assert not got2["A"]["srm"] and got2["A"]["chi2"] == 0.0
+    # declared 2:1 ratio on a 2:1 split stays quiet too
+    got3 = {r["arm"]: r for r in srm_check(broken, "variant", {"A": 2, "B": 1}).collect()}
+    assert not got3["A"]["srm"]
