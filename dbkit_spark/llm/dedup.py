@@ -887,3 +887,77 @@ def minhash_tune(
         "n_neg",
         F.row_number().over(w).cast("int").alias("pick_rank"),
     )
+
+
+def drop_boilerplate_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\s\|\s",
+    join_sep: str = " | ",
+    min_docs: int = 10,
+) -> DataFrame:
+    """CORPUS-LEVEL BOILERPLATE REMOVAL (the CCNet/RefinedWeb paragraph-
+    dedup cleaning step: navigation bars, cookie banners, copyright
+    footers repeat verbatim across a site's pages — frequency across
+    DOCUMENTS is the signal, which no within-document filter can see):
+    split each document into segments on ``sep``, drop every segment
+    whose normalized form appears in ≥ ``min_docs`` distinct documents,
+    reassemble the survivors in original order.
+
+    Output: (id, clean_text, n_kept, n_removed).
+
+    Scale shape: one posexplode (map-side), ONE map-side-combined
+    distinct-count aggregate per normalized segment hash, and the
+    boilerplate set — tiny by construction, a segment must repeat
+    across ``min_docs`` documents to enter it — broadcasts back as a
+    LEFT ANTI hash join; reassembly is one doc-keyed aggregate
+    (sort_array over (pos, seg) structs, codegen). At 100 TB swap the
+    exact countDistinct for approx_count_distinct and persist the
+    boilerplate table per crawl snapshot — the candidate set, not the
+    corpus, is what iterates. Normalization = trim + lower, hashed with
+    the engine's portable md5 rule so a SQL oracle replays membership
+    exactly."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    seg = F.posexplode(F.split(F.col(text_col), sep))
+    segs = docs.select(F.col(id_col), seg.alias("pos", "seg")).withColumn(
+        "_h", F.md5(F.trim(F.lower(F.col("seg"))))
+    )
+    boiler = (
+        segs.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = segs.join(F.broadcast(boiler), "_h", "left_anti")
+    removed_counts = (
+        segs.join(F.broadcast(boiler), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("_n_removed"))
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+            ).alias("_ordered")
+        )
+        .select(
+            id_col,
+            F.array_join(F.transform("_ordered", lambda s: s["seg"]), join_sep)
+            .alias("clean_text"),
+            F.size("_ordered").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(reassembled, id_col, "left")
+        .join(removed_counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("_n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

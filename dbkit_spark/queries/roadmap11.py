@@ -865,3 +865,100 @@ ROADMAP11["q373_srm_check"] = (
     _q373_oracle(),
     _Q373_NOTES,
 )
+
+
+# --- q374: corpus-level boilerplate removal -----------------------------------------
+
+
+def q374_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (llm/dedup.drop_boilerplate_segments)
+    over deterministically constructed pipe-separated boilerplate:
+    universal footer + 50%-coverage banner + 1/25-coverage promo on top
+    of the unique per-doc body."""
+    from ..llm.dedup import drop_boilerplate_segments
+
+    docs = read_table(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" | all rights reserved footer"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" | subscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+            F.lit(" | promo block "),
+            (F.col("doc_id") % 25).cast("string"),
+        ).alias("text"),
+    )
+    return drop_boilerplate_segments(built, min_docs=10).orderBy("doc_id")
+
+
+_Q374_ORACLE = """
+    WITH built AS (
+      SELECT doc_id,
+             text || ' | all rights reserved footer'
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' | subscribe to our newsletter' ELSE '' END
+                  || ' | promo block ' || CAST(doc_id % 25 AS VARCHAR) AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, u.i AS pos, l[u.i] AS seg,
+             md5(trim(lower(l[u.i]))) AS h
+      FROM (SELECT doc_id, string_split(t, ' | ') AS l FROM built),
+           UNNEST(generate_series(1, len(l))) AS u(i)
+    ),
+    boiler AS (
+      SELECT h FROM segs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 10
+    ),
+    kept AS (
+      SELECT s.* FROM segs s WHERE s.h NOT IN (SELECT h FROM boiler)
+    ),
+    reassembled AS (
+      SELECT doc_id,
+             string_agg(seg, ' | ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    removed AS (
+      SELECT doc_id, COUNT(*) AS n_removed
+      FROM segs WHERE h IN (SELECT h FROM boiler)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(x.n_removed, 0) AS n_removed
+    FROM documents d
+    LEFT JOIN reassembled r ON r.doc_id = d.doc_id
+    LEFT JOIN removed x ON x.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+_Q374_NOTES = (
+    "CORPUS-LEVEL BOILERPLATE REMOVAL (llm/dedup."
+    "drop_boilerplate_segments — the CCNet/RefinedWeb paragraph-dedup "
+    "cleaning step: nav bars, cookie banners and copyright footers "
+    "repeat VERBATIM ACROSS a site's pages, a cross-document frequency "
+    "signal no within-document filter sees; the missing third member "
+    "of the cleaning stack next to q209's within-doc span dedup and "
+    "q275's compression rule): posexplode segments, ONE map-combined "
+    "distinct-doc-count per normalized segment hash, the boilerplate "
+    "set (tiny by construction: entry requires min_docs distinct docs) "
+    "broadcasts back as a LEFT ANTI join, reassembly is one doc-keyed "
+    "sort_array agg — at 100 TB swap exact countDistinct for "
+    "approx_count_distinct and persist the set per crawl snapshot. "
+    "Anchor constructs pipe-separated boilerplate deterministically "
+    "(universal footer, 50%-coverage banner, 1/25-coverage promo that "
+    "crosses the min_docs=10 threshold between sf0.001 and sf0.01 — "
+    "the threshold is exercised in BOTH directions across driver "
+    "scales); fixture-construction discipline of the audio/image "
+    "anchors. Threshold/order/empty-doc laws pytest-pinned"
+)
+
+ROADMAP11["q374_boilerplate_removal"] = (
+    q374_boilerplate_removal,
+    _Q374_ORACLE,
+    _Q374_NOTES,
+)

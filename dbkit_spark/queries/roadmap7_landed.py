@@ -26,14 +26,14 @@ from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
 # Round-12 landing move (pre-computed at round-11 close): the queue
-# holds exactly 11 entries (q363–q373), all pre-verified at both driver
-# scales AND at sf0.1. Setting _LANDED_MAX_QNUM = 373 lands them all;
-# the r12 window becomes those 11 never-driver-checked entries plus the
-# 39 least-recently-verified greens (refresh top-up — no registered
+# holds exactly 12 entries (q363–q374), all pre-verified at both driver
+# scales AND at sf0.1. Setting _LANDED_MAX_QNUM = 374 lands them all;
+# the r12 window becomes those 12 never-driver-checked entries plus the
+# 38 least-recently-verified greens (refresh top-up — no registered
 # query left evidence-less; landing fewer than a full window cannot
 # break the invariant). A query that FAILS the r11 sweep re-enters the
 # window ahead of the queue (last-green 0) exactly as q289 did in r10 —
-# with 11 queued there is room for up to 39 such re-entries before the
+# with 12 queued there is room for up to 38 such re-entries before the
 # count needs re-checking, so the move is safe under any plausible r11
 # outcome. Also update GUARD_ROUND/R11_REFRESH in tests/test_catalog.py
 # to the r12 values at landing time (the artifact-aware guard pattern).

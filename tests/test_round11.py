@@ -506,3 +506,32 @@ def test_srm_flags_broken_split_quiet_on_balanced(spark):
     # declared 2:1 ratio on a 2:1 split stays quiet too
     got3 = {r["arm"]: r for r in srm_check(broken, "variant", {"A": 2, "B": 1}).collect()}
     assert not got3["A"]["srm"]
+
+
+def test_boilerplate_removal_threshold_and_order(spark):
+    """Hand case: a footer on all 12 docs is removed at min_docs=10; a
+    segment on 9 docs survives; body order is preserved on reassembly;
+    normalization (case/whitespace) unifies variants; a doc that was
+    ALL boilerplate comes back as an empty clean_text with the right
+    counts; min_docs < 2 errors."""
+    import pytest as _pytest
+
+    from dbkit_spark.llm.dedup import drop_boilerplate_segments
+
+    rows = []
+    for i in range(12):
+        parts = [f"unique body {i}", "THE FOOTER", f"tail {i}"]
+        if i < 9:
+            parts.insert(1, "semi common")
+        rows.append((i, " | ".join(parts)))
+    rows.append((99, "the footer"))  # all-boilerplate doc (case variant)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           drop_boilerplate_segments(df, min_docs=10).collect()}
+    assert got[0]["clean_text"] == "unique body 0 | semi common | tail 0"
+    assert got[0]["n_removed"] == 1 and got[0]["n_kept"] == 3
+    assert got[11]["clean_text"] == "unique body 11 | tail 11"
+    assert got[99]["clean_text"] == "" and got[99]["n_removed"] == 1
+    assert got[99]["n_kept"] == 0
+    with _pytest.raises(ValueError, match="min_docs"):
+        drop_boilerplate_segments(df, min_docs=1)
