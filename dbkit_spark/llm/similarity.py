@@ -1040,6 +1040,8 @@ def pq_adc_topk(
 
     def do(batches):
         for pdf in batches:
+            if not len(pdf):  # an empty Arrow batch would expand to (0, 0)
+                continue
             cand = pdf["vec_id"].astype("int64").to_numpy()
             code_mat = (
                 pdf["code"].str.split("-", expand=True).to_numpy(dtype=np.int64)
