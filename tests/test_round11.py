@@ -535,3 +535,14 @@ def test_boilerplate_removal_threshold_and_order(spark):
     assert got[99]["n_kept"] == 0
     with _pytest.raises(ValueError, match="min_docs"):
         drop_boilerplate_segments(df, min_docs=1)
+
+
+def test_components_delta_empty_batch_is_identity(spark):
+    """A day with zero new edges must return the prior labeling
+    unchanged (the daily-append no-op case)."""
+    from dbkit_spark.llm.cluster import connected_components_delta
+
+    prior = spark.createDataFrame([(1, 1), (2, 1), (5, 5)], "id long, cluster_id long")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = sorted(tuple(r) for r in connected_components_delta(prior, empty).collect())
+    assert got == [(1, 1), (2, 1), (5, 5)]
