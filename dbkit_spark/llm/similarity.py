@@ -1010,11 +1010,23 @@ def pq_adc_topk(
     map-only Arrow pass emitting (query_id, cand_id, adc_dist), and
     per-query top-k is the standard window. No join touches the float
     corpus. Ties break on cand_id ascending; distances 6dp-rounded.
+
+    Contract (ADVICE r11): ``id_col``/``vec_col`` name the QUERY-side
+    columns only; ``codes`` must be a :func:`pq_encode` output with the
+    fixed ``(vec_id, code)`` schema — checked eagerly here so a
+    renamed codes table fails with a clear message instead of an
+    AnalysisException deep in the Arrow pass.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    missing = {"vec_id", "code"} - set(codes.columns)
+    if missing:
+        raise ValueError(
+            f"codes must be a pq_encode output with columns (vec_id, code); "
+            f"missing {sorted(missing)} — rename before calling"
+        )
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     m = len(books)

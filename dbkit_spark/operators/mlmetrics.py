@@ -1503,16 +1503,37 @@ def srm_check(
     shared chi2/dof/srm columns repeated — scalar-only, driver-canon.
     One groupBy(arm) count (map-side combined; arms are metadata-sized
     by definition) + literal expected ratios — no second pass over
-    data."""
+    data.
+
+    The arm list comes from ``expected``, not from the observed data
+    (ADVICE r11): an arm with ZERO observed units is the most extreme
+    mismatch a guardrail can see, so it must still contribute its
+    (0-E)²/E term and appear in the output with n=0 — a groupBy over
+    observed rows alone would silently drop it. Implemented as a
+    literal-arms frame left-joined with the broadcast observed counts,
+    coalescing missing counts to 0; both sides are metadata-sized."""
     if not expected:
         raise ValueError("expected must name at least one arm")
+    if any(w <= 0 for w in expected.values()):
+        raise ValueError("every expected ratio must be positive")
+    dof = max(1, len(expected) - 1)
+    if dof > len(_CHI2_CRIT_05):
+        raise ValueError(
+            f"dof={dof} exceeds the published critical-value table "
+            f"(max {len(_CHI2_CRIT_05)}); extend _CHI2_CRIT_05 to test "
+            "more arms"
+        )
     total_w = float(sum(expected.values()))
-    if total_w <= 0:
-        raise ValueError("expected ratios must sum to a positive value")
-    counts = (
+    observed = (
         units.filter(F.col(arm_col).isin(list(expected)))
         .groupBy(F.col(arm_col).alias("arm"))
         .agg(F.count("*").cast("long").alias("n"))
+    )
+    arms = units.sparkSession.createDataFrame(
+        [(k,) for k in sorted(expected)], "arm string"
+    )
+    counts = arms.join(F.broadcast(observed), "arm", "left").select(
+        "arm", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
     tot = counts.agg(F.sum("n").cast("double").alias("_tot"))
     ratio = F.create_map(
@@ -1529,8 +1550,7 @@ def srm_check(
             9,
         ).alias("term"),
     )
-    dof = max(1, len(expected) - 1)
-    crit = _CHI2_CRIT_05[min(dof, 10) - 1]
+    crit = _CHI2_CRIT_05[dof - 1]
     chi = with_e.agg(
         F.round(F.sum(F.col("term").cast("decimal(25,9)")).cast("double"), 6).alias(
             "chi2"

@@ -25,10 +25,26 @@ file around the build:
   mtime is older than ``timeout`` is presumed abandoned (owner killed)
   and broken.
 
-Residual (documented, accepted): a session that CACHED the fixture path
-earlier and lazily re-scans it while another session rebuilds can still
-observe the overwrite — that requires the backing testdata to be
-regenerated mid-flight, which invalidates every derived artifact anyway.
+Stale-lock breaking and release are identity-safe (ADVICE r11): the
+owner writes a unique token (pid + monotonic nonce) into the lock at
+creation and, on release, unlinks only after verifying the lock still
+holds ITS token — a lock wrongly broken out from under a live owner is
+never collaterally removed a second time. Breaking is by atomic
+``os.rename`` to a breaker-unique name, so of two waiters that both
+observe the same abandoned lock exactly ONE wins the rename (the loser
+gets ENOENT and re-loops); the winner then re-stats the renamed file
+and, if it turns out it stole a FRESH lock (the owner replaced the
+abandoned one in the observe→rename window), restores it via
+``os.link`` (refuses to clobber a newer lock) before re-waiting.
+
+Residuals (documented, accepted): (1) a session that CACHED the fixture
+path earlier and lazily re-scans it while another session rebuilds can
+still observe the overwrite — that requires the backing testdata to be
+regenerated mid-flight, which invalidates every derived artifact anyway;
+(2) any timeout-based breaker can, by definition, break a LIVE owner
+that stalls past ``timeout`` (600 s vs sub-minute builds) — the
+identity-checked unlink confines the damage to a possible duplicate
+build, never to removing a third session's lock.
 """
 
 from __future__ import annotations
@@ -71,7 +87,35 @@ def fixture_once(
         return path
 
     lock = path + ".lock"
+    token = f"{os.getpid()}.{time.monotonic_ns()}"
     deadline = time.monotonic() + timeout
+
+    def break_stale() -> None:
+        """Atomically steal an apparently-abandoned lock; restore it if
+        the steal turns out to have grabbed a FRESH replacement."""
+        grabbed = f"{lock}.breaking.{token}"
+        try:
+            os.rename(lock, grabbed)  # atomic: exactly one breaker wins
+        except OSError:
+            return  # lost the race (or lock vanished) — re-loop
+        try:
+            still_stale = (time.time() - os.path.getmtime(grabbed)) > timeout
+        except OSError:
+            still_stale = True
+        if not still_stale:
+            # We stole a live owner's fresh lock (replaced in our
+            # observe→rename window). Put it back without clobbering any
+            # newer lock: link() fails on an existing target.
+            try:
+                os.link(grabbed, lock)
+            except OSError:
+                pass  # a newer lock exists; the live owner's unlink is
+                # identity-checked, so nothing else gets removed
+        try:
+            os.unlink(grabbed)
+        except OSError:
+            pass
+
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -82,10 +126,7 @@ def fixture_once(
             except OSError:
                 continue  # lock vanished between open and stat: retry
             if stale:
-                try:
-                    os.unlink(lock)  # abandoned (owner died mid-build)
-                except OSError:
-                    pass
+                break_stale()  # abandoned (owner died mid-build)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"fixture lock never cleared: {lock}")
@@ -94,7 +135,7 @@ def fixture_once(
                 return path
             continue
         try:
-            os.write(fd, f"{os.getpid()}".encode())
+            os.write(fd, token.encode())
         finally:
             os.close(fd)
         try:
@@ -111,7 +152,12 @@ def fixture_once(
                 os.replace(tmp, done)
             return path
         finally:
+            # release only a lock we still own (identity check): a
+            # breaker that wrongly stole ours must not trick us into
+            # removing a THIRD session's lock at the same path
             try:
-                os.unlink(lock)
+                with open(lock) as fh:
+                    if fh.read() == token:
+                        os.unlink(lock)
             except OSError:
                 pass

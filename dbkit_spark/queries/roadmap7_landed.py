@@ -25,18 +25,17 @@ from __future__ import annotations
 from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
-# Round-12 landing move (pre-computed at round-11 close): the queue
-# holds exactly 12 entries (q363–q374), all pre-verified at both driver
-# scales AND at sf0.1. Setting _LANDED_MAX_QNUM = 374 lands them all;
-# the r12 window becomes those 12 never-driver-checked entries plus the
-# 38 least-recently-verified greens (refresh top-up — no registered
-# query left evidence-less; landing fewer than a full window cannot
-# break the invariant). A query that FAILS the r11 sweep re-enters the
-# window ahead of the queue (last-green 0) exactly as q289 did in r10 —
-# with 12 queued there is room for up to 38 such re-entries before the
-# count needs re-checking, so the move is safe under any plausible r11
-# outcome. Also update GUARD_ROUND/R11_REFRESH in tests/test_catalog.py
-# to the r12 values at landing time (the artifact-aware guard pattern).
+# Round-12 landing (executed; VERDICT r11 item 1, arithmetic
+# judge-verified at r11 close): the queue held exactly 12 entries
+# (q363–q374), all pre-verified at both driver scales AND at sf0.1, and
+# CORRECTNESS_r11 was a clean 48+2/50 — no failure re-enters the window.
+# _LANDED_MAX_QNUM = 374 lands them all; the r12 window is those 12
+# never-driver-checked entries plus the 38 least-recently-verified
+# greens (refresh top-up — no registered query left evidence-less;
+# landing fewer than a full window cannot break the invariant).
+# GUARD_ROUND/R12_REFRESH in tests/test_catalog.py pin the r12 window
+# literally (the artifact-aware guard pattern). Round-12 additions
+# (q375+) stay queued and land in round 13.
 #
 # Round-11 landing (executed; VERDICT r10 item 1, arithmetic
 # judge-verified at r10 close): the queue held exactly 22 entries
@@ -62,7 +61,7 @@ from .roadmap7 import ROADMAP7
 # together with whatever round 10 queues. All landed entries are
 # pre-verified at sf0.001 + sf0.01 per
 # tests/test_catalog.py::test_roadmap7_queue_preverified.
-_LANDED_MAX_QNUM = 362
+_LANDED_MAX_QNUM = 374
 
 _landed_names = [
     name for name in sorted(ROADMAP7, key=qnum) if qnum(name)[0] <= _LANDED_MAX_QNUM

@@ -81,13 +81,13 @@ def test_roadmap7_queue_preverified(spark):
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
-    assert len(load_all()) == 362  # 340 + the 22 landed q341–q362
+    assert len(load_all()) == 374  # 362 + the 12 landed q363–q374
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # Round-11 additions (q363+); the queue is capped at one driver
+    # Round-12 additions (q375+); the queue is capped at one driver
     # window. An empty queue (between addition batches) is legal.
     assert len(ROADMAP7) <= 50
-    assert all(qnum(n)[0] >= 363 for n in ROADMAP7)
+    assert all(qnum(n)[0] >= 375 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.
@@ -101,24 +101,33 @@ def test_roadmap7_queue_preverified(spark):
                 check_dtype_parity(spark, name, fn, oracle, sf)
 
 
-GUARD_ROUND = 11  # the driver round whose rotation window this guard pins
+GUARD_ROUND = 12  # the driver round whose rotation window this guard pins
 
-# The 28 least-recently-verified greens that top up the r11 window after
-# the q341–q362 landing: the entire remaining r3 cohort (last driver-green
-# CORRECTNESS_r03). Computed by load_all() rotation order at landing time
-# and pinned literally so a registration or artifact change that shifts
-# the window fails HERE, not in the driver sweep.
-R11_REFRESH = {
-    "q51_grouping_sets", "q52_pivot", "q53_unpivot", "q57_map_funcs",
-    "q75_profile_table", "q83_simhash_pairs", "q84_token_packing_sharded",
-    "q85_image_decode", "q86_cast_matrix", "q87_dedup_clusters",
-    "q88_dedup_survivors", "q89_decontaminate", "q90_repetition_scores",
-    "q91_domain_mix", "q92_quantize_embeddings", "q93_tpch_q17_small_qty",
-    "q94_grouped_zscore", "q96_heavy_hitters", "q98_redact_pii",
-    "q99_null_safe_join", "q100_stream_dedup", "q103_tpch_q13_custdist",
-    "q104_tpch_q18_large_orders", "q105_tpch_q22_dormant",
-    "q106_regexp_funcs", "q108_quality_audit", "q109_bm25_topk",
-    "q110_weighted_sample",
+# The 38 least-recently-verified greens that top up the r12 window after
+# the q363–q374 landing: the remaining r3 cohort (13 queries, last
+# driver-green CORRECTNESS_r03 — includes q118, whose r11 EWMA oracle
+# conversion earns its first driver hash-green here) plus the entire r4
+# cohort (25 queries). Computed by load_all() rotation order at landing
+# time and pinned literally so a registration or artifact change that
+# shifts the window fails HERE, not in the driver sweep. The other
+# oracle-converted stragglers (q38/q72/q79 last-green r7, q267 r9,
+# q310 r10) do NOT fit — the r3+r4 cohorts fill all 38 slots — and
+# rotate in at r13.
+R12_REFRESH = {
+    "q111_histogram", "q112_jaccard_prefix_filter", "q113_tpch_q21_waiting",
+    "q114_hof_array_surface", "q116_robust_stats", "q117_tpch_q2_min_cost",
+    "q118_ewma", "q119_three_valued_logic", "q120_date_dim_activity",
+    "q121_union_by_name", "q122_percent_of_total", "q124_mode_deterministic",
+    "q125_funnel", "q54_multiset_ops", "q55_pandas_udf_scalar",
+    "q56_grouped_agg_udaf", "q58_join_full_outer", "q59_join_right_outer",
+    "q60_like_predicates", "q61_sort_nulls_ordering", "q62_from_json_typed",
+    "q63_stream_static_join", "q64_salted_join_skew", "q73_rollup_hierarchy",
+    "q95_sessionize", "q97_trailing_window_1h", "q101_gapfill_locf",
+    "q102_scd2_user_state", "q107_stream_incremental_upsert",
+    "q115_stream_session_replay", "q123_first_seen_cumulative",
+    "q126_retention_cohorts", "q127_ann_index_query",
+    "q128_stream_stream_left_outer", "q129_asof_tolerance",
+    "q130_image_formats", "q131_tpch_q6_forecast", "q132_tpch_q10_returned",
 }
 
 
@@ -131,14 +140,14 @@ def _latest_artifact_round() -> int:
     return max(rounds)
 
 
-def test_r11_window_is_exactly_the_landed_batch(spark):
-    """VERDICT r10 item 1 guard, artifact-aware: with driver artifacts
-    through r10 present (a clean 50/50, so no failure re-enters), the
-    50-slot r11 rotation window must be exactly the 22 newly landed
-    never-driver-checked queries q341–q362 plus the 28
-    least-recently-verified greens — the entire remaining r3 cohort,
-    pinned literally in R11_REFRESH. If a future registration or
-    CORRECTNESS file breaks this arithmetic, fail HERE.
+def test_r12_window_is_exactly_the_landed_batch(spark):
+    """VERDICT r11 item 1 guard, artifact-aware: with driver artifacts
+    through r11 present (a clean 48+2/50, so no failure re-enters), the
+    50-slot r12 rotation window must be exactly the 12 newly landed
+    never-driver-checked queries q363–q374 plus the 38
+    least-recently-verified greens — the remaining r3 cohort + the whole
+    r4 cohort, pinned literally in R12_REFRESH. If a future registration
+    or CORRECTNESS file breaks this arithmetic, fail HERE.
 
     Artifact-aware (the round-8 lesson: a window guard goes red the
     moment the driver deposits the round's CORRECTNESS file): once an
@@ -148,16 +157,16 @@ def test_r11_window_is_exactly_the_landed_batch(spark):
     form (test_rotation_never_green_first)."""
     window = list(load_all())[:50]
     if _latest_artifact_round() >= GUARD_ROUND:
-        # Spent guard: the r11 (or later) sweep already landed. The
+        # Spent guard: the r12 (or later) sweep already landed. The
         # durable invariant — rotation always spends slots on the
         # least-evidenced queries first — is pinned artifact-
         # independently by test_rotation_never_green_first; just ensure
         # the window is full-size and deterministic here.
         assert len(window) == 50
         return
-    landed = {n for n in window if 341 <= qnum(n)[0] <= 362}
-    assert len(landed) == 22, sorted(landed)
-    expected = landed | R11_REFRESH
+    landed = {n for n in window if 363 <= qnum(n)[0] <= 374}
+    assert len(landed) == 12, sorted(landed)
+    expected = landed | R12_REFRESH
     assert set(window) == expected and len(window) == 50, sorted(
         set(window) ^ expected
     )

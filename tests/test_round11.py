@@ -354,10 +354,8 @@ def test_linear_attribution_conserves_revenue(spark):
     n_credits), and a purchase with three equal-window touches splits
     exactly 1/3 each; a touchless purchase credits 'direct' in full."""
     from dbkit_spark.catalog import load_all
-    from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    load_all()
-    fn, _o, _n = ROADMAP7["q369_linear_attribution"]
+    fn = load_all()["q369_linear_attribution"].fn  # landed at r12
     sf = "/root/testdata/sf0.001"
     out = {r["channel"]: r for r in fn(spark, sf).collect()}
     from dbkit_spark.sources import read_table
