@@ -187,7 +187,14 @@ def q204_quantile_bin_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.histogram import quantile_bin
 
     ev = read_table(spark, sf_dir, "events")
-    binned = quantile_bin(ev, "value", 8)
+    # rel_err=0 drives the SAME sampled-path plan (GK summary pass ->
+    # boundaries broadcast as a literal comparison chain; no sort, no
+    # window) but makes the boundaries exact-rank selections, which the
+    # oracle reproduces via ceil(p*n) rank arithmetic (r12 rows-only ->
+    # oracle conversion; the rank rule was probed at n=3/5/7/8/100/101).
+    # The operator DEFAULT (rel_err=0.001) stays the 100 TB path and
+    # keeps its >=95% agreement law in tests/test_histogram.py.
+    binned = quantile_bin(ev, "value", 8, rel_err=0.0)
     return (
         binned.groupBy("bin")
         .agg(
@@ -199,14 +206,39 @@ def q204_quantile_bin_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q204_ORACLE = """
+    WITH base AS (SELECT value FROM events WHERE value IS NOT NULL),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rk FROM base
+    ),
+    bnds AS (
+      SELECT list(r.value ORDER BY g.i) AS bs
+      FROM ranked r, tot t, generate_series(1, 7) g(i)
+      WHERE r.rk = CAST(ceil(g.i * t.n / 8.0) AS BIGINT)
+    ),
+    binned AS (
+      SELECT value,
+             CAST(1 + len(list_filter(bs, x -> value > x)) AS INTEGER)
+               AS bin
+      FROM base CROSS JOIN bnds
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM binned GROUP BY bin ORDER BY bin
+"""
+
 _Q204_NOTES = (
-    "rows-only (approxQuantile's Greenwald-Khanna boundaries are "
-    "deterministic but not reproducible in DuckDB): quantile binning "
-    "under the OPERATOR DEFAULT — sampled boundaries broadcast as "
-    "literals + map-side comparison assignment, no global sort or "
-    "single-partition window (plan-gated in tests/test_histogram.py). "
-    "q184 keeps the exact-ntile oracle baseline; the >=95% sampled-vs-"
-    "exact bin agreement and near-equal populations are pytest-pinned"
+    "quantile binning through the operator's SAMPLED plan shape "
+    "(approxQuantile boundaries broadcast as a literal comparison "
+    "chain + map-side assignment, no global sort or single-partition "
+    "window — plan-gated in tests/test_histogram.py) pinned at "
+    "rel_err=0, where the GK summary returns exact ceil(p*n)-rank "
+    "selections that the oracle replays with ROW_NUMBER rank "
+    "arithmetic (r12 conversion; rank rule empirically pinned). q184 "
+    "keeps the exact-ntile baseline; the default-rel_err >=95% "
+    "sampled-vs-exact agreement law stays pytest-pinned"
 )
 
 
@@ -647,7 +679,14 @@ def q212_quantile_bin_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.histogram import quantile_bin_grouped
 
     ev = read_table(spark, sf_dir, "events")
-    binned = quantile_bin_grouped(ev, "value", 4, ["event_type"])
+    # accuracy >> any fixture group size pins percentile_approx's GK
+    # rank error below one row, so each group's boundaries are exact
+    # ceil(p*n_g)-rank selections the oracle replays per group (r12
+    # rows-only -> oracle conversion, same rank rule as q204). The
+    # operator default (accuracy=10_000) remains the 100 TB path.
+    binned = quantile_bin_grouped(
+        ev, "value", 4, ["event_type"], accuracy=100_000_000
+    )
     return (
         binned.groupBy("event_type", "bin")
         .agg(
@@ -659,17 +698,47 @@ def q212_quantile_bin_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q212_ORACLE = """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ),
+    bnds AS (
+      SELECT event_type, list(r.value ORDER BY g.i) AS bs
+      FROM ranked r, generate_series(1, 3) g(i)
+      WHERE r.rk = CAST(ceil(g.i * r.n / 4.0) AS BIGINT)
+      GROUP BY event_type
+    ),
+    binned AS (
+      SELECT b.event_type, b.value,
+             CAST(1 + len(list_filter(bs, x -> b.value > x)) AS INTEGER)
+               AS bin
+      FROM base b JOIN bnds USING (event_type)
+    )
+    SELECT event_type, bin, COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM binned GROUP BY event_type, bin ORDER BY event_type, bin
+"""
+
 _Q212_NOTES = (
-    "rows-only (percentile_approx's GK boundaries are deterministic "
-    "but not reproducible in DuckDB — same contract as q204): "
     "PER-GROUP equi-depth binning (operators/histogram."
     "quantile_bin_grouped — per-event-type boundaries from "
     "percentile_approx as a real map-side-combined AGGREGATE, "
     "group-count-sized boundary table broadcast back, map-side "
-    "higher-order bin assignment; no window, no driver collect, no "
-    "single partition). Per-group bin laws (own boundaries per group, "
-    "near-equal populations, monotone bins, broadcast plan) pinned in "
-    "tests/test_histogram.py"
+    "higher-order bin assignment; no window over the fact table, no "
+    "driver collect, no single partition), pinned at accuracy >> "
+    "fixture group sizes so the GK boundaries are exact ceil(p*n_g) "
+    "rank selections replayed by the oracle's partitioned ROW_NUMBER "
+    "(r12 conversion; rank rule shared with q204). Per-group bin laws "
+    "(own boundaries per group, near-equal populations, monotone bins, "
+    "broadcast plan) stay pinned in tests/test_histogram.py"
 )
 
 
@@ -906,7 +975,7 @@ ROADMAP7 = {
     "q201_ann_incremental_dedup": (q201_ann_incremental_dedup, _Q201_ORACLE, _Q201_NOTES),
     "q202_heavy_hitters_mg": (q202_heavy_hitters_mg, _Q202_ORACLE, _Q202_NOTES),
     "q203_token_packing_auto": (q203_token_packing_auto, _Q203_ORACLE, _Q203_NOTES),
-    "q204_quantile_bin_sampled": (q204_quantile_bin_sampled, None, _Q204_NOTES),
+    "q204_quantile_bin_sampled": (q204_quantile_bin_sampled, _Q204_ORACLE, _Q204_NOTES),
     "q205_chunk_custom_tokenizer": (q205_chunk_custom_tokenizer, _Q205_ORACLE, _Q205_NOTES),
     "q206_image_pixel_stats": (q206_image_pixel_stats, _Q206_ORACLE, _Q206_NOTES),
     "q207_heavy_hitters_stream_replay": (
@@ -928,7 +997,7 @@ ROADMAP7 = {
     ),
     "q212_quantile_bin_grouped": (
         q212_quantile_bin_grouped,
-        None,
+        _Q212_ORACLE,
         _Q212_NOTES,
     ),
     "q213_reconcile_row_diff": (
