@@ -542,3 +542,110 @@ def connected_components_delta(
         )
     )
     return relabeled.unionByName(fresh)
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SEMANTIC deduplication within embedding clusters (Abbas, Tirumala,
+    Simig, Ganguli & Morcos, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023) — the embedding-space
+    twin of lexical paragraph dedup: semantic duplicates (paraphrases,
+    templated rewrites, near-identical translations) share no shingles,
+    so MinHash never sees them, but they land in the same k-means cluster
+    with high pairwise cosine.
+
+    Semantics (deterministic, non-iterative): within each cluster, a
+    vector's PRIORITY is its distance to the cluster centroid DESC
+    (SemDeDup keeps the LOW-centroid-similarity exemplar — the most
+    atypical member carries the most marginal information), tie-broken
+    by id ASC. A vector is REMOVED iff some same-cluster vector with
+    higher priority has cosine >= threshold to it ("dominated by a
+    kept-or-better tau-neighbor"). Chains (a~b, b~c, a!~c) remove both b
+    and c — the paper's epsilon-ball greedy has the same ambiguity; this
+    rule is order-free and exactly replayable in SQL.
+
+    Scale shape: the centroid table is labels-sized (decimal-summed
+    means, broadcast back); the only data-sized exchange is the
+    within-cluster self-equi-join on the label key — bounded per cluster
+    by the SemDeDup contract itself (k-means k grows with n precisely so
+    clusters stay audit-sized); dominance is a pair-local expression +
+    one groupBy(id) max. No all-pairs anywhere, no window over the
+    corpus, no collect.
+
+    Cross-engine determinism: centroid-distance terms round at 9dp and
+    ride a DECIMAL fold (order-free), the distance rounds at 6dp BEFORE
+    the priority comparison (a bit-exact compare on raw libm sqrt
+    output would be fragile), and cosine rounds at 6dp (the q43 rule).
+
+    Output: one row per vector — (id, label, cdist 6dp, kept boolean).
+    """
+    from ..functions.vectors import cosine
+
+    cents = label_centroids(emb, vec_col, label_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_dist = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            v.alias("_v"),
+        )
+        .join(F.broadcast(cents), "label")
+        .select(
+            "_id",
+            "label",
+            "_v",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_v"),
+                            F.col("centroid"),
+                            lambda x, c: F.round((x - c) * (x - c), 9).cast(
+                                "decimal(38,12)"
+                            ),
+                        ),
+                        F.lit(0).cast("decimal(38,12)"),
+                        lambda a, x: (a + x).cast("decimal(38,12)"),
+                        lambda a: a.cast("double"),
+                    )
+                ),
+                6,
+            ).alias("cdist"),
+        )
+    )
+    a = with_dist.select(
+        F.col("_id").alias("_ida"),
+        F.col("label").alias("label"),
+        F.col("_v").alias("_va"),
+        F.col("cdist").alias("_da"),
+    )
+    b = with_dist.select(
+        F.col("_id").alias("_idb"),
+        F.col("label").alias("label"),
+        F.col("_v").alias("_vb"),
+        F.col("cdist").alias("_db"),
+    )
+    dominated = (
+        a.join(b, "label")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(F.round(cosine("_va", "_vb"), 6) >= F.lit(threshold))
+        .filter(
+            (F.col("_da") > F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("_ida") < F.col("_idb")))
+        )
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return with_dist.join(
+        dominated.withColumn("_dom", F.lit(True)), "_id", "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        "label",
+        "cdist",
+        F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"),
+    )

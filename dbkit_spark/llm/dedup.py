@@ -961,3 +961,74 @@ def drop_boilerplate_segments(
             F.coalesce("_n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def ngram_novelty(
+    candidates: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """N-GRAM NOVELTY / MEMORIZATION scoring of a candidate set against a
+    FROZEN reference corpus — the fuzzy-overlap extension of exact-match
+    decontamination (q89/q141 family; the measurement side of Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    and the memorization audits of Carlini et al. 2022): for each
+    candidate document, what fraction of its distinct word n-grams
+    already appears ANYWHERE in the reference? High overlap = the
+    candidate is memorized/derivative mass (or eval contamination);
+    novelty = 1 - overlap is the marginal-information score a data-
+    mixing pipeline ranks candidates by.
+
+    Scale shape: the reference reduces ONCE to its distinct gram set
+    (map-side-combined distinct — persist it per corpus snapshot; the
+    candidate batch, not the reference, is what iterates); candidates
+    posexplode to per-doc DISTINCT grams (array_distinct before the
+    explode, so a gram repeated inside one doc counts once); membership
+    is one LEFT equi-join on the gram key + one doc-keyed count agg. At
+    100 TB join on a 64-bit gram hash (xxhash64) instead of the raw
+    string to cut shuffle width — the anchor joins the string so the
+    SQL oracle is byte-exact.
+
+    Docs with fewer than ``n`` tokens have no grams and are EXCLUDED
+    (novelty is undefined on an empty gram set). Output: (id, n_grams,
+    n_seen, novelty 6dp).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = candidates.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_toks")
+    )
+    cand = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.array_distinct(shingles_from_tokens("_toks", n))
+            ).alias("gram"),
+        )
+    )
+    ref_toks = reference.select(
+        F.explode(F.array(tokens(text_col))).alias("_toks")
+    )
+    ref_grams = (
+        ref_toks.select(F.explode(shingles_from_tokens("_toks", n)).alias("gram"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return (
+        cand.join(ref_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_seen", F.lit(0))).cast("long").alias("n_seen"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_seen",
+            F.round(
+                F.lit(1.0) - F.col("n_seen") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1,0 +1,129 @@
+"""N-gram language-model scoring (CCNet-style corpus quality filtering).
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") ranks crawl documents by the perplexity
+of a KenLM n-gram model trained on a trusted reference corpus — cheap,
+deterministic, and still the first quality gate in most open-data
+pipelines (RefinedWeb, FineWeb ablate against it). This module is the
+distributed form of that gate with an add-k-smoothed BIGRAM model:
+
+- ``bigram_lm_train``: one pass over the reference corpus → (w1, w2, c)
+  bigram counts + (w1, c) context counts + vocab size. The model IS a
+  pair of DataFrames — persist them per corpus snapshot; at 100 TB the
+  model tables are vocab-sized (millions of rows, not corpus-sized) and
+  every downstream use is an equi-join against them.
+- ``bigram_lm_score``: per candidate document, the average negative log
+  probability per bigram under the trained model — the perplexity
+  log. Unknown words hit the UNSEEN context path; unseen bigrams get
+  add-k mass. Lower = more reference-like.
+
+Cross-engine determinism: counts are exact LONGs, the smoothed
+probability is ONE IEEE division of integer-derived operands (bit-equal
+across engines), ln() is libm so each term rounds at 9dp (the engine
+libm rule) and per-doc sums ride DECIMAL before the final 6dp round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) rows — consecutive token pairs per document. One
+    map-side explode over the zipped token array; docs with < 2 tokens
+    emit nothing."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_t")
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+        F.slice(
+            F.col("_t"),
+            2,
+            F.greatest(F.size("_t") - 1, F.lit(0)),
+        ),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        toks.filter(F.size("_t") >= 2)
+        .select(id_col, F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def bigram_lm_train(
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the bigram model on the reference corpus. Returns
+    ``(bigrams, contexts, vocab_size)`` — (w1, w2, c_big) pair counts,
+    (w1, c_ctx) context counts, and a 1-row (v,) vocab-size frame
+    (distinct unigrams). Two map-side-combined count aggregates + one
+    distinct count; nothing returns to the driver."""
+    bi = _doc_bigrams(reference, id_col, text_col)
+    bigrams = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    contexts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = (
+        reference.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    return bigrams, contexts, vocab
+
+
+def bigram_lm_score(
+    candidates: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score candidates under the trained model: per document the
+    average ``-ln P(w2|w1)`` over its bigrams with add-k smoothing
+    ``P = (c_big + k) / (c_ctx + k*(V+1))`` (the +1 is the OOV bucket;
+    an unknown context has c_ctx = 0 and every unseen pair c_big = 0 —
+    the uniform-over-smoothed-vocab fallback).
+
+    Plan: candidate bigrams (map-side explode) LEFT-join the two
+    vocab-sized model tables on their natural keys + the 1-row vocab
+    broadcast; per-term -ln rounds at 9dp (libm rule), the per-doc mean
+    decimal-sums those terms. Docs with < 2 tokens are excluded
+    (score undefined). Output: (id, n_bigrams, avg_neg_logprob 6dp).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cand = _doc_bigrams(candidates, id_col, text_col)
+    scored = (
+        cand.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                -F.log(
+                    (F.coalesce("c_big", F.lit(0)) + F.lit(k))
+                    / (
+                        F.coalesce("c_ctx", F.lit(0))
+                        + F.lit(k) * (F.col("v") + F.lit(1))
+                    )
+                ),
+                9,
+            ).alias("_nlp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_nlp").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

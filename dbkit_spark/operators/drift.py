@@ -658,3 +658,152 @@ def wasserstein_1d(
             ).alias("wasserstein"),
         )
     )
+
+
+def fertility_drift(
+    stats: DataFrame,
+    group_col: str,
+    batch_col: str,
+    words_col: str,
+    tokens_col: str,
+    baseline_batch,
+) -> DataFrame:
+    """TOKENIZER-FERTILITY drift monitor per domain over crawl batches —
+    the tokenizer-health gate a training pipeline runs on every
+    snapshot: fertility (tokens emitted per word) rising for a domain
+    means the tokenizer's vocabulary is aging against that domain's
+    drift (new jargon, new scripts, markup creep), the corpus is
+    silently costing more FLOPs per byte, and effective context is
+    shrinking (Rust et al. 2021, "How Good is Your Tokenizer?" measure
+    fertility exactly this way across languages).
+
+    Tokenizer-agnostic by design: consumes a per-doc stats table
+    (group, batch, n_words, n_tokens) — feed it ``bpe_encode`` output
+    for the real learned-BPE reading or ``bpe_token_count`` for the
+    regex proxy. Fertility is corpus-level (sum tokens / sum words per
+    cell, both LONG sums — exact, order-free), not a mean of per-doc
+    ratios (which would overweight short docs).
+
+    Plan: ONE map-side-combined two-sum aggregate over the stats table,
+    then the groups-sized baseline slice re-joins broadcast — no second
+    pass over data, no window. Output per (group, batch): n_docs,
+    fertility 6dp, baseline_fertility 6dp, drift_ratio 6dp
+    (fertility / the group's ``baseline_batch`` fertility; groups
+    missing the baseline batch report NULL drift rather than a fake 1).
+    Cells with zero words report NULL fertility.
+    """
+    cells = (
+        stats.groupBy(
+            F.col(group_col).alias("grp"), F.col(batch_col).alias("batch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(words_col).cast("long")).alias("_w"),
+            F.sum(F.col(tokens_col).cast("long")).alias("_t"),
+        )
+        .withColumn(
+            "_fert",
+            F.when(F.col("_w") > 0, F.col("_t") / F.col("_w")),
+        )
+    )
+    base = cells.filter(F.col("batch") == F.lit(baseline_batch)).select(
+        "grp", F.col("_fert").alias("_bfert")
+    )
+    return (
+        cells.join(F.broadcast(base), "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("batch").alias(batch_col),
+            "n_docs",
+            F.round("_fert", 6).alias("fertility"),
+            F.round("_bfert", 6).alias("baseline_fertility"),
+            F.round(F.col("_fert") / F.col("_bfert"), 6).alias("drift_ratio"),
+        )
+    )
+
+
+def score_psi_grouped(
+    df: DataFrame,
+    group_col: str,
+    baseline_col: str,
+    score_col: str,
+    n_bins: int = 10,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """PER-GROUP calibration drift of a bounded [0,1] score — PSI of the
+    score's fixed-width decile histogram between a baseline segment and
+    the current segment, computed for EVERY group in one plan (the
+    q227 reliability-bin grid crossed with the q223 PSI reduction): a
+    quality score whose per-domain distribution shifts between crawls
+    no longer means the same thing, and every threshold downstream of
+    it silently re-tunes.
+
+    ``baseline_col`` is a boolean column marking the baseline segment.
+    Bins are FIXED-WIDTH (floor(score*n_bins), top-capped) — exact and
+    engine-portable, no quantile estimation; scores must land in [0,1]
+    (values outside raise no error but clamp into the edge bins only
+    at the top; keep scores normalized upstream).
+
+    Plan: one map-side bucket expression + ONE (group, bin, segment)
+    count aggregate + a groups-sized totals re-join (broadcast) — the
+    fact table is read once; adding a group multiplies nothing. Output
+    per (group, bin): n_ref, n_cur, p_ref 6dp, p_cur 6dp, contrib 6dp,
+    psi 6dp (the group total repeated per row, q223 convention; empty
+    cells floored at ``floor`` so ln stays finite).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor(F.col(score_col) * n_bins).cast("int"),
+    )
+    counted = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            bin_.alias("bin"),
+        )
+        .agg(
+            F.sum(F.when(F.col(baseline_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col(baseline_col), 0).otherwise(1))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    tot = counted.groupBy("grp").agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    with_p = counted.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(floor)).alias("_pr"),
+        F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(floor)).alias("_pc"),
+    )
+    per_bin = with_p.select(
+        "grp",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("_pr", 6).alias("p_ref"),
+        F.round("_pc", 6).alias("p_cur"),
+        F.round(
+            (F.col("_pr") - F.col("_pc")) * F.log(F.col("_pr") / F.col("_pc")), 6
+        ).alias("contrib"),
+    )
+    totals = per_bin.groupBy("grp").agg(
+        F.round(F.sum("contrib"), 6).alias("psi")
+    )
+    return per_bin.join(F.broadcast(totals), "grp").select(
+        F.col("grp").alias(group_col),
+        "bin",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        "contrib",
+        "psi",
+    )
