@@ -780,8 +780,16 @@ def score_psi_grouped(
         "bin",
         "n_ref",
         "n_cur",
-        F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(floor)).alias("_pr"),
-        F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(floor)).alias("_pc"),
+        # try_divide: a segment can be EMPTY for a group (a brand-new
+        # domain has no baseline rows) — its proportions then floor at
+        # ``floor`` in every bin instead of dividing by zero (Spark's
+        # greatest skips the NULL, same as the oracle's coalesce).
+        F.greatest(
+            F.try_divide(F.col("n_ref"), F.col("_tr")), F.lit(floor)
+        ).alias("_pr"),
+        F.greatest(
+            F.try_divide(F.col("n_cur"), F.col("_tc")), F.lit(floor)
+        ).alias("_pc"),
     )
     per_bin = with_p.select(
         "grp",

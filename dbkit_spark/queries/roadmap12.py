@@ -1,0 +1,417 @@
+"""Round-12 catalog queue (q375+): written and pre-verified this round,
+NOT registered — merged into ``roadmap7.ROADMAP7`` (imported at the
+bottom of ``roadmap7.py``; must not import roadmap7 back) and landed by
+``roadmap7_landed`` when the rotation arithmetic allows (round 13 —
+the staged-window discipline of the r8 verdict, queue capped at one
+driver window).
+
+q375–q378 are the VERDICT r11 item-3 candidates (SemDeDup, n-gram
+novelty, tokenizer-fertility drift, per-domain score-calibration
+drift); q379 adds the CCNet perplexity gate the corpus stack was
+missing. Same template as the r9/r10/r11 additions: operator +
+randomized/hand-case pytest (tests/test_round12.py) + oracle
+pre-verified at sf0.001 and sf0.01
+(tests/test_catalog.py::test_roadmap7_queue_preverified), and the
+driver-canon contract of SURVEY.md §5.3 (scalar outputs only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+ROADMAP12: dict[str, tuple] = {}
+
+
+# --- q375: SemDeDup within-cluster semantic dedup --------------------------------
+
+
+def q375_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (llm/cluster.semdedup) over the embeddings table using
+    its shipped k-means labels — the semantic twin of q374's lexical
+    paragraph dedup: within each cluster, remove every vector dominated
+    by a higher-priority tau-neighbor (priority = centroid distance
+    DESC, SemDeDup keeps the atypical exemplar)."""
+    from ..llm.cluster import semdedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.45).orderBy("vec_id")
+
+
+def _q375_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    exploded AS (
+      SELECT label, e2.dim, e2.x
+      FROM (
+        SELECT label,
+               unnest(list_transform(embedding, (v, i) ->
+                 struct_pack(dim := i - 1, x := CAST(v AS DOUBLE)))) AS e2
+        FROM embeddings
+      )
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM exploded GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT label, list(c ORDER BY dim) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    wd AS (
+      SELECT e.vec_id, e.label, e.v,
+             round(sqrt(CAST(list_sum(list_transform(
+               generate_series(1, len(c.centroid)),
+               i -> CAST(round((e.v[i] - c.centroid[i])
+                               * (e.v[i] - c.centroid[i]), 9)
+                         AS DECIMAL(38,12))))
+             AS DOUBLE)), 6) AS cdist
+      FROM e JOIN cents c USING (label)
+    ),
+    dom AS (
+      SELECT DISTINCT b.vec_id
+      FROM wd a JOIN wd b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        AND (a.cdist > b.cdist
+             OR (a.cdist = b.cdist AND a.vec_id < b.vec_id))
+    )
+    SELECT w.vec_id, w.label, w.cdist,
+           (d.vec_id IS NULL) AS kept
+    FROM wd w LEFT JOIN dom d ON w.vec_id = d.vec_id
+    ORDER BY w.vec_id
+    """
+
+
+_Q375_NOTES = (
+    "SEMDEDUP WITHIN-CLUSTER SEMANTIC DEDUP (llm/cluster.semdedup — "
+    "VERDICT r11 candidate 1; Abbas-Tirumala-Simig-Ganguli-Morcos 2023: "
+    "paraphrase/template duplicates share no shingles so MinHash never "
+    "sees them, but they share a k-means cluster with high cosine): "
+    "deterministic non-iterative rule — priority = centroid distance "
+    "DESC (keep the atypical exemplar) tie-broken id ASC; removed iff "
+    "dominated by a same-cluster tau-neighbor of higher priority. "
+    "Labels-sized decimal-summed centroid broadcast (q309 convention, "
+    "9dp terms), the ONLY data exchange is the within-cluster "
+    "self-equi-join on label (clusters audit-sized by the SemDeDup "
+    "contract — k grows with n); cdist 6dp BEFORE the priority compare, "
+    "cosine 6dp (q43 rule). Never all-pairs, no corpus window"
+)
+
+ROADMAP12["q375_semdedup"] = (q375_semdedup, _q375_oracle(), _Q375_NOTES)
+
+
+# --- q376: n-gram novelty vs frozen reference corpus ------------------------------
+
+
+def q376_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty (llm/dedup.ngram_novelty): odd-doc_id documents
+    are the candidate batch, even-doc_id documents the frozen reference
+    corpus; novelty = 1 - fraction of the candidate's distinct word
+    trigrams already present anywhere in the reference."""
+    from ..llm.dedup import ngram_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return ngram_novelty(cand, ref, n=3).orderBy("doc_id")
+
+
+def _q376_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    gram = (
+        "list_transform(generate_series(1, len(t)-2), "
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct({gram})) AS gram
+      FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 3
+    ),
+    rg AS (
+      SELECT DISTINCT unnest({gram}) AS gram
+      FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 3
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(r.gram) AS n_seen,
+           round(1.0 - CAST(COUNT(r.gram) AS DOUBLE) / COUNT(*), 6)
+             AS novelty
+    FROM cg c LEFT JOIN rg r USING (gram)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """
+
+
+_Q376_NOTES = (
+    "N-GRAM NOVELTY / MEMORIZATION SCORING (llm/dedup.ngram_novelty — "
+    "VERDICT r11 candidate 2; the fuzzy-overlap extension of the "
+    "q89/q141 exact-match decontamination family, measurement side of "
+    "Lee et al. 2022 dedup + Carlini et al. 2022 memorization audits): "
+    "reference reduces ONCE to its distinct trigram set (persist per "
+    "snapshot — the candidate batch iterates, not the reference); "
+    "candidates explode to per-doc DISTINCT grams (repeats inside one "
+    "doc count once); membership = one LEFT equi-join on the gram key "
+    "+ one doc-keyed agg. 100 TB: join a 64-bit xxhash64 gram key to "
+    "cut shuffle width (anchor joins the string so the oracle is "
+    "byte-exact). Docs with < n tokens excluded (novelty undefined)"
+)
+
+ROADMAP12["q376_ngram_novelty"] = (q376_ngram_novelty, _q376_oracle(), _Q376_NOTES)
+
+
+# --- q377: tokenizer-fertility drift per domain over crawl batches ---------------
+
+
+def q377_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility drift (operators/drift.fertility_drift):
+    per-source fertility (BPE-ish tokens per word) across three crawl
+    batches (doc_id % 3), each batch's drift ratio vs batch 0."""
+    from ..functions.text import bpe_token_count, token_count
+    from ..operators.drift import fertility_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "source",
+        (F.col("doc_id") % 3).alias("batch"),
+        token_count("text").cast("long").alias("n_words"),
+        bpe_token_count("text").cast("long").alias("n_tokens"),
+    )
+    return fertility_drift(
+        stats, "source", "batch", "n_words", "n_tokens", baseline_batch=0
+    ).orderBy("source", "batch")
+
+
+def _q377_oracle() -> str:
+    return r"""
+    WITH s AS (
+      SELECT source, doc_id % 3 AS batch,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> t <> '')) AS n_words,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, batch, COUNT(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS w,
+             CAST(SUM(n_tokens) AS BIGINT) AS t
+      FROM s GROUP BY source, batch
+    ),
+    f AS (
+      SELECT *, CASE WHEN w > 0 THEN CAST(t AS DOUBLE) / w END AS fert
+      FROM cells
+    ),
+    base AS (SELECT source, fert AS bfert FROM f WHERE batch = 0)
+    SELECT c.source, c.batch, c.n_docs,
+           round(c.fert, 6) AS fertility,
+           round(b.bfert, 6) AS baseline_fertility,
+           round(c.fert / b.bfert, 6) AS drift_ratio
+    FROM f c LEFT JOIN base b USING (source)
+    ORDER BY c.source, c.batch
+    """
+
+
+_Q377_NOTES = (
+    "TOKENIZER-FERTILITY DRIFT MONITOR (operators/drift.fertility_drift "
+    "— VERDICT r11 candidate 3; Rust et al. 2021 measure fertility = "
+    "tokens per word exactly this way): rising per-domain fertility "
+    "means the tokenizer's vocabulary is aging against that domain "
+    "(new jargon/scripts/markup), FLOPs per byte silently rise and "
+    "effective context shrinks. Corpus-level fertility (sum tokens / "
+    "sum words per cell, exact LONG sums — order-free), NOT a mean of "
+    "per-doc ratios (short-doc bias). ONE map-side-combined two-sum "
+    "agg + a groups-sized broadcast baseline re-join; no second data "
+    "pass, no window. Groups missing the baseline batch report NULL "
+    "drift, zero-word cells NULL fertility. Tokenizer-agnostic input "
+    "contract (feed bpe_encode output for the learned-BPE reading)"
+)
+
+ROADMAP12["q377_fertility_drift"] = (
+    q377_fertility_drift,
+    _q377_oracle(),
+    _Q377_NOTES,
+)
+
+
+# --- q378: per-domain score-calibration drift (grouped PSI) -----------------------
+
+
+def q378_score_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibration drift (operators/drift.score_psi_grouped)
+    of the stopword-ratio quality signal: PSI of its fixed-width decile
+    histogram between the even-doc_id baseline segment and the
+    odd-doc_id current segment, every source in one plan."""
+    from ..functions.text import stopword_ratio, tokens
+    from ..operators.drift import score_psi_grouped
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("is_baseline"),
+        stopword_ratio("text", tokens("text")).alias("score"),
+    )
+    return score_psi_grouped(
+        scored, "source", "is_baseline", "score", n_bins=10
+    ).orderBy("source", "bin")
+
+
+def _q378_oracle() -> str:
+    from .llm import _STOP_SQL, _TOKS_SQL
+
+    return f"""
+    WITH s AS (
+      SELECT source, doc_id % 2 = 0 AS is_baseline,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t,
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len(t)
+             END AS score
+      FROM ({_TOKS_SQL})
+    ),
+    counted AS (
+      SELECT source,
+             least(9, CAST(floor(score * 10) AS INTEGER)) AS bin,
+             CAST(SUM(CASE WHEN is_baseline THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN is_baseline THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_cur
+      FROM s WHERE score IS NOT NULL
+      GROUP BY source, bin
+    ),
+    tot AS (
+      SELECT source, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+      FROM counted GROUP BY source
+    ),
+    per_bin AS (
+      SELECT c.source, c.bin, c.n_ref, c.n_cur,
+             round(greatest(CAST(c.n_ref AS DOUBLE) / nullif(t.tr, 0),
+                            1e-6), 6) AS p_ref,
+             round(greatest(CAST(c.n_cur AS DOUBLE) / nullif(t.tc, 0),
+                            1e-6), 6) AS p_cur,
+             round((greatest(CAST(c.n_ref AS DOUBLE) / nullif(t.tr, 0), 1e-6)
+                    - greatest(CAST(c.n_cur AS DOUBLE) / nullif(t.tc, 0),
+                               1e-6))
+                   * ln(greatest(CAST(c.n_ref AS DOUBLE) / nullif(t.tr, 0),
+                                 1e-6)
+                        / greatest(CAST(c.n_cur AS DOUBLE) / nullif(t.tc, 0),
+                                   1e-6)),
+                   6) AS contrib
+      FROM counted c JOIN tot t USING (source)
+    ),
+    totals AS (
+      SELECT source, round(SUM(contrib), 6) AS psi
+      FROM per_bin GROUP BY source
+    )
+    SELECT p.source, p.bin, p.n_ref, p.n_cur, p.p_ref, p.p_cur,
+           p.contrib, t.psi
+    FROM per_bin p JOIN totals t USING (source)
+    ORDER BY p.source, p.bin
+    """
+
+
+_Q378_NOTES = (
+    "PER-DOMAIN SCORE-CALIBRATION DRIFT (operators/drift."
+    "score_psi_grouped — VERDICT r11 candidate 4; the q227 "
+    "reliability-bin grid crossed with the q223 PSI reduction): a "
+    "quality score whose per-domain distribution shifts between crawls "
+    "no longer means the same thing and every downstream threshold "
+    "silently re-tunes. FIXED-WIDTH decile bins (floor(score*10), "
+    "top-capped — exact and engine-portable, no quantile estimation); "
+    "one map-side bucket expression + ONE (group,bin,segment) count "
+    "agg + groups-sized broadcast totals re-join — the fact table is "
+    "read once, adding a group multiplies nothing. Empty cells floored "
+    "at 1e-6 so ln stays finite; psi repeated per row (q223 convention)"
+)
+
+ROADMAP12["q378_score_psi"] = (q378_score_psi, _q378_oracle(), _Q378_NOTES)
+
+
+# --- q379: CCNet-style bigram-LM perplexity gate ----------------------------------
+
+
+def q379_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity gate (llm/lm.bigram_lm_train/score): an add-0.5
+    bigram LM trained on the even-doc_id reference half scores the
+    odd-doc_id candidate half by average -ln P(w2|w1); lower = more
+    reference-like."""
+    from ..llm.lm import bigram_lm_score, bigram_lm_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+    bigrams, contexts, vocab = bigram_lm_train(ref)
+    return bigram_lm_score(cand, bigrams, contexts, vocab, k=0.5).orderBy(
+        "doc_id"
+    )
+
+
+def _q379_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    bigrams AS (
+      SELECT w1, w2, COUNT(*) AS c_big
+      FROM bi WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    contexts AS (
+      SELECT w1, COUNT(*) AS c_ctx
+      FROM bi WHERE doc_id % 2 = 0 GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 2 = 0)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             round(-ln((COALESCE(g.c_big, 0) + 0.5)
+                       / (COALESCE(x.c_ctx, 0) + 0.5 * (v.v + 1))), 9)
+               AS nlp
+      FROM bi b
+      LEFT JOIN bigrams g USING (w1, w2)
+      LEFT JOIN contexts x USING (w1)
+      CROSS JOIN vocab v
+      WHERE b.doc_id % 2 = 1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+_Q379_NOTES = (
+    "CCNET BIGRAM-LM PERPLEXITY GATE (llm/lm.bigram_lm_train/score — "
+    "Wenzek et al. 2020 rank crawl docs by reference-corpus n-gram-LM "
+    "perplexity; RefinedWeb/FineWeb ablate against it): the model IS a "
+    "pair of vocab-sized DataFrames ((w1,w2,c_big) + (w1,c_ctx) + 1-row "
+    "V) — persist per snapshot; scoring = candidate bigrams (map-side "
+    "zip_with explode) LEFT-join the model tables + 1-row vocab "
+    "broadcast. Add-k smoothing P=(c_big+k)/(c_ctx+k(V+1)) is ONE IEEE "
+    "division of exact-integer-derived half-integer operands (bit-equal "
+    "cross-engine); -ln rounds 9dp (libm rule), per-doc mean "
+    "decimal-sums the terms (order-free), 6dp out. Docs with < 2 "
+    "tokens excluded (score undefined)"
+)
+
+ROADMAP12["q379_bigram_perplexity"] = (
+    q379_bigram_perplexity,
+    _q379_oracle(),
+    _Q379_NOTES,
+)

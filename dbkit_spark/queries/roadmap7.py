@@ -8054,3 +8054,8 @@ ROADMAP7.update(_ROADMAP10)
 from .roadmap11 import ROADMAP11 as _ROADMAP11  # noqa: E402
 
 ROADMAP7.update(_ROADMAP11)
+
+# Round-12 queue additions (same pattern).
+from .roadmap12 import ROADMAP12 as _ROADMAP12  # noqa: E402
+
+ROADMAP7.update(_ROADMAP12)

@@ -172,3 +172,236 @@ def test_fixture_fresh_steal_is_restored(tmp_path):
         assert fh.read() == "live.owner"
     os.unlink(lock)
     assert _fixtures.MARKER  # module import sanity
+
+
+# --- round-12 queue operators (q375-q379) -----------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_semdedup_hand_case(spark):
+    """One cluster: a and b near-parallel (cos ~0.995), c orthogonal.
+    The centroid sits between them, so c (the atypical exemplar) is the
+    farthest-from-centroid member; among {a, b} the one farther from
+    the centroid wins and the other is dominated."""
+    from dbkit_spark.llm.cluster import semdedup
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),
+        (3, [0.0, 1.0], 0),
+    ]
+    got = {r["vec_id"]: r for r in semdedup(_emb_df(spark, rows), 0.9).collect()}
+    assert len(got) == 3
+    # c is never dominated (cos to a and b is ~0.1 < 0.9)
+    assert got[3]["kept"]
+    # exactly one of {a, b} is removed (they are tau-neighbors)
+    assert got[1]["kept"] != got[2]["kept"]
+    kept_ab = 1 if got[1]["kept"] else 2
+    # the kept one is the HIGHER-priority (farther from centroid) one
+    assert got[kept_ab]["cdist"] >= got[1 if kept_ab == 2 else 2]["cdist"]
+
+
+def test_semdedup_threshold_laws(spark):
+    """tau > 1: cosine can never reach it -> everything kept. tau = -1
+    with all-positive cosines inside one cluster: every pair qualifies,
+    so ONLY the single top-priority vector survives per cluster."""
+    from dbkit_spark.llm.cluster import semdedup
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.3], 0),
+        (3, [0.8, 0.5], 0),
+        (4, [0.0, 1.0], 1),
+        (5, [0.1, 0.9], 1),
+    ]
+    all_kept = semdedup(_emb_df(spark, rows), 1.1).filter("kept").count()
+    assert all_kept == 5
+    survivors = (
+        semdedup(_emb_df(spark, rows), -1.0)
+        .filter("kept")
+        .groupBy("label")
+        .count()
+        .collect()
+    )
+    assert {r["label"]: r["count"] for r in survivors} == {0: 1, 1: 1}
+
+
+def test_semdedup_cross_cluster_blind(spark):
+    """Identical vectors in DIFFERENT clusters are never compared —
+    SemDeDup's contract is within-cluster only (the clustering is the
+    candidate generator)."""
+    from dbkit_spark.llm.cluster import semdedup
+
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)]
+    got = semdedup(_emb_df(spark, rows), 0.5).filter("kept").count()
+    assert got == 2
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_novelty_bounds_and_exclusion(spark):
+    """Candidate fully inside the reference -> novelty 0; candidate
+    sharing nothing -> novelty 1; < n tokens -> excluded; a trigram
+    repeated within one doc counts once (distinct grams)."""
+    from dbkit_spark.llm.dedup import ngram_novelty
+
+    ref = _docs_df(spark, [(100, "the quick brown fox jumps")])
+    cand = _docs_df(
+        spark,
+        [
+            (1, "the quick brown fox"),      # both trigrams seen
+            (2, "lorem ipsum dolor sit"),    # nothing seen
+            (3, "too short"),                # < 3 tokens: excluded
+            (4, "a b c a b c a b c"),        # 3 distinct grams of 7 positions
+        ],
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(cand, ref, n=3).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["n_grams"] == 2 and got[1]["n_seen"] == 2
+    assert got[1]["novelty"] == 0.0
+    assert got[2]["n_seen"] == 0 and got[2]["novelty"] == 1.0
+    # "a b c a b c a b c": grams {a b c, b c a, c a b} after distinct
+    assert got[4]["n_grams"] == 3 and got[4]["n_seen"] == 0
+
+
+def test_fertility_drift_hand_case(spark):
+    """Corpus-level fertility = sum(tokens)/sum(words) per cell — NOT
+    the mean of per-doc ratios; baseline batch drifts at exactly 1.0;
+    a group missing the baseline batch reports NULL drift."""
+    from dbkit_spark.operators.drift import fertility_drift
+
+    rows = [
+        # grp A batch 0: docs (10w,12t) and (2w,6t) -> 18/12 = 1.5
+        # (mean of ratios would be (1.2 + 3.0)/2 = 2.1 — different)
+        ("A", 0, 10, 12),
+        ("A", 0, 2, 6),
+        # grp A batch 1: (10w,18t) -> 1.8 -> drift 1.2
+        ("A", 1, 10, 18),
+        # grp B has NO batch 0
+        ("B", 1, 5, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, batch int, n_words long, n_tokens long"
+    )
+    got = {
+        (r["grp"], r["batch"]): r
+        for r in fertility_drift(df, "grp", "batch", "n_words", "n_tokens", 0).collect()
+    }
+    assert got[("A", 0)]["fertility"] == 1.5
+    assert got[("A", 0)]["drift_ratio"] == 1.0
+    assert got[("A", 1)]["fertility"] == 1.8
+    assert got[("A", 1)]["drift_ratio"] == 1.2
+    assert got[("B", 1)]["drift_ratio"] is None
+    assert got[("B", 1)]["baseline_fertility"] is None
+
+
+def test_fertility_drift_zero_words(spark):
+    """A cell with zero words reports NULL fertility, not an error."""
+    from dbkit_spark.operators.drift import fertility_drift
+
+    df = spark.createDataFrame(
+        [("A", 0, 0, 0), ("A", 1, 4, 8)],
+        "grp string, batch int, n_words long, n_tokens long",
+    )
+    got = {
+        r["batch"]: r
+        for r in fertility_drift(df, "grp", "batch", "n_words", "n_tokens", 0).collect()
+    }
+    assert got[0]["fertility"] is None
+    assert got[1]["fertility"] == 2.0
+    assert got[1]["drift_ratio"] is None  # baseline fertility is NULL
+
+
+def test_score_psi_grouped_laws(spark):
+    """Identical segment distributions -> psi = 0; a shifted segment ->
+    psi > 0; a group with an EMPTY baseline segment floors instead of
+    dividing by zero (the ANSI-mode regression)."""
+    from dbkit_spark.operators.drift import score_psi_grouped
+
+    same = [("g1", True, s) for s in (0.05, 0.15, 0.25, 0.35)] + [
+        ("g1", False, s) for s in (0.05, 0.15, 0.25, 0.35)
+    ]
+    shifted = [("g2", True, 0.05)] * 4 + [("g2", False, 0.95)] * 4
+    no_base = [("g3", False, 0.5)] * 3
+    df = spark.createDataFrame(
+        same + shifted + no_base, "grp string, base boolean, score double"
+    )
+    rows = score_psi_grouped(df, "grp", "base", "score").collect()
+    psi = {r["grp"]: r["psi"] for r in rows}
+    assert psi["g1"] == 0.0
+    assert psi["g2"] > 1.0  # total separation: huge PSI
+    # g3: empty baseline -> p_ref floored at 1e-6 in its one bin
+    g3 = [r for r in rows if r["grp"] == "g3"]
+    assert len(g3) == 1 and g3[0]["n_ref"] == 0 and g3[0]["p_ref"] == 1e-6
+    assert g3[0]["psi"] > 0
+
+
+def test_score_psi_grouped_rejects_one_bin(spark):
+    from dbkit_spark.operators.drift import score_psi_grouped
+
+    df = spark.createDataFrame([("g", True, 0.5)], "g string, b boolean, s double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        score_psi_grouped(df, "g", "b", "s", n_bins=1)
+
+
+def test_bigram_lm_hand_case(spark):
+    """ref = 'a b a b': bigrams (a,b)x2 (b,a)x1, contexts a:2 b:1, V=2.
+    Scoring 'a b' gives exactly -ln((2+0.5)/(2+0.5*3)) once."""
+    import math
+
+    from dbkit_spark.llm.lm import bigram_lm_score, bigram_lm_train
+
+    ref = _docs_df(spark, [(1, "a b a b")])
+    bigrams, contexts, vocab = bigram_lm_train(ref)
+    assert {(r["w1"], r["w2"]): r["c_big"] for r in bigrams.collect()} == {
+        ("a", "b"): 2,
+        ("b", "a"): 1,
+    }
+    assert vocab.collect()[0]["v"] == 2
+    cand = _docs_df(spark, [(10, "a b"), (11, "solo")])
+    got = {r["doc_id"]: r for r in bigram_lm_score(cand, bigrams, contexts, vocab, k=0.5).collect()}
+    assert set(got) == {10}  # 'solo' has < 2 tokens: excluded
+    expect = round(round(-math.log(2.5 / 3.5), 9), 6)
+    assert got[10]["n_bigrams"] == 1
+    assert got[10]["avg_neg_logprob"] == expect
+
+
+def test_bigram_lm_reference_scores_lower(spark):
+    """The perplexity-gate law: text drawn from the reference corpus
+    scores a lower avg -ln P than out-of-vocabulary noise."""
+    from dbkit_spark.llm.lm import bigram_lm_score, bigram_lm_train
+
+    ref = _docs_df(
+        spark,
+        [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(3)],
+    )
+    bigrams, contexts, vocab = bigram_lm_train(ref)
+    cand = _docs_df(
+        spark,
+        [(1, "the cat sat on the mat"), (2, "zx qv wk jn pb md")],
+    )
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_lm_score(cand, bigrams, contexts, vocab).collect()
+    }
+    assert got[1] < got[2]
+
+
+def test_bigram_lm_rejects_nonpositive_k(spark):
+    import pytest as _pytest
+
+    from dbkit_spark.llm.lm import bigram_lm_score, bigram_lm_train
+
+    ref = _docs_df(spark, [(1, "a b")])
+    bigrams, contexts, vocab = bigram_lm_train(ref)
+    with _pytest.raises(ValueError, match="k must be positive"):
+        bigram_lm_score(ref, bigrams, contexts, vocab, k=0.0)
