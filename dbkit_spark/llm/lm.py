@@ -127,3 +127,53 @@ def bigram_lm_score(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    accuracy: int | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.4:
+    the corpus splits into perplexity TERCILES per language; "head" is
+    the most reference-like third and what most pipelines train on
+    first): per group, tercile boundaries of ``score_col`` and each
+    row's bucket assignment.
+
+    Boundary selection rides ONE GK summary pass per group
+    (percentile_approx) — boundaries broadcast back as a groups-sized
+    table; no global sort, no corpus window. With ``accuracy=None`` the
+    GK pass runs effectively exact (accuracy >> n) and returns the
+    ceil(p*n)-rank elements — the q204/q212 rule, empirically pinned
+    for p = 1/3, 2/3 — which a SQL oracle replays with ROW_NUMBER rank
+    arithmetic. Pass a finite ``accuracy`` (e.g. 10_000) for the 100 TB
+    approximate path: same plan, bounded memory, boundaries within
+    n/accuracy ranks.
+
+    Output: (id, group, score, bucket) with bucket in head|middle|tail
+    (head = lowest scores: for -ln P scores, lower = more
+    reference-like). Ties at a boundary bucket DOWN (<= boundary), so
+    assignment is deterministic regardless of row order.
+    """
+    acc = int(accuracy) if accuracy is not None else 10_000_000
+    bounds = scored.groupBy(group_col).agg(
+        F.percentile_approx(
+            score_col,
+            F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)),
+            F.lit(acc),
+        ).alias("_b")
+    )
+    return (
+        scored.join(F.broadcast(bounds), group_col)
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            F.when(F.col(score_col) <= F.col("_b")[0], F.lit("head"))
+            .when(F.col(score_col) <= F.col("_b")[1], F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -679,3 +679,167 @@ def weighted_sample(
         .filter(F.col("__wrn") <= k)
         .drop("__wkey", "__wrn")
     )
+
+
+def dsir_log_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 256,
+    k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weighting (Xie, Santurkar, Ma & Liang 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document in the RAW pool by how much more likely its
+    hashed-token features are under the TARGET (trusted) corpus than
+    under the raw pool itself — log w(doc) = sum over its tokens of
+    ln(p_target(bucket)/p_raw(bucket)). Resampling the pool by these
+    weights (compose with ``weighted_sample_topk``) shifts the mixture
+    toward the target distribution without training a classifier.
+
+    Features are HASHED token buckets (the paper's hashed n-grams): the
+    24-bit md5 value mod ``m`` — the engine-wide portable hash rule, so
+    any SQL engine reproduces bucketing digit-for-digit. Bucket
+    distributions are add-k smoothed: p = (c + k)/(T + k*m).
+
+    Scale shape: both bucket tables are m-sized (m ~ 10^4 in production
+    — always broadcastable); the scored pool streams map-side through
+    one explode + one broadcast equi-join on the bucket key + one
+    doc-keyed agg. The ratio table inner-joins losslessly because every
+    scored token's bucket exists in the raw counts by construction
+    (the scored set IS the raw pool — the DSIR contract; score a
+    different candidate set by passing it as ``raw``).
+
+    Cross-engine determinism: counts are exact LONGs; both smoothed
+    probabilities are single IEEE divisions of half-integer operands;
+    ln rounds at 9dp (the libm rule) and per-doc sums ride DECIMAL.
+    Output: (id, n_tokens, log_importance 6dp) — higher = more
+    target-like; docs with zero tokens are excluded (no features).
+    """
+    from ..functions.text import tokens
+
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def bucketed(df: DataFrame, cols: list[str]) -> DataFrame:
+        toks = df.select(*cols, F.explode(tokens(text_col)).alias("_tok"))
+        return toks.select(
+            *cols,
+            (
+                F.conv(F.substring(F.md5("_tok"), 1, 6), 16, 10).cast("long")
+                % m
+            ).alias("bucket"),
+        )
+
+    raw_b = bucketed(raw, [id_col])
+    tgt_b = bucketed(target, [])
+    cr = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    ct = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    tr = cr.agg(F.sum("c_r").alias("t_r"))
+    tt = ct.agg(F.sum("c_t").alias("t_t"))
+    km = float(k) * m
+    ratio = (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("c_t", F.lit(0)) + F.lit(k))
+                        / (F.col("t_t") + F.lit(km))
+                    )
+                    / (
+                        (F.col("c_r") + F.lit(k))
+                        / (F.col("t_r") + F.lit(km))
+                    )
+                ),
+                9,
+            ).alias("_lr"),
+        )
+    )
+    return (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_lr").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("log_importance"),
+        )
+    )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-constrained mixture planner (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": repeating data beyond
+    ~4 epochs yields rapidly diminishing returns): given the available
+    token mass per domain, a target mixture, and a total token budget,
+    how many epochs of each domain does the plan imply — and where does
+    the budget physically not fit under the repeat cap?
+
+    Shares are normalized from ``weights`` IN THE DRIVER (exact same
+    literals ship to any replaying engine). Per domain: desired =
+    share * budget; epochs_needed = desired / available;
+    epochs_planned caps at ``max_epochs``; tokens_planned =
+    epochs_planned * available; shortfall = desired - tokens_planned
+    (the mass the mixture wants but the cap forbids — re-weight or
+    source more data). Domains named in the plan but absent from the
+    corpus report 0 available, NULL epochs, full shortfall.
+
+    Plan shape: ONE map-side-combined two-sum aggregate over the stats
+    table + a plan-sized literal-frame broadcast join — no window, no
+    second data pass, identical at any corpus size.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    wtot = float(sum(weights.values()))
+    rows = [(d, float(w) / wtot) for d, w in sorted(weights.items())]
+    wdf = df.sparkSession.createDataFrame(
+        rows, f"{domain_col} string, _share double"
+    )
+    avail = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("_avail"),
+    )
+    desired = F.col("_share") * F.lit(float(budget))
+    epochs_needed = F.try_divide(desired, F.col("_avail"))
+    epochs_planned = F.when(
+        F.col("_avail") > 0, F.least(epochs_needed, F.lit(float(max_epochs)))
+    )
+    tokens_planned = F.when(
+        F.col("_avail") > 0, epochs_planned * F.col("_avail")
+    ).otherwise(F.lit(0.0))
+    return (
+        wdf.join(avail, domain_col, "left")
+        .select(
+            domain_col,
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("_avail", F.lit(0)).cast("long").alias("avail_tokens"),
+            F.round("_share", 6).alias("target_share"),
+            F.round(desired, 6).alias("desired_tokens"),
+            F.round(epochs_needed, 6).alias("epochs_needed"),
+            F.round(epochs_planned, 6).alias("epochs_planned"),
+            F.round(tokens_planned, 6).alias("tokens_planned"),
+            F.round(F.greatest(desired - tokens_planned, F.lit(0.0)), 6).alias(
+                "shortfall"
+            ),
+        )
+    )

@@ -7,8 +7,10 @@ driver window).
 
 q375–q378 are the VERDICT r11 item-3 candidates (SemDeDup, n-gram
 novelty, tokenizer-fertility drift, per-domain score-calibration
-drift); q379 adds the CCNet perplexity gate the corpus stack was
-missing. Same template as the r9/r10/r11 additions: operator +
+drift); q379–q382 complete the CCNet/DSIR data-curation layer the
+corpus stack was missing (perplexity gate, importance weighting,
+epoch planner, head/middle/tail buckets). Same template as the
+r9/r10/r11 additions: operator +
 randomized/hand-case pytest (tests/test_round12.py) + oracle
 pre-verified at sf0.001 and sf0.01
 (tests/test_catalog.py::test_roadmap7_queue_preverified), and the
@@ -414,4 +416,276 @@ ROADMAP12["q379_bigram_perplexity"] = (
     q379_bigram_perplexity,
     _q379_oracle(),
     _Q379_NOTES,
+)
+
+
+# --- q380: DSIR hashed-feature importance weighting -------------------------------
+
+
+def q380_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (llm/sampling.dsir_log_importance): the whole documents pool
+    scored by hashed-token importance toward the English-language
+    slice as the trusted target — positive log weight = looks more like
+    the target than the pool average."""
+    from ..llm.sampling import dsir_log_importance
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_log_importance(docs, target, m=64, k=0.5).orderBy("doc_id")
+
+
+def _q380_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    bucket = (
+        "CAST(list_sum(list_transform(generate_series(1, 6), "
+        "i -> CAST((strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)"
+        " AS BIGINT) * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % 64"
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tb AS (
+      SELECT doc_id, lang, {bucket} AS bucket
+      FROM (SELECT doc_id, lang, unnest(t) AS tok FROM toks)
+    ),
+    cr AS (SELECT bucket, COUNT(*) AS c_r FROM tb GROUP BY bucket),
+    ct AS (SELECT bucket, COUNT(*) AS c_t FROM tb WHERE lang = 'en'
+           GROUP BY bucket),
+    tr AS (SELECT SUM(c_r) AS t_r FROM cr),
+    tt AS (SELECT SUM(c_t) AS t_t FROM ct),
+    ratio AS (
+      SELECT cr.bucket,
+             round(ln(((COALESCE(ct.c_t, 0) + 0.5)
+                       / (tt.t_t + CAST(32.0 AS DOUBLE)))
+                      / ((cr.c_r + 0.5)
+                         / (tr.t_r + CAST(32.0 AS DOUBLE)))), 9) AS lr
+      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tt CROSS JOIN tr
+    )
+    SELECT b.doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(r.lr AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS log_importance
+    FROM tb b JOIN ratio r USING (bucket)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """
+
+
+_Q380_NOTES = (
+    "DSIR IMPORTANCE WEIGHTING (llm/sampling.dsir_log_importance — "
+    "Xie-Santurkar-Ma-Liang NeurIPS 2023: resample a raw pool toward a "
+    "trusted target distribution via hashed-feature likelihood ratios, "
+    "no classifier training): features are 24-bit-md5 token buckets "
+    "mod m (the engine-wide portable hash rule — DuckDB rebuilds the "
+    "bucket digit-by-digit), bucket distributions add-k smoothed. Both "
+    "bucket tables are m-sized broadcasts (m~10^4 in production); the "
+    "pool streams map-side through one explode + broadcast equi-join + "
+    "doc-keyed agg — ratio join lossless because every scored bucket "
+    "exists in the raw counts by construction. Exact LONG counts, "
+    "half-integer IEEE divisions, ln 9dp (libm rule), decimal-summed "
+    "per-doc; composes with weighted_sample_topk for the actual "
+    "resampling step"
+)
+
+ROADMAP12["q380_dsir_importance"] = (
+    q380_dsir_importance,
+    _q380_oracle(),
+    _Q380_NOTES,
+)
+
+
+# --- q381: data-constrained mixture epoch planner ---------------------------------
+
+
+def q381_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture epoch planner (llm/sampling.mixture_epoch_plan): a
+    4-domain target mixture (one deliberately absent from the corpus)
+    against a fixed token budget with the 4-epoch repeat cap."""
+    from ..functions.text import bpe_token_count
+    from ..llm.sampling import mixture_epoch_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "source", bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    return mixture_epoch_plan(
+        stats,
+        "source",
+        "n_tokens",
+        {"src1": 0.4, "src7": 0.3, "src18": 0.2, "src_missing": 0.1},
+        budget=20_000,
+        max_epochs=4.0,
+    ).orderBy("source")
+
+
+def _q381_oracle() -> str:
+    # shares normalized in the driver exactly as the operator does:
+    # wtot = 1.0 -> literal shares 0.4/0.3/0.2/0.1
+    return r"""
+    WITH w(source, share) AS (VALUES
+      ('src1', CAST(0.4 AS DOUBLE)), ('src7', CAST(0.3 AS DOUBLE)),
+      ('src18', CAST(0.2 AS DOUBLE)), ('src_missing', CAST(0.1 AS DOUBLE))),
+    s AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens
+      FROM documents
+    ),
+    avail AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+      FROM s GROUP BY source
+    ),
+    plan AS (
+      SELECT w.source,
+             COALESCE(a.n_docs, 0) AS n_docs,
+             COALESCE(a.avail_tokens, 0) AS avail_tokens,
+             w.share,
+             w.share * CAST(20000.0 AS DOUBLE) AS desired,
+             w.share * CAST(20000.0 AS DOUBLE)
+               / nullif(COALESCE(a.avail_tokens, 0), 0) AS needed
+      FROM w LEFT JOIN avail a USING (source)
+    ),
+    capped AS (
+      SELECT *,
+             CASE WHEN avail_tokens > 0
+                  THEN least(needed, CAST(4.0 AS DOUBLE)) END AS planned,
+             CASE WHEN avail_tokens > 0
+                  THEN least(needed, CAST(4.0 AS DOUBLE)) * avail_tokens
+                  ELSE 0.0 END AS tokens_planned
+      FROM plan
+    )
+    SELECT source, n_docs, avail_tokens,
+           round(share, 6) AS target_share,
+           round(desired, 6) AS desired_tokens,
+           round(needed, 6) AS epochs_needed,
+           round(planned, 6) AS epochs_planned,
+           round(tokens_planned, 6) AS tokens_planned,
+           round(greatest(desired - tokens_planned, 0.0), 6) AS shortfall
+    FROM capped ORDER BY source
+    """
+
+
+_Q381_NOTES = (
+    "DATA-CONSTRAINED MIXTURE EPOCH PLANNER (llm/sampling."
+    "mixture_epoch_plan — Muennighoff et al. 2023: repeating data past "
+    "~4 epochs yields rapidly diminishing returns, so a mixture is "
+    "only trainable if desired mass fits under the repeat cap): per "
+    "domain — available token mass, implied epochs, the capped plan, "
+    "and the shortfall the cap forbids (re-weight or source more "
+    "data). Shares normalized IN THE DRIVER (identical literals ship "
+    "to any engine); ONE two-sum map-combined agg + plan-sized literal "
+    "broadcast join — no window, no second pass. Anchor declares a "
+    "domain absent from the corpus (0 available, NULL epochs, full "
+    "shortfall) and domains that cap at every fixture scale"
+)
+
+ROADMAP12["q381_epoch_plan"] = (q381_epoch_plan, _q381_oracle(), _Q381_NOTES)
+
+
+# --- q382: CCNet head/middle/tail perplexity buckets -------------------------------
+
+
+def q382_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet quality buckets (llm/lm.perplexity_buckets over q379's
+    scores): per-language perplexity terciles of the odd-doc_id
+    candidates under the even-doc_id reference bigram LM."""
+    from ..llm.lm import bigram_lm_score, bigram_lm_train, perplexity_buckets
+
+    docs = read_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+    bigrams, contexts, vocab = bigram_lm_train(ref)
+    scored = bigram_lm_score(cand, bigrams, contexts, vocab, k=0.5).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return perplexity_buckets(scored, "lang", "avg_neg_logprob").orderBy(
+        "doc_id"
+    )
+
+
+def _q382_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    bigrams AS (
+      SELECT w1, w2, COUNT(*) AS c_big
+      FROM bi WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    contexts AS (
+      SELECT w1, COUNT(*) AS c_ctx
+      FROM bi WHERE doc_id % 2 = 0 GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 2 = 0)
+    ),
+    nlps AS (
+      SELECT b.doc_id,
+             round(-ln((COALESCE(g.c_big, 0) + 0.5)
+                       / (COALESCE(x.c_ctx, 0) + 0.5 * (v.v + 1))), 9)
+               AS nlp
+      FROM bi b
+      LEFT JOIN bigrams g USING (w1, w2)
+      LEFT JOIN contexts x USING (w1)
+      CROSS JOIN vocab v
+      WHERE b.doc_id % 2 = 1
+    ),
+    scores AS (
+      SELECT n.doc_id, d.lang,
+             round(CAST(SUM(CAST(n.nlp AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS s
+      FROM nlps n JOIN documents d USING (doc_id)
+      GROUP BY n.doc_id, d.lang
+    ),
+    tot AS (SELECT lang, COUNT(*) AS n FROM scores GROUP BY lang),
+    ranked AS (
+      SELECT lang, s, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s)
+               AS rk
+      FROM scores
+    ),
+    b1 AS (
+      SELECT r.lang, r.s AS v1
+      FROM ranked r JOIN tot t USING (lang)
+      WHERE r.rk = CAST(ceil(t.n * (1.0 / 3.0)) AS BIGINT)
+    ),
+    b2 AS (
+      SELECT r.lang, r.s AS v2
+      FROM ranked r JOIN tot t USING (lang)
+      WHERE r.rk = CAST(ceil(t.n * (2.0 / 3.0)) AS BIGINT)
+    )
+    SELECT sc.doc_id, sc.lang, sc.s AS avg_neg_logprob,
+           CASE WHEN sc.s <= b1.v1 THEN 'head'
+                WHEN sc.s <= b2.v2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scores sc JOIN b1 USING (lang) JOIN b2 USING (lang)
+    ORDER BY sc.doc_id
+    """
+
+
+_Q382_NOTES = (
+    "CCNET HEAD/MIDDLE/TAIL PERPLEXITY BUCKETS (llm/lm."
+    "perplexity_buckets over q379's bigram-LM scores — Wenzek et al. "
+    "2020 §4.4 split the corpus into per-language perplexity terciles; "
+    "'head' trains first): boundary selection is ONE GK summary pass "
+    "per group (percentile_approx, no global sort or corpus window) "
+    "broadcast back groups-sized; at audit scale the GK pass runs "
+    "effectively exact and returns the ceil(p*n)-rank elements (the "
+    "q204/q212 rule, re-probed for p=1/3, 2/3 at "
+    "n=3/4/5/6/7/9/10/100/101/102), which the oracle replays with "
+    "ROW_NUMBER rank arithmetic; finite accuracy is the documented "
+    "100 TB path (same plan, bounded memory). Boundary ties bucket "
+    "DOWN (<=), deterministic under any row order"
+)
+
+ROADMAP12["q382_perplexity_buckets"] = (
+    q382_perplexity_buckets,
+    _q382_oracle(),
+    _Q382_NOTES,
 )

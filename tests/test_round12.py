@@ -405,3 +405,109 @@ def test_bigram_lm_rejects_nonpositive_k(spark):
     bigrams, contexts, vocab = bigram_lm_train(ref)
     with _pytest.raises(ValueError, match="k must be positive"):
         bigram_lm_score(ref, bigrams, contexts, vocab, k=0.0)
+
+
+def test_dsir_direction_law(spark):
+    """Docs made of target-corpus vocabulary must score HIGHER
+    log-importance than docs made of pool-only vocabulary — the whole
+    point of importance resampling."""
+    from dbkit_spark.llm.sampling import dsir_log_importance
+
+    target = _docs_df(
+        spark, [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)]
+    )
+    raw = _docs_df(
+        spark,
+        [(1, "alpha beta gamma"), (2, "zz yy xx ww"), (3, "alpha zz beta yy")],
+    )
+    got = {
+        r["doc_id"]: r["log_importance"]
+        for r in dsir_log_importance(raw, target, m=64).collect()
+    }
+    assert got[1] > got[3] > got[2]
+
+
+def test_dsir_excludes_empty_and_validates(spark):
+    from dbkit_spark.llm.sampling import dsir_log_importance
+
+    target = _docs_df(spark, [(9, "a b c")])
+    raw = _docs_df(spark, [(1, "a b"), (2, "...")])  # doc 2: zero tokens
+    got = dsir_log_importance(raw, target).collect()
+    assert {r["doc_id"] for r in got} == {1}
+    assert got[0]["n_tokens"] == 2
+    with pytest.raises(ValueError, match="m must be"):
+        dsir_log_importance(raw, target, m=1)
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_log_importance(raw, target, k=0)
+
+
+def test_epoch_plan_hand_case(spark):
+    """Two domains, one absent: A has 100 tokens and wants 800 (8
+    epochs -> caps at 4, shortfall 400); B has 1000 and wants 200
+    (0.2 epochs, no shortfall); C is absent (0 avail, NULL epochs,
+    full shortfall)."""
+    from dbkit_spark.llm.sampling import mixture_epoch_plan
+
+    df = spark.createDataFrame(
+        [("A", 100), ("B", 1000)], "dom string, n_tok long"
+    )
+    got = {
+        r["dom"]: r
+        for r in mixture_epoch_plan(
+            df, "dom", "n_tok", {"A": 0.8, "B": 0.2, "C": 0.0001}, budget=1000
+        ).collect()
+    }
+    # shares normalize over 1.0001
+    assert abs(got["A"]["desired_tokens"] - 0.8 / 1.0001 * 1000) < 1e-6
+    assert got["A"]["epochs_planned"] == 4.0
+    assert got["A"]["tokens_planned"] == 400.0
+    assert abs(got["A"]["shortfall"] - (0.8 / 1.0001 * 1000 - 400.0)) < 1e-6
+    assert got["B"]["epochs_planned"] == round(0.2 / 1.0001 * 1000 / 1000, 6)
+    assert got["B"]["shortfall"] == 0.0
+    assert got["C"]["avail_tokens"] == 0
+    assert got["C"]["epochs_needed"] is None
+    assert got["C"]["tokens_planned"] == 0.0
+    assert got["C"]["shortfall"] == got["C"]["desired_tokens"]
+
+
+def test_epoch_plan_validates(spark):
+    from dbkit_spark.llm.sampling import mixture_epoch_plan
+
+    df = spark.createDataFrame([("A", 10)], "dom string, n_tok long")
+    with pytest.raises(ValueError, match="budget"):
+        mixture_epoch_plan(df, "dom", "n_tok", {"A": 1.0}, budget=0)
+    with pytest.raises(ValueError, match="weights must be positive"):
+        mixture_epoch_plan(df, "dom", "n_tok", {"A": -1.0}, budget=10)
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_epoch_plan(df, "dom", "n_tok", {}, budget=10)
+
+
+def test_perplexity_buckets_tercile_law(spark):
+    """9 distinct scores in one group -> exactly 3 head, 3 middle,
+    3 tail; boundaries are the rank-3 and rank-6 elements; a second
+    group buckets independently."""
+    from dbkit_spark.llm.lm import perplexity_buckets
+
+    rows = [(i, "g1", float(i)) for i in range(1, 10)] + [
+        (100 + i, "g2", float(i)) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, s double")
+    got = perplexity_buckets(df, "grp", "s").collect()
+    g1 = {r["doc_id"]: r["bucket"] for r in got if r["grp"] == "g1"}
+    assert [g1[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    g2 = {r["doc_id"]: r["bucket"] for r in got if r["grp"] == "g2"}
+    assert g2 == {101: "head", 102: "middle", 103: "tail"}
+
+
+def test_perplexity_buckets_ties_bucket_down(spark):
+    """All-equal scores land entirely in head (score <= both
+    boundaries) — deterministic under any row order."""
+    from dbkit_spark.llm.lm import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, "g", 1.5) for i in range(6)], "doc_id long, grp string, s double"
+    )
+    got = perplexity_buckets(df, "grp", "s").collect()
+    assert all(r["bucket"] == "head" for r in got)
