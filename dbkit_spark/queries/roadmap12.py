@@ -689,3 +689,230 @@ ROADMAP12["q382_perplexity_buckets"] = (
     _q382_oracle(),
     _Q382_NOTES,
 )
+
+
+# --- q383: Gopher document-level quality rules -------------------------------------
+
+
+def q383_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher doc-level quality rules (llm/quality.
+    gopher_quality_filters) over the documents table — per doc the five
+    stats, five rule verdicts, and the AND."""
+    from ..llm.quality import gopher_quality_filters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_quality_filters(docs).orderBy("doc_id")
+
+
+def _q383_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    stop = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text, t, len(t) AS nw,
+             CASE WHEN len(t) > 0 THEN
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t) END AS mwl,
+             (length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               AS nsym,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS nalpha,
+             len(list_intersect(list_distinct(t), {stop})) AS stop_hits
+      FROM ({_TOKS_SQL})
+    ),
+    r AS (
+      SELECT doc_id, nw, mwl,
+             CASE WHEN nw > 0 THEN CAST(nsym AS DOUBLE) / nw END AS sym,
+             CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / nw END
+               AS alpha,
+             stop_hits,
+             nw BETWEEN 50 AND 100000 AS rule_word_count,
+             COALESCE(mwl BETWEEN 3.0 AND 10.0, FALSE)
+               AS rule_mean_word_len,
+             COALESCE(CAST(nsym AS DOUBLE) / nullif(nw, 0) <= 0.1, FALSE)
+               AS rule_symbol_ratio,
+             COALESCE(CAST(nalpha AS DOUBLE) / nullif(nw, 0) >= 0.8, FALSE)
+               AS rule_alpha_words,
+             stop_hits >= 2 AS rule_stopwords
+      FROM s
+    )
+    SELECT doc_id, nw AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(sym, 6) AS symbol_ratio,
+           round(alpha, 6) AS alpha_word_frac,
+           stop_hits,
+           rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+           rule_alpha_words, rule_stopwords,
+           (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+            AND rule_alpha_words AND rule_stopwords) AS passes
+    FROM r ORDER BY doc_id
+    """
+
+
+_Q383_NOTES = (
+    "GOPHER DOC-LEVEL QUALITY RULES (llm/quality.gopher_quality_filters "
+    "— Rae et al. 2021 Appendix A1.1, the MassiveText rule set reused "
+    "by most open pipelines: word-count bounds, mean-word-length "
+    "bounds, #/ellipsis symbol-to-word ratio, >=80% alphabetic words, "
+    ">=2-of-8 stop words): MAP-ONLY — every stat is array/regex math "
+    "inside whole-stage codegen, one text pass, no shuffle/UDF; ratios "
+    "are single IEEE divisions of exact integer counts; zero-word docs "
+    "fail word-count and report NULL ratios (try_divide). The paper's "
+    "LINE-level rules need line-preserving text and are intentionally "
+    "not approximated (documented honest boundary). Completes the "
+    "quality stack next to q45 repetition and q47 composite score"
+)
+
+ROADMAP12["q383_gopher_filters"] = (
+    q383_gopher_filters,
+    _q383_oracle(),
+    _Q383_NOTES,
+)
+
+
+# --- q384: Zipf-law fit per language -----------------------------------------------
+
+
+def q384_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit (llm/quality.zipf_fit): OLS of ln(freq) on ln(rank)
+    over each language's top-1000 vocabulary."""
+    from ..llm.quality import zipf_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "lang", top_r=1000).orderBy("lang")
+
+
+def _q384_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH tok AS (
+      SELECT lang, unnest(t) AS tok FROM ({_TOKS_SQL})
+    ),
+    freq AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang,
+             round(ln(CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY c DESC, tok ASC)
+               AS DOUBLE)), 9) AS x,
+             round(ln(CAST(c AS DOUBLE)), 9) AS y,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC)
+               AS rk
+      FROM freq
+    ),
+    sums AS (
+      SELECT lang, COUNT(*) AS n_terms,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxx
+      FROM ranked WHERE rk <= 1000 GROUP BY lang
+    )
+    SELECT lang, n_terms,
+           round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 / nullif(CAST(n_terms AS DOUBLE) * sxx - sx * sx, 0), 6)
+             AS zipf_slope,
+           round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                        / nullif(CAST(n_terms AS DOUBLE) * sxx - sx * sx,
+                                 0)) * sx)
+                 / CAST(n_terms AS DOUBLE), 6) AS intercept
+    FROM sums ORDER BY lang
+    """
+
+
+_Q384_NOTES = (
+    "ZIPF-LAW FIT PER LANGUAGE (llm/quality.zipf_fit — the corpus-"
+    "health diagnostic: healthy natural language has ln(freq) ~ "
+    "intercept - s*ln(rank), s ~ 1 [Zipf 1949, Piantadosi 2014 "
+    "review]; template-heavy or synthetic corpora bend the curve): the "
+    "ONLY window runs over the VOCAB-sized frequency table partitioned "
+    "by group — never the corpus; the fit is one closed-form five-sum "
+    "aggregate. top_r=1000 caps the fitted head deterministically "
+    "(rank ties broken token ASC) since the hapax tail is censored. "
+    "ln terms 9dp (libm rule), products re-rounded 9dp before the "
+    "DECIMAL fold, slope/intercept a fixed IEEE expression of the "
+    "folded sums"
+)
+
+ROADMAP12["q384_zipf_fit"] = (q384_zipf_fit, _q384_oracle(), _Q384_NOTES)
+
+
+# --- q385: per-domain unigram JS divergence ----------------------------------------
+
+
+def q385_unigram_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram JS divergence from the whole corpus
+    (llm/quality.unigram_js_divergence) — the domain-drift score."""
+    from ..llm.quality import unigram_js_divergence
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_js_divergence(docs, "source").orderBy("source")
+
+
+def _q385_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    ln2 = "CAST('0.6931471805599453' AS DOUBLE)"
+    return f"""
+    WITH tok AS (
+      SELECT source AS grp, unnest(t) AS tok FROM ({_TOKS_SQL})
+    ),
+    cw AS (SELECT tok, COUNT(*) AS c_all FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(c_all) AS t_all FROM cw),
+    cg AS (SELECT grp, tok, COUNT(*) AS c_g FROM tok GROUP BY grp, tok),
+    tg AS (SELECT grp, SUM(c_g) AS t_g FROM cg GROUP BY grp),
+    terms AS (
+      SELECT cg.grp, cw.c_all,
+             round((CAST(cg.c_g AS DOUBLE) / tg.t_g)
+                   * ln((CAST(cg.c_g AS DOUBLE) / tg.t_g)
+                        / ((CAST(cg.c_g AS DOUBLE) / tg.t_g
+                            + CAST(cw.c_all AS DOUBLE) / tot.t_all)
+                           / 2.0)), 9) AS kd,
+             round((CAST(cw.c_all AS DOUBLE) / tot.t_all)
+                   * ln((CAST(cw.c_all AS DOUBLE) / tot.t_all)
+                        / ((CAST(cg.c_g AS DOUBLE) / tg.t_g
+                            + CAST(cw.c_all AS DOUBLE) / tot.t_all)
+                           / 2.0)), 9) AS kp
+      FROM cg JOIN cw USING (tok) JOIN tg USING (grp) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT grp,
+             CAST(SUM(CAST(kd AS DECIMAL(38,12))) AS DOUBLE) AS skd,
+             CAST(SUM(CAST(kp AS DECIMAL(38,12))) AS DOUBLE) AS skp,
+             CAST(SUM(c_all) AS BIGINT) AS cin,
+             COUNT(*) AS n_terms
+      FROM terms GROUP BY grp
+    )
+    SELECT a.grp AS source,
+           CAST(tg.t_g AS BIGINT) AS n_tokens,
+           a.n_terms,
+           round(0.5 * a.skd
+                 + 0.5 * (a.skp
+                          + {ln2} * (1.0 - CAST(a.cin AS DOUBLE)
+                                           / tot.t_all)), 6) AS js
+    FROM agg a JOIN tg ON a.grp = tg.grp CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+_Q385_NOTES = (
+    "PER-DOMAIN UNIGRAM JS DIVERGENCE (llm/quality."
+    "unigram_js_divergence — the domain-drift score a mixture pipeline "
+    "watches; JS is symmetric and bounded by ln 2, unlike KL): the "
+    "identity that keeps it DOMAIN-VOCAB sized instead of |domains| x "
+    "|vocab| — every out-of-domain term of KL(P_corpus || M) collapses "
+    "to ln2 * P_out because M = P/2 exactly there, and P_out = 1 - "
+    "sum_in P comes from EXACT integer sums. Two count aggregates + "
+    "one token-keyed equi-join + one group-keyed decimal fold; ln "
+    "terms 9dp, products re-rounded 9dp before the fold; the ln2 "
+    "constant ships as a repr literal so both engines parse the same "
+    "double"
+)
+
+ROADMAP12["q385_unigram_js"] = (q385_unigram_js, _q385_oracle(), _Q385_NOTES)

@@ -511,3 +511,100 @@ def test_perplexity_buckets_ties_bucket_down(spark):
     )
     got = perplexity_buckets(df, "grp", "s").collect()
     assert all(r["bucket"] == "head" for r in got)
+
+
+def test_gopher_filters_hand_cases(spark):
+    """One doc per failure mode + one pass-all doc."""
+    from dbkit_spark.llm.quality import gopher_quality_filters
+
+    good = (
+        "the data pipeline reads the table and writes the result with "
+        "care because that process must be stable and every value must "
+        "have a place to go while the system keeps running and the "
+        "counts stay exact over many days of steady load and the "
+        "report stays correct for all users who trust the numbers"
+    )
+    rows = [
+        (1, good),                          # passes everything
+        (2, "too short to pass"),           # fails word count
+        (3, " ".join(["12345"] * 60)),      # fails alpha + stopwords + mwl
+        (4, ""),                            # zero words: fails, NULL ratios
+        (5, good + " " + "#" * 40),         # hash spam: fails symbol ratio
+    ]
+    got = {r["doc_id"]: r for r in gopher_quality_filters(_docs_df(spark, rows)).collect()}
+    assert got[1]["passes"]
+    assert got[1]["rule_word_count"] and got[1]["rule_stopwords"]
+    assert not got[2]["rule_word_count"] and not got[2]["passes"]
+    assert not got[3]["rule_alpha_words"]
+    assert not got[3]["rule_stopwords"]
+    assert got[3]["alpha_word_frac"] == 0.0
+    assert not got[4]["passes"]
+    assert got[4]["mean_word_len"] is None and got[4]["symbol_ratio"] is None
+    assert not got[5]["rule_symbol_ratio"] and not got[5]["passes"]
+    assert got[5]["symbol_ratio"] > 0.1
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """Frequencies 12/r at ranks 1..4 lie exactly on ln c = ln 12 -
+    1*ln r, so the OLS slope is -1 (and the intercept ln 12)."""
+    import math
+
+    from dbkit_spark.llm.quality import zipf_fit
+
+    words = (
+        ["aa"] * 12 + ["bb"] * 6 + ["cc"] * 4 + ["dd"] * 3
+    )
+    df = _docs_df(spark, [(1, " ".join(words))]).withColumn(
+        "grp", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("g")
+    )
+    got = zipf_fit(df, "grp").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_terms"] == 4
+    # counts 12, 6, 4, 3 = 12/r exactly at ranks 1, 2, 3, 4
+    assert abs(r["zipf_slope"] - (-1.0)) < 1e-4
+    assert abs(r["intercept"] - math.log(12.0)) < 1e-4
+
+
+def test_zipf_fit_caps_and_validates(spark):
+    from dbkit_spark.llm.quality import zipf_fit
+    from pyspark.sql import functions as F
+
+    df = _docs_df(spark, [(1, "aa aa aa bb bb cc")]).withColumn(
+        "grp", F.lit("g")
+    )
+    got = zipf_fit(df, "grp", top_r=2).collect()[0]
+    assert got["n_terms"] == 2  # cc censored by the cap
+    single = _docs_df(spark, [(1, "aa aa aa")]).withColumn("grp", F.lit("g"))
+    got1 = zipf_fit(single, "grp").collect()[0]
+    assert got1["n_terms"] == 1 and got1["zipf_slope"] is None
+    with pytest.raises(ValueError, match="top_r"):
+        zipf_fit(df, "grp", top_r=1)
+
+
+def test_unigram_js_laws(spark):
+    """A group identical to the corpus has js = 0; two equal-mass
+    disjoint-vocab groups score the hand-computed JS symmetrically,
+    bounded by ln 2."""
+    import math
+
+    from dbkit_spark.llm.quality import unigram_js_divergence
+    from pyspark.sql import functions as F
+
+    one = _docs_df(spark, [(1, "aa bb aa bb")]).withColumn("src", F.lit("A"))
+    got = unigram_js_divergence(one, "src").collect()
+    assert got[0]["js"] == 0.0
+
+    two = spark.createDataFrame(
+        [(1, "aa aa aa aa", "A"), (2, "bb bb bb bb", "B")],
+        "doc_id long, text string, src string",
+    )
+    rows = {r["src"]: r for r in unigram_js_divergence(two, "src").collect()}
+    # P_A = {aa: 1}, P = {aa: .5, bb: .5}, M = {aa: .75, bb: .25}
+    expect = 0.5 * math.log(4.0 / 3.0) + 0.5 * (
+        0.5 * math.log(2.0 / 3.0) + 0.5 * math.log(2.0)
+    )
+    assert abs(rows["A"]["js"] - expect) < 1e-5
+    assert rows["A"]["js"] == rows["B"]["js"]
+    assert 0 < rows["A"]["js"] < math.log(2.0)
+    assert rows["A"]["n_tokens"] == 4 and rows["A"]["n_terms"] == 1
