@@ -1032,3 +1032,106 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def near_dup_leakage(
+    pairs: DataFrame,
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-GROUP near-duplicate leakage matrix — the report that
+    catches train/eval contamination and licensing bleed through
+    near-dups rather than exact copies (Lee et al. 2022 found
+    substantial cross-split overlap this way): given a near-dup pair
+    table (any generator — minhash, prefix-filter, semdedup) and a
+    doc→group mapping (split, source, license), how many near-dup
+    pairs STAY inside a group vs cross between each group pair.
+
+    Plan: two equi-joins of the pairs table against the (id, group)
+    projection (AQE broadcasts it when small; at 100 TB both are hash
+    joins on the id key), then ONE map-side-combined count aggregate on
+    the canonicalized (least, greatest) group pair — pair-table sized,
+    never corpus-sized. No window, no collect.
+
+    Output per unordered group pair: (group_a <= group_b, n_pairs,
+    is_cross). Pairs whose ids are missing from ``docs`` are dropped by
+    the inner joins (they have no group to attribute).
+    """
+    m = docs.select(
+        F.col(id_col).alias("_mid"), F.col(group_col).alias("_mg")
+    )
+    joined = (
+        pairs.join(m.withColumnRenamed("_mid", "doc_a"), "doc_a")
+        .withColumnRenamed("_mg", "_ga")
+        .join(m.withColumnRenamed("_mid", "doc_b"), "doc_b")
+        .withColumnRenamed("_mg", "_gb")
+    )
+    ga = F.least("_ga", "_gb")
+    gb = F.greatest("_ga", "_gb")
+    return (
+        joined.groupBy(ga.alias("group_a"), gb.alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_pairs",
+            (F.col("group_a") != F.col("group_b")).alias("is_cross"),
+        )
+    )
+
+
+def dedup_sensitivity(
+    sims: DataFrame,
+    thresholds: list[float],
+    sim_col: str = "jaccard",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Threshold-sensitivity curve for a dedup pass — the knob-setting
+    readout next to q363's banding tuner: for each candidate threshold,
+    how many pairs qualify and how many distinct documents are touched.
+    A cliff between two thresholds means the corpus has a near-dup band
+    there; pick τ on the flat side of it.
+
+    ONE pass over the pair table: a literal threshold explode (×|τ|,
+    config-sized, never a join) followed by one count + one
+    distinct-count aggregate per threshold. The doc count explodes each
+    qualifying pair into its two endpoints first — still pair-table
+    sized. At 100 TB swap count_distinct for approx_count_distinct
+    (documented trade; the anchor keeps the exact form for the oracle).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if sorted(thresholds) != list(thresholds):
+        raise ValueError("thresholds must be sorted ascending")
+    tau = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    qual = sims.select(F.col(sim_col).alias("_s"), id_a, id_b).select(
+        tau, "_s", id_a, id_b
+    ).filter(F.col("_s") >= F.col("threshold"))
+    ends = qual.select(
+        "threshold",
+        F.explode(F.array(F.col(id_a), F.col(id_b))).alias("_doc"),
+    )
+    n_pairs = qual.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = ends.groupBy("threshold").agg(
+        F.countDistinct("_doc").alias("n_docs_affected")
+    )
+    base = sims.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        base.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+    )

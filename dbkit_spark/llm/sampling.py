@@ -843,3 +843,53 @@ def mixture_epoch_plan(
             ),
         )
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Fixed-context batching efficiency readout: if every document is
+    truncated-or-padded to ``seq_len`` (the simple non-packing loader),
+    how much of the compute window is padding and how many tokens fall
+    off the end, per group — the report that motivates switching a
+    domain to concat-and-chunk packing (``pack_by_token_budget``) or
+    re-bucketing by length.
+
+    ONE map-side-combined aggregate of exact integer sums — map-only
+    arithmetic before it, no window, no second pass. Per group:
+    n_docs, n_truncated, tokens_total, tokens_kept (= Σ min(len, L)),
+    pad_frac 6dp (= 1 - kept/(n_docs·L)), trunc_frac 6dp (= cut/total).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    ln = F.col(tokens_col).cast("long")
+    kept = F.least(ln, F.lit(seq_len))
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(ln > seq_len, 1).otherwise(0)).cast("long").alias(
+            "n_truncated"
+        ),
+        F.sum(ln).alias("_total"),
+        F.sum(kept).alias("_kept"),
+    )
+    slots = F.col("n_docs") * F.lit(seq_len)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_truncated",
+        F.col("_total").cast("long").alias("tokens_total"),
+        F.col("_kept").cast("long").alias("tokens_kept"),
+        F.round(
+            F.lit(1.0) - F.col("_kept") / slots.cast("double"), 6
+        ).alias("pad_frac"),
+        F.round(
+            F.try_divide(
+                (F.col("_total") - F.col("_kept")).cast("double"),
+                F.col("_total"),
+            ),
+            6,
+        ).alias("trunc_frac"),
+    )

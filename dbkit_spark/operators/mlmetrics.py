@@ -1569,3 +1569,72 @@ def srm_check(
         )
         .orderBy("arm")
     )
+
+
+def quantile_lift(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Quantile treatment effects — the distributional A/B readout the
+    mean hides (Athey & Imbens 2017 motivate QTEs exactly this way: a
+    whale-driven positive mean lift with a NEGATIVE median lift means
+    the typical user got worse): per requested quantile, the control
+    and treatment values and their difference.
+
+    Plan: one GK summary pass PER ARM (two filtered aggregates over the
+    fact table — no sort, no window, no per-row fan-out), then the two
+    1-ROW summaries broadcast-recombine and a probs-sized literal
+    explode emits the readout. With ``accuracy=None`` the GK pass runs
+    effectively exact and returns ceil(p*n)-rank elements (the
+    q204/q212/q382 rule) — SQL-replayable by rank arithmetic; pass a
+    finite ``accuracy`` for the 100 TB path (same plan, bounded
+    memory).
+
+    Output per prob: (p, n_control, n_treatment, q_control,
+    q_treatment, lift 6dp). An empty arm reports n=0 with NULL
+    quantiles and NULL lift — check n_* before reading the lifts.
+    """
+    ps = [float(p) for p in probs]
+    if not ps or sorted(ps) != ps or ps[0] <= 0 or ps[-1] >= 1:
+        raise ValueError("probs must be ascending and inside (0, 1)")
+    acc = int(accuracy) if accuracy is not None else 10_000_000
+    parr = F.array(*[F.lit(p) for p in ps])
+
+    def one_arm(arm: str, prefix: str) -> DataFrame:
+        return (
+            df.filter(F.col(arm_col) == arm)
+            .agg(
+                F.percentile_approx(value_col, parr, F.lit(acc)).alias(
+                    f"_q{prefix}"
+                ),
+                F.count(value_col).alias(f"n_{prefix}"),
+            )
+        )
+
+    both = F.broadcast(one_arm(control, "control")).crossJoin(
+        F.broadcast(one_arm(treatment, "treatment"))
+    )
+    out = both.select(
+        F.posexplode(parr).alias("_i", "p"),
+        "n_control",
+        "n_treatment",
+        "_qcontrol",
+        "_qtreatment",
+    ).select(
+        "p",
+        "n_control",
+        "n_treatment",
+        F.element_at("_qcontrol", F.col("_i") + 1).alias("q_control"),
+        F.element_at("_qtreatment", F.col("_i") + 1).alias("q_treatment"),
+        F.round(
+            F.element_at("_qtreatment", F.col("_i") + 1)
+            - F.element_at("_qcontrol", F.col("_i") + 1),
+            6,
+        ).alias("lift"),
+    )
+    return out

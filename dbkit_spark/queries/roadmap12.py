@@ -916,3 +916,289 @@ _Q385_NOTES = (
 )
 
 ROADMAP12["q385_unigram_js"] = (q385_unigram_js, _q385_oracle(), _Q385_NOTES)
+
+
+# --- q386: cross-source near-dup leakage matrix ------------------------------------
+
+
+def q386_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group near-dup leakage (llm/dedup.near_dup_leakage) over
+    the exact prefix-filtered Jaccard pairs at tau=0.5, grouped by
+    source — which domain pairs bleed near-duplicate content into each
+    other."""
+    from ..llm.dedup import jaccard_prefix_filter_pairs, near_dup_leakage
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_filter_pairs(docs, threshold=0.5)
+    return near_dup_leakage(pairs, docs, "source").orderBy(
+        "group_a", "group_b"
+    )
+
+
+def _q386_oracle() -> str:
+    from .llm import _JACCARD_SQL, _SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {_JACCARD_SQL} >= 0.5
+    ),
+    g AS (
+      SELECT least(da.source, db.source) AS group_a,
+             greatest(da.source, db.source) AS group_b
+      FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+                   JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT group_a, group_b, COUNT(*) AS n_pairs,
+           group_a <> group_b AS is_cross
+    FROM g GROUP BY group_a, group_b
+    ORDER BY group_a, group_b
+    """
+
+
+_Q386_NOTES = (
+    "CROSS-SOURCE NEAR-DUP LEAKAGE MATRIX (llm/dedup.near_dup_leakage "
+    "— the train/eval-contamination and licensing-bleed report of Lee "
+    "et al. 2022: near-dups cross split/source boundaries where exact "
+    "hashes do not): consumes ANY pair generator (anchor: the q112 "
+    "prefix-filtered EXACT Jaccard path, so the oracle replays "
+    "byte-identical pairs via the shared-shingle candidate join); two "
+    "id-keyed equi-joins of pairs against the (id, group) projection + "
+    "ONE count agg on the canonicalized (least, greatest) group pair — "
+    "pair-table sized, never corpus-sized, no window/collect"
+)
+
+ROADMAP12["q386_leakage_matrix"] = (
+    q386_leakage_matrix,
+    _q386_oracle(),
+    _Q386_NOTES,
+)
+
+
+# --- q387: fixed-context padding/truncation waste ----------------------------------
+
+
+def q387_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-efficiency readout (llm/sampling.padding_waste): per
+    source, the pad and truncation waste of naive truncate-or-pad
+    loading at seq_len=64 BPE-ish tokens."""
+    from ..functions.text import bpe_token_count
+    from ..llm.sampling import padding_waste
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "source", bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    return padding_waste(stats, "source", "n_tokens", seq_len=64).orderBy(
+        "source"
+    )
+
+
+def _q387_oracle() -> str:
+    return r"""
+    WITH s AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+             CAST(SUM(n) AS BIGINT) AS tokens_total,
+             CAST(SUM(least(n, 64)) AS BIGINT) AS tokens_kept
+      FROM s GROUP BY source
+    )
+    SELECT source, n_docs, n_truncated, tokens_total, tokens_kept,
+           round(1.0 - CAST(tokens_kept AS DOUBLE)
+                       / CAST(n_docs * 64 AS DOUBLE), 6) AS pad_frac,
+           round(CAST(tokens_total - tokens_kept AS DOUBLE)
+                 / nullif(tokens_total, 0), 6) AS trunc_frac
+    FROM agg ORDER BY source
+    """
+
+
+_Q387_NOTES = (
+    "FIXED-CONTEXT PADDING/TRUNCATION WASTE (llm/sampling."
+    "padding_waste — the batching-efficiency audit that motivates "
+    "concat-and-chunk packing: naive truncate-or-pad loading burns "
+    "pad_frac of every compute window and drops trunc_frac of the "
+    "tokens): ONE map-side-combined aggregate of exact integer sums "
+    "per group — map-only arithmetic, no window, no second pass; "
+    "ratios are single IEEE divisions of exact LONGs. Pairs with q77 "
+    "pack_by_token_budget (the fix) and q381 epoch planning (the "
+    "budget)"
+)
+
+ROADMAP12["q387_padding_waste"] = (
+    q387_padding_waste,
+    _q387_oracle(),
+    _Q387_NOTES,
+)
+
+
+# --- q388: dedup threshold sensitivity curve ---------------------------------------
+
+
+def q388_dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve (llm/dedup.dedup_sensitivity) over
+    the exact pair-Jaccard distribution of the documents shingle graph
+    (the q363 audit baseline): pairs and distinct docs touched at each
+    candidate tau."""
+    from ..llm.dedup import dedup_sensitivity, ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    sims = ngram_jaccard_pairs(docs, threshold=0.0)
+    return dedup_sensitivity(
+        sims, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    ).orderBy("threshold")
+
+
+def _q388_oracle() -> str:
+    from .llm import _JACCARD_SQL, _SHINGLES_SQL
+
+    taus = ", ".join(
+        f"(CAST({t} AS DOUBLE))"
+        for t in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sims AS (
+      SELECT c.doc_a, c.doc_b, CAST({_JACCARD_SQL} AS DOUBLE) AS s
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b
+    ),
+    taus(threshold) AS (VALUES {taus}),
+    qual AS (
+      SELECT t.threshold, s.doc_a, s.doc_b
+      FROM sims s JOIN taus t ON s.s >= t.threshold
+    ),
+    np AS (SELECT threshold, COUNT(*) AS n_pairs FROM qual
+           GROUP BY threshold),
+    nd AS (
+      SELECT threshold, COUNT(DISTINCT doc) AS n_docs_affected
+      FROM (
+        SELECT threshold, doc_a AS doc FROM qual
+        UNION ALL SELECT threshold, doc_b FROM qual
+      ) GROUP BY threshold
+    )
+    SELECT t.threshold,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           COALESCE(nd.n_docs_affected, 0) AS n_docs_affected
+    FROM taus t LEFT JOIN np USING (threshold)
+                LEFT JOIN nd USING (threshold)
+    ORDER BY t.threshold
+    """
+
+
+_Q388_NOTES = (
+    "DEDUP THRESHOLD-SENSITIVITY CURVE (llm/dedup.dedup_sensitivity — "
+    "the knob-setting readout next to q363's banding tuner: a cliff "
+    "between two taus means a near-dup band sits there; pick tau on "
+    "the flat side): ONE pass over the pair table — literal threshold "
+    "explode (config-sized, never a join) + one count and one "
+    "distinct-count agg per tau (endpoints exploded pair-table-sized); "
+    "exact count_distinct at audit scale with approx_count_distinct "
+    "documented as the 100 TB swap. Consumes the same exact-Jaccard "
+    "audit baseline as q363 (require_small-guarded; production feeds "
+    "the minhash/prefix-filter pair tables)"
+)
+
+ROADMAP12["q388_dedup_sensitivity"] = (
+    q388_dedup_sensitivity,
+    _q388_oracle(),
+    _Q388_NOTES,
+)
+
+
+# --- q389: quantile treatment effects ----------------------------------------------
+
+
+def q389_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (operators/mlmetrics.quantile_lift):
+    events split into arms by user_id parity; per-quantile value lift
+    at p = 0.25/0.5/0.75/0.9."""
+    from ..operators.mlmetrics import quantile_lift
+
+    ev = read_table(spark, sf_dir, "events")
+    armed = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    return quantile_lift(
+        armed, "arm", "value", control="control", treatment="treatment"
+    ).orderBy("p")
+
+
+def _q389_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS arm, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (SELECT arm, COUNT(*) AS n FROM base GROUP BY arm),
+    ranked AS (
+      SELECT arm, value,
+             ROW_NUMBER() OVER (PARTITION BY arm ORDER BY value) AS rk
+      FROM base
+    ),
+    ps(p) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                     (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+    sel AS (
+      SELECT p.p, r.arm, r.value
+      FROM ranked r JOIN tot t USING (arm)
+                    JOIN ps p ON r.rk = CAST(ceil(p.p * t.n) AS BIGINT)
+    )
+    SELECT s.p,
+           tc.n AS n_control,
+           tt.n AS n_treatment,
+           MAX(CASE WHEN s.arm = 'control' THEN s.value END) AS q_control,
+           MAX(CASE WHEN s.arm = 'treatment' THEN s.value END)
+             AS q_treatment,
+           round(MAX(CASE WHEN s.arm = 'treatment' THEN s.value END)
+                 - MAX(CASE WHEN s.arm = 'control' THEN s.value END), 6)
+             AS lift
+    FROM sel s,
+         (SELECT n FROM tot WHERE arm = 'control') tc(n),
+         (SELECT n FROM tot WHERE arm = 'treatment') tt(n)
+    GROUP BY s.p, tc.n, tt.n
+    ORDER BY s.p
+    """
+
+
+_Q389_NOTES = (
+    "QUANTILE TREATMENT EFFECTS (operators/mlmetrics.quantile_lift — "
+    "Athey-Imbens 2017: the distributional readout the mean hides; a "
+    "whale-driven positive mean lift with negative median lift means "
+    "the typical user got worse): one GK summary pass PER ARM (two "
+    "filtered aggregates, no sort/window/fan-out), the two 1-ROW "
+    "summaries broadcast-recombine, a probs-sized literal explode "
+    "emits the readout; exact ceil(p*n)-rank at audit scale (the "
+    "q204/q212/q382 rule) replayed by the oracle's ROW_NUMBER rank "
+    "arithmetic, finite accuracy = the documented 100 TB path. "
+    "Completes the experimentation suite next to q367 CUPED / q371 "
+    "winsorized means"
+)
+
+ROADMAP12["q389_quantile_lift"] = (
+    q389_quantile_lift,
+    _q389_oracle(),
+    _Q389_NOTES,
+)

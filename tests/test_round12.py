@@ -608,3 +608,90 @@ def test_unigram_js_laws(spark):
     assert rows["A"]["js"] == rows["B"]["js"]
     assert 0 < rows["A"]["js"] < math.log(2.0)
     assert rows["A"]["n_tokens"] == 4 and rows["A"]["n_terms"] == 1
+
+
+def test_near_dup_leakage_hand_case(spark):
+    """Pairs (1,2) same group, (1,3) and (2,4) cross A-B -> within-A
+    row n=1 and cross A-B row n=2; a pair with an unmapped id drops."""
+    from dbkit_spark.llm.dedup import near_dup_leakage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (1, 99)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")], "doc_id long, src string"
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in near_dup_leakage(pairs, docs, "src").collect()
+    }
+    assert got[("A", "A")]["n_pairs"] == 1
+    assert not got[("A", "A")]["is_cross"]
+    assert got[("A", "B")]["n_pairs"] == 2
+    assert got[("A", "B")]["is_cross"]
+    assert set(got) == {("A", "A"), ("A", "B")}  # the (1,99) pair dropped
+
+
+def test_dedup_sensitivity_monotone_and_zero_tail(spark):
+    """n_pairs and n_docs_affected are non-increasing in tau; a tau
+    above every similarity reports 0 (not a missing row)."""
+    from dbkit_spark.llm.dedup import dedup_sensitivity
+
+    sims = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.6), (4, 5, 0.3)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = dedup_sensitivity(sims, [0.2, 0.5, 0.8, 0.95]).orderBy(
+        "threshold"
+    ).collect()
+    pairs = [r["n_pairs"] for r in got]
+    docs = [r["n_docs_affected"] for r in got]
+    assert pairs == [3, 2, 1, 0]
+    assert docs == [5, 3, 2, 0]
+    assert pairs == sorted(pairs, reverse=True)
+    with pytest.raises(ValueError, match="sorted"):
+        dedup_sensitivity(sims, [0.5, 0.2])
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup_sensitivity(sims, [])
+
+
+def test_padding_waste_hand_case(spark):
+    """L=10: docs of len 4, 10, 16 -> kept 4+10+10=24 of 30 slots
+    (pad 0.2), truncated 1 doc, 6 of 30 tokens cut."""
+    from dbkit_spark.llm.sampling import padding_waste
+
+    df = spark.createDataFrame(
+        [("A", 4), ("A", 10), ("A", 16)], "grp string, n long"
+    )
+    got = padding_waste(df, "grp", "n", seq_len=10).collect()[0]
+    assert got["n_docs"] == 3 and got["n_truncated"] == 1
+    assert got["tokens_total"] == 30 and got["tokens_kept"] == 24
+    assert got["pad_frac"] == 0.2
+    assert got["trunc_frac"] == 0.2
+    with pytest.raises(ValueError, match="seq_len"):
+        padding_waste(df, "grp", "n", seq_len=0)
+
+
+def test_quantile_lift_shift_law(spark):
+    """Treatment = control + 5 exactly -> every quantile lift is 5;
+    an empty arm reports n=0 and NULL quantiles."""
+    from dbkit_spark.operators.mlmetrics import quantile_lift
+
+    rows = [("control", float(v)) for v in range(1, 101)] + [
+        ("treatment", float(v) + 5.0) for v in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "arm string, value double")
+    got = quantile_lift(df, "arm", "value", "control", "treatment").collect()
+    assert len(got) == 4
+    assert all(r["lift"] == 5.0 for r in got)
+    assert all(r["n_control"] == 100 and r["n_treatment"] == 100 for r in got)
+    # p=0.5 of 1..100 at ceil-rank 50
+    mid = {r["p"]: r for r in got}[0.5]
+    assert mid["q_control"] == 50.0 and mid["q_treatment"] == 55.0
+
+    empty = quantile_lift(
+        df.filter("arm = 'control'"), "arm", "value", "control", "treatment"
+    ).collect()
+    assert all(r["n_treatment"] == 0 and r["q_treatment"] is None for r in empty)
+    with pytest.raises(ValueError, match="probs"):
+        quantile_lift(df, "arm", "value", "control", "treatment", probs=(0.5, 0.2))
