@@ -91,3 +91,51 @@ def chunk_documents(
             F.concat_ws(" ", "_chunk").alias("chunk_text"),
         )
     )
+
+
+def chunk_dedup_rate(
+    docs: DataFrame,
+    group_col: str,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CHUNK-granularity redundancy audit — RAG and packing pipelines
+    dedupe at chunk level, where redundancy hides that doc-level dedup
+    can't see (boilerplate shared across distinct docs, overlapping
+    windows of near-identical passages): per group AND for the whole
+    corpus (one ROLLUP), how many chunks exist vs how many are
+    distinct, and the duplication factor.
+
+    Chunk identity = sha256 of the chunk text (the q39 exact-key
+    convention). ONE chunk explode (map-only) + one rollup aggregate
+    with a distinct-count; at 100 TB swap approx_count_distinct
+    (documented trade). The rollup total row reports group_col NULL —
+    the corpus-wide line, which also exposes CROSS-group chunk sharing
+    (corpus distinct < sum of group distincts).
+    """
+    chunks = chunk_documents(
+        docs, window=window, stride=stride, text_col=text_col, id_col=id_col
+    )
+    keyed = chunks.join(
+        docs.select(F.col(id_col), F.col(group_col)), id_col
+    ).select(
+        group_col,
+        F.sha2(F.col("chunk_text"), 256).alias("_key"),
+    )
+    return (
+        keyed.rollup(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("_key").alias("n_distinct"),
+        )
+        .select(
+            group_col,
+            "n_chunks",
+            "n_distinct",
+            F.round(
+                F.col("n_chunks") / F.col("n_distinct").cast("double"), 6
+            ).alias("dup_factor"),
+        )
+    )

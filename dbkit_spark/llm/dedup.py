@@ -1135,3 +1135,40 @@ def dedup_sensitivity(
             .alias("n_docs_affected"),
         )
     )
+
+
+def survivor_by_score(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup survivor selection — the upgrade of the
+    min-id convention (q39): within each duplicate cluster keep the
+    HIGHEST-quality member instead of the arbitrary lowest id (what
+    production pipelines actually do: among near-identical crawls of a
+    page, keep the cleanest rendering). Deterministic: score DESC,
+    id ASC tiebreak — re-runs and engines agree even on all-tied
+    clusters.
+
+    One window over cluster-sized partitions (the label key) — a
+    single shuffle on the label, no corpus-wide ordering, no collect.
+    Output: every input row with its cluster's ``kept`` verdict, so
+    both the filtered corpus (kept) and the removal audit (NOT kept)
+    fall out of one pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, label_col, score_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            label_col,
+            score_col,
+            (F.col("_rn") == 1).alias("kept"),
+        )
+    )

@@ -1146,3 +1146,66 @@ def pq_recall_at_k(
             ),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    sim_lo: float,
+    sim_hi: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive/retrieval training
+    (the in-batch-negatives upgrade every dual-encoder recipe uses —
+    e.g. DPR, Karpukhin et al. 2020: negatives that are SIMILAR but not
+    duplicates teach the boundary; random negatives are too easy,
+    near-dups are false negatives): per anchor, the top-k most similar
+    same-bucket neighbors whose cosine lies in [sim_lo, sim_hi) — above
+    the band is a duplicate (exclude), below is an easy negative
+    (uninteresting).
+
+    Scale shape: candidates come from the hyperplane-LSH bucket
+    equi-join (never all-pairs — the q127 index contract; recall is the
+    LSH trade, measured by q357-style audits); the ranking window runs
+    per ANCHOR over its bucket-bounded candidate set. One bucket
+    exchange + one anchor-keyed window, no collect.
+
+    Output: (anchor_id, neg_id, cos_sim 6dp, rank 1..k), hardest
+    (highest-cosine) first, ties broken by neg_id ASC.
+    """
+    if not (sim_lo < sim_hi):
+        raise ValueError("need sim_lo < sim_hi")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    pairs = ann_bucketed(
+        emb, threshold=sim_lo, id_col=id_col, vec_col=vec_col, bits=bits, dim=dim
+    ).filter(F.col("cos_sim") < sim_hi)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("neg_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("neg_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "neg_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1202,3 +1202,214 @@ ROADMAP12["q389_quantile_lift"] = (
     _q389_oracle(),
     _Q389_NOTES,
 )
+
+
+# --- q390: quality-aware dedup survivor selection ----------------------------------
+
+
+def q390_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (llm/dedup.survivor_by_score):
+    fingerprint clusters (q48's order-invariant token-set key) keep
+    their highest-quality member (q47's composite score), id ASC
+    tiebreak."""
+    from ..functions.text import fingerprint, quality_score, tokens
+    from ..llm.dedup import survivor_by_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        fingerprint("text").alias("cluster"),
+        quality_score("text", tokens("text")).alias("quality"),
+    )
+    return survivor_by_score(labeled, "cluster", "quality").orderBy("doc_id")
+
+
+def _q390_oracle() -> str:
+    from .llm import _STOP_SQL, _TOKS_SQL
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text, t,
+             md5(array_to_string(list_sort(list_distinct(t)), ' '))
+               AS cluster,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t,
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len(t) END AS stop_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text,
+                       '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+                       AS DOUBLE) / len(t) END AS avg_wlen
+      FROM ({_TOKS_SQL})
+    ),
+    q AS (
+      SELECT doc_id, cluster,
+             CAST(CASE WHEN length(text) BETWEEN 100 AND 20000
+                       THEN 0.25 ELSE 0.0 END
+              + CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN stop_ratio BETWEEN 0.02 AND 0.6
+                     THEN 0.25 ELSE 0.0 END
+              + CASE WHEN avg_wlen BETWEEN 2.0 AND 12.0
+                     THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+      FROM s
+    )
+    SELECT doc_id, cluster, quality,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY quality DESC, doc_id ASC) = 1
+             AS kept
+    FROM q ORDER BY doc_id
+    """
+
+
+_Q390_NOTES = (
+    "QUALITY-AWARE DEDUP SURVIVOR SELECTION (llm/dedup."
+    "survivor_by_score — the production upgrade of q39's min-id "
+    "convention: among near-identical members keep the cleanest "
+    "rendering, score DESC with id-ASC tiebreak so re-runs and engines "
+    "agree even on all-tied clusters): ONE window over CLUSTER-sized "
+    "partitions (a single label-keyed shuffle — no corpus ordering, no "
+    "collect); every row carries its kept verdict so the filtered "
+    "corpus AND the removal audit fall out of one pass. Anchor "
+    "composes q48's fingerprint clusters with q47's quality score"
+)
+
+ROADMAP12["q390_survivor_by_quality"] = (
+    q390_survivor_by_quality,
+    _q390_oracle(),
+    _Q390_NOTES,
+)
+
+
+# --- q391: chunk-granularity redundancy audit --------------------------------------
+
+
+def q391_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level redundancy (llm/chunking.chunk_dedup_rate): 32-token
+    windows at stride 24, per source plus the rollup corpus line."""
+    from ..llm.chunking import chunk_dedup_rate
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_dedup_rate(docs, "source", window=32, stride=24).orderBy(
+        "source"
+    )
+
+
+def _q391_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT b.doc_id,
+             array_to_string(b.t[u.k*24+1 : u.k*24+32], ' ') AS chunk_text
+      FROM base b,
+           UNNEST(generate_series(0,
+             CAST(ceil(greatest(b.n - 32, 0) / 24.0) AS BIGINT))) AS u(k)
+    ),
+    keyed AS (
+      SELECT d.source, sha256(c.chunk_text) AS key
+      FROM chunks c JOIN documents d USING (doc_id)
+    )
+    SELECT source, COUNT(*) AS n_chunks,
+           COUNT(DISTINCT key) AS n_distinct,
+           round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT key), 6)
+             AS dup_factor
+    FROM keyed GROUP BY ROLLUP(source)
+    ORDER BY source
+    """
+
+
+_Q391_NOTES = (
+    "CHUNK-GRANULARITY REDUNDANCY AUDIT (llm/chunking.chunk_dedup_rate "
+    "— RAG and packing pipelines dedupe at CHUNK level, where "
+    "boilerplate shared across distinct docs hides from doc-level "
+    "dedup): q205's overlapping-window chunker + q39's sha256 identity "
+    "+ ONE ROLLUP aggregate with a distinct-count (the total row also "
+    "exposes cross-group sharing: corpus distinct < sum of group "
+    "distincts); approx_count_distinct is the documented 100 TB swap. "
+    "Map-only explode, one aggregate, no window"
+)
+
+ROADMAP12["q391_chunk_dedup_rate"] = (
+    q391_chunk_dedup_rate,
+    _q391_oracle(),
+    _Q391_NOTES,
+)
+
+
+# --- q392: hard-negative mining for contrastive training ---------------------------
+
+
+def q392_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (llm/similarity.hard_negatives): per
+    anchor, the top-5 same-LSH-bucket neighbors with cosine in
+    [0.1, 0.6) — similar but not duplicate."""
+    from ..llm.similarity import hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, sim_lo=0.1, sim_hi=0.6, k=5).orderBy(
+        "anchor_id", "rank"
+    )
+
+
+def _q392_oracle() -> str:
+    from .llm import _plane_dot_sql
+    from ..llm.similarity import ANN_BITS
+
+    bucket = ", ".join(
+        f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN '1' ELSE '0' END"
+        for p in range(ANN_BITS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v, concat({bucket}) AS bucket FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cs
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.1
+        AND round(list_cosine_similarity(a.v, b.v), 6) < 0.6
+    ),
+    sym AS (
+      SELECT id_a AS anchor_id, id_b AS neg_id, cs FROM pairs
+      UNION ALL
+      SELECT id_b, id_a, cs FROM pairs
+    ),
+    ranked AS (
+      SELECT anchor_id, neg_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cs DESC, neg_id ASC) AS rk
+      FROM sym
+    )
+    SELECT anchor_id, neg_id, cs AS cos_sim, CAST(rk AS INTEGER) AS rank
+    FROM ranked WHERE rk <= 5
+    ORDER BY anchor_id, rank
+    """
+
+
+_Q392_NOTES = (
+    "HARD-NEGATIVE MINING (llm/similarity.hard_negatives — the "
+    "dual-encoder training staple, DPR/Karpukhin et al. 2020: "
+    "negatives that are similar-but-not-duplicate teach the decision "
+    "boundary; random negatives are too easy, near-dups are false "
+    "negatives): candidates from the hyperplane-LSH bucket equi-join "
+    "(q127 index contract — never all-pairs; recall is the measured "
+    "LSH trade), band filter [sim_lo, sim_hi) on 6dp cosine (q43 "
+    "rule), ranking window per ANCHOR over its bucket-bounded "
+    "candidate set. One bucket exchange + one anchor-keyed window"
+)
+
+ROADMAP12["q392_hard_negatives"] = (
+    q392_hard_negatives,
+    _q392_oracle(),
+    _Q392_NOTES,
+)

@@ -695,3 +695,77 @@ def test_quantile_lift_shift_law(spark):
     assert all(r["n_treatment"] == 0 and r["q_treatment"] is None for r in empty)
     with pytest.raises(ValueError, match="probs"):
         quantile_lift(df, "arm", "value", "control", "treatment", probs=(0.5, 0.2))
+
+
+def test_survivor_by_score_hand_case(spark):
+    """Highest score survives; ties fall to lowest id; singleton
+    clusters always keep their only member."""
+    from dbkit_spark.llm.dedup import survivor_by_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "c1", 0.5),
+            (2, "c1", 0.75),   # survivor of c1
+            (3, "c1", 0.75),   # tie, higher id: removed
+            (4, "c2", 0.0),    # singleton: kept
+        ],
+        "doc_id long, cluster string, score double",
+    )
+    got = {r["doc_id"]: r["kept"] for r in survivor_by_score(df, "cluster", "score").collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_chunk_dedup_rate_rollup_and_cross_group(spark):
+    """Two docs in different groups sharing identical text: per-group
+    lines see no duplication, the rollup line sees the cross-group
+    share (corpus distinct < sum of group distincts)."""
+    from dbkit_spark.llm.chunking import chunk_dedup_rate
+
+    text = " ".join(f"w{i}" for i in range(32))  # exactly one chunk
+    df = spark.createDataFrame(
+        [(1, text, "A"), (2, text, "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in chunk_dedup_rate(df, "source").collect()}
+    assert got["A"]["n_chunks"] == 1 and got["A"]["n_distinct"] == 1
+    assert got["B"]["dup_factor"] == 1.0
+    assert got[None]["n_chunks"] == 2 and got[None]["n_distinct"] == 1
+    assert got[None]["dup_factor"] == 2.0
+
+
+def test_hard_negatives_band_and_symmetry(spark):
+    """Hand-built 2-D-like vectors in one LSH bucket: duplicates
+    (cos >= hi) and easy negatives (cos < lo) are excluded; each
+    surviving pair appears from BOTH anchors; rank orders hardest
+    first."""
+    from dbkit_spark.llm.similarity import hard_negatives
+
+    # dim-64 vectors: e1-aligned family, one near-duplicate, one
+    # orthogonal. All mapped through the real hyperplanes - just
+    # assert band semantics on whatever shares buckets.
+    def vec(*pairs):
+        v = [0.0] * 64
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (1, vec((0, 1.0))),
+        (2, vec((0, 1.0), (1, 1e-6))),          # cos ~1: duplicate
+        (3, vec((0, 1.0), (1, 1.2))),           # cos ~0.64 to v1
+        (4, vec((1, 1.0))),                     # cos 0 to v1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = hard_negatives(df, sim_lo=0.2, sim_hi=0.99, k=5).collect()
+    pairs = {(r["anchor_id"], r["neg_id"]): r["cos_sim"] for r in got}
+    # no duplicate pair (1,2), no orthogonal pair (1,4)
+    assert (1, 2) not in pairs and (2, 1) not in pairs
+    assert (1, 4) not in pairs
+    # every mined pair appears in both directions with the same cosine
+    for (a, b), cs in pairs.items():
+        assert pairs.get((b, a)) == cs
+        assert 0.2 <= cs < 0.99
+    with pytest.raises(ValueError, match="sim_lo"):
+        hard_negatives(df, sim_lo=0.5, sim_hi=0.5)
+    with pytest.raises(ValueError, match="k must"):
+        hard_negatives(df, sim_lo=0.1, sim_hi=0.5, k=0)
