@@ -1638,3 +1638,73 @@ def quantile_lift(
         ).alias("lift"),
     )
     return out
+
+
+# Standard normal quantiles for the supported alpha (two-sided) and
+# power levels — published constants (Abramowitz & Stegun), the same
+# fixed-table convention as _CHI2_CRIT_05.
+_Z_ALPHA_2 = {0.10: 1.6448536269514722, 0.05: 1.959963984540054,
+              0.01: 2.5758293035489004}
+_Z_POWER = {0.8: 0.8416212335729143, 0.9: 1.2815515655446004,
+            0.95: 1.6448536269514722}
+
+
+def power_analysis(
+    df: DataFrame,
+    value_col: str,
+    mde: float,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Sample-size calculator for a two-arm mean test — the question
+    every experiment starts with: at the metric's OBSERVED variance,
+    how many units per arm does detecting an absolute lift of ``mde``
+    take?  n/arm = 2·(z_{1-α/2} + z_{power})²·σ²/δ² (the standard
+    two-sample normal-approximation formula, e.g. Kohavi-Tang-Xu 2020
+    §17).
+
+    σ² comes from the data in ONE no-grouping map-side-combined
+    aggregate (decimal-stabilized sums, the engine-wide exactness
+    rule — products 6dp-rounded before the decimal cast, the CUPED
+    convention); z constants are fixed published quantiles
+    (ValueError outside the table, the SRM precedent — no silent
+    approximation). Output one row: (n_observed, mean, variance,
+    sigma, mde, z_alpha, z_power, n_per_arm) with n_per_arm rounded
+    UP (ceil — under-powering is the failure mode).
+    """
+    from .aggregate import stable_sum
+
+    if mde <= 0:
+        raise ValueError("mde must be positive")
+    if alpha not in _Z_ALPHA_2:
+        raise ValueError(
+            f"alpha={alpha} not in supported table {sorted(_Z_ALPHA_2)}"
+        )
+    if power not in _Z_POWER:
+        raise ValueError(
+            f"power={power} not in supported table {sorted(_Z_POWER)}"
+        )
+    za, zp = _Z_ALPHA_2[alpha], _Z_POWER[power]
+    v = F.col(value_col).cast("double")
+    agg = df.agg(
+        F.count(value_col).alias("n_observed"),
+        stable_sum(v, 6).alias("_s"),
+        stable_sum(F.round(v * v, 6), 6).alias("_ss"),
+    )
+    n = F.col("n_observed").cast("double")
+    mean = F.col("_s") / n
+    # sample variance (n-1 denominator); NULL for n < 2
+    var = F.try_divide(F.col("_ss") - F.col("_s") * F.col("_s") / n, n - 1)
+    n_arm = F.ceil(
+        F.lit(2.0) * F.lit((za + zp) ** 2) * var / F.lit(float(mde) ** 2)
+    ).cast("long")
+    return agg.select(
+        "n_observed",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.lit(float(mde)).alias("mde"),
+        F.lit(za).alias("z_alpha"),
+        F.lit(zp).alias("z_power"),
+        n_arm.alias("n_per_arm"),
+    )

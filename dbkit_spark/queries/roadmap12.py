@@ -1413,3 +1413,68 @@ ROADMAP12["q392_hard_negatives"] = (
     _q392_oracle(),
     _Q392_NOTES,
 )
+
+
+# --- q393: experiment power / sample-size calculator -------------------------------
+
+
+def q393_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size calculator (operators/mlmetrics.power_analysis):
+    units per arm to detect a +5.0 absolute lift of events.value at
+    alpha 0.05 / power 0.8, at the observed variance."""
+    from ..operators.mlmetrics import power_analysis
+
+    ev = read_table(spark, sf_dir, "events")
+    return power_analysis(ev, "value", mde=5.0)
+
+
+def _q393_oracle() -> str:
+    from ..operators.mlmetrics import _Z_ALPHA_2, _Z_POWER
+    from ..operators.aggregate import stable_sum_sql
+
+    za, zp = _Z_ALPHA_2[0.05], _Z_POWER[0.8]
+    k = repr(2.0 * (za + zp) ** 2)
+    s = stable_sum_sql("value", 6)
+    ss = stable_sum_sql("round(value * value, 6)", 6)
+    return f"""
+    WITH a AS (
+      SELECT COUNT(value) AS n_observed,
+             {s} AS s,
+             {ss} AS ss
+      FROM events
+    )
+    SELECT n_observed,
+           round(s / n_observed, 6) AS mean,
+           round((ss - s * s / n_observed) / (n_observed - 1), 6)
+             AS variance,
+           round(sqrt((ss - s * s / n_observed) / (n_observed - 1)), 6)
+             AS sigma,
+           CAST(5.0 AS DOUBLE) AS mde,
+           CAST('{za!r}' AS DOUBLE) AS z_alpha,
+           CAST('{zp!r}' AS DOUBLE) AS z_power,
+           CAST(ceil(CAST('{k}' AS DOUBLE)
+                     * ((ss - s * s / n_observed) / (n_observed - 1))
+                     / 25.0) AS BIGINT) AS n_per_arm
+    FROM a
+    """
+
+
+_Q393_NOTES = (
+    "EXPERIMENT POWER / SAMPLE-SIZE CALCULATOR (operators/mlmetrics."
+    "power_analysis — the question every experiment starts with; "
+    "n/arm = 2(z_a/2+z_pow)^2 sigma^2/delta^2, Kohavi-Tang-Xu 2020 "
+    "s17): sigma^2 from ONE no-grouping map-combined aggregate with "
+    "decimal-stabilized sums (products 6dp-rounded before the decimal "
+    "cast — the CUPED convention); z constants are fixed published "
+    "normal quantiles with ValueError outside the table (the SRM "
+    "precedent, no silent approximation); n_per_arm ceils UP because "
+    "under-powering is the failure mode. Completes the "
+    "experimentation suite: plan (q393) -> guard (q373) -> readout "
+    "(q367/q370/q371/q389) -> stop (q372)"
+)
+
+ROADMAP12["q393_power_analysis"] = (
+    q393_power_analysis,
+    _q393_oracle(),
+    _Q393_NOTES,
+)

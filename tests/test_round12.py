@@ -769,3 +769,36 @@ def test_hard_negatives_band_and_symmetry(spark):
         hard_negatives(df, sim_lo=0.5, sim_hi=0.5)
     with pytest.raises(ValueError, match="k must"):
         hard_negatives(df, sim_lo=0.1, sim_hi=0.5, k=0)
+
+
+def test_power_analysis_scaling_laws(spark):
+    """Quadrupling the MDE cuts n_per_arm ~16x; tighter alpha and
+    higher power both demand MORE units; unsupported levels refuse."""
+    from dbkit_spark.operators.mlmetrics import power_analysis
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(200)], "value double"
+    )
+    base = power_analysis(df, "value", mde=4.0).collect()[0]
+    wide = power_analysis(df, "value", mde=16.0).collect()[0]
+    assert base["n_per_arm"] >= 15 * wide["n_per_arm"]  # ceil slack
+    strict = power_analysis(df, "value", mde=4.0, alpha=0.01).collect()[0]
+    strong = power_analysis(df, "value", mde=4.0, power=0.9).collect()[0]
+    assert strict["n_per_arm"] > base["n_per_arm"]
+    assert strong["n_per_arm"] > base["n_per_arm"]
+    # hand-check the formula at the reported variance
+    import math
+
+    expect = math.ceil(
+        2.0
+        * (base["z_alpha"] + base["z_power"]) ** 2
+        * base["variance"]
+        / 16.0
+    )
+    assert abs(base["n_per_arm"] - expect) <= 1
+    with pytest.raises(ValueError, match="alpha"):
+        power_analysis(df, "value", mde=1.0, alpha=0.2)
+    with pytest.raises(ValueError, match="power"):
+        power_analysis(df, "value", mde=1.0, power=0.5)
+    with pytest.raises(ValueError, match="mde"):
+        power_analysis(df, "value", mde=0.0)
