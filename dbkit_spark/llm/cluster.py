@@ -649,3 +649,75 @@ def semdedup(
         "cdist",
         F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"),
     )
+
+
+def adjusted_rand_index(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str = "vec_id",
+    a_col: str = "label",
+    b_col: str = "label",
+) -> DataFrame:
+    """Adjusted Rand Index between two labelings of the same items
+    (Hubert & Arabie 1985) — the clustering-agreement score a dedup
+    pipeline uses to compare labelings across thresholds, algorithm
+    versions, or the cheap-vs-expensive path (e.g. LSH buckets vs
+    k-means structure): 1 = identical partitions, ~0 = chance
+    agreement, negative = worse than chance.
+
+    Everything reduces to the contingency table: ONE id-keyed inner
+    equi-join (items missing from either labeling drop — they have no
+    pair to agree on) + one (a, b) count aggregate (contingency-sized)
+    + marginal re-aggregates of THAT table, never a second data pass.
+    All pair counts C(x,2) = x(x-1)/2 are carried as DECIMAL(38,0) —
+    exact far past the LONG overflow at n ~ 4·10^9 items — and the
+    final ARI is a fixed IEEE expression of four exact operands.
+
+    Output one row: (n, n_clusters_a, n_clusters_b, ari 6dp). Both
+    partitions trivial (all-one-cluster or all-singletons on both
+    sides) makes the adjustment denominator 0 → NULL ari (documented;
+    the score is undefined there, not 1).
+    """
+    c2 = lambda x: (  # noqa: E731
+        x.cast("decimal(38,0)") * (x - 1).cast("decimal(38,0)") / 2
+    ).cast("decimal(38,0)")
+    a = labels_a.select(F.col(id_col).alias("_id"), F.col(a_col).alias("_la"))
+    b = labels_b.select(F.col(id_col).alias("_id"), F.col(b_col).alias("_lb"))
+    cont = a.join(b, "_id").groupBy("_la", "_lb").agg(
+        F.count(F.lit(1)).alias("_nij")
+    )
+    sij = cont.agg(
+        F.sum(c2(F.col("_nij"))).alias("_sij"),
+        F.sum("_nij").alias("_n"),
+        F.countDistinct("_la").alias("n_clusters_a"),
+        F.countDistinct("_lb").alias("n_clusters_b"),
+    )
+    sa = (
+        cont.groupBy("_la")
+        .agg(F.sum("_nij").alias("_ai"))
+        .agg(F.sum(c2(F.col("_ai"))).alias("_sa"))
+    )
+    sb = (
+        cont.groupBy("_lb")
+        .agg(F.sum("_nij").alias("_bj"))
+        .agg(F.sum(c2(F.col("_bj"))).alias("_sb"))
+    )
+    joined = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    cn2 = c2(F.col("_n"))
+    expected = (
+        F.col("_sa").cast("double")
+        * F.col("_sb").cast("double")
+        / cn2.cast("double")
+    )
+    ari = F.try_divide(
+        F.col("_sij").cast("double") - expected,
+        (F.col("_sa").cast("double") + F.col("_sb").cast("double"))
+        / F.lit(2.0)
+        - expected,
+    )
+    return joined.select(
+        F.col("_n").cast("long").alias("n"),
+        "n_clusters_a",
+        "n_clusters_b",
+        F.round(ari, 6).alias("ari"),
+    )

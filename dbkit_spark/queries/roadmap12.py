@@ -1478,3 +1478,83 @@ ROADMAP12["q393_power_analysis"] = (
     _q393_oracle(),
     _Q393_NOTES,
 )
+
+
+# --- q394: clustering agreement (ARI) between k-means labels and LSH buckets -------
+
+
+def q394_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (llm/cluster.adjusted_rand_index) between
+    the embeddings table's k-means labels and the hyperplane-LSH
+    bucketing — how much cluster structure the cheap path preserves."""
+    from ..llm.cluster import adjusted_rand_index
+    from ..llm.similarity import ANN_BITS, hyperplane_bucket
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lsh = hyperplane_bucket(emb, "embedding", ANN_BITS, 64).select(
+        "vec_id", F.col("bucket").alias("label")
+    )
+    return adjusted_rand_index(emb, lsh)
+
+
+def _q394_oracle() -> str:
+    from ..llm.similarity import ANN_BITS
+    from .llm import _plane_dot_sql
+
+    bucket = ", ".join(
+        f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN '1' ELSE '0' END"
+        for p in range(ANN_BITS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    bucketed AS (SELECT vec_id, label, concat({bucket}) AS lb FROM e),
+    cont AS (
+      SELECT label AS la, lb, COUNT(*) AS nij
+      FROM bucketed GROUP BY la, lb
+    ),
+    sij AS (
+      SELECT CAST(SUM(nij * (nij - 1) // 2) AS DOUBLE) AS sij,
+             CAST(SUM(nij) AS BIGINT) AS n,
+             COUNT(DISTINCT la) AS ka, COUNT(DISTINCT lb) AS kb
+      FROM cont
+    ),
+    sa AS (
+      SELECT CAST(SUM(ai * (ai - 1) // 2) AS DOUBLE) AS sa
+      FROM (SELECT SUM(nij) AS ai FROM cont GROUP BY la)
+    ),
+    sb AS (
+      SELECT CAST(SUM(bj * (bj - 1) // 2) AS DOUBLE) AS sb
+      FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY lb)
+    )
+    SELECT s.n, s.ka AS n_clusters_a, s.kb AS n_clusters_b,
+           round((s.sij - a.sa * b.sb
+                          / CAST(s.n * (s.n - 1) // 2 AS DOUBLE))
+                 / nullif((a.sa + b.sb) / 2.0
+                          - a.sa * b.sb
+                            / CAST(s.n * (s.n - 1) // 2 AS DOUBLE), 0),
+                 6) AS ari
+    FROM sij s CROSS JOIN sa a CROSS JOIN sb b
+    """
+
+
+_Q394_NOTES = (
+    "CLUSTERING AGREEMENT via ADJUSTED RAND INDEX (llm/cluster."
+    "adjusted_rand_index — Hubert-Arabie 1985; the score a dedup "
+    "pipeline uses to compare labelings across thresholds, algorithm "
+    "versions, or cheap-vs-expensive paths; anchor measures how much "
+    "k-means structure hyperplane-LSH bucketing preserves): everything "
+    "reduces to the contingency table — ONE id-keyed equi-join + one "
+    "(a,b) count agg + marginal re-aggregates of THAT table, never a "
+    "second data pass; pair counts C(x,2) carried exactly (DECIMAL "
+    "headroom past the LONG overflow at n~4e9), ARI is a fixed IEEE "
+    "expression of four exact operands; trivial-partition denominator "
+    "0 -> NULL by documented convention"
+)
+
+ROADMAP12["q394_clustering_agreement"] = (
+    q394_clustering_agreement,
+    _q394_oracle(),
+    _Q394_NOTES,
+)

@@ -802,3 +802,35 @@ def test_power_analysis_scaling_laws(spark):
         power_analysis(df, "value", mde=1.0, power=0.5)
     with pytest.raises(ValueError, match="mde"):
         power_analysis(df, "value", mde=0.0)
+
+
+def test_adjusted_rand_index_laws(spark):
+    """Identical partitions -> ARI 1 (under any label renaming); a
+    random-ish disagreement scores below 1; trivial partitions ->
+    NULL; items missing from one side drop."""
+    from dbkit_spark.llm.cluster import adjusted_rand_index
+
+    a = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 2)], "vec_id long, label int"
+    )
+    renamed = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 7), (4, 7), (5, 5)], "vec_id long, label int"
+    )
+    got = adjusted_rand_index(a, renamed).collect()[0]
+    assert got["ari"] == 1.0 and got["n"] == 5
+    assert got["n_clusters_a"] == 3 == got["n_clusters_b"]
+
+    crossed = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (4, 1), (5, 0)], "vec_id long, label int"
+    )
+    worse = adjusted_rand_index(a, crossed).collect()[0]
+    assert worse["ari"] < 1.0
+
+    # all-one-cluster vs all-one-cluster: adjustment denominator is 0
+    ones = spark.createDataFrame([(i, 0) for i in range(1, 6)], "vec_id long, label int")
+    trivial = adjusted_rand_index(ones, ones).collect()[0]
+    assert trivial["ari"] is None
+
+    # missing ids drop from the join
+    partial = adjusted_rand_index(a, renamed.filter("vec_id <= 3")).collect()[0]
+    assert partial["n"] == 3
