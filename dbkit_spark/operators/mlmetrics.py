@@ -1708,3 +1708,59 @@ def power_analysis(
         F.lit(zp).alias("z_power"),
         n_arm.alias("n_per_arm"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    actual_col: str,
+    alpha: float = 0.1,
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Split-conformal prediction interval calibration per group
+    (Vovk's conformal framework; Angelopoulos & Bates 2021 tutorial
+    form): q_hat = the ceil((1-α)(n+1))-th smallest absolute residual
+    of the calibration set — then [pred ± q_hat] covers new points with
+    probability ≥ 1-α, distribution-free. The per-group form is the
+    production shape (one interval per segment/model/horizon).
+
+    The (n+1) finite-sample correction rides a data trick instead of a
+    second pass: ONE +∞ sentinel row per group is unioned in, making
+    the GK pass over n+1 values select exactly the conformal rank —
+    ceil(p·(n+1)) with p = 1-α (the q204/q212 rule). A q_hat that
+    lands on the sentinel means α is too small for this n (coverage
+    unachievable) and reports NULL rather than a fake number.
+
+    Plan: one map-side residual projection + a groups-sized sentinel
+    union + ONE grouped GK aggregate — no sort, no window, no collect.
+    ``accuracy`` as elsewhere: None = effectively exact (oracle-
+    replayable), finite = the bounded-memory 100 TB path.
+    """
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    acc = int(accuracy) if accuracy is not None else 10_000_000
+    resid = df.select(
+        F.col(group_col).alias("grp"),
+        F.abs(
+            F.col(pred_col).cast("double") - F.col(actual_col).cast("double")
+        ).alias("_r"),
+    ).filter(F.col("_r").isNotNull())
+    sentinel = resid.select("grp").distinct().withColumn(
+        "_r", F.lit(float("inf"))
+    )
+    aug = resid.unionByName(sentinel)
+    out = aug.groupBy("grp").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_cal"),
+        F.percentile_approx("_r", F.lit(1.0 - alpha), F.lit(acc)).alias(
+            "_q"
+        ),
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_cal",
+        F.when(F.col("_q") == F.lit(float("inf")), F.lit(None)).otherwise(
+            F.round("_q", 6)
+        ).alias("q_hat"),
+        F.lit(float(alpha)).alias("alpha"),
+    )

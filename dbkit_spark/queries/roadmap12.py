@@ -1558,3 +1558,82 @@ ROADMAP12["q394_clustering_agreement"] = (
     _q394_oracle(),
     _Q394_NOTES,
 )
+
+
+# --- q395: split-conformal interval calibration ------------------------------------
+
+
+def q395_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (operators/mlmetrics.
+    conformal_interval): a per-event-type mean predictor trained on
+    even event_ids, calibrated on the odd half at alpha = 0.1."""
+    from ..operators.aggregate import stable_avg
+    from ..operators.mlmetrics import conformal_interval
+
+    ev = read_table(spark, sf_dir, "events")
+    model = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.round(stable_avg(F.col("value"), 6), 6).alias("pred"))
+    )
+    cal = ev.filter(F.col("event_id") % 2 == 1).join(
+        F.broadcast(model), "event_type"
+    )
+    return conformal_interval(cal, "event_type", "pred", "value").orderBy(
+        "event_type"
+    )
+
+
+def _q395_oracle() -> str:
+    from ..operators.aggregate import stable_avg_sql
+
+    avg = stable_avg_sql("value", 6)
+    return f"""
+    WITH model AS (
+      SELECT event_type, round({avg}, 6) AS pred
+      FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+    ),
+    resid AS (
+      SELECT e.event_type AS grp, abs(m.pred - e.value) AS r
+      FROM events e JOIN model m USING (event_type)
+      WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL
+    ),
+    tot AS (SELECT grp, COUNT(*) AS n FROM resid GROUP BY grp),
+    ranked AS (
+      SELECT grp, r, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY r)
+               AS rk
+      FROM resid
+    ),
+    sel AS (
+      SELECT r.grp, r.r
+      FROM ranked r JOIN tot t USING (grp)
+      WHERE r.rk = CAST(ceil(0.9 * (t.n + 1)) AS BIGINT)
+    )
+    SELECT t.grp AS event_type,
+           t.n AS n_cal,
+           round(s.r, 6) AS q_hat,
+           CAST(0.1 AS DOUBLE) AS alpha
+    FROM tot t LEFT JOIN sel s USING (grp)
+    ORDER BY event_type
+    """
+
+
+_Q395_NOTES = (
+    "SPLIT-CONFORMAL INTERVAL CALIBRATION (operators/mlmetrics."
+    "conformal_interval — Vovk's framework, Angelopoulos-Bates 2021 "
+    "tutorial form: q_hat = ceil((1-a)(n+1))-th smallest |residual| "
+    "gives distribution-free >=1-a coverage): the (n+1) finite-sample "
+    "correction rides a +inf SENTINEL row per group unioned into the "
+    "calibration set, so ONE grouped GK pass selects exactly the "
+    "conformal rank (ceil(p*(n+1)), the q204/q212 rule) — no second "
+    "pass, no sort, no window, no collect; a q_hat landing on the "
+    "sentinel (alpha unachievable at this n) reports NULL, replayed by "
+    "the oracle's rank-overflow LEFT JOIN. Per-group = the production "
+    "shape (one interval per segment/model/horizon)"
+)
+
+ROADMAP12["q395_conformal_interval"] = (
+    q395_conformal_interval,
+    _q395_oracle(),
+    _Q395_NOTES,
+)

@@ -834,3 +834,37 @@ def test_adjusted_rand_index_laws(spark):
     # missing ids drop from the join
     partial = adjusted_rand_index(a, renamed.filter("vec_id <= 3")).collect()[0]
     assert partial["n"] == 3
+
+
+def test_conformal_interval_rank_and_coverage(spark):
+    """Hand case: residuals 1..9 at alpha=0.1 -> rank ceil(0.9*10)=9
+    -> q_hat 9; alpha too small for tiny n lands on the sentinel ->
+    NULL; empirical coverage on the calibration set >= 1 - alpha."""
+    from dbkit_spark.operators.mlmetrics import conformal_interval
+
+    rows = [("g", 0.0, float(v)) for v in range(1, 10)]
+    df = spark.createDataFrame(rows, "grp string, pred double, actual double")
+    got = conformal_interval(df, "grp", "pred", "actual", alpha=0.1).collect()[0]
+    assert got["n_cal"] == 9 and got["q_hat"] == 9.0
+
+    tiny = spark.createDataFrame(
+        [("g", 0.0, 1.0), ("g", 0.0, 2.0)], "grp string, pred double, actual double"
+    )
+    small = conformal_interval(tiny, "grp", "pred", "actual", alpha=0.1).collect()[0]
+    # rank ceil(0.9*3) = 3 > n=2 -> sentinel -> NULL
+    assert small["q_hat"] is None and small["n_cal"] == 2
+
+    # coverage law on the calibration set itself
+    import random
+
+    rng = random.Random(7)
+    big = spark.createDataFrame(
+        [("g", 0.0, rng.gauss(0, 1)) for _ in range(500)],
+        "grp string, pred double, actual double",
+    )
+    r = conformal_interval(big, "grp", "pred", "actual", alpha=0.2).collect()[0]
+    covered = big.filter(f"abs(actual) <= {r['q_hat']}").count()
+    assert covered / 500 >= 0.8
+
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_interval(df, "grp", "pred", "actual", alpha=1.5)
