@@ -1637,3 +1637,131 @@ ROADMAP12["q395_conformal_interval"] = (
     _q395_oracle(),
     _Q395_NOTES,
 )
+
+
+# --- q396: per-domain dedup retention accounting -----------------------------------
+
+
+def q396_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting: after fingerprint-cluster dedup with
+    quality-aware survivors (q390's rule), what fraction of each
+    source's documents and tokens survives — the per-domain line item
+    of every curation report."""
+    from ..functions.text import bpe_token_count, fingerprint, quality_score, tokens
+    from ..llm.dedup import survivor_by_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "source",
+        fingerprint("text").alias("cluster"),
+        quality_score("text", tokens("text")).alias("quality"),
+        bpe_token_count("text").cast("long").alias("n_tokens"),
+    )
+    verdicts = survivor_by_score(labeled, "cluster", "quality")
+    joined = labeled.select("doc_id", "source", "n_tokens").join(
+        verdicts.select("doc_id", "kept"), "doc_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "tokens_total",
+            "tokens_kept",
+            F.round(F.col("n_kept") / F.col("n_docs").cast("double"), 6).alias(
+                "doc_retention"
+            ),
+            F.round(
+                F.try_divide(
+                    F.col("tokens_kept").cast("double"), F.col("tokens_total")
+                ),
+                6,
+            ).alias("token_retention"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q396_oracle() -> str:
+    from .llm import _STOP_SQL, _TOKS_SQL
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, text, t,
+             md5(array_to_string(list_sort(list_distinct(t)), ' '))
+               AS cluster,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t,
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len(t) END AS stop_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text,
+                       '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+                       AS DOUBLE) / len(t) END AS avg_wlen
+      FROM ({_TOKS_SQL})
+    ),
+    q AS (
+      SELECT doc_id, source, cluster, n_tokens,
+             CAST(CASE WHEN length(text) BETWEEN 100 AND 20000
+                       THEN 0.25 ELSE 0.0 END
+              + CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN stop_ratio BETWEEN 0.02 AND 0.6
+                     THEN 0.25 ELSE 0.0 END
+              + CASE WHEN avg_wlen BETWEEN 2.0 AND 12.0
+                     THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+      FROM s
+    ),
+    v AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id ASC) = 1
+               AS kept
+      FROM q
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           round(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS doc_retention,
+           round(CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END)
+                      AS DOUBLE) / nullif(SUM(n_tokens), 0), 6)
+             AS token_retention
+    FROM v GROUP BY source ORDER BY source
+    """
+
+
+_Q396_NOTES = (
+    "PER-DOMAIN DEDUP RETENTION ACCOUNTING (composition: q48 "
+    "fingerprint clusters + q47 quality + q390 survivor_by_score + "
+    "ONE source-keyed aggregate — the line item every curation report "
+    "carries: docs and tokens surviving dedup per domain, the number "
+    "that feeds q381's epoch planner as post-dedup available mass): "
+    "one cluster-partitioned window (q390's single shuffle) + one "
+    "id-keyed join + one map-combined integer-sum agg; retention "
+    "ratios are single IEEE divisions of exact LONGs"
+)
+
+ROADMAP12["q396_dedup_retention"] = (
+    q396_dedup_retention,
+    _q396_oracle(),
+    _Q396_NOTES,
+)

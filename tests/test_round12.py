@@ -868,3 +868,22 @@ def test_conformal_interval_rank_and_coverage(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         conformal_interval(df, "grp", "pred", "actual", alpha=1.5)
+
+
+def test_dedup_retention_conservation(spark, sf_dir):
+    """Retention bookkeeping: kept <= total everywhere, one survivor
+    per cluster corpus-wide, and token_retention consistent with the
+    sums it reports."""
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+    from dbkit_spark.catalog import load_all
+
+    load_all()
+    fn, _, _ = ROADMAP7["q396_dedup_retention"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["tokens_kept"] <= r["tokens_total"]
+        assert abs(
+            r["token_retention"] - r["tokens_kept"] / r["tokens_total"]
+        ) < 1e-5
