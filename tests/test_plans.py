@@ -127,6 +127,13 @@ _INTENTIONAL_CROSS = {
     #          through cosine_topk's broadcast probe-subset crossJoin
     #          (vec_id % 100 queries — the q43 bounded-contract class)
     "q362_rbo_quantization",
+    # landed with the round-12 q363-q374 registration, same
+    # justification it held in the queue gate's intentional set:
+    #   q366 — PQ recall@k's EXACT arm is the q43 bounded-probe
+    #          broadcast crossJoin (5 query vectors vs corpus, the
+    #          designed same-metric baseline); the ADC arm under test
+    #          is map-only over codes and joins nothing
+    "q366_pq_recall",
 }
 
 
@@ -442,12 +449,10 @@ def test_queue_wide_no_accidental_nlj(spark):
     # _INTENTIONAL_CROSS, kept tiny and justified per entry
     # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing;
     # q306/q309 moved there with the round-10 landing; q362 with the
-    # round-11 landing). Current justified entries:
-    #   q366 — PQ recall@k's EXACT arm is the q43 bounded-probe
-    #          broadcast crossJoin (5 query vectors vs corpus, the
-    #          designed same-metric baseline); the ADC arm under test
-    #          is map-only over codes and joins nothing
-    intentional: set[str] = {"q366_pq_recall"}
+    # round-11 landing; q366 with the round-12 landing). The round-12
+    # queue (q375+) has no justified entries — every BNLJ it plans is
+    # the structural 1-row scalar class.
+    intentional: set[str] = set()
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():
