@@ -177,3 +177,47 @@ def perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def bigram_lm_vocab_table(reference: DataFrame, text_col: str = "text") -> DataFrame:
+    """The persistable DISTINCT-token table of a corpus shard — the
+    mergeable form of the vocab statistic (a distinct COUNT cannot be
+    merged across shards; the distinct SET can). One map-side explode +
+    one distinct; vocab-sized."""
+    return reference.select(F.explode(tokens(text_col)).alias("w")).distinct()
+
+
+def bigram_lm_merge(
+    shards: list[tuple[DataFrame, DataFrame, DataFrame]],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """MERGE-ONLY maintenance of the bigram LM — the per-crawl
+    incremental story (the t-digest/delta-CC pattern applied to the
+    CCNet gate): each corpus shard trains once into (bigrams, contexts,
+    vocab_table); a new snapshot's model is the union-and-re-sum of the
+    shard tables, WITHOUT re-touching any shard's documents. Exact, not
+    approximate: counts form a monoid under addition and the vocab
+    union is a set union, so merged == monolithic bit-for-bit.
+
+    Input: [(bigrams, contexts, vocab_table), ...] per shard (vocab as
+    the mergeable distinct-token table from ``bigram_lm_vocab_table``).
+    Returns (bigrams, contexts, vocab) in exactly the
+    ``bigram_lm_score`` input shape (vocab reduced to the 1-row count).
+    All three merges are vocab-sized unions + one map-side-combined
+    re-aggregate each — work scales with the model tables, never the
+    corpora.
+    """
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    bi = shards[0][0]
+    ctx = shards[0][1]
+    vt = shards[0][2]
+    for b, c, v in shards[1:]:
+        bi = bi.unionByName(b)
+        ctx = ctx.unionByName(c)
+        vt = vt.unionByName(v)
+    bigrams = bi.groupBy("w1", "w2").agg(
+        F.sum("c_big").cast("long").alias("c_big")
+    )
+    contexts = ctx.groupBy("w1").agg(F.sum("c_ctx").cast("long").alias("c_ctx"))
+    vocab = vt.distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return bigrams, contexts, vocab

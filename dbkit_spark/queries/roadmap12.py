@@ -1765,3 +1765,54 @@ ROADMAP12["q396_dedup_retention"] = (
     _q396_oracle(),
     _Q396_NOTES,
 )
+
+
+# --- q397: merge-only incremental bigram-LM maintenance ----------------------------
+
+
+def q397_bigram_lm_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LM maintenance (llm/lm.bigram_lm_merge): the
+    even-doc_id reference trains as TWO separate shards (doc_id % 4)
+    whose model tables merge WITHOUT re-reading documents; the merged
+    model scores the odd half. Monoid exactness makes the oracle
+    identical to q379's monolithic train."""
+    from ..llm.lm import (
+        bigram_lm_merge,
+        bigram_lm_score,
+        bigram_lm_train,
+        bigram_lm_vocab_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    shard_a = docs.filter(F.col("doc_id") % 4 == 0)
+    shard_b = docs.filter(F.col("doc_id") % 4 == 2)
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+    models = []
+    for shard in (shard_a, shard_b):
+        bi, ctx, _ = bigram_lm_train(shard)
+        models.append((bi, ctx, bigram_lm_vocab_table(shard)))
+    bigrams, contexts, vocab = bigram_lm_merge(models)
+    return bigram_lm_score(cand, bigrams, contexts, vocab, k=0.5).orderBy(
+        "doc_id"
+    )
+
+
+_Q397_NOTES = (
+    "MERGE-ONLY INCREMENTAL BIGRAM-LM MAINTENANCE (llm/lm."
+    "bigram_lm_merge — the t-digest/delta-CC incremental pattern "
+    "applied to the CCNet gate: per-crawl shards train once into "
+    "(bigrams, contexts, vocab_table); a snapshot's model is the "
+    "union-and-re-sum of the persisted shard tables, NEVER re-reading "
+    "documents; counts are a monoid and vocab is a set union, so "
+    "merged == monolithic EXACTLY — which is why this query shares "
+    "q379's oracle verbatim): all merges are vocab-sized unions + one "
+    "map-combined re-aggregate; the mergeable vocab form is the "
+    "distinct-token table (a distinct COUNT cannot merge; the set "
+    "can). Work scales with model tables, never corpora"
+)
+
+ROADMAP12["q397_bigram_lm_merged"] = (
+    q397_bigram_lm_merged,
+    _q379_oracle(),
+    _Q397_NOTES,
+)

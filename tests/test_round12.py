@@ -887,3 +887,37 @@ def test_dedup_retention_conservation(spark, sf_dir):
         assert abs(
             r["token_retention"] - r["tokens_kept"] / r["tokens_total"]
         ) < 1e-5
+
+
+def test_bigram_lm_merge_equals_monolithic(spark):
+    """Monoid law: shard-trained-then-merged model tables equal the
+    monolithic train bit-for-bit (counts AND vocab), so scores agree
+    exactly."""
+    from dbkit_spark.llm.lm import (
+        bigram_lm_merge,
+        bigram_lm_score,
+        bigram_lm_train,
+        bigram_lm_vocab_table,
+    )
+
+    a = _docs_df(spark, [(1, "a b a b c"), (2, "b c d")])
+    b = _docs_df(spark, [(3, "a b e"), (4, "e e e a")])
+    full = _docs_df(
+        spark,
+        [(1, "a b a b c"), (2, "b c d"), (3, "a b e"), (4, "e e e a")],
+    )
+    shards = []
+    for shard in (a, b):
+        bi, ctx, _ = bigram_lm_train(shard)
+        shards.append((bi, ctx, bigram_lm_vocab_table(shard)))
+    mbi, mctx, mv = bigram_lm_merge(shards)
+    fbi, fctx, fv = bigram_lm_train(full)
+    assert sorted(map(tuple, mbi.collect())) == sorted(map(tuple, fbi.collect()))
+    assert sorted(map(tuple, mctx.collect())) == sorted(map(tuple, fctx.collect()))
+    assert mv.collect()[0]["v"] == fv.collect()[0]["v"] == 5
+    cand = _docs_df(spark, [(9, "a b c d e")])
+    sm = bigram_lm_score(cand, mbi, mctx, mv).collect()
+    sf_ = bigram_lm_score(cand, fbi, fctx, fv).collect()
+    assert sorted(map(tuple, sm)) == sorted(map(tuple, sf_))
+    with pytest.raises(ValueError, match="non-empty"):
+        bigram_lm_merge([])
