@@ -1816,3 +1816,45 @@ ROADMAP12["q397_bigram_lm_merged"] = (
     _q379_oracle(),
     _Q397_NOTES,
 )
+
+
+# --- q398: streaming ingest quality gate -------------------------------------------
+
+
+def q398_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule set AT INGEST (streaming form of q383): the
+    documents table streams through gopher_quality_filters — a pure
+    map-only projection, so it composes into the readStream path
+    unchanged (append mode, no state) — and the availableNow replay
+    must equal the batch run row-for-row."""
+    from ..llm.quality import gopher_quality_filters
+    from ..schema import TABLE_SCHEMAS
+    from ..streaming.runner import run_available_now
+
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = gopher_quality_filters(stream)
+    return run_available_now(gated, output_mode="append").orderBy("doc_id")
+
+
+_Q398_NOTES = (
+    "STREAMING INGEST QUALITY GATE (q383's Gopher rule set composed "
+    "into the readStream path — the shape a live crawl pipeline runs: "
+    "gate documents AT INGEST, before they ever land in the corpus): "
+    "gopher_quality_filters is a pure map-only projection, so it is "
+    "streaming-safe by construction (append mode, no state, no "
+    "watermark) and the availableNow replay equals the batch run "
+    "row-for-row — q398 shares q383's oracle verbatim (the q37/q34 "
+    "streaming-parity convention). Proves the curation layer's "
+    "map-only operators all lift to Structured Streaming unchanged"
+)
+
+ROADMAP12["q398_stream_quality_gate"] = (
+    q398_stream_quality_gate,
+    _q383_oracle(),
+    _Q398_NOTES,
+)

@@ -921,3 +921,21 @@ def test_bigram_lm_merge_equals_monolithic(spark):
     assert sorted(map(tuple, sm)) == sorted(map(tuple, sf_))
     with pytest.raises(ValueError, match="non-empty"):
         bigram_lm_merge([])
+
+
+def test_stream_quality_gate_equals_batch(spark, sf_dir):
+    """Streaming-vs-batch parity for the ingest quality gate: the
+    availableNow replay of gopher_quality_filters equals the batch run
+    row-for-row (the q37 convention)."""
+    from dbkit_spark.llm.quality import gopher_quality_filters
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+    from dbkit_spark.catalog import load_all
+    from dbkit_spark.sources import read_table
+
+    load_all()
+    fn, _, _ = ROADMAP7["q398_stream_quality_gate"]
+    streamed = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    batch = sorted(
+        map(tuple, gopher_quality_filters(read_table(spark, sf_dir, "documents")).collect())
+    )
+    assert streamed == batch and len(batch) > 0
