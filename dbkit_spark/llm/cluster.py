@@ -645,7 +645,7 @@ def semdedup(
         dominated.withColumn("_dom", F.lit(True)), "_id", "left"
     ).select(
         F.col("_id").alias(id_col),
-        "label",
+        F.col("label").alias(label_col),
         "cdist",
         F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"),
     )

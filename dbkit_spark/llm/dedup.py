@@ -1039,6 +1039,8 @@ def near_dup_leakage(
     docs: DataFrame,
     group_col: str,
     id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
 ) -> DataFrame:
     """CROSS-GROUP near-duplicate leakage matrix — the report that
     catches train/eval contamination and licensing bleed through
@@ -1056,15 +1058,17 @@ def near_dup_leakage(
 
     Output per unordered group pair: (group_a <= group_b, n_pairs,
     is_cross). Pairs whose ids are missing from ``docs`` are dropped by
-    the inner joins (they have no group to attribute).
+    the inner joins (they have no group to attribute). ``a_col``/
+    ``b_col`` name the pair table's endpoint columns (doc_a/doc_b for
+    the Jaccard family; pass id_a/id_b for ann_bucketed output).
     """
     m = docs.select(
         F.col(id_col).alias("_mid"), F.col(group_col).alias("_mg")
     )
     joined = (
-        pairs.join(m.withColumnRenamed("_mid", "doc_a"), "doc_a")
+        pairs.join(m.withColumnRenamed("_mid", a_col), a_col)
         .withColumnRenamed("_mg", "_ga")
-        .join(m.withColumnRenamed("_mid", "doc_b"), "doc_b")
+        .join(m.withColumnRenamed("_mid", b_col), b_col)
         .withColumnRenamed("_mg", "_gb")
     )
     ga = F.least("_ga", "_gb")

@@ -939,3 +939,31 @@ def test_stream_quality_gate_equals_batch(spark, sf_dir):
         map(tuple, gopher_quality_filters(read_table(spark, sf_dir, "documents")).collect())
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_semdedup_custom_label_col(spark):
+    """The output label column carries the CALLER's name (the q366
+    pq_adc signature-contract lesson)."""
+    from dbkit_spark.llm.cluster import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7)], "vec_id long, embedding array<float>, cl int"
+    )
+    got = semdedup(df, 0.5, label_col="cl")
+    assert "cl" in got.columns and "label" not in got.columns
+    assert got.collect()[0]["cl"] == 7
+
+
+def test_near_dup_leakage_custom_pair_cols(spark):
+    """ann_bucketed-shaped pair tables (id_a/id_b) wire through the
+    a_col/b_col parameters instead of failing on doc_a."""
+    from dbkit_spark.llm.dedup import near_dup_leakage
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "vec_id long, src string"
+    )
+    got = near_dup_leakage(
+        pairs, docs, "src", id_col="vec_id", a_col="id_a", b_col="id_b"
+    ).collect()
+    assert len(got) == 1 and got[0]["is_cross"]
