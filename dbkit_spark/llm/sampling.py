@@ -790,7 +790,9 @@ def mixture_epoch_plan(
     the budget physically not fit under the repeat cap?
 
     Shares are normalized from ``weights`` IN THE DRIVER (exact same
-    literals ship to any replaying engine). Per domain: desired =
+    literals ship to any replaying engine); weight keys are STRING
+    domain names and the join casts accordingly — keep ``domain_col``
+    string-typed (cast upstream for integer domain ids). Per domain: desired =
     share * budget; epochs_needed = desired / available;
     epochs_planned caps at ``max_epochs``; tokens_planned =
     epochs_planned * available; shortfall = desired - tokens_planned

@@ -967,3 +967,74 @@ def test_near_dup_leakage_custom_pair_cols(spark):
         pairs, docs, "src", id_col="vec_id", a_col="id_a", b_col="id_b"
     ).collect()
     assert len(got) == 1 and got[0]["is_cross"]
+
+
+def test_semdedup_matches_bruteforce_randomized(spark):
+    """Fixed-seed randomized pin: semdedup's kept set equals a pure
+    Python reimplementation of the same rule (centroid from
+    9dp-rounded decimal sums, 6dp cdist priority, 6dp cosine
+    threshold) on 40 gaussian vectors in 4 clusters."""
+    import math
+    import random
+    from decimal import Decimal
+
+    from dbkit_spark.llm.cluster import semdedup
+
+    rng = random.Random(12012)
+    dim, tau = 8, 0.92
+    rows = []
+    for i in range(40):
+        label = i % 4
+        base = [0.0] * dim
+        base[label] = 1.0
+        v = [base[d] + rng.gauss(0, 0.35) for d in range(dim)]
+        rows.append((i, [float(x) for x in v], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: r for r in semdedup(df, tau).collect()}
+
+    # pure-Python replay (float32 round-trip like the Spark cast)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {i: [f32(x) for x in v] for i, v, _ in rows}
+    labels = {i: l for i, _, l in rows}
+    cents = {}
+    for lab in set(labels.values()):
+        members = [vecs[i] for i in vecs if labels[i] == lab]
+        cents[lab] = [
+            float(sum(Decimal(repr(round(m[d], 9))) for m in members))
+            / len(members)
+            for d in range(dim)
+        ]
+    def cdist(i):
+        terms = [
+            Decimal(repr(round((vecs[i][d] - cents[labels[i]][d]) ** 2, 9)))
+            for d in range(dim)
+        ]
+        return round(math.sqrt(float(sum(terms))), 6)
+    def cos(i, j):
+        a, b = vecs[i], vecs[j]
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+    expect_kept = {}
+    for i in vecs:
+        dominated = any(
+            j != i
+            and labels[j] == labels[i]
+            and cos(i, j) >= tau
+            and (cdist(j) > cdist(i) or (cdist(j) == cdist(i) and j < i))
+            for j in vecs
+        )
+        expect_kept[i] = not dominated
+    assert {i: got[i]["kept"] for i in vecs} == expect_kept
+    for i in vecs:
+        assert abs(got[i]["cdist"] - cdist(i)) < 2e-6
+    # sanity: the rule actually fired both ways at this tau
+    assert any(not k for k in expect_kept.values())
+    assert any(k for k in expect_kept.values())
