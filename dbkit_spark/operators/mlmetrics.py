@@ -1764,3 +1764,120 @@ def conformal_interval(
         ).alias("q_hat"),
         F.lit(float(alpha)).alias("alpha"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score — the
+    calibration readout behind every quality-classifier audit:
+    BRIER ≈ RELIABILITY − RESOLUTION + UNCERTAINTY, where reliability
+    (miscalibration, lower better) is Σ n_k(p̄_k−ō_k)²/n over
+    probability bins, resolution (discrimination, higher better) is
+    Σ n_k(ō_k−ō)²/n, and uncertainty ō(1−ō) is the data's own
+    irreducible term. The identity is exact only for within-bin
+    constant forecasts, so the raw Brier mean is reported alongside
+    (the residual is the within-bin variance the binning hides).
+
+    Bins are FIXED-WIDTH (floor(p·n_bins), top-capped — exact,
+    engine-portable, the q378 convention). Plan: one map-side bucket
+    expression + ONE (bin) aggregate + scalar recombination of the
+    bins-sized table — two exchanges at any row count. Decimal-
+    stabilized sums throughout (products 9dp-rounded pre-cast).
+    Output one row: (n, brier, reliability, resolution, uncertainty).
+    """
+    from .aggregate import stable_sum
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    p = F.col(prob_col).cast("double")
+    o = F.col(label_col).cast("int").cast("double")
+    base = df.filter(p.isNotNull() & o.isNotNull()).select(
+        F.least(F.lit(n_bins - 1), F.floor(p * n_bins).cast("int")).alias(
+            "_bin"
+        ),
+        p.alias("_p"),
+        o.alias("_o"),
+    )
+    bins = base.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        stable_sum(F.col("_p"), 9).alias("_sp"),
+        F.sum(F.col("_o").cast("long")).alias("_so"),
+        stable_sum(F.round((F.col("_p") - F.col("_o")) * (F.col("_p") - F.col("_o")), 9), 9).alias("_sq"),
+    )
+    tot = bins.agg(
+        F.sum("_nk").alias("_n"),
+        F.sum("_so").alias("_sumo"),
+        stable_sum(F.col("_sq"), 9).alias("_brier_sum"),
+    )
+    joined = bins.crossJoin(F.broadcast(tot))
+    pk = F.col("_sp") / F.col("_nk")
+    ok = F.col("_so") / F.col("_nk")
+    obar = F.col("_sumo") / F.col("_n")
+    terms = joined.select(
+        "_n",
+        "_sumo",
+        "_brier_sum",
+        F.round(F.col("_nk") * (pk - ok) * (pk - ok), 9).alias("_rel"),
+        F.round(F.col("_nk") * (ok - obar) * (ok - obar), 9).alias("_res"),
+    )
+    out = terms.groupBy("_n", "_sumo", "_brier_sum").agg(
+        stable_sum(F.col("_rel"), 9).alias("_srel"),
+        stable_sum(F.col("_res"), 9).alias("_sres"),
+    )
+    ob = F.col("_sumo") / F.col("_n")
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_brier_sum") / F.col("_n"), 6).alias("brier"),
+        F.round(F.col("_srel") / F.col("_n"), 6).alias("reliability"),
+        F.round(F.col("_sres") / F.col("_n"), 6).alias("resolution"),
+        F.round(ob * (F.lit(1.0) - ob), 6).alias("uncertainty"),
+    )
+
+
+def weighted_mean_ess(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Importance-weighted mean + Kish effective sample size — the
+    diagnostics read BEFORE trusting any importance-weighted estimate
+    (DSIR resampling, IPW experiment readouts, survey reweighting):
+    ESS = (Σw)²/Σw² collapses toward 1 when a few rows dominate the
+    weights, and ess_frac = ESS/n is the standard health number (Kish
+    1965; an ess_frac under ~0.1 means the weighted answer hangs on a
+    handful of rows).
+
+    ONE no-grouping map-side-combined aggregate — decimal-stabilized
+    sums (products 9dp-rounded pre-cast, the engine exactness rule),
+    three IEEE divisions at the end. Rows with NULL value or weight
+    are excluded; negative weights raise no error here but break the
+    ESS interpretation — validate upstream. Output one row:
+    (n, weighted_mean, sum_w, ess, ess_frac).
+    """
+    from .aggregate import stable_sum
+
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(v.isNotNull() & w.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_sum(w, 9).alias("_sw"),
+        stable_sum(F.round(w * w, 9), 9).alias("_sww"),
+        stable_sum(F.round(w * v, 9), 9).alias("_swv"),
+    )
+    ess = F.try_divide(F.col("_sw") * F.col("_sw"), F.col("_sww"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.try_divide(F.col("_swv"), F.col("_sw")), 6).alias(
+            "weighted_mean"
+        ),
+        F.round(F.col("_sw"), 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(F.try_divide(ess, F.col("n").cast("double")), 6).alias(
+            "ess_frac"
+        ),
+    )

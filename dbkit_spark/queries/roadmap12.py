@@ -1858,3 +1858,153 @@ ROADMAP12["q398_stream_quality_gate"] = (
     _q383_oracle(),
     _Q398_NOTES,
 )
+
+
+# --- q399: Brier decomposition of the lang-ID signal -------------------------------
+
+
+def q399_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition (operators/mlmetrics.brier_decomposition)
+    of stop_ratio as a probability that a document is English — the
+    calibration audit of the q47 lang-ID signal."""
+    from ..functions.text import stopword_ratio, tokens
+    from ..operators.mlmetrics import brier_decomposition
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_ratio("text", tokens("text")).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return brier_decomposition(scored, "p", "is_en", n_bins=10)
+
+
+def _q399_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+    from .llm import _STOP_SQL, _TOKS_SQL
+
+    return f"""
+    WITH s AS (
+      SELECT CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t,
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len(t) END AS p,
+             CAST(lang = 'en' AS INTEGER) AS o
+      FROM ({_TOKS_SQL})
+    ),
+    b AS (
+      SELECT least(9, CAST(floor(p * 10) AS INTEGER)) AS bin,
+             p, CAST(o AS DOUBLE) AS o
+      FROM s WHERE p IS NOT NULL AND o IS NOT NULL
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS nk,
+             {stable_sum_sql("p", 9)} AS sp,
+             CAST(SUM(CAST(o AS BIGINT)) AS BIGINT) AS so,
+             {stable_sum_sql("round((p - o) * (p - o), 9)", 9)} AS sq
+      FROM b GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(nk) AS n, SUM(so) AS sumo,
+             {stable_sum_sql("sq", 9)} AS brier_sum
+      FROM bins
+    ),
+    terms AS (
+      SELECT t.n, t.sumo, t.brier_sum,
+             round(b.nk * (b.sp / b.nk - CAST(b.so AS DOUBLE) / b.nk)
+                        * (b.sp / b.nk - CAST(b.so AS DOUBLE) / b.nk), 9)
+               AS rel,
+             round(b.nk * (CAST(b.so AS DOUBLE) / b.nk
+                           - CAST(t.sumo AS DOUBLE) / t.n)
+                        * (CAST(b.so AS DOUBLE) / b.nk
+                           - CAST(t.sumo AS DOUBLE) / t.n), 9) AS res
+      FROM bins b CROSS JOIN tot t
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(brier_sum / n, 6) AS brier,
+           round({stable_sum_sql("rel", 9)} / n, 6) AS reliability,
+           round({stable_sum_sql("res", 9)} / n, 6) AS resolution,
+           round((CAST(sumo AS DOUBLE) / n)
+                 * (1.0 - CAST(sumo AS DOUBLE) / n), 6) AS uncertainty
+    FROM terms GROUP BY n, sumo, brier_sum
+    """
+
+
+_Q399_NOTES = (
+    "BRIER DECOMPOSITION / CALIBRATION AUDIT (operators/mlmetrics."
+    "brier_decomposition — Murphy 1973: BRIER ~ RELIABILITY - "
+    "RESOLUTION + UNCERTAINTY; the readout behind every "
+    "quality-classifier audit, here scoring stop_ratio as P(english) "
+    "against the lang tag — the q47 signal graded honestly): "
+    "fixed-width bins (the q378 convention), one map-side bucket + "
+    "ONE bin aggregate + scalar recombination of the bins-sized table "
+    "— two exchanges at any row count; decimal-stabilized sums with "
+    "9dp-rounded products; raw Brier reported alongside because the "
+    "identity is exact only for within-bin-constant forecasts"
+)
+
+ROADMAP12["q399_brier_decomposition"] = (
+    q399_brier_decomposition,
+    _q399_oracle(),
+    _Q399_NOTES,
+)
+
+
+# --- q400: importance-weight diagnostics (Kish ESS) --------------------------------
+
+
+def q400_weighted_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish ESS diagnostics (operators/mlmetrics.weighted_mean_ess)
+    over a deliberately skewed weighting of events.value (every 7th
+    user up-weighted 25x) — the health check read before trusting any
+    importance-weighted estimate (the q380 DSIR companion)."""
+    from ..operators.mlmetrics import weighted_mean_ess
+
+    ev = read_table(spark, sf_dir, "events")
+    weighted = ev.select(
+        "value",
+        F.when(F.col("user_id") % 7 == 0, F.lit(25.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    return weighted_mean_ess(weighted, "value", "w")
+
+
+def _q400_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+
+    return f"""
+    WITH base AS (
+      SELECT value,
+             CASE WHEN user_id % 7 = 0 THEN 25.0 ELSE 1.0 END AS w
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT COUNT(*) AS n,
+             {stable_sum_sql("w", 9)} AS sw,
+             {stable_sum_sql("round(w * w, 9)", 9)} AS sww,
+             {stable_sum_sql("round(w * value, 9)", 9)} AS swv
+      FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(swv / sw, 6) AS weighted_mean,
+           round(sw, 6) AS sum_w,
+           round(sw * sw / sww, 6) AS ess,
+           round((sw * sw / sww) / n, 6) AS ess_frac
+    FROM a
+    """
+
+
+_Q400_NOTES = (
+    "IMPORTANCE-WEIGHT DIAGNOSTICS / KISH ESS (operators/mlmetrics."
+    "weighted_mean_ess — Kish 1965: ESS = (sum w)^2 / sum w^2; the "
+    "number read BEFORE trusting any importance-weighted estimate — "
+    "DSIR resampling (q380), IPW readouts, survey reweighting; "
+    "ess_frac << 1 means the answer hangs on a handful of rows): ONE "
+    "no-grouping map-combined aggregate, decimal-stabilized sums with "
+    "9dp-rounded products, three IEEE divisions at the end. Anchor "
+    "up-weights every 7th user 25x so the diagnostic fires at every "
+    "fixture scale"
+)
+
+ROADMAP12["q400_weighted_ess"] = (q400_weighted_ess, _q400_oracle(), _Q400_NOTES)

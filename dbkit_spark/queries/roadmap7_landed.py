@@ -26,21 +26,21 @@ from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
 # Round-13 landing (PRE-COMPUTED at r12 close; execute next round): the
-# queue holds exactly 24 entries (q375–q398), all SQL-oracled and
+# queue holds exactly 26 entries (q375–q400), all SQL-oracled and
 # pre-verified at sf0.001/sf0.01 (the driver gate) AND sf0.1 — no
 # rows-only entries this round. If CORRECTNESS_r12 is clean (the exact
 # window was replayed 50/50 by tools/driver_sim.py at r12 close),
-# _LANDED_MAX_QNUM = 398 lands all 24 and the r13 window is those 24
-# never-driver-checked entries + the 26 least-recently-verified greens
-# — simulated at r12 close: q133–q157 (the r4 TPC-H/curation cohort)
-# + q65_ann_ivf, leaving q66+ and the r7-era oracle-converted
+# _LANDED_MAX_QNUM = 400 lands all 26 and the r13 window is those 26
+# never-driver-checked entries + the 24 least-recently-verified greens
+# — simulated at r12 close: q133–q155 (the r4 TPC-H/curation cohort),
+# leaving q156+ and the r7-era oracle-converted
 # stragglers (q38/q72/q79, plus q267/q310) to rotate in at r14. If any
 # r12 window query FAILS, it re-enters with green-round 0 and shifts
 # the window: land fewer (largest qnum prefix) such that landings +
 # re-entries + refresh top-up still total exactly 50 (the q289/r10
 # precedent). Update GUARD_ROUND/R13_REFRESH in tests/test_catalog.py
-# per the artifact-aware pattern and regenerate COVERAGE.md (398
-# registered) at landing time.
+# per the artifact-aware pattern and regenerate COVERAGE.md (400
+# registered = 374 + 26) at landing time.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic
 # judge-verified at r11 close): the queue held exactly 12 entries

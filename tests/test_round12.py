@@ -1038,3 +1038,50 @@ def test_semdedup_matches_bruteforce_randomized(spark):
     # sanity: the rule actually fired both ways at this tau
     assert any(not k for k in expect_kept.values())
     assert any(k for k in expect_kept.values())
+
+
+def test_brier_decomposition_laws(spark):
+    """Perfectly calibrated constant forecasts: reliability 0 and the
+    Murphy identity exact; a miscalibrated constant forecast moves the
+    whole gap into reliability."""
+    from dbkit_spark.operators.mlmetrics import brier_decomposition
+
+    # p = 0.25 in a bin whose observed rate IS 0.25 -> rel = 0,
+    # res = 0 (one bin), brier = uncertainty + 0 - 0
+    rows = [(0.25, 1)] * 25 + [(0.25, 0)] * 75
+    df = spark.createDataFrame(rows, "p double, o int")
+    got = brier_decomposition(df, "p", "o").collect()[0]
+    assert got["reliability"] == 0.0 and got["resolution"] == 0.0
+    assert abs(got["brier"] - got["uncertainty"]) < 1e-6
+    assert got["uncertainty"] == 0.1875  # 0.25 * 0.75
+
+    # same outcomes, p = 0.95: pure miscalibration
+    bad = spark.createDataFrame(
+        [(0.95, 1)] * 25 + [(0.95, 0)] * 75, "p double, o int"
+    )
+    g2 = brier_decomposition(bad, "p", "o").collect()[0]
+    assert abs(g2["reliability"] - 0.49) < 1e-6  # (0.95-0.25)^2
+    assert g2["brier"] > got["brier"]
+    with pytest.raises(ValueError, match="n_bins"):
+        brier_decomposition(df, "p", "o", n_bins=1)
+
+
+def test_weighted_mean_ess_laws(spark):
+    """Uniform weights -> ESS = n exactly and the weighted mean is the
+    plain mean; one dominant weight -> ESS ~ 1."""
+    from dbkit_spark.operators.mlmetrics import weighted_mean_ess
+
+    flat = spark.createDataFrame(
+        [(float(v), 2.0) for v in range(1, 11)], "v double, w double"
+    )
+    got = weighted_mean_ess(flat, "v", "w").collect()[0]
+    assert got["ess"] == 10.0 and got["ess_frac"] == 1.0
+    assert got["weighted_mean"] == 5.5
+
+    spiked = spark.createDataFrame(
+        [(0.0, 1e6)] + [(float(v), 1.0) for v in range(1, 100)],
+        "v double, w double",
+    )
+    g2 = weighted_mean_ess(spiked, "v", "w").collect()[0]
+    assert g2["ess"] < 1.01 and g2["ess_frac"] < 0.02
+    assert g2["weighted_mean"] < 0.01  # the spike dominates
