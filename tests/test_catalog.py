@@ -73,21 +73,21 @@ def test_readme_count_matches_catalog():
 
 
 def test_roadmap7_queue_preverified(spark):
-    """Whatever remains QUEUED (round-11 additions q363+ after the
-    round-11 landing of q341–q362) must ALREADY pass the driver's
+    """Whatever remains QUEUED (round-13 additions q401+ after the
+    round-13 landing of q375–q400) must ALREADY pass the driver's
     compare at the driver's scale — landing is then a pure registration
     move. load_all() runs first so the landed entries are moved out of
     the queue dict before the sweep."""
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
-    assert len(load_all()) == 374  # 362 + the 12 landed q363–q374
+    assert len(load_all()) == 400  # 374 + the 26 landed q375–q400
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # Round-12 additions (q375+); the queue is capped at one driver
+    # Round-13 additions (q401+); the queue is capped at one driver
     # window. An empty queue (between addition batches) is legal.
     assert len(ROADMAP7) <= 50
-    assert all(qnum(n)[0] >= 375 for n in ROADMAP7)
+    assert all(qnum(n)[0] >= 401 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.
@@ -101,33 +101,29 @@ def test_roadmap7_queue_preverified(spark):
                 check_dtype_parity(spark, name, fn, oracle, sf)
 
 
-GUARD_ROUND = 12  # the driver round whose rotation window this guard pins
+GUARD_ROUND = 13  # the driver round whose rotation window this guard pins
 
-# The 38 least-recently-verified greens that top up the r12 window after
-# the q363–q374 landing: the remaining r3 cohort (13 queries, last
-# driver-green CORRECTNESS_r03 — includes q118, whose r11 EWMA oracle
-# conversion earns its first driver hash-green here) plus the entire r4
-# cohort (25 queries). Computed by load_all() rotation order at landing
-# time and pinned literally so a registration or artifact change that
-# shifts the window fails HERE, not in the driver sweep. The other
-# oracle-converted stragglers (q38/q72/q79 last-green r7, q267 r9,
-# q310 r10) do NOT fit — the r3+r4 cohorts fill all 38 slots — and
-# rotate in at r13.
-R12_REFRESH = {
-    "q111_histogram", "q112_jaccard_prefix_filter", "q113_tpch_q21_waiting",
-    "q114_hof_array_surface", "q116_robust_stats", "q117_tpch_q2_min_cost",
-    "q118_ewma", "q119_three_valued_logic", "q120_date_dim_activity",
-    "q121_union_by_name", "q122_percent_of_total", "q124_mode_deterministic",
-    "q125_funnel", "q54_multiset_ops", "q55_pandas_udf_scalar",
-    "q56_grouped_agg_udaf", "q58_join_full_outer", "q59_join_right_outer",
-    "q60_like_predicates", "q61_sort_nulls_ordering", "q62_from_json_typed",
-    "q63_stream_static_join", "q64_salted_join_skew", "q73_rollup_hierarchy",
-    "q95_sessionize", "q97_trailing_window_1h", "q101_gapfill_locf",
-    "q102_scd2_user_state", "q107_stream_incremental_upsert",
-    "q115_stream_session_replay", "q123_first_seen_cumulative",
-    "q126_retention_cohorts", "q127_ann_index_query",
-    "q128_stream_stream_left_outer", "q129_asof_tolerance",
-    "q130_image_formats", "q131_tpch_q6_forecast", "q132_tpch_q10_returned",
+# The 24 least-recently-verified greens that top up the r13 window after
+# the q375–q400 landing: exactly the r4 TPC-H/curation cohort q133–q156
+# (last driver-green CORRECTNESS_r04). Computed by load_all() rotation
+# order at landing time and pinned literally so a registration or
+# artifact change that shifts the window fails HERE, not in the driver
+# sweep. The oracle-converted stragglers (q38/q72/q79 last-green r7,
+# q204/q212 r8, q267 r9, q310 r10) do NOT fit — the r4 cohort fills all
+# 24 slots — and lead the r14 refresh ordering (q38/q72/q79 first).
+R13_REFRESH = {
+    "q133_tpch_q12_late_priority", "q134_tpch_q14_promo",
+    "q135_tpch_q19_disjunctive", "q136_tpch_q4_priority",
+    "q137_tpch_q20_supplier_parts", "q138_edit_distance_pairs",
+    "q139_salted_two_stage_agg", "q140_event_transitions",
+    "q141_cross_doc_ngram10", "q142_corpus_curation", "q143_vector_norms",
+    "q144_bucketed_colocated_join", "q145_dynamic_partition_pruning",
+    "q146_stream_stream_full_outer", "q147_string_surface2",
+    "q148_approx_percentile", "q149_nth_value_analytics",
+    "q150_datetime_surface2", "q151_explode_variants",
+    "q152_stream_stream_right_outer", "q153_cdc_apply",
+    "q154_transitive_closure", "q155_format_roundtrip",
+    "q156_curated_decontaminated",
 }
 
 
@@ -140,13 +136,13 @@ def _latest_artifact_round() -> int:
     return max(rounds)
 
 
-def test_r12_window_is_exactly_the_landed_batch(spark):
-    """VERDICT r11 item 1 guard, artifact-aware: with driver artifacts
-    through r11 present (a clean 48+2/50, so no failure re-enters), the
-    50-slot r12 rotation window must be exactly the 12 newly landed
-    never-driver-checked queries q363–q374 plus the 38
-    least-recently-verified greens — the remaining r3 cohort + the whole
-    r4 cohort, pinned literally in R12_REFRESH. If a future registration
+def test_r13_window_is_exactly_the_landed_batch(spark):
+    """VERDICT r12 item 1 guard, artifact-aware: with driver artifacts
+    through r12 present (a clean 48+2/50, so no failure re-enters), the
+    50-slot r13 rotation window must be exactly the 26 newly landed
+    never-driver-checked queries q375–q400 plus the 24
+    least-recently-verified greens — the whole r4 TPC-H/curation cohort
+    q133–q156, pinned literally in R13_REFRESH. If a future registration
     or CORRECTNESS file breaks this arithmetic, fail HERE.
 
     Artifact-aware (the round-8 lesson: a window guard goes red the
@@ -157,16 +153,16 @@ def test_r12_window_is_exactly_the_landed_batch(spark):
     form (test_rotation_never_green_first)."""
     window = list(load_all())[:50]
     if _latest_artifact_round() >= GUARD_ROUND:
-        # Spent guard: the r12 (or later) sweep already landed. The
+        # Spent guard: the r13 (or later) sweep already landed. The
         # durable invariant — rotation always spends slots on the
         # least-evidenced queries first — is pinned artifact-
         # independently by test_rotation_never_green_first; just ensure
         # the window is full-size and deterministic here.
         assert len(window) == 50
         return
-    landed = {n for n in window if 363 <= qnum(n)[0] <= 374}
-    assert len(landed) == 12, sorted(landed)
-    expected = landed | R12_REFRESH
+    landed = {n for n in window if 375 <= qnum(n)[0] <= 400}
+    assert len(landed) == 26, sorted(landed)
+    expected = landed | R13_REFRESH
     assert set(window) == expected and len(window) == 50, sorted(
         set(window) ^ expected
     )
