@@ -1107,8 +1107,10 @@ def dedup_sensitivity(
     """
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
-    if sorted(thresholds) != list(thresholds):
-        raise ValueError("thresholds must be sorted ascending")
+    if any(b <= a for a, b in zip(thresholds, thresholds[1:])):
+        # Strictly ascending: a duplicated tau would duplicate its rows
+        # in the exploded base frame and every downstream join row.
+        raise ValueError("thresholds must be strictly ascending")
     tau = F.explode(
         F.array(*[F.lit(float(t)) for t in thresholds])
     ).alias("threshold")

@@ -155,10 +155,15 @@ def gopher_quality_filters(
     MassiveText filtered with, reused by most open pipelines since):
     word-count bounds, mean-word-length bounds, symbol-to-word ratio
     (# and ellipsis), alphabetic-word fraction, and the >=2-of-8
-    stop-word presence rule. The paper's LINE-level rules
-    (bullet-start / ellipsis-end line ratios) need line-preserving
-    text and are intentionally NOT approximated here — run them
-    upstream where newlines still exist.
+    stop-word presence rule. Per the paper, the symbol rule is checked
+    PER SYMBOL — the hash ratio and the ellipsis ratio must each stay
+    <= ``max_symbol_ratio`` (a doc at 0.06 hash + 0.06 ellipsis
+    passes); ellipses count both ASCII ``...`` and Unicode U+2026. The
+    reported ``symbol_ratio`` is the binding one (the max of the two),
+    so ``symbol_ratio <= max_symbol_ratio`` iff the rule passes. The
+    paper's LINE-level rules (bullet-start / ellipsis-end line ratios)
+    need line-preserving text and are intentionally NOT approximated
+    here — run them upstream where newlines still exist.
 
     Map-only: every stat is array/regex math inside whole-stage codegen
     over one pass of the text — no shuffle, no UDF, embarrassingly
@@ -177,10 +182,12 @@ def gopher_quality_filters(
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
     n_ellipsis = (
         F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-    symbol_ratio = F.try_divide(
-        (n_hash + n_ellipsis).cast("double"), n_words
+    ) / F.lit(3) + (
+        F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
     )
+    hash_ratio = F.try_divide(n_hash.cast("double"), n_words)
+    ellipsis_ratio = F.try_divide(n_ellipsis.cast("double"), n_words)
+    symbol_ratio = F.greatest(hash_ratio, ellipsis_ratio)
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
     alpha_frac = F.try_divide(n_alpha.cast("double"), n_words)
     stop_hits = F.size(

@@ -714,9 +714,10 @@ def _q383_oracle() -> str:
              CASE WHEN len(t) > 0 THEN
                CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
                  / len(t) END AS mwl,
-             (length(text) - length(replace(text, '#', ''))
-              + (length(text) - length(replace(text, '...', ''))) / 3)
-               AS nsym,
+             (length(text) - length(replace(text, '#', ''))) AS nhash,
+             ((length(text) - length(replace(text, '...', ''))) / 3
+              + (length(text) - length(replace(text, '…', ''))))
+               AS nell,
              len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
                AS nalpha,
              len(list_intersect(list_distinct(t), {stop})) AS stop_hits
@@ -724,14 +725,18 @@ def _q383_oracle() -> str:
     ),
     r AS (
       SELECT doc_id, nw, mwl,
-             CASE WHEN nw > 0 THEN CAST(nsym AS DOUBLE) / nw END AS sym,
+             CASE WHEN nw > 0 THEN
+               greatest(CAST(nhash AS DOUBLE) / nw,
+                        CAST(nell AS DOUBLE) / nw) END AS sym,
              CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / nw END
                AS alpha,
              stop_hits,
              nw BETWEEN 50 AND 100000 AS rule_word_count,
              COALESCE(mwl BETWEEN 3.0 AND 10.0, FALSE)
                AS rule_mean_word_len,
-             COALESCE(CAST(nsym AS DOUBLE) / nullif(nw, 0) <= 0.1, FALSE)
+             COALESCE(greatest(CAST(nhash AS DOUBLE) / nullif(nw, 0),
+                               CAST(nell AS DOUBLE) / nullif(nw, 0))
+                      <= 0.1, FALSE)
                AS rule_symbol_ratio,
              COALESCE(CAST(nalpha AS DOUBLE) / nullif(nw, 0) >= 0.8, FALSE)
                AS rule_alpha_words,
@@ -755,7 +760,8 @@ _Q383_NOTES = (
     "GOPHER DOC-LEVEL QUALITY RULES (llm/quality.gopher_quality_filters "
     "— Rae et al. 2021 Appendix A1.1, the MassiveText rule set reused "
     "by most open pipelines: word-count bounds, mean-word-length "
-    "bounds, #/ellipsis symbol-to-word ratio, >=80% alphabetic words, "
+    "bounds, per-symbol #/ellipsis symbol-to-word ratios, >=80% "
+    "alphabetic words, "
     ">=2-of-8 stop words): MAP-ONLY — every stat is array/regex math "
     "inside whole-stage codegen, one text pass, no shuffle/UDF; ratios "
     "are single IEEE divisions of exact integer counts; zero-word docs "
@@ -1165,8 +1171,16 @@ def _q389_oracle() -> str:
       SELECT p.p, r.arm, r.value
       FROM ranked r JOIN tot t USING (arm)
                     JOIN ps p ON r.rk = CAST(ceil(p.p * t.n) AS BIGINT)
-    )
-    SELECT s.p,
+    ),
+    -- Scalar subqueries + COALESCE so an EMPTY arm yields n=0 instead
+    -- of cross-joining away every row; driving from ps via LEFT JOIN
+    -- keeps one row per prob (NULL quantiles) — the exact empty-arm
+    -- shape quantile_lift's global aggregate produces (ADVICE r12).
+    tc AS (SELECT COALESCE(
+             (SELECT n FROM tot WHERE arm = 'control'), 0) AS n),
+    tt AS (SELECT COALESCE(
+             (SELECT n FROM tot WHERE arm = 'treatment'), 0) AS n)
+    SELECT p.p,
            tc.n AS n_control,
            tt.n AS n_treatment,
            MAX(CASE WHEN s.arm = 'control' THEN s.value END) AS q_control,
@@ -1175,11 +1189,11 @@ def _q389_oracle() -> str:
            round(MAX(CASE WHEN s.arm = 'treatment' THEN s.value END)
                  - MAX(CASE WHEN s.arm = 'control' THEN s.value END), 6)
              AS lift
-    FROM sel s,
-         (SELECT n FROM tot WHERE arm = 'control') tc(n),
-         (SELECT n FROM tot WHERE arm = 'treatment') tt(n)
-    GROUP BY s.p, tc.n, tt.n
-    ORDER BY s.p
+    FROM ps p
+    LEFT JOIN sel s ON s.p = p.p
+    CROSS JOIN tc CROSS JOIN tt
+    GROUP BY p.p, tc.n, tt.n
+    ORDER BY p.p
     """
 
 

@@ -18,6 +18,7 @@ import threading
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_srm_zero_observed_arm_is_flagged(spark):
@@ -530,6 +531,12 @@ def test_gopher_filters_hand_cases(spark):
         (3, " ".join(["12345"] * 60)),      # fails alpha + stopwords + mwl
         (4, ""),                            # zero words: fails, NULL ratios
         (5, good + " " + "#" * 40),         # hash spam: fails symbol ratio
+        # Per-symbol rule (Rae et al. A1.1, ADVICE r12): ~0.07 hash +
+        # ~0.07 ellipsis each stay under 0.1, so the doc PASSES even
+        # though the summed ratio would be ~0.14.
+        (6, good + " #### ...... ......"),
+        # Unicode ellipsis U+2026 counts toward the ellipsis ratio.
+        (7, good + " " + "…" * 40),
     ]
     got = {r["doc_id"]: r for r in gopher_quality_filters(_docs_df(spark, rows)).collect()}
     assert got[1]["passes"]
@@ -542,6 +549,12 @@ def test_gopher_filters_hand_cases(spark):
     assert got[4]["mean_word_len"] is None and got[4]["symbol_ratio"] is None
     assert not got[5]["rule_symbol_ratio"] and not got[5]["passes"]
     assert got[5]["symbol_ratio"] > 0.1
+    # Per-symbol: each ratio ~0.07 <= 0.1 so the rule passes, even
+    # though the SUM (~0.14) would have failed the pre-fix combined rule.
+    assert got[6]["rule_symbol_ratio"] and got[6]["passes"]
+    assert got[6]["symbol_ratio"] <= 0.1
+    # U+2026 counts as an ellipsis.
+    assert not got[7]["rule_symbol_ratio"] and got[7]["symbol_ratio"] > 0.1
 
 
 def test_zipf_fit_exact_power_law(spark):
@@ -649,8 +662,11 @@ def test_dedup_sensitivity_monotone_and_zero_tail(spark):
     assert pairs == [3, 2, 1, 0]
     assert docs == [5, 3, 2, 0]
     assert pairs == sorted(pairs, reverse=True)
-    with pytest.raises(ValueError, match="sorted"):
+    with pytest.raises(ValueError, match="ascending"):
         dedup_sensitivity(sims, [0.5, 0.2])
+    with pytest.raises(ValueError, match="ascending"):
+        # Duplicates would duplicate rows per repeated tau (ADVICE r12).
+        dedup_sensitivity(sims, [0.2, 0.2, 0.5])
     with pytest.raises(ValueError, match="non-empty"):
         dedup_sensitivity(sims, [])
 
@@ -695,6 +711,43 @@ def test_quantile_lift_shift_law(spark):
     assert all(r["n_treatment"] == 0 and r["q_treatment"] is None for r in empty)
     with pytest.raises(ValueError, match="probs"):
         quantile_lift(df, "arm", "value", "control", "treatment", probs=(0.5, 0.2))
+
+
+def test_q389_oracle_empty_arm_parity(spark):
+    """ADVICE r12: the q389 oracle must emit the SAME empty-arm shape as
+    quantile_lift (one row per prob, n=0, NULL quantiles) instead of
+    cross-joining away every row when an arm is empty. Replay the live
+    oracle in DuckDB on an events fixture whose user_ids are all even
+    (treatment arm empty) and compare row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from dbkit_spark.operators.mlmetrics import quantile_lift
+    from dbkit_spark.queries.roadmap12 import _q389_oracle
+
+    fixture = pd.DataFrame(
+        {"user_id": [2 * i for i in range(1, 41)],
+         "value": [float(v) for v in range(1, 41)]}
+    )
+    con = duckdb.connect()
+    con.register("events", fixture)
+    oracle_rows = con.execute(_q389_oracle()).fetchall()
+
+    armed = spark.createDataFrame(fixture).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    spark_rows = [
+        tuple(r)
+        for r in quantile_lift(
+            armed, "arm", "value", control="control", treatment="treatment"
+        ).orderBy("p").collect()
+    ]
+    assert len(oracle_rows) == 4 == len(spark_rows)
+    assert spark_rows == sorted(oracle_rows)
+    assert all(r[2] == 0 and r[4] is None and r[5] is None for r in spark_rows)
 
 
 def test_survivor_by_score_hand_case(spark):
