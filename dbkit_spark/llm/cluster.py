@@ -544,6 +544,51 @@ def connected_components_delta(
     return relabeled.unionByName(fresh)
 
 
+def _centroid_distances(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """(_id, label, _v, cdist): per-vector Euclidean distance to its
+    label's centroid — the shared inner step of semdedup /
+    semdedup_delta / prototypicality. Centroid table broadcasts
+    (labels-sized); squared terms round at 9dp and ride a DECIMAL fold
+    (order-free), the distance rounds at 6dp (engine exactness rule)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            v.alias("_v"),
+        )
+        .join(F.broadcast(cents), "label")
+        .select(
+            "_id",
+            "label",
+            "_v",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_v"),
+                            F.col("centroid"),
+                            lambda x, c: F.round((x - c) * (x - c), 9).cast(
+                                "decimal(38,12)"
+                            ),
+                        ),
+                        F.lit(0).cast("decimal(38,12)"),
+                        lambda a, x: (a + x).cast("decimal(38,12)"),
+                        lambda a: a.cast("double"),
+                    )
+                ),
+                6,
+            ).alias("cdist"),
+        )
+    )
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float,
@@ -587,37 +632,7 @@ def semdedup(
     from ..functions.vectors import cosine
 
     cents = label_centroids(emb, vec_col, label_col)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    with_dist = (
-        emb.select(
-            F.col(id_col).alias("_id"),
-            F.col(label_col).alias("label"),
-            v.alias("_v"),
-        )
-        .join(F.broadcast(cents), "label")
-        .select(
-            "_id",
-            "label",
-            "_v",
-            F.round(
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_v"),
-                            F.col("centroid"),
-                            lambda x, c: F.round((x - c) * (x - c), 9).cast(
-                                "decimal(38,12)"
-                            ),
-                        ),
-                        F.lit(0).cast("decimal(38,12)"),
-                        lambda a, x: (a + x).cast("decimal(38,12)"),
-                        lambda a: a.cast("double"),
-                    )
-                ),
-                6,
-            ).alias("cdist"),
-        )
-    )
+    with_dist = _centroid_distances(emb, cents, id_col, vec_col, label_col)
     a = with_dist.select(
         F.col("_id").alias("_ida"),
         F.col("label").alias("label"),
@@ -720,4 +735,151 @@ def adjusted_rand_index(
         "n_clusters_a",
         "n_clusters_b",
         F.round(ari, 6).alias("ari"),
+    )
+
+
+def prototypicality(
+    emb: DataFrame,
+    z_threshold: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster prototypicality / outlier scoring in embedding space
+    (Sorscher et al. 2022, "Beyond neural scaling laws": distance to
+    the k-means centroid is the self-supervised prototypicality metric
+    their pruning ranks by): each vector's centroid distance is
+    z-scored WITHIN its cluster, so 'atypical' is relative to the
+    cluster's own spread — the companion readout to ``semdedup``
+    (which removes the redundant core; this flags the noisy fringe —
+    OCR garbage, mislabeled modality, off-distribution scrapes).
+
+    Plan: centroid table is labels-sized (broadcast); per-label
+    mean/std are ONE map-combined aggregate of the distances frame
+    (labels-sized output, broadcast back). No self-join, no window —
+    strictly cheaper than semdedup on the same input.
+
+    Cross-engine exactness: distances 6dp (shared helper); moment sums
+    ride DECIMAL with 9dp-rounded squares; z rounds at 6dp. Singleton
+    clusters (or zero-variance clusters) have no spread to score
+    against: z is NULL and ``is_outlier`` false.
+
+    Output: (id, label, cdist, z, is_outlier).
+    """
+    cents = label_centroids(emb, vec_col, label_col)
+    d = _centroid_distances(emb, cents, id_col, vec_col, label_col)
+    # cdist is 6dp, so decimal(18,6) is EXACT and its square is an exact
+    # decimal(37,12) — no 9dp round of the product, whose 12-digit true
+    # value can tie at the 10th digit and split on engine rounding modes
+    # (caught by the q411 pre-verification at sf0.001).
+    c6 = F.col("cdist").cast("decimal(18,6)")
+    stats = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(c6).cast("double").alias("_s"),
+        F.sum((c6 * c6).cast("decimal(38,12)")).cast("double").alias("_ss"),
+    )
+    joined = d.join(F.broadcast(stats), "label")
+    nn = F.col("_n").cast("double")
+    mean = F.col("_s") / nn
+    var = F.try_divide(
+        F.col("_ss") - F.col("_s") * F.col("_s") / nn, nn - 1
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.round(
+        F.try_divide(F.col("cdist") - mean, F.when(sd > 0, sd)), 6
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("label").alias(label_col),
+        "cdist",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def semdedup_delta(
+    new: DataFrame,
+    old_kept: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """INCREMENTAL SemDeDup — the q365 delta-CC pattern applied to
+    q375's semantic dedup: a new ingest batch is deduplicated against a
+    FROZEN prior state (the previously KEPT vectors + the persisted
+    per-label centroid table) without re-touching the old corpus. Work
+    scales with the batch and the clusters it lands in, never the
+    archive.
+
+    Frozen-state contract (what makes it incremental AND deterministic):
+    old survivors are IMMUTABLE — a new vector can never evict one —
+    and centroid distances for the batch are measured against the
+    FROZEN centroids (re-centering would change old priorities and
+    force a full re-run; the drift is the price of incrementality, and
+    a periodic full ``semdedup`` re-base resets it — exactly the
+    t-digest/delta-CC maintenance story).
+
+    Removal rule for a new vector v (same dominance semantics as
+    ``semdedup``, with the frozen tier always senior): v is removed iff
+    some same-cluster OLD KEPT vector has cosine >= threshold to it, OR
+    some same-cluster NEW vector with higher priority (frozen-centroid
+    distance DESC, id ASC) has cosine >= threshold. With an EMPTY old
+    state and centroids built from the batch itself this reduces
+    exactly to ``semdedup(new)`` (pytest-pinned law).
+
+    Plan: two within-cluster equi-joins on the label key (new x old_kept
+    and new x new — both bounded by the SemDeDup cluster-size contract),
+    centroids broadcast. No corpus-wide anything.
+
+    Output: one row per NEW vector — (id, label, cdist, kept).
+    """
+    from ..functions.vectors import cosine
+
+    nd = _centroid_distances(new, centroids, id_col, vec_col, label_col)
+    a = nd.select(
+        F.col("_id").alias("_ida"),
+        "label",
+        F.col("_v").alias("_va"),
+        F.col("cdist").alias("_da"),
+    )
+    b = nd.select(
+        F.col("_id").alias("_idb"),
+        "label",
+        F.col("_v").alias("_vb"),
+        F.col("cdist").alias("_db"),
+    )
+    dom_new = (
+        a.join(b, "label")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(F.round(cosine("_va", "_vb"), 6) >= F.lit(threshold))
+        .filter(
+            (F.col("_da") > F.col("_db"))
+            | (
+                (F.col("_da") == F.col("_db"))
+                & (F.col("_ida") < F.col("_idb"))
+            )
+        )
+        .select(F.col("_idb").alias("_id"))
+    )
+    o = old_kept.select(
+        F.col(label_col).alias("label"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vo"),
+    )
+    dom_old = (
+        o.join(b, "label")
+        .filter(F.round(cosine("_vo", "_vb"), 6) >= F.lit(threshold))
+        .select(F.col("_idb").alias("_id"))
+    )
+    dominated = dom_new.union(dom_old).distinct()
+    return nd.join(
+        dominated.withColumn("_dom", F.lit(True)), "_id", "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("label").alias(label_col),
+        "cdist",
+        F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"),
     )

@@ -221,3 +221,76 @@ def bigram_lm_merge(
     contexts = ctx.groupBy("w1").agg(F.sum("c_ctx").cast("long").alias("c_ctx"))
     vocab = vt.distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
     return bigrams, contexts, vocab
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    group_col: str,
+    vocab_size: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-V vocabulary construction + per-domain out-of-vocabulary
+    rates — the coverage audit run before freezing any frequency-built
+    vocabulary (WordPiece/SentencePiece pipelines report exactly this
+    "character/word coverage" number; a domain with a high OOV rate
+    will fragment into UNK/byte fallbacks and train poorly).
+
+    Vocabulary = the ``vocab_size`` most frequent tokens corpus-wide,
+    deterministic tiebreak (count DESC, token ASC). Per domain: total
+    token occurrences, distinct tokens, occurrences outside the vocab,
+    and the OOV rate.
+
+    Plan: one (token) count aggregate; the top-V cut is a LIMIT over
+    (count, token) order — TakeOrderedAndProject, no global sort
+    materialization; the V-sized vocab then broadcast-LEFT-joins the
+    per-(domain, token) counts (second map-combined aggregate) and one
+    (domain) reduce finishes. V is a model-sized constant (10^4-10^5),
+    always broadcastable.
+
+    Output per domain: (domain, total_tokens, distinct_tokens,
+    oov_tokens, oov_rate 6dp, vocab_size).
+    """
+    from ..functions.text import tokens
+
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    toks = docs.select(
+        F.col(group_col).alias("domain"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    global_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    vocab = (
+        global_counts.orderBy(F.col("_c").desc(), F.col("tok").asc())
+        .limit(int(vocab_size))
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    per = toks.groupBy("domain", "tok").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    joined = per.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy("domain")
+        .agg(
+            F.sum("_n").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("_n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "domain",
+            "total_tokens",
+            "distinct_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+            F.lit(int(vocab_size)).cast("long").alias("vocab_size"),
+        )
+    )

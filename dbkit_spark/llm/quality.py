@@ -355,3 +355,289 @@ def unigram_js_divergence(
         "n_terms",
         F.round(js, 6).alias("js"),
     )
+
+
+def hashed_nb_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    m: int = 256,
+    k: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the closed-form half of a fastText-style quality
+    classifier (Joulin et al. 2017 architecture: hashed word uni+bigram
+    features into m buckets + a linear layer; Wang & Manning 2012
+    supply the training rule — Naive-Bayes log-count-ratio weights are
+    the closed-form linear classifier those features admit without SGD):
+    per bucket, weight = ln of the add-k-smoothed positive/negative
+    count ratio; the prior bias = ln of the smoothed class-count ratio.
+
+    Features are the engine-portable 24-bit-md5 buckets mod m (the
+    q380 DSIR rule) over word unigrams AND bigrams — the bigrams are
+    what let a linear model see negations and collocations (fastText's
+    own ablation). The weight table enumerates ALL m buckets (left join
+    against ``spark.range(m)``), so scoring joins are lossless even for
+    buckets one class never produced.
+
+    Scale: counts are two map-combined aggregates; both outputs are
+    m-sized / 1-row — broadcast artifacts, persist them per model
+    snapshot like the q379 LM tables. Exact LONG counts; ln at 9dp.
+
+    Returns ``(weights, prior)``: weights (bucket, weight) m rows;
+    prior 1 row (n_pos, n_neg, bias).
+    """
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    feats = _hashed_features(docs, [label_col], text_col, m)
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0))
+        .cast("long")
+        .alias("_cp"),
+        F.sum(F.when(~F.col(label_col), 1).otherwise(0))
+        .cast("long")
+        .alias("_cn"),
+    )
+    tots = counts.agg(
+        F.sum("_cp").alias("_tp"), F.sum("_cn").alias("_tn")
+    )
+    spark = docs.sparkSession
+    km = float(k) * m
+    weights = (
+        spark.range(m)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("_cp", F.lit(0)) + F.lit(k))
+                        / (F.coalesce("_tp", F.lit(0)) + F.lit(km))
+                    )
+                    / (
+                        (F.coalesce("_cn", F.lit(0)) + F.lit(k))
+                        / (F.coalesce("_tn", F.lit(0)) + F.lit(km))
+                    )
+                ),
+                9,
+            ).alias("weight"),
+        )
+    )
+    prior = docs.agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(~F.col(label_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.log(
+                (F.col("n_pos") + F.lit(k)) / (F.col("n_neg") + F.lit(k))
+            ),
+            9,
+        ).alias("bias"),
+    )
+    return weights, prior
+
+
+def hashed_nb_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 256,
+) -> DataFrame:
+    """Score documents with a trained hashed-linear model
+    (``hashed_nb_train``): logit = bias + Σ weight[bucket(feature)],
+    p = sigmoid(logit) — a pure MAP-SIDE pass at any corpus size (one
+    explode + one broadcast equi-join on the m-sized weight table + one
+    doc-keyed agg; the model ships as a broadcast, the corpus streams).
+
+    Per-doc weight sums ride DECIMAL (order-free). The logit — bias +
+    Σw, both 9dp decimals — is itself an EXACT 9dp decimal, so it is
+    computed entirely in decimal and emitted UNROUNDED: rounding it at
+    6dp can land exactly on the grid (a true decimal tie, unlike
+    transcendental outputs) and split on engine rounding modes — the
+    q401 sf0.1 pre-verification caught exactly that. The sigmoid is
+    one IEEE expression rounded at 6dp (the generic libm rule). Docs
+    with zero features (no tokens) are excluded — no features, no
+    evidence (the q380 rule).
+
+    Output: (id, n_features, logit exact, p 6dp, predicted).
+    """
+    feats = _hashed_features(docs, [id_col], text_col, m)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.col("weight").cast("decimal(38,12)")).alias("_swd"),
+        )
+        .crossJoin(F.broadcast(prior.select("bias")))
+    )
+    logit_dec = F.col("bias").cast("decimal(38,12)") + F.col("_swd")
+    logit = logit_dec.cast("double")
+    return scored.select(
+        id_col,
+        "n_features",
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("p"),
+        (logit > 0).alias("predicted"),
+    )
+
+
+def _hashed_features(
+    docs: DataFrame, keep_cols: list, text_col: str, m: int
+) -> DataFrame:
+    """(keep_cols..., bucket) — one exploded row per word unigram AND
+    bigram, bucketed by the portable 24-bit md5 rule mod m. Bigrams
+    join their tokens with '_' BEFORE hashing (a separator distinct
+    from the tokenizer's output alphabet, so 'a_b' the bigram can never
+    collide with a literal token by construction of [a-z0-9] tokens)."""
+    toks = tokens(text_col)
+    grams = F.concat(
+        toks,
+        F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i + 1, 2), "_"),
+            )
+        ),
+    )
+    return docs.select(*keep_cols, F.explode(grams).alias("_f")).select(
+        *keep_cols,
+        (
+            F.conv(F.substring(F.md5("_f"), 1, 6), 16, 10).cast("long") % m
+        ).alias("bucket"),
+    )
+
+
+def gopher_repetition_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+    max_dup5_char_frac: float = 0.15,
+) -> DataFrame:
+    """The CHARACTER-WEIGHTED Gopher repetition rules (Rae et al. 2021
+    Appendix A1.1 — the companion battery to ``gopher_quality_filters``'
+    document-level rules): fraction of characters contained in the most
+    frequent word 2-gram (> 0.20 rejects) and 3-gram (> 0.18), and
+    fraction of characters contained in DUPLICATED word 5-grams
+    (> 0.15). These catch looping generators and boilerplate mosaics
+    that per-token stats (``repetition_scores``, which reports COUNT
+    fractions, not char fractions) under-weight when the repeated units
+    are long.
+
+    Accounting (documented deviations, both conservative and
+    SQL-replayable): character mass of an n-gram occurrence counts its
+    tokens' characters only (no separators — token-space chars, the
+    denominator is the doc's summed token length); the dup-5-gram
+    numerator sums cnt·chars over every duplicated gram without
+    interval-union de-overlap (the paper unions character intervals;
+    overlap can push the raw ratio past 1, so it is clamped at 1).
+
+    Plan: grams are map-side array ops; ONE (doc, n, gram) count
+    aggregate; the top gram per (doc, n) is a row_number window on the
+    SAME key (deterministic tie: count DESC, gram ASC); one doc-keyed
+    reduce + one broadcast-back join onto per-doc char totals. All
+    exchanges are doc-keyed — nothing corpus-global.
+
+    Docs with fewer than n tokens have no n-grams: their fraction is
+    0.0 (no repetition evidence) and the rule passes — the word-count
+    rule in ``gopher_quality_filters`` is the one that rejects
+    too-short docs.
+
+    Output per doc: (id, n_tokens, top2_char_frac, top3_char_frac,
+    dup5_char_frac, rule_top2, rule_top3, rule_dup5, passes).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_t"),
+    ).select(
+        "_id",
+        F.size("_t").alias("n_tokens"),
+        F.aggregate(
+            "_t", F.lit(0), lambda a, x: a + F.length(x)
+        ).alias("_chars"),
+        "_t",
+    )
+    gram_rows = None
+    for n in (2, 3, 5):
+        g = base.select(
+            "_id",
+            F.lit(n).alias("_n"),
+            F.explode(shingles_from_tokens(F.col("_t"), n)).alias("_g"),
+        )
+        gram_rows = g if gram_rows is None else gram_rows.unionAll(g)
+    counts = gram_rows.groupBy("_id", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy("_id", "_n").orderBy(
+        F.col("_cnt").desc(), F.col("_g").asc()
+    )
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    # token-space char mass of one occurrence: length minus the n-1
+    # single-space joins shingles_from_tokens inserts
+    occ_chars = (F.length("_g") - (F.col("_n") - 1)).cast("long")
+    per_doc = ranked.groupBy("_id").agg(
+        F.max(
+            F.when(
+                (F.col("_n") == 2) & (F.col("_rn") == 1),
+                F.col("_cnt") * occ_chars,
+            )
+        ).alias("_top2"),
+        F.max(
+            F.when(
+                (F.col("_n") == 3) & (F.col("_rn") == 1),
+                F.col("_cnt") * occ_chars,
+            )
+        ).alias("_top3"),
+        F.sum(
+            F.when(
+                (F.col("_n") == 5) & (F.col("_cnt") >= 2),
+                F.col("_cnt") * occ_chars,
+            ).otherwise(F.lit(0))
+        ).alias("_dup5"),
+    )
+    joined = base.select("_id", "n_tokens", "_chars").join(
+        per_doc, "_id", "left"
+    )
+
+    def frac(col: str) -> Column:
+        return F.least(
+            F.coalesce(
+                F.try_divide(
+                    F.col(col).cast("double"), F.col("_chars").cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        )
+
+    t2, t3, d5 = frac("_top2"), frac("_top3"), frac("_dup5")
+    r2 = t2 <= max_top2_char_frac
+    r3 = t3 <= max_top3_char_frac
+    r5 = d5 <= max_dup5_char_frac
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(t2, 6).alias("top2_char_frac"),
+        F.round(t3, 6).alias("top3_char_frac"),
+        F.round(d5, 6).alias("dup5_char_frac"),
+        r2.alias("rule_top2"),
+        r3.alias("rule_top3"),
+        r5.alias("rule_dup5"),
+        (r2 & r3 & r5).alias("passes"),
+    )

@@ -895,3 +895,331 @@ def padding_waste(
             6,
         ).alias("trunc_frac"),
     )
+
+
+def mixture_health(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Corpus mixture-health readout: per-domain token shares plus the
+    concentration scalars every mixture review starts from — Shannon
+    entropy H = -Σ p ln p of the token share distribution, effective
+    domain count exp(H) (the "perplexity of the mixture"; uniform over
+    k domains → k), Herfindahl index Σ p² and the max share. A mixture
+    whose effective domain count is far below its nominal domain count
+    is dominated by a few sources (the Gopher/Pile mixture tables
+    report exactly these shares).
+
+    Plan: ONE map-side-combined (domain) aggregate → domains-sized
+    frame; the global scalars are a second aggregate OF THAT FRAME
+    (domains-sized input) broadcast-recombined as one row — the
+    q400/q381 scalar pattern, no window, no second corpus pass.
+
+    Cross-engine determinism: token sums are exact LONGs; shares are
+    single IEEE divisions; p·ln p terms round at 9dp and ride a DECIMAL
+    fold; outputs round at 6dp.
+
+    Output per domain: (domain, n_docs, n_tokens, token_share, entropy,
+    effective_domains, hhi, max_share) — the four scalars repeat on
+    every row (driver-canon scalar columns, the percent-of-total
+    convention).
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.try_divide(F.col("n_tokens").cast("double"), F.col("_t")).alias(
+            "_p"
+        ),
+    )
+    term = F.when(
+        F.col("_p") > 0, F.round(-F.col("_p") * F.log("_p"), 9)
+    ).otherwise(F.lit(0.0))
+    scalars = shared.agg(
+        F.sum(term.cast("decimal(38,12)")).cast("double").alias("_h"),
+        F.sum(
+            F.round(F.col("_p") * F.col("_p"), 9).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("_hhi"),
+        F.max("_p").alias("_mx"),
+    )
+    return shared.crossJoin(F.broadcast(scalars)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round("_p", 6).alias("token_share"),
+        F.round("_h", 6).alias("entropy"),
+        F.round(F.exp("_h"), 6).alias("effective_domains"),
+        F.round("_hhi", 6).alias("hhi"),
+        F.round("_mx", 6).alias("max_share"),
+    )
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget: float,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """EXACT per-domain token-budget allocation under repeat caps — the
+    closed-loop successor of ``mixture_epoch_plan`` (which reports each
+    domain's shortfall in isolation): water-filling REDISTRIBUTES the
+    capped domains' surplus to the uncapped ones in proportion to their
+    mixture weights, so the full budget is spent whenever it physically
+    fits (classic water-filling / bounded-capacity proportional
+    allocation; the repeat cap is Muennighoff et al. 2023's ~4-epoch
+    rule).
+
+    Semantics: cap_d = max_epochs · avail_d; allocation_d =
+    min(cap_d, share_d · λ) with the water level λ chosen so
+    Σ allocation = min(budget, Σ cap). Closed form: sort domains by
+    r_d = cap_d/share_d ascending — the capped set is a PREFIX of that
+    order; a domain is capped iff every domain at-or-before it passes
+    r_i <= λ_i where λ_i is the water level with the first i-1 domains
+    capped (λ is non-decreasing along the prefix, so the first failure
+    ends it).
+
+    Plan shape: one map-side-combined (domain) aggregate reduces the
+    corpus to a DOMAINS-SIZED frame; the sort + running sums are
+    windows over that metadata-sized frame (the prefix.py offsets
+    class — a bounded single reducer over k rows, never data-sized);
+    the final water level is one conditional 1-row aggregate broadcast
+    back. Shares ship as driver literals (mixture_epoch_plan
+    convention; weight keys are STRING domain names).
+
+    Cross-engine determinism: avail/cap/share are exact or literal;
+    running sums ride DECIMAL in the deterministic (r, domain) order;
+    r and λ round at 9dp before the prefix comparison.
+
+    Output per domain: (domain, avail_tokens, cap_tokens, target_share,
+    water_level, allocated_tokens, epochs, capped, leftover_budget) —
+    Σ allocated = min(budget, Σ cap) (6dp), leftover = budget − Σ
+    allocated (> 0 only when every domain capped).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    wtot = float(sum(weights.values()))
+    rows = [(d, round(float(w) / wtot, 12)) for d, w in sorted(weights.items())]
+    wdf = df.sparkSession.createDataFrame(
+        rows, "domain string, _share double"
+    )
+    avail = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_avail")
+    )
+    base = (
+        wdf.join(avail, "domain", "left")
+        .select(
+            "domain",
+            F.coalesce("_avail", F.lit(0)).cast("long").alias("_avail"),
+            "_share",
+            (F.coalesce("_avail", F.lit(0)).cast("double") * max_epochs).alias(
+                "_cap"
+            ),
+        )
+        .withColumn(
+            "_r", F.round(F.try_divide(F.col("_cap"), F.col("_share")), 9)
+        )
+    )
+    w = Window.orderBy(F.col("_r").asc_nulls_first(), F.col("domain").asc())
+    prev = Window.orderBy(
+        F.col("_r").asc_nulls_first(), F.col("domain").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    whole = Window.orderBy(
+        F.col("_r").asc_nulls_first(), F.col("domain").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stepped = base.select(
+        "*",
+        F.coalesce(
+            F.sum(F.col("_cap").cast("decimal(38,6)")).over(prev),
+            F.lit(0).cast("decimal(38,6)"),
+        )
+        .cast("double")
+        .alias("_cum_cap"),
+        # remaining share computed DECIMALLY against the in-query total
+        # (the 12dp-rounded share literals do not sum to exactly 1.0 in
+        # binary; a float "1.0 - cum" residual fabricates a huge water
+        # level when every domain is capped)
+        (
+            F.sum(F.col("_share").cast("decimal(38,12)")).over(whole)
+            - F.coalesce(
+                F.sum(F.col("_share").cast("decimal(38,12)")).over(prev),
+                F.lit(0).cast("decimal(38,12)"),
+            )
+        )
+        .cast("double")
+        .alias("_rem_share"),
+    ).withColumn(
+        "_lam_pre",
+        F.round(
+            F.try_divide(
+                F.lit(float(budget)) - F.col("_cum_cap"),
+                F.col("_rem_share"),
+            ),
+            9,
+        ),
+    ).withColumn(
+        "_ok",
+        F.when(
+            F.col("_r").isNull() | (F.col("_r") <= F.col("_lam_pre")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "capped", F.min("_ok").over(w.rowsBetween(Window.unboundedPreceding, 0)) == 1
+    )
+    level = stepped.agg(
+        F.round(
+            F.try_divide(
+                F.lit(float(budget))
+                - F.sum(
+                    F.when(F.col("capped"), F.col("_cap"))
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(38,6)")
+                ).cast("double"),
+                (
+                    F.sum(F.col("_share").cast("decimal(38,12)"))
+                    - F.sum(
+                        F.when(F.col("capped"), F.col("_share"))
+                        .otherwise(F.lit(0.0))
+                        .cast("decimal(38,12)")
+                    )
+                ).cast("double"),
+            ),
+            9,
+        ).alias("_lam"),
+        # When the budget fits (some domain uncapped) the water level
+        # spends it exactly, so leftover = max(0, B - total capacity).
+        F.round(
+            F.greatest(
+                F.lit(float(budget))
+                - F.sum(F.col("_cap").cast("decimal(38,6)")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("_leftover"),
+    )
+    alloc = F.when(F.col("capped"), F.col("_cap")).otherwise(
+        F.col("_share") * F.col("_lam")
+    )
+    return stepped.crossJoin(F.broadcast(level)).select(
+        "domain",
+        F.col("_avail").alias("avail_tokens"),
+        F.round("_cap", 6).alias("cap_tokens"),
+        F.round("_share", 6).alias("target_share"),
+        F.round("_lam", 6).alias("water_level"),
+        F.round(alloc, 6).alias("allocated_tokens"),
+        F.round(F.try_divide(alloc, F.col("_avail").cast("double")), 6).alias(
+            "epochs"
+        ),
+        "capped",
+        F.col("_leftover").alias("leftover_budget"),
+    )
+
+
+def eval_holdout_carve(
+    docs: DataFrame,
+    pairs: DataFrame,
+    group_col: str,
+    eval_frac: float = 0.1,
+    quota: int = 100,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    salt: str = "holdout",
+) -> DataFrame:
+    """Contamination-aware eval-split carving: carve a CERTIFIED-CLEAN
+    holdout out of a corpus whose train side is FROZEN (the real
+    benchmark-building workflow — existing training data cannot move,
+    unlike ``leakage_safe_split`` which assigns all docs jointly).
+
+    Three deterministic steps: (1) the hash split nominates an
+    ``eval_frac`` candidate slice (portable md5 rule — stable under
+    reruns/appends); (2) any candidate with a near-dup edge to a
+    TRAIN-side doc (either endpoint orientation, whatever pair
+    generator defined the relation — Lee et al. 2022 found substantial
+    cross-split overlap exactly here) is EJECTED as contaminated;
+    (3) the clean remainder is quota-capped per group by hash rank
+    (``quota_sample`` rule), so no domain dominates the benchmark.
+
+    Plan: split is a map-side expression; contamination is two
+    pair-table equi-joins reduced to a distinct ejected-id set
+    (pair-table sized) anti-joined back; the quota is one window
+    shuffle on ``group_col``. No window over the corpus, no collect.
+
+    Output per CANDIDATE doc: (id, group, contaminated, selected,
+    pick_rank — NULL for contaminated docs; selected = clean AND
+    rank <= quota). Train-side docs are not emitted (they are frozen;
+    emitting the certification for the candidate slice only keeps the
+    output holdout-sized).
+    """
+    from ..functions.portable_hash import u32_md5
+
+    if not 0 < eval_frac < 1:
+        raise ValueError("eval_frac must be in (0, 1)")
+    if quota <= 0:
+        raise ValueError("quota must be positive")
+    cut = int(eval_frac * SPLIT_BUCKETS)
+    bucket = _hash_bucket(F.col(id_col), salt)
+    tagged = docs.select(
+        F.col(id_col), F.col(group_col), (bucket < cut).alias("_is_cand")
+    )
+    cand = tagged.filter(F.col("_is_cand")).drop("_is_cand")
+    train_ids = tagged.filter(~F.col("_is_cand")).select(
+        F.col(id_col).alias("_tid")
+    )
+    # candidate ids with an edge to a train doc, in either orientation
+    dirty_a = (
+        pairs.join(train_ids, pairs[b_col] == train_ids["_tid"])
+        .select(F.col(a_col).alias("_did"))
+    )
+    dirty_b = (
+        pairs.join(train_ids, pairs[a_col] == train_ids["_tid"])
+        .select(F.col(b_col).alias("_did"))
+    )
+    dirty = dirty_a.union(dirty_b).distinct()
+    flagged = cand.join(
+        dirty.withColumn("_dirty", F.lit(True)),
+        cand[id_col] == dirty["_did"],
+        "left",
+    ).select(
+        id_col,
+        group_col,
+        F.coalesce("_dirty", F.lit(False)).alias("contaminated"),
+    )
+    rank_key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":rank"))
+    )
+    # Partition by (group, contaminated) so clean rows rank densely
+    # 1..n_clean — ranking the mixed set would skip numbers wherever a
+    # contaminated row sorts in between and under-fill the quota.
+    w = Window.partitionBy(group_col, "contaminated").orderBy(
+        rank_key.asc(), F.col(id_col).asc()
+    )
+    ranked = flagged.withColumn(
+        "pick_rank",
+        F.when(
+            ~F.col("contaminated"), F.row_number().over(w)
+        ),
+    )
+    return ranked.select(
+        id_col,
+        group_col,
+        "contaminated",
+        F.col("pick_rank").cast("long").alias("pick_rank"),
+        (
+            ~F.col("contaminated") & (F.col("pick_rank") <= quota)
+        ).alias("selected"),
+    )

@@ -1881,3 +1881,335 @@ def weighted_mean_ess(
             "ess_frac"
         ),
     )
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    arm_col: str,
+    num_col: str,
+    den_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Delta-method readout for RATIO metrics (revenue per session,
+    clicks per view — Deng, Knoblich & Lu 2018, "Applying the Delta
+    Method in Metric Analytics"): the arm's metric is
+    r = Σnum/Σden over randomization UNITS (pass one row per unit —
+    pre-aggregate upstream), and Var(r) ≈ (s_x² + r²s_y² − 2r·s_xy) /
+    (n·ȳ²) by the first-order expansion. A naive t-test on per-unit
+    ratios is simply a different (wrong) estimand when units have
+    unequal denominators; this is the standard correction.
+
+    ONE conditional-cell aggregate over the units table (six decimal-
+    stabilized sums per arm, map-side combined) + scalar recombination
+    — no join, no window, no second pass.
+
+    Output one row: (n_control, n_treatment, ratio_control,
+    ratio_treatment, se_control, se_treatment, lift, se_lift, z,
+    significant@0.05 two-sided). Arms need n ≥ 2 for a variance; an
+    empty or singleton arm reports NULL se/z and significant=false.
+    """
+    from .aggregate import stable_sum
+
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull()
+        & F.col(arm_col).isin([control, treatment])
+    ).select(
+        (F.col(arm_col) == treatment).alias("_t"), x.alias("_x"), y.alias("_y")
+    )
+
+    def cell(flag: bool, col: Column, name: str) -> Column:
+        return stable_sum(
+            F.when(F.col("_t") == flag, col).otherwise(F.lit(None)), 9
+        ).alias(name)
+
+    agg = base.agg(
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("nt"),
+        cell(False, F.col("_x"), "sxc"),
+        cell(False, F.col("_y"), "syc"),
+        cell(False, F.round(F.col("_x") * F.col("_x"), 9), "sxxc"),
+        cell(False, F.round(F.col("_y") * F.col("_y"), 9), "syyc"),
+        cell(False, F.round(F.col("_x") * F.col("_y"), 9), "sxyc"),
+        cell(True, F.col("_x"), "sxt"),
+        cell(True, F.col("_y"), "syt"),
+        cell(True, F.round(F.col("_x") * F.col("_x"), 9), "sxxt"),
+        cell(True, F.round(F.col("_y") * F.col("_y"), 9), "syyt"),
+        cell(True, F.round(F.col("_x") * F.col("_y"), 9), "sxyt"),
+    )
+
+    def arm(n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str):
+        nn = F.col(n).cast("double")
+        r = F.try_divide(F.col(sx), F.col(sy))
+        ybar = F.try_divide(F.col(sy), nn)
+        varx = F.try_divide(
+            F.col(sxx) - F.col(sx) * F.col(sx) / nn, nn - 1
+        )
+        vary = F.try_divide(
+            F.col(syy) - F.col(sy) * F.col(sy) / nn, nn - 1
+        )
+        covxy = F.try_divide(
+            F.col(sxy) - F.col(sx) * F.col(sy) / nn, nn - 1
+        )
+        var_r = F.try_divide(
+            varx + r * r * vary - F.lit(2.0) * r * covxy,
+            nn * ybar * ybar,
+        )
+        # FP noise can push a tiny true variance below zero (floor at
+        # 0); an arm with n < 2 has NO estimable variance — NULL, not
+        # 0, or a singleton arm would silently read as noiseless
+        se = F.when(nn >= 2, F.sqrt(F.greatest(var_r, F.lit(0.0))))
+        return r, se
+
+    rc, sec = arm("nc", "sxc", "syc", "sxxc", "syyc", "sxyc")
+    rt, set_ = arm("nt", "sxt", "syt", "sxxt", "syyt", "sxyt")
+    lift = rt - rc
+    se_lift = F.sqrt(set_ * set_ + sec * sec)
+    z = F.round(F.try_divide(lift, se_lift), 6)
+    return agg.select(
+        F.col("nc").alias("n_control"),
+        F.col("nt").alias("n_treatment"),
+        F.round(rc, 6).alias("ratio_control"),
+        F.round(rt, 6).alias("ratio_treatment"),
+        F.round(sec, 6).alias("se_control"),
+        F.round(set_, 6).alias("se_treatment"),
+        F.round(lift, 6).alias("lift"),
+        F.round(se_lift, 6).alias("se_lift"),
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(_Z_ALPHA_2[0.05]), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def cluster_design_effect(
+    df: DataFrame,
+    cluster_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Design-effect diagnostics for CLUSTER-randomized or cluster-
+    sampled metrics (randomize users, analyze events): the intraclass
+    correlation from one-way ANOVA with unequal cluster sizes
+    (ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW), n₀ the Kish/ANOVA average
+    size correction (N − Σm²/N)/(J−1)), the Kish design effect
+    DEFF = 1 + (m̄−1)·ICC, and the effective sample size N/DEFF —
+    the number an event-level z-test silently overstates N by (Kish
+    1965; Donner & Klar 2000).
+
+    Plan: one map-combined (cluster) aggregate reduces the data to a
+    clusters-sized frame; one scalar reduce of that frame finishes —
+    no window, no join, two exchanges total at any size.
+
+    Cross-engine exactness: per-cluster sums ride DECIMAL(9dp); the
+    per-cluster S²/m terms round at 9dp before the decimal fold; final
+    ratios are IEEE divisions rounded at 6dp.
+
+    Output one row: (n, j_clusters, mean_cluster_size, msb, msw, icc,
+    deff, n_eff). Degenerate inputs (J < 2 or N == J) report NULL
+    icc/deff/n_eff rather than refusing — the counts still inform.
+    """
+    from .aggregate import stable_sum
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(cluster_col).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            stable_sum(v, 9).alias("_s"),
+            stable_sum(F.round(v * v, 9), 9).alias("_ss"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("_j"),
+        F.sum("_m").cast("long").alias("_n"),
+        stable_sum(F.col("_s"), 9).alias("_g"),
+        stable_sum(F.col("_ss"), 9).alias("_sstot"),
+        stable_sum(
+            F.round(
+                F.col("_s") * F.col("_s") / F.col("_m").cast("double"), 9
+            ),
+            9,
+        ).alias("_sb"),
+        F.sum(F.col("_m") * F.col("_m")).cast("long").alias("_smm"),
+    )
+    nn = F.col("_n").cast("double")
+    jj = F.col("_j").cast("double")
+    ssb = F.col("_sb") - F.col("_g") * F.col("_g") / nn
+    ssw = F.col("_sstot") - F.col("_sb")
+    msb = F.try_divide(ssb, jj - 1)
+    msw = F.try_divide(ssw, nn - jj)
+    n0 = F.try_divide(nn - F.col("_smm").cast("double") / nn, jj - 1)
+    icc = F.try_divide(msb - msw, msb + (n0 - 1) * msw)
+    mbar = nn / jj
+    deff = F.lit(1.0) + (mbar - 1) * icc
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.col("_j").alias("j_clusters"),
+        F.round(mbar, 6).alias("mean_cluster_size"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(icc, 6).alias("icc"),
+        F.round(deff, 6).alias("deff"),
+        F.round(F.try_divide(nn, deff), 6).alias("n_eff"),
+    )
+
+
+def stratified_lift(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Post-stratified A/B lift (Miratrix, Sekhon & Yu 2013): reweight
+    per-(stratum, arm) means by the POOLED stratum shares so a stratum
+    imbalance between arms (the randomization noise CUPED attacks with
+    a covariate) cannot masquerade as lift; variance is the standard
+    Σ w²·s²/n stratified form. Strata missing either arm cannot be
+    compared and are DROPPED with the weights renormalized over the
+    complete strata (reported, not silent).
+
+    Plan: one conditional-cell (stratum) aggregate reduces the corpus
+    to a strata-sized frame; complete-strata totals are a second
+    aggregate of that frame broadcast back; one final scalar reduce.
+    No window, no data-sized join.
+
+    Output one row: (n_strata, n_strata_dropped, n_control,
+    n_treatment, naive_lift, adj_lift, se, z, significant@0.05) —
+    naive_lift (unstratified difference of means over complete strata)
+    is emitted next to adj_lift so the confound is visible.
+    """
+    from .aggregate import stable_sum
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & F.col(arm_col).isin([control, treatment])
+    ).select(
+        F.col(stratum_col).alias("_s"),
+        (F.col(arm_col) == treatment).alias("_t"),
+        v.alias("_v"),
+    )
+    per = base.groupBy("_s").agg(
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).cast("long").alias("_ncs"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("_nts"),
+        stable_sum(F.when(~F.col("_t"), F.col("_v")), 9).alias("_svc"),
+        stable_sum(F.when(F.col("_t"), F.col("_v")), 9).alias("_svt"),
+        stable_sum(
+            F.when(~F.col("_t"), F.round(F.col("_v") * F.col("_v"), 9)), 9
+        ).alias("_svvc"),
+        stable_sum(
+            F.when(F.col("_t"), F.round(F.col("_v") * F.col("_v"), 9)), 9
+        ).alias("_svvt"),
+    ).withColumn("_complete", (F.col("_ncs") > 0) & (F.col("_nts") > 0))
+    tot = per.agg(
+        F.sum(F.when(F.col("_complete"), F.col("_ncs") + F.col("_nts"))
+              .otherwise(F.lit(0))).cast("long").alias("_nn"),
+        F.sum(F.when(F.col("_complete"), 1).otherwise(0))
+        .cast("long")
+        .alias("_js"),
+        F.count(F.lit(1)).alias("_jall"),
+    )
+    j = per.filter(F.col("_complete")).crossJoin(F.broadcast(tot))
+    w = (F.col("_ncs") + F.col("_nts")).cast("double") / F.col("_nn")
+    mc = F.col("_svc") / F.col("_ncs")
+    mt = F.col("_svt") / F.col("_nts")
+    varc = F.try_divide(
+        F.col("_svvc") - F.col("_svc") * F.col("_svc") / F.col("_ncs"),
+        (F.col("_ncs") - 1).cast("double"),
+    )
+    vart = F.try_divide(
+        F.col("_svvt") - F.col("_svt") * F.col("_svt") / F.col("_nts"),
+        (F.col("_nts") - 1).cast("double"),
+    )
+    # singleton cells carry zero estimable variance; count them exact,
+    # variance contribution 0 (documented conservative-down choice)
+    var_term = w * w * (
+        F.coalesce(F.try_divide(vart, F.col("_nts").cast("double")), F.lit(0.0))
+        + F.coalesce(F.try_divide(varc, F.col("_ncs").cast("double")), F.lit(0.0))
+    )
+    terms = j.select(
+        "_nn",
+        "_js",
+        "_jall",
+        F.col("_ncs").alias("_ncx"),
+        F.col("_nts").alias("_ntx"),
+        F.round(w * (mt - mc), 9).alias("_wlift"),
+        F.round(var_term, 9).alias("_wvar"),
+        F.col("_svc").alias("_svc"),
+        F.col("_svt").alias("_svt"),
+    )
+    out = terms.groupBy("_nn", "_js", "_jall").agg(
+        F.sum("_ncx").cast("long").alias("n_control"),
+        F.sum("_ntx").cast("long").alias("n_treatment"),
+        stable_sum(F.col("_wlift"), 9).alias("_adj"),
+        stable_sum(F.col("_wvar"), 9).alias("_var"),
+        stable_sum(F.col("_svc"), 9).alias("_allc"),
+        stable_sum(F.col("_svt"), 9).alias("_allt"),
+    )
+    se = F.sqrt(F.greatest(F.col("_var"), F.lit(0.0)))
+    z = F.round(F.try_divide(F.col("_adj"), se), 6)
+    naive = F.col("_allt") / F.col("n_treatment") - F.col("_allc") / F.col(
+        "n_control"
+    )
+    return out.select(
+        F.col("_js").alias("n_strata"),
+        (F.col("_jall") - F.col("_js")).cast("long").alias("n_strata_dropped"),
+        "n_control",
+        "n_treatment",
+        F.round(naive, 6).alias("naive_lift"),
+        F.round(F.col("_adj"), 6).alias("adj_lift"),
+        F.round(se, 6).alias("se"),
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(_Z_ALPHA_2[0.05]), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+# Abramowitz & Stegun 26.2.17 rational approximation of the standard
+# normal upper tail (|error| < 7.5e-8) — the published closed form that
+# turns the engine's z statistics into p-values WITHOUT a client-side
+# CDF table, in plain arithmetic any SQL engine replays identically.
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_p_two_sided(z: Column) -> Column:
+    """Two-sided normal p-value 2·Q(|z|) via Abramowitz-Stegun 26.2.17
+    (accuracy 7.5e-8 — documented approximation, the trade for an
+    engine-portable closed form; exact enough for any FDR/significance
+    read). Rounds at 9dp (the libm rule — exp is the one
+    transcendental inside)."""
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_T) * az)
+    poly = (
+        F.lit(_AS_B[0]) * t
+        + F.lit(_AS_B[1]) * t * t
+        + F.lit(_AS_B[2]) * t * t * t
+        + F.lit(_AS_B[3]) * t * t * t * t
+        + F.lit(_AS_B[4]) * t * t * t * t * t
+    )
+    q = F.lit(_INV_SQRT_2PI) * F.exp(-az * az / F.lit(2.0)) * poly
+    return F.round(F.least(F.lit(2.0) * q, F.lit(1.0)), 9)
+
+
+def normal_p_two_sided_sql(z_expr: str) -> str:
+    """DuckDB twin of :func:`normal_p_two_sided` — same constants, same
+    operation order, digit-for-digit."""
+    b = _AS_B
+    t = f"(1.0 / (1.0 + {_AS_T} * abs({z_expr})))"
+    poly = (
+        f"({b[0]} * {t} + {b[1]} * {t} * {t} + {b[2]} * {t} * {t} * {t}"
+        f" + {b[3]} * {t} * {t} * {t} * {t}"
+        f" + {b[4]} * {t} * {t} * {t} * {t} * {t})"
+    )
+    q = (
+        f"({_INV_SQRT_2PI} * exp(-abs({z_expr}) * abs({z_expr}) / 2.0)"
+        f" * {poly})"
+    )
+    return f"round(least(2.0 * {q}, 1.0), 9)"

@@ -1,0 +1,1329 @@
+"""Round-13 catalog queue (q401+): written and pre-verified this round,
+NOT registered — merged into ``roadmap7.ROADMAP7`` (imported at the
+bottom of ``roadmap7.py``; must not import roadmap7 back) and landed by
+``roadmap7_landed`` when the rotation arithmetic allows (round 14 —
+the staged-window discipline of the r8 verdict, queue capped at one
+driver window).
+
+q401–q404 are the VERDICT r12 item-4 candidates (fastText-style hashed
+linear quality classifier, contamination-aware eval-split carving,
+incremental SemDeDup, per-domain token-budget allocator); q405–q414
+complete the curation/experimentation surface around them (Gopher
+repetition battery, PII scrub batch AND streaming, Benjamini-Hochberg
+FDR over a metric battery, delta-method ratio metrics, cluster design
+effect, vocab coverage, prototypicality outliers, post-stratified
+lift, mixture health). Same
+template as the r9–r12 additions: operator + randomized/hand-case
+pytest (tests/test_round13.py) + oracle pre-verified at sf0.001 and
+sf0.01 (tests/test_catalog.py::test_roadmap7_queue_preverified), and
+the driver-canon contract of SURVEY.md §5.3 (scalar outputs only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+ROADMAP13: dict[str, tuple] = {}
+
+# DuckDB twin of the portable 24-bit md5 bucket rule (the q380 digit
+# replay) — parameterized on the hashed expression and the modulus.
+def _bucket_sql(expr: str, m: int) -> str:
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 6), "
+        f"i -> CAST((strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)"
+        f" AS BIGINT) * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) % {m}"
+    )
+
+
+# word uni+bigram feature list from a token array column t (the
+# _hashed_features twin: bigrams join with '_')
+_FEATS_SQL = (
+    "list_concat(t, CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || '_' || t[i + 1]) END)"
+)
+
+
+# --- q401: hashed-NB linear quality classifier (train + score) ---------------------
+
+
+def q401_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-architecture quality classifier (llm/quality.
+    hashed_nb_train + hashed_nb_score): closed-form NB log-count-ratio
+    weights over hashed word uni+bigram buckets, trained on the
+    lang=='en' label and scoring the whole corpus — the model-based
+    quality gate next to q379's LM perplexity gate."""
+    from ..llm.quality import hashed_nb_score, hashed_nb_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_pos", F.col("lang") == "en")
+    weights, prior = hashed_nb_train(labeled, "_pos", m=64, k=0.5)
+    return hashed_nb_score(docs, weights, prior, m=64).orderBy("doc_id")
+
+
+def _q401_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    fb AS (
+      SELECT doc_id, lang = 'en' AS pos, {_bucket_sql("f", 64)} AS bucket
+      FROM (SELECT doc_id, lang, unnest({_FEATS_SQL}) AS f FROM toks)
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      FROM fb GROUP BY bucket
+    ),
+    tots AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn FROM counts),
+    weights AS (
+      SELECT r.range AS bucket,
+             round(ln(((COALESCE(c.cp, 0) + 0.5) / (t.tp + 32.0))
+                      / ((COALESCE(c.cn, 0) + 0.5) / (t.tn + 32.0))), 9)
+               AS w
+      FROM range(64) r LEFT JOIN counts c ON r.range = c.bucket
+      CROSS JOIN tots t
+    ),
+    prior AS (
+      SELECT round(ln(
+        (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 0.5)
+        / (SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 0.5)), 9) AS bias
+      FROM documents
+    ),
+    scored AS (
+      SELECT b.doc_id, COUNT(*) AS n_features,
+             SUM(CAST(w.w AS DECIMAL(38,12))) AS swd
+      FROM fb b JOIN weights w USING (bucket) GROUP BY b.doc_id
+    ),
+    -- logit = bias + sum(w): both exact 9dp decimals, so the sum stays
+    -- in DECIMAL and ships unrounded (a 6dp round can hit a TRUE
+    -- decimal tie and split on engine rounding modes)
+    lg AS (
+      SELECT s.doc_id, s.n_features,
+             CAST(CAST(p.bias AS DECIMAL(38,12)) + s.swd AS DOUBLE)
+               AS logit
+      FROM scored s CROSS JOIN prior p
+    )
+    SELECT doc_id, n_features, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS p,
+           logit > 0 AS predicted
+    FROM lg ORDER BY doc_id
+    """
+
+
+_Q401_NOTES = (
+    "HASHED LINEAR QUALITY CLASSIFIER (llm/quality.hashed_nb_train/"
+    "hashed_nb_score — VERDICT r12 candidate (a); Joulin et al. 2017 "
+    "fastText architecture: hashed word uni+bigram buckets + linear "
+    "layer; Wang-Manning 2012 NB log-count-ratio weights as the "
+    "closed-form trainer, no SGD): training = two map-combined "
+    "aggregates -> m-sized weight table + 1-row prior (persist per "
+    "model snapshot, the q379 LM convention); scoring = pure map-side "
+    "explode + broadcast equi-join + doc-keyed agg at any corpus size. "
+    "Portable 24-bit md5 buckets (q380 rule, digit-replayed by the "
+    "oracle), exact LONG counts, ln 9dp, decimal per-doc sums"
+)
+
+ROADMAP13["q401_quality_classifier"] = (
+    q401_quality_classifier,
+    _q401_oracle(),
+    _Q401_NOTES,
+)
+
+
+# --- q402: contamination-aware eval-split carving -----------------------------------
+
+
+def q402_eval_holdout_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified-clean holdout (llm/sampling.eval_holdout_carve): a 20%
+    hash-nominated candidate slice, ejecting candidates near-dup-linked
+    (exact 3-gram Jaccard >= 0.5, the q42 relation) to the frozen train
+    side, quota-capped at 3 per source."""
+    from ..llm.dedup import ngram_jaccard_pairs
+    from ..llm.sampling import eval_holdout_carve
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return eval_holdout_carve(
+        docs, pairs, "source", eval_frac=0.2, quota=3, salt="holdout"
+    ).orderBy("doc_id")
+
+
+def _q402_oracle() -> str:
+    from .llm import _JACCARD_SQL, _SHINGLES_SQL
+
+    bucket = _bucket_sql("CAST(doc_id AS VARCHAR) || ':holdout'", 10_000)
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand_pairs c JOIN sh sa ON sa.doc_id = c.doc_a
+                        JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {_JACCARD_SQL} >= 0.5
+    ),
+    split AS (
+      SELECT doc_id, source, ({bucket}) < 2000 AS is_cand FROM documents
+    ),
+    cands AS (SELECT doc_id, source FROM split WHERE is_cand),
+    train AS (SELECT doc_id FROM split WHERE NOT is_cand),
+    dirty AS (
+      SELECT DISTINCT d FROM (
+        SELECT p.doc_a AS d FROM pairs p JOIN train t ON p.doc_b = t.doc_id
+        UNION ALL
+        SELECT p.doc_b AS d FROM pairs p JOIN train t ON p.doc_a = t.doc_id
+      )
+    ),
+    flagged AS (
+      SELECT c.doc_id, c.source, (d.d IS NOT NULL) AS contaminated
+      FROM cands c LEFT JOIN dirty d ON c.doc_id = d.d
+    ),
+    ranked AS (
+      SELECT *,
+             CASE WHEN NOT contaminated THEN
+               row_number() OVER (
+                 PARTITION BY source, contaminated
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':holdout:rank') ASC,
+                          doc_id ASC)
+             END AS pick_rank
+      FROM flagged
+    )
+    SELECT doc_id, source, contaminated,
+           CAST(pick_rank AS BIGINT) AS pick_rank,
+           (NOT contaminated AND pick_rank <= 3) AS selected
+    FROM ranked ORDER BY doc_id
+    """
+
+
+_Q402_NOTES = (
+    "CONTAMINATION-AWARE EVAL-SPLIT CARVING (llm/sampling."
+    "eval_holdout_carve — VERDICT r12 candidate (b); Lee et al. 2022 "
+    "cross-split overlap): the FROZEN-train workflow leakage_safe_split "
+    "cannot express — candidates = portable hash slice, contamination "
+    "= two pair-table equi-joins vs the train side reduced to a "
+    "distinct ejected set, quota = the q174 per-group hash-rank cap "
+    "partitioned (group, contaminated) so clean ranks stay dense. Pair "
+    "relation pluggable (anchor uses the q42 exact-Jaccard generator "
+    "whose SQL replay the oracle shares). No corpus window, no collect"
+)
+
+ROADMAP13["q402_eval_holdout_carve"] = (
+    q402_eval_holdout_carve,
+    _q402_oracle(),
+    _Q402_NOTES,
+)
+
+
+# --- q403: incremental SemDeDup ------------------------------------------------------
+
+
+def q403_semdedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (llm/cluster.semdedup_delta): even vec_ids
+    are the frozen archive (its survivors + centroids persisted), odd
+    vec_ids are the new ingest batch — one row per NEW vector."""
+    from ..llm.cluster import label_centroids, semdedup, semdedup_delta
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = label_centroids(old)
+    old_kept = (
+        semdedup(old, threshold=0.45)
+        .filter(F.col("kept"))
+        .join(old.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "embedding", "label")
+    )
+    return semdedup_delta(new, old_kept, cents, threshold=0.45).orderBy(
+        "vec_id"
+    )
+
+
+def _q403_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    old AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    nw AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    exploded AS (
+      SELECT label, e2.dim, e2.x
+      FROM (
+        SELECT label,
+               unnest(list_transform(embedding, (v, i) ->
+                 struct_pack(dim := i - 1, x := CAST(v AS DOUBLE)))) AS e2
+        FROM embeddings WHERE vec_id % 2 = 0
+      )
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM exploded GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT label, list(c ORDER BY dim) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    wd_old AS (
+      SELECT o.vec_id, o.label, o.v,
+             round(sqrt(CAST(list_sum(list_transform(
+               generate_series(1, len(c.centroid)),
+               i -> CAST(round((o.v[i] - c.centroid[i])
+                               * (o.v[i] - c.centroid[i]), 9)
+                         AS DECIMAL(38,12))))
+             AS DOUBLE)), 6) AS cdist
+      FROM old o JOIN cents c USING (label)
+    ),
+    dom_old AS (
+      SELECT DISTINCT b.vec_id
+      FROM wd_old a JOIN wd_old b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        AND (a.cdist > b.cdist
+             OR (a.cdist = b.cdist AND a.vec_id < b.vec_id))
+    ),
+    old_kept AS (
+      SELECT w.* FROM wd_old w
+      LEFT JOIN dom_old d ON w.vec_id = d.vec_id
+      WHERE d.vec_id IS NULL
+    ),
+    wd_new AS (
+      SELECT n.vec_id, n.label, n.v,
+             round(sqrt(CAST(list_sum(list_transform(
+               generate_series(1, len(c.centroid)),
+               i -> CAST(round((n.v[i] - c.centroid[i])
+                               * (n.v[i] - c.centroid[i]), 9)
+                         AS DECIMAL(38,12))))
+             AS DOUBLE)), 6) AS cdist
+      FROM nw n JOIN cents c USING (label)
+    ),
+    dom_new AS (
+      SELECT DISTINCT b.vec_id
+      FROM wd_new a JOIN wd_new b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        AND (a.cdist > b.cdist
+             OR (a.cdist = b.cdist AND a.vec_id < b.vec_id))
+    ),
+    dom_frozen AS (
+      SELECT DISTINCT b.vec_id
+      FROM old_kept o JOIN wd_new b ON o.label = b.label
+      WHERE round(list_cosine_similarity(o.v, b.v), 6) >= 0.45
+    )
+    SELECT w.vec_id, w.label, w.cdist,
+           (d1.vec_id IS NULL AND d2.vec_id IS NULL) AS kept
+    FROM wd_new w
+    LEFT JOIN dom_new d1 ON w.vec_id = d1.vec_id
+    LEFT JOIN dom_frozen d2 ON w.vec_id = d2.vec_id
+    ORDER BY w.vec_id
+    """
+
+
+_Q403_NOTES = (
+    "INCREMENTAL SEMDEDUP (llm/cluster.semdedup_delta — VERDICT r12 "
+    "candidate (c); the q365 delta-CC maintenance pattern applied to "
+    "q375): new batch dedupes against FROZEN prior state (persisted "
+    "survivors + centroids) without re-touching the archive — old "
+    "survivors immutable, batch distances measured on frozen centroids "
+    "(drift documented; periodic full re-base resets it). Two "
+    "within-cluster equi-joins (new x old_kept, new x new), both "
+    "bounded by the SemDeDup cluster-size contract; empty-old reduces "
+    "exactly to semdedup(new) (pytest law). Work scales with the batch"
+)
+
+ROADMAP13["q403_semdedup_delta"] = (
+    q403_semdedup_delta,
+    _q403_oracle(),
+    _Q403_NOTES,
+)
+
+
+# --- q404: per-domain token-budget water-filling -------------------------------------
+
+_Q404_WEIGHTS = {
+    "src0": 2.0,
+    "src1": 1.0,
+    "src2": 1.0,
+    "src3": 1.0,
+    "srcmissing": 0.5,
+}
+_Q404_BUDGET = 50_000.0
+_Q404_EPOCHS = 2.0
+
+
+def q404_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocator (llm/sampling.token_budget_waterfill)
+    over the documents token mass: a 5-domain mixture (one absent from
+    the corpus), 50k-token budget, 2-epoch repeat cap. The FIXED budget
+    deliberately crosses the corpus size across fixture scales: all
+    domains cap at sf0.001 (leftover > 0), mixed at sf0.01,
+    pure-proportional at sf0.1 — one anchor exercises every regime."""
+    from ..functions.text import token_count
+    from ..llm.sampling import token_budget_waterfill
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "_ntok", token_count("text")
+    )
+    return token_budget_waterfill(
+        docs, "source", "_ntok", _Q404_WEIGHTS,
+        budget=_Q404_BUDGET, max_epochs=_Q404_EPOCHS,
+    ).orderBy("domain")
+
+
+def _q404_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    wtot = sum(_Q404_WEIGHTS.values())
+    rows = ", ".join(
+        f"('{d}', CAST({round(w / wtot, 12)!r} AS DOUBLE))"
+        for d, w in sorted(_Q404_WEIGHTS.items())
+    )
+    b = _Q404_BUDGET
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    avail AS (
+      SELECT source AS domain, CAST(SUM(len(t)) AS BIGINT) AS avail
+      FROM toks GROUP BY source
+    ),
+    w(domain, share) AS (VALUES {rows}),
+    base AS (
+      SELECT w.domain, COALESCE(a.avail, 0) AS avail, w.share,
+             CAST(COALESCE(a.avail, 0) AS DOUBLE) * {_Q404_EPOCHS} AS cap
+      FROM w LEFT JOIN avail a USING (domain)
+    ),
+    r AS (SELECT *, round(cap / share, 9) AS rr FROM base),
+    stepped AS (
+      SELECT *,
+        CAST(COALESCE(SUM(CAST(cap AS DECIMAL(38,6))) OVER (
+          ORDER BY rr ASC NULLS FIRST, domain ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+          AS cum_cap,
+        CAST(SUM(CAST(share AS DECIMAL(38,12))) OVER ()
+          - COALESCE(SUM(CAST(share AS DECIMAL(38,12))) OVER (
+              ORDER BY rr ASC NULLS FIRST, domain ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS DOUBLE) AS rem_share
+      FROM r
+    ),
+    okd AS (
+      SELECT *,
+        CASE WHEN rr IS NULL
+             OR rr <= round(({b} - cum_cap) / rem_share, 9)
+             THEN 1 ELSE 0 END AS ok
+      FROM stepped
+    ),
+    cap_flagged AS (
+      SELECT *,
+        MIN(ok) OVER (ORDER BY rr ASC NULLS FIRST, domain ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+      FROM okd
+    ),
+    level AS (
+      SELECT
+        round(({b} - CAST(SUM(CASE WHEN capped
+            THEN CAST(cap AS DECIMAL(38,6))
+            ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE))
+          / nullif(CAST(SUM(CAST(share AS DECIMAL(38,12)))
+            - SUM(CASE WHEN capped THEN CAST(share AS DECIMAL(38,12))
+                  ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE), 0), 9)
+          AS lam,
+        round(greatest({b}
+          - CAST(SUM(CAST(cap AS DECIMAL(38,6))) AS DOUBLE), 0.0), 6)
+          AS leftover
+      FROM cap_flagged
+    )
+    SELECT c.domain, c.avail AS avail_tokens,
+           round(c.cap, 6) AS cap_tokens,
+           round(c.share, 6) AS target_share,
+           round(l.lam, 6) AS water_level,
+           round(CASE WHEN c.capped THEN c.cap
+                 ELSE c.share * l.lam END, 6) AS allocated_tokens,
+           round((CASE WHEN c.capped THEN c.cap ELSE c.share * l.lam END)
+                 / nullif(CAST(c.avail AS DOUBLE), 0), 6) AS epochs,
+           c.capped,
+           l.leftover AS leftover_budget
+    FROM cap_flagged c CROSS JOIN level l ORDER BY c.domain
+    """
+
+
+_Q404_NOTES = (
+    "TOKEN-BUDGET WATER-FILLING (llm/sampling.token_budget_waterfill — "
+    "VERDICT r12 candidate (d), closing the loop between q381's epoch "
+    "plan and q396's retention accounting: capped domains' surplus "
+    "REDISTRIBUTES to uncapped ones; classic water-filling under "
+    "Muennighoff et al. 2023 repeat caps): one map-combined domain agg "
+    "reduces the corpus to a domains-sized frame; sort + running sums "
+    "are metadata-sized windows (the prefix.py offsets class); water "
+    "level = one 1-row conditional agg broadcast back. Remaining-share "
+    "arithmetic rides DECIMAL against the in-query total so all-capped "
+    "resolves to an exactly-NULL level (not a float-residual blowup). "
+    "Sum(allocated) = min(budget, sum caps) — pytest conservation law"
+)
+
+ROADMAP13["q404_token_budget_waterfill"] = (
+    q404_token_budget_waterfill,
+    _q404_oracle(),
+    _Q404_NOTES,
+)
+
+
+# --- q405: Gopher repetition battery -------------------------------------------------
+
+
+def q405_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-weighted Gopher repetition rules (llm/quality.
+    gopher_repetition_filters) over the documents table."""
+    from ..llm.quality import gopher_repetition_filters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_repetition_filters(docs).orderBy("doc_id")
+
+
+def _q405_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    def grams(n: int) -> str:
+        return (
+            f"SELECT doc_id, {n} AS n, unnest(CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(generate_series(1, len(t) - {n - 1}), "
+            f"i -> concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(n))}))"
+            " ELSE CAST([] AS VARCHAR[]) END) AS gram FROM base"
+        )
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+               AS chars,
+             t
+      FROM toks
+    ),
+    grams AS ({grams(2)} UNION ALL {grams(3)} UNION ALL {grams(5)}),
+    counts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, n, gram
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                   ORDER BY cnt DESC, gram ASC) AS rn
+      FROM counts
+    ),
+    per AS (
+      SELECT doc_id,
+        MAX(CASE WHEN n = 2 AND rn = 1
+            THEN cnt * (length(gram) - 1) END) AS top2,
+        MAX(CASE WHEN n = 3 AND rn = 1
+            THEN cnt * (length(gram) - 2) END) AS top3,
+        SUM(CASE WHEN n = 5 AND cnt >= 2
+            THEN cnt * (length(gram) - 4) ELSE 0 END) AS dup5
+      FROM ranked GROUP BY doc_id
+    ),
+    fr AS (
+      SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        least(COALESCE(CAST(p.top2 AS DOUBLE)
+              / nullif(CAST(b.chars AS DOUBLE), 0), 0.0), 1.0) AS t2,
+        least(COALESCE(CAST(p.top3 AS DOUBLE)
+              / nullif(CAST(b.chars AS DOUBLE), 0), 0.0), 1.0) AS t3,
+        least(COALESCE(CAST(p.dup5 AS DOUBLE)
+              / nullif(CAST(b.chars AS DOUBLE), 0), 0.0), 1.0) AS d5
+      FROM base b LEFT JOIN per p USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           round(t2, 6) AS top2_char_frac,
+           round(t3, 6) AS top3_char_frac,
+           round(d5, 6) AS dup5_char_frac,
+           t2 <= 0.20 AS rule_top2,
+           t3 <= 0.18 AS rule_top3,
+           d5 <= 0.15 AS rule_dup5,
+           (t2 <= 0.20 AND t3 <= 0.18 AND d5 <= 0.15) AS passes
+    FROM fr ORDER BY doc_id
+    """
+
+
+_Q405_NOTES = (
+    "GOPHER REPETITION BATTERY (llm/quality.gopher_repetition_filters "
+    "— Rae et al. 2021 A1.1 character-weighted rules: top-2-gram char "
+    "frac > 0.20, top-3-gram > 0.18, duplicated-5-gram > 0.15 reject; "
+    "the companion to q383's document-level rules; char weighting "
+    "catches long-unit loops the q209-style count fractions "
+    "under-weigh): grams map-side; ONE (doc,n,gram) count agg; top "
+    "gram = row_number on the SAME key (tie: count DESC, gram ASC); "
+    "doc-keyed reduce + broadcast-back join — all exchanges doc-keyed. "
+    "Token-space char accounting + clamp-at-1 dup overlap documented "
+    "as the SQL-replayable deviation from the paper's interval union"
+)
+
+ROADMAP13["q405_repetition_filters"] = (
+    q405_repetition_filters,
+    _q405_oracle(),
+    _Q405_NOTES,
+)
+
+
+# --- q406: PII scrub -----------------------------------------------------------------
+
+
+def q406_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (llm/pii.pii_scrub) over the documents
+    table — per doc the three class counts, the redacted text, and the
+    char delta."""
+    from ..llm.pii import pii_scrub
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pii_scrub(docs).orderBy("doc_id")
+
+
+def _q406_oracle() -> str:
+    from ..llm.pii import PII_PATTERNS
+
+    e, i, p = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["ipv4"],
+        PII_PATTERNS["phone"],
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{e}', '<EMAIL>', 'g'), '{i}', '<IPV4>', 'g'), "
+        f"'{p}', '<PHONE>', 'g')"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{e}'))
+                + len(regexp_extract_all(text, '{p}'))
+                + len(regexp_extract_all(text, '{i}')) AS BIGINT)
+             AS pii_total,
+           {red} AS redacted_text,
+           CAST(length(text) - length({red}) AS BIGINT) AS redacted_chars
+    FROM documents ORDER BY doc_id
+    """
+
+
+_Q406_NOTES = (
+    "PII SCRUB (llm/pii.pii_scrub — the regex scrub step of C4-class "
+    "pipelines: emails, phones, IPv4; counts on the original text, "
+    "redaction in a fixed email->ipv4->phone order so redacted-tag "
+    "digits cannot re-match): pure MAP-ONLY whole-stage-codegen string "
+    "expressions, no shuffle/UDF, lifts to readStream unchanged (q414 "
+    "is the streaming twin). Patterns are written in the Java-regex / "
+    "RE2 common subset (no backrefs/lookaround/word-boundaries) and "
+    "the oracle replays count+redaction digit-for-digit; version-"
+    "string dotted quads are a documented false-positive class"
+)
+
+ROADMAP13["q406_pii_scrub"] = (q406_pii_scrub, _q406_oracle(), _Q406_NOTES)
+
+
+# --- q407: Mann-Whitney U ------------------------------------------------------------
+
+
+def q407_fdr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end significance pipeline over a REAL statistic battery:
+    the q326 grouped Mann-Whitney runs once per event_type, its z's
+    become two-sided p-values via the NEW Abramowitz-Stegun closed
+    form (operators/mlmetrics.normal_p_two_sided — closing the
+    'CDF lookup is client-side' gap the q326/q332 notes documented),
+    and the existing per-family bh_adjust (q332) controls the battery
+    jointly, with the reject flag at FDR 0.05."""
+    from ..operators.mlmetrics import (
+        bh_adjust,
+        mann_whitney_u,
+        normal_p_two_sided,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("g"),
+            F.col("value").alias("v"),
+        )
+    )
+    mw = mann_whitney_u(ev, "event_type", "g", "v", "a", "b")
+    scored = mw.select(
+        F.lit("mw_battery").alias("family"),
+        F.col("event_type").alias("metric"),
+        normal_p_two_sided(F.col("z")).alias("p"),
+    )
+    adj = bh_adjust(scored, "family", "metric", "p")
+    return adj.select(
+        "metric",
+        "p",
+        F.round("adj_p", 9).alias("adj_p"),
+        (F.col("adj_p") <= 0.05).alias("rejected"),
+    ).orderBy("metric")
+
+
+def _q407_oracle() -> str:
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    z = """((CAST(r2a AS DOUBLE)
+             - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+           / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                  - CAST(tie_term AS DOUBLE)
+                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                          - 1))))"""
+    return f"""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v,
+             SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na_v,
+             SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb_v
+      FROM tagged GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, na_v, nb_v, na_v + nb_v AS c,
+             SUM(na_v + nb_v) OVER (
+               PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - (na_v + nb_v) AS cum_before
+      FROM per_v
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
+             SUM(na_v * (2 * cum_before + c + 1)) AS r2a,
+             SUM(c * c * c - c) AS tie_term
+      FROM ranked GROUP BY 1
+    ),
+    ps AS (
+      SELECT event_type AS metric,
+             {normal_p_two_sided_sql(z)} AS p
+      FROM agg
+    ),
+    mm AS (SELECT COUNT(*) AS m FROM ps),
+    rk AS (
+      SELECT metric, p,
+             row_number() OVER (ORDER BY p ASC, metric ASC) AS rank
+      FROM ps
+    ),
+    adj AS (
+      SELECT metric, p,
+             least(MIN(p * mm.m / CAST(rank AS DOUBLE)) OVER (
+               ORDER BY p DESC, metric DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+               AS raw_adj
+      FROM rk CROSS JOIN mm
+    )
+    SELECT metric, p, round(raw_adj, 9) AS adj_p,
+           raw_adj <= 0.05 AS rejected
+    FROM adj ORDER BY metric
+    """
+
+
+_Q407_NOTES = (
+    "Z-TO-P + FDR SIGNIFICANCE PIPELINE (NEW operator mlmetrics."
+    "normal_p_two_sided — Abramowitz-Stegun 26.2.17 closed-form normal "
+    "tail, |err|<7.5e-8 documented, with a digit-matched _sql twin — "
+    "composed with the EXISTING q326 grouped Mann-Whitney and q332 "
+    "per-family bh_adjust): closes the 'CDF lookup is client-side' "
+    "gap those operators documented, turning the battery's z's into "
+    "jointly-FDR-controlled reject decisions fully in-engine. The "
+    "battery is METRICS-sized so BH's windows run on a bounded frame; "
+    "the data-sized work is the one per-(segment,value) MWU exchange. "
+    "rejected compares the UNROUNDED adj_p (oracle mirrors)"
+)
+
+ROADMAP13["q407_fdr_battery"] = (
+    q407_fdr_battery,
+    _q407_oracle(),
+    _Q407_NOTES,
+)
+
+
+# --- q408: delta-method ratio metric -------------------------------------------------
+
+
+def q408_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-per-event ratio metric (operators/mlmetrics.
+    ratio_metric_delta): events pre-aggregate to the USER randomization
+    unit (x = decimal-summed value, y = event count), arms by user
+    parity — the estimand a per-event t-test silently gets wrong."""
+    from ..operators.aggregate import stable_sum
+    from ..operators.mlmetrics import ratio_metric_delta
+
+    ev = read_table(spark, sf_dir, "events")
+    units = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            stable_sum(F.col("value"), 9).alias("x"),
+            F.count("value").alias("y"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    return ratio_metric_delta(units, "arm", "x", "y", "control", "treatment")
+
+
+def _q408_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+
+    def cell(flag: str, expr: str, name: str) -> str:
+        return (
+            stable_sum_sql(f"CASE WHEN t = {flag} THEN {expr} END", 9)
+            + f" AS {name}"
+        )
+
+    arms = ", ".join(
+        [
+            cell("false", "x", "sxc"), cell("false", "y", "syc"),
+            cell("false", "round(x * x, 9)", "sxxc"),
+            cell("false", "round(y * y, 9)", "syyc"),
+            cell("false", "round(x * y, 9)", "sxyc"),
+            cell("true", "x", "sxt"), cell("true", "y", "syt"),
+            cell("true", "round(x * x, 9)", "sxxt"),
+            cell("true", "round(y * y, 9)", "syyt"),
+            cell("true", "round(x * y, 9)", "sxyt"),
+        ]
+    )
+
+    def arm(n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str, p: str):
+        return f"""
+        CAST({n} AS DOUBLE) AS n{p},
+        {sx} / {sy} AS r{p},
+        {sy} / CAST({n} AS DOUBLE) AS ybar{p},
+        ({sxx} - {sx} * {sx} / CAST({n} AS DOUBLE))
+          / nullif(CAST({n} AS DOUBLE) - 1, 0) AS varx{p},
+        ({syy} - {sy} * {sy} / CAST({n} AS DOUBLE))
+          / nullif(CAST({n} AS DOUBLE) - 1, 0) AS vary{p},
+        ({sxy} - {sx} * {sy} / CAST({n} AS DOUBLE))
+          / nullif(CAST({n} AS DOUBLE) - 1, 0) AS cov{p}
+        """
+
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             {stable_sum_sql("value", 9)} AS x,
+             CAST(COUNT(value) AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT (user_id % 2 <> 0) AS t, x, y FROM u
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             {arms}
+      FROM tagged
+    ),
+    parts AS (
+      SELECT nc, nt,
+             {arm("nc", "sxc", "syc", "sxxc", "syyc", "sxyc", "c")},
+             {arm("nt", "sxt", "syt", "sxxt", "syyt", "sxyt", "t")}
+      FROM agg
+    ),
+    ses AS (
+      SELECT nc, nt, rc, rt,
+        CASE WHEN nc >= 2 THEN
+          sqrt(greatest(COALESCE((varxc + rc * rc * varyc
+              - 2.0 * rc * covc) / (nc * ybarc * ybarc), 0.0), 0.0))
+        END AS sec,
+        CASE WHEN nt >= 2 THEN
+          sqrt(greatest(COALESCE((varxt + rt * rt * varyt
+              - 2.0 * rt * covt) / (nt * ybart * ybart), 0.0), 0.0))
+        END AS sett
+      FROM parts
+    )
+    SELECT nc AS n_control, nt AS n_treatment,
+           round(rc, 6) AS ratio_control,
+           round(rt, 6) AS ratio_treatment,
+           round(sec, 6) AS se_control,
+           round(sett, 6) AS se_treatment,
+           round(rt - rc, 6) AS lift,
+           round(sqrt(sett * sett + sec * sec), 6) AS se_lift,
+           round((rt - rc) / nullif(sqrt(sett * sett + sec * sec), 0), 6)
+             AS z,
+           COALESCE(abs(round((rt - rc)
+             / nullif(sqrt(sett * sett + sec * sec), 0), 6))
+             > 1.959963984540054, FALSE) AS significant
+    FROM ses
+    """
+
+
+_Q408_NOTES = (
+    "DELTA-METHOD RATIO METRIC (operators/mlmetrics.ratio_metric_delta "
+    "— Deng-Knoblich-Lu KDD 2018: Var(Sx/Sy) over randomization units "
+    "via the first-order expansion; per-unit-ratio t-tests answer a "
+    "different estimand): ONE conditional-cell aggregate (six decimal-"
+    "stabilized sums per arm, map-combined) + scalar recombination; "
+    "anchor pre-aggregates events to the user unit with decimal sums. "
+    "FP-noise variance floored at 0 before sqrt; n<2 arms degrade to "
+    "NULL z / significant=false"
+)
+
+ROADMAP13["q408_ratio_metric_delta"] = (
+    q408_ratio_metric_delta,
+    _q408_oracle(),
+    _Q408_NOTES,
+)
+
+
+# --- q409: cluster design effect -----------------------------------------------------
+
+
+def q409_cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC / DEFF / effective-n (operators/mlmetrics.
+    cluster_design_effect) for event values clustered by user — the
+    overcount audit for any event-level readout of a user-randomized
+    experiment."""
+    from ..operators.mlmetrics import cluster_design_effect
+
+    ev = read_table(spark, sf_dir, "events")
+    return cluster_design_effect(ev, "user_id", "value")
+
+
+def _q409_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+
+    return f"""
+    WITH per AS (
+      SELECT user_id,
+             COUNT(*) AS m,
+             {stable_sum_sql("value", 9)} AS s,
+             {stable_sum_sql("round(value * value, 9)", 9)} AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    agg AS (
+      SELECT COUNT(*) AS j,
+             CAST(SUM(m) AS BIGINT) AS n,
+             {stable_sum_sql("s", 9)} AS g,
+             {stable_sum_sql("ss", 9)} AS sstot,
+             {stable_sum_sql("round(s * s / CAST(m AS DOUBLE), 9)", 9)}
+               AS sb,
+             CAST(SUM(m * m) AS BIGINT) AS smm
+      FROM per
+    ),
+    fin AS (
+      SELECT n, j,
+        CAST(n AS DOUBLE) / CAST(j AS DOUBLE) AS mbar,
+        (sb - g * g / CAST(n AS DOUBLE))
+          / nullif(CAST(j AS DOUBLE) - 1, 0) AS msb,
+        (sstot - sb) / nullif(CAST(n AS DOUBLE) - CAST(j AS DOUBLE), 0)
+          AS msw,
+        (CAST(n AS DOUBLE) - CAST(smm AS DOUBLE) / CAST(n AS DOUBLE))
+          / nullif(CAST(j AS DOUBLE) - 1, 0) AS n0
+      FROM agg
+    )
+    SELECT n, j AS j_clusters,
+           round(mbar, 6) AS mean_cluster_size,
+           round(msb, 6) AS msb,
+           round(msw, 6) AS msw,
+           round((msb - msw) / nullif(msb + (n0 - 1) * msw, 0), 6) AS icc,
+           round(1.0 + (mbar - 1)
+                 * ((msb - msw) / nullif(msb + (n0 - 1) * msw, 0)), 6)
+             AS deff,
+           round(CAST(n AS DOUBLE) / nullif(1.0 + (mbar - 1)
+                 * ((msb - msw) / nullif(msb + (n0 - 1) * msw, 0)), 0), 6)
+             AS n_eff
+    FROM fin
+    """
+
+
+_Q409_NOTES = (
+    "CLUSTER DESIGN EFFECT (operators/mlmetrics.cluster_design_effect "
+    "— Kish 1965 / Donner-Klar 2000: one-way-ANOVA ICC with the "
+    "unequal-size n0 correction, DEFF = 1 + (mbar-1)*ICC, n_eff = "
+    "N/DEFF — the factor an event-level test overstates its N by when "
+    "randomization was by user): one map-combined cluster agg -> "
+    "clusters-sized frame -> one scalar reduce; two exchanges at any "
+    "size; decimal moment sums with 9dp-rounded S^2/m terms; "
+    "degenerate inputs (J<2, N==J) report NULL diagnostics"
+)
+
+ROADMAP13["q409_cluster_design_effect"] = (
+    q409_cluster_design_effect,
+    _q409_oracle(),
+    _Q409_NOTES,
+)
+
+
+# --- q410: vocabulary coverage / OOV -------------------------------------------------
+
+
+def q410_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-32 vocabulary + per-source OOV rates (llm/lm.vocab_coverage)
+    — V deliberately below the synthetic corpus's distinct-token count
+    so the OOV path is exercised at every fixture scale."""
+    from ..llm.lm import vocab_coverage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "source", vocab_size=32).orderBy("domain")
+
+
+def _q410_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tx AS (SELECT source AS domain, unnest(t) AS tok FROM toks),
+    gc AS (SELECT tok, COUNT(*) AS c FROM tx GROUP BY tok),
+    vocab AS (SELECT tok FROM gc ORDER BY c DESC, tok ASC LIMIT 32),
+    per AS (SELECT domain, tok, COUNT(*) AS n FROM tx GROUP BY domain, tok)
+    SELECT p.domain,
+           CAST(SUM(p.n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN p.n ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(SUM(CASE WHEN v.tok IS NULL THEN p.n ELSE 0 END)
+                 / CAST(SUM(p.n) AS DOUBLE), 6) AS oov_rate,
+           CAST(32 AS BIGINT) AS vocab_size
+    FROM per p LEFT JOIN vocab v ON p.tok = v.tok
+    GROUP BY p.domain ORDER BY p.domain
+    """
+
+
+_Q410_NOTES = (
+    "VOCAB COVERAGE / OOV AUDIT (llm/lm.vocab_coverage — the coverage "
+    "number WordPiece/SentencePiece pipelines freeze a vocabulary on; "
+    "high per-domain OOV = UNK fragmentation): one token count agg; "
+    "top-V cut = LIMIT over (count DESC, token ASC) — "
+    "TakeOrderedAndProject, no global sort; V-sized vocab broadcast-"
+    "LEFT-joins per-(domain,token) counts; one domain reduce. V is a "
+    "model-sized constant (10^4-10^5 in production) — always "
+    "broadcastable"
+)
+
+ROADMAP13["q410_vocab_coverage"] = (
+    q410_vocab_coverage,
+    _q410_oracle(),
+    _Q410_NOTES,
+)
+
+
+# --- q411: prototypicality outliers --------------------------------------------------
+
+
+def q411_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid-distance z-scores (llm/cluster.
+    prototypicality) over the embeddings table, |z| > 2 flagged."""
+    from ..llm.cluster import prototypicality
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return prototypicality(emb, z_threshold=2.0).orderBy("vec_id")
+
+
+def _q411_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    exploded AS (
+      SELECT label, e2.dim, e2.x
+      FROM (
+        SELECT label,
+               unnest(list_transform(embedding, (v, i) ->
+                 struct_pack(dim := i - 1, x := CAST(v AS DOUBLE)))) AS e2
+        FROM embeddings
+      )
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM exploded GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT label, list(c ORDER BY dim) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    wd AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt(CAST(list_sum(list_transform(
+               generate_series(1, len(c.centroid)),
+               i -> CAST(round((e.v[i] - c.centroid[i])
+                               * (e.v[i] - c.centroid[i]), 9)
+                         AS DECIMAL(38,12))))
+             AS DOUBLE)), 6) AS cdist
+      FROM e JOIN cents c USING (label)
+    ),
+    stats AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(CAST(cdist AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(CAST(cdist AS DECIMAL(18,6))
+                  * CAST(cdist AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS ss
+      FROM wd GROUP BY label
+    ),
+    zs AS (
+      SELECT w.vec_id, w.label, w.cdist,
+        round((w.cdist - t.s / CAST(t.n AS DOUBLE))
+          / (CASE WHEN sqrt(greatest(COALESCE(
+               (t.ss - t.s * t.s / CAST(t.n AS DOUBLE))
+               / nullif(CAST(t.n AS DOUBLE) - 1, 0), 0.0), 0.0)) > 0
+             THEN sqrt(greatest(COALESCE(
+               (t.ss - t.s * t.s / CAST(t.n AS DOUBLE))
+               / nullif(CAST(t.n AS DOUBLE) - 1, 0), 0.0), 0.0)) END), 6)
+          AS z
+      FROM wd w JOIN stats t USING (label)
+    )
+    SELECT vec_id, label, cdist, z,
+           COALESCE(abs(z) > 2.0, FALSE) AS is_outlier
+    FROM zs ORDER BY vec_id
+    """
+
+
+_Q411_NOTES = (
+    "PROTOTYPICALITY / EMBEDDING OUTLIERS (llm/cluster.prototypicality "
+    "— Sorscher et al. 2022 'Beyond neural scaling laws': centroid "
+    "distance is the self-supervised pruning metric; z-scored WITHIN "
+    "the cluster so 'atypical' is relative to the cluster's own "
+    "spread — flags the noisy fringe semdedup's core-removal never "
+    "touches): labels-sized centroid broadcast + ONE map-combined "
+    "label agg broadcast back — no self-join, no window; strictly "
+    "cheaper than q375 on the same input. Shared 6dp distance helper "
+    "with q375/q403 (one arithmetic, three consumers); singleton/"
+    "zero-variance clusters report NULL z"
+)
+
+ROADMAP13["q411_prototypicality"] = (
+    q411_prototypicality,
+    _q411_oracle(),
+    _Q411_NOTES,
+)
+
+
+# --- q412: post-stratified lift ------------------------------------------------------
+
+
+def q412_stratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/B readout (operators/mlmetrics.
+    stratified_lift): event values, strata = event_type, arms by user
+    parity — naive and adjusted lift side by side."""
+    from ..operators.mlmetrics import stratified_lift
+
+    ev = read_table(spark, sf_dir, "events")
+    armed = ev.select(
+        F.col("event_type").alias("stratum"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    return stratified_lift(
+        armed, "stratum", "arm", "value", "control", "treatment"
+    )
+
+
+def _q412_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+
+    return f"""
+    WITH base AS (
+      SELECT event_type AS s, (user_id % 2 <> 0) AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+      SELECT s,
+        CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS ncs,
+        CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nts,
+        {stable_sum_sql("CASE WHEN NOT t THEN v END", 9)} AS svc,
+        {stable_sum_sql("CASE WHEN t THEN v END", 9)} AS svt,
+        {stable_sum_sql("CASE WHEN NOT t THEN round(v * v, 9) END", 9)}
+          AS svvc,
+        {stable_sum_sql("CASE WHEN t THEN round(v * v, 9) END", 9)} AS svvt
+      FROM base GROUP BY s
+    ),
+    flagged AS (
+      SELECT *, (ncs > 0 AND nts > 0) AS complete FROM per
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN complete THEN ncs + nts ELSE 0 END)
+                  AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT)
+               AS js,
+             COUNT(*) AS jall
+      FROM flagged
+    ),
+    terms AS (
+      SELECT t.nn, t.js, t.jall, f.ncs, f.nts, f.svc, f.svt,
+        round(CAST(f.ncs + f.nts AS DOUBLE) / t.nn
+          * (f.svt / f.nts - f.svc / f.ncs), 9) AS wlift,
+        round((CAST(f.ncs + f.nts AS DOUBLE) / t.nn)
+          * (CAST(f.ncs + f.nts AS DOUBLE) / t.nn)
+          * (COALESCE(((f.svvt - f.svt * f.svt / f.nts)
+               / nullif(CAST(f.nts AS DOUBLE) - 1, 0))
+               / CAST(f.nts AS DOUBLE), 0.0)
+             + COALESCE(((f.svvc - f.svc * f.svc / f.ncs)
+               / nullif(CAST(f.ncs AS DOUBLE) - 1, 0))
+               / CAST(f.ncs AS DOUBLE), 0.0)), 9) AS wvar
+      FROM flagged f CROSS JOIN tot t WHERE f.complete
+    ),
+    agg AS (
+      SELECT nn, js, jall,
+             CAST(SUM(ncs) AS BIGINT) AS n_control,
+             CAST(SUM(nts) AS BIGINT) AS n_treatment,
+             {stable_sum_sql("wlift", 9)} AS adj,
+             {stable_sum_sql("wvar", 9)} AS var,
+             {stable_sum_sql("svc", 9)} AS allc,
+             {stable_sum_sql("svt", 9)} AS allt
+      FROM terms GROUP BY nn, js, jall
+    )
+    SELECT js AS n_strata,
+           CAST(jall - js AS BIGINT) AS n_strata_dropped,
+           n_control, n_treatment,
+           round(allt / n_treatment - allc / n_control, 6) AS naive_lift,
+           round(adj, 6) AS adj_lift,
+           round(sqrt(greatest(var, 0.0)), 6) AS se,
+           round(adj / nullif(sqrt(greatest(var, 0.0)), 0), 6) AS z,
+           COALESCE(abs(round(adj / nullif(sqrt(greatest(var, 0.0)), 0), 6))
+                    > 1.959963984540054, FALSE) AS significant
+    FROM agg
+    """
+
+
+_Q412_NOTES = (
+    "POST-STRATIFIED LIFT (operators/mlmetrics.stratified_lift — "
+    "Miratrix-Sekhon-Yu 2013: pooled stratum shares reweight per-"
+    "(stratum,arm) means so stratum imbalance cannot masquerade as "
+    "lift; naive lift emitted alongside so the confound is visible): "
+    "one conditional-cell stratum agg -> strata-sized frame, complete-"
+    "strata totals broadcast back, one scalar reduce; strata missing "
+    "an arm are dropped AND counted (n_strata_dropped), weights "
+    "renormalized; singleton-cell variance floors at 0 (conservative-"
+    "down, documented)"
+)
+
+ROADMAP13["q412_stratified_lift"] = (
+    q412_stratified_lift,
+    _q412_oracle(),
+    _Q412_NOTES,
+)
+
+
+# --- q413: mixture health ------------------------------------------------------------
+
+
+def q413_mixture_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-share mixture health (llm/sampling.mixture_health) per
+    source — entropy, effective domains, HHI, max share."""
+    from ..functions.text import token_count
+    from ..llm.sampling import mixture_health
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "_ntok", token_count("text")
+    )
+    return mixture_health(docs, "source", "_ntok").orderBy("domain")
+
+
+def _q413_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    per AS (
+      SELECT source AS domain, COUNT(*) AS n_docs,
+             CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per),
+    sh AS (
+      SELECT domain, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / t.t AS p
+      FROM per CROSS JOIN tot t
+    ),
+    sc AS (
+      SELECT
+        CAST(SUM(CAST(CASE WHEN p > 0 THEN round(-p * ln(p), 9)
+             ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS h,
+        CAST(SUM(CAST(round(p * p, 9) AS DECIMAL(38,12))) AS DOUBLE)
+          AS hhi,
+        MAX(p) AS mx
+      FROM sh
+    )
+    SELECT domain, n_docs, n_tokens,
+           round(p, 6) AS token_share,
+           round(h, 6) AS entropy,
+           round(exp(h), 6) AS effective_domains,
+           round(hhi, 6) AS hhi,
+           round(mx, 6) AS max_share
+    FROM sh CROSS JOIN sc ORDER BY domain
+    """
+
+
+_Q413_NOTES = (
+    "MIXTURE HEALTH (llm/sampling.mixture_health — the concentration "
+    "readout every mixture table reports: token-share entropy, "
+    "effective domain count exp(H), Herfindahl index, max share): one "
+    "map-combined domain agg -> domains-sized frame; global scalars "
+    "are a second agg OF THAT FRAME broadcast back (q400 scalar "
+    "pattern) — no window, no second corpus pass; p*ln p terms 9dp on "
+    "a decimal fold"
+)
+
+ROADMAP13["q413_mixture_health"] = (
+    q413_mixture_health,
+    _q413_oracle(),
+    _Q413_NOTES,
+)
+
+
+# --- q414: streaming PII gate --------------------------------------------------------
+
+
+def q414_stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub AT INGEST (streaming form of q406): the documents
+    table streams through pii_scrub — pure map-only, so it composes
+    into the readStream path unchanged (append mode, no state) and the
+    availableNow replay equals the batch run row-for-row (the q398
+    convention; shares q406's oracle verbatim)."""
+    from ..llm.pii import pii_scrub
+    from ..schema import TABLE_SCHEMAS
+    from ..streaming.runner import run_available_now
+
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = pii_scrub(stream)
+    return run_available_now(gated, output_mode="append").orderBy("doc_id")
+
+
+_Q414_NOTES = (
+    "STREAMING PII GATE (q406's scrub composed into the readStream "
+    "path — scrub documents AT INGEST, before they land in the "
+    "corpus): pii_scrub is a pure map-only projection, streaming-safe "
+    "by construction (append mode, no state, no watermark); "
+    "availableNow replay equals the batch run row-for-row — q414 "
+    "shares q406's oracle verbatim (the q398/q37 streaming-parity "
+    "convention). With q398 this pins the rule that ALL map-only "
+    "curation operators lift to Structured Streaming unchanged"
+)
+
+ROADMAP13["q414_stream_pii_gate"] = (
+    q414_stream_pii_gate,
+    _q406_oracle(),
+    _Q414_NOTES,
+)

@@ -8059,3 +8059,8 @@ ROADMAP7.update(_ROADMAP11)
 from .roadmap12 import ROADMAP12 as _ROADMAP12  # noqa: E402
 
 ROADMAP7.update(_ROADMAP12)
+
+# Round-13 queue additions (same pattern).
+from .roadmap13 import ROADMAP13 as _ROADMAP13  # noqa: E402
+
+ROADMAP7.update(_ROADMAP13)

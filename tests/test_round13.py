@@ -1,0 +1,633 @@
+"""Law / hand-case tests for the round-13 queue operators (q401–q414).
+
+Oracle parity for the queued queries themselves is swept by
+tests/test_catalog.py::test_roadmap7_queue_preverified at both driver
+scales; these tests pin the operator SEMANTICS — closed-form hand
+cases, invariance laws, degenerate inputs — independently of the
+fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- q401: hashed NB linear classifier ----------------------------------------------
+
+
+def test_nb_classifier_separable_corpus(spark):
+    """Disjoint-vocabulary classes are classified perfectly, and class
+    evidence is monotone: more positive-class tokens -> higher logit."""
+    from dbkit_spark.llm.quality import hashed_nb_score, hashed_nb_train
+
+    rows = [
+        (1, "spark table join shuffle partition", True),
+        (2, "spark query plan scan filter", True),
+        (3, "le chat mange la pomme rouge", False),
+        (4, "la maison est grande et belle", False),
+        (5, "spark join plan table", True),
+        (6, "le pomme la rouge", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    w, p = hashed_nb_train(df, "pos", m=64)
+    got = {
+        r["doc_id"]: r
+        for r in hashed_nb_score(df, w, p, m=64).collect()
+    }
+    assert all(got[i]["predicted"] for i in (1, 2, 5))
+    assert all(not got[i]["predicted"] for i in (3, 4, 6))
+    assert all(got[i]["p"] > 0.5 for i in (1, 2, 5))
+    # weight table enumerates every bucket (lossless scoring joins)
+    assert w.count() == 64
+
+
+def test_nb_classifier_prior_only_balance(spark):
+    """With identical texts in both classes every weight is ~0 (equal
+    smoothed ratios) and the logit reduces to the class prior."""
+    from dbkit_spark.llm.quality import hashed_nb_score, hashed_nb_train
+
+    rows = [(1, "same words here", True), (2, "same words here", False),
+            (3, "same words here", True)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    w, p = hashed_nb_train(df, "pos", m=16)
+    prior = p.collect()[0]
+    # 2 pos vs 1 neg -> bias = ln(2.5/1.5)
+    assert prior["bias"] == round(math.log(2.5 / 1.5), 9)
+    got = hashed_nb_score(df, w, p, m=16).collect()
+    assert all(r["predicted"] for r in got)  # prior dominates, weights ~0
+
+
+def test_nb_train_validation(spark):
+    from dbkit_spark.llm.quality import hashed_nb_train
+
+    df = spark.createDataFrame(
+        [(1, "x", True)], "doc_id long, text string, pos boolean"
+    )
+    with pytest.raises(ValueError, match="m must"):
+        hashed_nb_train(df, "pos", m=1)
+    with pytest.raises(ValueError, match="k must"):
+        hashed_nb_train(df, "pos", k=0.0)
+
+
+# --- q402: eval holdout carving -------------------------------------------------------
+
+
+def test_eval_holdout_carve_contamination_and_quota(spark):
+    """A candidate near-dup-linked to a train doc is ejected (either
+    edge orientation); clean candidates rank densely and the quota
+    caps selection; candidate-candidate links do not eject."""
+    from dbkit_spark.llm.sampling import SPLIT_BUCKETS, _hash_bucket, eval_holdout_carve
+
+    docs = spark.createDataFrame(
+        [(i, "g") for i in range(60)], "doc_id long, grp string"
+    )
+    # find actual candidate ids under the salt (bucket < 0.3*10000)
+    tagged = docs.select(
+        "doc_id", (_hash_bucket(F.col("doc_id"), "carvetest") < 3000).alias("c")
+    ).collect()
+    cand_ids = sorted(r["doc_id"] for r in tagged if r["c"])
+    train_ids = sorted(r["doc_id"] for r in tagged if not r["c"])
+    assert len(cand_ids) >= 4 and len(train_ids) >= 2
+    pairs = spark.createDataFrame(
+        [
+            (cand_ids[0], train_ids[0]),   # cand as doc_a -> ejected
+            (train_ids[1], cand_ids[1]),   # cand as doc_b -> ejected
+            (cand_ids[2], cand_ids[3]),    # cand-cand: no ejection
+        ],
+        "doc_a long, doc_b long",
+    )
+    out = eval_holdout_carve(
+        docs, pairs, "grp", eval_frac=0.3, quota=2, salt="carvetest"
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == set(cand_ids)  # train side not emitted
+    assert got[cand_ids[0]]["contaminated"] and not got[cand_ids[0]]["selected"]
+    assert got[cand_ids[1]]["contaminated"]
+    assert not got[cand_ids[2]]["contaminated"]
+    clean = [r for r in out if not r["contaminated"]]
+    ranks = sorted(r["pick_rank"] for r in clean)
+    assert ranks == list(range(1, len(clean) + 1))  # dense, no gaps
+    assert sum(1 for r in out if r["selected"]) == min(2, len(clean))
+    with pytest.raises(ValueError, match="eval_frac"):
+        eval_holdout_carve(docs, pairs, "grp", eval_frac=1.5)
+    with pytest.raises(ValueError, match="quota"):
+        eval_holdout_carve(docs, pairs, "grp", quota=0)
+
+
+# --- q403: incremental SemDeDup -------------------------------------------------------
+
+
+def test_semdedup_delta_empty_old_equals_full(spark):
+    """With no frozen state and centroids built from the batch itself,
+    delta mode IS semdedup — bit-for-bit."""
+    from dbkit_spark.llm.cluster import label_centroids, semdedup, semdedup_delta
+
+    rows = [
+        (i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 3)], i % 2)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    full = sorted(map(tuple, semdedup(emb, 0.9).collect()))
+    cents = label_centroids(emb)
+    delta = sorted(
+        map(tuple, semdedup_delta(emb, emb.limit(0), cents, 0.9).collect())
+    )
+    assert full == delta
+
+
+def test_semdedup_delta_frozen_survivor_dominates(spark):
+    """A new exact duplicate of a frozen survivor is removed; a new
+    vector orthogonal to everything is kept; frozen rows are never
+    emitted (immutability is structural)."""
+    from dbkit_spark.llm.cluster import label_centroids, semdedup_delta
+
+    old_kept = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = label_centroids(old_kept)
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0], 0),     # dup of frozen survivor -> removed
+         (11, [0.0, 1.0, 0.0], 0)],    # orthogonal -> kept
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["vec_id"]: r["kept"] for r in
+           semdedup_delta(new, old_kept, cents, 0.9).collect()}
+    assert got == {10: False, 11: True}
+
+
+def test_semdedup_delta_within_batch_priority(spark):
+    """Within the batch, the vector FARTHER from the frozen centroid
+    wins a tau-tie (semdedup's keep-the-atypical rule)."""
+    from dbkit_spark.llm.cluster import semdedup_delta
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "label int, centroid array<double>"
+    )
+    new = spark.createDataFrame(
+        [(1, [0.9, 0.1], 0), (2, [0.5, 0.5], 0)],  # cosine(v1,v2) ~ 0.781
+        "vec_id long, embedding array<double>, label int",
+    )
+    empty = new.limit(0)
+    got = {r["vec_id"]: r for r in
+           semdedup_delta(new, empty, cents, 0.75).collect()}
+    # vec 2 is farther from centroid -> higher priority -> kept
+    assert got[2]["kept"] and not got[1]["kept"]
+    assert got[2]["cdist"] > got[1]["cdist"]
+
+
+# --- q404: token-budget water-filling -------------------------------------------------
+
+
+def _waterfill(spark, avail, weights, budget, cap=2.0):
+    from dbkit_spark.llm.sampling import token_budget_waterfill
+
+    df = spark.createDataFrame(
+        [(d, n) for d, n in avail.items()], "domain string, ntok long"
+    )
+    return {
+        r["domain"]: r
+        for r in token_budget_waterfill(
+            df, "domain", "ntok", weights, budget=budget, max_epochs=cap
+        ).collect()
+    }
+
+
+def test_waterfill_pure_proportional(spark):
+    """Budget far below every cap: allocation is exactly proportional
+    and spends the budget to the cent."""
+    got = _waterfill(
+        spark, {"a": 10_000, "b": 10_000}, {"a": 3.0, "b": 1.0}, 1_000.0
+    )
+    assert got["a"]["allocated_tokens"] == 750.0
+    assert got["b"]["allocated_tokens"] == 250.0
+    assert not got["a"]["capped"] and not got["b"]["capped"]
+    assert got["a"]["leftover_budget"] == 0.0
+
+
+def test_waterfill_redistributes_capped_surplus(spark):
+    """A tiny domain caps; its unmet share flows to the big domain —
+    the exact redistribution mixture_epoch_plan cannot express."""
+    got = _waterfill(
+        spark, {"a": 100, "b": 100_000}, {"a": 1.0, "b": 1.0}, 10_000.0
+    )
+    assert got["a"]["capped"] and got["a"]["allocated_tokens"] == 200.0
+    assert not got["b"]["capped"]
+    assert got["b"]["allocated_tokens"] == 9_800.0  # 10000 - 200
+    total = sum(r["allocated_tokens"] for r in got.values())
+    assert abs(total - 10_000.0) < 1e-6
+
+
+def test_waterfill_all_capped_reports_leftover(spark):
+    got = _waterfill(
+        spark, {"a": 100, "b": 200}, {"a": 1.0, "b": 1.0}, 10_000.0
+    )
+    assert all(r["capped"] for r in got.values())
+    assert got["a"]["allocated_tokens"] == 200.0
+    assert got["b"]["allocated_tokens"] == 400.0
+    assert got["a"]["leftover_budget"] == 9_400.0
+    assert got["a"]["water_level"] is None  # exactly-NULL, not a blowup
+
+
+def test_waterfill_missing_domain_and_validation(spark):
+    from dbkit_spark.llm.sampling import token_budget_waterfill
+
+    got = _waterfill(
+        spark, {"a": 1_000}, {"a": 1.0, "ghost": 1.0}, 500.0
+    )
+    assert got["ghost"]["avail_tokens"] == 0
+    assert got["ghost"]["allocated_tokens"] == 0.0
+    assert got["ghost"]["capped"] and got["ghost"]["epochs"] is None
+    df = spark.createDataFrame([("a", 10)], "domain string, ntok long")
+    for bad in (
+        dict(weights={"a": 1.0}, budget=0.0),
+        dict(weights={"a": 1.0}, budget=10.0, max_epochs=0),
+        dict(weights={}, budget=10.0),
+        dict(weights={"a": -1.0}, budget=10.0),
+    ):
+        with pytest.raises(ValueError):
+            token_budget_waterfill(df, "domain", "ntok", **bad)
+
+
+# --- q405: Gopher repetition battery --------------------------------------------------
+
+
+def test_repetition_filters_hand_cases(spark):
+    """Pure loop -> all fracs 1.0 and every rule fails; varied text
+    passes; short docs (no 5-grams) get dup5 = 0 vacuously."""
+    from dbkit_spark.llm.quality import gopher_repetition_filters
+
+    varied = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform victor whiskey xray yankee zulu one "
+        "two three four five six seven eight nine ten eleven twelve"
+    )
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, varied),
+        (3, "just four little words"),
+        (4, ""),
+    ]
+    got = {r["doc_id"]: r for r in
+           gopher_repetition_filters(_docs(spark, rows)).collect()}
+    assert got[1]["top2_char_frac"] == 1.0
+    assert got[1]["dup5_char_frac"] == 1.0
+    assert not got[1]["passes"]
+    assert got[2]["passes"]
+    assert got[2]["dup5_char_frac"] == 0.0
+    assert got[3]["dup5_char_frac"] == 0.0 and got[3]["rule_dup5"]
+    assert got[4]["top2_char_frac"] == 0.0 and got[4]["passes"]
+
+
+def test_repetition_filters_top_gram_arithmetic(spark):
+    """Closed-form check: 'ab ab ab cd' -> top 2-gram 'ab ab' occurs 2x
+    of 3 bigrams; char mass 2*4=8 over 8 token chars -> frac 1.0 capped;
+    with a longer tail the exact ratio shows through."""
+    from dbkit_spark.llm.quality import gopher_repetition_filters
+
+    # tokens: x y x y z w v u  -> bigram 'x y' twice (4 chars mass = 2*2)
+    rows = [(1, "x y x y z w v u")]
+    got = gopher_repetition_filters(_docs(spark, rows)).collect()[0]
+    # chars = 8 single-char tokens; top2 = 2 occurrences * 2 chars = 4
+    assert got["top2_char_frac"] == 0.5
+    assert got["n_tokens"] == 8
+
+
+# --- q406/q414: PII scrub --------------------------------------------------------------
+
+
+def test_pii_scrub_hand_cases(spark):
+    from dbkit_spark.llm.pii import pii_scrub
+
+    rows = [
+        (1, "mail john.doe+x@sub.example.co.uk now"),
+        (2, "call 555-867-5309 or +44 20 7946 0958"),
+        (3, "host 10.0.0.1 and 192.168.255.3"),
+        (4, "no pii just text"),
+        (5, "not an email: a@b (no tld dot)"),
+    ]
+    got = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["redacted_text"]
+    assert got[2]["n_phone"] == 2
+    assert got[3]["n_ipv4"] == 2
+    assert got[4]["pii_total"] == 0
+    assert got[4]["redacted_text"] == "no pii just text"
+    assert got[5]["n_email"] == 0
+    assert got[1]["pii_total"] == got[1]["n_email"] + got[1]["n_phone"] + got[1]["n_ipv4"]
+
+
+def test_pii_summary_rollup(spark):
+    from dbkit_spark.llm.pii import pii_summary
+
+    df = spark.createDataFrame(
+        [(1, "a", "x@y.com here"), (2, "a", "clean"), (3, "b", "clean")],
+        "doc_id long, src string, text string",
+    )
+    got = {r["src"]: r for r in pii_summary(df, "src").collect()}
+    assert got["a"]["n_docs_with_pii"] == 1 and got["a"]["pii_doc_rate"] == 0.5
+    assert got["b"]["n_docs_with_pii"] == 0
+
+
+# --- q407: normal tail + Benjamini-Hochberg FDR ------------------------------------------
+
+
+def test_normal_p_two_sided_published_values(spark):
+    """The A&S 26.2.17 approximation hits the textbook tail values to
+    its documented 7.5e-8: p(1.96) ~ 0.05, p(0) = 1, p(2.5758) ~ 0.01;
+    symmetric in z."""
+    from dbkit_spark.operators.mlmetrics import normal_p_two_sided
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.959963984540054,), (-1.959963984540054,),
+         (2.5758293035489004,), (10.0,)],
+        "z double",
+    )
+    got = [r["p"] for r in df.select(
+        normal_p_two_sided(F.col("z")).alias("p")).collect()]
+    assert abs(got[0] - 1.0) <= 1e-9   # A&S error ~2e-10 at z=0
+    assert abs(got[1] - 0.05) < 2e-7
+    assert got[1] == got[2]          # symmetry
+    assert abs(got[3] - 0.01) < 2e-7
+    assert got[4] < 1e-9             # far tail underflows to ~0
+
+
+def test_mwu_p_bh_pipeline_textbook(spark):
+    """The q407 composition on a textbook battery: p = (.01,.02,.03,
+    .20,.50) through the EXISTING per-family bh_adjust -> adjusted
+    (.05,.05,.05,.25,.50); first three under FDR 0.05."""
+    from dbkit_spark.operators.mlmetrics import bh_adjust
+
+    df = spark.createDataFrame(
+        [("f", "m1", 0.01), ("f", "m2", 0.02), ("f", "m3", 0.03),
+         ("f", "m4", 0.20), ("f", "m5", 0.50)],
+        "fam string, metric string, p double",
+    )
+    got = {r["metric"]: round(r["adj_p"], 9) for r in
+           bh_adjust(df, "fam", "metric", "p").collect()}
+    assert got == {"m1": 0.05, "m2": 0.05, "m3": 0.05,
+                   "m4": 0.25, "m5": 0.50}
+    assert sum(1 for v in got.values() if v <= 0.05) == 3
+
+
+def test_mwu_null_battery_accepts(spark):
+    """Parity arms on a symmetric fixture: every per-metric p is
+    large and the battery rejects nothing — the pipeline's null
+    behavior end-to-end (z -> A&S p -> BH)."""
+    from dbkit_spark.operators.mlmetrics import (
+        bh_adjust,
+        mann_whitney_u,
+        normal_p_two_sided,
+    )
+
+    rows = [
+        (f"m{k}", "a" if i % 2 == 0 else "b", float((i * 7) % 23))
+        for k in range(4)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "metric string, g string, v double")
+    mw = mann_whitney_u(df, "metric", "g", "v", "a", "b")
+    scored = mw.select(
+        F.lit("f").alias("fam"), "metric",
+        normal_p_two_sided(F.col("z")).alias("p"),
+    )
+    got = bh_adjust(scored, "fam", "metric", "p").collect()
+    assert len(got) == 4
+    assert all(r["adj_p"] > 0.05 for r in got)
+
+
+# --- q408: ratio metric delta method --------------------------------------------------
+
+
+def test_ratio_delta_reduces_to_mean_diff(spark):
+    """y == 1 for every unit: ratio = mean, delta variance = s²/n —
+    the ordinary two-sample z on means."""
+    from dbkit_spark.operators.mlmetrics import ratio_metric_delta
+
+    rows = [("c", float(i % 7), 1.0) for i in range(210)] + [
+        ("t", float(i % 7) + 1.0, 1.0) for i in range(210)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double, y double")
+    got = ratio_metric_delta(df, "arm", "x", "y", "c", "t").collect()[0]
+    assert got["lift"] == 1.0
+    # 210 = 30 balanced cycles of 0..6: population var 4.0, sample
+    # variance 4*210/209 -> se = sqrt(s^2/n) = sqrt(4/209)
+    assert abs(got["se_control"] - math.sqrt(4.0 / 209)) < 1e-6
+    assert got["significant"]
+
+
+def test_ratio_delta_scale_invariance(spark):
+    """Scaling num and den together leaves the ratio and z unchanged."""
+    from dbkit_spark.operators.mlmetrics import ratio_metric_delta
+
+    rows = [("c", 2.0 + (i % 3), 1.0 + (i % 2)) for i in range(60)] + [
+        ("t", 3.0 + (i % 3), 1.0 + (i % 2)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double, y double")
+    base = ratio_metric_delta(df, "arm", "x", "y", "c", "t").collect()[0]
+    scaled = ratio_metric_delta(
+        df.select("arm", (F.col("x") * 10).alias("x"),
+                  (F.col("y") * 10).alias("y")),
+        "arm", "x", "y", "c", "t",
+    ).collect()[0]
+    assert base["ratio_control"] == scaled["ratio_control"]
+    assert base["z"] == scaled["z"]
+
+
+def test_ratio_delta_singleton_arm_degrades(spark):
+    from dbkit_spark.operators.mlmetrics import ratio_metric_delta
+
+    df = spark.createDataFrame(
+        [("c", 1.0, 1.0), ("t", 2.0, 1.0), ("t", 3.0, 1.0)],
+        "arm string, x double, y double",
+    )
+    got = ratio_metric_delta(df, "arm", "x", "y", "c", "t").collect()[0]
+    assert got["n_control"] == 1
+    assert got["z"] is None and not got["significant"]
+
+
+# --- q409: cluster design effect --------------------------------------------------------
+
+
+def test_design_effect_within_cluster_constant(spark):
+    """Values constant within each cluster: ICC = 1, DEFF = mean size,
+    n_eff = number of clusters."""
+    from dbkit_spark.operators.mlmetrics import cluster_design_effect
+
+    rows = [(c, float(c)) for c in range(10) for _ in range(20)]
+    df = spark.createDataFrame(rows, "cl long, v double")
+    got = cluster_design_effect(df, "cl", "v").collect()[0]
+    assert got["icc"] == 1.0
+    assert got["deff"] == 20.0
+    assert got["n_eff"] == 10.0
+
+
+def test_design_effect_no_cluster_signal(spark):
+    """The same value multiset in every cluster: MSB collapses toward
+    0, ICC <= 0 (design effect clamps the analyst's N inflation to
+    none)."""
+    from dbkit_spark.operators.mlmetrics import cluster_design_effect
+
+    rows = [(c, float(v)) for c in range(8) for v in range(10)]
+    df = spark.createDataFrame(rows, "cl long, v double")
+    got = cluster_design_effect(df, "cl", "v").collect()[0]
+    assert got["icc"] is not None and got["icc"] <= 0.0
+    assert got["msb"] == 0.0
+
+
+def test_design_effect_degenerate_inputs(spark):
+    from dbkit_spark.operators.mlmetrics import cluster_design_effect
+
+    one = spark.createDataFrame([(1, 2.0), (1, 3.0)], "cl long, v double")
+    got = cluster_design_effect(one, "cl", "v").collect()[0]
+    assert got["j_clusters"] == 1 and got["icc"] is None
+    singletons = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "cl long, v double"
+    )
+    got2 = cluster_design_effect(singletons, "cl", "v").collect()[0]
+    assert got2["n"] == got2["j_clusters"] and got2["msw"] is None
+
+
+# --- q410: vocab coverage ----------------------------------------------------------------
+
+
+def test_vocab_coverage_bounds(spark):
+    """V >= distinct vocabulary -> OOV 0 everywhere; V = 1 -> OOV rate
+    = 1 - top-token share per domain; deterministic tie at the cut."""
+    from dbkit_spark.llm.lm import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "a", "x z"), (3, "b", "y y w")],
+        "doc_id long, dom string, text string",
+    )
+    full = {r["domain"]: r for r in
+            vocab_coverage(df, "dom", vocab_size=10).collect()}
+    assert all(r["oov_tokens"] == 0 for r in full.values())
+    one = {r["domain"]: r for r in
+           vocab_coverage(df, "dom", vocab_size=1).collect()}
+    # global counts: x=4, y=3, z=1, w=1 -> vocab = {x}
+    assert one["a"]["oov_tokens"] == 2      # y, z
+    assert one["b"]["oov_tokens"] == 3      # y y w
+    assert one["b"]["oov_rate"] == 1.0
+    # tie at the cut: z and w both count 1 -> token ASC keeps 'w'
+    three = {r["domain"]: r for r in
+             vocab_coverage(df, "dom", vocab_size=3).collect()}
+    assert three["a"]["oov_tokens"] == 1    # z out, w in
+    with pytest.raises(ValueError, match="vocab_size"):
+        vocab_coverage(df, "dom", vocab_size=0)
+
+
+# --- q411: prototypicality ---------------------------------------------------------------
+
+
+def test_prototypicality_flags_planted_outlier(spark):
+    """A cluster of near-identical vectors plus one far point: exactly
+    the far point is flagged; a zero-variance cluster yields NULL z."""
+    from dbkit_spark.llm.cluster import prototypicality
+
+    tight = [(i, [1.0, 0.001 * i], 0) for i in range(20)]
+    outlier = [(99, [5.0, 5.0], 0)]
+    constant = [(200 + i, [2.0, 2.0], 1) for i in range(5)]
+    emb = spark.createDataFrame(
+        tight + outlier + constant,
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["vec_id"]: r for r in prototypicality(emb).collect()}
+    assert got[99]["is_outlier"]
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+    assert got[200]["z"] is None and not got[200]["is_outlier"]
+
+
+def test_prototypicality_z_mean_zero(spark):
+    """Within each cluster the z scores average ~0 (standardization
+    sanity)."""
+    from dbkit_spark.llm.cluster import prototypicality
+
+    rows = [
+        (i, [math.cos(i * 1.3), math.sin(i * 1.3)], i % 2) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    per = prototypicality(emb).groupBy("label").agg(
+        F.avg("z").alias("mz")
+    ).collect()
+    assert all(abs(r["mz"]) < 1e-3 for r in per)
+
+
+# --- q412: stratified lift ----------------------------------------------------------------
+
+
+def test_stratified_lift_removes_confound(spark):
+    """Simpson's-flavored fixture: within every stratum treatment is
+    +1, but arm/stratum imbalance drives the naive lift negative —
+    post-stratification recovers +1."""
+    from dbkit_spark.operators.mlmetrics import stratified_lift
+
+    rows = (
+        [("s1", "c", 1.0)] * 10 + [("s1", "t", 2.0)] * 30
+        + [("s2", "c", 5.0)] * 30 + [("s2", "t", 6.0)] * 10
+    )
+    df = spark.createDataFrame(rows, "s string, arm string, v double")
+    got = stratified_lift(df, "s", "arm", "v", "c", "t").collect()[0]
+    assert got["naive_lift"] == -1.0
+    assert got["adj_lift"] == 1.0
+    assert got["n_strata"] == 2 and got["n_strata_dropped"] == 0
+
+
+def test_stratified_lift_drops_incomplete_strata(spark):
+    from dbkit_spark.operators.mlmetrics import stratified_lift
+
+    rows = [("s1", "c", 1.0), ("s1", "c", 2.0), ("s1", "t", 3.0),
+            ("s1", "t", 4.0), ("lonely", "c", 9.0)]
+    df = spark.createDataFrame(rows, "s string, arm string, v double")
+    got = stratified_lift(df, "s", "arm", "v", "c", "t").collect()[0]
+    assert got["n_strata"] == 1 and got["n_strata_dropped"] == 1
+    assert got["n_control"] == 2  # the lonely stratum's rows excluded
+    assert got["adj_lift"] == 2.0
+
+
+# --- q413: mixture health -----------------------------------------------------------------
+
+
+def test_mixture_health_uniform_and_point_mass(spark):
+    from dbkit_spark.llm.sampling import mixture_health
+
+    uniform = spark.createDataFrame(
+        [(f"d{i}", 100) for i in range(4) for _ in range(3)],
+        "dom string, ntok long",
+    )
+    got = mixture_health(uniform, "dom", "ntok").collect()[0]
+    assert abs(got["entropy"] - math.log(4)) < 1e-6
+    assert abs(got["effective_domains"] - 4.0) < 1e-5
+    assert got["hhi"] == 0.25 and got["max_share"] == 0.25
+
+    point = spark.createDataFrame(
+        [("a", 100), ("b", 0)], "dom string, ntok long"
+    )
+    got2 = {r["domain"]: r for r in
+            mixture_health(point, "dom", "ntok").collect()}
+    assert got2["a"]["entropy"] == 0.0
+    assert got2["a"]["hhi"] == 1.0
+    assert got2["a"]["effective_domains"] == 1.0
+    assert got2["b"]["token_share"] == 0.0
+
+
+def test_mixture_health_share_conservation(spark):
+    from dbkit_spark.llm.sampling import mixture_health
+
+    df = spark.createDataFrame(
+        [("a", 37), ("b", 205), ("c", 18)], "dom string, ntok long"
+    )
+    rows = mixture_health(df, "dom", "ntok").collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-5
+    assert all(r["effective_domains"] <= 3.0 + 1e-9 for r in rows)
