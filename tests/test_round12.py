@@ -927,11 +927,11 @@ def test_dedup_retention_conservation(spark, sf_dir):
     """Retention bookkeeping: kept <= total everywhere, one survivor
     per cluster corpus-wide, and token_retention consistent with the
     sums it reports."""
-    from dbkit_spark.queries.roadmap7 import ROADMAP7
     from dbkit_spark.catalog import load_all
 
-    load_all()
-    fn, _, _ = ROADMAP7["q396_dedup_retention"]
+    # landed with the r13 registration: read from the catalog, not the
+    # queue dict (the landing pops queue entries)
+    fn = load_all()["q396_dedup_retention"].fn
     rows = fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
@@ -981,12 +981,12 @@ def test_stream_quality_gate_equals_batch(spark, sf_dir):
     availableNow replay of gopher_quality_filters equals the batch run
     row-for-row (the q37 convention)."""
     from dbkit_spark.llm.quality import gopher_quality_filters
-    from dbkit_spark.queries.roadmap7 import ROADMAP7
     from dbkit_spark.catalog import load_all
     from dbkit_spark.sources import read_table
 
-    load_all()
-    fn, _, _ = ROADMAP7["q398_stream_quality_gate"]
+    # landed with the r13 registration: read from the catalog, not the
+    # queue dict (the landing pops queue entries)
+    fn = load_all()["q398_stream_quality_gate"].fn
     streamed = sorted(map(tuple, fn(spark, sf_dir).collect()))
     batch = sorted(
         map(tuple, gopher_quality_filters(read_table(spark, sf_dir, "documents")).collect())
