@@ -294,3 +294,172 @@ def vocab_coverage(
             F.lit(int(vocab_size)).cast("long").alias("vocab_size"),
         )
     )
+
+
+def trigram_lm_train(
+    ref: DataFrame,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the model tables for the INTERPOLATED trigram gate — the
+    production shape of the q379 bigram gate (CCNet runs a KenLM
+    5-gram; Jelinek-Mercer interpolation [Jelinek & Mercer 1980] is
+    the SQL-replayable stand-in for its smoothing — Kneser-Ney's
+    continuation-count discounting is intentionally NOT approximated,
+    a documented fidelity bound, not a stub).
+
+    One tokenize pass over the reference corpus → four mergeable count
+    tables: (w1,w2,w3) trigram counts, (w1,w2) bigram-context counts,
+    (w2,w3) bigram counts, (w) unigram counts (+ the 1-row total/vocab
+    frame). All counts are exact LONGs and form merge monoids (the
+    q397 maintenance story applies verbatim). At 100 TB the tables are
+    model-sized (KenLM-class, GBs): joins stay key-partitioned hash
+    joins; broadcast them only when they fit.
+    """
+    from ..functions.text import tokens
+
+    toks = ref.select(tokens(text_col).alias("t")).filter(F.size("t") >= 3)
+    tri = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                        F.element_at("t", i + 3).alias("w3"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2", "g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+    )
+    big = tri.groupBy(
+        F.col("w2").alias("w1"), F.col("w3").alias("w2")
+    ).agg(F.sum("c_tri").cast("long").alias("c_big"))
+    ctx2 = tri.groupBy("w1", "w2").agg(
+        F.sum("c_tri").cast("long").alias("c_ctx2")
+    )
+    # unigrams over FULL token stream (incl. docs' first two tokens) so
+    # the unigram floor sees every word the scorer can meet
+    uni = (
+        ref.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    tot = uni.agg(
+        F.sum("c_uni").cast("long").alias("t_uni"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    return tri, ctx2, big, uni.crossJoin(F.broadcast(tot))
+
+
+def trigram_lm_score(
+    docs: DataFrame,
+    tri: DataFrame,
+    ctx2: DataFrame,
+    big: DataFrame,
+    uni: DataFrame,
+    lambdas: tuple[float, float, float] = (0.5, 0.3, 0.2),
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average negative log probability under the
+    Jelinek-Mercer interpolated trigram model:
+    p(w3|w1,w2) = λ3·c(w1w2w3)/c(w1w2) + λ2·c(w2w3)/c(w2·) +
+    λ1·(c(w3)+k)/(T+kV) — the higher-order orders back off gracefully
+    to the add-k unigram floor, so unseen histories never zero out.
+    Lower score = more reference-like (the CCNet gate reading).
+
+    Plan: explode document trigrams map-side, then three LEFT
+    equi-joins against the model tables (+ the 1-row totals
+    broadcast); one doc-keyed decimal aggregate. ln at 9dp (libm
+    rule), per-doc sums on DECIMAL, final 6dp. Docs with < 3 tokens
+    are excluded (no trigrams, no evidence — the q379 convention).
+
+    Output: (id, n_trigrams, avg_neg_logp 6dp).
+    """
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) <= 0:
+        raise ValueError("lambdas must be positive and sum to 1")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                    F.element_at("t", i + 3).alias("w3"),
+                ),
+            )
+        ).alias("g"),
+    ).select("_id", "g.w1", "g.w2", "g.w3")
+    # the bigram context total c(w2*) is ctx2 keyed on (w2, w3-history):
+    # c(w2 *) as a CONTEXT means sum over following words = the unigram
+    # count of w2 over positions that HAVE a successor; use the bigram
+    # table's own context sums for an exactly-consistent denominator
+    ctx1 = big.groupBy(F.col("w1").alias("_cw")).agg(
+        F.sum("c_big").cast("long").alias("c_ctx1")
+    )
+    joined = (
+        grams.join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(ctx2), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                big.select(
+                    F.col("w1").alias("w2"),
+                    F.col("w2").alias("w3"),
+                    "c_big",
+                )
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            F.broadcast(ctx1.select(F.col("_cw").alias("w2"), "c_ctx1")),
+            ["w2"],
+            "left",
+        )
+        .join(F.broadcast(uni.select(F.col("w").alias("w3"), "c_uni", "t_uni", "v")), ["w3"], "left")
+    )
+    p3 = F.coalesce(
+        F.col("c_tri").cast("double") / F.col("c_ctx2"), F.lit(0.0)
+    )
+    p2 = F.coalesce(
+        F.col("c_big").cast("double") / F.col("c_ctx1"), F.lit(0.0)
+    )
+    # t_uni/v ride the uni join; a w3 absent from the reference has
+    # NULL c_uni but the totals must still apply — re-broadcast totals
+    tots = uni.select("t_uni", "v").limit(1)
+    joined = joined.drop("t_uni", "v").crossJoin(F.broadcast(tots))
+    p1 = (F.coalesce(F.col("c_uni"), F.lit(0)).cast("double") + F.lit(k)) / (
+        F.col("t_uni").cast("double") + F.lit(k) * F.col("v").cast("double")
+    )
+    neg_logp = F.round(
+        -F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1), 9
+    )
+    return (
+        joined.select("_id", neg_logp.alias("_nl"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.sum(F.col("_nl").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_trigrams", "avg_neg_logp"
+        )
+    )

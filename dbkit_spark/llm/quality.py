@@ -641,3 +641,57 @@ def gopher_repetition_filters(
         r5.alias("rule_dup5"),
         (r2 & r3 & r5).alias("passes"),
     )
+
+
+def char_class_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_latin_frac: float = 0.5,
+) -> DataFrame:
+    """Character-class composition per document — the script-mix QC
+    next to the token-level lang-ID signal (q47): fraction of
+    characters that are Latin letters, digits, whitespace, ASCII
+    punctuation/symbols, and OTHER (everything else — non-Latin
+    scripts, control chars, emoji). A document whose 'other' mass is
+    high while its lang tag says 'en' is mis-tagged or mixed-script
+    (the CJK-inside-English and mojibake failure modes lang-ID n-grams
+    miss because they only see [a-z0-9] tokens).
+
+    Counting is length-difference arithmetic over regexp_replace with
+    character classes written in the Java-regex/RE2 common subset (the
+    q406 PII convention) — pure MAP-ONLY codegen, no shuffle, no UDF,
+    and the oracle replays it with the 'g' flag digit-for-digit.
+    Empty documents report NULL fractions and fail the flag.
+
+    Output: (id, n_chars, latin_frac, digit_frac, space_frac,
+    punct_frac, other_frac, latin_dominant).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def cnt(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(t, pattern, ""))
+
+    latin = cnt("[A-Za-z]")
+    digit = cnt("[0-9]")
+    space = cnt("[ \\t\\n\\r]")
+    punct = cnt("[!-/:-@\\[-`{-~]")
+    other = n - latin - digit - space - punct
+
+    def frac(c: Column) -> Column:
+        return F.round(F.try_divide(c.cast("double"), n), 6)
+
+    latin_f = F.try_divide(latin.cast("double"), n)
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_chars"),
+        frac(latin).alias("latin_frac"),
+        frac(digit).alias("digit_frac"),
+        frac(space).alias("space_frac"),
+        frac(punct).alias("punct_frac"),
+        frac(other).alias("other_frac"),
+        F.coalesce(latin_f >= min_latin_frac, F.lit(False)).alias(
+            "latin_dominant"
+        ),
+    )

@@ -1209,3 +1209,211 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def jl_sign_matrix(
+    spark,
+    in_dim: int,
+    out_dim: int,
+    salt: str = "jl",
+) -> DataFrame:
+    """The deterministic ±1 projection matrix for :func:`jl_project`,
+    derived IN-ENGINE from the portable md5 rule (sign(i,j) = +1 iff
+    u32_md5(\"i,j\", salt) is even) — a (in_dim × out_dim) frame, always
+    metadata-sized, broadcastable, and digit-replayable by any SQL
+    engine (no driver-side RNG, no shipped matrix artifact)."""
+    from ..functions.portable_hash import u32_md5
+
+    d = spark.range(in_dim).select(F.col("id").alias("dim"))
+    k = spark.range(out_dim).select(F.col("id").alias("out"))
+    key = F.concat(
+        F.col("dim").cast("string"), F.lit(","), F.col("out").cast("string")
+    )
+    return d.crossJoin(k).select(
+        "dim",
+        "out",
+        F.when(u32_md5(key, salt) % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("sign"),
+    )
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dim: int,
+    salt: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    ±1/√k matrix (Achlioptas 2003, "Database-friendly random
+    projections": Rademacher signs satisfy the JL lemma like Gaussians
+    do) — the dimensionality-reduction step before shipping an
+    embedding index at k/d of the bytes when the model was NOT
+    Matryoshka-trained (q274 measures that case; JL is what you do
+    when prefix truncation collapses).
+
+    y_j = (1/√k)·Σ_i sign(i,j)·x_i. Signs come from the engine-wide
+    portable hash (``jl_sign_matrix``), so the same vector projects to
+    the same output on every engine, run, and partitioning — and the
+    oracle replays the matrix digit-for-digit.
+
+    Plan: posexplode the vector (d rows per vector, map-side) →
+    ONE broadcast equi-join on the dim key against the (d × k) sign
+    frame → one (id, out) decimal-summed aggregate → dim-sorted
+    reassembly. Work is d·k rows per vector of narrow integers/doubles
+    — embarrassingly parallel, no corpus-wide anything; at 100 TB the
+    sign frame is still < 1 MB.
+
+    Exactness: sign·x is a NEGATION (exact); terms ride
+    DECIMAL(38,12); the final /√k is one literal IEEE division — both
+    engines produce bit-identical projected vectors.
+
+    Output: (id, projected array<double> of length out_dim).
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    spark = emb.sparkSession
+    in_dim = len(emb.select(vec_col).first()[0])
+    if out_dim > in_dim:
+        raise ValueError("out_dim must be <= input dimensionality")
+    signs = jl_sign_matrix(spark, in_dim, out_dim, salt)
+    inv = 1.0 / float(out_dim) ** 0.5
+    exploded = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    summed = (
+        exploded.join(F.broadcast(signs), "dim")
+        .groupBy("_id", "out")
+        .agg(
+            (
+                F.sum(
+                    (F.col("sign") * F.col("x")).cast("decimal(38,12)")
+                ).cast("double")
+                * F.lit(inv)
+            ).alias("y")
+        )
+    )
+    return (
+        summed.groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("out"), F.col("y")))
+            ).alias("_pairs")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.transform(F.col("_pairs"), lambda s: s["y"]).alias(
+                "projected"
+            ),
+        )
+    )
+
+
+def projection_recall(
+    emb: DataFrame,
+    projected: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    proj_col: str = "projected",
+    max_rows: int | None = 5000,
+) -> DataFrame:
+    """Top-1 neighbor recall of a projected space against the full-dim
+    exact answer — the go/no-go eval for ANY re-embedding (JL, PCA,
+    learned distillation), same harness contract as
+    ``truncation_recall`` (q274): one ``require_small``-guarded exact
+    pairwise scoring — at corpus scale run it on a hash-sampled probe
+    subset — one (query, space) rank window, a broadcast self-join of
+    the two top-1s. Also reports the mean |cosine distortion| over
+    scored pairs (the quantity the JL lemma actually bounds).
+
+    Output: one row — (n_queries, n_matched, recall,
+    mean_cos_distortion 6dp).
+    """
+    from ..functions.vectors import cosine
+
+    from ._guards import require_small
+
+    require_small(
+        emb,
+        max_rows,
+        "projection_recall",
+        "evaluate on a hash-sampled probe subset at corpus scale",
+    )
+    both = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("fv"),
+    ).join(
+        projected.select(
+            F.col(id_col).alias("_id"), F.col(proj_col).alias("pv")
+        ),
+        "_id",
+    )
+    q = both.select(
+        F.col("_id").alias("query_id"),
+        F.col("fv").alias("qf"),
+        F.col("pv").alias("qp"),
+    )
+    c = both.select(
+        F.col("_id").alias("cand_id"),
+        F.col("fv").alias("cf"),
+        F.col("pv").alias("cp"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine("qf", "cf"), 6).alias("cos_full"),
+            F.round(cosine("qp", "cp"), 6).alias("cos_proj"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("cand_id").asc()
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_proj").desc(), F.col("cand_id").asc()
+    )
+    tops = scored.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    full_top = tops.filter(F.col("rf") == 1).select(
+        "query_id", F.col("cand_id").alias("full_cand")
+    )
+    proj_top = tops.filter(F.col("rp") == 1).select(
+        "query_id", F.col("cand_id").alias("proj_cand")
+    )
+    matched = full_top.join(proj_top, "query_id").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("full_cand") == F.col("proj_cand"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+    )
+    distortion = scored.agg(
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("cos_full") - F.col("cos_proj")), 9).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_cos_distortion")
+    )
+    return matched.crossJoin(F.broadcast(distortion)).select(
+        "n_queries",
+        "n_matched",
+        (F.col("n_matched").cast("double") / F.col("n_queries")).alias(
+            "recall"
+        ),
+        "mean_cos_distortion",
+    )

@@ -1327,3 +1327,267 @@ ROADMAP13["q414_stream_pii_gate"] = (
     _q406_oracle(),
     _Q414_NOTES,
 )
+
+
+# --- q415: JL projection + recall eval -----------------------------------------------
+
+
+def q415_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss projection to 16 dims
+    (llm/similarity.jl_project) + top-1 recall vs the full-dim exact
+    answer (projection_recall) on the bounded q274-convention probe set
+    (vec_id < 400) — the eval run before shipping a JL-compressed
+    index."""
+    from ..llm.similarity import jl_project, projection_recall
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400
+    )
+    proj = jl_project(emb, out_dim=16, salt="jl")
+    return projection_recall(emb, proj)
+
+
+def _q415_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+
+    sign = u32_md5_sql(
+        "CAST(d.range AS VARCHAR) || ',' || CAST(o.range AS VARCHAR)", "jl"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 400
+    ),
+    signs AS (
+      SELECT d.range AS dim, o.range AS outd,
+             CASE WHEN ({sign}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+      FROM range(64) d CROSS JOIN range(16) o
+    ),
+    ex AS (
+      SELECT vec_id, u.i - 1 AS dim, v[u.i] AS x
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) u
+    ),
+    summed AS (
+      SELECT ex.vec_id, s.outd,
+             CAST(SUM(CAST(s.s * ex.x AS DECIMAL(38,12))) AS DOUBLE)
+               * (1.0 / sqrt(16.0)) AS y
+      FROM ex JOIN signs s ON ex.dim = s.dim
+      GROUP BY ex.vec_id, s.outd
+    ),
+    proj AS (
+      SELECT vec_id, list(y ORDER BY outd) AS pv FROM summed
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_full,
+             round(list_cosine_similarity(qp.pv, cp.pv), 6) AS cos_proj
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      JOIN proj qp ON qp.vec_id = q.vec_id
+      JOIN proj cp ON cp.vec_id = c.vec_id
+    ),
+    tops AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_full DESC, cand_id ASC) AS rf,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_proj DESC, cand_id ASC) AS rp
+      FROM scored
+    ),
+    matched AS (
+      SELECT COUNT(*) AS n_queries,
+             CAST(SUM(CASE WHEN f.cand_id = p.cand_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched
+      FROM (SELECT query_id, cand_id FROM tops WHERE rf = 1) f
+      JOIN (SELECT query_id, cand_id FROM tops WHERE rp = 1) p
+        USING (query_id)
+    ),
+    dist AS (
+      SELECT round(CAST(SUM(CAST(round(abs(cos_full - cos_proj), 9)
+               AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cos_distortion
+      FROM scored
+    )
+    SELECT m.n_queries, m.n_matched,
+           CAST(m.n_matched AS DOUBLE) / m.n_queries AS recall,
+           d.mean_cos_distortion
+    FROM matched m CROSS JOIN dist d
+    """
+
+
+_Q415_NOTES = (
+    "JL RANDOM PROJECTION + RECALL EVAL (llm/similarity.jl_project / "
+    "projection_recall — Achlioptas 2003 database-friendly ±1/sqrt(k) "
+    "Rademacher projections satisfy the JL lemma; the dim-reduction "
+    "path when q274 shows prefix truncation collapses): the sign "
+    "matrix derives IN-ENGINE from the portable md5 rule (no driver "
+    "RNG, digit-replayed by the oracle); projection = posexplode + ONE "
+    "broadcast equi-join on dim + (id,out) decimal agg — sign*x is an "
+    "exact negation so projected vectors are bit-identical across "
+    "engines. The recall eval is the require_small-guarded q43/q274 "
+    "exact-baseline class (probe-subset contract at scale; "
+    "queue-gate intentional entry with the same justification q274 "
+    "carried). Also reports mean |cosine distortion| — the quantity "
+    "the JL lemma bounds"
+)
+
+ROADMAP13["q415_jl_projection_recall"] = (
+    q415_jl_projection_recall,
+    _q415_oracle(),
+    _Q415_NOTES,
+)
+
+
+# --- q416: character-class / script mix ----------------------------------------------
+
+
+def q416_char_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mix QC (llm/quality.char_class_mix) over the documents
+    table — per doc the five character-class fractions and the
+    latin-dominant flag."""
+    from ..llm.quality import char_class_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    return char_class_mix(docs).orderBy("doc_id")
+
+
+def _q416_oracle() -> str:
+    def cnt(pattern: str) -> str:
+        return (
+            f"length(text) - length(regexp_replace(text, '{pattern}', "
+            "'', 'g'))"
+        )
+
+    latin = cnt("[A-Za-z]")
+    digit = cnt("[0-9]")
+    space = cnt("[ \\t\\n\\r]")
+    punct = cnt("[!-/:-@\\[-`{-~]")
+    return f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             {latin} AS latin, {digit} AS digit,
+             {space} AS space, {punct} AS punct
+      FROM documents
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           round(CAST(latin AS DOUBLE) / nullif(n, 0), 6) AS latin_frac,
+           round(CAST(digit AS DOUBLE) / nullif(n, 0), 6) AS digit_frac,
+           round(CAST(space AS DOUBLE) / nullif(n, 0), 6) AS space_frac,
+           round(CAST(punct AS DOUBLE) / nullif(n, 0), 6) AS punct_frac,
+           round(CAST(n - latin - digit - space - punct AS DOUBLE)
+                 / nullif(n, 0), 6) AS other_frac,
+           COALESCE(CAST(latin AS DOUBLE) / nullif(n, 0) >= 0.5, FALSE)
+             AS latin_dominant
+    FROM c ORDER BY doc_id
+    """
+
+
+_Q416_NOTES = (
+    "CHARACTER-CLASS / SCRIPT MIX (llm/quality.char_class_mix — the "
+    "script-level QC next to q47's token-level lang-ID: high 'other' "
+    "mass under an 'en' tag = mis-tag, mixed script, or mojibake that "
+    "[a-z0-9] tokenizers are structurally blind to): length-difference "
+    "arithmetic over regexp_replace char classes in the Java-regex/RE2 "
+    "common subset (q406 convention) — pure map-only codegen, zero "
+    "shuffle, streams like q398/q414; empty docs report NULL fractions "
+    "and fail the flag"
+)
+
+ROADMAP13["q416_char_class_mix"] = (
+    q416_char_class_mix,
+    _q416_oracle(),
+    _Q416_NOTES,
+)
+
+
+# --- q417: interpolated trigram LM gate ----------------------------------------------
+
+
+def q417_trigram_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated trigram perplexity gate (llm/lm.
+    trigram_lm_train/score): model trained on the lang='en' slice,
+    whole corpus scored — the production-shape upgrade of q379's
+    add-k bigram gate."""
+    from ..llm.lm import trigram_lm_score, trigram_lm_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    tri, ctx2, big, uni = trigram_lm_train(docs.filter(F.col("lang") == "en"))
+    return trigram_lm_score(docs, tri, ctx2, big, uni).orderBy("doc_id")
+
+
+def _q417_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    grams = (
+        "list_transform(generate_series(1, len(t) - 2), i -> "
+        "struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2]))"
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    ref AS (SELECT t FROM toks WHERE lang = 'en'),
+    tri AS (
+      SELECT g.w1, g.w2, g.w3, COUNT(*) AS c_tri
+      FROM (SELECT unnest({grams}) AS g FROM ref WHERE len(t) >= 3)
+      GROUP BY g.w1, g.w2, g.w3
+    ),
+    ctx2 AS (
+      SELECT w1, w2, SUM(c_tri) AS c_ctx2 FROM tri GROUP BY w1, w2
+    ),
+    big AS (
+      SELECT w2 AS b1, w3 AS b2, SUM(c_tri) AS c_big
+      FROM tri GROUP BY w2, w3
+    ),
+    ctx1 AS (SELECT b1, SUM(c_big) AS c_ctx1 FROM big GROUP BY b1),
+    uni AS (
+      SELECT u AS w, COUNT(*) AS c_uni
+      FROM (SELECT unnest(t) AS u FROM ref) GROUP BY u
+    ),
+    tot AS (SELECT SUM(c_uni) AS t_uni, COUNT(*) AS v FROM uni),
+    dg AS (
+      SELECT doc_id, g.w1, g.w2, g.w3
+      FROM (SELECT doc_id, unnest({grams}) AS g FROM toks
+            WHERE len(t) >= 3)
+    ),
+    scored AS (
+      SELECT d.doc_id,
+        round(-ln(
+          0.5 * COALESCE(CAST(tr.c_tri AS DOUBLE) / c2.c_ctx2, 0.0)
+          + 0.3 * COALESCE(CAST(b.c_big AS DOUBLE) / c1.c_ctx1, 0.0)
+          + 0.2 * ((COALESCE(u.c_uni, 0) + 0.5)
+                   / (CAST(tt.t_uni AS DOUBLE)
+                      + 0.5 * CAST(tt.v AS DOUBLE)))), 9) AS nl
+      FROM dg d
+      LEFT JOIN tri tr ON d.w1 = tr.w1 AND d.w2 = tr.w2 AND d.w3 = tr.w3
+      LEFT JOIN ctx2 c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+      LEFT JOIN big b ON d.w2 = b.b1 AND d.w3 = b.b2
+      LEFT JOIN ctx1 c1 ON d.w2 = c1.b1
+      LEFT JOIN uni u ON d.w3 = u.w
+      CROSS JOIN tot tt
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           round(CAST(SUM(CAST(nl AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_neg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+_Q417_NOTES = (
+    "INTERPOLATED TRIGRAM LM GATE (llm/lm.trigram_lm_train/score — "
+    "Jelinek-Mercer 1980 linear interpolation over trigram/bigram/"
+    "add-k-unigram, the SQL-replayable stand-in for CCNet's KenLM "
+    "smoothing; Kneser-Ney's continuation discounting is a documented "
+    "fidelity bound, NOT approximated): four mergeable count tables "
+    "from ONE reference pass (exact-LONG monoids — the q397 merge "
+    "story applies verbatim; bigram/context tables derive FROM the "
+    "trigram table so denominators are exactly consistent); scoring = "
+    "map-side trigram explode + broadcast LEFT joins (hash joins at "
+    "KenLM-class model sizes) + one doc-keyed decimal agg; higher "
+    "orders back off to the unigram floor so unseen histories never "
+    "zero out. ln 9dp, per-doc decimal sums, 6dp out"
+)
+
+ROADMAP13["q417_trigram_lm_gate"] = (
+    q417_trigram_lm_gate,
+    _q417_oracle(),
+    _Q417_NOTES,
+)

@@ -39,24 +39,26 @@ from .roadmap7 import ROADMAP7
 # stay queued and land in round 14.
 #
 # Round-14 landing (PRE-COMPUTED at r13 close; execute next round): the
-# queue holds exactly 14 entries (q401–q414), all SQL-oracled and
+# queue holds exactly 17 entries (q401–q417), all SQL-oracled and
 # pre-verified at sf0.001/sf0.01 (the driver gate) AND sf0.1. If
-# CORRECTNESS_r13 is clean, _LANDED_MAX_QNUM = 414 lands all 14 and the
-# r14 window is those 14 never-driver-checked entries + the 36
+# CORRECTNESS_r13 is clean, _LANDED_MAX_QNUM = 417 lands all 17 and the
+# r14 window is those 17 never-driver-checked entries + the 33
 # least-recently-verified greens — simulated at r13 close by rotation
 # replay: q157_iqr_outliers (the one r4-cohort query the 24-slot r13
-# refresh could not fit) + the 35-query r5 cohort (q65–q71,
-# q158–q185). NOTE the r12 verdict's expectation that the r7-era
-# oracle-converted stragglers (q38/q72/q79) would lead the r14 refresh
-# does not survive the arithmetic — the r5 cohort (35 queries) is
-# older and fills the window; the stragglers (then q204/q212 r8, q267
-# r9, q310 r10) reach the window at ~r15. If any r13 window query
-# FAILS, it re-enters with green-round 0 and shifts the window: land
-# fewer (largest qnum prefix) such that landings + re-entries +
-# refresh top-up still total exactly 50 (the q289/r10 precedent).
-# Update GUARD_ROUND/R14_REFRESH in tests/test_catalog.py per the
-# artifact-aware pattern and regenerate COVERAGE.md (414 registered =
-# 400 + 14) at landing time.
+# refresh could not fit) + 32 of the 35-query r5 cohort (q65–q71,
+# q158–q182; q183–q185 spill to r15). NOTE the r12 verdict's
+# expectation that the r7-era oracle-converted stragglers (q38/q72/
+# q79) would lead the r14 refresh does not survive the arithmetic —
+# the r5 cohort is older and fills the window; the stragglers (then
+# q204/q212 r8, q267 r9, q310 r10) reach the window at ~r15. If any
+# r13 window query FAILS, it re-enters with green-round 0 and shifts
+# the window: land fewer (largest qnum prefix) such that landings +
+# re-entries + refresh top-up still total exactly 50 (the q289/r10
+# precedent). Update GUARD_ROUND/R14_REFRESH in tests/test_catalog.py
+# per the artifact-aware pattern, move q415 from the queue gate's
+# intentional set to _INTENTIONAL_CROSS (tests/test_plans.py — the
+# q274 precedent), and regenerate COVERAGE.md (417 registered =
+# 400 + 17) at landing time.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic
 # judge-verified at r11 close): the queue held exactly 12 entries

@@ -631,3 +631,135 @@ def test_mixture_health_share_conservation(spark):
     rows = mixture_health(df, "dom", "ntok").collect()
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-5
     assert all(r["effective_domains"] <= 3.0 + 1e-9 for r in rows)
+
+
+# --- q415: JL projection + recall ---------------------------------------------------
+
+
+def test_jl_project_deterministic_and_shape(spark):
+    """Same input + salt -> bit-identical projection on re-run and
+    re-partitioning; output length = out_dim; sign flip of the input
+    flips the output exactly (linearity)."""
+    from dbkit_spark.llm.similarity import jl_project
+
+    rows = [(i, [float((i * j) % 7) - 3.0 for j in range(8)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["projected"] for r in jl_project(emb, 4, salt="s").collect()}
+    b = {r["vec_id"]: r["projected"] for r in
+         jl_project(emb.repartition(7), 4, salt="s").collect()}
+    assert a == b
+    assert all(len(v) == 4 for v in a.values())
+    neg = spark.createDataFrame(
+        [(i, [-x for x in v]) for i, v in
+         ((r[0], r[1]) for r in rows)],
+        "vec_id long, embedding array<double>",
+    )
+    c = {r["vec_id"]: r["projected"] for r in jl_project(neg, 4, salt="s").collect()}
+    for i in a:
+        assert c[i] == [-y for y in a[i]]
+    with pytest.raises(ValueError, match="out_dim"):
+        jl_project(emb, 0)
+    with pytest.raises(ValueError, match="out_dim"):
+        jl_project(emb, 9)
+
+
+def test_projection_recall_identity_ceiling(spark):
+    """Projecting onto the identity (projected == full vectors) gives
+    recall 1.0 and zero distortion."""
+    from dbkit_spark.llm.similarity import projection_recall
+
+    rows = [(i, [math.cos(i * 0.9), math.sin(i * 0.9), 0.2 * (i % 5)])
+            for i in range(15)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    same = emb.select("vec_id", F.col("embedding").alias("projected"))
+    got = projection_recall(emb, same).collect()[0]
+    assert got["recall"] == 1.0
+    assert got["mean_cos_distortion"] == 0.0
+    assert got["n_queries"] == 15
+
+
+def test_projection_recall_guard(spark):
+    from dbkit_spark.llm.similarity import projection_recall
+
+    rows = [(i, [1.0, 0.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    same = emb.select("vec_id", F.col("embedding").alias("projected"))
+    with pytest.raises(ValueError, match="projection_recall"):
+        projection_recall(emb, same, max_rows=10)
+
+
+# --- q416: char class mix -------------------------------------------------------------
+
+
+def test_char_class_mix_hand_cases(spark):
+    from dbkit_spark.llm.quality import char_class_mix
+
+    rows = [
+        (1, "Hello World 42!"),
+        (2, "全部中文字符在这里"),
+        (3, ""),
+        (4, "a,b.c!"),
+    ]
+    got = {r["doc_id"]: r for r in
+           char_class_mix(_docs(spark, rows)).collect()}
+    r1 = got[1]
+    # 10 letters, 2 digits, 2 spaces, 1 punct of 15 chars
+    assert r1["latin_frac"] == round(10 / 15, 6)
+    assert r1["digit_frac"] == round(2 / 15, 6)
+    assert r1["space_frac"] == round(2 / 15, 6)
+    assert r1["punct_frac"] == round(1 / 15, 6)
+    assert r1["other_frac"] == 0.0 and r1["latin_dominant"]
+    assert got[2]["other_frac"] == 1.0 and not got[2]["latin_dominant"]
+    assert got[3]["latin_frac"] is None and not got[3]["latin_dominant"]
+    assert got[4]["punct_frac"] == 0.5
+    # fractions partition the text: sum to 1 on every non-empty doc
+    for i in (1, 2, 4):
+        s = sum(got[i][k] for k in ("latin_frac", "digit_frac",
+                                    "space_frac", "punct_frac",
+                                    "other_frac"))
+        assert abs(s - 1.0) < 1e-5
+
+
+# --- q417: interpolated trigram LM ------------------------------------------------------
+
+
+def test_trigram_lm_memorized_vs_novel(spark):
+    """A doc the reference contains verbatim scores LOWER (more
+    reference-like) than a same-vocabulary scramble; unseen-vocabulary
+    text degrades to the unigram floor, not an error; < 3-token docs
+    are excluded."""
+    from dbkit_spark.llm.lm import trigram_lm_score, trigram_lm_train
+
+    ref_text = (
+        "the quick brown fox jumps over the lazy dog while the quick "
+        "brown fox naps under the lazy dog tree"
+    )
+    ref = _docs(spark, [(100, ref_text)])
+    tri, ctx2, big, uni = trigram_lm_train(ref)
+    cand = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "dog the fox brown quick lazy the over jumps"),
+        (3, "zzz yyy xxx www vvv uuu"),
+        (4, "too short"),
+    ])
+    got = {r["doc_id"]: r for r in
+           trigram_lm_score(cand, tri, ctx2, big, uni).collect()}
+    assert set(got) == {1, 2, 3}            # doc 4 excluded
+    assert got[1]["avg_neg_logp"] < got[2]["avg_neg_logp"]
+    assert got[3]["avg_neg_logp"] > got[2]["avg_neg_logp"]
+    assert got[1]["n_trigrams"] == 7
+
+
+def test_trigram_lm_validation_and_interp_bounds(spark):
+    """Lambda validation; interpolated probability never exceeds 1 so
+    neg-logp is never negative."""
+    from dbkit_spark.llm.lm import trigram_lm_score, trigram_lm_train
+
+    ref = _docs(spark, [(1, "a b c a b c a b c")])
+    tri, ctx2, big, uni = trigram_lm_train(ref)
+    with pytest.raises(ValueError, match="lambdas"):
+        trigram_lm_score(ref, tri, ctx2, big, uni, lambdas=(0.5, 0.5, 0.5))
+    with pytest.raises(ValueError, match="k must"):
+        trigram_lm_score(ref, tri, ctx2, big, uni, k=0.0)
+    got = trigram_lm_score(ref, tri, ctx2, big, uni).collect()[0]
+    assert got["avg_neg_logp"] >= 0.0
