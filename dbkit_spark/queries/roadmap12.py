@@ -704,7 +704,9 @@ def q383_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filters(docs).orderBy("doc_id")
 
 
-def _q383_oracle() -> str:
+def _q383_oracle(min_words: int = 50, min_stop_hits: int = 2) -> str:
+    # parameterized so q418's funnel oracle can nest it with the
+    # fixture-informed thresholds; q383/q398 use the paper defaults
     from .llm import _TOKS_SQL
 
     stop = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
@@ -731,7 +733,7 @@ def _q383_oracle() -> str:
              CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / nw END
                AS alpha,
              stop_hits,
-             nw BETWEEN 50 AND 100000 AS rule_word_count,
+             nw BETWEEN {min_words} AND 100000 AS rule_word_count,
              COALESCE(mwl BETWEEN 3.0 AND 10.0, FALSE)
                AS rule_mean_word_len,
              COALESCE(greatest(CAST(nhash AS DOUBLE) / nullif(nw, 0),
@@ -740,7 +742,7 @@ def _q383_oracle() -> str:
                AS rule_symbol_ratio,
              COALESCE(CAST(nalpha AS DOUBLE) / nullif(nw, 0) >= 0.8, FALSE)
                AS rule_alpha_words,
-             stop_hits >= 2 AS rule_stopwords
+             stop_hits >= {min_stop_hits} AS rule_stopwords
       FROM s
     )
     SELECT doc_id, nw AS n_words,

@@ -1591,3 +1591,166 @@ ROADMAP13["q417_trigram_lm_gate"] = (
     _q417_oracle(),
     _Q417_NOTES,
 )
+
+
+# --- q418: end-to-end curation funnel -------------------------------------------------
+
+
+def q418_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FILTER FUNNEL a real curation pipeline runs — the
+    ordered gate chain with per-stage survival accounting (every
+    published pipeline reports exactly this table: FineWeb/RefinedWeb
+    ablations are funnels of Gopher-style gates): stage 1 Gopher
+    document-quality rules (q383), stage 2 Gopher repetition rules
+    (q405), stage 3 PII-free (q406: pii_total == 0 — the strict-drop
+    policy; redaction is the alternative), stage 4 Latin-dominant
+    script (q416). Each stage evaluates only the previous stage's
+    survivors, so the report reads as a funnel, not four marginals.
+
+    Composition class (q396/q398 convention): no new operator — four
+    existing map-only/doc-keyed verdict frames join on doc_id, ONE
+    no-grouping conditional aggregate computes the four cumulative
+    survivor counts, and a 4-element literal explode emits the stage
+    rows. The oracle nests the four queries' own oracle SQL verbatim
+    as subqueries — byte-identical gate semantics by construction."""
+    from ..llm.pii import pii_scrub
+    from ..llm.quality import (
+        char_class_mix,
+        gopher_quality_filters,
+        gopher_repetition_filters,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # Fixture-informed stage-1 thresholds (min_words 20, >=1 stopword):
+    # the synthetic word-salad corpus has 30-60-token docs with at most
+    # one Gopher stopword, so the paper defaults reject 100% at stage 1
+    # and stages 2-4 would never see a row. Operator defaults stay the
+    # paper values; the oracle nests the same adjusted thresholds.
+    g = gopher_quality_filters(docs, min_words=20, min_stop_hits=1).select(
+        "doc_id", F.col("passes").alias("_g")
+    )
+    r = gopher_repetition_filters(docs).select(
+        "doc_id", F.col("passes").alias("_r")
+    )
+    p = pii_scrub(docs).select(
+        "doc_id", (F.col("pii_total") == 0).alias("_p")
+    )
+    c = char_class_mix(docs).select(
+        "doc_id", F.col("latin_dominant").alias("_c")
+    )
+    verdicts = g.join(r, "doc_id").join(p, "doc_id").join(c, "doc_id")
+    agg = verdicts.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("_g") & F.col("_r"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("_g") & F.col("_r") & F.col("_p"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n3"),
+        F.sum(
+            F.when(
+                F.col("_g") & F.col("_r") & F.col("_p") & F.col("_c"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n4"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("i"), F.lit("gopher_quality").alias("s"),
+            F.col("n0").alias("nin"), F.col("n1").alias("npass"),
+        ),
+        F.struct(
+            F.lit(2).alias("i"), F.lit("repetition").alias("s"),
+            F.col("n1").alias("nin"), F.col("n2").alias("npass"),
+        ),
+        F.struct(
+            F.lit(3).alias("i"), F.lit("pii_free").alias("s"),
+            F.col("n2").alias("nin"), F.col("n3").alias("npass"),
+        ),
+        F.struct(
+            F.lit(4).alias("i"), F.lit("latin_script").alias("s"),
+            F.col("n3").alias("nin"), F.col("n4").alias("npass"),
+        ),
+    )
+    return (
+        agg.select(F.explode(stages).alias("t"))
+        .select(
+            F.col("t.i").cast("long").alias("stage_idx"),
+            F.col("t.s").alias("stage"),
+            F.col("t.nin").cast("long").alias("n_in"),
+            F.col("t.npass").cast("long").alias("n_pass"),
+            F.round(
+                F.try_divide(
+                    F.col("t.npass").cast("double"),
+                    F.col("t.nin").cast("double"),
+                ),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def _q418_oracle() -> str:
+    from .roadmap12 import _q383_oracle
+
+    return f"""
+    WITH g AS ({_q383_oracle(min_words=20, min_stop_hits=1)
+                .replace("ORDER BY doc_id", "")}),
+    r AS (SELECT * FROM ({_q405_oracle().replace("ORDER BY doc_id", "")})),
+    p AS (SELECT * FROM ({_q406_oracle().replace("ORDER BY doc_id", "")})),
+    c AS (SELECT * FROM ({_q416_oracle().replace("ORDER BY doc_id", "")})),
+    v AS (
+      SELECT g.doc_id, g.passes AS vg, r.passes AS vr,
+             p.pii_total = 0 AS vp, c.latin_dominant AS vc
+      FROM g JOIN r USING (doc_id) JOIN p USING (doc_id)
+             JOIN c USING (doc_id)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN vg THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN vg AND vr THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN vg AND vr AND vp THEN 1 ELSE 0 END) AS n3,
+             SUM(CASE WHEN vg AND vr AND vp AND vc THEN 1 ELSE 0 END)
+               AS n4
+      FROM v
+    )
+    SELECT CAST(t.i AS BIGINT) AS stage_idx, t.s AS stage,
+           CAST(t.nin AS BIGINT) AS n_in,
+           CAST(t.npass AS BIGINT) AS n_pass,
+           round(CAST(t.npass AS DOUBLE) / nullif(CAST(t.nin AS DOUBLE), 0),
+                 6) AS pass_rate
+    FROM agg, LATERAL (
+      SELECT unnest([
+        struct_pack(i := 1, s := 'gopher_quality', nin := n0, npass := n1),
+        struct_pack(i := 2, s := 'repetition',     nin := n1, npass := n2),
+        struct_pack(i := 3, s := 'pii_free',       nin := n2, npass := n3),
+        struct_pack(i := 4, s := 'latin_script',   nin := n3, npass := n4)
+      ], recursive := true)) t(i, s, nin, npass)
+    ORDER BY stage_idx
+    """
+
+
+_Q418_NOTES = (
+    "CURATION FUNNEL (composition, q396/q398 class — the per-stage "
+    "survival table every published pipeline reports, FineWeb/"
+    "RefinedWeb-style: Gopher quality -> repetition -> PII-free -> "
+    "Latin script, each stage evaluating only the previous stage's "
+    "survivors): four existing verdict frames join on doc_id, ONE "
+    "no-grouping conditional aggregate computes the cumulative "
+    "survivor counts, a 4-element literal explode emits stage rows. "
+    "The oracle NESTS the four gates' own oracle SQL verbatim as "
+    "subqueries, so gate semantics are byte-identical by construction "
+    "— a funnel-level regression test over the whole map-only gate "
+    "stack"
+)
+
+ROADMAP13["q418_curation_funnel"] = (
+    q418_curation_funnel,
+    _q418_oracle(),
+    _Q418_NOTES,
+)

@@ -39,14 +39,14 @@ from .roadmap7 import ROADMAP7
 # stay queued and land in round 14.
 #
 # Round-14 landing (PRE-COMPUTED at r13 close; execute next round): the
-# queue holds exactly 17 entries (q401–q417), all SQL-oracled and
+# queue holds exactly 18 entries (q401–q418), all SQL-oracled and
 # pre-verified at sf0.001/sf0.01 (the driver gate) AND sf0.1. If
-# CORRECTNESS_r13 is clean, _LANDED_MAX_QNUM = 417 lands all 17 and the
-# r14 window is those 17 never-driver-checked entries + the 33
+# CORRECTNESS_r13 is clean, _LANDED_MAX_QNUM = 418 lands all 18 and the
+# r14 window is those 18 never-driver-checked entries + the 32
 # least-recently-verified greens — simulated at r13 close by rotation
 # replay: q157_iqr_outliers (the one r4-cohort query the 24-slot r13
-# refresh could not fit) + 32 of the 35-query r5 cohort (q65–q71,
-# q158–q182; q183–q185 spill to r15). NOTE the r12 verdict's
+# refresh could not fit) + 31 of the 35-query r5 cohort (q65–q71,
+# q158–q181; q182–q185 spill to r15). NOTE the r12 verdict's
 # expectation that the r7-era oracle-converted stragglers (q38/q72/
 # q79) would lead the r14 refresh does not survive the arithmetic —
 # the r5 cohort is older and fills the window; the stragglers (then
@@ -57,8 +57,8 @@ from .roadmap7 import ROADMAP7
 # precedent). Update GUARD_ROUND/R14_REFRESH in tests/test_catalog.py
 # per the artifact-aware pattern, move q415 from the queue gate's
 # intentional set to _INTENTIONAL_CROSS (tests/test_plans.py — the
-# q274 precedent), and regenerate COVERAGE.md (417 registered =
-# 400 + 17) at landing time.
+# q274 precedent), and regenerate COVERAGE.md (418 registered =
+# 400 + 18) at landing time.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic
 # judge-verified at r11 close): the queue held exactly 12 entries

@@ -763,3 +763,28 @@ def test_trigram_lm_validation_and_interp_bounds(spark):
         trigram_lm_score(ref, tri, ctx2, big, uni, k=0.0)
     got = trigram_lm_score(ref, tri, ctx2, big, uni).collect()[0]
     assert got["avg_neg_logp"] >= 0.0
+
+
+# --- q418: curation funnel ---------------------------------------------------------------
+
+
+def test_curation_funnel_monotone_and_stage_chaining(spark, sf_dir):
+    """Funnel laws on the real fixture: survivor counts are
+    non-increasing; each stage's n_in equals the previous stage's
+    n_pass; stage 1 sees the whole corpus; pass_rate is consistent."""
+    from dbkit_spark.catalog import load_all
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+    from dbkit_spark.sources import read_table
+
+    load_all()
+    fn = ROADMAP7["q418_curation_funnel"][0]
+    rows = fn(spark, sf_dir).collect()
+    assert [r["stage_idx"] for r in rows] == [1, 2, 3, 4]
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert rows[0]["n_in"] == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_pass"]
+        assert cur["n_pass"] <= cur["n_in"]
+    for r in rows:
+        if r["n_in"]:
+            assert abs(r["pass_rate"] - r["n_pass"] / r["n_in"]) < 1e-5
