@@ -463,3 +463,78 @@ def trigram_lm_score(
             F.col("_id").alias(id_col), "n_trigrams", "avg_neg_logp"
         )
     )
+
+
+def good_turing_mass(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_r: int = 5,
+) -> DataFrame:
+    """Good-Turing frequency mass audit (Good 1953; the Turing estimate
+    per Gale & Sampson 1995 §2 — the smoothing-free core, not the SGT
+    log-linear fit): from corpus token counts, the count-of-counts
+    table N_r and the Turing adjusted count r* = (r+1)·N_{r+1}/N_r for
+    small r, plus the headline number every corpus report needs — the
+    UNSEEN PROBABILITY MASS p_0 = N_1/N, i.e. how much of the next
+    sample will be word types this corpus has never seen. A corpus
+    whose p_0 is still high is nowhere near vocabulary saturation;
+    scaling data beats scaling epochs (the q381 planner's empirical
+    premise).
+
+    Plans: one token-count aggregate (the corpus-sized step, map-side
+    combined), one count-of-counts aggregate over the vocab-sized
+    frame, then a (max_r+1)-row literal grid LEFT-joined against it —
+    metadata-sized. Determinism: all counts exact LONGs; each emitted
+    ratio is ONE IEEE division of integer operands, 6dp out.
+
+    Output, one row per r in 0..max_r:
+    (r, n_types, mass_frac, r_star) where for r >= 1 ``n_types`` = N_r,
+    ``mass_frac`` = r·N_r/N (observed mass at count r) and ``r_star`` =
+    (r+1)·N_{r+1}/N_r (NULL when N_r = 0); the r = 0 row carries
+    ``n_types`` NULL (unseen types are uncountable by construction) and
+    ``mass_frac`` = p_0 = N_1/N.
+    """
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    from ..functions.text import tokens
+
+    tok = docs.select(
+        F.explode(tokens(text_col)).alias("_t")
+    )
+    counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("c"))
+    coc = counts.groupBy("c").agg(F.count(F.lit(1)).alias("nr"))
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    grid = (
+        docs.sparkSession.range(0, max_r + 2)
+        .select(F.col("id").alias("r"))
+        .join(F.broadcast(coc), F.col("r") == F.col("c"), "left")
+        .select("r", F.coalesce(F.col("nr"), F.lit(0)).alias("nr"))
+    )
+    nxt = grid.select(
+        (F.col("r") - F.lit(1)).alias("r"), F.col("nr").alias("nr_next")
+    )
+    rows = (
+        grid.join(nxt, "r")
+        .filter(F.col("r") <= max_r)
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n_tokens").cast("double")
+    r = F.col("r").cast("double")
+    mass = F.when(
+        F.col("r") == 0,
+        F.try_divide(F.col("nr_next").cast("double"), n),
+    ).otherwise(F.try_divide(r * F.col("nr").cast("double"), n))
+    r_star = F.when(
+        (F.col("r") >= 1) & (F.col("nr") > 0),
+        (r + F.lit(1.0))
+        * F.col("nr_next").cast("double")
+        / F.col("nr").cast("double"),
+    )
+    return rows.select(
+        F.col("r").cast("long").alias("r"),
+        F.when(F.col("r") >= 1, F.col("nr")).cast("long").alias("n_types"),
+        F.round(mass, 6).alias("mass_frac"),
+        F.round(r_star, 6).alias("r_star"),
+    ).orderBy("r")

@@ -695,3 +695,83 @@ def char_class_mix(
             "latin_dominant"
         ),
     )
+
+
+def code_quality_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_len: int = 1000,
+    max_avg_line_len: int = 100,
+    min_alnum_frac: float = 0.25,
+    max_data_mass: float = 0.5,
+) -> DataFrame:
+    """Code-corpus quality gate (the BigCode/StarCoder preprocessing
+    rules — Allal et al. 2023 SantaCoder app. A, Li et al. 2023
+    StarCoder §3: reject files with any line over ~1000 chars, average
+    line length over ~100, alphanumeric fraction under 0.25, or a
+    large mass of hex/base64 "data" tokens — the minified-JS /
+    embedded-blob / autogenerated-dump failure modes that survive
+    prose-oriented Gopher rules because they are not REPETITIVE, just
+    not code a model should learn from).
+
+    Per document, map-only (whole-stage codegen, lifts to readStream
+    unchanged — the q398/q414 rule):
+
+    - ``n_lines``, ``max_line_len``: split on newline; total line chars
+      = length(text) - (n_lines - 1) exactly, so ``avg_line_len`` is
+      one integer division — no per-line aggregation.
+    - ``alnum_frac``: length-difference arithmetic (char_class_mix
+      convention), [A-Za-z0-9] mass over total chars.
+    - ``data_mass``: characters inside whitespace-delimited tokens that
+      are pure hex runs (>= 16 chars) or base64-ish runs (>= 40 chars of
+      [A-Za-z0-9+/=]), over total chars. Patterns stay in the
+      Java-regex/RE2 common subset (q406 rule).
+
+    ``passes`` evaluates the thresholds on the UNROUNDED in-engine
+    values (single IEEE divisions — deterministic cross-engine; rounded
+    copies are emitted for display only, §5.3 rule 4).
+
+    Output: (id, n_lines, max_line_len, avg_line_len, alnum_frac,
+    data_mass, passes). Empty documents report NULL fractions and fail.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    max_ll = F.array_max(F.transform(lines, lambda s: F.length(s)))
+    total_line_chars = n - (n_lines - F.lit(1))
+    avg_ll = F.try_divide(
+        total_line_chars.cast("double"), n_lines.cast("double")
+    )
+    alnum = n - F.length(F.regexp_replace(t, "[A-Za-z0-9]", ""))
+    alnum_f = F.try_divide(alnum.cast("double"), n)
+    ws_tokens = F.filter(F.split(t, "[ \\t\\n\\r]+"), lambda s: s != "")
+    data_chars = F.aggregate(
+        F.transform(
+            F.filter(
+                ws_tokens,
+                lambda s: s.rlike("^[0-9a-fA-F]{16,}$")
+                | s.rlike("^[A-Za-z0-9+/=]{40,}$"),
+            ),
+            lambda s: F.length(s).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    data_f = F.try_divide(data_chars.cast("double"), n)
+    passes = (
+        (max_ll <= F.lit(max_line_len))
+        & (avg_ll <= F.lit(float(max_avg_line_len)))
+        & (alnum_f >= F.lit(min_alnum_frac))
+        & (data_f <= F.lit(max_data_mass))
+    )
+    return docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        max_ll.cast("long").alias("max_line_len"),
+        F.round(avg_ll, 6).alias("avg_line_len"),
+        F.round(alnum_f, 6).alias("alnum_frac"),
+        F.round(data_f, 6).alias("data_mass"),
+        F.coalesce(passes, F.lit(False)).alias("passes"),
+    )

@@ -134,3 +134,91 @@ def fleiss_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def krippendorff_alpha(
+    labels: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 1970/2004) —
+    the agreement statistic that HANDLES MISSING LABELS, which real
+    annotation tables always have (raters are assigned overlapping
+    subsets; Cohen needs exactly two complete raters, Fleiss a constant
+    rater count per unit). Nominal alpha closes over per-unit label
+    counts:
+
+        D_o = (1/n)     * sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1)
+        D_e = (n^2 - sum_c n_c^2) / (n * (n - 1))
+        alpha = 1 - D_o / D_e
+
+    with m_u the unit's PAIRABLE value count (units with m_u < 2 are
+    excluded everywhere — a lone label has nothing to agree with) and
+    n = sum m_u. No category-pair matrix is materialized: the nominal
+    coincidence sum collapses to per-unit and global label marginals.
+
+    Plans: one (unit,label) count aggregate, one unit-keyed reduce, one
+    global label-marginal aggregate — all map-side combined; the final
+    recombination broadcasts two 1-row frames. Determinism: counts are
+    exact LONGs; each per-unit term is one IEEE division rounded at 9dp
+    riding a DECIMAL sum; D_e is integer arithmetic with one division.
+
+    Output one row: (n_units, n_values, n_categories, d_o, d_e, alpha);
+    degenerate inputs (no pairable unit, or D_e = 0 when every value is
+    one category) report NULL alpha.
+    """
+    from .aggregate import stable_sum
+
+    base = labels.filter(
+        F.col(unit_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(unit_col).alias("_u"),
+        F.col(rater_col).alias("_r"),
+        F.col(label_col).alias("_c"),
+    )
+    # one value per (unit, rater): deterministic min-label collapse if
+    # the input carries duplicates (documented; clean inputs unaffected)
+    vals = base.groupBy("_u", "_r").agg(F.min("_c").alias("_c"))
+    nuc = vals.groupBy("_u", "_c").agg(F.count(F.lit(1)).alias("nuc"))
+    per_unit = nuc.groupBy("_u").agg(
+        F.sum("nuc").alias("m"),
+        F.sum(F.col("nuc") * F.col("nuc")).alias("s2"),
+    ).filter(F.col("m") >= 2)
+    # within-unit disagreeing-pair rate term, 9dp per unit, decimal sum
+    do_num = per_unit.select(
+        F.round(
+            (F.col("m") * F.col("m") - F.col("s2")).cast("double")
+            / (F.col("m") - F.lit(1)).cast("double"),
+            9,
+        ).alias("t"),
+        "m",
+    ).agg(
+        stable_sum("t", 9).alias("sum_t"),
+        F.sum("m").cast("long").alias("n_values"),
+        F.count(F.lit(1)).alias("n_units"),
+    )
+    pairable = nuc.join(per_unit.select("_u"), "_u")
+    marg = pairable.groupBy("_c").agg(F.sum("nuc").alias("nc"))
+    de_parts = marg.agg(
+        F.sum(F.col("nc") * F.col("nc")).alias("snc2"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    joined = do_num.crossJoin(F.broadcast(de_parts))
+    n = F.col("n_values").cast("double")
+    d_o = F.try_divide(F.col("sum_t"), n)
+    d_e = F.try_divide(
+        n * n - F.col("snc2").cast("double"), n * (n - F.lit(1.0))
+    )
+    return joined.select(
+        "n_units",
+        "n_values",
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(
+            F.lit(1.0) - F.try_divide(d_o, d_e), 6
+        ).alias("alpha"),
+    )

@@ -2213,3 +2213,223 @@ def normal_p_two_sided_sql(z_expr: str) -> str:
         f" * {poly})"
     )
     return f"round(least(2.0 * {q}, 1.0), 9)"
+
+
+def ipw_lift(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    logit_col: str,
+    trim_lo: float = 0.05,
+    trim_hi: float = 0.95,
+) -> DataFrame:
+    """Observational lift via inverse-propensity weighting with a
+    MODEL-BASED propensity (Horvitz & Thompson 1952; Hirano, Imbens &
+    Ridder 2003): the caller supplies a propensity LOGIT column (e.g.
+    the hashed-NB classifier's output — llm/quality.hashed_nb_score),
+    this operator turns it into e(x) = sigmoid(logit), trims extreme
+    propensities to [trim_lo, trim_hi] (Crump et al. 2009 — unbounded
+    1/e weights make the estimator arbitrarily fragile), and reports
+    Hajek-normalized weighted means per arm:
+
+        mu_1 = sum(T·y/e) / sum(T/e)
+        mu_0 = sum((1-T)·y/(1-e)) / sum((1-T)/(1-e))
+
+    plus the Kish effective sample size per arm ((sum w)^2 / sum w**2,
+    the q400 convention) — the honest denominator for any downstream
+    power readout. Hajek normalization makes the usual stabilization
+    constant (the marginal treated share) cancel in the point estimate,
+    so it is intentionally omitted — documented, not forgotten.
+
+    Cell-propensity IPW with Hajek normalization is algebraically
+    post-stratification (see stratified_lift); this operator earns its
+    row by accepting an arbitrary MODEL's propensity — the form that
+    survives when strata are too many to enumerate.
+
+    ONE conditional aggregate over the trimmed rows (map-side
+    combined, no join, no window). Determinism: e rounds at 9dp (exp is
+    libm), weights and weighted terms round at 9dp (single divisions /
+    products of 9dp operands), sums ride DECIMAL(38,9), the final
+    means are one division each, 6dp out.
+
+    Output one row: (n_treat, n_control, n_trimmed, mu_treat,
+    mu_control, lift, ess_treat, ess_control). An empty arm after
+    trimming reports NULL means and NULL lift.
+    """
+    if not (0.0 <= trim_lo < trim_hi <= 1.0):
+        raise ValueError(
+            f"need 0 <= trim_lo < trim_hi <= 1, got [{trim_lo}, {trim_hi}]"
+        )
+    from .aggregate import stable_sum
+
+    lg = F.col(logit_col).cast("double")
+    e = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lg)), 9)
+    t = F.col(treat_col).cast("boolean")
+    y = F.col(outcome_col).cast("double")
+    base = df.filter(
+        t.isNotNull() & y.isNotNull() & lg.isNotNull()
+    ).select(
+        t.alias("_t"),
+        y.alias("_y"),
+        e.alias("_e"),
+        ((e >= F.lit(trim_lo)) & (e <= F.lit(trim_hi))).alias("_keep"),
+    )
+    w = F.when(
+        F.col("_t"), F.round(F.lit(1.0) / F.col("_e"), 9)
+    ).otherwise(F.round(F.lit(1.0) / (F.lit(1.0) - F.col("_e")), 9))
+    kept = base.select(
+        "_t",
+        "_y",
+        F.col("_keep"),
+        F.when(F.col("_keep"), w).alias("_w"),
+    )
+
+    def arm_sum(flag: bool, col: Column, name: str) -> Column:
+        return stable_sum(
+            F.when(F.col("_keep") & (F.col("_t") == flag), col),
+            9,
+        ).alias(name)
+
+    agg = kept.agg(
+        F.sum(
+            F.when(F.col("_keep") & F.col("_t"), 1).otherwise(0)
+        ).cast("long").alias("n_treat"),
+        F.sum(
+            F.when(F.col("_keep") & ~F.col("_t"), 1).otherwise(0)
+        ).cast("long").alias("n_control"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_trimmed"),
+        arm_sum(True, F.col("_w"), "sw1"),
+        arm_sum(True, F.round(F.col("_w") * F.col("_y"), 9), "swy1"),
+        arm_sum(True, F.round(F.col("_w") * F.col("_w"), 9), "sww1"),
+        arm_sum(False, F.col("_w"), "sw0"),
+        arm_sum(False, F.round(F.col("_w") * F.col("_y"), 9), "swy0"),
+        arm_sum(False, F.round(F.col("_w") * F.col("_w"), 9), "sww0"),
+    )
+    mu1 = F.try_divide(F.col("swy1"), F.col("sw1"))
+    mu0 = F.try_divide(F.col("swy0"), F.col("sw0"))
+    return agg.select(
+        "n_treat",
+        "n_control",
+        "n_trimmed",
+        F.round(mu1, 6).alias("mu_treat"),
+        F.round(mu0, 6).alias("mu_control"),
+        F.round(mu1 - mu0, 6).alias("lift"),
+        F.round(
+            F.try_divide(F.col("sw1") * F.col("sw1"), F.col("sww1")), 6
+        ).alias("ess_treat"),
+        F.round(
+            F.try_divide(F.col("sw0") * F.col("sw0"), F.col("sww0")), 6
+        ).alias("ess_control"),
+    )
+
+
+def jackknife_ratio_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    id_col: str,
+    n_buckets: int = 20,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Delete-one-BUCKET jackknife variance for a ratio-of-sums metric
+    (Quenouille 1956 / Tukey 1958; the bucketed form is the standard
+    large-scale estimator — units are hashed into B buckets and the
+    leave-one-out runs over buckets, not rows, so B resamples cost one
+    aggregate regardless of corpus size):
+
+        theta      = Sx / Sy
+        theta_(b)  = (Sx - sx_b) / (Sy - sy_b)
+        var_jack   = (B-1)/B * sum_b (theta_(b) - theta_bar)^2
+
+    The delta method (ratio_metric_delta) linearizes analytically; the
+    jackknife resamples empirically — run both, disagreement means the
+    linearization is strained (heavy tails, tiny n). Buckets come from
+    the portable md5 rule (functions/portable_hash.u32_md5 mod B) so
+    any engine replays the assignment digit-for-digit. B is the number
+    of NON-EMPTY buckets (identical to n_buckets except on toy inputs;
+    documented).
+
+    Plans: one map-combined groupBy to a B-row frame, then scalar
+    recombination on that frame (one broadcast of a 1-row total) — two
+    exchanges, both tiny. Determinism: bucket sums ride DECIMAL(38,9);
+    each theta rounds at 9dp (one division); deviations of 9dp values
+    land exactly ON the 9dp grid and their squares are carried as EXACT
+    decimal products (the q411 tied-products rule — never round a
+    product of rounded values); sqrt is libm, 6dp out.
+
+    Output one row: (theta, se_jack, ci_lo, ci_hi, n_buckets, n_units).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if alpha not in _Z_ALPHA_2:
+        raise ValueError(
+            f"alpha={alpha} not in supported table {sorted(_Z_ALPHA_2)}"
+        )
+    from ..functions.portable_hash import u32_md5
+    from .aggregate import stable_sum
+
+    z = _Z_ALPHA_2[alpha]
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        (u32_md5(F.col(id_col), "jk") % F.lit(n_buckets)).alias("_b"),
+        x.alias("_x"),
+        y.alias("_y"),
+    )
+    per_bucket = base.groupBy("_b").agg(
+        stable_sum("_x", 9).alias("sx"),
+        stable_sum("_y", 9).alias("sy"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    # totals carry distinct names (tsx vs sx): Spark resolution is
+    # case-insensitive, so a bucket column `sx` and a total `Sx` would
+    # collide as ambiguous references
+    tot = per_bucket.agg(
+        stable_sum("sx", 9).alias("tsx"),
+        stable_sum("sy", 9).alias("tsy"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("cnt").cast("long").alias("n_units"),
+    )
+    loo = per_bucket.crossJoin(F.broadcast(tot)).select(
+        "tsx",
+        "tsy",
+        "nb",
+        "n_units",
+        F.round(
+            F.try_divide(
+                F.col("tsx") - F.col("sx"), F.col("tsy") - F.col("sy")
+            ),
+            9,
+        ).alias("th"),
+    )
+    # theta_bar at 9dp; deviations are exact 9dp decimals; squares are
+    # exact DECIMAL(38,18) products (never re-rounded)
+    bar = loo.agg(
+        (stable_sum("th", 9) / F.count(F.lit(1))).alias("_raw_bar")
+    ).select(F.round(F.col("_raw_bar"), 9).alias("th_bar"))
+    dev = loo.crossJoin(F.broadcast(bar)).select(
+        "tsx",
+        "tsy",
+        "nb",
+        "n_units",
+        (
+            (F.col("th") - F.col("th_bar")).cast("decimal(18,9)")
+            * (F.col("th") - F.col("th_bar")).cast("decimal(18,9)")
+        ).alias("dev2"),
+    )
+    fin = dev.groupBy("tsx", "tsy", "nb", "n_units").agg(
+        F.sum("dev2").cast("double").alias("ss")
+    )
+    theta = F.round(F.try_divide(F.col("tsx"), F.col("tsy")), 9)
+    bb = F.col("nb").cast("double")
+    se = F.sqrt((bb - F.lit(1.0)) / bb * F.col("ss"))
+    return fin.select(
+        F.round(theta, 6).alias("theta"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(theta - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(theta + F.lit(z) * se, 6).alias("ci_hi"),
+        F.col("nb").cast("long").alias("n_buckets"),
+        "n_units",
+    )

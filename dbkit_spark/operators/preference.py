@@ -1,0 +1,336 @@
+"""Preference-data operators (RLHF / arena-style pairwise comparisons).
+
+Reward-model and arena pipelines consume PAIRWISE PREFERENCES (human or
+LLM judges picking a winner between two completions) and need three
+standing readouts before any training run:
+
+- ``bradley_terry``: latent strength per item under the Bradley-Terry
+  model (Bradley & Terry 1952), fitted with the Minorization-
+  Maximization iteration of Hunter 2004 ("MM algorithms for generalized
+  Bradley-Terry models") — the same estimator behind Chatbot-Arena-style
+  leaderboards. The corpus-scale work is ONE groupBy over the match
+  table; the MM iterations run on items-sized frames (items = models /
+  prompts / policies — small by construction), broadcast-joined.
+- ``preference_cycles``: the transitivity audit — how many decided
+  triads are cyclic (A beats B beats C beats A). A high cycle rate means
+  the judge pool is noisy or the preference is genuinely non-transitive;
+  either way a scalar BT strength under-fits and the number belongs next
+  to the leaderboard (Kendall 1938 consistency; tournament triad census,
+  Moon 1968).
+- ``pairwise_winrates``: per-pair empirical win rate with a Wilson score
+  interval (Wilson 1927) — the honest small-n interval (never leaves
+  [0,1], sane at p̂∈{0,1}), per-pair sample sizes in arena data are
+  routinely tiny.
+
+Scale notes (100 TB): the match table is the only corpus-sized input;
+every operator reduces it with one map-combined groupBy to a pair table
+bounded by items² rows. All downstream joins/windows run on items- or
+pairs-sized frames (metadata), explicitly broadcast. Nothing iterates
+over the match table.
+
+Cross-engine determinism (SURVEY §5.3): counts are exact LONGs; every
+division is a single IEEE op on identical operands rounded at 9dp;
+multi-row reductions ride DECIMAL(38,9) over 9dp-rounded terms; sqrt is
+libm so Wilson bounds round at 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .aggregate import stable_sum
+
+_Z95 = 1.959963984540054  # two-sided 95% normal quantile (pinned literal)
+
+
+def _directed_wins(
+    matches: DataFrame, winner_col: str, loser_col: str
+) -> DataFrame:
+    """(i, j, w) — matches where i beat j; the one corpus-sized
+    reduction (map-side combined groupBy). NULL and self-paired rows
+    are dropped (a self-match carries no preference information)."""
+    return (
+        matches.filter(
+            F.col(winner_col).isNotNull()
+            & F.col(loser_col).isNotNull()
+            & (F.col(winner_col) != F.col(loser_col))
+        )
+        .groupBy(
+            F.col(winner_col).alias("i"), F.col(loser_col).alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def bradley_terry(
+    matches: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 5,
+) -> DataFrame:
+    """Bradley-Terry strengths via ``iters`` fixed MM steps from the
+    uniform start (Hunter 2004 eq. 2):
+
+        s_i  <-  W_i / sum_j  n_ij / (s_i + s_j)
+
+    then mean-normalized each step so strengths stay O(1). A FIXED
+    iteration count (not a convergence test) keeps the result a pure
+    deterministic function of the match table — replayable in any
+    engine. Items that never lose diverge under the MLE; with fixed
+    iterations they report a finite, monotonically growing strength
+    (documented, not an error). Items that never win report 0.
+
+    Output: (item, games, wins, strength, rank) — rank by strength
+    DESC at the 9dp grid with the item name as the unique tiebreaker
+    (§5.3 rule 5). Plans: one shuffle for the match groupBy; the MM
+    loop is items²-sized broadcast joins + items-sized aggregates.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = _directed_wins(matches, winner_col, loser_col)
+    # Complete ordered pair table: n_ij = w_ij + w_ji for every ordered
+    # pair that played at least once (both orientations present).
+    # pairs-sized and the root of every downstream branch (totals,
+    # games, the MM loop): persisted so the corpus-sized match
+    # reduction runs ONCE, not once per branch (no unpersist — the
+    # caller owns the action, the llm/dedup.py convention)
+    sym = (
+        d.select("i", "j", "w")
+        .unionByName(d.select(F.col("j").alias("i"), F.col("i").alias("j"), F.lit(0).cast("long").alias("w")))
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("wij"))
+        .persist()
+    )
+    n = (
+        sym.alias("a")
+        .join(sym.alias("b"), (F.col("a.i") == F.col("b.j")) & (F.col("a.j") == F.col("b.i")))
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("a.j").alias("j"),
+            (F.col("a.wij") + F.col("b.wij")).alias("n"),
+        )
+    )
+    totals = sym.groupBy("i").agg(
+        F.sum("wij").alias("wins"),
+    )
+    # pairs-sized; persisted so the MM iterations reuse one computation
+    # of the corpus reduction (no unpersist — the caller owns the
+    # action, the llm/dedup.py convention)
+    n = n.persist()
+    games = n.groupBy("i").agg(F.sum("n").alias("games"))
+    s = totals.select("i", F.lit(1.0).alias("s"))
+    # Each MM step references the previous strengths TWICE (as s_i and
+    # s_j) and the normalization references the raw update twice more —
+    # a naive lazy loop quadruples the logical plan per step (4^iters
+    # copies of the match lineage; the first run OOM'd the driver at
+    # FIVE items). localCheckpoint per step truncates the lineage to
+    # the items-sized frame — the llm/cluster.py connected-components
+    # precedent; 5 eager jobs over <=items rows is metadata work.
+    for _ in range(iters):
+        denom = (
+            n.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("_si"))), "i")
+            .join(
+                F.broadcast(
+                    s.select(F.col("i").alias("j"), F.col("s").alias("_sj"))
+                ),
+                "j",
+            )
+            .select(
+                "i",
+                F.round(
+                    F.col("n").cast("double")
+                    / (F.col("_si") + F.col("_sj")),
+                    9,
+                ).alias("_term"),
+            )
+            .groupBy("i")
+            .agg(stable_sum("_term", 9).alias("_denom"))
+        )
+        raw = totals.join(denom, "i").select(
+            "i",
+            F.round(
+                F.try_divide(F.col("wins").cast("double"), F.col("_denom")), 9
+            ).alias("_raw"),
+        )
+        norm = raw.agg(
+            (stable_sum("_raw", 9) / F.count(F.lit(1))).alias("_mean")
+        )
+        s = raw.crossJoin(F.broadcast(norm)).select(
+            "i", F.round(F.col("_raw") / F.col("_mean"), 9).alias("s")
+        ).localCheckpoint(eager=True)
+    out = (
+        totals.join(games, "i")
+        .join(s, "i")
+        .select(
+            F.col("i").alias("item"),
+            F.col("games").cast("long").alias("games"),
+            F.col("wins").cast("long").alias("wins"),
+            F.col("s").alias("_s9"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.col("_s9").desc(), F.col("item").asc())
+    return out.select(
+        "item",
+        "games",
+        "wins",
+        F.round(F.col("_s9"), 6).alias("strength"),
+        F.row_number().over(rk).cast("long").alias("rank"),
+    )
+
+
+def preference_cycles(
+    matches: DataFrame, winner_col: str, loser_col: str
+) -> DataFrame:
+    """Tournament triad census: among item triples where ALL THREE
+    pairs are decided by a strict majority, how many are cyclic?
+
+    A pair is DECIDED iff w_ij != w_ji (strict majority — ties carry no
+    direction). A decided triad {a<b<c} is CYCLIC iff the three
+    majority edges form a 3-cycle, else transitive. Output one row:
+    (n_items, n_active_pairs, n_decided_pairs, n_decided_triads,
+    n_cyclic_triads, cycle_rate).
+
+    Plans: the match groupBy is the only corpus-sized step; the edge
+    table is pairs-sized and every join below is items²-bounded and
+    broadcast.
+    """
+    d = _directed_wins(matches, winner_col, loser_col).persist()
+    # majority edges u -> v (u beat v strictly more often)
+    both = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.i") == F.col("b.j")) & (F.col("a.j") == F.col("b.i")),
+            "left",
+        )
+        .select(
+            F.col("a.i").alias("u"),
+            F.col("a.j").alias("v"),
+            F.col("a.w").alias("wu"),
+            F.coalesce(F.col("b.w"), F.lit(0)).alias("wv"),
+        )
+    )
+    edges = both.filter(F.col("wu") > F.col("wv")).select("u", "v").persist()
+    items = d.select(F.col("i").alias("x")).unionByName(
+        d.select(F.col("j").alias("x"))
+    ).distinct()
+    n_items = items.agg(F.count(F.lit(1)).alias("n_items"))
+    # active pairs: unordered pairs with >= 1 match either direction
+    pairs = d.select(
+        F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b")
+    ).distinct()
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_active_pairs"))
+    und = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    n_dec = und.agg(F.count(F.lit(1)).alias("n_decided_pairs"))
+    # decided triads: all three unordered pairs decided
+    t = (
+        und.alias("p1")
+        .join(und.alias("p2"), F.col("p1.a") == F.col("p2.a"))
+        .filter(F.col("p1.b") < F.col("p2.b"))
+        .select(
+            F.col("p1.a").alias("x"),
+            F.col("p1.b").alias("y"),
+            F.col("p2.b").alias("z"),
+        )
+        .join(
+            und.alias("p3"),
+            (F.col("y") == F.col("p3.a")) & (F.col("z") == F.col("p3.b")),
+        )
+        .select("x", "y", "z")
+    )
+    n_triads = t.agg(F.count(F.lit(1)).alias("n_decided_triads"))
+    # cyclic: directed edges close a 3-cycle; count each once via the
+    # minimum-vertex anchoring (each directed 3-cycle has exactly one
+    # vertex smaller than both neighbors)
+    cyc = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e2.v") == F.col("e3.u"))
+            & (F.col("e3.v") == F.col("e1.u")),
+        )
+        .filter(
+            (F.col("e1.u") < F.col("e2.u")) & (F.col("e1.u") < F.col("e3.u"))
+        )
+    )
+    n_cyc = cyc.agg(F.count(F.lit(1)).alias("n_cyclic_triads"))
+    res = (
+        n_items.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_dec))
+        .crossJoin(F.broadcast(n_triads))
+        .crossJoin(F.broadcast(n_cyc))
+        .select(
+            "n_items",
+            "n_active_pairs",
+            "n_decided_pairs",
+            "n_decided_triads",
+            "n_cyclic_triads",
+            F.round(
+                F.try_divide(
+                    F.col("n_cyclic_triads").cast("double"),
+                    F.col("n_decided_triads").cast("double"),
+                ),
+                6,
+            ).alias("cycle_rate"),
+        )
+    )
+    return res
+
+
+def pairwise_winrates(
+    matches: DataFrame, winner_col: str, loser_col: str
+) -> DataFrame:
+    """Per unordered pair (a < b by name): match count, a's wins, a's
+    empirical win rate, and the Wilson 95% score interval for it
+    (Wilson 1927) — the interval of record for small-n pairwise tables
+    (never exits [0,1]; behaves at p̂ = 0 or 1 where Wald collapses).
+
+    One corpus-sized groupBy; everything after is pairs-sized. The
+    Wilson chain (p̂ through sqrt) is single-row IEEE arithmetic on
+    identical operands — deterministic cross-engine — rounded at 6dp
+    (libm boundary, §5.3 rule 4).
+    """
+    d = _directed_wins(matches, winner_col, loser_col)
+    per_pair = (
+        d.select(
+            F.least("i", "j").alias("item_a"),
+            F.greatest("i", "j").alias("item_b"),
+            F.when(F.col("i") < F.col("j"), F.col("w"))
+            .otherwise(F.lit(0))
+            .alias("wa"),
+            F.col("w").alias("wt"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum("wt").cast("long").alias("n_matches"),
+            F.sum("wa").cast("long").alias("wins_a"),
+        )
+    )
+    nn = F.col("n_matches").cast("double")
+    p = F.col("wins_a").cast("double") / nn
+    z2 = F.lit(_Z95 * _Z95)
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(_Z95)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nn
+            + z2 / (F.lit(4.0) * nn * nn)
+        )
+        / denom
+    )
+    return per_pair.select(
+        "item_a",
+        "item_b",
+        "n_matches",
+        "wins_a",
+        F.round(p, 6).alias("winrate_a"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )

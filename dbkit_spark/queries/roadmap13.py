@@ -12,7 +12,12 @@ complete the curation/experimentation surface around them (Gopher
 repetition battery, PII scrub batch AND streaming, Benjamini-Hochberg
 FDR over a metric battery, delta-method ratio metrics, cluster design
 effect, vocab coverage, prototypicality outliers, post-stratified
-lift, mixture health). Same
+lift, mixture health); q419–q426 (late-round-13 extension) add the
+preference-data trio (Bradley-Terry MM leaderboard, transitivity
+cycle census, Wilson pairwise win rates — the RLHF/arena readouts),
+model-propensity IPW lift, the BigCode code-quality gate,
+Krippendorff's alpha, the delete-one-bucket jackknife, and the
+Good-Turing unseen-mass audit. Same
 template as the r9–r12 additions: operator + randomized/hand-case
 pytest (tests/test_round13.py) + oracle pre-verified at sf0.001 and
 sf0.01 (tests/test_catalog.py::test_roadmap7_queue_preverified), and
@@ -1753,4 +1758,773 @@ ROADMAP13["q418_curation_funnel"] = (
     q418_curation_funnel,
     _q418_oracle(),
     _Q418_NOTES,
+)
+
+
+# --- q419-q421: preference-data trio (RLHF / arena readouts) ------------------------
+
+# Deterministic preference matches from the events fixture: consecutive
+# events per user ((ts, event_id) total order — the unique-tiebreaker
+# rule) are a "match" between their event types; the one with the
+# larger value wins. Ties and self-pairs carry no preference and are
+# excluded. Shared by q419/q420/q421.
+_PREF_MATCHES_SQL = """
+  SELECT CASE WHEN va > vb THEN a ELSE b END AS winner,
+         CASE WHEN va > vb THEN b ELSE a END AS loser
+  FROM (
+    SELECT event_type AS a, value AS va,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS b,
+           LEAD(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS vb
+    FROM events
+  )
+  WHERE b IS NOT NULL AND a <> b AND va <> vb
+"""
+
+
+def _pref_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.col("value").alias("va"),
+        F.lead("event_type").over(w).alias("b"),
+        F.lead("value").over(w).alias("vb"),
+    )
+    return seq.filter(
+        F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+        & (F.col("va") != F.col("vb"))
+    ).select(
+        F.when(F.col("va") > F.col("vb"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("winner"),
+        F.when(F.col("va") > F.col("vb"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("loser"),
+    )
+
+
+def q419_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry leaderboard over the synthetic preference matches
+    (operators/preference.bradley_terry): 5 fixed MM steps from the
+    uniform start, mean-normalized — the arena-leaderboard estimator."""
+    from ..operators.preference import bradley_terry
+
+    return bradley_terry(
+        _pref_matches(spark, sf_dir), "winner", "loser", iters=5
+    ).orderBy("item")
+
+
+def _q419_oracle(iters: int = 5) -> str:
+    from ..operators.aggregate import stable_sum_sql
+
+    # Every CTE is MATERIALIZED: DuckDB re-inlines plain CTEs per
+    # reference, and the MM recursion references each s{{t-1}} twice —
+    # the same 4^iters blowup the Spark side solves with
+    # localCheckpoint (an unmaterialized draft of this oracle ran for
+    # minutes on 1,000 events).
+    parts = [
+        f"""m AS MATERIALIZED ({_PREF_MATCHES_SQL}),
+    d AS MATERIALIZED (
+      SELECT winner AS i, loser AS j, CAST(COUNT(*) AS BIGINT) AS w
+      FROM m GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT i, j, CAST(SUM(w) AS BIGINT) AS wij FROM (
+        SELECT i, j, w FROM d
+        UNION ALL
+        SELECT j AS i, i AS j, CAST(0 AS BIGINT) AS w FROM d
+      ) GROUP BY i, j
+    ),
+    pn AS MATERIALIZED (
+      SELECT a.i AS i, a.j AS j, a.wij + b.wij AS n
+      FROM sym a JOIN sym b ON a.i = b.j AND a.j = b.i
+    ),
+    totals AS MATERIALIZED (SELECT i, CAST(SUM(wij) AS BIGINT) AS wins
+                            FROM sym GROUP BY i),
+    games AS MATERIALIZED (SELECT i, CAST(SUM(n) AS BIGINT) AS games
+                           FROM pn GROUP BY i),
+    s0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM totals)"""
+    ]
+    term = "round(CAST(pn.n AS DOUBLE) / (si.s + sj.s), 9)"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""dn{t} AS MATERIALIZED (
+      SELECT pn.i, {stable_sum_sql(term, 9)} AS denom
+      FROM pn JOIN s{t - 1} si ON pn.i = si.i
+              JOIN s{t - 1} sj ON pn.j = sj.i
+      GROUP BY pn.i
+    ),
+    r{t} AS MATERIALIZED (
+      SELECT tt.i, round(CAST(tt.wins AS DOUBLE) / dd.denom, 9) AS raw
+      FROM totals tt JOIN dn{t} dd ON tt.i = dd.i
+    ),
+    mn{t} AS MATERIALIZED (SELECT {stable_sum_sql('raw', 9)} / COUNT(*) AS mean
+                           FROM r{t}),
+    s{t} AS MATERIALIZED (SELECT i, round(raw / mean, 9) AS s
+                          FROM r{t} CROSS JOIN mn{t})"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT tt.i AS item, g.games, tt.wins AS wins,
+           round(s.s, 6) AS strength,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.s DESC, tt.i ASC) AS BIGINT)
+             AS rank
+    FROM totals tt
+    JOIN games g ON tt.i = g.i
+    JOIN s{iters} s ON tt.i = s.i
+    ORDER BY item
+    """
+
+
+_Q419_NOTES = (
+    "BRADLEY-TERRY LEADERBOARD (operators/preference.bradley_terry — "
+    "Bradley & Terry 1952; Hunter 2004 MM iteration, the Chatbot-Arena-"
+    "class estimator for pairwise preference data): the ONLY corpus-"
+    "sized step is the match-table groupBy (map-side combined); the MM "
+    "loop runs a FIXED 5 steps on items-sized broadcast frames (items = "
+    "models/policies — small by construction), each step one items2-"
+    "sized equi-join + items-sized agg. Fixed iteration count keeps the "
+    "result a pure function of the match table — the oracle unrolls the "
+    "same 5 steps as generated CTEs. Per-term divisions round at 9dp "
+    "and ride DECIMAL(25,9) sums; never-lose items grow monotonically "
+    "instead of diverging (documented). Rank carries the item-name "
+    "tiebreaker (SURVEY 5.3 rule 5)"
+)
+
+ROADMAP13["q419_bradley_terry"] = (
+    q419_bradley_terry,
+    _q419_oracle(),
+    _Q419_NOTES,
+)
+
+
+def q420_preference_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the preference matches
+    (operators/preference.preference_cycles): cyclic vs decided triads
+    in the majority tournament."""
+    from ..operators.preference import preference_cycles
+
+    return preference_cycles(_pref_matches(spark, sf_dir), "winner", "loser")
+
+
+_Q420_ORACLE = f"""
+    WITH m AS ({_PREF_MATCHES_SQL}),
+    d AS (
+      SELECT winner AS i, loser AS j, CAST(COUNT(*) AS BIGINT) AS w
+      FROM m GROUP BY 1, 2
+    ),
+    duel AS (
+      SELECT a.i AS u, a.j AS v, a.w AS wu, COALESCE(b.w, 0) AS wv
+      FROM d a LEFT JOIN d b ON a.i = b.j AND a.j = b.i
+    ),
+    edges AS (SELECT u, v FROM duel WHERE wu > wv),
+    items AS (
+      SELECT DISTINCT x FROM (
+        SELECT i AS x FROM d UNION ALL SELECT j AS x FROM d)
+    ),
+    pairs AS (SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM d),
+    und AS (SELECT least(u, v) AS a, greatest(u, v) AS b FROM edges),
+    tri AS (
+      SELECT p1.a AS x, p1.b AS y, p2.b AS z
+      FROM und p1
+      JOIN und p2 ON p1.a = p2.a AND p1.b < p2.b
+      JOIN und p3 ON p1.b = p3.a AND p2.b = p3.b
+    ),
+    cyc AS (
+      SELECT e1.u FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e2.v = e3.u AND e3.v = e1.u
+      WHERE e1.u < e2.u AND e1.u < e3.u
+    )
+    SELECT CAST((SELECT COUNT(*) FROM items) AS BIGINT) AS n_items,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_active_pairs,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_decided_pairs,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_decided_triads,
+           CAST((SELECT COUNT(*) FROM cyc) AS BIGINT) AS n_cyclic_triads,
+           CASE WHEN (SELECT COUNT(*) FROM tri) = 0 THEN NULL
+                ELSE round(CAST((SELECT COUNT(*) FROM cyc) AS DOUBLE)
+                           / CAST((SELECT COUNT(*) FROM tri) AS DOUBLE), 6)
+           END AS cycle_rate
+"""
+
+_Q420_NOTES = (
+    "PREFERENCE TRANSITIVITY AUDIT (operators/preference."
+    "preference_cycles — tournament triad census, Kendall 1938 / Moon "
+    "1968: the fraction of fully-decided item triples whose majority "
+    "edges form a 3-cycle; a high rate means judge noise or genuine "
+    "non-transitivity, and a scalar BT strength under-fits either "
+    "way): ONE corpus-sized match groupBy, then items2-bounded "
+    "broadcast equi-joins; directed 3-cycles counted once via the "
+    "minimum-vertex rotation anchor. All counts exact LONGs; the rate "
+    "is one division"
+)
+
+ROADMAP13["q420_preference_cycles"] = (
+    q420_preference_cycles,
+    _Q420_ORACLE,
+    _Q420_NOTES,
+)
+
+
+def q421_pairwise_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair win rates with Wilson 95% score intervals
+    (operators/preference.pairwise_winrates)."""
+    from ..operators.preference import pairwise_winrates
+
+    return pairwise_winrates(
+        _pref_matches(spark, sf_dir), "winner", "loser"
+    ).orderBy("item_a", "item_b")
+
+
+def _q421_oracle() -> str:
+    from ..operators.preference import _Z95
+
+    z = repr(_Z95)
+    z2 = repr(_Z95 * _Z95)
+    return f"""
+    WITH m AS ({_PREF_MATCHES_SQL}),
+    d AS (
+      SELECT winner AS i, loser AS j, CAST(COUNT(*) AS BIGINT) AS w
+      FROM m GROUP BY 1, 2
+    ),
+    pp AS (
+      SELECT least(i, j) AS item_a, greatest(i, j) AS item_b,
+             CAST(SUM(w) AS BIGINT) AS n_matches,
+             CAST(SUM(CASE WHEN i < j THEN w ELSE 0 END) AS BIGINT) AS wins_a
+      FROM d GROUP BY 1, 2
+    ),
+    ext AS (
+      SELECT item_a, item_b, n_matches, wins_a,
+             CAST(n_matches AS DOUBLE) AS n,
+             CAST(wins_a AS DOUBLE) / CAST(n_matches AS DOUBLE) AS p
+      FROM pp
+    ),
+    wil AS (
+      SELECT item_a, item_b, n_matches, wins_a, p,
+             (p + {z2} / (2.0 * n)) / (1.0 + {z2} / n) AS center,
+             {z} * sqrt(p * (1.0 - p) / n + {z2} / (4.0 * n * n))
+               / (1.0 + {z2} / n) AS half
+      FROM ext
+    )
+    SELECT item_a, item_b, n_matches, wins_a,
+           round(p, 6) AS winrate_a,
+           round(center - half, 6) AS wilson_lo,
+           round(center + half, 6) AS wilson_hi
+    FROM wil ORDER BY item_a, item_b
+    """
+
+
+_Q421_NOTES = (
+    "PAIRWISE WIN RATES + WILSON INTERVALS (operators/preference."
+    "pairwise_winrates — Wilson 1927 score interval, the interval of "
+    "record for small-n pairwise preference tables: never exits [0,1], "
+    "sane at p-hat 0 or 1 where Wald collapses): one corpus-sized "
+    "groupBy to a pairs-sized frame; the Wilson chain is single-row "
+    "IEEE arithmetic on identical operands (z pinned as a literal, z*z "
+    "pre-computed in the driver and shipped to BOTH engines), sqrt is "
+    "libm so bounds round at 6dp"
+)
+
+ROADMAP13["q421_pairwise_winrates"] = (
+    q421_pairwise_winrates,
+    _q421_oracle(),
+    _Q421_NOTES,
+)
+
+
+# --- q422: model-propensity IPW lift ---------------------------------------------------
+
+
+def _treat_expr():
+    # treatment = the first ten sources (src0..src9): a deterministic,
+    # text-correlated assignment so the NB propensity has signal
+    return F.expr("substring(source, 4)").cast("int") < 10
+
+
+_TREAT_SQL = "CAST(substr(source, 4) AS INT) < 10"
+
+
+def _nb_logit_sql(pos_expr: str) -> str:
+    """The q401 hashed-NB oracle chain (verbatim constants: m=64,
+    k=0.5, km=32.0) with the positive-class predicate parameterized —
+    yields CTEs ending in lg(doc_id, n_features, logit)."""
+    from .llm import _TOKS_SQL
+
+    return f"""toks AS ({_TOKS_SQL}),
+    fb AS (
+      SELECT doc_id, {pos_expr} AS pos, {_bucket_sql("f", 64)} AS bucket
+      FROM (SELECT doc_id, lang, source, unnest({_FEATS_SQL}) AS f FROM toks)
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      FROM fb GROUP BY bucket
+    ),
+    tots AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn FROM counts),
+    weights AS (
+      SELECT r.range AS bucket,
+             round(ln(((COALESCE(c.cp, 0) + 0.5) / (t.tp + 32.0))
+                      / ((COALESCE(c.cn, 0) + 0.5) / (t.tn + 32.0))), 9)
+               AS w
+      FROM range(64) r LEFT JOIN counts c ON r.range = c.bucket
+      CROSS JOIN tots t
+    ),
+    prior AS (
+      SELECT round(ln(
+        (SUM(CASE WHEN {pos_expr} THEN 1 ELSE 0 END) + 0.5)
+        / (SUM(CASE WHEN {pos_expr} THEN 0 ELSE 1 END) + 0.5)), 9) AS bias
+      FROM documents
+    ),
+    scored AS (
+      SELECT b.doc_id, COUNT(*) AS n_features,
+             SUM(CAST(w.w AS DECIMAL(38,12))) AS swd
+      FROM fb b JOIN weights w USING (bucket) GROUP BY b.doc_id
+    ),
+    lg AS (
+      SELECT s.doc_id, s.n_features,
+             CAST(CAST(p.bias AS DECIMAL(38,12)) + s.swd AS DOUBLE)
+               AS logit
+      FROM scored s CROSS JOIN prior p
+    )"""
+
+
+def q422_ipw_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational lift of n_chars between source groups via
+    stabilization-free Hajek IPW, propensity = the q401 hashed-NB
+    classifier trained on the treatment label itself
+    (operators/mlmetrics.ipw_lift over llm/quality.hashed_nb_score)."""
+    from ..llm.quality import hashed_nb_score, hashed_nb_train
+    from ..operators.mlmetrics import ipw_lift
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_treat", _treat_expr())
+    weights, prior = hashed_nb_train(labeled, "_treat", m=64, k=0.5)
+    scored = hashed_nb_score(docs, weights, prior, m=64)
+    j = scored.join(
+        labeled.select("doc_id", "_treat", "n_chars"), "doc_id"
+    )
+    return ipw_lift(j, "_treat", "n_chars", "logit")
+
+
+def _q422_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+
+    def arm_sum(cond: str, expr: str) -> str:
+        return stable_sum_sql(f"CASE WHEN keep AND {cond} THEN {expr} END", 9)
+
+    return f"""
+    WITH {_nb_logit_sql(_TREAT_SQL)},
+    lab AS (
+      SELECT doc_id, {_TREAT_SQL} AS t, CAST(n_chars AS DOUBLE) AS y
+      FROM documents
+    ),
+    base AS (
+      SELECT l.t, l.y,
+             round(1.0 / (1.0 + exp(-lg.logit)), 9) AS e
+      FROM lg JOIN lab l ON lg.doc_id = l.doc_id
+    ),
+    kw AS (
+      SELECT t, y, e, e >= 0.05 AND e <= 0.95 AS keep,
+             CASE WHEN e >= 0.05 AND e <= 0.95 THEN
+               CASE WHEN t THEN round(1.0 / e, 9)
+                    ELSE round(1.0 / (1.0 - e), 9) END
+             END AS w
+      FROM base
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN keep AND t THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_treat,
+        CAST(SUM(CASE WHEN keep AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_control,
+        CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_trimmed,
+        {arm_sum('t', 'w')} AS sw1,
+        {arm_sum('t', 'round(w * y, 9)')} AS swy1,
+        {arm_sum('t', 'round(w * w, 9)')} AS sww1,
+        {arm_sum('NOT t', 'w')} AS sw0,
+        {arm_sum('NOT t', 'round(w * y, 9)')} AS swy0,
+        {arm_sum('NOT t', 'round(w * w, 9)')} AS sww0
+      FROM kw
+    )
+    SELECT n_treat, n_control, n_trimmed,
+           round(swy1 / sw1, 6) AS mu_treat,
+           round(swy0 / sw0, 6) AS mu_control,
+           round(swy1 / sw1 - swy0 / sw0, 6) AS lift,
+           round(sw1 * sw1 / sww1, 6) AS ess_treat,
+           round(sw0 * sw0 / sww0, 6) AS ess_control
+    FROM agg
+    """
+
+
+_Q422_NOTES = (
+    "MODEL-PROPENSITY IPW LIFT (operators/mlmetrics.ipw_lift — "
+    "Horvitz-Thompson 1952 / Hirano-Imbens-Ridder 2003 weighting, "
+    "Crump et al. 2009 [0.05,0.95] trim; propensity = the q401 "
+    "hashed-NB classifier, so the oracle NESTS the q401 chain verbatim "
+    "with the treatment predicate): cell-propensity IPW with Hajek "
+    "normalization is algebraically q412's post-stratification — this "
+    "row earns its place by accepting an arbitrary MODEL's propensity, "
+    "the form that survives when strata can't be enumerated. Hajek "
+    "makes the stabilization constant cancel (documented, omitted). "
+    "ONE conditional aggregate after the map-side scoring joins; "
+    "e/w/terms at 9dp, DECIMAL(25,9) sums, Kish ESS per arm (q400 "
+    "convention), 6dp out"
+)
+
+ROADMAP13["q422_ipw_lift"] = (q422_ipw_lift, _q422_oracle(), _Q422_NOTES)
+
+
+# --- q423: code-corpus quality filters -------------------------------------------------
+
+
+def q423_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigCode/StarCoder-style code-corpus gate
+    (llm/quality.code_quality_filters): line-length stats, alnum
+    fraction, hex/base64 data mass, and the pass verdict."""
+    from ..llm.quality import code_quality_filters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return code_quality_filters(docs).orderBy("doc_id")
+
+
+_Q423_ORACLE = r"""
+    WITH split AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+             length(text) AS n
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(list_max(list_transform(lines, s -> length(s)))
+               AS BIGINT) AS max_ll,
+             CAST(n - (len(lines) - 1) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE) AS avg_ll,
+             CASE WHEN n = 0 THEN NULL ELSE
+               CAST(n - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))
+                 AS DOUBLE) / CAST(n AS DOUBLE) END AS alnum_f,
+             CASE WHEN n = 0 THEN NULL ELSE
+               CAST(COALESCE(list_sum(list_transform(list_filter(
+                 list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                             s -> s <> ''),
+                 s -> regexp_matches(s, '^[0-9a-fA-F]{16,}$')
+                      OR regexp_matches(s, '^[A-Za-z0-9+/=]{40,}$')),
+                 s -> length(s))), 0) AS DOUBLE) / CAST(n AS DOUBLE)
+             END AS data_f
+      FROM split
+    )
+    SELECT doc_id, n_lines,
+           max_ll AS max_line_len,
+           round(avg_ll, 6) AS avg_line_len,
+           round(alnum_f, 6) AS alnum_frac,
+           round(data_f, 6) AS data_mass,
+           COALESCE(max_ll <= 1000 AND avg_ll <= 100.0
+                    AND alnum_f >= 0.25 AND data_f <= 0.5, FALSE)
+             AS passes
+    FROM feat ORDER BY doc_id
+"""
+
+_Q423_NOTES = (
+    "CODE-CORPUS QUALITY GATE (llm/quality.code_quality_filters — "
+    "Allal et al. 2023 SantaCoder app. A / Li et al. 2023 StarCoder "
+    "section 3 preprocessing rules: any line > 1000 chars, avg line > "
+    "100, alnum fraction < 0.25, or > 0.5 of mass in hex(16+)/"
+    "base64(40+) tokens rejects — the minified-JS / embedded-blob "
+    "failure modes that survive prose-oriented Gopher rules): pure "
+    "map-only codegen (lifts to readStream unchanged, the q398/q414 "
+    "rule); total line chars = length - newline count so avg needs no "
+    "per-line agg; passes evaluates UNROUNDED in-engine values "
+    "(SURVEY 5.3 rule 4), rounded copies are display-only; regexes in "
+    "the Java-regex/RE2 common subset (q406 rule)"
+)
+
+ROADMAP13["q423_code_quality"] = (
+    q423_code_quality,
+    _Q423_ORACLE,
+    _Q423_NOTES,
+)
+
+
+# --- q424: Krippendorff's alpha --------------------------------------------------------
+
+
+def q424_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synthetic raters with MISSING assignments over orders
+    (the q316 construction + per-rater hash missingness — the input
+    shape Cohen/Fleiss cannot take), scored by nominal Krippendorff
+    alpha (operators/agreement.krippendorff_alpha)."""
+    from .roadmap9 import _hash_mod
+    from ..operators.agreement import krippendorff_alpha
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("item"),
+        F.substring("o_orderpriority", 1, 1).alias("cls"),
+    )
+    rot = ((F.col("cls").cast("int") % 5) + 1).cast("string")
+    lab = None
+    for rid, fsalt, msalt in (("r1", 17, 5), ("r2", 23, 7), ("r3", 31, 11)):
+        r = o.filter(_hash_mod(F.col("item"), msalt, 5) != 0).select(
+            "item",
+            F.lit(rid).alias("rater"),
+            F.when(_hash_mod(F.col("item"), fsalt, 10) < 3, rot)
+            .otherwise(F.col("cls"))
+            .alias("label"),
+        )
+        lab = r if lab is None else lab.unionByName(r)
+    return krippendorff_alpha(lab, "item", "rater", "label")
+
+
+def _q424_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+    from .roadmap9 import _hash_mod_sql
+
+    rater = """
+      SELECT item, '{rid}' AS rater,
+             CASE WHEN {flip} < 3
+                  THEN CAST((CAST(cls AS INT) % 5) + 1 AS VARCHAR)
+                  ELSE cls END AS label
+      FROM o WHERE {miss} <> 0"""
+    arms = " UNION ALL ".join(
+        rater.format(
+            rid=rid,
+            flip=_hash_mod_sql("item", fsalt, 10),
+            miss=_hash_mod_sql("item", msalt, 5),
+        )
+        for rid, fsalt, msalt in (
+            ("r1", 17, 5), ("r2", 23, 7), ("r3", 31, 11))
+    )
+    term = "CAST(m * m - s2 AS DOUBLE) / CAST(m - 1 AS DOUBLE)"
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey AS item, substr(o_orderpriority, 1, 1) AS cls
+      FROM orders
+    ),
+    base AS ({arms}),
+    vals AS (SELECT item, rater, MIN(label) AS c FROM base
+             GROUP BY item, rater),
+    nuc AS (SELECT item, c, CAST(COUNT(*) AS BIGINT) AS nuc
+            FROM vals GROUP BY item, c),
+    pu AS (
+      SELECT item, CAST(SUM(nuc) AS BIGINT) AS m,
+             CAST(SUM(nuc * nuc) AS BIGINT) AS s2
+      FROM nuc GROUP BY item HAVING SUM(nuc) >= 2
+    ),
+    don AS (
+      SELECT {stable_sum_sql(f"round({term}, 9)", 9)} AS sum_t,
+             CAST(SUM(m) AS BIGINT) AS n_values,
+             CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM pu
+    ),
+    marg AS (
+      SELECT n.c, CAST(SUM(n.nuc) AS BIGINT) AS nc
+      FROM nuc n JOIN pu ON n.item = pu.item GROUP BY n.c
+    ),
+    de AS (
+      SELECT CAST(SUM(nc * nc) AS BIGINT) AS snc2,
+             CAST(COUNT(*) AS BIGINT) AS n_categories
+      FROM marg
+    ),
+    fin AS (
+      SELECT n_units, n_values, n_categories,
+             sum_t / CAST(n_values AS DOUBLE) AS d_o,
+             (CAST(n_values AS DOUBLE) * CAST(n_values AS DOUBLE)
+              - CAST(snc2 AS DOUBLE))
+             / (CAST(n_values AS DOUBLE)
+                * (CAST(n_values AS DOUBLE) - 1.0)) AS d_e
+      FROM don CROSS JOIN de
+    )
+    SELECT n_units, n_values, n_categories,
+           round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+           round(1.0 - d_o / d_e, 6) AS alpha
+    FROM fin
+    """
+
+
+_Q424_NOTES = (
+    "KRIPPENDORFF'S ALPHA, NOMINAL (operators/agreement."
+    "krippendorff_alpha — Krippendorff 1970/2004, the agreement "
+    "statistic that HANDLES MISSING LABELS, which real annotation "
+    "tables always have; Cohen q316 needs two complete raters, Fleiss "
+    "q317 a constant rater count): the nominal coincidence sum "
+    "collapses to per-unit and global label marginals — no category-"
+    "pair matrix; units with < 2 pairable values excluded everywhere. "
+    "One (unit,label) count agg + one unit reduce + one marginal agg, "
+    "all map-combined; per-unit terms 9dp on DECIMAL(25,9) sums, D_e "
+    "exact-integer-derived, 6dp out"
+)
+
+ROADMAP13["q424_krippendorff_alpha"] = (
+    q424_krippendorff_alpha,
+    _q424_oracle(),
+    _Q424_NOTES,
+)
+
+
+# --- q425: delete-one-bucket jackknife -------------------------------------------------
+
+
+def q425_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife CI for extendedprice-per-quantity
+    with l_orderkey as the randomization unit (rows of one order share
+    a bucket — the clustered-jackknife shape)
+    (operators/mlmetrics.jackknife_ratio_ci)."""
+    from ..operators.mlmetrics import jackknife_ratio_ci
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return jackknife_ratio_ci(
+        li, "l_extendedprice", "l_quantity", "l_orderkey", n_buckets=20
+    )
+
+
+def _q425_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+    from ..operators.aggregate import stable_sum_sql
+    from ..operators.mlmetrics import _Z_ALPHA_2
+
+    z = repr(_Z_ALPHA_2[0.05])
+    bucket = f"{u32_md5_sql('l_orderkey', 'jk')} % 20"
+    return f"""
+    WITH base AS (
+      SELECT {bucket} AS b, l_extendedprice AS x, l_quantity AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    pb AS (
+      SELECT b, {stable_sum_sql('x', 9)} AS sx, {stable_sum_sql('y', 9)} AS sy,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY b
+    ),
+    tot AS (
+      SELECT {stable_sum_sql('sx', 9)} AS tsx, {stable_sum_sql('sy', 9)} AS tsy,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(cnt) AS BIGINT) AS n_units
+      FROM pb
+    ),
+    loo AS (
+      SELECT tsx, tsy, nb, n_units,
+             round((tsx - sx) / (tsy - sy), 9) AS th
+      FROM pb CROSS JOIN tot
+    ),
+    bar AS (
+      SELECT round({stable_sum_sql('th', 9)} / COUNT(*), 9) AS th_bar
+      FROM loo
+    ),
+    dev AS (
+      SELECT tsx, tsy, nb, n_units,
+             CAST(th - th_bar AS DECIMAL(18,9))
+               * CAST(th - th_bar AS DECIMAL(18,9)) AS dev2
+      FROM loo CROSS JOIN bar
+    ),
+    fin AS (
+      SELECT tsx, tsy, nb, n_units, CAST(SUM(dev2) AS DOUBLE) AS ss
+      FROM dev GROUP BY tsx, tsy, nb, n_units
+    )
+    SELECT round(round(tsx / tsy, 9), 6) AS theta,
+           round(sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) * ss),
+                 6) AS se_jack,
+           round(round(tsx / tsy, 9)
+                 - {z} * sqrt((CAST(nb AS DOUBLE) - 1.0)
+                              / CAST(nb AS DOUBLE) * ss), 6) AS ci_lo,
+           round(round(tsx / tsy, 9)
+                 + {z} * sqrt((CAST(nb AS DOUBLE) - 1.0)
+                              / CAST(nb AS DOUBLE) * ss), 6) AS ci_hi,
+           nb AS n_buckets, n_units
+    FROM fin
+    """
+
+
+_Q425_NOTES = (
+    "DELETE-ONE-BUCKET JACKKNIFE (operators/mlmetrics."
+    "jackknife_ratio_ci — Quenouille 1956 / Tukey 1958; the hashed-"
+    "bucket form is the standard web-scale variance estimator: B "
+    "leave-one-out resamples cost ONE aggregate regardless of corpus "
+    "size; buckets by the portable u32-md5 rule so any engine replays "
+    "the assignment): the empirical complement to q408's analytic "
+    "delta method — disagreement flags a strained linearization. One "
+    "map-combined groupBy to a B-row frame + 1-row broadcasts; thetas "
+    "9dp, deviations land exactly ON the 9dp grid and their squares "
+    "ride EXACT DECIMAL(18,9)x(18,9) products (the q411 tied-products "
+    "rule); sqrt libm, 6dp out"
+)
+
+ROADMAP13["q425_jackknife_ratio"] = (
+    q425_jackknife_ratio,
+    _q425_oracle(),
+    _Q425_NOTES,
+)
+
+
+# --- q426: Good-Turing unseen-mass audit -----------------------------------------------
+
+
+def q426_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts audit with the Turing adjusted
+    counts and the unseen-mass headline (llm/lm.good_turing_mass)."""
+    from ..llm.lm import good_turing_mass
+
+    docs = read_table(spark, sf_dir, "documents")
+    return good_turing_mass(docs, max_r=5)
+
+
+def _q426_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tok AS (SELECT unnest(t) AS w FROM toks),
+    counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    coc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nr FROM counts GROUP BY c),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM counts),
+    grid AS (
+      SELECT r.range AS r, COALESCE(coc.nr, 0) AS nr
+      FROM range(0, 7) r LEFT JOIN coc ON r.range = coc.c
+    ),
+    nxt AS (SELECT r - 1 AS r, nr AS nr_next FROM grid),
+    rws AS (
+      SELECT g.r, g.nr, x.nr_next, t.n_tokens
+      FROM grid g JOIN nxt x ON g.r = x.r CROSS JOIN tot t
+      WHERE g.r <= 5
+    )
+    SELECT CAST(r AS BIGINT) AS r,
+           CASE WHEN r >= 1 THEN CAST(nr AS BIGINT) END AS n_types,
+           CASE WHEN n_tokens = 0 THEN NULL
+                WHEN r = 0 THEN
+                  round(CAST(nr_next AS DOUBLE)
+                        / CAST(n_tokens AS DOUBLE), 6)
+                ELSE round(CAST(r AS DOUBLE) * CAST(nr AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 6)
+           END AS mass_frac,
+           CASE WHEN r >= 1 AND nr > 0 THEN
+             round((CAST(r AS DOUBLE) + 1.0) * CAST(nr_next AS DOUBLE)
+                   / CAST(nr AS DOUBLE), 6)
+           END AS r_star
+    FROM rws ORDER BY r
+    """
+
+
+_Q426_NOTES = (
+    "GOOD-TURING UNSEEN-MASS AUDIT (llm/lm.good_turing_mass — Good "
+    "1953; the raw Turing estimate per Gale & Sampson 1995 section 2, "
+    "the SGT log-linear fit documented as out of scope): count-of-"
+    "counts N_r, observed mass r*N_r/N, Turing adjusted counts "
+    "(r+1)*N_{r+1}/N_r for r<=5, and p_0 = N_1/N — how much of the "
+    "NEXT sample is unseen types, the vocabulary-saturation readout "
+    "behind the q381 planner's scale-data-not-epochs premise. One "
+    "corpus-sized token count (map-combined), one vocab-sized count-"
+    "of-counts agg, one 7-row literal grid join; every ratio is ONE "
+    "IEEE division of exact integers, 6dp out"
+)
+
+ROADMAP13["q426_good_turing"] = (
+    q426_good_turing,
+    _q426_oracle(),
+    _Q426_NOTES,
 )

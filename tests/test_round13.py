@@ -788,3 +788,309 @@ def test_curation_funnel_monotone_and_stage_chaining(spark, sf_dir):
     for r in rows:
         if r["n_in"]:
             assert abs(r["pass_rate"] - r["n_pass"] / r["n_in"]) < 1e-5
+
+
+# --- q419-q421: preference trio -------------------------------------------------------
+
+
+def _matches(spark, rows):
+    return spark.createDataFrame(rows, "winner string, loser string")
+
+
+def test_bradley_terry_dominance_order(spark):
+    """A total order in the match data yields the same order in
+    strengths and ranks; games/wins are exact."""
+    from dbkit_spark.operators.preference import bradley_terry
+
+    rows = (
+        [("A", "B")] * 3 + [("B", "C")] * 3 + [("A", "C")] * 3
+    )
+    out = {r["item"]: r for r in
+           bradley_terry(_matches(spark, rows), "winner", "loser").collect()}
+    assert out["A"]["games"] == 6 and out["A"]["wins"] == 6
+    assert out["B"]["games"] == 6 and out["B"]["wins"] == 3
+    assert out["C"]["games"] == 6 and out["C"]["wins"] == 0
+    assert out["A"]["strength"] > out["B"]["strength"] > out["C"]["strength"]
+    assert [out[k]["rank"] for k in "ABC"] == [1, 2, 3]
+    # C never wins -> strength pinned at exactly 0 (W_i = 0)
+    assert out["C"]["strength"] == 0.0
+
+
+def test_bradley_terry_balanced_round_robin(spark):
+    """A perfectly balanced tournament is the MM fixed point: every
+    strength stays exactly at the normalized start 1.0."""
+    from dbkit_spark.operators.preference import bradley_terry
+
+    items = ["A", "B", "C"]
+    rows = []
+    for a in items:
+        for b in items:
+            if a != b:
+                rows.append((a, b))  # each ordered pair won once
+    out = bradley_terry(_matches(spark, rows), "winner", "loser").collect()
+    assert all(r["strength"] == 1.0 for r in out)
+    assert [r["item"] for r in sorted(out, key=lambda r: r["rank"])] == items
+
+
+def test_bradley_terry_validation(spark):
+    from dbkit_spark.operators.preference import bradley_terry
+
+    with pytest.raises(ValueError, match="iters"):
+        bradley_terry(_matches(spark, [("A", "B")]), "winner", "loser",
+                      iters=0)
+
+
+def test_preference_cycles_cyclic_and_transitive(spark):
+    from dbkit_spark.operators.preference import preference_cycles
+
+    # rock-paper-scissors majority: one decided triad, cyclic
+    rows = [("A", "B"), ("A", "B"), ("B", "A"),
+            ("B", "C"), ("B", "C"), ("C", "B"),
+            ("C", "A"), ("C", "A"), ("A", "C")]
+    r = preference_cycles(_matches(spark, rows), "winner", "loser").collect()[0]
+    assert r["n_items"] == 3 and r["n_decided_pairs"] == 3
+    assert r["n_decided_triads"] == 1 and r["n_cyclic_triads"] == 1
+    assert r["cycle_rate"] == 1.0
+    # transitive order: same triad count, zero cycles
+    rows = [("A", "B"), ("B", "C"), ("A", "C")]
+    r = preference_cycles(_matches(spark, rows), "winner", "loser").collect()[0]
+    assert r["n_decided_triads"] == 1 and r["n_cyclic_triads"] == 0
+    assert r["cycle_rate"] == 0.0
+
+
+def test_preference_cycles_tie_undecides_pair(spark):
+    """A tied pair is undecided: the triad is incomplete and the rate
+    degrades to NULL when no triad is fully decided."""
+    from dbkit_spark.operators.preference import preference_cycles
+
+    rows = [("A", "B"), ("B", "A"),  # tie
+            ("B", "C"), ("A", "C")]
+    r = preference_cycles(_matches(spark, rows), "winner", "loser").collect()[0]
+    assert r["n_active_pairs"] == 3
+    assert r["n_decided_pairs"] == 2
+    assert r["n_decided_triads"] == 0
+    assert r["cycle_rate"] is None
+
+
+def test_pairwise_winrates_wilson_hand_case(spark):
+    """Wilson bounds match the closed form computed in-test with the
+    same operation order; degenerate p in {0, 1} stays inside [0, 1]."""
+    import math as _m
+
+    from dbkit_spark.operators.preference import _Z95, pairwise_winrates
+
+    rows = [("A", "B")] * 7 + [("B", "A")] * 3 + [("C", "D")] * 4
+    out = {(r["item_a"], r["item_b"]): r for r in
+           pairwise_winrates(_matches(spark, rows), "winner", "loser")
+           .collect()}
+    ab = out[("A", "B")]
+    assert ab["n_matches"] == 10 and ab["wins_a"] == 7
+    assert ab["winrate_a"] == 0.7
+    n, p, z2 = 10.0, 0.7, _Z95 * _Z95
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = _Z95 * _m.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    assert ab["wilson_lo"] == round(center - half, 6)
+    assert ab["wilson_hi"] == round(center + half, 6)
+    cd = out[("C", "D")]
+    assert cd["winrate_a"] == 1.0
+    assert 0.0 < cd["wilson_lo"] < 1.0 and cd["wilson_hi"] <= 1.0
+
+
+# --- q422: IPW lift ---------------------------------------------------------------------
+
+
+def test_ipw_zero_logit_reduces_to_arm_means(spark):
+    """e = 0.5 everywhere -> constant weights -> Hajek means are the
+    plain arm means and ESS equals the arm size."""
+    from dbkit_spark.operators.mlmetrics import ipw_lift
+
+    rows = [(True, 10.0, 0.0), (True, 20.0, 0.0),
+            (False, 5.0, 0.0), (False, 15.0, 0.0), (False, 10.0, 0.0)]
+    df = spark.createDataFrame(rows, "t boolean, y double, lg double")
+    r = ipw_lift(df, "t", "y", "lg").collect()[0]
+    assert r["n_treat"] == 2 and r["n_control"] == 3 and r["n_trimmed"] == 0
+    assert r["mu_treat"] == 15.0 and r["mu_control"] == 10.0
+    assert r["lift"] == 5.0
+    assert r["ess_treat"] == 2.0 and r["ess_control"] == 3.0
+
+
+def test_ipw_trims_extreme_propensities(spark):
+    """|logit| = 5 -> e outside [0.05, 0.95] -> trimmed and counted."""
+    from dbkit_spark.operators.mlmetrics import ipw_lift
+
+    rows = [(True, 10.0, 0.0), (False, 5.0, 0.0),
+            (True, 99.0, 5.0), (False, 99.0, -5.0)]
+    df = spark.createDataFrame(rows, "t boolean, y double, lg double")
+    r = ipw_lift(df, "t", "y", "lg").collect()[0]
+    assert r["n_trimmed"] == 2
+    assert r["mu_treat"] == 10.0 and r["mu_control"] == 5.0
+
+
+def test_ipw_validation(spark):
+    from dbkit_spark.operators.mlmetrics import ipw_lift
+
+    df = spark.createDataFrame([(True, 1.0, 0.0)],
+                               "t boolean, y double, lg double")
+    with pytest.raises(ValueError, match="trim"):
+        ipw_lift(df, "t", "y", "lg", trim_lo=0.5, trim_hi=0.4)
+
+
+# --- q424: Krippendorff's alpha ---------------------------------------------------------
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(rows, "u long, r string, c string")
+
+
+def test_krippendorff_perfect_and_degenerate(spark):
+    from dbkit_spark.operators.agreement import krippendorff_alpha
+
+    # perfect agreement on two categories -> D_o = 0, alpha = 1
+    rows = [(1, "r1", "x"), (1, "r2", "x"),
+            (2, "r1", "y"), (2, "r2", "y")]
+    r = krippendorff_alpha(_labels(spark, rows), "u", "r", "c").collect()[0]
+    assert r["d_o"] == 0.0 and r["alpha"] == 1.0
+    assert r["n_units"] == 2 and r["n_values"] == 4 and r["n_categories"] == 2
+    # one category everywhere -> D_e = 0 -> alpha undefined (NULL)
+    rows = [(1, "r1", "x"), (1, "r2", "x"), (2, "r1", "x"), (2, "r2", "x")]
+    r = krippendorff_alpha(_labels(spark, rows), "u", "r", "c").collect()[0]
+    assert r["d_e"] == 0.0 and r["alpha"] is None
+
+
+def test_krippendorff_hand_computed_with_missing(spark):
+    """Closed form recomputed in-test on a table WITH missing labels
+    (the case Cohen/Fleiss cannot take); lone-label units drop."""
+    from dbkit_spark.operators.agreement import krippendorff_alpha
+
+    rows = [
+        (1, "r1", "a"), (1, "r2", "a"), (1, "r3", "b"),
+        (2, "r1", "a"), (2, "r2", "b"),            # r3 missing
+        (3, "r2", "b"), (3, "r3", "b"),            # r1 missing
+        (4, "r1", "a"),                              # lone label: excluded
+    ]
+    r = krippendorff_alpha(_labels(spark, rows), "u", "r", "c").collect()[0]
+    assert r["n_units"] == 3 and r["n_values"] == 7
+    # unit terms: u1 m=3 s2=5 -> (9-5)/2 = 2; u2 m=2 s2=2 -> (4-2)/1 = 2;
+    # u3 m=2 s2=4 -> 0. D_o = 4/7. marginals (pairable): a=3, b=4 ->
+    # D_e = (49-25)/(7*6) = 24/42
+    d_o = 4.0 / 7.0
+    d_e = 24.0 / 42.0
+    assert r["d_o"] == round(d_o, 6) and r["d_e"] == round(d_e, 6)
+    assert r["alpha"] == round(1.0 - d_o / d_e, 6)
+
+
+# --- q425: jackknife ratio CI -----------------------------------------------------------
+
+
+def test_jackknife_constant_ratio_zero_variance(spark):
+    """y = x/2 in every row -> every leave-one-out theta is exactly 2
+    -> se 0 and a degenerate CI at theta."""
+    from dbkit_spark.operators.mlmetrics import jackknife_ratio_ci
+
+    rows = [(i, float(2 * i + 2), float(i + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    r = jackknife_ratio_ci(df, "x", "y", "id", n_buckets=10).collect()[0]
+    assert r["theta"] == 2.0
+    assert r["se_jack"] == 0.0
+    assert r["ci_lo"] == 2.0 and r["ci_hi"] == 2.0
+    assert r["n_buckets"] == 10 and r["n_units"] == 200
+
+
+def test_jackknife_theta_is_ratio_of_sums(spark):
+    from dbkit_spark.operators.mlmetrics import jackknife_ratio_ci
+
+    rows = [(1, 10.0, 2.0), (2, 30.0, 3.0), (3, 20.0, 5.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    r = jackknife_ratio_ci(df, "x", "y", "id", n_buckets=2).collect()[0]
+    assert r["theta"] == 6.0  # 60 / 10
+    assert r["ci_lo"] <= r["theta"] <= r["ci_hi"]
+
+
+def test_jackknife_validation(spark):
+    from dbkit_spark.operators.mlmetrics import jackknife_ratio_ci
+
+    df = spark.createDataFrame([(1, 1.0, 1.0)], "id long, x double, y double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        jackknife_ratio_ci(df, "x", "y", "id", n_buckets=1)
+    with pytest.raises(ValueError, match="alpha"):
+        jackknife_ratio_ci(df, "x", "y", "id", alpha=0.2)
+
+
+# --- q426: Good-Turing ------------------------------------------------------------------
+
+
+def test_good_turing_hand_case(spark):
+    """Corpus 'a a b c': N=4, N1=2, N2=1 -> p0 = 0.5, r*=1 at r=1."""
+    from dbkit_spark.llm.lm import good_turing_mass
+
+    df = spark.createDataFrame([(1, "a a b c")], "doc_id long, text string")
+    rows = {r["r"]: r for r in good_turing_mass(df).collect()}
+    assert rows[0]["n_types"] is None and rows[0]["mass_frac"] == 0.5
+    assert rows[1]["n_types"] == 2 and rows[1]["mass_frac"] == 0.5
+    assert rows[1]["r_star"] == 1.0  # (1+1) * N2/N1 = 2 * 1/2
+    assert rows[2]["n_types"] == 1 and rows[2]["mass_frac"] == 0.5
+    assert rows[2]["r_star"] == 0.0  # N3 = 0
+    assert rows[3]["n_types"] == 0 and rows[3]["mass_frac"] == 0.0
+    assert rows[3]["r_star"] is None  # N_r = 0: no adjusted count
+
+
+def test_good_turing_mass_conservation(spark):
+    """When every type count is <= max_r, the observed masses at
+    r = 1..max_r sum to exactly 1."""
+    from dbkit_spark.llm.lm import good_turing_mass
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "d e e c b")], "doc_id long, text string"
+    )
+    rows = good_turing_mass(df, max_r=5).collect()
+    total = sum(r["mass_frac"] for r in rows if r["r"] >= 1)
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_good_turing_validation(spark):
+    from dbkit_spark.llm.lm import good_turing_mass
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_r"):
+        good_turing_mass(df, max_r=0)
+
+
+# --- q423: code-quality filters ---------------------------------------------------------
+
+
+def test_code_quality_hand_cases(spark):
+    from dbkit_spark.llm.quality import code_quality_filters
+
+    rows = [
+        (1, "ab\ncdef\n"),                       # 3 lines (trailing empty)
+        (2, "deadbeefdeadbeef1234 hello"),        # 20-char hex token
+        (3, "x" * 1001),                          # over-long single line
+        (4, ""),                                  # empty
+        (5, "normal prose with words here"),
+    ]
+    out = {r["doc_id"]: r for r in
+           code_quality_filters(_docs(spark, rows)).collect()}
+    d1 = out[1]
+    assert d1["n_lines"] == 3 and d1["max_line_len"] == 4
+    assert d1["avg_line_len"] == 2.0  # (8 - 2) / 3
+    d2 = out[2]
+    assert d2["data_mass"] == round(20.0 / 26.0, 6)
+    assert not d2["passes"]  # data mass > 0.5
+    d3 = out[3]
+    assert d3["max_line_len"] == 1001 and not d3["passes"]
+    d4 = out[4]
+    assert d4["alnum_frac"] is None and not d4["passes"]
+    assert out[5]["passes"]
+
+
+def test_code_quality_base64_and_avg_line(spark):
+    from dbkit_spark.llm.quality import code_quality_filters
+
+    b64 = "QWxhZGRpbjpvcGVuIHNlc2FtZUFsYWRkaW46b3BlbiBzZXNhbWU="  # 52 chars
+    rows = [(1, b64), (2, "short\n" + "word " * 39)]  # line2 = 195 chars
+    out = {r["doc_id"]: r for r in
+           code_quality_filters(_docs(spark, rows)).collect()}
+    assert out[1]["data_mass"] == 1.0 and not out[1]["passes"]
+    # avg line length (5 + 195) / 2 = 100.0 -> at the threshold, passes
+    assert out[2]["avg_line_len"] == 100.0 and out[2]["passes"]
