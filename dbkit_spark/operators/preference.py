@@ -334,3 +334,116 @@ def pairwise_winrates(
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+
+def length_controlled_winrates(
+    matches: DataFrame,
+    item_a_col: str,
+    item_b_col: str,
+    win_a_col: str,
+    len_a_col: str,
+    len_b_col: str,
+) -> DataFrame:
+    """Length-controlled win rate per item pair (Dubois et al. 2024,
+    "Length-Controlled AlpacaEval" — the de-verbosity correction:
+    judges systematically prefer longer responses, so the raw win rate
+    confounds quality with verbosity). Per pair, regress win(0/1) on
+    the response-length difference with closed-form OLS (a linear
+    probability model — the lightweight stand-in for the paper's
+    logistic fit, exactly SQL-replayable) and report the intercept:
+    the win rate an equal-length match would show.
+
+        beta  = (n·Sxy − Sx·Sy) / (n·Sxx − Sx·Sx)
+        alpha = Sy/n − beta·(Sx/n)
+
+    The caller supplies canonicalized pairs (item_a < item_b) with
+    win_a as 0/1 and both lengths. When a pair has NO length variation
+    the slope is inestimable (denominator 0) — slope reports NULL and
+    the length-controlled rate falls back to the raw rate (documented:
+    no variation means no estimable bias, not zero bias).
+
+    ONE corpus-sized groupBy; x, y, x², x·y are exact integers so every
+    sum is an exact LONG-derived DECIMAL — the only FP is the final
+    division chain, identical-operand IEEE in both engines, 6dp out.
+
+    Output per pair: (item_a, item_b, n_matches, winrate_a,
+    mean_len_diff, length_bias_slope, lc_winrate_a).
+    """
+    from .aggregate import stable_sum
+
+    x = (F.col(len_a_col) - F.col(len_b_col)).cast("double")
+    y = F.col(win_a_col).cast("int").cast("double")
+    base = matches.filter(
+        F.col(item_a_col).isNotNull()
+        & F.col(item_b_col).isNotNull()
+        & F.col(win_a_col).isNotNull()
+        & F.col(len_a_col).isNotNull()
+        & F.col(len_b_col).isNotNull()
+    ).select(
+        F.col(item_a_col).alias("item_a"),
+        F.col(item_b_col).alias("item_b"),
+        x.alias("_x"),
+        y.alias("_y"),
+    )
+    agg = base.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        stable_sum("_x", 0).alias("sx"),
+        stable_sum("_y", 0).alias("sy"),
+        stable_sum(F.col("_x") * F.col("_x"), 0).alias("sxx"),
+        stable_sum(F.col("_x") * F.col("_y"), 0).alias("sxy"),
+    )
+    nn = F.col("n_matches").cast("double")
+    beta = F.try_divide(
+        nn * F.col("sxy") - F.col("sx") * F.col("sy"),
+        nn * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    ybar = F.col("sy") / nn
+    alpha = ybar - beta * (F.col("sx") / nn)
+    return agg.select(
+        "item_a",
+        "item_b",
+        "n_matches",
+        F.round(ybar, 6).alias("winrate_a"),
+        F.round(F.col("sx") / nn, 6).alias("mean_len_diff"),
+        F.round(beta, 6).alias("length_bias_slope"),
+        F.round(F.coalesce(alpha, ybar), 6).alias("lc_winrate_a"),
+    )
+
+
+def order_bias_audit(
+    matches: DataFrame, first_win_col: str
+) -> DataFrame:
+    """Order/position-bias audit for preference data (Zheng et al.
+    2023, "Judging LLM-as-a-Judge" §3.2 — judges systematically favor
+    the first-listed response; arena UIs randomize positions exactly
+    because of this). Under no bias, P(first-listed wins) = 1/2: one
+    conditional aggregate gives the exact binomial z against 0.5 and a
+    two-sided normal p via the in-engine Abramowitz-Stegun tail
+    (operators/mlmetrics.normal_p_two_sided, the q407 closed form —
+    SQL twin included, so the verdict is computed IN the engine, not
+    by a client-side CDF lookup).
+
+        z = (p̂ − 0.5) / sqrt(0.25 / n)
+
+    Output one row: (n_matches, n_first_wins, first_win_rate, z,
+    p_value, biased@0.05). n = 0 reports NULLs and biased = false.
+    """
+    from .mlmetrics import normal_p_two_sided
+
+    w = F.col(first_win_col).cast("boolean")
+    agg = matches.filter(w.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.sum(F.when(w, 1).otherwise(0)).cast("long").alias("n_first_wins"),
+    )
+    nn = F.col("n_matches").cast("double")
+    p = F.try_divide(F.col("n_first_wins").cast("double"), nn)
+    z = F.try_divide(p - F.lit(0.5), F.sqrt(F.lit(0.25) / nn))
+    pv = normal_p_two_sided(z)
+    return agg.select(
+        "n_matches",
+        "n_first_wins",
+        F.round(p, 6).alias("first_win_rate"),
+        F.round(z, 6).alias("z"),
+        pv.alias("p_value"),
+        F.coalesce(pv < F.lit(0.05), F.lit(False)).alias("biased"),
+    )

@@ -2528,3 +2528,187 @@ ROADMAP13["q426_good_turing"] = (
     _q426_oracle(),
     _Q426_NOTES,
 )
+
+
+# --- q427/q428: preference bias audits ---------------------------------------------------
+
+# Canonicalized match rows with response-length and order metadata:
+# item_a < item_b by name, win_a = a won, len_* = length(props) of each
+# side (the "response length" stand-in), first_wins = the temporally
+# earlier event won. Extends _PREF_MATCHES_SQL's construction.
+_PREF_MATCHES_EXT_SQL = """
+  SELECT CASE WHEN a < b THEN a ELSE b END AS item_a,
+         CASE WHEN a < b THEN b ELSE a END AS item_b,
+         CASE WHEN a < b THEN (va > vb) ELSE (vb > va) END AS win_a,
+         CASE WHEN a < b THEN la ELSE lb END AS len_a,
+         CASE WHEN a < b THEN lb ELSE la END AS len_b,
+         va > vb AS first_wins
+  FROM (
+    SELECT event_type AS a, value AS va, length(props) AS la,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS b,
+           LEAD(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS vb,
+           LEAD(length(props)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS lb
+    FROM events
+  )
+  WHERE b IS NOT NULL AND a <> b AND va <> vb
+"""
+
+
+def _pref_matches_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.col("value").alias("va"),
+        F.length("props").alias("la"),
+        F.lead("event_type").over(w).alias("b"),
+        F.lead("value").over(w).alias("vb"),
+        F.lead(F.length("props")).over(w).alias("lb"),
+    ).filter(
+        F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+        & (F.col("va") != F.col("vb"))
+    )
+    swap = F.col("a") < F.col("b")
+    return seq.select(
+        F.when(swap, F.col("a")).otherwise(F.col("b")).alias("item_a"),
+        F.when(swap, F.col("b")).otherwise(F.col("a")).alias("item_b"),
+        F.when(swap, F.col("va") > F.col("vb"))
+        .otherwise(F.col("vb") > F.col("va"))
+        .alias("win_a"),
+        F.when(swap, F.col("la")).otherwise(F.col("lb")).alias("len_a"),
+        F.when(swap, F.col("lb")).otherwise(F.col("la")).alias("len_b"),
+        (F.col("va") > F.col("vb")).alias("first_wins"),
+    )
+
+
+def q427_length_controlled_winrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-pair length-controlled win rates over the preference matches
+    (operators/preference.length_controlled_winrates): OLS de-verbosity
+    correction, intercept = the equal-length win rate."""
+    from ..operators.preference import length_controlled_winrates
+
+    return length_controlled_winrates(
+        _pref_matches_ext(spark, sf_dir),
+        "item_a", "item_b", "win_a", "len_a", "len_b",
+    ).orderBy("item_a", "item_b")
+
+
+def _q427_oracle() -> str:
+    from ..operators.aggregate import stable_sum_sql
+
+    return f"""
+    WITH m AS ({_PREF_MATCHES_EXT_SQL}),
+    base AS (
+      SELECT item_a, item_b,
+             CAST(len_a - len_b AS DOUBLE) AS x,
+             CAST(CAST(win_a AS INT) AS DOUBLE) AS y
+      FROM m
+      WHERE len_a IS NOT NULL AND len_b IS NOT NULL
+    ),
+    agg AS (
+      SELECT item_a, item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_matches,
+             {stable_sum_sql('x', 0)} AS sx,
+             {stable_sum_sql('y', 0)} AS sy,
+             {stable_sum_sql('x * x', 0)} AS sxx,
+             {stable_sum_sql('x * y', 0)} AS sxy
+      FROM base GROUP BY item_a, item_b
+    ),
+    fit AS (
+      SELECT item_a, item_b, n_matches,
+             CAST(n_matches AS DOUBLE) AS n, sx, sy, sxx, sxy,
+             CASE WHEN CAST(n_matches AS DOUBLE) * sxx - sx * sx = 0
+                  THEN NULL
+                  ELSE (CAST(n_matches AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n_matches AS DOUBLE) * sxx - sx * sx)
+             END AS beta
+      FROM agg
+    )
+    SELECT item_a, item_b, n_matches,
+           round(sy / n, 6) AS winrate_a,
+           round(sx / n, 6) AS mean_len_diff,
+           round(beta, 6) AS length_bias_slope,
+           round(COALESCE(sy / n - beta * (sx / n), sy / n), 6)
+             AS lc_winrate_a
+    FROM fit ORDER BY item_a, item_b
+    """
+
+
+_Q427_NOTES = (
+    "LENGTH-CONTROLLED WIN RATES (operators/preference."
+    "length_controlled_winrates — Dubois et al. 2024 Length-Controlled "
+    "AlpacaEval: judges prefer longer responses, so raw win rates "
+    "confound quality with verbosity; closed-form OLS linear-"
+    "probability fit per pair, intercept = the equal-length win rate — "
+    "the exactly-SQL-replayable stand-in for the paper's logistic "
+    "fit, documented): ONE corpus groupBy; x/y/x2/xy are exact "
+    "integers so sums are exact DECIMAL(25,0) — zero mid-pipeline "
+    "rounding, the only FP is the final identical-operand division "
+    "chain; zero-length-variation pairs report NULL slope and fall "
+    "back to the raw rate (no variation = no estimable bias)"
+)
+
+ROADMAP13["q427_length_controlled_winrate"] = (
+    q427_length_controlled_winrate,
+    _q427_oracle(),
+    _Q427_NOTES,
+)
+
+
+def q428_order_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-bias audit over the preference matches
+    (operators/preference.order_bias_audit): exact binomial z of
+    P(earlier event wins) against 1/2, p-value via the in-engine
+    Abramowitz-Stegun tail."""
+    from ..operators.preference import order_bias_audit
+
+    return order_bias_audit(_pref_matches_ext(spark, sf_dir), "first_wins")
+
+
+def _q428_oracle() -> str:
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    z = ("((CAST(n_first_wins AS DOUBLE) / CAST(n_matches AS DOUBLE)"
+         " - 0.5) / sqrt(0.25 / CAST(n_matches AS DOUBLE)))")
+    return f"""
+    WITH m AS ({_PREF_MATCHES_EXT_SQL}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(SUM(CASE WHEN first_wins THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_wins
+      FROM m
+    )
+    SELECT n_matches, n_first_wins,
+           round(CAST(n_first_wins AS DOUBLE)
+                 / CAST(n_matches AS DOUBLE), 6) AS first_win_rate,
+           round({z}, 6) AS z,
+           {normal_p_two_sided_sql(z)} AS p_value,
+           COALESCE({normal_p_two_sided_sql(z)} < 0.05, FALSE) AS biased
+    FROM agg
+    """
+
+
+_Q428_NOTES = (
+    "ORDER-BIAS AUDIT (operators/preference.order_bias_audit — Zheng "
+    "et al. 2023 Judging-LLM-as-a-Judge section 3.2 position bias; "
+    "arena UIs randomize positions because judges favor the first-"
+    "listed response, and an ingest pipeline must VERIFY that "
+    "randomization held): one conditional aggregate -> exact binomial "
+    "z against 1/2 -> two-sided p via the q407 Abramowitz-Stegun "
+    "closed form (normal_p_two_sided + its digit-matched _sql twin) — "
+    "the verdict is computed IN the engine, no client-side CDF lookup"
+)
+
+ROADMAP13["q428_order_bias"] = (
+    q428_order_bias,
+    _q428_oracle(),
+    _Q428_NOTES,
+)
