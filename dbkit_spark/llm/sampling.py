@@ -1223,3 +1223,137 @@ def eval_holdout_carve(
             ~F.col("contaminated") & (F.col("pick_rank") <= quota)
         ).alias("selected"),
     )
+
+
+def rake_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: dict[str, float],
+    col_targets: dict[str, float],
+    iters: int = 5,
+) -> DataFrame:
+    """Iterative-proportional-fitting (raking) cell weights (Deming &
+    Stephan 1940; the survey-calibration workhorse, Deville & Sarndal
+    1992) — reweight a corpus so BOTH marginal distributions match
+    declared targets simultaneously (e.g. rebalance a crawl to target
+    language shares AND source-family shares at once; per-margin
+    reweighting alone breaks whichever margin it didn't look at).
+
+    IPF in its canonical factored form: w_rc = a_r * b_c with
+
+        a_r <- T_r / sum_c n_rc * b_c      (row-margin step)
+        b_c <- T_c / sum_r n_rc * a_r      (col-margin step)
+
+    for a FIXED ``iters`` alternations from b = 1 (pure function of the
+    inputs — any engine replays it; IPF converges geometrically, 5
+    alternations is standard survey practice). Targets are SHARES
+    (each dict sums to 1); T = share * N over the observed total.
+    Cells whose label is missing from a target dict are dropped from
+    the output (no target, no weight — documented, validated by law
+    test, not silently weighted 1).
+
+    Scale + determinism: ONE corpus-sized (row,col) count (map-side
+    combined, persisted); every IPF step is a cells-sized broadcast
+    join + margins-sized aggregate. The n·b / n·a products ride EXACT
+    DECIMAL(20,0)x(18,9) — no mid-pipeline rounding of products (the
+    q411 rule); each factor update is ONE division rounded at 9dp; the
+    final weight a_r·b_c is an IEEE double product of identical 9dp
+    operands (bit-equal cross-engine), 6dp out.
+
+    Output: (row_col, col_col, n, weight, raked_share).
+    """
+    for name, targets in (("row_targets", row_targets),
+                          ("col_targets", col_targets)):
+        if not targets:
+            raise ValueError(f"{name} must be non-empty")
+        if any(v <= 0 for v in targets.values()):
+            raise ValueError(f"{name} shares must be positive")
+        total = sum(targets.values())
+        if abs(total - 1.0) > 1e-9:
+            raise ValueError(f"{name} shares must sum to 1, got {total}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = df.sparkSession
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
+    )
+    n_total = cells.agg(F.sum("_n").cast("long").alias("_ntot"))
+    row_t = spark.createDataFrame(
+        sorted(row_targets.items()), ["_r", "_share_r"]
+    ).crossJoin(F.broadcast(n_total)).select(
+        "_r", (F.col("_share_r") * F.col("_ntot").cast("double")).alias("_tr")
+    )
+    col_t = spark.createDataFrame(
+        sorted(col_targets.items()), ["_c", "_share_c"]
+    ).crossJoin(F.broadcast(n_total)).select(
+        "_c", (F.col("_share_c") * F.col("_ntot").cast("double")).alias("_tc")
+    )
+    b = col_t.select("_c", F.lit(1.0).alias("_b"))
+    a = None
+    # DECIMAL(12,0) x (18,9) = (31,9): exact in BOTH engines. A (20,0)
+    # cast would push Spark's multiply to precision 39 > 38, which
+    # silently RESCALES to (38,8) — an 8dp round DuckDB doesn't take.
+    # Bound: per-cell counts < 10^12 (document-count cells, not rows
+    # of a fact table — generous at any corpus size).
+    exact_nb = F.col("_n").cast("decimal(12,0)")
+    for _ in range(iters):
+        a = (
+            cells.join(F.broadcast(b), "_c")
+            .select(
+                "_r",
+                (exact_nb * F.col("_b").cast("decimal(18,9)")).alias("_t"),
+            )
+            .groupBy("_r")
+            .agg(F.sum("_t").cast("double").alias("_dr"))
+            .join(F.broadcast(row_t), "_r")
+            .select(
+                "_r",
+                F.round(F.try_divide(F.col("_tr"), F.col("_dr")), 9)
+                .alias("_a"),
+            )
+        )
+        b = (
+            cells.join(F.broadcast(a), "_r")
+            .select(
+                "_c",
+                (exact_nb * F.col("_a").cast("decimal(18,9)")).alias("_t"),
+            )
+            .groupBy("_c")
+            .agg(F.sum("_t").cast("double").alias("_dc"))
+            .join(F.broadcast(col_t), "_c")
+            .select(
+                "_c",
+                F.round(F.try_divide(F.col("_tc"), F.col("_dc")), 9)
+                .alias("_b"),
+            )
+        )
+    # weight = a*b as an IEEE DOUBLE product of identical 9dp operands
+    # (bit-equal cross-engine), rounded at 6dp. NOT an exact-decimal
+    # product cast to double: DuckDB's wide-DECIMAL(37,18)->DOUBLE cast
+    # is not correctly rounded and diverged from Spark's by one ulp at
+    # pre-verification (banked lesson: never ship a wide-decimal->double
+    # CAST to the compare boundary; the q401 unrounded rule is for
+    # decimals that STAY decimal-summed, not for decimal casts).
+    wd = F.col("_a") * F.col("_b")
+    out = (
+        cells.join(F.broadcast(a), "_r")
+        .join(F.broadcast(b), "_c")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("_r").alias(row_col),
+            F.col("_c").alias(col_col),
+            F.col("_n").cast("long").alias("n"),
+            F.round(wd, 6).alias("weight"),
+            F.round(
+                F.col("_n").cast("double")
+                * wd
+                / F.col("_ntot").cast("double"),
+                6,
+            ).alias("raked_share"),
+        )
+    )
+    return out

@@ -2433,3 +2433,77 @@ def jackknife_ratio_ci(
         F.col("nb").cast("long").alias("n_buckets"),
         "n_units",
     )
+
+
+def propensity_overlap(
+    df: DataFrame,
+    treat_col: str,
+    logit_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Propensity-overlap (positivity) diagnostic for IPW/matching
+    (Austin 2011, "An Introduction to Propensity Score Methods"; the
+    standing companion readout to ipw_lift — weighting is only valid
+    where BOTH arms have propensity mass, and trimming bounds should be
+    chosen from exactly this table): histogram of e(x) = sigmoid(logit)
+    per arm over ``n_bins`` equal-width bins, with per-arm shares and
+    the per-bin overlap mass min(share_treat, share_control). The sum
+    of min_share over bins is the overlap coefficient — near 0 means
+    the arms live in disjoint propensity regions and NO weighting
+    estimator is trustworthy.
+
+    ONE conditional aggregate to a bins-sized frame + a 1-row arm-total
+    broadcast. e rounds at 9dp (libm rule); bin = min(floor(e·bins),
+    bins−1) on identical doubles; shares are single divisions, 6dp out.
+
+    Output, one row per non-empty bin: (bin, e_lo, e_hi, n_treat,
+    n_control, share_treat, share_control, min_share).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    lg = F.col(logit_col).cast("double")
+    e = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lg)), 9)
+    t = F.col(treat_col).cast("boolean")
+    base = df.filter(t.isNotNull() & lg.isNotNull()).select(
+        t.alias("_t"),
+        F.least(
+            F.floor(e * F.lit(float(n_bins))).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("n_treat"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_treat").cast("long").alias("tt"),
+        F.sum("n_control").cast("long").alias("tc"),
+    )
+    st = F.try_divide(
+        F.col("n_treat").cast("double"), F.col("tt").cast("double")
+    )
+    sc = F.try_divide(
+        F.col("n_control").cast("double"), F.col("tc").cast("double")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(
+                F.col("bin").cast("double") / F.lit(float(n_bins)), 6
+            ).alias("e_lo"),
+            F.round(
+                (F.col("bin") + F.lit(1)).cast("double")
+                / F.lit(float(n_bins)),
+                6,
+            ).alias("e_hi"),
+            "n_treat",
+            "n_control",
+            F.round(st, 6).alias("share_treat"),
+            F.round(sc, 6).alias("share_control"),
+            F.round(F.least(st, sc), 6).alias("min_share"),
+        )
+        .orderBy("bin")
+    )

@@ -611,14 +611,24 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     reps, plan asserts) skip the write when the catalog tables and their
     external paths already exist. A fresh session re-registers by
     rewriting once (cheap at test SFs; a real deployment writes its
-    bucketed tables once, ever)."""
+    bucketed tables once, ever).
+
+    The path is scoped PER SPARK APPLICATION: a second concurrent
+    session has a fresh (empty) catalog, so a shared path would make it
+    rewrite the directory out from under the first session's in-flight
+    scans (FAILED_READ_FILE.FILE_NOT_EXIST — hit when two pytest
+    sessions overlapped). Session-scoped paths trade a rewrite per
+    session for zero cross-session interference."""
     import os
     import tempfile
 
     from ..sources.writers import write_bucketed
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"dbkit_bucketed_{tag}")
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), f"dbkit_bucketed_{tag}_{app}"
+    )
     names = (f"b4_orders_{tag}", f"b4_lineitem_{tag}")
     specs = [
         (names[0], "orders", "o_orderkey", f"{base}/orders"),

@@ -2712,3 +2712,182 @@ ROADMAP13["q428_order_bias"] = (
     _q428_oracle(),
     _Q428_NOTES,
 )
+
+
+# --- q429: propensity-overlap diagnostic ---------------------------------------------
+
+
+def q429_propensity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positivity check for the q422 IPW readout: per-arm propensity
+    histogram + per-bin overlap mass, propensity = the same q401
+    hashed-NB logit (operators/mlmetrics.propensity_overlap)."""
+    from ..llm.quality import hashed_nb_score, hashed_nb_train
+    from ..operators.mlmetrics import propensity_overlap
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_treat", _treat_expr())
+    weights, prior = hashed_nb_train(labeled, "_treat", m=64, k=0.5)
+    scored = hashed_nb_score(docs, weights, prior, m=64)
+    j = scored.join(labeled.select("doc_id", "_treat"), "doc_id")
+    return propensity_overlap(j, "_treat", "logit", n_bins=10)
+
+
+def _q429_oracle() -> str:
+    return f"""
+    WITH {_nb_logit_sql(_TREAT_SQL)},
+    lab AS (SELECT doc_id, {_TREAT_SQL} AS t FROM documents),
+    base AS (
+      SELECT l.t,
+             LEAST(CAST(floor(
+               round(1.0 / (1.0 + exp(-lg.logit)), 9) * 10.0
+             ) AS BIGINT), 9) AS bin
+      FROM lg JOIN lab l ON lg.doc_id = l.doc_id
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+             CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_control
+      FROM base GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_treat) AS BIGINT) AS tt,
+             CAST(SUM(n_control) AS BIGINT) AS tc
+      FROM per_bin
+    )
+    SELECT bin,
+           round(CAST(bin AS DOUBLE) / 10.0, 6) AS e_lo,
+           round(CAST(bin + 1 AS DOUBLE) / 10.0, 6) AS e_hi,
+           n_treat, n_control,
+           round(CAST(n_treat AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+             AS share_treat,
+           round(CAST(n_control AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+             AS share_control,
+           round(least(CAST(n_treat AS DOUBLE) / CAST(tt AS DOUBLE),
+                       CAST(n_control AS DOUBLE) / CAST(tc AS DOUBLE)), 6)
+             AS min_share
+    FROM per_bin CROSS JOIN tot ORDER BY bin
+    """
+
+
+_Q429_NOTES = (
+    "PROPENSITY-OVERLAP / POSITIVITY DIAGNOSTIC (operators/mlmetrics."
+    "propensity_overlap — Austin 2011: weighting is only valid where "
+    "BOTH arms carry propensity mass; trim bounds should be read off "
+    "exactly this table, and sum(min_share) near 0 means no weighting "
+    "estimator is trustworthy): the standing companion to q422, same "
+    "q401 hashed-NB propensity so the oracle nests the same chain; ONE "
+    "conditional aggregate to a bins-sized frame + 1-row arm totals; "
+    "e at 9dp, bin = min(floor(e*bins), bins-1) on identical doubles, "
+    "shares single divisions 6dp"
+)
+
+ROADMAP13["q429_propensity_overlap"] = (
+    q429_propensity_overlap,
+    _q429_oracle(),
+    _Q429_NOTES,
+)
+
+
+# --- q430: IPF raking weights ----------------------------------------------------------
+
+
+def q430_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rake the documents corpus to uniform language targets AND even
+    source-family targets simultaneously (llm/sampling.rake_weights,
+    Deming-Stephan IPF): the corpus-rebalancing move per-margin
+    reweighting cannot do."""
+    from ..llm.sampling import rake_weights
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(
+            F.lit("g"),
+            (F.expr("substring(source, 4)").cast("int") % 2).cast("string"),
+        ).alias("src_group"),
+    )
+    return rake_weights(
+        docs,
+        "lang",
+        "src_group",
+        {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2},
+        {"g0": 0.5, "g1": 0.5},
+        iters=5,
+    ).orderBy("lang", "src_group")
+
+
+def _q430_oracle(iters: int = 5) -> str:
+    exact = ("CAST(SUM(CAST(n AS DECIMAL(12,0)) * CAST({f} AS DECIMAL(18,9)))"
+             " AS DOUBLE)")
+    parts = [
+        """cells AS MATERIALIZED (
+      SELECT lang AS r,
+             'g' || CAST(CAST(substr(source, 4) AS INT) % 2 AS VARCHAR) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    nt AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    rt AS MATERIALIZED (
+      SELECT r, share * CAST(nn AS DOUBLE) AS tr
+      FROM (VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2), ('fr', 0.2),
+                   ('zh', 0.2)) t(r, share) CROSS JOIN nt
+    ),
+    ct AS MATERIALIZED (
+      SELECT c, share * CAST(nn AS DOUBLE) AS tc
+      FROM (VALUES ('g0', 0.5), ('g1', 0.5)) t(c, share) CROSS JOIN nt
+    ),
+    b0 AS MATERIALIZED (SELECT c, CAST(1.0 AS DOUBLE) AS b FROM ct)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""ar{t} AS MATERIALIZED (
+      SELECT rt.r, round(rt.tr / d.dr, 9) AS a
+      FROM (SELECT cells.r, {exact.format(f='b')} AS dr
+            FROM cells JOIN b{t - 1} ON cells.c = b{t - 1}.c
+            GROUP BY cells.r) d
+      JOIN rt ON d.r = rt.r
+    ),
+    b{t} AS MATERIALIZED (
+      SELECT ct.c, round(ct.tc / d.dc, 9) AS b
+      FROM (SELECT cells.c, {exact.format(f='a')} AS dc
+            FROM cells JOIN ar{t} ON cells.r = ar{t}.r
+            GROUP BY cells.c) d
+      JOIN ct ON d.c = ct.c
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT cells.r AS lang, cells.c AS src_group, n,
+           round(a * b, 6) AS weight,
+           round(CAST(n AS DOUBLE) * (a * b) / CAST(nn AS DOUBLE), 6)
+             AS raked_share
+    FROM cells
+    JOIN ar{iters} ON cells.r = ar{iters}.r
+    JOIN b{iters} ON cells.c = b{iters}.c
+    CROSS JOIN nt
+    ORDER BY lang, src_group
+    """
+
+
+_Q430_NOTES = (
+    "IPF RAKING WEIGHTS (llm/sampling.rake_weights — Deming & Stephan "
+    "1940 iterative proportional fitting, Deville-Sarndal 1992 "
+    "calibration framing: reweight a corpus so BOTH margins — language "
+    "shares AND source-family shares — match declared targets "
+    "simultaneously, which per-margin reweighting cannot do): factored "
+    "w = a_r*b_c form, FIXED 5 alternations from b=1 (geometric "
+    "convergence, standard survey practice; pure function of inputs); "
+    "ONE corpus (row,col) count, then cells-sized broadcast joins + "
+    "margins-sized aggregates; n*b / n*a moments ride EXACT "
+    "DECIMAL(12,0)x(18,9) — a (20,0) cast would push Spark past "
+    "precision 38 and silently rescale to 8dp (found in design, "
+    "banked); factor updates are single 9dp divisions; the final "
+    "weight is an exact (18,9)x(18,9) product emitted UNROUNDED "
+    "(q401 rule); oracle unrolls the alternations as MATERIALIZED "
+    "CTEs (the q419 lesson)"
+)
+
+ROADMAP13["q430_raking_weights"] = (
+    q430_raking_weights,
+    _q430_oracle(),
+    _Q430_NOTES,
+)

@@ -1179,3 +1179,91 @@ def test_order_bias_unbiased_accepts(spark):
     r = order_bias_audit(df, "first_wins").collect()[0]
     assert not r["biased"]
     assert abs(r["z"]) < 1.0
+
+
+# --- q429: propensity overlap ---------------------------------------------------------
+
+
+def test_propensity_overlap_separated_arms(spark):
+    """Fully separated propensities -> disjoint bins, min_share = 0
+    everywhere; shares sum to 1 per arm."""
+    from dbkit_spark.operators.mlmetrics import propensity_overlap
+
+    rows = [(True, 3.0)] * 4 + [(False, -3.0)] * 6  # e ~ .953 / .047
+    df = spark.createDataFrame(rows, "t boolean, lg double")
+    out = propensity_overlap(df, "t", "lg").collect()
+    assert all(r["min_share"] == 0.0 for r in out)
+    assert sum(r["share_treat"] for r in out) == 1.0
+    assert sum(r["share_control"] for r in out) == 1.0
+    bins = {r["bin"]: r for r in out}
+    assert bins[9]["n_treat"] == 4 and bins[9]["n_control"] == 0
+    assert bins[0]["n_control"] == 6 and bins[0]["n_treat"] == 0
+
+
+def test_propensity_overlap_identical_arms(spark):
+    """Identical propensity in both arms -> overlap coefficient 1."""
+    from dbkit_spark.operators.mlmetrics import propensity_overlap
+
+    rows = [(True, 0.0), (False, 0.0), (True, 1.0), (False, 1.0)]
+    df = spark.createDataFrame(rows, "t boolean, lg double")
+    out = propensity_overlap(df, "t", "lg").collect()
+    assert sum(r["min_share"] for r in out) == 1.0
+    with pytest.raises(ValueError, match="n_bins"):
+        propensity_overlap(df, "t", "lg", n_bins=1)
+
+
+# --- q430: raking ----------------------------------------------------------------------
+
+
+def test_rake_weights_matches_both_margins(spark):
+    """After raking, weighted margins hit the declared targets (IPF
+    converges geometrically; 5 alternations reach ~1e-6 here)."""
+    from dbkit_spark.llm.sampling import rake_weights
+
+    rows = ([("en", "web")] * 60 + [("en", "book")] * 20
+            + [("fr", "web")] * 10 + [("fr", "book")] * 10)
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = rake_weights(
+        df, "lang", "src", {"en": 0.5, "fr": 0.5},
+        {"web": 0.5, "book": 0.5}).collect()
+    share = {(r["lang"], r["src"]): r["raked_share"] for r in out}
+    en = share[("en", "web")] + share[("en", "book")]
+    web = share[("en", "web")] + share[("fr", "web")]
+    assert abs(en - 0.5) < 1e-4 and abs(web - 0.5) < 1e-4
+    assert abs(sum(share.values()) - 1.0) < 1e-4
+
+
+def test_rake_weights_one_step_is_row_poststrat(spark):
+    """With col targets equal to the OBSERVED col margin, raking
+    reduces to row post-stratification: weight depends on row only."""
+    from dbkit_spark.llm.sampling import rake_weights
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 30
+            + [("b", "x")] * 20 + [("b", "y")] * 20)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = rake_weights(df, "r", "c", {"a": 0.8, "b": 0.2},
+                       {"x": 0.5, "y": 0.5}).collect()
+    w = {(r["r"], r["c"]): r["weight"] for r in out}
+    assert abs(w[("a", "x")] - w[("a", "y")]) < 1e-9
+    assert abs(w[("b", "x")] - w[("b", "y")]) < 1e-9
+    # row a upweighted to 0.8 from 0.6: weight ~ 0.8/0.6
+    assert abs(w[("a", "x")] - 0.8 / 0.6) < 1e-6
+
+
+def test_rake_weights_validation_and_missing_label(spark):
+    from dbkit_spark.llm.sampling import rake_weights
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "r string, c string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        rake_weights(df, "r", "c", {"a": 0.5, "b": 0.4}, {"x": 1.0})
+    with pytest.raises(ValueError, match="positive"):
+        rake_weights(df, "r", "c", {"a": 1.5, "b": -0.5}, {"x": 1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        rake_weights(df, "r", "c", {}, {"x": 1.0})
+    with pytest.raises(ValueError, match="iters"):
+        rake_weights(df, "r", "c", {"a": 0.5, "b": 0.5}, {"x": 1.0},
+                     iters=0)
+    # cells without a target are DROPPED, not silently weighted
+    out = rake_weights(df, "r", "c", {"a": 1.0}, {"x": 1.0}).collect()
+    assert [r["r"] for r in out] == ["a"]
