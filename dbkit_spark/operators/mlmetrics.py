@@ -2507,3 +2507,89 @@ def propensity_overlap(
         )
         .orderBy("bin")
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str,
+    success_col: str,
+    ks: tuple = (1, 5, 10),
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    Models Trained on Code", eq. 1) — THE reporting metric for
+    sampled-attempt evals: given n attempts per problem with c
+    successes, the probability that a random size-k subset contains at
+    least one success,
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - prod_{i=0}^{k-1} (n - c - i) / (n - i)
+
+    computed per problem and averaged equally across problems (the
+    paper's protocol). The naive estimator (fraction of problems whose
+    FIRST k attempts succeed) is biased when attempts are subsampled;
+    this closed form is exactly unbiased. Problems with n < k report
+    NULL and are EXCLUDED from that k's mean (insufficient attempts —
+    counted out, not imputed); the product's zero factor makes
+    pass@k = 1 exactly whenever n - c < k.
+
+    ONE corpus-sized groupBy to a problems-sized frame, then a
+    ks-sized literal explode + one k-keyed aggregate. The product is a
+    fixed-order left fold of identical-operand IEEE divisions (Spark
+    ``aggregate`` HOF; the oracle replays it with DuckDB
+    ``list_reduce`` — same fold order), rounded at 9dp per problem,
+    DECIMAL-summed, 6dp out.
+
+    Output, one row per k: (k, n_problems, mean_pass_at_k).
+    """
+    if not ks or list(ks) != sorted(set(int(k) for k in ks)) or min(ks) < 1:
+        raise ValueError(
+            f"ks must be distinct ascending positive ints, got {ks!r}"
+        )
+    from .aggregate import stable_sum
+
+    per_problem = df.filter(
+        F.col(problem_col).isNotNull() & F.col(success_col).isNotNull()
+    ).groupBy(F.col(problem_col).alias("_prob")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(success_col).cast("boolean").cast("int"))
+        .cast("long")
+        .alias("_c"),
+    )
+
+    def pass_expr(k: int) -> Column:
+        terms = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (F.col("_n") - F.col("_c") - i).cast("double")
+            / (F.col("_n") - i).cast("double"),
+        )
+        prod = F.aggregate(terms, F.lit(1.0), lambda acc, x: acc * x)
+        return F.when(
+            F.col("_n") >= F.lit(k), F.round(F.lit(1.0) - prod, 9)
+        )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("k"), pass_expr(int(k)).alias("p")
+            )
+            for k in ks
+        ]
+    )
+    rows = per_problem.select(F.explode(structs).alias("_t")).select(
+        F.col("_t.k").alias("k"), F.col("_t.p").alias("p")
+    )
+    return (
+        rows.groupBy("k")
+        .agg(
+            F.count("p").alias("n_problems"),
+            F.round(
+                F.try_divide(stable_sum("p", 9), F.count("p")), 6
+            ).alias("mean_pass_at_k"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_problems").cast("long").alias("n_problems"),
+            "mean_pass_at_k",
+        )
+        .orderBy("k")
+    )

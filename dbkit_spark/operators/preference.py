@@ -1,8 +1,8 @@
 """Preference-data operators (RLHF / arena-style pairwise comparisons).
 
 Reward-model and arena pipelines consume PAIRWISE PREFERENCES (human or
-LLM judges picking a winner between two completions) and need three
-standing readouts before any training run:
+LLM judges picking a winner between two completions) and need a
+standing readout battery before any training run:
 
 - ``bradley_terry``: latent strength per item under the Bradley-Terry
   model (Bradley & Terry 1952), fitted with the Minorization-
@@ -21,6 +21,13 @@ standing readouts before any training run:
   interval (Wilson 1927) — the honest small-n interval (never leaves
   [0,1], sane at p̂∈{0,1}), per-pair sample sizes in arena data are
   routinely tiny.
+- ``length_controlled_winrates``: the de-verbosity correction (Dubois
+  et al. 2024, Length-Controlled AlpacaEval) — judges prefer longer
+  responses, so raw win rates confound quality with verbosity; the
+  per-pair OLS intercept is the equal-length win rate.
+- ``order_bias_audit``: the position-bias check (Zheng et al. 2023,
+  Judging LLM-as-a-Judge §3.2) — verify the arena UI's position
+  randomization actually held, in-engine.
 
 Scale notes (100 TB): the match table is the only corpus-sized input;
 every operator reduces it with one map-combined groupBy to a pair table

@@ -2891,3 +2891,65 @@ ROADMAP13["q430_raking_weights"] = (
     _q430_oracle(),
     _Q430_NOTES,
 )
+
+
+# --- q431: unbiased pass@k -------------------------------------------------------------
+
+
+def q431_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@{1,5,10} over per-user event 'attempts' (success =
+    conversion event types) — the Chen et al. 2021 sampled-eval
+    estimator (operators/mlmetrics.pass_at_k)."""
+    from ..operators.mlmetrics import pass_at_k
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").isin("purchase", "signup").alias("ok"),
+    )
+    return pass_at_k(ev, "user_id", "ok", ks=(1, 5, 10))
+
+
+_Q431_ORACLE = """
+    WITH pp AS (
+      SELECT user_id AS prob, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    pr AS (
+      SELECT k,
+             CASE WHEN n >= k THEN
+               round(1.0 - list_reduce(
+                 list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(generate_series(0, k - 1),
+                     i -> CAST(n - c - i AS DOUBLE)
+                          / CAST(n - i AS DOUBLE))),
+                 (acc, x) -> acc * x), 9)
+             END AS p
+      FROM pp CROSS JOIN ks
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(p) AS BIGINT) AS n_problems,
+           CASE WHEN COUNT(p) = 0 THEN NULL ELSE
+             round(CAST(SUM(CAST(p AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(p), 6)
+           END AS mean_pass_at_k
+    FROM pr GROUP BY k ORDER BY k
+"""
+
+_Q431_NOTES = (
+    "UNBIASED PASS@K (operators/mlmetrics.pass_at_k — Chen et al. 2021 "
+    "HumanEval eq. 1: 1 - C(n-c,k)/C(n,k) as the telescoping product, "
+    "per problem, averaged equally across problems; the naive first-k "
+    "estimator is biased under attempt subsampling): ONE corpus groupBy "
+    "to a problems-sized frame + ks-sized literal explode + one k-keyed "
+    "agg; the product is a FIXED-ORDER left fold of identical-operand "
+    "IEEE divisions (Spark aggregate HOF == DuckDB list_reduce with a "
+    "prepended 1.0 — fold-order-matched by construction), 9dp per "
+    "problem on DECIMAL sums, 6dp out; n<k problems report NULL and "
+    "are counted out of that k's mean, and the zero factor makes "
+    "pass@k exactly 1 whenever n-c < k"
+)
+
+ROADMAP13["q431_pass_at_k"] = (q431_pass_at_k, _Q431_ORACLE, _Q431_NOTES)

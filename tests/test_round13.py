@@ -1267,3 +1267,42 @@ def test_rake_weights_validation_and_missing_label(spark):
     # cells without a target are DROPPED, not silently weighted
     out = rake_weights(df, "r", "c", {"a": 1.0}, {"x": 1.0}).collect()
     assert [r["r"] for r in out] == ["a"]
+
+
+# --- q431: pass@k -----------------------------------------------------------------------
+
+
+def test_pass_at_k_hand_cases(spark):
+    """n=10, c=3: pass@5 = 1 - C(7,5)/C(10,5) = 1 - 21/252 = 11/12;
+    pass@1 = 0.3; all-fail problems score 0; n-c < k forces exactly 1."""
+    from dbkit_spark.operators.mlmetrics import pass_at_k
+
+    rows = [(1, i < 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "prob long, ok boolean")
+    out = {r["k"]: r for r in pass_at_k(df, "prob", "ok", ks=(1, 5)).collect()}
+    assert out[1]["mean_pass_at_k"] == 0.3
+    assert out[5]["mean_pass_at_k"] == round(1.0 - 21.0 / 252.0, 6)
+    # all-fail
+    df0 = spark.createDataFrame([(1, False)] * 6, "prob long, ok boolean")
+    r = pass_at_k(df0, "prob", "ok", ks=(5,)).collect()[0]
+    assert r["mean_pass_at_k"] == 0.0
+    # n - c < k -> certain success in any k-subset
+    df1 = spark.createDataFrame(
+        [(1, True)] * 4 + [(1, False)] * 2, "prob long, ok boolean")
+    r = pass_at_k(df1, "prob", "ok", ks=(3,)).collect()[0]
+    assert r["mean_pass_at_k"] == 1.0
+
+
+def test_pass_at_k_insufficient_attempts_excluded(spark):
+    from dbkit_spark.operators.mlmetrics import pass_at_k
+
+    rows = [(1, True)] * 2 + [(2, False)] * 10  # prob 1 has n=2 < k=5
+    df = spark.createDataFrame(rows, "prob long, ok boolean")
+    out = {r["k"]: r for r in pass_at_k(df, "prob", "ok", ks=(1, 5)).collect()}
+    assert out[1]["n_problems"] == 2
+    assert out[5]["n_problems"] == 1          # only prob 2 qualifies
+    assert out[5]["mean_pass_at_k"] == 0.0    # and it never succeeds
+    with pytest.raises(ValueError, match="ks"):
+        pass_at_k(df, "prob", "ok", ks=(5, 1))
+    with pytest.raises(ValueError, match="ks"):
+        pass_at_k(df, "prob", "ok", ks=())
