@@ -12,12 +12,14 @@ complete the curation/experimentation surface around them (Gopher
 repetition battery, PII scrub batch AND streaming, Benjamini-Hochberg
 FDR over a metric battery, delta-method ratio metrics, cluster design
 effect, vocab coverage, prototypicality outliers, post-stratified
-lift, mixture health); q419–q426 (late-round-13 extension) add the
-preference-data trio (Bradley-Terry MM leaderboard, transitivity
-cycle census, Wilson pairwise win rates — the RLHF/arena readouts),
-model-propensity IPW lift, the BigCode code-quality gate,
-Krippendorff's alpha, the delete-one-bucket jackknife, and the
-Good-Turing unseen-mass audit. Same
+lift, mixture health); q419–q431 (late-round-13 extensions) add the
+preference-data battery (Bradley-Terry MM leaderboard, transitivity
+cycle census, Wilson pairwise win rates, length-controlled win rates,
+order-bias audit — the RLHF/arena readouts), model-propensity IPW
+lift + its propensity-overlap positivity diagnostic, the BigCode
+code-quality gate, Krippendorff's alpha, the delete-one-bucket
+jackknife, the Good-Turing unseen-mass audit, IPF raking weights,
+and unbiased pass@k. Same
 template as the r9–r12 additions: operator + randomized/hand-case
 pytest (tests/test_round13.py) + oracle pre-verified at sf0.001 and
 sf0.01 (tests/test_catalog.py::test_roadmap7_queue_preverified), and

@@ -1,4 +1,4 @@
-"""Law / hand-case tests for the round-13 queue operators (q401–q414).
+"""Law / hand-case tests for the round-13 queue operators (q401–q431).
 
 Oracle parity for the queued queries themselves is swept by
 tests/test_catalog.py::test_roadmap7_queue_preverified at both driver
