@@ -2593,3 +2593,110 @@ def pass_at_k(
         )
         .orderBy("k")
     )
+
+
+def best_of_n_value(
+    df: DataFrame,
+    problem_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    ks: tuple = (1, 5, 10),
+) -> DataFrame:
+    """Unbiased best-of-k expected MAXIMUM score from n > k sampled
+    attempts (the order-statistics estimator of the BoN curve — Nakano
+    et al. 2021 WebGPT appendix; the continuous companion to
+    ``pass_at_k`` for reward-model selection: "what score would
+    best-of-k sampling achieve?"):
+
+        E[max of k] = sum_i s_(i) * C(i-1, k-1) / C(n, k)
+
+    over the ascending order statistics s_(1..n), computed per problem
+    and averaged equally across problems. The weight telescopes to
+
+        w_i = [prod_{j=0}^{k-2} (i-1-j)/(n-j)] * k/(n-k+1)
+
+    — a fixed-order left fold of identical-operand IEEE divisions
+    (Spark ``aggregate`` HOF == DuckDB ``list_reduce``, the q431
+    pairing); the zero factor at j = i-1 makes w_i exactly 0 for
+    i < k, and the weights sum to 1 by the hockey-stick identity.
+    Ranks come from (score, tiebreak) so ties order deterministically
+    in any engine (SURVEY 5.3 rule 5). Problems with n < k report NULL
+    and are excluded from that k's mean.
+
+    Plans: one problem-keyed window (rank) + one problem-keyed
+    aggregate per k via a ks-sized literal explode — the corpus
+    shuffles ONCE on the problem key. w*s terms round at 9dp onto
+    DECIMAL sums; 6dp out.
+
+    Output, one row per k: (k, n_problems, mean_best_of_k).
+    """
+    if not ks or list(ks) != sorted(set(int(k) for k in ks)) or min(ks) < 1:
+        raise ValueError(
+            f"ks must be distinct ascending positive ints, got {ks!r}"
+        )
+    from pyspark.sql import Window
+
+    from .aggregate import stable_sum
+
+    w = Window.partitionBy(F.col(problem_col)).orderBy(
+        F.col(score_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = df.filter(
+        F.col(problem_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(problem_col).alias("_prob"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.row_number().over(w).cast("long").alias("_i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.col(problem_col)))
+        .cast("long")
+        .alias("_n"),
+    )
+
+    def weight_expr(k: int) -> Column:
+        nn = F.col("_n").cast("double")
+        if k == 1:
+            wk = F.lit(1.0) / nn
+        else:
+            terms = F.transform(
+                F.sequence(F.lit(0), F.lit(k - 2)),
+                lambda j: (F.col("_i") - 1 - j).cast("double")
+                / (F.col("_n") - j).cast("double"),
+            )
+            prod = F.aggregate(terms, F.lit(1.0), lambda acc, x: acc * x)
+            wk = prod * F.lit(float(k)) / (nn - F.lit(float(k - 1)))
+        return F.when(
+            F.col("_n") >= F.lit(k), F.round(wk * F.col("_s"), 9)
+        )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("k"), weight_expr(int(k)).alias("t")
+            )
+            for k in ks
+        ]
+    )
+    rows = ranked.select(
+        "_prob", F.explode(structs).alias("_e")
+    ).select("_prob", F.col("_e.k").alias("k"), F.col("_e.t").alias("t"))
+    per_problem = rows.groupBy("_prob", "k").agg(
+        F.when(
+            F.count("t") > 0, F.round(stable_sum("t", 9), 9)
+        ).alias("bo")
+    )
+    return (
+        per_problem.groupBy("k")
+        .agg(
+            F.count("bo").alias("n_problems"),
+            F.round(
+                F.try_divide(stable_sum("bo", 9), F.count("bo")), 6
+            ).alias("mean_best_of_k"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_problems").cast("long").alias("n_problems"),
+            "mean_best_of_k",
+        )
+        .orderBy("k")
+    )

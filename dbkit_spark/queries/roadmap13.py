@@ -2955,3 +2955,75 @@ _Q431_NOTES = (
 )
 
 ROADMAP13["q431_pass_at_k"] = (q431_pass_at_k, _Q431_ORACLE, _Q431_NOTES)
+
+
+# --- q432: best-of-n expected maximum ----------------------------------------------------
+
+
+def q432_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased best-of-{1,5,10} expected max event value per user —
+    the BoN reward-selection curve (operators/mlmetrics.
+    best_of_n_value), companion to q431's pass@k."""
+    from ..operators.mlmetrics import best_of_n_value
+
+    ev = read_table(spark, sf_dir, "events")
+    return best_of_n_value(ev, "user_id", "value", "event_id",
+                           ks=(1, 5, 10))
+
+
+_Q432_ORACLE = """
+    WITH ranked AS (
+      SELECT user_id AS prob, value AS s,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+               AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    terms AS (
+      SELECT prob, k,
+        CASE WHEN n >= k THEN
+          round(CASE WHEN k = 1 THEN 1.0 / CAST(n AS DOUBLE)
+                ELSE list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                       list_transform(generate_series(0, k - 2),
+                         j -> CAST(i - 1 - j AS DOUBLE)
+                              / CAST(n - j AS DOUBLE))),
+                     (acc, x) -> acc * x)
+                     * CAST(k AS DOUBLE) / CAST(n - (k - 1) AS DOUBLE)
+                END * s, 9)
+        END AS t
+      FROM ranked CROSS JOIN ks
+    ),
+    pp AS (
+      SELECT prob, k,
+             CASE WHEN COUNT(t) > 0 THEN
+               round(CAST(SUM(CAST(t AS DECIMAL(25,9))) AS DOUBLE), 9)
+             END AS bo
+      FROM terms GROUP BY prob, k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(bo) AS BIGINT) AS n_problems,
+           CASE WHEN COUNT(bo) = 0 THEN NULL ELSE
+             round(CAST(SUM(CAST(bo AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(bo), 6)
+           END AS mean_best_of_k
+    FROM pp GROUP BY k ORDER BY k
+"""
+
+_Q432_NOTES = (
+    "BEST-OF-N EXPECTED MAXIMUM (operators/mlmetrics.best_of_n_value "
+    "— the order-statistics BoN estimator, Nakano et al. 2021 WebGPT "
+    "appendix: E[max of k] = sum_i s_(i) * C(i-1,k-1)/C(n,k) over "
+    "ascending order statistics, the continuous companion to q431's "
+    "pass@k for reward-model selection curves): ONE problem-keyed "
+    "shuffle (rank window + agg share the key), ks-sized literal "
+    "explode; the telescoped weight is a fixed-order left fold "
+    "(Spark aggregate HOF == DuckDB list_reduce, the q431 pairing) "
+    "whose zero factor pins w=0 exactly for i<k and whose weights sum "
+    "to 1 by the hockey-stick identity; (score, event_id) rank "
+    "tiebreak per SURVEY 5.3 rule 5; w*s at 9dp on DECIMAL sums, "
+    "6dp out; n<k problems NULL and counted out"
+)
+
+ROADMAP13["q432_best_of_n"] = (q432_best_of_n, _Q432_ORACLE, _Q432_NOTES)

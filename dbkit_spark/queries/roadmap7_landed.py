@@ -39,15 +39,15 @@ from .roadmap7 import ROADMAP7
 # stay queued and land in round 14.
 #
 # Round-14 landing (PRE-COMPUTED at r13 close, RE-COMPUTED after each
-# late-round-13 queue extension, finally at q431): the queue holds
-# exactly 31 entries (q401–q431), all SQL-oracled and pre-verified at
+# late-round-13 queue extension, finally at q432): the queue holds
+# exactly 32 entries (q401–q432), all SQL-oracled and pre-verified at
 # sf0.001/sf0.01 (the driver gate) AND sf0.1. If CORRECTNESS_r13 is
-# clean, _LANDED_MAX_QNUM = 431 lands all 31 and the r14 window is
-# those 31 never-driver-checked entries + the 19 least-recently-
+# clean, _LANDED_MAX_QNUM = 432 lands all 32 and the r14 window is
+# those 32 never-driver-checked entries + the 18 least-recently-
 # verified greens — simulated by rotation replay at each extension
 # commit: q157_iqr_outliers (the one r4-cohort query the 24-slot r13
-# refresh could not fit) + 18 of the 35-query r5 cohort (q65–q71,
-# q158–q168; q169–q185 spill to r15). NOTE the r12 verdict's expectation that the
+# refresh could not fit) + 17 of the 35-query r5 cohort (q65–q71,
+# q158–q167; q168–q185 spill to r15). NOTE the r12 verdict's expectation that the
 # r7-era oracle-converted stragglers (q38/q72/q79) would lead the r14
 # refresh does not survive the arithmetic — the r5 cohort is older and
 # fills the window; the stragglers (then q204/q212 r8, q267 r9, q310
@@ -58,7 +58,7 @@ from .roadmap7 import ROADMAP7
 # GUARD_ROUND/R14_REFRESH in tests/test_catalog.py per the
 # artifact-aware pattern, move q415 from the queue gate's intentional
 # set to _INTENTIONAL_CROSS (tests/test_plans.py — the q274 precedent),
-# and regenerate COVERAGE.md (431 registered = 400 + 31) at landing
+# and regenerate COVERAGE.md (432 registered = 400 + 32) at landing
 # time.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic

@@ -1306,3 +1306,41 @@ def test_pass_at_k_insufficient_attempts_excluded(spark):
         pass_at_k(df, "prob", "ok", ks=(5, 1))
     with pytest.raises(ValueError, match="ks"):
         pass_at_k(df, "prob", "ok", ks=())
+
+
+# --- q432: best-of-n expected max ---------------------------------------------------------
+
+
+def test_best_of_n_hand_case_and_laws(spark):
+    """n=3 scores {1,2,3}, k=2: weights 0, 1/3, 2/3 -> E = 8/3;
+    k=1 reduces to the mean; constant scores return the constant at
+    every k (weights sum to 1); E[max of k] is nondecreasing in k."""
+    from dbkit_spark.operators.mlmetrics import best_of_n_value
+
+    rows = [(1, 1.0, 10), (1, 2.0, 11), (1, 3.0, 12)]
+    df = spark.createDataFrame(rows, "prob long, s double, tb long")
+    out = {r["k"]: r for r in
+           best_of_n_value(df, "prob", "s", "tb", ks=(1, 2, 3)).collect()}
+    assert out[1]["mean_best_of_k"] == 2.0
+    assert out[2]["mean_best_of_k"] == round(8.0 / 3.0, 6)
+    assert out[3]["mean_best_of_k"] == 3.0  # max of all three
+    assert (out[1]["mean_best_of_k"] <= out[2]["mean_best_of_k"]
+            <= out[3]["mean_best_of_k"])
+    const = spark.createDataFrame(
+        [(1, 7.0, i) for i in range(6)], "prob long, s double, tb long")
+    res = best_of_n_value(const, "prob", "s", "tb", ks=(1, 4)).collect()
+    assert all(r["mean_best_of_k"] == 7.0 for r in res)
+
+
+def test_best_of_n_insufficient_and_validation(spark):
+    from dbkit_spark.operators.mlmetrics import best_of_n_value
+
+    rows = [(1, 5.0, 1), (2, 1.0, 1), (2, 9.0, 2), (2, 2.0, 3)]
+    df = spark.createDataFrame(rows, "prob long, s double, tb long")
+    out = {r["k"]: r for r in
+           best_of_n_value(df, "prob", "s", "tb", ks=(1, 3)).collect()}
+    assert out[1]["n_problems"] == 2
+    assert out[3]["n_problems"] == 1       # prob 1 has n=1 < 3
+    assert out[3]["mean_best_of_k"] == 9.0  # max of prob 2's three
+    with pytest.raises(ValueError, match="ks"):
+        best_of_n_value(df, "prob", "s", "tb", ks=(0,))
