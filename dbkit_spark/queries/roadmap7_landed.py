@@ -38,28 +38,24 @@ from .roadmap7 import ROADMAP7
 # tests/test_catalog.py R13_REFRESH. Round-13 additions (q401–q414)
 # stay queued and land in round 14.
 #
-# Round-14 landing (PRE-COMPUTED at r13 close, RE-COMPUTED after each
-# late-round-13 queue extension, finally at q432): the queue holds
-# exactly 32 entries (q401–q432), all SQL-oracled and pre-verified at
-# sf0.001/sf0.01 (the driver gate) AND sf0.1. If CORRECTNESS_r13 is
-# clean, _LANDED_MAX_QNUM = 432 lands all 32 and the r14 window is
-# those 32 never-driver-checked entries + the 18 least-recently-
-# verified greens — simulated by rotation replay at each extension
-# commit: q157_iqr_outliers (the one r4-cohort query the 24-slot r13
-# refresh could not fit) + 17 of the 35-query r5 cohort (q65–q71,
-# q158–q167; q168–q185 spill to r15). NOTE the r12 verdict's expectation that the
-# r7-era oracle-converted stragglers (q38/q72/q79) would lead the r14
-# refresh does not survive the arithmetic — the r5 cohort is older and
-# fills the window; the stragglers (then q204/q212 r8, q267 r9, q310
-# r10) reach the window at ~r15–r16. If any r13 window query FAILS, it
-# re-enters with green-round 0 and shifts the window: land fewer
-# (largest qnum prefix) such that landings + re-entries + refresh
-# top-up still total exactly 50 (the q289/r10 precedent). Update
-# GUARD_ROUND/R14_REFRESH in tests/test_catalog.py per the
-# artifact-aware pattern, move q415 from the queue gate's intentional
-# set to _INTENTIONAL_CROSS (tests/test_plans.py — the q274 precedent),
-# and regenerate COVERAGE.md (432 registered = 400 + 32) at landing
-# time.
+# Round-14 landing (EXECUTED; pre-computed at r13 close, re-computed
+# after each late-round-13 queue extension, finally at q432): the queue
+# held exactly 32 entries (q401–q432), all SQL-oracled and pre-verified
+# at sf0.001/sf0.01 (the driver gate) AND sf0.1. CORRECTNESS_r13 is
+# clean — 50/50 hash-green, the fourth consecutive zero-failure sweep
+# and the first with ZERO rows-only rows — so no failure re-enters:
+# _LANDED_MAX_QNUM = 432 lands all 32 and the r14 window is those 32
+# never-driver-checked entries + the 18 least-recently-verified greens,
+# re-confirmed by rotation replay at landing time as exactly
+# q157_iqr_outliers (the one r4-cohort query the 24-slot r13 refresh
+# could not fit) + 17 of the 35-query r5 cohort (q65–q71, q158–q167;
+# q168–q185 spill to r15), pinned literally in tests/test_catalog.py
+# R14_REFRESH. NOTE the r12 verdict's expectation that the r7-era
+# oracle-converted stragglers (q38/q72/q79) would lead the r14 refresh
+# does not survive the arithmetic — the r5 cohort is older and fills
+# the window; the stragglers (then q204/q212 r8, q267 r9, q310 r10)
+# reach the window at ~r15–r16. Round-14 additions (q433+) stay queued
+# and land in round 15.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic
 # judge-verified at r11 close): the queue held exactly 12 entries
@@ -97,7 +93,7 @@ from .roadmap7 import ROADMAP7
 # together with whatever round 10 queues. All landed entries are
 # pre-verified at sf0.001 + sf0.01 per
 # tests/test_catalog.py::test_roadmap7_queue_preverified.
-_LANDED_MAX_QNUM = 400
+_LANDED_MAX_QNUM = 432
 
 _landed_names = [
     name for name in sorted(ROADMAP7, key=qnum) if qnum(name)[0] <= _LANDED_MAX_QNUM

@@ -73,21 +73,21 @@ def test_readme_count_matches_catalog():
 
 
 def test_roadmap7_queue_preverified(spark):
-    """Whatever remains QUEUED (round-13 additions q401+ after the
-    round-13 landing of q375–q400) must ALREADY pass the driver's
+    """Whatever remains QUEUED (round-14 additions q433+ after the
+    round-14 landing of q401–q432) must ALREADY pass the driver's
     compare at the driver's scale — landing is then a pure registration
     move. load_all() runs first so the landed entries are moved out of
     the queue dict before the sweep."""
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
-    assert len(load_all()) == 400  # 374 + the 26 landed q375–q400
+    assert len(load_all()) == 432  # 400 + the 32 landed q401–q432
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # Round-13 additions (q401+); the queue is capped at one driver
+    # Round-14 additions (q433+); the queue is capped at one driver
     # window. An empty queue (between addition batches) is legal.
     assert len(ROADMAP7) <= 50
-    assert all(qnum(n)[0] >= 401 for n in ROADMAP7)
+    assert all(qnum(n)[0] >= 433 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.
@@ -101,29 +101,28 @@ def test_roadmap7_queue_preverified(spark):
                 check_dtype_parity(spark, name, fn, oracle, sf)
 
 
-GUARD_ROUND = 13  # the driver round whose rotation window this guard pins
+GUARD_ROUND = 14  # the driver round whose rotation window this guard pins
 
-# The 24 least-recently-verified greens that top up the r13 window after
-# the q375–q400 landing: exactly the r4 TPC-H/curation cohort q133–q156
-# (last driver-green CORRECTNESS_r04). Computed by load_all() rotation
-# order at landing time and pinned literally so a registration or
-# artifact change that shifts the window fails HERE, not in the driver
-# sweep. The oracle-converted stragglers (q38/q72/q79 last-green r7,
-# q204/q212 r8, q267 r9, q310 r10) do NOT fit — the r4 cohort fills all
-# 24 slots — and lead the r14 refresh ordering (q38/q72/q79 first).
-R13_REFRESH = {
-    "q133_tpch_q12_late_priority", "q134_tpch_q14_promo",
-    "q135_tpch_q19_disjunctive", "q136_tpch_q4_priority",
-    "q137_tpch_q20_supplier_parts", "q138_edit_distance_pairs",
-    "q139_salted_two_stage_agg", "q140_event_transitions",
-    "q141_cross_doc_ngram10", "q142_corpus_curation", "q143_vector_norms",
-    "q144_bucketed_colocated_join", "q145_dynamic_partition_pruning",
-    "q146_stream_stream_full_outer", "q147_string_surface2",
-    "q148_approx_percentile", "q149_nth_value_analytics",
-    "q150_datetime_surface2", "q151_explode_variants",
-    "q152_stream_stream_right_outer", "q153_cdc_apply",
-    "q154_transitive_closure", "q155_format_roundtrip",
-    "q156_curated_decontaminated",
+# The 18 least-recently-verified greens that top up the r14 window after
+# the q401–q432 landing: q157_iqr_outliers (the one r4-cohort query the
+# 24-slot r13 refresh could not fit, last driver-green CORRECTNESS_r04)
+# plus 17 of the 35-query r5 cohort (q65–q71, q158–q167, last
+# driver-green CORRECTNESS_r05; q168–q185 spill to r15). Computed by
+# load_all() rotation order at landing time and pinned literally so a
+# registration or artifact change that shifts the window fails HERE,
+# not in the driver sweep. The oracle-converted stragglers (q38/q72/q79
+# last-green r7, q204/q212 r8, q267 r9, q310 r10) still do NOT fit —
+# the r5 cohort is older and fills the remaining 17 slots — they reach
+# the window at ~r15–r16 behind q168–q185.
+R14_REFRESH = {
+    "q157_iqr_outliers", "q65_ann_ivf", "q66_stream_stream_join",
+    "q67_rolling_fingerprint", "q68_bpe_token_count",
+    "q69_set_split_fused", "q70_argminmax", "q71_python_udtf",
+    "q158_reachability_fixpoint", "q159_ann_multi_table_lsh",
+    "q160_uint64_fidelity", "q161_ann_multi_index_query",
+    "q162_embedding_dedup_survivors", "q163_bloom_filter_join",
+    "q164_tpch_q7_volume_shipping", "q165_tpch_q8_market_share",
+    "q166_tpch_q9_product_profit", "q167_tpch_q11_important_stock",
 }
 
 
@@ -136,13 +135,14 @@ def _latest_artifact_round() -> int:
     return max(rounds)
 
 
-def test_r13_window_is_exactly_the_landed_batch(spark):
-    """VERDICT r12 item 1 guard, artifact-aware: with driver artifacts
-    through r12 present (a clean 48+2/50, so no failure re-enters), the
-    50-slot r13 rotation window must be exactly the 26 newly landed
-    never-driver-checked queries q375–q400 plus the 24
-    least-recently-verified greens — the whole r4 TPC-H/curation cohort
-    q133–q156, pinned literally in R13_REFRESH. If a future registration
+def test_r14_window_is_exactly_the_landed_batch(spark):
+    """Round-13 pre-computation guard, artifact-aware: with driver
+    artifacts through r13 present (a clean 50/50, fourth consecutive
+    zero-failure sweep, so no failure re-enters), the 50-slot r14
+    rotation window must be exactly the 32 newly landed
+    never-driver-checked queries q401–q432 plus the 18
+    least-recently-verified greens — q157 + the oldest 17 of the r5
+    cohort, pinned literally in R14_REFRESH. If a future registration
     or CORRECTNESS file breaks this arithmetic, fail HERE.
 
     Artifact-aware (the round-8 lesson: a window guard goes red the
@@ -153,16 +153,16 @@ def test_r13_window_is_exactly_the_landed_batch(spark):
     form (test_rotation_never_green_first)."""
     window = list(load_all())[:50]
     if _latest_artifact_round() >= GUARD_ROUND:
-        # Spent guard: the r13 (or later) sweep already landed. The
+        # Spent guard: the r14 (or later) sweep already landed. The
         # durable invariant — rotation always spends slots on the
         # least-evidenced queries first — is pinned artifact-
         # independently by test_rotation_never_green_first; just ensure
         # the window is full-size and deterministic here.
         assert len(window) == 50
         return
-    landed = {n for n in window if 375 <= qnum(n)[0] <= 400}
-    assert len(landed) == 26, sorted(landed)
-    expected = landed | R13_REFRESH
+    landed = {n for n in window if 401 <= qnum(n)[0] <= 432}
+    assert len(landed) == 32, sorted(landed)
+    expected = landed | R14_REFRESH
     assert set(window) == expected and len(window) == 50, sorted(
         set(window) ^ expected
     )

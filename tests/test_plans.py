@@ -113,9 +113,6 @@ _INTENTIONAL_CROSS = {
     # landed with the round-10 staged q292-q340 registration, carrying
     # the same per-entry justification they held in the queue gate's
     # intentional set while queued:
-    #   q415 (queued) — projection_recall's require_small-guarded exact
-    #          pairwise baseline (probe-subset contract at scale), the
-    #          same justification q274 carried while queued;
     #   q306 — hamming rerank broadcasts the QUERY SET (bounded by
     #          contract, the q43 discipline) against the packed corpus;
     #          the shortlist needs every query x corpus hamming
@@ -137,6 +134,12 @@ _INTENTIONAL_CROSS = {
     #          designed same-metric baseline); the ADC arm under test
     #          is map-only over codes and joins nothing
     "q366_pq_recall",
+    # landed with the round-14 q401-q432 registration, same
+    # justification it held in the queue gate's intentional set:
+    #   q415 — projection_recall's require_small-guarded exact
+    #          pairwise baseline (probe-subset contract at scale), the
+    #          same justification q274 carried while queued
+    "q415_jl_projection_recall",
 }
 
 
@@ -452,11 +455,11 @@ def test_queue_wide_no_accidental_nlj(spark):
     # _INTENTIONAL_CROSS, kept tiny and justified per entry
     # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing;
     # q306/q309 moved there with the round-10 landing; q362 with the
-    # round-11 landing; q366 with the round-12 landing). In the
-    # round-13 queue the ONLY justified entry is q415 (below, the q274
-    # class); every other BNLJ it plans is the structural 1-row scalar
-    # class. Move q415 to _INTENTIONAL_CROSS at the r14 landing.
-    intentional: set[str] = {"q415_jl_projection_recall"}
+    # round-11 landing; q366 with the round-12 landing; q415 with the
+    # round-14 landing). The round-14 queue (q433+) currently has no
+    # justified entries — add here WITH a per-entry justification if a
+    # future queued query carries the q274/q415 probe-subset class.
+    intentional: set[str] = set()
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():

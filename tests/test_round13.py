@@ -776,8 +776,9 @@ def test_curation_funnel_monotone_and_stage_chaining(spark, sf_dir):
     from dbkit_spark.queries.roadmap7 import ROADMAP7
     from dbkit_spark.sources import read_table
 
-    load_all()
-    fn = ROADMAP7["q418_curation_funnel"][0]
+    catalog = load_all()
+    name = "q418_curation_funnel"
+    fn = catalog[name].fn if name in catalog else ROADMAP7[name][0]
     rows = fn(spark, sf_dir).collect()
     assert [r["stage_idx"] for r in rows] == [1, 2, 3, 4]
     n_docs = read_table(spark, sf_dir, "documents").count()
