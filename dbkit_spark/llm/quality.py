@@ -775,3 +775,325 @@ def code_quality_filters(
         F.round(data_f, 6).alias("data_mass"),
         F.coalesce(passes, F.lit(False)).alias("passes"),
     )
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning battery (Raffel et al., JMLR 2020
+    §2.2 — the rules that turned Common Crawl into C4, the most-reused
+    public pre-training corpus): a LINE survives iff it ends in a
+    terminal punctuation mark (. ! ? or closing quote), has >=
+    ``min_line_words`` words, and does not contain the word
+    "javascript" (case-insensitive); the PAGE survives iff it keeps >=
+    ``min_kept_lines`` lines, contains no curly brace, and no "lorem
+    ipsum" (the paper's code-and-placeholder page rejects).
+
+    Documented deviations, all conservative and SQL-replayable: the
+    paper's "3 sentences" page floor is applied to KEPT LINES (its own
+    released implementation does the same); its bad-word list is out
+    of scope (``functions/text.blocklist_hits`` exists separately).
+
+    Plan: ONE posexplode on the line separator, per-line rules as
+    map-side codegen string predicates, one doc-keyed reassembly
+    aggregate (sort_array over (pos, line) structs, the
+    drop_boilerplate shape) + one doc-keyed count reduce. No
+    corpus-global anything; the rules lift to readStream unchanged
+    (the q398/q414 map-only contract — reassembly is per-doc).
+
+    Output per doc: (id, n_lines, n_kept, kept_chars, clean_text,
+    has_brace, has_lorem, page_pass) — counts LONG, flags boolean.
+    """
+    if min_line_words < 1 or min_kept_lines < 1:
+        raise ValueError("min_line_words and min_kept_lines must be >= 1")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    )
+    trimmed = F.trim(F.col("line"))
+    n_words = F.size(
+        F.filter(F.split(trimmed, r"\s+"), lambda s: s != "")
+    )
+    keep = (
+        trimmed.rlike(r"""[.!?]["']?$""")
+        & (n_words >= F.lit(min_line_words))
+        & ~F.lower(trimmed).rlike("javascript")
+    )
+    flagged = lines.select(
+        id_col, "pos", "line", keep.alias("_keep")
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("_keep"), F.length(F.col("line")).cast("long"))),
+            F.lit(0),
+        ).cast("long").alias("kept_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"), F.struct(F.col("pos"), F.col("line"))
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+    )
+    flags = docs.select(
+        F.col(id_col),
+        (
+            F.col(text_col).contains("{") | F.col(text_col).contains("}")
+        ).alias("has_brace"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem"),
+    )
+    return (
+        per_doc.join(flags, id_col)
+        .select(
+            id_col,
+            "n_lines",
+            "n_kept",
+            "kept_chars",
+            "clean_text",
+            "has_brace",
+            "has_lorem",
+            (
+                (F.col("n_kept") >= F.lit(min_kept_lines))
+                & ~F.col("has_brace")
+                & ~F.col("has_lorem")
+            ).alias("page_pass"),
+        )
+    )
+
+
+def dup_segment_fractions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+) -> DataFrame:
+    """The Gopher duplicate LINE / PARAGRAPH rules (Rae et al. 2021
+    Appendix A1.1, first block — the four rules
+    ``gopher_repetition_filters`` does not cover: fraction of lines
+    that are duplicates > 0.30 rejects, duplicate paragraphs > 0.30,
+    fraction of CHARACTERS inside duplicated lines > 0.20, inside
+    duplicated paragraphs > 0.20; these catch listing/boilerplate
+    pages whose repeats are whole segments, which the n-gram char
+    rules under-weight).
+
+    Accounting: a segment is "duplicated" when its exact text appears
+    >= 2 times WITHIN the document (the paper's reading); every
+    occurrence counts in the numerator (a line appearing 3x puts all
+    3 lines / all 3*len chars in); char mass is the segment's own
+    length (separators excluded). Empty/whitespace-only segments are
+    excluded from both numerator and denominator (split artifacts,
+    not content). Docs with zero non-empty segments pass vacuously
+    with 0.0 fractions.
+
+    Plan: per separator, ONE explode → (doc, segment) count aggregate
+    → doc-keyed reduce; the two separators' results join on the doc
+    key. Everything doc-keyed, no corpus-global state.
+
+    Output per doc: (id, n_lines, dup_line_frac, dup_line_char_frac,
+    n_paras, dup_para_frac, dup_para_char_frac, rule_dup_line,
+    rule_dup_para, rule_dup_line_char, rule_dup_para_char, passes).
+    """
+
+    def side(sep: str, tag: str) -> DataFrame:
+        segs = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), sep)).alias("seg"),
+        ).filter(F.trim(F.col("seg")) != "")
+        counted = segs.groupBy(id_col, "seg").agg(
+            F.count("*").cast("long").alias("_c"),
+            F.length(F.first("seg")).cast("long").alias("_len"),
+        )
+        dup = F.col("_c") >= 2
+        return counted.groupBy(id_col).agg(
+            F.sum("_c").cast("long").alias(f"n_{tag}"),
+            F.coalesce(F.sum(F.when(dup, F.col("_c"))), F.lit(0))
+            .cast("long")
+            .alias(f"_dup_{tag}"),
+            F.sum(F.col("_c") * F.col("_len")).cast("long").alias(f"_ch_{tag}"),
+            F.coalesce(
+                F.sum(F.when(dup, F.col("_c") * F.col("_len"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_dupch_{tag}"),
+        )
+
+    lines = side(line_sep, "lines")
+    paras = side(para_sep, "paras")
+    base = docs.select(F.col(id_col))
+    joined = base.join(lines, id_col, "left").join(paras, id_col, "left")
+
+    def frac(num: str, den: str) -> F.Column:
+        return F.round(
+            F.when(
+                F.coalesce(F.col(den), F.lit(0)) > 0,
+                F.coalesce(F.col(num), F.lit(0)) / F.col(den),
+            ).otherwise(0.0),
+            6,
+        )
+
+    out = joined.select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        frac("_dup_lines", "n_lines").alias("dup_line_frac"),
+        frac("_dupch_lines", "_ch_lines").alias("dup_line_char_frac"),
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        frac("_dup_paras", "n_paras").alias("dup_para_frac"),
+        frac("_dupch_paras", "_ch_paras").alias("dup_para_char_frac"),
+    )
+    r1 = F.col("dup_line_frac") <= F.lit(max_dup_line_frac)
+    r2 = F.col("dup_para_frac") <= F.lit(max_dup_para_frac)
+    r3 = F.col("dup_line_char_frac") <= F.lit(max_dup_line_char_frac)
+    r4 = F.col("dup_para_char_frac") <= F.lit(max_dup_para_char_frac)
+    return out.select(
+        "*",
+        r1.alias("rule_dup_line"),
+        r2.alias("rule_dup_para"),
+        r3.alias("rule_dup_line_char"),
+        r4.alias("rule_dup_para_char"),
+        (r1 & r2 & r3 & r4).alias("passes"),
+    )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) = K·n^β (Heaps 1978;
+    Herdan 1960 — the vocabulary-saturation readout: β near 1 means
+    the corpus still yields new types linearly, β small means
+    more data adds few new words; the empirical companion to the
+    Good-Turing unseen-mass audit, which reads the SAME saturation
+    from count-of-counts instead of growth).
+
+    Corpus order = ascending ``id_col`` (deterministic, matches the
+    oracle). The growth curve is evaluated at ``checkpoints`` exact
+    document-count quantile boundaries; each token type is attributed
+    to the checkpoint bucket of its FIRST document, so cumulative
+    vocabulary is a running sum over a checkpoints-sized frame — the
+    corpus-global scan problem (cumulative distinct per doc would be
+    a SinglePartition window over the whole corpus) collapses to one
+    token-keyed MIN aggregate + one doc-keyed SUM + K-row windows.
+    The log-log OLS closed form is the q384 Zipf machinery: β = slope,
+    ln K = intercept over the K (ln n, ln V) points.
+
+    Exactness: token/doc counts exact LONG; ln at 9dp; OLS moments
+    ride DECIMAL(25,9) sums over <= K rows; fitted values 6dp. The
+    checkpoint edges are exact rank-selected doc_ids collected to the
+    driver (metadata-sized, the quantile_edges_exact contract).
+
+    Output: one row per checkpoint (ckpt, max_doc_id, n_tokens_cum,
+    vocab_cum) with (beta, ln_k, r2) repeated — the fit over all
+    checkpoints, via a 1-row broadcast.
+    """
+    if checkpoints < 2:
+        raise ValueError("checkpoints must be >= 2")
+    from ..operators.drift import bucket_by_edges, quantile_edges_exact
+
+    # K-1 interior edges + the max doc id close the last bucket
+    ids = docs.select(F.col(id_col).cast("double").alias("_d"))
+    edges = quantile_edges_exact(ids, "_d", checkpoints, "_d")
+    max_id = docs.agg(F.max(F.col(id_col)).cast("double")).collect()[0][0]
+    bounds = sorted(set(edges + [float(max_id)]))
+
+    toked = docs.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_t")
+    )
+    exploded = toked.select("_doc", F.explode("_t").alias("_tok"))
+    first_doc = exploded.groupBy("_tok").agg(F.min("_doc").alias("_fd"))
+    doc_tokens = toked.select("_doc", F.size("_t").cast("long").alias("_n"))
+
+    def ckpt_of(col: F.Column) -> F.Column:
+        # index of the smallest bound >= value: bucket_by_edges counts
+        # bounds strictly below, which is exactly that index because
+        # every doc id is <= the last bound
+        return bucket_by_edges(col.cast("double"), bounds[:-1])
+
+    per_ckpt_tokens = doc_tokens.select(
+        ckpt_of(F.col("_doc")).alias("ckpt"), F.col("_n")
+    ).groupBy("ckpt").agg(F.sum("_n").cast("long").alias("_tk"))
+    per_ckpt_types = first_doc.select(
+        ckpt_of(F.col("_fd")).alias("ckpt")
+    ).groupBy("ckpt").agg(F.count("*").cast("long").alias("_ty"))
+
+    grid = docs.sparkSession.createDataFrame(
+        [(i, float(b)) for i, b in enumerate(bounds)], ["ckpt", "max_doc_id"]
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        grid.join(per_ckpt_tokens, "ckpt", "left")
+        .join(per_ckpt_types, "ckpt", "left")
+        .select(
+            "ckpt",
+            "max_doc_id",
+            F.sum(F.coalesce("_tk", F.lit(0))).over(w).alias("n_tokens_cum"),
+            F.sum(F.coalesce("_ty", F.lit(0))).over(w).alias("vocab_cum"),
+        )
+    )
+    pts = curve.filter(
+        (F.col("n_tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    ).select(
+        F.round(F.log("n_tokens_cum"), 9).alias("_x"),
+        F.round(F.log("vocab_cum"), 9).alias("_y"),
+    )
+    dec = "decimal(25,9)"
+    m = pts.agg(
+        F.count("*").alias("_k"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.round(F.col("_x") * F.col("_x"), 9).cast(dec)).alias("_sxx"),
+        F.sum(F.round(F.col("_x") * F.col("_y"), 9).cast(dec)).alias("_sxy"),
+        F.sum(F.round(F.col("_y") * F.col("_y"), 9).cast(dec)).alias("_syy"),
+    )
+    k = F.col("_k").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    lnk = (sy - beta * sx) / k
+    r2 = (
+        (k * sxy - sx * sy)
+        * (k * sxy - sx * sy)
+        / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+    )
+    fit = m.select(
+        F.round(beta, 6).alias("beta"),
+        F.round(lnk, 6).alias("ln_k"),
+        F.round(r2, 6).alias("r2"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            "ckpt",
+            "max_doc_id",
+            F.col("n_tokens_cum").cast("long").alias("n_tokens_cum"),
+            F.col("vocab_cum").cast("long").alias("vocab_cum"),
+            "beta",
+            "ln_k",
+            "r2",
+        )
+        .orderBy("ckpt")
+    )

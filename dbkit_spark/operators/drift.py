@@ -815,3 +815,134 @@ def score_psi_grouped(
         "contrib",
         "psi",
     )
+
+
+def mauve_frontier(
+    p_df: DataFrame,
+    q_df: DataFrame,
+    label_col: str = "label",
+    n_lambdas: int = 19,
+) -> DataFrame:
+    """MAUVE-style divergence frontier between two corpora over a
+    SHARED quantization (Pillutla, Swayamdipta, Zellers, Thickstun,
+    Welleck, Choi & Harchaoui, NeurIPS 2021 outstanding paper — the
+    open-ended-generation metric: embed both corpora, quantize into
+    cells, then trace how the two cell HISTOGRAMS trade off false
+    positives against false negatives): for each mixture weight
+    λ ∈ {1/(k+1) … k/(k+1)}, R_λ = λP + (1−λ)Q,
+    c(λ) = KL(Q ‖ R_λ) and d(λ) = KL(P ‖ R_λ); the frontier point is
+    (x, y) = (e^{−c}, e^{−d}) and the summary is the trapezoid area
+    under the frontier sorted by x — 1.0 iff the histograms coincide
+    (paper's scaling constant fixed at 1, a documented
+    simplification; the paper's k-means quantization step is supplied
+    BY THE CALLER as ``label_col``, e.g. the fitted cluster labels the
+    engine's kmeans/IVF operators already produce).
+
+    Divergence-mass accounting: KL(P‖R_λ) sums only over cells with
+    P > 0, where R_λ ≥ λP > 0 — finite without smoothing for
+    λ ∈ (0,1), which is why the λ grid is OPEN (no 0/1 endpoints).
+
+    Exactness: cell counts exact LONG (ONE label-keyed aggregate per
+    side — the only corpus-sized work); probabilities are single IEEE
+    divisions; per-cell KL terms ln at 9dp ride DECIMAL(25,9) sums
+    over the labels-sized frame; x/y/area 6dp. The trapezoid fold
+    runs over an n_lambdas-sized frame (window over literals — never
+    corpus data).
+
+    Output: one row per λ — (lam, kl_q_mix, kl_p_mix, x, y) with
+    (frontier_auc, n_p, n_q, n_cells) repeated via 1-row broadcast.
+    """
+    if n_lambdas < 3:
+        raise ValueError("n_lambdas must be >= 3")
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(F.col(label_col).alias("cell")).agg(
+            F.count("*").cast("long").alias(out)
+        )
+
+    hp = hist(p_df, "cp")
+    hq = hist(q_df, "cq")
+    cells = (
+        hp.join(hq, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("cp").cast("long").alias("n_p"),
+        F.sum("cq").cast("long").alias("n_q"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    lam_grid = F.explode(
+        F.array(
+            *[
+                F.round(F.lit(i / (n_lambdas + 1.0)), 9)
+                for i in range(1, n_lambdas + 1)
+            ]
+        )
+    ).alias("lam")
+    graded = cells.crossJoin(F.broadcast(tot)).select(
+        "cell", "cp", "cq", "n_p", "n_q", "n_cells", lam_grid
+    )
+    p = F.col("cp") / F.col("n_p")
+    q = F.col("cq") / F.col("n_q")
+    r = F.col("lam") * p + (1 - F.col("lam")) * q
+    dec = "decimal(25,9)"
+    klq_term = F.when(
+        F.col("cq") > 0, F.round(q * F.log(q / r), 9).cast(dec)
+    )
+    klp_term = F.when(
+        F.col("cp") > 0, F.round(p * F.log(p / r), 9).cast(dec)
+    )
+    per_lam = graded.groupBy("lam").agg(
+        F.coalesce(F.sum(klq_term), F.lit(0).cast(dec)).alias("_klq"),
+        F.coalesce(F.sum(klp_term), F.lit(0).cast(dec)).alias("_klp"),
+        F.first("n_p").alias("n_p"),
+        F.first("n_q").alias("n_q"),
+        F.first("n_cells").alias("n_cells"),
+    ).select(
+        "lam",
+        "n_p",
+        "n_q",
+        "n_cells",
+        F.col("_klq").cast("double").alias("_kq"),
+        F.col("_klp").cast("double").alias("_kp"),
+        F.round(F.exp(-F.col("_klq").cast("double")), 9).alias("_x"),
+        F.round(F.exp(-F.col("_klp").cast("double")), 9).alias("_y"),
+    )
+    w = Window.orderBy("_x", "lam").rowsBetween(-1, -1)
+    with_prev = per_lam.select(
+        "*",
+        F.max("_x").over(w).alias("_xp"),
+        F.max("_y").over(w).alias("_yp"),
+    )
+    trap = F.when(
+        F.col("_xp").isNotNull(),
+        F.round(
+            (F.col("_x") - F.col("_xp"))
+            * (F.col("_y") + F.col("_yp"))
+            / 2,
+            9,
+        ).cast("decimal(25,9)"),
+    )
+    auc = with_prev.agg(
+        F.round(F.coalesce(F.sum(trap), F.lit(0).cast("decimal(25,9)"))
+                .cast("double"), 6).alias("frontier_auc")
+    )
+    return (
+        per_lam.crossJoin(F.broadcast(auc))
+        .select(
+            "lam",
+            F.round("_kq", 6).alias("kl_q_mix"),
+            F.round("_kp", 6).alias("kl_p_mix"),
+            F.round("_x", 6).alias("x"),
+            F.round("_y", 6).alias("y"),
+            "frontier_auc",
+            "n_p",
+            "n_q",
+            "n_cells",
+        )
+        .orderBy("lam")
+    )

@@ -2700,3 +2700,188 @@ def best_of_n_value(
         )
         .orderBy("k")
     )
+
+
+def ece_report(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected / maximum calibration error under BOTH binning schemes
+    — the scalar summary ``calibration_report`` (reliability bins +
+    Brier) deliberately does not collapse to: ECE = Σ_b (n_b/N)·
+    |acc_b − conf_b| (Naeini, Cooper & Hauskrecht AAAI 2015; the
+    neural-net calibration metric of record per Guo, Pleiss, Sun &
+    Weinberger ICML 2017), MCE = max_b |acc_b − conf_b|, computed over
+    (a) equal-WIDTH probability bins (the papers' scheme; biased when
+    probabilities pile up in one bin) and (b) equal-MASS bins via
+    exact rank-selected quantile edges (adaptive/TACE binning, Nixon
+    et al. CVPR-W 2019 — every bin carries n/k points so no bin's gap
+    is estimated from 3 samples).
+
+    Exactness: per-bin accuracy = exact integer division; confidence =
+    DECIMAL(25,9) sum of the 9dp-rounded probability / n (the
+    calibration_report contract — callers pass probs pre-rounded to
+    9dp); |gap|·n_b sums ride DECIMAL(25,9); each emitted value is one
+    IEEE division of those sums, 6dp. Equal-mass edges are the
+    ``quantile_edges_exact`` rank grid (driver-collected metadata, the
+    documented fixture/oracle mode — production monitoring would take
+    the approxQuantile grid).
+
+    Plan per scheme: one map-side bucket + one k-row aggregate + one
+    1-row reduce — two passes over the score column, nothing bigger.
+
+    Output: one row per scheme — (scheme, n_bins_used, n, ece, mce).
+    """
+    from .drift import bucket_by_edges, quantile_edges_exact
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("int")
+    scored = df.filter(p.isNotNull() & y.isNotNull())
+
+    width_bin = F.least(
+        F.lit(n_bins - 1), F.floor(p * F.lit(n_bins)).cast("int")
+    )
+    edges = quantile_edges_exact(
+        scored.select(p.cast("double").alias("_pv")), "_pv", n_bins, "_pv"
+    )
+    # interior edges only; ties can collapse edges, shrinking the
+    # effective bin count (reported as n_bins_used)
+    mass_bin = bucket_by_edges(p.cast("double"), sorted(set(edges)))
+
+    dec = "decimal(25,9)"
+
+    def scheme(bin_col, tag: str) -> DataFrame:
+        per_bin = (
+            scored.select(
+                bin_col.alias("_b"),
+                y.alias("_y"),
+                F.round(p, 9).cast(dec).alias("_p9"),
+            )
+            .groupBy("_b")
+            .agg(
+                F.count("*").cast("long").alias("_n"),
+                F.sum("_y").cast("long").alias("_ny"),
+                F.sum("_p9").alias("_ps"),
+            )
+        )
+        gap = F.abs(
+            F.col("_ny") / F.col("_n")
+            - F.col("_ps").cast("double") / F.col("_n")
+        )
+        return per_bin.agg(
+            F.lit(tag).alias("scheme"),
+            F.count("*").cast("long").alias("n_bins_used"),
+            F.sum("_n").cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(gap * F.col("_n"), 9).cast(dec)).cast("double")
+                / F.sum("_n"),
+                6,
+            ).alias("ece"),
+            F.round(F.max(F.round(gap, 9)), 6).alias("mce"),
+        )
+
+    return scheme(width_bin, "width").unionByName(
+        scheme(mass_bin, "mass")
+    ).orderBy("scheme")
+
+
+def factorial_interaction(
+    df: DataFrame,
+    factor_a_col: str,
+    factor_b_col: str,
+    value_col: str,
+) -> DataFrame:
+    """2×2 factorial experiment readout (Montgomery, *Design and
+    Analysis of Experiments*, ch. 5 — the canonical two-simultaneous-
+    treatments design; Kohavi-Tang-Xu §4 for the online form): cell
+    means for the four (A, B) cells, the two main-effect contrasts
+    (averaged over the other factor's levels), the INTERACTION
+    contrast g = (m̄₁₁ − m̄₁₀) − (m̄₀₁ − m̄₀₀) — whether treatment A's
+    lift depends on B, the question two separate A/B tests cannot
+    answer — and its large-sample z/p via SE² = Σ_cells s²_c/n_c
+    (each cell enters every contrast with coefficient ±1) and the
+    q407 closed-form normal tail.
+
+    Factor columns must be 0/1 ints (the caller derives them — e.g.
+    portable-hash buckets of the randomization unit). Cells with
+    n < 2 make the variance — and thus SE/z/p — NULL (honest
+    degradation, the q408 singleton rule).
+
+    Exactness: ONE conditional-cell aggregate over the corpus; per-cell
+    sums ride DECIMAL(25,9) of 9dp-rounded values; means/variances are
+    single IEEE divisions; the contrast chain is fixed-form IEEE
+    arithmetic on identical doubles (engine-portable), 6dp out; p at
+    the q407 9dp contract.
+
+    Output: ONE row — (n_00, n_01, n_10, n_11, mean_00, mean_01,
+    mean_10, mean_11, effect_a, effect_b, interaction, se_interaction,
+    z_interaction, p_interaction).
+    """
+    a = F.col(factor_a_col).cast("int")
+    b = F.col(factor_b_col).cast("int")
+    v9 = F.round(F.col(value_col).cast("double"), 9)
+    dec = "decimal(25,9)"
+    dec2 = "decimal(38,18)"
+
+    def cell(ai: int, bi: int, expr, out):
+        return F.sum(
+            F.when((a == ai) & (b == bi), expr)
+        ).alias(out)
+
+    agg = df.agg(
+        *[
+            f
+            for ai in (0, 1)
+            for bi in (0, 1)
+            for f in (
+                F.count(F.when((a == ai) & (b == bi), 1))
+                .cast("long")
+                .alias(f"_n{ai}{bi}"),
+                cell(ai, bi, v9.cast(dec), f"_s{ai}{bi}"),
+                cell(
+                    ai, bi, F.round(v9 * v9, 9).cast(dec2), f"_q{ai}{bi}"
+                ),
+            )
+        ]
+    )
+
+    def mean(ai: int, bi: int):
+        return F.col(f"_s{ai}{bi}").cast("double") / F.col(f"_n{ai}{bi}")
+
+    def var(ai: int, bi: int):
+        n = F.col(f"_n{ai}{bi}")
+        s = F.col(f"_s{ai}{bi}").cast("double")
+        q = F.col(f"_q{ai}{bi}").cast("double")
+        return F.when(
+            n >= 2, (q - s * s / n) / (n - 1)
+        )
+
+    m00, m01, m10, m11 = mean(0, 0), mean(0, 1), mean(1, 0), mean(1, 1)
+    g = (m11 - m10) - (m01 - m00)
+    se2 = sum(
+        var(ai, bi) / F.col(f"_n{ai}{bi}")
+        for ai in (0, 1)
+        for bi in (0, 1)
+    )
+    se = F.sqrt(se2)
+    z = g / se
+    return agg.select(
+        F.col("_n00").alias("n_00"),
+        F.col("_n01").alias("n_01"),
+        F.col("_n10").alias("n_10"),
+        F.col("_n11").alias("n_11"),
+        F.round(m00, 6).alias("mean_00"),
+        F.round(m01, 6).alias("mean_01"),
+        F.round(m10, 6).alias("mean_10"),
+        F.round(m11, 6).alias("mean_11"),
+        F.round((m10 + m11) / 2 - (m00 + m01) / 2, 6).alias("effect_a"),
+        F.round((m01 + m11) / 2 - (m00 + m10) / 2, 6).alias("effect_b"),
+        F.round(g, 6).alias("interaction"),
+        F.round(se, 6).alias("se_interaction"),
+        F.round(z, 6).alias("z_interaction"),
+        F.when(se.isNotNull(), normal_p_two_sided(z)).alias("p_interaction"),
+    )

@@ -454,3 +454,90 @@ def order_bias_audit(
         pv.alias("p_value"),
         F.coalesce(pv < F.lit(0.05), F.lit(False)).alias("biased"),
     )
+
+
+def kendall_tau_b(
+    items: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "item",
+) -> DataFrame:
+    """Kendall's τ-b rank correlation between two scorings of the same
+    item set (Kendall, Biometrika 1938; the τ-b tie correction,
+    Kendall 1945) — the leaderboard-stability readout: do two ranking
+    methods (raw win rate vs Bradley-Terry strength, exact vs
+    quantized retrieval, judge A vs judge B) order the ITEMS the same
+    way? τ-b = (C − D) / √((n₀ − n_x)(n₀ − n_y)) over all item pairs,
+    with C/D the concordant/discordant counts, n₀ = n(n−1)/2, and
+    n_x/n_y the pairs tied on each scoring (ties in one scoring
+    neither help nor hurt — the τ-a denominator would punish them).
+
+    Spearman (``operators/mlmetrics.spearman_by_group``) reads the
+    same question through squared rank differences; τ-b is the
+    pair-concordance view — bounded-N tournaments (arena leaderboards)
+    report both, and τ-b is the one with the tie story.
+
+    Input contract: ``items`` is an ITEMS-SIZED frame (the q419/q420
+    bounded class — models on a leaderboard, not a corpus); the
+    pairwise self-equi-join is items²-bounded by construction and
+    NEVER corpus-sized. Pairs are canonicalized id_a < id_b so each
+    unordered pair counts once.
+
+    Exactness: C/D/tie counts are exact LONGs from sign comparisons
+    of the raw score columns (no ranks needed — concordance only
+    reads pairwise orderings); τ-b is computed from those integers
+    with one sqrt (IEEE, the q421 6dp contract).
+
+    Output: ONE row — (n_items, n_pairs, concordant, discordant,
+    ties_x, ties_y, ties_both, tau_b) with tau_b NULL when either
+    scoring ties ALL pairs (zero denominator).
+    """
+    a = items.select(
+        F.col(id_col).alias("_ia"),
+        F.col(x_col).cast("double").alias("_xa"),
+        F.col(y_col).cast("double").alias("_ya"),
+    )
+    b = items.select(
+        F.col(id_col).alias("_ib"),
+        F.col(x_col).cast("double").alias("_xb"),
+        F.col(y_col).cast("double").alias("_yb"),
+    )
+    pairs = a.join(b, F.col("_ia") < F.col("_ib"))
+    sx = F.signum(F.col("_xb") - F.col("_xa"))
+    sy = F.signum(F.col("_yb") - F.col("_ya"))
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(((sx * sy) > 0).cast("long")).cast("long").alias("concordant"),
+        F.sum(((sx * sy) < 0).cast("long")).cast("long").alias("discordant"),
+        F.sum(((sx == 0) & (sy != 0)).cast("long")).cast("long").alias("ties_x"),
+        F.sum(((sx != 0) & (sy == 0)).cast("long")).cast("long").alias("ties_y"),
+        F.sum(((sx == 0) & (sy == 0)).cast("long")).cast("long").alias(
+            "ties_both"
+        ),
+    )
+    n_items = items.select(F.count("*").cast("long").alias("n_items"))
+    n0 = F.col("n_pairs")
+    tx = F.col("ties_x") + F.col("ties_both")
+    ty = F.col("ties_y") + F.col("ties_both")
+    denom = (n0 - tx) * (n0 - ty)
+    tau = F.when(
+        denom > 0,
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(denom.cast("double")),
+            6,
+        ),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_items))
+        .select(
+            "n_items",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            "ties_both",
+            tau.alias("tau_b"),
+        )
+    )
