@@ -1072,17 +1072,22 @@ def heaps_law_fit(
     sxx = F.col("_sxx").cast("double")
     sxy = F.col("_sxy").cast("double")
     syy = F.col("_syy").cast("double")
-    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
-    lnk = (sy - beta * sx) / k
-    r2 = (
-        (k * sxy - sx * sy)
-        * (k * sxy - sx * sy)
-        / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+    num = k * sxy - sx * sy
+    den_b = k * sxx - sx * sx
+    den_y = k * syy - sy * sy
+    # degenerate curves (constant n or constant V — a saturated
+    # vocabulary) have zero denominators: report NULL, not inf/NaN;
+    # "+ 0.0" normalizes IEEE signed zeros (DuckDB's round preserves
+    # -0.0, Spark's does not — found at pre-verification)
+    beta = F.when(den_b != 0, num / den_b)
+    lnk = F.when(den_b != 0, (sy - (num / den_b) * sx) / k)
+    r2 = F.when(
+        (den_b != 0) & (den_y != 0), num * num / (den_b * den_y)
     )
     fit = m.select(
-        F.round(beta, 6).alias("beta"),
-        F.round(lnk, 6).alias("ln_k"),
-        F.round(r2, 6).alias("r2"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (F.round(lnk, 6) + F.lit(0.0)).alias("ln_k"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
     )
     return (
         curve.crossJoin(F.broadcast(fit))

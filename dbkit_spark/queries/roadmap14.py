@@ -386,3 +386,892 @@ _Q436_NOTES = (
 )
 
 ROADMAP14["q436_chrf"] = (q436_chrf, _q436_oracle(), _Q436_NOTES)
+
+
+# --- q437: distinct-n diversity ----------------------------------------------
+
+
+def q437_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (llm/texteval.distinct_n) —
+    the mode-collapse audit: distinct/total n-grams, n = 1..3."""
+    from ..llm.texteval import distinct_n
+
+    docs = read_table(spark, sf_dir, "documents")
+    return distinct_n(docs).orderBy("source", "n")
+
+
+def _q437_oracle() -> str:
+    grams = " UNION ALL ".join(
+        f"SELECT source, {n} AS n, unnest({_wgrams_sql('t', n)}) AS gram "
+        "FROM toks"
+        for n in (1, 2, 3)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source, {_T.format(c='text')} AS t FROM documents),
+    counted AS (
+      SELECT source, n, gram, COUNT(*) AS c
+      FROM ({grams}) GROUP BY source, n, gram)
+    SELECT source, CAST(n AS INTEGER) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_grams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+           round(CAST(COUNT(*) AS BIGINT) / CAST(SUM(c) AS BIGINT), 6)
+             AS distinct_ratio
+    FROM counted GROUP BY source, n ORDER BY source, n
+    """
+
+
+_Q437_NOTES = (
+    "DISTINCT-N DIVERSITY (llm/texteval.distinct_n — Li et al. NAACL "
+    "2016, the dull-response/mode-collapse audit): distinct n-grams / "
+    "total n-grams per group for n = 1..3; ONE (group, n, gram) count "
+    "aggregate + (group, n) reduce, exact countDistinct documented "
+    "for approx swap at 100 TB (the drop_boilerplate trade); ratio = "
+    "ONE IEEE division of exact LONGs, 6dp"
+)
+
+ROADMAP14["q437_distinct_n"] = (q437_distinct_n, _q437_oracle(), _Q437_NOTES)
+
+
+# --- q438: pooled self-BLEU --------------------------------------------------
+
+
+def q438_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled leave-one-out self-similarity (llm/texteval.
+    self_bleu_pool) — per (doc, n) the clipped precision of the doc's
+    n-grams against the corpus pool minus itself."""
+    from ..llm.texteval import self_bleu_pool
+
+    docs = read_table(spark, sf_dir, "documents")
+    return self_bleu_pool(docs).orderBy("doc_id", "n")
+
+
+def _q438_oracle() -> str:
+    grams = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({_wgrams_sql('t', n)}) AS gram "
+        "FROM toks"
+        for n in (1, 2, 3)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_T.format(c='text')} AS t FROM documents),
+    dc AS (
+      SELECT doc_id, n, gram, COUNT(*) AS c
+      FROM ({grams}) GROUP BY doc_id, n, gram),
+    pool AS (SELECT n, gram, SUM(c) AS cp FROM dc GROUP BY n, gram)
+    SELECT dc.doc_id, CAST(dc.n AS INTEGER) AS n,
+           CAST(SUM(dc.c) AS BIGINT) AS doc_grams,
+           CAST(SUM(least(dc.c, pool.cp - dc.c)) AS BIGINT) AS pool_overlap,
+           round(CASE WHEN SUM(dc.c) > 0
+                 THEN CAST(SUM(least(dc.c, pool.cp - dc.c)) AS BIGINT)
+                      / CAST(SUM(dc.c) AS BIGINT) END, 6) AS self_p
+    FROM dc JOIN pool ON dc.n = pool.n AND dc.gram = pool.gram
+    GROUP BY dc.doc_id, dc.n ORDER BY dc.doc_id, dc.n
+    """
+
+
+_Q438_NOTES = (
+    "POOLED SELF-BLEU (llm/texteval.self_bleu_pool — the bounded "
+    "corpus-diversity companion to pairwise Self-BLEU, Zhu et al. "
+    "SIGIR 2018 Texygen: each doc's grams clipped against the POOL "
+    "MINUS ITSELF, min(c_d, C-c_d)/grams_d, instead of O(D^2) "
+    "pairwise BLEU): ONE corpus (n, gram) aggregate + ONE gram-keyed "
+    "shuffled equi-join (never broadcast — the gram table is "
+    "vocab-sized, the scale path) + (doc, n) reduce; counts exact "
+    "LONG, one IEEE division, 6dp"
+)
+
+ROADMAP14["q438_self_bleu"] = (q438_self_bleu, _q438_oracle(), _Q438_NOTES)
+
+
+# --- q439: C4 line-filter battery --------------------------------------------
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic line structure over the (newline-free) fixture
+    text: lines of 8 tokens, '.'-terminated except every 4th line
+    (doc-offset so the pattern varies across docs) — replayed
+    list-arithmetic-for-list-arithmetic by the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    nl = F.ceil(F.size(t) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda j: F.concat(
+            F.array_join(F.slice(t, j * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + j) % 4 == 0, F.lit("")).otherwise(
+                F.lit(".")
+            ),
+        ),
+    )
+    text2 = F.when(F.size(t) == 0, F.lit("")).otherwise(
+        F.array_join(lines, "\n")
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+_LINED_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN '' ELSE
+           array_to_string(
+             list_transform(
+               generate_series(0, CAST(ceil(len(t) / 8.0) AS INTEGER) - 1),
+               j -> array_to_string(list_slice(t, j * 8 + 1, j * 8 + 8), ' ')
+                    || CASE WHEN (doc_id + j) % 4 = 0 THEN '' ELSE '.' END),
+             chr(10))
+         END AS text
+  FROM (SELECT doc_id, {_T.format(c='text')} AS t FROM documents)
+"""
+
+
+def q439_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (llm/quality.c4_line_filters) over
+    deterministically line-structured fixture text — per doc the
+    kept/dropped line accounting, reassembled clean text, and the
+    page verdict."""
+    from ..llm.quality import c4_line_filters
+
+    return c4_line_filters(_lined_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q439_oracle() -> str:
+    keep = (
+        "regexp_matches(trim(l), '[.!?][\"'']?$') "
+        "AND len(list_filter(string_split_regex(trim(l), '\\s+'), "
+        "x -> x <> '')) >= 5 "
+        "AND NOT regexp_matches(lower(trim(l)), 'javascript')"
+    )
+    return f"""
+    WITH lined AS ({_LINED_SQL}),
+    split_docs AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined),
+    judged AS (
+      SELECT doc_id, text, ls,
+             list_filter(ls, l -> {keep}) AS kept
+      FROM split_docs)
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(COALESCE(list_sum(list_transform(kept, l -> length(l))), 0)
+                AS BIGINT) AS kept_chars,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           (strpos(text, '{{') > 0 OR strpos(text, '}}') > 0) AS has_brace,
+           strpos(lower(text), 'lorem ipsum') > 0 AS has_lorem,
+           (len(kept) >= 3
+            AND NOT (strpos(text, '{{') > 0 OR strpos(text, '}}') > 0)
+            AND NOT strpos(lower(text), 'lorem ipsum') > 0) AS page_pass
+    FROM judged ORDER BY doc_id
+    """
+
+
+_Q439_NOTES = (
+    "C4 LINE-FILTER BATTERY (llm/quality.c4_line_filters — Raffel et "
+    "al. JMLR 2020 section 2.2, the rules that made C4 from Common "
+    "Crawl: line ends in terminal punctuation, >= 5 words, no "
+    "'javascript'; page keeps >= 3 lines, no curly brace, no 'lorem "
+    "ipsum'): ONE posexplode + map-side codegen predicates + doc-keyed "
+    "reassembly (sort_array over (pos, line) structs) — doc-keyed "
+    "end-to-end, rules lift to readStream; fixture text is "
+    "newline-free so the query derives deterministic 8-token lines "
+    "with a (doc_id+j)%4 punctuation pattern, replayed by the oracle "
+    "list-for-list"
+)
+
+ROADMAP14["q439_c4_line_filters"] = (
+    q439_c4_line_filters,
+    _q439_oracle(),
+    _Q439_NOTES,
+)
+
+
+# --- q440: Gopher duplicate line/paragraph fractions -------------------------
+
+
+def _para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/paragraph structure for the dup-fraction rules: 3-token
+    lines (short enough that the fixture's small vocabulary produces
+    real within-doc duplicates), 4 lines per paragraph."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    nl = F.ceil(F.size(t) / F.lit(3)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda j: F.array_join(F.slice(t, j * 3 + 1, 3), " "),
+    )
+    np_ = F.ceil(nl / F.lit(4)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), np_ - 1),
+        lambda k: F.array_join(F.slice(lines, k * 4 + 1, 4), "\n"),
+    )
+    text2 = F.when(F.size(t) == 0, F.lit("")).otherwise(
+        F.array_join(paras, "\n\n")
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+_PARA_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN '' ELSE
+           array_to_string(
+             list_transform(
+               generate_series(0, CAST(ceil(CAST(ceil(len(t) / 3.0) AS INTEGER)
+                                            / 4.0) AS INTEGER) - 1),
+               k -> array_to_string(
+                      list_slice(
+                        list_transform(
+                          generate_series(0,
+                            CAST(ceil(len(t) / 3.0) AS INTEGER) - 1),
+                          j -> array_to_string(
+                                 list_slice(t, j * 3 + 1, j * 3 + 3), ' ')),
+                        k * 4 + 1, k * 4 + 4),
+                      chr(10))),
+             chr(10) || chr(10))
+         END AS text
+  FROM (SELECT doc_id, {_T.format(c='text')} AS t FROM documents)
+"""
+
+
+def q440_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate line/paragraph fractions (llm/quality.
+    dup_segment_fractions) over derived line/paragraph structure —
+    the four A1.1 rules gopher_repetition_filters does not cover."""
+    from ..llm.quality import dup_segment_fractions
+
+    return dup_segment_fractions(_para_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q440_oracle() -> str:
+    def side(sep: str, tag: str) -> str:
+        return f"""
+    {tag}seg AS (
+      SELECT doc_id, seg FROM (
+        SELECT doc_id, unnest(string_split(text, {sep})) AS seg
+        FROM lined)
+      WHERE trim(seg) <> ''),
+    {tag}cnt AS (
+      SELECT doc_id, seg, COUNT(*) AS c, length(seg) AS sl
+      FROM {tag}seg GROUP BY doc_id, seg),
+    {tag}st AS (
+      SELECT doc_id, SUM(c) AS n_{tag},
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS dup_{tag},
+             SUM(c * sl) AS ch_{tag},
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c * sl END), 0)
+               AS dupch_{tag}
+      FROM {tag}cnt GROUP BY doc_id)"""
+
+    def frac(num: str, den: str) -> str:
+        return (
+            f"round(CASE WHEN COALESCE({den}, 0) > 0 "
+            f"THEN COALESCE({num}, 0) / {den} ELSE 0.0 END, 6)"
+        )
+
+    lf = frac("dup_l", "n_l")
+    lcf = frac("dupch_l", "ch_l")
+    pf = frac("dup_p", "n_p")
+    pcf = frac("dupch_p", "ch_p")
+    return f"""
+    WITH lined AS ({_PARA_SQL}),{side("chr(10)", "l")},{side(
+        "chr(10) || chr(10)", "p"
+    )},
+    joined AS (
+      SELECT d.doc_id,
+             lst.n_l, lst.dup_l, lst.ch_l, lst.dupch_l,
+             pst.n_p, pst.dup_p, pst.ch_p, pst.dupch_p
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN lst ON d.doc_id = lst.doc_id
+      LEFT JOIN pst ON d.doc_id = pst.doc_id),
+    fr AS (
+      SELECT doc_id,
+             CAST(COALESCE(n_l, 0) AS BIGINT) AS n_lines,
+             {lf} AS dup_line_frac,
+             {lcf} AS dup_line_char_frac,
+             CAST(COALESCE(n_p, 0) AS BIGINT) AS n_paras,
+             {pf} AS dup_para_frac,
+             {pcf} AS dup_para_char_frac
+      FROM joined)
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           n_paras, dup_para_frac, dup_para_char_frac,
+           dup_line_frac <= 0.30 AS rule_dup_line,
+           dup_para_frac <= 0.30 AS rule_dup_para,
+           dup_line_char_frac <= 0.20 AS rule_dup_line_char,
+           dup_para_char_frac <= 0.20 AS rule_dup_para_char,
+           (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20)
+             AS passes
+    FROM fr ORDER BY doc_id
+    """
+
+
+_Q440_NOTES = (
+    "GOPHER DUPLICATE LINE/PARAGRAPH RULES (llm/quality."
+    "dup_segment_fractions — Rae et al. 2021 Appendix A1.1 first "
+    "block: duplicate-line fraction > 0.30, duplicate-paragraph > "
+    "0.30, duplicated-line CHAR fraction > 0.20, duplicated-paragraph "
+    "char > 0.20 — the whole-segment repeats the n-gram char rules "
+    "of q405 under-weight): per separator ONE explode + (doc, "
+    "segment) count agg + doc-keyed reduce, joined on the doc key; "
+    "every occurrence of a duplicated segment counts, char mass "
+    "separator-free, empty segments excluded both sides; fixture "
+    "gets derived 3-token lines / 4-line paragraphs (small vocab -> "
+    "real duplicates), oracle replays the nested list construction"
+)
+
+ROADMAP14["q440_dup_segments"] = (
+    q440_dup_segments,
+    _q440_oracle(),
+    _Q440_NOTES,
+)
+
+
+# --- q441: expected calibration error ----------------------------------------
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (label, probability) frame: label = lang='en',
+    prob = 0.1 + 0.4u + 0.2y + 0.3v with u, v portable-hash uniforms —
+    label-correlated but overlapping, so both binnings get mixed bins;
+    replayed digit-for-digit by the oracle (the q380 md5 rule)."""
+    from ..functions.portable_hash import u32_md5
+
+    docs = read_table(spark, sf_dir, "documents")
+    y = (F.col("lang") == "en").cast("int")
+    u = (u32_md5(F.col("doc_id"), "eceU") % 1000) / F.lit(1000.0)
+    v = (u32_md5(F.col("doc_id"), "eceV") % 1000) / F.lit(1000.0)
+    return docs.select(
+        y.alias("label"),
+        F.round(
+            F.lit(0.1) + F.lit(0.4) * u + F.lit(0.2) * y + F.lit(0.3) * v, 9
+        ).alias("prob"),
+    )
+
+
+def q441_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE/MCE under equal-width AND equal-mass binning
+    (operators/mlmetrics.ece_report) over the derived scored frame."""
+    from ..operators.mlmetrics import ece_report
+
+    return ece_report(
+        _scored_docs(spark, sf_dir), "label", "prob", n_bins=10
+    ).orderBy("scheme")
+
+
+def _q441_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+
+    u = u32_md5_sql("doc_id", "eceU")
+    v = u32_md5_sql("doc_id", "eceV")
+    prob = (
+        f"round(0.1 + 0.4 * (({u}) % 1000) / 1000.0 "
+        f"+ 0.2 * (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+        f"+ 0.3 * (({v}) % 1000) / 1000.0, 9)"
+    )
+
+    def scheme(bin_expr: str, tag: str) -> str:
+        return f"""
+      SELECT '{tag}' AS scheme,
+             CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+             CAST(SUM(n) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(round(abs(ny / n - CAST(ps AS DOUBLE) / n)
+                                       * n, 9) AS DECIMAL(25,9)))
+                        AS DOUBLE) / SUM(n), 6) AS ece,
+             round(max(round(abs(ny / n - CAST(ps AS DOUBLE) / n), 9)), 6)
+               AS mce
+      FROM (SELECT {bin_expr} AS b, COUNT(*) AS n,
+                   SUM(label) AS ny,
+                   SUM(CAST(round(prob, 9) AS DECIMAL(25,9))) AS ps
+            FROM scored GROUP BY 1)"""
+
+    width = "least(9, CAST(floor(prob * 10) AS INTEGER))"
+    mass = "(SELECT COUNT(*) FROM edges e WHERE e.e < scored.prob)"
+    return f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             {prob} AS prob
+      FROM documents),
+    cnt AS (SELECT COUNT(*) AS c FROM scored),
+    ranked AS (
+      SELECT prob, row_number() OVER (ORDER BY prob) AS rn FROM scored),
+    edges AS (
+      SELECT DISTINCT prob AS e FROM ranked
+      WHERE EXISTS (SELECT 1 FROM generate_series(1, 9) g(i), cnt
+                    WHERE ranked.rn = CAST(ceil(g.i * cnt.c / 10.0)
+                                           AS BIGINT)))
+    {scheme(width, 'width')}
+    UNION ALL
+    {scheme(mass, 'mass')}
+    ORDER BY scheme
+    """
+
+
+_Q441_NOTES = (
+    "EXPECTED/MAXIMUM CALIBRATION ERROR (operators/mlmetrics."
+    "ece_report — Naeini et al. AAAI 2015; Guo et al. ICML 2017; "
+    "adaptive equal-mass binning per Nixon et al. CVPR-W 2019): the "
+    "scalar the calibration_report bins deliberately don't collapse "
+    "to, under BOTH equal-width and exact-rank equal-mass bins; "
+    "per-bin accuracy exact integer division, confidence a "
+    "DECIMAL(25,9) sum of 9dp probs, |gap|*n riding decimal sums — "
+    "one map-side bucket + one k-row agg + 1-row reduce per scheme; "
+    "mass edges are the quantile_edges_exact fixture/oracle mode "
+    "(driver-collected metadata, documented); probs derive from the "
+    "portable-hash rule so the oracle replays digit-for-digit"
+)
+
+ROADMAP14["q441_ece"] = (q441_ece, _q441_oracle(), _Q441_NOTES)
+
+
+# --- q442: MAUVE-style divergence frontier -----------------------------------
+
+
+def q442_mauve_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Divergence frontier between the even- and odd-vec_id halves of
+    the embeddings corpus over their cluster labels
+    (operators/drift.mauve_frontier)."""
+    from ..operators.drift import mauve_frontier
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    p_df = emb.filter(F.col("vec_id") % 2 == 0)
+    q_df = emb.filter(F.col("vec_id") % 2 == 1)
+    return mauve_frontier(p_df, q_df, "label").orderBy("lam")
+
+
+def _q442_oracle() -> str:
+    return """
+    WITH hp AS (SELECT label AS cell, COUNT(*) AS cp FROM embeddings
+                WHERE vec_id % 2 = 0 GROUP BY label),
+    hq AS (SELECT label AS cell, COUNT(*) AS cq FROM embeddings
+           WHERE vec_id % 2 = 1 GROUP BY label),
+    cells AS (
+      SELECT COALESCE(hp.cell, hq.cell) AS cell,
+             COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+      FROM hp FULL OUTER JOIN hq ON hp.cell = hq.cell),
+    tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_p,
+                   CAST(SUM(cq) AS BIGINT) AS n_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+    lams AS (SELECT round(i / 20.0, 9) AS lam
+             FROM generate_series(1, 19) t(i)),
+    terms AS (
+      SELECT lam, cp, cq, n_p, n_q, n_cells,
+             cp / n_p AS p, cq / n_q AS q
+      FROM cells CROSS JOIN tot CROSS JOIN lams),
+    per_lam AS (
+      SELECT lam,
+             COALESCE(SUM(CASE WHEN cq > 0 THEN
+               CAST(round(q * ln(q / (lam * p + (1 - lam) * q)), 9)
+                    AS DECIMAL(25,9)) END), 0) AS klq,
+             COALESCE(SUM(CASE WHEN cp > 0 THEN
+               CAST(round(p * ln(p / (lam * p + (1 - lam) * q)), 9)
+                    AS DECIMAL(25,9)) END), 0) AS klp,
+             min(n_p) AS n_p, min(n_q) AS n_q, min(n_cells) AS n_cells
+      FROM terms GROUP BY lam),
+    pts AS (
+      SELECT lam, n_p, n_q, n_cells,
+             CAST(klq AS DOUBLE) AS kq, CAST(klp AS DOUBLE) AS kp,
+             round(exp(-CAST(klq AS DOUBLE)), 9) AS x,
+             round(exp(-CAST(klp AS DOUBLE)), 9) AS y
+      FROM per_lam),
+    lagged AS (
+      SELECT *, lag(x) OVER (ORDER BY x, lam) AS xp,
+             lag(y) OVER (ORDER BY x, lam) AS yp
+      FROM pts),
+    auc AS (
+      SELECT round(CAST(COALESCE(SUM(CASE WHEN xp IS NOT NULL THEN
+               CAST(round((x - xp) * (y + yp) / 2, 9) AS DECIMAL(25,9))
+             END), 0) AS DOUBLE), 6) AS frontier_auc
+      FROM lagged)
+    SELECT lam, round(kq, 6) AS kl_q_mix, round(kp, 6) AS kl_p_mix,
+           round(x, 6) AS x, round(y, 6) AS y,
+           frontier_auc, n_p, n_q, n_cells
+    FROM pts CROSS JOIN auc ORDER BY lam
+    """
+
+
+_Q442_NOTES = (
+    "MAUVE-STYLE DIVERGENCE FRONTIER (operators/drift.mauve_frontier "
+    "— Pillutla et al. NeurIPS 2021 outstanding paper, the open-ended "
+    "generation metric: two corpora quantized into shared cells, then "
+    "KL(Q||R_lam)/KL(P||R_lam) traced over the mixture grid, area "
+    "under (e^-c, e^-d)): quantization labels supplied by the caller "
+    "(the engine's kmeans/IVF cells) so the ONLY corpus-sized work is "
+    "ONE label-keyed count per side; the lam grid is OPEN (0,1) so KL "
+    "is finite without smoothing (R_lam >= lam*P on P's support); KL "
+    "terms ln at 9dp ride DECIMAL(25,9) sums over the labels-sized "
+    "frame, trapezoid fold over the 19-point literal grid; scaling "
+    "constant fixed at 1 (documented simplification of the paper's c)"
+)
+
+ROADMAP14["q442_mauve_frontier"] = (
+    q442_mauve_frontier,
+    _q442_oracle(),
+    _Q442_NOTES,
+)
+
+
+# --- q443: Heaps'-law vocabulary growth --------------------------------------
+
+
+def q443_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law V = K n^beta fit over the documents corpus in doc_id
+    order (llm/quality.heaps_law_fit), 10 exact checkpoint deciles."""
+    from ..llm.quality import heaps_law_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    return heaps_law_fit(docs, checkpoints=10)
+
+
+def _q443_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {_T.format(c='text')} AS t FROM documents),
+    cnt AS (SELECT COUNT(*) AS c FROM documents),
+    ranked AS (SELECT CAST(doc_id AS DOUBLE) AS dv,
+                      row_number() OVER (ORDER BY CAST(doc_id AS DOUBLE))
+                        AS rn
+               FROM documents),
+    edges AS (SELECT DISTINCT dv AS e FROM ranked
+              WHERE EXISTS (SELECT 1 FROM generate_series(1, 9) g(i), cnt
+                            WHERE ranked.rn = CAST(ceil(g.i * cnt.c / 10.0)
+                                                   AS BIGINT))),
+    bounds AS (SELECT DISTINCT e FROM (
+                 SELECT e FROM edges
+                 UNION
+                 SELECT CAST(max(doc_id) AS DOUBLE) FROM documents)),
+    bidx AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS idx
+             FROM bounds),
+    interior AS (SELECT e FROM bidx
+                 WHERE idx < (SELECT max(idx) FROM bidx)),
+    doc_ck AS (SELECT t.doc_id, len(t.t) AS ntok,
+                      (SELECT COUNT(*) FROM interior i
+                       WHERE i.e < CAST(t.doc_id AS DOUBLE)) AS ckpt
+               FROM toks t),
+    tok_ck AS (SELECT ckpt, SUM(ntok) AS tk FROM doc_ck GROUP BY ckpt),
+    first_doc AS (SELECT tok, min(doc_id) AS fd
+                  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                  GROUP BY tok),
+    type_ck AS (SELECT (SELECT COUNT(*) FROM interior i
+                        WHERE i.e < CAST(fd AS DOUBLE)) AS ckpt,
+                       COUNT(*) AS ty
+                FROM first_doc GROUP BY 1),
+    curve AS (
+      SELECT b.idx AS ckpt, b.e AS max_doc_id,
+             SUM(COALESCE(tk.tk, 0)) OVER (ORDER BY b.idx
+               ROWS UNBOUNDED PRECEDING) AS n_tokens_cum,
+             SUM(COALESCE(ty.ty, 0)) OVER (ORDER BY b.idx
+               ROWS UNBOUNDED PRECEDING) AS vocab_cum
+      FROM bidx b
+      LEFT JOIN tok_ck tk ON b.idx = tk.ckpt
+      LEFT JOIN type_ck ty ON b.idx = ty.ckpt),
+    pts AS (SELECT round(ln(n_tokens_cum), 9) AS x,
+                   round(ln(vocab_cum), 9) AS y
+            FROM curve WHERE n_tokens_cum > 0 AND vocab_cum > 0),
+    m AS (SELECT COUNT(*) AS k,
+                 SUM(CAST(x AS DECIMAL(25,9))) AS sx,
+                 SUM(CAST(y AS DECIMAL(25,9))) AS sy,
+                 SUM(CAST(round(x * x, 9) AS DECIMAL(25,9))) AS sxx,
+                 SUM(CAST(round(x * y, 9) AS DECIMAL(25,9))) AS sxy,
+                 SUM(CAST(round(y * y, 9) AS DECIMAL(25,9))) AS syy
+          FROM pts),
+    terms AS (
+      SELECT k,
+             CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+             k * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             k * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_b,
+             k * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
+      FROM m),
+    fit AS (
+      SELECT round(CASE WHEN den_b <> 0 THEN num / den_b END, 6) + 0.0
+               AS beta,
+             round(CASE WHEN den_b <> 0
+                        THEN (dy - (num / den_b) * dx) / k END, 6) + 0.0
+               AS ln_k,
+             round(CASE WHEN den_b <> 0 AND den_y <> 0
+                        THEN num * num / (den_b * den_y) END, 6) + 0.0
+               AS r2
+      FROM terms)
+    SELECT CAST(curve.ckpt AS BIGINT) AS ckpt, curve.max_doc_id,
+           CAST(curve.n_tokens_cum AS BIGINT) AS n_tokens_cum,
+           CAST(curve.vocab_cum AS BIGINT) AS vocab_cum,
+           fit.beta, fit.ln_k, fit.r2
+    FROM curve CROSS JOIN fit ORDER BY curve.ckpt
+    """
+
+
+_Q443_NOTES = (
+    "HEAPS'-LAW VOCABULARY GROWTH FIT (llm/quality.heaps_law_fit — "
+    "Heaps 1978 / Herdan 1960, V = K*n^beta; the growth-curve "
+    "companion to q426's Good-Turing saturation readout): each token "
+    "type attributed to the checkpoint bucket of its FIRST document "
+    "(one token-keyed MIN agg), token mass one doc-keyed SUM — the "
+    "naive cumulative-distinct-per-doc SinglePartition corpus window "
+    "collapses to K-row cumulative sums; checkpoint edges are exact "
+    "rank-selected doc_ids (quantile_edges_exact fixture/oracle mode, "
+    "metadata collect); log-log OLS closed form on DECIMAL(25,9) "
+    "moments (the q384 Zipf machinery)"
+)
+
+ROADMAP14["q443_heaps_fit"] = (q443_heaps_fit, _q443_oracle(), _Q443_NOTES)
+
+
+# --- q444: 2x2 factorial interaction -----------------------------------------
+
+
+def q444_factorial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 factorial readout (operators/mlmetrics.factorial_interaction)
+    over per-user event value sums, factors = portable-hash coin flips
+    of the randomization unit (user_id) under two salts."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.mlmetrics import factorial_interaction
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value"), 9).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("metric")
+    )
+    fr = per_user.select(
+        (u32_md5(F.col("user_id"), "fA") % 2).cast("int").alias("fa"),
+        (u32_md5(F.col("user_id"), "fB") % 2).cast("int").alias("fb"),
+        "metric",
+    )
+    return factorial_interaction(fr, "fa", "fb", "metric")
+
+
+def _q444_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    fa = f"({u32_md5_sql('user_id', 'fA')}) % 2"
+    fb = f"({u32_md5_sql('user_id', 'fB')}) % 2"
+
+    def m(t: str) -> str:
+        return f"(CAST(s{t} AS DOUBLE) / n{t})"
+
+    def v(t: str) -> str:
+        return (
+            f"(CASE WHEN n{t} >= 2 THEN (CAST(q{t} AS DOUBLE) "
+            f"- CAST(s{t} AS DOUBLE) * CAST(s{t} AS DOUBLE) / n{t}) "
+            f"/ (n{t} - 1) END)"
+        )
+
+    g = f"(({m('11')} - {m('10')}) - ({m('01')} - {m('00')}))"
+    se2 = (
+        f"(0 + {v('00')} / n00 + {v('01')} / n01 "
+        f"+ {v('10')} / n10 + {v('11')} / n11)"
+    )
+    cells = ", ".join(
+        f"SUM(CASE WHEN fa = {a} AND fb = {b} THEN 1 ELSE 0 END) AS n{a}{b}, "
+        f"SUM(CASE WHEN fa = {a} AND fb = {b} "
+        f"THEN CAST(v9 AS DECIMAL(25,9)) END) AS s{a}{b}, "
+        f"SUM(CASE WHEN fa = {a} AND fb = {b} "
+        f"THEN CAST(round(v9 * v9, 9) AS DECIMAL(38,18)) END) AS q{a}{b}"
+        for a in (0, 1)
+        for b in (0, 1)
+    )
+    return f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value, 9) AS DECIMAL(25,9))) AS DOUBLE)
+               AS metric
+      FROM events GROUP BY user_id),
+    fr AS (SELECT {fa} AS fa, {fb} AS fb, round(metric, 9) AS v9 FROM pu),
+    w AS (SELECT {cells} FROM fr),
+    z AS (SELECT *, {g} AS g, sqrt({se2}) AS se FROM w)
+    SELECT CAST(n00 AS BIGINT) AS n_00, CAST(n01 AS BIGINT) AS n_01,
+           CAST(n10 AS BIGINT) AS n_10, CAST(n11 AS BIGINT) AS n_11,
+           round({m('00')}, 6) AS mean_00, round({m('01')}, 6) AS mean_01,
+           round({m('10')}, 6) AS mean_10, round({m('11')}, 6) AS mean_11,
+           round(({m('10')} + {m('11')}) / 2
+                 - ({m('00')} + {m('01')}) / 2, 6) AS effect_a,
+           round(({m('01')} + {m('11')}) / 2
+                 - ({m('00')} + {m('10')}) / 2, 6) AS effect_b,
+           round(g, 6) AS interaction,
+           round(se, 6) AS se_interaction,
+           round(g / se, 6) AS z_interaction,
+           CASE WHEN se IS NOT NULL
+                THEN {normal_p_two_sided_sql('(g / se)')} END
+             AS p_interaction
+    FROM z
+    """
+
+
+_Q444_NOTES = (
+    "2x2 FACTORIAL INTERACTION (operators/mlmetrics."
+    "factorial_interaction — Montgomery DoE ch. 5; Kohavi-Tang-Xu "
+    "section 4: cell means, main effects, and the interaction "
+    "contrast (m11-m10)-(m01-m00) with SE^2 = sum s_c^2/n_c — the "
+    "does-A's-lift-depend-on-B question two separate A/B tests "
+    "cannot answer): ONE conditional-cell aggregate over per-unit "
+    "metrics (decimal-stabilized sums, DECIMAL(38,18) squares), "
+    "scalar recombination in fixed-form IEEE; singleton/empty cells "
+    "degrade SE/z/p to NULL (the q408 rule); z's p via the q407 "
+    "Abramowitz-Stegun twin on the UNROUNDED z; factors are "
+    "portable-hash coins so the oracle replays the assignment "
+    "digit-for-digit"
+)
+
+ROADMAP14["q444_factorial"] = (q444_factorial, _q444_oracle(), _Q444_NOTES)
+
+
+# --- q445: Kendall tau-b leaderboard stability -------------------------------
+
+
+def q445_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (operators/preference.kendall_tau_b) between two
+    scorings of the event-type 'leaderboard': mean event value vs
+    event frequency — do the two orderings agree?"""
+    from ..operators.preference import kendall_tau_b
+
+    ev = read_table(spark, sf_dir, "events")
+    items = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("value"), 9).cast("decimal(25,9)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mean_value"),
+        F.count("*").cast("double").alias("freq"),
+    )
+    return kendall_tau_b(items, "mean_value", "freq", id_col="event_type")
+
+
+def _q445_oracle() -> str:
+    return """
+    WITH items AS (
+      SELECT event_type AS item,
+             CAST(SUM(CAST(round(value, 9) AS DECIMAL(25,9))) AS DOUBLE)
+               / COUNT(*) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY event_type),
+    pairs AS (
+      SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+      FROM items a JOIN items b ON a.item < b.item),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+             CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ties_x,
+             CAST(SUM(CASE WHEN sx <> 0 AND sy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ties_y,
+             CAST(SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ties_both
+      FROM pairs),
+    ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items)
+    SELECT ni.n_items, agg.n_pairs, agg.concordant, agg.discordant,
+           agg.ties_x, agg.ties_y, agg.ties_both,
+           CASE WHEN (agg.n_pairs - (agg.ties_x + agg.ties_both))
+                     * (agg.n_pairs - (agg.ties_y + agg.ties_both)) > 0
+                THEN round((agg.concordant - agg.discordant)
+                     / sqrt(CAST((agg.n_pairs
+                                  - (agg.ties_x + agg.ties_both))
+                                 * (agg.n_pairs
+                                    - (agg.ties_y + agg.ties_both))
+                                 AS DOUBLE)), 6)
+           END AS tau_b
+    FROM agg CROSS JOIN ni
+    """
+
+
+_Q445_NOTES = (
+    "KENDALL TAU-B (operators/preference.kendall_tau_b — Kendall "
+    "1938, tie correction 1945; the leaderboard-stability readout "
+    "next to q419's Bradley-Terry and mlmetrics' Spearman — "
+    "pair-concordance with the tie story): input is an ITEMS-SIZED "
+    "frame (the q419/q420 bounded class), the i<j self-equi-join is "
+    "items^2-bounded by construction, NEVER corpus-sized; C/D/ties "
+    "are exact LONG sign comparisons on raw scores (no rank pass "
+    "needed), tau-b one sqrt at 6dp (q421 contract), zero-denominator "
+    "(all-tied scoring) degrades to NULL"
+)
+
+ROADMAP14["q445_kendall_tau"] = (
+    q445_kendall_tau,
+    _q445_oracle(),
+    _Q445_NOTES,
+)
+
+
+# --- q446: generation-eval corpus report (composition) -----------------------
+
+
+def q446_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level generation-eval report (composition, the q418
+    class): exact-match rate and macro token-F1 (q433), macro ROUGE-1/2
+    F1 (q435), and corpus BLEU (q434) over the shared eval pairs —
+    ONE row, the scoreboard a model-eval pipeline publishes."""
+    from ..llm.texteval import bleu_corpus, rouge_n, token_f1
+
+    pairs = _eval_pairs(spark, sf_dir)
+    dec = "decimal(25,9)"
+    f1 = token_f1(pairs).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.sum("exact_match") / F.count("*"), 6).alias("em_rate"),
+        F.round(
+            F.sum(F.col("f1").cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("mean_f1"),
+    )
+    r = rouge_n(pairs, ns=(1, 2)).agg(
+        F.round(
+            F.sum(F.when(F.col("n") == 1, F.col("f1").cast(dec))).cast(
+                "double"
+            )
+            / F.count(F.when(F.col("n") == 1, 1)),
+            6,
+        ).alias("mean_rouge1_f1"),
+        F.round(
+            F.sum(F.when(F.col("n") == 2, F.col("f1").cast(dec))).cast(
+                "double"
+            )
+            / F.count(F.when(F.col("n") == 2, 1)),
+            6,
+        ).alias("mean_rouge2_f1"),
+    )
+    b = bleu_corpus(pairs).agg(F.min("bleu").alias("bleu"))
+    return f1.crossJoin(F.broadcast(r)).crossJoin(F.broadcast(b))
+
+
+def _q446_oracle() -> str:
+    return f"""
+    WITH f1t AS ({_q433_oracle()}),
+    rt AS ({_q435_oracle()}),
+    bt AS ({_q434_oracle()})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM f1t) AS n_pairs,
+           (SELECT round(SUM(exact_match) / COUNT(*), 6) FROM f1t)
+             AS em_rate,
+           (SELECT round(CAST(SUM(CAST(f1 AS DECIMAL(25,9))) AS DOUBLE)
+                         / COUNT(*), 6) FROM f1t) AS mean_f1,
+           (SELECT round(CAST(SUM(CASE WHEN n = 1
+                                  THEN CAST(f1 AS DECIMAL(25,9)) END)
+                              AS DOUBLE)
+                         / COUNT(CASE WHEN n = 1 THEN 1 END), 6)
+            FROM rt) AS mean_rouge1_f1,
+           (SELECT round(CAST(SUM(CASE WHEN n = 2
+                                  THEN CAST(f1 AS DECIMAL(25,9)) END)
+                              AS DOUBLE)
+                         / COUNT(CASE WHEN n = 2 THEN 1 END), 6)
+            FROM rt) AS mean_rouge2_f1,
+           (SELECT min(bleu) FROM bt) AS bleu
+    """
+
+
+_Q446_NOTES = (
+    "GENERATION-EVAL CORPUS REPORT (composition, the q418/q396 class "
+    "— the one-row scoreboard an eval pipeline publishes): EM rate + "
+    "macro token-F1 (q433) + macro ROUGE-1/2 F1 (q435) + corpus BLEU "
+    "(q434) over the SHARED eval-pair derivation; the oracle NESTS "
+    "the three component oracles verbatim as CTEs so metric semantics "
+    "are byte-identical by construction — a report-level regression "
+    "test over the whole texteval stack; macro means ride "
+    "DECIMAL(25,9) sums of the 6dp per-pair values, scalar "
+    "recombination via 1-row broadcasts"
+)
+
+ROADMAP14["q446_eval_report"] = (
+    q446_eval_report,
+    _q446_oracle(),
+    _Q446_NOTES,
+)

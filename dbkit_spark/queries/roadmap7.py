@@ -8064,3 +8064,8 @@ ROADMAP7.update(_ROADMAP12)
 from .roadmap13 import ROADMAP13 as _ROADMAP13  # noqa: E402
 
 ROADMAP7.update(_ROADMAP13)
+
+# Round-14 queue additions (same pattern).
+from .roadmap14 import ROADMAP14 as _ROADMAP14  # noqa: E402
+
+ROADMAP7.update(_ROADMAP14)

@@ -456,10 +456,14 @@ def test_queue_wide_no_accidental_nlj(spark):
     # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing;
     # q306/q309 moved there with the round-10 landing; q362 with the
     # round-11 landing; q366 with the round-12 landing; q415 with the
-    # round-14 landing). The round-14 queue (q433+) currently has no
-    # justified entries — add here WITH a per-entry justification if a
-    # future queued query carries the q274/q415 probe-subset class.
-    intentional: set[str] = set()
+    # round-14 landing). Round-14 queue justified entries:
+    #   q445 — kendall_tau_b's i<j pair enumeration is a THETA join,
+    #          so Spark plans a BNLJ — over an ITEMS-SIZED frame by
+    #          input contract (the q419/q420 bounded leaderboard
+    #          class: event types here, models on a board in prod);
+    #          items^2 is the tau-b definition, never corpus data.
+    #          Move to _INTENTIONAL_CROSS at the r15 landing.
+    intentional: set[str] = {"q445_kendall_tau"}
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():

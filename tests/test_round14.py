@@ -1,0 +1,541 @@
+"""Law/hand-case tests for the round-14 operators (generation-eval
+metrics, C4/Gopher segment rules, ECE, MAUVE frontier, Heaps fit,
+factorial interaction, Kendall tau-b). Every queued q433-q446 entry
+has its oracle pre-verified by test_catalog's queue sweep; these pin
+the operator-level semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "pair_id long, cand string, ref string"
+    )
+
+
+# --- token_f1 ----------------------------------------------------------------
+
+
+def test_token_f1_hand_case(spark):
+    from dbkit_spark.llm.texteval import token_f1
+
+    # cand "a b b c", ref "a b d": overlap = a(1) + b(1) = 2
+    out = token_f1(_pairs(spark, [(1, "a b b c", "a b d")])).collect()[0]
+    assert out["n_cand"] == 4 and out["n_ref"] == 3
+    assert out["overlap"] == 2
+    assert out["precision"] == round(2 / 4, 6)
+    assert out["recall"] == round(2 / 3, 6)
+    assert out["f1"] == round(4 / 7, 6)
+    assert out["exact_match"] == 0
+
+
+def test_token_f1_identity_and_empty(spark):
+    from dbkit_spark.llm.texteval import token_f1
+
+    rows = {
+        r["pair_id"]: r
+        for r in token_f1(
+            _pairs(
+                spark,
+                [
+                    (1, "The  cat.", "the cat"),  # normalization match
+                    (2, "", ""),  # both empty -> vacuous 1
+                    (3, "", "xyz"),  # one empty -> 0
+                ],
+            )
+        ).collect()
+    }
+    assert rows[1]["exact_match"] == 1 and rows[1]["f1"] == 1.0
+    assert rows[2]["f1"] == 1.0 and rows[2]["exact_match"] == 1
+    assert rows[3]["f1"] == 0.0 and rows[3]["precision"] == 0.0
+
+
+# --- clipping / BLEU ----------------------------------------------------------
+
+
+def test_bleu_clipping_hand_case(spark):
+    from dbkit_spark.llm.texteval import bleu_corpus
+
+    # Papineni's clipping example: cand all-"the" vs ref with two "the"
+    out = bleu_corpus(
+        _pairs(spark, [(1, "the the the the the the the", "the cat the mat")]),
+        max_n=1,
+    ).collect()[0]
+    assert out["clipped"] == 2 and out["total"] == 7
+    assert out["p_n"] == round(2 / 7, 6)
+
+
+def test_bleu_perfect_match_is_one(spark):
+    from dbkit_spark.llm.texteval import bleu_corpus
+
+    rows = bleu_corpus(
+        _pairs(
+            spark,
+            [(1, "a b c d e", "a b c d e"), (2, "f g h i j", "f g h i j")],
+        )
+    ).collect()
+    assert all(r["p_n"] == 1.0 for r in rows)
+    assert rows[0]["bp"] == 1.0 and rows[0]["bleu"] == 1.0
+
+
+def test_bleu_brevity_penalty_and_zero_order(spark):
+    from dbkit_spark.llm.texteval import bleu_corpus
+
+    # cand shorter than ref -> BP = e^(1 - r/c); a zero p_n pins bleu=0
+    rows = bleu_corpus(
+        _pairs(spark, [(1, "a b", "a b c d")]), max_n=2
+    ).collect()
+    byn = {r["n"]: r for r in rows}
+    assert byn[1]["c_len"] == 2 and byn[1]["r_len"] == 4
+    assert byn[1]["bp"] == round(math.exp(1 - 4 / 2), 6)
+    assert byn[2]["p_n"] == 1.0  # "a b" bigram present in ref
+    assert byn[1]["p_n"] == 1.0
+    assert byn[1]["bleu"] == round(math.exp(1 - 4 / 2) * 1.0, 6)
+    zero = bleu_corpus(
+        _pairs(spark, [(1, "x y", "a b c d")]), max_n=1
+    ).collect()[0]
+    assert zero["p_n"] == 0.0 and zero["bleu"] == 0.0
+
+
+# --- ROUGE ---------------------------------------------------------------------
+
+
+def test_rouge_hand_case(spark):
+    from dbkit_spark.llm.texteval import rouge_n
+
+    # Lin's convention: recall over reference grams
+    rows = rouge_n(
+        _pairs(spark, [(1, "the cat sat", "the cat sat on the mat")]),
+        ns=(1, 2),
+    ).collect()
+    byn = {r["n"]: r for r in rows}
+    assert byn[1]["overlap"] == 3 and byn[1]["ref_grams"] == 6
+    assert byn[1]["recall"] == 0.5 and byn[1]["precision"] == 1.0
+    assert byn[2]["overlap"] == 2 and byn[2]["ref_grams"] == 5
+    assert byn[2]["f1"] == round(2 * 2 / (2 + 5), 6)
+
+
+def test_rouge_empty_side_degrades(spark):
+    from dbkit_spark.llm.texteval import rouge_n
+
+    rows = rouge_n(_pairs(spark, [(1, "a", "a b")]), ns=(2,)).collect()
+    # cand has no bigrams -> precision NULL, f1 from totals
+    assert rows[0]["cand_grams"] == 0
+    assert rows[0]["precision"] is None
+    assert rows[0]["f1"] == 0.0
+
+
+# --- chrF ----------------------------------------------------------------------
+
+
+def test_chrf_identity_and_disjoint(spark):
+    from dbkit_spark.llm.texteval import chrf_score
+
+    rows = {
+        r["pair_id"]: r
+        for r in chrf_score(
+            _pairs(
+                spark,
+                [(1, "abcdef", "abc def"), (2, "aaaa", "zzzz")],
+            )
+        ).collect()
+    }
+    # whitespace-stripped identical -> P = R = F = 1
+    assert rows[1]["chr_p"] == 1.0
+    assert rows[1]["chr_r"] == 1.0
+    assert rows[1]["chrf"] == 1.0
+    # disjoint alphabets -> all zero
+    assert rows[2]["chrf"] == 0.0
+
+
+def test_chrf_beta_weighting_recall(spark):
+    from dbkit_spark.llm.texteval import chrf_score
+
+    # chrF with beta=2 weights recall 4x: verify against the closed form
+    r = chrf_score(_pairs(spark, [(1, "abcd", "abcdefgh")])).collect()[0]
+    p, rr = r["chr_p"], r["chr_r"]
+    assert 0 < rr < p <= 1.0
+    expect = 5 * p * rr / (4 * p + rr)
+    assert abs(r["chrf"] - expect) < 2e-6
+
+
+# --- distinct-n ------------------------------------------------------------------
+
+
+def test_distinct_n_laws(spark):
+    from dbkit_spark.llm.texteval import distinct_n
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "s1"), (2, "a b a b", "s1"), (3, "c d e f", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source"], r["n"]): r for r in distinct_n(docs).collect()
+    }
+    # s1: 8 unigrams, 2 distinct; s2: 4 unigrams, 4 distinct (ratio 1)
+    assert rows[("s1", 1)]["total_grams"] == 8
+    assert rows[("s1", 1)]["distinct_grams"] == 2
+    assert rows[("s2", 1)]["distinct_ratio"] == 1.0
+    assert rows[("s2", 3)]["distinct_ratio"] == 1.0
+
+
+# --- pooled self-BLEU -------------------------------------------------------------
+
+
+def test_self_bleu_pool_laws(spark):
+    from dbkit_spark.llm.texteval import self_bleu_pool
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["n"]): r for r in self_bleu_pool(docs).collect()
+    }
+    # docs 1/2 are clones: every gram of each exists once elsewhere -> p=1
+    assert rows[(1, 1)]["self_p"] == 1.0 and rows[(2, 2)]["self_p"] == 1.0
+    # doc 3 is unique: nothing in the pool minus itself -> p=0
+    assert rows[(3, 1)]["self_p"] == 0.0 and rows[(3, 3)]["self_p"] == 0.0
+
+
+# --- C4 line filters ---------------------------------------------------------------
+
+
+def test_c4_line_filters_hand_case(spark):
+    from dbkit_spark.llm.quality import c4_line_filters
+
+    text = "\n".join(
+        [
+            "this line has enough words to pass.",  # keep
+            "too short.",  # < 5 words
+            "no terminal punctuation here at all",  # no punct
+            "the javascript menu needs five words.",  # javascript
+            'a quoted sentence with five words."',  # keep (quote after punct)
+            "another perfectly good line stays here.",  # keep
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_line_filters(docs).collect()[0]
+    assert r["n_lines"] == 6 and r["n_kept"] == 3
+    assert r["page_pass"] is True
+    kept = r["clean_text"].split("\n")
+    assert kept == [
+        "this line has enough words to pass.",
+        'a quoted sentence with five words."',
+        "another perfectly good line stays here.",
+    ]
+    assert r["kept_chars"] == sum(len(line) for line in kept)
+
+
+def test_c4_page_rules(spark):
+    from dbkit_spark.llm.quality import c4_line_filters
+
+    good = "one fine line that counts here."
+    rows = {
+        r["doc_id"]: r
+        for r in c4_line_filters(
+            spark.createDataFrame(
+                [
+                    (1, "\n".join([good] * 3)),  # 3 kept -> pass
+                    (2, "\n".join([good] * 2)),  # 2 kept -> fail
+                    (3, "\n".join([good] * 3) + "\nvar x = {1};"),  # brace
+                    (4, "\n".join([good] * 3) + "\nLorem Ipsum dolor."),
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert rows[1]["page_pass"] is True
+    assert rows[2]["page_pass"] is False
+    assert rows[3]["has_brace"] is True and rows[3]["page_pass"] is False
+    assert rows[4]["has_lorem"] is True and rows[4]["page_pass"] is False
+
+
+def test_c4_validation(spark):
+    from dbkit_spark.llm.quality import c4_line_filters
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        c4_line_filters(docs, min_line_words=0)
+
+
+# --- Gopher dup segment fractions ----------------------------------------------------
+
+
+def test_dup_segment_fractions_hand_case(spark):
+    from dbkit_spark.llm.quality import dup_segment_fractions
+
+    # 4 lines, "dup" twice -> dup_line_frac = 2/4; chars: dup=3*2=6 of
+    # 3+3+5+7=18; paragraphs: 2, distinct -> 0
+    text = "dup\ndup\nlong1\n\nlonger2"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = dup_segment_fractions(docs).collect()[0]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == 0.5
+    assert r["dup_line_char_frac"] == round(6 / 18, 6)
+    assert r["n_paras"] == 2 and r["dup_para_frac"] == 0.0
+    assert r["rule_dup_line"] is False  # 0.5 > 0.30
+    assert r["passes"] is False
+
+
+def test_dup_segment_all_distinct_passes(spark):
+    from dbkit_spark.llm.quality import dup_segment_fractions
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nbeta\n\ngamma\ndelta")], "doc_id long, text string"
+    )
+    r = dup_segment_fractions(docs).collect()[0]
+    assert r["dup_line_frac"] == 0.0 and r["dup_para_frac"] == 0.0
+    assert r["passes"] is True
+
+
+def test_dup_segment_empty_doc_vacuous(spark):
+    from dbkit_spark.llm.quality import dup_segment_fractions
+
+    r = dup_segment_fractions(
+        spark.createDataFrame([(1, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert r["n_lines"] == 0 and r["dup_line_frac"] == 0.0
+    assert r["passes"] is True
+
+
+# --- ECE -----------------------------------------------------------------------------
+
+
+def test_ece_perfectly_calibrated_zero(spark):
+    from dbkit_spark.operators.mlmetrics import ece_report
+
+    # per bin, frac_pos == mean_prob exactly: prob p in {0.25, 0.75},
+    # labels arranged so accuracy matches
+    rows = []
+    for i in range(100):
+        rows.append((1 if i % 4 == 0 else 0, 0.25))  # 25% positive
+        rows.append((1 if i % 4 != 0 else 0, 0.75))  # 75% positive
+    df = spark.createDataFrame(rows, "label int, prob double")
+    out = {r["scheme"]: r for r in ece_report(df, "label", "prob").collect()}
+    assert out["width"]["ece"] == 0.0 and out["width"]["mce"] == 0.0
+    assert out["mass"]["ece"] == 0.0
+
+
+def test_ece_maximally_miscalibrated(spark):
+    from dbkit_spark.operators.mlmetrics import ece_report
+
+    # all prob 0.95, all labels 0 -> gap 0.95 in the one occupied bin
+    df = spark.createDataFrame(
+        [(0, 0.95)] * 50, "label int, prob double"
+    )
+    out = {r["scheme"]: r for r in ece_report(df, "label", "prob").collect()}
+    assert out["width"]["ece"] == 0.95 and out["width"]["mce"] == 0.95
+    assert out["width"]["n_bins_used"] == 1
+
+
+def test_ece_validation(spark):
+    from dbkit_spark.operators.mlmetrics import ece_report
+
+    df = spark.createDataFrame([(0, 0.5)], "label int, prob double")
+    with pytest.raises(ValueError):
+        ece_report(df, "label", "prob", n_bins=1)
+
+
+# --- MAUVE frontier -----------------------------------------------------------------
+
+
+def test_mauve_identical_corpora_auc_near_one(spark):
+    from dbkit_spark.operators.drift import mauve_frontier
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(200)], "vec_id long, label int"
+    )
+    out = mauve_frontier(df, df, "label").collect()
+    # P == Q -> every KL is 0, frontier pinned at (1, 1), area = 1
+    assert all(r["kl_p_mix"] == 0.0 and r["kl_q_mix"] == 0.0 for r in out)
+    assert all(r["x"] == 1.0 and r["y"] == 1.0 for r in out)
+    # one degenerate point -> trapezoid area collapses to 0 width: the
+    # frontier_auc of a single point is 0 by the fold's empty-sum rule
+    assert out[0]["frontier_auc"] == 0.0
+
+
+def test_mauve_disjoint_supports_kl_grows(spark):
+    from dbkit_spark.operators.drift import mauve_frontier
+
+    p = spark.createDataFrame(
+        [(i, 0) for i in range(100)], "vec_id long, label int"
+    )
+    q = spark.createDataFrame(
+        [(i, 1) for i in range(100)], "vec_id long, label int"
+    )
+    out = mauve_frontier(p, q, "label").collect()
+    lams = [r["lam"] for r in out]
+    assert lams == sorted(lams)
+    # disjoint supports: KL(P||R_lam) = -ln(lam), KL(Q||R) = -ln(1-lam)
+    for r in out:
+        assert abs(r["kl_p_mix"] - round(-math.log(r["lam"]), 6)) < 2e-6
+        assert abs(r["kl_q_mix"] - round(-math.log(1 - r["lam"]), 6)) < 2e-6
+    assert out[0]["n_cells"] == 2
+
+
+def test_mauve_validation(spark):
+    from dbkit_spark.operators.drift import mauve_frontier
+
+    df = spark.createDataFrame([(1, 0)], "vec_id long, label int")
+    with pytest.raises(ValueError):
+        mauve_frontier(df, df, "label", n_lambdas=2)
+
+
+# --- Heaps fit -----------------------------------------------------------------------
+
+
+def test_heaps_exact_power_law(spark):
+    from dbkit_spark.llm.quality import heaps_law_fit
+
+    # construct docs whose cumulative curve is EXACTLY V = n^0.5 at
+    # every checkpoint: doc i adds t_i tokens, v_i new types, with
+    # n_cum = (10i)^2 and V_cum = 10i -> beta = 0.5, ln_k = 0, r2 = 1
+    rows = []
+    prev_n = 0
+    prev_v = 0
+    for i in range(1, 11):
+        n_cum, v_cum = (10 * i) ** 2, 10 * i
+        add_types = [f"t{prev_v + j}" for j in range(v_cum - prev_v)]
+        filler_count = (n_cum - prev_n) - len(add_types)
+        toks = add_types + ["t0"] * filler_count
+        rows.append((i, " ".join(toks)))
+        prev_n, prev_v = n_cum, v_cum
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_law_fit(docs, checkpoints=10).collect()
+    assert out[-1]["n_tokens_cum"] == 10000 and out[-1]["vocab_cum"] == 100
+    assert abs(out[0]["beta"] - 0.5) < 1e-5
+    assert abs(out[0]["ln_k"]) < 1e-5
+    assert abs(out[0]["r2"] - 1.0) < 1e-5
+
+
+def test_heaps_degenerate_vocab_null_fit(spark):
+    from dbkit_spark.llm.quality import heaps_law_fit
+
+    # constant vocabulary (every doc the same token) -> den_y = 0 ->
+    # r2 NULL; beta = 0 (flat line fits exactly)
+    docs = spark.createDataFrame(
+        [(i, "same same same") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    out = heaps_law_fit(docs, checkpoints=4).collect()
+    assert out[-1]["vocab_cum"] == 1
+    assert out[0]["beta"] == 0.0
+    assert out[0]["r2"] is None
+
+
+def test_heaps_validation(spark):
+    from dbkit_spark.llm.quality import heaps_law_fit
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        heaps_law_fit(docs, checkpoints=1)
+
+
+# --- factorial interaction -------------------------------------------------------------
+
+
+def test_factorial_pure_interaction(spark):
+    from dbkit_spark.operators.mlmetrics import factorial_interaction
+
+    # means: m00=0, m01=0, m10=0, m11=1 -> effects a,b = 0.5, g = 1
+    rows = []
+    for a in (0, 1):
+        for b in (0, 1):
+            base = 1.0 if (a and b) else 0.0
+            # two units per cell with +/- 0.1 noise -> variance > 0
+            rows.append((a, b, base + 0.1))
+            rows.append((a, b, base - 0.1))
+    df = spark.createDataFrame(rows, "fa int, fb int, metric double")
+    r = factorial_interaction(df, "fa", "fb", "metric").collect()[0]
+    assert r["mean_11"] == 1.0 and r["mean_00"] == 0.0
+    assert r["effect_a"] == 0.5 and r["effect_b"] == 0.5
+    assert r["interaction"] == 1.0
+    # each cell var = 0.02, se^2 = 4 * 0.02/2 = 0.04 -> se = 0.2, z = 5
+    assert r["se_interaction"] == 0.2
+    assert r["z_interaction"] == 5.0
+    assert r["p_interaction"] < 1e-5
+
+
+def test_factorial_no_interaction_additive(spark):
+    from dbkit_spark.operators.mlmetrics import factorial_interaction
+
+    # additive effects: y = a + 2b -> interaction exactly 0
+    rows = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for eps in (0.01, -0.01):
+                rows.append((a, b, a + 2.0 * b + eps))
+    df = spark.createDataFrame(rows, "fa int, fb int, metric double")
+    r = factorial_interaction(df, "fa", "fb", "metric").collect()[0]
+    assert r["interaction"] == 0.0
+    assert r["effect_a"] == 1.0 and r["effect_b"] == 2.0
+
+
+def test_factorial_singleton_cell_degrades(spark):
+    from dbkit_spark.operators.mlmetrics import factorial_interaction
+
+    rows = [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0)]
+    df = spark.createDataFrame(rows, "fa int, fb int, metric double")
+    r = factorial_interaction(df, "fa", "fb", "metric").collect()[0]
+    assert r["interaction"] == 0.0  # means still computable
+    assert r["se_interaction"] is None and r["p_interaction"] is None
+
+
+# --- Kendall tau-b -----------------------------------------------------------------------
+
+
+def test_kendall_perfect_and_reversed(spark):
+    from dbkit_spark.operators.preference import kendall_tau_b
+
+    items = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("b", 2.0, 20.0), ("c", 3.0, 30.0),
+         ("d", 4.0, 40.0)],
+        "item string, x double, y double",
+    )
+    r = kendall_tau_b(items, "x", "y").collect()[0]
+    assert r["n_pairs"] == 6 and r["concordant"] == 6
+    assert r["tau_b"] == 1.0
+    rev = items.withColumn("y", -F.col("y"))
+    assert kendall_tau_b(rev, "x", "y").collect()[0]["tau_b"] == -1.0
+
+
+def test_kendall_tie_correction_hand_case(spark):
+    from dbkit_spark.operators.preference import kendall_tau_b
+
+    # x: 1,2,2,3 ; y: 1,2,3,4 -> one x-tie pair; C=5, D=0
+    items = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 2.0, 2.0), ("c", 2.0, 3.0), ("d", 3.0, 4.0)],
+        "item string, x double, y double",
+    )
+    r = kendall_tau_b(items, "x", "y").collect()[0]
+    assert r["concordant"] == 5 and r["discordant"] == 0
+    assert r["ties_x"] == 1 and r["ties_y"] == 0
+    assert r["tau_b"] == round(5 / math.sqrt(5 * 6), 6)
+
+
+def test_kendall_all_tied_null(spark):
+    from dbkit_spark.operators.preference import kendall_tau_b
+
+    items = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 1.0, 2.0), ("c", 1.0, 3.0)],
+        "item string, x double, y double",
+    )
+    assert kendall_tau_b(items, "x", "y").collect()[0]["tau_b"] is None
+
+
+# --- queue integrity ------------------------------------------------------------------------
+
+
+def test_roadmap14_entries_well_formed():
+    from dbkit_spark.queries.roadmap14 import ROADMAP14
+
+    assert len(ROADMAP14) == 14
+    for name, (fn, oracle, notes) in ROADMAP14.items():
+        assert callable(fn) and notes
+        assert oracle is None or "SELECT" in oracle.upper()
