@@ -607,3 +607,74 @@ def self_bleu_pool(
             6,
         ).alias("self_p"),
     )
+
+
+def token_f1_inline(cand_toks: Column, ref_toks: Column) -> Column:
+    """MAP-ONLY token-F1 of two token-array columns — the
+    whole-stage-codegen twin of :func:`token_f1` for per-row scoring
+    where a shuffle is unaffordable or impossible (Structured
+    Streaming gates): overlap = Σ over DISTINCT candidate tokens of
+    min(count in cand, count in ref) via array HOFs; F1 by the same
+    multiset identity 2·overlap/(|cand|+|ref|).
+
+    Cost: O(u·(|cand|+|ref|)) per row with u = distinct cand tokens —
+    fine for bounded documents, wrong for the batch path (use
+    :func:`token_f1`'s explode/join there). Returns the 6dp F1 with
+    the same empty-side conventions (both empty → 1, one empty → 0).
+    """
+    ov = F.aggregate(
+        F.array_distinct(cand_toks),
+        F.lit(0),
+        lambda acc, tok: acc
+        + F.least(
+            F.size(F.filter(cand_toks, lambda x: x == tok)),
+            F.size(F.filter(ref_toks, lambda x: x == tok)),
+        ),
+    )
+    nc, nr = F.size(cand_toks), F.size(ref_toks)
+    return F.round(
+        F.when((nc == 0) & (nr == 0), 1.0).otherwise(
+            F.lit(2.0) * ov / (nc + nr)
+        ),
+        6,
+    )
+
+
+def truncation_eval_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 0.6,
+) -> DataFrame:
+    """Per-document eval GATE: score a deterministic candidate rewrite
+    (a doc-varying truncation with the lead tokens duplicated — the
+    duplication makes the multiset CLIPPING real, a pure subset would
+    collapse min(c_cand, c_ref) to |cand|) against the original via
+    :func:`token_f1_inline`, and pass docs scoring ≥ ``tau``.
+
+    The point of the operator is the SHAPE: token-F1 as a map-only
+    projection (no explode, no join, no state) — so the gate composes
+    into the readStream ingest path unchanged, extending the
+    q398/q414 "map-only curation lifts to streaming" rule to the
+    EVALUATION family. availableNow replay == batch run row-for-row.
+
+    Output per doc: (id, n_tokens, k_kept, f1, passes).
+    """
+    t = tokens(text_col)
+    base = docs.select(F.col(id_col), t.alias("_t"))
+    n = F.size("_t")
+    k = F.greatest(
+        F.ceil(n * ((F.col(id_col) % 5) + 1) / F.lit(6.0)).cast("int"),
+        F.lit(1),
+    )
+    cand = F.concat(
+        F.slice("_t", 1, k), F.slice("_t", 1, F.least(F.lit(3), n))
+    )
+    f1 = token_f1_inline(cand, F.col("_t"))
+    return base.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        k.cast("long").alias("k_kept"),
+        f1.alias("f1"),
+        (f1 >= F.lit(tau)).alias("passes"),
+    )

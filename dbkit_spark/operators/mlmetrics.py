@@ -2885,3 +2885,192 @@ def factorial_interaction(
         F.round(z, 6).alias("z_interaction"),
         F.when(se.isNotNull(), normal_p_two_sided(z)).alias("p_interaction"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Wilcoxon SIGNED-RANK test over paired observations (Wilcoxon,
+    Biometrics 1945 — the paired companion to ``mann_whitney_u``'s
+    rank-sum: same units measured under two systems, e.g. per-problem
+    metric scores of model A vs model B; the t-test-free answer to
+    "is A better than B on the same items?"): d = x − y (rounded 9dp,
+    zeros DROPPED and counted — the classic Wilcoxon treatment, Pratt
+    handling documented out of scope), |d| ranked with average ranks,
+    W+ = Σ ranks of positive d; tie-corrected normal approximation
+    z = (W+ − n(n+1)/4) / σ, σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48, and
+    the q407 closed-form two-sided p.
+
+    Integer-exact rank arithmetic (the mann_whitney_u discipline): one
+    hash agg by |d| VALUE, the rank scan runs over DISTINCT values;
+    average ranks are half-integers so 2·W+ =
+    Σ npos(v)·(2·cum_before + c + 1) is an exact LONG; W+, z are IEEE
+    doubles of exact integers. ONE exchange (value agg + ordered scan
+    over the distinct-values frame), then a 1-row reduce.
+
+    Output: ONE row — (n_pairs, n_zero, w_plus, w_minus, z,
+    p_two_sided); n_pairs < 1 (all pairs tied) degrades z/p to NULL.
+    """
+    d = F.round(
+        F.col(x_col).cast("double") - F.col(y_col).cast("double"), 9
+    )
+    base = df.select(d.alias("_d")).filter(F.col("_d").isNotNull())
+    zeros = base.agg(
+        F.count(F.when(F.col("_d") == 0, 1)).cast("long").alias("n_zero")
+    )
+    nz = base.filter(F.col("_d") != 0)
+    per_v = nz.groupBy(F.abs(F.col("_d")).alias("_av")).agg(
+        F.count("*").cast("long").alias("_c"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_npos"),
+    )
+    w = Window.orderBy("_av").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_v.select(
+        "_c",
+        "_npos",
+        (F.sum("_c").over(w) - F.col("_c")).alias("_cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("_c").cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("_npos") * (2 * F.col("_cum_before") + F.col("_c") + 1)
+        )
+        .cast("long")
+        .alias("_w2p"),
+        F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c"))
+        .cast("long")
+        .alias("_tie"),
+    )
+    n = F.col("n_pairs").cast("double")
+    w_plus = F.col("_w2p") / F.lit(2.0)
+    mean_w = n * (n + 1) / 4.0
+    var_w = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("_tie") / F.lit(48.0)
+    z = F.when(
+        (F.col("n_pairs") >= 1) & (var_w > 0),
+        (w_plus - mean_w) / F.sqrt(var_w),
+    )
+    return agg.crossJoin(F.broadcast(zeros)).select(
+        "n_pairs",
+        "n_zero",
+        w_plus.alias("w_plus"),
+        (n * (n + 1) / 2.0 - w_plus).alias("w_minus"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), normal_p_two_sided(z)).alias("p_two_sided"),
+    )
+
+
+def paired_bootstrap_delta(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    n_replicates: int = 50,
+    alpha: float = 0.05,
+    salt: str = "pboot",
+) -> DataFrame:
+    """Paired bootstrap system comparison (Koehn, EMNLP 2004 — the MT
+    community's significance test of record: resample the EVAL SET
+    with replacement, recompute both systems' scores on each resample,
+    read off how often A beats B and the delta's percentile CI; the
+    pairing cancels per-item difficulty, which unpaired tests throw
+    away): deterministic distributed form via the Poisson(1) bootstrap
+    over the engine-wide md5 uniform (the ``bootstrap_mean_ci``
+    machinery — every engine draws the same resamples), applied to the
+    per-item delta d = a − b.
+
+    Exactness: deltas 9dp on DECIMAL(25,9); per-replicate weighted
+    means are single IEEE divisions of decimal sums; the CI is a rank
+    select over the B replicate means (metadata-sized); frac_a_wins
+    counts strict mean_delta > 0 replicates.
+
+    Plan: ×B map-side explode of the projected delta column, one
+    B-group hash agg (map-side combined), one B-row rank select — the
+    bootstrap_mean_ci shape, deltas instead of values.
+
+    Output: ONE row — (n, point_delta, delta_ci_lo, delta_ci_hi,
+    frac_a_wins, n_replicates).
+    """
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    import math
+
+    thresholds = _poisson1_thresholds()
+    dec = "decimal(25,9)"
+    d = F.round(
+        F.col(a_col).cast("double") - F.col(b_col).cast("double"), 9
+    )
+    base = df.select(F.col(id_col).alias("_id"), d.alias("_d")).filter(
+        F.col("_d").isNotNull()
+    )
+    rep = base.select(
+        "_id",
+        "_d",
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("_rep"),
+    )
+    keyed = F.concat(
+        F.col("_id").cast("string"),
+        F.lit(":"),
+        F.col("_rep").cast("string"),
+        F.lit(":" + salt),
+    )
+    raw = F.conv(F.substring(F.md5(keyed), 1, 6), 16, 10).cast("long")
+    u = (raw + F.lit(0.5)) / F.lit(float(16**6))
+    wgt = F.lit(len(thresholds))
+    for k in reversed(range(len(thresholds))):
+        wgt = F.when(u < F.lit(thresholds[k]), k).otherwise(wgt)
+    weighted = rep.select(
+        "_rep",
+        wgt.alias("_w"),
+        (F.col("_d").cast(dec) * F.col("_w")).alias("_wd"),
+    )
+    means = weighted.groupBy("_rep").agg(
+        F.sum("_w").cast("long").alias("_wsum"),
+        F.sum("_wd").alias("_wdsum"),
+    ).select(
+        "_rep",
+        F.when(
+            F.col("_wsum") > 0,
+            F.col("_wdsum").cast("double") / F.col("_wsum"),
+        ).alias("_m"),
+    ).filter(F.col("_m").isNotNull())
+    b = n_replicates
+    lo_rank = max(1, math.ceil(alpha / 2 * b))
+    hi_rank = min(b, math.ceil((1 - alpha / 2) * b))
+    ranked = means.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("_m").asc(), F.col("_rep").asc())
+        ),
+    )
+    ci = ranked.agg(
+        F.round(
+            F.max(F.when(F.col("_rk") == lo_rank, F.col("_m"))), 6
+        ).alias("delta_ci_lo"),
+        F.round(
+            F.max(F.when(F.col("_rk") == hi_rank, F.col("_m"))), 6
+        ).alias("delta_ci_hi"),
+        F.round(
+            F.count(F.when(F.col("_m") > 0, 1)) / F.count("*"), 6
+        ).alias("frac_a_wins"),
+    )
+    point = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("_d").cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("point_delta"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n",
+        "point_delta",
+        "delta_ci_lo",
+        "delta_ci_hi",
+        "frac_a_wins",
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+    )

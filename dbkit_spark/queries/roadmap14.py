@@ -1275,3 +1275,307 @@ ROADMAP14["q446_eval_report"] = (
     _q446_oracle(),
     _Q446_NOTES,
 )
+
+
+# --- q447/q448: paired system comparison -------------------------------------
+
+# Two "systems" over the same items: candidate = the doc's first 1/2
+# (system A) vs first 1/3 (system B) of tokens, both scored by token-F1
+# against the full text — A should win on most items, with per-item
+# magnitudes varying by length. Deterministic, replayed list-for-list.
+
+
+def _paired_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.texteval import token_f1
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+
+    def sys_pairs(den: int) -> DataFrame:
+        k = F.greatest(F.ceil(F.size(t) / float(den)).cast("int"), F.lit(1))
+        return docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.array_join(F.slice(t, 1, k), " ").alias("cand"),
+            F.col("text").alias("ref"),
+        )
+
+    fa = token_f1(sys_pairs(2)).select("pair_id", F.col("f1").alias("f1_a"))
+    fb = token_f1(sys_pairs(3)).select("pair_id", F.col("f1").alias("f1_b"))
+    return fa.join(fb, "pair_id")
+
+
+def _f1_frac_sql(den: int, out: str) -> str:
+    """Per-pair token-F1 of the first-1/den truncation vs the full
+    doc, as a standalone SELECT (expects a ``toks`` CTE in scope)."""
+    return f"""
+    SELECT b.pair_id,
+           round(CASE WHEN b.nc = 0 AND b.nr = 0 THEN 1.0
+                      ELSE 2.0 * COALESCE(o.ov, 0) / (b.nc + b.nr) END, 6)
+             AS {out}
+    FROM (SELECT pair_id, len(ct) AS nc, len(rt) AS nr FROM sl{den}) b
+    LEFT JOIN (
+      SELECT cc.pair_id, SUM(least(cc.c, rc.c)) AS ov
+      FROM (SELECT pair_id, tok, COUNT(*) AS c
+            FROM (SELECT pair_id, unnest(ct) AS tok FROM sl{den})
+            GROUP BY pair_id, tok) cc
+      JOIN (SELECT pair_id, tok, COUNT(*) AS c
+            FROM (SELECT pair_id, unnest(rt) AS tok FROM sl{den})
+            GROUP BY pair_id, tok) rc
+        ON cc.pair_id = rc.pair_id AND cc.tok = rc.tok
+      GROUP BY cc.pair_id) o ON b.pair_id = o.pair_id
+    """
+
+
+def _sl_sql(den: int) -> str:
+    return (
+        f"SELECT pair_id, rt, list_slice(rt, 1, "
+        f"greatest(CAST(ceil(len(rt) / {den}.0) AS INTEGER), 1)) AS ct "
+        "FROM toks"
+    )
+
+
+_PAIRED_SQL = f"""
+    toks AS (SELECT doc_id AS pair_id, {_T.format(c='text')} AS rt
+             FROM documents),
+    sl2 AS ({_sl_sql(2)}),
+    sl3 AS ({_sl_sql(3)}),
+    fa AS ({_f1_frac_sql(2, 'f1_a')}),
+    fb AS ({_f1_frac_sql(3, 'f1_b')}),
+    paired AS (
+      SELECT fa.pair_id, round(fa.f1_a - fb.f1_b, 9) AS d
+      FROM fa JOIN fb ON fa.pair_id = fb.pair_id)
+"""
+
+
+def q447_wilcoxon_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank (operators/mlmetrics.wilcoxon_signed_rank)
+    over the paired per-doc token-F1 scores of the two truncation
+    systems — 'is the 1/2-truncation better than the 1/3 on the same
+    items?'."""
+    from ..operators.mlmetrics import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(
+        _paired_scores(spark, sf_dir), "f1_a", "f1_b"
+    )
+
+
+def _q447_oracle() -> str:
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    return f"""
+    WITH {_PAIRED_SQL},
+    zeros AS (SELECT CAST(COUNT(CASE WHEN d = 0 THEN 1 END) AS BIGINT)
+                AS n_zero FROM paired),
+    nz AS (SELECT d FROM paired WHERE d <> 0),
+    perv AS (SELECT abs(d) AS av, COUNT(*) AS c,
+                    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS npos
+             FROM nz GROUP BY abs(d)),
+    ranked AS (SELECT c, npos,
+                      SUM(c) OVER (ORDER BY av ROWS UNBOUNDED PRECEDING)
+                        - c AS cb
+               FROM perv),
+    agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs,
+                   CAST(SUM(npos * (2 * cb + c + 1)) AS BIGINT) AS w2p,
+                   CAST(SUM(c * c * c - c) AS BIGINT) AS tie
+            FROM ranked),
+    stat AS (
+      SELECT n_pairs,
+             w2p / 2.0 AS w_plus,
+             CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1)
+               / 2.0 - w2p / 2.0 AS w_minus,
+             CASE WHEN n_pairs >= 1
+                       AND (CAST(n_pairs AS DOUBLE)
+                            * (CAST(n_pairs AS DOUBLE) + 1)
+                            * (2 * CAST(n_pairs AS DOUBLE) + 1) / 24.0
+                            - tie / 48.0) > 0
+                  THEN (w2p / 2.0
+                        - CAST(n_pairs AS DOUBLE)
+                          * (CAST(n_pairs AS DOUBLE) + 1) / 4.0)
+                       / sqrt(CAST(n_pairs AS DOUBLE)
+                              * (CAST(n_pairs AS DOUBLE) + 1)
+                              * (2 * CAST(n_pairs AS DOUBLE) + 1) / 24.0
+                              - tie / 48.0)
+             END AS z_raw
+      FROM agg)
+    SELECT stat.n_pairs, zeros.n_zero, stat.w_plus, stat.w_minus,
+           round(stat.z_raw, 6) AS z,
+           CASE WHEN stat.z_raw IS NOT NULL
+                THEN {normal_p_two_sided_sql('stat.z_raw')} END
+             AS p_two_sided
+    FROM stat CROSS JOIN zeros
+    """
+
+
+_Q447_NOTES = (
+    "WILCOXON SIGNED-RANK (operators/mlmetrics.wilcoxon_signed_rank — "
+    "Wilcoxon 1945, the PAIRED companion to q326's rank-sum: same "
+    "items scored under two systems, d = x-y, zeros dropped and "
+    "counted, |d| average-ranked, W+ with the tie-corrected normal "
+    "z and the q407 closed-form p): the mann_whitney integer-rank "
+    "discipline — one hash agg by |d| VALUE, rank scan over DISTINCT "
+    "values, 2*W+ = sum npos*(2*cum_before+c+1) an exact LONG; the "
+    "paired frame is two token_f1 runs (1/2- vs 1/3-truncation "
+    "systems) joined on the item key, replayed list-for-list"
+)
+
+ROADMAP14["q447_wilcoxon_paired"] = (
+    q447_wilcoxon_paired,
+    _q447_oracle(),
+    _Q447_NOTES,
+)
+
+
+def q448_paired_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Koehn paired-bootstrap system comparison (operators/mlmetrics.
+    paired_bootstrap_delta) over the same paired token-F1 scores —
+    the delta CI and the fraction of resamples where A beats B."""
+    from ..operators.mlmetrics import paired_bootstrap_delta
+
+    return paired_bootstrap_delta(
+        _paired_scores(spark, sf_dir), "f1_a", "f1_b", "pair_id",
+        n_replicates=50, alpha=0.05,
+    )
+
+
+def _q448_oracle() -> str:
+    from ..operators.mlmetrics import _poisson1_thresholds
+
+    th = _poisson1_thresholds()
+    hex6 = (
+        "CAST(list_sum(list_transform(generate_series(1, 6), i -> "
+        "CAST((strpos('0123456789abcdef', substr(md5(concat("
+        "CAST(pair_id AS VARCHAR), ':', CAST(rep AS VARCHAR), ':pboot'"
+        ")), i, 1)) - 1) AS BIGINT) "
+        "* CAST(power(16, 6 - i) AS BIGINT))) AS BIGINT)"
+    )
+    ladder = f"CAST({len(th)} AS BIGINT)"
+    for k in reversed(range(len(th))):
+        ladder = f"CASE WHEN u < {th[k]!r} THEN {k} ELSE {ladder} END"
+    return f"""
+    WITH {_PAIRED_SQL},
+    rep AS (
+      SELECT p.pair_id, p.d, r.rep,
+             ({hex6} + 0.5) / 16777216.0 AS u
+      FROM paired p CROSS JOIN generate_series(1, 50) r(rep)),
+    weighted AS (
+      SELECT rep, CAST({ladder} AS BIGINT) AS w,
+             CAST(d AS DECIMAL(25,9)) AS dv
+      FROM rep),
+    means AS (
+      SELECT rep,
+             CASE WHEN SUM(w) > 0
+                  THEN CAST(SUM(dv * w) AS DOUBLE) / SUM(w) END AS m
+      FROM weighted GROUP BY rep),
+    mm AS (SELECT rep, m FROM means WHERE m IS NOT NULL),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rk FROM mm),
+    ci AS (
+      SELECT round(MAX(CASE WHEN rk = 2 THEN m END), 6) AS delta_ci_lo,
+             round(MAX(CASE WHEN rk = 49 THEN m END), 6) AS delta_ci_hi,
+             round(COUNT(CASE WHEN m > 0 THEN 1 END) / COUNT(*), 6)
+               AS frac_a_wins
+      FROM ranked),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(d AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS point_delta
+      FROM paired)
+    SELECT n, point_delta, delta_ci_lo, delta_ci_hi, frac_a_wins,
+           CAST(50 AS BIGINT) AS n_replicates
+    FROM point CROSS JOIN ci
+    """
+
+
+_Q448_NOTES = (
+    "KOEHN PAIRED BOOTSTRAP (operators/mlmetrics."
+    "paired_bootstrap_delta — Koehn EMNLP 2004, the MT significance "
+    "test of record: resample the eval set, read how often system A "
+    "beats B and the delta percentile CI; pairing cancels per-item "
+    "difficulty): the q237 deterministic Poisson(1)-bootstrap "
+    "machinery (inverse-CDF ladder over the portable md5 uniform, "
+    "identical literals both engines) applied to per-item deltas at "
+    "DECIMAL(25,9); x50 map-side explode of the projected delta, one "
+    "50-group agg, 50-row rank select"
+)
+
+ROADMAP14["q448_paired_bootstrap"] = (
+    q448_paired_bootstrap,
+    _q448_oracle(),
+    _Q448_NOTES,
+)
+
+
+# --- q449: streaming eval gate -----------------------------------------------
+
+
+def q449_stream_eval_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-F1 eval gate AT INGEST (llm/texteval.truncation_eval_gate
+    composed into the readStream path): the map-only HOF form of
+    token-F1 scores each doc's deterministic candidate rewrite as it
+    streams in; availableNow replay == batch run row-for-row (the
+    q398/q414 convention) — extending the map-only-lifts-to-streaming
+    rule to the EVALUATION family."""
+    from ..llm.texteval import truncation_eval_gate
+    from ..schema import TABLE_SCHEMAS
+    from ..streaming.runner import run_available_now
+
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = truncation_eval_gate(stream)
+    return run_available_now(gated, output_mode="append").orderBy("doc_id")
+
+
+def _q449_oracle() -> str:
+    cand = (
+        "list_concat(list_slice(t, 1, k), "
+        "list_slice(t, 1, least(3, len(t))))"
+    )
+    ov = (
+        "COALESCE(list_sum(list_transform(list_distinct(cand), tok -> "
+        "least(len(list_filter(cand, x -> x = tok)), "
+        "len(list_filter(t, x -> x = tok))))), 0)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_T.format(c='text')} AS t FROM documents),
+    kd AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil(len(t) * ((doc_id % 5) + 1) / 6.0)
+                           AS INTEGER), 1) AS k
+      FROM toks),
+    cd AS (SELECT doc_id, t, k, {cand} AS cand FROM kd),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(k AS BIGINT) AS k_kept,
+             round(CASE WHEN len(cand) = 0 AND len(t) = 0 THEN 1.0
+                        ELSE 2.0 * ({ov}) / (len(cand) + len(t)) END, 6)
+               AS f1
+      FROM cd)
+    SELECT doc_id, n_tokens, k_kept, f1, f1 >= 0.6 AS passes
+    FROM scored ORDER BY doc_id
+    """
+
+
+_Q449_NOTES = (
+    "STREAMING EVAL GATE (llm/texteval.truncation_eval_gate over "
+    "token_f1_inline — token-F1 as a PURE MAP-ONLY projection via "
+    "array HOFs, O(u*n) per row, documented as the streaming/per-row "
+    "form while the batch path keeps the explode/join token_f1): "
+    "composes into readStream unchanged (append mode, no state); "
+    "availableNow replay equals the batch run row-for-row — with "
+    "q398 (quality) and q414 (PII) this extends the map-only-lifts "
+    "rule to the evaluation family; candidate = doc-varying "
+    "truncation + duplicated lead tokens so multiset clipping is "
+    "exercised (a pure subset would collapse min to |cand|)"
+)
+
+ROADMAP14["q449_stream_eval_gate"] = (
+    q449_stream_eval_gate,
+    _q449_oracle(),
+    _Q449_NOTES,
+)

@@ -535,7 +535,154 @@ def test_kendall_all_tied_null(spark):
 def test_roadmap14_entries_well_formed():
     from dbkit_spark.queries.roadmap14 import ROADMAP14
 
-    assert len(ROADMAP14) == 14
+    assert len(ROADMAP14) == 17
     for name, (fn, oracle, notes) in ROADMAP14.items():
         assert callable(fn) and notes
         assert oracle is None or "SELECT" in oracle.upper()
+
+
+# --- Wilcoxon signed-rank ---------------------------------------------------------------
+
+
+def test_wilcoxon_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import wilcoxon_signed_rank
+
+    # d = +1, +2, +3, -4: ranks of |d| are 1,2,3,4; W+ = 1+2+3 = 6
+    df = spark.createDataFrame(
+        [(2.0, 1.0), (4.0, 2.0), (6.0, 3.0), (1.0, 5.0)],
+        "x double, y double",
+    )
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r["n_pairs"] == 4 and r["n_zero"] == 0
+    assert r["w_plus"] == 6.0 and r["w_minus"] == 4.0
+    mean_w, var_w = 4 * 5 / 4, 4 * 5 * 9 / 24
+    assert r["z"] == round((6.0 - mean_w) / math.sqrt(var_w), 6)
+
+
+def test_wilcoxon_ties_and_zeros(spark):
+    from dbkit_spark.operators.mlmetrics import wilcoxon_signed_rank
+
+    # zeros dropped: 2 zero pairs; |d| = 1,1 tie -> avg rank 1.5 each,
+    # both positive -> W+ = 3
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 2.0), (5.0, 4.0)],
+        "x double, y double",
+    )
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r["n_zero"] == 2 and r["n_pairs"] == 2
+    assert r["w_plus"] == 3.0 and r["w_minus"] == 0.0
+
+
+def test_wilcoxon_symmetric_null(spark):
+    from dbkit_spark.operators.mlmetrics import wilcoxon_signed_rank
+
+    # antisymmetric deltas: W+ = W- -> z = 0, p = 1
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (0.0, 1.0), (3.0, 1.0), (1.0, 3.0)],
+        "x double, y double",
+    )
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r["w_plus"] == r["w_minus"]
+    # p via the q407 Abramowitz-Stegun form: |err| < 7.5e-8, so the
+    # exact 1.0 shows up as 0.999999999 at the 9dp emit
+    assert r["z"] == 0.0 and r["p_two_sided"] >= 1.0 - 1e-7
+
+
+# --- paired bootstrap -----------------------------------------------------------------------
+
+
+def test_paired_bootstrap_constant_delta(spark):
+    from dbkit_spark.operators.mlmetrics import paired_bootstrap_delta
+
+    # constant positive delta: every resample mean is exactly 0.2 ->
+    # degenerate CI at 0.2, A wins every replicate
+    rows = [(i, 1.0, 0.8) for i in range(200)]
+    df = spark.createDataFrame(rows, "pid long, a double, b double")
+    r = paired_bootstrap_delta(df, "a", "b", "pid").collect()[0]
+    assert r["n"] == 200 and r["point_delta"] == 0.2
+    assert r["delta_ci_lo"] == 0.2 and r["delta_ci_hi"] == 0.2
+    assert r["frac_a_wins"] == 1.0
+
+
+def test_paired_bootstrap_sign_flip_antisymmetry(spark):
+    from dbkit_spark.operators.mlmetrics import paired_bootstrap_delta
+
+    # swapping the systems negates the deltas: point/CI mirror
+    rows = [(i, 1.0 + (i % 7) / 10.0, 1.0 + (i % 3) / 10.0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "pid long, a double, b double")
+    ab = paired_bootstrap_delta(df, "a", "b", "pid").collect()[0]
+    ba = paired_bootstrap_delta(df, "b", "a", "pid").collect()[0]
+    assert ab["point_delta"] == -ba["point_delta"]
+    assert ab["delta_ci_lo"] == -ba["delta_ci_hi"]
+    assert ab["delta_ci_hi"] == -ba["delta_ci_lo"]
+
+
+def test_paired_bootstrap_validation(spark):
+    from dbkit_spark.operators.mlmetrics import paired_bootstrap_delta
+
+    df = spark.createDataFrame([(1, 1.0, 0.5)], "pid long, a double, b double")
+    with pytest.raises(ValueError):
+        paired_bootstrap_delta(df, "a", "b", "pid", n_replicates=1)
+    with pytest.raises(ValueError):
+        paired_bootstrap_delta(df, "a", "b", "pid", alpha=1.5)
+
+
+# --- inline F1 / streaming gate -----------------------------------------------------------------
+
+
+def test_token_f1_inline_matches_batch(spark):
+    from dbkit_spark.llm.texteval import token_f1, token_f1_inline
+    from dbkit_spark.functions.text import tokens
+
+    pairs = _pairs(
+        spark,
+        [
+            (1, "a b b c", "a b d"),
+            (2, "", ""),
+            (3, "", "xyz"),
+            (4, "the cat sat", "the cat sat on the mat"),
+            (5, "x x x", "x"),
+        ],
+    )
+    inline = {
+        r["pair_id"]: r["f1i"]
+        for r in pairs.select(
+            "pair_id",
+            token_f1_inline(tokens("cand"), tokens("ref")).alias("f1i"),
+        ).collect()
+    }
+    batch = {r["pair_id"]: r["f1"] for r in token_f1(pairs).collect()}
+    assert inline == batch
+
+
+def test_truncation_gate_stream_equals_batch(spark, sf_dir):
+    from dbkit_spark.llm.texteval import truncation_eval_gate
+    from dbkit_spark.queries.roadmap14 import ROADMAP14
+    from dbkit_spark.sources import read_table
+
+    batch = sorted(
+        tuple(r)
+        for r in truncation_eval_gate(
+            read_table(spark, sf_dir, "documents")
+        ).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in ROADMAP14["q449_stream_eval_gate"][0](spark, sf_dir).collect()
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+def test_truncation_gate_clipping_is_real(spark):
+    from dbkit_spark.llm.texteval import truncation_eval_gate
+
+    # doc 5 tokens, doc_id 0 -> k = ceil(5*1/6) = 1; cand = [t1] +
+    # [t1 t2 t3] = 4 tokens with t1 twice but ref has t1 once ->
+    # overlap = 1(clipped) + 1 + 1 = 3, f1 = 2*3/(4+5)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta eps")], "doc_id long, text string"
+    )
+    r = truncation_eval_gate(docs).collect()[0]
+    assert r["n_tokens"] == 5 and r["k_kept"] == 1
+    assert r["f1"] == round(6 / 9, 6)
