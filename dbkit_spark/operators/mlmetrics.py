@@ -3074,3 +3074,88 @@ def paired_bootstrap_delta(
         "frac_a_wins",
         F.lit(n_replicates).cast("long").alias("n_replicates"),
     )
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-squared test of INDEPENDENCE over an R×C
+    contingency table (Pearson 1900) with Cramér's V effect size
+    (Cramér 1946) — the "are these two labelings related at all?"
+    readout for corpus metadata (language × source, gate verdict ×
+    domain): chi² = Σ (O−E)²/E with E = r_i·c_j/N, dof = (R−1)(C−1),
+    V = √(chi²/(N·min(R−1, C−1))); the chi²-family completion next to
+    ``mcnemar_test`` (paired binary) and ``srm_check`` (1-D
+    goodness-of-fit vs declared shares).
+
+    The p-value is computed IN-ENGINE via the Wilson–Hilferty cube-root
+    normal approximation (Wilson & Hilferty, PNAS 1931):
+    z = ((chi²/k)^{1/3} − (1 − 2/(9k)))·√(9k/2) is ≈ N(0,1) under the
+    null, accurate to ~1e-3 in p for k ≥ 1 — a documented
+    approximation (the q407 closed-form-over-client-side-table trade),
+    upper tail through the Abramowitz-Stegun form.
+
+    Plan: ONE (row, col) count aggregate over the corpus (map-side
+    combined) to a cells-sized frame; margins are two aggregates OVER
+    THE CELLS frame broadcast back; the chi² reduce is one more
+    cells-sized pass. Expected-count hygiene: cells with E = 0
+    cannot occur (margins are built from observed cells); the
+    classic E ≥ 5 validity caveat is the caller's to check from the
+    emitted min_expected.
+
+    Output: ONE row — (n, n_rows, n_cols, dof, chi2, cramers_v,
+    min_expected, z_wh, p_value); dof = 0 (single row or column)
+    degrades chi2-derived fields to NULL.
+    """
+    cells = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count("*").cast("long").alias("_o"))
+    rm = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rm"))
+    cm = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_cm"))
+    tot = cells.agg(
+        F.sum("_o").cast("long").alias("_n"),
+        F.countDistinct("_r").cast("long").alias("n_rows"),
+        F.countDistinct("_c").cast("long").alias("n_cols"),
+    )
+    dec = "decimal(25,9)"
+    joined = (
+        cells.join(F.broadcast(rm), "_r")
+        .join(F.broadcast(cm), "_c")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_rm") * F.col("_cm") / F.col("_n")
+    term = F.round((F.col("_o") - e) * (F.col("_o") - e) / e, 9).cast(dec)
+    agg = joined.agg(
+        F.max("_n").alias("n"),
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_cols").alias("n_cols"),
+        F.sum(term).alias("_chi2"),
+        F.round(F.min(e), 6).alias("min_expected"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    chi2 = F.col("_chi2").cast("double")
+    k = dof.cast("double")
+    z_wh = (
+        F.pow(chi2 / k, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) * F.sqrt(F.lit(9.0) * k / F.lit(2.0))
+    minrc = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v = F.sqrt(chi2 / (F.col("n") * minrc))
+    ok = dof > 0
+    p2 = normal_p_two_sided(z_wh)
+    p_upper = F.when(z_wh >= 0, p2 / 2).otherwise(1 - p2 / 2)
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        dof.cast("long").alias("dof"),
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.round(F.when(ok, v), 6).alias("cramers_v"),
+        "min_expected",
+        F.round(F.when(ok, z_wh), 6).alias("z_wh"),
+        F.round(F.when(ok, p_upper), 9).alias("p_value"),
+    )

@@ -87,3 +87,123 @@ def kaplan_meier(
             F.col("_t").alias("duration"), "d", "n_at_risk", "survival"
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972 — THE
+    companion to :func:`kaplan_meier`: two retention curves differ
+    visually, is the difference real? Compares the whole curves, not
+    one horizon, and handles right-censoring exactly like KM):
+    at each distinct event time t, observed arm-A events d_A(t) vs
+    the expectation d(t)·n_A(t)/n(t) under the pooled-hazard null;
+    Z = Σ(O − E) / √ΣV with the hypergeometric variance
+    V(t) = d(t)·(n_A/n)·(1 − n_A/n)·(n − d)/(n − 1), and the q407
+    closed-form two-sided p. Times with n(t) ≤ 1 contribute zero
+    variance (degenerate hypergeometric, skipped — documented).
+
+    Plan: the kaplan_meier shape twice over — one grouped count per
+    distinct duration (events and leavers PER ARM), cumulative windows
+    over the duration-ordered risk table (O(distinct durations) rows,
+    metadata-sized next to the subject table), then ONE 1-row reduce.
+    O/E/n are exact integers or single divisions; the O−E and V terms
+    ride DECIMAL(25,9) sums of 9dp-rounded values.
+
+    Output: ONE row — (n_a, n_b, events_a, events_b, observed_a,
+    expected_a, z, p_two_sided); z/p NULL when ΣV = 0 (no usable
+    event times).
+    """
+    both = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(duration_col).isNotNull()
+    )
+    is_a = (F.col(group_col) == group_a).cast("int")
+    base = both.select(
+        F.col(duration_col).alias("_t"),
+        F.col(observed_col).cast("int").alias("_e"),
+        is_a.alias("_a"),
+    )
+    per_t = base.groupBy("_t").agg(
+        F.sum("_e").cast("long").alias("_d"),
+        F.sum(F.col("_e") * F.col("_a")).cast("long").alias("_da"),
+        F.count("*").cast("long").alias("_leave"),
+        F.sum("_a").cast("long").alias("_leave_a"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("_n_all"),
+        F.sum("_a").cast("long").alias("_n_a_all"),
+        F.sum(F.col("_e") * F.col("_a")).cast("long").alias("events_a"),
+        F.sum(F.col("_e") * (1 - F.col("_a"))).cast("long").alias(
+            "events_b"
+        ),
+    )
+    w = Window.orderBy("_t")
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (
+            F.col("_n_all")
+            - F.coalesce(
+                F.sum("_leave").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("_nt"),
+        (
+            F.col("_n_a_all")
+            - F.coalesce(
+                F.sum("_leave_a").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("_nat"),
+    )
+    dec = "decimal(25,9)"
+    ev = risk.filter(F.col("_d") > 0)
+    share = F.col("_nat") / F.col("_nt")
+    oe_term = F.round(F.col("_da") - F.col("_d") * share, 9).cast(dec)
+    v_term = F.when(
+        F.col("_nt") > 1,
+        F.round(
+            F.col("_d")
+            * share
+            * (1 - share)
+            * (F.col("_nt") - F.col("_d"))
+            / (F.col("_nt") - 1),
+            9,
+        ).cast(dec),
+    )
+    agg = ev.agg(
+        F.sum(F.col("_da")).cast("long").alias("observed_a"),
+        F.sum(F.round(F.col("_d") * share, 9).cast(dec)).alias("_ea"),
+        F.sum(oe_term).alias("_oe"),
+        F.coalesce(F.sum(v_term), F.lit(0).cast(dec)).alias("_v"),
+        # tot's columns are constants replicated by the broadcast join
+        F.max("_n_a_all").alias("n_a"),
+        F.max(F.col("_n_all") - F.col("_n_a_all")).alias("n_b"),
+        F.max("events_a").alias("events_a"),
+        F.max("events_b").alias("events_b"),
+    )
+    z = F.when(
+        F.col("_v").cast("double") > 0,
+        F.col("_oe").cast("double") / F.sqrt(F.col("_v").cast("double")),
+    )
+    from .mlmetrics import normal_p_two_sided
+
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("events_a").cast("long").alias("events_a"),
+        F.col("events_b").cast("long").alias("events_b"),
+        "observed_a",
+        F.round(F.col("_ea").cast("double"), 6).alias("expected_a"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), normal_p_two_sided(z)).alias("p_two_sided"),
+    )

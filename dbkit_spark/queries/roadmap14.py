@@ -1579,3 +1579,278 @@ ROADMAP14["q449_stream_eval_gate"] = (
     _q449_oracle(),
     _Q449_NOTES,
 )
+
+
+# --- q450: two-sample log-rank test ------------------------------------------
+
+
+def q450_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (operators/survival.logrank_test) over
+    the q238 retention subjects, arms = portable-hash coin of the
+    user — 'do the two cohorts' conversion curves differ?'."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.survival import logrank_test
+
+    ev = read_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    subj = spans.select(
+        F.floor(
+            (
+                F.unix_timestamp(F.coalesce("first_purchase", "last_ts"))
+                - F.unix_timestamp("first_ts")
+            )
+            / F.lit(3600)
+        ).alias("duration_h"),
+        F.col("first_purchase").isNotNull().cast("int").alias("converted"),
+        F.when(u32_md5(F.col("user_id"), "lr") % 2 == 0, "a")
+        .otherwise("b")
+        .alias("arm"),
+    )
+    return logrank_test(subj, "duration_h", "converted", "arm", "a", "b")
+
+
+def _q450_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    coin = f"CASE WHEN ({u32_md5_sql('user_id', 'lr')}) % 2 = 0 " \
+           "THEN 'a' ELSE 'b' END"
+    return f"""
+    WITH spans AS (
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    subj AS (
+      SELECT CAST(floor((floor(epoch(COALESCE(first_purchase, last_ts)))
+                         - floor(epoch(first_ts))) / 3600) AS BIGINT) AS t,
+             CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS e,
+             CASE WHEN {coin} = 'a' THEN 1 ELSE 0 END AS a
+      FROM spans),
+    per_t AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(e * a) AS BIGINT) AS da,
+             CAST(COUNT(*) AS BIGINT) AS lv,
+             CAST(SUM(a) AS BIGINT) AS lva
+      FROM subj GROUP BY t),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                   CAST(SUM(a) AS BIGINT) AS n_a_all,
+                   CAST(SUM(e * a) AS BIGINT) AS events_a,
+                   CAST(SUM(e * (1 - a)) AS BIGINT) AS events_b
+            FROM subj),
+    risk AS (
+      SELECT per_t.*, tot.n_all, tot.n_a_all, tot.events_a, tot.events_b,
+             n_all - COALESCE(SUM(lv) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nt,
+             n_a_all - COALESCE(SUM(lva) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nat
+      FROM per_t CROSS JOIN tot),
+    ev AS (SELECT * FROM risk WHERE d > 0),
+    agg AS (
+      SELECT CAST(SUM(da) AS BIGINT) AS observed_a,
+             SUM(CAST(round(d * (nat / nt), 9) AS DECIMAL(25,9))) AS ea,
+             SUM(CAST(round(da - d * (nat / nt), 9) AS DECIMAL(25,9)))
+               AS oe,
+             COALESCE(SUM(CASE WHEN nt > 1 THEN
+               CAST(round(d * (nat / nt) * (1 - nat / nt)
+                          * (nt - d) / (nt - 1), 9) AS DECIMAL(25,9))
+             END), 0) AS v,
+             MAX(n_a_all) AS n_a, MAX(n_all - n_a_all) AS n_b,
+             MAX(events_a) AS events_a, MAX(events_b) AS events_b
+      FROM ev),
+    stat AS (
+      SELECT *, CASE WHEN CAST(v AS DOUBLE) > 0
+                     THEN CAST(oe AS DOUBLE) / sqrt(CAST(v AS DOUBLE))
+                END AS z_raw
+      FROM agg)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(events_a AS BIGINT) AS events_a,
+           CAST(events_b AS BIGINT) AS events_b,
+           observed_a,
+           round(CAST(ea AS DOUBLE), 6) AS expected_a,
+           round(z_raw, 6) AS z,
+           CASE WHEN z_raw IS NOT NULL
+                THEN {normal_p_two_sided_sql('z_raw')} END AS p_two_sided
+    FROM stat
+    """
+
+
+_Q450_NOTES = (
+    "TWO-SAMPLE LOG-RANK TEST (operators/survival.logrank_test — "
+    "Mantel 1966; Peto & Peto 1972: the KM companion that answers "
+    "'do these two retention curves differ?' across the WHOLE curve "
+    "with exact right-censoring handling; O-E vs the pooled-hazard "
+    "expectation with the hypergeometric variance, z + the q407 "
+    "closed-form p): the kaplan_meier shape per arm — one grouped "
+    "count per distinct duration, cumulative windows over the "
+    "metadata-sized risk table, ONE 1-row reduce; O/E/V terms ride "
+    "DECIMAL(25,9); n<=1 times contribute zero variance (documented); "
+    "arms are portable-hash coins so the oracle replays the "
+    "assignment digit-for-digit"
+)
+
+ROADMAP14["q450_logrank"] = (q450_logrank, _q450_oracle(), _Q450_NOTES)
+
+
+# --- q451: contingency chi-squared + Cramér's V ------------------------------
+
+
+def q451_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson independence test (operators/mlmetrics.contingency_chi2)
+    over the documents lang x source contingency table."""
+    from ..operators.mlmetrics import contingency_chi2
+
+    docs = read_table(spark, sf_dir, "documents")
+    return contingency_chi2(docs, "lang", "source")
+
+
+def _q451_oracle() -> str:
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    z = (
+        "(pow(CAST(chi2r AS DOUBLE) / k, 1.0 / 3.0)"
+        " - (1.0 - 2.0 / (9.0 * k))) * sqrt(9.0 * k / 2.0)"
+    )
+    return f"""
+    WITH cells AS (
+      SELECT lang AS r, source AS c, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY lang, source),
+    rm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rmv FROM cells GROUP BY r),
+    cm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS cmv FROM cells GROUP BY c),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols
+            FROM cells),
+    joined AS (
+      SELECT cells.o, rm.rmv, cm.cmv, tot.n, tot.n_rows, tot.n_cols,
+             rm.rmv * cm.cmv / tot.n AS e
+      FROM cells JOIN rm ON cells.r = rm.r
+                 JOIN cm ON cells.c = cm.c
+                 CROSS JOIN tot),
+    agg AS (
+      SELECT MAX(n) AS n, MAX(n_rows) AS n_rows, MAX(n_cols) AS n_cols,
+             SUM(CAST(round((o - e) * (o - e) / e, 9) AS DECIMAL(25,9)))
+               AS chi2r,
+             round(MIN(e), 6) AS min_expected
+      FROM joined),
+    terms AS (
+      SELECT n, n_rows, n_cols, chi2r, min_expected,
+             (n_rows - 1) * (n_cols - 1) AS dof,
+             CAST((n_rows - 1) * (n_cols - 1) AS DOUBLE) AS k
+      FROM agg),
+    stat AS (
+      SELECT *, CASE WHEN dof > 0 THEN {z} END AS z_raw,
+             CASE WHEN dof > 0 THEN
+               sqrt(CAST(chi2r AS DOUBLE)
+                    / (n * least(n_rows - 1, n_cols - 1))) END AS v_raw
+      FROM terms)
+    SELECT CAST(n AS BIGINT) AS n, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_cols AS BIGINT) AS n_cols,
+           CAST(dof AS BIGINT) AS dof,
+           round(CASE WHEN dof > 0 THEN CAST(chi2r AS DOUBLE) END, 6)
+             AS chi2,
+           round(v_raw, 6) AS cramers_v,
+           min_expected,
+           round(z_raw, 6) AS z_wh,
+           round(CASE WHEN z_raw IS NULL THEN NULL
+                      WHEN z_raw >= 0
+                      THEN {normal_p_two_sided_sql('z_raw')} / 2
+                      ELSE 1 - {normal_p_two_sided_sql('z_raw')} / 2 END, 9)
+             AS p_value
+    FROM stat
+    """
+
+
+_Q451_NOTES = (
+    "PEARSON CONTINGENCY CHI-SQUARED + CRAMER'S V (operators/"
+    "mlmetrics.contingency_chi2 — Pearson 1900; Cramer 1946; the "
+    "chi2-family completion next to mcnemar (paired binary) and "
+    "srm_check (1-D goodness-of-fit): are two corpus labelings "
+    "related at all?): ONE (row, col) count aggregate to a "
+    "cells-sized frame + margins over cells broadcast back; (O-E)^2/E "
+    "terms ride DECIMAL(25,9); the p-value is IN-ENGINE via the "
+    "Wilson-Hilferty cube-root normal approximation (PNAS 1931, "
+    "~1e-3 accuracy documented) through the q407 tail; min_expected "
+    "emitted so the caller can check the classic E>=5 validity rule"
+)
+
+ROADMAP14["q451_contingency"] = (
+    q451_contingency,
+    _q451_oracle(),
+    _Q451_NOTES,
+)
+
+
+# --- q452: readability battery -----------------------------------------------
+
+
+def q452_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch/Flesch-Kincaid readability (llm/quality.
+    readability_scores) over the q439 line-structured text (the
+    derivation that gives the fixture terminal punctuation, so
+    sentence counts vary)."""
+    from ..llm.quality import readability_scores
+
+    return readability_scores(_lined_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q452_oracle() -> str:
+    syl = (
+        "list_sum(list_transform(t, w -> greatest(len(list_filter("
+        "string_split_regex(w, '[^aeiouy]+'), x -> x <> '')), 1)))"
+    )
+    return f"""
+    WITH lined AS ({_LINED_SQL}),
+    toks AS (
+      SELECT doc_id, text, {_T.format(c='text')} AS t FROM lined),
+    scored AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             {syl} AS syl,
+             len(list_filter(string_split_regex(text, '[^.!?]+'),
+                 x -> x <> '')) AS sent_raw
+      FROM toks)
+    SELECT doc_id,
+           CAST(CASE WHEN n_words > 0 THEN greatest(sent_raw, 1) END
+                AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(CASE WHEN n_words > 0 THEN syl END AS BIGINT)
+             AS n_syllables,
+           round(CASE WHEN n_words > 0 THEN
+             206.835 - 1.015 * (n_words / greatest(sent_raw, 1))
+             - 84.6 * (syl / n_words) END, 6) AS flesch_reading_ease,
+           round(CASE WHEN n_words > 0 THEN
+             0.39 * (n_words / greatest(sent_raw, 1))
+             + 11.8 * (syl / n_words) - 15.59 END, 6) AS fk_grade
+    FROM scored ORDER BY doc_id
+    """
+
+
+_Q452_NOTES = (
+    "FLESCH READING EASE + FLESCH-KINCAID GRADE (llm/quality."
+    "readability_scores — Flesch 1948; Kincaid et al. 1975: the "
+    "readability signals published quality classifiers feed next to "
+    "the Gopher stats; word-salad and legalese both flag as "
+    "extremes): MAP-ONLY — token array ops + two regexp counts in "
+    "whole-stage codegen, syllables = vowel-group runs floored at 1 "
+    "(the standard programmatic approximation, documented), "
+    "sentences = terminal-punctuation runs floored at 1; lifts to "
+    "readStream (q398/q414/q449 family); single IEEE divisions of "
+    "exact integer counts, 6dp; runs over the q439 line-structured "
+    "derivation so the fixture has real sentence boundaries"
+)
+
+ROADMAP14["q452_readability"] = (
+    q452_readability,
+    _q452_oracle(),
+    _Q452_NOTES,
+)

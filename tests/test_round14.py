@@ -535,7 +535,7 @@ def test_kendall_all_tied_null(spark):
 def test_roadmap14_entries_well_formed():
     from dbkit_spark.queries.roadmap14 import ROADMAP14
 
-    assert len(ROADMAP14) == 17
+    assert len(ROADMAP14) == 20
     for name, (fn, oracle, notes) in ROADMAP14.items():
         assert callable(fn) and notes
         assert oracle is None or "SELECT" in oracle.upper()
@@ -686,3 +686,136 @@ def test_truncation_gate_clipping_is_real(spark):
     r = truncation_eval_gate(docs).collect()[0]
     assert r["n_tokens"] == 5 and r["k_kept"] == 1
     assert r["f1"] == round(6 / 9, 6)
+
+
+# --- log-rank test --------------------------------------------------------------------------
+
+
+def test_logrank_identical_arms_z_zero(spark):
+    from dbkit_spark.operators.survival import logrank_test
+
+    # mirror-image arms: every event time has equal arm representation
+    rows = []
+    for arm in ("a", "b"):
+        rows += [(1.0, 1, arm), (2.0, 1, arm), (3.0, 0, arm), (4.0, 1, arm)]
+    df = spark.createDataFrame(rows, "dur double, obs int, arm string")
+    r = logrank_test(df, "dur", "obs", "arm", "a", "b").collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["observed_a"] == 3
+    assert r["expected_a"] == 3.0
+    assert r["z"] == 0.0
+
+
+def test_logrank_hand_case(spark):
+    from dbkit_spark.operators.survival import logrank_test
+
+    # arm a events at t=1,2; arm b censored at t=3: at t=1 n=4, na=2,
+    # d=1 -> E=0.5, V = 1*(1/2)(1/2)(3/3) = 0.25; at t=2 n=3, na=1,
+    # d=1 -> E=1/3, V = (1/3)(2/3)(2/2) = 2/9. O-E = 2 - 5/6 = 7/6,
+    # V = 0.25 + 2/9 = 17/36 -> z = (7/6)/sqrt(17/36)
+    df = spark.createDataFrame(
+        [(1.0, 1, "a"), (2.0, 1, "a"), (3.0, 0, "b"), (3.0, 0, "b")],
+        "dur double, obs int, arm string",
+    )
+    r = logrank_test(df, "dur", "obs", "arm", "a", "b").collect()[0]
+    assert r["observed_a"] == 2
+    assert r["expected_a"] == round(0.5 + 1 / 3, 6)
+    expect_z = (2 - (0.5 + 1 / 3)) / math.sqrt(0.25 + 2 / 9)
+    assert abs(r["z"] - expect_z) < 2e-6
+    assert r["p_two_sided"] < 0.15
+
+
+def test_logrank_no_events_null(spark):
+    from dbkit_spark.operators.survival import logrank_test
+
+    df = spark.createDataFrame(
+        [(1.0, 0, "a"), (2.0, 0, "b")], "dur double, obs int, arm string"
+    )
+    r = logrank_test(df, "dur", "obs", "arm", "a", "b").collect()[0]
+    assert r["z"] is None and r["p_two_sided"] is None
+
+
+# --- contingency chi2 ------------------------------------------------------------------------
+
+
+def test_contingency_independent_zero(spark):
+    from dbkit_spark.operators.mlmetrics import contingency_chi2
+
+    # perfectly proportional table: chi2 = 0, V = 0
+    rows = []
+    for r_ in ("x", "y"):
+        for c_, k in (("p", 10), ("q", 20)):
+            rows += [(r_, c_)] * k
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = contingency_chi2(df, "r", "c").collect()[0]
+    assert out["n"] == 60 and out["dof"] == 1
+    assert out["chi2"] == 0.0 and out["cramers_v"] == 0.0
+    assert out["min_expected"] == 10.0
+
+
+def test_contingency_hand_chi2(spark):
+    from dbkit_spark.operators.mlmetrics import contingency_chi2
+
+    # 2x2 table [[30,10],[10,30]]: chi2 = 80*(30*30-10*10)^2/(40^4) = 20
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = contingency_chi2(df, "r", "c").collect()[0]
+    assert out["chi2"] == 20.0
+    assert out["cramers_v"] == round(math.sqrt(20 / 80), 6)
+    assert out["p_value"] < 1e-4  # chi2=20 at dof 1 is p ~ 7.7e-6
+
+
+def test_contingency_degenerate_single_column(spark):
+    from dbkit_spark.operators.mlmetrics import contingency_chi2
+
+    df = spark.createDataFrame(
+        [("x", "only"), ("y", "only")], "r string, c string"
+    )
+    out = contingency_chi2(df, "r", "c").collect()[0]
+    assert out["dof"] == 0 and out["chi2"] is None
+    assert out["p_value"] is None
+
+
+# --- readability -----------------------------------------------------------------------------
+
+
+def test_readability_hand_case(spark):
+    from dbkit_spark.llm.quality import readability_scores
+
+    # "the cat sat. it ran away!" -> 2 sentences, 6 words,
+    # syllables: the(1) cat(1) sat(1) it(1) ran(1) away(2: a-way) = 7
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran away!")], "doc_id long, text string"
+    )
+    r = readability_scores(docs).collect()[0]
+    assert r["n_sentences"] == 2 and r["n_words"] == 6
+    assert r["n_syllables"] == 7
+    wps, spw = 6 / 2, 7 / 6
+    assert r["flesch_reading_ease"] == round(
+        206.835 - 1.015 * wps - 84.6 * spw, 6
+    )
+    assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+
+
+def test_readability_no_punct_one_sentence(spark):
+    from dbkit_spark.llm.quality import readability_scores
+
+    r = readability_scores(
+        spark.createDataFrame(
+            [(1, "word soup with no stops at all")],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert r["n_sentences"] == 1  # run-on degradation, not div-by-zero
+
+
+def test_readability_empty_doc_nulls(spark):
+    from dbkit_spark.llm.quality import readability_scores
+
+    r = readability_scores(
+        spark.createDataFrame([(1, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert r["flesch_reading_ease"] is None and r["fk_grade"] is None
