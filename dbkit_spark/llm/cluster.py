@@ -883,3 +883,156 @@ def semdedup_delta(
         "cdist",
         F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"),
     )
+
+
+def cluster_validity(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Internal cluster-validity indices over a labeled embedding set —
+    the two classical k-selection/partition-quality readouts next to
+    :func:`silhouette_simplified` (per-cluster cohesion) and
+    :func:`adjusted_rand_index` (external agreement):
+
+    - **Calinski–Harabasz** (Calinski & Harabasz 1974, the "variance
+      ratio criterion"): CH = (B/(k−1)) / (W/(n−k)) with B the
+      between-cluster scatter Σ n_c·‖μ_c − μ‖² and W the
+      within-cluster scatter Σ‖x − μ_{c(x)}‖² — higher = tighter,
+      better-separated clusters; the standard elbow statistic.
+    - **Davies–Bouldin** (Davies & Bouldin, TPAMI 1979):
+      DB = (1/k)·Σ_i max_{j≠i} (s_i + s_j)/d_ij with s_i the mean
+      distance to the i-th centroid and d_ij the centroid separation
+      — lower = better; penalizes the WORST neighbor per cluster.
+
+    Scale shape: ONE decimal-summed centroid build (labels×d exploded
+    rows), ONE labels-sized broadcast join scoring each vector against
+    its OWN centroid only (the :func:`_centroid_distances` step —
+    strictly cheaper than silhouette's all-centroids scoring), one
+    label reduce to (s_i, n_c, W_c); the global centroid, B, and the
+    labels² pairwise d_ij all live on labels-sized frames. Nothing
+    all-pairs over vectors.
+
+    Exactness: per-element squared terms 9dp on DECIMAL(38,12) folds
+    (the q309/q43 convention); cdist 6dp from the shared helper; W
+    sums round(cdist², 9); every emitted index is fixed-form IEEE on
+    identical doubles, 6dp. k = 1 degrades both indices to NULL
+    (undefined); n = k degrades CH to NULL.
+
+    Output: ONE row — (n, n_clusters, calinski_harabasz,
+    davies_bouldin).
+    """
+    cents = label_centroids(emb, vec_col, label_col)
+    # _centroid_distances wants an id column; only (label, cdist) is
+    # consumed here, so a constant satisfies the contract
+    dists = _centroid_distances(
+        emb.withColumn("__cv_id", F.lit(0)), cents, "__cv_id", vec_col,
+        label_col,
+    )
+    dec = "decimal(38,12)"
+    per_label = dists.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        (
+            F.sum(F.col("cdist").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s_i"),
+        F.sum(F.round(F.col("cdist") * F.col("cdist"), 9).cast(dec)).alias(
+            "_w_c"
+        ),
+    )
+    # global centroid per dim over ALL vectors (decimal means)
+    exploded = emb.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "x")
+    )
+    gcent = exploded.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("x"), 9).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("g")
+    )
+    cent_dims = cents.select(
+        "label", F.posexplode("centroid").alias("dim", "c")
+    )
+    b_per_label = (
+        cent_dims.join(F.broadcast(gcent), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.round((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")), 9)
+                .cast(dec)
+            ).alias("_b_c")
+        )
+    )
+    stats = per_label.join(b_per_label, "label")
+    tot = stats.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("_w_c")).cast("double").alias("_w"),
+        F.sum(
+            F.round(F.col("n_c") * F.col("_b_c").cast("double"), 9).cast(dec)
+        )
+        .cast("double")
+        .alias("_b"),
+    )
+    # pairwise centroid distances over the labels-sized frame
+    ci = cent_dims.select(
+        F.col("label").alias("_li"), F.col("dim"), F.col("c").alias("_ci")
+    )
+    cj = cent_dims.select(
+        F.col("label").alias("_lj"), F.col("dim"), F.col("c").alias("_cj")
+    )
+    d_ij = (
+        ci.join(cj, "dim")
+        .filter(F.col("_li") != F.col("_lj"))
+        .groupBy("_li", "_lj")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("_ci") - F.col("_cj"))
+                            * (F.col("_ci") - F.col("_cj")),
+                            9,
+                        ).cast(dec)
+                    ).cast("double")
+                ),
+                6,
+            ).alias("_d")
+        )
+    )
+    si = stats.select(F.col("label").alias("_li"), F.col("s_i").alias("_si"))
+    sj = stats.select(F.col("label").alias("_lj"), F.col("s_i").alias("_sj"))
+    ratios = (
+        d_ij.join(si, "_li")
+        .join(sj, "_lj")
+        .groupBy("_li")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_d") > 0,
+                    (F.col("_si") + F.col("_sj")) / F.col("_d"),
+                )
+            ).alias("_r")
+        )
+    )
+    db = ratios.agg(
+        (
+            F.sum(F.round(F.col("_r"), 9).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_db"),
+        F.count(F.lit(1)).alias("_kr"),
+    )
+    k = F.col("n_clusters")
+    n = F.col("n")
+    ch = F.when(
+        (k > 1) & (n > k),
+        (F.col("_b") / (k - 1)) / (F.col("_w") / (n - k)),
+    )
+    return tot.crossJoin(F.broadcast(db)).select(
+        "n",
+        "n_clusters",
+        F.round(ch, 6).alias("calinski_harabasz"),
+        F.round(F.when(k > 1, F.col("_db")), 6).alias("davies_bouldin"),
+    )

@@ -74,6 +74,41 @@ def bigram_lm_train(
     return bigrams, contexts, vocab
 
 
+def _bigram_term_scores(
+    candidates: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: float,
+) -> DataFrame:
+    """(id, _nlp) per candidate bigram — the shared scoring step of
+    :func:`bigram_lm_score` (doc means) and :func:`min_k_membership`
+    (bottom-k% tails): add-k smoothed −ln P(w2|w1), 9dp. Extracted
+    verbatim (the _centroid_distances precedent — q379 re-verified
+    bit-exact at all three scales post-refactor)."""
+    cand = _doc_bigrams(candidates, id_col, text_col)
+    return (
+        cand.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                -F.log(
+                    (F.coalesce("c_big", F.lit(0)) + F.lit(k))
+                    / (
+                        F.coalesce("c_ctx", F.lit(0))
+                        + F.lit(k) * (F.col("v") + F.lit(1))
+                    )
+                ),
+                9,
+            ).alias("_nlp"),
+        )
+    )
+
+
 def bigram_lm_score(
     candidates: DataFrame,
     bigrams: DataFrame,
@@ -97,24 +132,8 @@ def bigram_lm_score(
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    cand = _doc_bigrams(candidates, id_col, text_col)
-    scored = (
-        cand.join(bigrams, ["w1", "w2"], "left")
-        .join(contexts, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            id_col,
-            F.round(
-                -F.log(
-                    (F.coalesce("c_big", F.lit(0)) + F.lit(k))
-                    / (
-                        F.coalesce("c_ctx", F.lit(0))
-                        + F.lit(k) * (F.col("v") + F.lit(1))
-                    )
-                ),
-                9,
-            ).alias("_nlp"),
-        )
+    scored = _bigram_term_scores(
+        candidates, bigrams, contexts, vocab, text_col, id_col, k
     )
     return (
         scored.groupBy(id_col)
@@ -538,3 +557,74 @@ def good_turing_mass(
         F.round(mass, 6).alias("mass_frac"),
         F.round(r_star, 6).alias("r_star"),
     ).orderBy("r")
+
+
+def min_k_membership(
+    candidates: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    k_pct: float = 0.2,
+) -> DataFrame:
+    """Min-K% prob membership score (Shi, Ajith, Xia, Huang, Liu,
+    Blevins, Chen & Zettlemoyer, ICLR 2024 "Detecting Pretraining Data
+    from Large Language Models") — the reference-free membership /
+    contamination probe: a text the model has SEEN contains few
+    low-probability outlier tokens, so the mean log-prob of its k%
+    LEAST-probable tokens is high; an unseen text of the same average
+    perplexity still carries surprise spikes. The paper reads token
+    probs off the LLM under test; this engine form reads them off the
+    trained n-gram reference LM (the q379 model tables), giving the
+    same bottom-tail statistic for corpus-vs-corpus contamination
+    screening next to the 13-gram ``decontaminate`` overlap (which
+    needs EXACT matches; Min-K%% catches paraphrased leakage the
+    n-gram matcher misses).
+
+    Selection exactness: per doc, the m = max(1, ceil(k_pct·n))
+    HIGHEST −ln P terms are selected by a doc-keyed rank window;
+    ties at the cut are arbitrary BUT value-identical (top-m of a
+    multiset is a unique multiset), so the decimal-summed mean is
+    deterministic cross-engine without a tiebreaker.
+
+    Plan: the shared term-score step (map-side explode + vocab-sized
+    broadcast LEFT joins), ONE doc-keyed rank window, one doc reduce.
+    Output per doc: (id, n_bigrams, m_lowest, min_k_avg_logprob 6dp)
+    — avg LOG-PROB of the selected tail (negative; higher = more
+    member-like), docs with < 2 tokens excluded.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not 0.0 < k_pct <= 1.0:
+        raise ValueError("k_pct must be in (0, 1]")
+    from pyspark.sql import Window
+
+    scored = _bigram_term_scores(
+        candidates, bigrams, contexts, vocab, text_col, id_col, k
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_nlp").desc())
+    ranked = scored.select(
+        id_col,
+        "_nlp",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_n"),
+    )
+    m = F.greatest(F.ceil(F.col("_n") * F.lit(float(k_pct))), F.lit(1))
+    return (
+        ranked.withColumn("_m", m)
+        .filter(F.col("_rn") <= F.col("_m"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("m_lowest"),
+            F.round(
+                -(
+                    F.sum(F.col("_nlp").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("min_k_avg_logprob"),
+        )
+    )

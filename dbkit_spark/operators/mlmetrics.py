@@ -3159,3 +3159,254 @@ def contingency_chi2(
         F.round(F.when(ok, z_wh), 6).alias("z_wh"),
         F.round(F.when(ok, p_upper), 9).alias("p_value"),
     )
+
+
+def delong_auc_test(
+    df: DataFrame,
+    label_col: str,
+    score_a_col: str,
+    score_b_col: str,
+) -> DataFrame:
+    """DeLong's test for two CORRELATED AUCs (DeLong, DeLong &
+    Clarke-Pearson, Biometrics 1988 — the standard answer to "scorer A's
+    AUC is 0.74, scorer B's is 0.71, same docs: is A actually better?";
+    an unpaired comparison throws away the per-item pairing and
+    overstates the variance): AUC via the placement-value identity
+    AUC = mean over positives of V10(x) with V10 = (#negatives below +
+    ½·ties)/n_neg (the Mann-Whitney statistic); Var(AUC_A − AUC_B) =
+    (s10_aa + s10_bb − 2·s10_ab)/n_pos + (s01_aa + s01_bb −
+    2·s01_ab)/n_neg from the 2×2 empirical covariance of the PAIRED
+    placement values (sample n−1 denominators, the paper's form);
+    z = ΔAUC/SE and the q407 closed-form two-sided p.
+
+    Plan: per scorer, ONE (value) group-count + a rank scan over the
+    DISTINCT-values frame (the mann_whitney discipline — tied score
+    grids compress massively), one value-keyed join back to items for
+    per-item placements, then ONE 1-row covariance reduce over the
+    paired placements. Placements are exact rationals: numerators
+    2·(cum_below) + ties are exact LONGs, one IEEE division each at
+    9dp; covariance moments ride DECIMAL(25,9)/(38,18).
+
+    Output: ONE row — (n_pos, n_neg, auc_a, auc_b, delta_auc, se, z,
+    p_two_sided); zero variance (e.g. identical scorers) degrades
+    z/p to NULL.
+    """
+    y = F.col(label_col).cast("int")
+    base = df.select(
+        y.alias("_y"),
+        F.col(score_a_col).cast("double").alias("_sa"),
+        F.col(score_b_col).cast("double").alias("_sb"),
+    ).filter(
+        F.col("_y").isNotNull()
+        & F.col("_sa").isNotNull()
+        & F.col("_sb").isNotNull()
+    )
+    tot = base.agg(
+        F.sum("_y").cast("long").alias("_np"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_nn"),
+    )
+
+    def placements(col: str, out: str) -> DataFrame:
+        """(value v, placement for a positive at v [p10], placement
+        for a negative at v [p01]) — from cumulative class counts over
+        the distinct-value frame."""
+        per_v = base.groupBy(F.col(col).alias("_v")).agg(
+            F.sum("_y").cast("long").alias("_pv"),
+            F.sum(1 - F.col("_y")).cast("long").alias("_nv"),
+        )
+        w = Window.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = per_v.select(
+            "_v",
+            "_pv",
+            "_nv",
+            (F.sum("_pv").over(w) - F.col("_pv")).alias("_pb"),
+            (F.sum("_nv").over(w) - F.col("_nv")).alias("_nb"),
+        )
+        return cum.crossJoin(F.broadcast(tot)).select(
+            F.col("_v").alias(f"{out}_v"),
+            F.round(
+                (2 * F.col("_nb") + F.col("_nv"))
+                / (F.lit(2.0) * F.col("_nn")),
+                9,
+            ).alias(f"{out}_p10"),
+            F.round(
+                (2 * (F.col("_np") - F.col("_pb") - F.col("_pv"))
+                 + F.col("_pv"))
+                / (F.lit(2.0) * F.col("_np")),
+                9,
+            ).alias(f"{out}_p01"),
+        )
+
+    pa = placements("_sa", "a")
+    pb = placements("_sb", "b")
+    items = (
+        base.join(pa, base["_sa"] == pa["a_v"])
+        .join(pb, base["_sb"] == pb["b_v"])
+        .select(
+            "_y",
+            F.when(F.col("_y") == 1, F.col("a_p10"))
+            .otherwise(F.col("a_p01"))
+            .alias("_qa"),
+            F.when(F.col("_y") == 1, F.col("b_p10"))
+            .otherwise(F.col("b_p01"))
+            .alias("_qb"),
+        )
+    )
+    dec = "decimal(25,9)"
+    dec2 = "decimal(38,18)"
+
+    def moments(cls: int, tag: str) -> list:
+        cond = F.col("_y") == cls
+        return [
+            F.count(F.when(cond, 1)).cast("long").alias(f"_n{tag}"),
+            F.sum(F.when(cond, F.col("_qa").cast(dec))).alias(f"_sa{tag}"),
+            F.sum(F.when(cond, F.col("_qb").cast(dec))).alias(f"_sb{tag}"),
+            F.sum(
+                F.when(
+                    cond,
+                    F.round(F.col("_qa") * F.col("_qa"), 9).cast(dec2),
+                )
+            ).alias(f"_saa{tag}"),
+            F.sum(
+                F.when(
+                    cond,
+                    F.round(F.col("_qb") * F.col("_qb"), 9).cast(dec2),
+                )
+            ).alias(f"_sbb{tag}"),
+            F.sum(
+                F.when(
+                    cond,
+                    F.round(F.col("_qa") * F.col("_qb"), 9).cast(dec2),
+                )
+            ).alias(f"_sab{tag}"),
+        ]
+
+    agg = items.agg(*(moments(1, "p") + moments(0, "n")))
+
+    def cov(sx: str, sy: str, sxy: str, n: str):
+        nn = F.col(n)
+        return F.when(
+            nn >= 2,
+            (
+                F.col(sxy).cast("double")
+                - F.col(sx).cast("double")
+                * F.col(sy).cast("double")
+                / nn
+            )
+            / (nn - 1),
+        )
+
+    auc_a = F.col("_sap").cast("double") / F.col("_np")
+    auc_b = F.col("_sbp").cast("double") / F.col("_np")
+    var = (
+        cov("_sap", "_sap", "_saap", "_np")
+        + cov("_sbp", "_sbp", "_sbbp", "_np")
+        - 2 * cov("_sap", "_sbp", "_sabp", "_np")
+    ) / F.col("_np") + (
+        cov("_san", "_san", "_saan", "_nn")
+        + cov("_sbn", "_sbn", "_sbbn", "_nn")
+        - 2 * cov("_san", "_sbn", "_sabn", "_nn")
+    ) / F.col("_nn")
+    se = F.when(var > 0, F.sqrt(var))
+    z = (auc_a - auc_b) / se
+    return agg.select(
+        F.col("_np").alias("n_pos"),
+        F.col("_nn").alias("n_neg"),
+        F.round(auc_a, 6).alias("auc_a"),
+        F.round(auc_b, 6).alias("auc_b"),
+        F.round(auc_a - auc_b, 6).alias("delta_auc"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), normal_p_two_sided(z)).alias("p_two_sided"),
+    )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Two-proportion comparison with the NEWCOMBE hybrid-score
+    interval (Newcombe, Statistics in Medicine 1998, method 10 — the
+    recommended CI for a difference of proportions: built from the two
+    Wilson single-proportion intervals, it never exceeds [−1, 1] and
+    behaves at p̂ ∈ {0, 1} where the Wald interval collapses; the
+    difference-of-rates companion to ``pairwise_winrates``' Wilson
+    form) plus the standard pooled two-proportion z test and its q407
+    two-sided p.
+
+    ``z_crit`` and its square ship as identical literals to both
+    engines (the q421 convention). ONE conditional aggregate over the
+    corpus; everything after is fixed-form IEEE on identical doubles,
+    sqrt at the 6dp emit (q421 libm contract).
+
+    Output: ONE row — (n_a, x_a, rate_a, n_b, x_b, rate_b, diff,
+    z_stat, p_two_sided, ci_lo, ci_hi); an empty arm degrades
+    everything derived to NULL.
+    """
+    g = F.col(group_col)
+    s = F.col(success_col).cast("int")
+    agg = df.filter(g.isin([group_a, group_b])).agg(
+        F.count(F.when(g == group_a, 1)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(g == group_a, s)), F.lit(0))
+        .cast("long")
+        .alias("x_a"),
+        F.count(F.when(g == group_b, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(g == group_b, s)), F.lit(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    z = float(z_crit)
+    z2 = z * z
+
+    def wilson(x: str, n: str):
+        nn = F.col(n).cast("double")
+        p = F.col(x) / nn
+        center = (p + F.lit(z2) / (2 * nn)) / (1 + F.lit(z2) / nn)
+        half = (
+            F.lit(z)
+            * F.sqrt(
+                p * (1 - p) / nn + F.lit(z2) / (4 * nn * nn)
+            )
+            / (1 + F.lit(z2) / nn)
+        )
+        return p, center - half, center + half
+
+    pa, la, ua = wilson("x_a", "n_a")
+    pb, lb, ub = wilson("x_b", "n_b")
+    d = pa - pb
+    ci_lo = d - F.sqrt((pa - la) * (pa - la) + (ub - pb) * (ub - pb))
+    ci_hi = d + F.sqrt((ua - pa) * (ua - pa) + (pb - lb) * (pb - lb))
+    pp = (F.col("x_a") + F.col("x_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se_pooled = F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            1 / F.col("n_a").cast("double")
+            + 1 / F.col("n_b").cast("double")
+        )
+    )
+    z_stat = F.when(se_pooled > 0, d / se_pooled)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "x_a",
+        F.round(F.when(ok, pa), 6).alias("rate_a"),
+        "n_b",
+        "x_b",
+        F.round(F.when(ok, pb), 6).alias("rate_b"),
+        F.round(F.when(ok, d), 6).alias("diff"),
+        F.round(F.when(ok, z_stat), 6).alias("z_stat"),
+        F.when(ok & z_stat.isNotNull(), normal_p_two_sided(z_stat)).alias(
+            "p_two_sided"
+        ),
+        F.round(F.when(ok, ci_lo), 6).alias("ci_lo"),
+        F.round(F.when(ok, ci_hi), 6).alias("ci_hi"),
+    )

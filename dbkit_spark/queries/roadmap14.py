@@ -1854,3 +1854,490 @@ ROADMAP14["q452_readability"] = (
     _q452_oracle(),
     _Q452_NOTES,
 )
+
+
+# --- q453: Min-K% membership / contamination probe ---------------------------
+
+
+def q453_min_k_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% prob membership score (llm/lm.min_k_membership): the
+    q379 bigram reference LM scores the odd-doc_id half; per doc the
+    mean log-prob of its 20% least-probable bigrams — the
+    reference-free contamination probe."""
+    from ..llm.lm import bigram_lm_train, min_k_membership
+
+    docs = read_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+    bigrams, contexts, vocab = bigram_lm_train(ref)
+    return min_k_membership(
+        cand, bigrams, contexts, vocab, k=0.5, k_pct=0.2
+    ).orderBy("doc_id")
+
+
+def _q453_oracle() -> str:
+    from .llm import _TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    bigrams AS (
+      SELECT w1, w2, COUNT(*) AS c_big
+      FROM bi WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    contexts AS (
+      SELECT w1, COUNT(*) AS c_ctx
+      FROM bi WHERE doc_id % 2 = 0 GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 2 = 0)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             round(-ln((COALESCE(g.c_big, 0) + 0.5)
+                       / (COALESCE(x.c_ctx, 0) + 0.5 * (v.v + 1))), 9)
+               AS nlp
+      FROM bi b
+      LEFT JOIN bigrams g USING (w1, w2)
+      LEFT JOIN contexts x USING (w1)
+      CROSS JOIN vocab v
+      WHERE b.doc_id % 2 = 1
+    ),
+    ranked AS (
+      SELECT doc_id, nlp,
+             row_number() OVER (PARTITION BY doc_id ORDER BY nlp DESC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM scored),
+    sel AS (
+      SELECT * FROM ranked
+      WHERE rn <= greatest(CAST(ceil(n * 0.2) AS BIGINT), 1))
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS m_lowest,
+           round(-(CAST(SUM(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*)), 6) AS min_k_avg_logprob
+    FROM sel GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+_Q453_NOTES = (
+    "MIN-K% PROB MEMBERSHIP SCORE (llm/lm.min_k_membership — Shi et "
+    "al. ICLR 2024 'Detecting Pretraining Data from LLMs': member "
+    "texts lack low-probability outlier tokens, so the mean log-prob "
+    "of the k% LEAST-probable tokens separates seen from unseen; "
+    "the paraphrase-robust contamination probe next to the exact "
+    "13-gram decontaminate matcher): per-term scores from the shared "
+    "q379 bigram-LM step (vocab-sized broadcast LEFT joins), ONE "
+    "doc-keyed rank window, one doc reduce; top-m-of-a-multiset "
+    "selection is value-deterministic without a tiebreaker (ties at "
+    "the cut are value-identical, so the decimal mean is invariant); "
+    "bigram_lm_score re-verified bit-exact at all three scales after "
+    "the _bigram_term_scores extraction (the _centroid_distances "
+    "refactor precedent)"
+)
+
+ROADMAP14["q453_min_k_membership"] = (
+    q453_min_k_membership,
+    _q453_oracle(),
+    _Q453_NOTES,
+)
+
+
+# --- q454: cluster validity indices ------------------------------------------
+
+
+def q454_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz + Davies-Bouldin (llm/cluster.
+    cluster_validity) over the embeddings table's labels."""
+    from ..llm.cluster import cluster_validity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cluster_validity(emb)
+
+
+def _q454_oracle() -> str:
+    return """
+    WITH exploded AS (
+      SELECT label, e.dim, e.x
+      FROM (
+        SELECT label,
+               unnest(list_transform(embedding, (v, i) ->
+                 struct_pack(dim := i - 1, x := CAST(v AS DOUBLE)))) AS e
+        FROM embeddings
+      )
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM exploded GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT label AS clabel, list(c ORDER BY dim) AS centroid
+      FROM per_dim GROUP BY label
+    ),
+    cdist AS (
+      SELECT v.label,
+             round(sqrt(list_sum(list_transform(
+               generate_series(1, len(c.centroid)),
+               i -> round((CAST(v.embedding[i] AS DOUBLE) - c.centroid[i])
+                          * (CAST(v.embedding[i] AS DOUBLE) - c.centroid[i]),
+                          9)))), 6) AS cd
+      FROM embeddings v JOIN cents c ON v.label = c.clabel
+    ),
+    per_label AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(CAST(cd AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+               AS s_i,
+             SUM(CAST(round(cd * cd, 9) AS DECIMAL(38,12))) AS w_c
+      FROM cdist GROUP BY label
+    ),
+    gdim AS (
+      SELECT dim,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS g
+      FROM exploded GROUP BY dim
+    ),
+    b_label AS (
+      SELECT p.label,
+             SUM(CAST(round((p.c - g.g) * (p.c - g.g), 9)
+                      AS DECIMAL(38,12))) AS b_c
+      FROM per_dim p JOIN gdim g ON p.dim = g.dim
+      GROUP BY p.label
+    ),
+    stats AS (
+      SELECT pl.label, pl.n_c, pl.s_i, pl.w_c, bl.b_c
+      FROM per_label pl JOIN b_label bl ON pl.label = bl.label
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(w_c) AS DOUBLE) AS w,
+             CAST(SUM(CAST(round(n_c * CAST(b_c AS DOUBLE), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS b
+      FROM stats
+    ),
+    dij AS (
+      SELECT i.label AS li, j.label AS lj,
+             round(sqrt(SUM(CAST(round((i.c - j.c) * (i.c - j.c), 9)
+                                 AS DECIMAL(38,12)))::DOUBLE), 6) AS d
+      FROM per_dim i JOIN per_dim j
+        ON i.dim = j.dim AND i.label <> j.label
+      GROUP BY i.label, j.label
+    ),
+    ratios AS (
+      SELECT d.li,
+             MAX(CASE WHEN d.d > 0
+                      THEN (si.s_i + sj.s_i) / d.d END) AS r
+      FROM dij d
+      JOIN stats si ON d.li = si.label
+      JOIN stats sj ON d.lj = sj.label
+      GROUP BY d.li
+    ),
+    db AS (
+      SELECT CAST(SUM(CAST(round(r, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS dbv
+      FROM ratios
+    )
+    SELECT tot.n, tot.n_clusters,
+           round(CASE WHEN tot.n_clusters > 1 AND tot.n > tot.n_clusters
+                 THEN (tot.b / (tot.n_clusters - 1))
+                      / (tot.w / (tot.n - tot.n_clusters)) END, 6)
+             AS calinski_harabasz,
+           round(CASE WHEN tot.n_clusters > 1 THEN db.dbv END, 6)
+             AS davies_bouldin
+    FROM tot CROSS JOIN db
+    """
+
+
+_Q454_NOTES = (
+    "CLUSTER VALIDITY INDICES (llm/cluster.cluster_validity — "
+    "Calinski-Harabasz 1974 variance-ratio criterion (B/(k-1))/"
+    "(W/(n-k)) and Davies-Bouldin TPAMI 1979 worst-neighbor "
+    "(s_i+s_j)/d_ij — the k-selection readouts next to q309's "
+    "silhouette and q394's ARI): ONE decimal-summed centroid build + "
+    "ONE labels-sized broadcast join scoring vectors against their "
+    "OWN centroid only (strictly cheaper than silhouette); the "
+    "global centroid, B, and the labels^2 pairwise d_ij live on "
+    "labels-sized frames — nothing all-pairs over vectors; the q309 "
+    "9dp-term/6dp-distance fold conventions throughout; k=1 "
+    "degrades both indices to NULL"
+)
+
+ROADMAP14["q454_cluster_validity"] = (
+    q454_cluster_validity,
+    _q454_oracle(),
+    _Q454_NOTES,
+)
+
+
+# --- q455: DeLong correlated-AUC test ----------------------------------------
+
+
+def q455_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong correlated-AUC comparison (operators/mlmetrics.
+    delong_auc_test): two deterministic scorers over the same docs —
+    scorer A strongly label-correlated, scorer B weakly — tested for
+    a real AUC difference on the SAME items."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.mlmetrics import delong_auc_test
+
+    docs = read_table(spark, sf_dir, "documents")
+    y = (F.col("lang") == "en").cast("int")
+    ua = (u32_md5(F.col("doc_id"), "dlA") % 1000) / F.lit(1000.0)
+    ub = (u32_md5(F.col("doc_id"), "dlB") % 1000) / F.lit(1000.0)
+    scored = docs.select(
+        y.alias("label"),
+        F.round(ua + F.lit(0.3) * y, 9).alias("score_a"),
+        F.round(ub + F.lit(0.15) * y, 9).alias("score_b"),
+    )
+    return delong_auc_test(scored, "label", "score_a", "score_b")
+
+
+def _q455_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    ua = u32_md5_sql("doc_id", "dlA")
+    ub = u32_md5_sql("doc_id", "dlB")
+
+    def side(col: str, tag: str) -> str:
+        return f"""
+    pv{tag} AS (
+      SELECT {col} AS v, SUM(y) AS pv, SUM(1 - y) AS nv
+      FROM scored GROUP BY {col}),
+    cum{tag} AS (
+      SELECT v, pv, nv,
+             SUM(pv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - pv
+               AS pb,
+             SUM(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - nv
+               AS nb
+      FROM pv{tag}),
+    pl{tag} AS (
+      SELECT v AS {tag}_v,
+             round((2 * nb + nv) / (2.0 * tot.nn), 9) AS {tag}_p10,
+             round((2 * (tot.np - pb - pv) + pv) / (2.0 * tot.np), 9)
+               AS {tag}_p01
+      FROM cum{tag} CROSS JOIN tot)"""
+
+    def cov(sx: str, sy: str, sxy: str, n: str) -> str:
+        return (
+            f"(CASE WHEN {n} >= 2 THEN (CAST({sxy} AS DOUBLE) "
+            f"- CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n}) "
+            f"/ ({n} - 1) END)"
+        )
+
+    var = (
+        f"(({cov('sap','sap','saap','np_')} + {cov('sbp','sbp','sbbp','np_')}"
+        f" - 2 * {cov('sap','sbp','sabp','np_')}) / np_"
+        f" + ({cov('san','san','saan','nn_')} + {cov('sbn','sbn','sbbn','nn_')}"
+        f" - 2 * {cov('san','sbn','sabn','nn_')}) / nn_)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             round((({ua}) % 1000) / 1000.0
+                   + 0.3 * (CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 9)
+               AS sa,
+             round((({ub}) % 1000) / 1000.0
+                   + 0.15 * (CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 9)
+               AS sb
+      FROM documents),
+    tot AS (SELECT CAST(SUM(y) AS BIGINT) AS np,
+                   CAST(SUM(1 - y) AS BIGINT) AS nn FROM scored),
+    {side('sa', 'a')},
+    {side('sb', 'b')},
+    items AS (
+      SELECT s.y,
+             CASE WHEN s.y = 1 THEN pa.a_p10 ELSE pa.a_p01 END AS qa,
+             CASE WHEN s.y = 1 THEN pb.b_p10 ELSE pb.b_p01 END AS qb
+      FROM scored s
+      JOIN pla pa ON s.sa = pa.a_v
+      JOIN plb pb ON s.sb = pb.b_v),
+    m AS (
+      SELECT CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS np_,
+             SUM(CASE WHEN y = 1 THEN CAST(qa AS DECIMAL(25,9)) END)
+               AS sap,
+             SUM(CASE WHEN y = 1 THEN CAST(qb AS DECIMAL(25,9)) END)
+               AS sbp,
+             SUM(CASE WHEN y = 1
+                 THEN CAST(round(qa * qa, 9) AS DECIMAL(38,18)) END)
+               AS saap,
+             SUM(CASE WHEN y = 1
+                 THEN CAST(round(qb * qb, 9) AS DECIMAL(38,18)) END)
+               AS sbbp,
+             SUM(CASE WHEN y = 1
+                 THEN CAST(round(qa * qb, 9) AS DECIMAL(38,18)) END)
+               AS sabp,
+             CAST(COUNT(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS nn_,
+             SUM(CASE WHEN y = 0 THEN CAST(qa AS DECIMAL(25,9)) END)
+               AS san,
+             SUM(CASE WHEN y = 0 THEN CAST(qb AS DECIMAL(25,9)) END)
+               AS sbn,
+             SUM(CASE WHEN y = 0
+                 THEN CAST(round(qa * qa, 9) AS DECIMAL(38,18)) END)
+               AS saan,
+             SUM(CASE WHEN y = 0
+                 THEN CAST(round(qb * qb, 9) AS DECIMAL(38,18)) END)
+               AS sbbn,
+             SUM(CASE WHEN y = 0
+                 THEN CAST(round(qa * qb, 9) AS DECIMAL(38,18)) END)
+               AS sabn
+      FROM items),
+    stat AS (
+      SELECT np_ AS n_pos, nn_ AS n_neg,
+             CAST(sap AS DOUBLE) / np_ AS auc_a,
+             CAST(sbp AS DOUBLE) / np_ AS auc_b,
+             CASE WHEN {var} > 0 THEN sqrt({var}) END AS se_raw
+      FROM m)
+    SELECT n_pos, n_neg,
+           round(auc_a, 6) AS auc_a,
+           round(auc_b, 6) AS auc_b,
+           round(auc_a - auc_b, 6) AS delta_auc,
+           round(se_raw, 6) AS se,
+           round((auc_a - auc_b) / se_raw, 6) AS z,
+           CASE WHEN se_raw IS NOT NULL
+                THEN {normal_p_two_sided_sql('((auc_a - auc_b) / se_raw)')}
+           END AS p_two_sided
+    FROM stat
+    """
+
+
+_Q455_NOTES = (
+    "DELONG CORRELATED-AUC TEST (operators/mlmetrics.delong_auc_test "
+    "— DeLong, DeLong & Clarke-Pearson Biometrics 1988: two scorers "
+    "on the SAME items, is the AUC difference real? The paired test "
+    "next to q326's single-sample Mann-Whitney — unpaired comparison "
+    "overstates the variance): AUC via placement values V10/V01 from "
+    "cumulative class counts over DISTINCT-value frames (the "
+    "mann_whitney integer-rank discipline — placements are exact "
+    "rationals, one IEEE division each at 9dp), value-keyed joins "
+    "back to items, ONE 1-row paired-covariance reduce "
+    "(DECIMAL(25,9)/(38,18) moments, sample n-1 denominators); "
+    "deterministic portable-hash scorers replay digit-for-digit"
+)
+
+ROADMAP14["q455_delong"] = (q455_delong, _q455_oracle(), _Q455_NOTES)
+
+
+# --- q456: two-proportion test with Newcombe interval ------------------------
+
+
+def q456_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z + Newcombe hybrid-score CI (operators/
+    mlmetrics.two_proportion_test) over per-user conversion by
+    portable-hash arm."""
+    from ..functions.portable_hash import u32_md5
+    from ..operators.mlmetrics import two_proportion_test
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    arms = per_user.select(
+        F.when(u32_md5(F.col("user_id"), "tp") % 2 == 0, "a")
+        .otherwise("b")
+        .alias("arm"),
+        F.col("converted"),
+    )
+    return two_proportion_test(arms, "arm", "converted", "a", "b")
+
+
+def _q456_oracle() -> str:
+    from ..functions.portable_hash import u32_md5_sql
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    z = 1.959964
+    z2 = z * z
+    coin = f"CASE WHEN ({u32_md5_sql('user_id', 'tp')}) % 2 = 0 " \
+           "THEN 'a' ELSE 'b' END"
+
+    def wilson(x: str, n: str, p: str):
+        nn = f"CAST({n} AS DOUBLE)"
+        center = f"(({p} + {z2!r} / (2 * {nn})) / (1 + {z2!r} / {nn}))"
+        half = (
+            f"({z!r} * sqrt({p} * (1 - {p}) / {nn} "
+            f"+ {z2!r} / (4 * {nn} * {nn})) / (1 + {z2!r} / {nn}))"
+        )
+        return f"({center} - {half})", f"({center} + {half})"
+
+    la, ua = wilson("x_a", "n_a", "pa")
+    lb, ub = wilson("x_b", "n_b", "pb")
+    return f"""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    arms AS (SELECT {coin} AS arm, converted FROM pu),
+    agg AS (
+      SELECT CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT)
+               AS n_a,
+             CAST(COALESCE(SUM(CASE WHEN arm = 'a' THEN converted END),
+                           0) AS BIGINT) AS x_a,
+             CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT)
+               AS n_b,
+             CAST(COALESCE(SUM(CASE WHEN arm = 'b' THEN converted END),
+                           0) AS BIGINT) AS x_b
+      FROM arms),
+    rates AS (
+      SELECT *, x_a / CAST(n_a AS DOUBLE) AS pa,
+             x_b / CAST(n_b AS DOUBLE) AS pb
+      FROM agg),
+    stat AS (
+      SELECT *,
+             pa - pb AS d,
+             (x_a + x_b) / CAST(n_a + n_b AS DOUBLE) AS pp
+      FROM rates),
+    full_ AS (
+      SELECT *,
+             CASE WHEN sqrt(pp * (1 - pp) * (1 / CAST(n_a AS DOUBLE)
+                  + 1 / CAST(n_b AS DOUBLE))) > 0
+                  THEN d / sqrt(pp * (1 - pp)
+                       * (1 / CAST(n_a AS DOUBLE)
+                          + 1 / CAST(n_b AS DOUBLE)))
+             END AS z_raw,
+             d - sqrt((pa - {la}) * (pa - {la})
+                      + ({ub} - pb) * ({ub} - pb)) AS lo_raw,
+             d + sqrt(({ua} - pa) * ({ua} - pa)
+                      + (pb - {lb}) * (pb - {lb})) AS hi_raw
+      FROM stat)
+    SELECT n_a, x_a, round(pa, 6) AS rate_a,
+           n_b, x_b, round(pb, 6) AS rate_b,
+           round(d, 6) AS diff,
+           round(z_raw, 6) AS z_stat,
+           CASE WHEN z_raw IS NOT NULL
+                THEN {normal_p_two_sided_sql('z_raw')} END AS p_two_sided,
+           round(lo_raw, 6) AS ci_lo,
+           round(hi_raw, 6) AS ci_hi
+    FROM full_
+    """
+
+
+_Q456_NOTES = (
+    "TWO-PROPORTION Z + NEWCOMBE HYBRID-SCORE CI (operators/"
+    "mlmetrics.two_proportion_test — Newcombe Statistics in Medicine "
+    "1998 method 10: the difference-of-proportions interval built "
+    "from the two Wilson intervals, never outside [-1,1], sane at "
+    "p-hat in {0,1} where Wald collapses; the difference companion "
+    "to q421's single-proportion Wilson form; pooled z with the q407 "
+    "p): ONE conditional aggregate over per-unit conversions; z_crit "
+    "and z_crit^2 ship as identical literals to both engines (q421 "
+    "convention); all downstream fixed-form IEEE on identical "
+    "doubles, sqrt at the 6dp emit"
+)
+
+ROADMAP14["q456_two_proportion"] = (
+    q456_two_proportion,
+    _q456_oracle(),
+    _Q456_NOTES,
+)

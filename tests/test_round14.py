@@ -535,7 +535,7 @@ def test_kendall_all_tied_null(spark):
 def test_roadmap14_entries_well_formed():
     from dbkit_spark.queries.roadmap14 import ROADMAP14
 
-    assert len(ROADMAP14) == 20
+    assert len(ROADMAP14) == 24
     for name, (fn, oracle, notes) in ROADMAP14.items():
         assert callable(fn) and notes
         assert oracle is None or "SELECT" in oracle.upper()
@@ -819,3 +819,184 @@ def test_readability_empty_doc_nulls(spark):
         spark.createDataFrame([(1, "")], "doc_id long, text string")
     ).collect()[0]
     assert r["flesch_reading_ease"] is None and r["fk_grade"] is None
+
+
+# --- Min-K% membership ------------------------------------------------------------------------
+
+
+def test_min_k_member_vs_nonmember(spark):
+    from dbkit_spark.llm.lm import bigram_lm_train, min_k_membership
+
+    # reference corpus repeats one phrase; a member doc (same phrase)
+    # has NO surprise tail, a non-member doc does
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "zebra xylophone quark nebula vortex")],
+        "doc_id long, text string",
+    )
+    b, c, v = bigram_lm_train(ref)
+    rows = {
+        r["doc_id"]: r for r in min_k_membership(cand, b, c, v).collect()
+    }
+    assert rows[100]["min_k_avg_logprob"] > rows[101]["min_k_avg_logprob"]
+
+
+def test_min_k_pct_one_equals_full_mean(spark):
+    from dbkit_spark.llm.lm import (
+        bigram_lm_score, bigram_lm_train, min_k_membership,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(2, "a b x d e")], "doc_id long, text string"
+    )
+    b, c, v = bigram_lm_train(ref)
+    full = bigram_lm_score(cand, b, c, v).collect()[0]
+    mk = min_k_membership(cand, b, c, v, k_pct=1.0).collect()[0]
+    assert mk["m_lowest"] == full["n_bigrams"]
+    assert mk["min_k_avg_logprob"] == -full["avg_neg_logprob"]
+
+
+def test_min_k_validation(spark):
+    from dbkit_spark.llm.lm import bigram_lm_train, min_k_membership
+
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    b, c, v = bigram_lm_train(d)
+    with pytest.raises(ValueError):
+        min_k_membership(d, b, c, v, k_pct=0.0)
+
+
+# --- cluster validity -------------------------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_cluster_validity_separated_beats_mixed(spark):
+    from dbkit_spark.llm.cluster import cluster_validity
+
+    # two tight, far-apart clusters vs the same points labeled randomly
+    pts = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [10.0, 10.0],
+           [10.1, 10.0], [10.0, 10.1]]
+    good = _emb(spark, [(i, p, 0 if i < 3 else 1) for i, p in enumerate(pts)])
+    bad = _emb(spark, [(i, p, i % 2) for i, p in enumerate(pts)])
+    g = cluster_validity(good).collect()[0]
+    m = cluster_validity(bad).collect()[0]
+    assert g["calinski_harabasz"] > m["calinski_harabasz"]
+    assert g["davies_bouldin"] < m["davies_bouldin"]
+    assert g["n"] == 6 and g["n_clusters"] == 2
+
+
+def test_cluster_validity_single_cluster_null(spark):
+    from dbkit_spark.llm.cluster import cluster_validity
+
+    one = _emb(spark, [(i, [float(i), 0.0], 7) for i in range(5)])
+    r = cluster_validity(one).collect()[0]
+    assert r["calinski_harabasz"] is None
+    assert r["davies_bouldin"] is None
+
+
+def test_cluster_validity_db_hand_case(spark):
+    from dbkit_spark.llm.cluster import cluster_validity
+
+    # clusters {(-1),(1)} and {(9),(11)} on a line: s_i = 1 each,
+    # centroids 0 and 10 -> d = 10, DB = (1+1)/10 = 0.2
+    df = _emb(
+        spark,
+        [(1, [-1.0], 0), (2, [1.0], 0), (3, [9.0], 1), (4, [11.0], 1)],
+    )
+    r = cluster_validity(df).collect()[0]
+    assert r["davies_bouldin"] == 0.2
+    # W = 4 (each point at distance 1), B = 2*25*2 = 100
+    # CH = (100/1)/(4/2) = 50
+    assert r["calinski_harabasz"] == 50.0
+
+
+# --- DeLong -----------------------------------------------------------------------------------
+
+
+def test_delong_identical_scorers_null(spark):
+    from dbkit_spark.operators.mlmetrics import delong_auc_test
+
+    rows = [(i % 2, (i * 7) % 13 / 13.0, (i * 7) % 13 / 13.0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "y int, sa double, sb double")
+    r = delong_auc_test(df, "y", "sa", "sb").collect()[0]
+    assert r["auc_a"] == r["auc_b"] and r["delta_auc"] == 0.0
+    assert r["se"] is None and r["p_two_sided"] is None
+
+
+def test_delong_auc_matches_mww_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import delong_auc_test
+
+    # pos scores {3, 4}, neg scores {1, 2} under A -> AUC_A = 1;
+    # B reverses one pair -> AUC_B = 0.75
+    df = spark.createDataFrame(
+        [(1, 3.0, 3.0), (1, 4.0, 1.5), (0, 1.0, 1.0), (0, 2.0, 2.0)],
+        "y int, sa double, sb double",
+    )
+    r = delong_auc_test(df, "y", "sa", "sb").collect()[0]
+    assert r["auc_a"] == 1.0 and r["auc_b"] == 0.75
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_delong_perfect_vs_random_significant(spark):
+    from dbkit_spark.operators.mlmetrics import delong_auc_test
+
+    rows = []
+    for i in range(200):
+        y = i % 2
+        rows.append((y, float(y) + (i % 7) / 100.0, ((i * 13) % 101) / 101.0))
+    df = spark.createDataFrame(rows, "y int, sa double, sb double")
+    r = delong_auc_test(df, "y", "sa", "sb").collect()[0]
+    assert r["auc_a"] == 1.0
+    assert 0.3 < r["auc_b"] < 0.7
+    assert r["p_two_sided"] < 1e-6
+
+
+# --- two-proportion ---------------------------------------------------------------------------
+
+
+def test_two_proportion_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import two_proportion_test
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [("b", 0)] * 80
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = two_proportion_test(df, "g", "s", "a", "b").collect()[0]
+    assert r["rate_a"] == 0.3 and r["rate_b"] == 0.2
+    assert r["diff"] == round(0.1, 6)
+    # pooled z = 0.1 / sqrt(.25*.75*(2/100))
+    expect_z = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+    assert abs(r["z_stat"] - expect_z) < 2e-6
+    assert r["ci_lo"] < 0.1 < r["ci_hi"]
+
+
+def test_two_proportion_extreme_rates_bounded(spark):
+    from dbkit_spark.operators.mlmetrics import two_proportion_test
+
+    # p_a = 1, p_b = 0: Wald would give a zero-width CI; Newcombe stays
+    # inside [-1, 1] with positive width
+    rows = [("a", 1)] * 20 + [("b", 0)] * 20
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = two_proportion_test(df, "g", "s", "a", "b").collect()[0]
+    assert r["diff"] == 1.0
+    assert -1.0 <= r["ci_lo"] < 1.0 and r["ci_hi"] == 1.0
+
+
+def test_two_proportion_symmetric_zero(spark):
+    from dbkit_spark.operators.mlmetrics import two_proportion_test
+
+    rows = [("a", 1)] * 10 + [("a", 0)] * 10 + [("b", 1)] * 10 + [("b", 0)] * 10
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = two_proportion_test(df, "g", "s", "a", "b").collect()[0]
+    assert r["diff"] == 0.0 and r["z_stat"] == 0.0
+    assert abs(r["ci_lo"] + r["ci_hi"]) < 2e-6  # symmetric interval
