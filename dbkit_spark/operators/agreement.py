@@ -222,3 +222,120 @@ def krippendorff_alpha(
             F.lit(1.0) - F.try_divide(d_o, d_e), 6
         ).alias("alpha"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach,
+    Psychometrika 1951 — do k scores measure ONE underlying construct?
+    The reliability audit for a metric battery: k quality signals that
+    should proxy "document quality" but correlate at α = 0.3 are not a
+    scale, they are k different opinions):
+    α = k/(k−1) · (1 − Σ var_i / var_total) with var_i the per-item
+    variance and var_total the variance of the row SUM; sample (n−1)
+    denominators.
+
+    ONE no-grouping aggregate: per item a decimal sum + sum of 9dp
+    squares, plus the same two moments of the row sum (the row sum of
+    9dp-rounded items is an exact decimal) — fixed-form IEEE
+    recombination on identical doubles, 6dp. Rows with ANY NULL item
+    are dropped (listwise, the classical treatment — documented).
+
+    Output: ONE row — (n, k_items, sum_item_var, total_var, alpha);
+    n < 2 or zero total variance degrades alpha to NULL.
+    """
+    if len(item_cols) < 2:
+        raise ValueError("need at least 2 item columns")
+    k = len(item_cols)
+    dec = "decimal(25,9)"
+    dec2 = "decimal(38,18)"
+    rows = df
+    for c in item_cols:
+        rows = rows.filter(F.col(c).isNotNull())
+    v9 = [F.round(F.col(c).cast("double"), 9) for c in item_cols]
+    total = F.round(sum(v9), 9)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, v in enumerate(v9):
+        aggs.append(F.sum(v.cast(dec)).alias(f"_s{i}"))
+        aggs.append(
+            F.sum(F.round(v * v, 9).cast(dec2)).alias(f"_q{i}")
+        )
+    aggs.append(F.sum(total.cast(dec)).alias("_st"))
+    aggs.append(F.sum(F.round(total * total, 9).cast(dec2)).alias("_qt"))
+    agg = rows.agg(*aggs)
+    n = F.col("_n")
+
+    def var(s: str, q: str):
+        return F.when(
+            n >= 2,
+            (
+                F.col(q).cast("double")
+                - F.col(s).cast("double") * F.col(s).cast("double") / n
+            )
+            / (n - 1),
+        )
+
+    sum_iv = sum(var(f"_s{i}", f"_q{i}") for i in range(k))
+    tot_v = var("_st", "_qt")
+    alpha = F.when(
+        tot_v > 0,
+        F.lit(k / (k - 1.0)) * (1 - sum_iv / tot_v),
+    )
+    return agg.select(
+        n.alias("n"),
+        F.lit(k).cast("long").alias("k_items"),
+        F.round(sum_iv, 6).alias("sum_item_var"),
+        F.round(tot_v, 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Bland–Altman method-comparison statistics (Bland & Altman,
+    Lancet 1986 — THE agreement readout for two CONTINUOUS measures of
+    the same quantity: correlation says two scorers move together,
+    Bland-Altman says whether one can REPLACE the other): per-pair
+    difference d = x − y; bias = mean(d), sd(d) with (n−1), and the
+    95% limits of agreement bias ± 1.959964·sd — the band within which
+    the two methods disagree for 95% of items.
+
+    ONE no-grouping aggregate (decimal sums of 9dp diffs + squares),
+    fixed-form IEEE recombination, the q421 z literal. Output: ONE
+    row — (n, bias, sd_diff, loa_lo, loa_hi); n < 2 degrades the
+    sd-derived fields to NULL.
+    """
+    dec = "decimal(25,9)"
+    dec2 = "decimal(38,18)"
+    d = F.round(F.col(x_col).cast("double") - F.col(y_col).cast("double"), 9)
+    rows = df.filter(d.isNotNull())
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(d.cast(dec)).alias("_s"),
+        F.sum(F.round(d * d, 9).cast(dec2)).alias("_q"),
+    )
+    n = F.col("_n")
+    bias = F.col("_s").cast("double") / n
+    sd = F.when(
+        n >= 2,
+        F.sqrt(
+            (
+                F.col("_q").cast("double")
+                - F.col("_s").cast("double") * F.col("_s").cast("double") / n
+            )
+            / (n - 1)
+        ),
+    )
+    z = 1.959964
+    return agg.select(
+        n.alias("n"),
+        F.round(bias, 6).alias("bias"),
+        F.round(sd, 6).alias("sd_diff"),
+        F.round(bias - F.lit(z) * sd, 6).alias("loa_lo"),
+        F.round(bias + F.lit(z) * sd, 6).alias("loa_hi"),
+    )

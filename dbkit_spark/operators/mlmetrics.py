@@ -3410,3 +3410,221 @@ def two_proportion_test(
         F.round(F.when(ok, ci_lo), 6).alias("ci_lo"),
         F.round(F.when(ok, ci_hi), 6).alias("ci_hi"),
     )
+
+
+def _wilson_hilferty_p_upper(chi2: Column, dof: Column) -> Column:
+    """Upper-tail chi-squared p via the Wilson–Hilferty cube-root
+    normal approximation (PNAS 1931; the q451 contingency_chi2 rule:
+    ~1e-3 accuracy, documented) through the q407 closed-form tail."""
+    k = dof.cast("double")
+    z = (
+        F.pow(chi2 / k, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k))
+    ) * F.sqrt(F.lit(9.0) * k / F.lit(2.0))
+    p2 = normal_p_two_sided(z)
+    return F.round(
+        F.when(z >= 0, p2 / 2).otherwise(1 - p2 / 2), 9
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test over n items × k treatments (Friedman, JASA
+    1937; tie handling per Conover 1999 — the K-SYSTEM generalization
+    of the Wilcoxon signed-rank: k models scored on the SAME eval
+    items, does ANY of them rank consistently better? The omnibus
+    gate before pairwise signed-rank comparisons): values rank WITHIN
+    each item (average ranks on ties), T = (k−1)·Σ_j (R_j −
+    n(k+1)/2)² / (A₁ − C₁) with A₁ = Σ r²_ij and C₁ = nk(k+1)²/4
+    (the tie-corrected form; reduces to the classic 12/(nk(k+1))
+    statistic when tie-free), upper-tail p via Wilson-Hilferty at
+    k−1 dof.
+
+    Only COMPLETE blocks count (items with exactly one non-NULL value
+    per treatment — listwise, the classical treatment; incomplete
+    items are counted and dropped). Average ranks are half-integers
+    (exact: 2·rank_min + ties − 1 over 2), so rank sums and A₁ ride
+    DECIMAL(25,9) exactly.
+
+    Plan: item-keyed rank windows over k-row partitions (k = a
+    handful of systems — partitions are tiny and uniform), one
+    treatment reduce + one 1-row reduce. Output: one row per
+    treatment — (treatment, n_items, k_treatments, rank_sum,
+    mean_rank) with (chi2_f, p_value, n_incomplete) repeated via
+    1-row broadcast; k < 2 or n = 0 degrades chi2/p to NULL.
+    """
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(treatment_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    k_frame = base.agg(
+        F.countDistinct("_t").cast("long").alias("_k")
+    )
+    per_item = base.filter(F.col("_v").isNotNull()).groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct("_t").alias("_nt"),
+    )
+    complete = per_item.crossJoin(F.broadcast(k_frame)).filter(
+        (F.col("_cnt") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
+    )
+    n_bad = per_item.crossJoin(F.broadcast(k_frame)).filter(
+        (F.col("_cnt") != F.col("_k")) | (F.col("_nt") != F.col("_k"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_incomplete"))
+    rows = base.join(complete.select("_i"), "_i")
+    w_rank = Window.partitionBy("_i").orderBy("_v")
+    w_tie = Window.partitionBy("_i", "_v")
+    ranked = rows.select(
+        "_i",
+        "_t",
+        (
+            (
+                2 * F.rank().over(w_rank)
+                + F.count(F.lit(1)).over(w_tie)
+                - 1
+            )
+            / F.lit(2.0)
+        ).alias("_r"),
+    )
+    dec = "decimal(25,9)"
+    per_t = ranked.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.round(F.col("_r"), 9).cast(dec)).alias("_rsum"),
+        F.sum(F.round(F.col("_r") * F.col("_r"), 9).cast(dec)).alias("_r2"),
+    )
+    # two-step: treatment frame -> scalars (the window-free form)
+    scal = per_t.agg(
+        F.max("n_items").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_kk"),
+        F.sum(F.col("_r2")).cast("double").alias("_a1"),
+    )
+    joined = per_t.crossJoin(F.broadcast(scal))
+    dev = F.col("_rsum").cast("double") - F.col("_n") * (
+        F.col("_kk") + 1
+    ) / F.lit(2.0)
+    ssq = joined.agg(
+        F.sum(F.round(dev * dev, 9).cast(dec)).cast("double").alias("_ss"),
+        F.max("_n").alias("_n"),
+        F.max("_kk").alias("_kk"),
+        F.max("_a1").alias("_a1"),
+    )
+    n = F.col("_n").cast("double")
+    kk = F.col("_kk").cast("double")
+    c1 = n * kk * (kk + 1) * (kk + 1) / F.lit(4.0)
+    denom = F.col("_a1") - c1
+    chi2 = F.when(
+        (F.col("_kk") >= 2) & (F.col("_n") >= 1) & (denom > 0),
+        (kk - 1) * F.col("_ss") / denom,
+    )
+    stats = ssq.select(
+        F.round(chi2, 6).alias("chi2_f"),
+        F.when(
+            chi2.isNotNull(),
+            _wilson_hilferty_p_upper(chi2, F.col("_kk") - 1),
+        ).alias("p_value"),
+    )
+    return (
+        per_t.crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_bad))
+        .select(
+            F.col("_t").alias("treatment"),
+            F.col("_n").alias("n_items"),
+            F.col("_kk").alias("k_treatments"),
+            F.round(F.col("_rsum").cast("double"), 6).alias("rank_sum"),
+            F.round(
+                F.col("_rsum").cast("double") / F.col("n_items"), 6
+            ).alias("mean_rank"),
+            "chi2_f",
+            "p_value",
+            "n_incomplete",
+        )
+        .orderBy("treatment")
+    )
+
+
+def cochran_q_test(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q over n items × k BINARY treatments (Cochran,
+    Biometrika 1950 — the k-system generalization of McNemar: k gates
+    pass/fail the same documents, do the pass RATES differ beyond
+    per-item difficulty? The omnibus before pairwise McNemars):
+    Q = k(k−1)·Σ_j (G_j − N/k)² / (k·N − Σ_i L_i²) with G_j column
+    totals, L_i row totals, N = ΣΣx over COMPLETE blocks (listwise);
+    upper-tail p via Wilson-Hilferty at k−1 dof. All-0/all-k rows
+    cancel algebraically — no need to drop them.
+
+    Counts are exact LONGs end-to-end; Q is fixed-form IEEE on
+    identical integer-derived doubles. Plan: one item reduce (L_i),
+    one treatment reduce (G_j), one 1-row recombination. Output: ONE
+    row — (n_items, k_treatments, n_total, q_stat, p_value,
+    n_incomplete); zero denominator (all rows unanimous) degrades
+    Q/p to NULL.
+    """
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(treatment_col).alias("_t"),
+        F.col(success_col).cast("int").alias("_x"),
+    )
+    k_frame = base.agg(F.countDistinct("_t").cast("long").alias("_k"))
+    per_item = base.filter(F.col("_x").isNotNull()).groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct("_t").alias("_nt"),
+        F.sum("_x").cast("long").alias("_li"),
+    )
+    with_k = per_item.crossJoin(F.broadcast(k_frame))
+    complete = with_k.filter(
+        (F.col("_cnt") == F.col("_k")) & (F.col("_nt") == F.col("_k"))
+    )
+    n_bad = with_k.filter(
+        (F.col("_cnt") != F.col("_k")) | (F.col("_nt") != F.col("_k"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_incomplete"))
+    item_stats = complete.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_li").cast("long").alias("_nn"),
+        F.sum(F.col("_li") * F.col("_li")).cast("long").alias("_l2"),
+    )
+    g = (
+        base.join(complete.select("_i"), "_i")
+        .groupBy("_t")
+        .agg(F.sum("_x").cast("long").alias("_gj"))
+    )
+    gsq = g.crossJoin(F.broadcast(item_stats)).crossJoin(
+        F.broadcast(k_frame)
+    )
+    dev = F.col("_gj").cast("double") - F.col("_nn") / F.col("_k").cast(
+        "double"
+    )
+    agg = gsq.agg(
+        F.sum(F.round(dev * dev, 9).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("_ss"),
+        F.max("_n").alias("_n"),
+        F.max("_nn").alias("_nn"),
+        F.max("_l2").alias("_l2"),
+        F.max("_k").alias("_k"),
+    )
+    kk = F.col("_k").cast("double")
+    denom = kk * F.col("_nn") - F.col("_l2")
+    q = F.when(
+        (F.col("_k") >= 2) & (denom > 0),
+        kk * (kk - 1) * F.col("_ss") / denom,
+    )
+    return agg.crossJoin(F.broadcast(n_bad)).select(
+        F.col("_n").alias("n_items"),
+        F.col("_k").alias("k_treatments"),
+        F.col("_nn").alias("n_total"),
+        F.round(q, 6).alias("q_stat"),
+        F.when(
+            q.isNotNull(), _wilson_hilferty_p_upper(q, F.col("_k") - 1)
+        ).alias("p_value"),
+        "n_incomplete",
+    )

@@ -2341,3 +2341,345 @@ ROADMAP14["q456_two_proportion"] = (
     _q456_oracle(),
     _Q456_NOTES,
 )
+
+
+# --- q457-q460: k-system comparison family -----------------------------------
+
+# k "systems" = truncation scorers at denominators (2, 3, 4, 6), each
+# scored by token-F1 against the full doc on the SAME items — the
+# k-way extension of the q447/q448 paired derivation.
+_DENS = (2, 3, 4, 6)
+
+
+def _multi_sys_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.texteval import token_f1
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    out = None
+    for den in _DENS:
+        k = F.greatest(F.ceil(F.size(t) / float(den)).cast("int"), F.lit(1))
+        pairs = docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.array_join(F.slice(t, 1, k), " ").alias("cand"),
+            F.col("text").alias("ref"),
+        )
+        f = token_f1(pairs).select(
+            "pair_id", F.col("f1").alias(f"f1_d{den}")
+        )
+        out = f if out is None else out.join(f, "pair_id")
+    return out
+
+
+def _multi_sql() -> str:
+    sls = ",\n".join(f"sl{d} AS ({_sl_sql(d)})" for d in _DENS)
+    fs = ",\n".join(
+        f"ff{d} AS ({_f1_frac_sql(d, f'f1_d{d}')})" for d in _DENS
+    )
+    first = _DENS[0]
+    joins = " ".join(
+        f"JOIN ff{d} ON ff{first}.pair_id = ff{d}.pair_id"
+        for d in _DENS[1:]
+    )
+    cols = ", ".join(f"ff{d}.f1_d{d}" for d in _DENS)
+    return f"""
+    toks AS (SELECT doc_id AS pair_id, {_T.format(c='text')} AS rt
+             FROM documents),
+    {sls},
+    {fs},
+    wide AS (SELECT ff{first}.pair_id, {cols} FROM ff{first} {joins})
+"""
+
+
+_LONG_SQL = " UNION ALL ".join(
+    f"SELECT pair_id AS i, 'd{d}' AS t, f1_d{d} AS v FROM wide"
+    for d in _DENS
+)
+
+
+def _wh_p_sql(chi2: str, dof: str) -> str:
+    from ..operators.mlmetrics import normal_p_two_sided_sql
+
+    k = f"CAST({dof} AS DOUBLE)"
+    z = (
+        f"((pow({chi2} / {k}, 1.0 / 3.0)"
+        f" - (1.0 - 2.0 / (9.0 * {k}))) * sqrt(9.0 * {k} / 2.0))"
+    )
+    p2 = normal_p_two_sided_sql(z)
+    return (
+        f"round(CASE WHEN {z} >= 0 THEN {p2} / 2 "
+        f"ELSE 1 - {p2} / 2 END, 9)"
+    )
+
+
+def q457_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (operators/mlmetrics.friedman_test) across
+    the four truncation systems on the same items — the omnibus
+    'does ANY system rank better?' before pairwise signed-ranks."""
+    from ..operators.mlmetrics import friedman_test
+
+    wide = _multi_sys_scores(spark, sf_dir)
+    long_ = None
+    for den in _DENS:
+        part = wide.select(
+            F.col("pair_id"),
+            F.lit(f"d{den}").alias("sys"),
+            F.col(f"f1_d{den}").alias("f1"),
+        )
+        long_ = part if long_ is None else long_.unionByName(part)
+    return friedman_test(long_, "pair_id", "sys", "f1")
+
+
+def _q457_oracle() -> str:
+    return f"""
+    WITH {_multi_sql()},
+    long_ AS ({_LONG_SQL}),
+    ranked AS (
+      SELECT i, t,
+             (2 * rnk + cnt - 1) / 2.0 AS r
+      FROM (SELECT i, t, v,
+                   rank() OVER (PARTITION BY i ORDER BY v) AS rnk,
+                   COUNT(*) OVER (PARTITION BY i, v) AS cnt
+            FROM long_)),
+    per_t AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(CAST(round(r, 9) AS DECIMAL(25,9))) AS rsum,
+             SUM(CAST(round(r * r, 9) AS DECIMAL(25,9))) AS r2
+      FROM ranked GROUP BY t),
+    scal AS (
+      SELECT CAST(MAX(n_items) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS kk,
+             CAST(SUM(r2) AS DOUBLE) AS a1
+      FROM per_t),
+    ssq AS (
+      SELECT CAST(SUM(CAST(round(
+               (CAST(rsum AS DOUBLE) - n * (kk + 1) / 2.0)
+               * (CAST(rsum AS DOUBLE) - n * (kk + 1) / 2.0), 9)
+               AS DECIMAL(25,9))) AS DOUBLE) AS ss,
+             MAX(n) AS n, MAX(kk) AS kk, MAX(a1) AS a1
+      FROM per_t CROSS JOIN scal),
+    stat AS (
+      SELECT CASE WHEN kk >= 2 AND n >= 1
+                       AND (a1 - CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                            * (CAST(kk AS DOUBLE) + 1)
+                            * (CAST(kk AS DOUBLE) + 1) / 4.0) > 0
+                  THEN (CAST(kk AS DOUBLE) - 1) * ss
+                       / (a1 - CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                          * (CAST(kk AS DOUBLE) + 1)
+                          * (CAST(kk AS DOUBLE) + 1) / 4.0)
+             END AS chi2_raw, kk
+      FROM ssq)
+    SELECT per_t.t AS treatment, per_t.n_items,
+           scal.kk AS k_treatments,
+           round(CAST(per_t.rsum AS DOUBLE), 6) AS rank_sum,
+           round(CAST(per_t.rsum AS DOUBLE) / per_t.n_items, 6)
+             AS mean_rank,
+           round(stat.chi2_raw, 6) AS chi2_f,
+           CASE WHEN stat.chi2_raw IS NOT NULL
+                THEN {_wh_p_sql('stat.chi2_raw', '(stat.kk - 1)')} END
+             AS p_value,
+           CAST(0 AS BIGINT) AS n_incomplete
+    FROM per_t CROSS JOIN scal CROSS JOIN stat
+    ORDER BY treatment
+    """
+
+
+_Q457_NOTES = (
+    "FRIEDMAN RANK TEST (operators/mlmetrics.friedman_test — Friedman "
+    "JASA 1937, ties per Conover 1999: the K-SYSTEM generalization of "
+    "q447's signed-rank — k models on the SAME items, the omnibus "
+    "gate before pairwise comparisons): within-item average ranks are "
+    "exact half-integers ((2*rank_min + ties - 1)/2) riding "
+    "DECIMAL(25,9); item-keyed rank windows over k-row partitions "
+    "(tiny, uniform), one treatment reduce + 1-row recombination; "
+    "tie-corrected T = (k-1)*SS/(A1-C1); upper-tail p via the q451 "
+    "Wilson-Hilferty chi2 tail at k-1 dof; complete blocks only "
+    "(listwise, counted)"
+)
+
+ROADMAP14["q457_friedman"] = (q457_friedman, _q457_oracle(), _Q457_NOTES)
+
+
+def q458_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (operators/mlmetrics.cochran_q_test) over the four
+    systems' pass/fail verdicts (f1 >= 0.6) on the same items — do
+    the gates' pass rates differ beyond per-item difficulty?"""
+    from ..operators.mlmetrics import cochran_q_test
+
+    wide = _multi_sys_scores(spark, sf_dir)
+    long_ = None
+    for den in _DENS:
+        part = wide.select(
+            F.col("pair_id"),
+            F.lit(f"d{den}").alias("sys"),
+            (F.col(f"f1_d{den}") >= 0.6).cast("int").alias("pass_flag"),
+        )
+        long_ = part if long_ is None else long_.unionByName(part)
+    return cochran_q_test(long_, "pair_id", "sys", "pass_flag")
+
+
+def _q458_oracle() -> str:
+    passes = " UNION ALL ".join(
+        f"SELECT pair_id AS i, 'd{d}' AS t, "
+        f"CASE WHEN f1_d{d} >= 0.6 THEN 1 ELSE 0 END AS x FROM wide"
+        for d in _DENS
+    )
+    return f"""
+    WITH {_multi_sql()},
+    long_ AS ({passes}),
+    li AS (SELECT i, CAST(SUM(x) AS BIGINT) AS l FROM long_ GROUP BY i),
+    istats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(l) AS BIGINT) AS nn,
+             CAST(SUM(l * l) AS BIGINT) AS l2
+      FROM li),
+    g AS (SELECT t, CAST(SUM(x) AS BIGINT) AS gj FROM long_ GROUP BY t),
+    kf AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM long_),
+    agg AS (
+      SELECT CAST(SUM(CAST(round(
+               (CAST(gj AS DOUBLE) - nn / CAST(k AS DOUBLE))
+               * (CAST(gj AS DOUBLE) - nn / CAST(k AS DOUBLE)), 9)
+               AS DECIMAL(25,9))) AS DOUBLE) AS ss,
+             MAX(n) AS n, MAX(nn) AS nn, MAX(l2) AS l2, MAX(k) AS k
+      FROM g CROSS JOIN istats CROSS JOIN kf),
+    stat AS (
+      SELECT *, CASE WHEN k >= 2
+                          AND (CAST(k AS DOUBLE) * nn - l2) > 0
+                     THEN CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1)
+                          * ss / (CAST(k AS DOUBLE) * nn - l2)
+                END AS q_raw
+      FROM agg)
+    SELECT n AS n_items, k AS k_treatments, nn AS n_total,
+           round(q_raw, 6) AS q_stat,
+           CASE WHEN q_raw IS NOT NULL
+                THEN {_wh_p_sql('q_raw', '(k - 1)')} END AS p_value,
+           CAST(0 AS BIGINT) AS n_incomplete
+    FROM stat
+    """
+
+
+_Q458_NOTES = (
+    "COCHRAN'S Q (operators/mlmetrics.cochran_q_test — Cochran "
+    "Biometrika 1950: the k-system generalization of q322-class "
+    "McNemar — k gates pass/fail the SAME documents, do pass rates "
+    "differ beyond per-item difficulty?): counts exact LONG "
+    "end-to-end (column totals G_j, row totals L_i, one item reduce "
+    "+ one treatment reduce + 1-row recombination); unanimous rows "
+    "cancel algebraically; upper-tail p via the Wilson-Hilferty chi2 "
+    "tail at k-1 dof; complete blocks only (listwise, counted)"
+)
+
+ROADMAP14["q458_cochran_q"] = (q458_cochran_q, _q458_oracle(), _Q458_NOTES)
+
+
+def q459_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (operators/agreement.cronbach_alpha) over the
+    four systems' f1 scores — do the k scorings measure one
+    underlying 'document quality' construct?"""
+    from ..operators.agreement import cronbach_alpha
+
+    wide = _multi_sys_scores(spark, sf_dir)
+    return cronbach_alpha(wide, [f"f1_d{d}" for d in _DENS])
+
+
+def _q459_oracle() -> str:
+    k = len(_DENS)
+    ratio = repr(k / (k - 1.0))
+    v9 = [f"round(CAST(f1_d{d} AS DOUBLE), 9)" for d in _DENS]
+    total = f"round({' + '.join(v9)}, 9)"
+    s_cols = ", ".join(
+        f"SUM(CAST({v} AS DECIMAL(25,9))) AS s{i}, "
+        f"SUM(CAST(round({v} * {v}, 9) AS DECIMAL(38,18))) AS q{i}"
+        for i, v in enumerate(v9)
+    )
+    var = (
+        lambda s, q: f"(CASE WHEN n >= 2 THEN (CAST({q} AS DOUBLE) "
+        f"- CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / n) / (n - 1) END)"
+    )
+    sum_iv = "(0 + " + " + ".join(
+        var(f"s{i}", f"q{i}") for i in range(k)
+    ) + ")"
+    tot_v = var("st", "qt")
+    return f"""
+    WITH {_multi_sql()},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {s_cols},
+             SUM(CAST({total} AS DECIMAL(25,9))) AS st,
+             SUM(CAST(round({total} * {total}, 9) AS DECIMAL(38,18)))
+               AS qt
+      FROM wide
+      WHERE {' AND '.join(f'f1_d{d} IS NOT NULL' for d in _DENS)})
+    SELECT n, CAST({k} AS BIGINT) AS k_items,
+           round({sum_iv}, 6) AS sum_item_var,
+           round({tot_v}, 6) AS total_var,
+           round(CASE WHEN {tot_v} > 0
+                 THEN {ratio} * (1 - {sum_iv} / {tot_v}) END, 6)
+             AS alpha
+    FROM m
+    """
+
+
+_Q459_NOTES = (
+    "CRONBACH'S ALPHA (operators/agreement.cronbach_alpha — Cronbach "
+    "Psychometrika 1951: internal consistency of a k-metric battery — "
+    "do k quality signals measure ONE construct, or k different "
+    "opinions? The reliability audit next to the rater-agreement "
+    "family q316/q317/q424): ONE no-grouping aggregate (per-item "
+    "decimal sums + 9dp squares + the exact-decimal row-sum moments), "
+    "fixed-form IEEE recombination with sample n-1 variances, "
+    "listwise NULL handling (documented)"
+)
+
+ROADMAP14["q459_cronbach"] = (q459_cronbach, _q459_oracle(), _Q459_NOTES)
+
+
+def q460_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement (operators/agreement.bland_altman)
+    between the 1/2- and 1/3-truncation scorers — bias and 95% limits
+    of agreement on the same items."""
+    from ..operators.agreement import bland_altman
+
+    wide = _multi_sys_scores(spark, sf_dir)
+    return bland_altman(wide, "f1_d2", "f1_d3")
+
+
+def _q460_oracle() -> str:
+    z = repr(1.959964)
+    d = "round(CAST(f1_d2 AS DOUBLE) - CAST(f1_d3 AS DOUBLE), 9)"
+    return f"""
+    WITH {_multi_sql()},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST({d} AS DECIMAL(25,9))) AS s,
+             SUM(CAST(round({d} * {d}, 9) AS DECIMAL(38,18))) AS q
+      FROM wide WHERE {d} IS NOT NULL),
+    stat AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / n AS bias,
+             CASE WHEN n >= 2 THEN
+               sqrt((CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1)) END AS sd
+      FROM m)
+    SELECT n, round(bias, 6) AS bias, round(sd, 6) AS sd_diff,
+           round(bias - {z} * sd, 6) AS loa_lo,
+           round(bias + {z} * sd, 6) AS loa_hi
+    FROM stat
+    """
+
+
+_Q460_NOTES = (
+    "BLAND-ALTMAN AGREEMENT (operators/agreement.bland_altman — "
+    "Bland & Altman Lancet 1986: the method-comparison readout for "
+    "two CONTINUOUS scorings of the same quantity — correlation says "
+    "they move together, Bland-Altman says whether one can REPLACE "
+    "the other: bias = mean difference, 95% limits of agreement "
+    "bias +/- 1.959964*sd): ONE no-grouping aggregate of 9dp decimal "
+    "diffs + squares, sample n-1 sd, the q421 z literal convention"
+)
+
+ROADMAP14["q460_bland_altman"] = (
+    q460_bland_altman,
+    _q460_oracle(),
+    _Q460_NOTES,
+)

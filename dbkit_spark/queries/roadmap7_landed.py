@@ -57,15 +57,16 @@ from .roadmap7 import ROADMAP7
 # reach the window at ~r15–r16. Round-14 additions (q433+) stay queued
 # and land in round 15.
 #
-# Round-15 landing (PRE-COMPUTED at r14 close, RE-COMPUTED after the
-# late-round extension to q456): the queue holds exactly 24 entries
-# (q433–q456), all SQL-oracled and pre-verified at sf0.001/sf0.01
-# (the driver gate) AND sf0.1. If CORRECTNESS_r14 is clean,
-# _LANDED_MAX_QNUM = 456 lands all 24 and the r15 window is those 24
-# never-driver-checked entries + the 26 least-recently-verified
-# greens — simulated by rotation replay at each extension commit as
-# exactly q168–q193 (the r5 cohort minus its last seven; q194–q200
-# spill to r16). The r16 refresh ordering is then q194–q200 followed
+# Round-15 landing (PRE-COMPUTED at r14 close, RE-COMPUTED after each
+# late-round extension, finally at q460): the queue holds exactly 28
+# entries (q433–q460), all SQL-oracled and pre-verified at
+# sf0.001/sf0.01 (the driver gate) AND sf0.1. If CORRECTNESS_r14 is
+# clean, _LANDED_MAX_QNUM = 460 lands all 28 and the r15 window is
+# those 28 never-driver-checked entries + the 22 least-recently-
+# verified greens — simulated by rotation replay at each extension
+# commit as exactly q168–q189 (the r5 cohort minus its last eleven;
+# q190–q200 spill to r16). The r16 refresh ordering is then
+# q190–q200 followed
 # by the r7-era oracle-converted stragglers (q38/q72/q79, then
 # q204/q212 r8, q267 r9, q310 r10). If any r14 window query FAILS, it
 # re-enters with green-round 0 and shifts the window: land fewer
@@ -74,7 +75,7 @@ from .roadmap7 import ROADMAP7
 # update GUARD_ROUND/R15_REFRESH in tests/test_catalog.py per the
 # artifact-aware pattern, move q445 from the queue gate's intentional
 # set to _INTENTIONAL_CROSS (tests/test_plans.py — the q274/q415
-# precedent), and regenerate COVERAGE.md (456 registered = 432 + 24)
+# precedent), and regenerate COVERAGE.md (460 registered = 432 + 28)
 # at landing time.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic

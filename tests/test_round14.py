@@ -535,7 +535,7 @@ def test_kendall_all_tied_null(spark):
 def test_roadmap14_entries_well_formed():
     from dbkit_spark.queries.roadmap14 import ROADMAP14
 
-    assert len(ROADMAP14) == 24
+    assert len(ROADMAP14) == 28
     for name, (fn, oracle, notes) in ROADMAP14.items():
         assert callable(fn) and notes
         assert oracle is None or "SELECT" in oracle.upper()
@@ -1000,3 +1000,141 @@ def test_two_proportion_symmetric_zero(spark):
     r = two_proportion_test(df, "g", "s", "a", "b").collect()[0]
     assert r["diff"] == 0.0 and r["z_stat"] == 0.0
     assert abs(r["ci_lo"] + r["ci_hi"]) < 2e-6  # symmetric interval
+
+
+# --- Friedman ---------------------------------------------------------------------------------
+
+
+def test_friedman_dominant_system(spark):
+    from dbkit_spark.operators.mlmetrics import friedman_test
+
+    # system c always best, a always worst over 12 items -> ranks
+    # constant (a=1, b=2, c=3); chi2_F = 12*2*... maximal for n=12,k=3
+    rows = []
+    for i in range(12):
+        rows += [(i, "a", 1.0 + i), (i, "b", 2.0 + i), (i, "c", 3.0 + i)]
+    df = spark.createDataFrame(rows, "item long, sys string, v double")
+    out = {r["treatment"]: r for r in friedman_test(df, "item", "sys", "v").collect()}
+    assert out["a"]["mean_rank"] == 1.0 and out["c"]["mean_rank"] == 3.0
+    # classic formula (no ties): chi2 = 12/(nk(k+1)) * sum R_j^2 - 3n(k+1)
+    n, k = 12, 3
+    rs = [12.0, 24.0, 36.0]
+    expect = 12.0 / (n * k * (k + 1)) * sum(r * r for r in rs) - 3 * n * (k + 1)
+    assert abs(out["a"]["chi2_f"] - expect) < 1e-6
+    assert out["a"]["p_value"] < 1e-4
+
+
+def test_friedman_identical_systems_null_or_zero(spark):
+    from dbkit_spark.operators.mlmetrics import friedman_test
+
+    # all systems identical -> every rank tied at (k+1)/2 -> A1 = C1 ->
+    # zero denominator -> NULL chi2 (degenerate, documented)
+    rows = []
+    for i in range(8):
+        rows += [(i, "a", 5.0), (i, "b", 5.0), (i, "c", 5.0)]
+    df = spark.createDataFrame(rows, "item long, sys string, v double")
+    out = friedman_test(df, "item", "sys", "v").collect()[0]
+    assert out["chi2_f"] is None and out["p_value"] is None
+
+
+def test_friedman_incomplete_blocks_dropped(spark):
+    from dbkit_spark.operators.mlmetrics import friedman_test
+
+    rows = [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 1.0)]  # item 2 incomplete
+    df = spark.createDataFrame(rows, "item long, sys string, v double")
+    out = friedman_test(df, "item", "sys", "v").collect()[0]
+    assert out["n_items"] == 1 and out["n_incomplete"] == 1
+
+
+# --- Cochran's Q ------------------------------------------------------------------------------
+
+
+def test_cochran_q_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import cochran_q_test
+
+    # 2 systems reduce to McNemar without continuity: discordant pairs
+    # 6 vs 2 -> Q = (6-2)^2/(6+2) = 2
+    rows = []
+    i = 0
+    for _ in range(6):
+        rows += [(i, "a", 1), (i, "b", 0)]; i += 1
+    for _ in range(2):
+        rows += [(i, "a", 0), (i, "b", 1)]; i += 1
+    for _ in range(5):
+        rows += [(i, "a", 1), (i, "b", 1)]; i += 1
+    df = spark.createDataFrame(rows, "item long, sys string, x int")
+    out = cochran_q_test(df, "item", "sys", "x").collect()[0]
+    assert out["q_stat"] == 2.0
+    assert out["n_items"] == 13
+
+
+def test_cochran_q_unanimous_null(spark):
+    from dbkit_spark.operators.mlmetrics import cochran_q_test
+
+    rows = []
+    for i in range(5):
+        rows += [(i, "a", 1), (i, "b", 1), (i, "c", 1)]
+    df = spark.createDataFrame(rows, "item long, sys string, x int")
+    out = cochran_q_test(df, "item", "sys", "x").collect()[0]
+    assert out["q_stat"] is None  # zero denominator: all rows unanimous
+
+
+# --- Cronbach ---------------------------------------------------------------------------------
+
+
+def test_cronbach_perfect_consistency(spark):
+    from dbkit_spark.operators.agreement import cronbach_alpha
+
+    # identical items: sum_iv = k*v, total_var = k^2*v -> alpha = 1
+    rows = [(float(i % 7), float(i % 7), float(i % 7)) for i in range(30)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    assert out["alpha"] == 1.0 and out["k_items"] == 3
+
+
+def test_cronbach_independent_near_zero(spark):
+    from dbkit_spark.operators.agreement import cronbach_alpha
+
+    # independent-ish hashed items -> alpha near 0 (well below 0.5)
+    rows = [
+        (float((i * 7) % 11), float((i * 5) % 13), float((i * 3) % 17))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    assert abs(out["alpha"]) < 0.5
+
+
+def test_cronbach_validation(spark):
+    from dbkit_spark.operators.agreement import cronbach_alpha
+
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    with pytest.raises(ValueError):
+        cronbach_alpha(df, ["a"])
+
+
+# --- Bland-Altman -----------------------------------------------------------------------------
+
+
+def test_bland_altman_constant_offset(spark):
+    from dbkit_spark.operators.agreement import bland_altman
+
+    # y = x - 0.3 exactly: bias = 0.3, sd = 0, degenerate LoA at bias
+    rows = [(float(i), float(i) - 0.3) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = bland_altman(df, "x", "y").collect()[0]
+    assert out["bias"] == 0.3 and out["sd_diff"] == 0.0
+    assert out["loa_lo"] == 0.3 and out["loa_hi"] == 0.3
+
+
+def test_bland_altman_hand_sd(spark):
+    from dbkit_spark.operators.agreement import bland_altman
+
+    # diffs -1, 1 alternating: bias 0, sd = sqrt(n/(n-1))
+    rows = [(1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = bland_altman(df, "x", "y").collect()[0]
+    assert out["bias"] == 0.0
+    expect_sd = math.sqrt(4 / 3)
+    assert abs(out["sd_diff"] - expect_sd) < 2e-6
+    assert abs(out["loa_hi"] - 1.959964 * expect_sd) < 5e-6
