@@ -13,6 +13,8 @@ the map-only metrics. Nothing touches the driver.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -813,7 +815,14 @@ def c4_line_filters(
         raise ValueError("min_line_words and min_kept_lines must be >= 1")
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+        # literal-separator semantics: F.split takes a Java regex, so a
+        # caller-supplied separator ('.', '||') must be escaped or it
+        # silently splits on the PATTERN, diverging from the documented
+        # literal string_split behavior and the DuckDB oracle (ADVICE
+        # r14). The '\n' default is escape-invariant.
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(line_sep))
+        ).alias("pos", "line"),
     )
     trimmed = F.trim(F.col("line"))
     n_words = F.size(
@@ -915,7 +924,11 @@ def dup_segment_fractions(
     def side(sep: str, tag: str) -> DataFrame:
         segs = docs.select(
             F.col(id_col),
-            F.explode(F.split(F.col(text_col), sep)).alias("seg"),
+            # re.escape: literal separator semantics (see
+            # c4_line_filters — same ADVICE r14 item).
+            F.explode(
+                F.split(F.col(text_col), re.escape(sep))
+            ).alias("seg"),
         ).filter(F.trim(F.col("seg")) != "")
         counted = segs.groupBy(id_col, "seg").agg(
             F.count("*").cast("long").alias("_c"),

@@ -2935,16 +2935,26 @@ def wilcoxon_signed_rank(
         "_npos",
         (F.sum("_c").over(w) - F.col("_c")).alias("_cum_before"),
     )
+    # coalesce: an all-tied input leaves the nonzero-diff frame EMPTY,
+    # and sums over an empty agg are NULL — the documented degradation
+    # is "n_pairs=0, w_plus=0 with NULL z/p", not NULL counts (ADVICE
+    # r14).
     agg = ranked.agg(
-        F.sum("_c").cast("long").alias("n_pairs"),
-        F.sum(
-            F.col("_npos") * (2 * F.col("_cum_before") + F.col("_c") + 1)
-        )
-        .cast("long")
-        .alias("_w2p"),
-        F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c"))
-        .cast("long")
-        .alias("_tie"),
+        F.coalesce(F.sum("_c").cast("long"), F.lit(0).cast("long")).alias(
+            "n_pairs"
+        ),
+        F.coalesce(
+            F.sum(
+                F.col("_npos") * (2 * F.col("_cum_before") + F.col("_c") + 1)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("_w2p"),
+        F.coalesce(
+            F.sum(
+                F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c")
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("_tie"),
     )
     n = F.col("n_pairs").cast("double")
     w_plus = F.col("_w2p") / F.lit(2.0)
@@ -3475,7 +3485,12 @@ def friedman_test(
     n_bad = per_item.crossJoin(F.broadcast(k_frame)).filter(
         (F.col("_cnt") != F.col("_k")) | (F.col("_nt") != F.col("_k"))
     ).agg(F.count(F.lit(1)).cast("long").alias("n_incomplete"))
-    rows = base.join(complete.select("_i"), "_i")
+    # NULL-value rows must not reach the rank window: completeness is
+    # judged on non-NULL values only, so an item with k non-NULL values
+    # plus a stray NULL row still passes the filter — and Spark sorts
+    # NULLs FIRST, which would shift every rank in that item (ADVICE
+    # r14). Listwise means NULL rows simply don't exist for ranking.
+    rows = base.filter(F.col("_v").isNotNull()).join(complete.select("_i"), "_i")
     w_rank = Window.partitionBy("_i").orderBy("_v")
     w_tie = Window.partitionBy("_i", "_v")
     ranked = rows.select(

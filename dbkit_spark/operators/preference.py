@@ -492,12 +492,21 @@ def kendall_tau_b(
     ties_x, ties_y, ties_both, tau_b) with tau_b NULL when either
     scoring ties ALL pairs (zero denominator).
     """
-    a = items.select(
+    # Listwise NULL handling (ADVICE r14): an item with a NULL score
+    # would count in n_pairs but vanish from C/D/tie counts (signum of
+    # NULL is NULL → every boolean below is NULL → sums skip it),
+    # inflating the τ-b denominator and biasing τ toward 0. Items
+    # missing either scoring are dropped BEFORE pairing — n_items and
+    # n_pairs then report the scored leaderboard only.
+    scored = items.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    a = scored.select(
         F.col(id_col).alias("_ia"),
         F.col(x_col).cast("double").alias("_xa"),
         F.col(y_col).cast("double").alias("_ya"),
     )
-    b = items.select(
+    b = scored.select(
         F.col(id_col).alias("_ib"),
         F.col(x_col).cast("double").alias("_xb"),
         F.col(y_col).cast("double").alias("_yb"),
@@ -515,7 +524,7 @@ def kendall_tau_b(
             "ties_both"
         ),
     )
-    n_items = items.select(F.count("*").cast("long").alias("n_items"))
+    n_items = scored.select(F.count("*").cast("long").alias("n_items"))
     n0 = F.col("n_pairs")
     tx = F.col("ties_x") + F.col("ties_both")
     ty = F.col("ties_y") + F.col("ties_both")
