@@ -57,26 +57,29 @@ from .roadmap7 import ROADMAP7
 # reach the window at ~r15–r16. Round-14 additions (q433+) stay queued
 # and land in round 15.
 #
-# Round-15 landing (PRE-COMPUTED at r14 close, RE-COMPUTED after each
-# late-round extension, finally at q460): the queue holds exactly 28
-# entries (q433–q460), all SQL-oracled and pre-verified at
-# sf0.001/sf0.01 (the driver gate) AND sf0.1. If CORRECTNESS_r14 is
-# clean, _LANDED_MAX_QNUM = 460 lands all 28 and the r15 window is
-# those 28 never-driver-checked entries + the 22 least-recently-
-# verified greens — simulated by rotation replay at each extension
-# commit as exactly q168–q189 (the r5 cohort minus its last eleven;
-# q190–q200 spill to r16). The r16 refresh ordering is then
-# q190–q200 followed
-# by the r7-era oracle-converted stragglers (q38/q72/q79, then
-# q204/q212 r8, q267 r9, q310 r10). If any r14 window query FAILS, it
-# re-enters with green-round 0 and shifts the window: land fewer
-# (largest qnum prefix) such that landings + re-entries + refresh
-# top-up still total exactly 50 (the q289/r10 precedent). At landing:
-# update GUARD_ROUND/R15_REFRESH in tests/test_catalog.py per the
-# artifact-aware pattern, move q445 from the queue gate's intentional
-# set to _INTENTIONAL_CROSS (tests/test_plans.py — the q274/q415
-# precedent), and regenerate COVERAGE.md (460 registered = 432 + 28)
-# at landing time.
+# Round-15 landing (EXECUTED; pre-computed at r14 close, re-computed
+# after each late-round extension, finally at q460): the queue held
+# exactly 28 entries (q433–q460), all SQL-oracled and pre-verified at
+# sf0.001/sf0.01 (the driver gate) AND sf0.1. CORRECTNESS_r14 is clean
+# — 49 hash-green + q65_ann_ivf rows-only-by-design, the fifth
+# consecutive zero-failure sweep — so no failure re-enters:
+# _LANDED_MAX_QNUM = 460 lands all 28 and the r15 window is those 28
+# never-driver-checked entries + the 22 least-recently-verified greens,
+# re-confirmed by rotation replay at landing time as exactly q168–q189
+# (the r5 cohort minus its last eleven; q190–q200 spill to r16),
+# pinned literally in tests/test_catalog.py R15_REFRESH. The r16
+# refresh ordering (RE-STATED here per VERDICT r14 item 3 so the
+# three-round-old no_oracle rows finally flip): q190–q200 first, then
+# the oracle-converted stragglers in last-green order — q38/q72/q79
+# (r7), q204/q212 (r8), q267 (r9), q310 (r10) — all seven replayed
+# green through tools/driver_sim.py by the r14 judge; only the
+# driver-side receipt is pending. At landing: GUARD_ROUND/R15_REFRESH
+# updated in tests/test_catalog.py per the artifact-aware pattern,
+# q445 moved from the queue gate's intentional set to
+# _INTENTIONAL_CROSS (tests/test_plans.py — the q274/q415 precedent),
+# COVERAGE.md regenerated (460 registered = 443 SQL-oracled + 17
+# rows-only). Round-15 additions (q461+) stay queued and land in
+# round 16.
 #
 # Round-12 landing (executed; VERDICT r11 item 1, arithmetic
 # judge-verified at r11 close): the queue held exactly 12 entries
@@ -114,7 +117,7 @@ from .roadmap7 import ROADMAP7
 # together with whatever round 10 queues. All landed entries are
 # pre-verified at sf0.001 + sf0.01 per
 # tests/test_catalog.py::test_roadmap7_queue_preverified.
-_LANDED_MAX_QNUM = 432
+_LANDED_MAX_QNUM = 460
 
 _landed_names = [
     name for name in sorted(ROADMAP7, key=qnum) if qnum(name)[0] <= _LANDED_MAX_QNUM

@@ -73,21 +73,21 @@ def test_readme_count_matches_catalog():
 
 
 def test_roadmap7_queue_preverified(spark):
-    """Whatever remains QUEUED (round-14 additions q433+ after the
-    round-14 landing of q401–q432) must ALREADY pass the driver's
+    """Whatever remains QUEUED (round-15 additions q461+ after the
+    round-15 landing of q433–q460) must ALREADY pass the driver's
     compare at the driver's scale — landing is then a pure registration
     move. load_all() runs first so the landed entries are moved out of
     the queue dict before the sweep."""
     from oracle_utils import check_dtype_parity, compare_query
 
     from dbkit_spark.catalog import load_all
-    assert len(load_all()) == 432  # 400 + the 32 landed q401–q432
+    assert len(load_all()) == 460  # 432 + the 28 landed q433–q460
     from dbkit_spark.queries.roadmap7 import ROADMAP7
 
-    # Round-14 additions (q433+); the queue is capped at one driver
+    # Round-15 additions (q461+); the queue is capped at one driver
     # window. An empty queue (between addition batches) is legal.
     assert len(ROADMAP7) <= 50
-    assert all(qnum(n)[0] >= 433 for n in ROADMAP7)
+    assert all(qnum(n)[0] >= 461 for n in ROADMAP7)
     # BOTH driver scales: the round-7 q245 near-miss (6dp edge rounding
     # diverged at sf0.001 only) showed sf0.01-only pre-verification is
     # not enough.
@@ -101,28 +101,30 @@ def test_roadmap7_queue_preverified(spark):
                 check_dtype_parity(spark, name, fn, oracle, sf)
 
 
-GUARD_ROUND = 14  # the driver round whose rotation window this guard pins
+GUARD_ROUND = 15  # the driver round whose rotation window this guard pins
 
-# The 18 least-recently-verified greens that top up the r14 window after
-# the q401–q432 landing: q157_iqr_outliers (the one r4-cohort query the
-# 24-slot r13 refresh could not fit, last driver-green CORRECTNESS_r04)
-# plus 17 of the 35-query r5 cohort (q65–q71, q158–q167, last
-# driver-green CORRECTNESS_r05; q168–q185 spill to r15). Computed by
-# load_all() rotation order at landing time and pinned literally so a
-# registration or artifact change that shifts the window fails HERE,
-# not in the driver sweep. The oracle-converted stragglers (q38/q72/q79
-# last-green r7, q204/q212 r8, q267 r9, q310 r10) still do NOT fit —
-# the r5 cohort is older and fills the remaining 17 slots — they reach
-# the window at ~r15–r16 behind q168–q185.
-R14_REFRESH = {
-    "q157_iqr_outliers", "q65_ann_ivf", "q66_stream_stream_join",
-    "q67_rolling_fingerprint", "q68_bpe_token_count",
-    "q69_set_split_fused", "q70_argminmax", "q71_python_udtf",
-    "q158_reachability_fixpoint", "q159_ann_multi_table_lsh",
-    "q160_uint64_fidelity", "q161_ann_multi_index_query",
-    "q162_embedding_dedup_survivors", "q163_bloom_filter_join",
-    "q164_tpch_q7_volume_shipping", "q165_tpch_q8_market_share",
-    "q166_tpch_q9_product_profit", "q167_tpch_q11_important_stock",
+# The 22 least-recently-verified greens that top up the r15 window after
+# the q433–q460 landing: q168–q189, the r5 cohort minus its last eleven
+# (all last driver-green CORRECTNESS_r05; q190–q200 spill to r16).
+# Computed by load_all() rotation order at landing time and pinned
+# literally so a registration or artifact change that shifts the window
+# fails HERE, not in the driver sweep. The oracle-converted stragglers
+# (q38/q72/q79 last-green r7, q204/q212 r8, q267 r9, q310 r10) still do
+# NOT fit — the r5 cohort is older and fills all 22 slots — they reach
+# the window at r16 behind q190–q200 (the ordering re-stated in
+# queries/roadmap7_landed.py per VERDICT r14 item 3).
+R15_REFRESH = {
+    "q168_tpch_q15_top_supplier", "q169_tpch_q16_supplier_cnt",
+    "q170_grouped_regression", "q171_winsorized_stats",
+    "q172_document_chunking", "q173_tfidf_topk_terms",
+    "q174_domain_quota_sample", "q175_table_reconciliation",
+    "q176_hll_sketch_rollup", "q177_pagerank",
+    "q178_sql_recursive_cte", "q179_variant_extraction",
+    "q180_bitwise_surface", "q181_dynamic_session_gap",
+    "q182_url_parsing", "q183_time_weighted_avg",
+    "q184_quantile_binning", "q185_binary_encodings",
+    "q186_containment_pairs", "q187_stream_join_then_window",
+    "q188_array_set_ops", "q189_last_touch_attribution",
 }
 
 
@@ -135,15 +137,15 @@ def _latest_artifact_round() -> int:
     return max(rounds)
 
 
-def test_r14_window_is_exactly_the_landed_batch(spark):
-    """Round-13 pre-computation guard, artifact-aware: with driver
-    artifacts through r13 present (a clean 50/50, fourth consecutive
-    zero-failure sweep, so no failure re-enters), the 50-slot r14
-    rotation window must be exactly the 32 newly landed
-    never-driver-checked queries q401–q432 plus the 18
-    least-recently-verified greens — q157 + the oldest 17 of the r5
-    cohort, pinned literally in R14_REFRESH. If a future registration
-    or CORRECTNESS file breaks this arithmetic, fail HERE.
+def test_r15_window_is_exactly_the_landed_batch(spark):
+    """Round-14 pre-computation guard, artifact-aware: with driver
+    artifacts through r14 present (49 hash-green + q65 rows-only-by-
+    design, fifth consecutive zero-failure sweep, so no failure
+    re-enters), the 50-slot r15 rotation window must be exactly the 28
+    newly landed never-driver-checked queries q433–q460 plus the 22
+    least-recently-verified greens — q168–q189, pinned literally in
+    R15_REFRESH. If a future registration or CORRECTNESS file breaks
+    this arithmetic, fail HERE.
 
     Artifact-aware (the round-8 lesson: a window guard goes red the
     moment the driver deposits the round's CORRECTNESS file): once an
@@ -153,16 +155,16 @@ def test_r14_window_is_exactly_the_landed_batch(spark):
     form (test_rotation_never_green_first)."""
     window = list(load_all())[:50]
     if _latest_artifact_round() >= GUARD_ROUND:
-        # Spent guard: the r14 (or later) sweep already landed. The
+        # Spent guard: the r15 (or later) sweep already landed. The
         # durable invariant — rotation always spends slots on the
         # least-evidenced queries first — is pinned artifact-
         # independently by test_rotation_never_green_first; just ensure
         # the window is full-size and deterministic here.
         assert len(window) == 50
         return
-    landed = {n for n in window if 401 <= qnum(n)[0] <= 432}
-    assert len(landed) == 32, sorted(landed)
-    expected = landed | R14_REFRESH
+    landed = {n for n in window if 433 <= qnum(n)[0] <= 460}
+    assert len(landed) == 28, sorted(landed)
+    expected = landed | R15_REFRESH
     assert set(window) == expected and len(window) == 50, sorted(
         set(window) ^ expected
     )

@@ -140,6 +140,14 @@ _INTENTIONAL_CROSS = {
     #          pairwise baseline (probe-subset contract at scale), the
     #          same justification q274 carried while queued
     "q415_jl_projection_recall",
+    # landed with the round-15 q433-q460 registration, same
+    # justification it held in the queue gate's intentional set:
+    #   q445 — kendall_tau_b's i<j pair enumeration is a THETA join,
+    #          so Spark plans a BNLJ — over an ITEMS-SIZED frame by
+    #          input contract (the q419/q420 bounded leaderboard
+    #          class); items^2 is the tau-b definition, never corpus
+    #          data
+    "q445_kendall_tau",
 }
 
 
@@ -456,14 +464,9 @@ def test_queue_wide_no_accidental_nlj(spark):
     # (q274 moved to _INTENTIONAL_CROSS with the round-9 landing;
     # q306/q309 moved there with the round-10 landing; q362 with the
     # round-11 landing; q366 with the round-12 landing; q415 with the
-    # round-14 landing). Round-14 queue justified entries:
-    #   q445 — kendall_tau_b's i<j pair enumeration is a THETA join,
-    #          so Spark plans a BNLJ — over an ITEMS-SIZED frame by
-    #          input contract (the q419/q420 bounded leaderboard
-    #          class: event types here, models on a board in prod);
-    #          items^2 is the tau-b definition, never corpus data.
-    #          Move to _INTENTIONAL_CROSS at the r15 landing.
-    intentional: set[str] = {"q445_kendall_tau"}
+    # round-14 landing; q445 with the round-15 landing). No round-15
+    # queue entries currently carry a justified BNLJ.
+    intentional: set[str] = set()
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, (fn, oracle, notes) in ROADMAP7.items():
