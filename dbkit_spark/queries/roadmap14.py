@@ -2368,7 +2368,15 @@ def _multi_sys_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_id", F.col("f1").alias(f"f1_d{den}")
         )
         out = f if out is None else out.join(f, "pair_id")
-    return out
+    # Lineage barrier (lazy): every consumer fans this frame out —
+    # q457/q458 union it k ways and the k-system operators reference
+    # the long frame 3x more, so without a barrier the 4-way token_f1
+    # derivation re-renders ~12x per plan (244 BHJ nodes in q457's
+    # executedPlan text, zero ReusedExchange). The frame is EVAL-SIZED
+    # (one row per doc pair — the bounded-eval contract), so
+    # checkpoint blocks are small at any corpus scale; lazy keeps the
+    # structural plan gates planning-only.
+    return out.localCheckpoint(eager=False)
 
 
 def _multi_sql() -> str:
