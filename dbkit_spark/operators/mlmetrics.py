@@ -3643,3 +3643,464 @@ def cochran_q_test(
         ).alias("p_value"),
         "n_incomplete",
     )
+
+
+def kendalls_w(
+    df: DataFrame,
+    judge_col: str,
+    object_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith, Ann. Math. Stat. 1939; tie correction per Siegel &
+    Castellan 1988 — the EFFECT SIZE next to q457's Friedman omnibus:
+    k judges each rank n objects; W in [0,1] reads "how much do the
+    judges agree?", where chi2_F only answers "more than chance?"):
+    values rank WITHIN each judge (average ranks on ties), R_o = rank
+    sum per object, S = sum_o (R_o - k(n+1)/2)^2, and
+    W = 12S / (k^2(n^3 - n) - k*sum_j T_j) with T_j = sum(t^3 - t)
+    over judge j's tie groups. chi2 = k(n-1)W at n-1 dof
+    (Wilson-Hilferty p, the q457 rule).
+
+    Only COMPLETE judges count (exactly one non-NULL value per
+    object — listwise, the friedman_test discipline; incomplete
+    judges are counted and dropped). NULL-value rows are filtered
+    before ranking (the ADVICE r14 friedman rule).
+
+    Exactness: average ranks are half-integers — rank sums and the
+    squared deviations ride DECIMAL(25,9); T_j is an exact LONG; W is
+    fixed-form IEEE of exact operands, 6dp out.
+
+    Plan: judge-keyed rank windows over n-row partitions, one object
+    reduce + one 1-row reduce + a judge-keyed tie aggregate. Output:
+    one row per object — (object, rank_sum, mean_rank) with
+    (w, chi2, p_value, n_judges, n_objects, n_incomplete) repeated
+    via 1-row broadcast; degenerate denominators -> NULL w/chi2/p.
+    """
+    base = df.select(
+        F.col(judge_col).alias("_j"),
+        F.col(object_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    n_frame = base.agg(F.countDistinct("_o").cast("long").alias("_n"))
+    per_judge = base.filter(F.col("_v").isNotNull()).groupBy("_j").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct("_o").alias("_no"),
+    )
+    with_n = per_judge.crossJoin(F.broadcast(n_frame))
+    complete = with_n.filter(
+        (F.col("_cnt") == F.col("_n")) & (F.col("_no") == F.col("_n"))
+    )
+    n_bad = with_n.filter(
+        (F.col("_cnt") != F.col("_n")) | (F.col("_no") != F.col("_n"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_incomplete"))
+    rows = base.filter(F.col("_v").isNotNull()).join(
+        complete.select("_j"), "_j"
+    )
+    w_rank = Window.partitionBy("_j").orderBy("_v")
+    w_tie = Window.partitionBy("_j", "_v")
+    ranked = rows.select(
+        "_j",
+        "_o",
+        (
+            (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+            / F.lit(2.0)
+        ).alias("_r"),
+        F.count(F.lit(1)).over(w_tie).cast("long").alias("_tsz"),
+    )
+    dec = "decimal(25,9)"
+    # tie term: each tie group of size t contributes t^3 - t; every row
+    # in the group carries _tsz = t, so sum (t^2 - 1) over rows = the
+    # group total without a second exchange
+    ties = ranked.agg(
+        F.sum(F.col("_tsz") * F.col("_tsz") - 1).cast("long").alias("_tt"),
+        F.countDistinct("_j").cast("long").alias("_k"),
+    )
+    per_o = ranked.groupBy("_o").agg(
+        F.sum(F.round(F.col("_r"), 9).cast(dec)).alias("_rsum"),
+    )
+    scal = per_o.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+    )
+    joined = per_o.crossJoin(F.broadcast(scal)).crossJoin(
+        F.broadcast(ties)
+    )
+    dev = F.col("_rsum").cast("double") - F.col("_k") * (
+        F.col("_nn") + 1
+    ) / F.lit(2.0)
+    agg = joined.agg(
+        F.sum(F.round(dev * dev, 9).cast(dec)).cast("double").alias("_s"),
+        F.max("_nn").alias("_nn"),
+        F.max("_k").alias("_k"),
+        F.max("_tt").alias("_tt"),
+    )
+    kk = F.col("_k").cast("double")
+    nn = F.col("_nn").cast("double")
+    denom = kk * kk * (nn * nn * nn - nn) - kk * F.col("_tt")
+    w_stat = F.when(
+        (F.col("_k") >= 1) & (F.col("_nn") >= 2) & (denom > 0),
+        F.lit(12.0) * F.col("_s") / denom,
+    )
+    chi2 = kk * (nn - 1) * w_stat
+    stats = agg.select(
+        F.col("_k").alias("n_judges"),
+        F.col("_nn").alias("n_objects"),
+        F.round(w_stat, 6).alias("w"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(
+            chi2.isNotNull(),
+            _wilson_hilferty_p_upper(chi2, F.col("_nn") - 1),
+        ).alias("p_value"),
+    )
+    return (
+        per_o.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_bad))
+        .select(
+            F.col("_o").alias("object"),
+            F.round(F.col("_rsum").cast("double"), 6).alias("rank_sum"),
+            F.round(
+                F.col("_rsum").cast("double") / F.col("n_judges"), 6
+            ).alias("mean_rank"),
+            "n_judges",
+            "n_objects",
+            "w",
+            "chi2",
+            "p_value",
+            "n_incomplete",
+        )
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    value_col: str,
+    order: "list[str]",
+) -> DataFrame:
+    """Page's L test for ORDERED alternatives in the Friedman layout
+    (Page, JASA 1963 — when the k systems carry an a-priori ordering,
+    e.g. increasing truncation severity, the omnibus Friedman wastes
+    power; Page's L = sum_j j*R_j weights the rank sums by the
+    hypothesized position and detects the monotone trend directly):
+    values rank WITHIN each complete item (average ranks on ties,
+    NULL rows filtered — the friedman_test discipline), R_j = rank sum
+    of the treatment at position j in ``order`` (1-based), L = sum
+    j*R_j; under H0 E[L] = n*k(k+1)^2/4 and Var[L] =
+    n*k^2(k+1)^2(k-1)/144 (the classic no-tie null variance —
+    documented approximation under heavy ties), z = (L-E)/sqrt(Var),
+    one-sided upper p for the increasing-trend alternative (rank the
+    order so "later = larger expected value").
+
+    Treatments NOT in ``order`` are dropped before the completeness
+    check (documented); completeness = exactly one non-NULL value per
+    ordered treatment, k = len(order).
+
+    Output ONE row: (n_items, k_treatments, l_stat, mean_l, z,
+    p_one_sided, n_incomplete); n = 0 or k < 3 degrades z/p to NULL.
+    """
+    if len(order) < 2 or len(set(order)) != len(order):
+        raise ValueError("order must list >= 2 distinct treatments")
+    k = len(order)
+    pos = F.array_position(
+        F.array(*[F.lit(t) for t in order]), F.col("_t")
+    )
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(treatment_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withColumn("_w", pos).filter(F.col("_w") > 0)
+    per_item = base.filter(F.col("_v").isNotNull()).groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct("_t").alias("_nt"),
+    )
+    complete = per_item.filter(
+        (F.col("_cnt") == k) & (F.col("_nt") == k)
+    )
+    n_bad = per_item.filter(
+        (F.col("_cnt") != k) | (F.col("_nt") != k)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_incomplete"))
+    rows = base.filter(F.col("_v").isNotNull()).join(
+        complete.select("_i"), "_i"
+    )
+    w_rank = Window.partitionBy("_i").orderBy("_v")
+    w_tie = Window.partitionBy("_i", "_v")
+    ranked = rows.select(
+        "_i",
+        "_w",
+        (
+            (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+            / F.lit(2.0)
+        ).alias("_r"),
+    )
+    dec = "decimal(25,9)"
+    agg = ranked.agg(
+        F.sum(
+            F.round(F.col("_w") * F.col("_r"), 9).cast(dec)
+        ).alias("_l"),
+        (F.countDistinct("_i")).cast("long").alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    kf = F.lit(float(k))
+    l_stat = F.col("_l").cast("double")
+    mean_l = n * kf * (kf + 1) * (kf + 1) / F.lit(4.0)
+    var_l = n * kf * kf * (kf + 1) * (kf + 1) * (kf - 1) / F.lit(144.0)
+    z = F.when(
+        (F.col("_n") >= 1) & (F.lit(k) >= 3) & (var_l > 0),
+        (l_stat - mean_l) / F.sqrt(var_l),
+    )
+    p2 = normal_p_two_sided(z)
+    return agg.crossJoin(F.broadcast(n_bad)).select(
+        F.col("_n").alias("n_items"),
+        F.lit(k).cast("long").alias("k_treatments"),
+        F.round(l_stat, 6).alias("l_stat"),
+        F.round(mean_l, 6).alias("mean_l"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.when(z >= 0, p2 / 2).otherwise(1 - p2 / 2), 9
+        ).alias("p_one_sided"),
+        "n_incomplete",
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order: "list[str]",
+) -> DataFrame:
+    """Jonckheere-Terpstra test for ordered differences across
+    INDEPENDENT groups (Jonckheere, Biometrika 1954; Terpstra 1952;
+    tie-corrected null variance per Hollander & Wolfe 1999 §6.2 —
+    Page's L needs the same items under every system; JT is the
+    between-subjects counterpart: do values trend UP across the
+    ordered groups?): J = sum over ordered group pairs s<t of the
+    Mann-Whitney count U_st = #(x_s < x_t) + 0.5*#(x_s = x_t);
+    E[J] = (N^2 - sum n_g^2)/4; the tie-corrected variance uses the
+    global value-tie multiset and the group sizes (three closed-form
+    terms); z = (J - E)/sqrt(Var), two-sided p.
+
+    Groups NOT in ``order`` are dropped (documented); NULL values are
+    dropped.
+
+    Plan — NO pairwise value join (the O(N^2) trap): per-(group,
+    value) counts, then per-group cumulative counts over each group's
+    own ordered values via a group-partitioned window; U_st pairs are
+    assembled by an EQUI-join on the value key between the counts
+    frame and the cumulative frame (group order is a post-join filter
+    predicate, never a theta key), plus the strictly-less mass from an
+    as-of alignment on the merged distinct-value grid. Everything is
+    value- or group-keyed; the only small frame is the k-row group
+    list.
+
+    Exactness: J doubles 2J = an exact LONG (counts plus half-ties
+    twice); moments are IEEE of exact integers; 6dp out.
+
+    Output ONE row: (n_total, k_groups, jt_stat, mean_jt, var_jt, z,
+    p_two_sided); k < 2 or N < 2 degrades z/p to NULL.
+    """
+    if len(order) < 2 or len(set(order)) != len(order):
+        raise ValueError("order must list >= 2 distinct groups")
+    pos = F.array_position(
+        F.array(*[F.lit(g) for g in order]), F.col("_g")
+    )
+    base = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_og", pos)
+        .filter(F.col("_og") > 0)
+    )
+    counts = base.groupBy("_og", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    # per-group cumulative count STRICTLY BELOW each value present in
+    # ANY group: build the merged value grid per group by unioning
+    # zero-count carrier rows for values the group lacks, then one
+    # group-partitioned ordered window
+    # the group axis is the STATIC order list, so the value x group
+    # grid is a map-side literal explode — no join (a k-row crossJoin
+    # would plan a non-scalar BNLJ and trip the structural gate);
+    # groups absent from the data carry zero counts and contribute 0
+    values = counts.select("_v").distinct()
+    grid = values.select(
+        F.explode(
+            F.array(*[F.lit(i + 1) for i in range(len(order))])
+        ).alias("_og"),
+        "_v",
+    )
+    filled = grid.join(counts, ["_og", "_v"], "left").select(
+        "_og", "_v", F.coalesce("_c", F.lit(0)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("_og")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = filled.select(
+        "_og",
+        "_v",
+        (F.sum("_c").over(w_cum) - F.col("_c")).alias("_below"),
+        F.col("_c").alias("_ct"),
+    )
+    # pair assembly, EQUI on value: U_st counts LOWER-group values
+    # strictly below each HIGHER-group value, so the cumulative side is
+    # the s (lower-order) group — for each t-group value v,
+    # c_t(v) * C_s(<v) strict pairs plus c_s(v) * c_t(v) half-ties
+    pairs = cums.select(
+        F.col("_og").alias("_s"), "_v", "_below", F.col("_ct").alias("_cs")
+    ).join(
+        counts.select(F.col("_og").alias("_t"), "_v", F.col("_c").alias("_ct")),
+        "_v",
+    ).filter(F.col("_s") < F.col("_t"))
+    two_j = pairs.agg(
+        F.sum(
+            2 * F.col("_ct") * F.col("_below")
+            + F.col("_cs") * F.col("_ct")
+        )
+        .cast("long")
+        .alias("_2j")
+    )
+    per_g = base.groupBy("_og").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng")
+    )
+    gstats = per_g.agg(
+        F.sum("_ng").cast("long").alias("_N"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum(F.col("_ng") * F.col("_ng")).cast("long").alias("_n2"),
+        F.sum(
+            F.col("_ng") * (F.col("_ng") - 1) * (2 * F.col("_ng") + 5)
+        ).cast("long").alias("_g25"),
+        F.sum(
+            F.col("_ng") * (F.col("_ng") - 1) * (F.col("_ng") - 2)
+        ).cast("long").alias("_g3"),
+        F.sum(F.col("_ng") * (F.col("_ng") - 1)).cast("long").alias("_g2"),
+    )
+    vstats = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_tv")
+    ).agg(
+        F.sum(
+            F.col("_tv") * (F.col("_tv") - 1) * (2 * F.col("_tv") + 5)
+        ).cast("long").alias("_t25"),
+        F.sum(
+            F.col("_tv") * (F.col("_tv") - 1) * (F.col("_tv") - 2)
+        ).cast("long").alias("_t3"),
+        F.sum(F.col("_tv") * (F.col("_tv") - 1)).cast("long").alias("_t2"),
+    )
+    j = two_j.crossJoin(F.broadcast(gstats)).crossJoin(
+        F.broadcast(vstats)
+    )
+    N = F.col("_N").cast("double")
+    jt = F.col("_2j").cast("double") / F.lit(2.0)
+    mean_jt = (N * N - F.col("_n2")) / F.lit(4.0)
+    v1 = (
+        N * (N - 1) * (2 * N + 5) - F.col("_g25") - F.col("_t25")
+    ) / F.lit(72.0)
+    v2 = (
+        F.col("_g3").cast("double") * F.col("_t3")
+    ) / (F.lit(36.0) * N * (N - 1) * (N - 2))
+    v3 = (
+        F.col("_g2").cast("double") * F.col("_t2")
+    ) / (F.lit(8.0) * N * (N - 1))
+    var_jt = v1 + v2 + v3
+    z = F.when(
+        (F.col("_k") >= 2) & (F.col("_N") >= 3) & (var_jt > 0),
+        (jt - mean_jt) / F.sqrt(var_jt),
+    )
+    return j.select(
+        F.col("_N").alias("n_total"),
+        F.col("_k").alias("k_groups"),
+        F.round(jt, 6).alias("jt_stat"),
+        F.round(mean_jt, 6).alias("mean_jt"),
+        F.round(var_jt, 6).alias("var_jt"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), normal_p_two_sided(z)).alias("p_two_sided"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) and
+    ICC(1,k) (Shrout & Fleiss, Psych. Bull. 1979 Case 1;
+    unbalanced-design k0 per the standard one-way ANOVA estimator —
+    the RELIABILITY readout next to Cronbach's alpha q459: of the
+    total rating variance, what fraction is BETWEEN items? ICC(1) =
+    single-rating reliability, ICC(1,k) = reliability of the k-rating
+    mean): with n items, N total non-NULL ratings, group sums S_i and
+    sizes n_i — SSB = sum S_i^2/n_i - (sum S_i)^2/N, SSW = sum v^2 -
+    sum S_i^2/n_i, MSB = SSB/(n-1), MSW = SSW/(N-n),
+    k0 = (N - sum n_i^2/N)/(n-1), ICC(1) = (MSB-MSW)/(MSB+(k0-1)MSW),
+    ICC(1,k) = (MSB-MSW)/MSB, F = MSB/MSW (reported without a p —
+    the F tail is out of the engine's closed-form scope, documented).
+
+    Items with a single rating still contribute to SSB/k0 (the
+    standard estimator); NULL ratings are dropped.
+
+    Exactness: per-item sums and squares ride DECIMAL(25,9) (values
+    rounded 9dp); the S_i^2/n_i terms are single IEEE divisions
+    rounded 9dp back onto decimal; the final recombination is
+    fixed-form IEEE, 6dp out.
+
+    Plan: ONE item-keyed aggregate + ONE 1-row reduce. Output ONE
+    row: (n_items, n_total, k0, msb, msw, f_stat, icc1, icc1k);
+    n < 2 or N <= n degrades everything past the counts to NULL.
+    """
+    dec = "decimal(25,9)"
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    per_item = base.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("long").alias("_ni"),
+        F.sum(F.round(F.col("_v"), 9).cast(dec)).alias("_si"),
+        F.sum(F.round(F.col("_v") * F.col("_v"), 9).cast(dec)).alias(
+            "_qi"
+        ),
+    )
+    agg = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_ni").cast("long").alias("_ntot"),
+        F.sum("_si").alias("_S"),
+        F.sum("_qi").cast("double").alias("_Q"),
+        F.sum(
+            F.round(
+                F.col("_si").cast("double")
+                * F.col("_si").cast("double")
+                / F.col("_ni"),
+                9,
+            ).cast(dec)
+        )
+        .cast("double")
+        .alias("_sb"),
+        F.sum(F.col("_ni") * F.col("_ni")).cast("long").alias("_n2"),
+    )
+    n = F.col("_n").cast("double")
+    N = F.col("_ntot").cast("double")
+    ssb = F.col("_sb") - F.col("_S").cast("double") * F.col("_S").cast(
+        "double"
+    ) / N
+    ssw = F.col("_Q") - F.col("_sb")
+    ok = (F.col("_n") >= 2) & (F.col("_ntot") > F.col("_n"))
+    msb = F.when(ok, ssb / (n - 1))
+    msw = F.when(ok, ssw / (N - n))
+    k0 = F.when(ok, (N - F.col("_n2") / N) / (n - 1))
+    icc1 = F.when(
+        ok & (msw > 0) & ((msb + (k0 - 1) * msw) != 0),
+        (msb - msw) / (msb + (k0 - 1) * msw),
+    )
+    icc1k = F.when(ok & (msb != 0) & (msw > 0), (msb - msw) / msb)
+    return agg.select(
+        F.col("_n").alias("n_items"),
+        F.col("_ntot").alias("n_total"),
+        F.round(k0, 6).alias("k0"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(F.when(ok & (msw > 0), msb / msw), 6).alias("f_stat"),
+        F.round(icc1, 6).alias("icc1"),
+        F.round(icc1k, 6).alias("icc1k"),
+    )

@@ -8069,3 +8069,8 @@ ROADMAP7.update(_ROADMAP13)
 from .roadmap14 import ROADMAP14 as _ROADMAP14  # noqa: E402
 
 ROADMAP7.update(_ROADMAP14)
+
+# Round-15 queue additions (same pattern).
+from .roadmap15 import ROADMAP15 as _ROADMAP15  # noqa: E402
+
+ROADMAP7.update(_ROADMAP15)

@@ -102,3 +102,137 @@ def test_dup_segment_fractions_literal_separator(spark):
     assert r["n_lines"] == 4
     # 'alpha' appears twice -> 2 of 4 segments duplicated
     assert r["dup_line_frac"] == 0.5
+
+
+# --- Kendall's W -------------------------------------------------------------
+
+
+def test_kendalls_w_perfect_agreement(spark):
+    from dbkit_spark.operators.mlmetrics import kendalls_w
+
+    # 3 judges rank 4 objects identically -> W = 1, chi2 = k(n-1) = 9
+    rows = [(j, o, float(o)) for j in range(3) for o in range(1, 5)]
+    df = spark.createDataFrame(rows, "judge long, obj long, v double")
+    out = {r["object"]: r for r in kendalls_w(df, "judge", "obj", "v").collect()}
+    assert out[1]["w"] == 1.0 and out[1]["chi2"] == 9.0
+    assert out[1]["rank_sum"] == 3.0 and out[4]["rank_sum"] == 12.0
+    assert out[1]["n_judges"] == 3 and out[1]["n_objects"] == 4
+
+
+def test_kendalls_w_identical_scores_null(spark):
+    from dbkit_spark.operators.mlmetrics import kendalls_w
+
+    # every judge ties all objects -> tie term kills the denominator
+    rows = [(j, o, 5.0) for j in range(3) for o in range(4)]
+    df = spark.createDataFrame(rows, "judge long, obj long, v double")
+    r = kendalls_w(df, "judge", "obj", "v").collect()[0]
+    assert r["w"] is None and r["p_value"] is None
+
+
+def test_kendalls_w_incomplete_judge_dropped(spark):
+    from dbkit_spark.operators.mlmetrics import kendalls_w
+
+    rows = [(j, o, float(o + j)) for j in range(2) for o in range(3)]
+    rows.append((9, 0, 1.0))  # judge 9 rated only 1 of 3 objects
+    df = spark.createDataFrame(rows, "judge long, obj long, v double")
+    r = kendalls_w(df, "judge", "obj", "v").collect()[0]
+    assert r["n_judges"] == 2 and r["n_incomplete"] == 1
+
+
+# --- Page's trend ------------------------------------------------------------
+
+
+def test_page_trend_perfect_increase(spark):
+    import math
+
+    from dbkit_spark.operators.mlmetrics import page_trend_test
+
+    # 4 items, 3 treatments, values strictly increasing in the
+    # hypothesized order: L = n*sum(j*j) = 56, E = 48, Var = 8
+    rows = [(i, t, float(j + i)) for i in range(4)
+            for j, t in enumerate(["a", "b", "c"])]
+    df = spark.createDataFrame(rows, "item long, sys string, v double")
+    r = page_trend_test(df, "item", "sys", "v", ["a", "b", "c"]).collect()[0]
+    assert r["l_stat"] == 56.0 and r["mean_l"] == 48.0
+    assert r["z"] == round(8.0 / math.sqrt(8.0), 6)
+    assert r["p_one_sided"] < 0.005
+
+
+def test_page_trend_unknown_treatment_dropped(spark):
+    from dbkit_spark.operators.mlmetrics import page_trend_test
+
+    rows = [(i, t, float(j)) for i in range(3)
+            for j, t in enumerate(["a", "b", "zzz"])]
+    df = spark.createDataFrame(rows, "item long, sys string, v double")
+    # 'zzz' not in order -> items complete over (a, b) only; k = 3
+    # including 'c' which nobody scored -> all items incomplete
+    r = page_trend_test(df, "item", "sys", "v", ["a", "b", "c"]).collect()[0]
+    assert r["n_items"] == 0 and r["n_incomplete"] == 3
+
+
+# --- Jonckheere-Terpstra -----------------------------------------------------
+
+
+def test_jonckheere_hand_case(spark):
+    import math
+
+    from dbkit_spark.operators.mlmetrics import jonckheere_terpstra
+
+    # A=[1,2], B=[3,4]: J = 4, E = 2, tie-free Var = 120/72
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)],
+        "g string, v double",
+    )
+    r = jonckheere_terpstra(df, "g", "v", ["A", "B"]).collect()[0]
+    assert r["jt_stat"] == 4.0 and r["mean_jt"] == 2.0
+    assert abs(r["var_jt"] - 120.0 / 72.0) < 1e-6
+    assert r["z"] == round(2.0 / math.sqrt(120.0 / 72.0), 6)
+
+
+def test_jonckheere_ties_half_credit(spark):
+    from dbkit_spark.operators.mlmetrics import jonckheere_terpstra
+
+    # A=[1,2], B=[2,3]: pairs (1<2)+(1<3)+(2=2 half)+(2<3) = 3.5
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)],
+        "g string, v double",
+    )
+    r = jonckheere_terpstra(df, "g", "v", ["A", "B"]).collect()[0]
+    assert r["jt_stat"] == 3.5
+
+
+def test_jonckheere_three_groups(spark):
+    from dbkit_spark.operators.mlmetrics import jonckheere_terpstra
+
+    # A=[1], B=[2], C=[3]: U_AB + U_AC + U_BC = 3
+    df = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("C", 3.0)], "g string, v double")
+    r = jonckheere_terpstra(df, "g", "v", ["A", "B", "C"]).collect()[0]
+    assert r["jt_stat"] == 3.0 and r["k_groups"] == 3
+
+
+# --- ICC ---------------------------------------------------------------------
+
+
+def test_icc_oneway_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import icc_oneway
+
+    # items (1,2) and (3,4): MSB = 4, MSW = 0.5, k0 = 2
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0), (2, 4.0)], "item long, v double")
+    r = icc_oneway(df, "item", "v").collect()[0]
+    assert r["msb"] == 4.0 and r["msw"] == 0.5 and r["k0"] == 2.0
+    assert r["icc1"] == round(3.5 / 4.5, 6)
+    assert r["icc1k"] == round(3.5 / 4.0, 6)
+    assert r["f_stat"] == 8.0
+
+
+def test_icc_oneway_degenerate(spark):
+    from dbkit_spark.operators.mlmetrics import icc_oneway
+
+    # one rating per item -> N == n -> everything past counts NULL
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "item long, v double")
+    r = icc_oneway(df, "item", "v").collect()[0]
+    assert r["n_items"] == 2 and r["n_total"] == 2
+    assert r["msb"] is None and r["icc1"] is None
