@@ -35,8 +35,12 @@ __all__ = [
     "bleu_corpus",
     "rouge_n",
     "chrf_score",
+    "chrf_pp",
     "distinct_n",
     "self_bleu_pool",
+    "edit_distance_pairs",
+    "word_error_rate",
+    "rouge_l",
 ]
 
 
@@ -45,6 +49,25 @@ def _norm_tokens(col: str) -> Column:
     [^a-z0-9]+ split, empties dropped — also SQuAD's normalization
     stand-in (lower + punctuation strip)."""
     return tokens(col)
+
+
+def _ws_tokens(col: str) -> Column:
+    """Whitespace-only tokenizer: case and punctuation PRESERVED —
+    the 'detokenized' eval convention (sacrebleu's refusal to
+    pre-tokenize; the engine's international-tokenizer stand-in).
+    SQL twin: list_filter(string_split_regex(x, '\\s+'), t -> t <> '')."""
+    return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != "")
+
+
+def _tok(col: str, tokenizer: str) -> Column:
+    """Tokenizer dispatch for the tokenizer-parameterized metrics:
+    'norm' = the engine tokenizer (_norm_tokens), 'ws' = whitespace
+    split preserving case/punctuation (detokenized eval)."""
+    if tokenizer == "norm":
+        return _norm_tokens(col)
+    if tokenizer == "ws":
+        return _ws_tokens(col)
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (use 'norm'|'ws')")
 
 
 def token_f1(
@@ -140,6 +163,7 @@ def clipped_ngram_stats(
     ref_col: str = "ref",
     id_col: str = "pair_id",
     ns: tuple[int, ...] = (1, 2, 3, 4),
+    tokenizer: str = "norm",
 ) -> DataFrame:
     """Per (pair, n): CLIPPED word n-gram overlap and both sides' gram
     totals — the shared primitive under BLEU's modified precision
@@ -160,7 +184,7 @@ def clipped_ngram_stats(
         raise ValueError("ns must be non-empty positive n-gram orders")
 
     def side_counts(col: str, out: str) -> DataFrame:
-        toked = pairs.select(F.col(id_col), _norm_tokens(col).alias("_t"))
+        toked = pairs.select(F.col(id_col), _tok(col, tokenizer).alias("_t"))
         per_n = None
         for n in ns:
             grams = (
@@ -184,8 +208,8 @@ def clipped_ngram_stats(
     n_lit = F.explode(F.array(*[F.lit(n) for n in ns])).alias("n")
     totals = pairs.select(
         F.col(id_col),
-        F.size(_norm_tokens(cand_col)).cast("long").alias("_nc"),
-        F.size(_norm_tokens(ref_col)).cast("long").alias("_nr"),
+        F.size(_tok(cand_col, tokenizer)).cast("long").alias("_nc"),
+        F.size(_tok(ref_col, tokenizer)).cast("long").alias("_nr"),
     ).select(
         id_col,
         n_lit,
@@ -219,6 +243,7 @@ def bleu_corpus(
     ref_col: str = "ref",
     id_col: str = "pair_id",
     max_n: int = 4,
+    tokenizer: str = "norm",
 ) -> DataFrame:
     """Corpus-level BLEU (Papineni, Roukos, Ward & Zhu, ACL 2002 — THE
     machine-generation benchmark metric): per-order modified precision
@@ -246,7 +271,7 @@ def bleu_corpus(
     if max_n < 1:
         raise ValueError("max_n must be >= 1")
     ns = tuple(range(1, max_n + 1))
-    stats = clipped_ngram_stats(pairs, cand_col, ref_col, id_col, ns)
+    stats = clipped_ngram_stats(pairs, cand_col, ref_col, id_col, ns, tokenizer)
     per_n = stats.groupBy("n").agg(
         F.sum("overlap").cast("long").alias("clipped"),
         F.sum("cand_grams").cast("long").alias("total"),
@@ -354,41 +379,17 @@ def rouge_n(
     )
 
 
-def chrf_score(
+def _chr_order_stats(
     pairs: DataFrame,
-    cand_col: str = "cand",
-    ref_col: str = "ref",
-    id_col: str = "pair_id",
-    max_n: int = 6,
-    beta: float = 2.0,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    ns: tuple[int, ...],
 ) -> DataFrame:
-    """chrF per pair (Popović, WMT 2015 — the character-n-gram F-score;
-    tokenization-free, so robust to morphology and the default
-    second metric of WMT evals): for n = 1..max_n over
-    whitespace-stripped lowercased text, per-order clipped precision
-    and recall; chrP/chrR = arithmetic means over the orders where the
-    respective side HAS grams (sacrebleu's effective-order handling);
-    chrF = (1+β²)·chrP·chrR / (β²·chrP + chrR), β = 2 (recall-weighted,
-    the paper's best setting).
-
-    Exactness: per-order ratios are single IEEE divisions of exact
-    LONGs rounded 9dp onto DECIMAL(25,9); chrP/chrR are decimal sums
-    divided once by the order count; chrF is fixed-form IEEE
-    arithmetic on those two doubles — identical cross-engine, 6dp out.
-
-    Plan: char-gram explode per (side, n) unioned → ONE (id, n, gram)
-    count agg per side → (id, n, gram) equi-join → (id, n) reduce →
-    (id) reduce. Pair-keyed end-to-end.
-
-    Output per pair: (id, chr_p, chr_r, chrf) — 6dp; pairs empty on
-    both sides after stripping → chrf = 1 (vacuous), one side empty
-    → 0.
-    """
-    if max_n < 1:
-        raise ValueError("max_n must be >= 1")
-    if beta <= 0:
-        raise ValueError("beta must be > 0")
-    ns = tuple(range(1, max_n + 1))
+    """Per (pair, char-order n): clipped char-gram overlap and both
+    sides' gram totals over whitespace-stripped lowercased text — the
+    shared primitive under chrF (chrf_score) and chrF++ (chrf_pp).
+    Output: (id, n, _ov, _cg, _rg) — all LONG."""
 
     def chars(col: str) -> Column:
         return F.regexp_replace(F.lower(F.col(col)), r"\s+", "")
@@ -435,13 +436,51 @@ def chrf_score(
         F.greatest(F.col("_lc") - F.col("n") + 1, F.lit(0)).alias("_cg"),
         F.greatest(F.col("_lr") - F.col("n") + 1, F.lit(0)).alias("_rg"),
     )
-    per_n = totals.join(ov, [id_col, "n"], "left").select(
+    return totals.join(ov, [id_col, "n"], "left").select(
         id_col,
         "n",
         F.coalesce("_ov", F.lit(0)).alias("_ov"),
         "_cg",
         "_rg",
     )
+
+
+def chrf_score(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """chrF per pair (Popović, WMT 2015 — the character-n-gram F-score;
+    tokenization-free, so robust to morphology and the default
+    second metric of WMT evals): for n = 1..max_n over
+    whitespace-stripped lowercased text, per-order clipped precision
+    and recall; chrP/chrR = arithmetic means over the orders where the
+    respective side HAS grams (sacrebleu's effective-order handling);
+    chrF = (1+β²)·chrP·chrR / (β²·chrP + chrR), β = 2 (recall-weighted,
+    the paper's best setting).
+
+    Exactness: per-order ratios are single IEEE divisions of exact
+    LONGs rounded 9dp onto DECIMAL(25,9); chrP/chrR are decimal sums
+    divided once by the order count; chrF is fixed-form IEEE
+    arithmetic on those two doubles — identical cross-engine, 6dp out.
+
+    Plan: char-gram explode per (side, n) unioned → ONE (id, n, gram)
+    count agg per side → (id, n, gram) equi-join → (id, n) reduce →
+    (id) reduce. Pair-keyed end-to-end.
+
+    Output per pair: (id, chr_p, chr_r, chrf) — 6dp; pairs empty on
+    both sides after stripping → chrf = 1 (vacuous), one side empty
+    → 0.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    if beta <= 0:
+        raise ValueError("beta must be > 0")
+    ns = tuple(range(1, max_n + 1))
+    per_n = _chr_order_stats(pairs, cand_col, ref_col, id_col, ns)
     dec = "decimal(25,9)"
     per_pair = per_n.groupBy(id_col).agg(
         F.sum(
@@ -677,4 +716,368 @@ def truncation_eval_gate(
         k.cast("long").alias("k_kept"),
         f1.alias("f1"),
         (f1 >= F.lit(tau)).alias("passes"),
+    )
+
+
+def edit_distance_pairs(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Character-level edit-distance battery per pair (Levenshtein
+    1966; CER is the ASR/OCR error metric of record — the
+    alignment-free companion to the n-gram overlap metrics: token-F1
+    can score 1.0 for scrambled words, edit distance cannot):
+    normalized text = lowercased, runs of whitespace collapsed to one
+    space, trimmed (distance measures CONTENT, not spacing —
+    documented); dist = codepoint Levenshtein (Spark's built-in JVM
+    implementation — no Python in the hot path), cer = dist/len(ref),
+    norm_sim = 1 − dist/max(len_c, len_r).
+
+    Conventions: both sides empty after normalization → dist 0,
+    cer 0, sim 1 (vacuous); ref empty with cand non-empty → cer NULL
+    (undefined denominator — documented), sim still defined.
+
+    Plan: map-side codegen end-to-end — zero exchanges, zero joins;
+    lifts to readStream unchanged.
+
+    Output per pair: (id, len_cand, len_ref, edit_dist, cer,
+    norm_sim) — lengths/dist LONG, ratios 6dp.
+    """
+
+    def norm(col: str) -> Column:
+        return F.trim(
+            F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+        )
+
+    nc, nr = norm(cand_col), norm(ref_col)
+    base = pairs.select(
+        F.col(id_col),
+        F.length(nc).cast("long").alias("len_cand"),
+        F.length(nr).cast("long").alias("len_ref"),
+        F.levenshtein(nc, nr).cast("long").alias("edit_dist"),
+    )
+    lc, lr, d = F.col("len_cand"), F.col("len_ref"), F.col("edit_dist")
+    return base.select(
+        id_col,
+        "len_cand",
+        "len_ref",
+        "edit_dist",
+        F.round(
+            F.when((lc == 0) & (lr == 0), 0.0)
+            .when(lr == 0, F.lit(None))
+            .otherwise(d / lr),
+            6,
+        ).alias("cer"),
+        F.round(
+            F.when((lc == 0) & (lr == 0), 1.0).otherwise(
+                F.lit(1.0) - d / F.greatest(lc, lr)
+            ),
+            6,
+        ).alias("norm_sim"),
+    )
+
+
+def word_error_rate(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Word-level edit distance / WER per pair (the ASR metric of
+    record; equivalently TER WITHOUT the shift operation — Snover et
+    al., AMTA 2006: full TER adds block shifts at cost 1, out of
+    scope and documented; shift-free TER degenerates to exactly this
+    word-level Levenshtein over the engine tokenizer).
+
+    The slow-path contract (the mmr_diversify / grouped-Arrow class):
+    the DP is O(|cand|·|ref|) per pair and inherently iterative, so
+    it runs as an Arrow-batched mapInPandas with a row-vectorized
+    numpy kernel (two-row DP; the insertion recurrence collapses to a
+    running min via the (m−j)+j accumulate identity) — bounded-pair
+    EVAL sets only, never corpus×corpus. Cross-engine exactness: the
+    distance is invariant under any per-pair token bijection, which
+    is what lets a SQL oracle replay it with a chr()-relabeling +
+    native levenshtein (see the q462 oracle).
+
+    Conventions: wer = dist/|ref| (may exceed 1); both sides empty →
+    dist 0, wer 0; ref empty with cand non-empty → wer NULL
+    (undefined — documented).
+
+    Output per pair: (id, n_cand, n_ref, word_dist, wer) — counts and
+    dist LONG, wer 6dp.
+    """
+    import re as _re
+
+    out_schema = (
+        f"{id_col} long, n_cand long, n_ref long, "
+        "word_dist long, wer double"
+    )
+    tok_re = _re.compile("[^a-z0-9]+")
+
+    def _toks(s):
+        if s is None:
+            return []
+        return [t for t in tok_re.split(s.lower()) if t]
+
+    def _dist(a, b):
+        import numpy as np
+
+        n, m = len(a), len(b)
+        if n == 0:
+            return m
+        if m == 0:
+            return n
+        # integer-code b once; per row of a, vectorized DP update
+        code = {}
+        bb = np.fromiter((code.setdefault(t, len(code)) for t in b),
+                         dtype=np.int64, count=m)
+        idx = np.arange(1, m + 1, dtype=np.int64)
+        prev = np.arange(m + 1, dtype=np.int64)
+        for i, t in enumerate(a, 1):
+            ca = code.get(t, -1)
+            sub = prev[:-1] + (bb != ca)
+            dele = prev[1:] + 1
+            m_arr = np.minimum(sub, dele)
+            # insertion smoothing: cur[j] = min_k<=j (m[k] + (j-k))
+            cur = np.empty(m + 1, dtype=np.int64)
+            cur[0] = i
+            cur[1:] = np.minimum.accumulate(
+                np.minimum(m_arr, np.concatenate(([i], m_arr[:-1] + 0)) + 1)
+                - idx
+            ) + idx
+            prev = cur
+        return int(prev[-1])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for pid, c, r in zip(
+                pdf[id_col], pdf[cand_col], pdf[ref_col]
+            ):
+                a, b = _toks(c), _toks(r)
+                d = _dist(a, b)
+                if not a and not b:
+                    wer = 0.0
+                elif not b:
+                    wer = None
+                else:
+                    wer = round(d / len(b), 6)
+                rows.append((pid, len(a), len(b), d, wer))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_cand", "n_ref", "word_dist", "wer"],
+            )
+
+    return pairs.select(id_col, cand_col, ref_col).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def chrf_pp(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    max_n: int = 6,
+    word_order: int = 2,
+    beta: float = 2.0,
+) -> DataFrame:
+    """chrF++ per pair (Popović, WMT 2017 — chrF with a word-order
+    component: the character F-score's morphology-robustness plus
+    word 1..word_order-gram precision/recall to restore word-order
+    sensitivity; sacrebleu's chrF2++ = max_n 6, word_order 2, β 2):
+    chrP/chrR = arithmetic means over the char orders AND word orders
+    where the respective side HAS grams (the engine chrf_score
+    effective-order convention, extended to the pooled order set);
+    chrF++ = (1+β²)·chrP·chrR / (β²·chrP + chrR).
+
+    Word grams use the engine tokenizer (the documented stand-in for
+    the paper's punctuation tokenizer — llm/texteval._norm_tokens).
+
+    Plan: the chrf char-order frame unioned with the
+    clipped_ngram_stats word-order frame (orders offset by 100 to
+    keep the keys distinct) → ONE pair-keyed reduce. Pair-keyed
+    end-to-end, exactly chrf_score's shape plus one union arm.
+
+    Output per pair: (id, chr_p, chr_r, chrf_pp) — 6dp; empty-side
+    conventions exactly as chrf_score (both empty → 1, one side empty
+    → 0), judged over the pooled char+word surface.
+    """
+    if max_n < 1 or word_order < 1:
+        raise ValueError("max_n and word_order must be >= 1")
+    if beta <= 0:
+        raise ValueError("beta must be > 0")
+    ns = tuple(range(1, max_n + 1))
+    wns = tuple(range(1, word_order + 1))
+    chars_part = _chr_order_stats(pairs, cand_col, ref_col, id_col, ns)
+    words_part = clipped_ngram_stats(
+        pairs, cand_col, ref_col, id_col, wns
+    ).select(
+        id_col,
+        (F.col("n") + 100).alias("n"),
+        F.col("overlap").alias("_ov"),
+        F.col("cand_grams").alias("_cg"),
+        F.col("ref_grams").alias("_rg"),
+    )
+    per_n = chars_part.unionByName(words_part)
+    dec = "decimal(25,9)"
+    per_pair = per_n.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("_cg") > 0,
+                F.round(F.col("_ov") / F.col("_cg"), 9).cast(dec),
+            )
+        ).alias("_psum"),
+        F.count(F.when(F.col("_cg") > 0, 1)).alias("_pk"),
+        F.sum(
+            F.when(
+                F.col("_rg") > 0,
+                F.round(F.col("_ov") / F.col("_rg"), 9).cast(dec),
+            )
+        ).alias("_rsum"),
+        F.count(F.when(F.col("_rg") > 0, 1)).alias("_rk"),
+        F.max("_cg").alias("_anyc"),
+        F.max("_rg").alias("_anyr"),
+    )
+    chrp = F.col("_psum").cast("double") / F.col("_pk")
+    chrr = F.col("_rsum").cast("double") / F.col("_rk")
+    b2 = float(beta) * float(beta)
+    chrf = F.lit(1.0 + b2) * chrp * chrr / (F.lit(b2) * chrp + chrr)
+    both_empty = (F.col("_anyc") == 0) & (F.col("_anyr") == 0)
+    one_empty = (F.col("_anyc") == 0) | (F.col("_anyr") == 0)
+    zero_denom = (F.col("_pk") == 0) | (F.col("_rk") == 0)
+
+    # emit through a 9dp decimal: the order means are decimal-sum/k
+    # doubles that can land EXACTLY on a 6dp half boundary (a 7-digit
+    # rational like 4.110148/8 = 0.5137685 did at sf0.1), where the
+    # engines' double-rounding conventions split; decimal rounding is
+    # HALF_UP in both (the q421 emit discipline)
+    def emit(c: Column) -> Column:
+        return F.round(
+            F.round(c, 9).cast("decimal(25,9)"), 6
+        ).cast("double")
+
+    return per_pair.select(
+        id_col,
+        emit(
+            F.when(both_empty, 1.0)
+            .when(F.col("_pk") == 0, 0.0)
+            .otherwise(chrp)
+        ).alias("chr_p"),
+        emit(
+            F.when(both_empty, 1.0)
+            .when(F.col("_rk") == 0, 0.0)
+            .otherwise(chrr)
+        ).alias("chr_r"),
+        emit(
+            F.when(both_empty, 1.0)
+            .when(one_empty | zero_denom, 0.0)
+            .when((chrp == 0) | (chrr == 0), 0.0)
+            .otherwise(chrf)
+        ).alias("chrf_pp"),
+    )
+
+
+def rouge_l(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """ROUGE-L per pair (Lin, ACL-WS 2004 §3.1 — LCS-based: credits
+    in-ORDER subsequence overlap without requiring contiguity, the
+    gap between ROUGE-1's bag-of-words and ROUGE-2's strict bigrams):
+    LCS computed as (|c|+|r| − d_indel)/2 where d_indel is the
+    insertion/deletion-only edit distance (no substitutions) — the
+    same Arrow DP kernel class as word_error_rate; P = LCS/|c|,
+    R = LCS/|r|, F = 2PR/(P+R) (the β=1 F-measure of the rouge-score
+    reference implementation; the paper's recall-weighted β is a
+    parameter non-goal, documented).
+
+    Rows-only by design: LCS has no SQL-expressible form (the
+    bijection-invariance trick that oracles word_error_rate does not
+    apply — levenshtein allows substitutions, d_indel must not), so
+    correctness is pinned by law/hand-case pytests: identity → LCS =
+    len, disjoint → 0, subsequence → |shorter|, and the multiset
+    bound LCS ≤ token_f1 overlap on every fixture row.
+
+    Output per pair: (id, n_cand, n_ref, lcs, rouge_l_p, rouge_l_r,
+    rouge_l_f) — counts LONG, ratios 6dp; both sides empty → F 1
+    (vacuous), one empty → 0.
+    """
+    import re as _re
+
+    out_schema = (
+        f"{id_col} long, n_cand long, n_ref long, lcs long, "
+        "rouge_l_p double, rouge_l_r double, rouge_l_f double"
+    )
+    tok_re = _re.compile("[^a-z0-9]+")
+
+    def _toks(s):
+        if s is None:
+            return []
+        return [t for t in tok_re.split(s.lower()) if t]
+
+    def _indel(a, b):
+        import numpy as np
+
+        n, m = len(a), len(b)
+        if n == 0:
+            return m
+        if m == 0:
+            return n
+        code = {}
+        bb = np.fromiter((code.setdefault(t, len(code)) for t in b),
+                         dtype=np.int64, count=m)
+        big = np.int64(n + m + 1)
+        idx = np.arange(1, m + 1, dtype=np.int64)
+        prev = np.arange(m + 1, dtype=np.int64)
+        for i, t in enumerate(a, 1):
+            ca = code.get(t, -1)
+            match = np.where(bb == ca, prev[:-1], big)
+            dele = prev[1:] + 1
+            m_arr = np.minimum(match, dele)
+            cur = np.empty(m + 1, dtype=np.int64)
+            cur[0] = i
+            cur[1:] = np.minimum.accumulate(
+                np.minimum(m_arr, np.concatenate(([i], m_arr[:-1])) + 1)
+                - idx
+            ) + idx
+            prev = cur
+        return int(prev[-1])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for pid, c, r in zip(
+                pdf[id_col], pdf[cand_col], pdf[ref_col]
+            ):
+                a, b = _toks(c), _toks(r)
+                n, m = len(a), len(b)
+                lcs = (n + m - _indel(a, b)) // 2
+                if n == 0 and m == 0:
+                    p = r_ = f = 1.0
+                elif n == 0 or m == 0:
+                    p = r_ = f = 0.0
+                else:
+                    p = round(lcs / n, 6)
+                    r_ = round(lcs / m, 6)
+                    f = round(2 * lcs / (n + m), 6)
+                rows.append((pid, n, m, lcs, p, r_, f))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_cand", "n_ref", "lcs",
+                    "rouge_l_p", "rouge_l_r", "rouge_l_f",
+                ],
+            )
+
+    return pairs.select(id_col, cand_col, ref_col).mapInPandas(
+        kernel, out_schema
     )

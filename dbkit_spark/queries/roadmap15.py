@@ -407,3 +407,473 @@ ROADMAP15["q469_icc_oneway"] = (
     _q469_oracle(),
     _Q469_NOTES,
 )
+
+
+# --- generation-eval closers: q461-q465 --------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from ..functions.text import tokens  # noqa: E402
+from .roadmap14 import (  # noqa: E402
+    _NORM_SQL,
+    _PAIRS_SQL,
+    _T,
+    _eval_pairs,
+    _lined_docs,
+    _LINED_SQL,
+    _wgrams_sql,
+)
+
+
+def q461_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance battery
+    (llm/texteval.edit_distance_pairs — codepoint Levenshtein, CER,
+    normalized similarity) over the derived eval pairs; the whole
+    operator is JVM codegen (Spark's built-in levenshtein), zero
+    exchanges."""
+    from ..llm.texteval import edit_distance_pairs
+
+    return edit_distance_pairs(_eval_pairs(spark, sf_dir)).orderBy(
+        "pair_id"
+    )
+
+
+def _q461_oracle() -> str:
+    return f"""
+    WITH normed AS (
+      SELECT pair_id,
+             trim(regexp_replace(lower(cand), '\\s+', ' ', 'g')) AS nc,
+             trim(regexp_replace(lower(ref), '\\s+', ' ', 'g')) AS nr
+      FROM ({_PAIRS_SQL})),
+    d AS (
+      SELECT pair_id,
+             CAST(length(nc) AS BIGINT) AS len_cand,
+             CAST(length(nr) AS BIGINT) AS len_ref,
+             CAST(levenshtein(nc, nr) AS BIGINT) AS edit_dist
+      FROM normed)
+    SELECT pair_id, len_cand, len_ref, edit_dist,
+           round(CASE WHEN len_cand = 0 AND len_ref = 0 THEN 0.0
+                      WHEN len_ref = 0 THEN NULL
+                      ELSE CAST(edit_dist AS DOUBLE) / len_ref END, 6)
+             AS cer,
+           round(CASE WHEN len_cand = 0 AND len_ref = 0 THEN 1.0
+                      ELSE 1.0 - CAST(edit_dist AS DOUBLE)
+                           / greatest(len_cand, len_ref) END, 6)
+             AS norm_sim
+    FROM d ORDER BY pair_id
+    """
+
+
+_Q461_NOTES = (
+    "CHAR EDIT-DISTANCE BATTERY (llm/texteval.edit_distance_pairs — "
+    "Levenshtein 1966; CER, the ASR/OCR error metric of record, and "
+    "normalized similarity): lowercase + whitespace-collapse "
+    "normalization (distance measures content, not spacing — "
+    "documented), then Spark's BUILT-IN codepoint levenshtein — the "
+    "whole operator is map-side JVM codegen, ZERO exchanges, zero "
+    "Python; both engines' levenshtein verified codepoint-based (the "
+    "chr(300) probe); ref-empty cer degrades to NULL (documented)"
+)
+
+ROADMAP15["q461_edit_distance"] = (
+    q461_edit_distance,
+    _q461_oracle(),
+    _Q461_NOTES,
+)
+
+
+def q462_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level edit distance / WER (llm/texteval.word_error_rate —
+    shift-free TER, documented) over the derived eval pairs; the
+    grouped-Arrow slow-path contract (bounded eval set, never
+    corpus x corpus)."""
+    from ..llm.texteval import word_error_rate
+
+    return word_error_rate(_eval_pairs(spark, sf_dir)).orderBy("pair_id")
+
+
+def _q462_oracle() -> str:
+    # edit distance is invariant under any per-pair token bijection, so
+    # the oracle relabels each distinct token to a unique SINGLE-BYTE
+    # printable ASCII char (chr(32+pos), pos 1..94) and runs DuckDB's
+    # native levenshtein on the encoded strings — DuckDB's levenshtein
+    # counts BYTES, not codepoints (probed: a 2-byte-char prefix pair
+    # read 2x its codepoint distance), so the relabel alphabet must
+    # stay single-byte. Valid for per-pair vocab <= 94: the fixture
+    # maxes at 31 at every scale; larger vocabs hit the NULL guard and
+    # fail the compare LOUDLY instead of silently mismatching. The
+    # operator itself (numpy DP) is vocab-unbounded —
+    # list_distinct's element order doesn't matter, only injectivity.
+    enc = (
+        "COALESCE(list_aggregate(list_transform({side}, x -> "
+        "chr(CASE WHEN len(vocab) <= 94 "
+        "THEN 32 + list_position(vocab, x) END)), "
+        "'string_agg', ''), '')"
+    )
+    return f"""
+    WITH norm AS ({_NORM_SQL}),
+    vocabed AS (
+      SELECT pair_id, ct, rt,
+             list_distinct(list_concat(ct, rt)) AS vocab
+      FROM norm),
+    encoded AS (
+      SELECT pair_id,
+             CAST(len(ct) AS BIGINT) AS n_cand,
+             CAST(len(rt) AS BIGINT) AS n_ref,
+             {enc.format(side='ct')} AS ec,
+             {enc.format(side='rt')} AS er
+      FROM vocabed),
+    d AS (
+      SELECT pair_id, n_cand, n_ref,
+             CAST(levenshtein(ec, er) AS BIGINT) AS word_dist
+      FROM encoded)
+    SELECT pair_id, n_cand, n_ref, word_dist,
+           round(CASE WHEN n_cand = 0 AND n_ref = 0 THEN 0.0
+                      WHEN n_ref = 0 THEN NULL
+                      ELSE CAST(word_dist AS DOUBLE) / n_ref END, 6)
+             AS wer
+    FROM d ORDER BY pair_id
+    """
+
+
+_Q462_NOTES = (
+    "WORD ERROR RATE / SHIFT-FREE TER (llm/texteval.word_error_rate — "
+    "the ASR metric of record; = TER without block shifts, Snover et "
+    "al. AMTA 2006, deviation documented): O(|c|*|r|) DP per pair as "
+    "an Arrow-batched mapInPandas with a row-vectorized numpy kernel "
+    "(insertion recurrence collapsed to a running min via the "
+    "(m-j)+j accumulate identity) — the grouped-Arrow bounded-eval "
+    "contract; SQL oracle via bijection invariance: relabel tokens to "
+    "codepoints, native levenshtein (surrogate block skipped); "
+    "randomized cross-check vs a reference DP in tests/test_round15"
+)
+
+ROADMAP15["q462_wer"] = (q462_wer, _q462_oracle(), _Q462_NOTES)
+
+
+def q463_chrf_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF++ (llm/texteval.chrf_pp — chrF with the word-order
+    component, sacrebleu chrF2++ parameters) over the derived eval
+    pairs."""
+    from ..llm.texteval import chrf_pp
+
+    return chrf_pp(_eval_pairs(spark, sf_dir)).orderBy("pair_id")
+
+
+def _q463_oracle() -> str:
+    def cgrams(src: str, n: int) -> str:
+        return (
+            f"CASE WHEN length({src}) >= {n} THEN "
+            f"list_transform(generate_series(1, length({src}) - {n - 1}), "
+            f"i -> substr({src}, i, {n})) ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    cgrams_side = " UNION ALL ".join(
+        f"SELECT pair_id, {n} AS n, unnest({cgrams('{col}', n)}) AS gram "
+        "FROM stripped"
+        for n in (1, 2, 3, 4, 5, 6)
+    )
+    wgrams_side = " UNION ALL ".join(
+        f"SELECT pair_id, {100 + n} AS n, "
+        f"unnest({_wgrams_sql('{col}', n)}) AS gram FROM norm"
+        for n in (1, 2)
+    )
+    return f"""
+    WITH norm AS ({_NORM_SQL}),
+    stripped AS (
+      SELECT pair_id,
+             regexp_replace(lower(cand), '\\s+', '', 'g') AS cs,
+             regexp_replace(lower(ref), '\\s+', '', 'g') AS rs
+      FROM ({_PAIRS_SQL})),
+    cg AS (SELECT pair_id, n, gram, COUNT(*) AS c FROM (
+             {cgrams_side.format(col='cs')}
+             UNION ALL {wgrams_side.format(col='ct')})
+           GROUP BY pair_id, n, gram),
+    rg AS (SELECT pair_id, n, gram, COUNT(*) AS c FROM (
+             {cgrams_side.format(col='rs')}
+             UNION ALL {wgrams_side.format(col='rt')})
+           GROUP BY pair_id, n, gram),
+    ov AS (SELECT cg.pair_id, cg.n, SUM(least(cg.c, rg.c)) AS ovl
+           FROM cg JOIN rg ON cg.pair_id = rg.pair_id AND cg.n = rg.n
+                          AND cg.gram = rg.gram
+           GROUP BY cg.pair_id, cg.n),
+    tot AS (SELECT s.pair_id, n.n,
+                   CASE WHEN n.n <= 6
+                        THEN greatest(length(s.cs) - n.n + 1, 0)
+                        ELSE greatest(len(w.ct) - (n.n - 100) + 1, 0)
+                   END AS cgr,
+                   CASE WHEN n.n <= 6
+                        THEN greatest(length(s.rs) - n.n + 1, 0)
+                        ELSE greatest(len(w.rt) - (n.n - 100) + 1, 0)
+                   END AS rgr
+            FROM stripped s JOIN norm w ON s.pair_id = w.pair_id
+            CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6),
+                               (101), (102)) n(n)),
+    per_n AS (
+      SELECT t.pair_id, t.n, COALESCE(o.ovl, 0) AS ovl, t.cgr, t.rgr
+      FROM tot t LEFT JOIN ov o ON t.pair_id = o.pair_id AND t.n = o.n),
+    per_pair AS (
+      SELECT pair_id,
+             SUM(CASE WHEN cgr > 0
+                      THEN CAST(round(ovl / cgr, 9) AS DECIMAL(25,9)) END)
+               AS psum,
+             COUNT(CASE WHEN cgr > 0 THEN 1 END) AS pk,
+             SUM(CASE WHEN rgr > 0
+                      THEN CAST(round(ovl / rgr, 9) AS DECIMAL(25,9)) END)
+               AS rsum,
+             COUNT(CASE WHEN rgr > 0 THEN 1 END) AS rk,
+             max(cgr) AS anyc, max(rgr) AS anyr
+      FROM per_n GROUP BY pair_id)
+    SELECT pair_id,
+           CAST(round(CAST(round(
+             CASE WHEN anyc = 0 AND anyr = 0 THEN 1.0
+                  WHEN pk = 0 THEN 0.0
+                  ELSE CAST(psum AS DOUBLE) / pk END, 9)
+             AS DECIMAL(25,9)), 6) AS DOUBLE) AS chr_p,
+           CAST(round(CAST(round(
+             CASE WHEN anyc = 0 AND anyr = 0 THEN 1.0
+                  WHEN rk = 0 THEN 0.0
+                  ELSE CAST(rsum AS DOUBLE) / rk END, 9)
+             AS DECIMAL(25,9)), 6) AS DOUBLE) AS chr_r,
+           CAST(round(CAST(round(
+             CASE WHEN anyc = 0 AND anyr = 0 THEN 1.0
+                  WHEN anyc = 0 OR anyr = 0 OR pk = 0 OR rk = 0 THEN 0.0
+                  WHEN CAST(psum AS DOUBLE) / pk = 0
+                       OR CAST(rsum AS DOUBLE) / rk = 0 THEN 0.0
+                  ELSE 5.0 * (CAST(psum AS DOUBLE) / pk)
+                       * (CAST(rsum AS DOUBLE) / rk)
+                       / (4.0 * (CAST(psum AS DOUBLE) / pk)
+                          + (CAST(rsum AS DOUBLE) / rk)) END, 9)
+             AS DECIMAL(25,9)), 6) AS DOUBLE) AS chrf_pp
+    FROM per_pair ORDER BY pair_id
+    """
+
+
+_Q463_NOTES = (
+    "chrF++ (llm/texteval.chrf_pp — Popovic WMT 2017: chrF plus word "
+    "1-2-gram precision/recall, sacrebleu chrF2++ parameters): the "
+    "q436 char-order frame UNIONed with the clipped_ngram_stats word "
+    "frame (orders offset by 100), one pair-keyed reduce — exactly "
+    "chrf's shape plus one union arm; engine tokenizer stands in for "
+    "the paper's punctuation tokenizer (documented); per-order "
+    "ratios 9dp on DECIMAL(25,9), effective-order means, fixed-form "
+    "F-beta"
+)
+
+ROADMAP15["q463_chrf_pp"] = (q463_chrf_pp, _q463_oracle(), _Q463_NOTES)
+
+
+def q464_detok_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detokenized corpus BLEU (llm/texteval.bleu_corpus with
+    tokenizer='ws' — case and punctuation preserved, the sacrebleu
+    no-pretokenization convention pinned as the q434 variant the
+    tokenizer-swap note in llm/texteval promises)."""
+    from ..llm.texteval import bleu_corpus
+
+    return bleu_corpus(
+        _eval_pairs(spark, sf_dir), max_n=4, tokenizer="ws"
+    ).orderBy("n")
+
+
+_T_WS = "list_filter(string_split_regex({c}, '\\s+'), x -> x <> '')"
+
+
+def _q464_oracle() -> str:
+    grams_side = " UNION ALL ".join(
+        f"SELECT pair_id, {n} AS n, unnest({_wgrams_sql('{col}', n)}) AS gram "
+        "FROM norm"
+        for n in (1, 2, 3, 4)
+    )
+    norm_ws = f"""
+      SELECT pair_id, {_T_WS.format(c='cand')} AS ct,
+             {_T_WS.format(c='rf')} AS rt
+      FROM (SELECT pair_id, cand, ref AS rf FROM ({_PAIRS_SQL}))
+    """
+    return f"""
+    WITH norm AS ({norm_ws}),
+    cg AS (SELECT pair_id, n, gram, COUNT(*) AS c
+           FROM ({grams_side.format(col='ct')}) GROUP BY pair_id, n, gram),
+    rg AS (SELECT pair_id, n, gram, COUNT(*) AS c
+           FROM ({grams_side.format(col='rt')}) GROUP BY pair_id, n, gram),
+    ov AS (SELECT cg.n, SUM(least(cg.c, rg.c)) AS clipped
+           FROM cg JOIN rg ON cg.pair_id = rg.pair_id AND cg.n = rg.n
+                          AND cg.gram = rg.gram
+           GROUP BY cg.n),
+    tot AS (SELECT n.n,
+                   SUM(greatest(len(ct) - n.n + 1, 0)) AS total
+            FROM norm CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
+            GROUP BY n.n),
+    lens AS (SELECT SUM(len(ct)) AS c_len, SUM(len(rt)) AS r_len FROM norm),
+    per_n AS (
+      SELECT t.n, COALESCE(o.clipped, 0) AS clipped, t.total,
+             CASE WHEN t.total > 0
+                  THEN round(COALESCE(o.clipped, 0) / t.total, 9) END AS p_n
+      FROM tot t LEFT JOIN ov o ON t.n = o.n),
+    geo AS (
+      SELECT min(p_n) AS pmin,
+             SUM(CASE WHEN p_n > 0
+                      THEN CAST(round(ln(p_n), 9) AS DECIMAL(25,9)) END)
+               AS lnsum,
+             COUNT(p_n) AS k
+      FROM per_n)
+    SELECT CAST(per_n.n AS INTEGER) AS n,
+           CAST(per_n.clipped AS BIGINT) AS clipped,
+           CAST(per_n.total AS BIGINT) AS total,
+           round(p_n, 6) AS p_n,
+           CAST(lens.c_len AS BIGINT) AS c_len,
+           CAST(lens.r_len AS BIGINT) AS r_len,
+           round(least(1.0, exp(1.0 - lens.r_len / lens.c_len)), 6) AS bp,
+           round(CASE WHEN geo.pmin <= 0 THEN 0.0
+                      ELSE least(1.0, exp(1.0 - lens.r_len / lens.c_len))
+                           * exp(CAST(geo.lnsum AS DOUBLE) / geo.k) END, 6)
+             AS bleu
+    FROM per_n CROSS JOIN lens CROSS JOIN geo
+    ORDER BY per_n.n
+    """
+
+
+_Q464_NOTES = (
+    "DETOKENIZED CORPUS BLEU (llm/texteval.bleu_corpus "
+    "tokenizer='ws' — the sacrebleu convention: score the raw "
+    "detokenized text, whitespace split, case and punctuation "
+    "PRESERVED; the q434 pipeline with the tokenizer swapped, "
+    "pinning the swap the _norm_tokens docstring documents): "
+    "identical exactness contract (exact LONG counts, 9dp p_n, "
+    "decimal ln-sum, unsmoothed zero-pinning); the ws/norm DELTA on "
+    "the same pairs is the tokenization-sensitivity readout"
+)
+
+ROADMAP15["q464_detok_bleu"] = (
+    q464_detok_bleu,
+    _q464_oracle(),
+    _Q464_NOTES,
+)
+
+
+def q465_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CURATION DAG in ONE composed plan — filter (C4 line
+    battery, q439) → exact dedup keep-first (q06 discipline) → mix
+    (per-source quota, q174) → pack (sharded token packing, q84) →
+    eval (per-lang pack-utilization summary). Every stage is an
+    existing operator; what this query pins is the COMPOSED plan:
+    five doc-keyed stages = five hash exchanges (doc reassembly, text
+    dedup window, source quota window, lang pack window, lang
+    reduce), no SinglePartition anywhere, no join beyond the one
+    broadcast back to doc metadata (plan-gated in
+    tests/test_round15.py like q84)."""
+    from ..llm.quality import c4_line_filters
+    from ..llm.sampling import pack_by_token_budget, quota_sample
+
+    meta = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    c4 = c4_line_filters(_lined_docs(spark, sf_dir))
+    kept = c4.filter(F.col("page_pass")).select("doc_id", "clean_text")
+    w_dedup = Window.partitionBy("clean_text").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    enriched = deduped.join(F.broadcast(meta), "doc_id")
+    mixed = quota_sample(enriched, "source", "doc_id", quota=40)
+    with_toks = mixed.withColumn(
+        "n_toks", F.size(tokens("clean_text")).cast("long")
+    )
+    packed = pack_by_token_budget(
+        with_toks, "doc_id", "n_toks", budget=400, shard_by="lang"
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.countDistinct("batch_id").cast("long").alias("n_packs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "lang",
+            "n_packs",
+            "n_docs",
+            "sum_tokens",
+            F.round(
+                F.col("sum_tokens") / (F.col("n_packs") * F.lit(400.0)), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q465_oracle() -> str:
+    keep = (
+        "regexp_matches(trim(l), '[.!?][\"'']?$') "
+        "AND len(list_filter(string_split_regex(trim(l), '\\s+'), "
+        "x -> x <> '')) >= 5 "
+        "AND NOT regexp_matches(lower(trim(l)), 'javascript')"
+    )
+    return f"""
+    WITH lined AS ({_LINED_SQL}),
+    judged AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS ls,
+             list_filter(string_split(text, chr(10)), l -> {keep}) AS kept
+      FROM lined),
+    c4kept AS (
+      SELECT doc_id,
+             COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM judged
+      WHERE len(kept) >= 3
+        AND NOT (strpos(text, '{{') > 0 OR strpos(text, '}}') > 0)
+        AND NOT strpos(lower(text), 'lorem ipsum') > 0),
+    deduped AS (
+      SELECT doc_id, clean_text FROM (
+        SELECT doc_id, clean_text,
+               ROW_NUMBER() OVER (PARTITION BY clean_text
+                                  ORDER BY doc_id) AS rn
+        FROM c4kept) WHERE rn = 1),
+    enriched AS (
+      SELECT d.doc_id, d.clean_text, m.source, m.lang
+      FROM deduped d JOIN documents m ON d.doc_id = m.doc_id),
+    mixed AS (
+      SELECT doc_id, clean_text, source, lang FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':quota')) ASC,
+                   doc_id ASC) AS rk
+        FROM enriched) WHERE rk <= 40),
+    toked AS (
+      SELECT doc_id, source, lang,
+             CAST(len({_T.format(c='clean_text')}) AS BIGINT) AS n_toks
+      FROM mixed),
+    packed AS (
+      SELECT lang, doc_id, n_toks,
+             CAST(floor((SUM(n_toks) OVER (PARTITION BY lang
+                                           ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                         - n_toks) / 400.0) AS BIGINT) AS batch_id
+      FROM toked)
+    SELECT lang,
+           CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_packs,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+           round(CAST(SUM(n_toks) AS DOUBLE)
+                 / (COUNT(DISTINCT batch_id) * 400.0), 6) AS fill_ratio
+    FROM packed GROUP BY lang ORDER BY lang
+    """
+
+
+_Q465_NOTES = (
+    "CURATION DAG REGRESSION (composition class, q396/q418 "
+    "convention — no new operator): the end-to-end filter(C4 q439) "
+    "-> exact-dedup-keep-first(q06) -> source-quota mix(q174) -> "
+    "sharded token pack(q84) -> per-lang utilization eval chain in "
+    "ONE composed plan; pins the composed EXCHANGE COUNT (five "
+    "doc/text/source/lang-keyed hash exchanges, zero SinglePartition "
+    "— plan-gated like q84 in tests/test_round15.py) and replays "
+    "every stage's own oracle semantics nested verbatim in one SQL"
+)
+
+ROADMAP15["q465_curation_dag"] = (
+    q465_curation_dag,
+    _q465_oracle(),
+    _Q465_NOTES,
+)

@@ -236,3 +236,220 @@ def test_icc_oneway_degenerate(spark):
     r = icc_oneway(df, "item", "v").collect()[0]
     assert r["n_items"] == 2 and r["n_total"] == 2
     assert r["msb"] is None and r["icc1"] is None
+
+
+# --- edit distance battery ---------------------------------------------------
+
+
+def _pairs15(spark, rows):
+    return spark.createDataFrame(
+        rows, "pair_id long, cand string, ref string")
+
+
+def test_edit_distance_hand_case(spark):
+    from dbkit_spark.llm.texteval import edit_distance_pairs
+
+    out = {r["pair_id"]: r for r in edit_distance_pairs(_pairs15(spark, [
+        (1, "kitten", "sitting"),
+        (2, "Same  Text", "same text"),  # normalization: lower + ws
+        (3, "", ""),
+        (4, "abc", ""),
+    ])).collect()}
+    assert out[1]["edit_dist"] == 3
+    assert out[1]["cer"] == round(3 / 7, 6)
+    assert out[1]["norm_sim"] == round(1 - 3 / 7, 6)
+    assert out[2]["edit_dist"] == 0 and out[2]["norm_sim"] == 1.0
+    assert out[3]["edit_dist"] == 0 and out[3]["cer"] == 0.0
+    assert out[3]["norm_sim"] == 1.0
+    assert out[4]["cer"] is None and out[4]["norm_sim"] == 0.0
+
+
+# --- word error rate ---------------------------------------------------------
+
+
+def _py_lev(a, b):
+    # reference implementation: classic O(nm) DP, substitutions allowed
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[m]
+
+
+def _py_indel(a, b):
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            best = min(prev[j] + 1, cur[j - 1] + 1)
+            if a[i - 1] == b[j - 1]:
+                best = min(best, prev[j - 1])
+            cur[j] = best
+        prev = cur
+    return prev[m]
+
+
+def test_wer_hand_and_random_cross_check(spark):
+    import random
+
+    from dbkit_spark.llm.texteval import word_error_rate
+
+    rng = random.Random(15)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (1, "the cat sat", "the cat sat"),        # 0 edits
+        (2, "the cat sat", "the dog sat"),        # 1 sub
+        (3, "", "a b c"),                         # all inserts
+        (4, "a b c", ""),                         # ref empty -> wer NULL
+        (5, "", ""),
+    ]
+    for i in range(6, 26):
+        c = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        r = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        rows.append((i, c, r))
+    out = {r["pair_id"]: r
+           for r in word_error_rate(_pairs15(spark, rows)).collect()}
+    assert out[1]["word_dist"] == 0 and out[1]["wer"] == 0.0
+    assert out[2]["word_dist"] == 1 and out[2]["wer"] == round(1 / 3, 6)
+    assert out[3]["word_dist"] == 3
+    assert out[4]["wer"] is None and out[4]["word_dist"] == 3
+    assert out[5]["word_dist"] == 0 and out[5]["wer"] == 0.0
+    for pid, c, r in rows:
+        a = [t for t in c.lower().split() if t]
+        b = [t for t in r.lower().split() if t]
+        assert out[pid]["word_dist"] == _py_lev(a, b), (pid, c, r)
+
+
+# --- ROUGE-L -----------------------------------------------------------------
+
+
+def test_rouge_l_hand_and_random_cross_check(spark):
+    import random
+
+    from dbkit_spark.llm.texteval import rouge_l
+
+    rng = random.Random(16)
+    vocab = ["w1", "w2", "w3", "w4"]
+    rows = [
+        (1, "the cat sat down", "the cat sat down"),   # identity
+        (2, "aa bb cc", "dd ee ff"),                   # disjoint
+        (3, "aa cc", "aa bb cc"),                      # subsequence
+        (4, "", ""),
+        (5, "", "x y"),
+    ]
+    for i in range(6, 26):
+        c = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
+        r = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
+        rows.append((i, c, r))
+    out = {r["pair_id"]: r for r in rouge_l(_pairs15(spark, rows)).collect()}
+    assert out[1]["lcs"] == 4 and out[1]["rouge_l_f"] == 1.0
+    assert out[2]["lcs"] == 0 and out[2]["rouge_l_f"] == 0.0
+    assert out[3]["lcs"] == 2  # subsequence -> len(shorter)
+    assert out[4]["rouge_l_f"] == 1.0
+    assert out[5]["rouge_l_f"] == 0.0
+    for pid, c, r in rows:
+        a, b = c.split(), r.split()
+        lcs = (len(a) + len(b) - _py_indel(a, b)) // 2
+        assert out[pid]["lcs"] == lcs, (pid, c, r)
+
+
+def test_rouge_l_bounded_by_unigram_overlap(spark):
+    # LCS is an in-order matching, so it can never exceed the multiset
+    # unigram overlap token_f1 counts
+    from dbkit_spark.llm.texteval import rouge_l, token_f1
+
+    rows = [(i, f"a b c d e {'x ' * (i % 4)}", "c a b e")
+            for i in range(1, 9)]
+    lc = {r["pair_id"]: r["lcs"]
+          for r in rouge_l(_pairs15(spark, rows)).collect()}
+    ov = {r["pair_id"]: r["overlap"]
+          for r in token_f1(_pairs15(spark, rows)).collect()}
+    for pid in lc:
+        assert lc[pid] <= ov[pid]
+
+
+# --- chrF++ ------------------------------------------------------------------
+
+
+def test_chrf_pp_identity_and_disjoint(spark):
+    from dbkit_spark.llm.texteval import chrf_pp
+
+    out = {r["pair_id"]: r for r in chrf_pp(_pairs15(spark, [
+        (1, "The quick brown fox", "The quick brown fox"),
+        (2, "aaaa bbbb", "cccc dddd"),
+        (3, "", ""),
+        (4, "", "something"),
+    ])).collect()}
+    assert out[1]["chrf_pp"] == 1.0 and out[1]["chr_p"] == 1.0
+    assert out[2]["chrf_pp"] == 0.0
+    assert out[3]["chrf_pp"] == 1.0
+    assert out[4]["chrf_pp"] == 0.0
+
+
+def test_chrf_pp_hand_case(spark):
+    from dbkit_spark.llm.texteval import chrf_pp
+
+    # cand "ab", ref "ab cd": stripped chars "ab" vs "abcd"
+    # char orders 1..6: cand has grams for n=1 ("a","b": 2), n=2
+    # ("ab": 1); ref for n=1..4. word order 1: overlap 1 of 1; word
+    # order 2: cand has 0 bigrams (skipped for P), ref has 1 (counts
+    # for R).
+    # P orders: c1 2/2=1, c2 1/1=1, w1 1/1=1 -> chrP = 1
+    # R orders: c1 2/4, c2 1/3, c3 0/2, c4 0/1, w1 1/2, w2 0/1
+    #   -> chrR = (0.5 + 1/3 + 0 + 0 + 0.5 + 0)/6
+    r = chrf_pp(_pairs15(spark, [(1, "ab", "ab cd")])).collect()[0]
+    assert r["chr_p"] == 1.0
+    exp_r = (0.5 + round(1 / 3, 9) + 0.5) / 6
+    assert abs(r["chr_r"] - exp_r) < 1e-6
+    b2 = 4.0
+    exp_f = (1 + b2) * 1.0 * exp_r / (b2 * 1.0 + exp_r)
+    assert abs(r["chrf_pp"] - exp_f) < 1e-6
+
+
+# --- detokenized BLEU --------------------------------------------------------
+
+
+def test_bleu_ws_tokenizer_case_sensitive(spark):
+    from dbkit_spark.llm.texteval import bleu_corpus
+
+    # norm tokenizer: case folds -> perfect BLEU; ws tokenizer: "The"
+    # != "the" and punctuation stays attached -> imperfect
+    rows = [(1, "The cat sat.", "the cat sat")]
+    norm = bleu_corpus(_pairs15(spark, rows), max_n=2).collect()
+    ws = bleu_corpus(_pairs15(spark, rows), max_n=2,
+                     tokenizer="ws").collect()
+    assert all(r["bleu"] == 1.0 for r in norm)
+    assert all(r["bleu"] < 1.0 for r in ws)
+    # unigram row under ws: "cat" is the only shared token of 3
+    u = {r["n"]: r for r in ws}
+    assert u[1]["clipped"] == 1 and u[1]["total"] == 3
+
+
+# --- q465 curation DAG composed-plan gate ------------------------------------
+
+
+def test_curation_dag_plan_shape(spark):
+    """The composed filter->dedup->mix->pack->eval DAG must stay
+    doc/text/source/lang-keyed: no SinglePartition exchange anywhere
+    (the q84 discipline — packing is sharded), no nested-loop join,
+    and the exchange count stays bounded (each stage adds at most two
+    hash exchanges; a regression that re-keys per stage would blow
+    past it)."""
+    from dbkit_spark.catalog import load_all
+
+    load_all()
+    from dbkit_spark.queries.roadmap7 import ROADMAP7
+
+    fn = ROADMAP7["q465_curation_dag"][0]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 10, f"composed DAG re-keying regression: {n_hash}"
