@@ -877,3 +877,31 @@ ROADMAP15["q465_curation_dag"] = (
     _q465_oracle(),
     _Q465_NOTES,
 )
+
+
+def q470_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (llm/texteval.rouge_l — LCS-based order-sensitive
+    overlap) over the derived eval pairs. Rows-only by design: LCS
+    has no SQL-expressible form (the q462 bijection trick needs
+    substitutions allowed; d_indel must forbid them) — semantics are
+    pinned by the randomized reference-DP cross-check and the
+    overlap-bound law in tests/test_round15.py."""
+    from ..llm.texteval import rouge_l
+
+    return rouge_l(_eval_pairs(spark, sf_dir)).orderBy("pair_id")
+
+
+_Q470_NOTES = (
+    "ROUGE-L (llm/texteval.rouge_l — Lin 2004 §3.1: LCS-based "
+    "order-sensitive overlap, the gap between ROUGE-1 bags and "
+    "ROUGE-2 strict bigrams; LCS = (|c|+|r|-d_indel)/2 via the "
+    "insertion/deletion-only DP): the q462 Arrow mapInPandas kernel "
+    "class (bounded eval pairs, row-vectorized numpy DP); ROWS-ONLY "
+    "by design — no SQL-expressible LCS (levenshtein's substitutions "
+    "break the bijection-relabel trick) — pinned by randomized "
+    "reference-DP cross-checks, identity/disjoint/subsequence laws, "
+    "and the LCS <= unigram-overlap bound vs token_f1 "
+    "(tests/test_round15.py)"
+)
+
+ROADMAP15["q470_rouge_l"] = (q470_rouge_l, None, _Q470_NOTES)
