@@ -4104,3 +4104,417 @@ def icc_oneway(
         F.round(icc1, 6).alias("icc1"),
         F.round(icc1k, 6).alias("icc1k"),
     )
+
+
+def _ks_grid(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Shared two-sample ECDF frame under ks_two_sample /
+    cvm_two_sample: per distinct pooled value v — (v, ca, cb,
+    cum_a, cum_b, n_a, n_b) with cumulative counts INCLUSIVE of v.
+
+    The scan rides the DISTINCT-value frame (the q455 DeLong
+    argument: tied grids compress; at 100 TB swap the ordered window
+    for the q280 two-stage distributed prefix sum — documented)."""
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_v").isNotNull() & F.col("_g").isin([group_a, group_b])
+    )
+    per_v = base.groupBy("_v").agg(
+        F.count(F.when(F.col("_g") == group_a, 1))
+        .cast("long")
+        .alias("_ca"),
+        F.count(F.when(F.col("_g") == group_b, 1))
+        .cast("long")
+        .alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_v.select(
+        "_v",
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    ).crossJoin(
+        F.broadcast(
+            base.agg(
+                F.count(F.when(F.col("_g") == group_a, 1))
+                .cast("long")
+                .alias("_na"),
+                F.count(F.when(F.col("_g") == group_b, 1))
+                .cast("long")
+                .alias("_nb"),
+            )
+        )
+    )
+
+
+def kolmogorov_sf(lam: Column, terms: int = 10) -> Column:
+    """Asymptotic Kolmogorov survival function Q_KS(λ) = 2 Σ_{k>=1}
+    (−1)^{k−1} e^{−2k²λ²}, truncated at ``terms`` (Numerical Recipes
+    §14.3.3 convention; the series is alternating with doubly-
+    exponential decay, so 10 terms are beyond double precision for
+    any λ where the asymptotic form itself is meaningful). Terms ride
+    9dp DECIMAL so the sum is order-independent; clamped to [0, 1].
+    Below λ = 0.3 the alternating series needs many more terms but
+    Q(0.3) already exceeds 1 before clamping — pinned to exactly 1
+    there (both engines, documented)."""
+    dec = "decimal(25,9)"
+    total = None
+    for k in range(1, terms + 1):
+        term = F.round(
+            F.lit(2.0 * (1 if k % 2 == 1 else -1))
+            * F.exp(F.lit(-2.0 * k * k) * lam * lam),
+            9,
+        ).cast(dec)
+        total = term if total is None else total + term
+    series = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), total.cast("double"))
+    )
+    return F.when(lam < 0.3, F.lit(1.0)).otherwise(series)
+
+
+def kolmogorov_sf_sql(lam: str, terms: int = 10) -> str:
+    """DuckDB twin of :func:`kolmogorov_sf` — same truncation, same
+    9dp decimal terms, same λ < 0.3 pin."""
+    parts = " + ".join(
+        f"CAST(round({2.0 * (1 if k % 2 == 1 else -1)} "
+        f"* exp({-2.0 * k * k} * {lam} * {lam}), 9) AS DECIMAL(25,9))"
+        for k in range(1, terms + 1)
+    )
+    series = f"least(1.0, greatest(0.0, CAST(({parts}) AS DOUBLE)))"
+    return f"CASE WHEN {lam} < 0.3 THEN 1.0 ELSE {series} END"
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (Smirnov, Ann. Math. Stat.
+    1939 — THE distribution-drift detector: D = sup_v |F_a(v) −
+    F_b(v)|, sensitive to any difference in location, scale, or
+    shape; the metric-drift gate a feature pipeline runs between a
+    reference window and today's data): D computed exactly on the
+    pooled distinct-value grid (ECDF steps only move at sample
+    points); asymptotic p = Q_KS((√n_e + 0.12 + 0.11/√n_e)·D) with
+    n_e = n_a·n_b/(n_a+n_b) (the Numerical Recipes small-sample
+    correction, documented approximation).
+
+    Exactness: cum counts are exact LONGs; each ECDF difference is
+    fixed-form IEEE of exact integers; D = MAX over the grid (no
+    accumulation error); p through :func:`kolmogorov_sf`'s decimal
+    term sum. Output ONE row: (n_a, n_b, d_stat, ks_lambda,
+    p_value); either side empty degrades d/p to NULL.
+    """
+    grid = _ks_grid(df, group_col, value_col, group_a, group_b)
+    diff = F.abs(
+        F.col("_cuma") / F.col("_na") - F.col("_cumb") / F.col("_nb")
+    )
+    agg = grid.agg(
+        F.max(F.round(diff, 9)).alias("_d"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d = F.when(ok, F.col("_d"))
+    ne = F.col("n_a").cast("double") * F.col("n_b") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d_stat"),
+        F.round(lam, 6).alias("ks_lambda"),
+        F.when(ok, F.round(kolmogorov_sf(lam), 9)).alias("p_value"),
+    )
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion (Anderson, Ann. Math.
+    Stat. 1962 tie-adjusted form — KS reads the WORST ECDF gap, CvM
+    integrates the SQUARED gap over the pooled sample, so it sees
+    distributed small differences KS misses): T = n_a·n_b/(n_a+n_b)²
+    · Σ_v w_v·(F_a(v) − F_b(v))² with w_v = pooled count at v
+    (ties weight their step). Reported WITHOUT a tail p — the CvM
+    limiting distribution has no engine closed form (documented; KS
+    q471 carries the p story).
+
+    Same distinct-value grid as ks_two_sample; squared-gap terms ride
+    9dp DECIMAL. Output ONE row: (n_a, n_b, t_stat).
+    """
+    grid = _ks_grid(df, group_col, value_col, group_a, group_b)
+    gap = F.col("_cuma") / F.col("_na") - F.col("_cumb") / F.col("_nb")
+    dec = "decimal(25,9)"
+    agg = grid.agg(
+        F.sum(
+            F.round((F.col("_ca") + F.col("_cb")) * gap * gap, 9).cast(dec)
+        )
+        .cast("double")
+        .alias("_s"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    t = na * nb / ((na + nb) * (na + nb)) * F.col("_s")
+    return agg.select(
+        "n_a", "n_b", F.round(F.when(ok, t), 6).alias("t_stat")
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    center: str = "median",
+) -> DataFrame:
+    """Levene's test of variance homogeneity across k groups (Levene
+    1960; ``center='median'`` is the Brown-Forsythe 1974 robust
+    variant, the scipy default recommendation — the gate before
+    pooled-variance tests like q443's OLS or q475's ANOVA: are the
+    group spreads even comparable?): z = |x − center_g|, then the
+    one-way ANOVA F on z: W = ((N−k)/(k−1)) · Σ n_g(z̄_g − z̄)² /
+    Σ(z − z̄_g)². Reported with dof (k−1, N−k) and WITHOUT a tail p
+    (F tail out of closed-form scope — the q469 convention).
+
+    Exactness: group medians are the exact interpolated 0.5-quantile
+    (both engines' continuous-percentile definition); z moments ride
+    9dp DECIMAL; W is fixed-form IEEE. Plan: one group quantile agg +
+    broadcast back, one group moment agg, one 1-row reduce.
+
+    Output ONE row: (k_groups, n_total, w_stat, dof1, dof2); k < 2
+    or N <= k degrades w to NULL.
+    """
+    if center not in ("median", "mean"):
+        raise ValueError("center must be 'median' or 'mean'")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    if center == "median":
+        cen = base.groupBy("_g").agg(
+            F.expr("percentile(_v, 0.5)").alias("_c")
+        )
+    else:
+        cen = base.groupBy("_g").agg(F.avg("_v").alias("_c"))
+    dec = "decimal(25,9)"
+    z = base.join(F.broadcast(cen), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_c")).alias("_z")
+    )
+    per_g = z.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(F.round(F.col("_z"), 9).cast(dec)).alias("_sz"),
+        F.sum(F.round(F.col("_z") * F.col("_z"), 9).cast(dec)).alias(
+            "_qz"
+        ),
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_ng").cast("long").alias("_n"),
+        F.sum("_sz").alias("_s"),
+        F.sum("_qz").cast("double").alias("_q"),
+        F.sum(
+            F.round(
+                F.col("_sz").cast("double")
+                * F.col("_sz").cast("double")
+                / F.col("_ng"),
+                9,
+            ).cast(dec)
+        )
+        .cast("double")
+        .alias("_sb"),
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("_k").cast("double")
+    ssb = F.col("_sb") - F.col("_s").cast("double") * F.col("_s").cast(
+        "double"
+    ) / n
+    ssw = F.col("_q") - F.col("_sb")
+    ok = (F.col("_k") >= 2) & (F.col("_n") > F.col("_k")) & (ssw > 0)
+    w_stat = F.when(ok, (n - k) / (k - 1) * ssb / ssw)
+    return agg.select(
+        F.col("_k").alias("k_groups"),
+        F.col("_n").alias("n_total"),
+        F.round(w_stat, 6).alias("w_stat"),
+        (F.col("_k") - 1).alias("dof1"),
+        (F.col("_n") - F.col("_k")).alias("dof2"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity (Bartlett, Proc. Roy.
+    Soc. A 1937 — the normal-theory companion to Levene q473: more
+    powerful under normality, fragile under heavy tails; reports a
+    CHI-SQUARED statistic, so unlike the F-based tests it gets a
+    closed-form p): T = [(N−k)·ln s_p² − Σ(n_g−1)·ln s_g²] / C with
+    C = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1)); upper-tail p at k−1
+    dof via the q451 Wilson-Hilferty tail.
+
+    Exactness: group variances from 9dp decimal moment sums (sample
+    n−1 form); ln terms rounded 9dp onto DECIMAL before the group
+    sum (the q384 libm rule); groups with n_g < 2 or zero variance
+    are excluded and counted (degenerate for a variance test —
+    documented). Output ONE row: (k_groups, n_total, t_stat,
+    p_value, n_excluded); k < 2 after exclusion degrades t/p to NULL.
+    """
+    dec = "decimal(25,9)"
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    per_g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(F.round(F.col("_v"), 9).cast(dec)).alias("_sv"),
+        F.sum(F.round(F.col("_v") * F.col("_v"), 9).cast(dec)).alias(
+            "_qv"
+        ),
+    )
+    s2 = (
+        F.col("_qv").cast("double")
+        - F.col("_sv").cast("double")
+        * F.col("_sv").cast("double")
+        / F.col("_ng")
+    ) / (F.col("_ng") - 1)
+    stats = per_g.select(
+        "_ng", F.round(s2, 9).alias("_s2")
+    )
+    good = stats.filter((F.col("_ng") >= 2) & (F.col("_s2") > 0))
+    n_bad = stats.filter(
+        (F.col("_ng") < 2) | (F.col("_s2") <= 0)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_excluded"))
+    agg = good.agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_ng").cast("long").alias("_n"),
+        F.sum(
+            F.round((F.col("_ng") - 1) * F.col("_s2"), 9).cast(dec)
+        ).alias("_pool"),
+        F.sum(
+            F.round((F.col("_ng") - 1) * F.log(F.col("_s2")), 9).cast(dec)
+        ).alias("_lnsum"),
+        F.sum(
+            F.round(F.lit(1.0) / (F.col("_ng") - 1), 9).cast(dec)
+        ).alias("_inv"),
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("_k").cast("double")
+    sp2 = F.col("_pool").cast("double") / (n - k)
+    t_raw = (n - k) * F.log(sp2) - F.col("_lnsum").cast("double")
+    c = F.lit(1.0) + (
+        F.col("_inv").cast("double") - F.lit(1.0) / (n - k)
+    ) / (F.lit(3.0) * (k - 1))
+    ok = (F.col("_k") >= 2) & (F.col("_n") > F.col("_k"))
+    t = F.when(ok, t_raw / c)
+    return agg.crossJoin(F.broadcast(n_bad)).select(
+        F.col("_k").alias("k_groups"),
+        F.col("_n").alias("n_total"),
+        F.round(t, 6).alias("t_stat"),
+        # T >= 0 by Jensen; clamp sub-ulp negatives so the tail is
+        # defined at exact homogeneity (p -> ~1 at T = 0)
+        F.when(
+            t.isNotNull(),
+            _wilson_hilferty_p_upper(
+                F.greatest(t, F.lit(0.0)), F.col("_k") - 1
+            ),
+        ).alias("p_value"),
+        "n_excluded",
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way fixed-effects ANOVA (Fisher 1925 — the k-group mean
+    comparison everything else here refines: Kruskal-Wallis q_kw is
+    its rank twin, Levene q473 runs it on spread, ICC q469 reads the
+    same decomposition as reliability): SSB/SSW from group sums,
+    F = MSB/MSW, effect sizes eta² = SSB/SST and the less-biased
+    omega² = (SSB − (k−1)·MSW)/(SST + MSW). Reported WITHOUT a tail
+    p (F tail out of closed-form scope — the q469/q473 convention;
+    Kruskal-Wallis carries the closed-form-p story for k groups).
+
+    Exactness: the q469 decimal moment discipline (9dp values and
+    squares, S_g²/n_g as 9dp IEEE divisions back onto decimal). The
+    RAW sums of squares are NOT emitted: at corpus magnitudes
+    (SS ~ 1e15) a 6dp double round is outside the 2^53-exact window
+    and the engines' rounding implementations legitimately diverge in
+    the last ulp — only the SCALE-FREE statistics (F, eta², omega²)
+    are cross-engine exact, so only they are the contract
+    (documented; the q421 emit discipline taken to its conclusion).
+    Output ONE row: (k_groups, n_total, f_stat, eta_sq, omega_sq);
+    k < 2 or N <= k degrades to NULL.
+    """
+    dec = "decimal(25,9)"
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    per_g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(F.round(F.col("_v"), 9).cast(dec)).alias("_sv"),
+        F.sum(F.round(F.col("_v") * F.col("_v"), 9).cast(dec)).alias(
+            "_qv"
+        ),
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_ng").cast("long").alias("_n"),
+        F.sum("_sv").alias("_s"),
+        F.sum("_qv").cast("double").alias("_q"),
+        F.sum(
+            F.round(
+                F.col("_sv").cast("double")
+                * F.col("_sv").cast("double")
+                / F.col("_ng"),
+                9,
+            ).cast(dec)
+        )
+        .cast("double")
+        .alias("_sb"),
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("_k").cast("double")
+    ssb = F.col("_sb") - F.col("_s").cast("double") * F.col("_s").cast(
+        "double"
+    ) / n
+    ssw = F.col("_q") - F.col("_sb")
+    sst = ssb + ssw
+    ok = (F.col("_k") >= 2) & (F.col("_n") > F.col("_k"))
+    msb = F.when(ok, ssb / (k - 1))
+    msw = F.when(ok, ssw / (n - k))
+    f_stat = F.when(ok & (msw > 0), msb / msw)
+    eta = F.when(ok & (sst > 0), ssb / sst)
+    omega = F.when(
+        ok & (msw > 0) & ((sst + msw) > 0),
+        (ssb - (k - 1) * msw) / (sst + msw),
+    )
+    return agg.select(
+        F.col("_k").alias("k_groups"),
+        F.col("_n").alias("n_total"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+        F.round(omega, 6).alias("omega_sq"),
+    )

@@ -905,3 +905,354 @@ _Q470_NOTES = (
 )
 
 ROADMAP15["q470_rouge_l"] = (q470_rouge_l, None, _Q470_NOTES)
+
+
+# --- distribution-comparison battery: q471-q475 ------------------------------
+
+
+def q471_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test
+    (operators/mlmetrics.ks_two_sample) of order totals: URGENT vs
+    LOW priority — the distribution-drift gate every feature
+    pipeline runs between a reference window and live data."""
+    from ..operators.mlmetrics import ks_two_sample
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    return ks_two_sample(orders, "grp", "val", "1-URGENT", "5-LOW")
+
+
+def _ecdf_sql(ga: str, gb: str) -> str:
+    return f"""
+    base AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderpriority IN ('{ga}', '{gb}')),
+    per_v AS (
+      SELECT v,
+             CAST(COUNT(CASE WHEN g = '{ga}' THEN 1 END) AS BIGINT) AS ca,
+             CAST(COUNT(CASE WHEN g = '{gb}' THEN 1 END) AS BIGINT) AS cb
+      FROM base GROUP BY v),
+    cums AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+      FROM per_v),
+    ns AS (
+      SELECT CAST(COUNT(CASE WHEN g = '{ga}' THEN 1 END) AS BIGINT) AS na,
+             CAST(COUNT(CASE WHEN g = '{gb}' THEN 1 END) AS BIGINT) AS nb
+      FROM base)
+    """
+
+
+def _q471_oracle() -> str:
+    from ..operators.mlmetrics import kolmogorov_sf_sql
+
+    return f"""
+    WITH {_ecdf_sql('1-URGENT', '5-LOW')},
+    agg AS (
+      SELECT MAX(round(abs(CAST(cuma AS DOUBLE) / na
+                           - CAST(cumb AS DOUBLE) / nb), 9)) AS d,
+             MAX(na) AS na, MAX(nb) AS nb
+      FROM cums CROSS JOIN ns),
+    lamf AS (
+      SELECT na, nb, d,
+             (sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) + 0.12
+              + 0.11 / sqrt(CAST(na AS DOUBLE) * nb / (na + nb))) * d
+               AS lam
+      FROM agg)
+    SELECT na AS n_a, nb AS n_b,
+           round(CASE WHEN na > 0 AND nb > 0 THEN d END, 6) AS d_stat,
+           round(CASE WHEN na > 0 AND nb > 0 THEN lam END, 6)
+             AS ks_lambda,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round({kolmogorov_sf_sql('lam')}, 9) END AS p_value
+    FROM lamf
+    """
+
+
+_Q471_NOTES = (
+    "TWO-SAMPLE KOLMOGOROV-SMIRNOV (operators/mlmetrics.ks_two_sample "
+    "— Smirnov 1939: D = sup |ECDF_a - ECDF_b|, the drift gate "
+    "sensitive to ANY location/scale/shape change): exact D on the "
+    "pooled distinct-value grid (ECDFs only step at sample points; "
+    "cum counts exact LONGs, one ordered scan over the compressed "
+    "distinct-value frame — the q455 class; q280 prefix-sum swap "
+    "documented for 100 TB); asymptotic p via the Numerical Recipes "
+    "lambda correction and the 10-term Kolmogorov series on 9dp "
+    "decimal terms, pinned to 1 below lambda 0.3 (documented)"
+)
+
+ROADMAP15["q471_ks_two_sample"] = (
+    q471_ks_two_sample,
+    _q471_oracle(),
+    _Q471_NOTES,
+)
+
+
+def q472_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample criterion
+    (operators/mlmetrics.cvm_two_sample) of order totals: HIGH vs
+    NOT-SPECIFIED priority — integrates the squared ECDF gap KS only
+    reads at its maximum."""
+    from ..operators.mlmetrics import cvm_two_sample
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    return cvm_two_sample(
+        orders, "grp", "val", "2-HIGH", "4-NOT SPECIFIED"
+    )
+
+
+def _q472_oracle() -> str:
+    return f"""
+    WITH {_ecdf_sql('2-HIGH', '4-NOT SPECIFIED')},
+    agg AS (
+      SELECT CAST(SUM(CAST(round(
+               (ca + cb)
+               * (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)
+               * (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb),
+               9) AS DECIMAL(25,9))) AS DOUBLE) AS s,
+             MAX(na) AS na, MAX(nb) AS nb
+      FROM cums CROSS JOIN ns)
+    SELECT na AS n_a, nb AS n_b,
+           round(CASE WHEN na > 0 AND nb > 0
+                 THEN CAST(na AS DOUBLE) * nb
+                      / ((CAST(na AS DOUBLE) + nb)
+                         * (CAST(na AS DOUBLE) + nb)) * s END, 6)
+             AS t_stat
+    FROM agg
+    """
+
+
+_Q472_NOTES = (
+    "CRAMER-VON MISES TWO-SAMPLE (operators/mlmetrics.cvm_two_sample "
+    "— Anderson 1962 tie-adjusted: T integrates the SQUARED ECDF gap "
+    "over the pooled sample, catching distributed small differences "
+    "KS's single max misses): same distinct-value grid as q471, "
+    "squared-gap terms on 9dp DECIMAL; reported stat-only (the CvM "
+    "limiting distribution has no engine closed form — documented; "
+    "q471 carries the p story)"
+)
+
+ROADMAP15["q472_cvm_two_sample"] = (
+    q472_cvm_two_sample,
+    _q472_oracle(),
+    _Q472_NOTES,
+)
+
+
+def q473_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test (operators/mlmetrics.levene_test) of order totals across
+    the five priority classes — the spread-comparability gate before
+    q475's ANOVA."""
+    from ..operators.mlmetrics import levene_test
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    return levene_test(orders, "grp", "val")
+
+
+def _q473_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    cen AS (SELECT g, median(v) AS c FROM base GROUP BY g),
+    z AS (SELECT base.g, abs(base.v - cen.c) AS z
+          FROM base JOIN cen ON base.g = cen.g),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(round(z, 9) AS DECIMAL(25,9))) AS sz,
+             SUM(CAST(round(z * z, 9) AS DECIMAL(25,9))) AS qz
+      FROM z GROUP BY g),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(sz) AS s,
+             CAST(SUM(qz) AS DOUBLE) AS q,
+             CAST(SUM(CAST(round(
+               CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / ng, 9)
+               AS DECIMAL(25,9))) AS DOUBLE) AS sb
+      FROM per_g),
+    stat AS (
+      SELECT k, n,
+             sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+             q - sb AS ssw
+      FROM agg)
+    SELECT k AS k_groups, n AS n_total,
+           round(CASE WHEN k >= 2 AND n > k AND ssw > 0
+                      THEN (CAST(n AS DOUBLE) - k) / (k - 1) * ssb / ssw
+                 END, 6) AS w_stat,
+           k - 1 AS dof1, n - k AS dof2
+    FROM stat
+    """
+
+
+_Q473_NOTES = (
+    "BROWN-FORSYTHE / LEVENE (operators/mlmetrics.levene_test — "
+    "Levene 1960, Brown & Forsythe 1974 median centering, the scipy "
+    "default: variance-homogeneity gate before pooled-variance "
+    "tests): exact interpolated group medians (both engines' "
+    "continuous 0.5-quantile), |x-median| moments on 9dp DECIMAL, "
+    "one-way F on the z frame; stat-only (F tail out of closed-form "
+    "scope — the q469 convention); one group quantile agg + "
+    "broadcast-back + one moment agg + 1-row reduce"
+)
+
+ROADMAP15["q473_levene_bf"] = (q473_levene_bf, _q473_oracle(), _Q473_NOTES)
+
+
+def q474_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test
+    (operators/mlmetrics.bartlett_test) of extended price across
+    lineitem line numbers — the normal-theory companion to q473 with
+    a closed-form chi-squared p."""
+    from ..operators.mlmetrics import bartlett_test
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("val"),
+    )
+    return bartlett_test(li, "grp", "val")
+
+
+def _q474_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT l_linenumber AS g, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(round(v, 9) AS DECIMAL(25,9))) AS sv,
+             SUM(CAST(round(v * v, 9) AS DECIMAL(25,9))) AS qv
+      FROM base GROUP BY g),
+    s2s AS (
+      SELECT ng,
+             round((CAST(qv AS DOUBLE)
+                    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / ng)
+                   / (ng - 1), 9) AS s2
+      FROM per_g),
+    good AS (SELECT * FROM s2s WHERE ng >= 2 AND s2 > 0),
+    bad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+            FROM s2s WHERE ng < 2 OR s2 <= 0),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(CAST(round((ng - 1) * s2, 9) AS DECIMAL(25,9)))
+                  AS DOUBLE) AS pool,
+             CAST(SUM(CAST(round((ng - 1) * ln(s2), 9)
+                           AS DECIMAL(25,9))) AS DOUBLE) AS lnsum,
+             CAST(SUM(CAST(round(1.0 / (ng - 1), 9) AS DECIMAL(25,9)))
+                  AS DOUBLE) AS inv
+      FROM good),
+    stat AS (
+      SELECT k, n,
+             CASE WHEN k >= 2 AND n > k THEN
+               ((CAST(n AS DOUBLE) - k) * ln(pool / (CAST(n AS DOUBLE) - k))
+                - lnsum)
+               / (1.0 + (inv - 1.0 / (CAST(n AS DOUBLE) - k))
+                        / (3.0 * (k - 1)))
+             END AS t_raw
+      FROM agg)
+    SELECT k AS k_groups, n AS n_total,
+           round(t_raw, 6) AS t_stat,
+           CASE WHEN t_raw IS NOT NULL
+                THEN {_wh_p_sql('greatest(t_raw, 0.0)', '(k - 1)')} END
+             AS p_value,
+           bad.n_excluded
+    FROM stat CROSS JOIN bad
+    """
+
+
+_Q474_NOTES = (
+    "BARTLETT'S TEST (operators/mlmetrics.bartlett_test — Bartlett "
+    "1937: normal-theory variance homogeneity, more powerful than "
+    "Levene under normality and the one with a CLOSED-FORM chi2 p at "
+    "k-1 dof via the q451 Wilson-Hilferty tail): group variances "
+    "from 9dp decimal moments (sample n-1), ln terms 9dp on DECIMAL "
+    "(q384 libm rule), degenerate groups (n<2 or zero variance) "
+    "excluded and counted; ONE group agg + ONE 1-row reduce"
+)
+
+ROADMAP15["q474_bartlett"] = (q474_bartlett, _q474_oracle(), _Q474_NOTES)
+
+
+def q475_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (operators/mlmetrics.anova_oneway) of order
+    totals across the five priority classes — F plus eta²/omega²
+    effect sizes; the parametric twin of the registered
+    Kruskal-Wallis."""
+    from ..operators.mlmetrics import anova_oneway
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    return anova_oneway(orders, "grp", "val")
+
+
+def _q475_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(round(v, 9) AS DECIMAL(25,9))) AS sv,
+             SUM(CAST(round(v * v, 9) AS DECIMAL(25,9))) AS qv
+      FROM base GROUP BY g),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(sv) AS s,
+             CAST(SUM(qv) AS DOUBLE) AS q,
+             CAST(SUM(CAST(round(
+               CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / ng, 9)
+               AS DECIMAL(25,9))) AS DOUBLE) AS sb
+      FROM per_g),
+    stat AS (
+      SELECT k, n,
+             sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+             q - sb AS ssw,
+             k >= 2 AND n > k AS ok
+      FROM agg),
+    ms AS (
+      SELECT k, n, ssb, ssw, ok,
+             CASE WHEN ok THEN ssb / (k - 1) END AS msb,
+             CASE WHEN ok THEN ssw / (CAST(n AS DOUBLE) - k) END AS msw
+      FROM stat)
+    SELECT k AS k_groups, n AS n_total,
+           round(CASE WHEN msw > 0 THEN msb / msw END, 6) AS f_stat,
+           round(CASE WHEN ok AND (ssb + ssw) > 0
+                      THEN ssb / (ssb + ssw) END, 6) AS eta_sq,
+           round(CASE WHEN msw > 0 AND (ssb + ssw + msw) > 0
+                      THEN (ssb - (k - 1) * msw) / (ssb + ssw + msw)
+                 END, 6) AS omega_sq
+    FROM ms
+    """
+
+
+_Q475_NOTES = (
+    "ONE-WAY ANOVA (operators/mlmetrics.anova_oneway — Fisher 1925: "
+    "the k-group mean comparison; Kruskal-Wallis is its registered "
+    "rank twin, q473 runs it on spreads, q469 reads the same "
+    "decomposition as reliability): q469's decimal moment discipline "
+    "(9dp values/squares, S^2/n as 9dp IEEE divisions onto decimal), "
+    "F + eta-squared + omega-squared effect sizes, stat-only "
+    "(documented F-tail convention; the rank twin carries the p)"
+)
+
+ROADMAP15["q475_anova_oneway"] = (
+    q475_anova_oneway,
+    _q475_oracle(),
+    _Q475_NOTES,
+)

@@ -453,3 +453,123 @@ def test_curation_dag_plan_shape(spark):
     assert "Exchange SinglePartition" not in plan
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash <= 10, f"composed DAG re-keying regression: {n_hash}"
+
+
+# --- KS two-sample -----------------------------------------------------------
+
+
+def test_ks_disjoint_and_identical(spark):
+    from dbkit_spark.operators.mlmetrics import ks_two_sample
+
+    rows = [("A", float(v)) for v in (1, 2, 3, 4)] + [
+        ("B", float(v)) for v in (5, 6, 7, 8)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "g", "v", "A", "B").collect()[0]
+    assert r["d_stat"] == 1.0 and r["n_a"] == 4 and r["n_b"] == 4
+    assert r["p_value"] < 0.05
+    same = spark.createDataFrame(
+        [("A", float(v)) for v in (1, 2, 3)] +
+        [("B", float(v)) for v in (1, 2, 3)], "g string, v double")
+    r2 = ks_two_sample(same, "g", "v", "A", "B").collect()[0]
+    assert r2["d_stat"] == 0.0 and r2["p_value"] == 1.0
+
+
+def test_ks_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import ks_two_sample
+
+    # A=[1,2], B=[2,3]: gaps at 1: .5; at 2: 1-.5=.5; at 3: 0 -> D=.5
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)],
+        "g string, v double")
+    r = ks_two_sample(df, "g", "v", "A", "B").collect()[0]
+    assert r["d_stat"] == 0.5
+
+
+# --- CvM two-sample ----------------------------------------------------------
+
+
+def test_cvm_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import cvm_two_sample
+
+    # A=[1,2], B=[3,4]: sum w*gap^2 = .25+1+.25+0 = 1.5; T = .25*1.5
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)],
+        "g string, v double")
+    r = cvm_two_sample(df, "g", "v", "A", "B").collect()[0]
+    assert r["t_stat"] == 0.375
+
+
+# --- Levene / Brown-Forsythe -------------------------------------------------
+
+
+def test_levene_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import levene_test
+
+    # A=[0,2,4] (z=[2,0,2]), B=[0,6,12] (z=[6,0,6]) -> W = 1.6
+    df = spark.createDataFrame(
+        [("A", 0.0), ("A", 2.0), ("A", 4.0),
+         ("B", 0.0), ("B", 6.0), ("B", 12.0)], "g string, v double")
+    r = levene_test(df, "g", "v").collect()[0]
+    assert r["k_groups"] == 2 and r["n_total"] == 6
+    assert r["w_stat"] == 1.6 and r["dof1"] == 1 and r["dof2"] == 4
+
+
+def test_levene_zero_spread_null(spark):
+    from dbkit_spark.operators.mlmetrics import levene_test
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 6.0)],
+        "g string, v double")
+    # |x - median| constant within each group -> ssw = 0 -> NULL
+    assert levene_test(df, "g", "v").collect()[0]["w_stat"] is None
+
+
+# --- Bartlett ----------------------------------------------------------------
+
+
+def test_bartlett_equal_variances(spark):
+    from dbkit_spark.operators.mlmetrics import bartlett_test
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0),
+         ("B", 4.0), ("B", 5.0), ("B", 6.0)], "g string, v double")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    assert r["t_stat"] == 0.0 and r["p_value"] > 0.5
+    assert r["n_excluded"] == 0
+
+
+def test_bartlett_degenerate_group_excluded(spark):
+    from dbkit_spark.operators.mlmetrics import bartlett_test
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 5.0),  # B has one rating
+         ("C", 7.0), ("C", 7.0)],             # C zero variance
+        "g string, v double")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    assert r["n_excluded"] == 2 and r["k_groups"] == 1
+    assert r["t_stat"] is None and r["p_value"] is None
+
+
+# --- one-way ANOVA -----------------------------------------------------------
+
+
+def test_anova_hand_case(spark):
+    from dbkit_spark.operators.mlmetrics import anova_oneway
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0),
+         ("B", 4.0), ("B", 5.0), ("B", 6.0)], "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    # SSB = 13.5, SSW = 4 -> MSB = 13.5, MSW = 1 (raw SS not emitted:
+    # scale-free contract, see operator docstring)
+    assert r["f_stat"] == 13.5
+    assert r["eta_sq"] == round(13.5 / 17.5, 6)
+
+
+def test_anova_single_group_null(spark):
+    from dbkit_spark.operators.mlmetrics import anova_oneway
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0)], "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert r["f_stat"] is None and r["k_groups"] == 1
