@@ -67,13 +67,25 @@ from .roadmap7 import ROADMAP7
 # never-driver-checked entries + the 22 least-recently-verified greens,
 # re-confirmed by rotation replay at landing time as exactly q168–q189
 # (the r5 cohort minus its last eleven; q190–q200 spill to r16),
-# pinned literally in tests/test_catalog.py R15_REFRESH. The r16
-# refresh ordering (RE-STATED here per VERDICT r14 item 3 so the
-# three-round-old no_oracle rows finally flip): q190–q200 first, then
-# the oracle-converted stragglers in last-green order — q38/q72/q79
-# (r7), q204/q212 (r8), q267 (r9), q310 (r10) — all seven replayed
-# green through tools/driver_sim.py by the r14 judge; only the
-# driver-side receipt is pending. At landing: GUARD_ROUND/R15_REFRESH
+# pinned literally in tests/test_catalog.py R15_REFRESH.
+#
+# Round-16 landing (PRE-COMPUTED at r15 close by rotation replay with
+# a synthetic clean CORRECTNESS_r15): the queue holds exactly 15
+# entries (q461–q475: 14 SQL-oracled + q470 rows-only by design). If
+# CORRECTNESS_r15 is clean, _LANDED_MAX_QNUM = 475 lands all 15 and
+# the r16 window is those 15 + the 35 least-recently-verified greens
+# = q190–q200 (the r5 cohort's tail, green r05) + q01–q24 (the head
+# of the r07 cohort, by qnum). NOTE this CORRECTS the r14 close's
+# sketch ("q190–q200 then the oracle-converted stragglers"): the
+# stragglers q38/q72/q79 are green r07 like q01–q37 and sort BEHIND
+# them by qnum, so with a 15-entry queue they reach the window at
+# ~r17 (q204/q212 r8, q267 r9, q310 r10 behind that). All seven were
+# replayed green through tools/driver_sim.py by the r14 judge — the
+# receipts are late, not at risk. If any r15 window query FAILS, it
+# re-enters with green-round 0 and shifts the window (the q289/r10
+# precedent: land the largest qnum prefix keeping the window at 50).
+#
+# At the r15 landing: GUARD_ROUND/R15_REFRESH
 # updated in tests/test_catalog.py per the artifact-aware pattern,
 # q445 moved from the queue gate's intentional set to
 # _INTENTIONAL_CROSS (tests/test_plans.py — the q274/q415 precedent),
