@@ -42,6 +42,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``; cluster_id =
     min id reachable through the pair graph. Raises ``RuntimeError`` if
@@ -52,17 +53,40 @@ def connected_components(
     into that directory — replayable after executor loss, the right mode
     for a long-running cluster job. When None (default), rounds use
     ``localCheckpoint()`` — executor-memory/disk only, fastest for
-    interactive/local runs, lost on executor failure."""
+    interactive/local runs, lost on executor failure.
+
+    ``dedupe_edges=False`` skips the edge ``distinct()`` shuffle for
+    callers whose pair list is already duplicate-free (the minhash/LSH
+    pipelines emit distinct ``doc_a < doc_b`` pairs by construction).
+    Duplicate edges never change the min-label fixpoint — they only
+    inflate per-round message volume — so the flag is purely a
+    performance contract (guide §2.4: a ``distinct`` on already-unique
+    data is an accidental shuffle)."""
     from ..operators.iterate import iterate_until_fixpoint
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().persist()
+    edges = fwd.unionByName(rev)
+    if dedupe_edges:
+        edges = edges.distinct()
+    edges = edges.persist()
 
+    # Seed = propagation round 1 WITHOUT the identity join: the first
+    # round of the loop would join edges against identity labels
+    # (label(src) = src), so its messages are just edges re-labeled —
+    # labels_1(v) = min(v, min over incoming src). One union + one
+    # min-agg replaces a full join+agg+barrier+measure round
+    # (OPTIMIZATION_r15; fixpoint unchanged, oracle-pinned). Self-rows
+    # (v, v) come from each edge's own src — duplicates collapse in the
+    # min-agg, and since edges carry both directions every vertex
+    # appears as a src.
     initial = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+        edges.select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("dst").alias("id"), F.col("src").alias("cluster_id"))
+        )
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )
 
     def step(labels: DataFrame) -> DataFrame:
@@ -110,13 +134,14 @@ def assign_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """``docs`` + a ``cluster_id`` column: component min-id for docs in
     the pair graph, own id for singletons (left join + coalesce — the
     component table is tiny next to the corpus and broadcasts)."""
-    comp = connected_components(pairs, a_col, b_col, max_iter).withColumnRenamed(
-        "id", "__cc_id"
-    )
+    comp = connected_components(
+        pairs, a_col, b_col, max_iter, dedupe_edges=dedupe_edges
+    ).withColumnRenamed("id", "__cc_id")
     return (
         docs.join(comp, docs[id_col] == comp["__cc_id"], "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
@@ -131,6 +156,7 @@ def dedup_survivors(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """The deduplicated corpus: one deterministic survivor (min id) per
     duplicate cluster, singletons kept. Equivalent to an anti-join of
@@ -141,9 +167,9 @@ def dedup_survivors(
     ``dedup_survivors_best``, so the two survivor policies are drop-in
     swappable (under min-id policy ``cluster_id`` == ``id_col`` on every
     surviving row, by construction)."""
-    return assign_clusters(docs, pairs, id_col, a_col, b_col, max_iter).filter(
-        F.col(id_col) == F.col("cluster_id")
-    )
+    return assign_clusters(
+        docs, pairs, id_col, a_col, b_col, max_iter, dedupe_edges=dedupe_edges
+    ).filter(F.col(id_col) == F.col("cluster_id"))
 
 
 def dedup_survivors_best(

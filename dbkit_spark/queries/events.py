@@ -44,7 +44,9 @@ def _bin_sql(sec: int, offset: int = 0) -> str:
     notes="5-minute tumbling windows, epoch-aligned like F.window",
 )
 def q34_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = read_table(spark, sf_dir, "events")
+    # split=False: partial agg on (window, type) reduces events before
+    # the one exchange; the split's extra shuffle measured net-negative
+    events = read_table(spark, sf_dir, "events", split=False)
     return tumbling_agg(
         events,
         "ts",

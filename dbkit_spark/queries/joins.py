@@ -31,8 +31,11 @@ from ..sources import read_table
     notes="3-way equi-join; nation broadcast (tiny dim)",
 )
 def q07_join_3way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
+    # split=False: both join sides are thin scans feeding broadcast hash
+    # joins + partial agg; the two split shuffles measured net-negative
+    # (A/B 0.70 s vs 1.10 s)
+    orders = read_table(spark, sf_dir, "orders", split=False)
+    customer = read_table(spark, sf_dir, "customer", split=False)
     nation = read_table(spark, sf_dir, "nation")
     joined = join(
         orders, customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
@@ -155,7 +158,9 @@ def q11_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no range explosion (operators/joins.py asof_join)",
 )
 def q12_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = read_table(spark, sf_dir, "events")
+    # split=False: the asof rewrite's first op is the user_id exchange;
+    # pre-exchange work is a thin filter/project (A/B: 0.31 s vs 0.71 s)
+    events = read_table(spark, sf_dir, "events", split=False)
     clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = (
         events.filter(F.col("event_type") == "view")
@@ -218,7 +223,9 @@ def q129_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/joins.py range_join) — no nested-loop plan",
 )
 def q13_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
+    # split=False: broadcast bin-bucket probe + projection only — thin
+    # map work, no engine shuffle to feed (A/B 1.07 s vs 1.30 s)
+    li = read_table(spark, sf_dir, "lineitem", split=False).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     tiers = spark.createDataFrame(

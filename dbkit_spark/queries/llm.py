@@ -503,7 +503,11 @@ def q87_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set once into its own edge persist — the shingle cache pays here
     # (see minhash_near_dup_pairs docstring), unlike the one-shot q40
     pairs = minhash_near_dup_pairs(docs, threshold=0.5, persist_shingles=True)
-    return assign_clusters(docs, pairs).select("doc_id", "cluster_id")
+    # LSH pairs are distinct (doc_a < doc_b) by construction: skip the
+    # edge-dedup shuffle (OPTIMIZATION_r15; fixpoint identical)
+    return assign_clusters(docs, pairs, dedupe_edges=False).select(
+        "doc_id", "cluster_id"
+    )
 
 
 @register(
@@ -523,7 +527,7 @@ def q88_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs, threshold=0.5, persist_shingles=True)
-    return dedup_survivors(docs, pairs).select(
+    return dedup_survivors(docs, pairs, dedupe_edges=False).select(
         "doc_id", "lang", "source", "n_chars"
     )
 

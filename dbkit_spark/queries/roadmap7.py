@@ -5328,7 +5328,10 @@ ROADMAP7.update(
 def q280_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import prefix_agg
 
-    src = read_table(spark, sf_dir, "orders").select(
+    # split=False: prefix_agg's bucket exchange is the first op and the
+    # approxQuantile edge pass re-scans; the split exchange measured
+    # net-negative (A/B 1.41 s vs 1.61 s)
+    src = read_table(spark, sf_dir, "orders", split=False).select(
         "o_orderkey",
         "o_orderdate",
         F.col("o_totalprice").cast("decimal(28,2)").alias("_p"),

@@ -31,7 +31,9 @@ from ..sources import read_table
     notes="per-group top-k: one shuffle on the partition key",
 )
 def q22_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders").select(
+    # split=False: the window exchange on o_custkey is the query's first
+    # op; only a projection precedes it (A/B: 0.34 s vs 0.64 s forced)
+    orders = read_table(spark, sf_dir, "orders", split=False).select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
     return per_group_topk(

@@ -124,6 +124,76 @@ def read_binary_files(
 
 _TS_UNIT_CACHE: dict[tuple[str, float], str | None] = {}
 
+# --- adaptive scan parallelization (OPTIMIZATION_r15) -----------------------
+# A parquet row group is Spark's atomic scan unit: byte-range splits cannot
+# divide one, so a file with fewer row groups than the session has cores
+# executes ALL row-level work fused into its scan stage (filters, projections,
+# partial aggregates, tokenization) on a correspondingly small number of
+# tasks. The fixture files are written as ONE row group each — measured:
+# every scan in the engine ran single-threaded (600 K lineitem rows, one
+# task). The guide's fix for under-splittable inputs is to repartition
+# immediately after the read (spark_optimization_guide.md §2.5 "input skew").
+#
+# ``_maybe_split_scan`` does that ADAPTIVELY: only when the file's row-group
+# count is below the session's default parallelism AND the table is big
+# enough for the extra exchange to pay (>= _SPLIT_ROWS_PER_CORE rows per
+# core). On a real 100 TB table (thousands of row groups >> cores) this is a
+# no-op — the knob self-disables at scale, so nothing here is tuned to
+# local[32]. The repartition hashes on the table's unique key (deterministic,
+# skew-free, and — unlike round-robin — free of the sort-before-repartition
+# pass); results are partitioning-independent by the engine-wide decimal
+# discipline (operators/aggregate.py), which the oracle suite pins.
+# ``SPARK_GRAFT_SCAN_SPLIT=off`` restores the raw scan.
+_SPREAD_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_SPLIT_ROWS_PER_CORE = 4
+_SCAN_META_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
+
+
+def _scan_metadata(path: str) -> tuple[int, int]:
+    """(num_row_groups, num_rows) from the parquet footer — driver-side,
+    metadata-only, cached per (path, mtime) like ``parquet_ts_unit``."""
+    key = (path, os.path.getmtime(path))
+    if key not in _SCAN_META_CACHE:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        _SCAN_META_CACHE[key] = (meta.num_row_groups, meta.num_rows)
+    return _SCAN_META_CACHE[key]
+
+
+def _maybe_split_scan(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    name: str,
+    split: bool | None = None,
+) -> DataFrame:
+    if split is False or os.environ.get("SPARK_GRAFT_SCAN_SPLIT", "auto") == "off":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    row_groups, rows = _scan_metadata(path)
+    if row_groups >= target:
+        return df
+    if split is not True and rows < _SPLIT_ROWS_PER_CORE * target:
+        return df
+    from pyspark.sql import functions as F
+
+    keys = _SPREAD_KEYS.get(name)
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
 
 def parquet_ts_unit(path: str, column: str = "ts") -> str | None:
     """Physical timestamp unit ('ns'/'us'/'ms') of ``column`` in a parquet
@@ -141,8 +211,21 @@ def parquet_ts_unit(path: str, column: str = "ts") -> str | None:
     return _TS_UNIT_CACHE[key]
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, split: bool | None = None
+) -> DataFrame:
     """Load one fixture table by name with its explicit schema.
+
+    ``split`` overrides the adaptive scan parallelization per call site:
+    ``None`` (default) applies the auto policy of ``_maybe_split_scan``;
+    ``False`` keeps the raw scan — measured the right choice for queries
+    whose first operation after the scan is already an exchange (window/
+    groupBy/sort on a key) with only thin map work before it: there the
+    engine's own first shuffle parallelizes everything downstream and the
+    extra split exchange is pure overhead (interleaved A/B at sf0.1:
+    q12 0.31 s vs 0.71 s, q22 0.34 s vs 0.64 s with the forced split);
+    ``True`` forces the split for row-group-deficient files regardless of
+    the row floor.
 
     ``events.ts`` has shipped in two physical encodings across fixture
     generations: TIMESTAMP(NANOS) — which Spark cannot read as a timestamp
@@ -165,8 +248,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = read_parquet(spark, path, raw_schema)
         from pyspark.sql import functions as F
 
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return read_parquet(spark, path, TABLE_SCHEMAS[name])
+        converted = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _maybe_split_scan(spark, converted, path, name, split)
+    return _maybe_split_scan(
+        spark, read_parquet(spark, path, TABLE_SCHEMAS[name]), path, name, split
+    )
 
 
 def scan_view(df: DataFrame, offset: int = 0, limit: int | None = None) -> DataFrame:
