@@ -156,8 +156,11 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     from dbkit_spark.sources import read_table
 
     # filter, not limit: limit inserts a single-partition Exchange that
-    # would pollute the no-shuffle assertion below
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # would pollute the no-shuffle assertion below; split=False keeps
+    # the reader's adaptive scan-split exchange out of it too
+    docs = read_table(spark, sf_dir, "documents", split=False).filter(
+        F.col("doc_id") < 50
+    )
     payloads = with_binary_payload(docs)
 
     resized = resize_payloads(payloads, target_bytes=64)
@@ -1369,9 +1372,11 @@ def test_image_pixel_stats_operator(spark):
     )
     from dbkit_spark.sources import read_table
 
-    docs = read_table(spark, "/root/testdata/sf0.001", "documents").filter(
-        F.col("doc_id") < 40
-    )
+    # split=False: the no-shuffle assertion is about the mapInPandas
+    # fan-out, not the reader's adaptive scan-split exchange
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents", split=False
+    ).filter(F.col("doc_id") < 40)
     payloads = with_multiformat_image_payload(docs)
     stats = image_pixel_stats(payloads)
     plan = stats._jdf.queryExecution().executedPlan().toString()

@@ -209,7 +209,12 @@ def test_sort_within_partitions_no_shuffle(spark, sf_dir):
     from dbkit_spark.operators.sort import sort_within_partitions
     from dbkit_spark.sources import read_table
 
-    orders = read_table(spark, sf_dir, "orders").repartition(4, "o_custkey")
+    # split=False: the assertion pins that sortWithinPartitions itself
+    # adds no Exchange beyond the explicit repartition; the reader's
+    # adaptive scan-split (OPTIMIZATION_r15) would add its own.
+    orders = read_table(spark, sf_dir, "orders", split=False).repartition(
+        4, "o_custkey"
+    )
     swp = sort_within_partitions(orders.select("o_custkey", "o_totalprice"), "o_totalprice")
     parts = swp.rdd.glom().collect()
     assert sum(len(p) for p in parts) == orders.count()
