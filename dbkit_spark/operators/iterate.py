@@ -35,17 +35,31 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 
 
-def _barrier_fn(spark, checkpoint_dir):
+def _barrier_fn(spark, checkpoint_dir, eager: bool = True):
     """Per-round lineage-truncation barrier shared by both iterators:
     durable ``checkpoint()`` when a directory is given (replayable after
-    executor loss), eager ``localCheckpoint()`` otherwise (fastest)."""
+    executor loss), ``localCheckpoint()`` otherwise (fastest).
+
+    ``eager=False`` (local mode only) defers materialization to the
+    FIRST ACTION on the wrapped frame: the plan is truncated to a
+    ``LogicalRDD`` at wrap time either way (the driver never builds the
+    geometric plan tree), but the round's data is computed by the
+    convergence action itself instead of a separate checkpoint job —
+    one Spark job per round instead of two (OPTIMIZATION_r15, guide
+    §1.2 "don't compute things you throw away": the eager job's only
+    output was re-read one job later). Sound for
+    ``iterate_until_fixpoint`` because every round runs exactly one
+    action (measure / isEmpty) over the new state, which persists the
+    localCheckpoint as a side effect. Durable ``checkpoint()`` keeps
+    eager semantics: non-eager reliable checkpoints recompute the whole
+    lineage a second time on materialization."""
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def barrier(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
 
     return barrier
 
@@ -80,7 +94,16 @@ def iterate_until_fixpoint(
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't converge.
     """
-    barrier = _barrier_fn(initial.sparkSession, checkpoint_dir)
+    # eager=False when a measure fn is given: the measure action runs a
+    # full aggregate over every partition of the new state, so it
+    # materializes the localCheckpoint as a side effect — halving the
+    # job count per round (see _barrier_fn). The exact-equality path
+    # stays eager: its isEmpty convergence check is a take(1) that can
+    # stop before touching every partition, which would leave rounds
+    # partially persisted.
+    barrier = _barrier_fn(
+        initial.sparkSession, checkpoint_dir, eager=measure is None
+    )
     cur = barrier(initial)
     cur_m = measure(cur) if measure is not None else None
     for _ in range(max_iter):

@@ -129,7 +129,10 @@ _MINHASH_CTES = f"""
     "verify at 0.5; md5-portable so the oracle reproduces the bucketing",
 )
 def q40_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # split=True: tokenize+shingle+minhash all run map-side before the
+    # first exchange — the adaptive scan split parallelizes that CPU
+    # (A/B at sf0.1: 1.53 s -> 0.71 s)
+    docs = read_table(spark, sf_dir, "documents", split=True)
     out = minhash_near_dup_pairs(docs, threshold=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -242,7 +245,9 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast queries, corpus never shuffles",
 )
 def q43_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # split=True: the dot products against the broadcast probe set are
+    # map-side CPU before the top-k exchange (A/B: 0.61 s -> 0.34 s)
+    emb = read_table(spark, sf_dir, "embeddings", split=True)
     return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
 
@@ -498,7 +503,8 @@ _REACH_CTES = f"""
 def q87_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.cluster import assign_clusters
 
-    docs = read_table(spark, sf_dir, "documents")
+    # split=True: same map-side tokenize/shingle front end as q40
+    docs = read_table(spark, sf_dir, "documents", split=True)
     # persist_shingles: the component pipeline materializes the pair
     # set once into its own edge persist — the shingle cache pays here
     # (see minhash_near_dup_pairs docstring), unlike the one-shot q40
@@ -525,7 +531,8 @@ def q87_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q88_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.cluster import dedup_survivors
 
-    docs = read_table(spark, sf_dir, "documents")
+    # split=True: same map-side tokenize/shingle front end as q40
+    docs = read_table(spark, sf_dir, "documents", split=True)
     pairs = minhash_near_dup_pairs(docs, threshold=0.5, persist_shingles=True)
     return dedup_survivors(docs, pairs, dedupe_edges=False).select(
         "doc_id", "lang", "source", "n_chars"

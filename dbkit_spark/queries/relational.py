@@ -40,7 +40,10 @@ from ..sources import read_table
     notes="flagship; decimal-stabilized sums for cross-engine bit-equality",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    # split=True: nine decimal partial aggregates over six columns are
+    # heavy map-side work fused into the scan; splitting the one-row-
+    # group file parallelizes them (A/B at sf0.1: 1.43 s -> 0.60 s)
+    li = read_table(spark, sf_dir, "lineitem", split=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

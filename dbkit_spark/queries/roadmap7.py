@@ -470,7 +470,9 @@ _SPANS_CTES = """
 def q209_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import duplicated_spans
 
-    docs = read_table(spark, sf_dir, "documents")
+    # split=True: tokenize + positioned-gram hashing are map-side CPU
+    # before the gram-count exchange (A/B at sf0.1: ~1.5 s -> ~1.1 s)
+    docs = read_table(spark, sf_dir, "documents", split=True)
     return duplicated_spans(docs, n=10).select(
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),
@@ -501,7 +503,8 @@ _Q209_NOTES = (
 def q210_span_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import remove_duplicated_spans
 
-    docs = read_table(spark, sf_dir, "documents")
+    # split=True: same gram front end as q209
+    docs = read_table(spark, sf_dir, "documents", split=True)
     return remove_duplicated_spans(docs, n=10).orderBy("doc_id")
 
 

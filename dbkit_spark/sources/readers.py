@@ -134,16 +134,25 @@ _TS_UNIT_CACHE: dict[tuple[str, float], str | None] = {}
 # task). The guide's fix for under-splittable inputs is to repartition
 # immediately after the read (spark_optimization_guide.md §2.5 "input skew").
 #
-# ``_maybe_split_scan`` does that ADAPTIVELY: only when the file's row-group
-# count is below the session's default parallelism AND the table is big
-# enough for the extra exchange to pay (>= _SPLIT_ROWS_PER_CORE rows per
-# core). On a real 100 TB table (thousands of row groups >> cores) this is a
-# no-op — the knob self-disables at scale, so nothing here is tuned to
-# local[32]. The repartition hashes on the table's unique key (deterministic,
-# skew-free, and — unlike round-robin — free of the sort-before-repartition
-# pass); results are partitioning-independent by the engine-wide decimal
-# discipline (operators/aggregate.py), which the oracle suite pins.
-# ``SPARK_GRAFT_SCAN_SPLIT=off`` restores the raw scan.
+# ``_maybe_split_scan`` does that on an OPT-IN basis (``split=True``), and
+# adaptively even then: only when the file's row-group count is below the
+# session's default parallelism AND the table is big enough for the extra
+# exchange to pay (>= _SPLIT_ROWS_PER_CORE rows per core). On a real 100 TB
+# table (thousands of row groups >> cores) this is a no-op — the knob
+# self-disables at scale, so nothing here is tuned to local[32].
+#
+# Opt-in, not default (revised from the first r15 cut, which defaulted it
+# on): the split pays exactly where the scan feeds HEAVY MAP-SIDE CPU
+# (tokenize/shingle/hash pipelines, wide partial aggregates) and is pure
+# overhead where the query's first real operation is already an exchange —
+# which is most of the catalog, and is also why the engine's zero-exchange
+# map-only operator contracts (plan-gated in tests/test_plans.py) must not
+# acquire a reader-injected shuffle. The repartition hashes on the table's
+# unique key (deterministic, skew-free, and — unlike round-robin — free of
+# the sort-before-repartition pass); results are partitioning-independent by
+# the engine-wide decimal discipline (operators/aggregate.py), which the
+# oracle suite pins. ``SPARK_GRAFT_SCAN_SPLIT=off`` is the global
+# kill-switch.
 _SPREAD_KEYS: dict[str, list[str]] = {
     "region": ["r_regionkey"],
     "nation": ["n_nationkey"],
@@ -179,13 +188,13 @@ def _maybe_split_scan(
     name: str,
     split: bool | None = None,
 ) -> DataFrame:
-    if split is False or os.environ.get("SPARK_GRAFT_SCAN_SPLIT", "auto") == "off":
+    if not split or os.environ.get("SPARK_GRAFT_SCAN_SPLIT", "auto") == "off":
         return df
     target = spark.sparkContext.defaultParallelism
     row_groups, rows = _scan_metadata(path)
     if row_groups >= target:
         return df
-    if split is not True and rows < _SPLIT_ROWS_PER_CORE * target:
+    if rows < _SPLIT_ROWS_PER_CORE * target:
         return df
     from pyspark.sql import functions as F
 
@@ -216,16 +225,23 @@ def read_table(
 ) -> DataFrame:
     """Load one fixture table by name with its explicit schema.
 
-    ``split`` overrides the adaptive scan parallelization per call site:
-    ``None`` (default) applies the auto policy of ``_maybe_split_scan``;
-    ``False`` keeps the raw scan — measured the right choice for queries
-    whose first operation after the scan is already an exchange (window/
-    groupBy/sort on a key) with only thin map work before it: there the
-    engine's own first shuffle parallelizes everything downstream and the
-    extra split exchange is pure overhead (interleaved A/B at sf0.1:
-    q12 0.31 s vs 0.71 s, q22 0.34 s vs 0.64 s with the forced split);
-    ``True`` forces the split for row-group-deficient files regardless of
-    the row floor.
+    ``split`` opts a call site into the adaptive scan parallelization:
+    ``True`` applies ``_maybe_split_scan``'s policy (repartition only if
+    the file is row-group-deficient AND clears the rows-per-core floor)
+    — the right choice where the scan feeds heavy map-side CPU before
+    the query's first exchange (tokenize/shingle/hash pipelines, wide
+    partial aggregates over many columns; measured at sf0.1: q01
+    1.43 s → 0.60, q40 1.53 → 0.71, q43 0.61 → 0.34). ``None``/
+    ``False`` (default) keep the raw scan — measured the right choice
+    whenever the first real operation is already an exchange (window/
+    groupBy/join/sort on a key) with only thin map work before it:
+    there the engine's own first shuffle parallelizes everything
+    downstream and a split exchange is pure overhead (A/B at sf0.1:
+    q12 0.31 s vs 0.71, q22 0.34 vs 0.64 with the split forced on) —
+    and it keeps the zero-exchange plan contracts of map-only
+    operators intact. ``False`` is stronger than ``None`` only as
+    documentation: call sites that MEASURED the split net-negative pin
+    it explicitly so a future default flip cannot regress them.
 
     ``events.ts`` has shipped in two physical encodings across fixture
     generations: TIMESTAMP(NANOS) — which Spark cannot read as a timestamp

@@ -21,25 +21,37 @@ def _rows(df, *cols):
 # --- adaptive scan parallelization (sources/readers._maybe_split_scan) -------
 
 
-def test_scan_split_fires_on_single_rowgroup_fixture(spark):
-    """The fixture files are one row group each; a table above the row
-    floor must come back hash-spread over ~defaultParallelism partitions
-    instead of the raw scan's single non-empty partition."""
+def test_scan_split_fires_on_optin_single_rowgroup_fixture(spark):
+    """With ``split=True``, a one-row-group table above the row floor
+    must come back hash-spread over multiple partitions instead of the
+    raw scan's single non-empty partition."""
     from dbkit_spark.sources import read_table
 
-    li = read_table(spark, SF001, "lineitem")
+    li = read_table(spark, SF001, "lineitem", split=True)
     nonempty = (
         li.select(F.spark_partition_id().alias("p")).groupBy("p").count().count()
     )
     assert nonempty > 1, "scan-split did not spread the single-row-group scan"
 
 
-def test_scan_split_skips_tiny_tables(spark):
-    """Below _SPLIT_ROWS_PER_CORE * cores the extra exchange cannot pay:
-    nation (25 rows) must keep the raw single-partition scan."""
+def test_scan_split_default_is_raw_scan(spark):
+    """The split is OPT-IN: a default read must keep the raw scan (no
+    reader-injected Exchange), preserving the engine's zero-exchange
+    map-only plan contracts."""
     from dbkit_spark.sources import read_table
 
-    nation = read_table(spark, SF001, "nation")
+    li = read_table(spark, SF001, "lineitem")
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_scan_split_skips_tiny_tables(spark):
+    """Below _SPLIT_ROWS_PER_CORE * cores the extra exchange cannot pay:
+    nation (25 rows) must keep the raw single-partition scan even when
+    opted in."""
+    from dbkit_spark.sources import read_table
+
+    nation = read_table(spark, SF001, "nation", split=True)
     nonempty = (
         nation.select(F.spark_partition_id().alias("p")).groupBy("p").count().count()
     )
@@ -52,12 +64,16 @@ def test_scan_split_preserves_rows_vs_off(spark):
     from dbkit_spark.sources import read_table
 
     on_rows = _rows(
-        read_table(spark, SF001, "orders"), "o_orderkey", "o_totalprice"
+        read_table(spark, SF001, "orders", split=True),
+        "o_orderkey",
+        "o_totalprice",
     )
     os.environ["SPARK_GRAFT_SCAN_SPLIT"] = "off"
     try:
         off_rows = _rows(
-            read_table(spark, SF001, "orders"), "o_orderkey", "o_totalprice"
+            read_table(spark, SF001, "orders", split=True),
+            "o_orderkey",
+            "o_totalprice",
         )
     finally:
         del os.environ["SPARK_GRAFT_SCAN_SPLIT"]
