@@ -131,9 +131,17 @@ _MINHASH_CTES = f"""
 def q40_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split=True: tokenize+shingle+minhash all run map-side before the
     # first exchange — the adaptive scan split parallelizes that CPU
-    # (A/B at sf0.1: 1.53 s -> 0.71 s)
+    # (A/B at sf0.1: 1.53 s -> 0.71 s).
+    # persist_shingles=True (OPTIMIZATION_r15 re-measurement): the
+    # round-8 recompute preference was measured when the cache
+    # materialized on the raw scan's ONE task; with the split the cache
+    # fills in parallel and saves the verify pass's two extra
+    # scan+tokenize executions (in-process A/B x3 blocks at sf0.1:
+    # persist 1.06/1.09/1.06 s vs recompute 1.52/1.24/1.15 — persist
+    # won every block). Same trade at scale: one shingle-table
+    # write+read beats two more full-corpus scans plus 2x tokenize CPU.
     docs = read_table(spark, sf_dir, "documents", split=True)
-    out = minhash_near_dup_pairs(docs, threshold=0.5)
+    out = minhash_near_dup_pairs(docs, threshold=0.5, persist_shingles=True)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -765,7 +773,11 @@ def q98_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q112_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import jaccard_prefix_filter_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
+    # split=True: re-measured AFTER the hashed-intersect verify landed —
+    # with the verify stage no longer dominant, parallelizing the
+    # tokenize/shingle front end pays here too (in-process A/B at
+    # sf0.1, 2 clean blocks: split 1.94/1.65 s vs raw 2.87/1.91)
+    docs = read_table(spark, sf_dir, "documents", split=True)
     out = jaccard_prefix_filter_pairs(docs, threshold=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 

@@ -166,6 +166,15 @@ _SPREAD_KEYS: dict[str, list[str]] = {
     "embeddings": ["vec_id"],
 }
 _SPLIT_ROWS_PER_CORE = 4
+# Split-target sizing: a task under a few hundred rows is dominated by
+# its fixed setup (measured ~0.12 s/task at sf0.1 — codegen instance
+# init + shuffle reader setup dwarf the row work), so the split targets
+# ceil(rows / _SPLIT_MIN_ROWS_PER_TASK) partitions capped at the session
+# parallelism rather than always fanning to every core (A/B on the q40
+# pipeline at sf0.1, 5000-doc table: 8-16 partitions 0.95-1.28 s vs 32
+# partitions 1.18-2.45 across two blocks). Scale-adaptive by
+# construction: any table big enough to use all cores still gets them.
+_SPLIT_MIN_ROWS_PER_TASK = 256
 _SCAN_META_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
 
 
@@ -190,11 +199,14 @@ def _maybe_split_scan(
 ) -> DataFrame:
     if not split or os.environ.get("SPARK_GRAFT_SCAN_SPLIT", "auto") == "off":
         return df
-    target = spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
     row_groups, rows = _scan_metadata(path)
-    if row_groups >= target:
+    if row_groups >= cores:
         return df
-    if rows < _SPLIT_ROWS_PER_CORE * target:
+    if rows < _SPLIT_ROWS_PER_CORE * cores:
+        return df
+    target = min(cores, -(-rows // _SPLIT_MIN_ROWS_PER_TASK))
+    if target < 2:
         return df
     from pyspark.sql import functions as F
 
