@@ -240,10 +240,21 @@ def test_lsh_candidates_broadcast_verify_and_grouped_equivalence(spark, sf_dir):
     """q40's verify joins must broadcast the candidate side (AQE
     runtime conversion or static estimate — never a shuffle of the
     shingle arrays), with no nested loop anywhere; and the cacheless
-    grouped candidate variant must produce the identical pair set."""
+    grouped candidate variant must produce the identical pair set.
+
+    The plan is asserted on the pipeline built with
+    ``persist_shingles=False``: the catalog q40 flips it True
+    (OPTIMIZATION_r15 #6), whose eager localCheckpoint truncates the
+    returned frame's executed plan to a bare ``Scan ExistingRDD`` — the
+    verify-join shape would be invisible there, not absent (ADVICE r15).
+    The verify joins themselves are identical in both modes."""
     import re
 
-    df = CATALOG["q40_dedup_minhash"].fn(spark, sf_dir)
+    from dbkit_spark.llm.dedup import minhash_near_dup_pairs
+    from dbkit_spark.sources import read_table as _rt
+
+    docs_split = _rt(spark, sf_dir, "documents", split=True)
+    df = minhash_near_dup_pairs(docs_split, threshold=0.5, persist_shingles=False)
     df.write.format("noop").mode("overwrite").save()
     post = df._jdf.queryExecution().executedPlan().toString()
     final = post.split("== Initial Plan ==")[0]
