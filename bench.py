@@ -58,18 +58,24 @@ HEADLINE = [
 
 RUNS = 5  # raised from 3 in round 11 (VERDICT r10 item 2)
 
-_CALIBRATION_CHECKSUM = 2785854242  # pinned; see module docstring
+# pinned per rep count; see module docstring. The 4-rep variant is the
+# per-query mini-probe (OPTIMIZATION_r16 / VERDICT r15 item 8): ~0.125 s
+# nominal, timed immediately before each query's rep block so a noise
+# burst that arrives mid-run is attributable to the specific queries it
+# hit instead of smearing over the whole run.
+_CALIBRATION_CHECKSUMS = {32: 2785854242, 4: 1257033333}
 
 
-def calibration_probe() -> float:
-    """Fixed CPU-bound workload, ~1.0 s nominal (BASELINE.md round-11).
+def calibration_probe(reps: int = 32) -> float:
+    """Fixed CPU-bound workload, ~1.0 s nominal at 32 reps (BASELINE.md
+    round-11; ``reps=4`` is the ~0.125 s per-query variant).
 
     Deterministic: LCG-scrambles a constant 2M-element uint64 array and
-    sorts it 32 times, folding a strided sum into a checksum that is
-    asserted against the pinned constant. numpy-only, single-threaded,
-    no allocation-size or data dependence on anything in the repo — the
-    measured time varies ONLY with the machine (CPU clock, contention,
-    thermal state), which is exactly what it is for.
+    sorts it ``reps`` times, folding a strided sum into a checksum that
+    is asserted against the pinned constant. numpy-only,
+    single-threaded, no allocation-size or data dependence on anything
+    in the repo — the measured time varies ONLY with the machine (CPU
+    clock, contention, thermal state), which is exactly what it is for.
     """
     import numpy as np
 
@@ -77,13 +83,24 @@ def calibration_probe() -> float:
     x = x * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
     acc = 0
     t0 = time.perf_counter()
-    for _ in range(32):
+    for _ in range(reps):
         y = np.sort(x)
         acc ^= int(y[::97].sum()) & 0xFFFFFFFF
         x = x * np.uint64(2862933555777941757) + np.uint64(3037000493)
     elapsed = time.perf_counter() - t0
-    assert acc == _CALIBRATION_CHECKSUM, f"calibration checksum {acc}"
+    assert acc == _CALIBRATION_CHECKSUMS[reps], f"calibration checksum {acc}"
     return round(elapsed, 3)
+
+
+def _loadavg1() -> float | None:
+    """1-minute /proc/loadavg reading (None off-Linux) — free context for
+    the per-query probe: a high load with no local processes is exactly
+    the noisy-neighbor signature the r15 window suffered."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def main() -> None:
@@ -103,6 +120,9 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
+    per_query_reps: dict[str, list[float]] = {}
+    per_query_cal: dict[str, float] = {}
+    per_query_load: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = catalog[name].fn
         # one untimed warmup: the first execution of a fresh plan pays
@@ -112,6 +132,13 @@ def main() -> None:
         # the DuckDB comparison numbers were taken (medians, warm)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        # per-query noise context (VERDICT r15 item 8, additions-only):
+        # a ~0.125 s CPU probe + loadavg snapshot taken right before the
+        # rep block attribute a mid-run contention burst to the queries
+        # it actually hit (r15's window read pre 1.27 / post 3.64 with
+        # nothing in between)
+        per_query_load[name] = _loadavg1()
+        per_query_cal[name] = calibration_probe(reps=4)
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -124,6 +151,7 @@ def main() -> None:
             spark.catalog.clearCache()
         per_query[name] = round(statistics.median(times), 3)
         per_query_min[name] = round(min(times), 3)
+        per_query_reps[name] = [round(t, 3) for t in times]
 
     cal_post = calibration_probe()
 
@@ -146,6 +174,14 @@ def main() -> None:
                     "nominal": 1.0,
                     "workload": "sort2M-uint64-x32",
                 },
+                # additions-only per-query noise context (VERDICT r15
+                # item 8): mini-probe seconds (~0.125 nominal) +
+                # 1-min loadavg taken immediately before each query's
+                # rep block, and the raw rep times behind each median
+                "queries_cal": per_query_cal,
+                "queries_cal_nominal": 0.125,
+                "queries_loadavg": per_query_load,
+                "queries_reps": per_query_reps,
             }
         )
     )

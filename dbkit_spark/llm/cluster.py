@@ -38,11 +38,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # assign_clusters broadcast cap for the component table (rows; two int64
-# columns ≈ 16 B/row + framing, so the default 8M ≈ a few hundred MB
-# built — inside the guide-§3.1 comfort band, far under the 8 GB / 512M-row
-# hard cap). Env-tunable for clusters with bigger/smaller driver budgets.
+# columns ≈ 16 B/row, but the BUILT HashedRelation is several times that
+# and is collected through the driver). The default 2M rows keeps the
+# built relation in the low-hundreds-of-MB band even on stock 1g
+# driver/executor configs (ADVICE r15: the earlier 8M default assumed
+# this repo's 8g driver session); clusters with bigger driver budgets
+# raise it via the env override.
 _BROADCAST_COMP_MAX_ROWS = int(
-    os.environ.get("SPARK_GRAFT_BROADCAST_COMP_MAX_ROWS", str(8_000_000))
+    os.environ.get("SPARK_GRAFT_BROADCAST_COMP_MAX_ROWS", str(2_000_000))
 )
 
 
@@ -88,7 +91,11 @@ def connected_components(
     # distinct's ClusteredDistribution(src, dst) — partitioning on a
     # subset of the grouping keys co-locates every copy of an edge — so
     # the aggregate plans with no exchange of its own.
-    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # managed AQE setups may report a non-numeric value (e.g. "auto")
+        n_part = pairs.sparkSession.sparkContext.defaultParallelism
     edges = fwd.unionByName(rev).repartition(n_part, "src")
     if dedupe_edges:
         edges = edges.distinct()

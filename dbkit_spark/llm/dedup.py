@@ -216,9 +216,12 @@ def jaccard_verify(
     instead of ~10-word strings cut the verify stage's CPU ~3x at
     sf0.1, and the joined row narrows by the same factor). Set SIZES
     are taken from the original string arrays before hashing, so the
-    union term is exact even if two shingles of one doc collided; an
-    inter-doc collision can only nudge the intersection count up, with
-    probability ~(shingles/doc)²/2⁶⁴ per pair. Results on the
+    union term is exact even if two shingles of one doc collided; a
+    collision can perturb the distinct-hash intersection in either
+    direction (an inter-doc collision adds one; an intra-doc collision
+    whose shared image also appears in the other doc collapses two
+    shared shingles into one), with probability ~(shingles/doc)²/2⁶⁴
+    per pair either way. Results on the
     deterministic fixtures are bit-identical (q40/q87/q88/q112/q42
     oracles re-verified at all three SFs)."""
     hashed = shingled.select(
