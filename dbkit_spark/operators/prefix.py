@@ -76,6 +76,7 @@ def prefix_agg(
     inclusive: bool = True,
     n_buckets: int | None = None,
     rel_err: float = 0.001,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col``: the cumulative ``agg`` of ``value_col``
     over rows at-or-before (``inclusive=True``) or strictly before
@@ -86,6 +87,16 @@ def prefix_agg(
     date / timestamp (it drives range bucketing); trailing tiebreakers
     may be any type or direction. Should form a total order for a
     deterministic result.
+
+    ``boundaries``: optional precomputed bucket split points in the
+    lead column's NUMERIC image (days for DATE, microseconds for
+    timestamps, the value itself otherwise) — e.g. from
+    ``sources.readers.footer_lead_boundaries``, which estimates them
+    from parquet footer statistics with zero data read. When given, the
+    ``approxQuantile`` boundary pass (one full scan per execution) is
+    skipped. Results are IDENTICAL for any monotone boundary set — the
+    bucket-local + cross-bucket-offset combine is exact regardless of
+    balance (OPTIMIZATION_r16); boundary quality affects only skew.
     """
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
@@ -112,16 +123,19 @@ def prefix_agg(
             lead_num = F.unix_micros(F.col(lead).cast("timestamp")).cast(
                 "double"
             )
-        num_src = df.select(lead_num.alias("_k"))
-        boundaries = num_src.stat.approxQuantile("_k", [i / k for i in range(1, k)], rel_err) if k > 1 else []
+        if boundaries is None and k > 1:
+            num_src = df.select(lead_num.alias("_k"))
+            boundaries = num_src.stat.approxQuantile("_k", [i / k for i in range(1, k)], rel_err)
     elif lead_type in ("integer", "long", "short", "byte", "float", "double") or lead_type.startswith("decimal"):
         lead_num = F.col(lead).cast("double")
-        boundaries = df.stat.approxQuantile(lead, [i / k for i in range(1, k)], rel_err) if k > 1 else []
+        if boundaries is None and k > 1:
+            boundaries = df.stat.approxQuantile(lead, [i / k for i in range(1, k)], rel_err)
     else:
         raise ValueError(
             f"lead order column {lead!r} has type {lead_type}; bucket on a "
             "numeric/date/timestamp key (pre-map strings to a sortable key)"
         )
+    boundaries = boundaries or []
     # dedupe + sort: equal boundaries waste buckets but stay monotone
     edges = sorted(set(float(b) for b in boundaries))
 
@@ -155,6 +169,14 @@ def prefix_agg(
     # cross-bucket combine: COUNT partials merge by SUM, everything else
     # by its own aggregate
     merge_fn = F.sum if agg == "count" else agg_fn
+    # The totals branch re-reads the source rather than sharing the
+    # window's exchange: its partial aggregate combines map-side, so the
+    # branch shuffles only k rows against the window branch's full-data
+    # exchange — a second PRUNED scan is the cheaper trade at any scale
+    # (probed in OPTIMIZATION_r16: forcing both branches through one
+    # explicit repartition never fires exchange reuse, because column
+    # pruning specializes each branch's copy of the subtree, and it
+    # upgrades this branch's k-row shuffle to a full-data one).
     offsets = (
         tagged.groupBy("_bucket")
         .agg(agg_fn(v).alias("_tot"))

@@ -216,6 +216,106 @@ def _maybe_split_scan(
     return df.repartition(target)
 
 
+_FOOTER_BOUNDS_CACHE: dict[tuple[str, float, str, int], list[float] | None] = {}
+
+
+def footer_lead_boundaries(path: str, column: str, k: int) -> list[float] | None:
+    """Metadata-only equi-depth boundary ESTIMATE for a prefix-scan lead
+    column: k-1 split points derived from the parquet footer's
+    per-row-group (min, max, rows) statistics — zero data read, replacing
+    the ``approxQuantile`` pass that costs one full scan per execution
+    (OPTIMIZATION_r16 / VERDICT r15 item 6; guide §1.2 "remove
+    unnecessary passes" and §6 "min/max statistics").
+
+    Method: each row group contributes a uniform mass of ``rows`` between
+    its min and max; the summed piecewise-linear CDF is inverted at
+    i/k by bisection. The estimate sharpens with row-group count — at
+    100 TB (thousands of groups) it approaches true equi-depth, while a
+    single-row-group file degrades to min/max interpolation (equi-width).
+    Accuracy affects only bucket BALANCE, never results: prefix_agg's
+    bucket-local + offset combine is exact for ANY monotone bucketing
+    (same class as its documented equal-key skew caveat).
+
+    Returns None (caller falls back to approxQuantile) when the column
+    has no usable min/max statistics or an unsupported logical type.
+    Values are in prefix_agg's numeric lead domain (days for DATE,
+    microseconds for timestamps, float otherwise). Cached per
+    (path, mtime, column, k) like the other footer sniffs.
+    """
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    try:
+        key = (path, os.path.getmtime(path), column, k)
+    except OSError:
+        return None
+    if key in _FOOTER_BOUNDS_CACHE:
+        return _FOOTER_BOUNDS_CACHE[key]
+
+    def _num(v) -> float | None:
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, _dt.datetime):
+            return (
+                v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            ).total_seconds() * 1e6
+        if isinstance(v, _dt.date):
+            return float((v - _dt.date(1970, 1, 1)).days)
+        if isinstance(v, (int, float, _Dec)):
+            return float(v)
+        return None
+
+    result: list[float] | None = None
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        names = [meta.schema.column(i).path for i in range(meta.num_columns)]
+        ci = names.index(column)
+        segs: list[tuple[float, float, int]] = []
+        ok = True
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            st = rg.column(ci).statistics
+            lo = _num(st.min) if st is not None and st.has_min_max else None
+            hi = _num(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                ok = False
+                break
+            segs.append((lo, hi, rg.num_rows))
+        if ok and segs and k > 1:
+            total = float(sum(n for _, _, n in segs))
+            xmin = min(lo for lo, _, _ in segs)
+            xmax = max(hi for _, hi, _ in segs)
+            if total > 0 and xmax > xmin:
+
+                def cdf(x: float) -> float:
+                    acc = 0.0
+                    for lo, hi, n in segs:
+                        if hi <= lo:
+                            acc += n if x >= lo else 0.0
+                        else:
+                            acc += n * min(max((x - lo) / (hi - lo), 0.0), 1.0)
+                    return acc
+
+                bounds = []
+                for i in range(1, k):
+                    target = total * i / k
+                    a, b = xmin, xmax
+                    for _ in range(60):
+                        mid = (a + b) / 2
+                        if cdf(mid) < target:
+                            a = mid
+                        else:
+                            b = mid
+                    bounds.append((a + b) / 2)
+                result = bounds
+    except (OSError, ValueError, KeyError):
+        result = None
+    _FOOTER_BOUNDS_CACHE[key] = result
+    return result
+
+
 def parquet_ts_unit(path: str, column: str = "ts") -> str | None:
     """Physical timestamp unit ('ns'/'us'/'ms') of ``column`` in a parquet
     file, read from the footer (driver-side, metadata-only). Returns None
